@@ -1,0 +1,354 @@
+"""Showcase contracts + gate queries over the driver's synthetic tables.
+
+Each public ``q_*`` function takes ``(spark, sf_dir)`` and returns a
+DataFrame; ``ORACLES`` holds the equivalent DuckDB SQL. They are wired into
+``__spark_entry__.py`` for the driver's correctness gate (CORRECTNESS_r{N})
+and reused by ``bench.py``.
+
+Cross-engine determinism rules used throughout:
+- violation counts / row counts -> BIGINT on both sides
+- money aggregates -> DECIMAL (exact) never DOUBLE (ulp drift)
+- every computed column aliased identically in Spark and SQL
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dc43_spark.contracts.model import Contract, QualityRule, SchemaObject, SchemaProperty
+from dc43_spark.engine.metrics import compute_metrics, metrics_dataframe
+from dc43_spark.engine.validation import apply_contract
+from dc43_spark.expectations.compiler import expectation_specs, row_predicates
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's ``events`` table stores TIMESTAMP(NANOS) parquet, which
+    Spark 4 rejects outright; read nanos as long and rebuild a proper
+    timestamp column (micro truncation matches DuckDB's ns->us cast)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+
+
+# ---------------------------------------------------------------- contracts
+
+ORDER_STATUS = ["F", "O", "P"]
+ORDER_PRIORITY_RE = "^[1-5]-[A-Z ]+$"
+MKT_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def orders_contract() -> Contract:
+    """dc43-style contract over driver ``orders`` (FIXTURES.md F1 mapping)."""
+    return Contract(
+        id="driver.orders",
+        version="0.1.0",
+        schema_objects=[
+            SchemaObject(
+                name="orders",
+                properties=[
+                    SchemaProperty("o_orderkey", "bigint", required=True, unique=True),
+                    SchemaProperty("o_custkey", "bigint", required=True),
+                    SchemaProperty(
+                        "o_orderstatus", "string", required=True,
+                        quality=[QualityRule("enum", ORDER_STATUS)],
+                    ),
+                    SchemaProperty(
+                        "o_totalprice", "double", required=True,
+                        quality=[QualityRule("gt", 0.0)],
+                    ),
+                    SchemaProperty("o_orderdate", "timestamp", required=True),
+                    SchemaProperty(
+                        "o_orderpriority", "string", required=True,
+                        quality=[QualityRule("regex", ORDER_PRIORITY_RE)],
+                    ),
+                ],
+            )
+        ],
+    )
+
+
+def customer_contract() -> Contract:
+    """Full-rule-coverage contract (FIXTURES.md F2): every compiler branch."""
+    return Contract(
+        id="driver.customer",
+        version="0.1.0",
+        schema_objects=[
+            SchemaObject(
+                name="customer",
+                properties=[
+                    SchemaProperty("c_custkey", "bigint", required=True, unique=True),
+                    SchemaProperty(
+                        "c_name", "string", required=True,
+                        quality=[QualityRule("regex", "^Customer#[0-9]+$")],
+                    ),
+                    SchemaProperty(
+                        "c_acctbal", "double", required=True,
+                        quality=[QualityRule("ge", -1000.0), QualityRule("le", 10000.0)],
+                    ),
+                    SchemaProperty(
+                        "c_mktsegment", "string", required=True,
+                        quality=[QualityRule("enum", MKT_SEGMENTS)],
+                    ),
+                    SchemaProperty(
+                        "c_nationkey", "int",
+                        quality=[QualityRule("ge", 0, severity="warning")],
+                    ),
+                ],
+                quality=[
+                    QualityRule(
+                        "query",
+                        "SELECT count(*) FROM _dc43_dq_tmp WHERE c_acctbal < -999",
+                        name="deep_debt",
+                    )
+                ],
+            )
+        ],
+    )
+
+
+def events_contract() -> Contract:
+    """Streaming fixture contract (FIXTURES.md F4) used in batch gate form."""
+    return Contract(
+        id="driver.events",
+        version="0.1.0",
+        schema_objects=[
+            SchemaObject(
+                name="events",
+                properties=[
+                    SchemaProperty("event_id", "bigint", required=True, unique=True),
+                    SchemaProperty("ts", "timestamp", required=True),
+                    SchemaProperty("user_id", "bigint", required=True),
+                    SchemaProperty(
+                        "event_type", "string", required=True,
+                        quality=[QualityRule("enum", EVENT_TYPES)],
+                    ),
+                    SchemaProperty("value", "double", quality=[QualityRule("gt", 0.0)]),
+                    SchemaProperty("props", "string"),
+                ],
+            )
+        ],
+    )
+
+
+def aligned_orders_contract() -> Contract:
+    """apply_contract fixture: reorder + decimal cast + missing col + prune."""
+    return Contract(
+        id="driver.orders_aligned",
+        version="0.1.0",
+        schema_objects=[
+            SchemaObject(
+                name="orders",
+                properties=[
+                    SchemaProperty("o_orderkey", "bigint", required=True),
+                    SchemaProperty("o_custkey", "bigint", required=True),
+                    SchemaProperty("o_totalprice", "decimal(12,2)", required=True),
+                    SchemaProperty("o_orderstatus", "string", required=True),
+                    SchemaProperty("o_orderdate", "timestamp", required=True),
+                    SchemaProperty("o_clerk", "string"),  # missing -> typed NULL
+                ],
+            )
+        ],
+    )
+
+
+# ------------------------------------------------- SQL fragments (oracles)
+
+def _not_null_v(col: str) -> str:
+    return f"CAST(sum(CASE WHEN NOT ({col} IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT)"
+
+
+def _pred_v(pred: str) -> str:
+    return f"CAST(sum(CASE WHEN NOT ({pred}) THEN 1 ELSE 0 END) AS BIGINT)"
+
+
+def _unique_v(col: str) -> str:
+    # total - distinct-including-NULL (reference distinct().count() semantics)
+    return (
+        f"CAST(count(*) - (count(DISTINCT {col}) + "
+        f"CASE WHEN count(*) - count({col}) > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+
+
+ORDERS_PRED_SQL = {
+    "enum_o_orderstatus": "o_orderstatus IN ('F', 'O', 'P')",
+    "gt_o_totalprice": "o_totalprice > 0.0",
+    "regex_o_orderpriority": f"regexp_matches(o_orderpriority, '{ORDER_PRIORITY_RE}')",
+}
+
+_METRICS_ORDERS_SQL = f"""
+SELECT
+  CAST(count(*) AS BIGINT) AS row_count,
+  {_not_null_v('o_orderkey')} AS v_not_null_o_orderkey,
+  {_unique_v('o_orderkey')} AS v_unique_o_orderkey,
+  {_not_null_v('o_custkey')} AS v_not_null_o_custkey,
+  {_not_null_v('o_orderstatus')} AS v_not_null_o_orderstatus,
+  {_pred_v(ORDERS_PRED_SQL['enum_o_orderstatus'])} AS v_enum_o_orderstatus,
+  {_not_null_v('o_totalprice')} AS v_not_null_o_totalprice,
+  {_pred_v(ORDERS_PRED_SQL['gt_o_totalprice'])} AS v_gt_o_totalprice,
+  {_not_null_v('o_orderdate')} AS v_not_null_o_orderdate,
+  {_not_null_v('o_orderpriority')} AS v_not_null_o_orderpriority,
+  {_pred_v(ORDERS_PRED_SQL['regex_o_orderpriority'])} AS v_regex_o_orderpriority
+FROM orders
+"""
+
+_METRICS_CUSTOMER_SQL = f"""
+SELECT
+  CAST(count(*) AS BIGINT) AS row_count,
+  {_not_null_v('c_custkey')} AS v_not_null_c_custkey,
+  {_unique_v('c_custkey')} AS v_unique_c_custkey,
+  {_not_null_v('c_name')} AS v_not_null_c_name,
+  {_pred_v("regexp_matches(c_name, '^Customer#[0-9]+$')")} AS v_regex_c_name,
+  {_not_null_v('c_acctbal')} AS v_not_null_c_acctbal,
+  {_pred_v('c_acctbal >= -1000.0')} AS v_ge_c_acctbal,
+  {_pred_v('c_acctbal <= 10000.0')} AS v_le_c_acctbal,
+  {_not_null_v('c_mktsegment')} AS v_not_null_c_mktsegment,
+  {_pred_v("c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY')")} AS v_enum_c_mktsegment,
+  {_pred_v('c_nationkey >= 0')} AS v_ge_c_nationkey,
+  (SELECT CAST(count(*) AS BIGINT) FROM customer WHERE c_acctbal < -999) AS query_deep_debt
+FROM customer
+"""
+
+_METRICS_EVENTS_SQL = f"""
+SELECT
+  CAST(count(*) AS BIGINT) AS row_count,
+  {_not_null_v('event_id')} AS v_not_null_event_id,
+  {_unique_v('event_id')} AS v_unique_event_id,
+  {_not_null_v('ts')} AS v_not_null_ts,
+  {_not_null_v('user_id')} AS v_not_null_user_id,
+  {_not_null_v('event_type')} AS v_not_null_event_type,
+  {_pred_v("event_type IN ('click', 'error', 'purchase', 'signup', 'view')")} AS v_enum_event_type,
+  {_pred_v('value > 0.0')} AS v_gt_value
+FROM events
+"""
+
+_ORDERS_VALID_PRED_SQL = " AND ".join(
+    [
+        "o_orderkey IS NOT NULL",
+        "o_custkey IS NOT NULL",
+        "o_orderstatus IS NOT NULL",
+        ORDERS_PRED_SQL["enum_o_orderstatus"],
+        "o_totalprice IS NOT NULL",
+        ORDERS_PRED_SQL["gt_o_totalprice"],
+        "o_orderdate IS NOT NULL",
+        "o_orderpriority IS NOT NULL",
+        ORDERS_PRED_SQL["regex_o_orderpriority"],
+    ]
+)
+
+_APPLY_CONTRACT_SQL = """
+SELECT
+  CAST(o_orderkey AS BIGINT) AS o_orderkey,
+  CAST(o_custkey AS BIGINT) AS o_custkey,
+  CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+  o_orderstatus,
+  o_orderdate,
+  CAST(NULL AS VARCHAR) AS o_clerk
+FROM orders
+"""
+
+_FLAG_ORDERS_SQL = """
+SELECT
+  o_orderkey,
+  concat_ws(',',
+    CASE WHEN NOT (o_orderstatus IN ('F', 'O', 'P')) THEN 'enum_o_orderstatus' END,
+    CASE WHEN NOT (o_totalprice > 0.0) THEN 'gt_o_totalprice' END,
+    CASE WHEN NOT (regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')) THEN 'regex_o_orderpriority' END
+  ) AS corrupted_rules,
+  CAST(
+    (CASE WHEN NOT (o_orderstatus IN ('F', 'O', 'P')) THEN 1 ELSE 0 END
+     + CASE WHEN NOT (o_totalprice > 0.0) THEN 1 ELSE 0 END
+     + CASE WHEN NOT (regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')) THEN 1 ELSE 0 END
+    ) > 0 AS BOOLEAN) AS has_violations
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------- queries
+
+def q_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass validation metrics for the orders contract (one agg job
+    instead of the reference's job-per-rule, data_quality.py:116-156)."""
+    return metrics_dataframe(load(spark, sf_dir, "orders"), orders_contract())
+
+
+def q_metrics_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full kernel incl. raw-SQL query rule: compute_metrics -> 1-row DF."""
+    m = compute_metrics(load(spark, sf_dir, "customer"), customer_contract())
+    cols = [k for k in m]
+    row = [int(m[k]) for k in cols]
+    aliased = [c.replace("violations.", "v_") for c in cols]
+    schema = ", ".join(f"`{c}` long" for c in aliased)
+    return spark.createDataFrame([tuple(row)], schema)
+
+
+def q_metrics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics_dataframe(load_events(spark, sf_dir), events_contract())
+
+
+def q_apply_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema align/cast: reorder, decimal(12,2) cast, missing col -> typed
+    NULL, extra col pruned (ref validation.py:20-60)."""
+    return apply_contract(load(spark, sf_dir, "orders"), aligned_orders_contract())
+
+
+def _orders_valid_predicate() -> str:
+    specs = expectation_specs(orders_contract())
+    return " AND ".join(row_predicates(specs).values())
+
+
+def q_split_valid_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split strategy valid side: conjunction of all row-level predicates
+    (ref violation_strategy.py:285)."""
+    return load(spark, sf_dir, "orders").filter(_orders_valid_predicate())
+
+
+def q_split_reject_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split strategy reject side: NOT(conjunction) — NULL-predicate rows are
+    in neither subset, mirroring the reference (violation_strategy.py:297)."""
+    return load(spark, sf_dir, "orders").filter(f"NOT ({_orders_valid_predicate()})")
+
+
+def q_flag_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag strategy row view: per-row violated-rule list (ref
+    violation_strategy.py:499-522; array projected to a CSV string for a
+    stable cross-engine hash)."""
+    df = load(spark, sf_dir, "orders")
+    specs = expectation_specs(orders_contract())
+    preds = {k: p for k, p in row_predicates(specs).items() if not k.startswith("not_null_")}
+    flags = [F.when(~F.expr(p), F.lit(k)) for k, p in preds.items()]
+    n_violated = sum(
+        (F.when(~F.expr(p), F.lit(1)).otherwise(F.lit(0)) for p in preds.values()),
+        start=F.lit(0),
+    )
+    return df.select(
+        F.col("o_orderkey"),
+        F.concat_ws(",", *flags).alias("corrupted_rules"),
+        (n_violated > 0).alias("has_violations"),
+    )
+
+
+QUERIES = {
+    "metrics_orders": q_metrics_orders,
+    "metrics_customer": q_metrics_customer,
+    "metrics_events": q_metrics_events,
+    "apply_contract_orders": q_apply_contract_orders,
+    "split_valid_orders": q_split_valid_orders,
+    "split_reject_orders": q_split_reject_orders,
+    "flag_orders": q_flag_orders,
+}
+
+ORACLES = {
+    "metrics_orders": _METRICS_ORDERS_SQL,
+    "metrics_customer": _METRICS_CUSTOMER_SQL,
+    "metrics_events": _METRICS_EVENTS_SQL,
+    "apply_contract_orders": _APPLY_CONTRACT_SQL,
+    "split_valid_orders": f"SELECT * FROM orders WHERE {_ORDERS_VALID_PRED_SQL}",
+    "split_reject_orders": f"SELECT * FROM orders WHERE NOT ({_ORDERS_VALID_PRED_SQL})",
+    "flag_orders": _FLAG_ORDERS_SQL,
+}

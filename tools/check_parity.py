@@ -1,0 +1,113 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same parquet tables, then compares row count, column names, and an
+order-insensitive value comparison (column-name-sorted, stringified rows).
+
+Usage: python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from decimal import Decimal
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return f"{v.normalize():f}"
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if v is None:
+        return "NULL"
+    return str(v)
+
+
+def _rowset(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted("\x1f".join(_norm(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as e
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("parity")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            failures += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only check)")
+            continue
+        try:
+            rel = con.sql(sql)
+            dcols = list(rel.columns)
+            drows = rel.fetchall()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {ex}")
+            failures += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"row count {len(srows)} vs {len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns {sorted(scols)} vs {sorted(dcols)}")
+        if not problems:
+            a, b = _rowset(scols, srows), _rowset(dcols, drows)
+            if a != b:
+                diff = next((i for i, (x, y) in enumerate(zip(a, b)) if x != y), -1)
+                problems.append(
+                    f"values differ (first diff at sorted idx {diff}):\n"
+                    f"    spark : {a[diff][:300]}\n    duckdb: {b[diff][:300]}"
+                )
+        dt = time.time() - t0
+        if problems:
+            failures += 1
+            print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
+        else:
+            print(f"PASS {name} ({dt:.1f}s, {len(srows)} rows)")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
