@@ -70,13 +70,19 @@ def metric_expressions(
     *,
     unique_strategy: str = "exact",
     include_unique: bool = True,
+    available_columns: Optional[Sequence[str]] = None,
 ) -> list[Column]:
     """Aliased aggregate columns for one-pass metric computation.
 
     Aliases are ``row_count`` and ``v_<key>`` (dots are illegal in column
     names; ``compute_metrics`` maps them back to ``violations.<key>``).
+    Specs on columns absent from ``available_columns`` are skipped — the
+    schema check reports those as missing-column errors instead.
     """
     specs = _as_specs(source)
+    if available_columns is not None:
+        present = set(available_columns)
+        specs = [s for s in specs if s.column is None or s.column in present]
     exprs: list[Column] = [F.count(F.lit(1)).cast("long").alias("row_count")]
     for s in specs:
         if s.rule == "unique":
@@ -104,7 +110,9 @@ def compute_metrics(
     — same keys as the reference (data_quality.py:116-193).
     """
     specs = _as_specs(source)
-    exprs = metric_expressions(specs, unique_strategy=unique_strategy)
+    exprs = metric_expressions(
+        specs, unique_strategy=unique_strategy, available_columns=df.columns
+    )
     row = df.agg(*exprs).collect()[0].asDict()
     metrics: dict[str, Any] = {"row_count": row["row_count"] or 0}
     for k, v in row.items():

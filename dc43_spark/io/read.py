@@ -1,0 +1,143 @@
+"""Governed batch read: load -> observe -> evaluate -> align -> gate.
+
+ref: dc43-integrations spark/io/read.py:86-160 and BaseReadExecutor
+(spark/io/base.py:217-422). The single material difference: observations run
+as ONE aggregate job (engine.metrics) instead of one job per rule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dc43_spark.contracts.model import Contract
+from dc43_spark.contracts.schema import schema_snapshot
+from dc43_spark.engine.metrics import compute_metrics
+from dc43_spark.engine.results import ValidationResult
+from dc43_spark.engine.validation import apply_contract, evaluate_contract
+
+DEFAULT_ALLOWED_STATUSES = ("active",)
+
+
+class ContractStatusError(RuntimeError):
+    pass
+
+
+class ValidationBlockedError(RuntimeError):
+    def __init__(self, message: str, result: ValidationResult) -> None:
+        super().__init__(message)
+        self.result = result
+
+
+@dataclass
+class ReadRequest:
+    """Normalised read parameters (ref spark/io/common.py:66-93)."""
+
+    path: Optional[str] = None
+    table: Optional[str] = None
+    format: Optional[str] = None
+    options: dict[str, str] = field(default_factory=dict)
+    streaming: bool = False
+
+
+def check_contract_status(
+    contract: Contract, allowed_statuses: tuple[str, ...] = DEFAULT_ALLOWED_STATUSES,
+    *, enforce: bool = True,
+) -> Optional[str]:
+    """Contract status gate (ref spark/io/validation.py:130-211)."""
+    if contract.status in allowed_statuses:
+        return None
+    msg = (
+        f"contract {contract.id}:{contract.version} status "
+        f"{contract.status!r} not in allowed {list(allowed_statuses)}"
+    )
+    if enforce:
+        raise ContractStatusError(msg)
+    return msg
+
+
+def _resolve_request(contract: Contract, request: Optional[ReadRequest]) -> ReadRequest:
+    req = request or ReadRequest()
+    if req.path or req.table:
+        return req
+    for server in contract.servers:  # contract-first locator (ref locators.py:63-257)
+        if server.path or server.table:
+            return ReadRequest(
+                path=server.path,
+                table=server.table,
+                format=req.format or server.format,
+                options={**server.options, **req.options},
+            )
+    raise ValueError(
+        f"no path/table given and contract {contract.id} declares no server location"
+    )
+
+
+def load_dataframe(spark: SparkSession, request: ReadRequest) -> DataFrame:
+    """The scan (ref base.py:404-422): format+options+table/path, batch or
+    streaming. Lazy — no job is triggered here."""
+    reader = spark.readStream if request.streaming else spark.read
+    if request.format:
+        reader = reader.format(request.format)
+    elif request.path:
+        reader = reader.format("parquet")
+    if request.options:
+        reader = reader.options(**request.options)
+    if request.table:
+        return reader.table(request.table)
+    return reader.load(request.path)
+
+
+def read_with_contract(
+    spark: SparkSession,
+    contract: Contract,
+    *,
+    path: Optional[str] = None,
+    table: Optional[str] = None,
+    format: Optional[str] = None,
+    options: Optional[dict[str, str]] = None,
+    enforce: bool = True,
+    auto_cast: bool = True,
+    keep_extra_columns: bool = False,
+    allowed_statuses: tuple[str, ...] = DEFAULT_ALLOWED_STATUSES,
+    unique_strategy: str = "exact",
+    metrics: bool = True,
+) -> tuple[DataFrame, ValidationResult]:
+    """Read a dataset under contract governance.
+
+    Returns the contract-aligned DataFrame plus the validation verdict.
+    ``enforce`` raises on ``block`` (reads only block on schema errors /
+    required-null failures; plain rule violations warn — ref
+    local.py:1990-2003). ``metrics=False`` skips the observation pass and
+    returns a schema-only result (cheap path for huge scans)."""
+    warnings: list[str] = []
+    status_msg = check_contract_status(contract, allowed_statuses, enforce=enforce)
+    if status_msg:
+        warnings.append(status_msg)
+
+    request = _resolve_request(
+        contract,
+        ReadRequest(path=path, table=table, format=format, options=dict(options or {})),
+    )
+    df = load_dataframe(spark, request)
+
+    snapshot = schema_snapshot(df)
+    metric_values: dict[str, Any] = {}
+    if metrics:
+        metric_values = compute_metrics(df, contract, unique_strategy=unique_strategy)
+    result = evaluate_contract(
+        contract, schema=snapshot, metrics=metric_values, operation="read"
+    )
+    if warnings:
+        result = result.merge(ValidationResult(warnings=warnings, status="warn"))
+    aligned = apply_contract(
+        df, contract, auto_cast=auto_cast, keep_extra_columns=keep_extra_columns
+    )
+    if enforce and result.status == "block":
+        raise ValidationBlockedError(
+            f"read blocked for {contract.id}:{contract.version}: {result.errors}",
+            result,
+        )
+    return aligned, result

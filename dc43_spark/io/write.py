@@ -1,0 +1,142 @@
+"""Governed batch write: validate -> align -> strategy plan -> execute.
+
+ref: dc43-integrations spark/io/write.py:36-106 and BaseWriteExecutor
+(spark/io/base.py:672-992).
+
+Cost-shape improvements over the reference (SURVEY §4):
+- pre-write validation is ONE aggregate pass (not job-per-rule);
+- the aligned frame is persisted before the strategy plans, so Split's two
+  filtered writes reuse the cached data instead of re-reading the source
+  (the reference recomputes per subset, violation_strategy.py:297-343);
+- optional revalidation of subsets derives from the same cached frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401  (re-export convenience)
+
+from dc43_spark.contracts.model import Contract
+from dc43_spark.contracts.schema import schema_snapshot
+from dc43_spark.engine.metrics import compute_metrics
+from dc43_spark.engine.results import ValidationResult
+from dc43_spark.engine.validation import apply_contract, evaluate_contract
+from dc43_spark.expectations.compiler import expectation_specs, row_predicates
+from dc43_spark.io.read import (
+    DEFAULT_ALLOWED_STATUSES,
+    ValidationBlockedError,
+    check_contract_status,
+)
+from dc43_spark.io.violation_strategy import (
+    NoOpWriteViolationStrategy,
+    WriteRequest,
+    WriteStrategyContext,
+    WriteViolationStrategy,
+)
+
+
+@dataclass
+class WriteResult:
+    validation: ValidationResult
+    requests: list[WriteRequest] = field(default_factory=list)
+    written: list[str] = field(default_factory=list)  # dataset ids written
+
+
+def _dataset_id(req: WriteRequest) -> str:
+    base = f"table:{req.table}" if req.table else f"path:{req.path}"
+    return base + (req.dataset_suffix or "")
+
+
+def execute_write_request(req: WriteRequest) -> None:
+    """One physical batch write (ref base.py:984-990)."""
+    writer = req.df.write.mode(req.mode)
+    if req.format:
+        writer = writer.format(req.format)
+    if req.options:
+        writer = writer.options(**req.options)
+    if req.table:
+        writer.saveAsTable(req.table)
+    else:
+        writer.save(req.path)
+
+
+def write_with_contract(
+    df: DataFrame,
+    contract: Contract,
+    *,
+    path: Optional[str] = None,
+    table: Optional[str] = None,
+    format: Optional[str] = None,
+    mode: str = "append",
+    options: Optional[dict[str, str]] = None,
+    strategy: Optional[WriteViolationStrategy] = None,
+    enforce: bool = True,
+    auto_cast: bool = True,
+    allowed_statuses: tuple[str, ...] = DEFAULT_ALLOWED_STATUSES,
+    unique_strategy: str = "exact",
+    persist_aligned: bool = True,
+) -> WriteResult:
+    """Write a DataFrame under contract governance.
+
+    Pre-write validation runs on the INCOMING frame; ``enforce`` raises
+    before any write when the verdict blocks (write violations block —
+    ref local.py:1990-2003, base.py:798-799). The violation strategy then
+    shapes the physical writes (split/flag/strict)."""
+    check_contract_status(contract, allowed_statuses, enforce=enforce)
+    if path is None and table is None:
+        for server in contract.servers:
+            path, table = server.path, server.table
+            format = format or server.format
+            if path or table:
+                break
+    if path is None and table is None:
+        raise ValueError("write target missing: no path/table and no contract server")
+    if format is None and path is not None:
+        format = "parquet"
+
+    snapshot = schema_snapshot(df)
+    metrics = compute_metrics(df, contract, unique_strategy=unique_strategy)
+    validation = evaluate_contract(
+        contract, schema=snapshot, metrics=metrics, operation="write"
+    )
+    if enforce and validation.status == "block":
+        raise ValidationBlockedError(
+            f"write blocked for {contract.id}:{contract.version}: {validation.errors}",
+            validation,
+        )
+
+    aligned = apply_contract(df, contract, auto_cast=auto_cast)
+    strategy = strategy or NoOpWriteViolationStrategy()
+    specs = expectation_specs(contract)
+    ctx = WriteStrategyContext(
+        df=df,
+        aligned_df=aligned,
+        validation=validation,
+        predicates=row_predicates(specs),
+        path=path,
+        table=table,
+        format=format,
+        mode=mode,
+        options=dict(options or {}),
+    )
+    plan = strategy.plan(ctx)
+
+    multi_action = len(plan.requests) > 1
+    if persist_aligned and multi_action:
+        aligned.persist()
+    try:
+        written: list[str] = []
+        if plan.fail_message:
+            # Strict strategy fails the write even when executor-level
+            # enforcement is off (ref violation_strategy.py:585-623)
+            raise ValidationBlockedError(plan.fail_message, validation)
+        for req in plan.requests:
+            execute_write_request(req)
+            written.append(_dataset_id(req))
+    finally:
+        if persist_aligned and multi_action:
+            aligned.unpersist()
+    return WriteResult(validation=validation, requests=plan.requests, written=written)
