@@ -1,0 +1,137 @@
+"""Governance record stores: statuses, dataset<->contract links, activity.
+
+ref: dc43-service-backends governance/backend/stores/{memory,filesystem}.py
+(:30-353) — per-dataset status JSON, link records, pipeline activity log,
+metric history. Keys are ``(dataset_id, dataset_version)``; dataset ids use
+the ``table:<name>`` / ``path:<p>`` convention (spark/io/common.py:226-234).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from pathlib import Path
+from typing import Any, Optional, Protocol
+
+
+class GovernanceStore(Protocol):
+    def save_status(
+        self, dataset_id: str, dataset_version: str, payload: dict[str, Any]
+    ) -> None: ...
+    def load_status(
+        self, dataset_id: str, dataset_version: str
+    ) -> Optional[dict[str, Any]]: ...
+    def link(self, dataset_id: str, contract_id: str, contract_version: str) -> None: ...
+    def get_link(self, dataset_id: str) -> Optional[dict[str, str]]: ...
+    def record_activity(self, entry: dict[str, Any]) -> None: ...
+    def activity(self, dataset_id: Optional[str] = None) -> list[dict[str, Any]]: ...
+    def status_matrix(self, dataset_id: str) -> list[dict[str, Any]]: ...
+
+
+class MemoryGovernanceStore:
+    def __init__(self) -> None:
+        self._statuses: dict[tuple[str, str], dict[str, Any]] = {}
+        self._links: dict[str, dict[str, str]] = {}
+        self._activity: list[dict[str, Any]] = []
+        self._lock = threading.Lock()
+
+    def save_status(self, dataset_id, dataset_version, payload) -> None:
+        with self._lock:
+            self._statuses[(dataset_id, dataset_version)] = dict(payload)
+
+    def load_status(self, dataset_id, dataset_version):
+        return self._statuses.get((dataset_id, dataset_version))
+
+    def link(self, dataset_id, contract_id, contract_version) -> None:
+        with self._lock:
+            self._links[dataset_id] = {
+                "contract_id": contract_id,
+                "contract_version": contract_version,
+            }
+
+    def get_link(self, dataset_id):
+        return self._links.get(dataset_id)
+
+    def record_activity(self, entry) -> None:
+        with self._lock:
+            self._activity.append(dict(entry))
+
+    def activity(self, dataset_id=None):
+        if dataset_id is None:
+            return list(self._activity)
+        return [e for e in self._activity if e.get("dataset_id") == dataset_id]
+
+    def status_matrix(self, dataset_id):
+        return [
+            {"dataset_id": d, "dataset_version": v, **payload}
+            for (d, v), payload in sorted(self._statuses.items())
+            if d == dataset_id
+        ]
+
+
+def _safe(name: str) -> str:
+    return re.sub(r"[^A-Za-z0-9._-]", "_", name)
+
+
+class FSGovernanceStore:
+    """JSON-on-filesystem layout:
+
+    ``<root>/status/<dataset>/<version>.json``
+    ``<root>/links/<dataset>.json``
+    ``<root>/activity.jsonl``
+    """
+
+    def __init__(self, root: str | Path) -> None:
+        self.root = Path(root)
+        (self.root / "status").mkdir(parents=True, exist_ok=True)
+        (self.root / "links").mkdir(parents=True, exist_ok=True)
+        self._lock = threading.Lock()
+
+    def save_status(self, dataset_id, dataset_version, payload) -> None:
+        d = self.root / "status" / _safe(dataset_id)
+        d.mkdir(parents=True, exist_ok=True)
+        (d / f"{_safe(dataset_version)}.json").write_text(
+            json.dumps(payload, indent=2, sort_keys=True, default=str)
+        )
+
+    def load_status(self, dataset_id, dataset_version):
+        p = self.root / "status" / _safe(dataset_id) / f"{_safe(dataset_version)}.json"
+        return json.loads(p.read_text()) if p.exists() else None
+
+    def link(self, dataset_id, contract_id, contract_version) -> None:
+        (self.root / "links" / f"{_safe(dataset_id)}.json").write_text(
+            json.dumps(
+                {"contract_id": contract_id, "contract_version": contract_version},
+                indent=2,
+            )
+        )
+
+    def get_link(self, dataset_id):
+        p = self.root / "links" / f"{_safe(dataset_id)}.json"
+        return json.loads(p.read_text()) if p.exists() else None
+
+    def record_activity(self, entry) -> None:
+        with self._lock:
+            with open(self.root / "activity.jsonl", "a") as f:
+                f.write(json.dumps(entry, sort_keys=True, default=str) + "\n")
+
+    def activity(self, dataset_id=None):
+        p = self.root / "activity.jsonl"
+        if not p.exists():
+            return []
+        entries = [json.loads(line) for line in p.read_text().splitlines() if line.strip()]
+        if dataset_id is None:
+            return entries
+        return [e for e in entries if e.get("dataset_id") == dataset_id]
+
+    def status_matrix(self, dataset_id):
+        d = self.root / "status" / _safe(dataset_id)
+        if not d.exists():
+            return []
+        out = []
+        for p in sorted(d.glob("*.json")):
+            out.append(
+                {"dataset_id": dataset_id, "dataset_version": p.stem, **json.loads(p.read_text())}
+            )
+        return out

@@ -1,0 +1,107 @@
+from __future__ import annotations
+
+import pytest
+
+from dc43_spark.contracts import Contract, QualityRule, SchemaObject, SchemaProperty
+from dc43_spark.contracts.store import FSContractStore, MemoryContractStore
+from dc43_spark.governance import FSGovernanceStore, GovernanceService, MemoryGovernanceStore
+from dc43_spark.products import DataProduct, Port, ProductRegistry
+
+
+def orders_contract(version="0.1.0") -> Contract:
+    return Contract(
+        id="test.orders", version=version,
+        schema_objects=[
+            SchemaObject(
+                name="orders",
+                properties=[
+                    SchemaProperty("order_id", "bigint", required=True),
+                    SchemaProperty("amount", "double", required=True, quality=[QualityRule("gt", 0.0)]),
+                ],
+            )
+        ],
+    )
+
+
+@pytest.fixture()
+def service():
+    svc = GovernanceService(clock=lambda: "2026-01-01T00:00:00+00:00")
+    svc.contract_store.put(orders_contract())
+    return svc
+
+
+def test_evaluate_persists_status_and_links(spark, service):
+    df = spark.createDataFrame([(1, 10.0)], "order_id long, amount double")
+    out = service.evaluate_dataset(
+        df, service.resolve_contract("test.orders"),
+        dataset_id="path:/data/orders", dataset_version="v1", operation="write",
+    )
+    assert out.validation.ok
+    status = service.dataset_status("path:/data/orders", "v1")
+    assert status["status"] == "ok" and status["contract_version"] == "0.1.0"
+    assert service.dataset_contract("path:/data/orders")["contract_id"] == "test.orders"
+    acts = service.pipeline_activity("path:/data/orders")
+    assert len(acts) == 1 and acts[0]["operation"] == "write"
+
+
+def test_status_matrix(spark, service):
+    contract = service.resolve_contract("test.orders")
+    good = spark.createDataFrame([(1, 10.0)], "order_id long, amount double")
+    bad = spark.createDataFrame([(2, -1.0)], "order_id long, amount double")
+    service.evaluate_dataset(good, contract, dataset_id="d", dataset_version="v1", operation="write")
+    service.evaluate_dataset(bad, contract, dataset_id="d", dataset_version="v2", operation="write")
+    matrix = service.status_matrix("d")
+    assert [(m["dataset_version"], m["status"]) for m in matrix] == [("v1", "ok"), ("v2", "block")]
+
+
+def test_draft_on_block(spark):
+    svc = GovernanceService(draft_on_block=True)
+    svc.contract_store.put(orders_contract())
+    bad = spark.createDataFrame([(1, -1.0)], "order_id long, amount double")
+    out = svc.evaluate_dataset(
+        bad, svc.resolve_contract("test.orders"),
+        dataset_id="d", dataset_version="v1", operation="write",
+    )
+    assert out.draft is not None
+    assert out.draft.contract.version in svc.contract_store.versions("test.orders")
+    # drafts are excluded from 'latest'
+    assert svc.resolve_contract("test.orders").version == "0.1.0"
+    status = svc.dataset_status("d", "v1")
+    assert status["draft_version"] == out.draft.contract.version
+
+
+def test_fs_governance_store_roundtrip(tmp_path):
+    store = FSGovernanceStore(tmp_path)
+    store.save_status("table:t", "v1", {"status": "ok", "metrics": {"row_count": 2}})
+    store.link("table:t", "c.id", "1.0.0")
+    store.record_activity({"dataset_id": "table:t", "operation": "read"})
+    again = FSGovernanceStore(tmp_path)
+    assert again.load_status("table:t", "v1")["status"] == "ok"
+    assert again.get_link("table:t")["contract_version"] == "1.0.0"
+    assert again.activity("table:t")[0]["operation"] == "read"
+    assert again.status_matrix("table:t")[0]["dataset_version"] == "v1"
+
+
+def test_product_registry():
+    cs = MemoryContractStore()
+    cs.put(orders_contract())
+    cs.put(orders_contract("1.0.0"))
+    reg = ProductRegistry(cs)
+    product = DataProduct(
+        id="sales.analytics",
+        output_ports=[Port(name="gold", contract_id="test.orders", contract_version=">=0.1.0")],
+        input_ports=[Port(name="raw", contract_id="test.orders", contract_version="==0.1.0")],
+    )
+    reg.register(product)
+    assert reg.resolve_output_contract("sales.analytics", "gold").version == "1.0.0"
+    assert reg.resolve_input_contract("sales.analytics", "raw").version == "0.1.0"
+    with pytest.raises(LookupError):
+        reg.register(DataProduct(id="x", output_ports=[Port(name="o", contract_id="nope")]))
+    d = product.to_dict()
+    assert DataProduct.from_dict(d).output_ports[0].contract_id == "test.orders"
+
+
+def test_memory_store_isolation():
+    s = MemoryGovernanceStore()
+    assert s.load_status("a", "b") is None
+    assert s.activity() == [] and s.status_matrix("a") == []

@@ -1,0 +1,181 @@
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from dc43_spark.contracts import Contract, QualityRule, SchemaObject, SchemaProperty
+from dc43_spark.io import SplitWriteViolationStrategy
+from dc43_spark.streaming import (
+    MetricsQueryListener,
+    StreamingGovernedWriter,
+    format_dataset_version,
+    observe_stream,
+)
+
+SCHEMA = "event_id long, event_type string, value double"
+
+
+def events_contract() -> Contract:
+    return Contract(
+        id="test.events", version="0.1.0",
+        schema_objects=[
+            SchemaObject(
+                name="events",
+                properties=[
+                    SchemaProperty("event_id", "bigint", required=True),
+                    SchemaProperty(
+                        "event_type", "string", required=True,
+                        quality=[QualityRule("enum", ["click", "view"])],
+                    ),
+                    SchemaProperty("value", "double", quality=[QualityRule("gt", 0.0)]),
+                ],
+            )
+        ],
+    )
+
+
+def _write_batches(spark, src_dir, batches):
+    """One parquet file per micro-batch (file stream + maxFilesPerTrigger=1)."""
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(str(src_dir))
+
+
+def _stream(spark, src_dir):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+
+
+def _await(query, timeout=60):
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(timeout)
+
+
+def test_version_templates():
+    from datetime import datetime, timezone
+
+    now = datetime(2026, 1, 2, 3, 4, 5, tzinfo=timezone.utc)
+    assert format_dataset_version("batch-{batch_id}", batch_id=7, now=now) == "batch-7"
+    assert format_dataset_version("{timestamp}", batch_id=0, now=now) == "20260102T030405Z"
+    assert format_dataset_version("{unix_timestamp}", batch_id=0, now=now) == str(
+        int(now.timestamp())
+    )
+
+
+def test_governed_stream_writes_and_records_timeline(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_batches(spark, src, [[(1, "click", 1.0), (2, "view", 2.0)]])
+    writer = StreamingGovernedWriter(
+        events_contract(), path=str(tmp_path / "out"), enforce=True
+    )
+    q = writer.start(_stream(spark, src), checkpoint=str(tmp_path / "ckpt"))
+    _await(q)
+    assert len(writer.timeline) == 1
+    rec = writer.timeline[0]
+    assert rec.row_count == 2 and rec.violations == 0 and rec.status == "ok"
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 2
+
+
+def test_kill_switch_stops_on_blocking_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    # second batch has a NULL required event_id -> block -> stop
+    _write_batches(
+        spark, src,
+        [[(1, "click", 1.0)], [(None, "view", 2.0)]],
+    )
+    writer = StreamingGovernedWriter(
+        events_contract(), path=str(tmp_path / "out"), enforce=True, max_failed_batches=1
+    )
+    q = writer.start(_stream(spark, src), checkpoint=str(tmp_path / "ckpt"))
+    with pytest.raises(Exception) as ei:
+        q.processAllAvailable()
+    assert "blocked" in str(ei.value)
+    q.stop()
+    statuses = [r.status for r in writer.timeline]
+    assert "block" in statuses
+
+
+def test_intervention_drops_batch_and_continues(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_batches(
+        spark, src,
+        [[(1, "click", 1.0)], [(None, "view", 2.0)], [(3, "click", 3.0)]],
+    )
+    decisions = []
+
+    def never_stop(record, failed):
+        decisions.append((record.batch_id, failed))
+        return None  # drop the batch, keep going
+
+    writer = StreamingGovernedWriter(
+        events_contract(), path=str(tmp_path / "out"),
+        enforce=True, intervention=never_stop,
+    )
+    q = writer.start(_stream(spark, src), checkpoint=str(tmp_path / "ckpt"))
+    _await(q)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    # blocked batch dropped; clean batches written
+    assert out.count() == 2
+    assert decisions and decisions[0][1] == 1
+
+
+def test_streaming_split_strategy(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_batches(spark, src, [[(1, "click", 1.0), (2, "bad", -1.0)]])
+    writer = StreamingGovernedWriter(
+        events_contract(), path=str(tmp_path / "out"),
+        enforce=False, strategy=SplitWriteViolationStrategy(),
+    )
+    q = writer.start(_stream(spark, src), checkpoint=str(tmp_path / "ckpt"))
+    _await(q)
+    assert spark.read.parquet(str(tmp_path / "out/valid")).count() == 1
+    assert spark.read.parquet(str(tmp_path / "out/reject")).count() == 1
+
+
+def test_version_template_per_batch_paths(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_batches(spark, src, [[(1, "click", 1.0)], [(2, "view", 2.0)]])
+    writer = StreamingGovernedWriter(
+        events_contract(), path=str(tmp_path / "out"),
+        enforce=True, version_template="batch-{batch_id}",
+    )
+    q = writer.start(_stream(spark, src), checkpoint=str(tmp_path / "ckpt"))
+    _await(q)
+    batches = sorted(p.name for p in (tmp_path / "out").iterdir() if p.is_dir())
+    assert batches == ["batch-0", "batch-1"]
+
+
+def test_observe_stream_listener(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_batches(spark, src, [[(1, "click", 1.0), (2, "bad", -2.0)]])
+    contract = events_contract()
+    listener = MetricsQueryListener(contract)
+    spark.streams.addListener(listener)
+    try:
+        observed = observe_stream(_stream(spark, src), contract)
+        q = (
+            observed.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        deadline = time.time() + 30
+        while not listener.timeline and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    assert listener.timeline, "listener saw no observed metrics"
+    rec = listener.timeline[0]
+    assert rec.row_count == 2
+    assert rec.metrics["violations.enum_event_type"] == 1
+    assert rec.metrics["violations.gt_value"] == 1
+    assert rec.status == "warn"
