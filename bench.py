@@ -1,0 +1,113 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is materialised fully (collect for small outputs, count for row
+sets) so the measured time covers scan -> shuffle -> result, not plan build.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    # validation kernel (the engine's core): one-pass metrics over 3 tables
+    "metrics_orders",
+    "metrics_customer",
+    "metrics_events",
+    # schema alignment + row routing
+    "apply_contract_orders",
+    "split_valid_orders",
+    "flag_orders",
+    # scale extensions
+    "dedup_exact_documents",
+    "fingerprint_documents",
+    "text_stats_documents",
+    "lang_id_documents",
+    "minhash_documents",
+    "simhash_documents",
+    "minhash_near_dup_documents",
+    "knn_embeddings",
+    # analytics
+    "pricing_summary",
+    "top_customers",
+    "events_hourly",
+]
+
+# row-set queries are counted (materialise without driver transfer);
+# everything else is small enough to collect.
+COUNT_ONLY = {
+    "apply_contract_orders",
+    "split_valid_orders",
+    "flag_orders",
+    "fingerprint_documents",
+    "text_stats_documents",
+    "lang_id_documents",
+    "minhash_documents",
+    "simhash_documents",
+    "dedup_exact_documents",
+    "events_hourly",
+}
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dc43-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if name in COUNT_ONLY:
+            df.count()
+        else:
+            df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,319 @@
+"""Deduplication operators for 100 TB corpora.
+
+Four tiers, cheapest first:
+
+1. ``exact_dedup``        — hash-groupBy on a content fingerprint (one
+                            shuffle on a short key; skew-free because md5 is
+                            uniform).
+2. ``ngram_jaccard_pairs``— exact n-gram-shingle Jaccard via an inverted
+                            index self-join (explode shingles -> join on
+                            shingle -> count). Quadratic in the worst case;
+                            use on candidate subsets or small corpora.
+3. ``minhash_*`` + LSH    — linear-scale near-dup: k-permutation MinHash
+                            signatures (deterministic md5-based hash family,
+                            no Python UDFs), banded LSH bucketing, candidate
+                            pairs only where a band collides, then exact
+                            Jaccard verification on the candidates.
+4. ``simhash64``          — 60-bit SimHash per document from token hashes,
+                            computed as 60 map-side aggregate sums (single
+                            pass, no explode join); near-dups = small
+                            Hamming distance.
+
+Every step is pure Spark SQL expressions — deterministic, whole-stage
+codegen, and reproducible in a DuckDB oracle for correctness gating.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dc43_spark.functions.text import fingerprint, tokens
+
+# hash family domain: h in [0, 2^28) from a 7-hex-digit md5 prefix, then
+# (a*h + b) mod MERSENNE31 — products stay < 2^59, no int64 overflow.
+MERSENNE31 = 2147483647
+
+
+def content_hash(col: Column | str) -> Column:
+    """Raw md5 of the column (exact dedup key, no normalisation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    normalized: bool = False,
+) -> DataFrame:
+    """Collapse exact duplicates: one row per content hash with the smallest
+    id as canonical plus the duplicate count.
+
+    Cost shape: one shuffle on the 32-char hash (uniform, skew-free);
+    map-side partial aggregation keeps the shuffle small.
+    """
+    fp = fingerprint(text_col) if normalized else content_hash(text_col)
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+        .select(id_col, "fp", "n_dups")
+    )
+
+
+def keep_canonical(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Return the full rows of one canonical document per duplicate group."""
+    w = Window.partitionBy(content_hash(text_col)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ------------------------------------------------------------- shingling
+
+
+def token_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles (space-joined) as array<string>.
+
+    Documents shorter than ``n`` tokens yield a single shingle of the whole
+    text so they still participate in hashing."""
+    toks = tokens(col)
+    joined = F.array_join(toks, " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    shingled = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) < n, F.array(joined)).otherwise(
+        F.array_distinct(shingled)
+    )
+
+
+def shingle_hash(shingle: Column) -> Column:
+    """28-bit deterministic hash from a md5 prefix (cross-engine stable)."""
+    return F.conv(F.substring(F.md5(shingle), 1, 7), 16, 10).cast("long")
+
+
+def _hash_params(i: int) -> tuple[int, int]:
+    # fixed affine family; a odd and non-zero mod p
+    return (2 * i + 1, (i * 40503 + 12345) % MERSENNE31)
+
+
+def minhash_signature(col: Column | str, *, num_hashes: int = 16, shingle_size: int = 3) -> Column:
+    """MinHash signature as array<bigint> of length ``num_hashes``.
+
+    min over shingles of (a_i * h(shingle) + b_i) mod p — all computed with
+    array transforms on the JVM; one pass over each document's shingles."""
+    shingles = token_shingles(col, shingle_size)
+    hashes = F.transform(shingles, lambda s: shingle_hash(s))
+
+    def perm_min(a: int, b: int) -> Column:
+        # unary lambda required: extra params are interpreted as the index
+        return F.array_min(
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31)
+        )
+
+    return F.array(*[perm_min(*_hash_params(i)) for i in range(num_hashes)])
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        minhash_signature(text_col, num_hashes=num_hashes, shingle_size=shingle_size).alias(
+            "signature"
+        ),
+    )
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    *,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split signatures into bands and hash each band -> (id, band, band_hash).
+
+    Near-dup candidates are ids sharing (band, band_hash); with k hashes and
+    r rows/band the collision probability is ~1-(1-j^r)^(k/r)."""
+    sig = F.col("signature")
+    n_bands = F.size(sig) / rows_per_band
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (n_bands - 1).cast("int")),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    )
+    return banded.select(id_col, "bh.band", "bh.band_hash")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, rows_per_band: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH band.
+
+    The join key (band, band_hash) is uniform md5 output — no skew; the
+    shuffle moves only (id, 34-byte key) pairs, not documents."""
+    bands = lsh_bands(signatures, rows_per_band=rows_per_band, id_col=id_col)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    scale: int = 6,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs >= threshold via inverted-index self-join.
+
+    explode(distinct shingles) -> join on shingle -> |A∩B| per pair ->
+    jaccard = inter / (|A|+|B|-inter). The shingle join is the scalable
+    exact method (no doc x doc cross join); pair it with LSH candidates to
+    bound the pair space on huge corpora."""
+    sh = df.select(
+        F.col(id_col), F.explode(token_shingles(text_col, shingle_size)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.sh") == F.col("b.sh"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter")), scale
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH-bucketed near-dup detection with exact verification.
+
+    1. MinHash signatures (one narrow pass over documents)
+    2. banded LSH -> candidate pairs (join on 34-byte band keys)
+    3. exact shingle-Jaccard ONLY on candidates (semi-joined inverted index)
+
+    This is the 100 TB path: the expensive exact verification runs on the
+    tiny candidate set instead of all pairs."""
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes=num_hashes, shingle_size=shingle_size
+    )
+    candidates = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band, id_col=id_col)
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .union(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    subset = df.join(cand_ids, on=id_col, how="left_semi")
+    exact = ngram_jaccard_pairs(
+        subset, text_col, id_col, shingle_size=shingle_size, threshold=threshold
+    )
+    return exact.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+
+
+# --------------------------------------------------------------- simhash
+
+
+def simhash_components(df: DataFrame, text_col: str, id_col: str, *, bits: int = 60) -> DataFrame:
+    """Per-document signed bit sums: explode tokens (with multiplicity),
+    hash each token to 60 bits, and for each bit sum +1/-1.
+
+    Computed as ``bits`` aggregate expressions over one exploded pass —
+    map-side combine collapses the shuffle to one row per document."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    tok = tok.select(id_col, h.alias("h"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    return tok.groupBy(id_col).agg(*sums)
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, bits: int = 60
+) -> DataFrame:
+    """60-bit SimHash per document (fits in a signed int64)."""
+    comp = simhash_components(df, text_col, id_col, bits=bits)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig + term
+    return comp.select(F.col(id_col), sig.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two int64 hashes (popcount via bin())."""
+    x = a.bitwiseXOR(b)
+    return F.length(F.regexp_replace(F.bin(x), "0", "")).cast("int")

@@ -1,0 +1,143 @@
+"""Text-analysis column functions for large-scale corpus pipelines.
+
+All functions return Column expressions built from pyspark.sql.functions —
+pure JVM/whole-stage-codegen, no Python UDFs in the hot path. They compose
+with the contract engine (attachable as ``query`` rules) and with the dedup
+operators.
+
+Design notes for 100 TB:
+- every function is a narrow projection (no shuffle);
+- tokenisation is a single regex split; downstream counts/ratios are
+  arithmetic on the token array, computed once per row;
+- deterministic (no rand/now), so results are reproducible and
+  oracle-checkable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny per-language stopword/marker table for n-gram-free language ID.
+# Heuristic (not a trained model): count marker-token hits per language,
+# pick the argmax with deterministic alphabetical tie-break.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it"],
+    "es": ["el", "la", "los", "las", "es", "y", "de", "que"],
+    "fr": ["le", "la", "les", "et", "est", "de", "que", "une"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3"],
+}
+
+DEFAULT_STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(col: Column | str, *, pattern: str = r"\s+") -> Column:
+    """Whitespace tokenisation -> array<string> (empty string -> empty array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, pattern)
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c).cast("long")
+
+
+def avg_token_length(col: Column | str, *, scale: int = 6) -> Column:
+    """Mean token length, rounded for cross-engine stability."""
+    toks = tokens(col)
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.round(total_chars / F.size(toks), scale)
+
+
+def punct_ratio(col: Column | str, *, scale: int = 6) -> Column:
+    """Fraction of characters that are not alphanumeric/whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    return F.round(F.length(stripped) / F.length(c), scale)
+
+
+def stopword_ratio(
+    col: Column | str, stopwords: list[str] | None = None, *, scale: int = 6
+) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or DEFAULT_STOPWORDS)])
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.round(hits / F.size(toks), scale)
+
+
+def quality_score(col: Column | str, *, scale: int = 6) -> Column:
+    """Composite document quality heuristic in [0,1]:
+
+    0.4 * length_score (tokens/256 capped at 1)
+    + 0.3 * (1 - punct_ratio)
+    + 0.3 * lexical diversity (distinct tokens / tokens)
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    length_score = F.least(n / F.lit(256.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)) / n
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    punct = F.length(stripped) / F.length(c)
+    return F.round(
+        F.lit(0.4) * length_score + F.lit(0.3) * (F.lit(1.0) - punct) + F.lit(0.3) * diversity,
+        scale,
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    lowered = F.lower(c)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", " ")
+    collapsed = F.regexp_replace(stripped, r"\s+", " ")
+    return F.trim(collapsed)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalised text."""
+    return F.md5(normalize_text(col))
+
+
+def _marker_hits(toks: Column, words: list[str]) -> Column:
+    # NB: the lambda must be unary — pyspark treats a second parameter as the
+    # element index, so capturing via closure (not default args) is required.
+    arr = F.array(*[F.lit(m) for m in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+
+
+def lang_scores(col: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
+    """Struct of per-language marker-hit counts."""
+    toks = tokens(col)
+    markers = markers or LANG_MARKERS
+    return F.struct(
+        *[_marker_hits(toks, markers[lang]).alias(lang) for lang in sorted(markers)]
+    )
+
+
+def lang_id(col: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
+    """Argmax language by marker hits; 'und' (undetermined) when all zero.
+
+    Ties break to the alphabetically-first language — deterministic and
+    trivially replicated in SQL oracles."""
+    toks = tokens(col)
+    markers = markers or LANG_MARKERS
+    result = F.lit("und")
+    best = F.lit(0)
+    for lang in sorted(markers):  # later wins only on strictly greater score
+        hits = _marker_hits(toks, markers[lang])
+        take = hits > best
+        result = F.when(take, F.lit(lang)).otherwise(result)
+        best = F.when(take, hits).otherwise(best)
+    return result

@@ -1,0 +1,332 @@
+"""Gate queries for the 100TB-scale extensions (dedup/similarity/text) plus
+two analytic benchmark queries, each with a DuckDB oracle.
+
+Cross-engine determinism: integer hash pipelines are md5-prefix based
+(identical hex in both engines); float ratios are rounded at 6dp; money
+aggregates use DECIMAL end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dc43_spark.functions import dedup as dd
+from dc43_spark.functions import similarity as sim
+from dc43_spark.functions import text as tx
+from dc43_spark.functions.dedup import MERSENNE31, _hash_params
+from dc43_spark.functions.text import LANG_MARKERS
+from dc43_spark.showcase import load
+
+NUM_HASHES = 16
+SHINGLE = 3
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one row per content hash, canonical id + dup count."""
+    return dd.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalised md5 fingerprints (rolling-hash style canonical form)."""
+    df = load(spark, sf_dir, "documents")
+    return df.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+def q_text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char counts + punctuation ratio + avg token length per doc."""
+    df = load(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.char_count("text").alias("n_chars_obs"),
+        tx.punct_ratio("text").alias("punct_ratio"),
+        tx.avg_token_length("text").alias("avg_token_len"),
+    )
+
+
+def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language ID (argmax, alphabetical tie-break)."""
+    df = load(spark, sf_dir, "documents")
+    return df.select("doc_id", tx.lang_id("text").alias("lang_pred"))
+
+
+def q_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 md5-derived permutations over 3-shingles),
+    emitted as one md5 of the signature for a stable cross-engine hash."""
+    sigs = dd.minhash_signatures(
+        load(spark, sf_dir, "documents"), num_hashes=NUM_HASHES, shingle_size=SHINGLE
+    )
+    return sigs.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.transform("signature", lambda x: x.cast("string")))).alias(
+            "sig_hash"
+        ),
+    )
+
+
+def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (single exploded pass + 60 agg sums)."""
+    return dd.simhash64(load(spark, sf_dir, "documents"))
+
+
+def q_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard >= 0.8 pairs via inverted-index self-join."""
+    return dd.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup: MinHash -> banded candidates -> exact verify.
+
+    Same >=0.8 exact-Jaccard output as ``near_dup_pairs`` but computed the
+    scalable way; at 16 hashes / 4 rows-per-band the LSH candidate recall at
+    j>=0.8 is ~0.99, so the two gate queries should agree on this corpus."""
+    return dd.minhash_near_duplicates(
+        load(spark, sf_dir, "documents"),
+        num_hashes=NUM_HASHES,
+        rows_per_band=4,
+        shingle_size=SHINGLE,
+        threshold=0.8,
+    )
+
+
+def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors vs the corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.cosine_topk(queries, emb, k=5)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (decimal-exact aggregates)."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("decimal(38,4)")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by order value — broadcast dim join + agg + top-k."""
+    orders = load(spark, sf_dir, "orders")
+    customer = F.broadcast(load(spark, sf_dir, "customer"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_value"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type event rollup (streaming-shaped agg in batch form)."""
+    from dc43_spark.showcase import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+_TOKS = "string_split_regex(text, '\\s+')"
+_SHINGLES = (
+    f"list_distinct([ s[i] || ' ' || s[i+1] || ' ' || s[i+2] "
+    f"for i in range(1, len(s) - 1) ])"
+)
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"list_min([ ({a} * h + {b}) % {MERSENNE31} for h in hashes ])::VARCHAR"
+        for a, b in (_hash_params(i) for i in range(NUM_HASHES))
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS shingles
+  FROM (SELECT doc_id, {_TOKS} AS s FROM documents)
+), hashed AS (
+  SELECT doc_id,
+         [ ('0x' || substr(md5(x), 1, 7))::BIGINT for x in shingles ] AS hashes
+  FROM sh
+)
+SELECT doc_id, md5(array_to_string([{mins}], ',')) AS sig_hash FROM hashed
+"""
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    recompose = " + ".join(
+        # parens required: << binds looser than + in DuckDB
+        f"((CASE WHEN s{j} > 0 THEN 1 ELSE 0 END)::BIGINT << {j})" for j in range(bits)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t
+), s AS (
+  SELECT doc_id, {sums} FROM h GROUP BY doc_id
+)
+SELECT doc_id, {recompose} AS simhash FROM s
+"""
+
+
+_NEAR_DUP_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS shingles
+  FROM (SELECT doc_id, {_TOKS} AS s FROM documents)
+), t AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM t a JOIN t b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.8
+"""
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    hits = ", ".join(
+        "len([ x for x in toks if list_contains({m}, lower(x)) ]) AS {lang}".format(
+            m="[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]", lang=lang
+        )
+        for lang in langs
+    )
+    greatest = "greatest(" + ", ".join(langs) + ")"
+    first_match = " ".join(f"WHEN {lang} = m THEN '{lang}'" for lang in langs)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+scored AS (SELECT doc_id, {hits} FROM t),
+m AS (SELECT *, {greatest} AS m FROM scored)
+SELECT doc_id, CASE WHEN m = 0 THEN 'und' {first_match} END AS lang_pred FROM m
+"""
+
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+  CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_obs,
+  round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text), 6) AS punct_ratio,
+  round(list_sum([ length(x) for x in {_TOKS} ]) / len({_TOKS}), 6) AS avg_token_len
+FROM documents
+"""
+
+_KNN_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_vec FROM embeddings),
+scored AS (
+  SELECT q_id, n_id, list_cosine_similarity(q_vec, n_vec) AS cos
+  FROM q CROSS JOIN c WHERE q_id <> n_id
+), ranked AS (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DECIMAL(38,4)) AS sum_disc_price,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+_TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_value DESC, c_custkey ASC LIMIT 10
+"""
+
+_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+_NORMALIZE = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+SCALE_QUERIES = {
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "text_stats_documents": q_text_stats_documents,
+    "lang_id_documents": q_lang_id_documents,
+    "minhash_documents": q_minhash_documents,
+    "simhash_documents": q_simhash_documents,
+    "near_dup_pairs_documents": q_near_dup_pairs_documents,
+    "minhash_near_dup_documents": q_minhash_near_dup_documents,
+    "knn_embeddings": q_knn_embeddings,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "events_hourly": q_events_hourly,
+}
+
+SCALE_ORACLES = {
+    "dedup_exact_documents": (
+        "SELECT min(doc_id) AS doc_id, md5(text) AS fp, "
+        "CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY md5(text)"
+    ),
+    "fingerprint_documents": f"SELECT doc_id, md5({_NORMALIZE}) AS fp FROM documents",
+    "text_stats_documents": _TEXT_STATS_SQL,
+    "lang_id_documents": _lang_id_sql(),
+    "minhash_documents": _minhash_sql(),
+    "simhash_documents": _simhash_sql(),
+    "near_dup_pairs_documents": _NEAR_DUP_SQL,
+    "minhash_near_dup_documents": _NEAR_DUP_SQL,  # LSH must agree with exact here
+    "knn_embeddings": _KNN_SQL,
+    "pricing_summary": _PRICING_SQL,
+    "top_customers": _TOP_CUSTOMERS_SQL,
+    "events_hourly": _EVENTS_HOURLY_SQL,
+}

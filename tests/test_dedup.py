@@ -1,0 +1,102 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dc43_spark.functions import dedup as dd
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"  # 1 token off
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup of 1
+        (3, near),                      # near dup of 1
+        (4, "completely different words nothing shared here at all ok"),
+        (5, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r["n_dups"] for r in dd.exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1+2 collapse, canonical = min id
+    assert 2 not in out
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_keep_canonical(docs):
+    kept = sorted(r["doc_id"] for r in dd.keep_canonical(docs).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_token_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], "doc_id long, text string")
+    out = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in df.select("doc_id", dd.token_shingles("text", 3).alias("sh")).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == ["a b"]  # shorter than n -> whole text
+
+
+def test_minhash_identical_docs_same_signature(docs):
+    sigs = {r["doc_id"]: r["signature"] for r in dd.minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    # near-dup shares most hash mins
+    shared = sum(1 for a, b in zip(sigs[1], sigs[3]) if a == b)
+    assert shared >= 8  # 10-token docs differing in 1 token
+
+
+def test_lsh_candidates_and_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs  # identical
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_exact(docs):
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           dd.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert out[(1, 2)] == 1.0
+    # near pair: shingles of 10-token docs differing in last token:
+    # 8 shingles each, 7 shared -> j = 7/9
+    assert out[(1, 3)] == pytest.approx(7 / 9, abs=1e-6)
+    assert (1, 4) not in out
+
+
+def test_simhash(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dd.simhash64(docs).collect()}
+    assert sh[1] == sh[2]
+    df = dd.simhash64(docs)
+    a = df.alias("a")
+    b = df.alias("b")
+    ham = (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            dd.hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("h"),
+        )
+    )
+    hmap = {(r["da"], r["db"]): r["h"] for r in ham.collect()}
+    assert hmap[(1, 2)] == 0
+    assert hmap[(1, 3)] < hmap[(1, 4)]  # near-dup closer than unrelated
+
+
+def test_all_ops_stay_jvm_side(docs):
+    # no BatchEvalPython / ArrowEvalPython in any dedup plan (UDF-free)
+    for frame in [
+        dd.exact_dedup(docs),
+        dd.minhash_signatures(docs),
+        dd.simhash64(docs),
+        dd.ngram_jaccard_pairs(docs, threshold=0.5),
+    ]:
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan

@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dc43_spark.functions import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # close to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.95, 0.05]),  # close to 3
+        (5, [-1.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(vectors):
+    out = sim.cosine_topk(vectors, vectors, k=2)
+    by_query = {}
+    for r in out.collect():
+        by_query.setdefault(r["q_id"], []).append((r["rank"], r["n_id"], r["cosine"]))
+    top1 = {q: sorted(v)[0][1] for q, v in by_query.items()}
+    assert top1[1] == 2 and top1[2] == 1 and top1[3] == 4 and top1[4] == 3
+    # opposite vector ranks last, never first
+    assert all(len(v) == 2 for v in by_query.values())
+    cos_1_2 = dict(((r["q_id"], r["n_id"]), r["cosine"]) for r in out.collect())
+    assert cos_1_2[(1, 2)] == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5, abs=1e-5)
+
+
+def test_lsh_bucketed_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # 3 well-separated clusters in 16-dim
+    centers = rng.standard_normal((3, 16)) * 10
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, (c + rng.standard_normal(16) * 0.1).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = sim.cosine_topk(df, df, k=3)
+    e = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    # single-probe loses neighbours when a cluster straddles a hyperplane
+    single = sim.lsh_bucketed_topk(df, df, k=3, n_planes=4, seed=42, multi_probe=0)
+    s = {(r["q_id"], r["n_id"]) for r in single.collect()}
+    # multi-probe (Hamming-1 buckets) recovers them
+    multi = sim.lsh_bucketed_topk(df, df, k=3, n_planes=4, seed=42, multi_probe=1)
+    m = {(r["q_id"], r["n_id"]) for r in multi.collect()}
+    recall_single = len(e & s) / len(e)
+    recall_multi = len(e & m) / len(e)
+    assert recall_multi >= recall_single
+    assert recall_multi > 0.95
+
+
+def test_topk_deterministic_tie_break(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = sim.cosine_topk(df, df, k=2).collect()
+    ranks = {(r["q_id"], r["rank"]): r["n_id"] for r in out}
+    assert ranks[(1, 1)] == 2 and ranks[(1, 2)] == 3  # id ascending on ties
+
+
+def test_no_python_udfs_in_plan(vectors):
+    plan = sim.cosine_topk(vectors, vectors, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan  # queries broadcast
