@@ -83,19 +83,29 @@ def token_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct n-token shingles (space-joined) as array<string>.
 
     Documents shorter than ``n`` tokens yield a single shingle of the whole
-    text so they still participate in hashing."""
+    text so they still participate in hashing.
+
+    The token array is bound to a lambda variable (``transform`` over a
+    one-element array) so the regex tokenizer runs ONCE per document —
+    referencing ``tokens(col)`` directly inside the shingle lambda would
+    re-split the text for every ``element_at`` call whenever the expression
+    falls back to interpreted evaluation."""
     toks = tokens(col)
-    joined = F.array_join(toks, " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    shingled = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) < n, F.array(joined)).otherwise(
-        F.array_distinct(shingled)
-    )
+
+    def build(t: Column) -> Column:
+        joined = F.array_join(t, " ")
+        idx = F.sequence(F.lit(0), F.size(t) - n)
+        shingled = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(t) < n, F.array(joined)).otherwise(
+            F.array_distinct(shingled)
+        )
+
+    return F.element_at(F.transform(F.array(toks), build), 1)
 
 
 def shingle_hash(shingle: Column) -> Column:
@@ -104,8 +114,18 @@ def shingle_hash(shingle: Column) -> Column:
 
 
 def _hash_params(i: int) -> tuple[int, int]:
-    # fixed affine family; a odd and non-zero mod p
-    return (2 * i + 1, (i * 40503 + 12345) % MERSENNE31)
+    """Deterministic well-spread affine constants for permutation ``i``.
+
+    ``a`` is a 28-bit odd md5-derived multiplier so the 16 permutations are
+    effectively independent (a tiny ``a`` like ``2i+1`` never wraps mod p for
+    small hash values, making every permutation pick the same min shingle —
+    one differing min shingle then flips the whole signature).
+    ``a*h`` stays < 2^56, far from int64 overflow."""
+    import hashlib
+
+    a = int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:7], 16) | 1
+    b = int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:8], 16) % MERSENNE31
+    return a, b
 
 
 def minhash_signature(col: Column | str, *, num_hashes: int = 16, shingle_size: int = 3) -> Column:
@@ -133,11 +153,31 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_size: int = 3,
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col),
-        minhash_signature(text_col, num_hashes=num_hashes, shingle_size=shingle_size).alias(
-            "signature"
-        ),
+    """Scalable MinHash: explode shingles -> hash each ONCE -> k partial-agg
+    mins -> reassemble array.
+
+    This is deliberately NOT ``select(minhash_signature(...))``: that inlines
+    the tokenizer into every permutation's expression tree (k x shingles x
+    element_at re-evaluations once the expression falls out of whole-stage
+    codegen — ~50x slower measured at sf0.1). Here each shingle is hashed
+    exactly once and the k permutation minimums are map-side-combined
+    aggregates, so the shuffle carries one row per document."""
+    sh = df.select(
+        F.col(id_col), F.explode(token_shingles(text_col, shingle_size)).alias("_sh")
+    )
+    hashed = sh.select(id_col, shingle_hash(F.col("_sh")).alias("_h"))
+    params = [_hash_params(i) for i in range(num_hashes)]
+    mins = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MERSENNE31).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature"),
+        )
     )
 
 
@@ -263,10 +303,15 @@ def minhash_near_duplicates(
 
     This is the 100 TB path: the expensive exact verification runs on the
     tiny candidate set instead of all pairs."""
+    # sigs feeds both sides of the LSH band self-join; cache the tiny
+    # (id, 16xlong) relation instead of re-tokenising the corpus twice.
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_size=shingle_size
-    )
-    candidates = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band, id_col=id_col)
+    ).persist()
+    # candidates feeds three consumers (two unions + the final semi-join);
+    # it is tiny (id pairs only) so cache it instead of recomputing the LSH
+    # join per consumer.
+    candidates = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band, id_col=id_col).persist()
     cand_ids = (
         candidates.select(F.col("doc_a").alias(id_col))
         .union(candidates.select(F.col("doc_b").alias(id_col)))
