@@ -1,0 +1,210 @@
+"""Governed upsert (MERGE) under contract validation.
+
+Rebuilds the reference's Delta-merge sink (dc43-integrations
+spark/io/merge.py:43-127 — ``merge_with_governance``): validate the source
+frame against the contract first, then upsert into the target by key.
+
+Two physical strategies:
+
+- **delta** (the 100 TB path): ``DeltaTable.merge`` — transactional,
+  file-pruned by the join condition, no full rewrite. Used automatically
+  when delta-spark is importable and the target format is ``delta``.
+- **parquet fallback** (this container has no delta-spark): a full-outer
+  join rewrite — read target, join on the key columns, matched rows take
+  the source values, unmatched keep/insert — written atomically via a
+  temp directory swap. Cost shape: one shuffle join + full rewrite of the
+  target; correct, but at scale prefer Delta (documented deviation).
+
+The join itself is declarative (equality keys -> Catalyst sort-merge or
+broadcast if the source is small), so AQE/skew handling apply.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dc43_spark.contracts.model import Contract
+from dc43_spark.engine.results import ValidationResult
+from dc43_spark.io.read import ValidationBlockedError
+from dc43_spark.io.write import write_with_contract
+
+
+def delta_available() -> bool:
+    try:  # pragma: no cover - depends on environment
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@dataclass
+class MergeResult:
+    validation: ValidationResult
+    strategy: str  # "delta" | "outer-join-rewrite" | "initial-write"
+    target_path: Optional[str] = None
+    target_table: Optional[str] = None
+
+
+def _outer_join_merge(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    *,
+    when_matched: str,
+    when_not_matched: str,
+    delete_predicate: Optional[str],
+) -> DataFrame:
+    """MERGE semantics as one full-outer join.
+
+    Row fates (standard SQL MERGE):
+    - key in both:    ``update`` -> source row; ``ignore`` -> target row;
+                      matched + delete_predicate(source) -> dropped
+    - key only in target: kept
+    - key only in source: ``insert`` -> source row; ``ignore`` -> dropped
+    """
+    cols = target.columns
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys], how="full_outer")
+    # presence markers that survive all-null rows
+    has_t = F.greatest(*[F.col(f"t.{k}").isNotNull() for k in keys]) if len(keys) > 1 else F.col(f"t.{keys[0]}").isNotNull()
+    has_s = F.greatest(*[F.col(f"s.{k}").isNotNull() for k in keys]) if len(keys) > 1 else F.col(f"s.{keys[0]}").isNotNull()
+
+    if delete_predicate:
+        # predicate references source-side columns as ``s.<col>``; a NULL
+        # verdict (e.g. on target-only rows) means "don't delete"
+        joined = joined.withColumn(
+            "_del", F.coalesce(F.expr(delete_predicate), F.lit(False))
+        )
+    else:
+        joined = joined.withColumn("_del", F.lit(False))
+
+    take_source = (
+        (has_t & has_s & F.lit(when_matched == "update"))
+        | (~has_t & has_s & F.lit(when_not_matched == "insert"))
+    )
+    keep_row = (
+        (has_t & ~has_s)
+        | (has_t & has_s & ~F.col("_del"))
+        | (~has_t & has_s & F.lit(when_not_matched == "insert"))
+    )
+    out_cols = [
+        F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in cols
+    ]
+    return joined.filter(keep_row).select(*out_cols)
+
+
+def merge_with_contract(
+    spark: SparkSession,
+    source_df: DataFrame,
+    contract: Contract,
+    *,
+    keys: list[str],
+    path: Optional[str] = None,
+    table: Optional[str] = None,
+    format: Optional[str] = None,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    delete_predicate: Optional[str] = None,
+    enforce: bool = True,
+    auto_cast: bool = True,
+) -> MergeResult:
+    """Validate ``source_df`` against ``contract`` then upsert into target.
+
+    ``when_matched`` in {"update", "ignore"}; ``when_not_matched`` in
+    {"insert", "ignore"}; ``delete_predicate`` is a SQL predicate over the
+    source columns (prefix ``s.``) deleting matched rows, mirroring the
+    reference's arbitrary-condition merge builder (merge.py:43-127)."""
+    if when_matched not in ("update", "ignore"):
+        raise ValueError(f"when_matched must be update|ignore, got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched must be insert|ignore, got {when_not_matched!r}")
+    if path is None and table is None:
+        raise ValueError("merge target missing: need path or table")
+    fmt = format or ("parquet" if path else None)
+
+    # Pre-merge validation: same single-pass gate as write_with_contract,
+    # but without executing any write yet — run it on a dry plan.
+    from dc43_spark.contracts.schema import schema_snapshot
+    from dc43_spark.engine.metrics import compute_metrics
+    from dc43_spark.engine.validation import apply_contract, evaluate_contract
+
+    validation = evaluate_contract(
+        contract,
+        schema=schema_snapshot(source_df),
+        metrics=compute_metrics(source_df, contract),
+        operation="write",
+    )
+    if enforce and validation.status == "block":
+        raise ValidationBlockedError(
+            f"merge blocked for {contract.id}:{contract.version}: {validation.errors}",
+            validation,
+        )
+    aligned = apply_contract(source_df, contract, auto_cast=auto_cast)
+
+    if fmt == "delta" and delta_available():  # pragma: no cover - env-gated
+        from delta.tables import DeltaTable
+
+        dt = (
+            DeltaTable.forName(spark, table) if table else DeltaTable.forPath(spark, path)
+        )
+        cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+        builder = dt.alias("t").merge(aligned.alias("s"), cond)
+        if delete_predicate:
+            builder = builder.whenMatchedDelete(condition=delete_predicate)
+        if when_matched == "update":
+            builder = builder.whenMatchedUpdateAll()
+        if when_not_matched == "insert":
+            builder = builder.whenNotMatchedInsertAll()
+        builder.execute()
+        return MergeResult(validation, "delta", path, table)
+
+    # -------- parquet fallback: outer-join rewrite + atomic dir swap
+    target_exists = (path is not None and os.path.exists(path)) or (
+        table is not None and spark.catalog.tableExists(table)
+    )
+    if not target_exists:
+        if when_not_matched != "insert":
+            return MergeResult(validation, "initial-write", path, table)
+        write_with_contract(
+            aligned, contract, path=path, table=table, format=fmt,
+            mode="overwrite", enforce=False,
+        )
+        return MergeResult(validation, "initial-write", path, table)
+
+    target = (
+        spark.read.table(table) if table else spark.read.format(fmt or "parquet").load(path)
+    )
+    merged = _outer_join_merge(
+        target, aligned, keys,
+        when_matched=when_matched,
+        when_not_matched=when_not_matched,
+        delete_predicate=delete_predicate,
+    )
+    if table:
+        # shuffle result to a temp view then overwrite (Spark can't overwrite
+        # a table it is reading from without a barrier)
+        tmp = merged.localCheckpoint(eager=True)
+        tmp.write.mode("overwrite").saveAsTable(table)
+        return MergeResult(validation, "outer-join-rewrite", path, table)
+
+    tmp_dir = tempfile.mkdtemp(prefix="dc43_merge_", dir=os.path.dirname(path.rstrip("/")) or ".")
+    try:
+        merged.write.mode("overwrite").format(fmt or "parquet").save(tmp_dir)
+        backup = path.rstrip("/") + "._pre_merge"
+        os.rename(path, backup)
+        os.rename(tmp_dir, path)
+        shutil.rmtree(backup)
+    except BaseException:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise
+    return MergeResult(validation, "outer-join-rewrite", path, table)

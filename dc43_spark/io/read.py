@@ -40,6 +40,7 @@ class ReadRequest:
     format: Optional[str] = None
     options: dict[str, str] = field(default_factory=dict)
     streaming: bool = False
+    load_paths: Optional[list[str]] = None  # multi-path scan (folder versions)
 
 
 def check_contract_status(
@@ -87,6 +88,8 @@ def load_dataframe(spark: SparkSession, request: ReadRequest) -> DataFrame:
         reader = reader.options(**request.options)
     if request.table:
         return reader.table(request.table)
+    if request.load_paths:
+        return reader.load(request.load_paths)
     return reader.load(request.path)
 
 
@@ -104,6 +107,7 @@ def read_with_contract(
     allowed_statuses: tuple[str, ...] = DEFAULT_ALLOWED_STATUSES,
     unique_strategy: str = "exact",
     metrics: bool = True,
+    locator: Optional["DatasetLocator"] = None,
 ) -> tuple[DataFrame, ValidationResult]:
     """Read a dataset under contract governance.
 
@@ -117,10 +121,26 @@ def read_with_contract(
     if status_msg:
         warnings.append(status_msg)
 
-    request = _resolve_request(
-        contract,
-        ReadRequest(path=path, table=table, format=format, options=dict(options or {})),
-    )
+    if locator is not None:
+        from dc43_spark.io.locators import DatasetResolution
+
+        res = locator.for_read(
+            contract,
+            DatasetResolution(
+                path=path, table=table, format=format, options=dict(options or {})
+            ),
+        )
+        request = ReadRequest(
+            path=res.path, table=res.table, format=res.format,
+            options=res.options, load_paths=res.load_paths,
+        )
+        if not (request.path or request.table):
+            request = _resolve_request(contract, request)
+    else:
+        request = _resolve_request(
+            contract,
+            ReadRequest(path=path, table=table, format=format, options=dict(options or {})),
+        )
     df = load_dataframe(spark, request)
 
     snapshot = schema_snapshot(df)

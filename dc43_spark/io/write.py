@@ -78,6 +78,7 @@ def write_with_contract(
     allowed_statuses: tuple[str, ...] = DEFAULT_ALLOWED_STATUSES,
     unique_strategy: str = "exact",
     persist_aligned: bool = True,
+    locator: Optional["DatasetLocator"] = None,
 ) -> WriteResult:
     """Write a DataFrame under contract governance.
 
@@ -86,6 +87,17 @@ def write_with_contract(
     ref local.py:1990-2003, base.py:798-799). The violation strategy then
     shapes the physical writes (split/flag/strict)."""
     check_contract_status(contract, allowed_statuses, enforce=enforce)
+    if locator is not None:
+        from dc43_spark.io.locators import DatasetResolution
+
+        res = locator.for_write(
+            contract,
+            DatasetResolution(
+                path=path, table=table, format=format, options=dict(options or {})
+            ),
+        )
+        path, table, format = res.path, res.table, res.format
+        options = res.options
     if path is None and table is None:
         for server in contract.servers:
             path, table = server.path, server.table
