@@ -108,6 +108,8 @@ def read_with_contract(
     unique_strategy: str = "exact",
     metrics: bool = True,
     locator: Optional["DatasetLocator"] = None,
+    status_strategy: Optional["ReadStatusStrategy"] = None,
+    interceptors: Optional[list["GovernanceInterceptor"]] = None,
 ) -> tuple[DataFrame, ValidationResult]:
     """Read a dataset under contract governance.
 
@@ -141,6 +143,16 @@ def read_with_contract(
             contract,
             ReadRequest(path=path, table=table, format=format, options=dict(options or {})),
         )
+    io_ctx = None
+    if interceptors:
+        from dc43_spark.io.status import IoContext
+
+        io_ctx = IoContext(
+            operation="read", contract=contract,
+            path=request.path, table=request.table, format=request.format,
+        )
+        for hook in interceptors:
+            hook.pre_read(io_ctx)
     df = load_dataframe(spark, request)
 
     snapshot = schema_snapshot(df)
@@ -155,9 +167,14 @@ def read_with_contract(
     aligned = apply_contract(
         df, contract, auto_cast=auto_cast, keep_extra_columns=keep_extra_columns
     )
-    if enforce and result.status == "block":
+    if status_strategy is not None:
+        aligned, result = status_strategy.apply(aligned, result, contract)
+    elif enforce and result.status == "block":
         raise ValidationBlockedError(
             f"read blocked for {contract.id}:{contract.version}: {result.errors}",
             result,
         )
+    if interceptors:
+        for hook in interceptors:
+            hook.post_read(io_ctx, aligned, result)
     return aligned, result

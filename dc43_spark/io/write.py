@@ -50,13 +50,20 @@ def _dataset_id(req: WriteRequest) -> str:
     return base + (req.dataset_suffix or "")
 
 
-def execute_write_request(req: WriteRequest) -> None:
-    """One physical batch write (ref base.py:984-990)."""
+def execute_write_request(req: WriteRequest, writer_modifier=None) -> None:
+    """One physical batch write (ref base.py:984-990).
+
+    ``writer_modifier`` is the reference's writer-hook extension point
+    (base.py:971, 988): a callable receiving the configured
+    ``DataFrameWriter`` and returning a (possibly re-configured) writer —
+    e.g. to add ``partitionBy``/``bucketBy`` for scale layouts."""
     writer = req.df.write.mode(req.mode)
     if req.format:
         writer = writer.format(req.format)
     if req.options:
         writer = writer.options(**req.options)
+    if writer_modifier is not None:
+        writer = writer_modifier(writer) or writer
     if req.table:
         writer.saveAsTable(req.table)
     else:
@@ -79,6 +86,8 @@ def write_with_contract(
     unique_strategy: str = "exact",
     persist_aligned: bool = True,
     locator: Optional["DatasetLocator"] = None,
+    interceptors: Optional[list["GovernanceInterceptor"]] = None,
+    writer_modifier: Optional[callable] = None,
 ) -> WriteResult:
     """Write a DataFrame under contract governance.
 
@@ -108,6 +117,19 @@ def write_with_contract(
         raise ValueError("write target missing: no path/table and no contract server")
     if format is None and path is not None:
         format = "parquet"
+
+    io_ctx = None
+    if interceptors:
+        from dc43_spark.io.status import IoContext
+
+        io_ctx = IoContext(
+            operation="write", contract=contract,
+            path=path, table=table, format=format,
+        )
+        for hook in interceptors:
+            replacement = hook.pre_write(io_ctx, df)
+            if replacement is not None:
+                df = replacement
 
     snapshot = schema_snapshot(df)
     metrics = compute_metrics(df, contract, unique_strategy=unique_strategy)
@@ -146,9 +168,12 @@ def write_with_contract(
             # enforcement is off (ref violation_strategy.py:585-623)
             raise ValidationBlockedError(plan.fail_message, validation)
         for req in plan.requests:
-            execute_write_request(req)
+            execute_write_request(req, writer_modifier)
             written.append(_dataset_id(req))
     finally:
         if persist_aligned and multi_action:
             aligned.unpersist()
+    if interceptors:
+        for hook in interceptors:
+            hook.post_write(io_ctx, validation)
     return WriteResult(validation=validation, requests=plan.requests, written=written)
