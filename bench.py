@@ -33,6 +33,9 @@ HEADLINE = [
     "minhash_documents",
     "simhash_documents",
     "minhash_near_dup_documents",
+    "quality_documents",
+    "cosine_pairs_embeddings",
+    "ann_lsh_embeddings",
     "knn_embeddings",
     # analytics
     "pricing_summary",
@@ -53,6 +56,8 @@ COUNT_ONLY = {
     "simhash_documents",
     "dedup_exact_documents",
     "events_hourly",
+    "quality_documents",
+    "cosine_pairs_embeddings",
 }
 
 

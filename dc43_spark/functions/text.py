@@ -95,6 +95,18 @@ def quality_score(col: Column | str, *, scale: int = 6) -> Column:
     )
 
 
+# BPE-ish pre-tokenisation: letter runs, digit runs, and single punctuation
+# marks — the classic byte-pair-encoding input segmentation (RE2/Java-regex
+# compatible so oracles can replicate it verbatim).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def subword_count(col: Column | str, *, pattern: str = BPE_TOKEN_RE) -> Column:
+    """Number of BPE-style subword units (letter/digit runs + punct marks)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0))).cast("long")
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, strip non-alnum,
     collapse whitespace."""

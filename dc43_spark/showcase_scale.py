@@ -20,6 +20,9 @@ from dc43_spark.showcase import load
 
 NUM_HASHES = 16
 SHINGLE = 3
+N_PLANES = 8
+LSH_SEED = 42
+EMB_DIM = 64
 
 
 # ---------------------------------------------------------------- queries
@@ -91,6 +94,84 @@ def q_minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_per_band=2,
         shingle_size=SHINGLE,
         threshold=0.8,
+    )
+
+
+def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: composite heuristic + stopword ratio + BPE-ish
+    subword count (all single-pass narrow projections).
+
+    Ratios are emitted as exact integer micro-units (round(r*1e6) half-up
+    computed in pure BIGINT arithmetic) — double `round()` is NOT
+    cross-engine stable on ties: Spark rounds the shortest decimal repr
+    (BigDecimal.valueOf) while DuckDB rounds the exact binary value.
+
+    quality = 0.4*min(n,256)/256 + 0.3*(1-punct/chars) + 0.3*distinct/n
+    over the common denominator 2560*chars*n:
+      qnum = 4*min(n,256)*chars*n + 768*(chars-punct)*n + 768*distinct*chars
+    """
+    df = load(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    n = F.size(toks).cast("long")
+    dn = F.size(F.array_distinct(toks)).cast("long")
+    tc = F.length("text").cast("long")
+    pc = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")).cast("long")
+    minn = F.least(n, F.lit(256).cast("long"))
+    qnum = F.lit(4) * minn * tc * n + F.lit(768) * (tc - pc) * n + F.lit(768) * dn * tc
+    qden = F.lit(2560) * tc * n
+    sw = F.array(*[F.lit(s) for s in tx.DEFAULT_STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))).cast("long")
+
+    def micro(num: F.Column, den: F.Column) -> F.Column:
+        # round(num/den * 1e6) half-up, exactly, in integer arithmetic
+        return ((F.lit(2) * num * F.lit(1_000_000) + den) / (F.lit(2) * den)).cast("long")
+
+    return df.select(
+        "doc_id",
+        micro(qnum, qden).alias("quality_micro"),
+        micro(hits, n).alias("stop_micro"),
+        tx.subword_count("text").alias("n_subwords"),
+    )
+
+
+def q_cosine_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force baseline; the LSH
+    bucketed variant is the scale path — ``ann_lsh_embeddings``)."""
+    emb = load(spark, sf_dir, "embeddings")
+    # compute each vector's norm ONCE (persist = plan barrier, else
+    # projection collapse inlines the norm expression into the pair join and
+    # recomputes it |corpus| times per vector); cosine keeps the exact
+    # dot/(na*nb) formula so values match the oracle bit-for-bit
+    vecs = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    vecs = vecs.select("vec_id", "v", sim.l2_norm(F.col("v")).alias("nrm")).persist()
+    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                sim.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+def q_ann_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5 for the first 10 vectors: deterministic
+    random-hyperplane buckets + Hamming-1 multi-probe, exact cosine within
+    buckets. The oracle replicates the bucketing bit-for-bit, so parity is
+    exact by construction (approximation is in WHICH pairs are scored, and
+    both engines score the same pairs)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.lsh_bucketed_topk(
+        queries, emb, k=5, n_planes=N_PLANES, seed=LSH_SEED, dim=EMB_DIM, multi_probe=1
     )
 
 
@@ -252,6 +333,80 @@ SELECT doc_id,
 FROM documents
 """
 
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len({_TOKS}) AS BIGINT) AS n,
+         CAST(len(list_distinct({_TOKS})) AS BIGINT) AS dn,
+         CAST(length(text) AS BIGINT) AS tc,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS pc,
+         CAST(len([ x for x in {_TOKS} if list_contains({{stopwords}}, lower(x)) ]) AS BIGINT)
+           AS hits
+  FROM documents
+), q AS (
+  SELECT doc_id, text, n, hits,
+         4 * least(n, 256) * tc * n + 768 * (tc - pc) * n + 768 * dn * tc AS qnum,
+         2560 * tc * n AS qden
+  FROM t
+)
+SELECT doc_id,
+  (2 * qnum * 1000000 + qden) // (2 * qden) AS quality_micro,
+  (2 * hits * 1000000 + n) // (2 * n) AS stop_micro,
+  CAST(len(regexp_extract_all(text, '{{bpe}}')) AS BIGINT) AS n_subwords
+FROM q
+"""
+
+
+def _quality_sql() -> str:
+    from dc43_spark.functions.text import BPE_TOKEN_RE, DEFAULT_STOPWORDS
+
+    stopwords = "[" + ", ".join(f"'{w}'" for w in DEFAULT_STOPWORDS) + "]"
+    # DuckDB string literals are not escape-processed: pass the regex verbatim
+    return _QUALITY_SQL.replace("{stopwords}", stopwords).replace("{bpe}", BPE_TOKEN_RE)
+
+
+_COSINE_PAIRS_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+"""
+
+
+def _ann_lsh_sql() -> str:
+    """Replicates lsh_bucketed_topk bit-for-bit: same seeded hyperplanes
+    (literal doubles round-trip exactly), same bit packing, same Hamming-1
+    multi-probe, same tie-break."""
+    from dc43_spark.functions.similarity import hyperplanes
+
+    planes = hyperplanes(EMB_DIM, N_PLANES, seed=LSH_SEED)
+    bucket = " + ".join(
+        "((CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in plane)
+        + f"]) > 0 THEN 1 ELSE 0 END)::BIGINT << {i})"
+        for i, plane in enumerate(planes)
+    )
+    probes = ", ".join(f"xor(bucket, {1 << i})" for i in range(N_PLANES))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS q_id, v AS q_vec,
+             unnest([bucket, {probes}]) AS bucket
+      FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q_id, c.vec_id AS n_id, list_cosine_similarity(q_vec, c.v) AS cos
+  FROM q JOIN b c USING (bucket) WHERE q_id <> c.vec_id
+), ranked AS (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
 _KNN_SQL = """
 WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_vec FROM embeddings),
@@ -308,6 +463,9 @@ SCALE_QUERIES = {
     "simhash_documents": q_simhash_documents,
     "near_dup_pairs_documents": q_near_dup_pairs_documents,
     "minhash_near_dup_documents": q_minhash_near_dup_documents,
+    "quality_documents": q_quality_documents,
+    "cosine_pairs_embeddings": q_cosine_pairs_embeddings,
+    "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "knn_embeddings": q_knn_embeddings,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
@@ -326,6 +484,9 @@ SCALE_ORACLES = {
     "simhash_documents": _simhash_sql(),
     "near_dup_pairs_documents": _NEAR_DUP_SQL,
     "minhash_near_dup_documents": _NEAR_DUP_SQL,  # LSH must agree with exact here
+    "quality_documents": _quality_sql(),
+    "cosine_pairs_embeddings": _COSINE_PAIRS_SQL,
+    "ann_lsh_embeddings": _ann_lsh_sql(),
     "knn_embeddings": _KNN_SQL,
     "pricing_summary": _PRICING_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,

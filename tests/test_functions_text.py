@@ -73,3 +73,16 @@ def test_lang_id_tie_breaks_alphabetical(spark):
 def test_avg_token_length(spark):
     df = spark.createDataFrame([(1, "ab abcd")], "doc_id long, text string")
     assert _one(df, tx.avg_token_length("text"))[1] == 3.0
+
+
+def test_subword_count(spark):
+    from dc43_spark.functions import text as tx
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Hello, world! abc123 def-ghi 42 foo.",), ("",)], "text string"
+    )
+    out = df.select(tx.subword_count("text").alias("n")).collect()
+    # Hello , world ! abc 123 def - ghi 42 foo .  -> 12
+    assert out[0].n == 12
+    assert out[1].n == 0

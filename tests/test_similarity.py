@@ -70,3 +70,20 @@ def test_no_python_udfs_in_plan(vectors):
     plan = sim.cosine_topk(vectors, vectors, k=2)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan  # queries broadcast
+
+
+def test_cosine_topk_matmul_matches_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dc43_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = sim.cosine_topk(queries, emb, k=3, scale=None)
+    fast = sim.cosine_topk_matmul(queries, emb, k=3, scale=None)
+    e = {(r.q_id, r.rank): (r.n_id, r.cosine) for r in exact.collect()}
+    f = {(r.q_id, r.rank): (r.n_id, r.cosine) for r in fast.collect()}
+    assert e.keys() == f.keys()
+    for key, (nid, cos) in e.items():
+        assert f[key][0] == nid
+        assert abs(f[key][1] - cos) < 1e-9
