@@ -41,3 +41,32 @@ def test_fs_store_roundtrip(tmp_path):
     assert again.resolve("test.orders").version == "1.0.0"
     loaded = again.get("test.orders", "1.0.0")
     assert loaded.schema_object.properties[0].name == "id"
+
+
+def test_sql_contract_store_roundtrip(tmp_path):
+    from dc43_spark.contracts.sql_store import SQLContractStore
+
+    store = SQLContractStore(str(tmp_path / "contracts.db"))
+    _exercise(store)
+
+
+def test_sql_governance_store(tmp_path):
+    from dc43_spark.contracts.sql_store import SQLGovernanceStore
+
+    store = SQLGovernanceStore(str(tmp_path / "gov.db"))
+    store.save_status("path:/d", "1.0.0", {"status": "ok"})
+    store.save_status("path:/d", "1.1.0", {"status": "block"})
+    assert store.load_status("path:/d", "1.0.0") == {"status": "ok"}
+    assert store.load_status("path:/d", "9.9.9") is None
+    store.link("path:/d", "c.orders", "2.0.0")
+    assert store.get_link("path:/d") == {
+        "contract_id": "c.orders", "contract_version": "2.0.0",
+    }
+    store.record_activity({"dataset_id": "path:/d", "op": "read"})
+    store.record_activity({"dataset_id": "path:/other", "op": "write"})
+    assert [a["op"] for a in store.activity("path:/d")] == ["read"]
+    assert len(store.activity()) == 2
+    matrix = store.status_matrix("path:/d")
+    assert [(m["dataset_version"], m["status"]) for m in matrix] == [
+        ("1.0.0", "ok"), ("1.1.0", "block"),
+    ]
