@@ -147,7 +147,12 @@ def q_cosine_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("v"),
     )
     vecs = vecs.select("vec_id", "v", sim.l2_norm(F.col("v")).alias("nrm")).persist()
-    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    # the embeddings file arrives as ONE partition; without a repartition the
+    # nested-loop pair join runs on a single core (measured 22-49s vs 3.5s)
+    n_part = spark.sparkContext.defaultParallelism
+    a = vecs.repartition(n_part).select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
     b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
@@ -175,11 +180,92 @@ def q_ann_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MEDIA_SCHEMA frame synthesised from documents: payload
+    is the md5 digest bytes of the text (binary), media_type cycles by id,
+    duration derives from length — both engines can rebuild it exactly."""
+    df = load(spark, sf_dir, "documents")
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int")).alias("media_type"),
+        F.to_binary(F.md5("text"), F.lit("hex")).alias("payload"),
+        F.struct(
+            F.lit("fake").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 100).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column stats without decode (pure JVM): byte length + a
+    content hash over the hex form (DuckDB's md5 is VARCHAR-only)."""
+    media = _media_frame(spark, sf_dir)
+    return media.select(
+        "media_id",
+        "media_type",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5(F.lower(F.hex("payload"))).alias("content_hash"),
+    )
+
+
+def q_frame_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: explode on metadata only — the decode
+    fan-out is planned (and repartitionable) before any codec runs."""
+    from dc43_spark.functions.multimodal import frame_sample_plan
+
+    return frame_sample_plan(_media_frame(spark, sf_dir), every_ms=1000)
+
+
 def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 vectors vs the corpus."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return sim.cosine_topk(queries, emb, k=5)
+
+
+def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming twin of ``events_hourly``: file stream source ->
+    event-time tumbling window + watermark -> availableNow trigger -> memory
+    sink (complete mode). Tumbling 1h windows are epoch-aligned, so
+    ``window.start == date_trunc('hour', ts)`` and the BATCH oracle applies
+    verbatim — the streaming plan is oracle-checked, not just row-counted."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource requires a DIRECTORY source; the driver ships a bare
+    # file — expose it through a temp dir symlink
+    import os
+    import tempfile
+
+    src_dir = tempfile.mkdtemp(prefix="dc43_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    ev = stream.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value")
+    )
+    name = "dc43_stream_events_hourly"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,6 +493,26 @@ FROM ranked WHERE rank <= 5
 """
 
 
+_MULTIMODAL_STATS_SQL = """
+SELECT doc_id AS media_id,
+       ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+       CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes,
+       md5(lower(hex(unhex(md5(text))))) AS content_hash
+FROM documents
+"""
+
+_FRAME_PLAN_SQL = """
+WITH v AS (
+  SELECT doc_id AS media_id,
+         CAST((n_chars * 100) // 1000 AS INTEGER) AS nf
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id,
+       CAST(unnest(range(0, greatest(nf, 1))) AS INTEGER) AS frame_idx,
+       CAST(unnest(range(0, greatest(nf, 1))) AS INTEGER) * 1000 AS frame_ts_ms
+FROM v
+"""
+
 _KNN_SQL = """
 WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_vec FROM embeddings),
@@ -464,12 +570,15 @@ SCALE_QUERIES = {
     "near_dup_pairs_documents": q_near_dup_pairs_documents,
     "minhash_near_dup_documents": q_minhash_near_dup_documents,
     "quality_documents": q_quality_documents,
+    "multimodal_stats": q_multimodal_stats,
+    "frame_plan_documents": q_frame_plan_documents,
     "cosine_pairs_embeddings": q_cosine_pairs_embeddings,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "knn_embeddings": q_knn_embeddings,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "events_hourly": q_events_hourly,
+    "streaming_events_hourly": q_streaming_events_hourly,
 }
 
 SCALE_ORACLES = {
@@ -485,10 +594,15 @@ SCALE_ORACLES = {
     "near_dup_pairs_documents": _NEAR_DUP_SQL,
     "minhash_near_dup_documents": _NEAR_DUP_SQL,  # LSH must agree with exact here
     "quality_documents": _quality_sql(),
+    "multimodal_stats": _MULTIMODAL_STATS_SQL,
+    "frame_plan_documents": _FRAME_PLAN_SQL,
     "cosine_pairs_embeddings": _COSINE_PAIRS_SQL,
     "ann_lsh_embeddings": _ann_lsh_sql(),
     "knn_embeddings": _KNN_SQL,
     "pricing_summary": _PRICING_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
+    # streaming result is the batch aggregation (complete mode, epoch-aligned
+    # tumbling windows) — the batch oracle applies verbatim
+    "streaming_events_hourly": _EVENTS_HOURLY_SQL,
 }
