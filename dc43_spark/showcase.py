@@ -26,6 +26,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load + repartition to all cores IF the scan is under-partitioned.
+
+    The driver's tables are single-row-group parquet files, which Spark can
+    only scan as ONE partition — every downstream map-side operator would
+    run on one core. The conditional keeps this a no-op on properly-split
+    datasets (a real 100 TB input has thousands of splits, and shuffling it
+    here would be a disaster)."""
+    df = load(spark, sf_dir, table)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's ``events`` table stores TIMESTAMP(NANOS) parquet, which
     Spark 4 rejects outright; read nanos as long and rebuild a proper
@@ -274,12 +289,12 @@ FROM orders
 def q_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass validation metrics for the orders contract (one agg job
     instead of the reference's job-per-rule, data_quality.py:116-156)."""
-    return metrics_dataframe(load(spark, sf_dir, "orders"), orders_contract())
+    return metrics_dataframe(load_spread(spark, sf_dir, "orders"), orders_contract())
 
 
 def q_metrics_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full kernel incl. raw-SQL query rule: compute_metrics -> 1-row DF."""
-    m = compute_metrics(load(spark, sf_dir, "customer"), customer_contract())
+    m = compute_metrics(load_spread(spark, sf_dir, "customer"), customer_contract())
     cols = [k for k in m]
     row = [int(m[k]) for k in cols]
     aliased = [c.replace("violations.", "v_") for c in cols]
@@ -294,7 +309,7 @@ def q_metrics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_apply_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema align/cast: reorder, decimal(12,2) cast, missing col -> typed
     NULL, extra col pruned (ref validation.py:20-60)."""
-    return apply_contract(load(spark, sf_dir, "orders"), aligned_orders_contract())
+    return apply_contract(load_spread(spark, sf_dir, "orders"), aligned_orders_contract())
 
 
 def _orders_valid_predicate() -> str:
@@ -305,20 +320,20 @@ def _orders_valid_predicate() -> str:
 def q_split_valid_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split strategy valid side: conjunction of all row-level predicates
     (ref violation_strategy.py:285)."""
-    return load(spark, sf_dir, "orders").filter(_orders_valid_predicate())
+    return load_spread(spark, sf_dir, "orders").filter(_orders_valid_predicate())
 
 
 def q_split_reject_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split strategy reject side: NOT(conjunction) — NULL-predicate rows are
     in neither subset, mirroring the reference (violation_strategy.py:297)."""
-    return load(spark, sf_dir, "orders").filter(f"NOT ({_orders_valid_predicate()})")
+    return load_spread(spark, sf_dir, "orders").filter(f"NOT ({_orders_valid_predicate()})")
 
 
 def q_flag_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flag strategy row view: per-row violated-rule list (ref
     violation_strategy.py:499-522; array projected to a CSV string for a
     stable cross-engine hash)."""
-    df = load(spark, sf_dir, "orders")
+    df = load_spread(spark, sf_dir, "orders")
     specs = expectation_specs(orders_contract())
     preds = {k: p for k, p in row_predicates(specs).items() if not k.startswith("not_null_")}
     flags = [F.when(~F.expr(p), F.lit(k)) for k, p in preds.items()]

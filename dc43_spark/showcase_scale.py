@@ -16,7 +16,7 @@ from dc43_spark.functions import similarity as sim
 from dc43_spark.functions import text as tx
 from dc43_spark.functions.dedup import MERSENNE31, _hash_params
 from dc43_spark.functions.text import LANG_MARKERS
-from dc43_spark.showcase import load
+from dc43_spark.showcase import load, load_spread
 
 NUM_HASHES = 16
 SHINGLE = 3
@@ -30,18 +30,18 @@ EMB_DIM = 64
 
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one row per content hash, canonical id + dup count."""
-    return dd.exact_dedup(load(spark, sf_dir, "documents"))
+    return dd.exact_dedup(load_spread(spark, sf_dir, "documents"))
 
 
 def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalised md5 fingerprints (rolling-hash style canonical form)."""
-    df = load(spark, sf_dir, "documents")
+    df = load_spread(spark, sf_dir, "documents")
     return df.select("doc_id", tx.fingerprint("text").alias("fp"))
 
 
 def q_text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token/char counts + punctuation ratio + avg token length per doc."""
-    df = load(spark, sf_dir, "documents")
+    df = load_spread(spark, sf_dir, "documents")
     return df.select(
         "doc_id",
         tx.token_count("text").alias("n_tokens"),
@@ -53,7 +53,7 @@ def q_text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-based language ID (argmax, alphabetical tie-break)."""
-    df = load(spark, sf_dir, "documents")
+    df = load_spread(spark, sf_dir, "documents")
     return df.select("doc_id", tx.lang_id("text").alias("lang_pred"))
 
 
@@ -61,7 +61,7 @@ def q_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (16 md5-derived permutations over 3-shingles),
     emitted as one md5 of the signature for a stable cross-engine hash."""
     sigs = dd.minhash_signatures(
-        load(spark, sf_dir, "documents"), num_hashes=NUM_HASHES, shingle_size=SHINGLE
+        load_spread(spark, sf_dir, "documents"), num_hashes=NUM_HASHES, shingle_size=SHINGLE
     )
     return sigs.select(
         "doc_id",
@@ -73,12 +73,12 @@ def q_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (single exploded pass + 60 agg sums)."""
-    return dd.simhash64(load(spark, sf_dir, "documents"))
+    return dd.simhash64(load_spread(spark, sf_dir, "documents"))
 
 
 def q_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-shingle Jaccard >= 0.8 pairs via inverted-index self-join."""
-    return dd.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+    return dd.ngram_jaccard_pairs(load_spread(spark, sf_dir, "documents"), threshold=0.8)
 
 
 def q_minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,7 +89,7 @@ def q_minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     j>=0.8 is (1-j^2)^8 <= 3e-4, so the two gate queries agree on this
     corpus (verified exhaustively at sf0.1)."""
     return dd.minhash_near_duplicates(
-        load(spark, sf_dir, "documents"),
+        load_spread(spark, sf_dir, "documents"),
         num_hashes=NUM_HASHES,
         rows_per_band=2,
         shingle_size=SHINGLE,
@@ -110,7 +110,7 @@ def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the common denominator 2560*chars*n:
       qnum = 4*min(n,256)*chars*n + 768*(chars-punct)*n + 768*distinct*chars
     """
-    df = load(spark, sf_dir, "documents")
+    df = load_spread(spark, sf_dir, "documents")
     toks = tx.tokens("text")
     n = F.size(toks).cast("long")
     dn = F.size(F.array_distinct(toks)).cast("long")
@@ -184,7 +184,7 @@ def _media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic MEDIA_SCHEMA frame synthesised from documents: payload
     is the md5 digest bytes of the text (binary), media_type cycles by id,
     duration derives from length — both engines can rebuild it exactly."""
-    df = load(spark, sf_dir, "documents")
+    df = load_spread(spark, sf_dir, "documents")
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
     return df.select(
         F.col("doc_id").alias("media_id"),
@@ -270,7 +270,7 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary (decimal-exact aggregates)."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load_spread(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
@@ -289,8 +289,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 customers by order value — broadcast dim join + agg + top-k."""
-    orders = load(spark, sf_dir, "orders")
-    customer = F.broadcast(load(spark, sf_dir, "customer"))
+    orders = load_spread(spark, sf_dir, "orders")
+    customer = F.broadcast(load_spread(spark, sf_dir, "customer"))
     return (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name")
