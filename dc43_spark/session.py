@@ -1,0 +1,52 @@
+"""Recommended SparkSession configuration for contract-governed pipelines.
+
+One place for the scale knobs the engine relies on, so a 100 TB deployment
+and a laptop test differ only in ``master`` and memory:
+
+- **AQE on** (runtime re-planning): coalesces post-shuffle partitions,
+  converts sort-merge to broadcast when a side turns out small, and splits
+  skewed partitions — the skew-join handling matters for validation over
+  real-world key distributions.
+- **shuffle.partitions** sized to cores locally; on a cluster set it to
+  2-3x total executor cores (AQE coalesces the excess).
+- **maxPartitionBytes 128m** keeps scan partitions executor-memory-friendly
+  at any input size.
+- **Arrow enabled** for the Pandas-UDF paths (multimodal decode, matmul
+  similarity) — Arrow batches are the only acceptable Python boundary.
+- **UTC session timezone**: contract timestamps are zone-naive; mixed-zone
+  clusters otherwise produce different validation metrics for the same data.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+
+def governed_session(
+    app_name: str = "dc43-spark",
+    *,
+    master: Optional[str] = None,
+    shuffle_partitions: Optional[int] = None,
+    extra_conf: Optional[dict[str, str]] = None,
+) -> SparkSession:
+    """Build a SparkSession tuned for governed validation workloads."""
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": "128m",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.parquet.aggregatePushdown": "true",
+    }
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf.update(extra_conf or {})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
