@@ -70,3 +70,27 @@ def test_sql_governance_store(tmp_path):
     assert [(m["dataset_version"], m["status"]) for m in matrix] == [
         ("1.0.0", "ok"), ("1.1.0", "block"),
     ]
+
+
+def test_http_contract_store_with_fake_transport():
+    from dc43_spark.contracts.http_store import HTTPContractStore
+
+    # in-memory server implementing the JSON protocol
+    docs: dict[tuple[str, str], dict] = {}
+
+    def transport(method, path, body):
+        parts = path.strip("/").split("/")
+        if method == "PUT" and len(parts) == 3:
+            docs[(parts[1], parts[2])] = body
+            return 200, None
+        if method == "GET" and path == "/contracts":
+            return 200, {"ids": sorted({k[0] for k in docs})}
+        if method == "GET" and len(parts) == 3 and parts[2] == "versions":
+            vs = [v for (cid, v) in docs if cid == parts[1]]
+            return (200, {"versions": vs}) if vs else (404, None)
+        if method == "GET" and len(parts) == 3:
+            doc = docs.get((parts[1], parts[2]))
+            return (200, doc) if doc else (404, None)
+        return 400, None
+
+    _exercise(HTTPContractStore(transport))
