@@ -42,6 +42,8 @@ HEADLINE = [
     # analytics
     "pricing_summary",
     "top_customers",
+    "orders_by_nation",
+    "top_parts_by_revenue",
     "events_hourly",
     "streaming_events_hourly",
 ]

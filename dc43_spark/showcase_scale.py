@@ -305,6 +305,56 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way join rollup: orders x customer x nation with BOTH dims
+    broadcast (nation is tiny, customer small) — the probe side streams with
+    no shuffle until the final small groupBy."""
+    orders = load_spread(spark, sf_dir, "orders")
+    customer = F.broadcast(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    nation = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_value"),
+        )
+    )
+
+
+def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand top-3 parts by lineitem revenue: broadcast dim join +
+    window top-k (rank inside partial-aggregated groups, not a global sort)."""
+    from pyspark.sql import Window
+
+    li = load_spread(spark, sf_dir, "lineitem")
+    part = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand"))
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    revenue = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey", "p_name")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("decimal(38,4)")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        revenue.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "revenue", "rank")
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly per-type event rollup (streaming-shaped agg in batch form)."""
     from dc43_spark.showcase import load_events
@@ -548,6 +598,33 @@ GROUP BY c_custkey, c_name
 ORDER BY total_value DESC, c_custkey ASC LIMIT 10
 """
 
+_ORDERS_BY_NATION_SQL = """
+SELECT n_name,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+_TOP_PARTS_SQL = """
+WITH rev AS (
+  SELECT p_brand, p_partkey, p_name,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+         AS DECIMAL(38,4)) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey, p_name
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC
+  ) AS rank FROM rev
+)
+SELECT p_brand, p_partkey, p_name, revenue, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
 _EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
   CAST(count(*) AS BIGINT) AS n_events,
@@ -577,6 +654,8 @@ SCALE_QUERIES = {
     "knn_embeddings": q_knn_embeddings,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
+    "orders_by_nation": q_orders_by_nation,
+    "top_parts_by_revenue": q_top_parts_by_revenue,
     "events_hourly": q_events_hourly,
     "streaming_events_hourly": q_streaming_events_hourly,
 }
@@ -601,6 +680,8 @@ SCALE_ORACLES = {
     "knn_embeddings": _KNN_SQL,
     "pricing_summary": _PRICING_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,
+    "orders_by_nation": _ORDERS_BY_NATION_SQL,
+    "top_parts_by_revenue": _TOP_PARTS_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
     # streaming result is the batch aggregation (complete mode, epoch-aligned
     # tumbling windows) — the batch oracle applies verbatim
