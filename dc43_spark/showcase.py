@@ -47,7 +47,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp column (micro truncation matches DuckDB's ns->us cast)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    # integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's 2^53
+    # exact-integer range, so float division is off by a microsecond
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 # ---------------------------------------------------------------- contracts

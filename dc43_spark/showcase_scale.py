@@ -226,6 +226,16 @@ def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(queries, emb, k=5)
 
 
+def q_user_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) over events — window-function batch
+    path; the streaming twin is the applyInPandasWithState operator in
+    streaming/sessions.py."""
+    from dc43_spark.showcase import load_events
+    from dc43_spark.streaming.sessions import sessionize
+
+    return sessionize(load_events(spark, sf_dir), gap_minutes=30)
+
+
 def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming twin of ``events_hourly``: file stream source ->
     event-time tumbling window + watermark -> availableNow trigger -> memory
@@ -242,9 +252,8 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = tempfile.mkdtemp(prefix="dc43_stream_src_")
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
     stream = spark.readStream.schema(schema).parquet(src_dir)
-    ev = stream.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # integer `div` — see load_events: float division of epoch-nanos loses µs
+    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
@@ -625,6 +634,27 @@ SELECT p_brand, p_partkey, p_name, revenue, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 3
 """
 
+_USER_SESSIONS_SQL = """
+WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+m AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+            > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM e
+), s AS (
+  SELECT user_id, ts,
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM m
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_seq
+"""
+
 _EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
   CAST(count(*) AS BIGINT) AS n_events,
@@ -657,6 +687,7 @@ SCALE_QUERIES = {
     "orders_by_nation": q_orders_by_nation,
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "events_hourly": q_events_hourly,
+    "user_sessions_events": q_user_sessions_events,
     "streaming_events_hourly": q_streaming_events_hourly,
 }
 
@@ -683,6 +714,7 @@ SCALE_ORACLES = {
     "orders_by_nation": _ORDERS_BY_NATION_SQL,
     "top_parts_by_revenue": _TOP_PARTS_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
+    "user_sessions_events": _USER_SESSIONS_SQL,
     # streaming result is the batch aggregation (complete mode, epoch-aligned
     # tumbling windows) — the batch oracle applies verbatim
     "streaming_events_hourly": _EVENTS_HOURLY_SQL,
