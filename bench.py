@@ -38,6 +38,7 @@ HEADLINE = [
     "frame_plan_documents",
     "cosine_pairs_embeddings",
     "ann_lsh_embeddings",
+    "ann_ivf_embeddings",
     "knn_embeddings",
     # analytics
     "pricing_summary",
@@ -45,6 +46,7 @@ HEADLINE = [
     "orders_by_nation",
     "top_parts_by_revenue",
     "events_hourly",
+    "user_sessions_events",
     "streaming_events_hourly",
 ]
 
@@ -61,6 +63,7 @@ COUNT_ONLY = {
     "simhash_documents",
     "dedup_exact_documents",
     "events_hourly",
+    "user_sessions_events",
     "quality_documents",
     "cosine_pairs_embeddings",
     "multimodal_stats",

@@ -226,6 +226,17 @@ def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(queries, emb, k=5)
 
 
+def q_ann_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 at FULL probe (nprobe == n_centroids): every list is
+    probed, so the result equals exact brute force and the brute-force
+    oracle hash-checks the whole train/assign/inverted-list-join machinery.
+    Partial-probe recall (the actual approximation) is asserted in
+    tests/test_similarity_ivf.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ivf_topk(queries, emb, k=5, n_centroids=16, nprobe=16, seed=42)
+
+
 def q_user_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) over events — window-function batch
     path; the streaming twin is the applyInPandasWithState operator in
@@ -681,6 +692,7 @@ SCALE_QUERIES = {
     "frame_plan_documents": q_frame_plan_documents,
     "cosine_pairs_embeddings": q_cosine_pairs_embeddings,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
+    "ann_ivf_embeddings": q_ann_ivf_embeddings,
     "knn_embeddings": q_knn_embeddings,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
@@ -708,6 +720,8 @@ SCALE_ORACLES = {
     "frame_plan_documents": _FRAME_PLAN_SQL,
     "cosine_pairs_embeddings": _COSINE_PAIRS_SQL,
     "ann_lsh_embeddings": _ann_lsh_sql(),
+    # full probe == exact brute force, so the KNN oracle applies verbatim
+    "ann_ivf_embeddings": _KNN_SQL,
     "knn_embeddings": _KNN_SQL,
     "pricing_summary": _PRICING_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,
