@@ -46,6 +46,7 @@ HEADLINE = [
     "orders_by_nation",
     "top_parts_by_revenue",
     "events_hourly",
+    "asof_purchase_attribution",
     "user_sessions_events",
     "streaming_events_hourly",
 ]
@@ -63,6 +64,7 @@ COUNT_ONLY = {
     "simhash_documents",
     "dedup_exact_documents",
     "events_hourly",
+    "asof_purchase_attribution",
     "user_sessions_events",
     "quality_documents",
     "cosine_pairs_embeddings",

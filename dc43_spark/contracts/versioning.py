@@ -56,8 +56,11 @@ class SemVer:
         if self.prerelease is None:
             pre_key: tuple = (1, ())
         else:
+            # the trailing raw string keeps the order TOTAL even on
+            # spec-invalid numerics with leading zeros ('0' vs '00', which
+            # tie as ints but are distinct identifiers)
             ids = tuple(
-                (0, int(p), "") if p.isdigit() else (1, 0, p)
+                (0, int(p), p) if p.isdigit() else (1, 0, p)
                 for p in self.prerelease.split(".")
             )
             pre_key = (0, ids)

@@ -1,3 +1,3 @@
-from dc43_spark.functions import dedup, multimodal, similarity, text
+from dc43_spark.functions import asof, dedup, multimodal, similarity, text
 
-__all__ = ["text", "dedup", "similarity", "multimodal"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "asof"]

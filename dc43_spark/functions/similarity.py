@@ -278,13 +278,13 @@ def ivf_centroids(
     re-seeded from a fixed cursor. Returns (n_centroids, dim) float64,
     row-normalised.
     """
-    rows = (
+    pdf = (
         corpus.select(F.col(corpus_id).alias("i"), _as_double(F.col(corpus_vec)).alias("v"))
         .orderBy("i")
         .limit(train_limit)
-        .collect()
+        .toPandas()  # Arrow transfer; Row-object collect is ~5x slower here
     )
-    x = np.array([r.v for r in rows], dtype=np.float64)
+    x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     n = x.shape[0]
     k = min(n_centroids, n)

@@ -232,9 +232,44 @@ def q_ann_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle hash-checks the whole train/assign/inverted-list-join machinery.
     Partial-probe recall (the actual approximation) is asserted in
     tests/test_similarity_ivf.py."""
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
+    # corpus spread across cores: centroid assignment is a narrow
+    # mapInPandas, so its parallelism is the scan's partition count
+    emb = load_spread(spark, sf_dir, "embeddings")
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
     return sim.ivf_topk(queries, emb, k=5, n_centroids=16, nprobe=16, seed=42)
+
+
+def q_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join: each purchase event matched to the same
+    user's most recent view event at-or-before it (backward point-in-time
+    join — one shuffle + window, see functions/asof.py). Oracle is DuckDB's
+    native ASOF JOIN, so the semantics are cross-checked against an
+    independent implementation, not just SQL algebra."""
+    from dc43_spark.functions.asof import asof_join
+    from dc43_spark.showcase import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    out = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="view_ts"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "view_event_id",
+        "view_ts",
+        # integer `div` end-to-end: double division + cast diverges across
+        # engines (Spark truncates, DuckDB rounds)
+        F.expr("(unix_micros(ts) - unix_micros(view_ts)) div 1000000").alias("gap_sec"),
+    )
 
 
 def q_user_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,6 +680,20 @@ SELECT p_brand, p_partkey, p_name, revenue, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 3
 """
 
+_ASOF_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, event_id AS view_event_id, CAST(ts AS TIMESTAMP) AS view_ts
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, p.ts, v.view_event_id, v.view_ts,
+       (epoch_us(p.ts) - epoch_us(v.view_ts)) // 1000000 AS gap_sec
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.ts >= v.view_ts
+"""
+
 _USER_SESSIONS_SQL = """
 WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
 m AS (
@@ -699,6 +748,7 @@ SCALE_QUERIES = {
     "orders_by_nation": q_orders_by_nation,
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "events_hourly": q_events_hourly,
+    "asof_purchase_attribution": q_asof_purchase_attribution,
     "user_sessions_events": q_user_sessions_events,
     "streaming_events_hourly": q_streaming_events_hourly,
 }
@@ -728,6 +778,7 @@ SCALE_ORACLES = {
     "orders_by_nation": _ORDERS_BY_NATION_SQL,
     "top_parts_by_revenue": _TOP_PARTS_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
+    "asof_purchase_attribution": _ASOF_ATTRIBUTION_SQL,
     "user_sessions_events": _USER_SESSIONS_SQL,
     # streaming result is the batch aggregation (complete mode, epoch-aligned
     # tumbling windows) — the batch oracle applies verbatim
