@@ -46,7 +46,9 @@ HEADLINE = [
     "orders_by_nation",
     "top_parts_by_revenue",
     "events_hourly",
+    "events_rollup",
     "asof_purchase_attribution",
+    "interval_join_sessions",
     "user_sessions_events",
     "streaming_events_hourly",
 ]
@@ -64,7 +66,9 @@ COUNT_ONLY = {
     "simhash_documents",
     "dedup_exact_documents",
     "events_hourly",
+    "events_rollup",
     "asof_purchase_attribution",
+    "interval_join_sessions",
     "user_sessions_events",
     "quality_documents",
     "cosine_pairs_embeddings",

@@ -1,3 +1,11 @@
-from dc43_spark.functions import asof, dedup, multimodal, similarity, text
+from dc43_spark.functions import (
+    asof,
+    dedup,
+    multimodal,
+    ranges,
+    similarity,
+    skew,
+    text,
+)
 
-__all__ = ["text", "dedup", "similarity", "multimodal", "asof"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "asof", "ranges", "skew"]

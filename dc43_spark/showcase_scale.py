@@ -272,6 +272,89 @@ def q_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders x customer via SALTED join (hot-custkey mitigation pattern,
+    functions/skew.py), then the same nation rollup as orders_by_nation —
+    row-identical by construction, so that gate's oracle hash-verifies the
+    salting rewrite end-to-end."""
+    from dc43_spark.functions.skew import salted_join
+
+    orders = load_spread(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_nationkey")
+    )
+    nation = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    joined = salted_join(orders, customer, on=["o_custkey"], salt=8)
+    return (
+        joined.join(nation, joined.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_value"),
+        )
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: per-type aggregates at
+    month, day, AND hour grain in ONE pass via GROUPING SETS. Catalyst
+    plans a single scan + Expand(3x) + one partial-agg shuffle — versus
+    three separate scan+shuffle jobs for three groupBys; at 100 TB that is
+    the difference between reading the table once and three times.
+    Finer-grain columns are NULL at coarser grains (standard grouping-sets
+    shape, identical in the DuckDB oracle)."""
+    from dc43_spark.showcase import load_events
+
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    return base.groupingSets(
+        [
+            ["event_type", "month"],
+            ["event_type", "month", "day"],
+            ["event_type", "month", "day", "hour"],
+        ],
+        "event_type",
+        "month",
+        "day",
+        "hour",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_value"),
+    )
+
+
+def q_interval_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: each error event matched to the session interval that
+    contains it. Bucketized equi-join (functions/ranges.py) — one hash
+    shuffle — instead of the naive per-key nested loop; the oracle is the
+    naive BETWEEN join in DuckDB, so the rewrite is hash-verified."""
+    from dc43_spark.functions.ranges import interval_join
+    from dc43_spark.showcase import load_events
+    from dc43_spark.streaming.sessions import sessionize
+
+    ev = load_events(spark, sf_dir)
+    sessions = sessionize(ev, gap_minutes=30)
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    out = interval_join(
+        errors,
+        sessions,
+        on=["user_id"],
+        point_ts="ts",
+        start_ts="session_start",
+        end_ts="session_end",
+        bucket_width_seconds=3600,
+    )
+    return out.select("event_id", "user_id", "ts", "session_seq", "n_events")
+
+
 def q_user_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) over events — window-function batch
     path; the streaming twin is the applyInPandasWithState operator in
@@ -715,6 +798,37 @@ SELECT user_id, session_seq,
 FROM s GROUP BY user_id, session_seq
 """
 
+_EVENTS_ROLLUP_SQL = """
+-- date_trunc('day'/'month') yields DATE in DuckDB but TIMESTAMP in Spark;
+-- cast so the stringified grains agree
+SELECT event_type,
+       CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS month,
+       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+FROM events
+GROUP BY GROUPING SETS (
+  (event_type, date_trunc('month', CAST(ts AS TIMESTAMP))),
+  (event_type, date_trunc('month', CAST(ts AS TIMESTAMP)),
+   date_trunc('day', CAST(ts AS TIMESTAMP))),
+  (event_type, date_trunc('month', CAST(ts AS TIMESTAMP)),
+   date_trunc('day', CAST(ts AS TIMESTAMP)),
+   date_trunc('hour', CAST(ts AS TIMESTAMP)))
+)
+"""
+
+_INTERVAL_JOIN_SESSIONS_SQL = f"""
+SELECT err.event_id, err.user_id, err.ts, sess.session_seq, sess.n_events
+FROM (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'error'
+) err
+JOIN ({_USER_SESSIONS_SQL}) sess
+  ON err.user_id = sess.user_id
+ AND err.ts BETWEEN sess.session_start AND sess.session_end
+"""
+
 _EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
   CAST(count(*) AS BIGINT) AS n_events,
@@ -749,6 +863,9 @@ SCALE_QUERIES = {
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "events_hourly": q_events_hourly,
     "asof_purchase_attribution": q_asof_purchase_attribution,
+    "interval_join_sessions": q_interval_join_sessions,
+    "events_rollup": q_events_rollup,
+    "salted_orders_by_nation": q_salted_orders_by_nation,
     "user_sessions_events": q_user_sessions_events,
     "streaming_events_hourly": q_streaming_events_hourly,
 }
@@ -779,6 +896,10 @@ SCALE_ORACLES = {
     "top_parts_by_revenue": _TOP_PARTS_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
     "asof_purchase_attribution": _ASOF_ATTRIBUTION_SQL,
+    "interval_join_sessions": _INTERVAL_JOIN_SESSIONS_SQL,
+    "events_rollup": _EVENTS_ROLLUP_SQL,
+    # salted join is row-identical to the plain join, same oracle
+    "salted_orders_by_nation": _ORDERS_BY_NATION_SQL,
     "user_sessions_events": _USER_SESSIONS_SQL,
     # streaming result is the batch aggregation (complete mode, epoch-aligned
     # tumbling windows) — the batch oracle applies verbatim
