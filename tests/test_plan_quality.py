@@ -1,0 +1,72 @@
+"""Plan-quality regressions: assert the PHYSICAL PLAN properties that make
+queries scale, not just their results.
+
+A gate query can return correct rows while silently reading every column,
+skipping predicate pushdown, or shuffling a broadcastable dim — all
+invisible at sf0.01 and catastrophic at 100 TB. These tests pin the plan
+shape so a refactor that breaks it fails CI, the same way a wrong result
+would."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dc43_spark.io.bucketing import plan_string, shuffle_exchanges
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = plan_string(df, "formatted")
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity"
+    )
+    plan = plan_string(df, "formatted")
+    # ReadSchema carries ONLY the projected columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert "l_returnflag" in read_schema[0] and "l_quantity" in read_schema[0]
+    assert "l_extendedprice" not in read_schema[0]
+
+
+def test_orders_by_nation_broadcasts_both_dims(spark):
+    from dc43_spark.showcase_scale import q_orders_by_nation
+
+    df = q_orders_by_nation(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("BroadcastExchange") == 2
+    # the only shuffle left is the final small groupBy
+    assert shuffle_exchanges(df) == 1
+
+
+def test_asof_join_single_shuffle(spark):
+    from dc43_spark.showcase_scale import q_asof_purchase_attribution
+
+    assert shuffle_exchanges(q_asof_purchase_attribution(spark, SF_DIR)) == 1
+
+
+def test_metrics_single_pass(spark):
+    """The validation kernel aggregates ALL rules in one scan: exactly one
+    parquet scan in the plan (the reference runs one job per rule)."""
+    from dc43_spark.showcase import q_metrics_orders
+
+    plan = plan_string(q_metrics_orders(spark, SF_DIR), "simple")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_events_rollup_single_scan_with_expand(spark):
+    from dc43_spark.showcase_scale import q_events_rollup
+
+    plan = plan_string(q_events_rollup(spark, SF_DIR), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan  # grouping sets, not a union of three aggs
