@@ -415,3 +415,110 @@ def ivf_topk(
             (F.round(F.col("_cos"), scale) if scale else F.col("_cos")).alias("cosine"),
         )
     )
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    train_limit: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Materialise an IVF index: corpus rows assigned to centroid lists and
+    written PARTITIONED BY centroid_id, centroids saved alongside.
+
+    Partition-per-list is the 100 TB layout: a query probing ``nprobe`` of
+    ``n_centroids`` lists prunes the rest at the file listing — the scan
+    reads nprobe/n_centroids of the data before a single task runs
+    (verified via PartitionFilters in tests). Layout:
+    ``{path}/lists/centroid_id=*/...`` + ``{path}/centroids/`` (one row per
+    centroid, its vector as array<double>). Returns the centroid matrix."""
+    centroids = ivf_centroids(
+        corpus,
+        n_centroids=n_centroids,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        train_limit=train_limit,
+        iters=iters,
+        seed=seed,
+    )
+    assigned = _ivf_assign(
+        corpus, centroids, id_col=corpus_id, vec_col=corpus_vec, nprobe=1
+    )
+    (
+        assigned.select(
+            F.col("_id").alias(corpus_id),
+            F.col("_vec").alias(corpus_vec),
+            "centroid_id",
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/lists")
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "centroid_id long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    scale: Optional[int] = 6,
+) -> DataFrame:
+    """Top-k against a persisted IVF index, reading ONLY the probed lists.
+
+    The probed centroid ids are computed driver-side from the (small) query
+    set, then pushed as a partition filter — Catalyst prunes the unprobed
+    ``centroid_id=*`` directories at planning time, so scan volume is
+    ~nprobe/n_centroids of the index regardless of corpus size."""
+    import pandas as pd
+
+    cent_pdf = (
+        spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").toPandas()
+    )
+    centroids = np.stack(cent_pdf["centroid"].to_numpy())
+    q = _ivf_assign(queries, centroids, id_col=query_id, vec_col=query_vec, nprobe=nprobe)
+    q = q.select(
+        F.col("_id").alias("q_id"), F.col("_vec").alias("q_vec"), "centroid_id"
+    )
+    probed = sorted({r.centroid_id for r in q.select("centroid_id").distinct().collect()})
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("centroid_id").isin(probed)
+    )
+    c = lists.select(
+        F.col(corpus_id).alias("n_id"),
+        F.col(corpus_vec).alias("n_vec"),
+        "centroid_id",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, on="centroid_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("_cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.col("rank").cast("int").alias("rank"),
+            (F.round(F.col("_cos"), scale) if scale else F.col("_cos")).alias("cosine"),
+        )
+    )
