@@ -1,3 +1,4 @@
+from dc43_spark.streaming.dedup import dedup_stream
 from dc43_spark.streaming.observer import (
     BatchRecord,
     MetricsQueryListener,
@@ -5,6 +6,7 @@ from dc43_spark.streaming.observer import (
     format_dataset_version,
     observe_stream,
 )
+from dc43_spark.streaming.sessions import sessionize, sessionize_stream
 
 __all__ = [
     "BatchRecord",
@@ -12,4 +14,7 @@ __all__ = [
     "StreamingGovernedWriter",
     "format_dataset_version",
     "observe_stream",
+    "sessionize",
+    "sessionize_stream",
+    "dedup_stream",
 ]
