@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers:
+Tiers, from exact baseline to indexed scale path:
 
 - ``cosine_topk``        — exact brute-force: query x corpus join with a
                            JVM-side dot product (``F.zip_with``/``aggregate``)
