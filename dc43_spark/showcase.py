@@ -7,7 +7,10 @@ and reused by ``bench.py``.
 
 Cross-engine determinism rules used throughout:
 - violation counts / row counts -> BIGINT on both sides
-- money aggregates -> DECIMAL (exact) never DOUBLE (ulp drift)
+- money values -> BIGINT integer cents, never DECIMAL or DOUBLE: DOUBLE
+  drifts by ulps, and DECIMAL trailing-zero values ('123.40') stringify
+  differently between the driver's Spark and DuckDB readers (r1: 8
+  hash-fails from exactly this, with row-identical values)
 - every computed column aliased identically in Spark and SQL
 """
 
@@ -26,6 +29,31 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _scan_splits(spark: SparkSession, df: DataFrame) -> int:
+    """Upper-bound estimate of the scan's partition count WITHOUT touching
+    ``df.rdd`` (the Python-RDD conversion costs ~0.8s per call): Spark packs
+    files into splits of at most ``spark.sql.files.maxPartitionBytes``, so
+    sum(ceil(size/maxPB)) bounds the split count. File listing + getsize is
+    driver-side metadata only — no Spark job."""
+    import os
+    import re
+    from urllib.parse import urlparse
+
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")).lower()
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", raw)
+    mult = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    max_pb = int(m.group(1)) * mult[m.group(2)] if m else 128 * 1024**2
+    splits = 0
+    for f in df.inputFiles():
+        path = urlparse(f).path or f
+        try:
+            size = os.path.getsize(path)
+        except OSError:  # non-local FS — count the file as one split
+            size = 0
+        splits += max(1, -(-size // max_pb))
+    return splits
+
+
 def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load + repartition to all cores IF the scan is under-partitioned.
 
@@ -36,7 +64,7 @@ def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     here would be a disaster)."""
     df = load(spark, sf_dir, table)
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    if _scan_splits(spark, df) < par:
         df = df.repartition(par)
     return df
 
@@ -262,7 +290,7 @@ _APPLY_CONTRACT_SQL = """
 SELECT
   CAST(o_orderkey AS BIGINT) AS o_orderkey,
   CAST(o_custkey AS BIGINT) AS o_custkey,
-  CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS o_totalprice_cents,
   o_orderstatus,
   o_orderdate,
   CAST(NULL AS VARCHAR) AS o_clerk
@@ -310,8 +338,21 @@ def q_metrics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_apply_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema align/cast: reorder, decimal(12,2) cast, missing col -> typed
-    NULL, extra col pruned (ref validation.py:20-60)."""
-    return apply_contract(load_spread(spark, sf_dir, "orders"), aligned_orders_contract())
+    NULL, extra col pruned (ref validation.py:20-60).
+
+    The gate projects the contract's decimal(12,2) column to exact integer
+    cents (decimal * 100 is exact; the value is integral so cast semantics
+    can't diverge) — the decimal cast itself is still exercised, but no
+    DECIMAL leaves the query (driver-hash trap, see module docstring)."""
+    df = apply_contract(load_spread(spark, sf_dir, "orders"), aligned_orders_contract())
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 100).cast("long").alias("o_totalprice_cents"),
+        "o_orderstatus",
+        "o_orderdate",
+        "o_clerk",
+    )
 
 
 def _orders_valid_predicate() -> str:

@@ -23,7 +23,10 @@ TABLES = [
 
 def _norm(v):
     if isinstance(v, Decimal):
-        return f"{v.normalize():f}"
+        # VERBATIM — no normalize(). The driver's hasher distinguishes
+        # '123.40' from '123.4'; a lenient local gate green-lights queries
+        # the driver then hash-fails (r1 lesson: 8 such false-greens).
+        return str(v)
     if isinstance(v, float):
         return f"{v:.9g}"
     if isinstance(v, bytes):
