@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dc43_spark import showcase, showcase_scale
+from dc43_spark import showcase, showcase_io, showcase_scale
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -20,8 +20,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**showcase.QUERIES, **showcase_scale.SCALE_QUERIES}
+    return {
+        **showcase.QUERIES,
+        **showcase_scale.SCALE_QUERIES,
+        **showcase_io.IO_QUERIES,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**showcase.ORACLES, **showcase_scale.SCALE_ORACLES}
+    return {
+        **showcase.ORACLES,
+        **showcase_scale.SCALE_ORACLES,
+        **showcase_io.IO_ORACLES,
+    }

@@ -51,6 +51,9 @@ HEADLINE = [
     "interval_join_sessions",
     "user_sessions_events",
     "streaming_events_hourly",
+    # governed IO (write + merge + versioned read round-trips)
+    "merge_upsert_orders",
+    "versioned_read_orders",
 ]
 
 # row-set queries are counted (materialise without driver transfer);
@@ -75,6 +78,8 @@ COUNT_ONLY = {
     "multimodal_stats",
     "frame_plan_documents",
     "streaming_events_hourly",
+    "merge_upsert_orders",
+    "versioned_read_orders",
 }
 
 

@@ -1,0 +1,183 @@
+"""Gate queries for the governed-IO surface: MERGE upsert (S6 parquet
+strategy) and folder-versioned reads (S8/S10/S11).
+
+r1 left these operators pytest-only; these gates put them under the
+driver's DuckDB oracle. Each query materialises a deterministic scratch
+dataset under the system temp dir derived PURELY from the base ``orders``
+table (rebuilt per invocation, removed at exit), so a static oracle over
+``orders`` predicts the final physical state exactly:
+
+- ``merge_upsert_orders``: target = even order keys; source = keys % 3 == 0
+  with status 'U' and doubled cents; MERGE on o_orderkey with update +
+  insert + a delete predicate (matched AND s.o_custkey % 10 == 0). The
+  oracle is the standard MERGE full-outer-join algebra over ``orders``
+  (ref dc43-integrations spark/io/merge.py:43-127 semantics).
+- ``versioned_read_orders``: three SemVer folder versions written through
+  ``ContractVersionLocator.for_write``, then a governed read pinned at
+  1.1.0 with ``include_prior`` -> multi-path scan of 1.0.0 + 1.1.0 (ref
+  locators.py:314-488). Oracle = UNION ALL of the two version predicates.
+
+Money travels as BIGINT cents throughout (see showcase.py module note).
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dc43_spark.contracts.model import Contract, SchemaObject, SchemaProperty
+from dc43_spark.io.locators import ContractVersionLocator, StaticDatasetLocator
+from dc43_spark.io.merge import merge_with_contract
+from dc43_spark.io.read import read_with_contract
+from dc43_spark.io.write import write_with_contract
+from dc43_spark.showcase import load_spread
+from dc43_spark.showcase_scale import _cents
+
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    """Fresh per-invocation scratch dir, one root per process, removed at
+    exit. Rebuilding (instead of reusing) keeps the gate idempotent when
+    the driver calls it repeatedly."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="dc43_gate_io_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    d = os.path.join(_SCRATCH_ROOT, os.path.basename(os.path.normpath(sf_dir)), name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
+def merge_orders_contract() -> Contract:
+    return Contract(
+        id="driver.orders_merge",
+        version="0.1.0",
+        schema_objects=[
+            SchemaObject(
+                name="orders",
+                properties=[
+                    SchemaProperty("o_orderkey", "bigint", required=True),
+                    SchemaProperty("o_custkey", "bigint", required=True),
+                    SchemaProperty("o_orderstatus", "string", required=True),
+                    SchemaProperty("o_totalprice_cents", "bigint", required=True),
+                ],
+            )
+        ],
+    )
+
+
+def _orders_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_spread(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        _cents(F.col("o_totalprice")).alias("o_totalprice_cents"),
+    )
+
+
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed MERGE into a parquet target, read back.
+
+    Row fates (all three MERGE actions exercised):
+    - matched + s.o_custkey % 10 == 0 -> deleted
+    - matched otherwise               -> updated to the source row
+    - source-only                     -> inserted
+    - target-only                     -> kept
+    """
+    base = _orders_base(spark, sf_dir)
+    contract = merge_orders_contract()
+    path = os.path.join(_scratch(sf_dir, "merge"), "orders")
+    write_with_contract(
+        base.filter(F.col("o_orderkey") % 2 == 0),
+        contract, path=path, mode="overwrite",
+    )
+    source = (
+        base.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice_cents", F.col("o_totalprice_cents") * 2)
+    )
+    merge_with_contract(
+        spark, source, contract,
+        keys=["o_orderkey"],
+        path=path,
+        delete_predicate="s.o_custkey % 10 = 0",
+    )
+    return spark.read.parquet(path)
+
+
+def q_versioned_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folder-versioned write x3 then a governed read pinned at 1.1.0 with
+    include_prior — the returned frame is the multi-path scan of versions
+    1.0.0 and 1.1.0 (one declarative ``spark.read.load([paths])``; Catalyst
+    keeps pushdown/pruning across the whole version set)."""
+    base = _orders_base(spark, sf_dir)
+    contract = merge_orders_contract()
+    base_dir = _scratch(sf_dir, "versions")
+    slices = {
+        "1.0.0": F.col("o_orderkey") % 2 == 0,
+        "1.1.0": F.col("o_orderkey") % 5 == 1,
+        "2.0.0": F.col("o_orderkey") % 7 == 3,
+    }
+    for version, cond in slices.items():
+        write_with_contract(
+            base.filter(cond), contract, mode="overwrite",
+            locator=ContractVersionLocator(
+                version, base=StaticDatasetLocator(path=base_dir)
+            ),
+        )
+    aligned, result = read_with_contract(
+        spark, contract,
+        locator=ContractVersionLocator(
+            "1.1.0", base=StaticDatasetLocator(path=base_dir), include_prior=True
+        ),
+    )
+    assert result.status == "ok", result.errors
+    return aligned
+
+
+_BASE_SQL = """
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_totalprice_cents
+  FROM orders
+"""
+
+# MERGE algebra over the full-outer join, written as the two disjoint fates:
+# source rows survive unless matched-and-deleted; target-only rows survive.
+_MERGE_UPSERT_SQL = f"""
+WITH base AS ({_BASE_SQL}),
+t AS (SELECT * FROM base WHERE o_orderkey % 2 = 0),
+s AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice_cents * 2 AS o_totalprice_cents
+  FROM base WHERE o_orderkey % 3 = 0
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice_cents FROM s
+WHERE NOT (o_orderkey % 2 = 0 AND o_custkey % 10 = 0)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice_cents FROM t
+WHERE o_orderkey % 3 <> 0
+"""
+
+_VERSIONED_READ_SQL = f"""
+WITH base AS ({_BASE_SQL})
+SELECT * FROM base WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT * FROM base WHERE o_orderkey % 5 = 1
+"""
+
+IO_QUERIES = {
+    "merge_upsert_orders": q_merge_upsert_orders,
+    "versioned_read_orders": q_versioned_read_orders,
+}
+
+IO_ORACLES = {
+    "merge_upsert_orders": _MERGE_UPSERT_SQL,
+    "versioned_read_orders": _VERSIONED_READ_SQL,
+}
