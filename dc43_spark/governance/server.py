@@ -1,0 +1,223 @@
+"""In-process HTTP service tier: contracts + governance over real sockets.
+
+Rebuilds the reference's remote topology (dc43-service-backends
+``server.py`` FastAPI app + dc43-service-clients remote clients) on the
+stdlib only: a ``ThreadingHTTPServer`` JSON facade over any
+``ContractStore`` + ``GovernanceStore``, and ``HTTPGovernanceStore`` — the
+client half — speaking the same injectable ``Transport`` protocol as
+``HTTPContractStore``. Everything here is driver-side metadata plumbing;
+no Spark data ever moves through this channel (verdict payloads and
+contract documents only), so the service adds zero load to the data path
+at any scale.
+
+Routes (mirror of the reference's service surface):
+
+  GET  /contracts                                   -> {"ids": [...]}
+  GET  /contracts/{id}/versions                     -> {"versions": [...]}
+  GET  /contracts/{id}/{version}                    -> contract JSON
+  PUT  /contracts/{id}/{version}                    <- contract JSON
+  GET  /governance/status/{dataset}/{version}       -> status JSON | 404
+  PUT  /governance/status/{dataset}/{version}       <- status JSON
+  GET  /governance/links/{dataset}                  -> link JSON | 404
+  PUT  /governance/links/{dataset}                  <- link JSON
+  GET  /governance/activity[?dataset_id=...]        -> {"entries": [...]}
+  POST /governance/activity                         <- entry JSON
+  GET  /governance/status-matrix/{dataset}          -> {"rows": [...]}
+
+Path segments are URL-quoted by clients (dataset ids contain ``:`` and
+``/`` — the ``path:<p>`` convention).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional
+from urllib.parse import parse_qs, quote, unquote, urlparse
+
+from dc43_spark.contracts.model import Contract
+from dc43_spark.contracts.store import ContractStore, MemoryContractStore
+from dc43_spark.governance.stores import GovernanceStore, MemoryGovernanceStore
+from dc43_spark.contracts.http_store import Transport
+
+
+def _segments(path: str) -> list[str]:
+    return [unquote(s) for s in path.strip("/").split("/") if s]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "dc43-spark-service/0.1"
+
+    # silence per-request stderr logging
+    def log_message(self, *args: Any) -> None:  # noqa: D102
+        pass
+
+    # -- plumbing ---------------------------------------------------------
+    def _send(self, status: int, payload: Any = None) -> None:
+        body = json.dumps(payload, default=str).encode() if payload is not None else b""
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if body:
+            self.wfile.write(body)
+
+    def _body(self) -> Optional[Any]:
+        length = int(self.headers.get("Content-Length") or 0)
+        return json.loads(self.rfile.read(length)) if length else None
+
+    @property
+    def _contracts(self) -> ContractStore:
+        return self.server.contract_store  # type: ignore[attr-defined]
+
+    @property
+    def _gov(self) -> GovernanceStore:
+        return self.server.governance_store  # type: ignore[attr-defined]
+
+    # -- dispatch ---------------------------------------------------------
+    def do_GET(self) -> None:  # noqa: N802
+        url = urlparse(self.path)
+        seg = _segments(url.path)
+        if seg == ["contracts"]:
+            return self._send(200, {"ids": self._contracts.list_ids()})
+        if len(seg) == 3 and seg[0] == "contracts" and seg[2] == "versions":
+            return self._send(200, {"versions": self._contracts.versions(seg[1])})
+        if len(seg) == 3 and seg[0] == "contracts":
+            contract = self._contracts.get(seg[1], seg[2])
+            return self._send(404 if contract is None else 200,
+                              None if contract is None else contract.to_dict())
+        if len(seg) == 4 and seg[:2] == ["governance", "status"]:
+            payload = self._gov.load_status(seg[2], seg[3])
+            return self._send(404 if payload is None else 200, payload)
+        if len(seg) == 3 and seg[:2] == ["governance", "links"]:
+            link = self._gov.get_link(seg[2])
+            return self._send(404 if link is None else 200, link)
+        if seg == ["governance", "activity"]:
+            ds = parse_qs(url.query).get("dataset_id", [None])[0]
+            return self._send(200, {"entries": self._gov.activity(ds)})
+        if len(seg) == 3 and seg[:2] == ["governance", "status-matrix"]:
+            return self._send(200, {"rows": self._gov.status_matrix(seg[2])})
+        self._send(404)
+
+    def do_PUT(self) -> None:  # noqa: N802
+        seg = _segments(urlparse(self.path).path)
+        body = self._body()
+        if len(seg) == 3 and seg[0] == "contracts" and body is not None:
+            self._contracts.put(Contract.from_dict(body))
+            return self._send(204)
+        if len(seg) == 4 and seg[:2] == ["governance", "status"] and body is not None:
+            self._gov.save_status(seg[2], seg[3], body)
+            return self._send(204)
+        if len(seg) == 3 and seg[:2] == ["governance", "links"] and body is not None:
+            self._gov.link(seg[2], body["contract_id"], body["contract_version"])
+            return self._send(204)
+        self._send(404)
+
+    def do_POST(self) -> None:  # noqa: N802
+        seg = _segments(urlparse(self.path).path)
+        body = self._body()
+        if seg == ["governance", "activity"] and body is not None:
+            self._gov.record_activity(body)
+            return self._send(204)
+        self._send(404)
+
+
+class GovernanceServiceServer:
+    """Socket-backed service wrapping a contract store + governance store.
+
+    ``with GovernanceServiceServer() as url:`` serves on an ephemeral
+    localhost port from a daemon thread."""
+
+    def __init__(
+        self,
+        contract_store: Optional[ContractStore] = None,
+        governance_store: Optional[GovernanceStore] = None,
+        *,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ) -> None:
+        self._httpd = ThreadingHTTPServer((host, port), _Handler)
+        self._httpd.contract_store = contract_store or MemoryContractStore()  # type: ignore[attr-defined]
+        self._httpd.governance_store = governance_store or MemoryGovernanceStore()  # type: ignore[attr-defined]
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def start(self) -> str:
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.url
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def __enter__(self) -> str:
+        return self.start()
+
+    def __exit__(self, *exc: Any) -> None:
+        self.stop()
+
+
+class HTTPGovernanceStore:
+    """GovernanceStore client over the JSON protocol above (the remote half
+    of the reference's governance client/backend split). Same injectable
+    ``Transport`` as HTTPContractStore — tests use real sockets via
+    ``urllib_transport``; deployments may swap any HTTP client."""
+
+    def __init__(self, transport: Transport) -> None:
+        self._call = transport
+
+    @staticmethod
+    def _q(segment: str) -> str:
+        return quote(segment, safe="")
+
+    def save_status(self, dataset_id: str, dataset_version: str, payload: dict[str, Any]) -> None:
+        status, _ = self._call(
+            "PUT", f"/governance/status/{self._q(dataset_id)}/{self._q(dataset_version)}", payload
+        )
+        if status >= 400:
+            raise RuntimeError(f"save_status failed: HTTP {status}")
+
+    def load_status(self, dataset_id: str, dataset_version: str) -> Optional[dict[str, Any]]:
+        status, payload = self._call(
+            "GET", f"/governance/status/{self._q(dataset_id)}/{self._q(dataset_version)}", None
+        )
+        return None if status == 404 else payload
+
+    def link(self, dataset_id: str, contract_id: str, contract_version: str) -> None:
+        status, _ = self._call(
+            "PUT",
+            f"/governance/links/{self._q(dataset_id)}",
+            {"contract_id": contract_id, "contract_version": contract_version},
+        )
+        if status >= 400:
+            raise RuntimeError(f"link failed: HTTP {status}")
+
+    def get_link(self, dataset_id: str) -> Optional[dict[str, str]]:
+        status, payload = self._call("GET", f"/governance/links/{self._q(dataset_id)}", None)
+        return None if status == 404 else payload
+
+    def record_activity(self, entry: dict[str, Any]) -> None:
+        status, _ = self._call("POST", "/governance/activity", entry)
+        if status >= 400:
+            raise RuntimeError(f"record_activity failed: HTTP {status}")
+
+    def activity(self, dataset_id: Optional[str] = None) -> list[dict[str, Any]]:
+        path = "/governance/activity"
+        if dataset_id is not None:
+            path += f"?dataset_id={self._q(dataset_id)}"
+        status, payload = self._call("GET", path, None)
+        return list(payload.get("entries", [])) if payload else []
+
+    def status_matrix(self, dataset_id: str) -> list[dict[str, Any]]:
+        status, payload = self._call(
+            "GET", f"/governance/status-matrix/{self._q(dataset_id)}", None
+        )
+        return list(payload.get("rows", [])) if payload else []
