@@ -39,6 +39,7 @@ HEADLINE = [
     "cosine_pairs_embeddings",
     "ann_lsh_embeddings",
     "ann_ivf_embeddings",
+    "ann_ivf_int8_embeddings",
     "knn_embeddings",
     # analytics
     "pricing_summary",

@@ -311,10 +311,17 @@ def _ivf_assign(
     id_col: str,
     vec_col: str,
     nprobe: int,
+    emit_code: bool = False,
+    emit_vec: bool = True,
 ) -> DataFrame:
     """Attach centroid list ids: (id, vec, centroid_id) — one output row per
     probed list. Arrow-batched matmul against the broadcast centroid matrix;
-    shuffle-free (narrow map)."""
+    shuffle-free (narrow map).
+
+    ``emit_code`` additionally emits the int8 scalar-quantized vector
+    (``round(x/||x|| * 127)`` per component — symmetric SQ8 on the unit
+    sphere): the quantization shares the normalisation already computed for
+    assignment, so the codes cost nothing extra here."""
     import pandas as pd
 
     sc = df.sparkSession.sparkContext
@@ -338,15 +345,27 @@ def _ivf_assign(
                 # order probes best-first for readability; ties by centroid id
                 order = np.argsort(-np.take_along_axis(sims, part, axis=1), axis=1)
                 top = np.take_along_axis(part, order, axis=1)
-            yield pd.DataFrame(
-                {
-                    "_id": np.repeat(pdf["_id"].to_numpy(), nprobe),
-                    "_vec": np.repeat(pdf["_vec"].to_numpy(), nprobe),
-                    "centroid_id": top.astype(np.int64).ravel(),
-                }
-            )
+            out = {"_id": np.repeat(pdf["_id"].to_numpy(), nprobe)}
+            if emit_vec:
+                out["_vec"] = np.repeat(pdf["_vec"].to_numpy(), nprobe)
+            out["centroid_id"] = top.astype(np.int64).ravel()
+            if emit_code:
+                codes = np.clip(np.rint(normed * 127.0), -127, 127).astype(np.int8)
+                # 1-D object array of row-arrays (np.array(list-of-equal-len)
+                # would collapse to 2-D and break the DataFrame constructor)
+                obj = np.empty(codes.shape[0], dtype=object)
+                for i in range(codes.shape[0]):
+                    obj[i] = codes[i]
+                out["_code"] = np.repeat(obj, nprobe)
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(assign, "_id long, _vec array<double>, centroid_id long")
+    schema = "_id long"
+    if emit_vec:
+        schema += ", _vec array<double>"
+    schema += ", centroid_id long"
+    if emit_code:
+        schema += ", _code array<tinyint>"
+    return src.mapInPandas(assign, schema)
 
 
 def ivf_topk(
@@ -465,6 +484,155 @@ def ivf_write_index(
         "centroid_id long, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     return centroids
+
+
+def ivf_write_index_quantized(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    train_limit: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """int8 IVF index: lists hold ONLY (id, SQ8 code), partitioned by
+    ``centroid_id`` — 8x smaller than float64 lists (4x vs float32), the
+    standard 100 TB ANN memory optimisation (FAISS IVF+SQ shape). The float
+    vectors are NOT duplicated into the index: exact rescoring joins the
+    tiny candidate set back to the source table instead. Layout:
+    ``{path}/lists/centroid_id=*/`` (id, code) + ``{path}/centroids/``."""
+    centroids = ivf_centroids(
+        corpus,
+        n_centroids=n_centroids,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        train_limit=train_limit,
+        iters=iters,
+        seed=seed,
+    )
+    assigned = _ivf_assign(
+        corpus, centroids, id_col=corpus_id, vec_col=corpus_vec, nprobe=1,
+        emit_code=True, emit_vec=False,  # codes only: halves the Arrow volume
+    )
+    (
+        assigned.select(
+            F.col("_id").alias(corpus_id), F.col("_code").alias("code"), "centroid_id"
+        )
+        # co-locate each list before the partitioned write: a few files per
+        # centroid_id dir instead of tasks x lists splinters
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/lists")
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "centroid_id long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def ivf_query_index_quantized(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    rescore_factor: int = 8,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    scale: Optional[int] = 6,
+) -> DataFrame:
+    """Top-k against an int8 IVF index: coarse candidates by integer dot
+    product over the codes, exact float rescore of the top
+    ``k * rescore_factor`` per query against the source table.
+
+    Cost shape at scale: the probed lists carry int8 codes (8x less shuffle
+    and cache than float64); the integer scoring is an Arrow-batched NumPy
+    matmul; the float vectors are touched ONLY for |queries| * k *
+    rescore_factor candidate rows — a broadcast equi-join on id against the
+    source table. Partition pruning on ``centroid_id`` applies exactly as in
+    ``ivf_query_index``. All arithmetic is integer until the rescore, so the
+    candidate set is bit-deterministic."""
+    import pandas as pd
+
+    cent_pdf = (
+        spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").toPandas()
+    )
+    centroids = np.stack(cent_pdf["centroid"].to_numpy())
+    q = _ivf_assign(
+        queries, centroids, id_col=query_id, vec_col=query_vec, nprobe=nprobe,
+        emit_code=True, emit_vec=False,
+    ).select(
+        F.col("_id").alias("q_id"),
+        F.col("_code").alias("q_code"),
+        "centroid_id",
+    )
+    probed = sorted({r.centroid_id for r in q.select("centroid_id").distinct().collect()})
+    lists = spark.read.parquet(f"{path}/lists").filter(F.col("centroid_id").isin(probed))
+    joined = (
+        F.broadcast(q)
+        .join(
+            lists.select(F.col(corpus_id).alias("n_id"), "code", "centroid_id"),
+            on="centroid_id",
+        )
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", "q_code", "code")
+    )
+
+    def int_score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf["q_code"].to_numpy()).astype(np.int32)
+            b = np.stack(pdf["code"].to_numpy()).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"].to_numpy(),
+                    "n_id": pdf["n_id"].to_numpy(),
+                    "_approx": (a * b).sum(axis=1).astype(np.int64),
+                }
+            )
+
+    scored = joined.mapInPandas(int_score, "q_id long, n_id long, _approx long")
+    wa = Window.partitionBy("q_id").orderBy(F.col("_approx").desc(), F.col("n_id").asc())
+    cand = (
+        scored.withColumn("_arank", F.row_number().over(wa))
+        .filter(F.col("_arank") <= k * rescore_factor)
+        .select("q_id", "n_id")
+    )
+    # exact rescore: candidates are tiny -> broadcast them into the source
+    # join; queries are small -> broadcast them too
+    c_float = corpus.select(
+        F.col(corpus_id).alias("n_id"), _as_double(F.col(corpus_vec)).alias("n_vec")
+    )
+    q_float = queries.select(
+        F.col(query_id).alias("q_id"), _as_double(F.col(query_vec)).alias("q_vec")
+    )
+    rescored = (
+        F.broadcast(cand)
+        .join(c_float, on="n_id")
+        .join(F.broadcast(q_float), on="q_id")
+        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("_cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("n_id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.col("rank").cast("int").alias("rank"),
+            (F.round(F.col("_cos"), scale) if scale else F.col("_cos")).alias("cosine"),
+        )
+    )
 
 
 def ivf_query_index(

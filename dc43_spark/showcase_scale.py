@@ -281,6 +281,51 @@ def _stream_src_dir(sf_dir: str) -> str:
     return d
 
 
+_IVF8_DIRS: dict[str, str] = {}
+
+
+def _ivf8_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build the int8 IVF index once per sf_dir (scratch dir, removed at
+    exit) — repeat invocations re-query the same persisted index, which is
+    exactly how a real deployment amortises the build."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    d = _IVF8_DIRS.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="dc43_ivf8_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        sim.ivf_write_index_quantized(
+            load_spread(spark, sf_dir, "embeddings"), d, n_centroids=16, seed=42
+        )
+        _IVF8_DIRS[sf_dir] = d
+    return d
+
+
+def q_ann_ivf_int8_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized IVF ANN (SQ8 codes, partition-per-list index) at FULL
+    probe with exact rescoring of the top k*8 candidates. Full probe makes
+    the candidate pool global, and the int8 coarse ranking only has to keep
+    the true top-5 inside its top-40 — verified to hold at sf0.01 and sf0.1
+    — so the exact-KNN oracle hash-checks the entire
+    write-index -> partition-prune -> int8-score -> rescore pipeline.
+    Partial-probe recall (the real approximation) is asserted in
+    tests/test_similarity_quant.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ivf_query_index_quantized(
+        spark,
+        _ivf8_index_dir(spark, sf_dir),
+        queries,
+        emb,
+        k=5,
+        nprobe=16,
+        rescore_factor=8,
+    )
+
+
 def q_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution as-of join: each purchase event matched to the same
     user's most recent view event at-or-before it (backward point-in-time
@@ -880,6 +925,7 @@ SCALE_QUERIES = {
     "cosine_pairs_embeddings": q_cosine_pairs_embeddings,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "ann_ivf_embeddings": q_ann_ivf_embeddings,
+    "ann_ivf_int8_embeddings": q_ann_ivf_int8_embeddings,
     "knn_embeddings": q_knn_embeddings,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
@@ -913,6 +959,8 @@ SCALE_ORACLES = {
     "ann_lsh_embeddings": _ann_lsh_sql(),
     # full probe == exact brute force, so the KNN oracle applies verbatim
     "ann_ivf_embeddings": _KNN_SQL,
+    # full probe + exact rescore reproduces exact KNN (see gate docstring)
+    "ann_ivf_int8_embeddings": _KNN_SQL,
     "knn_embeddings": _KNN_SQL,
     "pricing_summary": _PRICING_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,
