@@ -135,3 +135,132 @@ class FSGovernanceStore:
                 {"dataset_id": dataset_id, "dataset_version": p.stem, **json.loads(p.read_text())}
             )
         return out
+
+
+class SparkTableGovernanceStore:
+    """Governance records in Spark catalog tables — the analogue of the
+    reference's Delta-table governance store, format-agnostic (delta when the
+    runtime provides it, parquet otherwise), so verdict history lives next to
+    the data on the cluster instead of a driver-local filesystem.
+
+    Layout (``<prefix>_status`` / ``<prefix>_links`` / ``<prefix>_activity``):
+    append-only logs with a driver-side monotonic ``seq``; reads resolve
+    LATEST-WINS per key. Append + latest-wins is deliberately the scalable
+    shape — no read-modify-write on the hot path, history retained for free
+    (and trivially replaced by a MERGE under Delta)."""
+
+    def __init__(self, spark, prefix: str, *, format: str = "parquet") -> None:
+        self.spark = spark
+        self.prefix = prefix
+        self.format = format
+        self._seq = 0
+
+    def _next_seq(self) -> int:
+        self._seq += 1
+        return self._seq
+
+    @staticmethod
+    def _esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    def _ensure(self, name: str, schema: str) -> str:
+        table = f"{self.prefix}_{name}"
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {table} ({schema}) USING {self.format}"
+        )
+        return table
+
+    # -- statuses ---------------------------------------------------------
+    def _status_table(self) -> str:
+        return self._ensure(
+            "status",
+            "dataset_id STRING, dataset_version STRING, payload STRING, seq BIGINT",
+        )
+
+    def save_status(self, dataset_id, dataset_version, payload) -> None:
+        t = self._status_table()
+        doc = self._esc(json.dumps(payload, sort_keys=True, default=str))
+        self.spark.sql(
+            f"INSERT INTO {t} VALUES ('{self._esc(dataset_id)}', "
+            f"'{self._esc(dataset_version)}', '{doc}', {self._next_seq()})"
+        )
+
+    def load_status(self, dataset_id, dataset_version):
+        t = self._status_table()
+        rows = (
+            self.spark.table(t)
+            .where(
+                f"dataset_id = '{self._esc(dataset_id)}' "
+                f"AND dataset_version = '{self._esc(dataset_version)}'"
+            )
+            .orderBy("seq", ascending=False)
+            .limit(1)
+            .collect()
+        )
+        return json.loads(rows[0]["payload"]) if rows else None
+
+    # -- links ------------------------------------------------------------
+    def _links_table(self) -> str:
+        return self._ensure(
+            "links",
+            "dataset_id STRING, contract_id STRING, contract_version STRING, seq BIGINT",
+        )
+
+    def link(self, dataset_id, contract_id, contract_version) -> None:
+        t = self._links_table()
+        self.spark.sql(
+            f"INSERT INTO {t} VALUES ('{self._esc(dataset_id)}', "
+            f"'{self._esc(contract_id)}', '{self._esc(contract_version)}', "
+            f"{self._next_seq()})"
+        )
+
+    def get_link(self, dataset_id):
+        t = self._links_table()
+        rows = (
+            self.spark.table(t)
+            .where(f"dataset_id = '{self._esc(dataset_id)}'")
+            .orderBy("seq", ascending=False)
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return None
+        return {
+            "contract_id": rows[0]["contract_id"],
+            "contract_version": rows[0]["contract_version"],
+        }
+
+    # -- activity ---------------------------------------------------------
+    def _activity_table(self) -> str:
+        return self._ensure("activity", "dataset_id STRING, entry STRING, seq BIGINT")
+
+    def record_activity(self, entry) -> None:
+        t = self._activity_table()
+        doc = self._esc(json.dumps(entry, sort_keys=True, default=str))
+        ds = self._esc(str(entry.get("dataset_id", "")))
+        self.spark.sql(
+            f"INSERT INTO {t} VALUES ('{ds}', '{doc}', {self._next_seq()})"
+        )
+
+    def activity(self, dataset_id=None):
+        t = self._activity_table()
+        df = self.spark.table(t)
+        if dataset_id is not None:
+            df = df.where(f"dataset_id = '{self._esc(dataset_id)}'")
+        return [json.loads(r["entry"]) for r in df.orderBy("seq").collect()]
+
+    def status_matrix(self, dataset_id):
+        t = self._status_table()
+        rows = (
+            self.spark.table(t)
+            .where(f"dataset_id = '{self._esc(dataset_id)}'")
+            .orderBy("seq")
+            .collect()
+        )
+        latest: dict[str, dict[str, Any]] = {}
+        for r in rows:  # later seq overwrites: latest-wins per version
+            latest[r["dataset_version"]] = json.loads(r["payload"])
+        return [
+            {"dataset_id": dataset_id, "dataset_version": v, **latest[v]}
+            for v in sorted(latest)
+        ]

@@ -105,3 +105,48 @@ def test_memory_store_isolation():
     s = MemoryGovernanceStore()
     assert s.load_status("a", "b") is None
     assert s.activity() == [] and s.status_matrix("a") == []
+
+
+def test_spark_table_governance_store_roundtrip(spark):
+    from dc43_spark.governance.stores import SparkTableGovernanceStore
+
+    store = SparkTableGovernanceStore(spark, "gov_rt")
+    assert store.load_status("path:/d/orders", "1.0.0") is None
+    store.save_status("path:/d/orders", "1.0.0", {"status": "block", "ok": False})
+    store.save_status("path:/d/orders", "1.0.0", {"status": "ok", "ok": True})
+    # latest-wins on the append-only log
+    assert store.load_status("path:/d/orders", "1.0.0")["status"] == "ok"
+    store.save_status("path:/d/orders", "1.1.0", {"status": "warn", "ok": True})
+
+    store.link("path:/d/orders", "c.id", "0.9.0")
+    store.link("path:/d/orders", "c.id", "1.0.0")
+    assert store.get_link("path:/d/orders")["contract_version"] == "1.0.0"
+
+    store.record_activity({"dataset_id": "path:/d/orders", "operation": "read"})
+    store.record_activity({"dataset_id": "other", "operation": "write"})
+    assert [e["operation"] for e in store.activity("path:/d/orders")] == ["read"]
+    assert len(store.activity()) == 2
+
+    matrix = store.status_matrix("path:/d/orders")
+    assert [(r["dataset_version"], r["status"]) for r in matrix] == [
+        ("1.0.0", "ok"), ("1.1.0", "warn"),
+    ]
+
+
+def test_governance_service_over_spark_table_store(spark):
+    from dc43_spark.governance.stores import SparkTableGovernanceStore
+
+    svc = GovernanceService(
+        store=SparkTableGovernanceStore(spark, "gov_svc"),
+        clock=lambda: "2026-01-01T00:00:00+00:00",
+    )
+    svc.contract_store.put(orders_contract())
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "order_id long, amount double")
+    outcome = svc.evaluate_dataset(
+        df, svc.resolve_contract("test.orders"),
+        dataset_id="table:orders", dataset_version="1.0.0", operation="write",
+    )
+    assert outcome.validation.status == "ok"
+    assert svc.dataset_status("table:orders", "1.0.0")["status"] == "ok"
+    assert svc.dataset_contract("table:orders")["contract_id"] == "test.orders"
+    assert len(svc.pipeline_activity("table:orders")) == 1
