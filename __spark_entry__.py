@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dc43_spark import showcase, showcase_io, showcase_scale
+from dc43_spark import showcase, showcase_curation, showcase_io, showcase_scale
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -24,6 +24,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **showcase.QUERIES,
         **showcase_scale.SCALE_QUERIES,
         **showcase_io.IO_QUERIES,
+        **showcase_curation.CURATION_QUERIES,
     }
 
 
@@ -32,4 +33,5 @@ def oracle_sql() -> dict[str, str]:
         **showcase.ORACLES,
         **showcase_scale.SCALE_ORACLES,
         **showcase_io.IO_ORACLES,
+        **showcase_curation.CURATION_ORACLES,
     }

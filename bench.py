@@ -41,6 +41,11 @@ HEADLINE = [
     "ann_ivf_embeddings",
     "ann_ivf_int8_embeddings",
     "knn_embeddings",
+    # training-data curation
+    "repetition_documents",
+    "stratified_sample_documents",
+    "vocab_documents",
+    "embedding_dedup_embeddings",
     # analytics
     "pricing_summary",
     "top_customers",
@@ -81,6 +86,9 @@ COUNT_ONLY = {
     "streaming_events_hourly",
     "merge_upsert_orders",
     "versioned_read_orders",
+    "repetition_documents",
+    "stratified_sample_documents",
+    "embedding_dedup_embeddings",
 }
 
 

@@ -1,0 +1,286 @@
+"""Training-data curation operators: repetition analysis, deterministic
+sampling, corpus vocabulary, and embedding-level near-dup pruning.
+
+These are beyond-reference capabilities (the dc43 reference stops at
+contract governance); they cover the corpus-preparation stages a
+large-scale LLM data pipeline runs between ingestion and training:
+
+- ``ngram_repetition``     — Gopher-style intra-document repetition
+                             metrics (duplicate n-gram fraction, top
+                             n-gram fraction) for boilerplate/spam
+                             filtering.
+- ``hash_sample`` /
+  ``stratified_sample``    — deterministic, reproducible sampling from a
+                             md5-derived uniform bucket: the same row set
+                             is selected on every engine and every run,
+                             so ablations and holdouts are replayable.
+- ``term_counts`` /
+  ``vocab_top_terms`` /
+  ``tf_idf``               — corpus vocabulary statistics and TF-IDF
+                             weighting for tokenizer training and
+                             quality filtering.
+- ``embedding_near_dups``  — semantic (embedding-cosine) near-duplicate
+                             pruning via seeded random-hyperplane LSH
+                             buckets: the SemDeDup-shaped scale path
+                             where candidate pairs exist only inside a
+                             bucket, never all-pairs.
+
+Scale notes (100 TB):
+- repetition/vocab ops explode tokens then aggregate with map-side
+  combine — shuffle volume is bounded by the token stream, and the
+  second-stage keys (doc_id / term) are high-cardinality and uniform;
+- sampling is a narrow filter (zero shuffle) and composes with partition
+  pruning;
+- embedding dedup shuffles on the LSH bucket id, so cluster-local
+  cosine work replaces the quadratic all-pairs join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dc43_spark.functions.dedup import token_shingles
+from dc43_spark.functions.similarity import bucket_id, cosine, hyperplanes
+from dc43_spark.functions.text import tokens
+
+#: denominator for micro-unit ratios and sampling buckets (1e6 = ppm).
+MICRO = 1_000_000
+
+
+def micro_ratio(num: Column, den: Column) -> Column:
+    """round(num/den * 1e6) half-up, exactly, in BIGINT arithmetic.
+
+    Cross-engine stable where ``round(double, n)`` is not: Spark rounds
+    the shortest decimal repr of a double while DuckDB rounds the exact
+    binary value, so ratios in gate outputs are always emitted through
+    this helper (DuckDB twin: ``(2*num*1000000 + den) // (2*den)``)."""
+    return ((F.lit(2) * num * F.lit(MICRO) + den) / (F.lit(2) * den)).cast("long")
+
+
+# ------------------------------------------------------------ repetition
+
+
+def ngram_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition metrics per document.
+
+    Output: (id, n_ngrams, n_distinct, dup_micro, top_micro) where
+    ``dup_micro`` is the fraction of n-grams that are repeats of an
+    earlier occurrence (1 - distinct/total) and ``top_micro`` is the
+    fraction claimed by the single most frequent n-gram — the two
+    classic boilerplate/template detectors.
+
+    Shape: explode n-grams (with multiplicity) -> count per (doc, gram)
+    -> per-doc totals. Both aggregations partial-combine map-side; the
+    shuffle key (doc_id, gram) is high-cardinality and uniform, so this
+    survives arbitrarily long documents where a per-row O(len^2)
+    mode-of-array expression would not.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(token_shingles(text_col, n, distinct=False)).alias("_sh"),
+    )
+    per_gram = sh.groupBy(id_col, "_sh").agg(F.count(F.lit(1)).alias("_c"))
+    totals = per_gram.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_ngrams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("_c").cast("long").alias("_top"),
+    )
+    return totals.select(
+        F.col(id_col),
+        "n_ngrams",
+        "n_distinct",
+        micro_ratio(F.col("n_ngrams") - F.col("n_distinct"), F.col("n_ngrams")).alias(
+            "dup_micro"
+        ),
+        micro_ratio(F.col("_top"), F.col("n_ngrams")).alias("top_micro"),
+    )
+
+
+# -------------------------------------------------------------- sampling
+
+
+def sample_bucket(key: Column | str, *, seed: str = "dc43") -> Column:
+    """Deterministic uniform bucket in [0, 1e6) from md5(seed|key).
+
+    48 bits of the md5 prefix mod 1e6 — modulo bias ~2^-28, irrelevant
+    for sampling. Pure JVM expression, zero shuffle, and byte-identical
+    in any engine with md5 (DuckDB twin:
+    ``('0x' || substr(md5(seed || '|' || key::VARCHAR), 1, 12))::BIGINT
+    % 1000000``)."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed), c.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    return h % MICRO
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, *, seed: str = "dc43"
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows keyed on ``key_col``.
+
+    Unlike ``df.sample()`` this is stable across runs, partitionings and
+    engines — the reproducibility contract a training-data pipeline
+    needs for holdouts and ablations. Rows with the same key always land
+    on the same side of the cut."""
+    return df.filter(sample_bucket(key_col, seed=seed) < int(round(rate * MICRO)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 0.0,
+    seed: str = "dc43",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. rebalance languages).
+
+    ``rates`` maps stratum value -> keep fraction; strata not listed get
+    ``default_rate``. A narrow filter — zero shuffle — so it composes
+    with partition pruning when the data is partitioned by the stratum."""
+    threshold: Column = F.lit(int(round(default_rate * MICRO)))
+    for value in sorted(rates):  # deterministic CASE order
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(round(rates[value] * MICRO)))
+        ).otherwise(threshold)
+    return df.filter(sample_bucket(key_col, seed=seed) < threshold)
+
+
+# ------------------------------------------------------------ vocabulary
+
+
+def term_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, tf, df): corpus term frequency + document frequency.
+
+    Two sequential partial-aggregated shuffles — (id, term) then (term) —
+    instead of a single ``count + countDistinct`` aggregate, which would
+    plan an Expand doubling the shuffle volume."""
+    t = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    per_doc = t.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
+    return per_doc.groupBy("term").agg(
+        F.sum("_tf").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+
+
+def vocab_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    top_n: int = 100,
+) -> DataFrame:
+    """Top-N corpus terms by frequency, deterministically tie-broken
+    (tf DESC, term ASC) so the result set is engine-stable. This is the
+    vocabulary-building primitive for tokenizer training."""
+    return (
+        term_counts(df, text_col, id_col)
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(top_n)
+    )
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_df: int = 1,
+) -> DataFrame:
+    """(id, term, tf, df, tfidf): per-document TF-IDF weights.
+
+    tfidf = tf * ln(N / df) with N the corpus document count, carried as
+    a broadcast 1-row aggregate (no driver collect, single job). Term
+    document-frequencies join back by term — a shuffle join keyed on the
+    term, skew-bounded because ``min_df`` prunes the head only if asked;
+    stopword-scale terms stay uniform enough for AQE to split."""
+    t = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    per_doc = t.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    doc_freq = per_doc.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    if min_df > 1:
+        doc_freq = doc_freq.filter(F.col("df") >= min_df)
+    n_docs = df.agg(F.countDistinct(id_col).cast("double").alias("_n"))
+    return (
+        per_doc.join(doc_freq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("_n") / F.col("df"))).alias("tfidf"),
+        )
+    )
+
+
+# ------------------------------------------- embedding near-dup pruning
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    *,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 42,
+    multi_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Semantic near-duplicates: (vec_id, dup_of, cosine) for every vector
+    that shares an LSH bucket with a LOWER-id vector at cosine >=
+    ``threshold``; ``dup_of`` is the lowest such neighbour. Dropping the
+    returned ``vec_id`` rows keeps one canonical representative per
+    detected near-dup pair — the SemDeDup-shaped pruning step.
+
+    Scale shape: bucket ids from ``n_planes`` seeded hyperplanes are the
+    equi-join key, so cosine is evaluated only inside buckets (plus
+    Hamming-1 probes when ``multi_probe``), never all-pairs. Determinism:
+    seeded hyperplane literals + half-up-stable rounding make the output
+    exactly reproducible (and exactly oracle-checkable) despite LSH being
+    an approximation of the all-pairs semantics."""
+    if dim is None:
+        dim = int(df.select(F.size(vec_col)).first()[0])
+    planes = hyperplanes(dim, n_planes, seed=seed)
+    vecs = df.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).cast("array<double>").alias("n_vec"),
+    ).withColumn("bucket", bucket_id(F.col("n_vec"), planes))
+    q = vecs.select(
+        F.col("n_id").alias("q_id"), F.col("n_vec").alias("q_vec"), "bucket"
+    )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+    pairs = (
+        q.join(vecs, on="bucket")
+        .filter(F.col("q_id") > F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), scale).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= threshold)
+        .distinct()  # multi-probe can surface the same pair via several buckets
+    )
+    return pairs.groupBy("q_id").agg(
+        F.min("n_id").alias("dup_of"),
+        F.min_by("_cos", "n_id").alias("cosine"),
+    ).select(F.col("q_id").alias(id_col), "dup_of", "cosine")

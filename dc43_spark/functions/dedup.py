@@ -79,8 +79,10 @@ def keep_canonical(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 # ------------------------------------------------------------- shingling
 
 
-def token_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct n-token shingles (space-joined) as array<string>.
+def token_shingles(col: Column | str, n: int = 3, *, distinct: bool = True) -> Column:
+    """n-token shingles (space-joined) as array<string> — distinct by default
+    (the MinHash/Jaccard input), or with multiplicity (``distinct=False``,
+    the repetition-analysis input).
 
     Documents shorter than ``n`` tokens yield a single shingle of the whole
     text so they still participate in hashing.
@@ -102,7 +104,7 @@ def token_shingles(col: Column | str, n: int = 3) -> Column:
             ),
         )
         return F.when(F.size(t) < n, F.array(joined)).otherwise(
-            F.array_distinct(shingled)
+            F.array_distinct(shingled) if distinct else shingled
         )
 
     return F.element_at(F.transform(F.array(toks), build), 1)

@@ -1,0 +1,171 @@
+"""Gate queries for the training-data curation operators
+(functions/curation.py), each with a DuckDB oracle.
+
+Cross-engine determinism follows the house rules (see showcase_scale):
+ratios as BIGINT micro-units, hashes from md5 prefixes, seeded
+hyperplane literals shared verbatim with the oracle, total tie-breaks on
+every top-N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dc43_spark.functions import curation as cu
+from dc43_spark.functions.similarity import hyperplanes
+from dc43_spark.showcase import load_spread
+from dc43_spark.showcase_scale import EMB_DIM, LSH_SEED, N_PLANES
+
+#: per-language keep rates for the stratified-sampling gate — rebalances
+#: the en-heavy synthetic corpus, exercises every stratum plus a default.
+SAMPLE_RATES = {"de": 0.75, "en": 0.5, "es": 0.25, "fr": 0.25, "zh": 0.1}
+SAMPLE_SEED = "dc43"
+
+#: embedding near-dup threshold — the synthetic corpus tops out at ~0.51
+#: pairwise cosine, so 0.45 yields a real (non-empty, non-trivial) set.
+EMB_DUP_THRESHOLD = 0.45
+
+
+def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics: duplicate-trigram and top-trigram
+    fractions per document (boilerplate/template detector)."""
+    return cu.ngram_repetition(load_spread(spark, sf_dir, "documents"), n=3)
+
+
+def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling; emits the bucket so the gate
+    pins the hash itself, not just the selected row set."""
+    df = load_spread(spark, sf_dir, "documents")
+    sampled = cu.stratified_sample(
+        df, "doc_id", "lang", SAMPLE_RATES, seed=SAMPLE_SEED
+    )
+    return sampled.select(
+        "doc_id",
+        "lang",
+        cu.sample_bucket("doc_id", seed=SAMPLE_SEED).alias("bucket"),
+    )
+
+
+def q_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary with corpus/document frequencies."""
+    return cu.vocab_top_terms(load_spread(spark, sf_dir, "documents"), top_n=100)
+
+
+def q_embedding_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pruning via seeded-hyperplane LSH buckets: every
+    vector with a lower-id bucket-mate at cosine >= 0.45, with its
+    canonical representative. Bucket-local work only — the scale-safe
+    form of the all-pairs `cosine_pairs` baseline gate."""
+    return cu.embedding_near_dups(
+        load_spread(spark, sf_dir, "embeddings"),
+        threshold=EMB_DUP_THRESHOLD,
+        n_planes=N_PLANES,
+        seed=LSH_SEED,
+        dim=EMB_DIM,
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+_REPETITION_SQL = """
+WITH s0 AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS s FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(s) < 3 THEN [array_to_string(s, ' ')]
+              ELSE [ s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                     for i in range(1, len(s) - 1) ]
+         END AS shingles
+  FROM s0
+), t AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM sh
+), g AS (
+  SELECT doc_id, sh, count(*) AS c FROM t GROUP BY 1, 2
+), a AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_ngrams,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_c
+  FROM g GROUP BY doc_id
+)
+SELECT doc_id, n_ngrams, n_distinct,
+  (2 * (n_ngrams - n_distinct) * 1000000 + n_ngrams) // (2 * n_ngrams) AS dup_micro,
+  (2 * top_c * 1000000 + n_ngrams) // (2 * n_ngrams) AS top_micro
+FROM a
+"""
+
+
+def _stratified_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {int(round(rate * cu.MICRO))}"
+        for lang, rate in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5('{SAMPLE_SEED}|' || doc_id::VARCHAR), 1, 12))::BIGINT
+      % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < CASE lang {cases} ELSE 0 END
+"""
+
+
+_VOCAB_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents
+), p AS (
+  SELECT doc_id, term, count(*) AS n FROM t GROUP BY 1, 2
+), g AS (
+  SELECT term, CAST(sum(n) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
+  FROM p GROUP BY term
+)
+SELECT term, tf, df FROM g ORDER BY tf DESC, term ASC LIMIT 100
+"""
+
+
+def _embedding_dedup_sql() -> str:
+    """Replicates embedding_near_dups bit-for-bit: same seeded hyperplane
+    literals, bit packing, Hamming-1 multi-probe, rounding and
+    tie-breaks (the _ann_lsh_sql pattern)."""
+    planes = hyperplanes(EMB_DIM, N_PLANES, seed=LSH_SEED)
+    bucket = " + ".join(
+        "((CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in plane)
+        + f"]) > 0 THEN 1 ELSE 0 END)::BIGINT << {i})"
+        for i, plane in enumerate(planes)
+    )
+    probes = ", ".join(f"xor(bucket, {1 << i})" for i in range(N_PLANES))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS q_id, v AS q_vec,
+             unnest([bucket, {probes}]) AS bucket
+      FROM b),
+pairs AS (
+  SELECT DISTINCT q_id, c.vec_id AS n_id,
+         round(list_cosine_similarity(q_vec, c.v), 6) AS cos
+  FROM q JOIN b c USING (bucket)
+  WHERE q_id > c.vec_id
+    AND round(list_cosine_similarity(q_vec, c.v), 6) >= {EMB_DUP_THRESHOLD}
+)
+SELECT q_id AS vec_id, min(n_id) AS dup_of, arg_min(cos, n_id) AS cosine
+FROM pairs GROUP BY q_id
+"""
+
+
+CURATION_QUERIES = {
+    "repetition_documents": q_repetition_documents,
+    "stratified_sample_documents": q_stratified_sample_documents,
+    "vocab_documents": q_vocab_documents,
+    "embedding_dedup_embeddings": q_embedding_dedup_embeddings,
+}
+
+CURATION_ORACLES = {
+    "repetition_documents": _REPETITION_SQL,
+    "stratified_sample_documents": _stratified_sample_sql(),
+    "vocab_documents": _VOCAB_SQL,
+    "embedding_dedup_embeddings": _embedding_dedup_sql(),
+}

@@ -70,3 +70,38 @@ def test_events_rollup_single_scan_with_expand(spark):
     plan = plan_string(q_events_rollup(spark, SF_DIR), "simple")
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan  # grouping sets, not a union of three aggs
+
+
+def test_stratified_sample_zero_shuffle_and_pruned_scan(spark):
+    """Sampling is a narrow filter: no shuffle, and the text column never
+    leaves the parquet scan."""
+    from dc43_spark.showcase_curation import q_stratified_sample_documents
+
+    df = q_stratified_sample_documents(spark, SF_DIR)
+    assert shuffle_exchanges(df) == 0
+    read_schema = [
+        ln for ln in plan_string(df, "formatted").splitlines() if "ReadSchema" in ln
+    ]
+    assert read_schema and "text" not in read_schema[0]
+
+
+def test_repetition_two_partial_aggregated_shuffles(spark):
+    """(doc, gram) then (doc): both stages partial-aggregate map-side, one
+    parquet scan feeds everything."""
+    from dc43_spark.showcase_curation import q_repetition_documents
+
+    df = q_repetition_documents(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert shuffle_exchanges(df) == 2
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("partial_") >= 2  # map-side combine on both aggregations
+
+
+def test_embedding_dedup_joins_on_bucket_not_all_pairs(spark):
+    """The LSH rewrite must plan a hash equi-join on the bucket id — never
+    a nested-loop/cartesian over vector pairs."""
+    from dc43_spark.showcase_curation import q_embedding_dedup_embeddings
+
+    plan = plan_string(q_embedding_dedup_embeddings(spark, SF_DIR), "simple")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "bucket" in plan
