@@ -11,7 +11,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dc43_spark import showcase, showcase_curation, showcase_io, showcase_scale
+from dc43_spark import (
+    showcase,
+    showcase_curation,
+    showcase_governance,
+    showcase_io,
+    showcase_scale,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,6 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **showcase_scale.SCALE_QUERIES,
         **showcase_io.IO_QUERIES,
         **showcase_curation.CURATION_QUERIES,
+        **showcase_governance.GOVERNANCE_QUERIES,
     }
 
 
@@ -34,4 +41,5 @@ def oracle_sql() -> dict[str, str]:
         **showcase_scale.SCALE_ORACLES,
         **showcase_io.IO_ORACLES,
         **showcase_curation.CURATION_ORACLES,
+        **showcase_governance.GOVERNANCE_ORACLES,
     }

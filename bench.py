@@ -45,6 +45,9 @@ HEADLINE = [
     "repetition_documents",
     "stratified_sample_documents",
     "vocab_documents",
+    "chunk_documents",
+    "contamination_documents",
+    "packed_chunks_documents",
     "embedding_dedup_embeddings",
     # analytics
     "pricing_summary",
@@ -60,6 +63,8 @@ HEADLINE = [
     # governed IO (write + merge + versioned read round-trips)
     "merge_upsert_orders",
     "versioned_read_orders",
+    # governance orchestration (metrics -> verdict -> stores -> read-back)
+    "governance_verdict_orders",
 ]
 
 # row-set queries are counted (materialise without driver transfer);
@@ -89,6 +94,9 @@ COUNT_ONLY = {
     "repetition_documents",
     "stratified_sample_documents",
     "embedding_dedup_embeddings",
+    "chunk_documents",
+    "contamination_documents",
+    "packed_chunks_documents",
 }
 
 

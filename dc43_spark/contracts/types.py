@@ -28,6 +28,7 @@ _SIMPLE_TYPES: dict[str, T.DataType] = {
     "boolean": T.BooleanType(),
     "date": T.DateType(),
     "timestamp": T.TimestampType(),
+    "timestamp_ntz": T.TimestampNTZType(),
     "binary": T.BinaryType(),
 }
 
@@ -89,6 +90,7 @@ def spark_to_odcs_type(dtype: T.DataType) -> str:
         T.BooleanType: "boolean",
         T.DateType: "date",
         T.TimestampType: "timestamp",
+        T.TimestampNTZType: "timestamp_ntz",
         T.BinaryType: "binary",
     }
     name = reverse.get(type(dtype))
@@ -118,6 +120,12 @@ def types_compatible(expected: str, observed: str, *, strict: bool = False) -> b
         "int": {"smallint", "tinyint"},
         "smallint": {"tinyint"},
         "double": {"float"},
+        # Spark 4 reads parquet TIMESTAMP (isAdjustedToUTC=false) as
+        # TIMESTAMP_NTZ; the two differ only in zone semantics, so either
+        # satisfies a contract declaring the other — surfaced as a widening
+        # warning by evaluate_contract, never a block.
+        "timestamp": {"timestamp_ntz"},
+        "timestamp_ntz": {"timestamp"},
     }
     return co in widening.get(ce, set())
 

@@ -37,7 +37,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dc43_spark.functions.dedup import token_shingles
@@ -223,6 +223,149 @@ def tf_idf(
             "df",
             (F.col("tf") * F.log(F.col("_n") / F.col("df"))).alias("tfidf"),
         )
+    )
+
+
+# -------------------------------------------------------------- chunking
+
+
+def token_chunks(
+    col: Column | str, *, chunk_size: int = 128, overlap: int = 32
+) -> Column:
+    """Overlapping token windows as array<struct<chunk_idx, chunk_text,
+    n_tokens>> — the pre-training chunking primitive (split long documents
+    into model-context-sized pieces, keep ``overlap`` tokens of continuity
+    between neighbours).
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_size) with
+    stride = chunk_size - overlap; the last chunk may be short; empty
+    documents produce no chunks. Pure array expressions — one tokenizer
+    run per document (bound via the one-element-transform trick), zero
+    shuffle."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(col)
+
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        starts = F.filter(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+            lambda s: s < n,
+        )
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / stride).cast("long").alias("chunk_idx"),
+                F.array_join(F.slice(t, s + 1, chunk_size), " ").alias("chunk_text"),
+                F.least(F.lit(chunk_size).cast("long"), (n - s).cast("long")).alias(
+                    "n_tokens"
+                ),
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(toks), build), 1)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    chunk_size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Explode documents into overlapping training chunks:
+    (id, chunk_idx, chunk_text, n_tokens), one row per chunk.
+
+    Narrow generator (explode of a per-row array) — no shuffle; output
+    partitioning inherits the input, so a downstream repartition or
+    write stays the only exchange."""
+    ch = token_chunks(text_col, chunk_size=chunk_size, overlap=overlap)
+    return df.select(F.col(id_col), F.explode(ch).alias("_c")).select(
+        id_col, "_c.chunk_idx", "_c.chunk_text", "_c.n_tokens"
+    )
+
+
+# ------------------------------------------------------- decontamination
+
+
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 3,
+    min_overlap: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Train/test leakage detector: (doc_id, bench_id, n_shared) for every
+    corpus document sharing >= ``min_overlap`` distinct n-gram shingles
+    with a benchmark item — the standard decontamination pass before
+    training on scraped data.
+
+    Scale shape: benchmark sets are tiny relative to a 100 TB corpus, so
+    the exploded benchmark shingles are BROADCAST; the corpus side stays
+    a narrow explode feeding a broadcast hash join (zero shuffle of
+    corpus data) and a (doc, bench) partial-agg count."""
+    corpus_sh = df.select(
+        F.col(id_col), F.explode(token_shingles(text_col, n)).alias("_sh")
+    )
+    bench_sh = benchmark.select(
+        F.col(bench_id_col), F.explode(token_shingles(bench_text_col, n)).alias("_sh")
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), on="_sh")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
+# ------------------------------------------------------ sequence packing
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    *,
+    budget: int,
+    shards: int = 32,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tok_col: str = "n_tokens",
+    shard_expr: Column | None = None,
+) -> DataFrame:
+    """Concat-and-chop sequence packing plan: assign every chunk a
+    (shard, bin_id, tok_offset) so training examples are built by
+    concatenating each bin's chunks in order — the standard pretraining
+    packing that wastes no context ("chop at every ``budget`` tokens").
+
+    Chunks are sharded deterministically (hash of the doc id mod
+    ``shards``) and packed shard-locally with one window cumsum, so the
+    only state is per-shard — at cluster scale each shard's window runs
+    partition-local instead of forcing a single global ordering. A bin
+    holds chunks from MANY documents (that is the point: short documents
+    fill context that would otherwise be padding); the chunk straddling a
+    boundary starts the next example, matching chop-style packing.
+
+    ``shard_expr`` overrides the shard hash (default xxhash64 — fastest
+    JVM-side; pass a ``sample_bucket``-based expression when the plan
+    must be replicated on an engine without xxhash64)."""
+    if shard_expr is None:
+        shard_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+    shard = shard_expr.cast("long").alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col), F.col(idx_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tok_col).over(w), F.lit(0).cast("long"))
+    return (
+        chunks.select("*", shard)
+        .withColumn("tok_offset", before)
+        .withColumn("bin_id", (F.col("tok_offset") / budget).cast("long"))
     )
 
 

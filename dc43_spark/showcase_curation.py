@@ -52,6 +52,51 @@ def q_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.vocab_top_terms(load_spread(spark, sf_dir, "documents"), top_n=100)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping training chunks (32-token windows, 8-token overlap —
+    sized to the synthetic docs' ~30-60 tokens so most emit 2-3 chunks)."""
+    return cu.chunk_documents(
+        load_spread(spark, sf_dir, "documents"), chunk_size=32, overlap=8
+    )
+
+
+#: "benchmark" = every 97th document — a deterministic holdout standing in
+#: for a test set; the corpus side excludes it (self-matches are not leaks).
+BENCH_MOD = 97
+PACK_BUDGET = 64
+PACK_SHARDS = 8
+PACK_SEED = "pack"
+
+
+def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: corpus documents sharing >=3 distinct trigram
+    shingles with any benchmark item (broadcast benchmark inverted
+    index)."""
+    docs = load_spread(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    )
+    corpus = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return cu.ngram_contamination(corpus, bench, n=3, min_overlap=3)
+
+
+def q_packed_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop packing plan over the 32-token chunks: shard ->
+    in-shard token offsets -> 64-token training bins. The md5 shard hash
+    replaces the default xxhash64 so the oracle can replicate it."""
+    chunks = cu.chunk_documents(
+        load_spread(spark, sf_dir, "documents"), chunk_size=32, overlap=8
+    )
+    shard = cu.sample_bucket("doc_id", seed=PACK_SEED) % PACK_SHARDS
+    packed = cu.pack_chunks(
+        chunks, budget=PACK_BUDGET, shards=PACK_SHARDS, shard_expr=shard
+    )
+    return packed.select(
+        "doc_id", "chunk_idx", "n_tokens", "shard", "tok_offset", "bin_id"
+    )
+
+
 def q_embedding_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pruning via seeded-hyperplane LSH buckets: every
     vector with a lower-id bucket-mate at cosine >= 0.45, with its
@@ -156,10 +201,78 @@ FROM pairs GROUP BY q_id
 """
 
 
+# chunk_size=32, stride=24 — DuckDB list slicing s[a:b] is 1-based inclusive,
+# so s[start+1 : start+32] is exactly the 32-token window.
+_CHUNK_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS s FROM documents
+), c AS (
+  SELECT doc_id, s, unnest(range(0, len(s), 24)) AS start FROM t
+)
+SELECT doc_id,
+  CAST(start // 24 AS BIGINT) AS chunk_idx,
+  array_to_string(s[start + 1 : start + 32], ' ') AS chunk_text,
+  CAST(least(32, len(s) - start) AS BIGINT) AS n_tokens
+FROM c
+"""
+
+_CONTAMINATION_SQL = f"""
+WITH s0 AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS s FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(s) < 3 THEN [array_to_string(s, ' ')]
+              ELSE list_distinct([ s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                                   for i in range(1, len(s) - 1) ])
+         END AS shingles
+  FROM s0
+), t AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM sh
+), c AS (
+  SELECT doc_id, sh FROM t WHERE doc_id % {BENCH_MOD} <> 0
+), b AS (
+  SELECT doc_id AS bench_id, sh FROM t WHERE doc_id % {BENCH_MOD} = 0
+)
+SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM c JOIN b USING (sh)
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+_PACKED_CHUNKS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS s FROM documents
+), c AS (
+  SELECT doc_id, s, unnest(range(0, len(s), 24)) AS start FROM t
+), ch AS (
+  SELECT doc_id,
+    CAST(start // 24 AS BIGINT) AS chunk_idx,
+    CAST(least(32, len(s) - start) AS BIGINT) AS n_tokens
+  FROM c
+), sharded AS (
+  SELECT *,
+    (('0x' || substr(md5('{PACK_SEED}|' || doc_id::VARCHAR), 1, 12))::BIGINT
+      % 1000000) % {PACK_SHARDS} AS shard
+  FROM ch
+), w AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id, chunk_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+  FROM sharded
+)
+SELECT doc_id, chunk_idx, n_tokens,
+  CAST(shard AS BIGINT) AS shard,
+  CAST(tok_offset AS BIGINT) AS tok_offset,
+  CAST(tok_offset // {PACK_BUDGET} AS BIGINT) AS bin_id
+FROM w
+"""
+
 CURATION_QUERIES = {
     "repetition_documents": q_repetition_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "vocab_documents": q_vocab_documents,
+    "chunk_documents": q_chunk_documents,
+    "contamination_documents": q_contamination_documents,
+    "packed_chunks_documents": q_packed_chunks_documents,
     "embedding_dedup_embeddings": q_embedding_dedup_embeddings,
 }
 
@@ -167,5 +280,8 @@ CURATION_ORACLES = {
     "repetition_documents": _REPETITION_SQL,
     "stratified_sample_documents": _stratified_sample_sql(),
     "vocab_documents": _VOCAB_SQL,
+    "chunk_documents": _CHUNK_SQL,
+    "contamination_documents": _CONTAMINATION_SQL,
+    "packed_chunks_documents": _PACKED_CHUNKS_SQL,
     "embedding_dedup_embeddings": _embedding_dedup_sql(),
 }

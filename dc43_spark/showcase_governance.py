@@ -1,0 +1,182 @@
+"""Gate query for the governance orchestration surface: a full
+``GovernanceService.evaluate_dataset`` round-trip (metrics kernel ->
+verdict -> status/link/activity persisted to stores -> read back),
+emitted as rows a static DuckDB oracle over ``orders`` predicts exactly.
+
+r1 left §2.7 driver-gate-free; this puts the orchestrator itself under
+the oracle. Two evaluations run per invocation:
+
+- ``orders_read``  — the standard orders contract on READ. Clean data at
+  gate SFs, so the verdict path exercised is rule-pass -> ok.
+- ``orders_write`` — a deliberately strict contract on WRITE (enum
+  narrowed to F/O, price floor 100000, an optional-severity priority
+  regex). Rule violations escalate to errors on write (ref
+  governance/backend/local.py:1958-2016 asymmetry) -> block, while the
+  optional rule lands in warnings.
+
+The oracle re-derives every output column from the violation counts with
+the same verdict algebra, so it stays correct at ANY scale factor — the
+gate pins behaviour, not a frozen answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dc43_spark.contracts.model import Contract, QualityRule, SchemaObject, SchemaProperty
+from dc43_spark.governance.orchestrator import GovernanceService
+from dc43_spark.showcase import ORDER_STATUS, ORDERS_PRED_SQL, orders_contract, load_spread
+
+STRICT_ENUM = ["F", "O"]  # 'P' rows violate
+STRICT_PRICE_FLOOR = 100000.0
+STRICT_PRIORITY_RE = "^1-URGENT$"
+
+
+def strict_orders_contract() -> Contract:
+    """Write-side contract engineered to trip the verdict asymmetry."""
+    return Contract(
+        id="driver.orders.strict",
+        version="0.1.0",
+        schema_objects=[
+            SchemaObject(
+                name="orders",
+                properties=[
+                    SchemaProperty("o_orderkey", "bigint", required=True, unique=True),
+                    SchemaProperty(
+                        "o_orderstatus", "string", required=True,
+                        quality=[QualityRule("enum", STRICT_ENUM)],
+                    ),
+                    SchemaProperty(
+                        "o_totalprice", "double", required=True,
+                        quality=[QualityRule("gt", STRICT_PRICE_FLOOR)],
+                    ),
+                    SchemaProperty(
+                        "o_orderpriority", "string", required=True,
+                        quality=[
+                            QualityRule("regex", STRICT_PRIORITY_RE, severity="warning")
+                        ],
+                    ),
+                ],
+            )
+        ],
+    )
+
+
+def q_governance_verdict_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orchestrate two dataset evaluations end-to-end and surface what the
+    governance STORE recorded (not the in-flight objects): one row per
+    evaluation, every column re-derivable from SQL over ``orders``."""
+    df = load_spread(spark, sf_dir, "orders")
+    svc = GovernanceService()
+    outcomes = {
+        "orders_read": svc.evaluate_dataset(
+            df, orders_contract(), dataset_id="orders_read", operation="read"
+        ),
+        "orders_write": svc.evaluate_dataset(
+            df, strict_orders_contract(), dataset_id="orders_write", operation="write"
+        ),
+    }
+    rows = []
+    for dataset_id in sorted(outcomes):
+        stored = svc.dataset_status(dataset_id, "latest")  # store read-back
+        link = svc.dataset_contract(dataset_id)
+        outcome = outcomes[dataset_id]
+        rows.append(
+            (
+                dataset_id,
+                stored["operation"],
+                link["contract_id"] if link is not None else stored["contract_id"],
+                stored["status"],
+                bool(stored["ok"]),
+                len(stored["errors"]),
+                len(stored["warnings"]),
+                int(outcome.validation.details["blocking_violations"]),
+                int(stored["metrics"]["row_count"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "dataset_id string, operation string, contract_id string, status string, "
+        "ok boolean, n_errors long, n_warnings long, blocking_violations long, "
+        "row_count long",
+    )
+
+
+def _governance_verdict_sql() -> str:
+    """Verdict algebra in SQL: count violated KEYS by class, then apply the
+    same escalation rules as evaluate_contract (validation.py:96-119)."""
+    enum_all = ", ".join(f"'{s}'" for s in ORDER_STATUS)
+    strict_enum = ", ".join(f"'{s}'" for s in STRICT_ENUM)
+    not_nulls = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    nn_counts = " + ".join(
+        f"CASE WHEN sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END"
+        for c in not_nulls
+    )
+    uniq = (
+        "count(*) - (count(DISTINCT o_orderkey) + "
+        "CASE WHEN count(*) - count(o_orderkey) > 0 THEN 1 ELSE 0 END)"
+    )
+    # per-rule violated-ROW counts for both contracts
+    base = f"""
+  SELECT count(*) AS rc,
+    {nn_counts} AS nn_keys,
+    {uniq} AS v_uq,
+    sum(CASE WHEN NOT ({ORDERS_PRED_SQL['enum_o_orderstatus']}) THEN 1 ELSE 0 END) AS v_enum_r,
+    sum(CASE WHEN NOT ({ORDERS_PRED_SQL['gt_o_totalprice']}) THEN 1 ELSE 0 END) AS v_gt_r,
+    sum(CASE WHEN NOT ({ORDERS_PRED_SQL['regex_o_orderpriority']}) THEN 1 ELSE 0 END) AS v_rx_r,
+    sum(CASE WHEN NOT (o_orderstatus IN ({strict_enum})) THEN 1 ELSE 0 END) AS v_enum_w,
+    sum(CASE WHEN NOT (o_totalprice > {STRICT_PRICE_FLOOR}) THEN 1 ELSE 0 END) AS v_gt_w,
+    sum(CASE WHEN NOT (regexp_matches(o_orderpriority, '{STRICT_PRIORITY_RE}')) THEN 1 ELSE 0 END) AS v_rx_w
+  FROM orders
+"""
+    # the constant +1 warning / forced-warn floor: the parquet o_orderdate is
+    # TIMESTAMP_NTZ while the contract declares timestamp — a type-widening
+    # warning by design (types.py), present at every scale factor.
+    read_row = """
+SELECT 'orders_read' AS dataset_id, 'read' AS operation,
+  'driver.orders' AS contract_id,
+  CASE WHEN nn_keys > 0 THEN 'block' ELSE 'warn' END AS status,
+  nn_keys = 0 AS ok,
+  CAST(nn_keys AS BIGINT) AS n_errors,
+  CAST(1 + CASE WHEN v_uq > 0 THEN 1 ELSE 0 END
+     + CASE WHEN v_enum_r > 0 THEN 1 ELSE 0 END
+     + CASE WHEN v_gt_r > 0 THEN 1 ELSE 0 END
+     + CASE WHEN v_rx_r > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_warnings,
+  CAST(v_uq + v_enum_r + v_gt_r + v_rx_r AS BIGINT) AS blocking_violations,
+  CAST(rc AS BIGINT) AS row_count
+FROM m
+"""
+    # strict contract tracks 4 not-null columns only (its schema), all clean;
+    # on WRITE every violated non-optional rule key is an error.
+    write_row = """
+SELECT 'orders_write' AS dataset_id, 'write' AS operation,
+  'driver.orders.strict' AS contract_id,
+  CASE WHEN (CASE WHEN v_uq > 0 THEN 1 ELSE 0 END
+           + CASE WHEN v_enum_w > 0 THEN 1 ELSE 0 END
+           + CASE WHEN v_gt_w > 0 THEN 1 ELSE 0 END) > 0 THEN 'block'
+       WHEN v_rx_w > 0 THEN 'warn'
+       ELSE 'ok' END AS status,
+  (CASE WHEN v_uq > 0 THEN 1 ELSE 0 END
+ + CASE WHEN v_enum_w > 0 THEN 1 ELSE 0 END
+ + CASE WHEN v_gt_w > 0 THEN 1 ELSE 0 END) = 0 AS ok,
+  CAST(CASE WHEN v_uq > 0 THEN 1 ELSE 0 END
+     + CASE WHEN v_enum_w > 0 THEN 1 ELSE 0 END
+     + CASE WHEN v_gt_w > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_errors,
+  CAST(CASE WHEN v_rx_w > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_warnings,
+  CAST(v_uq + v_enum_w + v_gt_w AS BIGINT) AS blocking_violations,
+  CAST(rc AS BIGINT) AS row_count
+FROM m
+"""
+    return f"WITH m AS ({base})\n{read_row}\nUNION ALL\n{write_row}"
+
+
+GOVERNANCE_QUERIES = {
+    "governance_verdict_orders": q_governance_verdict_orders,
+}
+
+GOVERNANCE_ORACLES = {
+    "governance_verdict_orders": _governance_verdict_sql(),
+}

@@ -84,6 +84,15 @@ def test_types_compatible():
     assert not types_compatible("string", "int")
 
 
+def test_timestamp_ntz_widens_not_blocks():
+    # Spark 4 surfaces parquet TIMESTAMP as timestamp_ntz; either direction
+    # is a widening (warn), never a mismatch (block)
+    assert types_compatible("timestamp", "timestamp_ntz")
+    assert types_compatible("timestamp_ntz", "timestamp")
+    assert not types_compatible("timestamp", "timestamp_ntz", strict=True)
+    assert not types_compatible("timestamp", "date")
+
+
 def test_contract_to_struct_type():
     st = contract_to_struct_type(orders_contract())
     assert st.fieldNames() == ["order_id", "customer_id", "order_ts", "amount", "currency"]

@@ -109,6 +109,93 @@ def test_tf_idf_min_df_prunes(docs):
     assert rows == []  # no term spans two documents in this corpus
 
 
+# ------------------------------------------------------------- chunking
+
+
+def test_chunk_documents_windows(spark):
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        cu.chunk_documents(df, chunk_size=4, overlap=1).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # stride 3: starts 0,3,6,9 -> windows [0:4],[3:7],[6:10],[9:10]
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3]
+    assert out[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[1]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
+    assert out[3]["chunk_text"] == "t9" and out[3]["n_tokens"] == 1
+    assert [r["n_tokens"] for r in out] == [4, 4, 4, 1]
+
+
+def test_chunk_documents_short_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    out = cu.chunk_documents(df, chunk_size=8, overlap=2).collect()
+    assert [(r["doc_id"], r["chunk_text"], r["n_tokens"]) for r in out] == [
+        (1, "only two", 2)
+    ]  # empty/whitespace docs emit no chunks
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        cu.chunk_documents(df, chunk_size=4, overlap=4)
+
+
+# ------------------------------------------------------- decontamination
+
+
+def test_ngram_contamination_detects_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # contains bench 10's text
+            (2, "one two three four five six seven"),     # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon")],  # 3 trigram shingles
+        "bench_id long, text string",
+    )
+    out = cu.ngram_contamination(corpus, bench, n=3, min_overlap=3).collect()
+    assert [(r["doc_id"], r["bench_id"], r["n_shared"]) for r in out] == [(1, 10, 3)]
+    # raising the bar above the overlap empties the result
+    assert cu.ngram_contamination(corpus, bench, n=3, min_overlap=4).count() == 0
+
+
+# ------------------------------------------------------ sequence packing
+
+
+def test_pack_chunks_concat_and_chop(spark):
+    chunks = spark.createDataFrame(
+        [(1, 0, 30), (1, 1, 30), (2, 0, 30), (2, 1, 10)],
+        "doc_id long, chunk_idx long, n_tokens long",
+    )
+    # single shard -> one global stream: offsets 0,30,60,90; budget 64
+    out = sorted(
+        cu.pack_chunks(chunks, budget=64, shards=1, shard_expr=F.lit(0)).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    assert [r["tok_offset"] for r in out] == [0, 30, 60, 90]
+    assert [r["bin_id"] for r in out] == [0, 0, 0, 1]
+    assert all(r["shard"] == 0 for r in out)
+
+
+def test_pack_chunks_shards_are_independent_streams(spark):
+    chunks = spark.createDataFrame(
+        [(i, 0, 50) for i in range(20)], "doc_id long, chunk_idx long, n_tokens long"
+    )
+    out = cu.pack_chunks(chunks, budget=100, shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(out) == 20 and len(by_shard) > 1
+    for rows in by_shard.values():
+        offsets = sorted(r["tok_offset"] for r in rows)
+        assert offsets == [50 * i for i in range(len(rows))]  # per-shard cumsum
+
+
 # ------------------------------------------- embedding near-dup pruning
 
 
@@ -137,3 +224,62 @@ def test_embedding_near_dups_empty_when_threshold_high(spark):
     rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     assert cu.embedding_near_dups(df, threshold=0.5, n_planes=2, dim=2).count() == 0
+
+
+# ----------------------------------- randomized bulk parity vs pure Python
+
+
+def test_curation_ops_match_python_reference_on_random_corpus(spark):
+    """200 seeded random docs, ONE Spark job per operator, every row checked
+    against an independent pure-Python implementation (Counter/slicing) —
+    randomized coverage without per-example job overhead."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(20260813)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def py_shingles(text: str, n: int = 3) -> list[str]:
+        toks = text.split()
+        if len(toks) < n:
+            return [" ".join(toks)]
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    # repetition
+    rep = {r["doc_id"]: r.asDict() for r in cu.ngram_repetition(df, n=3).collect()}
+    for doc_id, text in docs:
+        c = Counter(py_shingles(text))
+        total, distinct, top = sum(c.values()), len(c), max(c.values())
+        r = rep[doc_id]
+        assert (r["n_ngrams"], r["n_distinct"]) == (total, distinct), doc_id
+        assert r["dup_micro"] == (2 * (total - distinct) * 1_000_000 + total) // (
+            2 * total
+        )
+        assert r["top_micro"] == (2 * top * 1_000_000 + total) // (2 * total)
+
+    # chunking: offsets tile the token list; text reconstructs by slicing
+    chunks: dict[int, list] = {}
+    for r in cu.chunk_documents(df, chunk_size=7, overlap=2).collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in docs:
+        toks = text.split()
+        got = sorted(chunks[doc_id], key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in got] == list(range(len(got)))
+        for r in got:
+            start = r["chunk_idx"] * 5  # stride = 7 - 2
+            expect = toks[start : start + 7]
+            assert r["chunk_text"] == " ".join(expect) and r["n_tokens"] == len(expect)
+        # full coverage: last chunk reaches the final token
+        last = got[-1]
+        assert last["chunk_idx"] * 5 + last["n_tokens"] == len(toks)
+
+    # vocabulary
+    tf = Counter(t for _, text in docs for t in text.split())
+    dfreq = Counter(t for _, text in docs for t in set(text.split()))
+    for r in cu.term_counts(df).collect():
+        assert (r["tf"], r["df"]) == (tf[r["term"]], dfreq[r["term"]]), r["term"]
