@@ -63,24 +63,54 @@ def strict_orders_contract() -> Contract:
 
 
 def q_governance_verdict_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Orchestrate two dataset evaluations end-to-end and surface what the
+    """Orchestrate three dataset evaluations end-to-end and surface what the
     governance STORE recorded (not the in-flight objects): one row per
-    evaluation, every column re-derivable from SQL over ``orders``."""
+    evaluation, every column re-derivable from SQL over ``orders``.
+
+    The third evaluation runs with ``draft_on_block=True``: the blocked
+    strict-contract write must auto-draft a contract that would accept the
+    observed data (enum widened, violated range/regex rules dropped, the
+    two observed extra columns appended) and persist it to the contract
+    store — draft columns verify the STORED draft, not the return value.
+    Draft versions embed a timestamp+uuid, so the gate pins the draft's
+    deterministic shape (change counts), never the version string."""
     df = load_spread(spark, sf_dir, "orders")
     svc = GovernanceService()
+    drafting_svc = GovernanceService(draft_on_block=True)
     outcomes = {
-        "orders_read": svc.evaluate_dataset(
-            df, orders_contract(), dataset_id="orders_read", operation="read"
+        "orders_read": (
+            svc,
+            svc.evaluate_dataset(
+                df, orders_contract(), dataset_id="orders_read", operation="read"
+            ),
         ),
-        "orders_write": svc.evaluate_dataset(
-            df, strict_orders_contract(), dataset_id="orders_write", operation="write"
+        "orders_write": (
+            svc,
+            svc.evaluate_dataset(
+                df, strict_orders_contract(), dataset_id="orders_write",
+                operation="write",
+            ),
+        ),
+        "orders_draft": (
+            drafting_svc,
+            drafting_svc.evaluate_dataset(
+                df, strict_orders_contract(), dataset_id="orders_draft",
+                operation="write",
+            ),
         ),
     }
     rows = []
     for dataset_id in sorted(outcomes):
-        stored = svc.dataset_status(dataset_id, "latest")  # store read-back
-        link = svc.dataset_contract(dataset_id)
-        outcome = outcomes[dataset_id]
+        service, outcome = outcomes[dataset_id]
+        stored = service.dataset_status(dataset_id, "latest")  # store read-back
+        link = service.dataset_contract(dataset_id)
+        draft = outcome.draft
+        stored_draft = (
+            service.contract_store.get(outcome.contract_id, draft.contract.version)
+            if draft is not None
+            else None
+        )
+        changes = draft.changes if draft is not None else []
         rows.append(
             (
                 dataset_id,
@@ -92,13 +122,17 @@ def q_governance_verdict_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 len(stored["warnings"]),
                 int(outcome.validation.details["blocking_violations"]),
                 int(stored["metrics"]["row_count"]),
+                stored_draft is not None and stored_draft.status == "draft",
+                len(changes),
+                sum(1 for c in changes if c.kind == "added_column"),
             )
         )
     return spark.createDataFrame(
         rows,
         "dataset_id string, operation string, contract_id string, status string, "
         "ok boolean, n_errors long, n_warnings long, blocking_violations long, "
-        "row_count long",
+        "row_count long, draft_created boolean, n_draft_changes long, "
+        "n_added_columns long",
     )
 
 
@@ -146,7 +180,10 @@ SELECT 'orders_read' AS dataset_id, 'read' AS operation,
      + CASE WHEN v_gt_r > 0 THEN 1 ELSE 0 END
      + CASE WHEN v_rx_r > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_warnings,
   CAST(v_uq + v_enum_r + v_gt_r + v_rx_r AS BIGINT) AS blocking_violations,
-  CAST(rc AS BIGINT) AS row_count
+  CAST(rc AS BIGINT) AS row_count,
+  false AS draft_created,
+  CAST(0 AS BIGINT) AS n_draft_changes,
+  CAST(0 AS BIGINT) AS n_added_columns
 FROM m
 """
     # strict contract tracks 4 not-null columns only (its schema), all clean;
@@ -167,10 +204,35 @@ SELECT 'orders_write' AS dataset_id, 'write' AS operation,
      + CASE WHEN v_gt_w > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_errors,
   CAST(CASE WHEN v_rx_w > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_warnings,
   CAST(v_uq + v_enum_w + v_gt_w AS BIGINT) AS blocking_violations,
-  CAST(rc AS BIGINT) AS row_count
+  CAST(rc AS BIGINT) AS row_count,
+  false AS draft_created,
+  CAST(0 AS BIGINT) AS n_draft_changes,
+  CAST(0 AS BIGINT) AS n_added_columns
 FROM m
 """
-    return f"WITH m AS ({base})\n{read_row}\nUNION ALL\n{write_row}"
+    # draft changes: widened enum + dropped gt rule + dropped regex rule (one
+    # per VIOLATED rule — any severity) + the 2 observed extra columns
+    # (o_custkey, o_orderdate are absent from the strict contract's schema);
+    # unique/not_null violations alter flags, never produce change entries.
+    draft_row = write_row.replace("'orders_write'", "'orders_draft'").replace(
+        """  false AS draft_created,
+  CAST(0 AS BIGINT) AS n_draft_changes,
+  CAST(0 AS BIGINT) AS n_added_columns""",
+        """  (CASE WHEN v_uq > 0 THEN 1 ELSE 0 END
+ + CASE WHEN v_enum_w > 0 THEN 1 ELSE 0 END
+ + CASE WHEN v_gt_w > 0 THEN 1 ELSE 0 END) > 0 AS draft_created,
+  CAST(CASE WHEN (v_uq + v_enum_w + v_gt_w) > 0 THEN
+    2 + CASE WHEN v_enum_w > 0 THEN 1 ELSE 0 END
+      + CASE WHEN v_gt_w > 0 THEN 1 ELSE 0 END
+      + CASE WHEN v_rx_w > 0 THEN 1 ELSE 0 END
+  ELSE 0 END AS BIGINT) AS n_draft_changes,
+  CAST(CASE WHEN (v_uq + v_enum_w + v_gt_w) > 0 THEN 2 ELSE 0 END AS BIGINT)
+    AS n_added_columns""",
+    )
+    return (
+        f"WITH m AS ({base})\n{read_row}\nUNION ALL\n{write_row}"
+        f"\nUNION ALL\n{draft_row}"
+    )
 
 
 GOVERNANCE_QUERIES = {

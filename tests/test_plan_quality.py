@@ -97,6 +97,18 @@ def test_repetition_two_partial_aggregated_shuffles(spark):
     assert plan.count("partial_") >= 2  # map-side combine on both aggregations
 
 
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark inverted index must broadcast — the corpus side of a
+    decontamination pass never shuffles."""
+    from dc43_spark.showcase_curation import q_contamination_documents
+
+    df = q_contamination_documents(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "BroadcastExchange" in plan and "BroadcastHashJoin" in plan
+    # only the (doc, bench) count aggregation shuffles
+    assert shuffle_exchanges(df) == 1
+
+
 def test_embedding_dedup_joins_on_bucket_not_all_pairs(spark):
     """The LSH rewrite must plan a hash equi-join on the bucket id — never
     a nested-loop/cartesian over vector pairs."""
