@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dc43_spark.functions.dedup import token_shingles
-from dc43_spark.functions.similarity import bucket_id, cosine, hyperplanes
+from dc43_spark.functions.similarity import cosine, hyperplanes, lsh_bucket_join
 from dc43_spark.functions.text import tokens
 
 #: denominator for micro-unit ratios and sampling buckets (1e6 = ppm).
@@ -54,8 +54,15 @@ def micro_ratio(num: Column, den: Column) -> Column:
     Cross-engine stable where ``round(double, n)`` is not: Spark rounds
     the shortest decimal repr of a double while DuckDB rounds the exact
     binary value, so ratios in gate outputs are always emitted through
-    this helper (DuckDB twin: ``(2*num*1000000 + den) // (2*den)``)."""
-    return ((F.lit(2) * num * F.lit(MICRO) + den) / (F.lit(2) * den)).cast("long")
+    this helper (DuckDB twin: ``(2*num*1000000 + den) // (2*den)``).
+
+    Integral ``div`` — NOT float ``/`` + cast, which loses exactness once
+    ``2*num*1e6`` passes 2^53 and diverges from the DuckDB twin. Domain:
+    num <= den < ~4.6e12 (int64 / 2e6), far beyond any per-document
+    count."""
+    return F.call_function(
+        "div", F.lit(2) * num * F.lit(MICRO) + den, F.lit(2) * den
+    ).cast("long")
 
 
 # ------------------------------------------------------------ repetition
@@ -347,8 +354,14 @@ def pack_chunks(
     only state is per-shard — at cluster scale each shard's window runs
     partition-local instead of forcing a single global ordering. A bin
     holds chunks from MANY documents (that is the point: short documents
-    fill context that would otherwise be padding); the chunk straddling a
-    boundary starts the next example, matching chop-style packing.
+    fill context that would otherwise be padding).
+
+    Bin semantics: a chunk belongs to the bin its START offset falls in
+    (``tok_offset // budget``), so a bin can exceed ``budget`` by up to
+    chunk_size - 1 tokens when a chunk straddles the boundary — size the
+    model context as budget + chunk_size (or let the consumer trim the
+    tail). Exact cut-at-budget chopping would have to SPLIT chunks, which
+    this planner deliberately never does.
 
     ``shard_expr`` overrides the shard hash (default xxhash64 — fastest
     JVM-side; pass a ``sample_bucket``-based expression when the plan
@@ -397,23 +410,20 @@ def embedding_near_dups(
     exactly reproducible (and exactly oracle-checkable) despite LSH being
     an approximation of the all-pairs semantics."""
     if dim is None:
-        dim = int(df.select(F.size(vec_col)).first()[0])
+        probe = df.select(F.size(vec_col)).first()
+        if probe is None or probe[0] is None:
+            raise ValueError(
+                "cannot infer embedding dim from an empty input — pass dim="
+            )
+        dim = int(probe[0])
     planes = hyperplanes(dim, n_planes, seed=seed)
     vecs = df.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).cast("array<double>").alias("n_vec"),
-    ).withColumn("bucket", bucket_id(F.col("n_vec"), planes))
-    q = vecs.select(
-        F.col("n_id").alias("q_id"), F.col("n_vec").alias("q_vec"), "bucket"
     )
-    if multi_probe:
-        probes = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
-        )
-        q = q.withColumn("bucket", F.explode(probes))
+    q = vecs.select(F.col("n_id").alias("q_id"), F.col("n_vec").alias("q_vec"))
     pairs = (
-        q.join(vecs, on="bucket")
+        lsh_bucket_join(q, vecs, planes, multi_probe=multi_probe)
         .filter(F.col("q_id") > F.col("n_id"))
         .select(
             "q_id",

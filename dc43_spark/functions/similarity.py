@@ -199,6 +199,30 @@ def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def lsh_bucket_join(
+    probe: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[float]],
+    *,
+    multi_probe: int = 1,
+) -> DataFrame:
+    """Shared LSH candidate machinery: attach bucket ids from ``planes`` to
+    both sides, explode Hamming-1 probes on the probe side (when
+    ``multi_probe``), and equi-join on the bucket. ``probe`` must carry
+    (q_id, q_vec), ``corpus`` (n_id, n_vec); the joined frame keeps all
+    four. Both the ANN top-k and the embedding near-dup pruning paths
+    build on this, so probing/bucketing changes land in one place."""
+    p = probe.withColumn("bucket", bucket_id(F.col("q_vec"), planes))
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(len(planes))],
+        )
+        p = p.withColumn("bucket", F.explode(probes))
+    c = corpus.withColumn("bucket", bucket_id(F.col("n_vec"), planes))
+    return p.join(c, on="bucket")
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -229,19 +253,13 @@ def lsh_bucketed_topk(
     q = queries.select(
         F.col(query_id).alias("q_id"),
         _as_double(F.col(query_vec)).alias("q_vec"),
-    ).withColumn("bucket", bucket_id(F.col("q_vec"), planes))
-    if multi_probe:
-        probes = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
-        )
-        q = q.withColumn("bucket", F.explode(probes))
+    )
     c = corpus.select(
         F.col(corpus_id).alias("n_id"),
         _as_double(F.col(corpus_vec)).alias("n_vec"),
-    ).withColumn("bucket", bucket_id(F.col("n_vec"), planes))
+    )
     scored = (
-        q.join(c, on="bucket")
+        lsh_bucket_join(q, c, planes, multi_probe=multi_probe)
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("_cos"))
     )

@@ -115,7 +115,7 @@ def q_embedding_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REPETITION_SQL = """
 WITH s0 AS (
-  SELECT doc_id, string_split_regex(text, '\\s+') AS s FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s FROM documents
 ), sh AS (
   SELECT doc_id,
          CASE WHEN len(s) < 3 THEN [array_to_string(s, ' ')]
@@ -160,7 +160,8 @@ WHERE bucket < CASE lang {cases} ELSE 0 END
 
 _VOCAB_SQL = """
 WITH t AS (
-  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
 ), p AS (
   SELECT doc_id, term, count(*) AS n FROM t GROUP BY 1, 2
 ), g AS (
@@ -205,7 +206,8 @@ FROM pairs GROUP BY q_id
 # so s[start+1 : start+32] is exactly the 32-token window.
 _CHUNK_SQL = """
 WITH t AS (
-  SELECT doc_id, string_split_regex(text, '\\s+') AS s FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s
+  FROM documents WHERE trim(text) <> ''
 ), c AS (
   SELECT doc_id, s, unnest(range(0, len(s), 24)) AS start FROM t
 )
@@ -218,7 +220,7 @@ FROM c
 
 _CONTAMINATION_SQL = f"""
 WITH s0 AS (
-  SELECT doc_id, string_split_regex(text, '\\s+') AS s FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s FROM documents
 ), sh AS (
   SELECT doc_id,
          CASE WHEN len(s) < 3 THEN [array_to_string(s, ' ')]
@@ -240,7 +242,8 @@ GROUP BY 1, 2 HAVING count(*) >= 3
 
 _PACKED_CHUNKS_SQL = f"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(text, '\\s+') AS s FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s
+  FROM documents WHERE trim(text) <> ''
 ), c AS (
   SELECT doc_id, s, unnest(range(0, len(s), 24)) AS start FROM t
 ), ch AS (

@@ -149,6 +149,11 @@ def _governance_verdict_sql() -> str:
         f"CASE WHEN sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END"
         for c in not_nulls
     )
+    # the strict contract declares only these four columns not-null
+    nn_counts_w = " + ".join(
+        f"CASE WHEN sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END"
+        for c in ("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    )
     uniq = (
         "count(*) - (count(DISTINCT o_orderkey) + "
         "CASE WHEN count(*) - count(o_orderkey) > 0 THEN 1 ELSE 0 END)"
@@ -163,7 +168,8 @@ def _governance_verdict_sql() -> str:
     sum(CASE WHEN NOT ({ORDERS_PRED_SQL['regex_o_orderpriority']}) THEN 1 ELSE 0 END) AS v_rx_r,
     sum(CASE WHEN NOT (o_orderstatus IN ({strict_enum})) THEN 1 ELSE 0 END) AS v_enum_w,
     sum(CASE WHEN NOT (o_totalprice > {STRICT_PRICE_FLOOR}) THEN 1 ELSE 0 END) AS v_gt_w,
-    sum(CASE WHEN NOT (regexp_matches(o_orderpriority, '{STRICT_PRIORITY_RE}')) THEN 1 ELSE 0 END) AS v_rx_w
+    sum(CASE WHEN NOT (regexp_matches(o_orderpriority, '{STRICT_PRIORITY_RE}')) THEN 1 ELSE 0 END) AS v_rx_w,
+    {nn_counts_w} AS nn_keys_w
   FROM orders
 """
     # the constant +1 warning / forced-warn floor: the parquet o_orderdate is
@@ -186,20 +192,23 @@ SELECT 'orders_read' AS dataset_id, 'read' AS operation,
   CAST(0 AS BIGINT) AS n_added_columns
 FROM m
 """
-    # strict contract tracks 4 not-null columns only (its schema), all clean;
-    # on WRITE every violated non-optional rule key is an error.
+    # on WRITE every violated non-optional rule key is an error; not-null
+    # failures on the strict contract's 4 declared columns escalate too.
     write_row = """
 SELECT 'orders_write' AS dataset_id, 'write' AS operation,
   'driver.orders.strict' AS contract_id,
-  CASE WHEN (CASE WHEN v_uq > 0 THEN 1 ELSE 0 END
+  CASE WHEN (nn_keys_w
+           + CASE WHEN v_uq > 0 THEN 1 ELSE 0 END
            + CASE WHEN v_enum_w > 0 THEN 1 ELSE 0 END
            + CASE WHEN v_gt_w > 0 THEN 1 ELSE 0 END) > 0 THEN 'block'
        WHEN v_rx_w > 0 THEN 'warn'
        ELSE 'ok' END AS status,
-  (CASE WHEN v_uq > 0 THEN 1 ELSE 0 END
+  (nn_keys_w
+ + CASE WHEN v_uq > 0 THEN 1 ELSE 0 END
  + CASE WHEN v_enum_w > 0 THEN 1 ELSE 0 END
  + CASE WHEN v_gt_w > 0 THEN 1 ELSE 0 END) = 0 AS ok,
-  CAST(CASE WHEN v_uq > 0 THEN 1 ELSE 0 END
+  CAST(nn_keys_w
+     + CASE WHEN v_uq > 0 THEN 1 ELSE 0 END
      + CASE WHEN v_enum_w > 0 THEN 1 ELSE 0 END
      + CASE WHEN v_gt_w > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_errors,
   CAST(CASE WHEN v_rx_w > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_warnings,
@@ -210,24 +219,27 @@ SELECT 'orders_write' AS dataset_id, 'write' AS operation,
   CAST(0 AS BIGINT) AS n_added_columns
 FROM m
 """
-    # draft changes: widened enum + dropped gt rule + dropped regex rule (one
-    # per VIOLATED rule — any severity) + the 2 observed extra columns
-    # (o_custkey, o_orderdate are absent from the strict contract's schema);
-    # unique/not_null violations alter flags, never produce change entries.
+    # draft changes: one relaxed_required per null-violated declared column,
+    # widened enum + dropped gt rule + dropped regex rule (one per VIOLATED
+    # rule — any severity) + the 2 observed extra columns (o_custkey,
+    # o_orderdate are absent from the strict contract's schema); unique
+    # violations alter no flags and produce no change entries. A draft is
+    # created iff the write BLOCKS (errors from rules OR not-null keys).
     draft_row = write_row.replace("'orders_write'", "'orders_draft'").replace(
         """  false AS draft_created,
   CAST(0 AS BIGINT) AS n_draft_changes,
   CAST(0 AS BIGINT) AS n_added_columns""",
-        """  (CASE WHEN v_uq > 0 THEN 1 ELSE 0 END
+        """  (nn_keys_w + CASE WHEN v_uq > 0 THEN 1 ELSE 0 END
  + CASE WHEN v_enum_w > 0 THEN 1 ELSE 0 END
  + CASE WHEN v_gt_w > 0 THEN 1 ELSE 0 END) > 0 AS draft_created,
-  CAST(CASE WHEN (v_uq + v_enum_w + v_gt_w) > 0 THEN
-    2 + CASE WHEN v_enum_w > 0 THEN 1 ELSE 0 END
+  CAST(CASE WHEN (nn_keys_w + v_uq + v_enum_w + v_gt_w) > 0 THEN
+    2 + nn_keys_w
+      + CASE WHEN v_enum_w > 0 THEN 1 ELSE 0 END
       + CASE WHEN v_gt_w > 0 THEN 1 ELSE 0 END
       + CASE WHEN v_rx_w > 0 THEN 1 ELSE 0 END
   ELSE 0 END AS BIGINT) AS n_draft_changes,
-  CAST(CASE WHEN (v_uq + v_enum_w + v_gt_w) > 0 THEN 2 ELSE 0 END AS BIGINT)
-    AS n_added_columns""",
+  CAST(CASE WHEN (nn_keys_w + v_uq + v_enum_w + v_gt_w) > 0 THEN 2 ELSE 0 END
+    AS BIGINT) AS n_added_columns""",
     )
     return (
         f"WITH m AS ({base})\n{read_row}\nUNION ALL\n{write_row}"

@@ -144,9 +144,7 @@ def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = F.array(*[F.lit(s) for s in tx.DEFAULT_STOPWORDS])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))).cast("long")
 
-    def micro(num: F.Column, den: F.Column) -> F.Column:
-        # round(num/den * 1e6) half-up, exactly, in integer arithmetic
-        return ((F.lit(2) * num * F.lit(1_000_000) + den) / (F.lit(2) * den)).cast("long")
+    from dc43_spark.functions.curation import micro_ratio as micro
 
     return df.select(
         "doc_id",
@@ -586,7 +584,9 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- oracles
 
-_TOKS = "string_split_regex(text, '\\s+')"
+# trim first — Spark's tokens() trims before splitting, and DuckDB splits
+# leading whitespace into a phantom '' token otherwise
+_TOKS = "string_split_regex(trim(text), '\\s+')"
 _SHINGLES = (
     f"list_distinct([ s[i] || ' ' || s[i+1] || ' ' || s[i+2] "
     f"for i in range(1, len(s) - 1) ])"

@@ -43,6 +43,15 @@ def test_ngram_repetition_values(docs):
     assert out[4]["top_micro"] == 1_000_000
 
 
+def test_micro_ratio_exact_past_double_precision(spark):
+    """2*num*1e6 beyond 2^53: float division + cast truncation diverges
+    from exact integer div by 1 here — micro_ratio must use integral div."""
+    den, num = 10_000_999_999, 5_000_494_999
+    df = spark.createDataFrame([(num, den)], "num long, den long")
+    got = df.select(cu.micro_ratio(F.col("num"), F.col("den")).alias("m")).first()["m"]
+    assert got == (2 * num * 1_000_000 + den) // (2 * den) == 499_999
+
+
 # ------------------------------------------------------------ sampling
 
 
