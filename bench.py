@@ -48,6 +48,7 @@ HEADLINE = [
     "chunk_documents",
     "contamination_documents",
     "packed_chunks_documents",
+    "train_split_documents",
     "embedding_dedup_embeddings",
     # analytics
     "pricing_summary",
@@ -55,6 +56,7 @@ HEADLINE = [
     "orders_by_nation",
     "top_parts_by_revenue",
     "events_hourly",
+    "json_props_events",
     "events_rollup",
     "asof_purchase_attribution",
     "interval_join_sessions",
@@ -97,6 +99,7 @@ COUNT_ONLY = {
     "chunk_documents",
     "contamination_documents",
     "packed_chunks_documents",
+    "train_split_documents",
 }
 
 

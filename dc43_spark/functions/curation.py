@@ -164,6 +164,40 @@ def stratified_sample(
     return df.filter(sample_bucket(key_col, seed=seed) < threshold)
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    *,
+    seed: str = "dc43",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint split assignment (train/val/test): each row
+    gets the split whose cumulative-weight interval its md5 bucket falls
+    in. Weights must sum to <= 1; rows past the total get NULL (use 1.0
+    total for an exhaustive split).
+
+    Splits are stable under corpus growth: a row's assignment depends
+    only on (seed, key), so adding data never reshuffles existing rows
+    between train and test — the property that keeps eval sets
+    uncontaminated across dataset versions."""
+    total = sum(splits.values())
+    if total > 1 + 1e-9:
+        raise ValueError("split weights must sum to <= 1")
+    bucket = sample_bucket(key_col, seed=seed)
+    bounds = []
+    acc = 0.0
+    for name in sorted(splits):  # deterministic interval order
+        acc += splits[name]
+        bounds.append((name, int(round(acc * MICRO))))
+    # build the CASE from the highest boundary down so the lowest interval
+    # wins in the final WHEN chain
+    expr: Column = F.lit(None).cast("string")
+    for name, bound in reversed(bounds):
+        expr = F.when(bucket < bound, F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
 # ------------------------------------------------------------ vocabulary
 
 

@@ -97,6 +97,23 @@ def q_packed_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cumulative boundaries (sorted names: test < train < val) — test [0,.1),
+#: train [.1,.9), val [.9,1): exhaustive, disjoint, growth-stable.
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = "split-v1"
+
+
+def q_train_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the bucket is emitted so
+    the gate pins the interval arithmetic, not just the label counts."""
+    df = load_spread(spark, sf_dir, "documents")
+    return cu.hash_split(df, "doc_id", SPLIT_WEIGHTS, seed=SPLIT_SEED).select(
+        "doc_id",
+        cu.sample_bucket("doc_id", seed=SPLIT_SEED).alias("bucket"),
+        "split",
+    )
+
+
 def q_embedding_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pruning via seeded-hyperplane LSH buckets: every
     vector with a lower-id bucket-mate at cosine >= 0.45, with its
@@ -269,6 +286,24 @@ SELECT doc_id, chunk_idx, n_tokens,
 FROM w
 """
 
+def _train_split_sql() -> str:
+    bounds = []
+    acc = 0.0
+    for name in sorted(SPLIT_WEIGHTS):
+        acc += SPLIT_WEIGHTS[name]
+        bounds.append((name, int(round(acc * cu.MICRO))))
+    whens = " ".join(f"WHEN bucket < {b} THEN '{n}'" for n, b in bounds)
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('{SPLIT_SEED}|' || doc_id::VARCHAR), 1, 12))::BIGINT
+      % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket, CASE {whens} END AS split FROM b
+"""
+
+
 CURATION_QUERIES = {
     "repetition_documents": q_repetition_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
@@ -276,6 +311,7 @@ CURATION_QUERIES = {
     "chunk_documents": q_chunk_documents,
     "contamination_documents": q_contamination_documents,
     "packed_chunks_documents": q_packed_chunks_documents,
+    "train_split_documents": q_train_split_documents,
     "embedding_dedup_embeddings": q_embedding_dedup_embeddings,
 }
 
@@ -286,5 +322,6 @@ CURATION_ORACLES = {
     "chunk_documents": _CHUNK_SQL,
     "contamination_documents": _CONTAMINATION_SQL,
     "packed_chunks_documents": _PACKED_CHUNKS_SQL,
+    "train_split_documents": _train_split_sql(),
     "embedding_dedup_embeddings": _embedding_dedup_sql(),
 }

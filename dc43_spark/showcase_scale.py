@@ -18,7 +18,7 @@ from dc43_spark.functions import similarity as sim
 from dc43_spark.functions import text as tx
 from dc43_spark.functions.dedup import MERSENNE31, _hash_params
 from dc43_spark.functions.text import LANG_MARKERS
-from dc43_spark.showcase import load, load_spread
+from dc43_spark.showcase import load, load_events, load_spread
 
 NUM_HASHES = 16
 SHINGLE = 3
@@ -486,6 +486,27 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured parsing: the events ``props`` column is a JSON
+    document; parse it ONCE per row with a typed schema (``from_json`` —
+    single JVM-side parse, no per-path re-parsing the way chained
+    ``get_json_object`` calls would) and aggregate the extracted field
+    per event type."""
+    ev = load_events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count_if(F.col("k").isNull()).cast("long").alias("n_missing"),
+        )
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary, exact in integer units: cents for
     sums, 1e-4 units for the discounted sum — price*(1-disc)*1e4 ==
@@ -908,6 +929,19 @@ JOIN ({_USER_SESSIONS_SQL}) sess
  AND err.ts BETWEEN sess.session_start AND sess.session_end
 """
 
+_JSON_PROPS_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(k) AS BIGINT) AS sum_k,
+  CAST(min(k) AS BIGINT) AS min_k,
+  CAST(max(k) AS BIGINT) AS max_k,
+  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM e GROUP BY event_type
+"""
+
 _EVENTS_HOURLY_SQL = f"""
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
   CAST(count(*) AS BIGINT) AS n_events,
@@ -942,6 +976,7 @@ SCALE_QUERIES = {
     "orders_by_nation": q_orders_by_nation,
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "events_hourly": q_events_hourly,
+    "json_props_events": q_json_props_events,
     "asof_purchase_attribution": q_asof_purchase_attribution,
     "interval_join_sessions": q_interval_join_sessions,
     "events_rollup": q_events_rollup,
@@ -977,6 +1012,7 @@ SCALE_ORACLES = {
     "orders_by_nation": _ORDERS_BY_NATION_SQL,
     "top_parts_by_revenue": _TOP_PARTS_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
+    "json_props_events": _JSON_PROPS_SQL,
     "asof_purchase_attribution": _ASOF_ATTRIBUTION_SQL,
     "interval_join_sessions": _INTERVAL_JOIN_SESSIONS_SQL,
     "events_rollup": _EVENTS_ROLLUP_SQL,

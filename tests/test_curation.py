@@ -91,6 +91,33 @@ def test_stratified_default_rate(docs):
     assert len(out) == 4
 
 
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    out = cu.hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    by_split: dict[str, set] = {}
+    for r in out:
+        by_split.setdefault(r["split"], set()).add(r["k"])
+    # exhaustive (weights sum to 1 -> no NULL split) and disjoint by construction
+    assert sum(len(v) for v in by_split.values()) == 2000
+    assert set(by_split) == {"train", "val", "test"}
+    assert 1300 < len(by_split["train"]) < 1900  # ~80%
+    # growth-stable: restricting the corpus never moves a row between splits
+    sub = cu.hash_split(
+        df.filter(F.col("k") < 500), "k", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    for r in sub:
+        assert r["k"] in by_split[r["split"]]
+
+
+def test_hash_split_partial_weights_leave_null(spark):
+    df = spark.range(0, 200).withColumnRenamed("id", "k")
+    out = cu.hash_split(df, "k", {"sample": 0.2}).collect()
+    labels = {r["split"] for r in out}
+    assert labels == {"sample", None}
+    with pytest.raises(ValueError):
+        cu.hash_split(df, "k", {"a": 0.9, "b": 0.2})
+
+
 # ---------------------------------------------------------- vocabulary
 
 
