@@ -1,5 +1,6 @@
 from dc43_spark.functions import (
     asof,
+    curation,
     dedup,
     multimodal,
     ranges,
@@ -8,4 +9,13 @@ from dc43_spark.functions import (
     text,
 )
 
-__all__ = ["text", "dedup", "similarity", "multimodal", "asof", "ranges", "skew"]
+__all__ = [
+    "text",
+    "dedup",
+    "similarity",
+    "multimodal",
+    "asof",
+    "ranges",
+    "skew",
+    "curation",
+]

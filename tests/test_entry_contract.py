@@ -1,0 +1,47 @@
+"""Driver-contract consistency: the queries()/oracle_sql() registries must
+stay aligned — a gate without an oracle silently downgrades to a rows-only
+check, and an oracle without a query is dead weight the driver never runs."""
+
+from __future__ import annotations
+
+import sys
+
+
+def _entry():
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_every_query_has_an_oracle_and_vice_versa():
+    e = _entry()
+    queries, oracles = e.queries(), e.oracle_sql()
+    assert set(queries) == set(oracles), (
+        sorted(set(queries) ^ set(oracles))
+    )
+    assert len(queries) >= 46
+
+
+def test_oracles_are_nonempty_sql():
+    e = _entry()
+    for name, sql in e.oracle_sql().items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_registries_have_no_duplicate_keys_across_modules():
+    from dc43_spark import showcase, showcase_curation, showcase_governance
+    from dc43_spark import showcase_io, showcase_scale
+
+    groups = [
+        showcase.QUERIES,
+        showcase_scale.SCALE_QUERIES,
+        showcase_io.IO_QUERIES,
+        showcase_curation.CURATION_QUERIES,
+        showcase_governance.GOVERNANCE_QUERIES,
+    ]
+    seen: set[str] = set()
+    for g in groups:
+        overlap = seen & set(g)
+        assert not overlap, overlap  # later dicts would silently shadow
+        seen |= set(g)
