@@ -67,6 +67,7 @@ HEADLINE = [
     "versioned_read_orders",
     # governance orchestration (metrics -> verdict -> stores -> read-back)
     "governance_verdict_orders",
+    "profile_orders",
 ]
 
 # row-set queries are counted (materialise without driver transfer);

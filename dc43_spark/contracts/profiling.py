@@ -1,0 +1,150 @@
+"""Dataset profiling + contract suggestion: bootstrap a contract FROM data.
+
+``contract_from_dataframe`` (drafting.py) infers the schema only; this
+module adds the data-driven half a governance team actually wants when
+onboarding an ungoverned table:
+
+- ``profile_columns``  — per-column null counts, distinct cardinality,
+  min/max, uniqueness, enum-candidate value sets.
+- ``suggest_contract`` — upgrade the schema-only inference with quality
+  rules derived from the profile: ``required`` where no NULLs observed,
+  ``unique`` where distinct == non-null, ``enum`` for low-cardinality
+  strings, ``ge``/``le`` bounds for numerics.
+
+Scale shape: pass 1 is ONE aggregate over the table (count + per-column
+sums/countDistincts/min/max — Catalyst plans a single scan with an
+Expand for the distinct counts, partial-aggregated map-side). Pass 2
+collects value sets ONLY for columns pass 1 proved low-cardinality, so
+the driver transfer is bounded by enum_max_card * n_candidates values.
+No other collect touches data.
+
+Beyond-reference: the dc43 reference drafts from schema and violations
+(drafting.py:204-543) but has no data profiler; this is the missing
+bootstrap step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dc43_spark.contracts.drafting import contract_from_dataframe
+from dc43_spark.contracts.model import Contract, QualityRule
+
+#: types where min/max are meaningful and cross-engine comparable
+_ORDERABLE_NUMERIC = (
+    T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+    T.DoubleType, T.FloatType, T.DecimalType,
+)
+
+
+@dataclass
+class ColumnProfile:
+    name: str
+    spark_type: T.DataType
+    n_nulls: int
+    n_distinct: int
+    is_unique: bool  # every non-null value distinct (and at least one value)
+    min_value: Any = None
+    max_value: Any = None
+    enum_values: Optional[list] = None  # present iff low-cardinality string
+
+
+@dataclass
+class DatasetProfile:
+    row_count: int
+    columns: dict[str, ColumnProfile] = field(default_factory=dict)
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: Optional[list[str]] = None,
+    *,
+    enum_max_card: int = 8,
+) -> DatasetProfile:
+    """Profile ``columns`` (default: all top-level non-complex columns)."""
+    fields = {f.name: f for f in df.schema.fields}
+    if columns is None:
+        columns = [
+            f.name
+            for f in df.schema.fields
+            if not isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
+        ]
+    aggs = [F.count(F.lit(1)).alias("_rc")]
+    for c in columns:
+        dt = fields[c].dataType
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+        if isinstance(dt, _ORDERABLE_NUMERIC + (T.TimestampType, T.TimestampNTZType,
+                                                T.DateType, T.StringType)):
+            aggs.append(F.min(c).alias(f"_min_{c}"))
+            aggs.append(F.max(c).alias(f"_max_{c}"))
+    row = df.agg(*aggs).first().asDict()
+
+    rc = int(row["_rc"])
+    profile = DatasetProfile(row_count=rc)
+    enum_candidates = []
+    for c in columns:
+        dt = fields[c].dataType
+        n_nulls = int(row[f"_nn_{c}"] or 0)
+        n_distinct = int(row[f"_nd_{c}"] or 0)
+        cp = ColumnProfile(
+            name=c,
+            spark_type=dt,
+            n_nulls=n_nulls,
+            n_distinct=n_distinct,
+            is_unique=n_distinct > 0 and n_distinct == rc - n_nulls,
+            min_value=row.get(f"_min_{c}"),
+            max_value=row.get(f"_max_{c}"),
+        )
+        profile.columns[c] = cp
+        if isinstance(dt, T.StringType) and 0 < n_distinct <= enum_max_card:
+            enum_candidates.append(c)
+
+    if enum_candidates:
+        # pass 2: bounded value sets — only for proven-low-card columns
+        sets = df.agg(
+            *[
+                F.sort_array(F.collect_set(c)).alias(c)
+                for c in enum_candidates
+            ]
+        ).first()
+        for c in enum_candidates:
+            profile.columns[c].enum_values = list(sets[c])
+    return profile
+
+
+def suggest_contract(
+    df: DataFrame,
+    *,
+    contract_id: str,
+    version: str = "0.1.0",
+    enum_max_card: int = 8,
+    status: str = "draft",
+) -> Contract:
+    """Schema inference + profile-derived quality rules, ready for human
+    review (status='draft'). Bounds are the OBSERVED min/max — a reviewer
+    widens them; the point is a concrete starting artifact, not a final
+    contract."""
+    base = contract_from_dataframe(
+        df, contract_id=contract_id, version=version, status=status
+    )
+    profile = profile_columns(df, enum_max_card=enum_max_card)
+    for prop in base.schema_object.properties:
+        cp = profile.columns.get(prop.name)
+        if cp is None:
+            continue
+        prop.required = cp.n_nulls == 0
+        prop.unique = cp.is_unique and isinstance(
+            cp.spark_type, (T.LongType, T.IntegerType, T.StringType)
+        )
+        if cp.enum_values is not None:
+            prop.quality.append(QualityRule("enum", cp.enum_values))
+        elif isinstance(cp.spark_type, _ORDERABLE_NUMERIC) and cp.min_value is not None:
+            prop.quality.append(QualityRule("ge", cp.min_value))
+            prop.quality.append(QualityRule("le", cp.max_value))
+    return base

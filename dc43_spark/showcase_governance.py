@@ -136,6 +136,98 @@ def q_governance_verdict_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (the contract-bootstrap input): one aggregate pass
+    over a bigint/string projection of orders — null counts, cardinality,
+    uniqueness, min/max, enum-candidate value sets. Money is pre-projected
+    to integer cents so every profiled value is BIGINT or string and the
+    oracle comparison never touches floats."""
+    from pyspark.sql import functions as F
+
+    from dc43_spark.contracts.profiling import profile_columns
+    from dc43_spark.showcase_scale import _cents
+
+    df = load_spread(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        _cents(F.col("o_totalprice")).alias("o_totalprice_cents"),
+        "o_orderpriority",
+    )
+    profile = profile_columns(df, enum_max_card=8)
+    rows = []
+    for name in sorted(profile.columns):
+        cp = profile.columns[name]
+        is_str = isinstance(cp.min_value, str)
+        rows.append(
+            (
+                name,
+                cp.n_nulls,
+                cp.n_distinct,
+                cp.is_unique,
+                None if is_str else cp.min_value,
+                None if is_str else cp.max_value,
+                cp.min_value if is_str else None,
+                cp.max_value if is_str else None,
+                ",".join(cp.enum_values) if cp.enum_values is not None else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "col_name string, n_nulls long, n_distinct long, is_unique boolean, "
+        "min_long long, max_long long, min_str string, max_str string, "
+        "enum_csv string",
+    )
+
+
+_CENTS_EXPR = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _profile_orders_sql() -> str:
+    """Per-column profile rows from ONE wide aggregate CTE."""
+    cols = {
+        "o_orderkey": "o_orderkey",
+        "o_custkey": "o_custkey",
+        "o_orderstatus": "o_orderstatus",
+        "o_totalprice_cents": _CENTS_EXPR,
+        "o_orderpriority": "o_orderpriority",
+    }
+    strings = {"o_orderstatus", "o_orderpriority"}
+    aggs, selects = ["count(*) AS rc"], []
+    for name, expr in cols.items():
+        aggs += [
+            f"sum(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) AS nn_{name}",
+            f"count(DISTINCT {expr}) AS nd_{name}",
+            f"min({expr}) AS mi_{name}",
+            f"max({expr}) AS ma_{name}",
+        ]
+        if name in strings:
+            aggs.append(
+                f"array_to_string(list_sort(list(DISTINCT {expr})), ',') AS ev_{name}"
+            )
+        mi_long = "NULL" if name in strings else f"mi_{name}"
+        ma_long = "NULL" if name in strings else f"ma_{name}"
+        mi_str = f"mi_{name}" if name in strings else "NULL"
+        ma_str = f"ma_{name}" if name in strings else "NULL"
+        enum_csv = (
+            f"CASE WHEN nd_{name} <= 8 THEN ev_{name} ELSE NULL END"
+            if name in strings
+            else "NULL"
+        )
+        selects.append(
+            f"SELECT '{name}' AS col_name, CAST(nn_{name} AS BIGINT) AS n_nulls, "
+            f"CAST(nd_{name} AS BIGINT) AS n_distinct, "
+            f"nd_{name} > 0 AND nd_{name} = rc - nn_{name} AS is_unique, "
+            f"CAST({mi_long} AS BIGINT) AS min_long, "
+            f"CAST({ma_long} AS BIGINT) AS max_long, "
+            f"CAST({mi_str} AS VARCHAR) AS min_str, "
+            f"CAST({ma_str} AS VARCHAR) AS max_str, "
+            f"CAST({enum_csv} AS VARCHAR) AS enum_csv FROM a"
+        )
+    return "WITH a AS (SELECT " + ", ".join(aggs) + " FROM orders)\n" + \
+        "\nUNION ALL\n".join(selects)
+
+
 def _governance_verdict_sql() -> str:
     """Verdict algebra in SQL: count violated KEYS by class, then apply the
     same escalation rules as evaluate_contract (validation.py:96-119)."""
@@ -249,8 +341,10 @@ FROM m
 
 GOVERNANCE_QUERIES = {
     "governance_verdict_orders": q_governance_verdict_orders,
+    "profile_orders": q_profile_orders,
 }
 
 GOVERNANCE_ORACLES = {
     "governance_verdict_orders": _governance_verdict_sql(),
+    "profile_orders": _profile_orders_sql(),
 }

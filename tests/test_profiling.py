@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dc43_spark.contracts.profiling import profile_columns, suggest_contract
+from dc43_spark.engine.validation import evaluate_dataframe
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    rows = [
+        (1, "A", 10.5, None),
+        (2, "B", -3.25, "x"),
+        (3, "A", 99.0, "y"),
+        (4, "C", 0.0, "y"),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, status string, amount double, note string"
+    )
+
+
+def test_profile_columns_stats(sample):
+    p = profile_columns(sample, enum_max_card=3)
+    assert p.row_count == 4
+    assert p.columns["id"].is_unique and p.columns["id"].n_nulls == 0
+    assert p.columns["status"].n_distinct == 3
+    assert p.columns["status"].enum_values == ["A", "B", "C"]
+    assert p.columns["amount"].min_value == -3.25
+    assert p.columns["amount"].max_value == 99.0
+    note = p.columns["note"]
+    assert note.n_nulls == 1 and note.n_distinct == 2 and not note.is_unique
+    assert note.enum_values == ["x", "y"]
+
+
+def test_profile_enum_cardinality_cutoff(sample):
+    p = profile_columns(sample, enum_max_card=2)
+    assert p.columns["status"].enum_values is None  # 3 > 2: not an enum
+    assert p.columns["note"].enum_values == ["x", "y"]
+
+
+def test_suggest_contract_rules(sample):
+    c = suggest_contract(sample, contract_id="t.sample", enum_max_card=3)
+    props = {p.name: p for p in c.schema_object.properties}
+    assert props["id"].required and props["id"].unique
+    assert not props["note"].required  # observed NULL
+    enum_rule = props["status"].quality[0]
+    assert enum_rule.rule == "enum" and enum_rule.value == ["A", "B", "C"]
+    kinds = {r.rule: r.value for r in props["amount"].quality}
+    assert kinds == {"ge": -3.25, "le": 99.0}
+    assert c.status == "draft"
+
+
+def test_suggested_contract_accepts_its_own_data(sample):
+    """The whole point of bootstrapping: the suggestion must validate the
+    data it was derived from without blocking."""
+    c = suggest_contract(sample, contract_id="t.sample")
+    res = evaluate_dataframe(sample, c, operation="write")
+    assert res.ok, (res.errors, res.warnings)
+
+
+def test_suggested_contract_catches_drift(spark, sample):
+    c = suggest_contract(sample, contract_id="t.sample", enum_max_card=3)
+    drifted = sample.withColumn(
+        "status", F.when(F.col("id") == 1, "ZZZ").otherwise(F.col("status"))
+    )
+    res = evaluate_dataframe(drifted, c, operation="write")
+    assert not res.ok and any("enum_status" in e for e in res.errors)
+
+
+def test_profile_orders_real_table(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    p = profile_columns(df)
+    assert p.columns["o_orderkey"].is_unique
+    assert p.columns["o_orderstatus"].enum_values == ["F", "O", "P"]
+    assert p.columns["o_totalprice"].min_value > 0
