@@ -62,6 +62,8 @@ HEADLINE = [
     "interval_join_sessions",
     "user_sessions_events",
     "streaming_events_hourly",
+    "streaming_dedup_events",
+    "streaming_user_sessions",
     # governed IO (write + merge + versioned read round-trips)
     "merge_upsert_orders",
     "versioned_read_orders",
@@ -92,6 +94,8 @@ COUNT_ONLY = {
     "multimodal_stats",
     "frame_plan_documents",
     "streaming_events_hourly",
+    "streaming_dedup_events",
+    "streaming_user_sessions",
     "merge_upsert_orders",
     "versioned_read_orders",
     "repetition_documents",

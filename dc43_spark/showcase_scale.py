@@ -486,6 +486,62 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events table with the nanos->timestamp fix."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(_stream_src_dir(sf_dir))
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_stream_to_table(df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
+    # append-mode memory tables persist across invocations in one session;
+    # drop first so a re-run never accumulates the previous pass's rows
+    spark.catalog.dropTempView(name)
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup under the driver oracle: first
+    occurrence per (user_id, event_type) key. The 365-day horizon keeps
+    every key's state live for the whole availableNow replay, so the
+    surviving KEY SET equals batch DISTINCT exactly; only the keys are
+    emitted because which physical row survives per key is a scan-order
+    artifact, not a semantic."""
+    from dc43_spark.streaming.dedup import dedup_stream
+
+    deduped = dedup_stream(
+        _events_stream(spark, sf_dir),
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        delay="365 days",
+    ).select("user_id", "event_type")
+    return _run_stream_to_table(deduped, spark, "dc43_stream_dedup_events")
+
+
+def q_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState) under the
+    driver oracle. With a 365-day watermark delay no event-time timer can
+    fire during the availableNow replay, so the emitted set is exactly the
+    GAP-closed sessions — every session except each user's final open one —
+    and the batch window-function oracle predicts it deterministically
+    (timer-path closure is pinned separately in test_sessions)."""
+    from dc43_spark.streaming.sessions import sessionize_stream
+
+    sessions = sessionize_stream(
+        _events_stream(spark, sf_dir), gap_minutes=30, watermark_delay="365 days"
+    )
+    return _run_stream_to_table(sessions, spark, "dc43_stream_user_sessions")
+
+
 def q_json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured parsing: the events ``props`` column is a JSON
     document; parse it ONCE per row with a typed schema (``from_json`` —
@@ -898,6 +954,16 @@ SELECT user_id, session_seq,
 FROM s GROUP BY user_id, session_seq
 """
 
+_STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+# gap-closed sessions only: the per-user LAST session stays open in state
+# (the 365-day watermark never fires its timer during the replay)
+_STREAM_SESSIONS_SQL = f"""
+WITH g AS ({_USER_SESSIONS_SQL})
+SELECT user_id, session_start, session_end, n_events
+FROM g QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
+"""
+
 _EVENTS_ROLLUP_SQL = f"""
 -- date_trunc('day'/'month') yields DATE in DuckDB but TIMESTAMP in Spark;
 -- cast so the stringified grains agree
@@ -983,6 +1049,8 @@ SCALE_QUERIES = {
     "salted_orders_by_nation": q_salted_orders_by_nation,
     "user_sessions_events": q_user_sessions_events,
     "streaming_events_hourly": q_streaming_events_hourly,
+    "streaming_dedup_events": q_streaming_dedup_events,
+    "streaming_user_sessions": q_streaming_user_sessions,
 }
 
 SCALE_ORACLES = {
@@ -1022,4 +1090,6 @@ SCALE_ORACLES = {
     # streaming result is the batch aggregation (complete mode, epoch-aligned
     # tumbling windows) — the batch oracle applies verbatim
     "streaming_events_hourly": _EVENTS_HOURLY_SQL,
+    "streaming_dedup_events": _STREAM_DEDUP_SQL,
+    "streaming_user_sessions": _STREAM_SESSIONS_SQL,
 }

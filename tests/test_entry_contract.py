@@ -20,7 +20,7 @@ def test_every_query_has_an_oracle_and_vice_versa():
     assert set(queries) == set(oracles), (
         sorted(set(queries) ^ set(oracles))
     )
-    assert len(queries) >= 47
+    assert len(queries) >= 49
 
 
 def test_oracles_are_nonempty_sql():
