@@ -123,6 +123,11 @@ def main() -> int:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
+        # ~46 distinct plans generate hundreds of Janino classes; the JVM
+        # default code cache (240m) fills mid-run and the JIT then stalls
+        # random queries for tens of seconds (measured: ann_ivf 1.6s warm ->
+        # 30-40s mid-bench, cosine_pairs 2.8s -> 13s; stable with 1g)
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
@@ -136,6 +141,19 @@ def main() -> int:
     # warm-up: JIT/codegen/file-index costs land here, not in query 1's time
     for t in ("orders", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    # pre-fork the Python worker pool: the first Pandas-UDF stage otherwise
+    # pays 32 simultaneous `import pandas` forks inside a measured query
+    import pandas as _pd  # noqa: F401
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    (
+        spark.range(int(cpus) * 4, numPartitions=int(cpus))
+        .mapInPandas(_noop, "id long")
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

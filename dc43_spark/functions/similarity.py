@@ -593,8 +593,18 @@ def ivf_query_index_quantized(
         F.col("_code").alias("q_code"),
         "centroid_id",
     )
-    probed = sorted({r.centroid_id for r in q.select("centroid_id").distinct().collect()})
-    lists = spark.read.parquet(f"{path}/lists").filter(F.col("centroid_id").isin(probed))
+    lists = spark.read.parquet(f"{path}/lists")
+    if nprobe < centroids.shape[0]:
+        # partition-pruned probe: collect the probed list ids (tiny — at most
+        # |queries| * nprobe values) and push them into the partition filter
+        probed = sorted(
+            {r.centroid_id for r in q.select("centroid_id").distinct().collect()}
+        )
+        lists = lists.filter(F.col("centroid_id").isin(probed))
+    # else full probe: every list is read — skip the extra distinct+collect
+    # job (and the Python-stage recomputation of the query assignment it
+    # would trigger; `q` is not cached because at scale it is a stream of
+    # query batches, not a reusable table)
     joined = (
         F.broadcast(q)
         .join(
@@ -682,10 +692,13 @@ def ivf_query_index(
     q = q.select(
         F.col("_id").alias("q_id"), F.col("_vec").alias("q_vec"), "centroid_id"
     )
-    probed = sorted({r.centroid_id for r in q.select("centroid_id").distinct().collect()})
-    lists = spark.read.parquet(f"{path}/lists").filter(
-        F.col("centroid_id").isin(probed)
-    )
+    lists = spark.read.parquet(f"{path}/lists")
+    if nprobe < centroids.shape[0]:
+        # see ivf_query_index_quantized: prune only on partial probe
+        probed = sorted(
+            {r.centroid_id for r in q.select("centroid_id").distinct().collect()}
+        )
+        lists = lists.filter(F.col("centroid_id").isin(probed))
     c = lists.select(
         F.col(corpus_id).alias("n_id"),
         F.col(corpus_vec).alias("n_vec"),
