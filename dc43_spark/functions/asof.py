@@ -102,10 +102,14 @@ def asof_join(
         .filter(F.col("_is_left") == 1)
     )
     if tolerance_seconds is not None:
+        # cast-to-TIMESTAMP first: unix_micros rejects TIMESTAMP_NTZ inputs,
+        # and the cast is a no-op for TIMESTAMP; only the DIFFERENCE is used,
+        # so the session-tz interpretation of an NTZ wall clock cancels out
+        _us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
         gap = (
-            F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_mts"))
+            _us("_ts") - _us("_mts")
             if direction == "backward"
-            else F.unix_micros(F.col("_mts")) - F.unix_micros(F.col("_ts"))
+            else _us("_mts") - _us("_ts")
         )
         within = gap <= F.lit(int(tolerance_seconds * 1_000_000))
         out = out.withColumn(

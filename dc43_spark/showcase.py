@@ -69,15 +69,31 @@ def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Rebuild ``ts`` as a timestamp ONLY when parquet delivered it as
+    nanos-as-long (TIMESTAMP(NANOS) files read under
+    ``spark.sql.legacy.parquet.nanosAsLong``). A lake at scale contains both
+    encodings — TIMESTAMP(MICROS) files arrive as a timestamp type already
+    and must pass through untouched (r2: an unconditional rebuild died at
+    analysis time when the fixture flipped ns->us)."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's 2^53
+        # exact-integer range, so float division is off by a microsecond
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The driver's ``events`` table stores TIMESTAMP(NANOS) parquet, which
-    Spark 4 rejects outright; read nanos as long and rebuild a proper
-    timestamp column (micro truncation matches DuckDB's ns->us cast)."""
+    """Events loader robust to the table's timestamp physical encoding.
+
+    The legacy conf makes Spark 4 read TIMESTAMP(NANOS) parquet as long
+    instead of erroring outright; ``normalize_event_ts`` then rebuilds the
+    column only when that path was actually taken, so MICROS-encoded files
+    (the current fixtures) load natively."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's 2^53
-    # exact-integer range, so float division is off by a microsecond
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 # ---------------------------------------------------------------- contracts

@@ -359,7 +359,12 @@ def q_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_ts",
         # integer `div` end-to-end: double division + cast diverges across
         # engines (Spark truncates, DuckDB rounds)
-        F.expr("(unix_micros(ts) - unix_micros(view_ts)) div 1000000").alias("gap_sec"),
+        # cast-to-TIMESTAMP: unix_micros rejects TIMESTAMP_NTZ (no-op for
+        # TIMESTAMP; the difference cancels any session-tz interpretation)
+        F.expr(
+            "(unix_micros(cast(ts as timestamp))"
+            " - unix_micros(cast(view_ts as timestamp))) div 1000000"
+        ).alias("gap_sec"),
     )
 
 
@@ -460,11 +465,7 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink (complete mode). Tumbling 1h windows are epoch-aligned, so
     ``window.start == date_trunc('hour', ts)`` and the BATCH oracle applies
     verbatim — the streaming plan is oracle-checked, not just row-counted."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(schema).parquet(_stream_src_dir(sf_dir))
-    # integer `div` — see load_events: float division of epoch-nanos loses µs
-    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
@@ -487,11 +488,23 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream over the events table with the nanos->timestamp fix."""
+    """File-stream over the events table, dtype-adaptive on ``ts`` (nanos
+    files stream as long and are rebuilt; micros files pass through — see
+    showcase.normalize_event_ts)."""
+    from pyspark.sql.types import TimestampNTZType
+
+    from dc43_spark.showcase import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(schema).parquet(_stream_src_dir(sf_dir))
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = normalize_event_ts(stream)
+    if isinstance(ev.schema["ts"].dataType, TimestampNTZType):
+        # watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+        # The NTZ wall clock is interpreted in the session tz and timestamp
+        # outputs render back in the same tz, so the round trip is identity.
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 
 def _run_stream_to_table(df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
