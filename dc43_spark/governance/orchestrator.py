@@ -47,6 +47,11 @@ class GovernanceService:
     store: GovernanceStore = field(default_factory=MemoryGovernanceStore)
     clock: Callable[[], str] = _utcnow_iso
     draft_on_block: bool = False
+    # called after every dataset<->contract link with
+    # (dataset_id, dataset_version, contract_id, contract_version) —
+    # catalog sync (e.g. catalog_sync.UnityCatalogLinkHook) plugs in here
+    # (ref local.py:425-454 runs its hook list at the same point)
+    link_hooks: list[Callable[[str, str, str, str], None]] = field(default_factory=list)
 
     # -- contract resolution (ref local.py:932-988) -----------------------
     def resolve_contract(self, contract_id: str, selector: str = "latest") -> Contract:
@@ -97,6 +102,8 @@ class GovernanceService:
         }
         self.store.save_status(dataset_id, dataset_version, payload)
         self.store.link(dataset_id, contract.id, contract.version)
+        for hook in self.link_hooks:
+            hook(dataset_id, dataset_version, contract.id, contract.version)
         self.store.record_activity(
             {
                 "dataset_id": dataset_id,

@@ -61,7 +61,16 @@ def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     only scan as ONE partition — every downstream map-side operator would
     run on one core. The conditional keeps this a no-op on properly-split
     datasets (a real 100 TB input has thousands of splits, and shuffling it
-    here would be a disaster)."""
+    here would be a disaster).
+
+    WHEN to use it (r3 verdict: 4 queries went >2x from over-use): only
+    before CPU-heavy per-row work (shingling, hashing, Pandas UDFs) on a
+    table small enough that the spreading shuffle is cheap — there the
+    parallelism is real. A bare scan->aggregate or scan->projection must
+    use plain ``load``: partial aggregation already runs inside the scan
+    stage, so the full-table shuffle moves every row to save work that is
+    smaller than the shuffle itself (measured at sf0.1: metrics_orders
+    2.4s plain vs 5.4s spread; pricing_summary 1.3s vs 5.8s)."""
     df = load(spark, sf_dir, table)
     par = spark.sparkContext.defaultParallelism
     if _scan_splits(spark, df) < par:
@@ -335,12 +344,12 @@ FROM orders
 def q_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass validation metrics for the orders contract (one agg job
     instead of the reference's job-per-rule, data_quality.py:116-156)."""
-    return metrics_dataframe(load_spread(spark, sf_dir, "orders"), orders_contract())
+    return metrics_dataframe(load(spark, sf_dir, "orders"), orders_contract())
 
 
 def q_metrics_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full kernel incl. raw-SQL query rule: compute_metrics -> 1-row DF."""
-    m = compute_metrics(load_spread(spark, sf_dir, "customer"), customer_contract())
+    m = compute_metrics(load(spark, sf_dir, "customer"), customer_contract())
     cols = [k for k in m]
     row = [int(m[k]) for k in cols]
     aliased = [c.replace("violations.", "v_") for c in cols]
@@ -360,7 +369,7 @@ def q_apply_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents (decimal * 100 is exact; the value is integral so cast semantics
     can't diverge) — the decimal cast itself is still exercised, but no
     DECIMAL leaves the query (driver-hash trap, see module docstring)."""
-    df = apply_contract(load_spread(spark, sf_dir, "orders"), aligned_orders_contract())
+    df = apply_contract(load(spark, sf_dir, "orders"), aligned_orders_contract())
     return df.select(
         "o_orderkey",
         "o_custkey",
@@ -379,20 +388,20 @@ def _orders_valid_predicate() -> str:
 def q_split_valid_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split strategy valid side: conjunction of all row-level predicates
     (ref violation_strategy.py:285)."""
-    return load_spread(spark, sf_dir, "orders").filter(_orders_valid_predicate())
+    return load(spark, sf_dir, "orders").filter(_orders_valid_predicate())
 
 
 def q_split_reject_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split strategy reject side: NOT(conjunction) — NULL-predicate rows are
     in neither subset, mirroring the reference (violation_strategy.py:297)."""
-    return load_spread(spark, sf_dir, "orders").filter(f"NOT ({_orders_valid_predicate()})")
+    return load(spark, sf_dir, "orders").filter(f"NOT ({_orders_valid_predicate()})")
 
 
 def q_flag_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flag strategy row view: per-row violated-rule list (ref
     violation_strategy.py:499-522; array projected to a CSV string for a
     stable cross-engine hash)."""
-    df = load_spread(spark, sf_dir, "orders")
+    df = load(spark, sf_dir, "orders")
     specs = expectation_specs(orders_contract())
     preds = {k: p for k, p in row_predicates(specs).items() if not k.startswith("not_null_")}
     flags = [F.when(~F.expr(p), F.lit(k)) for k, p in preds.items()]

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dc43_spark.contracts.model import Contract, QualityRule, SchemaObject, SchemaProperty
 from dc43_spark.governance.orchestrator import GovernanceService
-from dc43_spark.showcase import ORDER_STATUS, ORDERS_PRED_SQL, orders_contract, load_spread
+from dc43_spark.showcase import ORDER_STATUS, ORDERS_PRED_SQL, load, orders_contract
 
 STRICT_ENUM = ["F", "O"]  # 'P' rows violate
 STRICT_PRICE_FLOOR = 100000.0
@@ -74,7 +74,7 @@ def q_governance_verdict_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     store — draft columns verify the STORED draft, not the return value.
     Draft versions embed a timestamp+uuid, so the gate pins the draft's
     deterministic shape (change counts), never the version string."""
-    df = load_spread(spark, sf_dir, "orders")
+    df = load(spark, sf_dir, "orders")
     svc = GovernanceService()
     drafting_svc = GovernanceService(draft_on_block=True)
     outcomes = {
@@ -147,7 +147,7 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dc43_spark.contracts.profiling import profile_columns
     from dc43_spark.showcase_scale import _cents
 
-    df = load_spread(spark, sf_dir, "orders").select(
+    df = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",

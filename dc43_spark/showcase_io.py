@@ -35,7 +35,7 @@ from dc43_spark.io.locators import ContractVersionLocator, StaticDatasetLocator
 from dc43_spark.io.merge import merge_with_contract
 from dc43_spark.io.read import read_with_contract
 from dc43_spark.io.write import write_with_contract
-from dc43_spark.showcase import load_spread
+from dc43_spark.showcase import load
 from dc43_spark.showcase_scale import _cents
 
 _SCRATCH_ROOT: str | None = None
@@ -74,7 +74,7 @@ def merge_orders_contract() -> Contract:
 
 
 def _orders_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_spread(spark, sf_dir, "orders").select(
+    return load(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",

@@ -375,7 +375,7 @@ def q_salted_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     salting rewrite end-to-end."""
     from dc43_spark.functions.skew import salted_join
 
-    orders = load_spread(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), F.col("c_nationkey")
     )
@@ -580,7 +580,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary, exact in integer units: cents for
     sums, 1e-4 units for the discounted sum — price*(1-disc)*1e4 ==
     price_cents * (100 - disc_hundredths), pure BIGINT arithmetic."""
-    li = load_spread(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem")
     qty_c = _cents(F.col("l_quantity"))
     price_c = _cents(F.col("l_extendedprice"))
     disc_h = _cents(F.col("l_discount"))  # 0.05 -> 5 hundredths
@@ -597,8 +597,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 customers by order value — broadcast dim join + agg + top-k."""
-    orders = load_spread(spark, sf_dir, "orders")
-    customer = F.broadcast(load_spread(spark, sf_dir, "customer"))
+    orders = load(spark, sf_dir, "orders")
+    customer = F.broadcast(load(spark, sf_dir, "customer"))
     return (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name")
@@ -615,7 +615,7 @@ def q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-way join rollup: orders x customer x nation with BOTH dims
     broadcast (nation is tiny, customer small) — the probe side streams with
     no shuffle until the final small groupBy."""
-    orders = load_spread(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders")
     customer = F.broadcast(
         load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     )
@@ -636,7 +636,7 @@ def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     window top-k (rank inside partial-aggregated groups, not a global sort)."""
     from pyspark.sql import Window
 
-    li = load_spread(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem")
     part = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand"))
     price_c = _cents(F.col("l_extendedprice"))
     disc_h = _cents(F.col("l_discount"))
