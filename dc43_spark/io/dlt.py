@@ -211,3 +211,152 @@ class LocalPipeline:
             if name not in self._results:
                 self._run_asset(name)
         return dict(self.reports)
+
+
+# --------------------------------------------------- runtime-binding layer
+
+
+@dataclass(frozen=True)
+class DltBinding:
+    """Introspection record attached to a decorated asset (mirrors the
+    reference's ``DLTContractBinding``, dlt.py:120-154): which contract and
+    which expectation dicts the decorator registered."""
+
+    contract_id: Optional[str]
+    contract_version: Optional[str]
+    expect_all: dict[str, str]
+    expect_all_or_drop: dict[str, str]
+
+
+def _resolve_dlt_module(dlt_module: Any = None) -> Any:
+    """Explicit module wins; otherwise bind to an importable ``dlt`` (the
+    Databricks runtime injects one); else None -> LocalPipeline fallback."""
+    if dlt_module is not None:
+        return dlt_module
+    try:  # pragma: no cover - exercised only on a real DLT runtime
+        import dlt  # type: ignore[import-not-found]
+
+        return dlt
+    except ImportError:
+        return None
+
+
+def _governed_asset(
+    contract: Optional[Contract],
+    *,
+    view: bool,
+    dlt_module: Any,
+    pipeline: Optional[LocalPipeline],
+    name: Optional[str],
+    extra_expect_all: Optional[dict[str, str]],
+    extra_expect_all_or_drop: Optional[dict[str, str]],
+    asset_kwargs: dict[str, Any],
+) -> Callable[[Callable[..., DataFrame]], Callable[..., DataFrame]]:
+    plan = (
+        dlt_expectations(contract)
+        if contract is not None
+        else {"expect_all": {}, "expect_all_or_drop": {}}
+    )
+    observed = {**plan["expect_all"], **(extra_expect_all or {})}
+    enforced = {**plan["expect_all_or_drop"], **(extra_expect_all_or_drop or {})}
+    binding = DltBinding(
+        contract_id=contract.id if contract else None,
+        contract_version=contract.version if contract else None,
+        expect_all=observed,
+        expect_all_or_drop=enforced,
+    )
+    module = _resolve_dlt_module(dlt_module)
+
+    def decorator(fn: Callable[..., DataFrame]) -> Callable[..., DataFrame]:
+        if module is not None:
+            # Real DLT runtime: expectations innermost, asset decorator
+            # outermost — the reference's application order (dlt.py:289-300),
+            # so the runtime evaluates expectations on the produced frame.
+            decorated: Any = fn
+            if enforced:
+                decorated = module.expect_all_or_drop(dict(enforced))(decorated)
+            if observed:
+                decorated = module.expect_all(dict(observed))(decorated)
+            kwargs = dict(asset_kwargs)
+            if name:
+                kwargs.setdefault("name", name)
+            decorated = (module.view if view else module.table)(**kwargs)(decorated)
+            decorated.__dc43_binding__ = binding
+            return decorated
+        target = pipeline if pipeline is not None else _ambient_pipeline()
+        register = target.governed_view if view else target.governed_table
+        decorated = register(
+            contract,
+            name=name,
+            extra_expect_all=extra_expect_all,
+            extra_expect_all_or_drop=extra_expect_all_or_drop,
+        )(fn)
+        decorated.__dc43_binding__ = binding
+        return decorated
+
+    return decorator
+
+
+_AMBIENT: list[LocalPipeline] = []
+
+
+def _ambient_pipeline() -> LocalPipeline:
+    """Shared fallback pipeline for decorator use without an explicit one
+    (lets a DLT notebook file import-and-run unchanged off-platform)."""
+    if not _AMBIENT:
+        _AMBIENT.append(LocalPipeline())
+    return _AMBIENT[0]
+
+
+def governed_table(
+    contract: Optional[Contract] = None,
+    *,
+    dlt_module: Any = None,
+    pipeline: Optional[LocalPipeline] = None,
+    name: Optional[str] = None,
+    extra_expect_all: Optional[dict[str, str]] = None,
+    extra_expect_all_or_drop: Optional[dict[str, str]] = None,
+    **asset_kwargs: Any,
+) -> Callable[[Callable[..., DataFrame]], Callable[..., DataFrame]]:
+    """Contract-governed ``@dlt.table`` (ref dlt.py:269-300).
+
+    On a Databricks DLT runtime (``import dlt`` succeeds, or ``dlt_module``
+    passed) this produces a real DLT table asset with the contract's
+    expectations registered via ``expect_all`` / ``expect_all_or_drop``.
+    Anywhere else it registers on a :class:`LocalPipeline` (given or
+    ambient), which enforces the same dicts with the same drop semantics —
+    so one pipeline file runs in both environments."""
+    return _governed_asset(
+        contract,
+        view=False,
+        dlt_module=dlt_module,
+        pipeline=pipeline,
+        name=name,
+        extra_expect_all=extra_expect_all,
+        extra_expect_all_or_drop=extra_expect_all_or_drop,
+        asset_kwargs=asset_kwargs,
+    )
+
+
+def governed_view(
+    contract: Optional[Contract] = None,
+    *,
+    dlt_module: Any = None,
+    pipeline: Optional[LocalPipeline] = None,
+    name: Optional[str] = None,
+    extra_expect_all: Optional[dict[str, str]] = None,
+    extra_expect_all_or_drop: Optional[dict[str, str]] = None,
+    **asset_kwargs: Any,
+) -> Callable[[Callable[..., DataFrame]], Callable[..., DataFrame]]:
+    """Contract-governed ``@dlt.view`` (ref dlt.py:302-330); see
+    :func:`governed_table` for the runtime-vs-local binding rules."""
+    return _governed_asset(
+        contract,
+        view=True,
+        dlt_module=dlt_module,
+        pipeline=pipeline,
+        name=name,
+        extra_expect_all=extra_expect_all,
+        extra_expect_all_or_drop=extra_expect_all_or_drop,
+        asset_kwargs=asset_kwargs,
+    )
