@@ -24,6 +24,7 @@ HEADLINE = [
     # schema alignment + row routing
     "apply_contract_orders",
     "split_valid_orders",
+    "split_reject_orders",
     "flag_orders",
     # scale extensions
     "dedup_exact_documents",
@@ -33,9 +34,12 @@ HEADLINE = [
     "minhash_documents",
     "simhash_documents",
     "minhash_near_dup_documents",
+    "near_dup_pairs_documents",
     "quality_documents",
     "multimodal_stats",
     "frame_plan_documents",
+    "media_probe_documents",
+    "image_stats_documents",
     "cosine_pairs_embeddings",
     "ann_lsh_embeddings",
     "ann_ivf_embeddings",
@@ -60,6 +64,7 @@ HEADLINE = [
     "events_rollup",
     "asof_purchase_attribution",
     "interval_join_sessions",
+    "salted_orders_by_nation",
     "user_sessions_events",
     "streaming_events_hourly",
     "streaming_dedup_events",
@@ -77,7 +82,11 @@ HEADLINE = [
 COUNT_ONLY = {
     "apply_contract_orders",
     "split_valid_orders",
+    "split_reject_orders",
     "flag_orders",
+    "near_dup_pairs_documents",
+    "media_probe_documents",
+    "image_stats_documents",
     "fingerprint_documents",
     "text_stats_documents",
     "lang_id_documents",

@@ -244,6 +244,68 @@ def q_frame_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(_media_frame(spark, sf_dir), every_ms=1000)
 
 
+def _encoded_media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container bytes synthesised deterministically per document:
+    doc_id%3 selects PNG (filtered scanlines, pixel[i]=i%256), JPEG
+    (structural header), or WAV (PCM16). The dimensions/rates derive from
+    doc fields by pure-arithmetic formulas, so a SQL oracle can predict
+    exactly what the header PARSERS must recover from the bytes — the gate
+    round-trips encode->probe through real codecs."""
+    import numpy as np
+    import pandas as pd
+
+    from dc43_spark.functions import multimodal as mm
+
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nch = int(did), int(nch)
+                kind = did % 3
+                if kind == 0:
+                    w, h, c = nch % 64 + 1, did % 48 + 1, 1 + (did % 2) * 2
+                    px = (np.arange(w * h * c) % 256).astype(np.uint8).reshape(h, w, c)
+                    payloads.append(mm.png_encode(px))
+                elif kind == 1:
+                    w, h, c = nch % 64 + 1, did % 48 + 1, 1 + (did % 2) * 2
+                    payloads.append(mm.jpeg_encode_header(w, h, c))
+                else:
+                    rate = 8000 + (did % 5) * 2000
+                    chans = 1 + did % 2
+                    n = nch * 10 * chans
+                    samples = ((np.arange(n) % 256) - 128).astype(np.int16)
+                    payloads.append(
+                        mm.wav_encode(samples, sample_rate=rate, channels=chans)
+                    )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(encode, "media_id long, payload binary")
+
+
+def q_media_probe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-header probe over real PNG/JPEG/WAV bytes (functions/
+    multimodal.py png_header/jpeg_header/wav_header): the oracle predicts
+    every parsed field from the generating formulas, so a header-parser bug
+    anywhere fails the hash."""
+    from dc43_spark.functions.multimodal import probe_media
+
+    return probe_media(_encoded_media_frame(spark, sf_dir))
+
+
+def q_image_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel statistics: zlib-decompress + unfilter every PNG (all
+    five scanline filters are exercised by the encoder) and sum the pixels.
+    pixel[i] = i % 256 gives the oracle a closed form: n full 256-cycles sum
+    32640 each plus a rem*(rem-1)/2 tail — any unfilter mistake shifts the
+    sum and fails the hash."""
+    from dc43_spark.functions.multimodal import image_channel_stats
+
+    media = _encoded_media_frame(spark, sf_dir).filter(F.col("media_id") % 3 == 0)
+    return image_channel_stats(media)
+
+
 def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 vectors vs the corpus."""
     emb = load(spark, sf_dir, "embeddings")
@@ -869,6 +931,42 @@ SELECT media_id,
 FROM v
 """
 
+# Predicts every field the real header parsers must recover from the
+# encoded bytes (see _encoded_media_frame formulas). Integer division
+# everywhere -> exact cross-engine match.
+_MEDIA_PROBE_SQL = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+       CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(n_chars % 64 + 1 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 48 + 1 AS INTEGER) END AS height,
+       CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 1 + (doc_id % 2) * 2
+                 ELSE 1 + doc_id % 2 END AS INTEGER) AS channels,
+       CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 8 ELSE 16 END AS INTEGER) AS bit_depth,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 5) * 2000 AS INTEGER) END AS sample_rate,
+       CASE WHEN doc_id % 3 = 2
+            THEN CAST((n_chars * 10 * 1000) // (8000 + (doc_id % 5) * 2000) AS BIGINT)
+       END AS duration_ms
+FROM documents
+"""
+
+# pixel[i] = i % 256 over n = w*h*c pixels: (n // 256) full cycles of sum
+# 32640 plus a 0..rem-1 tail, mean in integral micro units.
+_IMAGE_STATS_SQL = """
+WITH png AS (
+  SELECT doc_id,
+         CAST(n_chars % 64 + 1 AS INTEGER) AS w,
+         CAST(doc_id % 48 + 1 AS INTEGER) AS h,
+         CAST(1 + (doc_id % 2) * 2 AS INTEGER) AS c
+  FROM documents WHERE doc_id % 3 = 0
+), sized AS (
+  SELECT doc_id, w, h, c, CAST(w AS BIGINT) * h * c AS n FROM png
+)
+SELECT doc_id AS media_id, w AS width, h AS height, c AS channels,
+       CAST((n // 256) * 32640 + ((n % 256) * ((n % 256) - 1)) // 2 AS BIGINT) AS pixel_sum,
+       CAST(((n // 256) * 32640 + ((n % 256) * ((n % 256) - 1)) // 2) * 1000000 // n AS BIGINT) AS pixel_mean_micro
+FROM sized
+"""
+
 _KNN_SQL = """
 WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_vec FROM embeddings),
@@ -1045,6 +1143,8 @@ SCALE_QUERIES = {
     "quality_documents": q_quality_documents,
     "multimodal_stats": q_multimodal_stats,
     "frame_plan_documents": q_frame_plan_documents,
+    "media_probe_documents": q_media_probe_documents,
+    "image_stats_documents": q_image_stats_documents,
     "cosine_pairs_embeddings": q_cosine_pairs_embeddings,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "ann_ivf_embeddings": q_ann_ivf_embeddings,
@@ -1081,6 +1181,8 @@ SCALE_ORACLES = {
     "quality_documents": _quality_sql(),
     "multimodal_stats": _MULTIMODAL_STATS_SQL,
     "frame_plan_documents": _FRAME_PLAN_SQL,
+    "media_probe_documents": _MEDIA_PROBE_SQL,
+    "image_stats_documents": _IMAGE_STATS_SQL,
     "cosine_pairs_embeddings": _COSINE_PAIRS_SQL,
     "ann_lsh_embeddings": _ann_lsh_sql(),
     # full probe == exact brute force, so the KNN oracle applies verbatim
