@@ -35,6 +35,7 @@ HEADLINE = [
     "simhash_documents",
     "minhash_near_dup_documents",
     "near_dup_pairs_documents",
+    "dedup_clusters_documents",
     "quality_documents",
     "multimodal_stats",
     "frame_plan_documents",
@@ -54,6 +55,7 @@ HEADLINE = [
     "packed_chunks_documents",
     "train_split_documents",
     "embedding_dedup_embeddings",
+    "corpus_filter_documents",
     # analytics
     "pricing_summary",
     "top_customers",
@@ -87,6 +89,8 @@ COUNT_ONLY = {
     "near_dup_pairs_documents",
     "media_probe_documents",
     "image_stats_documents",
+    "dedup_clusters_documents",
+    "corpus_filter_documents",
     "fingerprint_documents",
     "text_stats_documents",
     "lang_id_documents",

@@ -63,16 +63,27 @@ def asof_join(
     l_struct = T.StructType([left.schema[c] for c in l_cols])
     r_struct = T.StructType([right.schema[c] for c in r_cols])
 
+    # Unify the two ts types WITHOUT a tz round-trip when either side is
+    # wall-clock: casting NTZ -> TIMESTAMP goes through the session time
+    # zone, which reorders/shifts instants across DST transitions. If any
+    # side is TIMESTAMP_NTZ, do the whole join in NTZ (DATE -> NTZ is a
+    # pure wall-clock conversion); only all-instant inputs use TIMESTAMP.
+    _ntz = any(
+        isinstance(df.schema[c].dataType, T.TimestampNTZType)
+        for df, c in ((left, left_ts), (right, right_ts))
+    )
+    ts_type = "timestamp_ntz" if _ntz else "timestamp"
+
     lu = left.select(
         *on,
-        F.col(left_ts).cast("timestamp").alias("_ts"),
+        F.col(left_ts).cast(ts_type).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*l_cols).alias("_l"),
         F.lit(None).cast(r_struct).alias("_r"),
     )
     ru = right.select(
         *on,
-        F.col(right_ts).cast("timestamp").alias("_ts"),
+        F.col(right_ts).cast(ts_type).alias("_ts"),
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(l_struct).alias("_l"),
         F.struct(*r_cols).alias("_r"),
@@ -102,14 +113,14 @@ def asof_join(
         .filter(F.col("_is_left") == 1)
     )
     if tolerance_seconds is not None:
-        # cast-to-TIMESTAMP first: unix_micros rejects TIMESTAMP_NTZ inputs,
-        # and the cast is a no-op for TIMESTAMP; only the DIFFERENCE is used,
-        # so the session-tz interpretation of an NTZ wall clock cancels out
-        _us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+        # timestamp_diff handles TIMESTAMP and TIMESTAMP_NTZ natively — no
+        # cast through the session time zone, so DST transitions can't skew
+        # the gap (unix_micros(cast(ntz as timestamp)) differences are off
+        # by the offset change when the two wall times straddle one)
         gap = (
-            _us("_ts") - _us("_mts")
+            F.timestamp_diff("MICROSECOND", F.col("_mts"), F.col("_ts"))
             if direction == "backward"
-            else _us("_mts") - _us("_ts")
+            else F.timestamp_diff("MICROSECOND", F.col("_ts"), F.col("_mts"))
         )
         within = gap <= F.lit(int(tolerance_seconds * 1_000_000))
         out = out.withColumn(

@@ -471,3 +471,68 @@ def embedding_near_dups(
         F.min("n_id").alias("dup_of"),
         F.min_by("_cos", "n_id").alias("cosine"),
     ).select(F.col("q_id").alias(id_col), "dup_of", "cosine")
+
+
+def corpus_filter(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 16,
+    max_tokens: int = 100_000,
+    min_quality_micro: int = 520_000,
+    min_stop_micro: int = 10_000,
+    allowed_langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """Composed C4/Gopher-style corpus filter: one narrow pass emitting
+    every signal, the keep/drop verdict, and the ordered drop reasons.
+
+    Rules (all integer micro-units — cross-engine exact):
+    - token count within [min_tokens, max_tokens]
+    - composite quality score >= min_quality_micro (text.quality_score)
+    - stopword ratio >= min_stop_micro — Gopher's natural-language floor:
+      running text HAS stopwords; keyword spam and tables don't
+    - predicted language in ``allowed_langs``
+
+    Returns (id, n_tokens, quality_micro, stop_micro, lang_pred,
+    drop_reasons, keep); downstream materialises ``WHERE keep`` and keeps
+    the reason histogram for pipeline observability. Single projection +
+    no shuffle: every signal is a narrow expression over the text column,
+    so the filter streams at scan speed on any corpus size."""
+    from dc43_spark.functions import text as tx
+
+    toks = tx.tokens(text_col)
+    n = F.size(toks).cast("long")
+    dn = F.size(F.array_distinct(toks)).cast("long")
+    tc = F.length(text_col).cast("long")
+    pc = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")).cast("long")
+    minn = F.least(n, F.lit(256).cast("long"))
+    qnum = F.lit(4) * minn * tc * n + F.lit(768) * (tc - pc) * n + F.lit(768) * dn * tc
+    qden = F.lit(2560) * tc * n
+    sw = F.array(*[F.lit(s) for s in tx.DEFAULT_STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))).cast("long")
+
+    out = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        micro_ratio(qnum, qden).alias("quality_micro"),
+        micro_ratio(hits, n).alias("stop_micro"),
+        tx.lang_id(text_col).alias("lang_pred"),
+    )
+    checks = [
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("too_long", F.col("n_tokens") > max_tokens),
+        ("low_quality", F.col("quality_micro") < min_quality_micro),
+        ("low_stopword", F.col("stop_micro") < min_stop_micro),
+        ("lang", ~F.col("lang_pred").isin(*allowed_langs)),
+    ]
+    reasons = [F.when(cond, F.lit(name)) for name, cond in checks]
+    dropped = sum(
+        (F.when(cond, F.lit(1)).otherwise(F.lit(0)) for _, cond in checks),
+        start=F.lit(0),
+    )
+    return out.select(
+        "*",
+        F.concat_ws(",", *reasons).alias("drop_reasons"),
+        (dropped == 0).alias("keep"),
+    )

@@ -364,3 +364,116 @@ def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two int64 hashes (popcount via bin())."""
     x = a.bitwiseXOR(b)
     return F.length(F.regexp_replace(F.bin(x), "0", "")).cast("int")
+
+
+# ------------------------------------------------- connected components
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct (u, v) with u > v — every edge points from the larger id to
+    the smaller, self-loops dropped."""
+    e = edges.select(
+        F.greatest(F.col(src), F.col(dst)).alias("u"),
+        F.least(F.col(src), F.col(dst)).alias("v"),
+    )
+    return e.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to u's min neighborhood
+    element (Kiveris et al., 'Connected Components in MapReduce and
+    Beyond', large-star operation)."""
+    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least("mn", "u").alias("m"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Link every neighbor <= u (and u itself) to the minimum of that set
+    (small-star operation). Input edges must satisfy u > v."""
+    m = edges.groupBy("u").agg(F.min("v").alias("m"))
+    linked = (
+        edges.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m.select("u", F.col("m").alias("v")))
+    )
+    return linked.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Component root (minimum member id) per node: alternating large-star /
+    small-star (Kiveris et al.) — O(log n) rounds, each a constant number
+    of shuffles, the published MapReduce-scale algorithm (label propagation
+    needs diameter rounds and a 100 TB web-crawl graph has long chains).
+
+    Returns (node, root) for every node appearing in ``edges``; nodes
+    without edges are absent (callers coalesce to self).
+
+    Each round ends in ``localCheckpoint`` — iterative DataFrame algorithms
+    otherwise stack O(iterations) of plan lineage, and Catalyst re-analysis
+    goes quadratic. Convergence is detected on a 3-field summary
+    (count, xor-of-hash, min) instead of a full subtract: one tiny
+    aggregate per round versus an extra shuffle of the edge set (bit_xor,
+    not sum — ANSI mode makes a long-sum of hashes overflow-fatal)."""
+    cur = _canonical_edges(edges, src, dst).localCheckpoint()
+
+    def _sig(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            F.min("v").alias("mn"),
+        ).collect()[0]
+        return row["n"], row["h"], row["mn"]
+
+    prev = _sig(cur)
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        sig = _sig(nxt)
+        cur = nxt
+        if sig == prev:
+            break
+        prev = sig
+    # post-convergence the graph is a forest of stars: u > v == root for
+    # every edge, except chains of stars collapsed in the last round — one
+    # more min-propagation both directions makes roots total
+    roots = cur.groupBy("u").agg(F.min("v").alias("root"))
+    nodes = cur.select(F.col("u").alias("node")).union(cur.select("v")).distinct()
+    out = (
+        nodes.join(roots, nodes.node == roots.u, "left")
+        .select("node", F.coalesce("root", "node").alias("root"))
+    )
+    return out
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Assign every document its near-dup cluster: cluster_id = the minimum
+    doc id reachable through ``pairs``; singletons cluster as themselves.
+    Downstream keeps one representative per cluster_id (the LLM-corpus
+    dedup contract: drop all but one of each near-dup set)."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    out = (
+        df.join(comp, df[id_col] == comp.node, "left")
+        .select(df["*"], F.coalesce(comp.root, df[id_col]).alias("cluster_id"))
+    )
+    w = Window.partitionBy("cluster_id")
+    return out.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))

@@ -79,18 +79,26 @@ def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """Rebuild ``ts`` as a timestamp ONLY when parquet delivered it as
+    """Rebuild ``ts`` as TIMESTAMP_NTZ ONLY when parquet delivered it as
     nanos-as-long (TIMESTAMP(NANOS) files read under
-    ``spark.sql.legacy.parquet.nanosAsLong``). A lake at scale contains both
-    encodings — TIMESTAMP(MICROS) files arrive as a timestamp type already
-    and must pass through untouched (r2: an unconditional rebuild died at
-    analysis time when the fixture flipped ns->us)."""
+    ``spark.sql.legacy.parquet.nanosAsLong``); MICROS-encoded files already
+    arrive as TIMESTAMP_NTZ and pass through untouched (r2: an
+    unconditional rebuild died at analysis time when the fixture flipped
+    ns->us). Both branches now emit the SAME type, so downstream
+    date_trunc/window semantics can't depend on the physical encoding.
+
+    The nanos->NTZ conversion interprets the long as UTC-epoch nanos and
+    renders the UTC wall clock (the cast goes through the session tz, which
+    every session in this repo pins to UTC); run non-UTC sessions with a
+    UTC tz when loading nanos-encoded files."""
     from pyspark.sql.types import LongType
 
     if isinstance(df.schema["ts"].dataType, LongType):
         # integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's 2^53
         # exact-integer range, so float division is off by a microsecond
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
     return df
 
 

@@ -304,6 +304,38 @@ SELECT doc_id, bucket, CASE {whens} END AS split FROM b
 """
 
 
+def q_corpus_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4/Gopher-style keep/drop pipeline (curation.corpus_filter):
+    token bounds + quality floor + stopword natural-language floor +
+    language allow-list, with ordered drop reasons. The oracle re-derives
+    every signal AND the verdict algebra in SQL."""
+    return cu.corpus_filter(load_spread(spark, sf_dir, "documents"))
+
+
+def _corpus_filter_sql() -> str:
+    from dc43_spark.showcase_scale import _lang_id_sql, _quality_sql, _TOKS
+
+    return f"""
+WITH q AS ({_quality_sql()}), l AS ({_lang_id_sql()}),
+s AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+j AS (
+  SELECT doc_id, n_tokens, quality_micro, stop_micro, lang_pred
+  FROM s JOIN q USING (doc_id) JOIN l USING (doc_id)
+)
+SELECT doc_id, n_tokens, quality_micro, stop_micro, lang_pred,
+  concat_ws(',',
+    CASE WHEN n_tokens < 16 THEN 'too_short' END,
+    CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+    CASE WHEN quality_micro < 520000 THEN 'low_quality' END,
+    CASE WHEN stop_micro < 10000 THEN 'low_stopword' END,
+    CASE WHEN lang_pred <> 'en' THEN 'lang' END
+  ) AS drop_reasons,
+  (n_tokens >= 16 AND n_tokens <= 100000 AND quality_micro >= 520000
+   AND stop_micro >= 10000 AND lang_pred = 'en') AS keep
+FROM j
+"""
+
+
 CURATION_QUERIES = {
     "repetition_documents": q_repetition_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
@@ -313,6 +345,7 @@ CURATION_QUERIES = {
     "packed_chunks_documents": q_packed_chunks_documents,
     "train_split_documents": q_train_split_documents,
     "embedding_dedup_embeddings": q_embedding_dedup_embeddings,
+    "corpus_filter_documents": q_corpus_filter_documents,
 }
 
 CURATION_ORACLES = {
@@ -324,4 +357,5 @@ CURATION_ORACLES = {
     "packed_chunks_documents": _PACKED_CHUNKS_SQL,
     "train_split_documents": _train_split_sql(),
     "embedding_dedup_embeddings": _embedding_dedup_sql(),
+    "corpus_filter_documents": _corpus_filter_sql(),
 }

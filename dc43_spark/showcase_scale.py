@@ -119,6 +119,20 @@ def q_minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: exact >=0.8 Jaccard pairs -> connected
+    components (alternating large-star/small-star, functions/dedup.py
+    ``connected_components``) -> every doc labeled with the min doc id of
+    its component plus the component size. Singletons cluster as
+    themselves. The oracle rebuilds the same closure with a recursive CTE —
+    any wrong merge or missed chain changes roots and fails the hash."""
+    docs = load_spread(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8, shingle_size=SHINGLE)
+    return dd.dedup_clusters(docs.select("doc_id"), pairs).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
 def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: composite heuristic + stopword ratio + BPE-ish
     subword count (all single-pass narrow projections).
@@ -420,12 +434,10 @@ def q_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_event_id",
         "view_ts",
         # integer `div` end-to-end: double division + cast diverges across
-        # engines (Spark truncates, DuckDB rounds)
-        # cast-to-TIMESTAMP: unix_micros rejects TIMESTAMP_NTZ (no-op for
-        # TIMESTAMP; the difference cancels any session-tz interpretation)
+        # engines (Spark truncates, DuckDB rounds); timestampdiff is
+        # NTZ-native, so no session-tz round-trip can skew the gap
         F.expr(
-            "(unix_micros(cast(ts as timestamp))"
-            " - unix_micros(cast(view_ts as timestamp))) div 1000000"
+            "timestampdiff(MICROSECOND, view_ts, ts) div 1000000"
         ).alias("gap_sec"),
     )
 
@@ -526,7 +538,12 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time tumbling window + watermark -> availableNow trigger -> memory
     sink (complete mode). Tumbling 1h windows are epoch-aligned, so
     ``window.start == date_trunc('hour', ts)`` and the BATCH oracle applies
-    verbatim — the streaming plan is oracle-checked, not just row-counted."""
+    verbatim — the streaming plan is oracle-checked, not just row-counted.
+
+    The window/date_trunc equivalence assumes the session tz offset is a
+    whole hour (window() aligns to the UTC epoch; date_trunc truncates in
+    session-local wall clock): exact under this repo's UTC-pinned sessions,
+    misaligned under a +5:30-style or mid-query-DST tz."""
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
@@ -931,6 +948,33 @@ SELECT media_id,
 FROM v
 """
 
+# Transitive closure of the >=0.8 exact-Jaccard graph via recursive CTE:
+# min reachable id per node = the cluster root the star algorithm must
+# find; docs with no edges cluster as themselves.
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_near_dup_sql()}),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+roots AS (
+  SELECT u AS node, least(min(v), u) AS root FROM reach GROUP BY u
+),
+clustered AS (
+  SELECT d.doc_id, COALESCE(r.root, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN roots r ON d.doc_id = r.node
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM clustered
+"""
+
 # Predicts every field the real header parsers must recover from the
 # encoded bytes (see _encoded_media_frame formulas). Integer division
 # everywhere -> exact cross-engine match.
@@ -1140,6 +1184,7 @@ SCALE_QUERIES = {
     "simhash_documents": q_simhash_documents,
     "near_dup_pairs_documents": q_near_dup_pairs_documents,
     "minhash_near_dup_documents": q_minhash_near_dup_documents,
+    "dedup_clusters_documents": q_dedup_clusters_documents,
     "quality_documents": q_quality_documents,
     "multimodal_stats": q_multimodal_stats,
     "frame_plan_documents": q_frame_plan_documents,
@@ -1178,6 +1223,7 @@ SCALE_ORACLES = {
     "simhash_documents": _simhash_sql(),
     "near_dup_pairs_documents": _near_dup_sql(" WHERE doc_id < 2000"),
     "minhash_near_dup_documents": _near_dup_sql(),  # LSH must agree with exact here
+    "dedup_clusters_documents": _DEDUP_CLUSTERS_SQL,
     "quality_documents": _quality_sql(),
     "multimodal_stats": _MULTIMODAL_STATS_SQL,
     "frame_plan_documents": _FRAME_PLAN_SQL,

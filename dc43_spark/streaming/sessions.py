@@ -53,11 +53,10 @@ def sessionize(
     # is fractional — both cross-engine traps)
     gap_us = gap_minutes * 60 * 1_000_000
     prev_ts = F.lag(ts_col).over(w_user)
-    # cast first: unix_micros rejects TIMESTAMP_NTZ; no-op for TIMESTAMP, and
-    # only the difference matters so NTZ session-tz interpretation cancels
-    cur_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    prev_us = F.unix_micros(prev_ts.cast("timestamp"))
-    is_new = F.when(prev_ts.isNull() | ((cur_us - prev_us) > gap_us), 1).otherwise(0)
+    # timestamp_diff handles TIMESTAMP and TIMESTAMP_NTZ natively — casting
+    # NTZ through the session tz skews gaps that straddle a DST transition
+    gap_from_prev = F.timestamp_diff("MICROSECOND", prev_ts, F.col(ts_col))
+    is_new = F.when(prev_ts.isNull() | (gap_from_prev > gap_us), 1).otherwise(0)
     with_session = df.withColumn("_new", is_new).withColumn(
         "session_seq",
         F.sum("_new").over(

@@ -128,3 +128,35 @@ def test_matches_pandas_merge_asof(spark):
         .sort_values("id")
     )
     assert list(got["v"].fillna(-1)) == list(expect["v"].fillna(-1))
+
+
+def test_asof_ntz_tolerance_is_wall_clock_across_dst(spark):
+    """TIMESTAMP_NTZ inputs must use wall-clock gaps regardless of session
+    tz. Two NY wall times straddling the 2026-03-08 spring-forward are 2h
+    apart on the wall but 1h apart as instants; with a 1.5h tolerance the
+    match must be REJECTED (gap 2h) — the old cast-through-session-tz path
+    measured 1h and wrongly matched."""
+    from dc43_spark.functions.asof import asof_join
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        left = spark.sql(
+            "SELECT 1 AS k, TIMESTAMP_NTZ'2026-03-08 03:30:00' AS ts, 10 AS lv"
+        )
+        right = spark.sql(
+            "SELECT 1 AS k, TIMESTAMP_NTZ'2026-03-08 01:30:00' AS rts, 20 AS rv"
+        )
+        out = asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            tolerance_seconds=5400,
+        ).collect()
+        assert len(out) == 1 and out[0]["rv"] is None
+        # and with a 2h tolerance the same pair matches
+        ok = asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            tolerance_seconds=7200,
+        ).collect()
+        assert ok[0]["rv"] == 20
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)

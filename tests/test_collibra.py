@@ -1,0 +1,165 @@
+"""Collibra contract store: adapter protocol, status lifecycle, REST shape
+(ref collibra.py:63-365 re-expressed over this repo's ContractStore API)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dc43_spark.contracts.collibra import (
+    CollibraContractStore,
+    ContractSummary,
+    HttpCollibraAdapter,
+    MemoryCollibraAdapter,
+)
+from dc43_spark.contracts.model import Contract, SchemaObject, SchemaProperty
+
+
+def _contract(version: str) -> Contract:
+    return Contract(
+        id="driver.orders",
+        version=version,
+        schema_objects=[
+            SchemaObject(name="orders", properties=[SchemaProperty("o_orderkey", "bigint")])
+        ],
+    )
+
+
+def test_put_get_versions_roundtrip():
+    store = CollibraContractStore(MemoryCollibraAdapter())
+    store.put(_contract("1.0.0"))
+    store.put(_contract("1.1.0"))
+    assert store.list_ids() == ["driver.orders"]
+    assert store.versions("driver.orders") == ["1.0.0", "1.1.0"]
+    got = store.get("driver.orders", "1.1.0")
+    assert got.id == "driver.orders" and got.version == "1.1.0"
+    assert got.schema_object.properties[0].name == "o_orderkey"
+    assert store.get("driver.orders", "9.9.9") is None
+
+
+def test_resolve_and_selectors_work_through_adapter():
+    store = CollibraContractStore(MemoryCollibraAdapter())
+    for v in ("1.0.0", "1.2.0", "0.9.0"):
+        store.put(_contract(v))
+    assert store.resolve("driver.orders").version == "1.2.0"
+    assert store.resolve("driver.orders", "==1.0.0").version == "1.0.0"
+    assert store.resolve("driver.orders", ">=1.1.0").version == "1.2.0"
+
+
+def test_status_filter_narrows_listings():
+    adapter = MemoryCollibraAdapter()
+    store = CollibraContractStore(adapter, status_filter="Validated")
+    writer = CollibraContractStore(adapter)
+    writer.put(_contract("1.0.0"))
+    writer.put(_contract("2.0.0"))
+    adapter.update_status("driver.orders", "1.0.0", "Validated")
+    # reader sees only the Validated version; latest resolves below 2.0.0
+    assert store.versions("driver.orders") == ["1.0.0"]
+    assert store.resolve("driver.orders").version == "1.0.0"
+
+
+def test_latest_validated_ignores_newer_drafts():
+    adapter = MemoryCollibraAdapter()
+    store = CollibraContractStore(adapter)
+    store.put(_contract("1.0.0"))
+    store.put(_contract("1.5.0"))
+    store.put(_contract("2.0.0"))  # newest, still Draft
+    adapter.update_status("driver.orders", "1.0.0", "Validated")
+    adapter.update_status("driver.orders", "1.5.0", "Validated")
+    assert store.latest_validated("driver.orders").version == "1.5.0"
+    assert store.latest_validated("missing.id") is None
+
+
+def test_submit_draft_lands_as_draft_even_with_validated_default():
+    adapter = MemoryCollibraAdapter()
+    store = CollibraContractStore(adapter, default_status="Validated")
+    store.put(_contract("1.0.0"))
+    store.submit_draft(_contract("1.1.0"))
+    by_ver = {s.version: s.status for s in adapter.list_versions("driver.orders")}
+    assert by_ver == {"1.0.0": "Validated", "1.1.0": "Draft"}
+
+
+def test_update_status_on_unknown_version_raises():
+    adapter = MemoryCollibraAdapter()
+    with pytest.raises(LookupError):
+        adapter.update_status("driver.orders", "1.0.0", "Validated")
+
+
+def test_http_adapter_rest_shape():
+    """The REST adapter addresses contracts by data-product/port and speaks
+    the Collibra wrapping ({'status', 'contract'}); a fake transport plays
+    the service and records every call."""
+    state: dict[str, dict] = {}
+    calls: list[tuple[str, str]] = []
+
+    def transport(method, path, body):
+        calls.append((method, path))
+        base = "/rest/2.0/dataproducts/sales/ports/gold/contracts"
+        if not path.startswith(base):
+            return 404, None
+        tail = path[len(base):].lstrip("/")
+        if method == "POST":
+            doc = body["contract"]
+            state[doc["version"]] = {"status": body["status"], "contract": doc}
+            return 201, None
+        if method == "PATCH":
+            if tail not in state:
+                return 404, None
+            state[tail]["status"] = body["status"]
+            return 204, None
+        if method == "GET" and not tail:
+            return 200, {
+                "contracts": [
+                    {"version": v, "status": e["status"]} for v, e in state.items()
+                ]
+            }
+        if method == "GET":
+            if tail not in state:
+                return 404, None
+            return 200, state[tail]
+        return 405, None
+
+    adapter = HttpCollibraAdapter(
+        transport, catalog={"driver.orders": ("sales", "gold")}
+    )
+    store = CollibraContractStore(adapter)
+    store.put(_contract("1.0.0"))
+    store.put(_contract("2.0.0"))
+    adapter.update_status("driver.orders", "1.0.0", "Validated")
+    assert store.versions("driver.orders") == ["1.0.0", "2.0.0"]
+    assert store.get("driver.orders", "1.0.0").version == "1.0.0"
+    assert store.latest_validated("driver.orders").version == "1.0.0"
+    assert adapter.list_contracts() == ["driver.orders"]
+    with pytest.raises(LookupError):
+        adapter.get_contract("driver.orders", "3.0.0")
+    with pytest.raises(LookupError):
+        HttpCollibraAdapter(transport, catalog={})._base("unmapped.id")
+    assert ("POST", "/rest/2.0/dataproducts/sales/ports/gold/contracts") in calls
+
+
+def test_governance_service_runs_on_collibra_store(spark, sf_dir):
+    """End-to-end: GovernanceService resolves its contract out of the faked
+    Collibra catalog and records the evaluation normally."""
+    from dc43_spark.governance.orchestrator import GovernanceService
+    from dc43_spark.showcase import orders_contract
+
+    adapter = MemoryCollibraAdapter()
+    store = CollibraContractStore(adapter)
+    store.put(orders_contract())
+    service = GovernanceService(contract_store=store)
+    contract = service.resolve_contract("driver.orders")
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    outcome = service.evaluate_dataset(df, contract, dataset_id="table:orders")
+    assert outcome.validation.status in ("ok", "warn")
+    link = service.dataset_contract("table:orders")
+    assert (link["contract_id"], link["contract_version"]) == (
+        contract.id,
+        contract.version,
+    )
+
+
+def test_non_semver_versions_sort_below_real_ones():
+    adapter = MemoryCollibraAdapter()
+    adapter.upsert_contract({"id": "x", "version": "legacy", "schema": []})
+    adapter.upsert_contract({"id": "x", "version": "1.0.0", "schema": []})
+    vs = [s.version for s in adapter.list_versions("x")]
+    assert vs == ["legacy", "1.0.0"]

@@ -319,3 +319,28 @@ def test_curation_ops_match_python_reference_on_random_corpus(spark):
     dfreq = Counter(t for _, text in docs for t in set(text.split()))
     for r in cu.term_counts(df).collect():
         assert (r["tf"], r["df"]) == (tf[r["term"]], dfreq[r["term"]]), r["term"]
+
+
+def test_corpus_filter_signals_and_reasons(spark):
+    from dc43_spark.functions.curation import corpus_filter
+
+    docs = spark.createDataFrame(
+        [
+            # clean English running text, plenty of stopwords
+            (1, "the quick brown fox jumps over the lazy dog and then the "
+                "dog chases the fox around the big old tree in the yard"),
+            # too short
+            (2, "tiny doc"),
+            # keyword spam: no stopwords
+            (3, "buy cheap widgets discount sale offer deal price shop "
+                "cart checkout shipping warehouse stock bulk order invoice"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus_filter(docs).collect()}
+    assert out[1]["keep"] is True and out[1]["drop_reasons"] == ""
+    assert out[2]["keep"] is False and "too_short" in out[2]["drop_reasons"]
+    assert out[3]["keep"] is False and "low_stopword" in out[3]["drop_reasons"]
+    # signal columns are integer micro-units
+    assert isinstance(out[1]["quality_micro"], int)
+    assert out[1]["stop_micro"] > out[3]["stop_micro"]

@@ -164,3 +164,24 @@ def test_streaming_and_batch_agree_on_closed_sessions(spark, tmp_path, impl):
         if r.session_seq == 1  # the open (last) sessions never streamed out
     }
     assert streamed == closed_in_batch
+
+
+def test_batch_sessionize_gap_is_wall_clock_across_dst(spark):
+    """NTZ event times 2h apart on the wall (but 1h as NY instants across
+    spring-forward) must SPLIT at gap_minutes=90 — the old
+    cast-through-session-tz path measured 1h and kept one session."""
+    from dc43_spark.streaming.sessions import sessionize
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ev = spark.sql(
+            "SELECT * FROM VALUES "
+            "(1L, 7L, TIMESTAMP_NTZ'2026-03-08 01:30:00'), "
+            "(2L, 7L, TIMESTAMP_NTZ'2026-03-08 03:30:00') "
+            "AS t(event_id, user_id, ts)"
+        )
+        sessions = sessionize(ev, gap_minutes=90)
+        assert sessions.count() == 2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
