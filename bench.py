@@ -155,10 +155,16 @@ def main() -> int:
     for t in ("orders", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     # pre-fork the Python worker pool: the first Pandas-UDF stage otherwise
-    # pays 32 simultaneous `import pandas` forks inside a measured query
+    # pays 32 simultaneous `import pandas` forks inside a measured query —
+    # and import the UDF-side modules (numpy + the codec module) in every
+    # worker so no measured query pays module-import time either
     import pandas as _pd  # noqa: F401
 
     def _noop(batches):
+        import numpy  # noqa: F401
+
+        import dc43_spark.functions.multimodal  # noqa: F401
+
         for b in batches:
             yield b
 

@@ -413,6 +413,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iterations: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Component root (minimum member id) per node: alternating large-star /
     small-star (Kiveris et al.) — O(log n) rounds, each a constant number
@@ -427,8 +428,35 @@ def connected_components(
     goes quadratic. Convergence is detected on a 3-field summary
     (count, xor-of-hash, min) instead of a full subtract: one tiny
     aggregate per round versus an extra shuffle of the edge set (bit_xor,
-    not sum — ANSI mode makes a long-sum of hashes overflow-fatal)."""
+    not sum — ANSI mode makes a long-sum of hashes overflow-fatal).
+
+    Small-graph fast path: when the deduped edge set fits comfortably on
+    the driver (``driver_threshold`` edges, ~30 MB at the default), a
+    union-find there replaces ~5 distributed rounds x 3 jobs each — near-dup
+    graphs are tiny relative to their corpus (pairs, not documents), so
+    even multi-TB corpora usually take this branch; the star iterations
+    exist for the web-crawl-scale graphs that don't."""
     cur = _canonical_edges(edges, src, dst).localCheckpoint()
+    n_edges = cur.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = cur.collect()
+        for r in rows:
+            ra, rb = find(r["u"]), find(r["v"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out = [(int(x), int(find(x))) for x in {v for r in rows for v in (r["u"], r["v"])}]
+        spark = edges.sparkSession
+        return spark.createDataFrame(out, "node long, root long")
 
     def _sig(e: DataFrame):
         row = e.agg(

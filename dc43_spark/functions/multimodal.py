@@ -190,35 +190,33 @@ def png_encode(pixels: np.ndarray) -> bytes:
     h, w, c = arr.shape
     color_type = _CHANNELS_COLOR_TYPE[c]
     bpp = c  # bytes per pixel at bit depth 8
-    raw = bytearray()
-    prev = np.zeros(w * bpp, dtype=np.uint8)
-    for y in range(h):
-        row = arr[y].reshape(-1)
-        ftype = y % 5
-        if ftype == 0:
-            filt = row
-        elif ftype == 1:  # Sub
-            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
-            filt = (row.astype(np.int16) - left).astype(np.uint8)
-        elif ftype == 2:  # Up
-            filt = (row.astype(np.int16) - prev).astype(np.uint8)
-        elif ftype == 3:  # Average
-            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
-            avg = (left.astype(np.int16) + prev.astype(np.int16)) // 2
-            filt = (row.astype(np.int16) - avg).astype(np.uint8)
-        else:  # Paeth
-            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]]).astype(np.int16)
-            up = prev.astype(np.int16)
-            ul = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]]).astype(np.int16)
-            filt = (row.astype(np.int16) - _paeth(left, up, ul)).astype(np.uint8)
-        raw.append(ftype)
-        raw.extend(filt.tobytes())
-        prev = row
+    # whole-image filter math (PNG filters reference the RAW previous
+    # scanline during encoding, so every variant vectorizes):
+    flat = arr.reshape(h, w * bpp).astype(np.int16)
+    left = np.zeros_like(flat)
+    left[:, bpp:] = flat[:, :-bpp]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    ul = np.zeros_like(flat)
+    ul[1:, bpp:] = flat[:-1, :-bpp]
+    variants = np.stack(
+        [
+            flat,                              # 0 None
+            flat - left,                       # 1 Sub
+            flat - up,                         # 2 Up
+            flat - (left + up) // 2,           # 3 Average
+            flat - _paeth(left, up, ul),       # 4 Paeth
+        ]
+    ).astype(np.uint8)
+    ftypes = np.arange(h, dtype=np.uint8) % 5
+    body = np.empty((h, 1 + w * bpp), dtype=np.uint8)
+    body[:, 0] = ftypes
+    body[:, 1:] = variants[ftypes, np.arange(h)]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IDAT", zlib.compress(body.tobytes(), 1))
         + _png_chunk(b"IEND", b"")
     )
 
