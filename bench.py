@@ -56,6 +56,7 @@ HEADLINE = [
     "train_split_documents",
     "embedding_dedup_embeddings",
     "corpus_filter_documents",
+    "bpe_pairs_documents",
     # analytics
     "pricing_summary",
     "top_customers",

@@ -536,3 +536,49 @@ def corpus_filter(
         F.concat_ws(",", *reasons).alias("drop_reasons"),
         (dropped == 0).alias("keep"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    top_n: int = 100,
+) -> DataFrame:
+    """Adjacent-symbol pair frequencies — the distributed kernel of BPE
+    tokenizer training (each merge iteration recounts pairs; this operator
+    is that count over a corpus).
+
+    Pipeline: BPE pre-tokenization (letter runs / digit runs / single
+    punctuation, text.BPE_TOKEN_RE) -> per-token adjacent character pairs
+    (with multiplicity) -> global count. Two narrow explodes feeding ONE
+    aggregation shuffle on the pair key: partial aggregation collapses the
+    exploded stream map-side, and pair keys are high-cardinality/uniform,
+    so the shuffle carries at most |vocab|^2 rows per partition regardless
+    of corpus size. Top-N with a total tie-break (count desc, pair asc)
+    keeps the output deterministic."""
+    from dc43_spark.functions.text import BPE_TOKEN_RE
+
+    toks = F.explode(
+        F.expr(f"regexp_extract_all({text_col}, '{BPE_TOKEN_RE}', 0)")
+    ).alias("tok")
+    # single-symbol tokens have no pairs; the CASE guard matters because
+    # Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being empty
+    pairs = (
+        df.select(toks)
+        .filter(F.length("tok") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1),"
+                    " i -> substring(tok, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("pair", "n", F.col("rank").cast("long").alias("rank"))
+    )

@@ -336,6 +336,33 @@ FROM j
 """
 
 
+def q_bpe_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent-symbol pair counts (the BPE-training inner kernel,
+    curation.bpe_pair_counts): two narrow explodes into one partial-
+    aggregated shuffle on the pair key."""
+    return cu.bpe_pair_counts(load_spread(spark, sf_dir, "documents"), top_n=100)
+
+
+def _bpe_pairs_sql() -> str:
+    from dc43_spark.functions.text import BPE_TOKEN_RE
+
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS tok FROM documents
+), pairs AS (
+  SELECT substring(tok, i, 2) AS pair
+  FROM toks, unnest(range(1, length(tok))) AS t(i)
+  WHERE length(tok) >= 2
+), counted AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY pair
+)
+SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rank
+FROM counted
+ORDER BY rank
+LIMIT 100
+"""
+
+
 CURATION_QUERIES = {
     "repetition_documents": q_repetition_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
@@ -346,6 +373,7 @@ CURATION_QUERIES = {
     "train_split_documents": q_train_split_documents,
     "embedding_dedup_embeddings": q_embedding_dedup_embeddings,
     "corpus_filter_documents": q_corpus_filter_documents,
+    "bpe_pairs_documents": q_bpe_pairs_documents,
 }
 
 CURATION_ORACLES = {
@@ -358,4 +386,5 @@ CURATION_ORACLES = {
     "train_split_documents": _train_split_sql(),
     "embedding_dedup_embeddings": _embedding_dedup_sql(),
     "corpus_filter_documents": _corpus_filter_sql(),
+    "bpe_pairs_documents": _bpe_pairs_sql(),
 }

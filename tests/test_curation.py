@@ -344,3 +344,19 @@ def test_corpus_filter_signals_and_reasons(spark):
     # signal columns are integer micro-units
     assert isinstance(out[1]["quality_micro"], int)
     assert out[1]["stop_micro"] > out[3]["stop_micro"]
+
+
+def test_bpe_pair_counts_kernel(spark):
+    from dc43_spark.functions.curation import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "x, ab!")], "doc_id long, text string"
+    )
+    out = {r["pair"]: r for r in bpe_pair_counts(docs, top_n=10).collect()}
+    # 'aaab' -> aa, aa, ab per occurrence (x2 docs-tokens); 'ab' -> ab;
+    # 1-char tokens (x , !) contribute nothing
+    assert out["aa"]["n"] == 4
+    assert out["ab"]["n"] == 3
+    assert set(out) == {"aa", "ab"}
+    # deterministic total order: count desc then pair asc
+    assert out["aa"]["rank"] == 1 and out["ab"]["rank"] == 2

@@ -117,3 +117,51 @@ def test_embedding_dedup_joins_on_bucket_not_all_pairs(spark):
     plan = plan_string(q_embedding_dedup_embeddings(spark, SF_DIR), "simple")
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "bucket" in plan
+
+
+def test_corpus_filter_zero_shuffle_single_scan(spark):
+    """Every corpus-filter signal is a narrow expression — the whole
+    keep/drop pipeline must stream at scan speed with NO exchange."""
+    from dc43_spark.functions.curation import corpus_filter
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = corpus_filter(df)
+    assert shuffle_exchanges(out) == 0
+    plan = plan_string(out, "simple")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_probe_media_zero_shuffle_and_pruned_payload_read(spark):
+    """Header probing is a map-only Arrow stage: no exchange, and the scan
+    reads only the two columns the probe consumes."""
+    from dc43_spark.functions.multimodal import probe_media
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.to_binary(F.md5("text"), F.lit("hex")).alias("payload"),
+    )
+    out = probe_media(df)
+    assert shuffle_exchanges(out) == 0
+    read_schema = [
+        ln for ln in plan_string(out, "formatted").splitlines() if "ReadSchema" in ln
+    ]
+    assert read_schema and "text" in read_schema[0]
+    assert "lang" not in read_schema[0] and "source" not in read_schema[0]
+
+
+def test_connected_components_distributed_rounds_are_bounded_shuffles(spark):
+    """One star round = a bounded number of exchanges regardless of graph
+    size (the log-round guarantee is worthless if a round hides an
+    all-pairs join)."""
+    from dc43_spark.functions.dedup import _canonical_edges, _large_star, _small_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "doc_a long, doc_b long"
+    )
+    # the loop always feeds each round a localCheckpoint — without it the
+    # edge subtree is re-planned per reference and exchanges multiply
+    canon = _canonical_edges(edges, "doc_a", "doc_b").localCheckpoint()
+    round_out = _small_star(_large_star(canon))
+    # groupBy-min + join per star op over a materialized input: a bounded
+    # number of exchanges per round, never O(n) or an all-pairs join
+    assert shuffle_exchanges(round_out) <= 12

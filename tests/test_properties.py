@@ -124,3 +124,58 @@ def test_contract_json_roundtrip(c: Contract):
     assert [p.name for p in back.schema_objects[0].properties] == [
         p.name for p in c.schema_objects[0].properties
     ]
+
+
+# --------------------------------------------------------- media codecs
+
+import numpy as np
+
+from dc43_spark.functions import multimodal as mm
+
+
+@st.composite
+def _images(draw):
+    h = draw(st.integers(1, 24))
+    w = draw(st.integers(1, 24))
+    c = draw(st.sampled_from([1, 2, 3, 4]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    return np.random.default_rng(seed).integers(0, 256, (h, w, c), dtype=np.uint8)
+
+
+@given(_images())
+@settings(max_examples=40, deadline=None)
+def test_png_codec_round_trip_property(px):
+    payload = mm.png_encode(px)
+    h, w, c = px.shape
+    assert mm.png_header(payload) == (w, h, c, 8)
+    np.testing.assert_array_equal(mm.png_decode(payload), px)
+
+
+@given(
+    st.integers(1, 65000), st.integers(1, 65000), st.integers(1, 4)
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_header_round_trip_property(w, h, c):
+    assert mm.jpeg_header(mm.jpeg_encode_header(w, h, c)) == (w, h, c)
+
+
+@given(
+    st.integers(1, 2000),        # frames per channel
+    st.sampled_from([8000, 16000, 22050, 44100]),
+    st.integers(1, 2),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_header_round_trip_property(frames, rate, channels):
+    samples = np.zeros(frames * channels, np.int16)
+    payload = mm.wav_encode(samples, sample_rate=rate, channels=channels)
+    assert mm.wav_header(payload) == (rate, channels, 16, frames * 1000 // rate)
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_probing_arbitrary_bytes_never_raises(payload):
+    """Parsers must classify or reject ANY byte string — a 100 TB lake of
+    scraped binaries contains every malformed header imaginable."""
+    mm.png_header(payload)
+    mm.jpeg_header(payload)
+    mm.wav_header(payload)

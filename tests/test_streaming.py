@@ -179,3 +179,37 @@ def test_observe_stream_listener(spark, tmp_path):
     assert rec.metrics["violations.enum_event_type"] == 1
     assert rec.metrics["violations.gt_value"] == 1
     assert rec.status == "warn"
+
+
+def test_corpus_filter_runs_on_a_stream(spark, tmp_path):
+    """corpus_filter is a narrow projection, so the SAME operator runs
+    unchanged over readStream — the batch/streaming parity a curation
+    pipeline needs to filter live crawl ingest."""
+    from dc43_spark.functions.curation import corpus_filter
+
+    src = tmp_path / "docs"
+    doc_schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and then the "
+                "dog chases the fox around the big old tree in the yard"),
+            (2, "tiny doc"),
+        ],
+        doc_schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(doc_schema).parquet(str(src))
+    out = corpus_filter(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("corpus_filter_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["doc_id"]: r for r in spark.sql(
+        "SELECT * FROM corpus_filter_stream"
+    ).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False and "too_short" in rows[2]["drop_reasons"]
