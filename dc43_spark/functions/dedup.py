@@ -301,29 +301,39 @@ def minhash_near_duplicates(
 
     1. MinHash signatures (one narrow pass over documents)
     2. banded LSH -> candidate pairs (join on 34-byte band keys)
-    3. exact shingle-Jaccard ONLY on candidates (semi-joined inverted index)
+    3. exact shingle-Jaccard ONLY on candidates — each pair joins the two
+       documents' distinct-shingle ARRAYS and intersects them in one JVM
+       expression (``array_intersect``), instead of re-running the
+       inverted-index self-join on the candidate subset (r4: that rewrite
+       removed 4 stages; identical jaccard by construction since the
+       arrays are the same distinct-shingle sets the index explodes)
 
     This is the 100 TB path: the expensive exact verification runs on the
-    tiny candidate set instead of all pairs."""
+    tiny candidate set instead of all pairs, and the candidate side is
+    broadcast-small so the corpus-side shingle pass stays map-only."""
     # sigs feeds both sides of the LSH band self-join; cache the tiny
     # (id, 16xlong) relation instead of re-tokenising the corpus twice.
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_size=shingle_size
     ).persist()
-    # candidates feeds three consumers (two unions + the final semi-join);
-    # it is tiny (id pairs only) so cache it instead of recomputing the LSH
-    # join per consumer.
-    candidates = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band, id_col=id_col).persist()
-    cand_ids = (
-        candidates.select(F.col("doc_a").alias(id_col))
-        .union(candidates.select(F.col("doc_b").alias(id_col)))
-        .distinct()
+    candidates = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band, id_col=id_col)
+    sh = df.select(F.col(id_col), token_shingles(text_col, shingle_size).alias("sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("_inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter") / (F.size("_sa") + F.size("_sb") - F.col("_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
-    subset = df.join(cand_ids, on=id_col, how="left_semi")
-    exact = ngram_jaccard_pairs(
-        subset, text_col, id_col, shingle_size=shingle_size, threshold=threshold
-    )
-    return exact.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
 
 
 # --------------------------------------------------------------- simhash
