@@ -53,18 +53,35 @@ def interval_join(
 
     width_us = bucket_width_seconds * 1_000_000
 
+    # NTZ-faithful time math (same policy as asof_join): if any input is
+    # wall-clock, bucket and compare in NTZ — a cast through the session tz
+    # would skew gaps across DST transitions. Bucket micros come from
+    # timestamp_diff against a fixed same-type epoch literal (the reference
+    # point only sets bucket ALIGNMENT, never which pairs match).
+    from pyspark.sql import types as T
+
+    _ntz = any(
+        isinstance(df.schema[c].dataType, T.TimestampNTZType)
+        for df, c in ((points, point_ts), (intervals, start_ts), (intervals, end_ts))
+    )
+    ts_type = "timestamp_ntz" if _ntz else "timestamp"
+    epoch = F.expr(
+        ("TIMESTAMP_NTZ" if _ntz else "TIMESTAMP") + "'1970-01-01 00:00:00'"
+    )
+
     def _bucket(col: str):
         # floor, not cast-truncate: truncation rounds toward zero, which
-        # mis-buckets pre-1970 (negative-micros) timestamps
-        return F.floor(F.unix_micros(F.col(col).cast("timestamp")) / width_us).cast("long")
+        # mis-buckets pre-epoch (negative-micros) timestamps
+        micros = F.timestamp_diff("MICROSECOND", epoch, F.col(col).cast(ts_type))
+        return F.floor(micros / width_us).cast("long")
 
     p = points.withColumn("_bucket", _bucket(point_ts))
     iv = intervals.withColumn(
         "_bucket", F.explode(F.sequence(_bucket(start_ts), _bucket(end_ts)))
     )
     joined = p.join(iv, on=on + ["_bucket"], how=how)
-    contains = (F.col(point_ts).cast("timestamp") >= F.col(start_ts).cast("timestamp")) & (
-        F.col(point_ts).cast("timestamp") <= F.col(end_ts).cast("timestamp")
+    contains = (F.col(point_ts).cast(ts_type) >= F.col(start_ts).cast(ts_type)) & (
+        F.col(point_ts).cast(ts_type) <= F.col(end_ts).cast(ts_type)
     )
     if how == "inner":
         out = joined.filter(contains)

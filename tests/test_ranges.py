@@ -101,3 +101,28 @@ def test_matches_naive_inequality_join(spark):
             ).collect()
         }
         assert got == expect, f"width={width}"
+
+
+def test_interval_join_ntz_is_wall_clock_across_dst(spark):
+    """NTZ points/intervals must match on WALL CLOCK regardless of session
+    tz: a 03:30 NY wall time across spring-forward is inside a
+    [03:00, 04:00] wall interval — the old cast path could shift it out."""
+    from dc43_spark.functions.ranges import interval_join
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        points = spark.sql(
+            "SELECT 1 AS k, TIMESTAMP_NTZ'2026-03-08 03:30:00' AS ts, 1 AS pid"
+        )
+        intervals = spark.sql(
+            "SELECT 1 AS k, TIMESTAMP_NTZ'2026-03-08 03:00:00' AS s, "
+            "TIMESTAMP_NTZ'2026-03-08 04:00:00' AS e, 7 AS iv"
+        )
+        out = interval_join(
+            points, intervals, on=["k"], point_ts="ts", start_ts="s", end_ts="e",
+            bucket_width_seconds=1800,
+        ).collect()
+        assert len(out) == 1 and out[0]["iv"] == 7
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
