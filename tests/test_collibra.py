@@ -163,3 +163,82 @@ def test_non_semver_versions_sort_below_real_ones():
     adapter.upsert_contract({"id": "x", "version": "1.0.0", "schema": []})
     vs = [s.version for s in adapter.list_versions("x")]
     assert vs == ["legacy", "1.0.0"]
+
+
+def test_http_collibra_adapter_over_real_sockets():
+    """HttpCollibraAdapter + urllib transport against a live stdlib HTTP
+    server speaking the Collibra Data Products REST shape — proves the
+    binding end-to-end over sockets, not just against a fake callable."""
+    import json as jsonlib
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from dc43_spark.contracts.http_store import urllib_transport
+
+    state: dict[str, dict] = {}
+    base = "/rest/2.0/dataproducts/sales/ports/gold/contracts"
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # silence request logging
+            pass
+
+        def _reply(self, code, payload=None):
+            body = jsonlib.dumps(payload).encode() if payload is not None else b""
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return jsonlib.loads(self.rfile.read(n)) if n else None
+
+        def do_GET(self):
+            if self.path == base:
+                self._reply(200, {"contracts": [
+                    {"version": v, "status": e["status"]} for v, e in state.items()
+                ]})
+            elif self.path.startswith(base + "/"):
+                ver = self.path[len(base) + 1:]
+                if ver in state:
+                    self._reply(200, state[ver])
+                else:
+                    self._reply(404)
+            else:
+                self._reply(404)
+
+        def do_POST(self):
+            if self.path != base:
+                return self._reply(404)
+            body = self._body()
+            state[body["contract"]["version"]] = {
+                "status": body["status"], "contract": body["contract"]
+            }
+            self._reply(201)
+
+        def do_PATCH(self):
+            ver = self.path[len(base) + 1:]
+            if not self.path.startswith(base + "/") or ver not in state:
+                return self._reply(404)
+            state[ver]["status"] = self._body()["status"]
+            self._reply(204)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        adapter = HttpCollibraAdapter(
+            urllib_transport(url), catalog={"driver.orders": ("sales", "gold")}
+        )
+        store = CollibraContractStore(adapter)
+        store.put(_contract("1.0.0"))
+        store.put(_contract("1.1.0"))
+        adapter.update_status("driver.orders", "1.0.0", "Validated")
+        assert store.versions("driver.orders") == ["1.0.0", "1.1.0"]
+        assert store.get("driver.orders", "1.1.0").version == "1.1.0"
+        assert store.latest_validated("driver.orders").version == "1.0.0"
+    finally:
+        server.shutdown()
+        server.server_close()
