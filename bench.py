@@ -57,6 +57,7 @@ HEADLINE = [
     "embedding_dedup_embeddings",
     "corpus_filter_documents",
     "bpe_pairs_documents",
+    "pii_redact_documents",
     # analytics
     "pricing_summary",
     "top_customers",
@@ -92,6 +93,7 @@ COUNT_ONLY = {
     "image_stats_documents",
     "dedup_clusters_documents",
     "corpus_filter_documents",
+    "pii_redact_documents",
     "fingerprint_documents",
     "text_stats_documents",
     "lang_id_documents",

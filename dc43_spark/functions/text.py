@@ -153,3 +153,35 @@ def lang_id(col: Column | str, markers: dict[str, list[str]] | None = None) -> C
         result = F.when(take, F.lit(lang)).otherwise(result)
         best = F.when(take, hits).otherwise(best)
     return result
+
+
+# --------------------------------------------------------------- PII
+
+#: conservative, cross-engine (Java regex == RE2) PII patterns. Ordered —
+#: emails first so user@10.0.0.1-style hosts don't get half-eaten by the
+#: IP rule first.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}\b", "<PHONE>"),
+]
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Match counts per PII kind (before redaction), as BIGINT columns."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0))).cast("long")
+        for kind, pattern, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its placeholder token, in pattern
+    order. Pure JVM regexp_replace chain — streams at scan speed; the
+    pattern list is the policy surface (extend with SSNs, IBANs, ... as
+    the jurisdiction requires)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c

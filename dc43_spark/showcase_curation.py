@@ -363,6 +363,50 @@ LIMIT 100
 """
 
 
+def q_pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (text.redact_pii): the corpus text is augmented with
+    deterministic synthetic PII (an email + an IP derived from doc_id, so
+    both engines build the identical dirty text), then redacted; the gate
+    hashes the REDACTED text and pins per-kind match counts — a missed or
+    half-eaten pattern changes the hash."""
+    from dc43_spark.functions import text as tx
+
+    df = load_spread(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 or +1555"), (F.col("doc_id") % 10000).cast("string"),
+    )
+    counts = tx.pii_counts(dirty)
+    return df.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["ip"].alias("n_ips"),
+        counts["phone"].alias("n_phones"),
+        F.md5(tx.redact_pii(dirty)).alias("redacted_fp"),
+    )
+
+
+def _pii_redact_sql() -> str:
+    from dc43_spark.functions.text import PII_PATTERNS
+
+    dirty = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+             " from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 or +1555'"
+             " || CAST(doc_id % 10000 AS VARCHAR)")
+    redacted = dirty
+    for _, pattern, token in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pattern}', '{token}', 'g')"
+    count_cols = ", ".join(
+        f"CAST(len(regexp_extract_all({dirty}, '{p}')) AS BIGINT) AS n_{k}s"
+        for k, p, _ in PII_PATTERNS
+    )
+    return f"""
+SELECT doc_id, {count_cols}, md5({redacted}) AS redacted_fp
+FROM documents
+"""
+
+
 CURATION_QUERIES = {
     "repetition_documents": q_repetition_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
@@ -374,6 +418,7 @@ CURATION_QUERIES = {
     "embedding_dedup_embeddings": q_embedding_dedup_embeddings,
     "corpus_filter_documents": q_corpus_filter_documents,
     "bpe_pairs_documents": q_bpe_pairs_documents,
+    "pii_redact_documents": q_pii_redact_documents,
 }
 
 CURATION_ORACLES = {
@@ -387,4 +432,5 @@ CURATION_ORACLES = {
     "embedding_dedup_embeddings": _embedding_dedup_sql(),
     "corpus_filter_documents": _corpus_filter_sql(),
     "bpe_pairs_documents": _bpe_pairs_sql(),
+    "pii_redact_documents": _pii_redact_sql(),
 }

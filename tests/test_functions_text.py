@@ -86,3 +86,34 @@ def test_subword_count(spark):
     # Hello , world ! abc 123 def - ghi 42 foo .  -> 12
     assert out[0].n == 12
     assert out[1].n == 0
+
+
+def test_pii_redaction_and_counts(spark):
+    from dc43_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice.smith+x@corp.example.org from 192.168.1.17 call +4915112345678"),
+            (2, "no pii here, just text with version 1.2 and a plus + sign"),
+            (3, "two mails a@b.io c@d.co one ip 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = pii_counts("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            counts["email"].alias("e"),
+            counts["ip"].alias("i"),
+            counts["phone"].alias("p"),
+            redact_pii("text").alias("clean"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (1, 1, 1)
+    assert "<EMAIL>" in out[1]["clean"] and "<IP>" in out[1]["clean"] and "<PHONE>" in out[1]["clean"]
+    assert "alice" not in out[1]["clean"] and "192.168" not in out[1]["clean"]
+    # version numbers and bare plus signs are NOT PII
+    assert (out[2]["e"], out[2]["i"], out[2]["p"]) == (0, 0, 0)
+    assert out[2]["clean"].startswith("no pii here")
+    assert (out[3]["e"], out[3]["i"]) == (2, 1)
