@@ -258,42 +258,48 @@ def q_frame_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(_media_frame(spark, sf_dir), every_ms=1000)
 
 
-def _encoded_media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL container bytes synthesised deterministically per document:
-    doc_id%3 selects PNG (filtered scanlines, pixel[i]=i%256), JPEG
-    (structural header), or WAV (PCM16). The dimensions/rates derive from
-    doc fields by pure-arithmetic formulas, so a SQL oracle can predict
-    exactly what the header PARSERS must recover from the bytes — the gate
-    round-trips encode->probe through real codecs."""
+def _encode_batch(pdf) -> list[bytes]:
+    """Deterministic container bytes per (doc_id, n_chars) row: doc_id%3
+    selects PNG (filtered scanlines, pixel[i]=i%256), JPEG (structural
+    header), or WAV (PCM16); dimensions/rates derive from doc fields by
+    pure-arithmetic formulas a SQL oracle can replicate."""
     import numpy as np
-    import pandas as pd
 
     from dc43_spark.functions import multimodal as mm
+
+    payloads = []
+    for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+        did, nch = int(did), int(nch)
+        kind = did % 3
+        if kind == 0:
+            w, h, c = nch % 64 + 1, did % 48 + 1, 1 + (did % 2) * 2
+            px = (np.arange(w * h * c) % 256).astype(np.uint8).reshape(h, w, c)
+            payloads.append(mm.png_encode(px))
+        elif kind == 1:
+            w, h, c = nch % 64 + 1, did % 48 + 1, 1 + (did % 2) * 2
+            payloads.append(mm.jpeg_encode_header(w, h, c))
+        else:
+            rate = 8000 + (did % 5) * 2000
+            chans = 1 + did % 2
+            n = nch * 10 * chans
+            samples = ((np.arange(n) % 256) - 128).astype(np.int16)
+            payloads.append(mm.wav_encode(samples, sample_rate=rate, channels=chans))
+    return payloads
+
+
+def _encoded_media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) frame of real container bytes (see
+    _encode_batch) — the standalone encode stage for gates that feed the
+    payloads onward (pixel stats)."""
+    import pandas as pd
 
     docs = load_spread(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
     def encode(batches):
         for pdf in batches:
-            payloads = []
-            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
-                did, nch = int(did), int(nch)
-                kind = did % 3
-                if kind == 0:
-                    w, h, c = nch % 64 + 1, did % 48 + 1, 1 + (did % 2) * 2
-                    px = (np.arange(w * h * c) % 256).astype(np.uint8).reshape(h, w, c)
-                    payloads.append(mm.png_encode(px))
-                elif kind == 1:
-                    w, h, c = nch % 64 + 1, did % 48 + 1, 1 + (did % 2) * 2
-                    payloads.append(mm.jpeg_encode_header(w, h, c))
-                else:
-                    rate = 8000 + (did % 5) * 2000
-                    chans = 1 + did % 2
-                    n = nch * 10 * chans
-                    samples = ((np.arange(n) % 256) - 128).astype(np.int16)
-                    payloads.append(
-                        mm.wav_encode(samples, sample_rate=rate, channels=chans)
-                    )
-            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": _encode_batch(pdf)}
+            )
 
     return docs.mapInPandas(encode, "media_id long, payload binary")
 
@@ -302,10 +308,46 @@ def q_media_probe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container-header probe over real PNG/JPEG/WAV bytes (functions/
     multimodal.py png_header/jpeg_header/wav_header): the oracle predicts
     every parsed field from the generating formulas, so a header-parser bug
-    anywhere fails the hash."""
-    from dc43_spark.functions.multimodal import probe_media
+    anywhere fails the hash.
 
-    return probe_media(_encoded_media_frame(spark, sf_dir))
+    encode->probe runs FUSED in one mapInPandas: two chained Python
+    operators each run their own Arrow round-trip (JVM->py->JVM->py), so
+    parsing what the same process just encoded would serialize the whole
+    payload stream twice for nothing."""
+    import pandas as pd
+
+    from dc43_spark.functions import multimodal as mm
+
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode_probe(batches):
+        for pdf in batches:
+            payloads = _encode_batch(pdf)
+            rows = []
+            for mid, payload in zip(pdf["doc_id"], payloads):
+                fmt = w = h = c = depth = rate = dur = None
+                png = mm.png_header(payload)
+                if png is not None:
+                    fmt, (w, h, c, depth) = "png", png
+                else:
+                    jpg = mm.jpeg_header(payload)
+                    if jpg is not None:
+                        fmt, (w, h, c), depth = "jpeg", jpg, 8
+                    else:
+                        wav = mm.wav_header(payload)
+                        if wav is not None:
+                            fmt = "wav"
+                            rate, c, depth, dur = wav
+                rows.append((int(mid), fmt, w, h, c, depth, rate, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "width", "height",
+                    "channels", "bit_depth", "sample_rate", "duration_ms",
+                ],
+            )
+
+    return docs.mapInPandas(encode_probe, mm.PROBE_SCHEMA)
 
 
 def q_image_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
