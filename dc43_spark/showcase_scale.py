@@ -155,8 +155,7 @@ def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     minn = F.least(n, F.lit(256).cast("long"))
     qnum = F.lit(4) * minn * tc * n + F.lit(768) * (tc - pc) * n + F.lit(768) * dn * tc
     qden = F.lit(2560) * tc * n
-    sw = F.array(*[F.lit(s) for s in tx.DEFAULT_STOPWORDS])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))).cast("long")
+    hits = tx.word_hits("text", tx.DEFAULT_STOPWORDS).cast("long")
 
     from dc43_spark.functions.curation import micro_ratio as micro
 
