@@ -58,6 +58,7 @@ HEADLINE = [
     "corpus_filter_documents",
     "bpe_pairs_documents",
     "pii_redact_documents",
+    "encode_tokens_documents",
     # analytics
     "pricing_summary",
     "top_customers",
@@ -94,6 +95,7 @@ COUNT_ONLY = {
     "dedup_clusters_documents",
     "corpus_filter_documents",
     "pii_redact_documents",
+    "encode_tokens_documents",
     "fingerprint_documents",
     "text_stats_documents",
     "lang_id_documents",

@@ -584,3 +584,75 @@ def bpe_pair_counts(
         .filter(F.col("rank") <= top_n)
         .select("pair", "n", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    term_col: str = "term",
+    unk_id: int = 0,
+    literal_map_max: int = 65_536,
+) -> DataFrame:
+    """Encode each document's whitespace tokens to vocabulary ids — the
+    terminal tokenization step turning a curated corpus into training
+    token sequences. Ids are 1-based ranks in ``vocab`` order (row 1 ->
+    id 1); out-of-vocabulary tokens encode as ``unk_id``.
+
+    Two physical strategies, picked by vocabulary size:
+    - up to ``literal_map_max`` terms: the vocab becomes a LITERAL map in
+      the plan and encoding is `transform(tokens, t -> map[t])` — pure
+      JVM projection, ZERO shuffle, streams at scan speed (tokenizer
+      vocabularies are 32-128k entries, so this is the normal path);
+    - larger: explode tokens with position, broadcast-join the vocab,
+      regroup ordered by position — one shuffle on the doc id, still no
+      corpus self-join.
+
+    Output: (id, ids array<int>, n_tokens, n_unk)."""
+    terms = [r[term_col] for r in vocab.select(term_col).collect()]
+    toks = tokens(text_col)
+    if len(terms) <= literal_map_max:
+        lookup = F.create_map(
+            *[x for i, t in enumerate(terms) for x in (F.lit(t), F.lit(i + 1))]
+        )
+        ids = F.transform(toks, lambda t: F.coalesce(lookup[t], F.lit(unk_id)))
+        return df.select(
+            F.col(id_col),
+            ids.cast("array<int>").alias("ids"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.filter(ids, lambda i: i == unk_id)).cast("long").alias("n_unk"),
+        )
+    spark = df.sparkSession
+    vocab_ids = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(terms)], f"{term_col} string, _vid int"
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(toks).alias("_pos", term_col)
+    )
+    joined = exploded.join(F.broadcast(vocab_ids), term_col, "left").select(
+        id_col, "_pos", F.coalesce("_vid", F.lit(unk_id)).alias("_vid")
+    )
+    grouped = (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_pos", "_vid"))
+            ).alias("_pv"),
+        )
+        .select(
+            F.col(id_col),
+            F.transform("_pv", lambda s: s["_vid"]).cast("array<int>").alias("ids"),
+            F.size("_pv").cast("long").alias("n_tokens"),
+            F.size(F.filter("_pv", lambda s: s["_vid"] == unk_id)).cast("long").alias("n_unk"),
+        )
+    )
+    # explode emits nothing for token-less docs — join back so they keep
+    # an empty sequence instead of vanishing (parity with the map path)
+    return df.select(id_col).join(grouped, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_unk", F.lit(0)).cast("long").alias("n_unk"),
+    )

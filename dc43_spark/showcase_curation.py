@@ -407,6 +407,56 @@ FROM documents
 """
 
 
+def q_encode_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding (curation.encode_tokens): whitespace tokens ->
+    1-based top-100-vocab ids (0 = unknown) via a literal-map transform —
+    zero shuffle. The gate hashes the full id SEQUENCE per doc, so a wrong
+    rank, a missed token, or an ordering slip all fail the hash; the
+    oracle recomputes ids positionally with list_position over the same
+    rank-ordered vocabulary."""
+    docs = load_spread(spark, sf_dir, "documents")
+    vocab = cu.vocab_top_terms(docs, top_n=100)
+    enc = cu.encode_tokens(docs, vocab)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_unk",
+        F.md5(F.concat_ws(",", F.transform("ids", lambda i: i.cast("string")))).alias(
+            "ids_hash"
+        ),
+    )
+
+
+def _encode_tokens_sql() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+), p AS (
+  SELECT doc_id, term, count(*) AS n FROM t GROUP BY 1, 2
+), g AS (
+  SELECT term, CAST(sum(n) AS BIGINT) AS tf FROM p GROUP BY term
+), v AS (
+  SELECT list(term ORDER BY tf DESC, term ASC) AS vl
+  FROM (SELECT term, tf FROM g ORDER BY tf DESC, term ASC LIMIT 100)
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM documents
+), enc AS (
+  SELECT doc_id, tk,
+         [coalesce(list_position(v.vl, x), 0) for x in tk] AS ids
+  FROM toks, v
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len([x for x in ids if x = 0]) AS BIGINT) AS n_unk,
+       md5(array_to_string(ids, ',')) AS ids_hash
+FROM enc
+"""
+
+
 CURATION_QUERIES = {
     "repetition_documents": q_repetition_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
@@ -419,6 +469,7 @@ CURATION_QUERIES = {
     "corpus_filter_documents": q_corpus_filter_documents,
     "bpe_pairs_documents": q_bpe_pairs_documents,
     "pii_redact_documents": q_pii_redact_documents,
+    "encode_tokens_documents": q_encode_tokens_documents,
 }
 
 CURATION_ORACLES = {
@@ -433,4 +484,5 @@ CURATION_ORACLES = {
     "corpus_filter_documents": _corpus_filter_sql(),
     "bpe_pairs_documents": _bpe_pairs_sql(),
     "pii_redact_documents": _pii_redact_sql(),
+    "encode_tokens_documents": _encode_tokens_sql(),
 }

@@ -360,3 +360,25 @@ def test_bpe_pair_counts_kernel(spark):
     assert set(out) == {"aa", "ab"}
     # deterministic total order: count desc then pair asc
     assert out["aa"]["rank"] == 1 and out["ab"]["rank"] == 2
+
+
+def test_encode_tokens_both_strategies_agree(spark):
+    from dc43_spark.functions.curation import encode_tokens, vocab_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "b a b c b x"), (2, "a a unknownword"), (3, "")],
+        "doc_id long, text string",
+    )
+    vocab = vocab_top_terms(docs, top_n=3)  # b(3) -> 1, a(3)... tf ties
+    literal = {r["doc_id"]: r for r in encode_tokens(docs, vocab).collect()}
+    joined = {
+        r["doc_id"]: r
+        for r in encode_tokens(docs, vocab, literal_map_max=1).collect()
+    }
+    for d in (1, 2, 3):
+        assert literal[d]["ids"] == joined[d]["ids"]
+        assert literal[d]["n_unk"] == joined[d]["n_unk"]
+    # vocab order: tf desc, term asc -> a(3)=1, b(3)=2, c(1)=3; x/unknown -> 0
+    assert literal[1]["ids"] == [2, 1, 2, 3, 2, 0]
+    assert literal[2]["ids"] == [1, 1, 0] and literal[2]["n_unk"] == 1
+    assert literal[3]["ids"] == [] and literal[3]["n_tokens"] == 0
