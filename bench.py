@@ -141,7 +141,7 @@ def main() -> int:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
-        # ~46 distinct plans generate hundreds of Janino classes; the JVM
+        # ~56 distinct plans generate hundreds of Janino classes; the JVM
         # default code cache (240m) fills mid-run and the JIT then stalls
         # random queries for tens of seconds (measured: ann_ivf 1.6s warm ->
         # 30-40s mid-bench, cosine_pairs 2.8s -> 13s; stable with 1g)
