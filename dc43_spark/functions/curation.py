@@ -614,10 +614,13 @@ def encode_tokens(
     terms = [r[term_col] for r in vocab.select(term_col).collect()]
     toks = tokens(text_col)
     if len(terms) <= literal_map_max:
-        lookup = F.create_map(
-            *[x for i, t in enumerate(terms) for x in (F.lit(t), F.lit(i + 1))]
-        )
-        ids = F.transform(toks, lambda t: F.coalesce(lookup[t], F.lit(unk_id)))
+        if terms:
+            lookup = F.create_map(
+                *[x for i, t in enumerate(terms) for x in (F.lit(t), F.lit(i + 1))]
+            )
+            ids = F.transform(toks, lambda t: F.coalesce(lookup[t], F.lit(unk_id)))
+        else:  # empty vocabulary: create_map() is untyped — everything is unk
+            ids = F.transform(toks, lambda t: F.lit(unk_id))
         return df.select(
             F.col(id_col),
             ids.cast("array<int>").alias("ids"),

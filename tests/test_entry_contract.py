@@ -45,3 +45,16 @@ def test_registries_have_no_duplicate_keys_across_modules():
         overlap = seen & set(g)
         assert not overlap, overlap  # later dicts would silently shadow
         seen |= set(g)
+
+
+def test_bench_covers_every_gate():
+    """BENCH and CORRECTNESS sets must stay converged: an unbenched gate
+    has no perf signal, a benched non-gate has no correctness signal."""
+    import bench
+
+    e = _entry()
+    assert set(bench.HEADLINE) == set(e.queries()), (
+        sorted(set(bench.HEADLINE) ^ set(e.queries()))
+    )
+    unknown = bench.COUNT_ONLY - set(bench.HEADLINE)
+    assert not unknown, sorted(unknown)

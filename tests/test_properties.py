@@ -179,3 +179,48 @@ def test_probing_arbitrary_bytes_never_raises(payload):
     mm.png_header(payload)
     mm.jpeg_header(payload)
     mm.wav_header(payload)
+
+
+# ------------------------------------------------------ token encoding
+
+_token_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=24), min_size=1, max_size=8
+)
+
+
+@given(_token_texts)
+@settings(max_examples=15, deadline=None)
+def test_encode_tokens_strategies_agree_property(texts):
+    """Literal-map and broadcast-join encoding must agree on arbitrary
+    corpora, including empty/whitespace-only docs and OOV-only docs."""
+    import pytest
+
+    spark = _spark_session()
+    from dc43_spark.functions.curation import encode_tokens, vocab_top_terms
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    vocab = vocab_top_terms(docs, top_n=2)
+    a = {r["doc_id"]: (r["ids"], r["n_tokens"], r["n_unk"])
+         for r in encode_tokens(docs, vocab).collect()}
+    b = {r["doc_id"]: (r["ids"], r["n_tokens"], r["n_unk"])
+         for r in encode_tokens(docs, vocab, literal_map_max=0).collect()}
+    assert a == b
+
+
+_SPARK = []
+
+
+def _spark_session():
+    if not _SPARK:
+        from pyspark.sql import SparkSession
+
+        _SPARK.append(
+            SparkSession.builder.master("local[2]")
+            .appName("dc43-prop")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+    return _SPARK[0]
