@@ -59,6 +59,7 @@ HEADLINE = [
     "bpe_pairs_documents",
     "pii_redact_documents",
     "encode_tokens_documents",
+    "curation_pipeline_documents",
     # analytics
     "pricing_summary",
     "top_customers",
@@ -96,6 +97,7 @@ COUNT_ONLY = {
     "corpus_filter_documents",
     "pii_redact_documents",
     "encode_tokens_documents",
+    "curation_pipeline_documents",
     "fingerprint_documents",
     "text_stats_documents",
     "lang_id_documents",

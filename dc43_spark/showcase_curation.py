@@ -457,6 +457,99 @@ FROM enc
 """
 
 
+def q_curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE: the full training-data pipeline composed end-to-end in one
+    query — corpus_filter (keep) -> exact near-dup pairs among kept docs ->
+    connected-component clusters -> keep one canonical doc per cluster
+    (min id) -> encode canonicals against the kept-corpus top-100 vocab.
+    Output: one row per surviving training document with its cluster size
+    and token-id-sequence hash. The oracle recomposes every stage in SQL,
+    so a semantic drift in ANY operator breaks this gate even if the
+    operator's own gate still passes."""
+    from dc43_spark.functions import dedup as dd
+
+    docs = load_spread(spark, sf_dir, "documents")
+    kept = cu.corpus_filter(docs).filter("keep").select("doc_id").join(docs, "doc_id")
+    pairs = dd.ngram_jaccard_pairs(kept, threshold=0.8)
+    clustered = dd.dedup_clusters(kept, pairs)
+    canonical = clustered.filter(F.col("doc_id") == F.col("cluster_id"))
+    vocab = cu.vocab_top_terms(kept, top_n=100)
+    enc = cu.encode_tokens(canonical, vocab)
+    return (
+        enc.join(canonical.select("doc_id", "cluster_size"), "doc_id")
+        .select(
+            "doc_id",
+            "cluster_size",
+            "n_tokens",
+            "n_unk",
+            F.md5(
+                F.concat_ws(",", F.transform("ids", lambda i: i.cast("string")))
+            ).alias("ids_hash"),
+        )
+    )
+
+
+def _curation_pipeline_sql() -> str:
+    corpus_filter = _corpus_filter_sql()
+    from dc43_spark.showcase_scale import _near_dup_sql
+
+    near_dup = _near_dup_sql(" WHERE doc_id IN (SELECT doc_id FROM kept)")
+    return f"""
+WITH RECURSIVE kept AS (
+  SELECT doc_id FROM ({corpus_filter}) WHERE keep
+), pairs AS ({near_dup}),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+roots AS (
+  SELECT u AS node, least(min(v), u) AS root FROM reach GROUP BY u
+),
+clustered AS (
+  SELECT k.doc_id, COALESCE(r.root, k.doc_id) AS cluster_id
+  FROM kept k LEFT JOIN roots r ON k.doc_id = r.node
+),
+sized AS (
+  SELECT doc_id, cluster_id,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+  FROM clustered
+),
+canonical AS (
+  SELECT s.doc_id, s.cluster_size, d.text
+  FROM sized s JOIN documents d USING (doc_id)
+  WHERE s.doc_id = s.cluster_id
+),
+kt AS (
+  SELECT k.doc_id, unnest(string_split_regex(trim(d.text), '\\s+')) AS term
+  FROM kept k JOIN documents d USING (doc_id) WHERE trim(d.text) <> ''
+), kp AS (
+  SELECT doc_id, term, count(*) AS n FROM kt GROUP BY 1, 2
+), kg AS (
+  SELECT term, CAST(sum(n) AS BIGINT) AS tf FROM kp GROUP BY term
+), v AS (
+  SELECT list(term ORDER BY tf DESC, term ASC) AS vl
+  FROM (SELECT term, tf FROM kg ORDER BY tf DESC, term ASC LIMIT 100)
+),
+enc AS (
+  SELECT c.doc_id, c.cluster_size,
+         CASE WHEN trim(c.text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(c.text), '\\s+') END AS tk
+  FROM canonical c
+)
+SELECT doc_id, cluster_size,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len([x for x in [coalesce(list_position(v.vl, t), 0) for t in tk] if x = 0]) AS BIGINT) AS n_unk,
+       md5(array_to_string([coalesce(list_position(v.vl, t), 0) for t in tk], ',')) AS ids_hash
+FROM enc, v
+"""
+
+
 CURATION_QUERIES = {
     "repetition_documents": q_repetition_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
@@ -470,6 +563,7 @@ CURATION_QUERIES = {
     "bpe_pairs_documents": q_bpe_pairs_documents,
     "pii_redact_documents": q_pii_redact_documents,
     "encode_tokens_documents": q_encode_tokens_documents,
+    "curation_pipeline_documents": q_curation_pipeline_documents,
 }
 
 CURATION_ORACLES = {
@@ -485,4 +579,5 @@ CURATION_ORACLES = {
     "bpe_pairs_documents": _bpe_pairs_sql(),
     "pii_redact_documents": _pii_redact_sql(),
     "encode_tokens_documents": _encode_tokens_sql(),
+    "curation_pipeline_documents": _curation_pipeline_sql(),
 }
