@@ -477,13 +477,27 @@ def connected_components(
         return row["n"], row["h"], row["mn"]
 
     prev = _sig(cur)
+    converged = False
     for _ in range(max_iterations):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
         sig = _sig(nxt)
         cur = nxt
         if sig == prev:
+            converged = True
             break
         prev = sig
+    if not converged:
+        # log-round convergence means the cap only binds on graphs with
+        # > 2^max_iterations nodes — but a silent wrong answer is never ok
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit max_iterations={max_iterations} before "
+            "the edge set stabilized; roots may span unmerged components — "
+            "raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # post-convergence the graph is a forest of stars: u > v == root for
     # every edge, except chains of stars collapsed in the last round — one
     # more min-propagation both directions makes roots total
@@ -513,5 +527,14 @@ def dedup_clusters(
         df.join(comp, df[id_col] == comp.node, "left")
         .select(df["*"], F.coalesce(comp.root, df[id_col]).alias("cluster_id"))
     )
-    w = Window.partitionBy("cluster_id")
-    return out.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+    # sizes via aggregate + join, NOT a window over cluster_id: a window
+    # forces every member of a cluster into ONE partition, and dedup
+    # corpora have mega-clusters by nature (boilerplate shared by 100M
+    # docs). The equi-join re-shuffles on the same key but AQE splits
+    # skewed JOIN partitions — it cannot split a skewed window.
+    sizes = out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return out.join(sizes, "cluster_id").select(
+        df["*"], "cluster_id", "cluster_size"
+    )

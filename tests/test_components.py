@@ -90,3 +90,17 @@ def test_dedup_clusters_assigns_singletons_to_self(spark):
     assert out[1]["cluster_size"] == 1
     # original columns survive
     assert out[4]["text"] == "text-4"
+
+
+def test_iteration_cap_warns_instead_of_silent_wrong_answer(spark):
+    import warnings as w
+
+    from dc43_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        connected_components(edges, max_iterations=1, driver_threshold=0).collect()
+    assert any("max_iterations" in str(x.message) for x in caught)
