@@ -67,13 +67,19 @@ def exact_dedup(
 
 
 def keep_canonical(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Return the full rows of one canonical document per duplicate group."""
-    w = Window.partitionBy(content_hash(text_col)).orderBy(F.col(id_col))
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    """Return the full rows of one canonical document per duplicate group.
+
+    Aggregate + semi-join, NOT a row_number window over the hash: the
+    window routes every copy of a mega-duplicate (boilerplate repeated
+    across millions of pages) into one partition, while the min-id
+    aggregate partial-combines map-side and the join back is AQE-skew-
+    splittable."""
+    canon = (
+        df.select(content_hash(text_col).alias("_fp"), F.col(id_col))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
     )
+    return df.join(canon.select(id_col), id_col, "left_semi")
 
 
 # ------------------------------------------------------------- shingling

@@ -46,7 +46,12 @@ def sessionize(
 
     Output: one row per (user, session_seq) with start/end timestamps and
     the event count. Ordering is made total with ``order_tiebreak`` so the
-    running session number is deterministic across engines."""
+    running session number is deterministic across engines.
+
+    Skew note: the per-user window routes one user's whole history to one
+    partition — inherent to gap sessionization (state must see the user's
+    ordered events). Bot-grade hot users belong in a pre-filter; the
+    streaming twin bounds the same state by watermark instead."""
     w_user = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_tiebreak))
     # gap compared in integer MICROSECONDS: unix_micros here == epoch_us in
     # DuckDB oracles (second-granularity unix_timestamp truncates, epoch()
