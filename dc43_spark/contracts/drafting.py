@@ -147,20 +147,34 @@ def draft_on_violation(
                 continue
             if rule.rule == "enum":
                 observed = enum_values.get(p.name)
+                too_many = False
                 if observed is None and observed_df is not None:
-                    observed = [
-                        r[0]
-                        for r in observed_df.select(p.name).distinct().collect()
-                        if r[0] is not None
-                    ]
-                widened = sorted(set(rule.value or []) | set(observed or []))
-                new_quality.append(replace(rule, value=widened))
-                changes.append(
-                    DraftChange(
-                        "widened_enum", p.name,
-                        f"enum {sorted(rule.value or [])} -> {widened}",
+                    # BOUNDED collect: a drifted column may no longer be
+                    # enum-like (free text), and distinct() on it would
+                    # stream millions of values to the driver. cap+1 rows
+                    # answer "is this still an enum?" without the flood.
+                    cap = 1000
+                    rows = (
+                        observed_df.select(p.name).distinct().limit(cap + 1).collect()
                     )
-                )
+                    observed = [r[0] for r in rows if r[0] is not None]
+                    too_many = len(rows) > cap
+                if too_many:
+                    changes.append(
+                        DraftChange(
+                            "dropped_enum", p.name,
+                            "observed cardinality exceeds enum bounds; rule dropped",
+                        )
+                    )
+                else:
+                    widened = sorted(set(rule.value or []) | set(observed or []))
+                    new_quality.append(replace(rule, value=widened))
+                    changes.append(
+                        DraftChange(
+                            "widened_enum", p.name,
+                            f"enum {sorted(rule.value or [])} -> {widened}",
+                        )
+                    )
             else:
                 changes.append(
                     DraftChange("removed_rule", p.name, f"dropped {rule.rule} rule")

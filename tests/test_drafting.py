@@ -80,3 +80,39 @@ def test_draft_keeps_passing_rules(spark):
     props = {p.name: p for p in res.contract.iter_properties()}
     assert props["currency"].quality[0].value == ["EUR", "USD"]  # enum untouched
     assert props["order_id"].required is True
+
+
+def test_enum_widening_bounded_on_high_cardinality_drift(spark):
+    """A drifted 'enum' column that became effectively free text must DROP
+    the rule instead of collecting every distinct value to the driver."""
+    from dc43_spark.contracts.drafting import draft_on_violation
+    from dc43_spark.contracts.model import (
+        Contract, QualityRule, SchemaObject, SchemaProperty,
+    )
+    from dc43_spark.engine.results import ValidationResult
+
+    contract = Contract(
+        id="c", version="1.0.0",
+        schema_objects=[SchemaObject(
+            name="t",
+            properties=[SchemaProperty(
+                "k", "string", quality=[QualityRule("enum", ["a", "b"])]
+            )],
+        )],
+    )
+    df = spark.range(5000).selectExpr("concat('v', id) AS k")
+    validation = ValidationResult(
+        ok=False, errors=["enum_k"], warnings=[],
+        metrics={"violations.enum_k": 5000}, schema={}, status="block",
+        details={},
+    )
+    draft = draft_on_violation(
+        contract, validation=validation, observed_df=df, dataset_id="d"
+    )
+    kinds = {c.kind for c in draft.changes}
+    assert "dropped_enum" in kinds
+    enum_rules = [
+        r for p in draft.contract.schema_object.properties for r in p.quality
+        if r.rule == "enum"
+    ]
+    assert enum_rules == []
