@@ -469,7 +469,11 @@ def q_curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     from dc43_spark.functions import dedup as dd
 
     docs = load_spread(spark, sf_dir, "documents")
-    kept = cu.corpus_filter(docs).filter("keep").select("doc_id").join(docs, "doc_id")
+    # kept feeds three consumers (pair mining, cluster assignment, vocab);
+    # persist the filtered slice instead of re-running the filter per use
+    kept = (
+        cu.corpus_filter(docs).filter("keep").select("doc_id").join(docs, "doc_id")
+    ).persist()
     pairs = dd.ngram_jaccard_pairs(kept, threshold=0.8)
     clustered = dd.dedup_clusters(kept, pairs)
     canonical = clustered.filter(F.col("doc_id") == F.col("cluster_id"))
