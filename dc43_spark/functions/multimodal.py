@@ -109,10 +109,21 @@ def _audio_decode(payload: bytes) -> list[float]:
     return [float(rate), float(chans), float(bits), float(dur), 0.0, 0.0, 0.0, 0.0]
 
 
+def _video_decode(payload: bytes) -> list[float]:
+    """REAL video feature when the payload is MP4: track dimensions +
+    duration from the actual box structure; fake otherwise. Pixel/frame
+    decode needs codecs this container can't verify."""
+    parsed = mp4_header(payload)
+    if parsed is None:
+        return _fake_decode(payload)
+    w, h, dur = parsed
+    return [float(w), float(h), float(dur), 0.0, 0.0, 0.0, 0.0, 0.0]
+
+
 DECODERS: dict[str, Decoder] = {
     "image": _image_decode,
     "audio": _audio_decode,
-    "video": _fake_decode,  # no container format modeled for video yet
+    "video": _video_decode,
 }
 
 
@@ -351,6 +362,78 @@ def jpeg_header(payload: bytes) -> Optional[tuple[int, int, int]]:
     return None
 
 
+# ------------------------------------------------------------- MP4 codec
+#
+# ISO BMFF: a series of boxes [size u32 | fourcc | payload], nested for
+# containers. Header-level only (like JPEG): mvhd carries
+# timescale/duration, tkhd carries track dimensions as 16.16 fixed-point.
+# Sample data (mdat) is out of scope — real video decode needs codecs this
+# container cannot verify.
+
+
+def _mp4_box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + fourcc + payload
+
+
+def mp4_encode_header(width: int, height: int, duration_ms: int) -> bytes:
+    """Minimal structurally-valid MP4 (ftyp + moov[mvhd + trak[tkhd]]).
+
+    timescale is fixed at 1000 so duration units ARE milliseconds."""
+    mvhd = (
+        b"\x00\x00\x00\x00"          # version + flags
+        + struct.pack(">II", 0, 0)     # ctime, mtime
+        + struct.pack(">II", 1000, duration_ms)  # timescale, duration
+        + b"\x00" * 80                 # rate/volume/reserved/matrix/next_track
+    )
+    tkhd = (
+        b"\x00\x00\x00\x07"          # version + flags (enabled|in movie|in preview)
+        + struct.pack(">III", 0, 0, 1)  # ctime, mtime, track_id
+        + b"\x00" * 4                  # reserved
+        + struct.pack(">I", duration_ms)
+        + b"\x00" * 52                 # reserved/layer/alt/volume/matrix
+        + struct.pack(">II", width << 16, height << 16)  # 16.16 fixed
+    )
+    moov = _mp4_box(b"mvhd", mvhd) + _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd))
+    return _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + _mp4_box(b"moov", moov)
+
+
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        fourcc = payload[pos + 4 : pos + 8]
+        if size < 8 or pos + size > end:
+            return
+        yield fourcc, pos + 8, pos + size
+        pos += size
+
+
+def mp4_header(payload: bytes) -> Optional[tuple[int, int, int]]:
+    """(width, height, duration_ms) from moov/mvhd + first tkhd, or None.
+
+    duration is rescaled from mvhd's timescale to integral milliseconds
+    (floor), so cross-engine comparison stays exact."""
+    if payload is None or len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None
+    w = h = dur = None
+    for fourcc, body, box_end in _mp4_boxes(payload, 0, len(payload)):
+        if fourcc != b"moov":
+            continue
+        for inner, ib, ie in _mp4_boxes(payload, body, box_end):
+            if inner == b"mvhd" and ie - ib >= 20:
+                timescale, duration = struct.unpack(">II", payload[ib + 12 : ib + 20])
+                if timescale:
+                    dur = duration * 1000 // timescale
+            elif inner == b"trak":
+                for tk, tb, te in _mp4_boxes(payload, ib, ie):
+                    if tk == b"tkhd" and te - tb >= 84 and w is None:
+                        fw, fh = struct.unpack(">II", payload[te - 8 : te])
+                        w, h = fw >> 16, fh >> 16
+    if dur is None and w is None:
+        return None
+    return (w or 0, h or 0, dur if dur is not None else 0)
+
+
 # ------------------------------------------------------------- WAV codec
 
 
@@ -429,6 +512,10 @@ def probe_media(df: DataFrame, *, id_col: str = "media_id", payload_col: str = "
                         if wav is not None:
                             fmt = "wav"
                             rate, c, depth, dur = wav
+                        else:
+                            mp4 = mp4_header(payload)
+                            if mp4 is not None:
+                                fmt, (w, h, dur) = "mp4", mp4
                 rows.append((mid, fmt, w, h, c, depth, rate, dur))
             yield pd.DataFrame(
                 rows,

@@ -269,7 +269,7 @@ def _encode_batch(pdf) -> list[bytes]:
     payloads = []
     for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
         did, nch = int(did), int(nch)
-        kind = did % 3
+        kind = did % 4
         if kind == 0:
             w, h, c = nch % 64 + 1, did % 48 + 1, 1 + (did % 2) * 2
             px = (np.arange(w * h * c) % 256).astype(np.uint8).reshape(h, w, c)
@@ -277,12 +277,15 @@ def _encode_batch(pdf) -> list[bytes]:
         elif kind == 1:
             w, h, c = nch % 64 + 1, did % 48 + 1, 1 + (did % 2) * 2
             payloads.append(mm.jpeg_encode_header(w, h, c))
-        else:
+        elif kind == 2:
             rate = 8000 + (did % 5) * 2000
             chans = 1 + did % 2
             n = nch * 10 * chans
             samples = ((np.arange(n) % 256) - 128).astype(np.int16)
             payloads.append(mm.wav_encode(samples, sample_rate=rate, channels=chans))
+        else:
+            w, h = nch % 128 + 16, did % 72 + 9
+            payloads.append(mm.mp4_encode_header(w, h, nch * 10))
     return payloads
 
 
@@ -337,6 +340,10 @@ def q_media_probe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                         if wav is not None:
                             fmt = "wav"
                             rate, c, depth, dur = wav
+                        else:
+                            mp4 = mm.mp4_header(payload)
+                            if mp4 is not None:
+                                fmt, (w, h, dur) = "mp4", mp4
                 rows.append((int(mid), fmt, w, h, c, depth, rate, dur))
             yield pd.DataFrame(
                 rows,
@@ -357,7 +364,7 @@ def q_image_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum and fails the hash."""
     from dc43_spark.functions.multimodal import image_channel_stats
 
-    media = _encoded_media_frame(spark, sf_dir).filter(F.col("media_id") % 3 == 0)
+    media = _encoded_media_frame(spark, sf_dir).filter(F.col("media_id") % 4 == 0)
     return image_channel_stats(media)
 
 
@@ -1021,15 +1028,20 @@ FROM clustered
 # everywhere -> exact cross-engine match.
 _MEDIA_PROBE_SQL = """
 SELECT doc_id AS media_id,
-       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
-       CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(n_chars % 64 + 1 AS INTEGER) END AS width,
-       CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 48 + 1 AS INTEGER) END AS height,
-       CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 1 + (doc_id % 2) * 2
-                 ELSE 1 + doc_id % 2 END AS INTEGER) AS channels,
-       CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 8 ELSE 16 END AS INTEGER) AS bit_depth,
-       CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 5) * 2000 AS INTEGER) END AS sample_rate,
-       CASE WHEN doc_id % 3 = 2
+       CASE CAST(doc_id % 4 AS INTEGER)
+            WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+       CASE WHEN doc_id % 4 IN (0, 1) THEN CAST(n_chars % 64 + 1 AS INTEGER)
+            WHEN doc_id % 4 = 3 THEN CAST(n_chars % 128 + 16 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 4 IN (0, 1) THEN CAST(doc_id % 48 + 1 AS INTEGER)
+            WHEN doc_id % 4 = 3 THEN CAST(doc_id % 72 + 9 AS INTEGER) END AS height,
+       CASE WHEN doc_id % 4 IN (0, 1) THEN CAST(1 + (doc_id % 2) * 2 AS INTEGER)
+            WHEN doc_id % 4 = 2 THEN CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+       CASE WHEN doc_id % 4 IN (0, 1) THEN CAST(8 AS INTEGER)
+            WHEN doc_id % 4 = 2 THEN CAST(16 AS INTEGER) END AS bit_depth,
+       CASE WHEN doc_id % 4 = 2 THEN CAST(8000 + (doc_id % 5) * 2000 AS INTEGER) END AS sample_rate,
+       CASE WHEN doc_id % 4 = 2
             THEN CAST((n_chars * 10 * 1000) // (8000 + (doc_id % 5) * 2000) AS BIGINT)
+            WHEN doc_id % 4 = 3 THEN CAST(n_chars * 10 AS BIGINT)
        END AS duration_ms
 FROM documents
 """
@@ -1042,7 +1054,7 @@ WITH png AS (
          CAST(n_chars % 64 + 1 AS INTEGER) AS w,
          CAST(doc_id % 48 + 1 AS INTEGER) AS h,
          CAST(1 + (doc_id % 2) * 2 AS INTEGER) AS c
-  FROM documents WHERE doc_id % 3 = 0
+  FROM documents WHERE doc_id % 4 = 0
 ), sized AS (
   SELECT doc_id, w, h, c, CAST(w AS BIGINT) * h * c AS n FROM png
 )

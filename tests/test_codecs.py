@@ -131,3 +131,20 @@ def test_extract_features_real_wav_decoder(spark):
     df = spark.createDataFrame([(1, "audio", payload, None)], mm.MEDIA_SCHEMA)
     (row,) = mm.extract_features(df).collect()
     assert row["feature"][:4] == [8000.0, 1.0, 16.0, 500.0]
+
+
+def test_mp4_header_round_trip():
+    payload = mm.mp4_encode_header(1920, 1080, 90_500)
+    assert payload[4:8] == b"ftyp"
+    assert mm.mp4_header(payload) == (1920, 1080, 90_500)
+    assert mm.mp4_header(b"not an mp4") is None
+    assert mm.mp4_header(None) is None
+    # truncated moov parses to nothing rather than raising
+    assert mm.mp4_header(payload[:20]) is None
+
+
+def test_extract_features_real_mp4_decoder(spark):
+    payload = mm.mp4_encode_header(640, 360, 12_000)
+    df = spark.createDataFrame([(1, "video", payload, None)], mm.MEDIA_SCHEMA)
+    (row,) = mm.extract_features(df).collect()
+    assert row["feature"][:3] == [640.0, 360.0, 12000.0]

@@ -224,3 +224,19 @@ def _spark_session():
             .getOrCreate()
         )
     return _SPARK[0]
+
+
+@given(st.integers(1, 8000), st.integers(1, 8000), st.integers(0, 10**9))
+@settings(max_examples=40, deadline=None)
+def test_mp4_header_round_trip_property(w, h, dur):
+    from dc43_spark.functions import multimodal as mm
+
+    assert mm.mp4_header(mm.mp4_encode_header(w, h, dur)) == (w, h, dur)
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_mp4_probe_arbitrary_bytes_never_raises(payload):
+    from dc43_spark.functions import multimodal as mm
+
+    mm.mp4_header(payload)
