@@ -25,21 +25,70 @@ def entry(spark: SparkSession) -> DataFrame:
     return showcase.q_metrics_orders(spark, "/root/testdata/sf0.001")
 
 
+#: queries with no CORRECTNESS_r04 driver row (the r4 harness gated the
+#: first 50 registry entries) — merged FIRST so they are inside the window
+#: regardless of how many entries follow (VERDICT r4 next-steps #1).
+_GATE_FIRST = [
+    "corpus_filter_documents",
+    "bpe_pairs_documents",
+    "pii_redact_documents",
+    "encode_tokens_documents",
+    "curation_pipeline_documents",
+    "governance_verdict_orders",
+    "profile_orders",
+]
+
+
+def _ordered(merged: dict) -> dict:
+    head = {k: merged[k] for k in _GATE_FIRST if k in merged}
+    return {**head, **{k: v for k, v in merged.items() if k not in head}}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        **showcase.QUERIES,
-        **showcase_scale.SCALE_QUERIES,
-        **showcase_io.IO_QUERIES,
-        **showcase_curation.CURATION_QUERIES,
-        **showcase_governance.GOVERNANCE_QUERIES,
-    }
+    """Exactly 50 gates — sized to the driver's correctness window so every
+    registered query gets a hard oracle row. Near-duplicate gates were
+    consolidated in r5 (split pair -> split_orders, sample/split pair ->
+    sample_split, chunk text folded into packed_chunks' chunk_hash, and
+    verbatim-oracle twins dropped); the displaced gates live on in
+    ``extra_queries`` (bench + pytest-parity coverage)."""
+    return _ordered(
+        {
+            **showcase.QUERIES,
+            **showcase_scale.SCALE_QUERIES,
+            **showcase_io.IO_QUERIES,
+            **showcase_curation.CURATION_QUERIES,
+            **showcase_governance.GOVERNANCE_QUERIES,
+        }
+    )
 
 
 def oracle_sql() -> dict[str, str]:
+    return _ordered(
+        {
+            **showcase.ORACLES,
+            **showcase_scale.SCALE_ORACLES,
+            **showcase_io.IO_ORACLES,
+            **showcase_curation.CURATION_ORACLES,
+            **showcase_governance.GOVERNANCE_ORACLES,
+        }
+    )
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gates consolidated out of the 50-slot driver window. Each is
+    subsumed by a registered gate (see the EXTRA_QUERIES docstrings); they
+    keep running in bench.py under their r1-comparable names and are
+    oracle-checked locally by ``pytest -m parity``."""
     return {
-        **showcase.ORACLES,
-        **showcase_scale.SCALE_ORACLES,
-        **showcase_io.IO_ORACLES,
-        **showcase_curation.CURATION_ORACLES,
-        **showcase_governance.GOVERNANCE_ORACLES,
+        **showcase.EXTRA_QUERIES,
+        **showcase_scale.EXTRA_QUERIES,
+        **showcase_curation.EXTRA_QUERIES,
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    return {
+        **showcase.EXTRA_ORACLES,
+        **showcase_scale.EXTRA_ORACLES,
+        **showcase_curation.EXTRA_ORACLES,
     }

@@ -405,6 +405,25 @@ def q_split_reject_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "orders").filter(f"NOT ({_orders_valid_predicate()})")
 
 
+def q_split_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both split-strategy outputs in ONE gate (single scan): each row is
+    labelled 'valid' (conjunction true) or 'reject' (conjunction false);
+    NULL-predicate rows land in neither side, mirroring the reference
+    (violation_strategy.py:285,297). Consolidates the r1-r4
+    split_valid/split_reject gate pair so the driver's 50-slot correctness
+    window covers every registered query; the per-side gates remain in
+    EXTRA_QUERIES for bench comparability and local parity."""
+    pred = _orders_valid_predicate()
+    side = F.when(F.expr(pred), F.lit("valid")).when(
+        ~F.expr(pred), F.lit("reject")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("side", side)
+        .filter(F.col("side").isNotNull())
+    )
+
+
 def q_flag_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flag strategy row view: per-row violated-rule list (ref
     violation_strategy.py:499-522; array projected to a CSV string for a
@@ -429,8 +448,7 @@ QUERIES = {
     "metrics_customer": q_metrics_customer,
     "metrics_events": q_metrics_events,
     "apply_contract_orders": q_apply_contract_orders,
-    "split_valid_orders": q_split_valid_orders,
-    "split_reject_orders": q_split_reject_orders,
+    "split_orders": q_split_orders,
     "flag_orders": q_flag_orders,
 }
 
@@ -439,7 +457,21 @@ ORACLES = {
     "metrics_customer": _METRICS_CUSTOMER_SQL,
     "metrics_events": _METRICS_EVENTS_SQL,
     "apply_contract_orders": _APPLY_CONTRACT_SQL,
+    "split_orders": (
+        "SELECT *, CASE WHEN {p} THEN 'valid' ELSE 'reject' END AS side "
+        "FROM orders WHERE ({p}) IS NOT NULL"
+    ).format(p=_ORDERS_VALID_PRED_SQL),
+    "flag_orders": _FLAG_ORDERS_SQL,
+}
+
+#: gates OUTSIDE the driver's 50-slot correctness window — still run by
+#: bench.py (r1-comparable names) and by the `pytest -m parity` local gate.
+EXTRA_QUERIES = {
+    "split_valid_orders": q_split_valid_orders,
+    "split_reject_orders": q_split_reject_orders,
+}
+
+EXTRA_ORACLES = {
     "split_valid_orders": f"SELECT * FROM orders WHERE {_ORDERS_VALID_PRED_SQL}",
     "split_reject_orders": f"SELECT * FROM orders WHERE NOT ({_ORDERS_VALID_PRED_SQL})",
-    "flag_orders": _FLAG_ORDERS_SQL,
 }

@@ -92,8 +92,18 @@ def q_packed_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = cu.pack_chunks(
         chunks, budget=PACK_BUDGET, shards=PACK_SHARDS, shard_expr=shard
     )
+    # chunk_hash pins the chunker's TEXT output inside this gate (r5: the
+    # standalone chunk_documents gate moved to EXTRA_QUERIES to fit the
+    # driver's 50-slot correctness window — the md5 keeps window slicing
+    # driver-gated, not just the token counts)
     return packed.select(
-        "doc_id", "chunk_idx", "n_tokens", "shard", "tok_offset", "bin_id"
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_hash"),
+        "n_tokens",
+        "shard",
+        "tok_offset",
+        "bin_id",
     )
 
 
@@ -112,6 +122,44 @@ def q_train_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         cu.sample_bucket("doc_id", seed=SPLIT_SEED).alias("bucket"),
         "split",
     )
+
+
+def q_sample_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling AND train/val/test assignment in ONE gate: a
+    zero-shuffle union of the two per-row hash operators (each branch its
+    own narrow scan), labelled by ``gate``. Consolidates the r1-r4
+    stratified_sample / train_split gate pair so the driver's 50-slot
+    correctness window covers every registered query; both original gates
+    remain in EXTRA_QUERIES for bench comparability and local parity. The
+    buckets are emitted so the gate pins the hash arithmetic itself."""
+    df = load_spread(spark, sf_dir, "documents")
+    sampled = cu.stratified_sample(
+        df, "doc_id", "lang", SAMPLE_RATES, seed=SAMPLE_SEED
+    ).select(
+        F.lit("sample").alias("gate"),
+        "doc_id",
+        "lang",
+        cu.sample_bucket("doc_id", seed=SAMPLE_SEED).alias("bucket"),
+        F.lit(None).cast("string").alias("split"),
+    )
+    split = cu.hash_split(df, "doc_id", SPLIT_WEIGHTS, seed=SPLIT_SEED).select(
+        F.lit("split").alias("gate"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        cu.sample_bucket("doc_id", seed=SPLIT_SEED).alias("bucket"),
+        "split",
+    )
+    return sampled.unionByName(split)
+
+
+def _sample_split_sql() -> str:
+    return f"""
+SELECT 'sample' AS gate, doc_id, lang, bucket, NULL AS split
+FROM ({_stratified_sample_sql()})
+UNION ALL
+SELECT 'split' AS gate, doc_id, NULL AS lang, bucket, split
+FROM ({_train_split_sql()})
+"""
 
 
 def q_embedding_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,6 +314,7 @@ WITH t AS (
 ), ch AS (
   SELECT doc_id,
     CAST(start // 24 AS BIGINT) AS chunk_idx,
+    md5(array_to_string(s[start + 1 : start + 32], ' ')) AS chunk_hash,
     CAST(least(32, len(s) - start) AS BIGINT) AS n_tokens
   FROM c
 ), sharded AS (
@@ -279,7 +328,7 @@ WITH t AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
   FROM sharded
 )
-SELECT doc_id, chunk_idx, n_tokens,
+SELECT doc_id, chunk_idx, chunk_hash, n_tokens,
   CAST(shard AS BIGINT) AS shard,
   CAST(tok_offset AS BIGINT) AS tok_offset,
   CAST(tok_offset // {PACK_BUDGET} AS BIGINT) AS bin_id
@@ -556,12 +605,10 @@ FROM enc, v
 
 CURATION_QUERIES = {
     "repetition_documents": q_repetition_documents,
-    "stratified_sample_documents": q_stratified_sample_documents,
+    "sample_split_documents": q_sample_split_documents,
     "vocab_documents": q_vocab_documents,
-    "chunk_documents": q_chunk_documents,
     "contamination_documents": q_contamination_documents,
     "packed_chunks_documents": q_packed_chunks_documents,
-    "train_split_documents": q_train_split_documents,
     "embedding_dedup_embeddings": q_embedding_dedup_embeddings,
     "corpus_filter_documents": q_corpus_filter_documents,
     "bpe_pairs_documents": q_bpe_pairs_documents,
@@ -572,16 +619,30 @@ CURATION_QUERIES = {
 
 CURATION_ORACLES = {
     "repetition_documents": _REPETITION_SQL,
-    "stratified_sample_documents": _stratified_sample_sql(),
+    "sample_split_documents": _sample_split_sql(),
     "vocab_documents": _VOCAB_SQL,
-    "chunk_documents": _CHUNK_SQL,
     "contamination_documents": _CONTAMINATION_SQL,
     "packed_chunks_documents": _PACKED_CHUNKS_SQL,
-    "train_split_documents": _train_split_sql(),
     "embedding_dedup_embeddings": _embedding_dedup_sql(),
     "corpus_filter_documents": _corpus_filter_sql(),
     "bpe_pairs_documents": _bpe_pairs_sql(),
     "pii_redact_documents": _pii_redact_sql(),
     "encode_tokens_documents": _encode_tokens_sql(),
     "curation_pipeline_documents": _curation_pipeline_sql(),
+}
+
+#: gates consolidated OUT of the driver's 50-slot correctness window (r5):
+#: sample_split_documents unions stratified_sample + train_split verbatim,
+#: and packed_chunks_documents now pins the chunker's text via chunk_hash.
+#: Still run by bench.py (r1-comparable names) and `pytest -m parity`.
+EXTRA_QUERIES = {
+    "stratified_sample_documents": q_stratified_sample_documents,
+    "train_split_documents": q_train_split_documents,
+    "chunk_documents": q_chunk_documents,
+}
+
+EXTRA_ORACLES = {
+    "stratified_sample_documents": _stratified_sample_sql(),
+    "train_split_documents": _train_split_sql(),
+    "chunk_documents": _CHUNK_SQL,
 }

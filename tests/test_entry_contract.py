@@ -20,7 +20,22 @@ def test_every_query_has_an_oracle_and_vice_versa():
     assert set(queries) == set(oracles), (
         sorted(set(queries) ^ set(oracles))
     )
-    assert len(queries) >= 49
+    # the driver gates the first 50 registry entries (r4 verdict): stay at
+    # EXACTLY <=50 so every registered gate gets a hard correctness row
+    assert 49 <= len(queries) <= 50
+    extras, extra_oracles = e.extra_queries(), e.extra_oracle_sql()
+    assert set(extras) == set(extra_oracles), (
+        sorted(set(extras) ^ set(extra_oracles))
+    )
+    assert not set(extras) & set(queries)
+
+
+def test_previously_ungated_queries_lead_the_registry():
+    """The 7 queries with no CORRECTNESS_r04 row must merge first so the
+    driver's 50-slot window always covers them."""
+    e = _entry()
+    assert list(e.queries())[:7] == e._GATE_FIRST
+    assert list(e.oracle_sql())[:7] == e._GATE_FIRST
 
 
 def test_oracles_are_nonempty_sql():
@@ -53,8 +68,10 @@ def test_bench_covers_every_gate():
     import bench
 
     e = _entry()
-    assert set(bench.HEADLINE) == set(e.queries()), (
-        sorted(set(bench.HEADLINE) ^ set(e.queries()))
+    # bench times the 50 driver gates PLUS the consolidated-out extras
+    # (keeps r1-comparable names in BENCH_r{N}.json)
+    assert set(bench.HEADLINE) == set(e.queries()) | set(e.extra_queries()), (
+        sorted(set(bench.HEADLINE) ^ (set(e.queries()) | set(e.extra_queries())))
     )
     unknown = bench.COUNT_ONLY - set(bench.HEADLINE)
     assert not unknown, sorted(unknown)
