@@ -506,10 +506,28 @@ FROM enc
 """
 
 
+def _capstone_pairs(kept: DataFrame) -> DataFrame:
+    """The capstone's pair-mining stage: the LSH path (minhash bands ->
+    candidates -> exact array_intersect verify), so verification cost is
+    bound to the candidate set. The uncapped inverted-index self-join used
+    through r4 is quadratic on a boilerplate shingle shared by millions of
+    kept docs — exactly the blow-up a 100 TB corpus has. The exact-Jaccard
+    SQL recomposition stays the oracle: the LSH miner must reproduce the
+    exact pair set (the standalone minhash_near_dup gate pins the same
+    agreement corpus-wide). Split out as a module function so
+    test_plan_quality can assert the miner's plan shape directly — the
+    final capstone plan hides it behind the connected-components driver
+    fast path, which materialises pairs eagerly."""
+    from dc43_spark.functions import dedup as dd
+
+    return dd.minhash_near_duplicates(kept, threshold=0.8)
+
+
 def q_curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAPSTONE: the full training-data pipeline composed end-to-end in one
-    query — corpus_filter (keep) -> exact near-dup pairs among kept docs ->
-    connected-component clusters -> keep one canonical doc per cluster
+    query — corpus_filter (keep) -> LSH near-dup pairs among kept docs
+    (minhash bands, exact-verified on candidates) -> connected-component
+    clusters -> keep one canonical doc per cluster
     (min id) -> encode canonicals against the kept-corpus top-100 vocab.
     Output: one row per surviving training document with its cluster size
     and token-id-sequence hash. The oracle recomposes every stage in SQL,
@@ -523,7 +541,7 @@ def q_curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     kept = (
         cu.corpus_filter(docs).filter("keep").select("doc_id").join(docs, "doc_id")
     ).persist()
-    pairs = dd.ngram_jaccard_pairs(kept, threshold=0.8)
+    pairs = _capstone_pairs(kept)
     clustered = dd.dedup_clusters(kept, pairs)
     canonical = clustered.filter(F.col("doc_id") == F.col("cluster_id"))
     vocab = cu.vocab_top_terms(kept, top_n=100)

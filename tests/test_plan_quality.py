@@ -119,6 +119,31 @@ def test_embedding_dedup_joins_on_bucket_not_all_pairs(spark):
     assert "bucket" in plan
 
 
+def test_curation_pipeline_mines_pairs_via_lsh_not_shingle_self_join(spark):
+    """The capstone must mine near-dup pairs on the LSH path: banded
+    candidates + array_intersect verify. An inverted-index self-join keyed
+    on raw shingles is quadratic on hot shingles (one boilerplate shingle
+    shared by millions of kept docs) — the r4 scale-killer."""
+    import re
+
+    from dc43_spark.showcase_curation import _capstone_pairs
+    from dc43_spark.functions.curation import corpus_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    kept = corpus_filter(docs).filter("keep").select("doc_id").join(docs, "doc_id")
+    plan = plan_string(_capstone_pairs(kept), "simple")
+    # candidate-bound exact verification is present...
+    assert "array_intersect" in plan
+    # ...and banded candidate generation replaces the shingle-keyed join
+    assert "band_hash" in plan
+    # no join/exchange keyed on a raw shingle column
+    assert not re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|hashpartitioning)"
+        r"[^\n]{0,60}\bsh#",
+        plan,
+    ), plan
+
+
 def test_corpus_filter_zero_shuffle_single_scan(spark):
     """Every corpus-filter signal is a narrow expression — the whole
     keep/drop pipeline must stream at scan speed with NO exchange."""
