@@ -560,8 +560,11 @@ def bpe_pair_counts(
     keeps the output deterministic."""
     from dc43_spark.functions.text import BPE_TOKEN_RE
 
+    # column-API regexp_extract_all, NOT an F.expr SQL literal: Spark's SQL
+    # parser unescapes '\s' inside single quotes to a plain 's', silently
+    # running a different regex than the documented pattern (r4 advice)
     toks = F.explode(
-        F.expr(f"regexp_extract_all({text_col}, '{BPE_TOKEN_RE}', 0)")
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))
     ).alias("tok")
     # single-symbol tokens have no pairs; the CASE guard matters because
     # Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being empty

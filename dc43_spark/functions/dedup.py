@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dc43_spark.functions.text import fingerprint, tokens
 
@@ -73,13 +74,21 @@ def keep_canonical(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     window routes every copy of a mega-duplicate (boilerplate repeated
     across millions of pages) into one partition, while the min-id
     aggregate partial-combines map-side and the join back is AQE-skew-
-    splittable."""
+    splittable.
+
+    The semi-join matches on (hash, id) PAIRS, not the id alone, so an id
+    reused by rows with different text selects only the row that actually
+    won its group (r4 advice: an id-only semi-join let one winning id drag
+    in every row bearing it). Rows that are fully identical — same id AND
+    same text — still all survive; deduplicate the id space first if that
+    matters."""
+    keyed = df.withColumn("_fp", content_hash(text_col))
     canon = (
-        df.select(content_hash(text_col).alias("_fp"), F.col(id_col))
+        keyed.select("_fp", F.col(id_col))
         .groupBy("_fp")
         .agg(F.min(id_col).alias(id_col))
     )
-    return df.join(canon.select(id_col), id_col, "left_semi")
+    return keyed.join(canon, ["_fp", id_col], "left_semi").drop("_fp")
 
 
 # ------------------------------------------------------------- shingling
@@ -470,9 +479,21 @@ def connected_components(
             ra, rb = find(r["u"]), find(r["v"])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        out = [(int(x), int(find(x))) for x in {v for r in rows for v in (r["u"], r["v"])}]
+        out = [(x, find(x)) for x in {v for r in rows for v in (r["u"], r["v"])}]
         spark = edges.sparkSession
-        return spark.createDataFrame(out, "node long, root long")
+        # schema derived from the edge columns (r4 advice: a hardcoded
+        # 'node long, root long' crashed string ids on this branch only,
+        # and returned a different type than the distributed branch)
+        node_type = cur.schema["u"].dataType
+        # nullable=True to match the distributed branch's coalesce output
+        # (values are never actually null on either branch)
+        schema = T.StructType(
+            [
+                T.StructField("node", node_type, True),
+                T.StructField("root", node_type, True),
+            ]
+        )
+        return spark.createDataFrame(out, schema)
 
     def _sig(e: DataFrame):
         row = e.agg(

@@ -10,6 +10,8 @@ from __future__ import annotations
 import random
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from dc43_spark.functions.dedup import connected_components, dedup_clusters
 
@@ -90,6 +92,53 @@ def test_dedup_clusters_assigns_singletons_to_self(spark):
     assert out[1]["cluster_size"] == 1
     # original columns survive
     assert out[4]["text"] == "text-4"
+
+
+def test_string_node_ids_work_on_both_branches(spark):
+    """The driver fast path must accept non-integer ids and agree with the
+    distributed branch (r4 advice: a hardcoded 'node long' schema crashed
+    string ids on the small-graph branch only)."""
+    edges = [("b", "a"), ("b", "c"), ("x", "y")]
+    df = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    expect = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    fast = {r["node"]: r["root"] for r in connected_components(df).collect()}
+    dist = {
+        r["node"]: r["root"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert fast == expect
+    assert dist == expect
+    # both branches return the SAME schema, derived from the edge columns
+    assert (
+        connected_components(df).schema
+        == connected_components(df, driver_threshold=0).schema
+    )
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_distributed_rounds_match_union_find(spark, raw):
+    """Property: the large-star/small-star iterations (driver_threshold=0,
+    so the fast path CANNOT mask them) compute exactly the union-find
+    roots on arbitrary small graphs — chains, cliques, self-loops,
+    duplicates, whatever hypothesis shrinks to."""
+    edges = [e for e in raw if e[0] != e[1]]
+    if not edges:
+        return
+    expect = _union_find_roots(25, edges)
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["root"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    touched = {a for e in edges for a in e}
+    assert got == {x: expect[x] for x in touched}
 
 
 def test_iteration_cap_warns_instead_of_silent_wrong_answer(spark):

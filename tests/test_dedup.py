@@ -32,6 +32,18 @@ def test_keep_canonical(docs):
     assert kept == [1, 3, 4, 5]
 
 
+def test_keep_canonical_reused_id_selects_only_group_winner(spark):
+    """The semi-join matches (hash, id) pairs: id 1 wins the 'aaa' group,
+    but the different-text row that also carries id 1 must NOT ride along
+    (r4 advice: an id-only semi-join kept every row bearing a winning id)."""
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (1, "zzz unrelated"), (3, "zzz unrelated")],
+        "doc_id long, text string",
+    )
+    kept = sorted((r["doc_id"], r["text"]) for r in dd.keep_canonical(df).collect())
+    assert kept == [(1, "aaa"), (1, "zzz unrelated")]
+
+
 def test_token_shingles(spark):
     df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], "doc_id long, text string")
     out = {
