@@ -67,7 +67,7 @@ def punct_ratio(col: Column | str, *, scale: int = 6) -> Column:
 
 
 def word_hits(col: Column | str, words: list[str]) -> Column:
-    """How many whitespace-delimited tokens of ``col`` equal (case-folded)
+    r"""How many whitespace-delimited tokens of ``col`` equal (case-folded)
     one of ``words`` — counted WITH multiplicity.
 
     Implemented as ONE regex pass over the lowered text instead of a

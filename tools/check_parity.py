@@ -43,6 +43,46 @@ def _rowset(columns, rows):
     return sorted("\x1f".join(_norm(r[i]) for i in order) for r in rows)
 
 
+def duckdb_connection(sf_dir: str):
+    """DuckDB connection with the driver's table views registered."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def check_query(spark, con, fn, sql, sf_dir: str) -> list:
+    """Compare one queries() entry against its oracle.
+
+    Returns a list of problem strings (empty = parity). Mirrors the driver's
+    gate: row count, column-name set, and order-insensitive value comparison
+    over column-name-sorted stringified rows. With ``sql=None`` only checks
+    that the Spark side executes (rows-only, like the driver's weak check).
+    """
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if sql is None:
+        return []
+    rel = con.sql(sql)
+    dcols = list(rel.columns)
+    drows = rel.fetchall()
+    problems = []
+    if len(srows) != len(drows):
+        problems.append(f"row count {len(srows)} vs {len(drows)}")
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"columns {sorted(scols)} vs {sorted(dcols)}")
+    if not problems:
+        a, b = _rowset(scols, srows), _rowset(dcols, drows)
+        if a != b:
+            diff = next((i for i, (x, y) in enumerate(zip(a, b)) if x != y), -1)
+            problems.append(
+                f"values differ (first diff at sorted idx {diff}):\n"
+                f"    spark : {a[diff][:300]}\n    duckdb: {b[diff][:300]}"
+            )
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -59,9 +99,7 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = duckdb_connection(sf_dir)
 
     queries, oracles = e.queries(), e.oracle_sql()
     failures = 0
@@ -69,45 +107,21 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as ex:
-            print(f"FAIL {name}: spark error: {ex}")
-            failures += 1
-            continue
         sql = oracles.get(name)
-        if sql is None:
-            print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only check)")
-            continue
         try:
-            rel = con.sql(sql)
-            dcols = list(rel.columns)
-            drows = rel.fetchall()
+            problems = check_query(spark, con, fn, sql, sf_dir)
         except Exception as ex:
-            print(f"FAIL {name}: duckdb error: {ex}")
+            print(f"FAIL {name}: {type(ex).__name__}: {ex}")
             failures += 1
             continue
-        problems = []
-        if len(srows) != len(drows):
-            problems.append(f"row count {len(srows)} vs {len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"columns {sorted(scols)} vs {sorted(dcols)}")
-        if not problems:
-            a, b = _rowset(scols, srows), _rowset(dcols, drows)
-            if a != b:
-                diff = next((i for i, (x, y) in enumerate(zip(a, b)) if x != y), -1)
-                problems.append(
-                    f"values differ (first diff at sorted idx {diff}):\n"
-                    f"    spark : {a[diff][:300]}\n    duckdb: {b[diff][:300]}"
-                )
         dt = time.time() - t0
         if problems:
             failures += 1
             print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
+        elif sql is None:
+            print(f"ok?  {name} ({dt:.1f}s): no oracle — rows-only check")
         else:
-            print(f"PASS {name} ({dt:.1f}s, {len(srows)} rows)")
+            print(f"PASS {name} ({dt:.1f}s)")
     spark.stop()
     return 1 if failures else 0
 
