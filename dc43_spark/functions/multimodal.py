@@ -4,13 +4,17 @@ REAL codecs (stdlib/NumPy only, no Pillow/torchaudio in this container):
 
 - PNG: full encode AND pixel decode — zlib IDAT, all five scanline filters
   (None/Sub/Up/Average/Paeth), gray / RGB / gray+alpha / RGBA;
-- JPEG: header codec — marker walk to SOFn for dimensions/channels (pixel
-  entropy decode is out of scope and stays stubbed);
-- WAV: RIFF/PCM encode + header decode (rate, channels, bits, duration).
+- JPEG: full BASELINE codec (functions/jpeg.py) — DCT + quantize + Annex K
+  Huffman encode (grayscale / YCbCr 4:2:0) and the complete entropy
+  decoder (marker walk, byte-unstuffed Huffman, dequant, IDCT, upsample,
+  YCbCr->RGB). Progressive/arithmetic streams raise and fall back;
+- WAV: RIFF/PCM encode + header decode (rate, channels, bits, duration);
+- MP4: header codec (box walk) — sample/frame decode would need real
+  video codecs, so video *pixel* features still fall back to the
+  deterministic fake in ``FAKE_DECODERS``.
 
 ``probe_media`` and ``image_channel_stats`` run them inside the Arrow
-``mapInPandas`` plumbing; only non-PNG *pixel* features still fall back to
-the deterministic fake in ``FAKE_DECODERS``.
+``mapInPandas`` plumbing.
 
 Design for 100 TB:
 - binary payloads stay opaque until the last possible operator (no decode
@@ -84,14 +88,28 @@ FAKE_DECODERS: dict[str, Decoder] = {
 }
 
 
-def _image_decode(payload: bytes) -> list[float]:
-    """REAL image feature when the payload is PNG: [width, height,
-    channels, mean_c0..mean_c4] from actual decoded pixels (see
-    ``png_decode``). Non-PNG images (e.g. JPEG, whose entropy decode stays
-    out of scope) fall back to the deterministic fake."""
+def _decode_image_pixels(payload: bytes):
+    """(H, W, C) uint8 pixels for PNG or baseline JPEG payloads, else
+    None. The single sniff-and-decode used by every pixel-level operator."""
     try:
-        px = png_decode(payload)
-    except Exception:  # noqa: BLE001 — any non-PNG/corrupt shape
+        return png_decode(payload)
+    except Exception:  # noqa: BLE001 — not a PNG (or corrupt)
+        pass
+    try:
+        from dc43_spark.functions.jpeg import jpeg_decode
+
+        return jpeg_decode(payload)
+    except Exception:  # noqa: BLE001 — not a baseline JPEG either
+        return None
+
+
+def _image_decode(payload: bytes) -> list[float]:
+    """REAL image feature when the payload is PNG or baseline JPEG:
+    [width, height, channels, mean_c0..] from actual decoded pixels (see
+    ``png_decode`` / ``jpeg.jpeg_decode``). Undecodable payloads (corrupt,
+    progressive JPEG, other formats) fall back to the deterministic fake."""
+    px = _decode_image_pixels(payload)
+    if px is None:
         return _fake_decode(payload)
     h, w, c = px.shape
     means = px.astype(np.float64).mean(axis=(0, 1))
@@ -543,17 +561,17 @@ IMAGE_STATS_SCHEMA = T.StructType(
 def image_channel_stats(
     df: DataFrame, *, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """REAL pixel statistics for PNG payloads: zlib decompress + unfilter,
-    then exact integer sum and integral-micro mean (cross-engine stable).
-    Non-PNG payloads yield NULL stats rather than failing the batch."""
+    """REAL pixel statistics for PNG and baseline-JPEG payloads: full
+    decode (zlib unfilter / entropy decode + IDCT), then exact integer sum
+    and integral-micro mean (cross-engine stable). Undecodable payloads
+    yield NULL stats rather than failing the batch."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                try:
-                    px = png_decode(payload)
-                except (ValueError, zlib.error, IndexError):
+                px = _decode_image_pixels(payload)
+                if px is None:
                     rows.append((mid, None, None, None, None, None))
                     continue
                 h, w, c = px.shape

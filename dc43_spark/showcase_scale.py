@@ -258,13 +258,16 @@ def q_frame_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _encode_batch(pdf) -> list[bytes]:
-    """Deterministic container bytes per (doc_id, n_chars) row: doc_id%3
-    selects PNG (filtered scanlines, pixel[i]=i%256), JPEG (structural
-    header), or WAV (PCM16); dimensions/rates derive from doc fields by
-    pure-arithmetic formulas a SQL oracle can replicate."""
+    """Deterministic container bytes per (doc_id, n_chars) row: doc_id%4
+    selects PNG (filtered scanlines, pixel[i]=i%256), JPEG (REAL baseline
+    entropy stream: constant-gray pixels at quality 50 — the luma DC quant
+    step is exactly 16, so an even pixel value round-trips losslessly and
+    a SQL oracle can predict the decoded sum), WAV (PCM16), or MP4;
+    dimensions/rates derive from doc fields by pure-arithmetic formulas."""
     import numpy as np
 
     from dc43_spark.functions import multimodal as mm
+    from dc43_spark.functions.jpeg import jpeg_encode
 
     payloads = []
     for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
@@ -276,7 +279,9 @@ def _encode_batch(pdf) -> list[bytes]:
             payloads.append(mm.png_encode(px))
         elif kind == 1:
             w, h, c = nch % 64 + 1, did % 48 + 1, 1 + (did % 2) * 2
-            payloads.append(mm.jpeg_encode_header(w, h, c))
+            v = 2 * ((did * 3 + nch) % 128)
+            px = np.full((h, w, c), v, dtype=np.uint8)
+            payloads.append(jpeg_encode(px, quality=50))
         elif kind == 2:
             rate = 8000 + (did % 5) * 2000
             chans = 1 + did % 2
@@ -357,14 +362,22 @@ def q_media_probe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL pixel statistics: zlib-decompress + unfilter every PNG (all
-    five scanline filters are exercised by the encoder) and sum the pixels.
-    pixel[i] = i % 256 gives the oracle a closed form: n full 256-cycles sum
-    32640 each plus a rem*(rem-1)/2 tail — any unfilter mistake shifts the
-    sum and fails the hash."""
+    """REAL pixel statistics over BOTH still-image formats:
+
+    - PNG (media_id%4==0): zlib-decompress + unfilter (all five scanline
+      filters are exercised by the encoder); pixel[i] = i % 256 gives the
+      oracle a closed form — n full 256-cycles of sum 32640 plus a
+      rem*(rem-1)/2 tail. Any unfilter mistake shifts the sum.
+    - JPEG (media_id%4==1): full baseline ENTROPY decode (Huffman ->
+      dequant -> IDCT, functions/jpeg.py). Payloads are constant-gray at
+      quality 50, whose even pixel value v survives the lossy pipeline
+      exactly (DC = 8(v-128) quantized by exactly 16), so the oracle
+      predicts pixel_sum = w*h*c*v in closed form — a wrong Huffman table,
+      dequant, predictor, or IDCT scaling all shift the sum and fail the
+      hash."""
     from dc43_spark.functions.multimodal import image_channel_stats
 
-    media = _encoded_media_frame(spark, sf_dir).filter(F.col("media_id") % 4 == 0)
+    media = _encoded_media_frame(spark, sf_dir).filter(F.col("media_id") % 4 <= 1)
     return image_channel_stats(media)
 
 
@@ -1046,22 +1059,32 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
-# pixel[i] = i % 256 over n = w*h*c pixels: (n // 256) full cycles of sum
-# 32640 plus a 0..rem-1 tail, mean in integral micro units.
+# PNG (doc_id%4=0): pixel[i] = i % 256 over n = w*h*c pixels -> (n // 256)
+# full cycles of sum 32640 plus a 0..rem-1 tail. JPEG (doc_id%4=1):
+# constant-gray v = 2*((doc_id*3 + n_chars) % 128) at quality 50 decodes
+# losslessly -> sum = n * v. Means in integral micro units.
 _IMAGE_STATS_SQL = """
-WITH png AS (
+WITH img AS (
   SELECT doc_id,
          CAST(n_chars % 64 + 1 AS INTEGER) AS w,
          CAST(doc_id % 48 + 1 AS INTEGER) AS h,
-         CAST(1 + (doc_id % 2) * 2 AS INTEGER) AS c
-  FROM documents WHERE doc_id % 4 = 0
+         CAST(1 + (doc_id % 2) * 2 AS INTEGER) AS c,
+         CAST(doc_id % 4 AS INTEGER) AS kind,
+         CAST(2 * ((doc_id * 3 + n_chars) % 128) AS BIGINT) AS v
+  FROM documents WHERE doc_id % 4 <= 1
 ), sized AS (
-  SELECT doc_id, w, h, c, CAST(w AS BIGINT) * h * c AS n FROM png
+  SELECT doc_id, w, h, c, kind, v, CAST(w AS BIGINT) * h * c AS n FROM img
+), summed AS (
+  SELECT doc_id, w, h, c, n,
+         CASE WHEN kind = 0
+              THEN (n // 256) * 32640 + ((n % 256) * ((n % 256) - 1)) // 2
+              ELSE n * v END AS pixel_sum
+  FROM sized
 )
 SELECT doc_id AS media_id, w AS width, h AS height, c AS channels,
-       CAST((n // 256) * 32640 + ((n % 256) * ((n % 256) - 1)) // 2 AS BIGINT) AS pixel_sum,
-       CAST(((n // 256) * 32640 + ((n % 256) * ((n % 256) - 1)) // 2) * 1000000 // n AS BIGINT) AS pixel_mean_micro
-FROM sized
+       CAST(pixel_sum AS BIGINT) AS pixel_sum,
+       CAST(pixel_sum * 1000000 // n AS BIGINT) AS pixel_mean_micro
+FROM summed
 """
 
 _KNN_SQL = """

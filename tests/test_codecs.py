@@ -148,3 +148,123 @@ def test_extract_features_real_mp4_decoder(spark):
     df = spark.createDataFrame([(1, "video", payload, None)], mm.MEDIA_SCHEMA)
     (row,) = mm.extract_features(df).collect()
     assert row["feature"][:3] == [640.0, 360.0, 12000.0]
+
+
+# ------------------------------------------------------- baseline JPEG codec
+
+
+@pytest.mark.parametrize("shape,quality", [
+    ((8, 8, 1), 90), ((17, 23, 1), 95), ((24, 31, 3), 95),
+    ((48, 64, 3), 85), ((1, 1, 1), 90), ((9, 5, 3), 75),
+])
+def test_jpeg_round_trip_error_bound(shape, quality):
+    """Encode->decode must reconstruct within a quantization-noise bound;
+    a broken zigzag, predictor, or IDCT produces garbage far beyond it."""
+    from dc43_spark.functions import jpeg
+
+    rng = np.random.default_rng(hash((shape, quality)) % (2**32))
+    h, w, c = shape
+    # smooth-ish content (JPEG's operating regime): low-freq ramp + noise
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (60 + xx * 2 + yy * 3)[:, :, None] + rng.integers(-12, 13, shape)
+    px = np.clip(base, 0, 255).astype(np.uint8)
+    enc = jpeg.jpeg_encode(px, quality=quality)
+    assert mm.jpeg_header(enc) == (w, h, c)
+    dec = jpeg.jpeg_decode(enc)
+    assert dec.shape == shape
+    err = np.abs(dec.astype(int) - px.astype(int))
+    assert err.mean() < 6.0, err.mean()
+    assert err.max() < 64, err.max()
+
+
+def test_jpeg_constant_gray_lossless_at_q50():
+    """quality 50 => luma DC quant step exactly 16, so an even constant
+    round-trips EXACTLY — the invariant the image_stats driver oracle
+    relies on (showcase_scale._encode_batch)."""
+    from dc43_spark.functions import jpeg
+
+    for v in (0, 2, 84, 128, 200, 254):
+        for shape in ((5, 9, 1), (10, 12, 3)):
+            px = np.full(shape, v, dtype=np.uint8)
+            dec = jpeg.jpeg_decode(jpeg.jpeg_encode(px, quality=50))
+            np.testing.assert_array_equal(dec, px)
+
+
+def test_jpeg_decode_spec_derived_single_block():
+    """Decoder vs a HAND-CONSTRUCTED stream derived from T.81 itself (not
+    from our encoder): 8x8 grayscale, flat quant table 16, standard DC/AC
+    luminance Huffman specs. DC symbol 3 = canonical code '100', magnitude
+    bits '110' = 6 -> DC coeff 6*16 = 96; AC EOB = '1010'. A DC-only block
+    reconstructs to 96/8 + 128 = 140 everywhere. This catches a symmetric
+    encoder+decoder bug that a round-trip test cannot."""
+    from dc43_spark.functions import jpeg
+
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([16] * 64)
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00"
+    )
+    dht_dc = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(jpeg.DC_LUMA_VALS))
+        + b"\x00" + bytes(jpeg.DC_LUMA_BITS) + bytes(jpeg.DC_LUMA_VALS)
+    )
+    dht_ac = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(jpeg.AC_LUMA_VALS))
+        + b"\x10" + bytes(jpeg.AC_LUMA_BITS) + bytes(jpeg.AC_LUMA_VALS)
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    scan = bytes([0b10011010, 0b10111111])  # 100 110 1010 + 1-padding
+    payload = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + scan + b"\xff\xd9"
+    out = jpeg.jpeg_decode(payload)
+    assert out.shape == (8, 8, 1)
+    assert (out == 140).all()
+
+
+def test_jpeg_decode_rejects_non_baseline_and_headers():
+    from dc43_spark.functions import jpeg
+
+    # header-only payload (the old stub shape): no SOS scan
+    with pytest.raises(ValueError):
+        jpeg.jpeg_decode(mm.jpeg_encode_header(10, 10, 3))
+    # progressive SOF2 must raise, not silently mis-decode
+    enc = jpeg.jpeg_encode(np.zeros((8, 8, 1), dtype=np.uint8))
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        jpeg.jpeg_decode(prog)
+    with pytest.raises(ValueError):
+        jpeg.jpeg_decode(b"not a jpeg")
+
+
+def test_jpeg_byte_stuffing_and_gradient():
+    """A high-contrast image at high quality produces 0xFF bytes in the
+    entropy stream with near-certainty across these 8 seeds; the stuffed
+    0xFF00 sequences must be transparent to the decoder."""
+    from dc43_spark.functions import jpeg
+
+    saw_stuffing = False
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (16, 16, 1), dtype=np.uint8)
+        enc = jpeg.jpeg_encode(px, quality=100)
+        scan_start = enc.find(b"\xff\xda")
+        saw_stuffing = saw_stuffing or b"\xff\x00" in enc[scan_start:]
+        dec = jpeg.jpeg_decode(enc)
+        err = np.abs(dec.astype(int) - px.astype(int))
+        assert err.max() <= 32, err.max()
+    assert saw_stuffing
+
+
+def test_extract_features_real_jpeg_decoder(spark):
+    """image features for a JPEG payload come from REAL decoded pixels:
+    feature = [w, h, c, mean...] — not the sha256 fake."""
+    from dc43_spark.functions import jpeg
+
+    px = np.full((12, 20, 3), 120, dtype=np.uint8)
+    payload = jpeg.jpeg_encode(px, quality=50)
+    df = spark.createDataFrame(
+        [(1, "image", payload, ("jpeg", 20, 12, None))], schema=mm.MEDIA_SCHEMA
+    )
+    row = mm.extract_features(df).collect()[0]
+    feat = row.feature
+    assert feat[:3] == [20.0, 12.0, 3.0]
+    assert abs(feat[3] - 120.0) < 0.01  # decoded mean, not hash noise
