@@ -536,18 +536,21 @@ def q_curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     from dc43_spark.functions import dedup as dd
 
     docs = load_spread(spark, sf_dir, "documents")
-    # kept feeds three consumers (pair mining, cluster assignment, vocab);
+    # kept feeds three consumers (pair mining, canonical text, vocab);
     # persist the filtered slice instead of re-running the filter per use
     kept = (
         cu.corpus_filter(docs).filter("keep").select("doc_id").join(docs, "doc_id")
     ).persist()
     pairs = _capstone_pairs(kept)
-    clustered = dd.dedup_clusters(kept, pairs)
-    canonical = clustered.filter(F.col("doc_id") == F.col("cluster_id"))
+    # cluster the ID SPACE only: carrying document text through the
+    # cluster + size joins triples the bytes every shuffle moves for
+    # nothing — text rejoins once, for the (far smaller) canonical set
+    clustered_ids = dd.dedup_clusters(kept.select("doc_id"), pairs)
+    canonical_ids = clustered_ids.filter(F.col("doc_id") == F.col("cluster_id"))
     vocab = cu.vocab_top_terms(kept, top_n=100)
-    enc = cu.encode_tokens(canonical, vocab)
+    enc = cu.encode_tokens(canonical_ids.select("doc_id").join(kept, "doc_id"), vocab)
     return (
-        enc.join(canonical.select("doc_id", "cluster_size"), "doc_id")
+        enc.join(canonical_ids.select("doc_id", "cluster_size"), "doc_id")
         .select(
             "doc_id",
             "cluster_size",

@@ -279,8 +279,14 @@ def _encode_batch(pdf) -> list[bytes]:
             payloads.append(mm.png_encode(px))
         elif kind == 1:
             w, h, c = nch % 64 + 1, did % 48 + 1, 1 + (did % 2) * 2
-            v = 2 * ((did * 3 + nch) % 128)
-            px = np.full((h, w, c), v, dtype=np.uint8)
+            # value constant per 8x8 block but VARYING across blocks:
+            # still DC-only (lossless at q50 for even values) yet forces
+            # nonzero DC diffs through the Huffman category coder and the
+            # cross-block/cross-MCU prediction chain
+            bx = np.arange(w) // 8
+            by = np.arange(h) // 8
+            v = 2 * ((did * 3 + nch + 5 * bx[None, :] + 11 * by[:, None]) % 128)
+            px = np.repeat(v[:, :, None], c, axis=2).astype(np.uint8)
             payloads.append(jpeg_encode(px, quality=50))
         elif kind == 2:
             rate = 8000 + (did % 5) * 2000
@@ -369,12 +375,14 @@ def q_image_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       oracle a closed form — n full 256-cycles of sum 32640 plus a
       rem*(rem-1)/2 tail. Any unfilter mistake shifts the sum.
     - JPEG (media_id%4==1): full baseline ENTROPY decode (Huffman ->
-      dequant -> IDCT, functions/jpeg.py). Payloads are constant-gray at
-      quality 50, whose even pixel value v survives the lossy pipeline
-      exactly (DC = 8(v-128) quantized by exactly 16), so the oracle
-      predicts pixel_sum = w*h*c*v in closed form — a wrong Huffman table,
-      dequant, predictor, or IDCT scaling all shift the sum and fail the
-      hash."""
+      dequant -> IDCT, functions/jpeg.py). Payloads are gray with a value
+      constant per 8x8 block but varying ACROSS blocks at quality 50: even
+      values survive the lossy pipeline exactly (DC = 8(v-128) quantized
+      by exactly 16, ACs zero), while the block-to-block deltas force
+      nonzero DC diffs through the Huffman category coder and the
+      cross-MCU prediction chain. The oracle sums v*block-area in closed
+      form — a wrong Huffman table, dequant step, DC predictor, or IDCT
+      scaling all shift the sum and fail the hash."""
     from dc43_spark.functions.multimodal import image_channel_stats
 
     media = _encoded_media_frame(spark, sf_dir).filter(F.col("media_id") % 4 <= 1)
@@ -382,10 +390,17 @@ def q_image_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for the first 10 vectors vs the corpus."""
+    """Brute-force cosine top-5 for the first 10 vectors vs the corpus,
+    via the Arrow/BLAS matmul kernel (exact — every pair is scored; only
+    the summation order differs from the sequential expression tree, which
+    the 6-dp rounding absorbs). The expression-tree twin `cosine_topk`
+    stays oracle-pinned in tests/test_similarity.py. r4->r5: the
+    expression path's bench drift (1.02->2.35s) was JIT noise — microbench
+    steady state 0.74s — but the matmul kernel also skips the big codegen
+    plan entirely, so rep0 is fast too."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return sim.cosine_topk(queries, emb, k=5)
+    return sim.cosine_topk_matmul(queries, emb, k=5)
 
 
 def q_ann_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1061,8 +1076,10 @@ FROM documents
 
 # PNG (doc_id%4=0): pixel[i] = i % 256 over n = w*h*c pixels -> (n // 256)
 # full cycles of sum 32640 plus a 0..rem-1 tail. JPEG (doc_id%4=1):
-# constant-gray v = 2*((doc_id*3 + n_chars) % 128) at quality 50 decodes
-# losslessly -> sum = n * v. Means in integral micro units.
+# gray value constant per 8x8 block, v(bx,by) = 2*((doc_id*3 + n_chars +
+# 5bx + 11by) % 128), quality 50 -> DC-only blocks decode losslessly, so
+# sum = c * SUM over blocks of v * cropped-block-area (block grids are
+# bounded: w<=64 -> bx<8, h<=48 -> by<6, hence the constant ranges).
 _IMAGE_STATS_SQL = """
 WITH img AS (
   SELECT doc_id,
@@ -1070,15 +1087,23 @@ WITH img AS (
          CAST(doc_id % 48 + 1 AS INTEGER) AS h,
          CAST(1 + (doc_id % 2) * 2 AS INTEGER) AS c,
          CAST(doc_id % 4 AS INTEGER) AS kind,
-         CAST(2 * ((doc_id * 3 + n_chars) % 128) AS BIGINT) AS v
+         doc_id * 3 + n_chars AS a
   FROM documents WHERE doc_id % 4 <= 1
+), jpeg_sum AS (
+  SELECT i.doc_id,
+         SUM(CAST(2 * ((i.a + 5 * bx.g + 11 * by.g) % 128) AS BIGINT)
+             * LEAST(8, i.w - 8 * bx.g) * LEAST(8, i.h - 8 * by.g)) AS s
+  FROM img i, range(0, 8) bx(g), range(0, 6) by(g)
+  WHERE i.kind = 1 AND bx.g < (i.w + 7) // 8 AND by.g < (i.h + 7) // 8
+  GROUP BY i.doc_id
 ), sized AS (
-  SELECT doc_id, w, h, c, kind, v, CAST(w AS BIGINT) * h * c AS n FROM img
+  SELECT i.doc_id, w, h, c, kind, CAST(w AS BIGINT) * h * c AS n, j.s
+  FROM img i LEFT JOIN jpeg_sum j ON i.doc_id = j.doc_id
 ), summed AS (
   SELECT doc_id, w, h, c, n,
          CASE WHEN kind = 0
               THEN (n // 256) * 32640 + ((n % 256) * ((n % 256) - 1)) // 2
-              ELSE n * v END AS pixel_sum
+              ELSE c * s END AS pixel_sum
   FROM sized
 )
 SELECT doc_id AS media_id, w AS width, h AS height, c AS channels,

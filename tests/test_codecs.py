@@ -188,6 +188,15 @@ def test_jpeg_constant_gray_lossless_at_q50():
             px = np.full(shape, v, dtype=np.uint8)
             dec = jpeg.jpeg_decode(jpeg.jpeg_encode(px, quality=50))
             np.testing.assert_array_equal(dec, px)
+    # block-varying even constants (the actual gate fixture shape): still
+    # DC-only per block, but with nonzero DC diffs across the scan
+    for h, w, c in ((23, 37, 1), (30, 44, 3)):
+        bx = np.arange(w) // 8
+        by = np.arange(h) // 8
+        v = 2 * ((7 + 5 * bx[None, :] + 11 * by[:, None]) % 128)
+        px = np.repeat(v[:, :, None], c, axis=2).astype(np.uint8)
+        dec = jpeg.jpeg_decode(jpeg.jpeg_encode(px, quality=50))
+        np.testing.assert_array_equal(dec, px)
 
 
 def test_jpeg_decode_spec_derived_single_block():
