@@ -662,3 +662,139 @@ def encode_tokens(
         F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         F.coalesce("n_unk", F.lit(0)).cast("long").alias("n_unk"),
     )
+
+
+# ----------------------------------------------------------- BPE training
+
+
+def _merge_word(syms, left: str, right: str) -> list:
+    """Greedy left-to-right application of one merge to a symbol list:
+    'aaa' under (a,a) becomes ['aa', 'a'] (non-overlapping), matching the
+    standard BPE reference behavior."""
+    out = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 50,
+    min_count: int = 2,
+    checkpoint_every: int = 10,
+) -> list:
+    """FULL distributed BPE tokenizer training (Sennrich et al. 2016) —
+    the iterative loop whose single inner step is ``bpe_pair_counts``.
+
+    Returns the learned merge list ``[(left, right, pair_count), ...]`` in
+    merge order (the training artifact — bounded by ``n_merges``, so a
+    driver-side list by definition, like k-means centroids).
+
+    Distributed formulation (this is NOT the textbook driver-side trainer):
+    the training state — one row per distinct pre-token with its corpus
+    count and current symbol segmentation — stays a DataFrame end to end.
+    Each iteration runs
+
+    1. adjacent-pair count: narrow explode -> ONE partially-aggregated
+       shuffle on the pair key (same shape as ``bpe_pair_counts``), then
+       ``limit(1)`` — only the winning pair (ONE row) reaches the driver;
+    2. merge application: Arrow-batched ``mapInPandas`` over the symbol
+       arrays (greedy left-to-right, linear per word).
+
+    The state is re-persisted each round and the previous round is
+    unpersisted, so every pair count reads cached state instead of
+    replaying all prior merges (a naive chained plan makes total work
+    quadratic in ``n_merges``); every ``checkpoint_every`` rounds the
+    lineage is truncated with an eager ``localCheckpoint``. At 100 TB the
+    state size is the number of DISTINCT pre-tokens — sublinear in corpus
+    bytes — and per-round cost is one bounded shuffle, so wall clock
+    scales with ``n_merges``, not corpus size.
+
+    Ties break deterministically: highest count, then lexicographically
+    smallest (left, right) — UTF-8 binary order equals code-point order,
+    so Spark's string sort agrees with the pure-Python reference trainer
+    the tests compare against. Stops early when the best pair's count
+    drops below ``min_count``.
+
+    Beyond the reference engine (no tokenizer training exists there); the
+    pre-tokenization is text.BPE_TOKEN_RE, identical to bpe_pair_counts.
+    """
+    from dc43_spark.functions.text import BPE_TOKEN_RE
+
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # single-symbol pre-tokens never participate in any pair
+        .filter(F.length("w") >= 2)
+        # split between characters: not at start AND followed by one
+        # (Spark's split keeps trailing empties — a bare (?!^) matches the
+        # end-of-string position and appends an empty symbol)
+        .select(F.split(F.col("w"), "(?!^)(?=.)").alias("syms"), "cnt")
+    )
+    cur = words.persist()
+    cur.count()
+    pair_struct = F.expr(
+        "transform(sequence(0, size(syms) - 2),"
+        " i -> struct(syms[i] AS l, syms[i + 1] AS r))"
+    )
+    merges: list = []
+    for it in range(n_merges):
+        top = (
+            cur.filter(F.size("syms") >= 2)
+            .select(F.explode(pair_struct).alias("p"), "cnt")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or int(top[0]["c"]) < min_count:
+            break
+        left, right, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((left, right, c))
+
+        def apply_merge(batches, left=left, right=right):
+            for pdf in batches:
+                pdf["syms"] = [list(_merge_word(s, left, right)) for s in pdf["syms"]]
+                yield pdf
+
+        nxt = cur.mapInPandas(apply_merge, "syms array<string>, cnt long")
+        if (it + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+            nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return merges
+
+
+def bpe_segment(text: str, merges: list) -> list:
+    """Apply learned merges to one string (driver-side helper for tests
+    and inference spot checks): pre-tokenize with the training regex, then
+    replay merges in rank order per token."""
+    import re
+
+    from dc43_spark.functions.text import BPE_TOKEN_RE
+
+    out = []
+    for tok in re.findall(BPE_TOKEN_RE, text):
+        syms = list(tok)
+        for left, right, _ in merges:
+            syms = _merge_word(syms, left, right)
+        out.extend(syms)
+    return out

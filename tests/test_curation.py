@@ -382,3 +382,71 @@ def test_encode_tokens_both_strategies_agree(spark):
     assert literal[1]["ids"] == [2, 1, 2, 3, 2, 0]
     assert literal[2]["ids"] == [1, 1, 0] and literal[2]["n_unk"] == 1
     assert literal[3]["ids"] == [] and literal[3]["n_tokens"] == 0
+
+
+# ----------------------------------------------------------- BPE training
+
+
+def _ref_bpe(texts, n_merges, min_count=2):
+    """Pure-Python reference trainer (Sennrich-style, overlap-counted
+    pairs, greedy non-overlapping merge application, count-then-lex
+    tie-break) — the independent oracle for train_bpe."""
+    import collections
+    import re
+
+    from dc43_spark.functions.text import BPE_TOKEN_RE
+
+    words = collections.Counter(
+        t for x in texts for t in re.findall(BPE_TOKEN_RE, x) if len(t) >= 2
+    )
+    syms = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pc = collections.Counter()
+        for w, c in words.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        best, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((best[0], best[1], cnt))
+        from dc43_spark.functions.curation import _merge_word
+
+        for w in syms:
+            syms[w] = _merge_word(syms[w], best[0], best[1])
+    return merges
+
+
+def test_train_bpe_matches_reference(spark):
+    texts = [
+        "the theme of the theater is thorough",
+        "low lower lowest newest new news",
+        "hello hello hellish shell she sells seashells 2024 2025",
+        "the quick brown fox jumps over the lazy dog, the dog sleeps!",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = cu.train_bpe(df, n_merges=25, checkpoint_every=4)
+    want = _ref_bpe(texts, 25)
+    assert got == want, f"first divergence at {next((i for i,(a,b) in enumerate(zip(got,want)) if a!=b), '?')}:\n{got}\n{want}"
+    # both trainers exhaust the corpus at the same merge (min_count stop)
+    assert len(got) >= 15
+
+
+def test_train_bpe_early_stop_and_segment(spark):
+    df = spark.createDataFrame([("ab ab cd",)], "text string")
+    merges = cu.train_bpe(df, n_merges=10)
+    # 'ab' appears twice -> merged; 'cd' appears once -> below min_count
+    assert [(m[0], m[1]) for m in merges] == [("a", "b")]
+    assert cu.bpe_segment("ab cd abab", merges) == ["ab", "c", "d", "ab", "ab"]
+
+
+def test_train_bpe_documents_slice(spark, sf_dir):
+    """Real-corpus smoke at sf0.001: merges agree with the reference
+    trainer run on the collected text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 60")
+    got = cu.train_bpe(docs, n_merges=12)
+    want = _ref_bpe([r.text for r in docs.select("text").collect()], 12)
+    assert got == want
