@@ -195,6 +195,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)
         return bytes(self.out)
 
+    def restart(self, m: int) -> None:
+        """Byte-align with 1-padding (stuffed if it forms 0xFF) and emit
+        RSTm. Markers themselves are written raw — only entropy bytes are
+        subject to stuffing."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _magnitude(v: int) -> tuple:
     """(category, appended-bits) for a DC diff / AC coefficient."""
@@ -270,9 +279,15 @@ def _dqt_segment(tq: int, q_rowmajor: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
-def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
+def jpeg_encode(
+    pixels: np.ndarray, quality: int = 90, *, restart_interval: int = 0
+) -> bytes:
     """Encode (H, W) / (H, W, 1) grayscale or (H, W, 3) RGB uint8 pixels
-    as a baseline sequential JFIF JPEG (4:2:0 for color)."""
+    as a baseline sequential JFIF JPEG (4:2:0 for color).
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every N
+    MCUs with DC predictor resets — the mechanism hardware/parallel
+    decoders use to resynchronise; exercises the decoder's restart path."""
     px = np.asarray(pixels, dtype=np.float64)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -308,19 +323,22 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
         mcu_w, mcu_h = wp // 16, hp // 16
         blocks_per_row = wp // 8
         pred = [0, 0, 0]
+        mcu_i = 0
         for my in range(mcu_h):
             for mx in range(mcu_w):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    bw.restart(mcu_i // restart_interval - 1)
+                    pred = [0, 0, 0]
                 for by in range(2):
                     for bx in range(2):
                         idx = (my * 2 + by) * blocks_per_row + (mx * 2 + bx)
                         pred[0] = _encode_block(
                             bw, yq[idx][ZIGZAG], pred[0], dc_l, ac_l
                         )
-                        # NB: _encode_block returns the block's DC (the new
-                        # predictor), computed before differencing
                 cidx = my * (wp // 16) + mx
                 pred[1] = _encode_block(bw, cbq[cidx][ZIGZAG], pred[1], dc_c, ac_c)
                 pred[2] = _encode_block(bw, crq[cidx][ZIGZAG], pred[2], dc_c, ac_c)
+                mcu_i += 1
         scan = bw.flush()
 
         sof_comps = b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
@@ -340,7 +358,10 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
         ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
         bw = _BitWriter()
         pred0 = 0
-        for blk in yq:
+        for mcu_i, blk in enumerate(yq):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.restart(mcu_i // restart_interval - 1)
+                pred0 = 0
             pred0 = _encode_block(bw, blk[ZIGZAG], pred0, dc_l, ac_l)
         scan = bw.flush()
         sof_comps = b"\x01\x11\x00"
@@ -354,12 +375,18 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
     app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
     sof = struct.pack(">BHHB", 8, h, w, n_comp) + sof_comps
     sos = bytes([n_comp]) + sos_comps + b"\x00\x3f\x00"
+    dri = (
+        b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
         + dqt
         + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
         + dht
+        + dri
         + b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
         + scan
         + b"\xff\xd9"

@@ -263,6 +263,31 @@ def test_jpeg_byte_stuffing_and_gradient():
     assert saw_stuffing
 
 
+@pytest.mark.parametrize("shape,interval", [
+    ((24, 40, 1), 1), ((24, 40, 1), 3), ((32, 48, 3), 1), ((32, 48, 3), 2),
+])
+def test_jpeg_restart_markers_round_trip(shape, interval):
+    """DRI + RSTn emission and the decoder's resync path: predictors reset
+    at every interval, pad bits are discarded, markers stepped over."""
+    from dc43_spark.functions import jpeg
+
+    rng = np.random.default_rng(interval)
+    h, w, c = shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.clip(
+        (50 + xx * 2 + yy * 3)[:, :, None] + rng.integers(-10, 11, shape), 0, 255
+    ).astype(np.uint8)
+    enc = jpeg.jpeg_encode(px, quality=95, restart_interval=interval)
+    assert b"\xff\xdd" in enc  # DRI present
+    assert any(bytes([0xFF, 0xD0 + m]) in enc for m in range(8))
+    dec = jpeg.jpeg_decode(enc)
+    err = np.abs(dec.astype(int) - px.astype(int))
+    assert err.mean() < 6 and err.max() < 64
+    # restart stream decodes identically to the plain stream
+    plain = jpeg.jpeg_decode(jpeg.jpeg_encode(px, quality=95))
+    np.testing.assert_array_equal(dec, plain)
+
+
 def test_extract_features_real_jpeg_decoder(spark):
     """image features for a JPEG payload come from REAL decoded pixels:
     feature = [w, h, c, mean...] — not the sha256 fake."""
