@@ -37,3 +37,59 @@ def dedup_stream(
     ``df`` must be a streaming DataFrame; ``ts_col`` is the event-time
     column the watermark rides on."""
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+
+
+def dedup_stream_against_index(
+    df: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    append_survivors: bool = True,
+    trigger_once: bool = False,
+):
+    """Continuous-crawl NEAR-dup dedup: filter every micro-batch against
+    the persisted LSH index (``functions/dedup_index.py``) and append the
+    survivors to ``output_path``; with ``append_survivors`` each batch
+    also extends the index, so batch N+1 dedups against batch N's
+    accepted docs as well as the original corpus.
+
+    Composition contract: exact/key dedup belongs in front of this
+    (``dedup_stream`` for replays within a watermark horizon); this
+    operator is the content-similarity stage. Intra-batch near-dups are
+    not resolved here — run ``minhash_near_duplicates`` on the batch
+    inside a custom foreachBatch if crawl batches self-duplicate.
+
+    State story at scale: the stream holds NO similarity state — the
+    index on storage IS the state, so restarts recover it for free and
+    its size is bounded by the accepted corpus, not the stream length.
+    Each micro-batch costs two broadcast probes of the batch against the
+    index relations (zero index-side shuffle).
+
+    Returns the started StreamingQuery.
+    """
+    from dc43_spark.functions.dedup_index import dedup_batch_against_index
+
+    def _probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kept = dedup_batch_against_index(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            append_survivors=append_survivors,
+        )
+        kept.write.mode("append").parquet(output_path)
+
+    writer = (
+        df.writeStream.foreachBatch(_probe_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -145,3 +145,52 @@ def test_param_manifest_is_enforced(spark, corpus, tmp_path):
     # near-dup families, so OTHER >=0.9 hits are legitimate
     assert hits.get((77_001, some.doc_id)) == 1.0
     assert all(j >= 0.9 for j in hits.values())
+
+
+def test_streaming_crawl_dedup(spark, corpus, tmp_path):
+    """foreachBatch crawl loop: stream two batches through the index —
+    batch 2's replay of a batch-1 survivor must be dropped, because the
+    survivor was appended to the index between the micro-batches."""
+    import time
+
+    from dc43_spark.streaming.dedup import dedup_stream_against_index
+
+    idx = str(tmp_path / "ndx")
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    di.minhash_index_write(corpus, idx)
+
+    indexed = corpus.orderBy("doc_id").limit(1).collect()[0]
+    novel = "a freshly crawled page with words the corpus has never seen"
+    # batch 1: one copy of an indexed doc (drop), one novel doc (accept)
+    spark.createDataFrame(
+        [(50_001, indexed.text), (50_002, novel)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "*")
+    )
+    q = dedup_stream_against_index(
+        stream, idx, out, ckpt, threshold=0.8, trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    kept1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept1 == {50_002}
+
+    # batch 2: replay the accepted novel doc (drop — it is in the index
+    # now), plus another genuinely new doc (accept)
+    spark.createDataFrame(
+        [(60_001, novel), (60_002, "entirely different closing content here")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    q2 = dedup_stream_against_index(
+        stream, idx, out, ckpt, threshold=0.8, trigger_once=True
+    )
+    q2.awaitTermination(120)
+    time.sleep(0.5)
+
+    kept_all = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept_all == {50_002, 60_002}
