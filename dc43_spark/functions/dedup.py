@@ -81,14 +81,21 @@ def keep_canonical(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     won its group (r4 advice: an id-only semi-join let one winning id drag
     in every row bearing it). Rows that are fully identical — same id AND
     same text — still all survive; deduplicate the id space first if that
-    matters."""
-    keyed = df.withColumn("_fp", content_hash(text_col))
+    matters.
+
+    NULL-text rows form one group and keep their min-id row: the join key
+    coalesces the hash to a sentinel, because md5(NULL) = NULL never
+    equals itself under plain join equality (r5 review: the raw hash key
+    silently dropped every NULL-text row). The internal key column uses a
+    collision-avoiding name and is dropped before returning."""
+    fp = F.coalesce(content_hash(text_col), F.lit("\x00null"))
+    keyed = df.withColumn("__dc43_fp", fp)
     canon = (
-        keyed.select("_fp", F.col(id_col))
-        .groupBy("_fp")
+        keyed.select("__dc43_fp", F.col(id_col))
+        .groupBy("__dc43_fp")
         .agg(F.min(id_col).alias(id_col))
     )
-    return keyed.join(canon, ["_fp", id_col], "left_semi").drop("_fp")
+    return keyed.join(canon, ["__dc43_fp", id_col], "left_semi").drop("__dc43_fp")
 
 
 # ------------------------------------------------------------- shingling

@@ -38,8 +38,6 @@ Beyond the reference engine (no dedup exists there); composes with
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -161,7 +159,11 @@ def minhash_index_probe(
             F.round(F.col("_inter") / (F.size("_sa") + F.col("n_sh") - F.col("_inter")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
+        # distinct: a replayed append (at-least-once foreachBatch) can
+        # leave duplicate shingle rows for a doc, which would duplicate
+        # its hits — values are identical, so this collapses them
         .select("doc_id", "dup_of", "jaccard")
+        .distinct()
     )
 
 

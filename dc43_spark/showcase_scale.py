@@ -393,8 +393,11 @@ def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 vectors vs the corpus,
     via the Arrow/BLAS matmul kernel (exact — every pair is scored; only
     the summation order differs from the sequential expression tree, which
-    the 6-dp rounding absorbs). The expression-tree twin `cosine_topk`
-    stays oracle-pinned in tests/test_similarity.py. r4->r5: the
+    the 6-dp rounding absorbs: a flip needs a true cosine within ~1e-13 of
+    a 0.5e-6 rounding boundary, ~1e-7 odds per emitted value; identical
+    duplicate vectors produce bit-equal scores on both engines and fall to
+    the deterministic id tie-break, so ties are safe). The expression-tree
+    twin `cosine_topk` stays oracle-pinned in tests/test_similarity.py. r4->r5: the
     expression path's bench drift (1.02->2.35s) was JIT noise — microbench
     steady state 0.74s — but the matmul kernel also skips the big codegen
     plan entirely, so rep0 is fast too."""

@@ -69,9 +69,19 @@ def dedup_stream_against_index(
     Each micro-batch costs two broadcast probes of the batch against the
     index relations (zero index-side shuffle).
 
+    Failure ordering (foreachBatch replays at-least-once): survivors are
+    written to ``output_path`` BEFORE the index append. A crash between
+    the two replays the batch with the index unchanged, so the docs are
+    accepted again — duplicate output rows, never lost documents (the
+    reverse order would re-probe against the batch's own appended copies
+    and silently drop it from the output forever). Duplicate index rows
+    from an append-side replay only cost probe work: candidates are
+    DISTINCT'd. Exactly-once output needs a transactional sink (Delta
+    MERGE via io/merge.py) in place of the parquet append.
+
     Returns the started StreamingQuery.
     """
-    from dc43_spark.functions.dedup_index import dedup_batch_against_index
+    from dc43_spark.functions.dedup_index import dedup_batch_against_index, minhash_index_append
 
     def _probe_batch(batch_df: DataFrame, batch_id: int) -> None:
         kept = dedup_batch_against_index(
@@ -81,9 +91,14 @@ def dedup_stream_against_index(
             text_col=text_col,
             id_col=id_col,
             threshold=threshold,
-            append_survivors=append_survivors,
-        )
+            append_survivors=False,
+        ).localCheckpoint(eager=True)
         kept.write.mode("append").parquet(output_path)
+        if append_survivors:
+            minhash_index_append(
+                batch_df.sparkSession, index_path, kept,
+                text_col=text_col, id_col=id_col,
+            )
 
     writer = (
         df.writeStream.foreachBatch(_probe_batch)

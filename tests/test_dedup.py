@@ -112,3 +112,25 @@ def test_all_ops_stay_jvm_side(docs):
     ]:
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+def test_keep_canonical_null_text_keeps_min_id(spark):
+    """NULL-text rows form one group and keep their min-id row (r5
+    review: md5(NULL) = NULL never joins to itself, which silently
+    dropped EVERY null-text row)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "x")], "doc_id long, text string"
+    )
+    kept = sorted((r.doc_id, r.text) for r in dd.keep_canonical(df).collect())
+    assert kept == [(1, None), (3, "x")]
+
+
+def test_keep_canonical_preserves_caller_fp_column(spark):
+    """The internal join key must not clobber a caller column (the old
+    '_fp' name vanished from the output)."""
+    df = spark.createDataFrame(
+        [(1, "a", "keepme"), (2, "a", "keepme2")], "doc_id long, text string, _fp string"
+    )
+    out = dd.keep_canonical(df)
+    assert out.columns == ["doc_id", "text", "_fp"]
+    assert out.collect()[0]._fp == "keepme"

@@ -42,7 +42,14 @@ def _latest_correctness_keys() -> set:
 
 def _ungated_queries() -> list:
     gated = _latest_correctness_keys()
-    return [name for name in entry.queries() if name not in gated]
+    ungated = [name for name in entry.queries() if name not in gated]
+    # extras were consolidated OUT of the driver's 50-slot registry, so
+    # the driver never hash-checks them AGAIN — a stale row in an older
+    # CORRECTNESS file doesn't cover today's code, so they are checked
+    # unconditionally (r5 review: the consolidation silently removed all
+    # verification for nine formerly-gated queries)
+    ungated += list(entry.extra_queries())
+    return ungated
 
 
 UNGATED = _ungated_queries()
@@ -60,7 +67,7 @@ def duck_con(sf_dir):
 def test_driver_ungated_query_matches_oracle(spark, duck_con, sf_dir, name):
     if name == "__all_gated__":
         pytest.skip("every registered query has a row in the latest CORRECTNESS file")
-    fn = entry.queries()[name]
-    sql = entry.oracle_sql().get(name)
+    fn = entry.queries().get(name) or entry.extra_queries()[name]
+    sql = entry.oracle_sql().get(name) or entry.extra_oracle_sql().get(name)
     problems = check_parity.check_query(spark, duck_con, fn, sql, sf_dir)
     assert not problems, f"{name}: " + "; ".join(problems)
