@@ -1,0 +1,191 @@
+"""Persisted EMBEDDING near-dup index: incremental SemDeDup for a growing
+corpus — the semantic twin of ``functions/dedup_index.py``.
+
+Where the text index buckets MinHash bands, this one buckets seeded
+random-hyperplane signs (``similarity.hyperplanes``/``bucket_id``): the
+accepted corpus's vectors are written ONCE, partitioned by their LSH
+bucket; each new batch probes only the partitions its own (plus
+Hamming-1) buckets name, verifies with exact cosine inside the bucket,
+and appends its survivors.
+
+Scale shape: the probe collects the batch's distinct bucket ids (at most
+|batch| x (n_planes + 1) longs) and filters the index scan with them —
+an `IN` over the PARTITION column, so the scan prunes to the probed
+buckets at the file level and never touches the rest of the corpus. The
+in-bucket join broadcasts the batch side. Nothing about the index ever
+shuffles.
+
+Determinism: hyperplanes regenerate exactly from (seed, dim, n_planes)
+pinned in the manifest, so probe-side buckets always agree with the
+buckets the index was written under; a dim/seed mismatch is detected,
+not silently mis-bucketed.
+
+Beyond the reference engine; batch-mode agreement with
+``curation.embedding_near_dups`` is pinned in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dc43_spark.functions.similarity import (
+    _as_double,
+    bucket_id,
+    cosine,
+    hyperplanes,
+)
+
+_META_COLS = ("n_planes", "seed", "dim")
+
+
+def _relations(path: str) -> tuple:
+    base = path.rstrip("/")
+    return f"{base}/vectors", f"{base}/meta"
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    probe = df.select(F.size(vec_col)).first()
+    if probe is None or probe[0] is None:
+        raise ValueError("cannot infer embedding dim from an empty input")
+    return int(probe[0])
+
+
+def embedding_index_write(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> None:
+    """Persist the accepted corpus partitioned by LSH bucket."""
+    vectors_path, meta_path = _relations(path)
+    dim = _infer_dim(df, vec_col)
+    planes = hyperplanes(dim, n_planes, seed=seed)
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    ).withColumn("bucket", bucket_id(F.col("vec"), planes))
+    vecs.write.mode("errorifexists").partitionBy("bucket").parquet(vectors_path)
+    df.sparkSession.createDataFrame(
+        [(n_planes, seed, dim)], "n_planes int, seed int, dim int"
+    ).coalesce(1).write.mode("errorifexists").json(meta_path)
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    _, meta_path = _relations(path)
+    row = spark.read.json(meta_path).collect()[0]
+    return {k: int(row[k]) for k in _META_COLS}
+
+
+def embedding_index_probe(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    multi_probe: int = 1,
+    scale: int = 6,
+) -> DataFrame:
+    """(vec_id, dup_of, cosine) for every new vector whose exact cosine
+    against an indexed vector in a probed bucket reaches ``threshold``.
+    ``multi_probe=1`` also probes every bucket at Hamming distance 1,
+    recovering neighbours that straddle one hyperplane."""
+    meta = _read_meta(spark, path)
+    vectors_path, _ = _relations(path)
+    dim = meta["dim"]
+    planes = hyperplanes(dim, meta["n_planes"], seed=meta["seed"])
+
+    probe = new_df.select(
+        F.col(id_col).alias("q_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+    ).withColumn("bucket", bucket_id(F.col("q_vec"), planes))
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(meta["n_planes"])
+            ],
+        )
+        probe = probe.withColumn("bucket", F.explode(probes))
+
+    # the batch's bucket list is small by construction; materialising it
+    # as literals turns the index read into a partition-pruned scan of
+    # ONLY the probed buckets
+    buckets = [r.bucket for r in probe.select("bucket").distinct().collect()]
+    idx = spark.read.parquet(vectors_path).filter(F.col("bucket").isin(buckets))
+
+    return (
+        idx.join(F.broadcast(probe), "bucket")
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("vec_id").alias("dup_of"),
+            F.round(cosine(F.col("q_vec"), F.col("vec")), scale).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()  # multi-probe surfaces the same pair via several buckets
+    )
+
+
+def embedding_index_append(
+    spark: SparkSession,
+    path: str,
+    accepted_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add accepted vectors so later batches dedup against them too."""
+    meta = _read_meta(spark, path)
+    vectors_path, _ = _relations(path)
+    dim = _infer_dim(accepted_df, vec_col)
+    if dim != meta["dim"]:
+        raise ValueError(
+            f"embedding dim {dim} does not match the index's {meta['dim']}"
+        )
+    planes = hyperplanes(dim, meta["n_planes"], seed=meta["seed"])
+    accepted_df.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    ).withColumn("bucket", bucket_id(F.col("vec"), planes)).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(vectors_path)
+
+
+def dedup_batch_against_embedding_index(
+    spark: SparkSession,
+    path: str,
+    batch_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    multi_probe: int = 1,
+    append_survivors: bool = False,
+) -> DataFrame:
+    """One ingest step: drop batch vectors that semantically duplicate
+    the indexed corpus; optionally append the survivors. Survivors are
+    eagerly checkpointed before the append — their lineage contains the
+    probe, and a lazy re-evaluation after the index mutation would
+    anti-join them against their own appended copies."""
+    dups = embedding_index_probe(
+        spark,
+        path,
+        batch_df,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        multi_probe=multi_probe,
+    )
+    kept = batch_df.join(
+        dups.select(F.col("vec_id").alias(id_col)).distinct(), id_col, "left_anti"
+    )
+    if append_survivors:
+        kept = kept.localCheckpoint(eager=True)
+        embedding_index_append(spark, path, kept, id_col=id_col, vec_col=vec_col)
+    return kept
