@@ -87,7 +87,12 @@ def keep_canonical(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     coalesces the hash to a sentinel, because md5(NULL) = NULL never
     equals itself under plain join equality (r5 review: the raw hash key
     silently dropped every NULL-text row). The internal key column uses a
-    collision-avoiding name and is dropped before returning."""
+    collision-avoiding name and is dropped before returning.
+
+    Precondition: ``id_col`` must be non-null — the id half of the
+    composite join key has the same null-equality trap (min() skips
+    NULLs, and a NULL id never matches the semi-join), so NULL-id rows
+    are dropped. Assign ids before deduplicating."""
     fp = F.coalesce(content_hash(text_col), F.lit("\x00null"))
     keyed = df.withColumn("__dc43_fp", fp)
     canon = (

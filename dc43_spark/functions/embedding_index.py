@@ -33,6 +33,7 @@ from dc43_spark.functions.similarity import (
     _as_double,
     bucket_id,
     cosine,
+    expand_multi_probe,
     hyperplanes,
 )
 
@@ -94,25 +95,42 @@ def embedding_index_probe(
     """(vec_id, dup_of, cosine) for every new vector whose exact cosine
     against an indexed vector in a probed bucket reaches ``threshold``.
     ``multi_probe=1`` also probes every bucket at Hamming distance 1,
-    recovering neighbours that straddle one hyperplane."""
+    recovering neighbours that straddle one hyperplane.
+
+    An empty batch probes to an empty result; a batch whose embedding dim
+    differs from the manifest raises (a wrong-dim vector zips to a NULL
+    bucket, which would otherwise silently match nothing and report the
+    whole batch as unique — total recall loss, not an error)."""
     meta = _read_meta(spark, path)
     vectors_path, _ = _relations(path)
     dim = meta["dim"]
     planes = hyperplanes(dim, meta["n_planes"], seed=meta["seed"])
+
+    first = new_df.select(F.size(vec_col)).first()
+    if first is None:
+        batch_id_t = new_df.schema[id_col].dataType.simpleString()
+        idx_id_t = (
+            spark.read.parquet(vectors_path).schema["vec_id"].dataType.simpleString()
+        )
+        return spark.createDataFrame(
+            [], f"vec_id {batch_id_t}, dup_of {idx_id_t}, cosine double"
+        )
+    if int(first[0]) != dim:
+        raise ValueError(
+            f"batch embedding dim {int(first[0])} does not match the index's {dim}"
+        )
 
     probe = new_df.select(
         F.col(id_col).alias("q_id"),
         _as_double(F.col(vec_col)).alias("q_vec"),
     ).withColumn("bucket", bucket_id(F.col("q_vec"), planes))
     if multi_probe:
-        probes = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                for i in range(meta["n_planes"])
-            ],
-        )
-        probe = probe.withColumn("bucket", F.explode(probes))
+        probe = expand_multi_probe(probe, meta["n_planes"])
+    # the probe frame is small by construction and is consumed twice
+    # (bucket collect + broadcast join); the eager checkpoint computes the
+    # n_planes dot products per row once instead of replaying the batch's
+    # whole upstream lineage per consumer
+    probe = probe.localCheckpoint(eager=True)
 
     # the batch's bucket list is small by construction; materialising it
     # as literals turns the index read into a partition-pruned scan of
@@ -140,10 +158,16 @@ def embedding_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """Add accepted vectors so later batches dedup against them too."""
+    """Add accepted vectors so later batches dedup against them too.
+    An empty frame is a no-op (an all-duplicates batch has nothing to
+    append — r5 review: inferring dim from the empty frame crashed the
+    normal ingest path); a wrong-dim frame raises."""
     meta = _read_meta(spark, path)
     vectors_path, _ = _relations(path)
-    dim = _infer_dim(accepted_df, vec_col)
+    first = accepted_df.select(F.size(vec_col)).first()
+    if first is None:
+        return
+    dim = int(first[0])
     if dim != meta["dim"]:
         raise ValueError(
             f"embedding dim {dim} does not match the index's {meta['dim']}"
@@ -172,7 +196,14 @@ def dedup_batch_against_embedding_index(
     the indexed corpus; optionally append the survivors. Survivors are
     eagerly checkpointed before the append — their lineage contains the
     probe, and a lazy re-evaluation after the index mutation would
-    anti-join them against their own appended copies."""
+    anti-join them against their own appended copies.
+
+    Replay warning: with ``append_survivors=True`` the index mutates
+    BEFORE the caller can write the returned frame anywhere — under an
+    at-least-once retry (foreachBatch), a replayed batch re-probes
+    against its own appended copies and loses every survivor. Streaming
+    callers must use ``streaming.dedup.dedup_stream_against_embedding_index``,
+    which writes output first and appends after."""
     dups = embedding_index_probe(
         spark,
         path,

@@ -199,6 +199,19 @@ def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def expand_multi_probe(df: DataFrame, n_planes: int) -> DataFrame:
+    """Explode each row's ``bucket`` into itself plus every bucket at
+    Hamming distance 1 — the shared multi-probe expansion for ALL
+    LSH-bucket consumers (in-session join and persisted index alike), so
+    probing changes land in one place. Any truthy ``multi_probe`` option
+    upstream means radius 1."""
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+    )
+    return df.withColumn("bucket", F.explode(probes))
+
+
 def lsh_bucket_join(
     probe: DataFrame,
     corpus: DataFrame,
@@ -214,11 +227,7 @@ def lsh_bucket_join(
     build on this, so probing/bucketing changes land in one place."""
     p = probe.withColumn("bucket", bucket_id(F.col("q_vec"), planes))
     if multi_probe:
-        probes = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(len(planes))],
-        )
-        p = p.withColumn("bucket", F.explode(probes))
+        p = expand_multi_probe(p, len(planes))
     c = corpus.withColumn("bucket", bucket_id(F.col("n_vec"), planes))
     return p.join(c, on="bucket")
 

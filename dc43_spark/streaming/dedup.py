@@ -108,3 +108,59 @@ def dedup_stream_against_index(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream_against_embedding_index(
+    df: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    multi_probe: int = 1,
+    append_survivors: bool = True,
+    trigger_once: bool = False,
+):
+    """Semantic twin of ``dedup_stream_against_index`` over the persisted
+    EMBEDDING index (``functions/embedding_index.py``): each micro-batch
+    keeps only vectors that do not near-duplicate the indexed corpus.
+
+    Same failure ordering as the text side: output parquet append FIRST,
+    index append after — an at-least-once replay between the two accepts
+    the batch again (duplicate output rows, never lost vectors), while
+    the reverse order would re-probe a replayed batch against its own
+    appended copies and silently drop it forever.
+    """
+    from dc43_spark.functions.embedding_index import (
+        dedup_batch_against_embedding_index,
+        embedding_index_append,
+    )
+
+    def _probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kept = dedup_batch_against_embedding_index(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            multi_probe=multi_probe,
+            append_survivors=False,
+        ).localCheckpoint(eager=True)
+        kept.write.mode("append").parquet(output_path)
+        if append_survivors:
+            embedding_index_append(
+                batch_df.sparkSession, index_path, kept,
+                id_col=id_col, vec_col=vec_col,
+            )
+
+    writer = (
+        df.writeStream.foreachBatch(_probe_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

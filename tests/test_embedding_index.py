@@ -133,3 +133,75 @@ def test_probe_plan_prunes_partitions_and_broadcasts(spark, corpus, tmp_path):
     assert "PartitionFilters: [bucket" in plan.replace("\n", " ")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_all_duplicate_batch_appends_nothing_and_survives(spark, corpus, tmp_path):
+    """An all-duplicates batch has an EMPTY survivor set — the append must
+    no-op, not crash on dim inference (r5 review)."""
+    idx = str(tmp_path / "ei")
+    ei.embedding_index_write(corpus, idx)
+    some = corpus.orderBy("vec_id").limit(1).collect()[0]
+    batch = spark.createDataFrame(
+        [(91_001, [float(x) for x in some.embedding])],
+        "vec_id long, embedding array<double>",
+    )
+    kept = ei.dedup_batch_against_embedding_index(
+        spark, idx, batch, threshold=0.99, append_survivors=True
+    )
+    assert kept.count() == 0
+
+
+def test_wrong_dim_probe_raises_and_empty_probe_is_empty(spark, corpus, tmp_path):
+    idx = str(tmp_path / "ei")
+    ei.embedding_index_write(corpus, idx)
+    dim = len(corpus.first().embedding)
+    bad = spark.createDataFrame(
+        [(1, [0.5] * (dim + 3))], "vec_id long, embedding array<double>"
+    )
+    # a wrong-dim batch must raise, not silently report zero duplicates
+    with pytest.raises(ValueError, match="dim"):
+        ei.embedding_index_probe(spark, idx, bad)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    hits = ei.embedding_index_probe(spark, idx, empty)
+    assert hits.columns == ["vec_id", "dup_of", "cosine"] and hits.count() == 0
+
+
+def test_streaming_embedding_crawl_dedup(spark, corpus, tmp_path):
+    """foreachBatch loop over the embedding index: batch 2's replay of a
+    batch-1 survivor is dropped (output-first, append-after ordering)."""
+    from dc43_spark.streaming.dedup import dedup_stream_against_embedding_index
+
+    idx = str(tmp_path / "ei")
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    ei.embedding_index_write(corpus, idx)
+
+    dim = len(corpus.first().embedding)
+    rng = np.random.default_rng(23)
+    indexed_vec = [float(x) for x in corpus.orderBy("vec_id").first().embedding]
+    fresh = [float(x) for x in rng.standard_normal(dim)]
+    spark.createDataFrame(
+        [(40_001, indexed_vec), (40_002, fresh)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema("vec_id long, embedding array<double>").parquet(
+        str(src / "*")
+    )
+    q = dedup_stream_against_embedding_index(
+        stream, idx, out, ckpt, threshold=0.95, trigger_once=True
+    )
+    q.awaitTermination(120)
+    assert {r.vec_id for r in spark.read.parquet(out).collect()} == {40_002}
+
+    fresh2 = [float(x) for x in rng.standard_normal(dim)]
+    spark.createDataFrame(
+        [(41_001, fresh), (41_002, fresh2)], "vec_id long, embedding array<double>"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    q2 = dedup_stream_against_embedding_index(
+        stream, idx, out, ckpt, threshold=0.95, trigger_once=True
+    )
+    q2.awaitTermination(120)
+    assert {r.vec_id for r in spark.read.parquet(out).collect()} == {40_002, 41_002}
