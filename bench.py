@@ -216,18 +216,23 @@ def main() -> int:
     # are listed in the JSON so the method is visible per run.
     RETRY_SEC = 5.0
     timings: dict[str, float] = {}
-    retried: list[str] = []
+    # retried: name -> [first_run_sec, second_run_sec]; both raw timings are
+    # kept so a reviewer can tell a host stall (t0 >> t1) from a genuinely
+    # slow query (t0 ~= t1) without re-running anything
+    retried: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
         dt = run_once(name, fn)
         if dt > RETRY_SEC:
-            retried.append(name)
-            dt = min(dt, run_once(name, fn))
+            dt2 = run_once(name, fn)
+            retried[name] = [round(dt, 3), round(dt2, 3)]
+            dt = min(dt, dt2)
         timings[name] = round(dt, 3)
 
     total = round(sum(timings.values()), 3)
+    sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -236,7 +241,24 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "retried": retried,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_num,
+            }
+        )
+    )
+    # The driver captures only the last ~2000 chars of output; the full line
+    # above exceeds that with ~56 per-query timings, so the totals were cut
+    # off in BENCH_r05 (parsed: null). Repeat a short summary line LAST so
+    # the tail always contains a complete, parseable JSON object.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": {"total": total},
+                "n_queries": len(timings),
+                "retried": sorted(retried),
+                "sf": sf_num,
             }
         )
     )

@@ -52,6 +52,34 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
     return int(probe[0])
 
 
+def _check_batch_dim(df: DataFrame, vec_col: str, expected_dim: int) -> bool:
+    """Validate EVERY row's vector against the manifest dim in one cheap agg.
+
+    Returns False for an empty batch (callers short-circuit), raises
+    ``ValueError`` naming the offending dims if any row is NULL or a
+    different length. Checking only the first row (the r5 shape) let a
+    mixed-dim batch slip through: its wrong-dim rows bucketed to NULL,
+    matched nothing, and were silently reported unique — the exact
+    recall-loss failure this guard exists to catch (r5 advice)."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col(vec_col).isNull(), 1)).alias("n_null"),
+        F.collect_set(F.size(vec_col)).alias("dims"),
+    ).first()
+    if int(row["n"]) == 0:
+        return False
+    if int(row["n_null"]) > 0:
+        raise ValueError(
+            f"{row['n_null']} of {row['n']} rows have NULL {vec_col!r} vectors"
+        )
+    dims = sorted(int(d) for d in row["dims"])
+    if dims != [expected_dim]:
+        raise ValueError(
+            f"batch embedding dims {dims} do not match the index's {expected_dim}"
+        )
+    return True
+
+
 def embedding_index_write(
     df: DataFrame,
     path: str,
@@ -106,18 +134,13 @@ def embedding_index_probe(
     dim = meta["dim"]
     planes = hyperplanes(dim, meta["n_planes"], seed=meta["seed"])
 
-    first = new_df.select(F.size(vec_col)).first()
-    if first is None:
+    if not _check_batch_dim(new_df, vec_col, dim):
         batch_id_t = new_df.schema[id_col].dataType.simpleString()
         idx_id_t = (
             spark.read.parquet(vectors_path).schema["vec_id"].dataType.simpleString()
         )
         return spark.createDataFrame(
             [], f"vec_id {batch_id_t}, dup_of {idx_id_t}, cosine double"
-        )
-    if int(first[0]) != dim:
-        raise ValueError(
-            f"batch embedding dim {int(first[0])} does not match the index's {dim}"
         )
 
     probe = new_df.select(
@@ -164,14 +187,9 @@ def embedding_index_append(
     normal ingest path); a wrong-dim frame raises."""
     meta = _read_meta(spark, path)
     vectors_path, _ = _relations(path)
-    first = accepted_df.select(F.size(vec_col)).first()
-    if first is None:
+    dim = meta["dim"]
+    if not _check_batch_dim(accepted_df, vec_col, dim):
         return
-    dim = int(first[0])
-    if dim != meta["dim"]:
-        raise ValueError(
-            f"embedding dim {dim} does not match the index's {meta['dim']}"
-        )
     planes = hyperplanes(dim, meta["n_planes"], seed=meta["seed"])
     accepted_df.select(
         F.col(id_col).alias("vec_id"),

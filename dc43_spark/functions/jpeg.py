@@ -415,6 +415,9 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
                 if nxt == 0x00:  # stuffed literal 0xFF
                     self.pos += 2
+                elif nxt == 0xFF:  # spec-legal fill byte before a marker
+                    self.pos += 1
+                    continue
                 elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
                     # restart/EOI: stop filling; caller handles the marker
                     byte = None
@@ -441,19 +444,24 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def _skip_fill(self) -> int:
+        """Position of the 0xFF that starts the next marker, skipping any
+        spec-legal 0xFF fill bytes (a run of 0xFF collapses to the last)."""
+        d, p = self.data, self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1
+        return p
+
     def at_restart(self) -> bool:
         d = self.data
-        return (
-            self.pos + 1 < len(d)
-            and d[self.pos] == 0xFF
-            and 0xD0 <= d[self.pos + 1] <= 0xD7
-        )
+        p = self._skip_fill()
+        return p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7
 
     def sync_restart(self) -> None:
-        """Discard pad bits, step over the RSTn marker."""
+        """Discard pad bits, step over the RSTn marker (and any fill)."""
         self.acc = 0
         self.nbits = 0
-        self.pos += 2
+        self.pos = self._skip_fill() + 2
 
 
 def _huff_decode(br: _BitReader, table: dict) -> int:
@@ -474,7 +482,23 @@ def _extend(bits: int, cat: int) -> int:
 
 
 def jpeg_decode(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to (H, W, C) uint8 pixels."""
+    """Decode a baseline sequential JPEG to (H, W, C) uint8 pixels.
+
+    Any malformed stream raises ``ValueError`` — truncated scans, bad
+    Huffman tables, missing segments, short headers — never a stray
+    ``KeyError``/``struct.error`` and never garbage pixels: callers
+    (multimodal's decode dispatch) gate their fallback on ValueError."""
+    try:
+        return _jpeg_decode_impl(payload)
+    except ValueError:
+        raise
+    except (struct.error, KeyError, IndexError, StopIteration) as exc:
+        raise ValueError(
+            f"corrupt JPEG stream: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _jpeg_decode_impl(payload: bytes) -> np.ndarray:
     if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     quant: dict = {}
@@ -489,6 +513,13 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        # code; treating the second 0xFF as the code read a bogus length
+        # from garbage (r5 advice)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            break
         marker = data[pos + 1]
         if marker == 0xD9:
             break
@@ -545,6 +576,13 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    for c in comps:
+        # exotic non-divisible ratios (e.g. 3:2) would silently truncate
+        # the upsample repeat factor and mis-shape the plane (r5 advice)
+        if c["h"] < 1 or c["v"] < 1 or vmax % c["v"] or hmax % c["h"]:
+            raise ValueError(
+                f"non-integer sampling ratio h={c['h']}/{hmax} v={c['v']}/{vmax}"
+            )
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (w + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h
@@ -607,6 +645,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             .reshape(c["bh"] * 8, c["bw"] * 8)
         )
         # upsample to full MCU-grid resolution by sampling-factor repeat
+        # (ratios validated divisible at SOF parse)
         plane = np.repeat(plane, vmax // c["v"], axis=0)
         plane = np.repeat(plane, hmax // c["h"], axis=1)
         planes.append(plane[:h, :w])

@@ -157,7 +157,12 @@ def cosine_topk_matmul(
             cos = (c_mat @ mat.T) / np.outer(c_norms, norms)  # |batch| x |Q|
             # local top-k per query within this batch bounds shuffle volume
             top = min(k + 1, cos.shape[0])  # +1 in case self-match is in-batch
-            idx = np.argpartition(-cos, top - 1, axis=0)[:top]
+            # lexsort, not argpartition: ties at the k-th score must resolve
+            # by ascending n_id (the global window's order), else local
+            # pruning can drop the tie the final window would have kept
+            # (r5 advice — duplicate corpus vectors in one Arrow batch)
+            key_ids = np.broadcast_to(c_ids[:, None], cos.shape)
+            idx = np.lexsort((key_ids, -cos), axis=0)[:top]
             rows = {
                 "q_id": np.repeat(ids, top),
                 "n_id": c_ids[idx].T.ravel(),

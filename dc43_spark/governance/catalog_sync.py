@@ -150,8 +150,12 @@ class UnityCatalogLinkHook:
         if dataset_version:
             metadata["dc43.dataset_version"] = dataset_version
         properties = _clean_properties({**self.static_properties, **metadata})
+        # default keys are dotted for the *property* namespace; tags get the
+        # pre-sanitized form directly so the normalizer only warns on
+        # user-supplied static_tags that genuinely need rewriting
+        tag_metadata = {k.replace(".", "_"): v for k, v in metadata.items()}
         tags: dict[str, str] = {}
-        for key, value in {**self.static_tags, **metadata}.items():
+        for key, value in {**self.static_tags, **tag_metadata}.items():
             safe = normalize_tag_key(key)
             if safe is not None and value is not None:
                 tags[safe] = str(value)

@@ -288,6 +288,136 @@ def test_jpeg_restart_markers_round_trip(shape, interval):
     np.testing.assert_array_equal(dec, plain)
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker
+    code; the walk must skip them (r5 advice: the second 0xFF was read as
+    a marker whose 'length' came from garbage). Covers header markers,
+    in-scan RSTn, and EOI."""
+    from dc43_spark.functions import jpeg
+
+    rng = np.random.default_rng(3)
+    px = np.clip(
+        (40 + np.mgrid[0:24, 0:40][1] * 3)[:, :, None]
+        + rng.integers(-8, 9, (24, 40, 1)),
+        0, 255,
+    ).astype(np.uint8)
+    import struct as _struct
+
+    for interval in (0, 2):
+        enc = jpeg.jpeg_encode(px, quality=90, restart_interval=interval)
+        ref = jpeg.jpeg_decode(enc)
+        # structural walk: insert fill only at true marker positions (a
+        # blind insert before every 0xFF would corrupt segment payloads)
+        padded = bytearray(enc[:2])  # SOI stays first (decoder checks SOI)
+        pos = 2
+        while pos < len(enc):
+            marker = enc[pos + 1]
+            padded += b"\xff\xff" + enc[pos : pos + 2]
+            pos += 2
+            if marker == 0xDA:
+                break
+            (seg_len,) = _struct.unpack(">H", enc[pos : pos + 2])
+            padded += enc[pos : pos + seg_len]
+            pos += seg_len
+        # SOS header then entropy bytes: pad before RSTn and EOI only
+        (sos_len,) = _struct.unpack(">H", enc[pos : pos + 2])
+        padded += enc[pos : pos + sos_len]
+        pos += sos_len
+        while pos < len(enc):
+            b = enc[pos]
+            if b == 0xFF and pos + 1 < len(enc) and enc[pos + 1] != 0x00:
+                padded += b"\xff\xff"  # fill before RSTn / EOI
+                padded += enc[pos : pos + 2]
+                pos += 2
+            else:
+                padded.append(b)
+                pos += 1
+        out = jpeg.jpeg_decode(bytes(padded))
+        np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("family", ["gradient", "noise", "chroma"])
+def test_jpeg_fuzz_families_bounded_error(family):
+    """Beyond the lossless block-constant fixture family (r5 verdict):
+    gradients, dense noise, and chroma-heavy content must round-trip
+    within quantization-noise bounds at several qualities."""
+    from dc43_spark.functions import jpeg
+
+    for seed, (h, w) in enumerate([(16, 16), (25, 33), (40, 56)]):
+        rng = np.random.default_rng(seed * 7 + hash(family) % 1000)
+        yy, xx = np.mgrid[0:h, 0:w]
+        if family == "gradient":
+            px = np.stack(
+                [(xx * 255 / max(w - 1, 1)), (yy * 255 / max(h - 1, 1)),
+                 ((xx + yy) * 255 / max(h + w - 2, 1))], axis=2
+            ).astype(np.uint8)
+            bounds = {95: (4.0, 48), 85: (8.0, 80)}
+        elif family == "noise":
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            # noise is JPEG's worst case (4:2:0 chroma subsampling alone
+            # costs ~mean 44 here); bounds are loose but still rule out a
+            # broken IDCT/predictor (random output gives mean ~85)
+            bounds = {95: (58.0, 255), 85: (62.0, 255)}
+        else:  # chroma-heavy: saturated color blocks, near-flat luma
+            px = np.zeros((h, w, 3), dtype=np.uint8)
+            px[..., 0] = 255 * ((xx // 8 + yy // 8) % 2)
+            px[..., 2] = 255 - px[..., 0]
+            px[..., 1] = 128
+            bounds = {95: (8.0, 96), 85: (14.0, 128)}
+        for quality, (mean_b, max_b) in bounds.items():
+            dec = jpeg.jpeg_decode(jpeg.jpeg_encode(px, quality=quality))
+            assert dec.shape == px.shape
+            err = np.abs(dec.astype(int) - px.astype(int))
+            assert err.mean() < mean_b, (family, quality, err.mean())
+            assert err.max() <= max_b, (family, quality, err.max())
+
+
+def test_jpeg_corrupted_streams_raise_value_error():
+    """Malformed inputs must raise a clean ValueError — never a stray
+    KeyError/struct.error and never garbage pixels (r5 verdict item)."""
+    from dc43_spark.functions import jpeg
+
+    px = np.clip(
+        60 + np.mgrid[0:16, 0:24][0] * 5, 0, 255
+    ).astype(np.uint8)[:, :, None]
+    enc = jpeg.jpeg_encode(px, quality=90)
+    scan_start = enc.find(b"\xff\xda")
+    dht_at = enc.find(b"\xff\xc4")
+    dqt_at = enc.find(b"\xff\xdb")
+    bad_dht = bytearray(enc)
+    bad_dht[dht_at + 5] = 255  # claim 255 codes of length 1
+    cases = {
+        # scan cut right after the SOS header: zero entropy bytes, no EOI
+        "truncated_scan": enc[: scan_start + 10],
+        "bad_dht": bytes(bad_dht),
+        # drop the DQT segment (69 bytes): SOF references an undefined table
+        "missing_dqt": enc[:dqt_at] + enc[dqt_at + 69 :],
+        # header chopped before any SOF/SOS
+        "short_header": enc[:6],
+        "garbage": b"\xff\xd8" + bytes(range(200)),
+    }
+    for name, payload in cases.items():
+        with pytest.raises(ValueError):
+            jpeg.jpeg_decode(bytes(payload))
+
+
+def test_jpeg_non_integer_sampling_ratio_rejected():
+    """A 3-component SOF with factors 3 and 2 (hmax=3, h=2 -> 3/2) must be
+    refused at parse time, not silently truncated in the upsample."""
+    from dc43_spark.functions import jpeg
+
+    px = np.full((8, 8, 3), 100, dtype=np.uint8)
+    enc = jpeg.jpeg_encode(px, quality=90)
+    sof_at = enc.find(b"\xff\xc0")
+    assert sof_at > 0
+    comp0 = sof_at + 2 + 2 + 6  # marker + len + (prec,h,w,nc)
+    patched = bytearray(enc)
+    patched[comp0 + 1] = 0x33  # comp 0 (Y): h=3,v=3
+    patched[comp0 + 4] = 0x21  # comp 1 (Cb): h=2 -> 3 % 2 != 0
+    with pytest.raises(ValueError, match="sampling"):
+        jpeg.jpeg_decode(bytes(patched))
+
+
 def test_extract_features_real_jpeg_decoder(spark):
     """image features for a JPEG payload come from REAL decoded pixels:
     feature = [w, h, c, mean...] — not the sha256 fake."""

@@ -166,6 +166,31 @@ def test_wrong_dim_probe_raises_and_empty_probe_is_empty(spark, corpus, tmp_path
     assert hits.columns == ["vec_id", "dup_of", "cosine"] and hits.count() == 0
 
 
+def test_mixed_dim_and_null_batches_raise(spark, corpus, tmp_path):
+    """The dim guard must validate EVERY row, not just the first (r5
+    advice): a batch whose FIRST row is well-formed but whose later rows
+    are wrong-dim or NULL must raise — those rows would bucket to NULL and
+    silently pass as unique otherwise."""
+    idx = str(tmp_path / "ei")
+    ei.embedding_index_write(corpus, idx)
+    dim = len(corpus.first().embedding)
+    good = [0.5] * dim
+    mixed = spark.createDataFrame(
+        [(1, good), (2, [0.5] * (dim + 2))], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        ei.embedding_index_probe(spark, idx, mixed)
+    with pytest.raises(ValueError, match="dim"):
+        ei.embedding_index_append(spark, idx, mixed)
+    nulled = spark.createDataFrame(
+        [(1, good), (2, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        ei.embedding_index_probe(spark, idx, nulled)
+    with pytest.raises(ValueError, match="NULL"):
+        ei.embedding_index_append(spark, idx, nulled)
+
+
 def test_streaming_embedding_crawl_dedup(spark, corpus, tmp_path):
     """foreachBatch loop over the embedding index: batch 2's replay of a
     batch-1 survivor is dropped (output-first, append-after ordering)."""

@@ -87,3 +87,20 @@ def test_cosine_topk_matmul_matches_exact(spark, sf_dir):
     for key, (nid, cos) in e.items():
         assert f[key][0] == nid
         assert abs(f[key][1] - cos) < 1e-9
+
+
+def test_cosine_topk_matmul_tie_safe_local_pruning(spark):
+    """Many identical corpus vectors tie at cosine 1.0 inside ONE Arrow
+    batch; local pruning must keep the smallest n_ids — the set the global
+    (cosine desc, n_id asc) window selects — not an argpartition-arbitrary
+    subset (r5 advice)."""
+    n = 40  # single partition -> single Arrow batch holds every tie
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(n)], "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = sim.cosine_topk_matmul(queries, corpus, k=3, scale=None).collect()
+    got = {(r.rank): r.n_id for r in out}
+    assert got == {1: 1, 2: 2, 3: 3}  # q_id 0 excluded, then smallest ids win
