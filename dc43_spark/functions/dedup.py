@@ -119,7 +119,13 @@ def token_shingles(col: Column | str, n: int = 3, *, distinct: bool = True) -> C
     referencing ``tokens(col)`` directly inside the shingle lambda would
     re-split the text for every ``element_at`` call whenever the expression
     falls back to interpreted evaluation."""
-    toks = tokens(col)
+    return shingles_from_tokens(tokens(col), n, distinct=distinct)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3, *, distinct: bool = True) -> Column:
+    """Shingle an already-tokenized array column (see ``token_shingles``)
+    — pipelines that persist token arrays derive shingles without
+    re-running the tokenizer."""
 
     def build(t: Column) -> Column:
         joined = F.array_join(t, " ")
@@ -181,6 +187,7 @@ def minhash_signatures(
     *,
     num_hashes: int = 16,
     shingle_size: int = 3,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Scalable MinHash: explode shingles -> hash each ONCE -> k partial-agg
     mins -> reassemble array.
@@ -190,10 +197,16 @@ def minhash_signatures(
     element_at re-evaluations once the expression falls out of whole-stage
     codegen — ~50x slower measured at sf0.1). Here each shingle is hashed
     exactly once and the k permutation minimums are map-side-combined
-    aggregates, so the shuffle carries one row per document."""
-    sh = df.select(
-        F.col(id_col), F.explode(token_shingles(text_col, shingle_size)).alias("_sh")
+    aggregates, so the shuffle carries one row per document.
+
+    ``shingles_col`` names an already-computed distinct-shingle array
+    column to hash instead of re-shingling ``text_col``."""
+    shingled = (
+        F.col(shingles_col)
+        if shingles_col
+        else token_shingles(text_col, shingle_size)
     )
+    sh = df.select(F.col(id_col), F.explode(shingled).alias("_sh"))
     hashed = sh.select(id_col, shingle_hash(F.col("_sh")).alias("_h"))
     params = [_hash_params(i) for i in range(num_hashes)]
     mins = [
@@ -323,6 +336,7 @@ def minhash_near_duplicates(
     rows_per_band: int = 4,
     shingle_size: int = 3,
     threshold: float = 0.8,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """LSH-bucketed near-dup detection with exact verification.
 
@@ -337,14 +351,29 @@ def minhash_near_duplicates(
 
     This is the 100 TB path: the expensive exact verification runs on the
     tiny candidate set instead of all pairs, and the candidate side is
-    broadcast-small so the corpus-side shingle pass stays map-only."""
+    broadcast-small so the corpus-side shingle pass stays map-only.
+
+    ``shingles_col`` names an already-computed distinct-shingle array
+    column on ``df`` — a pipeline that persisted its shingles then pays
+    ONE shingle computation total instead of three (signature pass +
+    both verify sides)."""
     # sigs feeds both sides of the LSH band self-join; cache the tiny
     # (id, 16xlong) relation instead of re-tokenising the corpus twice.
     sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes=num_hashes, shingle_size=shingle_size
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        shingle_size=shingle_size,
+        shingles_col=shingles_col,
     ).persist()
     candidates = lsh_candidate_pairs(sigs, rows_per_band=rows_per_band, id_col=id_col)
-    sh = df.select(F.col(id_col), token_shingles(text_col, shingle_size).alias("sh"))
+    shingled = (
+        F.col(shingles_col)
+        if shingles_col
+        else token_shingles(text_col, shingle_size)
+    )
+    sh = df.select(F.col(id_col), shingled.alias("sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("_sa"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
@@ -560,20 +589,32 @@ def dedup_clusters(
     """Assign every document its near-dup cluster: cluster_id = the minimum
     doc id reachable through ``pairs``; singletons cluster as themselves.
     Downstream keeps one representative per cluster_id (the LLM-corpus
-    dedup contract: drop all but one of each near-dup set)."""
+    dedup contract: drop all but one of each near-dup set).
+
+    Precondition: every id in ``pairs`` appears in ``df`` (pairs are mined
+    FROM the corpus) — sizes count component members, so a foreign pair id
+    would inflate its cluster's size.
+
+    Scale shape: ``comp`` holds only the docs that appear in a pair —
+    pairs-scale, orders of magnitude smaller than the corpus — so cluster
+    sizes aggregate over COMP (one tiny shuffle), not over the corpus, and
+    the single corpus-side operation is one left join against that small
+    relation (broadcast under AQE; through r5 this aggregated the full
+    corpus and joined the sizes back — two corpus-wide shuffles for
+    numbers derivable from the small side). Not a window over cluster_id
+    either: a window forces every member of a mega-cluster into ONE
+    partition; the join lets AQE split skew."""
     comp = connected_components(pairs, src=src, dst=dst)
-    out = (
-        df.join(comp, df[id_col] == comp.node, "left")
-        .select(df["*"], F.coalesce(comp.root, df[id_col]).alias("cluster_id"))
+    # every clustered doc is a node in comp, so component size == cluster
+    # size; singletons (absent from comp) default to 1
+    sizes = comp.groupBy("root").agg(
+        F.count(F.lit(1)).cast("long").alias("_csize")
     )
-    # sizes via aggregate + join, NOT a window over cluster_id: a window
-    # forces every member of a cluster into ONE partition, and dedup
-    # corpora have mega-clusters by nature (boilerplate shared by 100M
-    # docs). The equi-join re-shuffles on the same key but AQE splits
-    # skewed JOIN partitions — it cannot split a skewed window.
-    sizes = out.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    labeled = comp.join(sizes, "root").select(
+        F.col("node"), F.col("root"), F.col("_csize")
     )
-    return out.join(sizes, "cluster_id").select(
-        df["*"], "cluster_id", "cluster_size"
+    return df.join(labeled, df[id_col] == labeled.node, "left").select(
+        df["*"],
+        F.coalesce(labeled.root, df[id_col]).alias("cluster_id"),
+        F.coalesce(labeled._csize, F.lit(1).cast("long")).alias("cluster_size"),
     )

@@ -506,6 +506,32 @@ FROM enc
 """
 
 
+def _capstone_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone's persisted working set: ONE narrow pass computes the
+    corpus-filter verdict AND the derived token/shingle arrays, so the
+    three consumers (pair mining, vocab, encoding) never re-run the
+    tokenizer or re-join the source. ``passthrough`` carries the text
+    through the filter projection — no join back to documents (that join
+    was a full-corpus shuffle). Text itself is NOT kept: every downstream
+    stage consumes ``_toks`` or ``_sh``, so the cached relation is
+    (doc_id, tokens, shingles). At 100 TB this persist is ~2-3x corpus
+    bytes with MEMORY_AND_DISK spill — the price of running the tokenizer
+    once instead of four times (filter signals, signature pass, vocab,
+    encode), and it's dropped as soon as the pipeline's outputs
+    materialise."""
+    from dc43_spark.functions import dedup as dd
+    from dc43_spark.functions import text as tx
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return (
+        cu.corpus_filter(docs, passthrough=("text",))
+        .filter("keep")
+        .select("doc_id", tx.tokens("text").alias("_toks"))
+        .withColumn("_sh", dd.shingles_from_tokens(F.col("_toks")))
+        .persist()
+    )
+
+
 def _capstone_pairs(kept: DataFrame) -> DataFrame:
     """The capstone's pair-mining stage: the LSH path (minhash bands ->
     candidates -> exact array_intersect verify), so verification cost is
@@ -517,10 +543,13 @@ def _capstone_pairs(kept: DataFrame) -> DataFrame:
     agreement corpus-wide). Split out as a module function so
     test_plan_quality can assert the miner's plan shape directly — the
     final capstone plan hides it behind the connected-components driver
-    fast path, which materialises pairs eagerly."""
+    fast path, which materialises pairs eagerly. Mines from the persisted
+    ``_sh`` arrays when present (one shingle computation for the whole
+    pipeline), else from text."""
     from dc43_spark.functions import dedup as dd
 
-    return dd.minhash_near_duplicates(kept, threshold=0.8)
+    shingles_col = "_sh" if "_sh" in kept.columns else None
+    return dd.minhash_near_duplicates(kept, threshold=0.8, shingles_col=shingles_col)
 
 
 def q_curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,31 +564,28 @@ def q_curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     operator's own gate still passes."""
     from dc43_spark.functions import dedup as dd
 
-    docs = load_spread(spark, sf_dir, "documents")
-    # kept feeds three consumers (pair mining, canonical text, vocab);
-    # persist the filtered slice instead of re-running the filter per use
-    kept = (
-        cu.corpus_filter(docs).filter("keep").select("doc_id").join(docs, "doc_id")
-    ).persist()
+    kept = _capstone_kept(spark, sf_dir)
     pairs = _capstone_pairs(kept)
-    # cluster the ID SPACE only: carrying document text through the
-    # cluster + size joins triples the bytes every shuffle moves for
-    # nothing — text rejoins once, for the (far smaller) canonical set
-    clustered_ids = dd.dedup_clusters(kept.select("doc_id"), pairs)
-    canonical_ids = clustered_ids.filter(F.col("doc_id") == F.col("cluster_id"))
-    vocab = cu.vocab_top_terms(kept, top_n=100)
-    enc = cu.encode_tokens(canonical_ids.select("doc_id").join(kept, "doc_id"), vocab)
-    return (
-        enc.join(canonical_ids.select("doc_id", "cluster_size"), "doc_id")
-        .select(
-            "doc_id",
-            "cluster_size",
-            "n_tokens",
-            "n_unk",
-            F.md5(
-                F.concat_ws(",", F.transform("ids", lambda i: i.cast("string")))
-            ).alias("ids_hash"),
-        )
+    # cluster the FULL kept relation: the component labels are pairs-scale
+    # (broadcast-joined against the corpus under AQE), so carrying _toks
+    # through the label join costs nothing — and the canonical slice then
+    # already holds its token arrays, making the encode stage a pure
+    # projection with ZERO post-mining corpus shuffles (r5: id-space
+    # clustering + two corpus joins to reattach text and sizes)
+    clustered = dd.dedup_clusters(kept, pairs)
+    canonical = clustered.filter(F.col("doc_id") == F.col("cluster_id"))
+    vocab = cu.vocab_top_terms(kept, top_n=100, tokens_col="_toks", with_df=False)
+    enc = cu.encode_tokens(
+        canonical, vocab, tokens_col="_toks", passthrough=("cluster_size",)
+    )
+    return enc.select(
+        "doc_id",
+        "cluster_size",
+        "n_tokens",
+        "n_unk",
+        F.md5(
+            F.concat_ws(",", F.transform("ids", lambda i: i.cast("string")))
+        ).alias("ids_hash"),
     )
 
 

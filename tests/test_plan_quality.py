@@ -126,12 +126,11 @@ def test_curation_pipeline_mines_pairs_via_lsh_not_shingle_self_join(spark):
     shared by millions of kept docs) — the r4 scale-killer."""
     import re
 
-    from dc43_spark.showcase_curation import _capstone_pairs
-    from dc43_spark.functions.curation import corpus_filter
+    from dc43_spark.showcase_curation import _capstone_kept, _capstone_pairs
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    kept = corpus_filter(docs).filter("keep").select("doc_id").join(docs, "doc_id")
+    kept = _capstone_kept(spark, SF_DIR)
     plan = plan_string(_capstone_pairs(kept), "simple")
+    kept.unpersist()
     # candidate-bound exact verification is present...
     assert "array_intersect" in plan
     # ...and banded candidate generation replaces the shingle-keyed join
