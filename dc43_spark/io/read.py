@@ -93,10 +93,33 @@ def load_dataframe(spark: SparkSession, request: ReadRequest) -> DataFrame:
     return reader.load(request.path)
 
 
+def resolve_port_contract(
+    registry: Any,
+    product: Optional[str],
+    port: Optional[str],
+    *,
+    operation: str,
+) -> Contract:
+    """Shared product/port -> contract resolution for governed IO entry
+    points. Reads resolve through the consumer's INPUT port (falling back
+    to the producer's output-port binding — ref local.py:1279-1366);
+    writes resolve the product's own OUTPUT port."""
+    if registry is None or product is None or port is None:
+        raise ValueError(
+            "port-bound IO needs registry=, product= and port= together"
+        )
+    if operation == "read":
+        return registry.resolve_read_contract(product, port)
+    return registry.resolve_output_contract(product, port)
+
+
 def read_with_contract(
     spark: SparkSession,
-    contract: Contract,
+    contract: Optional[Contract] = None,
     *,
+    product: Optional[str] = None,
+    port: Optional[str] = None,
+    registry: Optional[Any] = None,
     path: Optional[str] = None,
     table: Optional[str] = None,
     format: Optional[str] = None,
@@ -117,7 +140,16 @@ def read_with_contract(
     ``enforce`` raises on ``block`` (reads only block on schema errors /
     required-null failures; plain rule violations warn — ref
     local.py:1990-2003). ``metrics=False`` skips the observation pass and
-    returns a schema-only result (cheap path for huge scans)."""
+    returns a schema-only result (cheap path for huge scans).
+
+    Instead of a ``contract``, pass ``registry=``, ``product=`` and
+    ``port=`` to read through a data product's INPUT port: the consumer's
+    port binding (or its source product's output port) names the
+    governing contract."""
+    if contract is None:
+        contract = resolve_port_contract(registry, product, port, operation="read")
+    elif product is not None or port is not None:
+        raise ValueError("pass either contract= or product=/port=, not both")
     warnings: list[str] = []
     status_msg = check_contract_status(contract, allowed_statuses, enforce=enforce)
     if status_msg:
@@ -143,6 +175,10 @@ def read_with_contract(
             contract,
             ReadRequest(path=path, table=table, format=format, options=dict(options or {})),
         )
+    if interceptors is None:
+        from dc43_spark.io.status import discover_interceptors
+
+        interceptors = discover_interceptors(spark, "read")
     io_ctx = None
     if interceptors:
         from dc43_spark.io.status import IoContext

@@ -9,11 +9,16 @@ spark/io/status.py:26-99) and read/write hook surface
   (warn and continue), or row-filter (return only rows passing every row
   predicate — the read-side analogue of the Split write strategy).
 - ``GovernanceInterceptor`` hooks run before/after the physical read/write;
-  discovery is explicit (pass instances), not Spark-conf reflection.
+  pass instances explicitly, or let ``discover_interceptors`` instantiate
+  dotted-path references from Spark conf / the environment (ref
+  interceptors.py:84-137): ``dc43.governance.interceptors.<op>`` wins over
+  ``dc43.governance.interceptors`` wins over ``DC43_GOVERNANCE_INTERCEPTORS``.
 """
 
 from __future__ import annotations
 
+import importlib
+import os
 from dataclasses import dataclass
 from typing import Optional, Protocol
 
@@ -134,3 +139,65 @@ class GovernanceInterceptor:
 
     def post_write(self, ctx: IoContext, result: ValidationResult) -> None:
         ...
+
+
+# ------------------------------------------------- interceptor discovery
+
+CONF_KEY = "dc43.governance.interceptors"
+ENV_KEY = "DC43_GOVERNANCE_INTERCEPTORS"
+
+
+def resolve_interceptor(ref) -> GovernanceInterceptor:
+    """An interceptor instance from a dotted-path string (``pkg.mod.Cls``
+    or ``pkg.mod:Cls``), a class, or an already-built instance (ref
+    interceptors.py:84-110). A class is instantiated with no arguments."""
+    if isinstance(ref, str):
+        module_name, _, attr = ref.replace(":", ".").rpartition(".")
+        if not module_name or not attr:
+            raise ValueError(f"invalid interceptor reference {ref!r}")
+        try:
+            module = importlib.import_module(module_name)
+        except ImportError as exc:
+            raise ValueError(
+                f"cannot import module {module_name!r} for interceptor {ref!r}"
+            ) from exc
+        target = getattr(module, attr, None)
+        if target is None:
+            raise ValueError(f"interceptor {attr!r} not found in {module_name!r}")
+        ref = target
+    if isinstance(ref, type):
+        ref = ref()
+    if not (hasattr(ref, "pre_read") and hasattr(ref, "pre_write")):
+        raise TypeError(f"{ref!r} does not implement the interceptor hooks")
+    return ref
+
+
+def interceptor_refs(spark=None, operation: Optional[str] = None) -> tuple[str, ...]:
+    """Comma-separated dotted-path references from (in priority order):
+    ``dc43.governance.interceptors.<operation>`` Spark conf, the base
+    ``dc43.governance.interceptors`` conf, then the
+    ``DC43_GOVERNANCE_INTERCEPTORS`` env var (ref interceptors.py:112-137)."""
+    raw = ""
+    if spark is not None and operation:
+        try:
+            raw = spark.conf.get(f"{CONF_KEY}.{operation}", "") or ""
+        except Exception:  # noqa: BLE001 — conf access must never fail IO
+            raw = ""
+    if spark is not None and not raw:
+        try:
+            raw = spark.conf.get(CONF_KEY, "") or ""
+        except Exception:  # noqa: BLE001
+            raw = ""
+    if not raw:
+        raw = os.environ.get(ENV_KEY, "")
+    return tuple(part.strip() for part in raw.split(",") if part.strip())
+
+
+def discover_interceptors(
+    spark=None, operation: Optional[str] = None
+) -> list[GovernanceInterceptor]:
+    """Instantiated interceptors for the configured references. Governed
+    reads/writes call this when no explicit interceptor list is passed, so
+    a platform team can attach governance hooks to EVERY pipeline through
+    session conf or the environment without touching pipeline code."""
+    return [resolve_interceptor(ref) for ref in interceptor_refs(spark, operation)]

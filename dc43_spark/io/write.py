@@ -72,8 +72,11 @@ def execute_write_request(req: WriteRequest, writer_modifier=None) -> None:
 
 def write_with_contract(
     df: DataFrame,
-    contract: Contract,
+    contract: Optional[Contract] = None,
     *,
+    product: Optional[str] = None,
+    port: Optional[str] = None,
+    registry: Optional[object] = None,
     path: Optional[str] = None,
     table: Optional[str] = None,
     format: Optional[str] = None,
@@ -94,7 +97,16 @@ def write_with_contract(
     Pre-write validation runs on the INCOMING frame; ``enforce`` raises
     before any write when the verdict blocks (write violations block —
     ref local.py:1990-2003, base.py:798-799). The violation strategy then
-    shapes the physical writes (split/flag/strict)."""
+    shapes the physical writes (split/flag/strict).
+
+    Instead of a ``contract``, pass ``registry=``, ``product=`` and
+    ``port=`` to write through the product's OUTPUT port binding."""
+    if contract is None:
+        from dc43_spark.io.read import resolve_port_contract
+
+        contract = resolve_port_contract(registry, product, port, operation="write")
+    elif product is not None or port is not None:
+        raise ValueError("pass either contract= or product=/port=, not both")
     check_contract_status(contract, allowed_statuses, enforce=enforce)
     if locator is not None:
         from dc43_spark.io.locators import DatasetResolution
@@ -118,6 +130,10 @@ def write_with_contract(
     if format is None and path is not None:
         format = "parquet"
 
+    if interceptors is None:
+        from dc43_spark.io.status import discover_interceptors
+
+        interceptors = discover_interceptors(df.sparkSession, "write")
     io_ctx = None
     if interceptors:
         from dc43_spark.io.status import IoContext

@@ -168,3 +168,81 @@ def test_table_write_and_read(spark, good_df):
     df, vres = read_with_contract(spark, orders_contract(), table="orders_gov_t1")
     assert df.count() == 2 and vres.ok
     spark.sql("DROP TABLE IF EXISTS orders_gov_t1")
+
+
+def test_port_bound_read_write_roundtrip(spark, good_df, tmp_path):
+    """Governed IO through data-product ports (r5 verdict item 2): the
+    producer writes via its OUTPUT port binding; the consumer reads via
+    an INPUT port that only names the producer — resolution follows the
+    producer's output-port contract (ref local.py:1279-1366)."""
+    from dc43_spark.contracts.model import Server
+    from dc43_spark.contracts.store import MemoryContractStore
+    from dc43_spark.products import DataProduct, Port, ProductRegistry
+
+    target = str(tmp_path / "orders")
+    cs = MemoryContractStore()
+    cs.put(orders_contract(servers=[Server(path=target, format="parquet")]))
+    reg = ProductRegistry(cs)
+    reg.register(
+        DataProduct(
+            id="sales.producer",
+            output_ports=[Port(name="gold", contract_id="test.orders")],
+        )
+    )
+    reg.register(
+        DataProduct(
+            id="ml.consumer",
+            input_ports=[
+                Port(name="orders_in", source_product="sales.producer", source_port="gold")
+            ],
+        )
+    )
+    wres = write_with_contract(
+        good_df, product="sales.producer", port="gold", registry=reg, mode="overwrite"
+    )
+    assert wres.validation.ok
+    df, rres = read_with_contract(
+        spark, product="ml.consumer", port="orders_in", registry=reg
+    )
+    assert rres.ok and df.count() == 2
+    assert set(df.columns) == {"order_id", "customer_id", "amount", "currency"}
+
+
+def test_port_bound_io_guards(spark, good_df, tmp_path):
+    from dc43_spark.contracts.model import Server
+    from dc43_spark.contracts.store import MemoryContractStore
+    from dc43_spark.products import DataProduct, Port, ProductRegistry
+
+    cs = MemoryContractStore()
+    cs.put(orders_contract(servers=[Server(path=str(tmp_path / "o"), format="parquet")]))
+    reg = ProductRegistry(cs)
+    reg.register(
+        DataProduct(
+            id="p", output_ports=[Port(name="out", contract_id="test.orders")]
+        )
+    )
+    # both contract and product/port is ambiguous
+    with pytest.raises(ValueError, match="not both"):
+        read_with_contract(spark, orders_contract(), product="p", port="out", registry=reg)
+    # product/port without a registry cannot resolve
+    with pytest.raises(ValueError, match="registry"):
+        write_with_contract(good_df, product="p", port="out")
+    # a version pin on the consumer's input port is enforced
+    reg.register(
+        DataProduct(
+            id="c",
+            input_ports=[
+                Port(
+                    name="in",
+                    source_product="p",
+                    source_port="out",
+                    source_contract_version="==9.9.9",
+                )
+            ],
+        )
+    )
+    with pytest.raises(ValueError, match="pins contract version"):
+        read_with_contract(spark, product="c", port="in", registry=reg)
+    # an input port with neither binding nor source is rejected at register
+    with pytest.raises(LookupError, match="neither"):
+        reg.register(DataProduct(id="bad", input_ports=[Port(name="in")]))

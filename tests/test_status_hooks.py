@@ -122,3 +122,82 @@ def test_writer_modifier_partitions_output(spark, tmp_path):
         writer_modifier=lambda w: w.partitionBy("k"),
     )
     assert any(n.startswith("k=") for n in os.listdir(target))
+
+
+# module-level so a dotted-path reference can instantiate it (discovery)
+class ConfRecorder(GovernanceInterceptor):
+    instances: list = []
+
+    def __init__(self) -> None:
+        self.calls: list[str] = []
+        ConfRecorder.instances.append(self)
+
+    def pre_read(self, ctx) -> None:
+        self.calls.append(f"pre_read:{ctx.operation}")
+
+    def post_read(self, ctx, df, result) -> None:
+        self.calls.append(f"post_read:{result.status}")
+
+    def pre_write(self, ctx, df):
+        self.calls.append("pre_write")
+        return df
+
+    def post_write(self, ctx, result) -> None:
+        self.calls.append(f"post_write:{result.status}")
+
+
+def test_interceptor_discovery_from_conf_and_env(spark, tmp_path, monkeypatch):
+    """Conf/env-registered interceptors fire WITHOUT pipeline code passing
+    them (ref interceptors.py:112-137): per-op conf key beats the base
+    key beats the env var; explicit interceptors=[] disables discovery."""
+    from dc43_spark.io.status import interceptor_refs, resolve_interceptor
+
+    ref = f"{__name__}.ConfRecorder"
+    # priority: per-op > base > env
+    monkeypatch.setenv("DC43_GOVERNANCE_INTERCEPTORS", "env.Mod")
+    spark.conf.set("dc43.governance.interceptors", ref)
+    spark.conf.set("dc43.governance.interceptors.read", f"{ref}, {ref}")
+    try:
+        assert interceptor_refs(spark, "read") == (ref, ref)
+        assert interceptor_refs(spark, "write") == (ref,)
+        spark.conf.unset("dc43.governance.interceptors")
+        spark.conf.unset("dc43.governance.interceptors.read")
+        assert interceptor_refs(spark, "write") == ("env.Mod",)
+        monkeypatch.delenv("DC43_GOVERNANCE_INTERCEPTORS")
+
+        # end-to-end: conf-only registration observed in read AND write
+        spark.conf.set("dc43.governance.interceptors", ref)
+        target = str(tmp_path / "conf_int")
+        df = spark.createDataFrame([(1, 1.0)], SCHEMA)
+        ConfRecorder.instances.clear()
+        res = write_with_contract(df, contract(target), mode="overwrite")
+        assert res.validation.ok
+        assert [i.calls for i in ConfRecorder.instances] == [
+            ["pre_write", "post_write:ok"]
+        ]
+        ConfRecorder.instances.clear()
+        _, rres = read_with_contract(spark, contract(target))
+        assert rres.ok
+        assert [i.calls for i in ConfRecorder.instances] == [
+            ["pre_read:read", "post_read:ok"]
+        ]
+        # explicit empty list opts out of discovery
+        ConfRecorder.instances.clear()
+        read_with_contract(spark, contract(target), interceptors=[])
+        assert ConfRecorder.instances == []
+    finally:
+        for key in (
+            "dc43.governance.interceptors",
+            "dc43.governance.interceptors.read",
+        ):
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
+    # resolver guards
+    with pytest.raises(ValueError):
+        resolve_interceptor("NoDots")
+    with pytest.raises(ValueError):
+        resolve_interceptor("no.such.module.Cls")
+    with pytest.raises(TypeError):
+        resolve_interceptor(object())
