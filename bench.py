@@ -42,6 +42,7 @@ HEADLINE = [
     "frame_plan_documents",
     "media_probe_documents",
     "image_stats_documents",
+    "video_stats_documents",
     "cosine_pairs_embeddings",
     "ann_lsh_embeddings",
     "ann_ivf_embeddings",
@@ -96,6 +97,7 @@ COUNT_ONLY = {
     "near_dup_pairs_documents",
     "media_probe_documents",
     "image_stats_documents",
+    "video_stats_documents",
     "dedup_clusters_documents",
     "corpus_filter_documents",
     "pii_redact_documents",

@@ -81,6 +81,10 @@ def _fake_decode(payload: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:8]]
 
 
+#: the remaining fake surface: NON-MJPEG video pixel decode (H.264 etc.
+#: need codecs this container can't verify) and arbitrary non-container
+#: bytes. PNG, baseline JPEG, WAV and MJPEG-in-MP4 all decode for real
+#: in-tree (png_decode, jpeg.jpeg_decode, wav_header, mjpeg_mp4_frames).
 FAKE_DECODERS: dict[str, Decoder] = {
     "image": _fake_decode,
     "audio": _fake_decode,
@@ -128,13 +132,45 @@ def _audio_decode(payload: bytes) -> list[float]:
 
 
 def _video_decode(payload: bytes) -> list[float]:
-    """REAL video feature when the payload is MP4: track dimensions +
-    duration from the actual box structure; fake otherwise. Pixel/frame
-    decode needs codecs this container can't verify."""
+    """REAL video feature for MP4 payloads:
+
+    - MJPEG track (``jpeg`` sample entry): every frame entropy-decodes
+      through the in-tree baseline JPEG decoder — the feature carries
+      [w, h, duration_ms, n_frames, mean over ALL frame pixels,
+      first-frame mean, last-frame mean, 0]. Real pixels, no codecs
+      beyond this repo.
+    - other/elementary MP4 (header-only fixtures, H.264, ...): track
+      dimensions + duration from the box structure, frame stats zero —
+      compressed-codec pixel decode is the one remaining fake surface.
+    - not MP4 at all: the deterministic fake."""
+    try:
+        frames = mjpeg_mp4_frames(payload)
+    except Exception:  # noqa: BLE001 — corrupt sample tables
+        frames = None
     parsed = mp4_header(payload)
     if parsed is None:
         return _fake_decode(payload)
     w, h, dur = parsed
+    if frames:
+        from dc43_spark.functions.jpeg import jpeg_decode
+
+        try:
+            pixels = [jpeg_decode(f) for f in frames]
+        except ValueError:
+            pixels = None
+        if pixels:
+            total = sum(float(p.sum()) for p in pixels)
+            count = sum(p.size for p in pixels)
+            return [
+                float(w),
+                float(h),
+                float(dur),
+                float(len(pixels)),
+                total / count,
+                float(pixels[0].mean()),
+                float(pixels[-1].mean()),
+                0.0,
+            ]
     return [float(w), float(h), float(dur), 0.0, 0.0, 0.0, 0.0, 0.0]
 
 
@@ -413,6 +449,205 @@ def mp4_encode_header(width: int, height: int, duration_ms: int) -> bytes:
     )
     moov = _mp4_box(b"mvhd", mvhd) + _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd))
     return _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + _mp4_box(b"moov", moov)
+
+
+def mjpeg_mp4_encode(
+    frames: list, width: int, height: int, *, frame_ms: int = 40
+) -> bytes:
+    """Motion-JPEG in MP4: each sample is a complete baseline JPEG
+    (sample entry ``jpeg``), all samples in ONE chunk inside ``mdat``,
+    with real stts/stsc/stsz/stco sample tables. Layout is
+    ftyp | mdat | moov so chunk offsets are known when moov is written.
+
+    ``frames`` are encoded JPEG byte strings (functions/jpeg.jpeg_encode);
+    timescale is 1000 so durations are milliseconds."""
+    if not frames:
+        raise ValueError("MJPEG needs at least one frame")
+    n = len(frames)
+    duration = n * frame_ms
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_payload = b"".join(frames)
+    chunk_offset = len(ftyp) + 8  # first sample starts after the mdat header
+
+    mvhd = (
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1000, duration)
+        + b"\x00" * 80
+    )
+    tkhd = (
+        b"\x00\x00\x00\x07"
+        + struct.pack(">III", 0, 0, 1)
+        + b"\x00" * 4
+        + struct.pack(">I", duration)
+        + b"\x00" * 52
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    mdhd = (
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1000, duration)
+        + struct.pack(">HH", 0x55C4, 0)  # language 'und', pre_defined
+    )
+    hdlr = (
+        b"\x00\x00\x00\x00" + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"MJPEG\x00"
+    )
+    # 'jpeg' visual sample entry (ISO 12-1 VisualSampleEntry, 86 bytes)
+    sample_entry = (
+        struct.pack(">I", 86)
+        + b"jpeg"
+        + b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">H", 24)  # depth
+        + struct.pack(">h", -1)  # pre_defined
+    )
+    stsd = _mp4_box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + sample_entry)
+    stts = _mp4_box(
+        b"stts", b"\x00" * 4 + struct.pack(">I", 1) + struct.pack(">II", n, frame_ms)
+    )
+    stsc = _mp4_box(
+        b"stsc", b"\x00" * 4 + struct.pack(">I", 1) + struct.pack(">III", 1, n, 1)
+    )
+    stsz = _mp4_box(
+        b"stsz",
+        b"\x00" * 4
+        + struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = _mp4_box(
+        b"stco", b"\x00" * 4 + struct.pack(">I", 1) + struct.pack(">I", chunk_offset)
+    )
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _mp4_box(b"minf", stbl)
+    mdia = _mp4_box(b"mdia", _mp4_box(b"mdhd", mdhd) + _mp4_box(b"hdlr", hdlr) + minf)
+    trak = _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd) + mdia)
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + trak)
+    return ftyp + _mp4_box(b"mdat", mdat_payload) + moov
+
+
+def _stbl_tables(payload: bytes, sb: int, se: int) -> Optional[dict]:
+    """Parse the sample tables of one stbl box; None if not MJPEG."""
+    entry_fourcc = None
+    sizes: list[int] = []
+    chunk_offsets: list[int] = []
+    stsc_entries: list[tuple[int, int]] = []  # (first_chunk, samples_per_chunk)
+    for box, bb, be in _mp4_boxes(payload, sb, se):
+        if box == b"stsd" and be - bb >= 16:
+            entry_fourcc = payload[bb + 12 : bb + 16]
+        elif box == b"stsz" and be - bb >= 12:
+            fixed, count = struct.unpack(">II", payload[bb + 4 : bb + 12])
+            if fixed:
+                sizes = [fixed] * count
+            else:
+                if be - bb < 12 + 4 * count:
+                    raise ValueError("stsz truncated")
+                sizes = [
+                    struct.unpack(">I", payload[bb + 12 + 4 * i : bb + 16 + 4 * i])[0]
+                    for i in range(count)
+                ]
+        elif box in (b"stco", b"co64") and be - bb >= 8:
+            (count,) = struct.unpack(">I", payload[bb + 4 : bb + 8])
+            width_ = 8 if box == b"co64" else 4
+            if be - bb < 8 + width_ * count:
+                raise ValueError(f"{box.decode()} truncated")
+            fmt = ">Q" if box == b"co64" else ">I"
+            chunk_offsets = [
+                struct.unpack(
+                    fmt, payload[bb + 8 + width_ * i : bb + 8 + width_ * (i + 1)]
+                )[0]
+                for i in range(count)
+            ]
+        elif box == b"stsc" and be - bb >= 8:
+            (count,) = struct.unpack(">I", payload[bb + 4 : bb + 8])
+            if be - bb < 8 + 12 * count:
+                raise ValueError("stsc truncated")
+            stsc_entries = [
+                struct.unpack(
+                    ">II", payload[bb + 8 + 12 * i : bb + 16 + 12 * i]
+                )
+                for i in range(count)
+            ]
+    if entry_fourcc != b"jpeg" or not sizes or not chunk_offsets:
+        return None
+    return {"sizes": sizes, "chunks": chunk_offsets, "stsc": stsc_entries}
+
+
+def mjpeg_mp4_frames(payload: bytes) -> Optional[list]:
+    """The JPEG sample byte-strings of an MP4's MJPEG video track, in
+    sample order — or None when the payload is not MP4 or carries no
+    ``jpeg``-sample-entry video track (header-only fixtures, H.264, ...).
+
+    Walks moov > trak > mdia (handler ``vide``) > minf > stbl and maps
+    samples to absolute offsets through stsc x stco (general multi-chunk
+    mapping, stco or co64), slicing each sample out of ``mdat`` by its
+    stsz size. A structurally-MJPEG file with broken tables raises
+    ``ValueError`` rather than yielding garbage frames."""
+    if payload is None or len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None
+    tables = None
+    for fourcc, body, box_end in _mp4_boxes(payload, 0, len(payload)):
+        if fourcc != b"moov":
+            continue
+        for inner, ib, ie in _mp4_boxes(payload, body, box_end):
+            if inner != b"trak":
+                continue
+            for tk, tb, te in _mp4_boxes(payload, ib, ie):
+                if tk != b"mdia":
+                    continue
+                is_video = False
+                stbl_span = None
+                for md, mb, me in _mp4_boxes(payload, tb, te):
+                    if md == b"hdlr" and me - mb >= 12:
+                        is_video = payload[mb + 8 : mb + 12] == b"vide"
+                    elif md == b"minf":
+                        for mi, mib, mie in _mp4_boxes(payload, mb, me):
+                            if mi == b"stbl":
+                                stbl_span = (mib, mie)
+                if is_video and stbl_span is not None:
+                    tables = _stbl_tables(payload, *stbl_span)
+                    if tables is not None:
+                        break
+            if tables is not None:
+                break
+    if tables is None:
+        return None
+    sizes, chunks, stsc = tables["sizes"], tables["chunks"], tables["stsc"]
+    if not stsc:
+        stsc = [(1, len(sizes))]
+    # expand stsc runs into per-chunk sample counts
+    per_chunk: list[int] = []
+    for i, (first, spc) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(chunks)
+        per_chunk.extend([spc] * (last - first + 1))
+    frames = []
+    sample = 0
+    for chunk_idx, count in enumerate(per_chunk):
+        if chunk_idx >= len(chunks):
+            break
+        offset = chunks[chunk_idx]
+        for _ in range(count):
+            if sample >= len(sizes):
+                break
+            size = sizes[sample]
+            if offset + size > len(payload):
+                raise ValueError(
+                    f"MJPEG sample {sample} overruns the file "
+                    f"({offset}+{size} > {len(payload)})"
+                )
+            frames.append(payload[offset : offset + size])
+            offset += size
+            sample += 1
+    if sample != len(sizes):
+        raise ValueError(
+            f"sample tables name {len(sizes)} samples but chunks cover {sample}"
+        )
+    return frames
 
 
 def _mp4_boxes(payload: bytes, start: int, end: int):

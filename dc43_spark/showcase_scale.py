@@ -1359,11 +1359,99 @@ SCALE_ORACLES = {
 #: stats are pure-JVM projections pytest-pinned in test_multimodal. All
 #: four still run in bench.py (r1-comparable timings) and under
 #: `pytest -m parity`.
+def q_video_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pixel statistics through the FULL in-tree video path:
+    JPEG-encode per-frame pixels (block-constant q50 — lossless family,
+    see image_stats) -> pack into an MJPEG MP4 with real stts/stsc/stsz/
+    stco sample tables (multimodal.mjpeg_mp4_encode) -> re-extract every
+    sample through the generic table walker (mjpeg_mp4_frames) -> entropy
+    -decode each frame (jpeg.jpeg_decode) -> per-video frame count,
+    duration and pixel sums. The oracle predicts every number in closed
+    form from the generating formulas, so a bug in the sample-table
+    writer, the chunk-offset mapping, OR the JPEG codec shifts the sums
+    and fails the hash. Fused encode+decode in one mapInPandas: chaining
+    two Python stages would Arrow-round-trip the payload bytes twice."""
+    import numpy as np
+    import pandas as pd
+
+    docs = (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("doc_id") % 4 == 3)
+    )
+
+    def encode_decode(batches):
+        from dc43_spark.functions import multimodal as mm
+        from dc43_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+        for pdf in batches:
+            rows = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nch = int(did), int(nch)
+                w, h = nch % 32 + 8, did % 24 + 8
+                nf = did % 3 + 2
+                bx = np.arange(w) // 8
+                by = np.arange(h) // 8
+                frames = []
+                for f in range(nf):
+                    v = 2 * ((did * 3 + nch + 7 * f + 5 * bx[None, :] + 11 * by[:, None]) % 128)
+                    frames.append(
+                        jpeg_encode(v[:, :, None].astype(np.uint8), quality=50)
+                    )
+                payload = mm.mjpeg_mp4_encode(frames, w, h, frame_ms=40)
+                decoded = [jpeg_decode(fb) for fb in mm.mjpeg_mp4_frames(payload)]
+                psum = int(sum(int(p.sum()) for p in decoded))
+                n = w * h * len(decoded)
+                rows.append(
+                    (did, w, h, len(decoded), 40 * len(decoded), psum,
+                     psum * 1_000_000 // n)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_frames",
+                    "duration_ms", "pixel_sum", "pixel_mean_micro",
+                ],
+            )
+
+    return docs.mapInPandas(
+        encode_decode,
+        "media_id long, width int, height int, n_frames int, "
+        "duration_ms long, pixel_sum long, pixel_mean_micro long",
+    )
+
+
+_VIDEO_STATS_SQL = """
+WITH vid AS (
+  SELECT doc_id,
+         CAST(n_chars % 32 + 8 AS INTEGER) AS w,
+         CAST(doc_id % 24 + 8 AS INTEGER) AS h,
+         CAST(doc_id % 3 + 2 AS INTEGER) AS nf,
+         doc_id * 3 + n_chars AS a
+  FROM documents WHERE doc_id % 4 = 3
+), sums AS (
+  SELECT v.doc_id,
+         SUM(CAST(2 * ((v.a + 7 * f.g + 5 * bx.g + 11 * by.g) % 128) AS BIGINT)
+             * LEAST(8, v.w - 8 * bx.g) * LEAST(8, v.h - 8 * by.g)) AS s
+  FROM vid v, range(0, 4) f(g), range(0, 5) bx(g), range(0, 4) by(g)
+  WHERE f.g < v.nf AND bx.g < (v.w + 7) // 8 AND by.g < (v.h + 7) // 8
+  GROUP BY v.doc_id
+)
+SELECT v.doc_id AS media_id, v.w AS width, v.h AS height, v.nf AS n_frames,
+       CAST(v.nf * 40 AS BIGINT) AS duration_ms,
+       CAST(s.s AS BIGINT) AS pixel_sum,
+       CAST(s.s * 1000000 // (CAST(v.w AS BIGINT) * v.h * v.nf) AS BIGINT)
+         AS pixel_mean_micro
+FROM vid v JOIN sums s ON v.doc_id = s.doc_id
+"""
+
+
 EXTRA_QUERIES = {
     "minhash_documents": q_minhash_documents,
     "multimodal_stats": q_multimodal_stats,
     "orders_by_nation": q_orders_by_nation,
     "events_hourly": q_events_hourly,
+    "video_stats_documents": q_video_stats_documents,
 }
 
 EXTRA_ORACLES = {
@@ -1371,4 +1459,5 @@ EXTRA_ORACLES = {
     "multimodal_stats": _MULTIMODAL_STATS_SQL,
     "orders_by_nation": _ORDERS_BY_NATION_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
+    "video_stats_documents": _VIDEO_STATS_SQL,
 }

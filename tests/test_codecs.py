@@ -432,3 +432,73 @@ def test_extract_features_real_jpeg_decoder(spark):
     feat = row.feature
     assert feat[:3] == [20.0, 12.0, 3.0]
     assert abs(feat[3] - 120.0) < 0.01  # decoded mean, not hash noise
+
+
+# ------------------------------------------------------- MJPEG-in-MP4
+
+
+def _mjpeg_fixture(n_frames=3, w=24, h=16):
+    from dc43_spark.functions import jpeg
+
+    frames_px = []
+    frames = []
+    for f in range(n_frames):
+        bx = np.arange(w) // 8
+        by = np.arange(h) // 8
+        v = 2 * ((7 * f + 5 * bx[None, :] + 11 * by[:, None]) % 128)
+        px = v[:, :, None].astype(np.uint8)
+        frames_px.append(px)
+        frames.append(jpeg.jpeg_encode(px, quality=50))  # lossless family
+    return frames_px, frames
+
+
+def test_mjpeg_mp4_round_trip_exact_pixels():
+    """Full container round-trip: encode JPEG frames -> MJPEG MP4 (real
+    stts/stsc/stsz/stco tables) -> extract samples -> entropy-decode each.
+    The block-constant q50 family round-trips losslessly, so pixel
+    equality is EXACT per frame."""
+    from dc43_spark.functions import jpeg
+
+    frames_px, frames = _mjpeg_fixture()
+    payload = mm.mjpeg_mp4_encode(frames, 24, 16, frame_ms=40)
+    # the generic header probe still sees the container
+    assert mm.mp4_header(payload) == (24, 16, 120)
+    out = mm.mjpeg_mp4_frames(payload)
+    assert out is not None and len(out) == 3
+    assert out == frames  # byte-exact sample extraction
+    for got, px in zip(out, frames_px):
+        np.testing.assert_array_equal(jpeg.jpeg_decode(got), px)
+
+
+def test_mjpeg_mp4_guards():
+    _, frames = _mjpeg_fixture(n_frames=2)
+    payload = bytearray(mm.mjpeg_mp4_encode(frames, 24, 16))
+    # header-only MP4 (no track) -> None, not an error
+    assert mm.mjpeg_mp4_frames(mm.mp4_encode_header(10, 10, 100)) is None
+    assert mm.mjpeg_mp4_frames(b"not an mp4") is None
+    # corrupt stsz size overruns the file -> ValueError, never garbage
+    stsz_at = bytes(payload).find(b"stsz")
+    sz_field = stsz_at + 4 + 4 + 8  # fourcc + version/flags + fixed/count
+    import struct as _s
+
+    payload[sz_field : sz_field + 4] = _s.pack(">I", 10_000_000)
+    with pytest.raises(ValueError, match="overruns"):
+        mm.mjpeg_mp4_frames(bytes(payload))
+    with pytest.raises(ValueError):
+        mm.mjpeg_mp4_encode([], 8, 8)
+
+
+def test_extract_features_real_mjpeg_decoder(spark):
+    """Video features for an MJPEG payload come from REAL decoded frame
+    pixels: [w, h, dur, n_frames, mean_all, mean_first, mean_last, 0]."""
+    frames_px, frames = _mjpeg_fixture(n_frames=2, w=16, h=8)
+    payload = mm.mjpeg_mp4_encode(frames, 16, 8, frame_ms=50)
+    df = spark.createDataFrame(
+        [(1, "video", payload, ("mp4", 16, 8, 100))], schema=mm.MEDIA_SCHEMA
+    )
+    feat = mm.extract_features(df).collect()[0].feature
+    assert feat[:4] == [16.0, 8.0, 100.0, 2.0]
+    expect_all = float(np.mean([p.mean() for p in frames_px]))
+    assert abs(feat[4] - np.concatenate([p.ravel() for p in frames_px]).mean()) < 1e-3
+    assert abs(feat[5] - frames_px[0].mean()) < 1e-3
+    assert abs(feat[6] - frames_px[1].mean()) < 1e-3

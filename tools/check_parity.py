@@ -101,7 +101,10 @@ def main() -> int:
     )
     con = duckdb_connection(sf_dir)
 
-    queries, oracles = e.queries(), e.oracle_sql()
+    # extras (consolidated out of the driver's 50 slots) are checkable
+    # here too; registered gates win on name clashes
+    queries = {**e.extra_queries(), **e.queries()}
+    oracles = {**e.extra_oracle_sql(), **e.oracle_sql()}
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
