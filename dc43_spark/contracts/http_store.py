@@ -27,9 +27,17 @@ from dc43_spark.contracts.store import _ResolveMixin
 Transport = Callable[[str, str, Optional[dict[str, Any]]], tuple[int, Any]]
 
 
-def urllib_transport(base_url: str, *, timeout: float = 10.0) -> Transport:
-    """Stdlib transport factory (no third-party HTTP client needed)."""
+def urllib_transport(
+    base_url: str, *, timeout: float = 10.0, token: Optional[str] = None
+) -> Transport:
+    """Stdlib transport factory (no third-party HTTP client needed).
+    ``token`` attaches ``Authorization: Bearer <token>`` to every call —
+    the client half of the service's bearer auth (ref auth.py:28-76)."""
     import urllib.request
+
+    headers = {"Content-Type": "application/json"}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
 
     def call(method: str, path: str, body: Optional[dict[str, Any]]) -> tuple[int, Any]:
         data = json.dumps(body).encode() if body is not None else None
@@ -37,7 +45,7 @@ def urllib_transport(base_url: str, *, timeout: float = 10.0) -> Transport:
             base_url.rstrip("/") + path,
             data=data,
             method=method,
-            headers={"Content-Type": "application/json"},
+            headers=dict(headers),
         )
         try:
             with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310

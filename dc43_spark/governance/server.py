@@ -75,8 +75,24 @@ class _Handler(BaseHTTPRequestHandler):
     def _gov(self) -> GovernanceStore:
         return self.server.governance_store  # type: ignore[attr-defined]
 
+    def _authorized(self) -> bool:
+        """Bearer-token check for every route (ref auth.py:28-76). The
+        expected token lives on the server object; no token configured
+        means an open service (local/dev topology)."""
+        expected = getattr(self.server, "auth_token", None)
+        if not expected:
+            return True
+        header = self.headers.get("Authorization") or ""
+        scheme, _, presented = header.partition(" ")
+        if scheme.lower() == "bearer" and presented.strip() == expected:
+            return True
+        self._send(401, {"detail": "Invalid authentication credentials"})
+        return False
+
     # -- dispatch ---------------------------------------------------------
     def do_GET(self) -> None:  # noqa: N802
+        if not self._authorized():
+            return
         url = urlparse(self.path)
         seg = _segments(url.path)
         if seg == ["contracts"]:
@@ -101,6 +117,8 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(404)
 
     def do_PUT(self) -> None:  # noqa: N802
+        if not self._authorized():
+            return
         seg = _segments(urlparse(self.path).path)
         body = self._body()
         if len(seg) == 3 and seg[0] == "contracts" and body is not None:
@@ -115,6 +133,8 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(404)
 
     def do_POST(self) -> None:  # noqa: N802
+        if not self._authorized():
+            return
         seg = _segments(urlparse(self.path).path)
         body = self._body()
         if seg == ["governance", "activity"] and body is not None:
@@ -136,10 +156,12 @@ class GovernanceServiceServer:
         *,
         host: str = "127.0.0.1",
         port: int = 0,
+        auth_token: Optional[str] = None,
     ) -> None:
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.contract_store = contract_store or MemoryContractStore()  # type: ignore[attr-defined]
         self._httpd.governance_store = governance_store or MemoryGovernanceStore()  # type: ignore[attr-defined]
+        self._httpd.auth_token = auth_token  # type: ignore[attr-defined]
         self._thread: Optional[threading.Thread] = None
 
     @property

@@ -39,3 +39,42 @@ def orders_df(spark, sf_dir):
 @pytest.fixture(scope="session")
 def customer_df(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+
+def executed_metrics(df) -> list[dict]:
+    """Materialise ``df`` and return one dict per physical node with its
+    runtime SQL metrics — the ground truth for scale-shape assertions
+    (files read, partitions after pruning, shuffle bytes). Walks into the
+    AQE final plan so post-reoptimization nodes are covered."""
+    df.collect()
+    out: list[dict] = []
+
+    def walk(node) -> None:
+        entry = {"node": node.nodeName()}
+        try:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                entry[kv._1()] = kv._2().value()
+        except Exception:
+            pass
+        out.append(entry)
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+        if node.nodeName() == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+        # broadcast/shuffle query stages wrap their subtree
+        for attr in ("plan", "broadcast", "shuffle"):
+            try:
+                walk(getattr(node, attr)())
+            except Exception:
+                pass
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def metric_sum(metrics: list[dict], node_substr: str, key: str) -> int:
+    return sum(
+        int(m.get(key, 0)) for m in metrics if node_substr in m["node"] and key in m
+    )

@@ -194,3 +194,61 @@ def test_streaming_crawl_dedup(spark, corpus, tmp_path):
 
     kept_all = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept_all == {50_002, 60_002}
+
+
+def test_probe_cost_flat_under_20x_index_growth(spark, corpus, tmp_path):
+    """The probe's SCALE CONTRACT (r5 verdict item 7): however large the
+    accepted corpus grows, the probe shuffles ONLY batch-derived rows —
+    the index relations stream map-only into broadcast joins. Verified on
+    runtime metrics: growing the index ~20x must leave the probe's
+    shuffled bytes and job count flat (scan bytes are ALLOWED to grow —
+    that's the map-only side) and the executed plan free of sort-merge
+    joins."""
+    from conftest import executed_metrics, metric_sum
+
+    idx = str(tmp_path / "ndx20")
+    base = corpus.filter("doc_id < 50")
+    di.minhash_index_write(base, idx)
+    # batch as a LOCAL relation: every 'Scan parquet' in the probe plan is
+    # then an INDEX scan, so scan-size sums measure index growth alone
+    batch = spark.createDataFrame(
+        [(int(r.doc_id), r.text) for r in
+         corpus.filter("doc_id >= 50 AND doc_id < 55").collect()],
+        "doc_id long, text string",
+    )
+
+    def run(tag):
+        spark.sparkContext.setJobGroup(tag, tag)
+        probe = di.minhash_index_probe(spark, idx, batch)
+        metrics = executed_metrics(probe)
+        spark.sparkContext.setJobGroup("", "")
+        jobs = len(spark.sparkContext.statusTracker().getJobIdsForGroup(tag))
+        return metrics, jobs
+
+    m1, jobs1 = run("probe-small")
+    # grow the index ~20x with synthetic variants of the whole corpus
+    # (distinct content: suffixing doc_id-derived tokens changes shingles)
+    for wave in range(4):
+        grown = corpus.select(
+            (F.col("doc_id") + 10_000 * (wave + 1)).alias("doc_id"),
+            F.concat_ws(
+                " ", F.col("text"), F.lit(f"wave{wave}"),
+                (F.col("doc_id") * (wave + 2)).cast("string"),
+            ).alias("text"),
+        )
+        di.minhash_index_append(spark, idx, grown)
+    m2, jobs2 = run("probe-grown")
+
+    scan_before = metric_sum(m1, "Scan parquet", "filesSize")
+    scan_after = metric_sum(m2, "Scan parquet", "filesSize")
+    assert scan_after > scan_before * 3  # the index really grew
+    sh_before = metric_sum(m1, "Exchange", "shuffleBytesWritten") + metric_sum(
+        m1, "ShuffleQueryStage", "shuffleBytesWritten"
+    )
+    sh_after = metric_sum(m2, "Exchange", "shuffleBytesWritten") + metric_sum(
+        m2, "ShuffleQueryStage", "shuffleBytesWritten"
+    )
+    # batch unchanged -> shuffled volume flat (tolerance for stats noise)
+    assert sh_after <= max(sh_before * 1.5, sh_before + 4096), (sh_before, sh_after)
+    assert jobs2 <= jobs1 + 1, (jobs1, jobs2)
+    assert not any("SortMergeJoin" in m["node"] for m in m2), [m["node"] for m in m2]

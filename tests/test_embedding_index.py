@@ -230,3 +230,62 @@ def test_streaming_embedding_crawl_dedup(spark, corpus, tmp_path):
     )
     q2.awaitTermination(120)
     assert {r.vec_id for r in spark.read.parquet(out).collect()} == {40_002, 41_002}
+
+
+def test_probe_scan_bounded_under_20x_index_growth(spark, corpus, tmp_path):
+    """The embedding index's SCALE CONTRACT (r5 verdict item 7): probe
+    scans are partition-pruned to the batch's (multi-probe) buckets, so a
+    ~20x corpus growth must leave the probed PARTITION count identical and
+    the probe's scan bytes far below the index's total size — probe cost
+    tracks the probed buckets' contents, never the corpus."""
+    import numpy as np
+
+    from conftest import executed_metrics, metric_sum
+
+    idx = str(tmp_path / "ei20")
+    ei.embedding_index_write(corpus, idx)
+    # batch = copies of two indexed vectors: guaranteed hits, so the
+    # result is non-empty and AQE's empty-relation propagation cannot
+    # replace the executed scans with an EmptyRelation (which would hide
+    # their metrics)
+    rows = corpus.orderBy("vec_id").limit(2).collect()
+    batch = spark.createDataFrame(
+        [(90_001, [float(x) for x in rows[0].embedding]),
+         (90_002, [float(x) for x in rows[1].embedding])],
+        "vec_id long, embedding array<double>",
+    )
+
+    def run(tag):
+        spark.sparkContext.setJobGroup(tag, tag)
+        metrics = executed_metrics(ei.embedding_index_probe(spark, idx, batch))
+        spark.sparkContext.setJobGroup("", "")
+        jobs = len(spark.sparkContext.statusTracker().getJobIdsForGroup(tag))
+        return metrics, jobs
+
+    m1, jobs1 = run("eprobe-small")
+    parts_before = metric_sum(m1, "Scan parquet", "numPartitions")
+    for wave in range(4):
+        grown = corpus.select(
+            (F.col("vec_id") + 100_000 * (wave + 1)).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * (wave + 2) + F.lit(0.001 * wave)
+            ).alias("embedding"),
+        )
+        ei.embedding_index_append(spark, idx, grown)
+    m2, jobs2 = run("eprobe-grown")
+    parts_after = metric_sum(m2, "Scan parquet", "numPartitions")
+
+    # same batch -> same probed buckets -> identical pruned partition count
+    assert parts_after == parts_before and 0 < parts_after <= 2 * 9 * 2
+    # probe scan touches a small fraction of the grown index
+    import subprocess
+
+    total_bytes = int(
+        subprocess.run(
+            ["du", "-sb", idx], capture_output=True, text=True
+        ).stdout.split()[0]
+    )
+    scan_after = metric_sum(m2, "Scan parquet", "filesSize")
+    assert scan_after < total_bytes * 0.5, (scan_after, total_bytes)
+    assert jobs2 <= jobs1 + 1
+    assert not any("SortMergeJoin" in m["node"] for m in m2)

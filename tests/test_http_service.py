@@ -74,3 +74,105 @@ def test_governance_service_over_remote_stores(spark, orders_df):
         assert service.dataset_contract("path:/driver/orders")["contract_version"] == contract.version
         assert len(service.pipeline_activity("path:/driver/orders")) == 1
         assert len(service.status_matrix("path:/driver/orders")) == 1
+
+
+def test_bearer_auth_401_on_bad_or_missing_token():
+    """An auth-configured service rejects missing/wrong bearer tokens on
+    every route with 401 (ref auth.py:28-76) and serves a correctly
+    authenticated client normally."""
+    import json
+    import urllib.request
+
+    server = GovernanceServiceServer(auth_token="s3cret")
+    with server as url:
+        # raw request without a token -> 401
+        try:
+            urllib.request.urlopen(url + "/contracts", timeout=5)
+            raise AssertionError("expected HTTP 401")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 401
+            assert json.loads(exc.read())["detail"].startswith("Invalid")
+        # wrong token -> 401 (via the client transport, which surfaces
+        # the status through store errors)
+        bad = HTTPContractStore(urllib_transport(url, token="wrong"))
+        try:
+            bad.put(orders_contract())
+            raise AssertionError("expected put to fail")
+        except RuntimeError as exc:
+            assert "401" in str(exc)
+        # correct token -> full round-trip works
+        good = HTTPContractStore(urllib_transport(url, token="s3cret"))
+        contract = orders_contract()
+        good.put(contract)
+        assert good.get(contract.id, contract.version) is not None
+        gov = HTTPGovernanceStore(urllib_transport(url, token="s3cret"))
+        gov.save_status("d", "v1", {"status": "ok"})
+        assert gov.load_status("d", "v1")["status"] == "ok"
+
+
+def test_bootstrap_config_builds_working_service(tmp_path, spark, orders_df):
+    """Declarative TOML + env wiring (ref config.py + bootstrap.py): the
+    config-built service passes the same evaluation flow the explicit
+    constructors do, and env vars override the file."""
+    from dc43_spark.governance import bootstrap as bs
+
+    cfg_file = tmp_path / "dc43.toml"
+    cfg_file.write_text(
+        f"""
+[contract_store]
+type = "filesystem"
+root = "{tmp_path / 'contracts'}"
+
+[governance_store]
+type = "sql"
+dsn = "{tmp_path / 'gov.db'}"
+
+[auth]
+token = "file-token"
+
+[service]
+draft_on_block = true
+"""
+    )
+    (tmp_path / "contracts").mkdir()
+    cfg = bs.load_config(str(cfg_file), env={})
+    assert cfg.contract_store.type == "filesystem"
+    assert cfg.governance_store.type == "sql"
+    assert cfg.auth.token == "file-token" and cfg.draft_on_block
+
+    # env overrides beat the file
+    cfg2 = bs.load_config(
+        str(cfg_file),
+        env={
+            "DC43_GOVERNANCE_STORE_TYPE": "memory",
+            "DC43_BACKEND_TOKEN": "env-token",
+        },
+    )
+    assert cfg2.governance_store.type == "memory"
+    assert cfg2.auth.token == "env-token"
+
+    svc = bs.build_service(cfg)
+    contract = orders_contract()
+    svc.contract_store.put(contract)
+    out = svc.evaluate_dataset(
+        orders_df, svc.resolve_contract(contract.id),
+        dataset_id="path:/o", dataset_version="v1", operation="write",
+    )
+    assert out.validation.ok
+    # persisted through the SQL store named in the file (real sf0.001
+    # orders carry rule warnings, so the verdict may be ok or warn — the
+    # point here is config-built wiring, not the verdict itself)
+    assert svc.dataset_status("path:/o", "v1")["status"] == out.validation.status
+
+    # config-built server carries the auth token end-to-end
+    with bs.build_server(cfg) as url:
+        with_token = HTTPContractStore(urllib_transport(url, token="file-token"))
+        with_token.put(contract)
+        assert with_token.versions(contract.id) == [contract.version]
+        import urllib.request
+
+        try:
+            urllib.request.urlopen(url + "/contracts", timeout=5)
+            raise AssertionError("expected HTTP 401")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 401
