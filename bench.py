@@ -63,6 +63,8 @@ HEADLINE = [
     "pii_redact_documents",
     "encode_tokens_documents",
     "curation_pipeline_documents",
+    "mix_by_lang_documents",
+    "bigram_familiarity_documents",
     # analytics
     "pricing_summary",
     "top_customers",
@@ -131,6 +133,8 @@ COUNT_ONLY = {
     "contamination_documents",
     "packed_chunks_documents",
     "train_split_documents",
+    "mix_by_lang_documents",
+    "bigram_familiarity_documents",
 }
 
 

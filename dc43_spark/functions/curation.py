@@ -198,6 +198,123 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def mix_by_weight(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    factors: dict[str, float],
+    *,
+    default_factor: float = 1.0,
+    seed: str = "dc43",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Deterministic domain re-weighting with FRACTIONAL epochs — the
+    data-mixture primitive (down-weight an over-represented domain,
+    repeat an under-represented one, e.g. multilingual rebalancing or
+    code/web/books mixture weights for a pre-training run).
+
+    Each row is emitted ``floor(f)`` times plus one more when its md5
+    bucket falls under ``frac(f)``, where ``f`` is its stratum's factor:
+    factor 0.8 keeps a deterministic 80% (same rule as
+    ``stratified_sample``), factor 2.5 emits every row twice plus a
+    deterministic half of them a third time. Emitted copies carry a
+    0-based ``copy`` index so downstream shuffling/packing can distinguish
+    them. Stable across runs/partitionings/engines: the bucket depends
+    only on (seed, key), so growing the corpus never changes which
+    existing rows repeat — the reproducibility contract ablations need.
+
+    Scale shape: one narrow projection + per-row ``explode(sequence)``;
+    ZERO shuffle, output volume = sum of factors weighted by strata
+    sizes. No epoch loop materialises the corpus N times — repetition is
+    a generator the consumer streams."""
+    for value, f in factors.items():
+        if f < 0:
+            raise ValueError(f"negative mix factor {f!r} for stratum {value!r}")
+    if default_factor < 0:
+        raise ValueError("default_factor must be >= 0")
+    fm: Column = F.lit(int(round(default_factor * MICRO)))
+    for value in sorted(factors):  # deterministic CASE order
+        fm = F.when(
+            F.col(strata_col) == value, F.lit(int(round(factors[value] * MICRO)))
+        ).otherwise(fm)
+    bucket = sample_bucket(key_col, seed=seed)
+    n_copies = (fm / F.lit(MICRO)).cast("long") + (bucket < fm % MICRO).cast("long")
+    return (
+        df.withColumn("_nc", n_copies)
+        .filter(F.col("_nc") > 0)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(0), (F.col("_nc") - 1).cast("int"))).alias(
+                copy_col
+            ),
+        )
+        .drop("_nc")
+    )
+
+
+def bigram_familiarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_count: int = 3,
+) -> DataFrame:
+    """Corpus-familiarity fluency score — the LM-scoring-lite quality
+    signal: per document, the fraction of its consecutive token bigrams
+    (with multiplicity) whose CORPUS frequency reaches ``min_count``.
+    Fluent running text repeats the corpus's common transitions; gibberish,
+    mangled extractions and boilerplate-free keyword spam score low. The
+    n-gram-LM idea without float log-probs: the score is an integer
+    micro-ratio, so it is exactly reproducible on any engine.
+
+    Output: (id, n_bigrams, common_micro); documents with fewer than two
+    tokens have 0 bigrams and a NULL score.
+
+    Scale shape: one explode of the token stream (bigram keys are md5-free
+    strings, partial-agg combine on the count), one count join keyed on
+    the bigram (hot bigrams are exactly what AQE skew-split handles), one
+    per-doc re-aggregation. Nothing is ever all-pairs and no vocabulary
+    is collected to the driver."""
+    toks = tokens(text_col)
+
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - 1)
+        return F.when(F.size(t) < 2, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i.cast("int")), F.element_at(t, (i + 1).cast("int"))
+                ),
+            )
+        )
+
+    bigrams = F.element_at(F.transform(F.array(toks), build), 1)
+    bg = df.select(F.col(id_col), F.explode(bigrams).alias("_bg"))
+    counts = bg.groupBy("_bg").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    per_doc = (
+        bg.join(counts, "_bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum((F.col("_c") >= min_count).cast("long")).alias("_common"),
+        )
+    )
+    # explode emits nothing for docs with <2 tokens — rejoin so they keep
+    # an explicit zero-bigram row instead of vanishing
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.when(
+                F.col("n_bigrams").isNotNull(),
+                micro_ratio(F.col("_common"), F.col("n_bigrams")),
+            ).alias("common_micro"),
+        )
+    )
+
+
 # ------------------------------------------------------------ vocabulary
 
 

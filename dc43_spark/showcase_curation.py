@@ -678,6 +678,83 @@ CURATION_ORACLES = {
     "curation_pipeline_documents": _curation_pipeline_sql(),
 }
 
+#: multilingual rebalancing mixture: down-weight the dominant language,
+#: repeat the under-represented ones with fractional epochs
+MIX_FACTORS = {"en": 0.75, "de": 2.5, "es": 2.0, "fr": 1.25, "zh": 3.0}
+MIX_SEED = "dc43-mix"
+
+
+def q_mix_by_lang_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch data mixture (curation.mix_by_weight): every doc
+    is emitted floor(f) times plus one deterministic extra when its md5
+    bucket < frac(f), f per language — the Llama-style domain-mixture
+    primitive, zero shuffle. Oracle recomputes copies via a bounded range
+    join on the same integer bucket rule."""
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "lang")
+    return cu.mix_by_weight(
+        docs, "doc_id", "lang", MIX_FACTORS, default_factor=1.0, seed=MIX_SEED
+    )
+
+
+def _mix_by_lang_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {int(round(f * cu.MICRO))}"
+        for lang, f in sorted(MIX_FACTORS.items())
+    )
+    max_copies = int(max(MIX_FACTORS.values())) + 1
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5('{MIX_SEED}|' || doc_id::VARCHAR), 1, 12))::BIGINT
+      % 1000000 AS bkt,
+    CASE lang {cases} ELSE 1000000 END AS fm
+  FROM documents
+), c AS (
+  SELECT doc_id, lang,
+         fm // 1000000 + CASE WHEN bkt < fm % 1000000 THEN 1 ELSE 0 END AS nc
+  FROM b
+)
+SELECT doc_id, lang, CAST(g.g AS INTEGER) AS copy
+FROM c, range(0, {max_copies}) g(g) WHERE g.g < nc
+"""
+
+
+def q_bigram_familiarity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-familiarity fluency scoring (curation.bigram_familiarity):
+    per doc, the micro-fraction of its token bigrams whose corpus
+    frequency reaches 3 — the integer-exact stand-in for n-gram-LM
+    perplexity filtering. Oracle recomputes the full count-join in SQL."""
+    docs = load_spread(spark, sf_dir, "documents")
+    return cu.bigram_familiarity(docs, min_count=3)
+
+
+_BIGRAM_FAMILIARITY_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest([tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))]) AS b
+  FROM toks
+), cnt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY b
+), per_doc AS (
+  SELECT bg.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN cnt.c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS com
+  FROM bg JOIN cnt USING (b) GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       CASE WHEN p.n_bigrams IS NOT NULL
+            THEN (2 * p.com * 1000000 + p.n_bigrams) // (2 * p.n_bigrams) END
+         AS common_micro
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 #: gates consolidated OUT of the driver's 50-slot correctness window (r5):
 #: sample_split_documents unions stratified_sample + train_split verbatim,
 #: and packed_chunks_documents now pins the chunker's text via chunk_hash.
@@ -686,10 +763,14 @@ EXTRA_QUERIES = {
     "stratified_sample_documents": q_stratified_sample_documents,
     "train_split_documents": q_train_split_documents,
     "chunk_documents": q_chunk_documents,
+    "mix_by_lang_documents": q_mix_by_lang_documents,
+    "bigram_familiarity_documents": q_bigram_familiarity_documents,
 }
 
 EXTRA_ORACLES = {
     "stratified_sample_documents": _stratified_sample_sql(),
     "train_split_documents": _train_split_sql(),
     "chunk_documents": _CHUNK_SQL,
+    "mix_by_lang_documents": _mix_by_lang_sql(),
+    "bigram_familiarity_documents": _BIGRAM_FAMILIARITY_SQL,
 }

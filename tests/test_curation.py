@@ -450,3 +450,77 @@ def test_train_bpe_documents_slice(spark, sf_dir):
     got = cu.train_bpe(docs, n_merges=12)
     want = _ref_bpe([r.text for r in docs.select("text").collect()], 12)
     assert got == want
+
+
+def test_mix_by_weight_fractional_epochs(spark):
+    """Factor 2.5 -> every row twice + a deterministic half a third time;
+    factor 0.5 -> a deterministic half once; factor 0 -> dropped. Copy
+    indices are dense 0..n-1 and the op is reproducible."""
+    from dc43_spark.functions import curation as cu
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 400 else ("b" if i < 800 else "c")) for i in range(1200)],
+        "k long, dom string",
+    )
+    out = cu.mix_by_weight(df, "k", "dom", {"a": 2.5, "b": 0.5, "c": 0.0})
+    rows = out.collect()
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r.dom, {}).setdefault(r.k, []).append(r.copy)
+    assert "c" not in by_dom  # factor 0 drops the stratum entirely
+    # a: every key 2 or 3 copies, total ~2.5x, copies dense from 0
+    a_counts = {k: sorted(v) for k, v in by_dom["a"].items()}
+    assert set(len(v) for v in a_counts.values()) == {2, 3}
+    assert all(v == list(range(len(v))) for v in a_counts.values())
+    total_a = sum(len(v) for v in a_counts.values())
+    assert 400 * 2 < total_a < 400 * 3 and abs(total_a - 1000) < 60
+    # b: kept keys have exactly one copy, ~half kept
+    b_counts = {k: v for k, v in by_dom["b"].items()}
+    assert all(v == [0] for v in b_counts.values())
+    assert abs(len(b_counts) - 200) < 40
+    # deterministic: same output on re-run
+    again = sorted((r.k, r.dom, r.copy) for r in
+                   cu.mix_by_weight(df, "k", "dom", {"a": 2.5, "b": 0.5, "c": 0.0}).collect())
+    assert again == sorted((r.k, r.dom, r.copy) for r in rows)
+    # kept fraction agrees with stratified_sample's rule (same bucket)
+    strat = {r.k for r in cu.stratified_sample(df, "k", "dom", {"b": 0.5}).collect()}
+    assert strat == set(b_counts)
+    with pytest.raises(ValueError):
+        cu.mix_by_weight(df, "k", "dom", {"a": -1.0})
+
+
+def test_mix_by_weight_zero_shuffle(spark):
+    from dc43_spark.functions import curation as cu
+    from dc43_spark.io.bucketing import plan_string
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("dom")
+    )
+    out = cu.mix_by_weight(df, "k", "dom", {"0": 2.0, "1": 0.5})
+    plan = plan_string(out, "simple")
+    assert "Exchange" not in plan  # narrow generator: explode, no shuffle
+
+
+def test_bigram_familiarity_scores(spark):
+    """Common-transition text scores high; a doc of unique gibberish
+    scores 0; short docs get 0 bigrams and NULL score."""
+    from dc43_spark.functions import curation as cu
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on a chair"),
+        (3, "the cat sat on the rug"),
+        (4, "zq xv qj wk pz mn"),      # unique bigrams only
+        (5, "word"),                    # 1 token -> no bigrams
+        (6, ""),                        # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in cu.bigram_familiarity(df, min_count=3).collect()}
+    assert out[1].n_bigrams == 5 and out[4].n_bigrams == 5
+    # 'the cat'/'cat sat'/'sat on' appear 3x -> common; doc1 has 3/5
+    assert out[1].common_micro == 600000
+    assert out[2].common_micro == 600000
+    assert out[4].common_micro == 0
+    assert out[5].n_bigrams == 0 and out[5].common_micro is None
+    assert out[6].n_bigrams == 0 and out[6].common_micro is None
+    assert set(out) == {1, 2, 3, 4, 5, 6}  # nothing vanishes
