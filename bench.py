@@ -65,6 +65,7 @@ HEADLINE = [
     "curation_pipeline_documents",
     "mix_by_lang_documents",
     "bigram_familiarity_documents",
+    "filter_report_documents",
     # analytics
     "pricing_summary",
     "top_customers",

@@ -990,3 +990,161 @@ def bpe_segment(text: str, merges: list) -> list:
             syms = _merge_word(syms, left, right)
         out.extend(syms)
     return out
+
+
+# ------------------------------------------ learned quality classifier
+
+
+def feature_hash(token: Column, n_features: int) -> Column:
+    """Deterministic hashed-feature index for a token: 28-bit md5 prefix
+    mod ``n_features`` — engine-stable (same idiom as dedup.shingle_hash),
+    so a model trained here scores identically anywhere md5 exists."""
+    return (
+        F.conv(F.substring(F.md5(token), 1, 7), 16, 10).cast("long")
+        % n_features
+    )
+
+
+def train_quality_lr(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    *,
+    n_features: int = 1024,
+    iters: int = 20,
+    learn_rate: float = 0.5,
+) -> dict:
+    """Distributed logistic-regression quality classifier over hashed
+    bag-of-token counts — the fastText-style learned filter that replaces
+    hand-tuned heuristics once weak labels exist (e.g. ``corpus_filter``
+    verdicts, or "wiki=1 / crawl=0" reference corpora).
+
+    Returns ``{"bias": float, "weights": [n_features floats],
+    "n_features": int}`` — a driver-side artifact by definition (fixed
+    size, like k-means centroids or BPE merges).
+
+    Distributed formulation: the per-document SPARSE feature vectors
+    (hashed token counts, L1-normalised by document length) are built once
+    — one explode + one (id, idx) aggregation — and PERSISTED; each of the
+    ``iters`` full-batch gradient steps is then
+
+    1. margins: a zip_with/aggregate EXPRESSION against the current
+       weights as a literal array — narrow, no shuffle, no Python;
+    2. gradient: explode the sparse entries weighted by the per-doc
+       residual, ONE partially-aggregated shuffle keyed on the feature
+       index (at most ``n_features`` rows reach the driver).
+
+    Per-round cost is one bounded shuffle — the train_bpe cost shape — and
+    the state never leaves the cluster; only gradients (n_features
+    doubles) move. Floats: gradient sums are doubles, so cross-run bit
+    identity is not guaranteed (aggregation order) — tests pin agreement
+    with an independent NumPy trainer to 1e-6, and scoring is exactly
+    reproducible GIVEN a weight vector."""
+    from dc43_spark.functions.text import tokens as _tokens
+
+    n = F.size(_tokens(text_col)).cast("double")
+    feats = (
+        df.select(
+            F.monotonically_increasing_id().alias("_rid"),
+            F.col(label_col).cast("double").alias("_y"),
+            _tokens(text_col).alias("_t"),
+        )
+        .filter(F.size("_t") > 0)
+        .select(
+            "_rid", "_y",
+            F.explode("_t").alias("_tok"),
+            F.size("_t").cast("double").alias("_n"),
+        )
+        .select(
+            "_rid", "_y", feature_hash(F.col("_tok"), n_features).alias("_idx"), "_n"
+        )
+        .groupBy("_rid", "_y", "_idx")
+        .agg((F.count(F.lit(1)) / F.first("_n")).alias("_v"))
+        .groupBy("_rid", "_y")
+        .agg(
+            F.collect_list(F.struct("_idx", "_v")).alias("_sparse"),
+        )
+        .select(
+            "_rid", "_y",
+            F.transform("_sparse", lambda s: s["_idx"].cast("int")).alias("_idxs"),
+            F.transform("_sparse", lambda s: s["_v"]).alias("_vals"),
+        )
+        .persist()
+    )
+    n_docs = feats.count()
+    if n_docs == 0:
+        raise ValueError("no non-empty documents to train on")
+
+    import numpy as np
+
+    w = np.zeros(n_features, dtype=np.float64)
+    bias = 0.0
+    for _ in range(iters):
+        w_lit = F.lit([float(x) for x in w])
+        margin = F.lit(bias) + F.aggregate(
+            F.zip_with(
+                "_idxs", "_vals",
+                lambda i, v: F.element_at(w_lit, i + 1) * v,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        err = (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - F.col("_y")).alias("_e")
+        scored = feats.select("_idxs", "_vals", err)
+        grad_rows = (
+            scored.select(
+                F.explode(F.arrays_zip("_idxs", "_vals")).alias("_z"), "_e"
+            )
+            .groupBy(F.col("_z._idxs").alias("_idx"))
+            .agg(F.sum(F.col("_z._vals") * F.col("_e")).alias("_g"))
+            .collect()
+        )
+        bias_err = scored.agg(F.sum("_e").alias("_s")).collect()[0]["_s"]
+        grad = np.zeros(n_features, dtype=np.float64)
+        for r in grad_rows:
+            grad[int(r["_idx"])] = float(r["_g"])
+        w -= learn_rate * grad / n_docs
+        bias -= learn_rate * float(bias_err) / n_docs
+    feats.unpersist()
+    return {
+        "bias": float(bias),
+        "weights": [float(x) for x in w],
+        "n_features": n_features,
+    }
+
+
+def quality_lr_score(
+    df: DataFrame,
+    model: dict,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "quality_prob",
+) -> DataFrame:
+    """Score documents with a trained ``train_quality_lr`` model: sigmoid
+    of bias + mean over tokens of w[hash(token)] (identical to the
+    training featurisation — hashed counts L1-normalised by length).
+
+    Pure JVM expression against the weights as a literal array — zero
+    shuffle, streams at scan speed; empty documents score NULL."""
+    from dc43_spark.functions.text import tokens as _tokens
+
+    w_lit = F.lit([float(x) for x in model["weights"]])
+    n_features = int(model["n_features"])
+    toks = _tokens(text_col)
+
+    def build(t: Column) -> Column:
+        total = F.aggregate(
+            F.transform(
+                t, lambda tok: F.element_at(w_lit, (feature_hash(tok, n_features) + 1).cast("int"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        margin = F.lit(float(model["bias"])) + total / F.size(t)
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+
+    score = F.when(
+        F.size(toks) > 0, F.element_at(F.transform(F.array(toks), build), 1)
+    )
+    return df.select(F.col(id_col), score.alias(score_col))

@@ -678,6 +678,39 @@ CURATION_ORACLES = {
     "curation_pipeline_documents": _curation_pipeline_sql(),
 }
 
+def q_filter_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: the drop-reason HISTOGRAM of the corpus
+    filter — one row per individual reason (exploded from the ordered
+    drop_reasons string) plus a 'kept' row, each with its doc count. This
+    is the number a curation run reports to its operators ("34% dropped
+    for low_stopword"); the oracle recomposes it from the filter SQL, so
+    reason attribution (not just the final verdict) is hash-pinned."""
+    flt = cu.corpus_filter(load_spread(spark, sf_dir, "documents"))
+    reasons = flt.select(
+        F.explode(
+            F.when(F.col("keep"), F.array(F.lit("kept"))).otherwise(
+                F.split(F.col("drop_reasons"), ",")
+            )
+        ).alias("reason")
+    )
+    return reasons.groupBy("reason").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def _filter_report_sql() -> str:
+    return f"""
+WITH f AS ({_corpus_filter_sql()}),
+r AS (
+  SELECT unnest(
+    CASE WHEN keep THEN ['kept'] ELSE string_split(drop_reasons, ',') END
+  ) AS reason
+  FROM f
+)
+SELECT reason, CAST(count(*) AS BIGINT) AS n_docs FROM r GROUP BY reason
+"""
+
+
 #: multilingual rebalancing mixture: down-weight the dominant language,
 #: repeat the under-represented ones with fractional epochs
 MIX_FACTORS = {"en": 0.75, "de": 2.5, "es": 2.0, "fr": 1.25, "zh": 3.0}
@@ -765,6 +798,7 @@ EXTRA_QUERIES = {
     "chunk_documents": q_chunk_documents,
     "mix_by_lang_documents": q_mix_by_lang_documents,
     "bigram_familiarity_documents": q_bigram_familiarity_documents,
+    "filter_report_documents": q_filter_report_documents,
 }
 
 EXTRA_ORACLES = {
@@ -773,4 +807,5 @@ EXTRA_ORACLES = {
     "chunk_documents": _CHUNK_SQL,
     "mix_by_lang_documents": _mix_by_lang_sql(),
     "bigram_familiarity_documents": _BIGRAM_FAMILIARITY_SQL,
+    "filter_report_documents": _filter_report_sql(),
 }

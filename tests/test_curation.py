@@ -524,3 +524,79 @@ def test_bigram_familiarity_scores(spark):
     assert out[5].n_bigrams == 0 and out[5].common_micro is None
     assert out[6].n_bigrams == 0 and out[6].common_micro is None
     assert set(out) == {1, 2, 3, 4, 5, 6}  # nothing vanishes
+
+
+def _np_lr_reference(rows, n_features, iters, lr):
+    """Independent dense-NumPy twin of train_quality_lr (same hashed
+    featurisation, same full-batch GD updates)."""
+    import hashlib
+
+    import numpy as np
+
+    def fh(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:7], 16) % n_features
+
+    X, y = [], []
+    for _, label, text in rows:
+        toks = text.split()
+        if not toks:
+            continue
+        x = np.zeros(n_features)
+        for t in toks:
+            x[fh(t)] += 1.0 / len(toks)
+        X.append(x)
+        y.append(float(label))
+    X, y = np.array(X), np.array(y)
+    w, b = np.zeros(n_features), 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        err = p - y
+        w -= lr * (X.T @ err) / len(y)
+        b -= lr * err.sum() / len(y)
+    return w, b
+
+
+def test_train_quality_lr_matches_numpy_reference(spark):
+    from dc43_spark.functions import curation as cu
+
+    rows = [
+        (i, 1 if i % 2 == 0 else 0,
+         ("good clean prose text here sample %d" % (i % 5)) if i % 2 == 0
+         else ("spam junk buy now click %d" % (i % 7)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, label int, text string")
+    model = cu.train_quality_lr(
+        df, "label", n_features=64, iters=8, learn_rate=0.5
+    )
+    w_ref, b_ref = _np_lr_reference(rows, 64, 8, 0.5)
+    import numpy as np
+
+    assert abs(model["bias"] - b_ref) < 1e-6
+    assert np.allclose(np.array(model["weights"]), w_ref, atol=1e-6)
+
+
+def test_quality_lr_separates_and_scores_at_scan_speed(spark):
+    from dc43_spark.functions import curation as cu
+    from dc43_spark.io.bucketing import plan_string
+
+    good = ["the quick brown fox jumps with fluent readable sentences %d" % i
+            for i in range(40)]
+    bad = ["zzz xxx qqq kkk www lll %d" % i for i in range(40)]
+    rows = [(i, 1, t) for i, t in enumerate(good)] + [
+        (100 + i, 0, t) for i, t in enumerate(bad)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, label int, text string")
+    model = cu.train_quality_lr(df, "label", n_features=256, iters=25)
+    scored = cu.quality_lr_score(df, model)
+    probs = {r.doc_id: r.quality_prob for r in scored.collect()}
+    good_scores = [probs[i] for i in range(40)]
+    bad_scores = [probs[100 + i] for i in range(40)]
+    assert min(good_scores) > max(bad_scores)  # fully separable corpus
+    # scoring is a pure projection: zero shuffle, no Python in the plan
+    plan = plan_string(scored, "simple")
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    # empty docs score NULL, and every row survives
+    extra = spark.createDataFrame([(999, 1, "")], "doc_id long, label int, text string")
+    out = {r.doc_id: r.quality_prob for r in cu.quality_lr_score(extra, model).collect()}
+    assert out == {999: None}
