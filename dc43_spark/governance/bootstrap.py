@@ -79,6 +79,7 @@ class AuthConfig:
 class ServiceConfig:
     contract_store: StoreConfig = field(default_factory=StoreConfig)
     governance_store: StoreConfig = field(default_factory=StoreConfig)
+    product_store: StoreConfig = field(default_factory=StoreConfig)
     auth: AuthConfig = field(default_factory=AuthConfig)
     draft_on_block: bool = False
 
@@ -97,12 +98,14 @@ def load_config(
     cfg = ServiceConfig(
         contract_store=StoreConfig.from_mapping(data.get("contract_store", {})),
         governance_store=StoreConfig.from_mapping(data.get("governance_store", {})),
+        product_store=StoreConfig.from_mapping(data.get("product_store", {})),
         auth=AuthConfig(token=(data.get("auth", {}) or {}).get("token")),
         draft_on_block=bool((data.get("service", {}) or {}).get("draft_on_block", False)),
     )
     for store, prefix in (
         (cfg.contract_store, "DC43_CONTRACT_STORE"),
         (cfg.governance_store, "DC43_GOVERNANCE_STORE"),
+        (cfg.product_store, "DC43_DATA_PRODUCT_STORE"),
     ):
         if env.get(f"{prefix}_TYPE"):
             store.type = env[f"{prefix}_TYPE"]
@@ -170,6 +173,35 @@ def build_governance_store(cfg: StoreConfig, *, spark=None) -> GovernanceStore:
             urllib_transport(cfg.base_url, timeout=cfg.timeout, token=cfg.token)
         )
     raise ValueError(f"unknown governance store type {cfg.type!r}")
+
+
+def build_product_store(cfg: StoreConfig):
+    from dc43_spark.products.store import (
+        FSProductStore,
+        MemoryProductStore,
+        SQLProductStore,
+    )
+
+    kind = (cfg.type or "memory").lower()
+    if kind == "memory":
+        return MemoryProductStore()
+    if kind == "filesystem":
+        if not cfg.root:
+            raise ValueError("filesystem product store needs root=")
+        return FSProductStore(cfg.root)
+    if kind == "sql":
+        return SQLProductStore(cfg.dsn or ":memory:")
+    raise ValueError(f"unknown product store type {cfg.type!r}")
+
+
+def build_registry(cfg: ServiceConfig, *, spark=None):
+    """A ready ProductRegistry (port-bound governed IO) from config."""
+    from dc43_spark.products.odps import ProductRegistry
+
+    return ProductRegistry(
+        build_contract_store(cfg.contract_store, spark=spark),
+        build_product_store(cfg.product_store),
+    )
 
 
 def build_service(cfg: ServiceConfig, *, spark=None) -> GovernanceService:

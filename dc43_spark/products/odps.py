@@ -107,11 +107,19 @@ class DataProduct:
 
 
 class ProductRegistry:
-    """In-memory product catalog with contract resolution through ports."""
+    """Product catalog with contract resolution through ports.
 
-    def __init__(self, contract_store: ContractStore) -> None:
+    Backed by any ``ProductStore`` (memory default; FS/SQL persistence in
+    ``products/store.py`` — the reference's data-product store tiers), so
+    a registry survives the session when given a persistent store."""
+
+    def __init__(self, contract_store: ContractStore, product_store=None) -> None:
+        from dc43_spark.products.store import MemoryProductStore
+
         self.contract_store = contract_store
-        self._products: dict[tuple[str, str], DataProduct] = {}
+        self.product_store = (
+            product_store if product_store is not None else MemoryProductStore()
+        )
 
     def register(self, product: DataProduct, *, enforce_contracts: bool = True) -> None:
         if enforce_contracts:
@@ -128,13 +136,12 @@ class ProductRegistry:
                         f"port {port.name!r} of {product.id} binds unknown contract "
                         f"{port.contract_id} {port.contract_version}"
                     )
-        self._products[(product.id, product.version)] = product
+        self.product_store.put(product)
 
     def get(self, product_id: str, version: Optional[str] = None) -> Optional[DataProduct]:
         if version is not None:
-            return self._products.get((product_id, version))
-        versions = sorted(v for (pid, v) in self._products if pid == product_id)
-        return self._products.get((product_id, versions[-1])) if versions else None
+            return self.product_store.get(product_id, version)
+        return self.product_store.latest(product_id)
 
     def resolve_output_contract(self, product_id: str, port_name: str) -> Contract:
         """Contract behind a product's output port (ref local.py:1279-1366)."""

@@ -150,3 +150,94 @@ def test_governance_service_over_spark_table_store(spark):
     assert svc.dataset_status("table:orders", "1.0.0")["status"] == "ok"
     assert svc.dataset_contract("table:orders")["contract_id"] == "test.orders"
     assert len(svc.pipeline_activity("table:orders")) == 1
+
+
+def test_product_stores_roundtrip_and_port_registration(tmp_path):
+    """FS/SQL product stores persist ODPS documents across instances, and
+    register_port evolves a bumped immutable version per port change (ref
+    data_products/backend/stores + interface.py:53-75)."""
+    from dc43_spark.products import (
+        DataProduct, FSProductStore, Port, ProductRegistry, SQLProductStore,
+        register_port,
+    )
+
+    product = DataProduct(
+        id="sales.analytics", version="1.0.0",
+        output_ports=[Port(name="gold", contract_id="test.orders")],
+    )
+    for store in (FSProductStore(tmp_path / "products"),
+                  SQLProductStore(str(tmp_path / "products.db"))):
+        store.put(product)
+        assert store.get("sales.analytics", "1.0.0").to_dict() == product.to_dict()
+        assert store.versions("sales.analytics") == ["1.0.0"]
+        assert store.list_ids() == ["sales.analytics"]
+        assert store.latest("sales.analytics").version == "1.0.0"
+
+    # persistence across instances (FS)
+    again = FSProductStore(tmp_path / "products")
+    assert again.latest("sales.analytics").version == "1.0.0"
+
+    # idempotent port registration: identical port -> no new version
+    store = SQLProductStore(str(tmp_path / "reg.db"))
+    store.put(product)
+    same = register_port(
+        store, "sales.analytics", Port(name="gold", contract_id="test.orders")
+    )
+    assert same.version == "1.0.0" and store.versions("sales.analytics") == ["1.0.0"]
+    # new port -> minor bump, old version untouched
+    evolved = register_port(
+        store, "sales.analytics",
+        Port(name="silver", contract_id="test.orders"), bump="minor",
+    )
+    assert evolved.version == "1.1.0"
+    assert [p.name for p in evolved.output_ports] == ["gold", "silver"]
+    assert [p.name for p in store.get("sales.analytics", "1.0.0").output_ports] == ["gold"]
+    # changed binding on an existing port name -> replaced + bumped
+    rebound = register_port(
+        store, "sales.analytics",
+        Port(name="gold", contract_id="test.orders", contract_version="==1.0.0"),
+        bump="patch",
+    )
+    assert rebound.version == "1.1.1"
+    gold = next(p for p in rebound.output_ports if p.name == "gold")
+    assert gold.contract_version == "==1.0.0"
+    # unknown product bootstraps at 0.1.0 with the port attached
+    fresh = register_port(store, "ml.features", Port(name="in", contract_id="c"), kind="input")
+    assert fresh.version == "0.1.0" and fresh.input_ports[0].name == "in"
+
+    # the registry runs unchanged on a persistent store
+    cs = MemoryContractStore()
+    cs.put(orders_contract("1.0.0"))
+    reg = ProductRegistry(cs, FSProductStore(tmp_path / "reg_fs"))
+    reg.register(DataProduct(
+        id="p", output_ports=[Port(name="out", contract_id="test.orders")]))
+    assert reg.resolve_output_contract("p", "out").version == "1.0.0"
+    reg2 = ProductRegistry(cs, FSProductStore(tmp_path / "reg_fs"))
+    assert reg2.resolve_output_contract("p", "out").version == "1.0.0"
+
+
+def test_bootstrap_builds_product_registry(tmp_path):
+    from dc43_spark.governance import bootstrap as bs
+    from dc43_spark.products import DataProduct, Port
+
+    cfg_file = tmp_path / "svc.toml"
+    cfg_file.write_text(f"""
+[contract_store]
+type = "sql"
+dsn = "{tmp_path / 'c.db'}"
+
+[product_store]
+type = "sql"
+dsn = "{tmp_path / 'p.db'}"
+""")
+    cfg = bs.load_config(str(cfg_file), env={})
+    reg = bs.build_registry(cfg)
+    reg.contract_store.put(orders_contract())
+    reg.register(DataProduct(
+        id="p", output_ports=[Port(name="out", contract_id="test.orders")]))
+    # a second registry over the same config sees the persisted product
+    reg2 = bs.build_registry(cfg)
+    assert reg2.resolve_output_contract("p", "out").id == "test.orders"
+    # env overrides the product store type
+    cfg2 = bs.load_config(str(cfg_file), env={"DC43_DATA_PRODUCT_STORE_TYPE": "memory"})
+    assert cfg2.product_store.type == "memory"
