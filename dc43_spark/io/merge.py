@@ -117,13 +117,35 @@ def merge_with_contract(
     delete_predicate: Optional[str] = None,
     enforce: bool = True,
     auto_cast: bool = True,
+    interceptors: Optional[list] = None,
 ) -> MergeResult:
     """Validate ``source_df`` against ``contract`` then upsert into target.
 
     ``when_matched`` in {"update", "ignore"}; ``when_not_matched`` in
     {"insert", "ignore"}; ``delete_predicate`` is a SQL predicate over the
     source columns (prefix ``s.``) deleting matched rows, mirroring the
-    reference's arbitrary-condition merge builder (merge.py:43-127)."""
+    reference's arbitrary-condition merge builder (merge.py:43-127).
+
+    Interceptors run around the merge like any governed write (explicit
+    list, else conf/env discovery — io/status.py): ``pre_write`` may
+    replace the source frame before validation, ``post_write`` observes
+    the verdict."""
+    if interceptors is None:
+        from dc43_spark.io.status import discover_interceptors
+
+        interceptors = discover_interceptors(spark, "write")
+    io_ctx = None
+    if interceptors:
+        from dc43_spark.io.status import IoContext
+
+        io_ctx = IoContext(
+            operation="merge", contract=contract,
+            path=path, table=table, format=format,
+        )
+        for hook in interceptors:
+            replacement = hook.pre_write(io_ctx, source_df)
+            if replacement is not None:
+                source_df = replacement
     if when_matched not in ("update", "ignore"):
         raise ValueError(f"when_matched must be update|ignore, got {when_matched!r}")
     if when_not_matched not in ("insert", "ignore"):
@@ -151,6 +173,12 @@ def merge_with_contract(
         )
     aligned = apply_contract(source_df, contract, auto_cast=auto_cast)
 
+    def _done(result: MergeResult) -> MergeResult:
+        if interceptors:
+            for hook in interceptors:
+                hook.post_write(io_ctx, result.validation)
+        return result
+
     if fmt == "delta" and delta_available():  # pragma: no cover - env-gated
         from delta.tables import DeltaTable
 
@@ -166,7 +194,7 @@ def merge_with_contract(
         if when_not_matched == "insert":
             builder = builder.whenNotMatchedInsertAll()
         builder.execute()
-        return MergeResult(validation, "delta", path, table)
+        return _done(MergeResult(validation, "delta", path, table))
 
     # -------- parquet fallback: outer-join rewrite + atomic dir swap
     target_exists = (path is not None and os.path.exists(path)) or (
@@ -174,12 +202,12 @@ def merge_with_contract(
     )
     if not target_exists:
         if when_not_matched != "insert":
-            return MergeResult(validation, "initial-write", path, table)
+            return _done(MergeResult(validation, "initial-write", path, table))
         write_with_contract(
             aligned, contract, path=path, table=table, format=fmt,
             mode="overwrite", enforce=False,
         )
-        return MergeResult(validation, "initial-write", path, table)
+        return _done(MergeResult(validation, "initial-write", path, table))
 
     target = (
         spark.read.table(table) if table else spark.read.format(fmt or "parquet").load(path)
@@ -195,7 +223,7 @@ def merge_with_contract(
         # a table it is reading from without a barrier)
         tmp = merged.localCheckpoint(eager=True)
         tmp.write.mode("overwrite").saveAsTable(table)
-        return MergeResult(validation, "outer-join-rewrite", path, table)
+        return _done(MergeResult(validation, "outer-join-rewrite", path, table))
 
     tmp_dir = tempfile.mkdtemp(prefix="dc43_merge_", dir=os.path.dirname(path.rstrip("/")) or ".")
     try:
@@ -207,4 +235,4 @@ def merge_with_contract(
     except BaseException:
         shutil.rmtree(tmp_dir, ignore_errors=True)
         raise
-    return MergeResult(validation, "outer-join-rewrite", path, table)
+    return _done(MergeResult(validation, "outer-join-rewrite", path, table))

@@ -108,3 +108,30 @@ def test_merge_composite_keys(spark, tmp_path):
     src = spark.createDataFrame([(1, "a", 100.0)], SCHEMA)
     merge_with_contract(spark, src, contract(), keys=["k", "v"], path=target)
     assert rows(spark.read.parquet(target)) == [(1, "a", 100.0), (1, "b", 2.0)]
+
+
+def test_merge_runs_interceptors(spark, tmp_path):
+    """merge_with_contract fires the same hook surface as governed
+    writes: pre_write may replace the source, post_write sees the
+    verdict (r6: interceptor coverage extended to the merge path)."""
+    from dc43_spark.io.status import GovernanceInterceptor
+
+    calls = []
+
+    class Rec(GovernanceInterceptor):
+        def pre_write(self, ctx, df):
+            calls.append(("pre", ctx.operation))
+            return df.filter("amount > 0")
+
+        def post_write(self, ctx, result):
+            calls.append(("post", result.status))
+
+    target = str(tmp_path / "m")
+    good = spark.createDataFrame([(1, "a", 5.0), (2, "b", -1.0)], SCHEMA)
+    res = merge_with_contract(
+        spark, good, contract(), keys=["k"], path=target, interceptors=[Rec()]
+    )
+    assert res.strategy == "initial-write"
+    assert calls == [("pre", "merge"), ("post", "ok")]
+    # the pre_write filter removed the bad row before validation/write
+    assert spark.read.parquet(target).count() == 1
