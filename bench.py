@@ -37,6 +37,7 @@ HEADLINE = [
     "minhash_near_dup_documents",
     "near_dup_pairs_documents",
     "dedup_clusters_documents",
+    "duplicated_spans_documents",
     "quality_documents",
     "multimodal_stats",
     "frame_plan_documents",
@@ -112,6 +113,7 @@ COUNT_ONLY = {
     "minhash_documents",
     "simhash_documents",
     "dedup_exact_documents",
+    "duplicated_spans_documents",
     "events_hourly",
     "events_rollup",
     "asof_purchase_attribution",

@@ -618,3 +618,128 @@ def dedup_clusters(
         F.coalesce(labeled.root, df[id_col]).alias("cluster_id"),
         F.coalesce(labeled._csize, F.lit(1).cast("long")).alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------- duplicated spans
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN mining (the substring-level dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): for every document, the maximal runs of consecutive
+    k-token windows whose window text occurs at least ``min_occurrences``
+    times in the WHOLE corpus (counting every occurrence, same-document
+    repeats included). Near-dup detection asks "are these documents
+    similar"; this asks "which exact passages are boilerplate" — the
+    operator that finds licence headers, navigation chrome and copied
+    paragraphs inside otherwise-unique documents.
+
+    Output: (id, start_pos, n_windows, span_tokens) — ``start_pos`` is
+    the 0-based token index of the first duplicated window, and the span
+    covers ``span_tokens = n_windows + k - 1`` tokens. Downstream
+    removal keeps one canonical occurrence and strips the rest (see
+    ``strip_spans``); emitting the spans separately keeps the removal
+    policy (keep-first, keep-random, drop-all) a caller decision.
+
+    Scale shape: one narrow window-extraction pass (token array bound
+    once per row, windows hashed with md5 so the grouping key is 16
+    bytes however long the window text), ONE partially-aggregated
+    shuffle keyed on the window hash, one join back (hash-keyed; hot
+    boilerplate windows are exactly the skew AQE splits), and a per-doc
+    gaps-and-islands window function whose partition is a single
+    document — never the corpus. Nothing is quadratic; total work tracks
+    the token stream."""
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - k)
+        return F.when(F.size(t) < k, F.array().cast("array<struct<pos:int,g:string>>")).otherwise(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice(t, i + 1, k))
+                    ).alias("g"),
+                ),
+            )
+        )
+
+    wins = df.select(
+        F.col(id_col),
+        F.explode(F.element_at(F.transform(F.array(toks), build), 1)).alias("w"),
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
+    counts = wins.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    dup = wins.join(counts.filter(F.col("_n") >= min_occurrences), "g").select(
+        id_col, "pos"
+    )
+    # gaps-and-islands: consecutive duplicated positions collapse to one
+    # maximal span per run
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(
+            F.col(id_col),
+            "start_pos",
+            "n_windows",
+            (F.col("n_windows") + k - 1).cast("long").alias("span_tokens"),
+        )
+    )
+
+
+def strip_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Remove the tokens covered by ``spans`` (a ``duplicated_spans``
+    result restricted to the occurrences the caller wants gone) and
+    reassemble the text. Documents without spans pass through unchanged;
+    a fully-covered document comes back with empty text (callers filter
+    on ``n_tokens_after`` if empty docs should drop).
+
+    Join + one bound array pass: the span list per doc collects to an
+    array (spans per doc are few by construction), each token keeps
+    itself unless some span covers its position."""
+    agg_spans = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_pos", "span_tokens")).alias("_spans")
+    )
+    joined = df.join(agg_spans, id_col, "left")
+    toks = tokens(text_col)
+
+    def build(t: Column) -> Column:
+        covered = lambda i: F.exists(  # noqa: E731
+            F.col("_spans"),
+            lambda s: (i >= s["start_pos"]) & (i < s["start_pos"] + s["span_tokens"]),
+        )
+        kept = F.filter(
+            F.transform(t, lambda tok, i: F.struct(tok.alias("t"), i.alias("i"))),
+            lambda s: ~covered(s["i"]),
+        )
+        return F.transform(kept, lambda s: s["t"])
+
+    cleaned = F.when(
+        F.col("_spans").isNull(), toks
+    ).otherwise(F.element_at(F.transform(F.array(toks), build), 1))
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", cleaned).alias(text_col),
+        F.size(cleaned).cast("long").alias("n_tokens_after"),
+    )

@@ -1446,7 +1446,46 @@ FROM vid v JOIN sums s ON v.doc_id = s.doc_id
 """
 
 
+def q_duplicated_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-PASSAGE mining (dedup.duplicated_spans, the Lee
+    et al. substring-dedup signal): maximal runs of consecutive 3-token
+    windows whose window text repeats anywhere in the corpus. The oracle
+    recomposes windows, corpus counts, and the gaps-and-islands run
+    collapse in SQL, so the whole span algebra is hash-pinned."""
+    docs = load_spread(spark, sf_dir, "documents")
+    return dd.duplicated_spans(docs, k=SHINGLE, min_occurrences=2)
+
+
+_DUP_SPANS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+  FROM documents WHERE trim(text) <> ''
+), w AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+    SELECT doc_id,
+           unnest([{'pos': i - 1,
+                    'g': md5(array_to_string(tk[i:i+2], ' '))}
+                   for i in range(1, len(tk) - 1)]) AS u
+    FROM t WHERE len(tk) >= 3
+  )
+), c AS (
+  SELECT g FROM w GROUP BY g HAVING count(*) >= 2
+), d AS (
+  SELECT w.doc_id, w.pos FROM w JOIN c USING (g)
+), i AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM d
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(*) + 2 AS BIGINT) AS span_tokens
+FROM i GROUP BY doc_id, grp
+"""
+
+
 EXTRA_QUERIES = {
+    "duplicated_spans_documents": q_duplicated_spans_documents,
     "minhash_documents": q_minhash_documents,
     "multimodal_stats": q_multimodal_stats,
     "orders_by_nation": q_orders_by_nation,
@@ -1455,6 +1494,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLES = {
+    "duplicated_spans_documents": _DUP_SPANS_SQL,
     "minhash_documents": _minhash_sql(),
     "multimodal_stats": _MULTIMODAL_STATS_SQL,
     "orders_by_nation": _ORDERS_BY_NATION_SQL,

@@ -134,3 +134,51 @@ def test_keep_canonical_preserves_caller_fp_column(spark):
     out = dd.keep_canonical(df)
     assert out.columns == ["doc_id", "text", "_fp"]
     assert out.collect()[0]._fp == "keepme"
+
+
+def test_duplicated_spans_handcrafted(spark):
+    """Known overlap: docs 1 and 2 share the passage 'one two three four
+    five'; doc 3 is unique. With k=3 the shared passage yields 3
+    consecutive duplicated windows -> ONE maximal span of 5 tokens in
+    each doc, at the right offsets."""
+    from dc43_spark.functions import dedup as dd
+
+    rows = [
+        (1, "alpha one two three four five omega"),
+        (2, "one two three four five beta gamma delta"),
+        (3, "totally unique words without any repeats here"),
+        (4, "xy"),   # shorter than k: no windows
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.start_pos): (r.n_windows, r.span_tokens)
+        for r in dd.duplicated_spans(df, k=3, min_occurrences=2).collect()
+    }
+    assert spans == {
+        (1, 1): (3, 5),   # tokens 1..5 of doc 1
+        (2, 0): (3, 5),   # tokens 0..4 of doc 2
+    }
+
+
+def test_strip_spans_removes_covered_tokens(spark):
+    from dc43_spark.functions import dedup as dd
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha one two three four five omega"),
+            (2, "one two three four five beta gamma delta"),
+            (3, "keep me whole"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = dd.duplicated_spans(df, k=3, min_occurrences=2)
+    # policy: keep the lowest-id occurrence of the shared passage, strip
+    # the rest (both spans here are the same passage)
+    keep_id = spans.agg(F.min("doc_id")).collect()[0][0]
+    to_strip = spans.filter(F.col("doc_id") != keep_id)
+    out = {r.doc_id: (r.text, r.n_tokens_after)
+           for r in dd.strip_spans(df, to_strip, k=3).collect()}
+    assert out[1] == ("alpha one two three four five omega", 7)  # kept
+    assert out[2] == ("beta gamma delta", 3)  # passage stripped
+    assert out[3] == ("keep me whole", 3)     # untouched passthrough
