@@ -189,3 +189,23 @@ def test_connected_components_distributed_rounds_are_bounded_shuffles(spark):
     # groupBy-min + join per star op over a materialized input: a bounded
     # number of exchanges per round, never O(n) or an all-pairs join
     assert shuffle_exchanges(round_out) <= 12
+
+
+def test_duplicated_spans_no_cartesian_window_keyed_join(spark):
+    """Span mining must join windows to counts on the md5 window key —
+    never an all-pairs product — and its only window function partitions
+    by the DOCUMENT (single-doc partitions, no corpus-wide sort)."""
+    from dc43_spark.functions.dedup import duplicated_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_string(duplicated_spans(docs, k=3), "simple")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "Window" in plan and "doc_id" in plan
+
+
+def test_bigram_familiarity_no_cartesian(spark):
+    from dc43_spark.functions.curation import bigram_familiarity
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_string(bigram_familiarity(docs), "simple")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
