@@ -735,3 +735,58 @@ def ivf_query_index(
             (F.round(F.col("_cos"), scale) if scale else F.col("_cos")).alias("cosine"),
         )
     )
+
+
+def _read_centroids(spark, path: str) -> np.ndarray:
+    pdf = spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").toPandas()
+    return np.stack(pdf["centroid"].to_numpy())
+
+
+def ivf_index_append(
+    spark,
+    path: str,
+    df: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    quantized: bool = False,
+) -> None:
+    """Incrementally add vectors to a persisted IVF index (float or int8
+    lists): assign each new vector to its nearest EXISTING centroid and
+    append to that list's partition. The quantizer is frozen — centroids
+    are never retrained on append, so earlier assignments (and any cached
+    probe results) stay valid; recall for the appended vectors matches
+    what a full rebuild with the same centroids would give. Rebuild (a
+    fresh ``ivf_write_index*``) when drift between the centroids and the
+    grown corpus warrants it — standard IVF maintenance (FAISS add()
+    semantics).
+
+    Cost shape: one broadcast-matmul assignment pass over the NEW batch +
+    an append-mode partitioned write touching only the batch's lists;
+    the existing index is never read or rewritten."""
+    centroids = _read_centroids(spark, path)
+    dim = centroids.shape[1]
+    first = df.select(F.size(corpus_vec)).first()
+    if first is None:
+        return
+    if int(first[0]) != dim:
+        raise ValueError(
+            f"batch vector dim {int(first[0])} does not match the index's {dim}"
+        )
+    assigned = _ivf_assign(
+        df, centroids, id_col=corpus_id, vec_col=corpus_vec, nprobe=1,
+        emit_code=quantized, emit_vec=not quantized,
+    )
+    if quantized:
+        out = assigned.select(
+            F.col("_id").alias(corpus_id), F.col("_code").alias("code"), "centroid_id"
+        )
+    else:
+        out = assigned.select(
+            F.col("_id").alias(corpus_id),
+            F.col("_vec").alias(corpus_vec),
+            "centroid_id",
+        )
+    out.repartition("centroid_id").write.mode("append").partitionBy(
+        "centroid_id"
+    ).parquet(f"{path}/lists")

@@ -83,3 +83,63 @@ def test_partition_pruning_reads_only_probed_lists(spark, emb, index_path):
     files_read = pruned.select(F.input_file_name()).distinct().count()
     total_lists = full.select("centroid_id").distinct().count()
     assert 0 < files_read <= 2 < total_lists
+
+
+def test_ivf_index_append_extends_index(spark, emb, tmp_path):
+    """FAISS-add semantics (r6): new vectors assign to the FROZEN
+    centroids and append to their list partitions; a full-probe query
+    then returns them exactly as a rebuild with the same centroids
+    would, and the existing lists are never rewritten."""
+    import numpy as np
+
+    from dc43_spark.functions.similarity import ivf_index_append
+
+    path = str(tmp_path / "ivf_app")
+    base = emb.filter("vec_id < 400")
+    ivf_write_index(base, path, n_centroids=8, seed=42)
+    n_before = spark.read.parquet(f"{path}/lists").count()
+
+    batch = emb.filter("vec_id >= 400").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    ivf_index_append(spark, path, batch)
+    lists = spark.read.parquet(f"{path}/lists")
+    n_added = batch.count()
+    assert lists.count() == n_before + n_added
+    # appended ids landed in existing centroid partitions only
+    assert lists.select("centroid_id").distinct().count() <= 8
+
+    # a query that IS an appended vector finds itself... excluded, so
+    # probe with an exact copy under another id: full-probe top-1 == copy
+    some = batch.limit(1).collect()[0]
+    queries = spark.createDataFrame(
+        [(99_999, [float(x) for x in some.embedding])],
+        "vec_id long, embedding array<double>",
+    )
+    top = ivf_query_index(spark, path, queries, k=1, nprobe=8).collect()
+    assert top[0].n_id == some.vec_id and top[0].cosine == 1.0
+
+    # dim guard
+    dim = len(some.embedding)
+    bad = spark.createDataFrame(
+        [(1, [0.0] * (dim + 1))], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        ivf_index_append(spark, path, bad)
+    # appending the quantized flavour to a code index round-trips too
+    from dc43_spark.functions.similarity import (
+        ivf_query_index_quantized,
+        ivf_write_index_quantized,
+    )
+
+    qpath = str(tmp_path / "ivf8_app")
+    ivf_write_index_quantized(base, qpath, n_centroids=8, seed=42)
+    ivf_index_append(spark, qpath, batch, quantized=True)
+    qlists = spark.read.parquet(f"{qpath}/lists")
+    assert qlists.count() == n_before + n_added
+    assert "code" in qlists.columns
+    full = emb.select("vec_id", "embedding").union(batch)
+    qtop = ivf_query_index_quantized(
+        spark, qpath, queries, full, k=1, nprobe=8
+    ).collect()
+    assert qtop[0].n_id == some.vec_id
