@@ -31,6 +31,12 @@ class ValidationBlockedError(RuntimeError):
         self.result = result
 
 
+#: formats with no embedded schema: the scan needs one up front, and the
+#: governed read supplies the CONTRACT's (schema-on-read) — otherwise CSV
+#: observes all-string columns and every typed field "mismatches"
+SCHEMALESS_FORMATS = ("csv", "json", "text")
+
+
 @dataclass
 class ReadRequest:
     """Normalised read parameters (ref spark/io/common.py:66-93)."""
@@ -41,6 +47,7 @@ class ReadRequest:
     options: dict[str, str] = field(default_factory=dict)
     streaming: bool = False
     load_paths: Optional[list[str]] = None  # multi-path scan (folder versions)
+    schema: Optional[Any] = None  # StructType for schema-less formats
 
 
 def check_contract_status(
@@ -84,6 +91,8 @@ def load_dataframe(spark: SparkSession, request: ReadRequest) -> DataFrame:
         reader = reader.format(request.format)
     elif request.path:
         reader = reader.format("parquet")
+    if request.schema is not None:
+        reader = reader.schema(request.schema)
     if request.options:
         reader = reader.options(**request.options)
     if request.table:
@@ -179,6 +188,17 @@ def read_with_contract(
         from dc43_spark.io.status import discover_interceptors
 
         interceptors = discover_interceptors(spark, "read")
+    if (
+        request.schema is None
+        and request.table is None
+        and (request.format or "").lower() in SCHEMALESS_FORMATS
+    ):
+        # schema-on-read: the contract IS the schema for formats that
+        # carry none — the scan comes back typed (and prunable) instead
+        # of all-string columns that block on "type mismatch"
+        from dc43_spark.contracts.schema import contract_to_struct_type
+
+        request.schema = contract_to_struct_type(contract)
     io_ctx = None
     if interceptors:
         from dc43_spark.io.status import IoContext

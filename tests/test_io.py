@@ -246,3 +246,29 @@ def test_port_bound_io_guards(spark, good_df, tmp_path):
     # an input port with neither binding nor source is rejected at register
     with pytest.raises(LookupError, match="neither"):
         reg.register(DataProduct(id="bad", input_ports=[Port(name="in")]))
+
+
+def test_governed_io_csv_and_json_formats(spark, good_df, tmp_path):
+    """The governed IO layer is format-agnostic: the same contract
+    validates/aligns CSV and JSON targets; CSV's all-string scan comes
+    back to contract types through apply_contract's auto_cast."""
+    for fmt, options in (
+        ("csv", {"header": "true"}),
+        ("json", {}),
+    ):
+        target = str(tmp_path / f"orders_{fmt}")
+        res = write_with_contract(
+            good_df, orders_contract(), path=target, format=fmt,
+            options=options, mode="overwrite",
+        )
+        assert res.validation.ok
+        df, rres = read_with_contract(
+            spark, orders_contract(), path=target, format=fmt, options=options,
+        )
+        assert rres.ok, (fmt, rres.errors, rres.warnings)
+        assert df.schema.simpleString() == (
+            "struct<order_id:bigint,customer_id:bigint,amount:double,currency:string>"
+        )
+        assert sorted((r.order_id, r.amount) for r in df.collect()) == [
+            (1, 10.0), (2, 20.5)
+        ]
