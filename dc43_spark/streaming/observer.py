@@ -84,8 +84,11 @@ class StreamingGovernedWriter:
 
     def __init__(
         self,
-        contract: Contract,
+        contract: Optional[Contract] = None,
         *,
+        product: Optional[str] = None,
+        port: Optional[str] = None,
+        registry=None,
         path: Optional[str] = None,
         table: Optional[str] = None,
         format: Optional[str] = "parquet",
@@ -99,6 +102,15 @@ class StreamingGovernedWriter:
         skip_empty_batches: bool = True,
         on_batch: Optional[Callable[[BatchRecord], None]] = None,
     ) -> None:
+        # port-bound streaming sink: same resolution as batch writes
+        if contract is None:
+            from dc43_spark.io.read import resolve_port_contract
+
+            contract = resolve_port_contract(
+                registry, product, port, operation="write"
+            )
+        elif product is not None or port is not None:
+            raise ValueError("pass either contract= or product=/port=, not both")
         self.contract = contract
         self.path = path
         self.table = table

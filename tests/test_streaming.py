@@ -213,3 +213,53 @@ def test_corpus_filter_runs_on_a_stream(spark, tmp_path):
     ).collect()}
     assert rows[1]["keep"] is True
     assert rows[2]["keep"] is False and "too_short" in rows[2]["drop_reasons"]
+
+
+def test_streaming_writer_port_bound(spark, tmp_path):
+    """The streaming sink resolves its contract through a product OUTPUT
+    port exactly like batch writes (r6 port-bound governed IO)."""
+    import time
+
+    from dc43_spark.contracts import Contract, SchemaObject, SchemaProperty
+    from dc43_spark.contracts.model import Server
+    from dc43_spark.contracts.store import MemoryContractStore
+    from dc43_spark.products import DataProduct, Port, ProductRegistry
+    from dc43_spark.streaming.observer import StreamingGovernedWriter
+
+    target = str(tmp_path / "out")
+    contract = Contract(
+        id="stream.orders", version="0.1.0",
+        servers=[Server(path=target, format="parquet")],
+        schema_objects=[SchemaObject(name="t", properties=[
+            SchemaProperty("k", "bigint", required=True),
+            SchemaProperty("v", "string"),
+        ])],
+    )
+    cs = MemoryContractStore()
+    cs.put(contract)
+    reg = ProductRegistry(cs)
+    reg.register(DataProduct(
+        id="stream.producer",
+        output_ports=[Port(name="gold", contract_id="stream.orders")],
+    ))
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    writer = StreamingGovernedWriter(
+        product="stream.producer", port="gold", registry=reg, path=target
+    )
+    stream = spark.readStream.schema("k long, v string").parquet(str(src / "*"))
+    q = (
+        stream.writeStream.foreachBatch(writer.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    time.sleep(0.3)
+    assert writer.contract.id == "stream.orders"
+    assert spark.read.parquet(target).count() == 2
+    with pytest.raises(ValueError, match="not both"):
+        StreamingGovernedWriter(contract, product="p", port="x")
