@@ -89,12 +89,38 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(401, {"detail": "Invalid authentication credentials"})
         return False
 
+    def _send_html(self, status: int, html: Optional[str]) -> None:
+        if html is None:
+            return self._send(404)
+        body = html.encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     # -- dispatch ---------------------------------------------------------
     def do_GET(self) -> None:  # noqa: N802
         if not self._authorized():
             return
         url = urlparse(self.path)
         seg = _segments(url.path)
+        if seg and seg[0] == "ui":  # read-only HTML browser (webui.py)
+            from dc43_spark.governance import webui
+
+            if seg == ["ui"]:
+                return self._send_html(
+                    200, webui.render_index(self._contracts, self._gov)
+                )
+            if len(seg) == 3 and seg[1] == "contracts":
+                return self._send_html(
+                    200, webui.render_contract(self._contracts, seg[2])
+                )
+            if len(seg) == 3 and seg[1] == "datasets":
+                return self._send_html(
+                    200, webui.render_dataset(self._gov, seg[2])
+                )
+            return self._send(404)
         if seg == ["contracts"]:
             return self._send(200, {"ids": self._contracts.list_ids()})
         if len(seg) == 3 and seg[0] == "contracts" and seg[2] == "versions":

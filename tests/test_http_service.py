@@ -176,3 +176,43 @@ draft_on_block = true
             raise AssertionError("expected HTTP 401")
         except urllib.error.HTTPError as exc:
             assert exc.code == 401
+
+
+def test_web_ui_renders_contracts_and_datasets():
+    """The stdlib HTML browser (governance/webui.py, the reference's
+    contracts-app read paths collapsed to three routes) renders the
+    index, a contract's fields+rules, and a dataset's status matrix."""
+    import urllib.request
+
+    from dc43_spark.governance.stores import MemoryGovernanceStore
+    from dc43_spark.contracts.store import MemoryContractStore
+
+    cs = MemoryContractStore()
+    gs = MemoryGovernanceStore()
+    contract = orders_contract()
+    cs.put(contract)
+    gs.save_status("path:/data/orders", "v1", {"status": "ok"})
+    gs.link("path:/data/orders", contract.id, contract.version)
+    gs.record_activity(
+        {"dataset_id": "path:/data/orders", "operation": "write",
+         "dataset_version": "v1", "status": "ok"}
+    )
+    with GovernanceServiceServer(cs, gs) as url:
+        def fetch(path):
+            with urllib.request.urlopen(url + path, timeout=5) as resp:
+                assert resp.headers["Content-Type"].startswith("text/html")
+                return resp.read().decode()
+
+        index = fetch("/ui")
+        assert contract.id in index and "path%3A%2Fdata%2Forders" in index
+        page = fetch(f"/ui/contracts/{contract.id}")
+        assert "o_orderkey" in page or "order" in page  # a field rendered
+        assert contract.version in page
+        ds = fetch("/ui/datasets/path%3A%2Fdata%2Forders")
+        assert "v1" in ds and "ok" in ds and contract.id in ds
+        # unknown resources 404
+        try:
+            fetch("/ui/contracts/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 404
