@@ -148,3 +148,94 @@ def suggest_contract(
             prop.quality.append(QualityRule("ge", cp.min_value))
             prop.quality.append(QualityRule("le", cp.max_value))
     return base
+
+
+@dataclass
+class ColumnDrift:
+    """Per-column deltas between two dataset profiles. Ratios are exact
+    integer micro-units (round-half-up in BIGINT arithmetic, the house
+    cross-engine rule): ``null_micro_*`` = nulls/rows, ``distinct_ratio
+    _micro`` = new distinct count relative to the old."""
+
+    name: str
+    type_changed: bool
+    null_micro_old: Optional[int]
+    null_micro_new: Optional[int]
+    n_distinct_old: int
+    n_distinct_new: int
+    min_changed: bool
+    max_changed: bool
+    enum_added: list = field(default_factory=list)
+    enum_removed: list = field(default_factory=list)
+
+
+@dataclass
+class DriftReport:
+    row_count_old: int
+    row_count_new: int
+    columns_added: list[str] = field(default_factory=list)
+    columns_removed: list[str] = field(default_factory=list)
+    columns: dict[str, ColumnDrift] = field(default_factory=dict)
+
+    def significant(
+        self, *, null_delta_micro: int = 10_000, distinct_factor: float = 2.0
+    ) -> list[str]:
+        """Column names whose drift crosses the thresholds: schema/type
+        changes always count; null-rate moves >= ``null_delta_micro``
+        (default 1%); distinct-count growth/shrink beyond
+        ``distinct_factor``x; min/max boundary moves; enum set changes."""
+        out = list(self.columns_added) + list(self.columns_removed)
+        for name, cd in self.columns.items():
+            if cd.type_changed or cd.min_changed or cd.max_changed:
+                out.append(name)
+            elif cd.enum_added or cd.enum_removed:
+                out.append(name)
+            elif (
+                cd.null_micro_old is not None
+                and cd.null_micro_new is not None
+                and abs(cd.null_micro_new - cd.null_micro_old) >= null_delta_micro
+            ):
+                out.append(name)
+            elif cd.n_distinct_old > 0 and (
+                cd.n_distinct_new >= cd.n_distinct_old * distinct_factor
+                or cd.n_distinct_new * distinct_factor <= cd.n_distinct_old
+            ):
+                out.append(name)
+        return sorted(set(out))
+
+
+def _null_micro(n_nulls: int, rows: int) -> Optional[int]:
+    if rows <= 0:
+        return None
+    return (2 * n_nulls * 1_000_000 + rows) // (2 * rows)
+
+
+def profile_drift(old: DatasetProfile, new: DatasetProfile) -> DriftReport:
+    """Compare two dataset profiles — the drift-monitoring primitive: a
+    pipeline profiles each dataset version it writes (one aggregate pass,
+    ``profile_columns``) and diffs against the previous version's stored
+    profile instead of re-reading old data. Driver-side arithmetic over
+    two fixed-size profiles; zero Spark jobs."""
+    report = DriftReport(
+        row_count_old=old.row_count,
+        row_count_new=new.row_count,
+        columns_added=sorted(set(new.columns) - set(old.columns)),
+        columns_removed=sorted(set(old.columns) - set(new.columns)),
+    )
+    for name in sorted(set(old.columns) & set(new.columns)):
+        o, n = old.columns[name], new.columns[name]
+        enum_old = set(o.enum_values or [])
+        enum_new = set(n.enum_values or [])
+        report.columns[name] = ColumnDrift(
+            name=name,
+            type_changed=o.spark_type != n.spark_type,
+            null_micro_old=_null_micro(o.n_nulls, old.row_count),
+            null_micro_new=_null_micro(n.n_nulls, new.row_count),
+            n_distinct_old=o.n_distinct,
+            n_distinct_new=n.n_distinct,
+            min_changed=o.min_value != n.min_value,
+            max_changed=o.max_value != n.max_value,
+            enum_added=sorted(enum_new - enum_old),
+            enum_removed=sorted(enum_old - enum_new),
+        )
+    return report

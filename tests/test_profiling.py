@@ -74,3 +74,43 @@ def test_profile_orders_real_table(spark, sf_dir):
     assert p.columns["o_orderkey"].is_unique
     assert p.columns["o_orderstatus"].enum_values == ["F", "O", "P"]
     assert p.columns["o_totalprice"].min_value > 0
+
+
+def test_profile_drift_detects_shifts(spark):
+    """Drift between two dataset versions: null-rate jump, distinct-count
+    explosion, boundary moves, enum membership changes, schema add/drop —
+    all flagged; stable columns are not."""
+    from dc43_spark.contracts.profiling import (
+        profile_columns,
+        profile_drift,
+    )
+
+    old = spark.createDataFrame(
+        [(i, float(i % 50), "a" if i % 2 else "b", "keep") for i in range(100)],
+        "k long, amount double, status string, stable string",
+    )
+    new = spark.createDataFrame(
+        [
+            (
+                i,
+                None if i < 30 else float(i),   # null-rate 0 -> 30%
+                "c" if i % 3 == 0 else "a",      # enum: +c, -b
+                "keep",
+            )
+            for i in range(200)
+        ],
+        "k long, amount double, status string, stable string",
+    ).withColumn("extra", F.lit(1))             # added column
+    report = profile_drift(
+        profile_columns(old), profile_columns(new.drop("k")),
+    )
+    assert report.columns_added == ["extra"]
+    assert report.columns_removed == ["k"]
+    amount = report.columns["amount"]
+    assert amount.null_micro_old == 0 and amount.null_micro_new == 150_000
+    assert amount.max_changed  # 49.0 -> 199.0
+    status = report.columns["status"]
+    assert status.enum_added == ["c"] and status.enum_removed == ["b"]
+    sig = report.significant()
+    assert {"extra", "k", "amount", "status"} <= set(sig)
+    assert "stable" not in sig
