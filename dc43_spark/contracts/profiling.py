@@ -204,6 +204,16 @@ class DriftReport:
         return sorted(set(out))
 
 
+def _scalar_ne(a: Any, b: Any) -> bool:
+    # a stored profile stringifies dates/decimals; compare through str so
+    # (date(2024,1,1) vs '2024-01-01') is NOT drift
+    if a is None or b is None:
+        return a is not b and (a is None) != (b is None)
+    if type(a) is type(b):
+        return a != b
+    return str(a) != str(b)
+
+
 def _null_micro(n_nulls: int, rows: int) -> Optional[int]:
     if rows <= 0:
         return None
@@ -228,14 +238,60 @@ def profile_drift(old: DatasetProfile, new: DatasetProfile) -> DriftReport:
         enum_new = set(n.enum_values or [])
         report.columns[name] = ColumnDrift(
             name=name,
-            type_changed=o.spark_type != n.spark_type,
+            type_changed=_type_str(o.spark_type) != _type_str(n.spark_type),
             null_micro_old=_null_micro(o.n_nulls, old.row_count),
             null_micro_new=_null_micro(n.n_nulls, new.row_count),
             n_distinct_old=o.n_distinct,
             n_distinct_new=n.n_distinct,
-            min_changed=o.min_value != n.min_value,
-            max_changed=o.max_value != n.max_value,
+            min_changed=_scalar_ne(o.min_value, n.min_value),
+            max_changed=_scalar_ne(o.max_value, n.max_value),
             enum_added=sorted(enum_new - enum_old),
             enum_removed=sorted(enum_old - enum_new),
         )
     return report
+
+
+def _type_str(t: Any) -> str:
+    return t if isinstance(t, str) else t.simpleString()
+
+
+def profile_to_dict(profile: DatasetProfile) -> dict:
+    """JSON-serialisable profile (types as simpleString, values via str
+    for non-JSON scalars like dates) — the form governance stores persist
+    alongside a verdict so later versions diff without re-reading data."""
+
+    def scalar(v: Any) -> Any:
+        return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+
+    return {
+        "row_count": profile.row_count,
+        "columns": {
+            name: {
+                "type": _type_str(cp.spark_type),
+                "n_nulls": cp.n_nulls,
+                "n_distinct": cp.n_distinct,
+                "is_unique": cp.is_unique,
+                "min": scalar(cp.min_value),
+                "max": scalar(cp.max_value),
+                **({"enum": [scalar(v) for v in cp.enum_values]}
+                   if cp.enum_values is not None else {}),
+            }
+            for name, cp in profile.columns.items()
+        },
+    }
+
+
+def profile_from_dict(data: dict) -> DatasetProfile:
+    profile = DatasetProfile(row_count=int(data.get("row_count", 0)))
+    for name, c in (data.get("columns") or {}).items():
+        profile.columns[name] = ColumnProfile(
+            name=name,
+            spark_type=c.get("type", "string"),
+            n_nulls=int(c.get("n_nulls", 0)),
+            n_distinct=int(c.get("n_distinct", 0)),
+            is_unique=bool(c.get("is_unique", False)),
+            min_value=c.get("min"),
+            max_value=c.get("max"),
+            enum_values=list(c["enum"]) if "enum" in c else None,
+        )
+    return profile

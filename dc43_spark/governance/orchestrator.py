@@ -71,12 +71,51 @@ class GovernanceService:
         operation: str = "read",
         pipeline: str = "pipeline",
         unique_strategy: str = "exact",
+        track_drift: bool = False,
     ) -> EvaluationOutcome:
         snapshot = schema_snapshot(df)
         metrics = compute_metrics(df, contract, unique_strategy=unique_strategy)
         validation = evaluate_contract(
             contract, schema=snapshot, metrics=metrics, operation=operation
         )
+        profile_doc = None
+        if track_drift:
+            # profile THIS version (one extra aggregate pass) and diff
+            # against the newest previously-stored profile: drifting
+            # columns surface as verdict warnings, and the profile rides
+            # in the status payload so the NEXT version diffs without
+            # ever re-reading this data
+            from dc43_spark.contracts.profiling import (
+                profile_columns,
+                profile_drift,
+                profile_from_dict,
+                profile_to_dict,
+            )
+
+            profile_doc = profile_to_dict(profile_columns(df))
+            prior = [
+                row
+                for row in self.store.status_matrix(dataset_id)
+                if row.get("profile") and row.get("dataset_version") != dataset_version
+            ]
+            if prior:
+                prior.sort(key=lambda r: str(r.get("recorded_at", "")))
+                report = profile_drift(
+                    profile_from_dict(prior[-1]["profile"]),
+                    profile_from_dict(profile_doc),
+                )
+                drifted = report.significant()
+                if drifted:
+                    validation = validation.merge(
+                        ValidationResult(
+                            warnings=[
+                                "drift vs "
+                                f"{prior[-1]['dataset_version']}: "
+                                + ", ".join(drifted)
+                            ],
+                            status="warn",
+                        )
+                    )
         draft: Optional[DraftResult] = None
         if self.draft_on_block and validation.status == "block":
             draft = draft_on_violation(
@@ -99,6 +138,7 @@ class GovernanceService:
             "operation": operation,
             "recorded_at": self.clock(),
             **({"draft_version": draft.contract.version} if draft else {}),
+            **({"profile": profile_doc} if profile_doc else {}),
         }
         self.store.save_status(dataset_id, dataset_version, payload)
         self.store.link(dataset_id, contract.id, contract.version)

@@ -241,3 +241,39 @@ dsn = "{tmp_path / 'p.db'}"
     # env overrides the product store type
     cfg2 = bs.load_config(str(cfg_file), env={"DC43_DATA_PRODUCT_STORE_TYPE": "memory"})
     assert cfg2.product_store.type == "memory"
+
+
+def test_evaluate_tracks_drift_across_versions(spark, service):
+    """track_drift stores a profile with each verdict and warns when a
+    later version drifts from the newest stored profile — without ever
+    re-reading the earlier version's data."""
+    contract = service.resolve_contract("test.orders")
+    v1 = spark.createDataFrame(
+        [(i, 10.0 + i) for i in range(50)], "order_id long, amount double"
+    )
+    out1 = service.evaluate_dataset(
+        v1, contract, dataset_id="d", dataset_version="v1",
+        operation="write", track_drift=True,
+    )
+    assert out1.validation.ok and not any(
+        "drift" in w for w in out1.validation.warnings
+    )
+    assert "profile" in service.dataset_status("d", "v1")
+    # v2: amount goes 30% null -> null-rate drift flagged as a warning
+    v2 = spark.createDataFrame(
+        [(i, None if i < 30 else 10.0 + i) for i in range(100)],
+        "order_id long, amount double",
+    )
+    out2 = service.evaluate_dataset(
+        v2, contract, dataset_id="d", dataset_version="v2",
+        operation="read", track_drift=True,
+    )
+    drift_warnings = [w for w in out2.validation.warnings if w.startswith("drift vs")]
+    assert drift_warnings and "amount" in drift_warnings[0]
+    assert "v1" in drift_warnings[0]
+    # a stable v3 (same shape as v2) does not warn
+    out3 = service.evaluate_dataset(
+        v2, contract, dataset_id="d", dataset_version="v3",
+        operation="read", track_drift=True,
+    )
+    assert not [w for w in out3.validation.warnings if w.startswith("drift vs")]
