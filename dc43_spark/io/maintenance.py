@@ -1,0 +1,97 @@
+"""Dataset maintenance: small-file compaction with optional clustering.
+
+Streaming sinks and incremental appends (foreachBatch parquet appends,
+index appends, merge initial writes) accrete small files; at 100 TB the
+file-listing and task-scheduling overhead of millions of tiny files
+dominates scan time. ``compact_dataset`` rewrites a parquet dataset into
+size-targeted files — optionally range-clustered on given columns so
+min/max row-group statistics become selective for those predicates —
+using the same atomic temp-dir swap as the parquet MERGE fallback
+(readers never observe a half-compacted dataset; crash mid-swap leaves
+either the old or the new dataset intact).
+
+Delta/Iceberg deployments should prefer the table format's native
+OPTIMIZE/rewrite (transactional, concurrent-writer-safe); this is the
+format-agnostic fallback, and like the MERGE fallback it assumes a
+single maintainer per dataset directory.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class CompactionResult:
+    path: str
+    files_before: int
+    files_after: int
+    bytes_before: int
+    rows: int
+
+
+def _parquet_files(path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    return out
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_mb: int = 128,
+    cluster_by: Optional[Sequence[str]] = None,
+    min_files: int = 2,
+) -> CompactionResult:
+    """Rewrite ``path`` into ~``target_file_mb`` parquet files.
+
+    File count derives from the CURRENT on-disk bytes (compressed), so
+    the target tracks real size, not row counts. ``cluster_by`` sorts
+    the rewrite with ``repartitionByRange`` + ``sortWithinPartitions``:
+    each output file then covers a narrow range of the cluster columns,
+    which makes parquet min/max row-group statistics selective for
+    predicates on them (the poor man's OPTIMIZE ZORDER for one
+    dimension-ordered column set). A dataset already at or under
+    ``min_files`` files is left untouched."""
+    files = _parquet_files(path)
+    bytes_before = sum(os.path.getsize(f) for f in files)
+    if len(files) <= min_files:
+        return CompactionResult(path, len(files), len(files), bytes_before, -1)
+
+    n_files = max(1, math.ceil(bytes_before / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if cluster_by:
+        out = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        out = df.repartition(n_files)
+
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    tmp_dir = tempfile.mkdtemp(prefix="dc43_compact_", dir=parent)
+    try:
+        out.write.mode("overwrite").parquet(tmp_dir)
+        rows = spark.read.parquet(tmp_dir).count()
+        backup = path.rstrip("/") + "._pre_compact"
+        os.rename(path, backup)
+        os.rename(tmp_dir, path)
+        shutil.rmtree(backup)
+    except BaseException:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise
+    return CompactionResult(
+        path, len(files), len(_parquet_files(path)), bytes_before, rows
+    )
