@@ -54,6 +54,7 @@ def compact_dataset(
     *,
     target_file_mb: int = 128,
     cluster_by: Optional[Sequence[str]] = None,
+    partition_by: Optional[Sequence[str]] = None,
     min_files: int = 2,
 ) -> CompactionResult:
     """Rewrite ``path`` into ~``target_file_mb`` parquet files.
@@ -64,8 +65,11 @@ def compact_dataset(
     each output file then covers a narrow range of the cluster columns,
     which makes parquet min/max row-group statistics selective for
     predicates on them (the poor man's OPTIMIZE ZORDER for one
-    dimension-ordered column set). A dataset already at or under
-    ``min_files`` files is left untouched."""
+    dimension-ordered column set). ``partition_by`` preserves a hive
+    layout (``col=value`` directories): rows co-locate per partition
+    value before the partitioned write, so each partition dir collapses
+    to a few files and file-level partition pruning is unchanged. A
+    dataset already at or under ``min_files`` files is left untouched."""
     files = _parquet_files(path)
     bytes_before = sum(os.path.getsize(f) for f in files)
     if len(files) <= min_files:
@@ -73,7 +77,11 @@ def compact_dataset(
 
     n_files = max(1, math.ceil(bytes_before / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    if cluster_by:
+    if partition_by:
+        out = df.repartition(*partition_by)
+        if cluster_by:
+            out = out.sortWithinPartitions(*partition_by, *cluster_by)
+    elif cluster_by:
         out = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
             *cluster_by
         )
@@ -83,7 +91,10 @@ def compact_dataset(
     parent = os.path.dirname(path.rstrip("/")) or "."
     tmp_dir = tempfile.mkdtemp(prefix="dc43_compact_", dir=parent)
     try:
-        out.write.mode("overwrite").parquet(tmp_dir)
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp_dir)
         rows = spark.read.parquet(tmp_dir).count()
         backup = path.rstrip("/") + "._pre_compact"
         os.rename(path, backup)
@@ -94,4 +105,31 @@ def compact_dataset(
         raise
     return CompactionResult(
         path, len(files), len(_parquet_files(path)), bytes_before, rows
+    )
+
+
+def compact_embedding_index(spark: SparkSession, path: str, **kwargs) -> CompactionResult:
+    """Maintenance for the persisted embedding near-dup index: every
+    append adds files to the probed buckets; compaction collapses each
+    ``bucket=`` partition back to a few files while preserving the
+    partition layout the probe's pruning depends on. Probe results are
+    unchanged (same rows, same buckets)."""
+    return compact_dataset(
+        spark, f"{path.rstrip('/')}/vectors", partition_by=["bucket"], **kwargs
+    )
+
+
+def compact_minhash_index(spark: SparkSession, path: str, **kwargs) -> CompactionResult:
+    """Maintenance for the persisted LSH text index: compacts the bands
+    relation (clustered on band_hash so probes touch few row groups) and
+    the shingles relation. Probe results are unchanged."""
+    base = path.rstrip("/")
+    bands = compact_dataset(spark, f"{base}/bands", cluster_by=["band_hash"], **kwargs)
+    shingles = compact_dataset(spark, f"{base}/shingles", **kwargs)
+    return CompactionResult(
+        path=base,
+        files_before=bands.files_before + shingles.files_before,
+        files_after=bands.files_after + shingles.files_after,
+        bytes_before=bands.bytes_before + shingles.bytes_before,
+        rows=max(bands.rows, -1) if bands.rows < 0 else bands.rows,
     )

@@ -60,3 +60,69 @@ def test_compaction_noop_below_min_files(spark, tmp_path):
     spark.range(10).coalesce(1).write.parquet(path)
     res = compact_dataset(spark, path, min_files=2)
     assert res.files_before == res.files_after == 1 and res.rows == -1
+
+
+def test_index_compaction_preserves_probe_results(spark, sf_dir, tmp_path):
+    """Appends accrete files into both persisted indexes; compaction
+    collapses them (hive layout preserved for the embedding index) and
+    probes return EXACTLY the same hits before and after."""
+    import numpy as np
+
+    from dc43_spark.functions import dedup_index as di
+    from dc43_spark.functions import embedding_index as ei
+    from dc43_spark.io.maintenance import (
+        compact_embedding_index,
+        compact_minhash_index,
+    )
+
+    # --- embedding index
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter("vec_id < 200")
+        .select("vec_id", "embedding")
+    )
+    eidx = str(tmp_path / "ei")
+    ei.embedding_index_write(emb, eidx)
+    for wave in range(3):
+        ei.embedding_index_append(
+            spark, eidx,
+            emb.select((F.col("vec_id") + 10_000 * (wave + 1)).alias("vec_id"),
+                       "embedding"),
+        )
+    rows = emb.orderBy("vec_id").limit(2).collect()
+    batch = spark.createDataFrame(
+        [(90_001, [float(x) for x in rows[0].embedding]),
+         (90_002, [float(x) for x in rows[1].embedding])],
+        "vec_id long, embedding array<double>",
+    )
+    before = sorted(map(tuple, ei.embedding_index_probe(spark, eidx, batch).collect()))
+    res = compact_embedding_index(spark, eidx)
+    assert res.files_after < res.files_before
+    # hive partition dirs survive (pruning layout intact)
+    assert any("bucket=" in d for d in __import__("os").listdir(f"{eidx}/vectors"))
+    after = sorted(map(tuple, ei.embedding_index_probe(spark, eidx, batch).collect()))
+    assert after == before and before  # non-trivial agreement
+
+    # --- minhash index
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id < 80")
+        .select("doc_id", "text")
+    )
+    nidx = str(tmp_path / "ndx")
+    di.minhash_index_write(docs, nidx)
+    for wave in range(3):
+        di.minhash_index_append(
+            spark, nidx,
+            docs.select((F.col("doc_id") + 10_000 * (wave + 1)).alias("doc_id"),
+                        F.concat_ws(" ", "text", F.lit(f"w{wave}")).alias("text")),
+        )
+    probe = spark.createDataFrame(
+        [(70_001, docs.orderBy("doc_id").limit(1).collect()[0].text)],
+        "doc_id long, text string",
+    )
+    nb = sorted(map(tuple, di.minhash_index_probe(spark, nidx, probe).collect()))
+    nres = compact_minhash_index(spark, nidx)
+    assert nres.files_after < nres.files_before
+    na = sorted(map(tuple, di.minhash_index_probe(spark, nidx, probe).collect()))
+    assert na == nb and nb
