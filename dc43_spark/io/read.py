@@ -191,11 +191,15 @@ def read_with_contract(
     if (
         request.schema is None
         and request.table is None
+        and not keep_extra_columns
         and (request.format or "").lower() in SCHEMALESS_FORMATS
     ):
         # schema-on-read: the contract IS the schema for formats that
         # carry none — the scan comes back typed (and prunable) instead
-        # of all-string columns that block on "type mismatch"
+        # of all-string columns that block on "type mismatch". Skipped
+        # under keep_extra_columns: a reader schema would silently DROP
+        # the extra columns at the scan; inference keeps them (as
+        # strings), which is what that flag asks for.
         from dc43_spark.contracts.schema import contract_to_struct_type
 
         request.schema = contract_to_struct_type(contract)
