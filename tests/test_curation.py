@@ -600,3 +600,36 @@ def test_quality_lr_separates_and_scores_at_scan_speed(spark):
     extra = spark.createDataFrame([(999, 1, "")], "doc_id long, label int, text string")
     out = {r.doc_id: r.quality_prob for r in cu.quality_lr_score(extra, model).collect()}
     assert out == {999: None}
+
+
+def test_mix_by_weight_randomized_vs_python_reference(spark):
+    """Bulk parity: copy counts from the Spark operator equal a
+    pure-Python reimplementation of the md5-bucket rule across random
+    factor maps and key spaces."""
+    import hashlib
+    import random
+
+    from dc43_spark.functions import curation as cu
+
+    def py_bucket(key, seed="dc43"):
+        h = int(hashlib.md5(f"{seed}|{key}".encode()).hexdigest()[:12], 16)
+        return h % 1_000_000
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        strata = ["a", "b", "c", "d"]
+        factors = {s: round(rng.uniform(0, 3.5), 3) for s in strata[:3]}
+        default = round(rng.uniform(0, 2), 3)
+        rows = [(i, rng.choice(strata)) for i in range(300)]
+        df = spark.createDataFrame(rows, "k long, dom string")
+        got = {}
+        out = cu.mix_by_weight(df, "k", "dom", factors, default_factor=default)
+        for r in out.collect():
+            got[r.k] = got.get(r.k, 0) + 1
+        want = {}
+        for k, dom in rows:
+            fm = int(round(factors.get(dom, default) * 1_000_000))
+            nc = fm // 1_000_000 + (1 if py_bucket(k) < fm % 1_000_000 else 0)
+            if nc > 0:
+                want[k] = nc
+        assert got == want, seed

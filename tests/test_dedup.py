@@ -182,3 +182,50 @@ def test_strip_spans_removes_covered_tokens(spark):
     assert out[1] == ("alpha one two three four five omega", 7)  # kept
     assert out[2] == ("beta gamma delta", 3)  # passage stripped
     assert out[3] == ("keep me whole", 3)     # untouched passthrough
+
+
+def test_duplicated_spans_randomized_vs_python_reference(spark):
+    """Bulk parity on random corpora: spans from the Spark operator equal
+    a brute-force pure-Python computation (windows, corpus counts, island
+    collapse) across seeds, k values and thresholds."""
+    import random
+
+    from dc43_spark.functions import dedup as dd
+
+    def py_spans(texts, k, min_occ):
+        wins = {}  # gram -> count
+        per_doc = {}
+        for did, text in texts:
+            toks = text.split()
+            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            per_doc[did] = grams
+            for g in grams:
+                wins[g] = wins.get(g, 0) + 1
+        out = set()
+        for did, grams in per_doc.items():
+            dup = [i for i, g in enumerate(grams) if wins[g] >= min_occ]
+            run_start = None
+            prev = None
+            for i in dup + [None]:
+                if i is not None and prev is not None and i == prev + 1:
+                    prev = i
+                    continue
+                if run_start is not None:
+                    n = prev - run_start + 1
+                    out.add((did, run_start, n, n + k - 1))
+                run_start, prev = i, i
+        return out
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    for seed, k, min_occ in [(0, 3, 2), (1, 2, 2), (2, 3, 3), (3, 4, 2)]:
+        rng = random.Random(seed)
+        texts = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.start_pos, r.n_windows, r.span_tokens)
+            for r in dd.duplicated_spans(df, k=k, min_occurrences=min_occ).collect()
+        }
+        assert got == py_spans(texts, k, min_occ), (seed, k, min_occ)
