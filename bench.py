@@ -67,6 +67,7 @@ HEADLINE = [
     "mix_by_lang_documents",
     "bigram_familiarity_documents",
     "filter_report_documents",
+    "boilerplate_strip_documents",
     # analytics
     "pricing_summary",
     "top_customers",
@@ -138,6 +139,8 @@ COUNT_ONLY = {
     "train_split_documents",
     "mix_by_lang_documents",
     "bigram_familiarity_documents",
+    "boilerplate_strip_documents",
+    "filter_report_documents",
 }
 
 

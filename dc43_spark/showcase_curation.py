@@ -788,6 +788,88 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def q_boilerplate_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE #2 — the RefinedWeb-style cleanup composed end-to-end:
+    corpus filter (keep) -> exact duplicated-SPAN mining over the kept
+    corpus (every 3-token window repeated anywhere) -> strip every
+    duplicated span (global boilerplate removal) -> fractional-epoch
+    language mixing of the survivors. Output: one row per emitted
+    training copy with the post-strip token count. The oracle recomposes
+    filter signals, window counts, span coverage, and the mixture bucket
+    rule in one SQL query — drift in ANY of the four stages breaks it."""
+    from dc43_spark.functions import dedup as dd
+
+    docs = load_spread(spark, sf_dir, "documents")
+    kept = (
+        cu.corpus_filter(docs, passthrough=("text", "lang"))
+        .filter("keep")
+        .select("doc_id", "lang", "text")
+        .persist()
+    )
+    spans = dd.duplicated_spans(kept, k=3, min_occurrences=2)
+    stripped = dd.strip_spans(kept, spans, k=3)
+    mixed = cu.mix_by_weight(
+        stripped.join(kept.select("doc_id", "lang"), "doc_id"),
+        "doc_id",
+        "lang",
+        MIX_FACTORS,
+        default_factor=1.0,
+        seed=MIX_SEED,
+    )
+    return mixed.select("doc_id", "lang", "n_tokens_after", "copy")
+
+
+def _boilerplate_strip_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {int(round(f * cu.MICRO))}"
+        for lang, f in sorted(MIX_FACTORS.items())
+    )
+    max_copies = int(max(MIX_FACTORS.values())) + 1
+    return f"""
+WITH kept AS (
+  SELECT f.doc_id FROM ({_corpus_filter_sql()}) f WHERE f.keep
+), kt AS (
+  SELECT k.doc_id, d.lang,
+         string_split_regex(trim(d.text), '\\s+') AS tk
+  FROM kept k JOIN documents d USING (doc_id)
+), w AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i - 1,
+                    'g': md5(array_to_string(tk[i:i+2], ' '))}}
+                   for i in range(1, len(tk) - 1)]) AS u
+    FROM kt WHERE len(tk) >= 3
+  )
+), dup AS (
+  SELECT w.doc_id, w.pos
+  FROM w JOIN (SELECT g FROM w GROUP BY g HAVING count(*) >= 2) c USING (g)
+), tok AS (
+  SELECT doc_id, lang, unnest(range(1, len(tk) + 1)) AS i FROM kt
+), covered AS (
+  SELECT DISTINCT t.doc_id, t.i
+  FROM tok t JOIN dup s
+    ON s.doc_id = t.doc_id AND t.i - 1 BETWEEN s.pos AND s.pos + 2
+), after AS (
+  SELECT t.doc_id, any_value(t.lang) AS lang,
+         CAST(count(*) - count(c.i) AS BIGINT) AS n_tokens_after
+  FROM tok t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.i = t.i
+  GROUP BY t.doc_id
+), mixed AS (
+  SELECT a.doc_id, a.lang, a.n_tokens_after,
+         ('0x' || substr(md5('{MIX_SEED}|' || a.doc_id::VARCHAR), 1, 12))::BIGINT
+           % 1000000 AS bkt,
+         CASE a.lang {cases} ELSE 1000000 END AS fm
+  FROM after a
+), c2 AS (
+  SELECT doc_id, lang, n_tokens_after,
+         fm // 1000000 + CASE WHEN bkt < fm % 1000000 THEN 1 ELSE 0 END AS nc
+  FROM mixed
+)
+SELECT doc_id, lang, n_tokens_after, CAST(g.g AS INTEGER) AS copy
+FROM c2, range(0, {max_copies}) g(g) WHERE g.g < nc
+"""
+
+
 #: gates consolidated OUT of the driver's 50-slot correctness window (r5):
 #: sample_split_documents unions stratified_sample + train_split verbatim,
 #: and packed_chunks_documents now pins the chunker's text via chunk_hash.
@@ -799,6 +881,7 @@ EXTRA_QUERIES = {
     "mix_by_lang_documents": q_mix_by_lang_documents,
     "bigram_familiarity_documents": q_bigram_familiarity_documents,
     "filter_report_documents": q_filter_report_documents,
+    "boilerplate_strip_documents": q_boilerplate_strip_documents,
 }
 
 EXTRA_ORACLES = {
@@ -808,4 +891,5 @@ EXTRA_ORACLES = {
     "mix_by_lang_documents": _mix_by_lang_sql(),
     "bigram_familiarity_documents": _BIGRAM_FAMILIARITY_SQL,
     "filter_report_documents": _filter_report_sql(),
+    "boilerplate_strip_documents": _boilerplate_strip_sql(),
 }
