@@ -79,3 +79,33 @@ def two_phase_distinct(
         .groupBy(*key)
         .agg(F.count(F.lit(1)).cast("long").alias(out_col))
     )
+
+
+def skew_report(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    top_n: int = 20,
+) -> DataFrame:
+    """Heavy-hitter diagnosis for a prospective shuffle key: the ``top_n``
+    key values by row count with each key's micro-fraction of the total —
+    the number that decides whether a join/agg on ``cols`` needs salting
+    (a key near 1/shuffle-partitions of the data IS the straggler).
+
+    One partially-aggregated shuffle on the candidate key + a broadcast
+    of the single-row total; output is top_n rows, driver-safe at any
+    corpus size. Deterministic tie-break on the key values."""
+    from dc43_spark.functions.curation import micro_ratio
+
+    counts = df.groupBy(*cols).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    total = df.select(F.count(F.lit(1)).cast("long").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *cols,
+            "n_rows",
+            micro_ratio(F.col("n_rows"), F.col("_total")).alias("fraction_micro"),
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(c).asc() for c in cols])
+        .limit(top_n)
+    )

@@ -104,3 +104,16 @@ def test_salt_validation(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
         salted_join(df, df, on=["id"], salt=0)
+
+
+def test_skew_report_surfaces_heavy_hitters(spark):
+    from dc43_spark.functions.skew import skew_report
+
+    rows = [(1, "hot")] * 700 + [(i, f"k{i}") for i in range(2, 302)]
+    df = spark.createDataFrame(rows, "v long, key string")
+    out = skew_report(df, ["key"], top_n=3).collect()
+    assert out[0].key == "hot" and out[0].n_rows == 700
+    assert out[0].fraction_micro == 700_000  # 700/1000 exactly
+    assert all(r.n_rows == 1 for r in out[1:])
+    # deterministic tie-break on the key
+    assert [r.key for r in out[1:]] == sorted(r.key for r in out[1:])
