@@ -37,6 +37,7 @@ def curate_stream(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     append_survivors: bool = True,
+    intra_batch_dedup: bool = False,
     trigger_once: bool = False,
     filter_kwargs: Optional[dict] = None,
 ):
@@ -50,6 +51,13 @@ def curate_stream(
     ``report_path``, a (batch_id, reason, n_docs) histogram — filter
     drop reasons, ``near_dup``, ``kept`` — is appended per batch, giving
     operators the live twin of the batch ``filter_report`` gate.
+
+    ``intra_batch_dedup=True`` additionally resolves near-dups WITHIN the
+    micro-batch before probing the index (LSH mining + min-id canonical
+    per cluster): a crawl batch that scraped the same page twice then
+    contributes one accepted copy instead of racing both into the index.
+    Off by default — batches from an upstream exact-dedup stage don't pay
+    the extra mining pass.
 
     Failure ordering under at-least-once foreachBatch replays follows
     ``dedup_stream_against_index``: output append FIRST, index append
@@ -76,6 +84,24 @@ def curate_stream(
             eager=True
         )
         kept_docs = flt.filter("keep").select(id_col, text_col)
+        n_intra_dropped = 0
+        if intra_batch_dedup:
+            from dc43_spark.functions.dedup import (
+                dedup_clusters,
+                minhash_near_duplicates,
+            )
+
+            pairs = minhash_near_duplicates(
+                kept_docs, text_col=text_col, id_col=id_col, threshold=threshold
+            )
+            clustered = dedup_clusters(kept_docs, pairs, id_col=id_col)
+            canonical = clustered.filter(
+                F.col(id_col) == F.col("cluster_id")
+            ).select(id_col, text_col).localCheckpoint(eager=True)
+            if report_path is not None:
+                n_before_intra = kept_docs.count()
+                n_intra_dropped = n_before_intra - canonical.count()
+            kept_docs = canonical
         survivors = dedup_batch_against_index(
             spark,
             index_path,
@@ -102,6 +128,7 @@ def curate_stream(
             )
             extra = spark.createDataFrame(
                 [
+                    (batch_id, "intra_batch_dup", n_intra_dropped),
                     (batch_id, "near_dup", n_kept_docs - n_survivors),
                     (batch_id, "kept", n_survivors),
                 ],

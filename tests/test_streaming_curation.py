@@ -74,3 +74,36 @@ def test_streaming_curation_two_batches(spark, corpus, tmp_path):
     # the gibberish doc shows up under filter reasons in batch 0
     batch0_reasons = {k[1] for k in report if k[0] == 0}
     assert "too_short" in batch0_reasons
+
+
+def test_intra_batch_dedup_keeps_one_copy(spark, corpus, tmp_path):
+    """Two near-identical docs in ONE crawl batch: with intra_batch_dedup
+    the min-id canonical survives alone and the report counts the drop."""
+    idx = str(tmp_path / "ndx2")
+    src = tmp_path / "src2"
+    out = str(tmp_path / "out2")
+    rep = str(tmp_path / "rep2")
+    src.mkdir()
+    di.minhash_index_write(corpus.filter("doc_id < 60"), idx)
+    passing = (
+        corpus_filter(corpus.filter("doc_id >= 60"), passthrough=("text",))
+        .filter("keep")
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()
+    )[0]
+    spark.createDataFrame(
+        [(50_001, passing.text), (50_002, passing.text)],  # exact twins
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src / "*"))
+    q = curate_stream(
+        stream, idx, out, str(tmp_path / "ckpt2"), report_path=rep,
+        threshold=0.8, intra_batch_dedup=True, trigger_once=True,
+    )
+    q.awaitTermination(120)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {50_001}
+    report = {(r.batch_id, r.reason): r.n_docs
+              for r in spark.read.parquet(rep).collect()}
+    assert report[(0, "intra_batch_dup")] == 1
+    assert report[(0, "kept")] == 1 and report[(0, "near_dup")] == 0
