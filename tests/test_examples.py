@@ -1,0 +1,17 @@
+"""The quickstart example must actually run (examples rot otherwise)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+
+def test_quickstart_runs(sf_dir):
+    proc = subprocess.run(
+        [sys.executable, "examples/quickstart.py", sf_dir],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "write verdict:" in proc.stdout
+    assert "read verdict:" in proc.stdout
+    assert "near-dup pairs:" in proc.stdout
