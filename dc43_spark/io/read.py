@@ -238,3 +238,81 @@ def read_with_contract(
         for hook in interceptors:
             hook.post_read(io_ctx, aligned, result)
     return aligned, result
+
+
+def read_stream_with_contract(
+    spark: SparkSession,
+    contract: Optional[Contract] = None,
+    *,
+    product: Optional[str] = None,
+    port: Optional[str] = None,
+    registry: Optional[Any] = None,
+    path: Optional[str] = None,
+    table: Optional[str] = None,
+    format: Optional[str] = None,
+    options: Optional[dict[str, str]] = None,
+    enforce: bool = True,
+    auto_cast: bool = True,
+    keep_extra_columns: bool = False,
+    allowed_statuses: tuple[str, ...] = DEFAULT_ALLOWED_STATUSES,
+) -> tuple[DataFrame, ValidationResult]:
+    """Governed STREAMING read: contract status gate + schema-on-read +
+    align/cast, returning the streaming DataFrame plus a SCHEMA-ONLY
+    verdict. Row-level metrics cannot aggregate an unbounded stream up
+    front — attach ``StreamingGovernedWriter`` (or ``observe_stream``)
+    downstream for per-micro-batch validation; this entry point covers
+    the read half: location resolution from the contract's servers,
+    contract schema for schema-less sources, and a blocking verdict on
+    schema errors before the query ever starts. Accepts the same
+    ``product=``/``port=``/``registry=`` binding as batch reads."""
+    if contract is None:
+        contract = resolve_port_contract(registry, product, port, operation="read")
+    elif product is not None or port is not None:
+        raise ValueError("pass either contract= or product=/port=, not both")
+    warnings: list[str] = []
+    status_msg = check_contract_status(contract, allowed_statuses, enforce=enforce)
+    if status_msg:
+        warnings.append(status_msg)
+    request = _resolve_request(
+        contract,
+        ReadRequest(
+            path=path, table=table, format=format,
+            options=dict(options or {}), streaming=True,
+        ),
+    )
+    request.streaming = True
+    if request.schema is None and request.table is None:
+        # streaming FILE sources require a schema up front (Spark refuses
+        # to infer on an unbounded directory). Self-describing formats
+        # (parquet/orc) get a one-off STATIC metadata read so validation
+        # sees the TRUE on-disk schema — supplying the contract's schema
+        # there would conjure missing columns as nulls and defeat the
+        # schema gate. Schema-less formats take the contract's schema
+        # (the batch schema-on-read rule), except under
+        # keep_extra_columns where static inference keeps the extras.
+        fmt = (request.format or "parquet").lower()
+        if fmt in SCHEMALESS_FORMATS and not keep_extra_columns:
+            from dc43_spark.contracts.schema import contract_to_struct_type
+
+            request.schema = contract_to_struct_type(contract)
+        else:
+            from dataclasses import replace
+
+            request.schema = load_dataframe(
+                spark, replace(request, streaming=False)
+            ).schema
+    df = load_dataframe(spark, request)
+    snapshot = schema_snapshot(df)
+    result = evaluate_contract(contract, schema=snapshot, metrics={}, operation="read")
+    if warnings:
+        result = result.merge(ValidationResult(warnings=warnings, status="warn"))
+    aligned = apply_contract(
+        df, contract, auto_cast=auto_cast, keep_extra_columns=keep_extra_columns
+    )
+    if enforce and result.status == "block":
+        raise ValidationBlockedError(
+            f"streaming read blocked for {contract.id}:{contract.version}: "
+            f"{result.errors}",
+            result,
+        )
+    return aligned, result

@@ -263,3 +263,50 @@ def test_streaming_writer_port_bound(spark, tmp_path):
     assert spark.read.parquet(target).count() == 2
     with pytest.raises(ValueError, match="not both"):
         StreamingGovernedWriter(contract, product="p", port="x")
+
+
+def test_read_stream_with_contract(spark, tmp_path):
+    """Governed streaming read: location from the contract's servers,
+    schema-only verdict, aligned streaming frame; schema errors block
+    before the query starts."""
+    import time
+
+    from dc43_spark.contracts import Contract, SchemaObject, SchemaProperty
+    from dc43_spark.contracts.model import Server
+    from dc43_spark.io.read import ValidationBlockedError, read_stream_with_contract
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "k long, v string, extra double"
+    ).coalesce(1).write.parquet(str(src))
+
+    def contract(props):
+        return Contract(
+            id="stream.read", version="0.1.0",
+            servers=[Server(path=str(src), format="parquet")],
+            schema_objects=[SchemaObject(name="t", properties=props)],
+        )
+
+    good = contract([
+        SchemaProperty("k", "bigint", required=True),
+        SchemaProperty("v", "string"),
+    ])
+    df, res = read_stream_with_contract(spark, good)
+    assert df.isStreaming and res.ok
+    assert df.columns == ["k", "v"]  # aligned: extra pruned, order enforced
+    out = str(tmp_path / "out")
+    q = (
+        df.writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    time.sleep(0.3)
+    assert spark.read.parquet(out).count() == 2
+
+    # a required column the source lacks blocks BEFORE any query starts
+    bad = contract([SchemaProperty("missing_col", "bigint", required=True)])
+    with pytest.raises(ValidationBlockedError):
+        read_stream_with_contract(spark, bad)
