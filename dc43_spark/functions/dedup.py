@@ -706,8 +706,6 @@ def strip_spans(
     spans: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    *,
-    k: int = 3,
 ) -> DataFrame:
     """Remove the tokens covered by ``spans`` (a ``duplicated_spans``
     result restricted to the occurrences the caller wants gone) and

@@ -764,15 +764,14 @@ def ivf_index_append(
     Cost shape: one broadcast-matmul assignment pass over the NEW batch +
     an append-mode partitioned write touching only the batch's lists;
     the existing index is never read or rewritten."""
+    from dc43_spark.functions.embedding_index import _check_batch_dim
+
     centroids = _read_centroids(spark, path)
     dim = centroids.shape[1]
-    first = df.select(F.size(corpus_vec)).first()
-    if first is None:
+    # whole-batch guard (r6 advice): mixed-dim or NULL vectors must raise a
+    # clear ValueError up front, not an opaque numpy shape error mid-assign.
+    if not _check_batch_dim(df, corpus_vec, dim):
         return
-    if int(first[0]) != dim:
-        raise ValueError(
-            f"batch vector dim {int(first[0])} does not match the index's {dim}"
-        )
     assigned = _ivf_assign(
         df, centroids, id_col=corpus_id, vec_col=corpus_vec, nprobe=1,
         emit_code=quantized, emit_vec=not quantized,

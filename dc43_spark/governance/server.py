@@ -30,6 +30,7 @@ Path segments are URL-quoted by clients (dataset ids contain ``:`` and
 
 from __future__ import annotations
 
+import hmac
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -84,7 +85,9 @@ class _Handler(BaseHTTPRequestHandler):
             return True
         header = self.headers.get("Authorization") or ""
         scheme, _, presented = header.partition(" ")
-        if scheme.lower() == "bearer" and presented.strip() == expected:
+        if scheme.lower() == "bearer" and hmac.compare_digest(
+            presented.strip(), expected
+        ):
             return True
         self._send(401, {"detail": "Invalid authentication credentials"})
         return False

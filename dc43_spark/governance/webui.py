@@ -122,7 +122,7 @@ def render_contract(contract_store, contract_id: str) -> str | None:
             + _table(["field", "type", "flags", "quality rules"], field_rows)
         )
     return _PAGE.format(
-        title=f"contract {contract_id}", body="".join(sections)
+        title=f"contract {escape(contract_id)}", body="".join(sections)
     )
 
 
@@ -170,4 +170,4 @@ def render_dataset(governance_store, dataset_id: str) -> str | None:
         if activity
         else "<p>(none)</p>"
     )
-    return _PAGE.format(title=f"dataset {dataset_id}", body=body)
+    return _PAGE.format(title=f"dataset {escape(dataset_id)}", body=body)

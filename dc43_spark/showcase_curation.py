@@ -807,7 +807,7 @@ def q_boilerplate_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         .persist()
     )
     spans = dd.duplicated_spans(kept, k=3, min_occurrences=2)
-    stripped = dd.strip_spans(kept, spans, k=3)
+    stripped = dd.strip_spans(kept, spans)
     mixed = cu.mix_by_weight(
         stripped.join(kept.select("doc_id", "lang"), "doc_id"),
         "doc_id",

@@ -64,7 +64,9 @@ def curate_stream(
     after — a crash between the two replays the batch against an
     unchanged index and re-accepts it (duplicate output rows, never lost
     documents). The report is appended last; a replayed batch may repeat
-    report rows, which downstream sums by (batch_id, reason) collapse.
+    report rows, so consumers must de-duplicate per (batch_id, reason) —
+    ``max(n_docs)``/``any_value(n_docs)`` grouped on those keys — NOT sum,
+    which would double-count replayed batches.
 
     Returns the started StreamingQuery."""
     from dc43_spark.functions.curation import corpus_filter

@@ -178,7 +178,7 @@ def test_strip_spans_removes_covered_tokens(spark):
     keep_id = spans.agg(F.min("doc_id")).collect()[0][0]
     to_strip = spans.filter(F.col("doc_id") != keep_id)
     out = {r.doc_id: (r.text, r.n_tokens_after)
-           for r in dd.strip_spans(df, to_strip, k=3).collect()}
+           for r in dd.strip_spans(df, to_strip).collect()}
     assert out[1] == ("alpha one two three four five omega", 7)  # kept
     assert out[2] == ("beta gamma delta", 3)  # passage stripped
     assert out[3] == ("keep me whole", 3)     # untouched passthrough

@@ -216,3 +216,14 @@ def test_web_ui_renders_contracts_and_datasets():
             raise AssertionError("expected 404")
         except urllib.error.HTTPError as exc:
             assert exc.code == 404
+
+        # stored ids are attacker-influenceable (POST /governance/activity
+        # needs no token when none is set): the page title must escape
+        # them, never execute them (r6 advice)
+        import urllib.parse
+
+        evil = 'x<script>alert(1)</script>'
+        gs.save_status(evil, "v1", {"status": "ok"})
+        page = fetch("/ui/datasets/" + urllib.parse.quote(evil, safe=""))
+        assert "<script>alert(1)</script>" not in page
+        assert "&lt;script&gt;" in page

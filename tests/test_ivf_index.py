@@ -126,6 +126,19 @@ def test_ivf_index_append_extends_index(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="dim"):
         ivf_index_append(spark, path, bad)
+    # whole-batch guard (r6 advice): a LATER row with a wrong dim — or a
+    # NULL vector — must raise up front, not just row 0
+    mixed = spark.createDataFrame(
+        [(1, [0.0] * dim), (2, [0.0] * (dim + 1))],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dim"):
+        ivf_index_append(spark, path, mixed)
+    nulled = spark.createDataFrame(
+        [(1, [0.0] * dim), (2, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        ivf_index_append(spark, path, nulled)
     # appending the quantized flavour to a code index round-trips too
     from dc43_spark.functions.similarity import (
         ivf_query_index_quantized,
