@@ -168,7 +168,7 @@ class ContractVersionLocator:
 
     def for_write(self, contract: Optional[Contract], base: DatasetResolution) -> DatasetResolution:
         out = self.base.for_write(contract, base)
-        if out.path and (out.format or "parquet") != "delta":
+        if out.path and (out.format or "parquet") not in ("delta", "snaplog"):
             version = self.dataset_version
             if version == LATEST:
                 existing = list_folder_versions(out.path)
@@ -184,7 +184,7 @@ class ContractVersionLocator:
     def for_read(self, contract: Optional[Contract], base: DatasetResolution) -> DatasetResolution:
         out = self.base.for_read(contract, base)
         fmt = out.format or ("parquet" if out.path else None)
-        if fmt == "delta" or out.table:
+        if fmt == "delta" or fmt == "snaplog" or out.table:
             version = self.dataset_version
             if version == LATEST:
                 return replace(out, dataset_version=version)

@@ -69,7 +69,27 @@ def compact_dataset(
     layout (``col=value`` directories): rows co-locate per partition
     value before the partitioned write, so each partition dir collapses
     to a few files and file-level partition pruning is unchanged. A
-    dataset already at or under ``min_files`` files is left untouched."""
+    dataset already at or under ``min_files`` files is left untouched.
+
+    Snaplog tables route to ``SnaplogTable.compact`` — the rewrite commits
+    THROUGH the log (transactional, conflict-checked, history-preserving)
+    instead of swapping directories under readers' feet."""
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    if SnaplogTable.is_snaplog(path):
+        if partition_by:
+            raise ValueError("snaplog compaction does not take partition_by")
+        t = SnaplogTable(spark, path)
+        pre = t.snapshot()
+        files_before = len(pre.files)
+        bytes_before = sum(f.bytes for f in pre.files)
+        t.compact(
+            target_file_mb=target_file_mb, cluster_by=cluster_by, min_files=min_files
+        )
+        post = t.snapshot()
+        return CompactionResult(
+            path, files_before, len(post.files), bytes_before, post.rows
+        )
     files = _parquet_files(path)
     bytes_before = sum(os.path.getsize(f) for f in files)
     if len(files) <= min_files:

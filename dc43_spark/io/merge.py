@@ -4,16 +4,22 @@ Rebuilds the reference's Delta-merge sink (dc43-integrations
 spark/io/merge.py:43-127 — ``merge_with_governance``): validate the source
 frame against the contract first, then upsert into the target by key.
 
-Two physical strategies:
+Three physical strategies:
 
-- **delta** (the 100 TB path): ``DeltaTable.merge`` — transactional,
+- **delta** (Databricks deployments): ``DeltaTable.merge`` — transactional,
   file-pruned by the join condition, no full rewrite. Used automatically
   when delta-spark is importable and the target format is ``delta``.
-- **parquet fallback** (this container has no delta-spark): a full-outer
-  join rewrite — read target, join on the key columns, matched rows take
-  the source values, unmatched keep/insert — written atomically via a
-  temp directory swap. Cost shape: one shuffle join + full rewrite of the
-  target; correct, but at scale prefer Delta (documented deviation).
+- **snaplog** (the in-container 100 TB path, r7): file-granular
+  copy-on-write through the snapshot log — footer-stats pruning + an
+  exact distributed semi-join pick the files containing matched keys;
+  only those are rewritten, everything else carries over by reference
+  (io/snaplog.py). Used when the target format is ``snaplog`` or the
+  target directory already is a snaplog table.
+- **parquet fallback** (plain directories): a full-outer join rewrite —
+  read target, join on the key columns, matched rows take the source
+  values, unmatched keep/insert — written atomically via a temp directory
+  swap. Cost shape: one shuffle join + full rewrite of the target;
+  correct, but at scale prefer a transactional format above.
 
 The join itself is declarative (equality keys -> Catalyst sort-merge or
 broadcast if the source is small), so AQE/skew handling apply.
@@ -178,6 +184,20 @@ def merge_with_contract(
             for hook in interceptors:
                 hook.post_write(io_ctx, result.validation)
         return result
+
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    if fmt == "snaplog" or (path and SnaplogTable.is_snaplog(path)):
+        # file-granular copy-on-write through the snapshot log — the
+        # in-container realization of the Delta strategy (snaplog.py)
+        t = SnaplogTable(spark, path)
+        stats = t.merge(
+            aligned, keys,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            delete_predicate=delete_predicate,
+        )
+        return _done(MergeResult(validation, f"snaplog-{stats.strategy}", path, table))
 
     if fmt == "delta" and delta_available():  # pragma: no cover - env-gated
         from delta.tables import DeltaTable

@@ -86,6 +86,23 @@ def _resolve_request(contract: Contract, request: Optional[ReadRequest]) -> Read
 def load_dataframe(spark: SparkSession, request: ReadRequest) -> DataFrame:
     """The scan (ref base.py:404-422): format+options+table/path, batch or
     streaming. Lazy — no job is triggered here."""
+    if request.format == "snaplog":
+        from dc43_spark.io.snaplog import SnaplogTable
+
+        if request.streaming:
+            raise ValueError(
+                "snaplog has no streaming source; stream the data/ dir as "
+                "parquet or consume commits via SnaplogTable.history()"
+            )
+        if request.table or not request.path:
+            raise ValueError("snaplog sources are path-based")
+        opts = request.options or {}
+        version = opts.get("versionAsOf")
+        ts = opts.get("timestampAsOf")
+        return SnaplogTable(spark, request.path).read(
+            version_as_of=int(version) if version is not None else None,
+            timestamp_as_of=float(ts) if ts is not None else None,
+        )
     reader = spark.readStream if request.streaming else spark.read
     if request.format:
         reader = reader.format(request.format)

@@ -1,0 +1,656 @@
+"""Snaplog: a minimal snapshot-log table format over parquet.
+
+The reference executes MERGE and time-travel through Delta Lake
+(dc43-integrations spark/io/merge.py:43-127, locators.py:490-509); this
+container has no delta-spark and an offline package index, so the r1-r6
+fallback was a whole-target outer-join rewrite — semantically complete
+but the one remaining scale-killer shape in the repo (a 1-row upsert
+rewrote 100 TB). Snaplog replaces it with the same transactional core
+those formats share, reduced to what a single filesystem needs:
+
+Layout::
+
+    <table>/
+      _snaplog/
+        00000000000000000000.json             commit 0 (add/remove actions)
+        00000000000000000001.json             commit 1
+        00000000000000000010.checkpoint.json  full live-file listing
+      data/part-...-<uuid>.parquet            immutable data files
+
+Every commit is a JSON manifest of ``add`` (new file entries with row
+counts and per-column min/max/null-count footer stats) and ``remove``
+(logically deleted file names) actions. Data files are immutable and
+invisible until their commit lands, so readers never observe partial
+writes and historic snapshots stay readable until ``vacuum``.
+
+**Commit protocol (optimistic concurrency).** The manifest is written to
+a temp file in the log directory, then ``os.link()``-ed to
+``_snaplog/<version>.json``. ``link`` is atomic and fails with
+``FileExistsError`` when another writer claimed the version, so two
+concurrent committers can never both win. The loser's fate depends on
+the operation: blind appends retry against the new snapshot (they
+conflict with nothing); merge / overwrite / compact raise
+``SnapshotConflictError`` because their read snapshot is stale —
+write-serializable, the same conflict class Delta raises for
+concurrent table rewrites.
+
+**Snapshot reconstruction.** A full live-file checkpoint is written
+every ``checkpoint_interval`` commits; ``snapshot(v)`` loads the newest
+checkpoint <= v and replays only the commits after it, so reads are
+O(files + interval) no matter how long the table's history grows.
+
+**Copy-on-write MERGE.** Two-level file pruning picks the rewrite set:
+(1) driver-side min/max stats intersection against the source key range
+(zero data read — footer stats came free at commit time), then (2) an
+exact, fully distributed semi-join of the surviving files' rows against
+the source keys via the ``_metadata.file_path`` hidden column. Only
+files that actually contain matched keys are rewritten; untouched files
+carry over by reference. A 1-row upsert into a key-clustered 100 TB
+table reads and rewrites one file. The only driver materialisations are
+the distinct matched-file list (bounded by file count) and the footer
+stats of newly added files.
+
+100 TB notes: commit manifests are O(files changed), not O(table);
+checkpoints bound log replay; ``compact`` and ``vacuum`` keep file
+counts and dead storage bounded; all heavy work (pruning semi-join,
+merge join, rewrites) is declarative DataFrame code under AQE. The
+``os.link`` mutual exclusion assumes a filesystem with atomic link
+(POSIX, HDFS via create-flag emulation); object stores need a
+put-if-absent shim, the one seam left open here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LOG_DIR = "_snaplog"
+DATA_DIR = "data"
+_VERSION_WIDTH = 20
+_STATS_MAX_COLUMNS = 32  # delta-style cap: stats for the first N columns
+
+
+class SnapshotConflictError(RuntimeError):
+    """A concurrent commit invalidated this transaction's read snapshot."""
+
+
+@dataclass(frozen=True)
+class FileEntry:
+    """One immutable data file as recorded in the log."""
+
+    path: str  # relative to the table root, e.g. "data/part-...parquet"
+    rows: int
+    bytes: int
+    stats: dict  # {col: {"min": v, "max": v, "nulls": n}} (prunable cols only)
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    version: int
+    timestamp: float
+    files: tuple[FileEntry, ...]
+    schema_json: Optional[str]
+
+    @property
+    def rows(self) -> int:
+        return sum(f.rows for f in self.files)
+
+
+@dataclass
+class CommitInfo:
+    version: int
+    timestamp: float
+    operation: str
+    added: int
+    removed: int
+
+
+@dataclass
+class MergeStats:
+    """COW accounting — the proof the merge did NOT rewrite the world."""
+
+    files_total: int
+    candidates_after_stats: int
+    files_rewritten: int
+    files_added: int
+    strategy: str = "copy-on-write"
+
+
+def _json_safe(value):
+    """Footer stat -> JSON scalar; None when the type can't round-trip."""
+    import datetime
+    import decimal
+
+    if isinstance(value, bool) or value is None:
+        return value
+    if isinstance(value, (int, float, str)):
+        return value
+    if isinstance(value, (datetime.date, datetime.datetime)):
+        return value.isoformat()
+    if isinstance(value, decimal.Decimal):
+        return str(value)
+    return None
+
+
+def _footer_stats(abs_path: str) -> tuple[int, int, dict]:
+    """(rows, bytes, per-column min/max/nulls) from the parquet footer —
+    no data pages are read; the stats were computed by the writer."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    rows = md.num_rows
+    size = os.path.getsize(abs_path)
+    acc: dict[str, Optional[dict]] = {}  # name -> {"min","max","nulls"} | None
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(min(g.num_columns, _STATS_MAX_COLUMNS)):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaf — not prunable at top level
+                continue
+            if name in acc and acc[name] is None:
+                continue  # already disqualified (missing/unsafe stats)
+            st = col.statistics
+            lo = _json_safe(st.min) if st is not None and st.has_min_max else None
+            hi = _json_safe(st.max) if st is not None and st.has_min_max else None
+            if lo is None or hi is None:
+                acc[name] = None
+                continue
+            n_null = int(st.null_count or 0)
+            prev = acc.get(name)
+            if prev is None and name not in acc:
+                acc[name] = {"min": lo, "max": hi, "nulls": n_null}
+            else:
+                try:
+                    prev["min"] = min(prev["min"], lo)
+                    prev["max"] = max(prev["max"], hi)
+                    prev["nulls"] += n_null
+                except TypeError:  # incomparable across groups -> disqualify
+                    acc[name] = None
+    return rows, size, {k: v for k, v in acc.items() if v is not None}
+
+
+def _commit_name(version: int) -> str:
+    return f"{version:0{_VERSION_WIDTH}d}.json"
+
+
+def _checkpoint_name(version: int) -> str:
+    return f"{version:0{_VERSION_WIDTH}d}.checkpoint.json"
+
+
+class SnaplogTable:
+    """Handle on one snaplog table directory (create lazily on first write)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        checkpoint_interval: int = 10,
+    ) -> None:
+        self.spark = spark
+        self.path = os.path.abspath(path.rstrip("/"))
+        self.checkpoint_interval = checkpoint_interval
+
+    # ---------------- layout helpers
+
+    @property
+    def log_dir(self) -> str:
+        return os.path.join(self.path, LOG_DIR)
+
+    @property
+    def data_dir(self) -> str:
+        return os.path.join(self.path, DATA_DIR)
+
+    @staticmethod
+    def is_snaplog(path: Optional[str]) -> bool:
+        return bool(path) and os.path.isdir(os.path.join(path, LOG_DIR))
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_dir) and self._versions() != []
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".json") and not name.endswith(".checkpoint.json"):
+                stem = name[: -len(".json")]
+                if stem.isdigit():
+                    out.append(int(stem))
+        return sorted(out)
+
+    def version(self) -> Optional[int]:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def _read_commit(self, version: int) -> dict:
+        with open(os.path.join(self.log_dir, _commit_name(version))) as fh:
+            return json.load(fh)
+
+    # ---------------- snapshots
+
+    def _checkpoint_versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".checkpoint.json"):
+                stem = name[: -len(".checkpoint.json")]
+                if stem.isdigit():
+                    out.append(int(stem))
+        return sorted(out)
+
+    def snapshot(
+        self,
+        version: Optional[int] = None,
+        *,
+        timestamp: Optional[float] = None,
+    ) -> Snapshot:
+        """Live file set at a version (default: latest) or the last commit
+        at/before a unix ``timestamp``. Checkpoint + tail replay."""
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no snaplog table at {self.path}")
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version or timestamp, not both")
+            version = None
+            for v in versions:
+                if self._read_commit(v)["timestamp"] <= timestamp:
+                    version = v
+            if version is None:
+                raise ValueError(
+                    f"no commit at or before timestamp {timestamp} in {self.path}"
+                )
+        if version is None:
+            version = versions[-1]
+        if version not in versions:
+            raise FileNotFoundError(
+                f"version {version} not in {self.path} (have {versions[0]}..{versions[-1]})"
+            )
+
+        start = 0
+        files: dict[str, FileEntry] = {}
+        schema_json: Optional[str] = None
+        cps = [c for c in self._checkpoint_versions() if c <= version]
+        if cps:
+            with open(os.path.join(self.log_dir, _checkpoint_name(cps[-1]))) as fh:
+                cp = json.load(fh)
+            files = {
+                e["path"]: FileEntry(e["path"], e["rows"], e["bytes"], e.get("stats", {}))
+                for e in cp["files"]
+            }
+            schema_json = cp.get("schema_json")
+            start = cps[-1] + 1
+        ts = 0.0
+        for v in range(start, version + 1):
+            commit = self._read_commit(v)
+            ts = commit["timestamp"]
+            for name in commit.get("remove", []):
+                files.pop(name, None)
+            for e in commit.get("add", []):
+                files[e["path"]] = FileEntry(
+                    e["path"], e["rows"], e["bytes"], e.get("stats", {})
+                )
+            schema_json = commit.get("schema_json") or schema_json
+        if start > version and cps:  # snapshot == checkpoint version
+            ts = cp["timestamp"]
+        return Snapshot(
+            version=version,
+            timestamp=ts,
+            files=tuple(sorted(files.values(), key=lambda f: f.path)),
+            schema_json=schema_json,
+        )
+
+    def history(self) -> list[CommitInfo]:
+        out = []
+        for v in self._versions():
+            c = self._read_commit(v)
+            out.append(
+                CommitInfo(
+                    version=v,
+                    timestamp=c["timestamp"],
+                    operation=c.get("operation", "?"),
+                    added=len(c.get("add", [])),
+                    removed=len(c.get("remove", [])),
+                )
+            )
+        return out
+
+    # ---------------- reads
+
+    def read(
+        self,
+        *,
+        version_as_of: Optional[int] = None,
+        timestamp_as_of: Optional[float] = None,
+    ) -> DataFrame:
+        """Snapshot-pinned scan: one declarative multi-path parquet read, so
+        Catalyst keeps pushdown/pruning across the pinned file set."""
+        snap = self.snapshot(version_as_of, timestamp=timestamp_as_of)
+        paths = [os.path.join(self.path, f.path) for f in snap.files]
+        if not paths:
+            if snap.schema_json:
+                schema = T.StructType.fromJson(json.loads(snap.schema_json))
+                return self.spark.createDataFrame([], schema)
+            raise ValueError(f"empty snaplog snapshot v{snap.version} has no schema")
+        return self.spark.read.format("parquet").load(paths)
+
+    # ---------------- commit machinery
+
+    def _stage_files(self, df: DataFrame) -> list[FileEntry]:
+        """Write ``df`` into data/ via a staging dir; files stay invisible
+        (no manifest references them) until the commit lands."""
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        os.makedirs(self.data_dir, exist_ok=True)
+        entries = []
+        try:
+            for name in sorted(os.listdir(staging)):
+                if not name.endswith(".parquet") or name.startswith((".", "_")):
+                    continue
+                # Spark part names embed a task-attempt UUID — globally unique
+                dest = os.path.join(self.data_dir, name)
+                os.rename(os.path.join(staging, name), dest)
+                rows, size, stats = _footer_stats(dest)
+                entries.append(
+                    FileEntry(f"{DATA_DIR}/{name}", rows, size, stats)
+                )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return entries
+
+    def _try_commit(self, version: int, record: dict) -> bool:
+        """Atomically claim ``_snaplog/<version>.json``; False if taken."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as fh:
+                json.dump(record, fh)
+            try:
+                os.link(tmp, os.path.join(self.log_dir, _commit_name(version)))
+            except FileExistsError:
+                return False
+            return True
+        finally:
+            os.unlink(tmp)
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if version == 0 or version % self.checkpoint_interval != 0:
+            return
+        snap = self.snapshot(version)
+        record = {
+            "version": version,
+            "timestamp": snap.timestamp,
+            "schema_json": snap.schema_json,
+            "files": [
+                {"path": f.path, "rows": f.rows, "bytes": f.bytes, "stats": f.stats}
+                for f in snap.files
+            ],
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(record, fh)
+        os.replace(tmp, os.path.join(self.log_dir, _checkpoint_name(version)))
+
+    def _commit(
+        self,
+        operation: str,
+        *,
+        add: Sequence[FileEntry] = (),
+        remove: Sequence[str] = (),
+        schema_json: Optional[str] = None,
+        expected_version: Optional[int] = None,
+        retry_append: bool = False,
+    ) -> int:
+        """Write one commit. ``expected_version`` pins the read snapshot
+        (merge/overwrite/compact); ``retry_append`` lets blind appends chase
+        the head on conflict."""
+        record = {
+            "operation": operation,
+            "add": [
+                {"path": f.path, "rows": f.rows, "bytes": f.bytes, "stats": f.stats}
+                for f in add
+            ],
+            "remove": list(remove),
+        }
+        if schema_json:
+            record["schema_json"] = schema_json
+        attempts = 0
+        while True:
+            current = self.version()
+            if expected_version is not None and current != expected_version:
+                raise SnapshotConflictError(
+                    f"{operation} read snapshot v{expected_version} of {self.path} "
+                    f"is stale: table is now at v{current}"
+                )
+            version = 0 if current is None else current + 1
+            record["version"] = version
+            record["timestamp"] = time.time()
+            if self._try_commit(version, record):
+                self._maybe_checkpoint(version)
+                return version
+            if expected_version is not None:
+                raise SnapshotConflictError(
+                    f"concurrent commit claimed v{version} of {self.path} "
+                    f"during {operation}"
+                )
+            if not retry_append or attempts >= 20:
+                raise SnapshotConflictError(
+                    f"could not claim a commit version for {operation} on {self.path}"
+                )
+            attempts += 1
+
+    # ---------------- writes
+
+    def write(self, df: DataFrame, mode: str = "append") -> int:
+        """Transactional append/overwrite; returns the committed version."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"snaplog write mode must be append|overwrite, got {mode!r}")
+        schema_json = df.schema.json()
+        if mode == "overwrite":
+            current = self.version()
+            remove = (
+                [f.path for f in self.snapshot(current).files]
+                if current is not None
+                else []
+            )
+            added = self._stage_files(df)
+            return self._commit(
+                "overwrite",
+                add=added,
+                remove=remove,
+                schema_json=schema_json,
+                expected_version=current,
+            )
+        added = self._stage_files(df)
+        return self._commit(
+            "append", add=added, schema_json=schema_json, retry_append=True
+        )
+
+    # ---------------- copy-on-write MERGE
+
+    def _prune_by_stats(
+        self, files: Sequence[FileEntry], keys: Sequence[str], key_ranges: dict
+    ) -> list[FileEntry]:
+        """Keep files whose [min,max] intersects the source key range on
+        EVERY key column; files without stats stay candidates."""
+        out = []
+        for f in files:
+            keep = True
+            for k in keys:
+                rng = key_ranges.get(k)
+                st = f.stats.get(k)
+                if rng is None or st is None:
+                    continue  # no information -> can't prune
+                lo, hi = rng
+                if lo is None or hi is None:
+                    continue
+                try:
+                    if st["max"] < lo or st["min"] > hi:
+                        keep = False
+                        break
+                except TypeError:  # incomparable types -> keep
+                    continue
+            if keep:
+                out.append(f)
+        return out
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        *,
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+        delete_predicate: Optional[str] = None,
+    ) -> MergeStats:
+        """File-granular copy-on-write MERGE (ref spark/io/merge.py:43-127
+        semantics, Delta's physical strategy): prune to the files that
+        contain matched keys, rewrite only those merged with the source,
+        carry every other file over by reference."""
+        from dc43_spark.io.merge import _outer_join_merge
+
+        current = self.version()
+        if current is None:
+            if when_not_matched == "insert":
+                self.write(source, mode="overwrite")
+            return MergeStats(0, 0, 0, 0, strategy="initial-write")
+        snap = self.snapshot(current)
+        files = list(snap.files)
+
+        # level 1: driver-side min/max intersection (footer stats, no IO)
+        ranges_row = source.select(
+            *[F.min(k).alias(f"_lo_{i}") for i, k in enumerate(keys)],
+            *[F.max(k).alias(f"_hi_{i}") for i, k in enumerate(keys)],
+        ).first()
+        key_ranges = {
+            k: (
+                _json_safe(ranges_row[f"_lo_{i}"]),
+                _json_safe(ranges_row[f"_hi_{i}"]),
+            )
+            for i, k in enumerate(keys)
+        }
+        candidates = self._prune_by_stats(files, keys, key_ranges)
+
+        # level 2: exact, distributed — which candidate files actually hold
+        # a matched key (hidden _metadata.file_path + null-safe semi join)
+        touched_names: set[str] = set()
+        if candidates:
+            cand_paths = [os.path.join(self.path, f.path) for f in candidates]
+            tgt = self.spark.read.format("parquet").load(cand_paths).select(
+                *[F.col(k) for k in keys],
+                F.col("_metadata.file_path").alias("_fp"),
+            )
+            src_keys = source.select(*keys).dropDuplicates(list(keys))
+            cond = [tgt[k].eqNullSafe(src_keys[k]) for k in keys]
+            matched = (
+                tgt.join(src_keys, cond, "leftsemi")
+                .select("_fp")
+                .distinct()
+                .collect()  # bounded by file count — driver metadata only
+            )
+            touched_names = {os.path.basename(r["_fp"]) for r in matched}
+        touched = [f for f in candidates if os.path.basename(f.path) in touched_names]
+
+        if touched:
+            tgt_rows = self.spark.read.format("parquet").load(
+                [os.path.join(self.path, f.path) for f in touched]
+            )
+            merged = _outer_join_merge(
+                tgt_rows,
+                source,
+                list(keys),
+                when_matched=when_matched,
+                when_not_matched=when_not_matched,
+                delete_predicate=delete_predicate,
+            )
+        elif when_not_matched == "insert":
+            merged = source  # nothing matched anywhere: pure insert
+        else:
+            return MergeStats(len(files), len(candidates), 0, 0)
+
+        added = self._stage_files(merged)
+        self._commit(
+            "merge",
+            add=added,
+            remove=[f.path for f in touched],
+            schema_json=snap.schema_json,
+            expected_version=current,
+        )
+        return MergeStats(
+            files_total=len(files),
+            candidates_after_stats=len(candidates),
+            files_rewritten=len(touched),
+            files_added=len(added),
+        )
+
+    # ---------------- maintenance
+
+    def compact(
+        self,
+        *,
+        target_file_mb: int = 128,
+        cluster_by: Optional[Sequence[str]] = None,
+        min_files: int = 2,
+    ) -> Optional[int]:
+        """Rewrite small files into ~target-size ones THROUGH the log —
+        transactional, conflict-checked, history-preserving (old versions
+        still read the pre-compaction files until vacuum)."""
+        current = self.version()
+        if current is None:
+            raise FileNotFoundError(f"no snaplog table at {self.path}")
+        snap = self.snapshot(current)
+        threshold = target_file_mb * 1024 * 1024
+        small = [f for f in snap.files if f.bytes < threshold]
+        if len(small) < min_files:
+            return None
+        df = self.spark.read.format("parquet").load(
+            [os.path.join(self.path, f.path) for f in small]
+        )
+        total = sum(f.bytes for f in small)
+        n_out = max(1, round(total / threshold))
+        if cluster_by:
+            df = df.repartitionByRange(n_out, *[F.col(c) for c in cluster_by])
+            df = df.sortWithinPartitions(*[F.col(c) for c in cluster_by])
+        else:
+            df = df.coalesce(n_out)
+        added = self._stage_files(df)
+        return self._commit(
+            "compact",
+            add=added,
+            remove=[f.path for f in small],
+            schema_json=snap.schema_json,
+            expected_version=current,
+        )
+
+    def vacuum(self, *, keep_versions: int = 1) -> int:
+        """Physically delete data files referenced by NO retained snapshot
+        (the last ``keep_versions`` versions). Returns files deleted.
+        Time-travel reaches only retained versions afterwards."""
+        versions = self._versions()
+        if not versions:
+            return 0
+        retained = versions[-max(1, keep_versions):]
+        live: set[str] = set()
+        for v in retained:
+            live.update(f.path for f in self.snapshot(v).files)
+        deleted = 0
+        if os.path.isdir(self.data_dir):
+            for name in os.listdir(self.data_dir):
+                rel = f"{DATA_DIR}/{name}"
+                if name.endswith(".parquet") and rel not in live:
+                    os.unlink(os.path.join(self.data_dir, name))
+                    deleted += 1
+        return deleted

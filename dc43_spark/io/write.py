@@ -57,6 +57,13 @@ def execute_write_request(req: WriteRequest, writer_modifier=None) -> None:
     (base.py:971, 988): a callable receiving the configured
     ``DataFrameWriter`` and returning a (possibly re-configured) writer —
     e.g. to add ``partitionBy``/``bucketBy`` for scale layouts."""
+    if req.format == "snaplog":
+        from dc43_spark.io.snaplog import SnaplogTable
+
+        if req.table or not req.path:
+            raise ValueError("snaplog targets are path-based")
+        SnaplogTable(req.df.sparkSession, req.path).write(req.df, mode=req.mode)
+        return
     writer = req.df.write.mode(req.mode)
     if req.format:
         writer = writer.format(req.format)

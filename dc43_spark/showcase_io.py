@@ -83,20 +83,27 @@ def _orders_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Governed MERGE into a parquet target, read back.
+    """Governed MERGE into a snaplog table, read back (r7: the gate runs
+    through the snapshot-log format — file-granular copy-on-write — not
+    the r1-r6 whole-target parquet rewrite; io/snaplog.py).
 
     Row fates (all three MERGE actions exercised):
     - matched + s.o_custkey % 10 == 0 -> deleted
     - matched otherwise               -> updated to the source row
     - source-only                     -> inserted
     - target-only                     -> kept
+
+    The target is written key-clustered (repartitionByRange on the merge
+    key) so footer-stats pruning is live in the gate, not just in pytest.
     """
     base = _orders_base(spark, sf_dir)
     contract = merge_orders_contract()
     path = os.path.join(_scratch(sf_dir, "merge"), "orders")
     write_with_contract(
-        base.filter(F.col("o_orderkey") % 2 == 0),
-        contract, path=path, mode="overwrite",
+        base.filter(F.col("o_orderkey") % 2 == 0)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        contract, path=path, format="snaplog", mode="overwrite",
     )
     source = (
         base.filter(F.col("o_orderkey") % 3 == 0)
@@ -107,35 +114,46 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, source, contract,
         keys=["o_orderkey"],
         path=path,
+        format="snaplog",
         delete_predicate="s.o_custkey % 10 = 0",
     )
-    return spark.read.parquet(path)
+    aligned, result = read_with_contract(
+        spark, contract, path=path, format="snaplog", metrics=False
+    )
+    assert result.status == "ok", result.errors
+    return aligned
 
 
 def q_versioned_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Folder-versioned write x3 then a governed read pinned at 1.1.0 with
-    include_prior — the returned frame is the multi-path scan of versions
-    1.0.0 and 1.1.0 (one declarative ``spark.read.load([paths])``; Catalyst
-    keeps pushdown/pruning across the whole version set)."""
+    """Snaplog time-travel read (r7: REAL ``versionAsOf`` execution in this
+    container — ref locators.py:490-509 semantics, previously only emitted
+    as inert Delta reader options).
+
+    Three commits build the table's history — v0 overwrite (the %2 slice),
+    v1 append (the %5==1 slice), v2 overwrite (the %7==3 slice, which a
+    head read would see INSTEAD of the union) — then a governed read pinned
+    at version 1 through ``ContractVersionLocator`` returns the v1
+    snapshot: slice-A ∪ slice-B, exactly the folder-version oracle.
+
+    The folder-per-SemVer strategy (the r1-r6 shape of this gate) stays
+    covered by tests/test_locators.py; the gate now exercises the format
+    a Delta user would actually migrate to."""
     base = _orders_base(spark, sf_dir)
     contract = merge_orders_contract()
-    base_dir = _scratch(sf_dir, "versions")
-    slices = {
-        "1.0.0": F.col("o_orderkey") % 2 == 0,
-        "1.1.0": F.col("o_orderkey") % 5 == 1,
-        "2.0.0": F.col("o_orderkey") % 7 == 3,
-    }
-    for version, cond in slices.items():
+    path = os.path.join(_scratch(sf_dir, "versions"), "orders")
+    slices = [
+        ("overwrite", F.col("o_orderkey") % 2 == 0),
+        ("append", F.col("o_orderkey") % 5 == 1),
+        ("overwrite", F.col("o_orderkey") % 7 == 3),
+    ]
+    for mode, cond in slices:
         write_with_contract(
-            base.filter(cond), contract, mode="overwrite",
-            locator=ContractVersionLocator(
-                version, base=StaticDatasetLocator(path=base_dir)
-            ),
+            base.filter(cond), contract, path=path, format="snaplog", mode=mode,
         )
     aligned, result = read_with_contract(
-        spark, contract,
+        spark, contract, metrics=False,
         locator=ContractVersionLocator(
-            "1.1.0", base=StaticDatasetLocator(path=base_dir), include_prior=True
+            "1", base=StaticDatasetLocator(path=path, format="snaplog")
         ),
     )
     assert result.status == "ok", result.errors

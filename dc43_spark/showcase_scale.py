@@ -440,26 +440,56 @@ def _stream_src_dir(sf_dir: str) -> str:
     return d
 
 
-_IVF8_DIRS: dict[str, str] = {}
-
-
 def _ivf8_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build the int8 IVF index once per sf_dir (scratch dir, removed at
-    exit) — repeat invocations re-query the same persisted index, which is
-    exactly how a real deployment amortises the build."""
-    import atexit
+    """Manifest-keyed PERSISTENT index cache (r6 advice #4): the int8 IVF
+    index lives under the system temp dir keyed on (build params, corpus
+    fingerprint) and is reused across processes — a fresh bench/microbench
+    process pays a manifest stat, not a 10 s rebuild. The fingerprint is
+    the corpus file's (path, size, mtime_ns): any data refresh changes it
+    and forces a rebuild, exactly how a deployment keys index freshness to
+    table versions. Builds land via temp-dir + atomic rename, manifest
+    written inside BEFORE the rename, so concurrent builders race safely
+    (loser's rename fails, winner's complete index is used)."""
+    import hashlib
+    import json
     import os
     import shutil
     import tempfile
 
-    d = _IVF8_DIRS.get(sf_dir)
-    if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix="dc43_ivf8_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    corpus = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(corpus)
+    manifest = {
+        "corpus": os.path.abspath(corpus),
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+        "n_centroids": 16,
+        "seed": 42,
+        "layout": 1,  # bump to invalidate on index format changes
+    }
+    key = hashlib.md5(json.dumps(manifest, sort_keys=True).encode()).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), f"dc43_ivf8_cache_{key}")
+    mf = os.path.join(d, "_build_manifest.json")
+    try:
+        with open(mf) as fh:
+            if json.load(fh) == manifest:
+                return d
+    except (OSError, ValueError):
+        pass
+    staging = tempfile.mkdtemp(prefix="dc43_ivf8_build_")
+    try:
         sim.ivf_write_index_quantized(
-            load_spread(spark, sf_dir, "embeddings"), d, n_centroids=16, seed=42
+            load_spread(spark, sf_dir, "embeddings"), staging,
+            n_centroids=16, seed=42,
         )
-        _IVF8_DIRS[sf_dir] = d
+        with open(os.path.join(staging, "_build_manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
+        shutil.rmtree(d, ignore_errors=True)
+        try:
+            os.rename(staging, d)
+        except OSError:
+            pass  # concurrent builder won the rename; use its index
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     return d
 
 
