@@ -652,10 +652,8 @@ FROM enc, v
 
 CURATION_QUERIES = {
     "repetition_documents": q_repetition_documents,
-    "sample_split_documents": q_sample_split_documents,
     "vocab_documents": q_vocab_documents,
     "contamination_documents": q_contamination_documents,
-    "packed_chunks_documents": q_packed_chunks_documents,
     "embedding_dedup_embeddings": q_embedding_dedup_embeddings,
     "corpus_filter_documents": q_corpus_filter_documents,
     "bpe_pairs_documents": q_bpe_pairs_documents,
@@ -666,10 +664,8 @@ CURATION_QUERIES = {
 
 CURATION_ORACLES = {
     "repetition_documents": _REPETITION_SQL,
-    "sample_split_documents": _sample_split_sql(),
     "vocab_documents": _VOCAB_SQL,
     "contamination_documents": _CONTAMINATION_SQL,
-    "packed_chunks_documents": _PACKED_CHUNKS_SQL,
     "embedding_dedup_embeddings": _embedding_dedup_sql(),
     "corpus_filter_documents": _corpus_filter_sql(),
     "bpe_pairs_documents": _bpe_pairs_sql(),
@@ -873,23 +869,33 @@ FROM c2, range(0, {max_copies}) g(g) WHERE g.g < nc
 #: gates consolidated OUT of the driver's 50-slot correctness window (r5):
 #: sample_split_documents unions stratified_sample + train_split verbatim,
 #: and packed_chunks_documents now pins the chunker's text via chunk_hash.
+#: r7 rotation (VERDICT r6 #2) also demotes sample_split (a seeded-hash
+#: split twin of the richer mix_by_lang epoch mixer) and packed_chunks
+#: (its chunk_hash kernel stays pinned via chunk_documents here).
 #: Still run by bench.py (r1-comparable names) and `pytest -m parity`.
 EXTRA_QUERIES = {
     "stratified_sample_documents": q_stratified_sample_documents,
     "train_split_documents": q_train_split_documents,
     "chunk_documents": q_chunk_documents,
-    "mix_by_lang_documents": q_mix_by_lang_documents,
-    "bigram_familiarity_documents": q_bigram_familiarity_documents,
-    "filter_report_documents": q_filter_report_documents,
-    "boilerplate_strip_documents": q_boilerplate_strip_documents,
+    "sample_split_documents": q_sample_split_documents,
+    "packed_chunks_documents": q_packed_chunks_documents,
 }
 
 EXTRA_ORACLES = {
     "stratified_sample_documents": _stratified_sample_sql(),
     "train_split_documents": _train_split_sql(),
     "chunk_documents": _CHUNK_SQL,
-    "mix_by_lang_documents": _mix_by_lang_sql(),
-    "bigram_familiarity_documents": _BIGRAM_FAMILIARITY_SQL,
-    "filter_report_documents": _filter_report_sql(),
-    "boilerplate_strip_documents": _boilerplate_strip_sql(),
+    "sample_split_documents": _sample_split_sql(),
+    "packed_chunks_documents": _PACKED_CHUNKS_SQL,
 }
+
+# r7 rotation: the r6 curation operators move INTO the driver window
+# (their defs sit below the main registry, so they join it here).
+CURATION_QUERIES["mix_by_lang_documents"] = q_mix_by_lang_documents
+CURATION_QUERIES["bigram_familiarity_documents"] = q_bigram_familiarity_documents
+CURATION_QUERIES["filter_report_documents"] = q_filter_report_documents
+CURATION_QUERIES["boilerplate_strip_documents"] = q_boilerplate_strip_documents
+CURATION_ORACLES["mix_by_lang_documents"] = _mix_by_lang_sql()
+CURATION_ORACLES["bigram_familiarity_documents"] = _BIGRAM_FAMILIARITY_SQL
+CURATION_ORACLES["filter_report_documents"] = _filter_report_sql()
+CURATION_ORACLES["boilerplate_strip_documents"] = _boilerplate_strip_sql()

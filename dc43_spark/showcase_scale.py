@@ -1311,22 +1311,18 @@ _NORMALIZE = (
 
 SCALE_QUERIES = {
     "dedup_exact_documents": q_dedup_exact_documents,
-    "fingerprint_documents": q_fingerprint_documents,
-    "text_stats_documents": q_text_stats_documents,
     "lang_id_documents": q_lang_id_documents,
     "simhash_documents": q_simhash_documents,
     "near_dup_pairs_documents": q_near_dup_pairs_documents,
     "minhash_near_dup_documents": q_minhash_near_dup_documents,
     "dedup_clusters_documents": q_dedup_clusters_documents,
     "quality_documents": q_quality_documents,
-    "frame_plan_documents": q_frame_plan_documents,
     "media_probe_documents": q_media_probe_documents,
     "image_stats_documents": q_image_stats_documents,
     "cosine_pairs_embeddings": q_cosine_pairs_embeddings,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "ann_ivf_embeddings": q_ann_ivf_embeddings,
     "ann_ivf_int8_embeddings": q_ann_ivf_int8_embeddings,
-    "knn_embeddings": q_knn_embeddings,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "top_parts_by_revenue": q_top_parts_by_revenue,
@@ -1346,15 +1342,12 @@ SCALE_ORACLES = {
         "SELECT min(doc_id) AS doc_id, md5(text) AS fp, "
         "CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY md5(text)"
     ),
-    "fingerprint_documents": f"SELECT doc_id, md5({_NORMALIZE}) AS fp FROM documents",
-    "text_stats_documents": _TEXT_STATS_SQL,
     "lang_id_documents": _lang_id_sql(),
     "simhash_documents": _simhash_sql(),
     "near_dup_pairs_documents": _near_dup_sql(" WHERE doc_id < 2000"),
     "minhash_near_dup_documents": _near_dup_sql(),  # LSH must agree with exact here
     "dedup_clusters_documents": _DEDUP_CLUSTERS_SQL,
     "quality_documents": _quality_sql(),
-    "frame_plan_documents": _FRAME_PLAN_SQL,
     "media_probe_documents": _MEDIA_PROBE_SQL,
     "image_stats_documents": _IMAGE_STATS_SQL,
     "cosine_pairs_embeddings": _COSINE_PAIRS_SQL,
@@ -1363,7 +1356,6 @@ SCALE_ORACLES = {
     "ann_ivf_embeddings": _KNN_SQL,
     # full probe + exact rescore reproduces exact KNN (see gate docstring)
     "ann_ivf_int8_embeddings": _KNN_SQL,
-    "knn_embeddings": _KNN_SQL,
     "pricing_summary": _PRICING_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,
     "top_parts_by_revenue": _TOP_PARTS_SQL,
@@ -1515,19 +1507,37 @@ FROM i GROUP BY doc_id, grp
 
 
 EXTRA_QUERIES = {
-    "duplicated_spans_documents": q_duplicated_spans_documents,
     "minhash_documents": q_minhash_documents,
     "multimodal_stats": q_multimodal_stats,
     "orders_by_nation": q_orders_by_nation,
     "events_hourly": q_events_hourly,
-    "video_stats_documents": q_video_stats_documents,
+    # r7 rotation (VERDICT r6 #2): long-stable gates displaced from the
+    # 50-slot window in favour of the r6 operators — each subsumed by a
+    # richer surviving gate: fingerprint by dedup_exact (same md5-keyed
+    # normalize+hash kernel feeding a groupBy), text_stats by quality
+    # (same token/length/punct projections plus the verdict), frame_plan
+    # by video_stats (real sample-table walk vs the planned one), and
+    # knn by ann_ivf at full probe (identical exact-KNN oracle).
+    "fingerprint_documents": q_fingerprint_documents,
+    "text_stats_documents": q_text_stats_documents,
+    "frame_plan_documents": q_frame_plan_documents,
+    "knn_embeddings": q_knn_embeddings,
 }
 
 EXTRA_ORACLES = {
-    "duplicated_spans_documents": _DUP_SPANS_SQL,
     "minhash_documents": _minhash_sql(),
     "multimodal_stats": _MULTIMODAL_STATS_SQL,
     "orders_by_nation": _ORDERS_BY_NATION_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
-    "video_stats_documents": _VIDEO_STATS_SQL,
+    "fingerprint_documents": f"SELECT doc_id, md5({_NORMALIZE}) AS fp FROM documents",
+    "text_stats_documents": _TEXT_STATS_SQL,
+    "frame_plan_documents": _FRAME_PLAN_SQL,
+    "knn_embeddings": _KNN_SQL,
 }
+
+# r7 rotation: the r6 operators move INTO the driver window (their defs
+# sit below the main registry, so they join it here).
+SCALE_QUERIES["duplicated_spans_documents"] = q_duplicated_spans_documents
+SCALE_QUERIES["video_stats_documents"] = q_video_stats_documents
+SCALE_ORACLES["duplicated_spans_documents"] = _DUP_SPANS_SQL
+SCALE_ORACLES["video_stats_documents"] = _VIDEO_STATS_SQL
