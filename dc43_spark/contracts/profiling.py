@@ -12,11 +12,30 @@ onboarding an ungoverned table:
   strings, ``ge``/``le`` bounds for numerics.
 
 Scale shape: pass 1 is ONE aggregate over the table (count + per-column
-sums/countDistincts/min/max — Catalyst plans a single scan with an
-Expand for the distinct counts, partial-aggregated map-side). Pass 2
-collects value sets ONLY for columns pass 1 proved low-cardinality, so
-the driver transfer is bounded by enum_max_card * n_candidates values.
-No other collect touches data.
+sums/countDistincts/min/max, plus the distribution sketches below —
+Catalyst plans a single scan with an Expand for the distinct counts,
+partial-aggregated map-side). Pass 2 collects value sets ONLY for
+columns pass 1 proved low-cardinality, so the driver transfer is
+bounded by enum_max_card * n_candidates values. No other collect
+touches data.
+
+Distribution sketches (same single pass, fixed size per column):
+
+- numerics: an equi-depth quantile sketch — ``percentile_approx`` at 21
+  fixed probabilities (0, 5, ..., 100%). Two sketches reconstruct a
+  piecewise-linear CDF each, so ``profile_drift`` can compute a
+  Population Stability Index over the OLD profile's deciles without
+  touching data again.
+- strings: a 32-bucket ``xxhash64`` histogram. Value-agnostic and
+  fixed-size, so category-mix shifts register even for columns far
+  above ``enum_max_card`` — two distributions that differ in mass land
+  different bucket profiles with overwhelming probability, while the
+  exact value identities never leave the executors.
+
+Both feed ``ColumnDrift.psi_micro``; ``DriftReport.significant`` flags
+PSI >= 0.2 (the conventional "population changed" threshold) so
+mean/min/max-preserving SHAPE drift is caught, which the boundary and
+null-rate diffs alone cannot see.
 
 Beyond-reference: the dc43 reference drafts from schema and violations
 (drafting.py:204-543) but has no data profiler; this is the missing
@@ -52,12 +71,25 @@ class ColumnProfile:
     min_value: Any = None
     max_value: Any = None
     enum_values: Optional[list] = None  # present iff low-cardinality string
+    #: equi-depth sketch: approx percentiles at _SKETCH_PROBS (numerics only)
+    quantiles: Optional[list[float]] = None
+    #: 32-bucket xxhash64 value histogram (strings only)
+    hash_hist: Optional[list[int]] = None
 
 
 @dataclass
 class DatasetProfile:
     row_count: int
     columns: dict[str, ColumnProfile] = field(default_factory=dict)
+
+
+#: fixed probability grid for the equi-depth sketch — 21 points give 20
+#: equal-mass segments, plenty for a 10-bin PSI while keeping each stored
+#: profile a few hundred bytes per column
+_SKETCH_PROBS = [i / 20 for i in range(21)]
+#: string hash-histogram bucket count; 32 keeps the agg narrow while any
+#: material mass move between value sets perturbs several buckets
+_HASH_BUCKETS = 32
 
 
 def profile_columns(
@@ -83,6 +115,26 @@ def profile_columns(
                                                 T.DateType, T.StringType)):
             aggs.append(F.min(c).alias(f"_min_{c}"))
             aggs.append(F.max(c).alias(f"_max_{c}"))
+        if isinstance(dt, _ORDERABLE_NUMERIC):
+            aggs.append(
+                F.percentile_approx(
+                    F.col(c).cast("double"), _SKETCH_PROBS
+                ).alias(f"_q_{c}")
+            )
+        elif isinstance(dt, T.StringType):
+            bucket = F.pmod(F.xxhash64(F.col(c)), F.lit(_HASH_BUCKETS))
+            aggs.append(
+                F.array(
+                    *[
+                        F.sum(
+                            F.when(
+                                F.col(c).isNotNull() & (bucket == i), 1
+                            ).otherwise(0)
+                        )
+                        for i in range(_HASH_BUCKETS)
+                    ]
+                ).alias(f"_hh_{c}")
+            )
     row = df.agg(*aggs).first().asDict()
 
     rc = int(row["_rc"])
@@ -100,6 +152,16 @@ def profile_columns(
             is_unique=n_distinct > 0 and n_distinct == rc - n_nulls,
             min_value=row.get(f"_min_{c}"),
             max_value=row.get(f"_max_{c}"),
+            quantiles=(
+                [float(v) for v in row[f"_q_{c}"]]
+                if row.get(f"_q_{c}") is not None
+                else None
+            ),
+            hash_hist=(
+                [int(v) for v in row[f"_hh_{c}"]]
+                if row.get(f"_hh_{c}") is not None
+                else None
+            ),
         )
         profile.columns[c] = cp
         if isinstance(dt, T.StringType) and 0 < n_distinct <= enum_max_card:
@@ -167,6 +229,12 @@ class ColumnDrift:
     max_changed: bool
     enum_added: list = field(default_factory=list)
     enum_removed: list = field(default_factory=list)
+    #: Population Stability Index in integer micro-units (None when either
+    #: profile lacks a distribution sketch for the column). Computed from
+    #: the stored sketches alone — quantile CDFs for numerics, hash
+    #: histograms for strings — so shape drift that preserves min/max,
+    #: null rate and distinct count still registers.
+    psi_micro: Optional[int] = None
 
 
 @dataclass
@@ -178,17 +246,26 @@ class DriftReport:
     columns: dict[str, ColumnDrift] = field(default_factory=dict)
 
     def significant(
-        self, *, null_delta_micro: int = 10_000, distinct_factor: float = 2.0
+        self,
+        *,
+        null_delta_micro: int = 10_000,
+        distinct_factor: float = 2.0,
+        psi_micro: int = 200_000,
     ) -> list[str]:
         """Column names whose drift crosses the thresholds: schema/type
         changes always count; null-rate moves >= ``null_delta_micro``
         (default 1%); distinct-count growth/shrink beyond
-        ``distinct_factor``x; min/max boundary moves; enum set changes."""
+        ``distinct_factor``x; min/max boundary moves; enum set changes;
+        distribution PSI >= ``psi_micro`` (default 0.2, the conventional
+        "population has shifted" bar) — the PSI leg catches
+        mean/boundary-preserving SHAPE drift the other diffs miss."""
         out = list(self.columns_added) + list(self.columns_removed)
         for name, cd in self.columns.items():
             if cd.type_changed or cd.min_changed or cd.max_changed:
                 out.append(name)
             elif cd.enum_added or cd.enum_removed:
+                out.append(name)
+            elif cd.psi_micro is not None and cd.psi_micro >= psi_micro:
                 out.append(name)
             elif (
                 cd.null_micro_old is not None
@@ -220,6 +297,79 @@ def _null_micro(n_nulls: int, rows: int) -> Optional[int]:
     return (2 * n_nulls * 1_000_000 + rows) // (2 * rows)
 
 
+#: smoothing floor for PSI bin masses — keeps empty bins finite without
+#: letting them dominate the sum
+_PSI_EPS = 1e-4
+
+
+def _sketch_cdf(quantiles: list[float], x: float) -> float:
+    """Piecewise-linear CDF reconstructed from an equi-depth sketch
+    (values at ``_SKETCH_PROBS``). Ties (constant segments, i.e. point
+    masses) collapse to the HIGHEST probability at the tied value so the
+    mass lands below the next boundary rather than vanishing."""
+    if x < quantiles[0]:
+        return 0.0
+    if x >= quantiles[-1]:
+        return 1.0
+    cdf = 0.0
+    for i in range(len(quantiles) - 1):
+        lo, hi = quantiles[i], quantiles[i + 1]
+        if x >= hi:
+            cdf = _SKETCH_PROBS[i + 1]
+            continue
+        if x < lo:  # unreachable given the scan order; defensive
+            break
+        if hi > lo:
+            cdf = _SKETCH_PROBS[i] + (
+                _SKETCH_PROBS[i + 1] - _SKETCH_PROBS[i]
+            ) * (x - lo) / (hi - lo)
+        break
+    return cdf
+
+
+def _psi(expected: list[float], observed: list[float]) -> float:
+    """PSI between two already-aligned bin-mass vectors."""
+    import math
+
+    total = 0.0
+    for p, q in zip(expected, observed):
+        p = max(p, _PSI_EPS)
+        q = max(q, _PSI_EPS)
+        total += (q - p) * math.log(q / p)
+    return total
+
+
+def _psi_quantiles(old_q: list[float], new_q: list[float]) -> float:
+    """PSI over the OLD sketch's deciles: the old distribution contributes
+    exactly 10% per bin by construction; the new distribution's bin
+    masses come from its reconstructed CDF. Driver-side arithmetic over
+    two 21-float sketches — no data access."""
+    # decile boundaries = every 2nd grid point (probs 0.0, 0.1, ..., 1.0)
+    bounds = [old_q[i] for i in range(0, len(old_q), 2)]
+    expected, observed = [], []
+    prev_cdf = 0.0
+    for i in range(1, len(bounds)):
+        # old mass in (bounds[i-1], bounds[i]] is 0.1 unless ties collapse
+        lo_p = _sketch_cdf(old_q, bounds[i - 1]) if i > 1 else 0.0
+        hi_p = _sketch_cdf(old_q, bounds[i]) if i < len(bounds) - 1 else 1.0
+        expected.append(max(hi_p - lo_p, 0.0))
+        new_cdf = (
+            _sketch_cdf(new_q, bounds[i]) if i < len(bounds) - 1 else 1.0
+        )
+        observed.append(max(new_cdf - prev_cdf, 0.0))
+        prev_cdf = new_cdf
+    return _psi(expected, observed)
+
+
+def _psi_hash_hist(old_h: list[int], new_h: list[int]) -> Optional[float]:
+    old_total, new_total = sum(old_h), sum(new_h)
+    if old_total <= 0 or new_total <= 0 or len(old_h) != len(new_h):
+        return None
+    return _psi(
+        [c / old_total for c in old_h], [c / new_total for c in new_h]
+    )
+
+
 def profile_drift(old: DatasetProfile, new: DatasetProfile) -> DriftReport:
     """Compare two dataset profiles — the drift-monitoring primitive: a
     pipeline profiles each dataset version it writes (one aggregate pass,
@@ -236,6 +386,11 @@ def profile_drift(old: DatasetProfile, new: DatasetProfile) -> DriftReport:
         o, n = old.columns[name], new.columns[name]
         enum_old = set(o.enum_values or [])
         enum_new = set(n.enum_values or [])
+        psi: Optional[float] = None
+        if o.quantiles and n.quantiles and len(o.quantiles) == len(n.quantiles):
+            psi = _psi_quantiles(o.quantiles, n.quantiles)
+        elif o.hash_hist and n.hash_hist:
+            psi = _psi_hash_hist(o.hash_hist, n.hash_hist)
         report.columns[name] = ColumnDrift(
             name=name,
             type_changed=_type_str(o.spark_type) != _type_str(n.spark_type),
@@ -247,6 +402,7 @@ def profile_drift(old: DatasetProfile, new: DatasetProfile) -> DriftReport:
             max_changed=_scalar_ne(o.max_value, n.max_value),
             enum_added=sorted(enum_new - enum_old),
             enum_removed=sorted(enum_old - enum_new),
+            psi_micro=None if psi is None else int(round(psi * 1_000_000)),
         )
     return report
 
@@ -275,6 +431,10 @@ def profile_to_dict(profile: DatasetProfile) -> dict:
                 "max": scalar(cp.max_value),
                 **({"enum": [scalar(v) for v in cp.enum_values]}
                    if cp.enum_values is not None else {}),
+                **({"quantiles": cp.quantiles}
+                   if cp.quantiles is not None else {}),
+                **({"hash_hist": cp.hash_hist}
+                   if cp.hash_hist is not None else {}),
             }
             for name, cp in profile.columns.items()
         },
@@ -293,5 +453,15 @@ def profile_from_dict(data: dict) -> DatasetProfile:
             min_value=c.get("min"),
             max_value=c.get("max"),
             enum_values=list(c["enum"]) if "enum" in c else None,
+            quantiles=(
+                [float(v) for v in c["quantiles"]]
+                if c.get("quantiles") is not None
+                else None
+            ),
+            hash_hist=(
+                [int(v) for v in c["hash_hist"]]
+                if c.get("hash_hist") is not None
+                else None
+            ),
         )
     return profile

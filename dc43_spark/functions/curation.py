@@ -1113,20 +1113,12 @@ def train_quality_lr(
     }
 
 
-def quality_lr_score(
-    df: DataFrame,
-    model: dict,
-    *,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    score_col: str = "quality_prob",
-) -> DataFrame:
-    """Score documents with a trained ``train_quality_lr`` model: sigmoid
-    of bias + mean over tokens of w[hash(token)] (identical to the
-    training featurisation — hashed counts L1-normalised by length).
-
-    Pure JVM expression against the weights as a literal array — zero
-    shuffle, streams at scan speed; empty documents score NULL."""
+def _quality_lr_score_col(model: dict, text_col: str) -> Column:
+    """The scoring EXPRESSION shared by ``quality_lr_score`` and
+    ``evaluate_quality_lr``: sigmoid of bias + mean over tokens of
+    w[hash(token)] (identical to the training featurisation — hashed
+    counts L1-normalised by length). Pure JVM against the weights as a
+    literal array; NULL for empty documents."""
     from dc43_spark.functions.text import tokens as _tokens
 
     w_lit = F.lit([float(x) for x in model["weights"]])
@@ -1144,7 +1136,150 @@ def quality_lr_score(
         margin = F.lit(float(model["bias"])) + total / F.size(t)
         return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
 
-    score = F.when(
+    return F.when(
         F.size(toks) > 0, F.element_at(F.transform(F.array(toks), build), 1)
     )
-    return df.select(F.col(id_col), score.alias(score_col))
+
+
+def quality_lr_score(
+    df: DataFrame,
+    model: dict,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "quality_prob",
+) -> DataFrame:
+    """Score documents with a trained ``train_quality_lr`` model — zero
+    shuffle, streams at scan speed; empty documents score NULL. See
+    ``_quality_lr_score_col`` for the expression."""
+    return df.select(
+        F.col(id_col), _quality_lr_score_col(model, text_col).alias(score_col)
+    )
+
+
+def evaluate_quality_lr(
+    df: DataFrame,
+    model: dict,
+    label_col: str,
+    *,
+    text_col: str = "text",
+    n_bins: int = 1000,
+    threshold: float = 0.5,
+) -> dict:
+    """Held-out evaluation of a ``train_quality_lr`` model — the missing
+    half of the training loop: a classifier that gates a 100 TB corpus
+    filter needs a measured ROC-AUC and operating-point precision/recall,
+    not just weights.
+
+    Distributed shape: ONE narrow pass scores the holdout (the same pure
+    JVM expression as ``quality_lr_score``) and histograms (score-bin,
+    label) into at most ``n_bins`` rows — a single bounded groupBy; the
+    AUC/precision/recall arithmetic runs driver-side over that fixed-size
+    histogram. This is the standard scalable formulation (thresholded ROC
+    over binned scores, the Spark MLlib BinaryClassificationMetrics
+    shape): exact up to bin resolution (1/n_bins on the sigmoid axis),
+    independent of corpus size.
+
+    Returns ``{"auc", "precision", "recall", "f1", "accuracy", "n_pos",
+    "n_neg", "n_scored", "n_unscored", "threshold"}``; the rate fields
+    are ``None`` when undefined (e.g. single-class holdout -> no AUC,
+    zero predicted positives -> no precision)."""
+    if n_bins <= 1:
+        raise ValueError("n_bins must be > 1")
+    score = _quality_lr_score_col(model, text_col)
+    binned = (
+        df.select(
+            score.alias("_s"), F.col(label_col).cast("double").alias("_y")
+        )
+        .select(
+            F.when(
+                F.col("_s").isNotNull(),
+                F.least(
+                    F.floor(F.col("_s") * n_bins).cast("int"),
+                    F.lit(n_bins - 1),
+                ),
+            ).alias("_b"),
+            "_y",
+        )
+        .groupBy("_b")
+        .agg(
+            F.sum("_y").alias("_pos"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .collect()
+    )
+    n_unscored = sum(int(r["_n"]) for r in binned if r["_b"] is None)
+    hist = {
+        int(r["_b"]): (float(r["_pos"] or 0.0), int(r["_n"]))
+        for r in binned
+        if r["_b"] is not None
+    }
+    n_scored = sum(n for _, n in hist.values())
+    n_pos = sum(p for p, _ in hist.values())
+    n_neg = n_scored - n_pos
+
+    # ROC sweep over bins in descending score order (trapezoid = correct
+    # tie handling for everything sharing a bin)
+    auc = None
+    if n_pos > 0 and n_neg > 0:
+        tp = fp = 0.0
+        area = 0.0
+        for b in sorted(hist, reverse=True):
+            pos, n = hist[b]
+            neg = n - pos
+            area += neg * (tp + pos / 2.0)  # trapezoid in raw counts
+            tp += pos
+            fp += neg
+        auc = area / (n_pos * n_neg)
+
+    # operating point: predicted positive <=> score >= threshold, i.e.
+    # bin >= floor(threshold * n_bins) (exact when the product is integral)
+    cut = int(threshold * n_bins)
+    pred_pos = {b: v for b, v in hist.items() if b >= cut}
+    tp = sum(p for p, _ in pred_pos.values())
+    fp = sum(n - p for p, n in pred_pos.values())
+    fn = n_pos - tp
+    tn = n_neg - fp
+    precision = tp / (tp + fp) if (tp + fp) > 0 else None
+    recall = tp / (tp + fn) if (tp + fn) > 0 else None
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision is not None
+        and recall is not None
+        and (precision + recall) > 0
+        else None
+    )
+    accuracy = (tp + tn) / n_scored if n_scored > 0 else None
+    return {
+        "auc": auc,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "accuracy": accuracy,
+        "n_pos": int(n_pos),
+        "n_neg": int(n_neg),
+        "n_scored": int(n_scored),
+        "n_unscored": int(n_unscored),
+        "threshold": float(threshold),
+    }
+
+
+def quality_eval_report_rows(spark, metrics: dict) -> DataFrame:
+    """Render ``evaluate_quality_lr`` metrics as filter-report-shaped rows
+    ``(reason string, n_docs long)`` so the classifier's held-out quality
+    travels in the SAME observability channel as the drop-reason
+    histogram: rates in integer micro-units under ``classifier_*_micro``
+    reasons, counts verbatim. Union these with a ``corpus_filter`` reason
+    histogram (or append them to the streaming curation report) and an
+    operator sees '34% dropped for low_stopword' next to 'the learned
+    gate doing the dropping holds AUC 0.998 on holdout'."""
+    rows = []
+    for key in ("auc", "precision", "recall", "f1", "accuracy"):
+        value = metrics.get(key)
+        if value is not None:
+            rows.append(
+                (f"classifier_{key}_micro", int(round(value * 1_000_000)))
+            )
+    for key in ("n_pos", "n_neg", "n_scored", "n_unscored"):
+        rows.append((f"classifier_{key}", int(metrics.get(key, 0))))
+    return spark.createDataFrame(rows, "reason string, n_docs long")

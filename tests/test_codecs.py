@@ -351,19 +351,22 @@ def test_jpeg_fuzz_families_bounded_error(family):
                 [(xx * 255 / max(w - 1, 1)), (yy * 255 / max(h - 1, 1)),
                  ((xx + yy) * 255 / max(h + w - 2, 1))], axis=2
             ).astype(np.uint8)
-            bounds = {95: (4.0, 48), 85: (8.0, 80)}
+            bounds = {95: (4.0, 48), 90: (6.0, 32), 85: (8.0, 80),
+                      75: (7.0, 34), 50: (7.0, 40)}
         elif family == "noise":
             px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             # noise is JPEG's worst case (4:2:0 chroma subsampling alone
             # costs ~mean 44 here); bounds are loose but still rule out a
             # broken IDCT/predictor (random output gives mean ~85)
-            bounds = {95: (58.0, 255), 85: (62.0, 255)}
+            bounds = {95: (58.0, 255), 90: (62.0, 255), 85: (62.0, 255),
+                      75: (64.0, 255), 50: (70.0, 255)}
         else:  # chroma-heavy: saturated color blocks, near-flat luma
             px = np.zeros((h, w, 3), dtype=np.uint8)
             px[..., 0] = 255 * ((xx // 8 + yy // 8) % 2)
             px[..., 2] = 255 - px[..., 0]
             px[..., 1] = 128
-            bounds = {95: (8.0, 96), 85: (14.0, 128)}
+            bounds = {95: (8.0, 96), 90: (3.0, 18), 85: (14.0, 128),
+                      75: (8.0, 48), 50: (12.0, 120)}
         for quality, (mean_b, max_b) in bounds.items():
             dec = jpeg.jpeg_decode(jpeg.jpeg_encode(px, quality=quality))
             assert dec.shape == px.shape
@@ -395,6 +398,11 @@ def test_jpeg_corrupted_streams_raise_value_error():
         # header chopped before any SOF/SOS
         "short_header": enc[:6],
         "garbage": b"\xff\xd8" + bytes(range(200)),
+        # EOI stripped: the entropy reader must detect the exhausted
+        # stream instead of fabricating trailing MCUs from padding
+        "missing_eoi": enc[:-2],
+        # EOI stripped AND entropy tail cut mid-MCU
+        "missing_eoi_short_scan": enc[:-12],
     }
     for name, payload in cases.items():
         with pytest.raises(ValueError):

@@ -602,6 +602,71 @@ def test_quality_lr_separates_and_scores_at_scan_speed(spark):
     assert out == {999: None}
 
 
+def test_evaluate_quality_lr_holdout_metrics(spark):
+    """The training loop's missing half: train on one slice, evaluate on a
+    DISJOINT holdout — AUC ~= 1 on the separable corpus, operating-point
+    precision/recall/accuracy perfect, and the metrics surface as rows in
+    the filter observability report channel."""
+    from dc43_spark.functions import curation as cu
+
+    def mk(lo, hi):
+        rows = [
+            (i, 1, "the quick brown fox jumps with fluent readable prose %d" % i)
+            for i in range(lo, hi)
+        ] + [
+            (1000 + i, 0, "zzz xxx qqq kkk www lll %d" % i)
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, label int, text string")
+
+    train, holdout = mk(0, 40), mk(40, 60)
+    model = cu.train_quality_lr(train, "label", n_features=256, iters=25)
+    m = cu.evaluate_quality_lr(holdout, model, "label")
+    assert m["auc"] is not None and m["auc"] > 0.99
+    assert m["precision"] == 1.0 and m["recall"] == 1.0
+    assert m["f1"] == 1.0 and m["accuracy"] == 1.0
+    assert m["n_pos"] == 20 and m["n_neg"] == 20 and m["n_scored"] == 40
+    assert m["n_unscored"] == 0
+
+    # report rows: classifier quality in the same channel as drop reasons
+    report = cu.quality_eval_report_rows(spark, m)
+    rows = {r.reason: r.n_docs for r in report.collect()}
+    assert rows["classifier_auc_micro"] >= 990_000
+    assert rows["classifier_precision_micro"] == 1_000_000
+    assert rows["classifier_n_scored"] == 40
+    # and it unions cleanly with a corpus_filter reason histogram
+    flt = cu.corpus_filter(holdout.select("doc_id", "text"))
+    hist = (
+        flt.groupBy(F.col("keep").cast("string").alias("reason"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    combined = hist.unionByName(report)
+    assert combined.count() == hist.count() + report.count()
+
+
+def test_evaluate_quality_lr_degenerate_and_unscored(spark):
+    """Single-class holdout -> AUC undefined (None, not a crash); empty
+    documents are counted unscored, not silently dropped."""
+    from dc43_spark.functions import curation as cu
+
+    train = spark.createDataFrame(
+        [(i, 1, "good fluent text %d" % i) for i in range(20)]
+        + [(100 + i, 0, "zzz qqq %d" % i) for i in range(20)],
+        "doc_id long, label int, text string",
+    )
+    model = cu.train_quality_lr(train, "label", n_features=64, iters=10)
+    one_class = spark.createDataFrame(
+        [(1, 1, "good fluent text a"), (2, 1, ""), (3, 1, "good fluent text b")],
+        "doc_id long, label int, text string",
+    )
+    m = cu.evaluate_quality_lr(one_class, model, "label")
+    assert m["auc"] is None
+    assert m["n_scored"] == 2 and m["n_unscored"] == 1
+    assert m["n_pos"] == 2 and m["n_neg"] == 0
+    assert m["recall"] == 1.0  # both true positives found
+    assert m["accuracy"] == 1.0
+
+
 def test_mix_by_weight_randomized_vs_python_reference(spark):
     """Bulk parity: copy counts from the Spark operator equal a
     pure-Python reimplementation of the md5-bucket rule across random

@@ -114,3 +114,93 @@ def test_profile_drift_detects_shifts(spark):
     sig = report.significant()
     assert {"extra", "k", "amount", "status"} <= set(sig)
     assert "stable" not in sig
+
+
+def test_psi_catches_boundary_preserving_numeric_shape_drift(spark):
+    """Uniform -> bimodal with IDENTICAL min/max, null rate, and distinct
+    count: invisible to every pre-PSI diff (boundaries, nulls, distincts,
+    enums), caught by the quantile-sketch PSI leg."""
+    from dc43_spark.contracts.profiling import profile_columns, profile_drift
+
+    uniform = spark.createDataFrame(
+        [(i * 0.1,) for i in range(1001)], "v double"          # 0.0 .. 100.0
+    )
+    # same endpoints, ~same cardinality, but all mass at the two ends
+    bimodal = spark.createDataFrame(
+        [(i * 0.02,) for i in range(501)]                       # 0.0 .. 10.0
+        + [(90.0 + i * 0.02,) for i in range(501)],             # 90.0 .. 100.0
+        "v double",
+    )
+    p_old, p_new = profile_columns(uniform), profile_columns(bimodal)
+    report = profile_drift(p_old, p_new)
+    cd = report.columns["v"]
+    # prove PSI is the ONLY trigger: every legacy diff is quiet
+    assert not (cd.type_changed or cd.min_changed or cd.max_changed)
+    assert cd.null_micro_old == cd.null_micro_new == 0
+    assert cd.n_distinct_new < cd.n_distinct_old * 2
+    assert cd.psi_micro is not None and cd.psi_micro >= 200_000
+    assert "v" in report.significant()
+
+    # control: a re-profile of the same distribution must stay quiet
+    again = profile_columns(
+        spark.createDataFrame([(i * 0.1,) for i in range(1001)], "v double")
+    )
+    calm = profile_drift(p_old, again).columns["v"]
+    assert calm.psi_micro is not None and calm.psi_micro < 50_000
+    assert "v" not in profile_drift(p_old, again).significant()
+
+
+def test_psi_catches_category_mix_shift_above_enum_cardinality(spark):
+    """20 categories (past enum_max_card, so no enum diff exists): uniform
+    mix -> 90% single-category skew with the SAME value set. min/max
+    strings, distincts and nulls all static; the xxhash64 histogram PSI
+    flags it."""
+    from dc43_spark.contracts.profiling import profile_columns, profile_drift
+
+    cats = [f"cat{i:02d}" for i in range(20)]
+    old = spark.createDataFrame(
+        [(c,) for c in cats for _ in range(50)], "lang string"
+    )
+    new = spark.createDataFrame(
+        [("cat00",)] * 810 + [(c,) for c in cats[1:] for _ in range(10)],
+        "lang string",
+    )
+    p_old, p_new = profile_columns(old), profile_columns(new)
+    assert p_old.columns["lang"].enum_values is None  # beyond enum card
+    report = profile_drift(p_old, p_new)
+    cd = report.columns["lang"]
+    assert not (cd.min_changed or cd.max_changed)
+    assert not cd.enum_added and not cd.enum_removed
+    assert cd.n_distinct_old == cd.n_distinct_new == 20
+    assert cd.psi_micro is not None and cd.psi_micro >= 200_000
+    assert report.significant() == ["lang"]
+
+
+def test_psi_survives_profile_serialisation_round_trip(spark):
+    """Sketches persist through profile_to_dict/from_dict — the form the
+    governance store keeps — so drift-vs-stored-profile sees the same PSI
+    as drift-vs-live-profile."""
+    import json
+
+    from dc43_spark.contracts.profiling import (
+        profile_columns,
+        profile_drift,
+        profile_from_dict,
+        profile_to_dict,
+    )
+
+    old = spark.createDataFrame(
+        [(i * 0.1, f"c{i % 12}") for i in range(500)], "v double, s string"
+    )
+    new = spark.createDataFrame(
+        [(float(i % 5), f"c{0 if i % 10 else 11}") for i in range(500)],
+        "v double, s string",
+    )
+    stored = profile_from_dict(
+        json.loads(json.dumps(profile_to_dict(profile_columns(old))))
+    )
+    live = profile_drift(profile_columns(old), profile_columns(new))
+    restored = profile_drift(stored, profile_columns(new))
+    for col in ("v", "s"):
+        assert restored.columns[col].psi_micro == live.columns[col].psi_micro
+        assert restored.columns[col].psi_micro is not None
