@@ -175,10 +175,11 @@ def build_governance_store(cfg: StoreConfig, *, spark=None) -> GovernanceStore:
     raise ValueError(f"unknown governance store type {cfg.type!r}")
 
 
-def build_product_store(cfg: StoreConfig):
+def build_product_store(cfg: StoreConfig, *, spark=None):
     from dc43_spark.products.store import (
         FSProductStore,
         MemoryProductStore,
+        SparkTableProductStore,
         SQLProductStore,
     )
 
@@ -191,6 +192,24 @@ def build_product_store(cfg: StoreConfig):
         return FSProductStore(cfg.root)
     if kind == "sql":
         return SQLProductStore(cfg.dsn or ":memory:")
+    if kind == "spark_table":
+        if spark is None or not cfg.table:
+            raise ValueError("spark_table product store needs spark= and table=")
+        return SparkTableProductStore(spark, cfg.table)
+    if kind == "collibra":
+        from dc43_spark.contracts.http_store import urllib_transport
+        from dc43_spark.products.collibra import (
+            CollibraProductStore,
+            HttpCollibraProductAdapter,
+        )
+
+        if not cfg.base_url:
+            raise ValueError("collibra product store needs base_url=")
+        return CollibraProductStore(
+            HttpCollibraProductAdapter(
+                urllib_transport(cfg.base_url, timeout=cfg.timeout, token=cfg.token)
+            )
+        )
     raise ValueError(f"unknown product store type {cfg.type!r}")
 
 
@@ -200,7 +219,7 @@ def build_registry(cfg: ServiceConfig, *, spark=None):
 
     return ProductRegistry(
         build_contract_store(cfg.contract_store, spark=spark),
-        build_product_store(cfg.product_store),
+        build_product_store(cfg.product_store, spark=spark),
     )
 
 

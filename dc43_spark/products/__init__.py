@@ -1,8 +1,15 @@
+from dc43_spark.products.collibra import (
+    CollibraProductAdapter,
+    CollibraProductStore,
+    HttpCollibraProductAdapter,
+    MemoryCollibraProductAdapter,
+)
 from dc43_spark.products.odps import DataProduct, Port, ProductRegistry
 from dc43_spark.products.store import (
     FSProductStore,
     MemoryProductStore,
     ProductStore,
+    SparkTableProductStore,
     SQLProductStore,
     register_port,
 )
@@ -15,5 +22,10 @@ __all__ = [
     "MemoryProductStore",
     "FSProductStore",
     "SQLProductStore",
+    "SparkTableProductStore",
+    "CollibraProductAdapter",
+    "CollibraProductStore",
+    "HttpCollibraProductAdapter",
+    "MemoryCollibraProductAdapter",
     "register_port",
 ]

@@ -152,6 +152,69 @@ class SQLProductStore(_LatestMixin):
         return [r[0] for r in rows]
 
 
+class SparkTableProductStore(_LatestMixin):
+    """Data products in a Spark catalog table ``(id, version, document)``
+    — the analogue of the reference's Delta product store (data_products/
+    backend/stores/delta.py:23-165), format-agnostic exactly like
+    ``SparkTableContractStore``: delta when the runtime provides it,
+    parquet otherwise. Same catalog table shape as the contract twin so a
+    deployment keeps one storage convention for both document kinds."""
+
+    def __init__(self, spark, table: str, *, format: str = "parquet") -> None:
+        self.spark = spark
+        self.table = table
+        self.format = format
+
+    def _ensure(self) -> None:
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.table} "
+            f"(id STRING, version STRING, document STRING) USING {self.format}"
+        )
+
+    def put(self, product: DataProduct) -> None:
+        self._ensure()
+        doc = json.dumps(product.to_dict(), sort_keys=True).replace("'", "''")
+        pid = product.id.replace("'", "''")
+        ver = product.version.replace("'", "''")
+        self.spark.sql(
+            f"INSERT INTO {self.table} VALUES ('{pid}', '{ver}', '{doc}')"
+        )
+
+    def get(self, product_id: str, version: str) -> Optional[DataProduct]:
+        self._ensure()
+        pid = product_id.replace("'", "''")
+        ver = version.replace("'", "''")
+        rows = (
+            self.spark.table(self.table)
+            .where(f"id = '{pid}' AND version = '{ver}'")
+            .select("document")
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return None
+        return DataProduct.from_dict(json.loads(rows[0][0]))
+
+    def versions(self, product_id: str) -> list[str]:
+        self._ensure()
+        pid = product_id.replace("'", "''")
+        rows = (
+            self.spark.table(self.table)
+            .where(f"id = '{pid}'")
+            .select("version")
+            .distinct()
+            .collect()
+        )
+        return sorted((r[0] for r in rows), key=SemVer.parse)
+
+    def list_ids(self) -> list[str]:
+        self._ensure()
+        return sorted(
+            r[0]
+            for r in self.spark.table(self.table).select("id").distinct().collect()
+        )
+
+
 def _bump(version: str, bump: str) -> str:
     return str(SemVer.parse(version).bump(bump))
 

@@ -242,3 +242,138 @@ def test_http_collibra_adapter_over_real_sockets():
     finally:
         server.shutdown()
         server.server_close()
+
+
+# ---------------------------------------------------------------------------
+# data-product tier (ref data_products/backend/collibra.py)
+# ---------------------------------------------------------------------------
+
+
+def test_collibra_product_store_roundtrip_and_port_evolution():
+    from dc43_spark.products.collibra import (
+        CollibraProductStore,
+        MemoryCollibraProductAdapter,
+    )
+    from dc43_spark.products.odps import Port
+    from dc43_spark.products.store import register_port
+
+    store = CollibraProductStore(MemoryCollibraProductAdapter())
+    p1 = register_port(
+        store, "sales.producer", Port(name="gold", contract_id="driver.orders")
+    )
+    assert p1.version == "0.1.0"
+    # identical port: no-op, same version survives in the catalog
+    p2 = register_port(
+        store, "sales.producer", Port(name="gold", contract_id="driver.orders")
+    )
+    assert p2.version == "0.1.0" and store.versions("sales.producer") == ["0.1.0"]
+    # changed binding: version-bumped NEW document
+    p3 = register_port(
+        store,
+        "sales.producer",
+        Port(name="gold", contract_id="driver.orders", contract_version="==0.1.0"),
+    )
+    assert p3.version == "0.2.0"
+    assert store.versions("sales.producer") == ["0.1.0", "0.2.0"]
+    assert store.latest("sales.producer").version == "0.2.0"
+    assert store.list_ids() == ["sales.producer"]
+    assert store.get("sales.producer", "0.1.0").output_ports[0].name == "gold"
+    store.update_status("sales.producer", "0.2.0", "Validated")
+    assert store.get("sales.producer", "0.2.0").status == "Validated"
+
+
+def test_port_bound_governed_read_through_collibra_catalog(spark, tmp_path):
+    """The verdict's round-trip: products live in the faked Collibra
+    catalog, the consumer's input port resolves through it, and the
+    governed read returns contract-aligned rows."""
+    from dc43_spark.contracts.model import Server
+    from dc43_spark.contracts.store import MemoryContractStore
+    from dc43_spark.io.read import read_with_contract
+    from dc43_spark.io.write import write_with_contract
+    from dc43_spark.products import DataProduct, Port, ProductRegistry
+    from dc43_spark.products.collibra import (
+        CollibraProductStore,
+        MemoryCollibraProductAdapter,
+    )
+
+    target = str(tmp_path / "orders")
+    contract = _contract("1.0.0")
+    contract.servers = [Server(path=target, format="parquet")]
+    cs = MemoryContractStore()
+    cs.put(contract)
+    reg = ProductRegistry(
+        cs, product_store=CollibraProductStore(MemoryCollibraProductAdapter())
+    )
+    reg.register(
+        DataProduct(
+            id="sales.producer",
+            output_ports=[Port(name="gold", contract_id="driver.orders")],
+        )
+    )
+    reg.register(
+        DataProduct(
+            id="ml.consumer",
+            input_ports=[
+                Port(name="orders_in", source_product="sales.producer", source_port="gold")
+            ],
+        )
+    )
+    df = spark.createDataFrame([(1,), (2,)], "o_orderkey long")
+    wres = write_with_contract(
+        df, product="sales.producer", port="gold", registry=reg, mode="overwrite"
+    )
+    assert wres.validation.ok
+    out, rres = read_with_contract(
+        spark, product="ml.consumer", port="orders_in", registry=reg
+    )
+    assert rres.ok and out.count() == 2
+    assert out.columns == ["o_orderkey"]
+
+
+def test_http_product_adapter_rest_shape():
+    from dc43_spark.products.collibra import (
+        CollibraProductStore,
+        HttpCollibraProductAdapter,
+    )
+    from dc43_spark.products.odps import DataProduct, Port
+
+    calls = []
+    state: dict[str, dict] = {}
+
+    def transport(method, path, body):
+        calls.append((method, path))
+        base = "/rest/2.0/dataproducts/sales.producer"
+        if method == "PUT" and path == base:
+            state[body["version"]] = dict(body)
+            return 201, None
+        if method == "GET" and path == f"{base}/versions":
+            return 200, {
+                "versions": [
+                    {"version": v, "status": d.get("status", "Draft")}
+                    for v, d in state.items()
+                ]
+            }
+        if method == "GET" and path == f"{base}/versions/latest":
+            if not state:
+                return 404, None
+            best = sorted(state)[-1]
+            return 200, state[best]
+        if method == "GET" and path.startswith(f"{base}/versions/"):
+            ver = path.rsplit("/", 1)[1]
+            return (200, state[ver]) if ver in state else (404, None)
+        return 404, None
+
+    store = CollibraProductStore(HttpCollibraProductAdapter(transport))
+    store.put(
+        DataProduct(
+            id="sales.producer",
+            version="1.0.0",
+            output_ports=[Port(name="gold", contract_id="driver.orders")],
+        )
+    )
+    assert store.versions("sales.producer") == ["1.0.0"]
+    got = store.get("sales.producer", "1.0.0")
+    assert got.output_ports[0].contract_id == "driver.orders"
+    assert store.latest("sales.producer").version == "1.0.0"
+    assert store.get("sales.producer", "9.9.9") is None
+    assert ("PUT", "/rest/2.0/dataproducts/sales.producer") in calls

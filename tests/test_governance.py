@@ -216,6 +216,39 @@ def test_product_stores_roundtrip_and_port_registration(tmp_path):
     assert reg2.resolve_output_contract("p", "out").version == "1.0.0"
 
 
+def test_spark_table_product_store(spark):
+    """The Delta-product-store analogue (ref data_products/backend/stores/
+    delta.py) over a Spark catalog table — same (id, version, document)
+    convention as SparkTableContractStore so one deployment keeps a single
+    document-storage shape for both kinds."""
+    from dc43_spark.products import DataProduct, Port, ProductRegistry
+    from dc43_spark.products.store import SparkTableProductStore
+
+    store = SparkTableProductStore(spark, "dp_store_rt")
+    product = DataProduct(
+        id="sales.analytics", version="1.0.0",
+        output_ports=[Port(name="gold", contract_id="test.orders")],
+    )
+    store.put(product)
+    assert store.get("sales.analytics", "1.0.0").to_dict() == product.to_dict()
+    assert store.versions("sales.analytics") == ["1.0.0"]
+    assert store.list_ids() == ["sales.analytics"]
+    assert store.latest("sales.analytics").version == "1.0.0"
+    assert store.get("sales.analytics", "9.9.9") is None
+    # quoting survives ids with single quotes
+    quoted = DataProduct(id="it's", version="0.1.0")
+    store.put(quoted)
+    assert store.get("it's", "0.1.0").id == "it's"
+    # the registry runs unchanged on the table-backed store
+    cs = MemoryContractStore()
+    cs.put(orders_contract("1.0.0"))
+    reg = ProductRegistry(cs, store)
+    reg.register(DataProduct(
+        id="p", output_ports=[Port(name="out", contract_id="test.orders")]))
+    assert reg.resolve_output_contract("p", "out").version == "1.0.0"
+    spark.sql("DROP TABLE IF EXISTS dp_store_rt")
+
+
 def test_bootstrap_builds_product_registry(tmp_path):
     from dc43_spark.governance import bootstrap as bs
     from dc43_spark.products import DataProduct, Port
@@ -241,6 +274,19 @@ dsn = "{tmp_path / 'p.db'}"
     # env overrides the product store type
     cfg2 = bs.load_config(str(cfg_file), env={"DC43_DATA_PRODUCT_STORE_TYPE": "memory"})
     assert cfg2.product_store.type == "memory"
+    # collibra tier resolves to the HTTP-adapter-backed store
+    from dc43_spark.products.collibra import CollibraProductStore
+
+    collibra_cfg = bs.StoreConfig.from_mapping(
+        {"type": "collibra", "base_url": "http://collibra.local"}
+    )
+    assert isinstance(bs.build_product_store(collibra_cfg), CollibraProductStore)
+    with pytest.raises(ValueError, match="base_url"):
+        bs.build_product_store(bs.StoreConfig.from_mapping({"type": "collibra"}))
+    with pytest.raises(ValueError, match="spark"):
+        bs.build_product_store(
+            bs.StoreConfig.from_mapping({"type": "spark_table", "table": "t"})
+        )
 
 
 def test_evaluate_tracks_drift_across_versions(spark, service):
