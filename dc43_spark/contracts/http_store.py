@@ -51,8 +51,12 @@ def urllib_transport(
             with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
                 payload = resp.read()
                 return resp.status, json.loads(payload) if payload else None
-        except urllib.error.HTTPError as exc:  # pragma: no cover - network
-            return exc.code, None
+        except urllib.error.HTTPError as exc:
+            try:  # error responses may carry a JSON body (e.g. 409 reasons)
+                payload = exc.read()
+                return exc.code, json.loads(payload) if payload else None
+            except (ValueError, OSError):
+                return exc.code, None
 
     return call
 

@@ -187,7 +187,7 @@ class Contract:
 
     id: str
     version: str
-    status: str = "active"  # draft | active | deprecated | retired
+    status: str = "active"  # draft | active | rejected | deprecated | retired
     schema_objects: list[SchemaObject] = field(default_factory=list)
     servers: list[Server] = field(default_factory=list)
     custom_properties: dict[str, Any] = field(default_factory=dict)

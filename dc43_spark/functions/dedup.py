@@ -480,6 +480,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iterations: int = 25,
     driver_threshold: int = 1_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Component root (minimum member id) per node: alternating large-star /
     small-star (Kiveris et al.) — O(log n) rounds, each a constant number
@@ -501,9 +502,18 @@ def connected_components(
     union-find there replaces ~5 distributed rounds x 3 jobs each — near-dup
     graphs are tiny relative to their corpus (pairs, not documents), so
     even multi-TB corpora usually take this branch; the star iterations
-    exist for the web-crawl-scale graphs that don't."""
+    exist for the web-crawl-scale graphs that don't.
+
+    ``stats``, when given, is populated in place with ``branch``
+    ('driver' | 'distributed'), ``n_edges``, and — on the distributed
+    branch — ``rounds``: the number of large-star/small-star iterations
+    until the convergence signature stabilised (the empirical input to
+    the rounds-vs-chain-length scale curve in SCALE.md)."""
     cur = _canonical_edges(edges, src, dst).localCheckpoint()
     n_edges = cur.count()
+    if stats is not None:
+        stats["n_edges"] = n_edges
+        stats["branch"] = "driver" if n_edges <= driver_threshold else "distributed"
     if n_edges <= driver_threshold:
         parent: dict = {}
 
@@ -546,14 +556,19 @@ def connected_components(
 
     prev = _sig(cur)
     converged = False
+    rounds = 0
     for _ in range(max_iterations):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
+        rounds += 1
         sig = _sig(nxt)
         cur = nxt
         if sig == prev:
             converged = True
             break
         prev = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     if not converged:
         # log-round convergence means the cap only binds on graphs with
         # > 2^max_iterations nodes — but a silent wrong answer is never ok

@@ -143,6 +143,10 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(200, {"entries": self._gov.activity(ds)})
         if len(seg) == 3 and seg[:2] == ["governance", "status-matrix"]:
             return self._send(200, {"rows": self._gov.status_matrix(seg[2])})
+        if seg == ["workflow", "drafts"]:
+            from dc43_spark.governance.workflow import list_drafts
+
+            return self._send(200, {"drafts": list_drafts(self._contracts)})
         self._send(404)
 
     def do_PUT(self) -> None:  # noqa: N802
@@ -169,6 +173,30 @@ class _Handler(BaseHTTPRequestHandler):
         if seg == ["governance", "activity"] and body is not None:
             self._gov.record_activity(body)
             return self._send(204)
+        if (
+            len(seg) == 5
+            and seg[:2] == ["workflow", "contracts"]
+            and seg[4] in ("approve", "reject")
+        ):
+            from dc43_spark.governance.workflow import review_draft
+
+            payload = body or {}
+            try:
+                reviewed = review_draft(
+                    self._contracts,
+                    self._gov,
+                    seg[2],
+                    seg[3],
+                    decision=seg[4],
+                    reviewer=str(payload.get("reviewer", "")),
+                    note=str(payload.get("note", "")),
+                    supersede=bool(payload.get("supersede", False)),
+                )
+            except LookupError:
+                return self._send(404)
+            except ValueError as exc:
+                return self._send(409, {"error": str(exc)})
+            return self._send(200, {"status": reviewed.status})
         self._send(404)
 
 

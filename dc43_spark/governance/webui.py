@@ -75,6 +75,21 @@ def render_index(contract_store, governance_store) -> str:
     body += "<h2>Datasets with activity</h2>" + (
         _table(["dataset"], dataset_rows) if dataset_rows else "<p>(none)</p>"
     )
+    from dc43_spark.governance.workflow import list_drafts
+
+    draft_rows = [
+        [
+            f'<a href="/ui/contracts/{quote(d["contract_id"], safe="")}">'
+            f'{escape(d["contract_id"])}</a>',
+            escape(d["version"]),
+        ]
+        for d in list_drafts(contract_store)
+    ]
+    body += "<h2>Pending drafts</h2>" + (
+        _table(["contract", "draft version"], draft_rows)
+        if draft_rows
+        else "<p>(none)</p>"
+    )
     return _PAGE.format(title="dc43 governance", body=body)
 
 

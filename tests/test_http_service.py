@@ -205,6 +205,11 @@ def test_web_ui_renders_contracts_and_datasets():
 
         index = fetch("/ui")
         assert contract.id in index and "path%3A%2Fdata%2Forders" in index
+        assert "Pending drafts" in index  # review queue section renders
+        draft = orders_contract()
+        draft.version, draft.status = "9.0.0", "draft"
+        cs.put(draft)
+        assert "9.0.0" in fetch("/ui")
         page = fetch(f"/ui/contracts/{contract.id}")
         assert "o_orderkey" in page or "order" in page  # a field rendered
         assert contract.version in page
