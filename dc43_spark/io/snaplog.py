@@ -526,7 +526,8 @@ class SnaplogTable:
         if current is None:
             if when_not_matched == "insert":
                 self.write(source, mode="overwrite")
-            return MergeStats(0, 0, 0, 0, strategy="initial-write")
+                return MergeStats(0, 0, 0, 0, strategy="initial-write")
+            return MergeStats(0, 0, 0, 0, strategy="no-op")
         snap = self.snapshot(current)
         files = list(snap.files)
 
@@ -638,7 +639,14 @@ class SnaplogTable:
     def vacuum(self, *, keep_versions: int = 1) -> int:
         """Physically delete data files referenced by NO retained snapshot
         (the last ``keep_versions`` versions). Returns files deleted.
-        Time-travel reaches only retained versions afterwards."""
+        Time-travel reaches only retained versions afterwards.
+
+        Concurrency caveat (same class as Delta's unsafe-VACUUM window): a
+        writer that has staged files into data/ but not yet committed its
+        manifest would lose them to a simultaneous vacuum. Run vacuum from
+        the table's single maintenance owner, not alongside live writers —
+        commits themselves stay safe; only uncommitted staged files are at
+        risk."""
         versions = self._versions()
         if not versions:
             return 0
