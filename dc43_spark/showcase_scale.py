@@ -642,6 +642,31 @@ def q_user_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_events(spark, sf_dir), gap_minutes=30)
 
 
+class _stream_partitions:
+    """Scope ``spark.sql.shuffle.partitions`` down for a streaming gate.
+
+    A stateful streaming query fixes ONE state store per shuffle partition
+    at its first checkpoint; the session default (32, sized for batch
+    scans) means 32 state stores + 32 Arrow/Python workers + 32 commit
+    files per micro-batch for a 100k-row sf0.1 replay — pure fixed
+    overhead (r6 verdict item 6 profiling, tools/stream_profile.py:
+    state update+commit CPU drops 5-10x at 8 partitions; walCommit/
+    planning were never the floor). These gates create a FRESH checkpoint
+    per invocation, so scoping the conf around query start is safe and
+    leaves batch queries untouched. At 100 TB you raise it per query —
+    state partitioning is a per-workload knob, not a session constant."""
+
+    def __init__(self, spark: SparkSession, n: int = 8) -> None:
+        self.spark, self.n = spark, n
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming twin of ``events_hourly``: file stream source ->
     event-time tumbling window + watermark -> availableNow trigger -> memory
@@ -664,14 +689,15 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value_cents")
     )
     name = "dc43_stream_events_hourly"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _stream_partitions(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name)
 
 
@@ -699,14 +725,15 @@ def _run_stream_to_table(df: DataFrame, spark: SparkSession, name: str) -> DataF
     # append-mode memory tables persist across invocations in one session;
     # drop first so a re-run never accumulates the previous pass's rows
     spark.catalog.dropTempView(name)
-    query = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _stream_partitions(spark):
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name)
 
 
