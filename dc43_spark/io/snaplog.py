@@ -413,10 +413,12 @@ class SnaplogTable:
         schema_json: Optional[str] = None,
         expected_version: Optional[int] = None,
         retry_append: bool = False,
+        txn: Optional[dict] = None,
     ) -> int:
         """Write one commit. ``expected_version`` pins the read snapshot
         (merge/overwrite/compact); ``retry_append`` lets blind appends chase
-        the head on conflict."""
+        the head on conflict; ``txn`` ({'app_id', 'version'}) rides in the
+        manifest for idempotent-writer tracking (Delta's txnAppId shape)."""
         record = {
             "operation": operation,
             "add": [
@@ -427,6 +429,8 @@ class SnaplogTable:
         }
         if schema_json:
             record["schema_json"] = schema_json
+        if txn:
+            record["txn"] = dict(txn)
         attempts = 0
         while True:
             current = self.version()
@@ -451,6 +455,55 @@ class SnaplogTable:
                     f"could not claim a commit version for {operation} on {self.path}"
                 )
             attempts += 1
+
+    # ---------------- idempotent-writer tracking (Delta txnAppId shape)
+
+    def last_txn_version(self, app_id: str) -> Optional[int]:
+        """Highest transaction version committed under ``app_id``, or None.
+        Scans the commit manifests (never deleted — checkpoints bound
+        REPLAY, not retention), so the cost is O(commits); writers that
+        care cache the result across a session like the streaming sink
+        does."""
+        best: Optional[int] = None
+        for v in self._versions():
+            txn = self._read_commit(v).get("txn")
+            if txn and txn.get("app_id") == app_id:
+                tv = int(txn["version"])
+                best = tv if best is None or tv > best else best
+        return best
+
+    def write_txn(self, df: DataFrame, *, app_id: str, version: int) -> Optional[int]:
+        """Idempotent append: a (app_id, version) pair lands AT MOST once —
+        the txn marker commits atomically WITH the data files, so a replay
+        of an already-committed version is skipped (returns None) and a
+        crash before the commit leaves only invisible staged files (vacuum
+        sweeps them). The commit is version-pinned and the txn check
+        re-runs after every conflict, so even two RACING writers with the
+        same (app_id, version) — not just sequential replays — land
+        exactly one copy. This is the exactly-once primitive the streaming
+        sink builds on."""
+        last = self.last_txn_version(app_id)
+        if last is not None and version <= last:
+            return None
+        added = self._stage_files(df)
+        schema_json = df.schema.json()
+        for _ in range(20):
+            last = self.last_txn_version(app_id)
+            if last is not None and version <= last:
+                return None  # a racer committed it; staged files stay invisible
+            try:
+                return self._commit(
+                    "append",
+                    add=added,
+                    schema_json=schema_json,
+                    expected_version=self.version(),
+                    txn={"app_id": app_id, "version": int(version)},
+                )
+            except SnapshotConflictError:
+                continue  # head moved: re-check the txn ledger, then retry
+        raise SnapshotConflictError(
+            f"write_txn({app_id}, {version}) could not claim a commit on {self.path}"
+        )
 
     # ---------------- writes
 

@@ -62,7 +62,17 @@ def execute_write_request(req: WriteRequest, writer_modifier=None) -> None:
 
         if req.table or not req.path:
             raise ValueError("snaplog targets are path-based")
-        SnaplogTable(req.df.sparkSession, req.path).write(req.df, mode=req.mode)
+        table = SnaplogTable(req.df.sparkSession, req.path)
+        opts = req.options or {}
+        app_id, txn_version = opts.get("txnAppId"), opts.get("txnVersion")
+        if app_id is not None and txn_version is not None:
+            # Delta's idempotent-writer option names, honored by the
+            # in-repo format: (app, version) lands at most once
+            if req.mode != "append":
+                raise ValueError("snaplog txn writes are append-only")
+            table.write_txn(req.df, app_id=str(app_id), version=int(txn_version))
+            return
+        table.write(req.df, mode=req.mode)
         return
     writer = req.df.write.mode(req.mode)
     if req.format:

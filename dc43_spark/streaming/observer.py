@@ -101,6 +101,7 @@ class StreamingGovernedWriter:
         version_template: Optional[str] = None,
         skip_empty_batches: bool = True,
         on_batch: Optional[Callable[[BatchRecord], None]] = None,
+        txn_app_id: Optional[str] = None,
     ) -> None:
         # port-bound streaming sink: same resolution as batch writes
         if contract is None:
@@ -124,6 +125,13 @@ class StreamingGovernedWriter:
         self.version_template = version_template
         self.skip_empty_batches = skip_empty_batches
         self.on_batch = on_batch
+        #: opt-in exactly-once: per-batch (txn_app_id, batch_id) options on
+        #: every write request — honored natively by snaplog (write_txn)
+        #: and by Delta's writer (the option names ARE Delta's txnAppId/
+        #: txnVersion), so replayed micro-batches dedupe at the sink.
+        #: Opt-in because two independent queries appending the same
+        #: target under one app id would wrongly skip each other.
+        self.txn_app_id = txn_app_id
         self.timeline: list[BatchRecord] = []
         self._failed = 0
         self._lock = threading.Lock()
@@ -184,7 +192,14 @@ class StreamingGovernedWriter:
             table=self.table,
             format=self.format,
             mode=self.mode,
-            options=dict(self.options),
+            options={
+                **self.options,
+                **(
+                    {"txnAppId": self.txn_app_id, "txnVersion": str(batch_id)}
+                    if self.txn_app_id
+                    else {}
+                ),
+            },
         )
         plan = self.strategy.plan(ctx)
         if plan.fail_message:
