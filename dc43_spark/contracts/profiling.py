@@ -11,13 +11,16 @@ onboarding an ungoverned table:
   ``unique`` where distinct == non-null, ``enum`` for low-cardinality
   strings, ``ge``/``le`` bounds for numerics.
 
-Scale shape: pass 1 is ONE aggregate over the table (count + per-column
-sums/countDistincts/min/max, plus the distribution sketches below —
-Catalyst plans a single scan with an Expand for the distinct counts,
-partial-aggregated map-side). Pass 2 collects value sets ONLY for
-columns pass 1 proved low-cardinality, so the driver transfer is
-bounded by enum_max_card * n_candidates values. No other collect
-touches data.
+Scale shape: the stats pass is ONE aggregate over the table (count +
+per-column sums/countDistincts/min/max — Catalyst plans a single scan
+with an Expand for the distinct counts, partial-aggregated map-side);
+the distribution sketches below run as a SECOND, no-distinct aggregate —
+deliberately not merged, because any aggregate sharing a plan with
+countDistinct is evaluated once per Expand copy of the stream (measured
+4x the whole profile's cost merged vs ~0.3 s separate at sf0.1). The
+enum pass collects value sets ONLY for columns proved low-cardinality,
+so the driver transfer is bounded by enum_max_card * n_candidates
+values. No other collect touches data.
 
 Distribution sketches (same single pass, fixed size per column):
 
@@ -90,6 +93,9 @@ _SKETCH_PROBS = [i / 20 for i in range(21)]
 #: string hash-histogram bucket count; 32 keeps the agg narrow while any
 #: material mass move between value sets perturbs several buckets
 _HASH_BUCKETS = 32
+#: percentile_approx sketch size: 1/2000 rank error is far finer than the
+#: decile bins PSI consumes, at a fraction of the default-10000 cost
+_SKETCH_ACCURACY = 2000
 
 
 def profile_columns(
@@ -115,27 +121,45 @@ def profile_columns(
                                                 T.DateType, T.StringType)):
             aggs.append(F.min(c).alias(f"_min_{c}"))
             aggs.append(F.max(c).alias(f"_max_{c}"))
-        if isinstance(dt, _ORDERABLE_NUMERIC):
-            aggs.append(
-                F.percentile_approx(
-                    F.col(c).cast("double"), _SKETCH_PROBS
-                ).alias(f"_q_{c}")
-            )
-        elif isinstance(dt, T.StringType):
-            bucket = F.pmod(F.xxhash64(F.col(c)), F.lit(_HASH_BUCKETS))
-            aggs.append(
-                F.array(
-                    *[
-                        F.sum(
-                            F.when(
-                                F.col(c).isNotNull() & (bucket == i), 1
-                            ).otherwise(0)
-                        )
-                        for i in range(_HASH_BUCKETS)
-                    ]
-                ).alias(f"_hh_{c}")
-            )
     row = df.agg(*aggs).first().asDict()
+
+    # distribution sketches run as their OWN aggregate: the stats pass
+    # above carries countDistincts, which Catalyst plans via Expand (one
+    # stream copy per distinct aggregate) — sketch aggregates riding that
+    # expanded stream measured ~4x the whole profile's cost, while a
+    # separate no-distinct pass is ~0.3 s at sf0.1. The hash bucket is
+    # also projected once per (row, column) rather than recomputed inside
+    # each of the 32 bucket counters.
+    numeric_cols = [
+        c for c in columns if isinstance(fields[c].dataType, _ORDERABLE_NUMERIC)
+    ]
+    string_cols = [c for c in columns if isinstance(fields[c].dataType, T.StringType)]
+    if numeric_cols or string_cols:
+        scan = df.select(
+            *[F.col(c) for c in numeric_cols],
+            *[
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.pmod(F.xxhash64(F.col(c)), F.lit(_HASH_BUCKETS)),
+                ).alias(f"_hhb_{c}")
+                for c in string_cols
+            ],
+        )
+        sketch_aggs = [
+            F.percentile_approx(
+                F.col(c).cast("double"), _SKETCH_PROBS, _SKETCH_ACCURACY
+            ).alias(f"_q_{c}")
+            for c in numeric_cols
+        ] + [
+            F.array(
+                *[
+                    F.sum((F.col(f"_hhb_{c}") == i).cast("long"))
+                    for i in range(_HASH_BUCKETS)
+                ]
+            ).alias(f"_hh_{c}")
+            for c in string_cols
+        ]
+        row.update(scan.agg(*sketch_aggs).first().asDict())
 
     rc = int(row["_rc"])
     profile = DatasetProfile(row_count=rc)
