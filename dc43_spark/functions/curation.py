@@ -1264,6 +1264,141 @@ def evaluate_quality_lr(
     }
 
 
+def hashed_ngram_features(
+    text_col: Column | str, *, n_features: int, ns: tuple[int, ...] = (1, 2)
+) -> Column:
+    """Array of hashed word-n-gram feature ids for a document (DSIR's
+    feature space, Xie et al. 2023: hashed unigrams+bigrams by default).
+    Lowered tokens; md5-based ``feature_hash`` so any engine with md5
+    reproduces the ids bit-for-bit. Pure expression — no shuffle."""
+    from dc43_spark.functions.text import tokens as _tokens
+
+    low = F.transform(_tokens(text_col), lambda x: F.lower(x))
+
+    def build(t: Column) -> Column:
+        def make_gram(n: int):
+            # closure factory: a default-arg lambda would read as a 2-arg
+            # callback to transform(), which then passes the index as n
+            def gram(i: Column) -> Column:
+                return F.concat_ws(
+                    " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+                )
+
+            return gram
+
+        parts = []
+        for n in ns:
+            if n == 1:
+                grams = t
+            else:
+                grams = F.when(
+                    F.size(t) >= n,
+                    F.transform(F.sequence(F.lit(0), F.size(t) - n), make_gram(n)),
+                ).otherwise(F.array().cast("array<string>"))
+            parts.append(grams)
+        all_grams = F.concat(*parts) if len(parts) > 1 else parts[0]
+        return F.transform(all_grams, lambda g: feature_hash(g, n_features))
+
+    return F.element_at(F.transform(F.array(low), build), 1)
+
+
+def dsir_log_weights(
+    source: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 4096,
+    ns: tuple[int, ...] = (1, 2),
+    smoothing: float = 1.0,
+    weight_col: str = "log_weight",
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023, public): score every SOURCE document by how much its
+    hashed-n-gram distribution looks like the TARGET corpus rather than
+    the source pool — ``log w(x) = sum_f count_f(x) * (log p_tgt(f) -
+    log p_src(f))`` with add-``smoothing`` estimates of both feature
+    distributions. The standard recipe for "select web data that looks
+    like the (small) high-quality target" at pretraining scale.
+
+    Distributed shape: each corpus's feature histogram is ONE
+    explode+groupBy bounded at ``n_features`` rows to the driver (the
+    vocab/BPE pattern); scoring is a zero-shuffle expression against the
+    log-prob-difference literal array, streaming at scan speed. Returns
+    (id, ``log_weight`` double); featureless documents score 0.0
+    (neutral evidence)."""
+    import math
+
+    feats = hashed_ngram_features(text_col, n_features=n_features, ns=ns)
+
+    def histogram(df: DataFrame) -> tuple[list[int], int]:
+        rows = (
+            df.select(F.explode(feats).alias("_f"))
+            .groupBy("_f")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        counts = [0] * n_features
+        for r in rows:
+            counts[int(r["_f"])] = int(r["_n"])
+        return counts, sum(counts)
+
+    tgt_counts, tgt_total = histogram(target)
+    src_counts, src_total = histogram(source)
+    if tgt_total == 0 or src_total == 0:
+        raise ValueError("DSIR needs non-empty featurized source and target")
+    denom_t = tgt_total + smoothing * n_features
+    denom_s = src_total + smoothing * n_features
+    diff = [
+        math.log((tgt_counts[i] + smoothing) / denom_t)
+        - math.log((src_counts[i] + smoothing) / denom_s)
+        for i in range(n_features)
+    ]
+    diff_lit = F.lit(diff)
+    score = F.aggregate(
+        F.transform(
+            feats, lambda f: F.element_at(diff_lit, f.cast("int") + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return source.select(
+        F.col(id_col), F.coalesce(score, F.lit(0.0)).alias(weight_col)
+    )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "log_weight",
+    seed: str = "dc43-dsir",
+) -> DataFrame:
+    """Sample ``k`` documents WITHOUT replacement, proportional to
+    exp(log_weight), via the Gumbel-top-k trick the DSIR paper uses:
+    rank by ``log_weight + Gumbel(0,1)`` and keep the top k. The Gumbel
+    draw is md5-derived from (id, seed) — fully deterministic, so the
+    selection is reproducible and engine-portable.
+
+    Scale shape: orderBy(...).limit(k) plans TakeOrderedAndProject —
+    per-partition top-k then a driver merge of k-row heaps, never a
+    global sort shuffle."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(seed))), 1, 15),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(16**15 + 2))  # uniform in (0,1)
+    gumbel = -F.log(-F.log(u))
+    return (
+        weights.withColumn("_key", F.col(weight_col) + gumbel)
+        .orderBy(F.col("_key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_key")
+    )
+
+
 def quality_eval_report_rows(spark, metrics: dict) -> DataFrame:
     """Render ``evaluate_quality_lr`` metrics as filter-report-shaped rows
     ``(reason string, n_docs long)`` so the classifier's held-out quality

@@ -698,3 +698,102 @@ def test_mix_by_weight_randomized_vs_python_reference(spark):
             if nc > 0:
                 want[k] = nc
         assert got == want, seed
+
+
+def _py_feature_ids(text, n_features, ns=(1, 2)):
+    toks = [t.lower() for t in text.split()]
+    grams = []
+    for n in ns:
+        if n == 1:
+            grams += toks
+        elif len(toks) >= n:
+            grams += [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    return [int(hashlib.md5(g.encode()).hexdigest()[:7], 16) % n_features for g in grams]
+
+
+def test_dsir_log_weights_match_python_reference(spark):
+    """Bit-level parity with an independent pure-Python DSIR: same md5
+    feature hashing, same add-one smoothing, same log-ratio sum."""
+    from dc43_spark.functions import curation as cu
+
+    n_features = 256
+    src_rows = [(i, f"the quick brown fox number {i} jumps") for i in range(15)] + [
+        (100 + i, f"zzz qqq spam {i} buy now") for i in range(15)
+    ]
+    tgt_rows = [(i, f"the quick brown fox {i} leaps gracefully") for i in range(10)]
+    src = spark.createDataFrame(src_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.log_weight
+        for r in cu.dsir_log_weights(src, tgt, n_features=n_features).collect()
+    }
+
+    tgt_counts = [0] * n_features
+    for _, t in tgt_rows:
+        for f in _py_feature_ids(t, n_features):
+            tgt_counts[f] += 1
+    src_counts = [0] * n_features
+    for _, t in src_rows:
+        for f in _py_feature_ids(t, n_features):
+            src_counts[f] += 1
+    dt = sum(tgt_counts) + n_features
+    ds = sum(src_counts) + n_features
+    diff = [
+        math.log((tgt_counts[i] + 1) / dt) - math.log((src_counts[i] + 1) / ds)
+        for i in range(n_features)
+    ]
+    for doc_id, text in src_rows:
+        ref = sum(diff[f] for f in _py_feature_ids(text, n_features))
+        assert abs(out[doc_id] - ref) < 1e-9, doc_id
+
+    # semantics: target-like docs outweigh junk
+    fox = [out[i] for i in range(15)]
+    junk = [out[100 + i] for i in range(15)]
+    assert min(fox) > max(junk)
+
+
+def test_dsir_resample_enriches_target_like_docs(spark):
+    """Gumbel-top-k resampling keeps mostly target-like documents, is
+    deterministic under a fixed seed, and changes under another seed."""
+    from dc43_spark.functions import curation as cu
+    from dc43_spark.io.bucketing import plan_string
+
+    src = spark.createDataFrame(
+        [(i, f"the quick brown fox number {i} jumps") for i in range(30)]
+        + [(100 + i, f"zzz qqq spam {i} buy now click") for i in range(30)],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(i, f"the quick brown fox {i} leaps gracefully") for i in range(10)],
+        "doc_id long, text string",
+    )
+    w = cu.dsir_log_weights(src, tgt, n_features=512)
+    picked = cu.dsir_resample(w, 20)
+    ids = {r.doc_id for r in picked.collect()}
+    assert len(ids) == 20
+    assert sum(1 for i in ids if i < 100) >= 16  # heavily enriched
+    # deterministic under the same seed
+    again = {r.doc_id for r in cu.dsir_resample(w, 20).collect()}
+    assert again == ids
+    other = {r.doc_id for r in cu.dsir_resample(w, 20, seed="other").collect()}
+    assert other != ids
+    # top-k plans as TakeOrdered, never a global sort shuffle
+    plan = plan_string(cu.dsir_resample(w, 20), "simple")
+    assert "TakeOrderedAndProject" in plan
+    # scoring itself is a zero-shuffle projection
+    score_plan = plan_string(w, "simple")
+    assert "Exchange" not in score_plan and "EvalPython" not in score_plan
+
+
+def test_dsir_degenerate_inputs(spark):
+    from dc43_spark.functions import curation as cu
+
+    empty_text = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    tgt = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        cu.dsir_log_weights(empty_text, tgt)
+    src = spark.createDataFrame(
+        [(1, "a b"), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.log_weight for r in cu.dsir_log_weights(src, tgt, n_features=64).collect()}
+    assert out[2] == 0.0  # featureless doc scores neutral, not NULL
