@@ -485,6 +485,7 @@ class SnaplogTable:
         last = self.last_txn_version(app_id)
         if last is not None and version <= last:
             return None
+        self._check_append_schema(df)
         added = self._stage_files(df)
         schema_json = df.schema.json()
         for _ in range(20):
@@ -507,10 +508,38 @@ class SnaplogTable:
 
     # ---------------- writes
 
+    def _check_append_schema(self, df: DataFrame) -> None:
+        """Appends must match the table schema by field name+type: a
+        multi-path parquet read resolves the schema from ONE footer, so a
+        divergent appended file would silently drop or null-corrupt
+        columns instead of failing. Schema evolution goes through
+        ``write(mode='overwrite')`` (or a contract change upstream —
+        governed writes align first, so they never hit this)."""
+        current = self.version()
+        if current is None:
+            return
+        existing = self.snapshot(current).schema_json
+        if not existing:
+            return
+        old = {
+            (f.name, f.dataType.simpleString())
+            for f in T.StructType.fromJson(json.loads(existing)).fields
+        }
+        new = {(f.name, f.dataType.simpleString()) for f in df.schema.fields}
+        if old != new:
+            raise ValueError(
+                f"append schema mismatch on {self.path}: table has "
+                f"{sorted(old - new)} not in append, append has "
+                f"{sorted(new - old)} not in table; align the frame or "
+                "overwrite to evolve the schema"
+            )
+
     def write(self, df: DataFrame, mode: str = "append") -> int:
         """Transactional append/overwrite; returns the committed version."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"snaplog write mode must be append|overwrite, got {mode!r}")
+        if mode == "append":
+            self._check_append_schema(df)
         schema_json = df.schema.json()
         if mode == "overwrite":
             current = self.version()

@@ -323,3 +323,29 @@ def test_evaluate_tracks_drift_across_versions(spark, service):
         operation="read", track_drift=True,
     )
     assert not [w for w in out3.validation.warnings if w.startswith("drift vs")]
+
+
+def test_drift_tracking_catches_shape_via_psi(spark, service):
+    """The PSI leg flows end-to-end through the orchestrator: a version
+    whose amount distribution goes uniform -> bimodal with IDENTICAL
+    min/max, null rate, and distinct count still raises the drift
+    warning, from the STORED profile's sketches alone."""
+    contract = service.resolve_contract("test.orders")
+    uniform = spark.createDataFrame(
+        [(i, i * 0.1) for i in range(1001)], "order_id long, amount double"
+    )
+    service.evaluate_dataset(
+        uniform, contract, dataset_id="ds", dataset_version="v1",
+        operation="write", track_drift=True,
+    )
+    bimodal = spark.createDataFrame(
+        [(i, i * 0.02) for i in range(501)]
+        + [(501 + i, 90.0 + i * 0.02) for i in range(501)],
+        "order_id long, amount double",
+    )
+    out = service.evaluate_dataset(
+        bimodal, contract, dataset_id="ds", dataset_version="v2",
+        operation="read", track_drift=True,
+    )
+    drift = [w for w in out.validation.warnings if w.startswith("drift vs")]
+    assert drift and "amount" in drift[0]

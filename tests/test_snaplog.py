@@ -270,3 +270,28 @@ def test_governed_io_through_snaplog(spark, tmp_path):
     t = SnaplogTable(spark, path)
     assert t.history()[-1].operation == "compact"
     assert t.read().count() == 4
+
+
+def test_append_schema_mismatch_rejected(spark, tmp_path):
+    """A divergent append would silently corrupt multi-file reads (the
+    scan resolves its schema from one footer); the log rejects it and
+    points at overwrite for evolution."""
+    import pytest
+
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        t.write(spark.createDataFrame([(2,)], "k long"))
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        t.write(spark.createDataFrame([(2, 3)], "k long, v long"))  # type change
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        t.write_txn(
+            spark.createDataFrame([(2,)], "k long"), app_id="a", version=0
+        )
+    # same shape appends fine; overwrite evolves
+    t.write(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.write(spark.createDataFrame([(3,)], "k long"), mode="overwrite")
+    assert t.read().columns == ["k"]
+    assert t.read().count() == 1
