@@ -15,3 +15,14 @@ def test_quickstart_runs(sf_dir):
     assert "write verdict:" in proc.stdout
     assert "read verdict:" in proc.stdout
     assert "near-dup pairs:" in proc.stdout
+
+
+def test_lakehouse_example_runs():
+    proc = subprocess.run(
+        [sys.executable, "examples/lakehouse.py"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "merge rewrote 1/" in proc.stdout
+    assert "stream rows (after replay): 5" in proc.stdout
+    assert "active after review:" in proc.stdout
