@@ -295,3 +295,83 @@ def test_append_schema_mismatch_rejected(spark, tmp_path):
     t.write(spark.createDataFrame([(3,)], "k long"), mode="overwrite")
     assert t.read().columns == ["k"]
     assert t.read().count() == 1
+
+
+# --------------------------------------------------------------------------
+# model-based property test: random op sequences vs a pure-Python model
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=4)),
+        st.tuples(st.just("overwrite"), st.lists(st.integers(0, 9), min_size=1, max_size=4)),
+        st.tuples(st.just("merge"), st.lists(st.integers(0, 9), min_size=1, max_size=4)),
+        st.tuples(st.just("compact"), st.just([])),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(ops=_OPS)
+def test_snaplog_matches_model_under_random_op_sequences(spark, tmp_path_factory, ops):
+    """Model check: any interleaving of append/overwrite/merge/compact must
+    leave (a) the head matching a dict model replaying the same MERGE
+    algebra, and (b) EVERY historic version still reading back its own
+    recorded row multiset (compaction/merge must never mutate history)."""
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    path = str(tmp_path_factory.mktemp("snaplog_model") / "t")
+    t = SnaplogTable(spark, path, checkpoint_interval=3)
+
+    def mk(keys):
+        return spark.createDataFrame([(k, f"s{k}") for k in keys], "k long, v string")
+
+    # model: multiset of (k, v) rows; merge keys update-or-insert
+    rows: list[tuple[int, str]] = []
+    history: list[set] = []  # per committed version: the row multiset (as sorted tuple)
+    for op, keys in ops:
+        before = t.version()
+        if op == "append":
+            t.write(mk(keys), mode="append")
+            rows += [(k, f"s{k}") for k in keys]
+        elif op == "overwrite":
+            t.write(mk(keys), mode="overwrite")
+            rows = [(k, f"s{k}") for k in keys]
+        elif op == "merge":
+            if t.version() is None:
+                t.merge(mk(keys), ["k"])
+                rows = [(k, f"s{k}") for k in sorted(set(keys))]
+            else:
+                src = spark.createDataFrame(
+                    [(k, f"m{k}") for k in sorted(set(keys))], "k long, v string"
+                )
+                t.merge(src, ["k"])
+                matched = {k for k, _ in rows} & set(keys)
+                rows = [(k, f"m{k}") if k in matched else (k, v) for k, v in rows]
+                rows += [(k, f"m{k}") for k in sorted(set(keys) - {x for x, _ in rows})]
+        else:  # compact
+            if t.version() is None:
+                continue
+            t.compact(target_file_mb=1)  # everything is "small": full collapse
+        # record a model snapshot only when the op actually committed
+        # (compact no-ops below min_files; nothing else may silently skip)
+        if t.version() is not None and t.version() != before:
+            history.append(tuple(sorted(rows)))
+
+    if t.version() is None:
+        return
+    got = tuple(sorted((r.k, r.v) for r in t.read().collect()))
+    assert got == history[-1]
+    # time travel: every version reads back exactly what the model saw.
+    # (versions map 1:1 to model snapshots EXCEPT no-op merges/compacts
+    # that committed nothing — walk both lists in step)
+    versions = [c.version for c in t.history()]
+    assert len(versions) == len(history)
+    for v, want in zip(versions, history):
+        at_v = tuple(sorted((r.k, r.v) for r in t.read(version_as_of=v).collect()))
+        assert at_v == want, (v, want, at_v)
