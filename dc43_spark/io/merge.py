@@ -59,6 +59,30 @@ class MergeResult:
     target_table: Optional[str] = None
 
 
+def require_unique_merge_keys(source: DataFrame, keys: list[str]) -> None:
+    """SQL MERGE rejects a source with duplicate keys: one target row
+    matching several source rows is ambiguous (Delta raises
+    MULTIPLE_SOURCE_ROWS_MATCHED at runtime; the outer-join rewrite would
+    silently DUPLICATE the target row instead — caught by the snaplog
+    model-based property test). One cheap key-grouped probe, negligible
+    next to the merge itself; dedupe upstream (e.g. last-wins by a
+    change timestamp) before merging."""
+    dup = (
+        source.groupBy(*[F.col(k) for k in keys])
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key_vals = {k: dup[0][k] for k in keys}
+        raise ValueError(
+            f"merge source has duplicate keys (e.g. {key_vals}); SQL MERGE "
+            "is ambiguous under multiple source matches — deduplicate the "
+            "source first"
+        )
+
+
 def _outer_join_merge(
     target: DataFrame,
     source: DataFrame,
@@ -68,7 +92,8 @@ def _outer_join_merge(
     when_not_matched: str,
     delete_predicate: Optional[str],
 ) -> DataFrame:
-    """MERGE semantics as one full-outer join.
+    """MERGE semantics as one full-outer join. Callers must validate
+    source-key uniqueness (``require_unique_merge_keys``) first.
 
     Row fates (standard SQL MERGE):
     - key in both:    ``update`` -> source row; ``ignore`` -> target row;
@@ -178,6 +203,7 @@ def merge_with_contract(
             validation,
         )
     aligned = apply_contract(source_df, contract, auto_cast=auto_cast)
+    require_unique_merge_keys(aligned, keys)
 
     def _done(result: MergeResult) -> MergeResult:
         if interceptors:

@@ -602,8 +602,12 @@ class SnaplogTable:
         semantics, Delta's physical strategy): prune to the files that
         contain matched keys, rewrite only those merged with the source,
         carry every other file over by reference."""
-        from dc43_spark.io.merge import _outer_join_merge
+        from dc43_spark.io.merge import (
+            _outer_join_merge,
+            require_unique_merge_keys,
+        )
 
+        require_unique_merge_keys(source, keys)
         current = self.version()
         if current is None:
             if when_not_matched == "insert":

@@ -308,7 +308,13 @@ _OPS = st.lists(
     st.one_of(
         st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=4)),
         st.tuples(st.just("overwrite"), st.lists(st.integers(0, 9), min_size=1, max_size=4)),
-        st.tuples(st.just("merge"), st.lists(st.integers(0, 9), min_size=1, max_size=4)),
+        st.tuples(
+            st.just("merge"),
+            # MERGE rejects duplicate source keys (ambiguous matches), so
+            # the generator draws unique key sets; the rejection itself is
+            # pinned by test_merge_rejects_duplicate_source_keys
+            st.lists(st.integers(0, 9), min_size=1, max_size=4, unique=True),
+        ),
         st.tuples(st.just("compact"), st.just([])),
     ),
     min_size=1,
@@ -375,3 +381,33 @@ def test_snaplog_matches_model_under_random_op_sequences(spark, tmp_path_factory
     for v, want in zip(versions, history):
         at_v = tuple(sorted((r.k, r.v) for r in t.read(version_as_of=v).collect()))
         assert at_v == want, (v, want, at_v)
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    """SQL MERGE is ambiguous when one target row matches several source
+    rows (Delta: MULTIPLE_SOURCE_ROWS_MATCHED; the outer-join rewrite
+    would silently duplicate instead — found by the model test). Both the
+    snaplog merge and the governed merge reject up front."""
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    dup = _df(spark, [(1, "a"), (1, "b")])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge(dup, ["k"])  # even the initial write validates
+    t.write(_df(spark, [(1, "x")]), mode="overwrite")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge(dup, ["k"])
+    assert {r.v for r in t.read().collect()} == {"x"}  # table untouched
+
+    from dc43_spark.contracts.model import Contract, SchemaObject, SchemaProperty
+    from dc43_spark.io.merge import merge_with_contract
+
+    contract = Contract(
+        id="m.t", version="0.1.0",
+        schema_objects=[SchemaObject(name="t", properties=[
+            SchemaProperty("k", "bigint", required=True),
+            SchemaProperty("v", "string"),
+        ])],
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_with_contract(
+            spark, dup, contract, keys=["k"], path=str(tmp_path / "t"),
+        )
