@@ -53,10 +53,12 @@ stats of newly added files.
 100 TB notes: commit manifests are O(files changed), not O(table);
 checkpoints bound log replay; ``compact`` and ``vacuum`` keep file
 counts and dead storage bounded; all heavy work (pruning semi-join,
-merge join, rewrites) is declarative DataFrame code under AQE. The
-``os.link`` mutual exclusion assumes a filesystem with atomic link
-(POSIX, HDFS via create-flag emulation); object stores need a
-put-if-absent shim, the one seam left open here.
+merge join, rewrites) is declarative DataFrame code under AQE. Mutual
+exclusion is behind the ``CommitClaimer`` protocol: the default
+``LinkCommitClaimer`` uses POSIX/HDFS atomic ``os.link``; an object
+store plugs in its conditional put (S3 If-None-Match, GCS
+x-goog-if-generation-match:0, ADLS If-None-Match:*) without touching
+the table logic.
 """
 
 from __future__ import annotations
@@ -68,7 +70,7 @@ import tempfile
 import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Optional, Sequence
+from typing import Optional, Protocol, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -82,6 +84,38 @@ _STATS_MAX_COLUMNS = 32  # delta-style cap: stats for the first N columns
 
 class SnapshotConflictError(RuntimeError):
     """A concurrent commit invalidated this transaction's read snapshot."""
+
+
+class CommitClaimer(Protocol):
+    """Atomic put-if-absent of a commit manifest — the ONLY primitive the
+    log needs from storage. ``claim`` writes ``payload`` to ``dest_name``
+    iff no file exists there, returning False (and writing nothing) when
+    a rival already claimed it. Implementations: ``LinkCommitClaimer``
+    (POSIX/HDFS hard link, the default); an object-store claimer maps to
+    the store's conditional put (S3 ``If-None-Match: *``, GCS
+    ``ifGenerationMatch=0``, ADLS ``If-None-Match: *``)."""
+
+    def claim(self, log_dir: str, dest_name: str, payload: str) -> bool: ...
+
+
+class LinkCommitClaimer:
+    """Default claimer: write a temp file, ``os.link`` it to the commit
+    name. ``link`` is atomic and fails with ``FileExistsError`` when the
+    version is taken, so two concurrent committers can never both win."""
+
+    def claim(self, log_dir: str, dest_name: str, payload: str) -> bool:
+        os.makedirs(log_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=log_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as fh:
+                fh.write(payload)
+            try:
+                os.link(tmp, os.path.join(log_dir, dest_name))
+            except FileExistsError:
+                return False
+            return True
+        finally:
+            os.unlink(tmp)
 
 
 @dataclass(frozen=True)
@@ -197,10 +231,12 @@ class SnaplogTable:
         path: str,
         *,
         checkpoint_interval: int = 10,
+        claimer: Optional[CommitClaimer] = None,
     ) -> None:
         self.spark = spark
         self.path = os.path.abspath(path.rstrip("/"))
         self.checkpoint_interval = checkpoint_interval
+        self.claimer = claimer or LinkCommitClaimer()
 
     # ---------------- layout helpers
 
@@ -373,18 +409,9 @@ class SnaplogTable:
 
     def _try_commit(self, version: int, record: dict) -> bool:
         """Atomically claim ``_snaplog/<version>.json``; False if taken."""
-        os.makedirs(self.log_dir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as fh:
-                json.dump(record, fh)
-            try:
-                os.link(tmp, os.path.join(self.log_dir, _commit_name(version)))
-            except FileExistsError:
-                return False
-            return True
-        finally:
-            os.unlink(tmp)
+        return self.claimer.claim(
+            self.log_dir, _commit_name(version), json.dumps(record)
+        )
 
     def _maybe_checkpoint(self, version: int) -> None:
         if version == 0 or version % self.checkpoint_interval != 0:

@@ -411,3 +411,31 @@ def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
         merge_with_contract(
             spark, dup, contract, keys=["k"], path=str(tmp_path / "t"),
         )
+
+
+def test_custom_commit_claimer_seam(spark, tmp_path):
+    """The storage seam: a claimer that refuses a version makes the commit
+    protocol behave exactly as if a rival object-store writer won the
+    conditional put — appends chase the head, pinned ops conflict."""
+    from dc43_spark.io.snaplog import CommitClaimer, LinkCommitClaimer
+
+    class FlakyClaimer(CommitClaimer):
+        """Refuses the FIRST claim of each name, then delegates."""
+
+        def __init__(self):
+            self.seen = set()
+            self.inner = LinkCommitClaimer()
+
+        def claim(self, log_dir, dest_name, payload):
+            if dest_name not in self.seen:
+                self.seen.add(dest_name)
+                return False
+            return self.inner.claim(log_dir, dest_name, payload)
+
+    t = SnaplogTable(spark, str(tmp_path / "t"), claimer=FlakyClaimer())
+    # append retries under contention and lands
+    v = t.write(_df(spark, [(1, "a")]), mode="append")
+    assert v == 0 and t.read().count() == 1
+    # version-pinned commits treat a lost claim as a snapshot conflict
+    with pytest.raises(SnapshotConflictError):
+        t._commit("merge", add=[], remove=[], expected_version=t.version())
