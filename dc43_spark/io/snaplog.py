@@ -50,6 +50,18 @@ table reads and rewrites one file. The only driver materialisations are
 the distinct matched-file list (bounded by file count) and the footer
 stats of newly added files.
 
+**Data skipping + row-level ops.** ``read(filters=...)`` takes
+pyarrow-style DNF predicates (``[("c", ">=", 10), ...]`` = AND;
+list-of-lists = OR of ANDs), prunes the snapshot's file list against
+the footer min/max/null stats driver-side (zero data IO), and applies
+the same predicate as a residual Spark filter for row exactness —
+pruning can only skip files that provably contain no match, never
+change results. ``delete(filters)`` and ``update(filters, set=...)``
+reuse MERGE's two-level pruning (stats intersection, then an exact
+``_metadata.file_path`` scan) so a selective delete/update on a
+clustered 100 TB table rewrites only the files that actually hold
+matching rows.
+
 100 TB notes: commit manifests are O(files changed), not O(table);
 checkpoints bound log replay; ``compact`` and ``vacuum`` keep file
 counts and dead storage bounded; all heavy work (pruning semi-join,
@@ -80,6 +92,12 @@ LOG_DIR = "_snaplog"
 DATA_DIR = "data"
 _VERSION_WIDTH = 20
 _STATS_MAX_COLUMNS = 32  # delta-style cap: stats for the first N columns
+# Parquet writers may TRUNCATE long binary min/max statistics (parquet-mr
+# truncates at 64 bytes; the footer carries no exactness flag pyarrow
+# exposes). A truncated max understates the real max and would make
+# pruning WRONG, not just loose — so string stats at or beyond this
+# length are discarded at commit time and those files are never pruned.
+_STATS_MAX_STRING = 64
 
 
 class SnapshotConflictError(RuntimeError):
@@ -200,6 +218,11 @@ def _footer_stats(abs_path: str) -> tuple[int, int, dict]:
             if lo is None or hi is None:
                 acc[name] = None
                 continue
+            if isinstance(lo, str) and (
+                len(lo) >= _STATS_MAX_STRING or len(hi) >= _STATS_MAX_STRING
+            ):
+                acc[name] = None  # possibly writer-truncated -> unsafe to prune on
+                continue
             n_null = int(st.null_count or 0)
             prev = acc.get(name)
             if prev is None and name not in acc:
@@ -220,6 +243,119 @@ def _commit_name(version: int) -> str:
 
 def _checkpoint_name(version: int) -> str:
     return f"{version:0{_VERSION_WIDTH}d}.checkpoint.json"
+
+
+# ---------------- predicate file skipping (pyarrow-DNF-style filters)
+
+_FILTER_OPS = ("=", "==", "!=", "<", "<=", ">", ">=", "in", "not in")
+
+
+def _normalize_filters(filters) -> list[list[tuple]]:
+    """Accept pyarrow's two spellings — a flat list of ``(col, op, val)``
+    tuples (implicit AND) or a list of such lists (OR of ANDs) — and
+    return the canonical OR-of-ANDs form, validated."""
+    if not filters:
+        raise ValueError("filters must be a non-empty list")
+    flat = not isinstance(filters[0], list)
+    groups = [list(filters)] if flat else [list(g) for g in filters]
+    for g in groups:
+        if not g:
+            raise ValueError("empty AND-group in filters")
+        for cond in g:
+            if not (isinstance(cond, tuple) and len(cond) == 3):
+                raise ValueError(f"filter condition must be (col, op, value): {cond!r}")
+            col, op, _ = cond
+            if not isinstance(col, str):
+                raise ValueError(f"filter column must be a string: {col!r}")
+            if op not in _FILTER_OPS:
+                raise ValueError(f"unsupported filter op {op!r} (have {_FILTER_OPS})")
+    return groups
+
+
+def _cond_may_match(stats: Optional[dict], op: str, val) -> bool:
+    """Can ANY row of a file with footer ``stats`` satisfy ``col op val``?
+    Conservative: missing stats, NULL literals, or incomparable types
+    answer True (keep the file). SQL three-valued semantics: a NULL cell
+    never satisfies any of these ops, so null counts are irrelevant —
+    only the non-null [min, max] envelope decides."""
+    if stats is None:
+        return True
+    lo, hi = stats["min"], stats["max"]
+    vals = list(val) if op in ("in", "not in") else [val]
+    if any(v is None for v in vals):
+        return True  # NULL literal: Spark yields no rows, but don't reason here
+    try:
+        if op in ("=", "=="):
+            return lo <= val <= hi
+        if op == "!=":
+            return not (lo == hi == val)
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+        if op == "in":
+            return any(lo <= v <= hi for v in vals)
+        if op == "not in":
+            return not (lo == hi and lo in vals)
+    except TypeError:
+        return True  # stats/literal types don't compare -> can't prune
+    return True
+
+
+def _file_may_match(f: FileEntry, groups: list[list[tuple]]) -> bool:
+    """DNF evaluation over one file: keep if ANY or-group survives, a
+    group survives if EVERY condition may match."""
+    return any(
+        all(_cond_may_match(f.stats.get(col), op, val) for col, op, val in g)
+        for g in groups
+    )
+
+
+def _filters_to_column(groups: list[list[tuple]]):
+    """The SAME predicate as a Spark Column — applied residually after
+    file pruning so results are row-exact regardless of pruning power."""
+    import functools
+    import operator
+
+    def cond(col, op, val):
+        c = F.col(col)
+        if op in ("=", "=="):
+            return c == F.lit(val)
+        if op == "!=":
+            return c != F.lit(val)
+        if op == "<":
+            return c < F.lit(val)
+        if op == "<=":
+            return c <= F.lit(val)
+        if op == ">":
+            return c > F.lit(val)
+        if op == ">=":
+            return c >= F.lit(val)
+        if op == "in":
+            return c.isin(list(val))
+        return ~c.isin(list(val))  # not in
+
+    ands = [
+        functools.reduce(operator.and_, [cond(*t) for t in g]) for g in groups
+    ]
+    return functools.reduce(operator.or_, ands)
+
+
+@dataclass
+class RewriteStats:
+    """File-granular accounting for DELETE/UPDATE — the proof the op did
+    NOT rewrite the world (MergeStats' row-level sibling)."""
+
+    files_total: int
+    candidates_after_stats: int
+    files_rewritten: int
+    files_added: int
+    rows_before: int
+    rows_after: int
 
 
 class SnaplogTable:
@@ -371,17 +507,34 @@ class SnaplogTable:
         *,
         version_as_of: Optional[int] = None,
         timestamp_as_of: Optional[float] = None,
+        filters=None,
     ) -> DataFrame:
         """Snapshot-pinned scan: one declarative multi-path parquet read, so
-        Catalyst keeps pushdown/pruning across the pinned file set."""
+        Catalyst keeps pushdown/pruning across the pinned file set.
+
+        ``filters`` (pyarrow DNF: ``[(col, op, val), ...]`` = AND,
+        list-of-lists = OR of ANDs; ops ``= == != < <= > >= in "not in"``)
+        adds manifest-level DATA SKIPPING: files whose footer min/max
+        envelope provably excludes the predicate never enter the scan —
+        on a clustered table a selective read opens one file, not the
+        table. The same predicate is re-applied as a Spark filter, so
+        results are row-exact whatever the pruning caught; ``df.
+        inputFiles()`` is the observable proof of the skip."""
         snap = self.snapshot(version_as_of, timestamp=timestamp_as_of)
-        paths = [os.path.join(self.path, f.path) for f in snap.files]
+        files = list(snap.files)
+        pred = None
+        if filters is not None:
+            groups = _normalize_filters(filters)
+            files = [f for f in files if _file_may_match(f, groups)]
+            pred = _filters_to_column(groups)
+        paths = [os.path.join(self.path, f.path) for f in files]
         if not paths:
             if snap.schema_json:
                 schema = T.StructType.fromJson(json.loads(snap.schema_json))
                 return self.spark.createDataFrame([], schema)
             raise ValueError(f"empty snaplog snapshot v{snap.version} has no schema")
-        return self.spark.read.format("parquet").load(paths)
+        df = self.spark.read.format("parquet").load(paths)
+        return df.filter(pred) if pred is not None else df
 
     # ---------------- commit machinery
 
@@ -400,6 +553,11 @@ class SnaplogTable:
                 dest = os.path.join(self.data_dir, name)
                 os.rename(os.path.join(staging, name), dest)
                 rows, size, stats = _footer_stats(dest)
+                if rows == 0:
+                    # schema travels in the commit's schema_json; a 0-row
+                    # part (empty overwrite, whole-file delete) adds noise
+                    os.unlink(dest)
+                    continue
                 entries.append(
                     FileEntry(f"{DATA_DIR}/{name}", rows, size, stats)
                 )
@@ -708,6 +866,131 @@ class SnaplogTable:
             candidates_after_stats=len(candidates),
             files_rewritten=len(touched),
             files_added=len(added),
+        )
+
+    # ---------------- row-level ops (DELETE / UPDATE)
+
+    def _exact_touched(
+        self, candidates: Sequence[FileEntry], pred
+    ) -> list[FileEntry]:
+        """Level-2 pruning: which candidate files actually contain a row
+        satisfying ``pred``? One distributed scan projecting only the
+        hidden ``_metadata.file_path``; the collect is the distinct
+        matched-file list, bounded by file count."""
+        if not candidates:
+            return []
+        paths = [os.path.join(self.path, f.path) for f in candidates]
+        matched = (
+            self.spark.read.format("parquet")
+            .load(paths)
+            .filter(pred)
+            .select(F.col("_metadata.file_path").alias("_fp"))
+            .distinct()
+            .collect()
+        )
+        names = {os.path.basename(r["_fp"]) for r in matched}
+        return [f for f in candidates if os.path.basename(f.path) in names]
+
+    def delete(self, filters) -> RewriteStats:
+        """File-granular copy-on-write DELETE: two-level pruning (footer
+        stats, then the exact ``_metadata.file_path`` scan) picks the
+        files holding matching rows; only those are rewritten with the
+        survivors — a file whose every row matches is simply dropped.
+        Untouched files carry over by reference, and prior versions keep
+        the deleted rows (time travel) until ``vacuum``.
+        Ref parity note: the reference delegates row deletes to Delta
+        (spark/io/merge.py whenMatchedDelete); this is the same physical
+        strategy on the snaplog manifest."""
+        groups = _normalize_filters(filters)
+        pred = _filters_to_column(groups)
+        current = self.version()
+        if current is None:
+            raise FileNotFoundError(f"no snaplog table at {self.path}")
+        snap = self.snapshot(current)
+        files = list(snap.files)
+        candidates = [f for f in files if _file_may_match(f, groups)]
+        touched = self._exact_touched(candidates, pred)
+        if not touched:
+            return RewriteStats(len(files), len(candidates), 0, 0, 0, 0)
+        rows_before = sum(f.rows for f in touched)
+        keep = (
+            self.spark.read.format("parquet")
+            .load([os.path.join(self.path, f.path) for f in touched])
+            .filter(~pred | pred.isNull())  # NULL predicate rows are KEPT
+        )
+        added = self._stage_files(keep)
+        self._commit(
+            "delete",
+            add=added,
+            remove=[f.path for f in touched],
+            schema_json=snap.schema_json,
+            expected_version=current,
+        )
+        return RewriteStats(
+            files_total=len(files),
+            candidates_after_stats=len(candidates),
+            files_rewritten=len(touched),
+            files_added=len(added),
+            rows_before=rows_before,
+            rows_after=sum(f.rows for f in added),
+        )
+
+    def update(self, filters, set: dict) -> RewriteStats:
+        """File-granular copy-on-write UPDATE: rewrite ONLY files holding
+        rows that satisfy ``filters``, applying ``set`` (column ->
+        Column/SQL-string expression, evaluated against the pre-update
+        row) where the predicate holds and passing other rows through
+        unchanged. Same two-level pruning and conflict semantics as
+        ``delete``."""
+        if not set:
+            raise ValueError("update() needs at least one column in set=")
+        groups = _normalize_filters(filters)
+        pred = _filters_to_column(groups)
+        current = self.version()
+        if current is None:
+            raise FileNotFoundError(f"no snaplog table at {self.path}")
+        snap = self.snapshot(current)
+        files = list(snap.files)
+        candidates = [f for f in files if _file_may_match(f, groups)]
+        touched = self._exact_touched(candidates, pred)
+        if not touched:
+            return RewriteStats(len(files), len(candidates), 0, 0, 0, 0)
+        df = self.spark.read.format("parquet").load(
+            [os.path.join(self.path, f.path) for f in touched]
+        )
+        missing = sorted(c for c in set if c not in df.columns)
+        if missing:
+            raise ValueError(f"update() set targets unknown columns: {missing}")
+        assignments = {
+            # cast to the existing column type (Delta's implicit-cast rule)
+            # so an update can never fork the table schema file-by-file
+            c: (F.expr(v) if isinstance(v, str) else v).cast(df.schema[c].dataType)
+            for c, v in set.items()
+        }
+        rewritten = df.select(
+            *[
+                F.when(pred, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        added = self._stage_files(rewritten)
+        self._commit(
+            "update",
+            add=added,
+            remove=[f.path for f in touched],
+            schema_json=snap.schema_json,
+            expected_version=current,
+        )
+        rows = sum(f.rows for f in touched)
+        return RewriteStats(
+            files_total=len(files),
+            candidates_after_stats=len(candidates),
+            files_rewritten=len(touched),
+            files_added=len(added),
+            rows_before=rows,
+            rows_after=sum(f.rows for f in added),
         )
 
     # ---------------- maintenance

@@ -316,6 +316,14 @@ _OPS = st.lists(
             st.lists(st.integers(0, 9), min_size=1, max_size=4, unique=True),
         ),
         st.tuples(st.just("compact"), st.just([])),
+        st.tuples(
+            st.just("delete"),
+            st.tuples(st.integers(0, 9), st.integers(0, 10)),
+        ),
+        st.tuples(
+            st.just("update"),
+            st.lists(st.integers(0, 9), min_size=1, max_size=4, unique=True),
+        ),
     ),
     min_size=1,
     max_size=6,
@@ -325,7 +333,8 @@ _OPS = st.lists(
 @settings(max_examples=12, deadline=None)
 @given(ops=_OPS)
 def test_snaplog_matches_model_under_random_op_sequences(spark, tmp_path_factory, ops):
-    """Model check: any interleaving of append/overwrite/merge/compact must
+    """Model check: any interleaving of append/overwrite/merge/compact/
+    delete/update must
     leave (a) the head matching a dict model replaying the same MERGE
     algebra, and (b) EVERY historic version still reading back its own
     recorded row multiset (compaction/merge must never mutate history)."""
@@ -360,6 +369,17 @@ def test_snaplog_matches_model_under_random_op_sequences(spark, tmp_path_factory
                 matched = {k for k, _ in rows} & set(keys)
                 rows = [(k, f"m{k}") if k in matched else (k, v) for k, v in rows]
                 rows += [(k, f"m{k}") for k in sorted(set(keys) - {x for x, _ in rows})]
+        elif op == "delete":
+            if t.version() is None:
+                continue
+            lo, hi = keys
+            t.delete([("k", ">=", lo), ("k", "<", hi)])
+            rows = [(k, v) for k, v in rows if not (lo <= k < hi)]
+        elif op == "update":
+            if t.version() is None:
+                continue
+            t.update([("k", "in", list(keys))], set={"v": F.lit("U")})
+            rows = [(k, "U") if k in set(keys) else (k, v) for k, v in rows]
         else:  # compact
             if t.version() is None:
                 continue
@@ -439,3 +459,149 @@ def test_custom_commit_claimer_seam(spark, tmp_path):
     # version-pinned commits treat a lost claim as a snapshot conflict
     with pytest.raises(SnapshotConflictError):
         t._commit("merge", add=[], remove=[], expected_version=t.version())
+
+
+def _clustered(spark, tmp_path, n=1000, files=8):
+    """A key-clustered table: repartitionByRange gives each file a
+    disjoint k interval, so footer stats make files prunable."""
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+            (F.col("id") % 7).alias("bucket"),
+        )
+        .repartitionByRange(files, "k")
+        .sortWithinPartitions("k")
+    )
+    t.write(df, mode="overwrite")
+    return t
+
+
+def test_read_filters_prune_files_and_stay_exact(spark, tmp_path):
+    t = _clustered(spark, tmp_path)
+    total_files = len(t.snapshot().files)
+    assert total_files >= 4
+
+    # point lookup: opens ~1 file, values identical to the unpruned scan
+    got = t.read(filters=[("k", "=", 500)])
+    assert len(got.inputFiles()) < total_files
+    assert [(r.k, r.v) for r in got.collect()] == [(500, "v500")]
+
+    # range: pruned scan == full scan + filter, row for row
+    rng = t.read(filters=[("k", ">=", 100), ("k", "<", 160)])
+    assert len(rng.inputFiles()) < total_files
+    expect = t.read().filter((F.col("k") >= 100) & (F.col("k") < 160))
+    assert sorted(r.k for r in rng.collect()) == sorted(
+        r.k for r in expect.collect()
+    )
+
+    # IN list spanning two distant clusters prunes the middle files
+    inq = t.read(filters=[("k", "in", [10, 990])])
+    assert len(inq.inputFiles()) <= max(2, total_files - 2)
+    assert sorted(r.k for r in inq.collect()) == [10, 990]
+
+    # OR of ANDs (DNF list-of-lists)
+    dnf = t.read(filters=[[("k", "<", 5)], [("k", ">=", 995)]])
+    assert sorted(r.k for r in dnf.collect()) == [0, 1, 2, 3, 4, 995, 996, 997, 998, 999]
+
+    # a residual predicate the stats can't decide still filters row-exactly
+    res = t.read(filters=[("bucket", "=", 3), ("k", "<", 50)])
+    assert sorted(r.k for r in res.collect()) == [3, 10, 17, 24, 31, 38, 45]
+
+    # unsupported shapes fail loudly, not silently-unpruned
+    with pytest.raises(ValueError):
+        t.read(filters=[("k", "~", 1)])
+    with pytest.raises(ValueError):
+        t.read(filters=[])
+
+
+def test_read_filters_null_semantics(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame([(1, "a"), (None, "n"), (5, "e")], "k long, v string"),
+        mode="overwrite",
+    )
+    # NULL k rows never satisfy =, !=, <, in — three-valued logic
+    assert [r.v for r in t.read(filters=[("k", "=", 1)]).collect()] == ["a"]
+    assert sorted(r.v for r in t.read(filters=[("k", "!=", 1)]).collect()) == ["e"]
+    assert sorted(r.v for r in t.read(filters=[("k", "not in", [1])]).collect()) == ["e"]
+
+
+def test_delete_rewrites_only_touched_files(spark, tmp_path):
+    t = _clustered(spark, tmp_path)
+    before = t.snapshot()
+    untouched_before = {f.path for f in before.files}
+
+    st = t.delete([("k", ">=", 100), ("k", "<", 120)])
+    assert st.files_rewritten < st.files_total
+    assert st.candidates_after_stats < st.files_total
+    assert st.rows_before - st.rows_after == 20
+    # rows gone at head, present in the pre-delete snapshot (time travel)
+    assert t.read().filter((F.col("k") >= 100) & (F.col("k") < 120)).count() == 0
+    assert t.read().count() == 980
+    assert t.read(version_as_of=before.version).count() == 1000
+    # untouched files carried by REFERENCE: same path entries survive
+    after = {f.path for f in t.snapshot().files}
+    assert len(untouched_before & after) == len(before.files) - st.files_rewritten
+    assert [c.operation for c in t.history()][-1] == "delete"
+
+    # whole-file delete drops the file without writing a replacement
+    st2 = t.delete([("k", "<", 1000)])
+    assert st2.rows_after == 0 and st2.files_added == 0
+    assert t.read().count() == 0
+
+    # no-match delete is a no-op commit-free path
+    v = t.version()
+    st3 = t.delete([("k", "=", -1)])
+    assert st3.files_rewritten == 0 and t.version() == v
+
+
+def test_delete_null_predicate_rows_are_kept(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame([(1, "a"), (None, "n"), (5, "e")], "k long, v string"),
+        mode="overwrite",
+    )
+    st = t.delete([("k", "<", 3)])
+    # k=1 deleted; NULL k evaluates to NULL -> kept (SQL DELETE semantics)
+    assert st.rows_before - st.rows_after == 1
+    assert sorted(r.v for r in t.read().collect()) == ["e", "n"]
+
+
+def test_update_rewrites_only_touched_files(spark, tmp_path):
+    t = _clustered(spark, tmp_path)
+    st = t.update(
+        [("k", ">=", 200), ("k", "<", 210)],
+        set={"v": F.lit("UPD"), "bucket": "bucket + 100"},
+    )
+    assert st.files_rewritten < st.files_total
+    assert st.rows_before == st.rows_after  # update never changes row count
+    got = t.read().filter((F.col("k") >= 200) & (F.col("k") < 210)).collect()
+    assert all(r.v == "UPD" and r.bucket == (r.k % 7) + 100 for r in got)
+    # every other row is untouched
+    rest = t.read().filter(~((F.col("k") >= 200) & (F.col("k") < 210)))
+    assert rest.filter((F.col("v") == "UPD") | (F.col("bucket") >= 100)).count() == 0
+    assert t.read().count() == 1000
+    # SQL-string assignments see the PRE-update row; schema is unchanged
+    assert t.read().schema == t.read(version_as_of=0).schema
+    with pytest.raises(ValueError):
+        t.update([("k", "=", 1)], set={"nope": F.lit(1)})
+    with pytest.raises(ValueError):
+        t.update([("k", "=", 1)], set={})
+
+
+def test_long_string_stats_never_prune(spark, tmp_path):
+    """Writer-truncatable string stats (>=64 chars) are discarded at
+    commit time, so pruning can't act on them — a lookup beyond a
+    truncated max must still scan the file and find the row."""
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    long_a, long_z = "a" * 80, "z" * 80
+    t.write(
+        spark.createDataFrame([(long_a, 1), (long_z, 2)], "s string, n long"),
+        mode="overwrite",
+    )
+    assert all("s" not in f.stats for f in t.snapshot().files)
+    got = t.read(filters=[("s", "=", long_z)])
+    assert [r.n for r in got.collect()] == [2]
