@@ -62,6 +62,17 @@ reuse MERGE's two-level pruning (stats intersection, then an exact
 clustered 100 TB table rewrites only the files that actually hold
 matching rows.
 
+**Change data feed.** With ``change_feed=True``, merge/delete/update
+write their row-level changes (Delta CDF vocabulary: insert /
+update_preimage / update_postimage / delete) to ``_change_data/``
+inside the same commit; appends/overwrites need no extra storage —
+their changes derive from the add/remove file actions. Compaction
+commits carry ``data_change=false`` and the feed skips them.
+``table_changes(from, to)`` reads a version range;
+``changes_since(offset)`` is the incremental-consumer loop (apply the
+frame, persist the returned head as the next offset) — downstream
+pipelines reprocess only changed rows instead of re-reading 100 TB.
+
 100 TB notes: commit manifests are O(files changed), not O(table);
 checkpoints bound log replay; ``compact`` and ``vacuum`` keep file
 counts and dead storage bounded; all heavy work (pruning semi-join,
@@ -90,6 +101,8 @@ from pyspark.sql import types as T
 
 LOG_DIR = "_snaplog"
 DATA_DIR = "data"
+CDC_DIR = "_change_data"
+CHANGE_TYPE_COL = "_change_type"
 _VERSION_WIDTH = 20
 _STATS_MAX_COLUMNS = 32  # delta-style cap: stats for the first N columns
 # Parquet writers may TRUNCATE long binary min/max statistics (parquet-mr
@@ -368,17 +381,26 @@ class SnaplogTable:
         *,
         checkpoint_interval: int = 10,
         claimer: Optional[CommitClaimer] = None,
+        change_feed: bool = False,
     ) -> None:
         self.spark = spark
         self.path = os.path.abspath(path.rstrip("/"))
         self.checkpoint_interval = checkpoint_interval
         self.claimer = claimer or LinkCommitClaimer()
+        # Delta-parity default OFF (delta.enableChangeDataFeed): when on,
+        # merge/delete/update additionally write their row-level changes
+        # to _change_data/ — one extra bounded write per row-level commit
+        self.change_feed = change_feed
 
     # ---------------- layout helpers
 
     @property
     def log_dir(self) -> str:
         return os.path.join(self.path, LOG_DIR)
+
+    @property
+    def cdc_dir(self) -> str:
+        return os.path.join(self.path, CDC_DIR)
 
     @property
     def data_dir(self) -> str:
@@ -538,19 +560,24 @@ class SnaplogTable:
 
     # ---------------- commit machinery
 
-    def _stage_files(self, df: DataFrame) -> list[FileEntry]:
-        """Write ``df`` into data/ via a staging dir; files stay invisible
-        (no manifest references them) until the commit lands."""
+    def _stage_files(
+        self, df: DataFrame, *, dest_dir: Optional[str] = None
+    ) -> list[FileEntry]:
+        """Write ``df`` into data/ (or ``dest_dir``, e.g. the change-data
+        dir) via a staging dir; files stay invisible (no manifest
+        references them) until the commit lands."""
+        dest_root = dest_dir or self.data_dir
+        rel_root = os.path.relpath(dest_root, self.path)
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
-        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(dest_root, exist_ok=True)
         entries = []
         try:
             for name in sorted(os.listdir(staging)):
                 if not name.endswith(".parquet") or name.startswith((".", "_")):
                     continue
                 # Spark part names embed a task-attempt UUID — globally unique
-                dest = os.path.join(self.data_dir, name)
+                dest = os.path.join(dest_root, name)
                 os.rename(os.path.join(staging, name), dest)
                 rows, size, stats = _footer_stats(dest)
                 if rows == 0:
@@ -559,7 +586,7 @@ class SnaplogTable:
                     os.unlink(dest)
                     continue
                 entries.append(
-                    FileEntry(f"{DATA_DIR}/{name}", rows, size, stats)
+                    FileEntry(f"{rel_root}/{name}", rows, size, stats)
                 )
         finally:
             shutil.rmtree(staging, ignore_errors=True)
@@ -599,11 +626,17 @@ class SnaplogTable:
         expected_version: Optional[int] = None,
         retry_append: bool = False,
         txn: Optional[dict] = None,
+        cdc: Sequence[FileEntry] = (),
+        data_change: bool = True,
     ) -> int:
         """Write one commit. ``expected_version`` pins the read snapshot
         (merge/overwrite/compact); ``retry_append`` lets blind appends chase
         the head on conflict; ``txn`` ({'app_id', 'version'}) rides in the
-        manifest for idempotent-writer tracking (Delta's txnAppId shape)."""
+        manifest for idempotent-writer tracking (Delta's txnAppId shape);
+        ``cdc`` lists row-level change files under _change_data/ (read by
+        ``table_changes``); ``data_change=False`` marks layout-only commits
+        (compaction) that the change feed must skip — Delta's
+        dataChange=false action flag."""
         record = {
             "operation": operation,
             "add": [
@@ -616,6 +649,10 @@ class SnaplogTable:
             record["schema_json"] = schema_json
         if txn:
             record["txn"] = dict(txn)
+        if cdc:
+            record["cdc"] = [{"path": f.path, "rows": f.rows} for f in cdc]
+        if not data_change:
+            record["data_change"] = False
         attempts = 0
         while True:
             current = self.version()
@@ -723,6 +760,10 @@ class SnaplogTable:
         """Transactional append/overwrite; returns the committed version."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"snaplog write mode must be append|overwrite, got {mode!r}")
+        if CHANGE_TYPE_COL in df.columns:
+            raise ValueError(
+                f"column name {CHANGE_TYPE_COL!r} is reserved for the change feed"
+            )
         if mode == "append":
             self._check_append_schema(df)
         schema_json = df.schema.json()
@@ -836,6 +877,7 @@ class SnaplogTable:
             touched_names = {os.path.basename(r["_fp"]) for r in matched}
         touched = [f for f in candidates if os.path.basename(f.path) in touched_names]
 
+        tgt_rows = None
         if touched:
             tgt_rows = self.spark.read.format("parquet").load(
                 [os.path.join(self.path, f.path) for f in touched]
@@ -853,6 +895,17 @@ class SnaplogTable:
         else:
             return MergeStats(len(files), len(candidates), 0, 0)
 
+        cdc = ()
+        if self.change_feed:
+            cdc = self._stage_files(
+                self._merge_changes(
+                    tgt_rows, source, list(keys),
+                    when_matched=when_matched,
+                    when_not_matched=when_not_matched,
+                    delete_predicate=delete_predicate,
+                ),
+                dest_dir=self.cdc_dir,
+            )
         added = self._stage_files(merged)
         self._commit(
             "merge",
@@ -860,6 +913,7 @@ class SnaplogTable:
             remove=[f.path for f in touched],
             schema_json=snap.schema_json,
             expected_version=current,
+            cdc=cdc,
         )
         return MergeStats(
             files_total=len(files),
@@ -867,6 +921,162 @@ class SnaplogTable:
             files_rewritten=len(touched),
             files_added=len(added),
         )
+
+    def _merge_changes(
+        self,
+        tgt_rows: Optional[DataFrame],
+        source: DataFrame,
+        keys: list[str],
+        *,
+        when_matched: str,
+        when_not_matched: str,
+        delete_predicate: Optional[str],
+    ) -> DataFrame:
+        """Row-level change rows for one MERGE, tagged with Delta CDF's
+        vocabulary (insert / update_preimage / update_postimage / delete).
+        One inner join of the TOUCHED files' rows against the source —
+        bounded by the rewrite set, never the table."""
+        cols = source.columns if tgt_rows is None else tgt_rows.columns
+        tag = lambda df, t: df.select(
+            *[F.col(c) for c in cols], F.lit(t).alias(CHANGE_TYPE_COL)
+        )
+        if tgt_rows is None:  # nothing matched anywhere: pure insert
+            return tag(source, "insert")
+        t, s = tgt_rows.alias("t"), source.alias("s")
+        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+        inner = t.join(s, cond, "inner")
+        dele = F.coalesce(
+            F.expr(delete_predicate) if delete_predicate else F.lit(False),
+            F.lit(False),
+        )
+        parts = []
+        if when_matched == "update":
+            upd = inner.filter(~dele)
+            parts.append(tag(upd.select("t.*"), "update_preimage"))
+            parts.append(tag(upd.select(*[F.col(f"s.{c}") for c in cols]), "update_postimage"))
+        if delete_predicate:
+            parts.append(tag(inner.filter(dele).select("t.*"), "delete"))
+        if when_not_matched == "insert":
+            ins = s.join(t.select(*keys), cond, "left_anti")
+            parts.append(tag(ins.select(*[F.col(f"s.{c}") for c in cols]), "insert"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---------------- change data feed
+
+    def table_changes(
+        self,
+        starting_version: int,
+        ending_version: Optional[int] = None,
+    ) -> DataFrame:
+        """Row-level changes committed in ``[starting_version,
+        ending_version]`` (inclusive; default head) — Delta's
+        ``table_changes``. Each row carries ``_change_type`` (insert /
+        update_preimage / update_postimage / delete), ``_commit_version``
+        and ``_commit_timestamp`` (unix seconds).
+
+        Sources per commit: appends/overwrites derive changes from their
+        add/remove file actions (added rows are inserts, removed files'
+        rows are deletes — no extra storage); merge/delete/update read
+        the ``_change_data`` files written when the table's
+        ``change_feed`` flag was on, and raise if the commit predates the
+        flag (the rewritten files can't distinguish carried rows from
+        changed ones). Compaction commits (``data_change=false``) are
+        layout-only and contribute nothing. Changes to a schema that
+        evolved mid-range are aligned by name with missing columns NULL."""
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no snaplog table at {self.path}")
+        end = versions[-1] if ending_version is None else ending_version
+        if starting_version < versions[0] or end > versions[-1]:
+            raise ValueError(
+                f"change range [{starting_version}, {end}] outside table "
+                f"versions [{versions[0]}, {versions[-1]}]"
+            )
+        frames = []
+        for v in range(starting_version, end + 1):
+            rec = self._read_commit(v)
+            if rec.get("data_change") is False:
+                continue
+            stamp = [
+                F.lit(v).alias("_commit_version"),
+                F.lit(rec["timestamp"]).alias("_commit_timestamp"),
+            ]
+            if "cdc" in rec:
+                paths = [os.path.join(self.path, e["path"]) for e in rec["cdc"]]
+                self._require_files(paths, v)
+                if paths:
+                    frames.append(
+                        self.spark.read.format("parquet").load(paths).select("*", *stamp)
+                    )
+                continue
+            op = rec.get("operation")
+            if op in ("merge", "delete", "update"):
+                raise ValueError(
+                    f"commit v{v} ({op}) wrote no change data — the table's "
+                    "change_feed flag was off; enable "
+                    "SnaplogTable(..., change_feed=True) on the writer"
+                )
+            removed = [os.path.join(self.path, p) for p in rec.get("remove", [])]
+            addedp = [os.path.join(self.path, e["path"]) for e in rec.get("add", [])]
+            self._require_files(removed + addedp, v)
+            if removed:
+                frames.append(
+                    self.spark.read.format("parquet")
+                    .load(removed)
+                    .select("*", F.lit("delete").alias(CHANGE_TYPE_COL), *stamp)
+                )
+            if addedp:
+                frames.append(
+                    self.spark.read.format("parquet")
+                    .load(addedp)
+                    .select("*", F.lit("insert").alias(CHANGE_TYPE_COL), *stamp)
+                )
+        if not frames:
+            snap = self.snapshot(end)
+            fields = (
+                T.StructType.fromJson(json.loads(snap.schema_json)).fields
+                if snap.schema_json
+                else []
+            )
+            schema = T.StructType(
+                [
+                    *fields,
+                    T.StructField(CHANGE_TYPE_COL, T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                    T.StructField("_commit_timestamp", T.DoubleType()),
+                ]
+            )
+            return self.spark.createDataFrame([], schema)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
+    def changes_since(self, version: Optional[int]) -> tuple[DataFrame, int]:
+        """Incremental-consumer helper: ``(changes, head)`` for commits
+        AFTER ``version`` (exclusive; None = from the first commit). The
+        caller applies the frame and persists ``head`` as its next
+        offset — the batch twin of a streaming CDC source, replay-safe
+        because commits are immutable."""
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no snaplog table at {self.path}")
+        head = versions[-1]
+        start = versions[0] if version is None else version + 1
+        # start == head+1 (caller is current) yields the typed empty frame
+        return self.table_changes(start, head), head
+
+    def _require_files(self, paths: Sequence[str], version: int) -> None:
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"change data for commit v{version} of {self.path} was "
+                f"vacuumed ({len(missing)} file(s) gone, e.g. {missing[0]}); "
+                "read changes before vacuuming past them"
+            )
 
     # ---------------- row-level ops (DELETE / UPDATE)
 
@@ -913,11 +1123,18 @@ class SnaplogTable:
         if not touched:
             return RewriteStats(len(files), len(candidates), 0, 0, 0, 0)
         rows_before = sum(f.rows for f in touched)
-        keep = (
-            self.spark.read.format("parquet")
-            .load([os.path.join(self.path, f.path) for f in touched])
-            .filter(~pred | pred.isNull())  # NULL predicate rows are KEPT
+        df = self.spark.read.format("parquet").load(
+            [os.path.join(self.path, f.path) for f in touched]
         )
+        keep = df.filter(~pred | pred.isNull())  # NULL predicate rows are KEPT
+        cdc = ()
+        if self.change_feed:
+            cdc = self._stage_files(
+                df.filter(pred).select(
+                    "*", F.lit("delete").alias(CHANGE_TYPE_COL)
+                ),
+                dest_dir=self.cdc_dir,
+            )
         added = self._stage_files(keep)
         self._commit(
             "delete",
@@ -925,6 +1142,7 @@ class SnaplogTable:
             remove=[f.path for f in touched],
             schema_json=snap.schema_json,
             expected_version=current,
+            cdc=cdc,
         )
         return RewriteStats(
             files_total=len(files),
@@ -975,6 +1193,20 @@ class SnaplogTable:
                 for c in df.columns
             ]
         )
+        cdc = ()
+        if self.change_feed:
+            matched = df.filter(pred)
+            pre = matched.select(
+                "*", F.lit("update_preimage").alias(CHANGE_TYPE_COL)
+            )
+            post = matched.select(
+                *[
+                    (assignments[c] if c in assignments else F.col(c)).alias(c)
+                    for c in df.columns
+                ],
+                F.lit("update_postimage").alias(CHANGE_TYPE_COL),
+            )
+            cdc = self._stage_files(pre.unionByName(post), dest_dir=self.cdc_dir)
         added = self._stage_files(rewritten)
         self._commit(
             "update",
@@ -982,6 +1214,7 @@ class SnaplogTable:
             remove=[f.path for f in touched],
             schema_json=snap.schema_json,
             expected_version=current,
+            cdc=cdc,
         )
         rows = sum(f.rows for f in touched)
         return RewriteStats(
@@ -1000,11 +1233,17 @@ class SnaplogTable:
         *,
         target_file_mb: int = 128,
         cluster_by: Optional[Sequence[str]] = None,
+        zorder_by: Optional[Sequence[str]] = None,
         min_files: int = 2,
     ) -> Optional[int]:
         """Rewrite small files into ~target-size ones THROUGH the log —
         transactional, conflict-checked, history-preserving (old versions
-        still read the pre-compaction files until vacuum)."""
+        still read the pre-compaction files until vacuum). ``cluster_by``
+        range-clusters (tight stats on the LEADING column); ``zorder_by``
+        interleaves bucket bits (io/zorder.py) so ``read(filters=...)``
+        prunes files on EVERY listed column — Delta's OPTIMIZE ZORDER."""
+        if cluster_by and zorder_by:
+            raise ValueError("pass cluster_by or zorder_by, not both")
         current = self.version()
         if current is None:
             raise FileNotFoundError(f"no snaplog table at {self.path}")
@@ -1018,7 +1257,11 @@ class SnaplogTable:
         )
         total = sum(f.bytes for f in small)
         n_out = max(1, round(total / threshold))
-        if cluster_by:
+        if zorder_by:
+            from dc43_spark.io.zorder import zorder_repartition
+
+            df = zorder_repartition(df, zorder_by, n_out)
+        elif cluster_by:
             df = df.repartitionByRange(n_out, *[F.col(c) for c in cluster_by])
             df = df.sortWithinPartitions(*[F.col(c) for c in cluster_by])
         else:
@@ -1030,6 +1273,7 @@ class SnaplogTable:
             remove=[f.path for f in small],
             schema_json=snap.schema_json,
             expected_version=current,
+            data_change=False,  # layout-only: the change feed skips it
         )
 
     def vacuum(self, *, keep_versions: int = 1) -> int:
@@ -1056,5 +1300,17 @@ class SnaplogTable:
                 rel = f"{DATA_DIR}/{name}"
                 if name.endswith(".parquet") and rel not in live:
                     os.unlink(os.path.join(self.data_dir, name))
+                    deleted += 1
+        # change-data files follow the same retention: commits older than
+        # the retained window lose their CDC (table_changes over them then
+        # raises the explicit "vacuumed" error) — Delta ties CDC retention
+        # to the log retention the same way
+        for v in versions:
+            if v >= retained[0]:
+                break
+            for e in self._read_commit(v).get("cdc", []):
+                p = os.path.join(self.path, e["path"])
+                if os.path.exists(p):
+                    os.unlink(p)
                     deleted += 1
         return deleted

@@ -1,0 +1,160 @@
+"""Snaplog change data feed: Delta-CDF-shaped row-level change streams.
+
+The scale story this buys: a downstream pipeline (index maintenance,
+aggregate refresh, replication) consumes ``changes_since(offset)`` and
+reprocesses only the rows a commit touched — never the table. Verified
+here by the strongest available oracle: replaying the full feed through
+a pure-Python mirror reproduces the table head exactly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dc43_spark.io.snaplog import SnaplogTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _changes(t, lo, hi=None):
+    return [
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in t.table_changes(lo, hi).collect()
+    ]
+
+
+def test_append_overwrite_changes_derive_from_file_actions(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"))  # feed flag NOT needed
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    t.write(_df(spark, [(3, "c")]), mode="append")
+    t.write(_df(spark, [(9, "z")]), mode="overwrite")
+
+    assert sorted(_changes(t, 0, 0)) == [(1, "a", "insert", 0), (2, "b", "insert", 0)]
+    assert sorted(_changes(t, 1, 1)) == [(3, "c", "insert", 1)]
+    # overwrite = delete everything + insert the new rows
+    assert sorted(_changes(t, 2, 2)) == [
+        (1, "a", "delete", 2),
+        (2, "b", "delete", 2),
+        (3, "c", "delete", 2),
+        (9, "z", "insert", 2),
+    ]
+    # full-range read stitches all three commits
+    assert len(_changes(t, 0)) == 2 + 1 + 4
+
+
+def test_merge_changes_tag_insert_update_delete(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"), change_feed=True)
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), mode="overwrite")
+    src = _df(spark, [(2, "B"), (3, "x"), (4, "d")])
+    t.merge(src, ["k"])
+    got = sorted(_changes(t, 1, 1))
+    assert got == [
+        (2, "B", "update_postimage", 1),
+        (2, "b", "update_preimage", 1),
+        (3, "c", "update_preimage", 1),
+        (3, "x", "update_postimage", 1),
+        (4, "d", "insert", 1),
+    ]
+
+
+def test_merge_delete_predicate_changes(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"), change_feed=True)
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    t.merge(
+        _df(spark, [(2, "DEAD"), (5, "e")]),
+        ["k"],
+        delete_predicate="s.v = 'DEAD'",
+    )
+    got = sorted(_changes(t, 1, 1))
+    assert got == [(2, "b", "delete", 1), (5, "e", "insert", 1)]
+
+
+def test_delete_and_update_changes(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"), change_feed=True)
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), mode="overwrite")
+    t.delete([("k", "=", 2)])
+    t.update([("k", "=", 3)], set={"v": F.lit("C")})
+    assert _changes(t, 1, 1) == [(2, "b", "delete", 1)]
+    assert sorted(_changes(t, 2, 2)) == [
+        (3, "C", "update_postimage", 2),
+        (3, "c", "update_preimage", 2),
+    ]
+
+
+def test_compact_is_invisible_to_the_feed(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"), change_feed=True)
+    for i in range(3):
+        t.write(_df(spark, [(i, f"r{i}")]), mode="append")
+    assert t.compact(target_file_mb=1) is not None
+    # the compact commit exists but contributes zero change rows
+    assert [c.operation for c in t.history()][-1] == "compact"
+    assert len(_changes(t, 0)) == 3
+    assert all(c[2] == "insert" for c in _changes(t, 0))
+
+
+def test_feed_off_rowlevel_commit_raises(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"))  # change_feed OFF
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    t.delete([("k", "=", 1)])
+    with pytest.raises(ValueError, match="change_feed"):
+        t.table_changes(1, 1)
+    # reserved column guard: a table with _change_type would poison reads
+    with pytest.raises(ValueError, match="reserved"):
+        t.write(
+            spark.createDataFrame([(1, "x")], "k long, _change_type string"),
+            mode="overwrite",
+        )
+
+
+def test_changes_since_offset_loop_reconstructs_head(spark, tmp_path):
+    """The consumption contract end-to-end: a pure-Python mirror applying
+    each incremental batch in commit order converges to the table head
+    after EVERY batch — inserts add, deletes remove, updates replace."""
+    t = SnaplogTable(spark, str(tmp_path / "t"), change_feed=True)
+    mirror: dict[int, str] = {}
+    offset = None
+
+    def sync():
+        nonlocal offset
+        changes, offset = t.changes_since(offset)
+        rows = changes.orderBy("_commit_version").collect()
+        for v in sorted({r._commit_version for r in rows}):
+            batch = [r for r in rows if r._commit_version == v]
+            for r in batch:
+                if r._change_type == "insert" or r._change_type == "update_postimage":
+                    mirror[r.k] = r.v
+            for r in batch:
+                if r._change_type == "delete":
+                    mirror.pop(r.k, None)
+        head = {r.k: r.v for r in t.read().collect()}
+        assert mirror == head, (mirror, head)
+
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    sync()
+    t.write(_df(spark, [(3, "c")]), mode="append")
+    t.merge(_df(spark, [(2, "B"), (4, "d")]), ["k"])
+    sync()
+    t.delete([("k", "in", [1, 3])])
+    t.update([("k", ">=", 4)], set={"v": F.lit("D")})
+    sync()
+    t.compact(target_file_mb=1)
+    sync()  # layout-only: no changes, mirror still matches
+    # current consumer gets the typed empty frame, not an error
+    changes, head = t.changes_since(offset)
+    assert changes.count() == 0 and head == t.version()
+
+
+def test_vacuum_prunes_cdc_with_clear_error(spark, tmp_path):
+    t = SnaplogTable(
+        spark, str(tmp_path / "t"), change_feed=True, checkpoint_interval=100
+    )
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    t.delete([("k", "=", 1)])
+    t.write(_df(spark, [(9, "z")]), mode="append")
+    assert len(_changes(t, 1, 1)) == 1
+    deleted = t.vacuum(keep_versions=1)
+    assert deleted > 0
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.table_changes(1, 1)
+    # retained head still reads fine
+    assert t.read().count() == 2
