@@ -1,0 +1,282 @@
+"""``snaplog`` as a first-class Spark data source (PySpark 4 Python
+Data Source API).
+
+Registering :class:`SnaplogDataSource` makes the table format usable
+with the idiomatic reader surfaces::
+
+    spark.dataSource.register(SnaplogDataSource)
+    spark.read.format("snaplog").load(path)                    # batch
+    spark.read.format("snaplog").option("versionAsOf", 3)...   # time travel
+    spark.readStream.format("snaplog").load(path)              # incremental
+    ...option("readChangeFeed", "true")                        # CDC stream
+
+Batch reads integrate with Catalyst FILTER PUSHDOWN: ``pushFilters``
+receives the query's conjunctive predicates, maps the supported
+comparisons onto snaplog's footer-stats file pruning (io/snaplog.py
+``_file_may_match``), and plans one input partition per SURVIVING file
+— a selective query against a clustered table never opens the pruned
+files. Every filter is also handed back to Spark for row-level
+re-application, so pruning is a pure optimization: stats can only skip
+provably-unmatchable files.
+
+The stream reader exposes the commit log as exactly-once streaming
+offsets (``{"version": N}`` = commits <= N consumed). Each microbatch
+serves the files ADDED by the new commits, one partition per file;
+checkpointed offsets make restarts replay-free. Non-append commits
+(merge/delete/update/overwrite rewrite files) raise unless
+``ignoreChanges=true`` — the same contract as Delta's streaming source
+— and layout-only compaction commits (``data_change=false``) are
+always invisible. With ``readChangeFeed=true`` the stream emits
+row-level changes (``_change_type`` / ``_commit_version`` /
+``_commit_timestamp``) instead of raw rows, turning any snaplog table
+into a CDC stream for downstream incremental pipelines.
+
+Scale notes: planning touches only commit manifests (driver, O(files));
+data moves executor-side through Arrow record batches, one task per
+file. The Python-worker hop costs more per byte than the native parquet
+reader, so ``SnaplogTable.read`` stays the hot batch path; this source
+is the integration/streaming surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from dc43_spark.io.snaplog import (
+    CHANGE_TYPE_COL,
+    FileEntry,
+    SnaplogTable,
+    _file_may_match,
+    _normalize_filters,
+)
+
+_CDC_FIELDS = [
+    T.StructField(CHANGE_TYPE_COL, T.StringType()),
+    T.StructField("_commit_version", T.LongType()),
+    T.StructField("_commit_timestamp", T.DoubleType()),
+]
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, extra: Optional[dict] = None):
+        # extra: constant columns appended to every row of the file
+        # (change-feed tagging); None for plain reads
+        self.path = path
+        self.extra = extra
+
+
+def _arrow_batches(partition: _FilePartition, schema: T.StructType):
+    """Executor-side read of ONE file as Arrow batches, cast to the
+    source schema (order + types), appending any constant CDC columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    extra = partition.extra or {}
+    file_fields = [f for f in schema.fields if f.name not in extra]
+    target = to_arrow_schema(T.StructType(file_fields))
+    tbl = pq.read_table(partition.path, columns=[f.name for f in file_fields])
+    tbl = tbl.cast(target)
+    if extra:
+        full = to_arrow_schema(schema)
+        n = tbl.num_rows
+        arrays = []
+        for f in schema.fields:
+            if f.name in extra:
+                arrays.append(
+                    pa.array([extra[f.name]] * n, type=full.field(f.name).type)
+                )
+            else:
+                arrays.append(tbl.column(f.name).combine_chunks())
+        tbl = pa.Table.from_arrays(arrays, schema=full)
+    yield from tbl.to_batches(max_chunksize=1 << 16)
+
+
+def _filters_to_tuples(filters: Sequence[Filter]) -> list[tuple]:
+    """Supported pushed Filters -> snaplog (col, op, val) conjuncts.
+    Unsupported shapes are simply not used for pruning (the caller
+    returns every filter to Spark regardless)."""
+    out = []
+    ops = {
+        EqualTo: "=",
+        EqualNullSafe: "=",  # stats-envelope test is identical for our use
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+    for f in filters:
+        op = ops.get(type(f))
+        attr = getattr(f, "attribute", None)
+        if attr is None or len(attr) != 1:
+            continue
+        if op is not None:
+            out.append((attr[0], op, f.value))
+        elif isinstance(f, In):
+            out.append((attr[0], "in", list(f.value)))
+    return out
+
+
+class SnaplogBatchReader(DataSourceReader):
+    """Plain reader: one partition per snapshot file. Subclassed by the
+    pushdown variant; split in two because merely DEFINING pushFilters
+    trips Spark's [DATA_SOURCE_PUSHDOWN_DISABLED] guard when
+    ``spark.sql.python.filterPushdown.enabled`` is off."""
+
+    def __init__(self, path: str, options: dict):
+        t = SnaplogTable(None, path)
+        v = options.get("versionasof")
+        ts = options.get("timestampasof")
+        self._snap = t.snapshot(
+            int(v) if v is not None else None,
+            timestamp=float(ts) if ts is not None else None,
+        )
+        self._root = t.path
+        self._pruned: list[FileEntry] = list(self._snap.files)
+
+    def partitions(self):
+        return [
+            _FilePartition(os.path.join(self._root, f.path)) for f in self._pruned
+        ]
+
+    def read(self, partition: _FilePartition):
+        yield from _arrow_batches(partition, self._schema)
+
+
+class SnaplogPushdownBatchReader(SnaplogBatchReader):
+    def pushFilters(self, filters):
+        tuples = _filters_to_tuples(filters)
+        if tuples:
+            groups = _normalize_filters(tuples)
+            self._pruned = [f for f in self._pruned if _file_may_match(f, groups)]
+        # stats pruning is file-granular, never row-exact: hand EVERY
+        # filter back so Spark re-applies them to the surviving rows
+        return filters
+
+
+class SnaplogStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, schema: T.StructType, options: dict):
+        self._table = SnaplogTable(None, path)
+        self._schema = schema
+        self._cdc = str(options.get("readchangefeed", "")).lower() == "true"
+        self._ignore_changes = (
+            str(options.get("ignorechanges", "")).lower() == "true"
+        )
+        sv = options.get("startingversion")
+        self._starting = int(sv) if sv is not None else 0
+
+    def initialOffset(self) -> dict:
+        return {"version": self._starting - 1}
+
+    def latestOffset(self) -> dict:
+        head = self._table.version()
+        return {"version": -1 if head is None else head}
+
+    def partitions(self, start: dict, end: dict):
+        parts: list[_FilePartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            rec = self._table._read_commit(v)
+            if rec.get("data_change") is False:
+                continue  # compaction: layout-only, invisible to streams
+            stamp = (
+                {
+                    "_commit_version": v,
+                    "_commit_timestamp": rec["timestamp"],
+                }
+                if self._cdc
+                else None
+            )
+            if self._cdc and "cdc" in rec:
+                for e in rec["cdc"]:
+                    parts.append(
+                        _FilePartition(
+                            os.path.join(self._table.path, e["path"]), dict(stamp)
+                        )
+                    )
+                continue
+            if rec.get("remove") and not self._ignore_changes:
+                raise ValueError(
+                    f"commit v{v} ({rec.get('operation')}) rewrites files; "
+                    "a snaplog stream is append-only — set "
+                    "ignoreChanges=true to replay rewritten rows (Delta's "
+                    "contract) or enable the table's change feed and read "
+                    "with readChangeFeed=true"
+                )
+            for e in rec.get("add", []):
+                extra = (
+                    {**stamp, CHANGE_TYPE_COL: "insert"} if self._cdc else None
+                )
+                parts.append(
+                    _FilePartition(os.path.join(self._table.path, e["path"]), extra)
+                )
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        yield from _arrow_batches(partition, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint; the log is immutable
+
+
+class SnaplogDataSource(DataSource):
+    """``spark.dataSource.register(SnaplogDataSource)`` then
+    ``.format("snaplog")``. Options: ``versionAsOf`` / ``timestampAsOf``
+    (batch time travel), ``startingVersion`` / ``ignoreChanges`` /
+    ``readChangeFeed`` (streaming)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snaplog"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("snaplog source needs a path: .load(<table dir>)")
+        return path
+
+    def schema(self) -> T.StructType:
+        t = SnaplogTable(None, self._path())
+        snap = t.snapshot()
+        if not snap.schema_json:
+            raise ValueError(f"snaplog table {t.path} has no recorded schema")
+        base = T.StructType.fromJson(json.loads(snap.schema_json))
+        if str(self.options.get("readchangefeed", "")).lower() == "true":
+            return T.StructType([*base.fields, *_CDC_FIELDS])
+        return base
+
+    def reader(self, schema: T.StructType) -> SnaplogBatchReader:
+        from pyspark.sql import SparkSession
+
+        session = SparkSession.getActiveSession()
+        enabled = (
+            session is not None
+            and session.conf.get(
+                "spark.sql.python.filterPushdown.enabled", "false"
+            ).lower()
+            == "true"
+        )
+        cls = SnaplogPushdownBatchReader if enabled else SnaplogBatchReader
+        r = cls(self._path(), dict(self.options))
+        r._schema = schema
+        return r
+
+    def streamReader(self, schema: T.StructType) -> SnaplogStreamReader:
+        return SnaplogStreamReader(self._path(), schema, dict(self.options))

@@ -1,0 +1,167 @@
+"""snaplog as a registered PySpark 4 Python data source: batch reads
+with pushed-filter file pruning, time travel options, and the
+commit-offset streaming reader (plain + change feed)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, LessThan
+
+from dc43_spark.io.snaplog import SnaplogTable
+from dc43_spark.io.snaplog_source import (
+    SnaplogDataSource,
+    SnaplogPushdownBatchReader,
+    _filters_to_tuples,
+)
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(SnaplogDataSource)
+    return spark
+
+
+def _clustered(spark, path, n=400, files=4):
+    t = SnaplogTable(spark, path)
+    df = (
+        spark.range(n)
+        .select(F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v"))
+        .repartitionByRange(files, "k")
+        .sortWithinPartitions("k")
+    )
+    t.write(df, mode="overwrite")
+    return t
+
+
+def test_batch_read_matches_table(registered, tmp_path):
+    path = str(tmp_path / "t")
+    t = _clustered(registered, path)
+    got = registered.read.format("snaplog").load(path)
+    # schema_json keeps writer nullability (range -> k non-null); parquet
+    # reads everything back nullable — names/types are the contract
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in t.read().schema.fields
+    ]
+    assert sorted(r.k for r in got.collect()) == list(range(400))
+    # row-level exactness through a filter Spark re-applies
+    assert sorted(
+        r.k for r in got.filter((F.col("k") >= 100) & (F.col("k") < 110)).collect()
+    ) == list(range(100, 110))
+
+
+def test_batch_time_travel_options(registered, tmp_path):
+    path = str(tmp_path / "t")
+    t = SnaplogTable(registered, path)
+    t.write(registered.createDataFrame([(1, "a")], "k long, v string"), mode="overwrite")
+    t.write(registered.createDataFrame([(2, "b")], "k long, v string"), mode="append")
+    v0 = registered.read.format("snaplog").option("versionAsOf", 0).load(path)
+    assert [r.k for r in v0.collect()] == [1]
+    assert registered.read.format("snaplog").load(path).count() == 2
+
+
+def test_pushdown_prunes_reader_partitions(registered, tmp_path):
+    """Unit-level proof the pushdown path prunes files: feed the reader
+    the same Filter objects Catalyst would push."""
+    path = str(tmp_path / "t")
+    _clustered(registered, path)
+    r = SnaplogPushdownBatchReader(path, {})
+    total = len(r.partitions())
+    assert total == 4
+    kept = r.pushFilters([GreaterThanOrEqual(("k",), 100), LessThan(("k",), 110)])
+    assert list(kept) != []  # every filter returned for re-application
+    assert len(r.partitions()) < total
+    # filter translation covers the comparison vocabulary
+    tuples = _filters_to_tuples(
+        [EqualTo(("k",), 5), In(("k",), (1, 2)), GreaterThanOrEqual(("x", "y"), 0)]
+    )
+    assert tuples == [("k", "=", 5), ("k", "in", [1, 2])]  # nested attr skipped
+
+
+def _run_stream(spark, path, checkpoint, out, **options):
+    """One availableNow pass into a parquet sink (memory sink can't
+    recover from a checkpoint); returns the CUMULATIVE sink contents —
+    exactly-once shows up as 'no duplicates across restarts'."""
+    reader = spark.readStream.format("snaplog")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+def test_stream_incremental_with_checkpoint_restart(registered, tmp_path):
+    path = str(tmp_path / "t")
+    cp = str(tmp_path / "cp")
+    t = SnaplogTable(registered, path)
+    t.write(registered.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.write(registered.createDataFrame([(3, "c")], "k long, v string"))
+
+    out = str(tmp_path / "out")
+    got = _run_stream(registered, path, cp, out)
+    assert sorted(r.k for r in got.collect()) == [1, 2, 3]
+
+    # new commits, same checkpoint: ONLY the new rows arrive (cumulative
+    # sink gains exactly {4, 5} — a replay would duplicate 1-3)
+    t.write(registered.createDataFrame([(4, "d")], "k long, v string"))
+    t.compact(target_file_mb=1)  # layout-only: must be invisible
+    t.write(registered.createDataFrame([(5, "e")], "k long, v string"))
+    got2 = _run_stream(registered, path, cp, out)
+    assert sorted(r.k for r in got2.collect()) == [1, 2, 3, 4, 5]
+
+    # nothing new: a no-op (not failing, not duplicating) run
+    got3 = _run_stream(registered, path, cp, out)
+    assert sorted(r.k for r in got3.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_stream_rejects_rewrites_unless_ignore_changes(registered, tmp_path):
+    path = str(tmp_path / "t")
+    t = SnaplogTable(registered, path)
+    # one file holding both rows, so the delete is a partial rewrite
+    t.write(
+        registered.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1)
+    )
+    t.delete([("k", "=", 1)])
+
+    with pytest.raises(Exception, match="append-only|ignoreChanges"):
+        _run_stream(registered, path, str(tmp_path / "cp1"), str(tmp_path / "o1"))
+
+    got = _run_stream(
+        registered, path, str(tmp_path / "cp2"), str(tmp_path / "o2"),
+        ignoreChanges="true",
+    )
+    # rewritten file replayed: survivor rows only (deleted row's file had
+    # both rows pre-delete; the REWRITTEN file carries just k=2)
+    assert sorted(r.k for r in got.collect()) == [1, 2, 2]
+
+
+def test_change_feed_stream(registered, tmp_path):
+    path = str(tmp_path / "t")
+    t = SnaplogTable(registered, path, change_feed=True)
+    t.write(registered.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.merge(registered.createDataFrame([(2, "B"), (4, "d")], "k long, v string"), ["k"])
+    t.delete([("k", "=", 1)])
+
+    got = _run_stream(
+        registered, path, str(tmp_path / "cp"), str(tmp_path / "out"),
+        readChangeFeed="true",
+    )
+    rows = sorted(
+        (r._commit_version, r._change_type, r.k, r.v) for r in got.collect()
+    )
+    assert rows == [
+        (0, "insert", 1, "a"),
+        (0, "insert", 2, "b"),
+        (1, "insert", 4, "d"),
+        (1, "update_postimage", 2, "B"),
+        (1, "update_preimage", 2, "b"),
+        (2, "delete", 1, "a"),
+    ]
+    assert all(r._commit_timestamp > 0 for r in got.collect())
