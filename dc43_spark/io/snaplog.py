@@ -549,14 +549,29 @@ class SnaplogTable:
             groups = _normalize_filters(filters)
             files = [f for f in files if _file_may_match(f, groups)]
             pred = _filters_to_column(groups)
+        df = self._scan(files, snap)
+        return df.filter(pred) if pred is not None else df
+
+    def _scan(self, files: Sequence[FileEntry], snap: Snapshot) -> DataFrame:
+        """One multi-path parquet scan pinned to ``files``, under the
+        SNAPSHOT's recorded schema: no footer schema inference at
+        planning (O(1) instead of O(files)), and files written before an
+        additive schema evolution read their missing columns as NULL —
+        by-name resolution, Delta's contract."""
         paths = [os.path.join(self.path, f.path) for f in files]
+        schema = (
+            T.StructType.fromJson(json.loads(snap.schema_json))
+            if snap.schema_json
+            else None
+        )
         if not paths:
-            if snap.schema_json:
-                schema = T.StructType.fromJson(json.loads(snap.schema_json))
+            if schema is not None:
                 return self.spark.createDataFrame([], schema)
             raise ValueError(f"empty snaplog snapshot v{snap.version} has no schema")
-        df = self.spark.read.format("parquet").load(paths)
-        return df.filter(pred) if pred is not None else df
+        reader = self.spark.read.format("parquet")
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.load(paths)
 
     # ---------------- commit machinery
 
@@ -707,9 +722,8 @@ class SnaplogTable:
         last = self.last_txn_version(app_id)
         if last is not None and version <= last:
             return None
-        self._check_append_schema(df)
+        schema_json = self._check_append_schema(df)
         added = self._stage_files(df)
-        schema_json = df.schema.json()
         for _ in range(20):
             last = self.last_txn_version(app_id)
             if last is not None and version <= last:
@@ -730,43 +744,72 @@ class SnaplogTable:
 
     # ---------------- writes
 
-    def _check_append_schema(self, df: DataFrame) -> None:
-        """Appends must match the table schema by field name+type: a
-        multi-path parquet read resolves the schema from ONE footer, so a
-        divergent appended file would silently drop or null-corrupt
-        columns instead of failing. Schema evolution goes through
-        ``write(mode='overwrite')`` (or a contract change upstream —
-        governed writes align first, so they never hit this)."""
+    def _check_append_schema(
+        self, df: DataFrame, merge_schema: bool = False
+    ) -> Optional[str]:
+        """Appends must match the table schema by field name+type —
+        reads resolve every file under the SNAPSHOT schema, so a
+        divergent type would null-corrupt silently. Returns the
+        schema_json the commit should record.
+
+        ``merge_schema`` (Delta's mergeSchema) relaxes this additively:
+        the append may introduce NEW columns (recorded in the evolved
+        union schema; older files read them as NULL) and may omit
+        existing ones (the new files read those as NULL). Type CHANGES
+        on a shared column always raise — that rewrite needs
+        ``overwrite``."""
         current = self.version()
         if current is None:
-            return
+            return df.schema.json()
         existing = self.snapshot(current).schema_json
         if not existing:
-            return
-        old = {
-            (f.name, f.dataType.simpleString())
-            for f in T.StructType.fromJson(json.loads(existing)).fields
-        }
-        new = {(f.name, f.dataType.simpleString()) for f in df.schema.fields}
-        if old != new:
+            return df.schema.json()
+        table = T.StructType.fromJson(json.loads(existing))
+        old = {f.name: f.dataType.simpleString() for f in table.fields}
+        new = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        conflicts = sorted(
+            n for n in old.keys() & new.keys() if old[n] != new[n]
+        )
+        if conflicts:
+            raise ValueError(
+                f"append type mismatch on {self.path} for column(s) "
+                f"{conflicts}: table has "
+                f"{[(n, old[n]) for n in conflicts]}, append has "
+                f"{[(n, new[n]) for n in conflicts]}; overwrite to change "
+                "a column's type"
+            )
+        if old.keys() == new.keys():
+            return existing
+        if not merge_schema:
             raise ValueError(
                 f"append schema mismatch on {self.path}: table has "
-                f"{sorted(old - new)} not in append, append has "
-                f"{sorted(new - old)} not in table; align the frame or "
-                "overwrite to evolve the schema"
+                f"{sorted(old.keys() - new.keys())} not in append, append "
+                f"has {sorted(new.keys() - old.keys())} not in table; pass "
+                "merge_schema=True for additive evolution or overwrite"
             )
+        evolved = T.StructType(
+            [
+                *table.fields,
+                *[f for f in df.schema.fields if f.name not in old],
+            ]
+        )
+        return evolved.json()
 
-    def write(self, df: DataFrame, mode: str = "append") -> int:
-        """Transactional append/overwrite; returns the committed version."""
+    def write(
+        self, df: DataFrame, mode: str = "append", *, merge_schema: bool = False
+    ) -> int:
+        """Transactional append/overwrite; returns the committed version.
+        ``merge_schema=True`` allows additive column evolution on append
+        (see ``_check_append_schema``)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"snaplog write mode must be append|overwrite, got {mode!r}")
         if CHANGE_TYPE_COL in df.columns:
             raise ValueError(
                 f"column name {CHANGE_TYPE_COL!r} is reserved for the change feed"
             )
-        if mode == "append":
-            self._check_append_schema(df)
         schema_json = df.schema.json()
+        if mode == "append":
+            schema_json = self._check_append_schema(df, merge_schema)
         if mode == "overwrite":
             current = self.version()
             remove = (
@@ -861,8 +904,7 @@ class SnaplogTable:
         # a matched key (hidden _metadata.file_path + null-safe semi join)
         touched_names: set[str] = set()
         if candidates:
-            cand_paths = [os.path.join(self.path, f.path) for f in candidates]
-            tgt = self.spark.read.format("parquet").load(cand_paths).select(
+            tgt = self._scan(candidates, snap).select(
                 *[F.col(k) for k in keys],
                 F.col("_metadata.file_path").alias("_fp"),
             )
@@ -879,9 +921,7 @@ class SnaplogTable:
 
         tgt_rows = None
         if touched:
-            tgt_rows = self.spark.read.format("parquet").load(
-                [os.path.join(self.path, f.path) for f in touched]
-            )
+            tgt_rows = self._scan(touched, snap)
             merged = _outer_join_merge(
                 tgt_rows,
                 source,
@@ -1081,7 +1121,7 @@ class SnaplogTable:
     # ---------------- row-level ops (DELETE / UPDATE)
 
     def _exact_touched(
-        self, candidates: Sequence[FileEntry], pred
+        self, candidates: Sequence[FileEntry], pred, snap: Snapshot
     ) -> list[FileEntry]:
         """Level-2 pruning: which candidate files actually contain a row
         satisfying ``pred``? One distributed scan projecting only the
@@ -1089,10 +1129,8 @@ class SnaplogTable:
         matched-file list, bounded by file count."""
         if not candidates:
             return []
-        paths = [os.path.join(self.path, f.path) for f in candidates]
         matched = (
-            self.spark.read.format("parquet")
-            .load(paths)
+            self._scan(candidates, snap)
             .filter(pred)
             .select(F.col("_metadata.file_path").alias("_fp"))
             .distinct()
@@ -1119,13 +1157,11 @@ class SnaplogTable:
         snap = self.snapshot(current)
         files = list(snap.files)
         candidates = [f for f in files if _file_may_match(f, groups)]
-        touched = self._exact_touched(candidates, pred)
+        touched = self._exact_touched(candidates, pred, snap)
         if not touched:
             return RewriteStats(len(files), len(candidates), 0, 0, 0, 0)
         rows_before = sum(f.rows for f in touched)
-        df = self.spark.read.format("parquet").load(
-            [os.path.join(self.path, f.path) for f in touched]
-        )
+        df = self._scan(touched, snap)
         keep = df.filter(~pred | pred.isNull())  # NULL predicate rows are KEPT
         cdc = ()
         if self.change_feed:
@@ -1170,12 +1206,10 @@ class SnaplogTable:
         snap = self.snapshot(current)
         files = list(snap.files)
         candidates = [f for f in files if _file_may_match(f, groups)]
-        touched = self._exact_touched(candidates, pred)
+        touched = self._exact_touched(candidates, pred, snap)
         if not touched:
             return RewriteStats(len(files), len(candidates), 0, 0, 0, 0)
-        df = self.spark.read.format("parquet").load(
-            [os.path.join(self.path, f.path) for f in touched]
-        )
+        df = self._scan(touched, snap)
         missing = sorted(c for c in set if c not in df.columns)
         if missing:
             raise ValueError(f"update() set targets unknown columns: {missing}")
@@ -1252,9 +1286,7 @@ class SnaplogTable:
         small = [f for f in snap.files if f.bytes < threshold]
         if len(small) < min_files:
             return None
-        df = self.spark.read.format("parquet").load(
-            [os.path.join(self.path, f.path) for f in small]
-        )
+        df = self._scan(small, snap)
         total = sum(f.bytes for f in small)
         n_out = max(1, round(total / threshold))
         if zorder_by:

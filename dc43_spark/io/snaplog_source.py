@@ -93,7 +93,17 @@ def _arrow_batches(partition: _FilePartition, schema: T.StructType):
     extra = partition.extra or {}
     file_fields = [f for f in schema.fields if f.name not in extra]
     target = to_arrow_schema(T.StructType(file_fields))
-    tbl = pq.read_table(partition.path, columns=[f.name for f in file_fields])
+    pf = pq.ParquetFile(partition.path)
+    present = set(pf.schema_arrow.names)
+    tbl = pq.read_table(
+        partition.path, columns=[f.name for f in file_fields if f.name in present]
+    )
+    missing = [f for f in target if f.name not in present]
+    if missing:
+        # file predates an additive schema evolution: NULL-fill by name
+        for f in missing:
+            tbl = tbl.append_column(f, pa.nulls(tbl.num_rows, type=f.type))
+        tbl = tbl.select([f.name for f in target])
     tbl = tbl.cast(target)
     if extra:
         full = to_arrow_schema(schema)

@@ -284,7 +284,7 @@ def test_append_schema_mismatch_rejected(spark, tmp_path):
     t.write(spark.createDataFrame([(1, "a")], "k long, v string"))
     with pytest.raises(ValueError, match="append schema mismatch"):
         t.write(spark.createDataFrame([(2,)], "k long"))
-    with pytest.raises(ValueError, match="append schema mismatch"):
+    with pytest.raises(ValueError, match="append type mismatch"):
         t.write(spark.createDataFrame([(2, 3)], "k long, v long"))  # type change
     with pytest.raises(ValueError, match="append schema mismatch"):
         t.write_txn(
@@ -605,3 +605,43 @@ def test_long_string_stats_never_prune(spark, tmp_path):
     assert all("s" not in f.stats for f in t.snapshot().files)
     got = t.read(filters=[("s", "=", long_z)])
     assert [r.n for r in got.collect()] == [2]
+
+
+def test_merge_schema_additive_evolution(spark, tmp_path):
+    """Delta's mergeSchema: appends may ADD columns (old files read NULL)
+    or OMIT existing ones (new files read NULL); type changes on a shared
+    column always raise. Snapshot schemas are versioned, so time travel
+    shows each version under ITS OWN schema."""
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+
+    # plain append still rejects width changes
+    widened = spark.createDataFrame([(2, "b", 0.5)], "k long, v string, score double")
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.write(widened, mode="append")
+
+    t.write(widened, mode="append", merge_schema=True)
+    head = {(r.k): (r.v, r.score) for r in t.read().collect()}
+    assert head == {1: ("a", None), 2: ("b", 0.5)}
+    assert t.read().columns == ["k", "v", "score"]
+
+    # the pre-evolution snapshot keeps its 2-column schema
+    assert t.read(version_as_of=0).columns == ["k", "v"]
+
+    # narrow append (missing an existing column) under merge_schema
+    t.write(spark.createDataFrame([(3,)], "k long"), mode="append", merge_schema=True)
+    assert {(r.k): (r.v, r.score) for r in t.read().collect()} == {
+        1: ("a", None), 2: ("b", 0.5), 3: (None, None)
+    }
+
+    # type change is never mergeable
+    with pytest.raises(ValueError, match="type mismatch"):
+        t.write(
+            spark.createDataFrame([(4, 9)], "k long, v long"),
+            mode="append", merge_schema=True,
+        )
+
+    # row-level ops and filters work across the mixed file generations
+    t.update([("k", "=", 1)], set={"score": F.lit(0.1)})
+    assert {r.k: r.score for r in t.read().collect()}[1] == 0.1
+    assert [r.k for r in t.read(filters=[("score", ">", 0.4)]).collect()] == [2]

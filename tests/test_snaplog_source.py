@@ -165,3 +165,18 @@ def test_change_feed_stream(registered, tmp_path):
         (2, "delete", 1, "a"),
     ]
     assert all(r._commit_timestamp > 0 for r in got.collect())
+
+
+def test_batch_read_after_schema_evolution(registered, tmp_path):
+    """Files written before an additive evolution NULL-fill their missing
+    columns in the Arrow reader (by-name, like the native scan)."""
+    path = str(tmp_path / "t")
+    t = SnaplogTable(registered, path)
+    t.write(registered.createDataFrame([(1, "a")], "k long, v string"))
+    t.write(
+        registered.createDataFrame([(2, "b", 0.5)], "k long, v string, score double"),
+        mode="append",
+        merge_schema=True,
+    )
+    got = {r.k: r.score for r in registered.read.format("snaplog").load(path).collect()}
+    assert got == {1: None, 2: 0.5}
