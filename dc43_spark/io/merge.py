@@ -102,12 +102,15 @@ def _outer_join_merge(
     - key only in source: ``insert`` -> source row; ``ignore`` -> dropped
     """
     cols = target.columns
-    t = target.alias("t")
-    s = source.alias("s")
+    # Explicit presence flags, NOT key-isNotNull probes: the join matches
+    # with eqNullSafe, so a NULL key is a legitimate value — a target row
+    # with key NULL must read as "present" or merges silently drop it
+    # (caught by the IVM recompute oracle on a NULL group key).
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
     joined = t.join(s, on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys], how="full_outer")
-    # presence markers that survive all-null rows
-    has_t = F.greatest(*[F.col(f"t.{k}").isNotNull() for k in keys]) if len(keys) > 1 else F.col(f"t.{keys[0]}").isNotNull()
-    has_s = F.greatest(*[F.col(f"s.{k}").isNotNull() for k in keys]) if len(keys) > 1 else F.col(f"s.{keys[0]}").isNotNull()
+    has_t = F.coalesce(F.col("t._t_present"), F.lit(False))
+    has_s = F.coalesce(F.col("s._s_present"), F.lit(False))
 
     if delete_predicate:
         # predicate references source-side columns as ``s.<col>``; a NULL

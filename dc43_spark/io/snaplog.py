@@ -796,11 +796,17 @@ class SnaplogTable:
         return evolved.json()
 
     def write(
-        self, df: DataFrame, mode: str = "append", *, merge_schema: bool = False
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        *,
+        merge_schema: bool = False,
+        txn: Optional[dict] = None,
     ) -> int:
         """Transactional append/overwrite; returns the committed version.
         ``merge_schema=True`` allows additive column evolution on append
-        (see ``_check_append_schema``)."""
+        (see ``_check_append_schema``). ``txn`` stamps the manifest (see
+        ``merge``); for skip-on-replay idempotence use ``write_txn``."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"snaplog write mode must be append|overwrite, got {mode!r}")
         if CHANGE_TYPE_COL in df.columns:
@@ -824,10 +830,11 @@ class SnaplogTable:
                 remove=remove,
                 schema_json=schema_json,
                 expected_version=current,
+                txn=txn,
             )
         added = self._stage_files(df)
         return self._commit(
-            "append", add=added, schema_json=schema_json, retry_append=True
+            "append", add=added, schema_json=schema_json, retry_append=True, txn=txn
         )
 
     # ---------------- copy-on-write MERGE
@@ -836,7 +843,10 @@ class SnaplogTable:
         self, files: Sequence[FileEntry], keys: Sequence[str], key_ranges: dict
     ) -> list[FileEntry]:
         """Keep files whose [min,max] intersects the source key range on
-        EVERY key column; files without stats stay candidates."""
+        EVERY key column; files without stats stay candidates. A source
+        NULL key matches target NULLs ANYWHERE (the merge join is
+        null-safe), so when the source carries one, files with a nonzero
+        null count survive regardless of their envelope."""
         out = []
         for f in files:
             keep = True
@@ -845,7 +855,9 @@ class SnaplogTable:
                 st = f.stats.get(k)
                 if rng is None or st is None:
                     continue  # no information -> can't prune
-                lo, hi = rng
+                lo, hi, src_has_null = rng
+                if src_has_null and st.get("nulls", 0) > 0:
+                    continue  # a NULL-NULL match is possible in this file
                 if lo is None or hi is None:
                     continue
                 try:
@@ -866,11 +878,15 @@ class SnaplogTable:
         when_matched: str = "update",
         when_not_matched: str = "insert",
         delete_predicate: Optional[str] = None,
+        txn: Optional[dict] = None,
     ) -> MergeStats:
         """File-granular copy-on-write MERGE (ref spark/io/merge.py:43-127
         semantics, Delta's physical strategy): prune to the files that
         contain matched keys, rewrite only those merged with the source,
-        carry every other file over by reference."""
+        carry every other file over by reference. ``txn``
+        ({'app_id', 'version'}) rides in the manifest so a consumer's
+        progress marker commits atomically WITH the merge (the IVM
+        refresh loop in io/ivm.py leans on this)."""
         from dc43_spark.io.merge import (
             _outer_join_merge,
             require_unique_merge_keys,
@@ -886,15 +902,22 @@ class SnaplogTable:
         snap = self.snapshot(current)
         files = list(snap.files)
 
-        # level 1: driver-side min/max intersection (footer stats, no IO)
+        # level 1: driver-side min/max intersection (footer stats, no IO);
+        # also probe whether the source carries a NULL key — those match
+        # target NULLs outside any envelope
         ranges_row = source.select(
             *[F.min(k).alias(f"_lo_{i}") for i, k in enumerate(keys)],
             *[F.max(k).alias(f"_hi_{i}") for i, k in enumerate(keys)],
+            *[
+                F.max(F.col(k).isNull()).alias(f"_null_{i}")
+                for i, k in enumerate(keys)
+            ],
         ).first()
         key_ranges = {
             k: (
                 _json_safe(ranges_row[f"_lo_{i}"]),
                 _json_safe(ranges_row[f"_hi_{i}"]),
+                bool(ranges_row[f"_null_{i}"]),
             )
             for i, k in enumerate(keys)
         }
@@ -954,6 +977,7 @@ class SnaplogTable:
             schema_json=snap.schema_json,
             expected_version=current,
             cdc=cdc,
+            txn=txn,
         )
         return MergeStats(
             files_total=len(files),

@@ -645,3 +645,32 @@ def test_merge_schema_additive_evolution(spark, tmp_path):
     t.update([("k", "=", 1)], set={"score": F.lit(0.1)})
     assert {r.k: r.score for r in t.read().collect()}[1] == 0.1
     assert [r.k for r in t.read(filters=[("score", ">", 0.4)]).collect()] == [2]
+
+
+def test_merge_with_null_keys(spark, tmp_path):
+    """eqNullSafe MERGE: a NULL source key UPDATES the NULL target row
+    (never drops or duplicates it), and NULL-key target rows survive
+    merges that don't touch them. Regression for two real bugs: presence
+    markers derived from key-isNotNull dropped NULL-key target rows, and
+    envelope-only stats pruning missed NULL-NULL matches (both caught by
+    the IVM recompute oracle)."""
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(None, "nil"), (1, "a"), (2, "b")], "k long, v string"
+        ).coalesce(1),
+        mode="overwrite",
+    )
+    # merge NOT touching the NULL key: the NULL row must survive
+    t.merge(_df(spark, [(1, "A")]), ["k"])
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (None, "nil"), (1, "A"), (2, "b")
+    }
+    # merge WITH a NULL source key: updates the NULL row in place
+    st = t.merge(
+        spark.createDataFrame([(None, "NIL"), (9, "i")], "k long, v string"), ["k"]
+    )
+    assert st.files_rewritten >= 1  # the NULL-holding file was found
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (None, "NIL"), (1, "A"), (2, "b"), (9, "i")
+    }
