@@ -98,6 +98,54 @@ def _read_meta(spark: SparkSession, path: str) -> dict:
     return {k: int(row[k]) for k in _META_COLS}
 
 
+# -- tombstones: logical deletes applied physically by vacuum (LSM trade:
+#    O(1) delete now, amortized rewrite later). Written by the CDC sync
+#    loop (functions/index_sync.py); honored by every probe.
+
+
+def _tombstones_path(path: str) -> str:
+    return f"{path.rstrip('/')}/tombstones"
+
+
+def minhash_index_tombstones(spark: SparkSession, path: str) -> "DataFrame | None":
+    """Distinct tombstoned doc ids, or None when there are none."""
+    import os
+
+    tp = _tombstones_path(path)
+    if not os.path.isdir(tp) or not any(
+        n.endswith(".parquet") for n in os.listdir(tp)
+    ):
+        return None
+    return spark.read.parquet(tp).select("doc_id").distinct()
+
+
+def _write_tombstones(ids: DataFrame, path: str, mode: str) -> None:
+    ids.select("doc_id").write.mode(mode).parquet(_tombstones_path(path))
+
+
+def minhash_index_vacuum(spark: SparkSession, path: str) -> int:
+    """Apply tombstones physically: rewrite bands/ and shingles/ minus the
+    tombstoned ids (temp-dir + swap; single-maintainer, like dataset
+    compaction) and clear the tombstone set. Returns ids vacuumed."""
+    import os
+    import shutil
+    import uuid
+
+    tomb = minhash_index_tombstones(spark, path)
+    if tomb is None:
+        return 0
+    n = tomb.count()
+    bands_path, shingles_path, _ = _relations(path)
+    for rel in (bands_path, shingles_path):
+        kept = spark.read.parquet(rel).join(F.broadcast(tomb), "doc_id", "left_anti")
+        tmp = f"{rel}_vacuum_{uuid.uuid4().hex}"
+        kept.write.parquet(tmp)
+        shutil.rmtree(rel)
+        os.rename(tmp, rel)
+    shutil.rmtree(_tombstones_path(path))
+    return n
+
+
 def minhash_index_probe(
     spark: SparkSession,
     path: str,
@@ -151,7 +199,7 @@ def minhash_index_probe(
     # shuffle (candidates derive from a parquet scan, so without the
     # explicit hint Spark has no size estimate and sort-merges)
     cand_with_new = candidates.join(F.broadcast(new_sh), "doc_id")
-    return (
+    out = (
         idx_sh.join(F.broadcast(cand_with_new), "dup_of")
         .withColumn("_inter", inter)
         .withColumn(
@@ -165,6 +213,16 @@ def minhash_index_probe(
         .select("doc_id", "dup_of", "jaccard")
         .distinct()
     )
+    # logically-deleted index docs never count as duplicates (tombstones
+    # are small by construction — vacuum applies them physically)
+    tomb = minhash_index_tombstones(new_df.sparkSession, path)
+    if tomb is not None:
+        out = out.join(
+            F.broadcast(tomb.withColumnRenamed("doc_id", "dup_of")),
+            "dup_of",
+            "left_anti",
+        )
+    return out
 
 
 def minhash_index_append(
