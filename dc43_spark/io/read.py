@@ -89,19 +89,32 @@ def load_dataframe(spark: SparkSession, request: ReadRequest) -> DataFrame:
     if request.format == "snaplog":
         from dc43_spark.io.snaplog import SnaplogTable
 
-        if request.streaming:
-            raise ValueError(
-                "snaplog has no streaming source; stream the data/ dir as "
-                "parquet or consume commits via SnaplogTable.history()"
-            )
         if request.table or not request.path:
             raise ValueError("snaplog sources are path-based")
         opts = request.options or {}
+        if request.streaming:
+            # commit-offset streaming through the registered Python data
+            # source (io/snaplog_source.py); registration is idempotent
+            from dc43_spark.io.snaplog_source import SnaplogDataSource
+
+            if "filters" in opts:
+                raise ValueError(
+                    "filters= is a batch data-skipping option; a snaplog "
+                    "stream serves whole commits — filter the stream"
+                )
+            spark.dataSource.register(SnaplogDataSource)
+            reader = spark.readStream.format("snaplog")
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            return reader.load(request.path)
         version = opts.get("versionAsOf")
         ts = opts.get("timestampAsOf")
         return SnaplogTable(spark, request.path).read(
             version_as_of=int(version) if version is not None else None,
             timestamp_as_of=float(ts) if ts is not None else None,
+            # pyarrow-DNF data skipping (snaplog.read) — a governed read
+            # of a clustered table prunes files before the scan
+            filters=opts.get("filters"),
         )
     reader = spark.readStream if request.streaming else spark.read
     if request.format:

@@ -12,7 +12,11 @@ import os
 import sys
 import tempfile
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# Python data source classes are cloudpickled BY REFERENCE to executor
+# workers, which spawn with PYTHONPATH (not the driver's sys.path)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main() -> int:
@@ -79,7 +83,63 @@ def main() -> int:
     print("stream rows (after replay):",
           SnaplogTable(spark, events_table).read().count())
 
-    # 5. Draft review loop: a blocked governed write drafts a relaxed
+    # 5. Data skipping: pyarrow-DNF filters prune the file list against
+    #    footer min/max stats BEFORE the scan; the residual Spark filter
+    #    keeps results row-exact.
+    lookup = table.read(filters=[("k", "=", 500)])
+    print(
+        f"point lookup opened {len(lookup.inputFiles())}/"
+        f"{len(table.snapshot().files)} files ->",
+        [(r.k, r.s) for r in lookup.collect()],
+    )
+
+    # 6. Change data feed + incremental materialized view: downstream
+    #    reprocesses only changed rows — never the table.
+    from dc43_spark.io.ivm import refresh_sum_view, sum_view_select
+
+    cdc_table = SnaplogTable(spark, os.path.join(work, "sales"), change_feed=True)
+    cdc_table.write(
+        spark.createDataFrame(
+            [("eu", 10), ("eu", 5), ("us", 7)], "region string, amount long"
+        )
+    )
+    view = SnaplogTable(spark, os.path.join(work, "sales_by_region"))
+    refresh_sum_view(view, cdc_table, keys=["region"], sums={"revenue": "amount"})
+    cdc_table.delete([("region", "=", "us")])
+    cdc_table.write(spark.createDataFrame([("ap", 3)], "region string, amount long"))
+    st = refresh_sum_view(view, cdc_table, keys=["region"], sums={"revenue": "amount"})
+    print(
+        f"ivm refresh ({st.strategy}, src v{st.offset_before}->v{st.offset_after}):",
+        sorted(
+            (r.region, r.revenue, r.n_rows)
+            for r in sum_view_select(view, ["revenue"]).collect()
+        ),
+    )
+
+    # 7. The table as a registered Spark data source: batch reads with
+    #    pushdown, and the commit log as an exactly-once CDC stream.
+    from dc43_spark.io.snaplog_source import SnaplogDataSource
+
+    spark.dataSource.register(SnaplogDataSource)
+    feed = (
+        spark.readStream.format("snaplog")
+        .option("readChangeFeed", "true")
+        .load(cdc_table.path)
+        .writeStream.format("memory")
+        .queryName("sales_cdc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    feed.awaitTermination(60)
+    print(
+        "cdc stream:",
+        sorted(
+            (r._commit_version, r._change_type, r.region)
+            for r in spark.sql("select * from sales_cdc").collect()
+        ),
+    )
+
+    # 8. Draft review loop: a blocked governed write drafts a relaxed
     #    contract; approving it is what makes it readable.
     from dc43_spark.contracts import Contract, SchemaObject, SchemaProperty
     from dc43_spark.governance import GovernanceService

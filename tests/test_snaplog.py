@@ -674,3 +674,49 @@ def test_merge_with_null_keys(spark, tmp_path):
     assert {(r.k, r.v) for r in t.read().collect()} == {
         (None, "NIL"), (1, "A"), (2, "b"), (9, "i")
     }
+
+
+def test_governed_snaplog_filters_and_streaming(spark, tmp_path):
+    """Governed reads pass data-skipping filters through to the snaplog
+    scan, and governed STREAMING reads ride the registered commit-offset
+    source (validated per-batch by the caller's observer as usual)."""
+    from dc43_spark.contracts.model import Contract, SchemaObject, SchemaProperty
+    from dc43_spark.io.read import ReadRequest, load_dataframe, read_with_contract
+
+    contract = Contract(
+        id="t.skip", version="0.1.0",
+        schema_objects=[SchemaObject(name="t", properties=[
+            SchemaProperty("k", "bigint", required=True),
+            SchemaProperty("v", "string", required=True),
+        ])],
+    )
+    path = str(tmp_path / "t")
+    t = SnaplogTable(spark, path)
+    df = (
+        spark.range(100)
+        .select(F.col("id").alias("k"), F.lit("x").alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    t.write(df, mode="overwrite")
+
+    aligned, verdict = read_with_contract(
+        spark, contract, path=path, format="snaplog", metrics=False,
+        options={"filters": [("k", "<", 10)]},
+    )
+    assert verdict.status == "ok"
+    assert sorted(r.k for r in aligned.collect()) == list(range(10))
+    # fewer files scanned than the table holds: skipping reached the scan
+    assert len(aligned.inputFiles()) < 4
+
+    stream = load_dataframe(
+        spark, ReadRequest(path=path, format="snaplog", streaming=True)
+    )
+    assert stream.isStreaming
+    with pytest.raises(ValueError, match="batch data-skipping"):
+        load_dataframe(
+            spark,
+            ReadRequest(
+                path=path, format="snaplog", streaming=True,
+                options={"filters": [("k", "<", 10)]},
+            ),
+        )
