@@ -161,7 +161,7 @@ def embedding_index_probe(
     buckets = [r.bucket for r in probe.select("bucket").distinct().collect()]
     idx = spark.read.parquet(vectors_path).filter(F.col("bucket").isin(buckets))
 
-    return (
+    out = (
         idx.join(F.broadcast(probe), "bucket")
         .select(
             F.col("q_id").alias("vec_id"),
@@ -171,6 +171,64 @@ def embedding_index_probe(
         .filter(F.col("cosine") >= threshold)
         .distinct()  # multi-probe surfaces the same pair via several buckets
     )
+    # logically-deleted vectors never count as duplicates (tombstones are
+    # small by construction — vacuum applies them physically)
+    tomb = embedding_index_tombstones(spark, path)
+    if tomb is not None:
+        out = out.join(
+            F.broadcast(tomb.withColumnRenamed("vec_id", "dup_of")),
+            "dup_of",
+            "left_anti",
+        )
+    return out
+
+
+# -- tombstones: logical deletes applied physically by vacuum; written by
+#    the CDC sync loop (functions/index_sync.py); honored by every probe.
+
+
+def _tombstones_path(path: str) -> str:
+    return f"{path.rstrip('/')}/tombstones"
+
+
+def embedding_index_tombstones(spark: SparkSession, path: str):
+    """Distinct tombstoned vec ids, or None when there are none."""
+    import os
+
+    tp = _tombstones_path(path)
+    if not os.path.isdir(tp) or not any(
+        n.endswith(".parquet") for n in os.listdir(tp)
+    ):
+        return None
+    return spark.read.parquet(tp).select("vec_id").distinct()
+
+
+def _write_tombstones(ids: DataFrame, path: str, mode: str) -> None:
+    ids.select("vec_id").write.mode(mode).parquet(_tombstones_path(path))
+
+
+def embedding_index_vacuum(spark: SparkSession, path: str) -> int:
+    """Apply tombstones physically: rewrite vectors/ minus the tombstoned
+    ids, keeping the bucket partitioning (temp-dir + swap;
+    single-maintainer, like dataset compaction). Returns ids vacuumed."""
+    import os
+    import shutil
+    import uuid
+
+    tomb = embedding_index_tombstones(spark, path)
+    if tomb is None:
+        return 0
+    n = tomb.count()
+    vectors_path, _ = _relations(path)
+    kept = spark.read.parquet(vectors_path).join(
+        F.broadcast(tomb), "vec_id", "left_anti"
+    )
+    tmp = f"{vectors_path}_vacuum_{uuid.uuid4().hex}"
+    kept.write.partitionBy("bucket").parquet(tmp)
+    shutil.rmtree(vectors_path)
+    os.rename(tmp, vectors_path)
+    shutil.rmtree(_tombstones_path(path))
+    return n
 
 
 def embedding_index_append(

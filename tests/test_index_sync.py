@@ -139,3 +139,59 @@ def test_updates_and_foreign_sources_are_refused(spark, tmp_path):
     other.write(_docs_df(spark, [_doc(9, "unrelated")]))
     with pytest.raises(ValueError, match="tracks"):
         sync_minhash_index(spark, idx, other)
+
+
+def test_embedding_index_sync_mirrors_table(spark, tmp_path):
+    """The embedding twin: probeable vector set follows the table through
+    insert / delete / vacuum / resurrection."""
+    from dc43_spark.functions.embedding_index import (
+        embedding_index_probe,
+        embedding_index_tombstones,
+        embedding_index_vacuum,
+    )
+    from dc43_spark.functions.index_sync import sync_embedding_index
+
+    t = SnaplogTable(spark, str(tmp_path / "vecs"), change_feed=True)
+    idx = str(tmp_path / "vidx")
+
+    def vdf(rows):
+        return spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+
+    v = {
+        "v1": [1.0, 0.0, 0.0, 0.0],
+        "v2": [0.0, 1.0, 0.0, 0.0],
+        "v3": [0.0, 0.0, 1.0, 0.0],
+    }
+    t.write(vdf([("v1", v["v1"]), ("v2", v["v2"])]))
+    st = sync_embedding_index(spark, idx, t, n_planes=4, seed=7)
+    assert (st.strategy, st.docs_added) == ("initial", 2)
+
+    def probeable():
+        hits = embedding_index_probe(spark, idx, t.read(), threshold=0.999)
+        return {
+            r.dup_of for r in hits.filter(F.col("vec_id") == F.col("dup_of")).collect()
+        }
+
+    assert probeable() == {"v1", "v2"}
+
+    t.write(vdf([("v3", v["v3"])]))
+    st = sync_embedding_index(spark, idx, t)
+    assert st.docs_added == 1
+    assert probeable() == {"v1", "v2", "v3"}
+
+    t.delete([("vec_id", "=", "v2")])
+    st = sync_embedding_index(spark, idx, t)
+    assert st.docs_removed == 1
+    assert probeable() == {"v1", "v3"}
+
+    assert embedding_index_vacuum(spark, idx) == 1
+    assert embedding_index_tombstones(spark, idx) is None
+    assert probeable() == {"v1", "v3"}
+
+    # resurrection of the immutable vector
+    t.delete([("vec_id", "=", "v3")])
+    sync_embedding_index(spark, idx, t)
+    t.write(vdf([("v3", v["v3"])]))
+    st = sync_embedding_index(spark, idx, t)
+    assert st.docs_resurrected == 1 and st.docs_added == 0
+    assert probeable() == {"v1", "v3"}
