@@ -99,9 +99,15 @@ class SparkTableContractStore(_ResolveMixin):
         self.format = format
 
     def _ensure(self) -> None:
+        # append-only with a put sequence: re-putting an (id, version)
+        # appends a newer row and readers take the highest seq — put acts
+        # as REPLACE like every other store tier (a plain INSERT left the
+        # stale row winning get()'s limit(1) nondeterministically, which
+        # broke the draft-approve flow that re-puts with status flipped)
         self.spark.sql(
             f"CREATE TABLE IF NOT EXISTS {self.table} "
-            f"(id STRING, version STRING, document STRING) USING {self.format}"
+            f"(id STRING, version STRING, document STRING, seq BIGINT) "
+            f"USING {self.format}"
         )
 
     def put(self, contract: Contract) -> None:
@@ -109,8 +115,11 @@ class SparkTableContractStore(_ResolveMixin):
         doc = json.dumps(contract.to_dict(), sort_keys=True).replace("'", "''")
         cid = contract.id.replace("'", "''")
         ver = contract.version.replace("'", "''")
+        import time
+
         self.spark.sql(
-            f"INSERT INTO {self.table} VALUES ('{cid}', '{ver}', '{doc}')"
+            f"INSERT INTO {self.table} VALUES "
+            f"('{cid}', '{ver}', '{doc}', {time.time_ns()})"
         )
 
     def get(self, contract_id: str, version: str) -> Optional[Contract]:
@@ -120,6 +129,7 @@ class SparkTableContractStore(_ResolveMixin):
         rows = (
             self.spark.table(self.table)
             .where(f"id = '{cid}' AND version = '{ver}'")
+            .orderBy("seq", ascending=False)  # latest put wins
             .select("document")
             .limit(1)
             .collect()

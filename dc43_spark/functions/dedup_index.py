@@ -100,33 +100,50 @@ def _read_meta(spark: SparkSession, path: str) -> dict:
 
 # -- tombstones: logical deletes applied physically by vacuum (LSM trade:
 #    O(1) delete now, amortized rewrite later). Written by the CDC sync
-#    loop (functions/index_sync.py); honored by every probe.
+#    loop (functions/index_sync.py); honored by every probe. The ledger
+#    is APPEND-ONLY — (doc_id, op, v) rows where the latest v wins and
+#    op='alive' is a resurrection — so a crash mid-sync never loses an
+#    already-recorded delete (rewriting the set in place would).
 
 
 def _tombstones_path(path: str) -> str:
     return f"{path.rstrip('/')}/tombstones"
 
 
+def _append_tombstone_ops(ids: DataFrame, path: str, op: str, version: int) -> None:
+    """Append (id, op, v) rows to the ledger; idempotent under replay
+    (identical rows collapse in the latest-wins read)."""
+    ids.select(
+        F.col("doc_id"), F.lit(op).alias("op"), F.lit(version).alias("v")
+    ).write.mode("append").parquet(_tombstones_path(path))
+
+
 def minhash_index_tombstones(spark: SparkSession, path: str) -> "DataFrame | None":
-    """Distinct tombstoned doc ids, or None when there are none."""
+    """EFFECTIVE tombstoned doc ids (latest ledger op is 'delete'), or
+    None when the ledger is empty/absent."""
     import os
+
+    from pyspark.sql.window import Window
 
     tp = _tombstones_path(path)
     if not os.path.isdir(tp) or not any(
         n.endswith(".parquet") for n in os.listdir(tp)
     ):
         return None
-    return spark.read.parquet(tp).select("doc_id").distinct()
-
-
-def _write_tombstones(ids: DataFrame, path: str, mode: str) -> None:
-    ids.select("doc_id").write.mode(mode).parquet(_tombstones_path(path))
+    led = spark.read.parquet(tp)
+    if "op" not in led.columns:  # pre-ledger layout: every row is a delete
+        return led.select("doc_id").distinct()
+    w = Window.partitionBy("doc_id").orderBy(F.desc("v"))
+    latest = led.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return latest.filter(F.col("op") == "delete").select("doc_id").distinct()
 
 
 def minhash_index_vacuum(spark: SparkSession, path: str) -> int:
-    """Apply tombstones physically: rewrite bands/ and shingles/ minus the
-    tombstoned ids (temp-dir + swap; single-maintainer, like dataset
-    compaction) and clear the tombstone set. Returns ids vacuumed."""
+    """Apply effective tombstones physically: rewrite bands/ and shingles/
+    minus the tombstoned ids (temp-dir + swap; single-maintainer, like
+    dataset compaction) and clear the ledger. Returns ids vacuumed.
+    Crash between the rewrite and the ledger clear is harmless: probes
+    keep filtering already-removed ids; the next vacuum clears."""
     import os
     import shutil
     import uuid
@@ -134,14 +151,16 @@ def minhash_index_vacuum(spark: SparkSession, path: str) -> int:
     tomb = minhash_index_tombstones(spark, path)
     if tomb is None:
         return 0
+    tomb = tomb.localCheckpoint(eager=True)  # pin before mutating the dir
     n = tomb.count()
     bands_path, shingles_path, _ = _relations(path)
-    for rel in (bands_path, shingles_path):
-        kept = spark.read.parquet(rel).join(F.broadcast(tomb), "doc_id", "left_anti")
-        tmp = f"{rel}_vacuum_{uuid.uuid4().hex}"
-        kept.write.parquet(tmp)
-        shutil.rmtree(rel)
-        os.rename(tmp, rel)
+    if n:
+        for rel in (bands_path, shingles_path):
+            kept = spark.read.parquet(rel).join(F.broadcast(tomb), "doc_id", "left_anti")
+            tmp = f"{rel}_vacuum_{uuid.uuid4().hex}"
+            kept.write.parquet(tmp)
+            shutil.rmtree(rel)
+            os.rename(tmp, rel)
     shutil.rmtree(_tombstones_path(path))
     return n
 

@@ -185,32 +185,46 @@ def embedding_index_probe(
 
 # -- tombstones: logical deletes applied physically by vacuum; written by
 #    the CDC sync loop (functions/index_sync.py); honored by every probe.
+#    APPEND-ONLY ledger of (vec_id, op, v) rows, latest v wins, op='alive'
+#    resurrects — a crash mid-sync never loses a recorded delete.
 
 
 def _tombstones_path(path: str) -> str:
     return f"{path.rstrip('/')}/tombstones"
 
 
+def _append_tombstone_ops(ids: DataFrame, path: str, op: str, version: int) -> None:
+    """Append (id, op, v) rows to the ledger; idempotent under replay."""
+    ids.select(
+        F.col("vec_id"), F.lit(op).alias("op"), F.lit(version).alias("v")
+    ).write.mode("append").parquet(_tombstones_path(path))
+
+
 def embedding_index_tombstones(spark: SparkSession, path: str):
-    """Distinct tombstoned vec ids, or None when there are none."""
+    """EFFECTIVE tombstoned vec ids (latest ledger op is 'delete'), or
+    None when the ledger is empty/absent."""
     import os
+
+    from pyspark.sql.window import Window
 
     tp = _tombstones_path(path)
     if not os.path.isdir(tp) or not any(
         n.endswith(".parquet") for n in os.listdir(tp)
     ):
         return None
-    return spark.read.parquet(tp).select("vec_id").distinct()
-
-
-def _write_tombstones(ids: DataFrame, path: str, mode: str) -> None:
-    ids.select("vec_id").write.mode(mode).parquet(_tombstones_path(path))
+    led = spark.read.parquet(tp)
+    if "op" not in led.columns:  # pre-ledger layout: every row is a delete
+        return led.select("vec_id").distinct()
+    w = Window.partitionBy("vec_id").orderBy(F.desc("v"))
+    latest = led.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return latest.filter(F.col("op") == "delete").select("vec_id").distinct()
 
 
 def embedding_index_vacuum(spark: SparkSession, path: str) -> int:
-    """Apply tombstones physically: rewrite vectors/ minus the tombstoned
-    ids, keeping the bucket partitioning (temp-dir + swap;
-    single-maintainer, like dataset compaction). Returns ids vacuumed."""
+    """Apply effective tombstones physically: rewrite vectors/ minus the
+    tombstoned ids, keeping the bucket partitioning (temp-dir + swap;
+    single-maintainer, like dataset compaction) and clear the ledger.
+    Returns ids vacuumed."""
     import os
     import shutil
     import uuid
@@ -218,15 +232,17 @@ def embedding_index_vacuum(spark: SparkSession, path: str) -> int:
     tomb = embedding_index_tombstones(spark, path)
     if tomb is None:
         return 0
+    tomb = tomb.localCheckpoint(eager=True)  # pin before mutating the dir
     n = tomb.count()
     vectors_path, _ = _relations(path)
-    kept = spark.read.parquet(vectors_path).join(
-        F.broadcast(tomb), "vec_id", "left_anti"
-    )
-    tmp = f"{vectors_path}_vacuum_{uuid.uuid4().hex}"
-    kept.write.partitionBy("bucket").parquet(tmp)
-    shutil.rmtree(vectors_path)
-    os.rename(tmp, vectors_path)
+    if n:
+        kept = spark.read.parquet(vectors_path).join(
+            F.broadcast(tomb), "vec_id", "left_anti"
+        )
+        tmp = f"{vectors_path}_vacuum_{uuid.uuid4().hex}"
+        kept.write.partitionBy("bucket").parquet(tmp)
+        shutil.rmtree(vectors_path)
+        os.rename(tmp, vectors_path)
     shutil.rmtree(_tombstones_path(path))
     return n
 

@@ -18,11 +18,13 @@ of guessing. Immutability is also what makes RESURRECTION sound: a
 tombstoned id that reappears is the same content, so the sync just
 removes its tombstone instead of re-indexing.
 
-Deletes are TOMBSTONES, not rewrites: probes filter matches whose
-``dup_of`` is tombstoned (one broadcast anti-join against a small
-relation), and the per-index ``*_vacuum`` rewrites the relations minus
-the tombstoned ids when the set has grown — the LSM trade: O(1) delete
-now, amortized rewrite later.
+Deletes are TOMBSTONES, not rewrites: an APPEND-ONLY ledger of
+(id, op, source_version) rows — latest wins, 'alive' resurrects —
+probes filter matches against the effective set (one broadcast
+anti-join), and the per-index ``*_vacuum`` rewrites the relations minus
+the effective tombstones when the set has grown — the LSM trade: O(1)
+delete now, amortized rewrite later. Append-only is what makes a crash
+mid-sync unable to un-delete anything already recorded.
 
 Crash safety is by IDEMPOTENCE, not atomicity: adds are anti-joined
 against the ids already indexed and tombstones are deduplicated, so a
@@ -34,7 +36,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -64,7 +65,7 @@ class IndexSyncStats:
 
 @dataclass
 class _IndexAdapter:
-    """The five index-specific operations the generic sync needs."""
+    """The index-specific operations the generic sync needs."""
 
     exists: Callable[[], bool]
     indexed_ids: Callable[[], DataFrame]  # one column: the index id name
@@ -72,8 +73,8 @@ class _IndexAdapter:
     append: Callable[[DataFrame], None]
     index_id: str  # id column name inside the index relations
     tombstones: Callable[[], Optional[DataFrame]]
-    write_tombstones: Callable[[DataFrame, str], None]
-    tombstones_dir: str
+    # append (ids, op, source_version) rows to the append-only ledger
+    tombstone_ops: Callable[[DataFrame, str, int], None]
 
 
 def _net_changes(changes: DataFrame, id_col: str):
@@ -137,20 +138,20 @@ def _sync(
     indexed = adapter.indexed_ids().withColumnRenamed(adapter.index_id, id_col)
 
     # resurrection: a re-inserted id that is currently tombstoned becomes
-    # visible again by dropping its tombstone (same id => same content)
+    # visible again via an 'alive' ledger row (same id => same content).
+    # The ledger is append-only — a crash here never un-deletes anything
+    # already recorded, and a replay appends an identical row that
+    # collapses in the latest-wins read.
     tomb = adapter.tombstones()
     n_resurrected = 0
     if tomb is not None:
         add_ids = adds.select(F.col(id_col).alias(adapter.index_id))
-        resurrected = tomb.join(F.broadcast(add_ids), adapter.index_id, "leftsemi")
+        resurrected = tomb.join(
+            F.broadcast(add_ids), adapter.index_id, "leftsemi"
+        ).localCheckpoint(eager=True)
         n_resurrected = resurrected.count()
         if n_resurrected:
-            remaining = tomb.join(
-                F.broadcast(add_ids), adapter.index_id, "left_anti"
-            ).localCheckpoint(eager=True)
-            shutil.rmtree(adapter.tombstones_dir)
-            if remaining.count():
-                adapter.write_tombstones(remaining, "overwrite")
+            adapter.tombstone_ops(resurrected, "alive", head)
 
     # idempotent adds: skip ids already physically indexed (replay after
     # a crash between append and offset-write converges)
@@ -159,8 +160,8 @@ def _sync(
     if n_added:
         adapter.append(new_docs)
 
-    # idempotent removes: tombstone only ids that are actually indexed
-    # and not already tombstoned
+    # idempotent removes: ledger a delete only for ids that are actually
+    # indexed and not already effectively tombstoned
     live_removes = removes.select(F.col(id_col).alias(adapter.index_id)).join(
         F.broadcast(indexed.withColumnRenamed(id_col, adapter.index_id)),
         adapter.index_id,
@@ -171,9 +172,10 @@ def _sync(
         live_removes = live_removes.join(
             F.broadcast(cur_tomb), adapter.index_id, "left_anti"
         )
+    live_removes = live_removes.localCheckpoint(eager=True)
     n_removed = live_removes.count()
     if n_removed:
-        adapter.write_tombstones(live_removes, "append")
+        adapter.tombstone_ops(live_removes, "delete", head)
 
     _save_offset(path, table, head)
     return IndexSyncStats(offset, head, n_added, n_removed, n_resurrected, "incremental")
@@ -207,8 +209,7 @@ def sync_minhash_index(
         ),
         index_id="doc_id",
         tombstones=lambda: di.minhash_index_tombstones(spark, path),
-        write_tombstones=lambda ids, mode: di._write_tombstones(ids, path, mode),
-        tombstones_dir=di._tombstones_path(path),
+        tombstone_ops=lambda ids, op, v: di._append_tombstone_ops(ids, path, op, v),
     )
     return _sync(path, table, id_col, adapter)
 
@@ -239,8 +240,7 @@ def sync_embedding_index(
         ),
         index_id="vec_id",
         tombstones=lambda: ei.embedding_index_tombstones(spark, path),
-        write_tombstones=lambda ids, mode: ei._write_tombstones(ids, path, mode),
-        tombstones_dir=ei._tombstones_path(path),
+        tombstone_ops=lambda ids, op, v: ei._append_tombstone_ops(ids, path, op, v),
     )
     return _sync(path, table, id_col, adapter)
 

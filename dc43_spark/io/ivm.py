@@ -146,7 +146,7 @@ def refresh_sum_view(
             ],
             *[F.col(f"_d_{_nn(out)}").alias(_nn(out)) for out in sums],
             F.col(f"_d_{count_col}").alias(count_col),
-        )
+        ).localCheckpoint(eager=True)  # one CDC aggregation, consumed twice
         view.write(initial, mode="overwrite", txn=txn)
         return RefreshStats(None, head, initial.count(), "initial")
 
@@ -179,9 +179,12 @@ def refresh_sum_view(
         ).alias(count_col),
         F.coalesce(F.col("_in_view"), F.lit(False)).alias("_in_view"),
     )
+    # eager checkpoint: the plan below (CDC scan + signed-delta groupBy +
+    # view join) is consumed twice — the count here and the merge's own
+    # staging — and would otherwise re-execute end to end
     merge_src = combined.filter((F.col(count_col) > 0) | F.col("_in_view")).drop(
         "_in_view"
-    )
+    ).localCheckpoint(eager=True)
     n = merge_src.count()
     if n == 0:
         # nothing to apply (e.g. only transient groups) — still advance

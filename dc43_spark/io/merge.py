@@ -219,12 +219,17 @@ def merge_with_contract(
     if fmt == "snaplog" or (path and SnaplogTable.is_snaplog(path)):
         # file-granular copy-on-write through the snapshot log — the
         # in-container realization of the Delta strategy (snaplog.py)
+        if path is None:
+            raise ValueError(
+                "snaplog targets are path-based: merge needs path=, not table="
+            )
         t = SnaplogTable(spark, path)
         stats = t.merge(
             aligned, keys,
             when_matched=when_matched,
             when_not_matched=when_not_matched,
             delete_predicate=delete_predicate,
+            check_source_keys=False,  # require_unique_merge_keys ran above
         )
         return _done(MergeResult(validation, f"snaplog-{stats.strategy}", path, table))
 

@@ -109,9 +109,21 @@ def load_dataframe(spark: SparkSession, request: ReadRequest) -> DataFrame:
             return reader.load(request.path)
         version = opts.get("versionAsOf")
         ts = opts.get("timestampAsOf")
+        if isinstance(ts, str):
+            try:
+                ts = float(ts)
+            except ValueError:
+                # ContractVersionLocator emits ISO-8601 instants
+                # (locators.py time-travel contract); naive stamps are UTC
+                import datetime as _dt
+
+                parsed = _dt.datetime.fromisoformat(ts)
+                if parsed.tzinfo is None:
+                    parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+                ts = parsed.timestamp()
         return SnaplogTable(spark, request.path).read(
             version_as_of=int(version) if version is not None else None,
-            timestamp_as_of=float(ts) if ts is not None else None,
+            timestamp_as_of=ts,
             # pyarrow-DNF data skipping (snaplog.read) — a governed read
             # of a clustered table prunes files before the scan
             filters=opts.get("filters"),

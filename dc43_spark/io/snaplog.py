@@ -389,8 +389,12 @@ class SnaplogTable:
         self.claimer = claimer or LinkCommitClaimer()
         # Delta-parity default OFF (delta.enableChangeDataFeed): when on,
         # merge/delete/update additionally write their row-level changes
-        # to _change_data/ — one extra bounded write per row-level commit
-        self.change_feed = change_feed
+        # to _change_data/ — one extra bounded write per row-level commit.
+        # The flag PERSISTS as a table property on this handle's first
+        # commit, so independently-constructed handles (e.g. the governed
+        # merge path) keep writing CDC instead of silently punching holes
+        # in the feed.
+        self._change_feed_opt = change_feed
 
     # ---------------- layout helpers
 
@@ -401,6 +405,31 @@ class SnaplogTable:
     @property
     def cdc_dir(self) -> str:
         return os.path.join(self.path, CDC_DIR)
+
+    @property
+    def _properties_file(self) -> str:
+        # name is non-numeric, so _versions() never mistakes it for a commit
+        return os.path.join(self.log_dir, "properties.json")
+
+    @property
+    def change_feed(self) -> bool:
+        """Change feed on? True when THIS handle enabled it or any past
+        handle persisted it as a table property."""
+        if self._change_feed_opt:
+            return True
+        try:
+            with open(self._properties_file) as fh:
+                return bool(json.load(fh).get("change_feed"))
+        except (OSError, ValueError):
+            return False
+
+    def _persist_properties(self) -> None:
+        if not self._change_feed_opt or os.path.exists(self._properties_file):
+            return
+        tmp = self._properties_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"change_feed": True}, fh)
+        os.replace(tmp, self._properties_file)
 
     @property
     def data_dir(self) -> str:
@@ -641,7 +670,7 @@ class SnaplogTable:
         expected_version: Optional[int] = None,
         retry_append: bool = False,
         txn: Optional[dict] = None,
-        cdc: Sequence[FileEntry] = (),
+        cdc: "Optional[Sequence[FileEntry]]" = None,
         data_change: bool = True,
     ) -> int:
         """Write one commit. ``expected_version`` pins the read snapshot
@@ -664,7 +693,10 @@ class SnaplogTable:
             record["schema_json"] = schema_json
         if txn:
             record["txn"] = dict(txn)
-        if cdc:
+        if cdc is not None:
+            # present-but-empty means "feed on, zero change rows" — WITHOUT
+            # it a no-op merge would make table_changes claim the feed was
+            # off for that commit and wedge every CDC consumer
             record["cdc"] = [{"path": f.path, "rows": f.rows} for f in cdc]
         if not data_change:
             record["data_change"] = False
@@ -680,6 +712,7 @@ class SnaplogTable:
             record["version"] = version
             record["timestamp"] = time.time()
             if self._try_commit(version, record):
+                self._persist_properties()
                 self._maybe_checkpoint(version)
                 return version
             if expected_version is not None:
@@ -879,6 +912,7 @@ class SnaplogTable:
         when_not_matched: str = "insert",
         delete_predicate: Optional[str] = None,
         txn: Optional[dict] = None,
+        check_source_keys: bool = True,
     ) -> MergeStats:
         """File-granular copy-on-write MERGE (ref spark/io/merge.py:43-127
         semantics, Delta's physical strategy): prune to the files that
@@ -886,13 +920,17 @@ class SnaplogTable:
         carry every other file over by reference. ``txn``
         ({'app_id', 'version'}) rides in the manifest so a consumer's
         progress marker commits atomically WITH the merge (the IVM
-        refresh loop in io/ivm.py leans on this)."""
+        refresh loop in io/ivm.py leans on this). ``check_source_keys=
+        False`` skips the duplicate-source-key probe for callers that
+        already ran it (merge_with_contract) — it is a full source
+        scan+shuffle, not a free assertion."""
         from dc43_spark.io.merge import (
             _outer_join_merge,
             require_unique_merge_keys,
         )
 
-        require_unique_merge_keys(source, keys)
+        if check_source_keys:
+            require_unique_merge_keys(source, keys)
         current = self.version()
         if current is None:
             if when_not_matched == "insert":
@@ -958,7 +996,7 @@ class SnaplogTable:
         else:
             return MergeStats(len(files), len(candidates), 0, 0)
 
-        cdc = ()
+        cdc = None
         if self.change_feed:
             cdc = self._stage_files(
                 self._merge_changes(
@@ -1023,6 +1061,8 @@ class SnaplogTable:
         if when_not_matched == "insert":
             ins = s.join(t.select(*keys), cond, "left_anti")
             parts.append(tag(ins.select(*[F.col(f"s.{c}") for c in cols]), "insert"))
+        if not parts:  # both clauses 'ignore': a zero-change merge
+            return tag((tgt_rows if tgt_rows is not None else source).limit(0), "insert")
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -1187,7 +1227,7 @@ class SnaplogTable:
         rows_before = sum(f.rows for f in touched)
         df = self._scan(touched, snap)
         keep = df.filter(~pred | pred.isNull())  # NULL predicate rows are KEPT
-        cdc = ()
+        cdc = None
         if self.change_feed:
             cdc = self._stage_files(
                 df.filter(pred).select(
@@ -1251,7 +1291,7 @@ class SnaplogTable:
                 for c in df.columns
             ]
         )
-        cdc = ()
+        cdc = None
         if self.change_feed:
             matched = df.filter(pred)
             pre = matched.select(

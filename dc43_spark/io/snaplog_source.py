@@ -182,6 +182,79 @@ class SnaplogPushdownBatchReader(SnaplogBatchReader):
         return filters
 
 
+def _cdc_commit_partitions(table: SnaplogTable, v: int, rec: dict) -> list:
+    """Change-feed partitions for ONE commit — table_changes' rules:
+    cdc files as written; appends/overwrites derive insert (added files)
+    and delete (removed files) rows; merge/delete/update without cdc
+    raise (the rewritten files can't distinguish carried rows)."""
+    stamp = {"_commit_version": v, "_commit_timestamp": rec["timestamp"]}
+    parts: list[_FilePartition] = []
+    if "cdc" in rec:
+        for e in rec["cdc"]:
+            parts.append(
+                _FilePartition(os.path.join(table.path, e["path"]), dict(stamp))
+            )
+        return parts
+    if rec.get("operation") in ("merge", "delete", "update"):
+        raise ValueError(
+            f"commit v{v} ({rec.get('operation')}) wrote no change data — "
+            "the table's change feed was off when it committed; enable "
+            "SnaplogTable(..., change_feed=True) on the writer"
+        )
+    for p in rec.get("remove", []):
+        parts.append(
+            _FilePartition(
+                os.path.join(table.path, p), {**stamp, CHANGE_TYPE_COL: "delete"}
+            )
+        )
+    for e in rec.get("add", []):
+        parts.append(
+            _FilePartition(
+                os.path.join(table.path, e["path"]),
+                {**stamp, CHANGE_TYPE_COL: "insert"},
+            )
+        )
+    return parts
+
+
+def _require_files(parts: Sequence[_FilePartition], v: int) -> None:
+    missing = [p.path for p in parts if not os.path.exists(p.path)]
+    if missing:
+        raise FileNotFoundError(
+            f"change data for commit v{v} was vacuumed "
+            f"({len(missing)} file(s) gone, e.g. {missing[0]})"
+        )
+
+
+class SnaplogCdcBatchReader(DataSourceReader):
+    """Batch change-feed read (Delta's batch CDF): every change row in
+    [startingVersion, endingVersion], one partition per change/data file."""
+
+    def __init__(self, path: str, options: dict):
+        self._table = SnaplogTable(None, path)
+        versions = self._table._versions()
+        if not versions:
+            raise FileNotFoundError(f"no snaplog table at {path}")
+        sv = options.get("startingversion")
+        ev = options.get("endingversion")
+        self._start = int(sv) if sv is not None else versions[0]
+        self._end = int(ev) if ev is not None else versions[-1]
+
+    def partitions(self):
+        parts: list[_FilePartition] = []
+        for v in range(self._start, self._end + 1):
+            rec = self._table._read_commit(v)
+            if rec.get("data_change") is False:
+                continue
+            commit_parts = _cdc_commit_partitions(self._table, v, rec)
+            _require_files(commit_parts, v)
+            parts.extend(commit_parts)
+        return parts
+
+    def read(self, partition: _FilePartition):
+        yield from _arrow_batches(partition, self._schema)
+
+
 class SnaplogStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, schema: T.StructType, options: dict):
         self._table = SnaplogTable(None, path)
@@ -206,21 +279,10 @@ class SnaplogStreamReader(DataSourceStreamReader):
             rec = self._table._read_commit(v)
             if rec.get("data_change") is False:
                 continue  # compaction: layout-only, invisible to streams
-            stamp = (
-                {
-                    "_commit_version": v,
-                    "_commit_timestamp": rec["timestamp"],
-                }
-                if self._cdc
-                else None
-            )
-            if self._cdc and "cdc" in rec:
-                for e in rec["cdc"]:
-                    parts.append(
-                        _FilePartition(
-                            os.path.join(self._table.path, e["path"]), dict(stamp)
-                        )
-                    )
+            if self._cdc:
+                commit_parts = _cdc_commit_partitions(self._table, v, rec)
+                _require_files(commit_parts, v)
+                parts.extend(commit_parts)
                 continue
             if rec.get("remove") and not self._ignore_changes:
                 raise ValueError(
@@ -231,11 +293,8 @@ class SnaplogStreamReader(DataSourceStreamReader):
                     "with readChangeFeed=true"
                 )
             for e in rec.get("add", []):
-                extra = (
-                    {**stamp, CHANGE_TYPE_COL: "insert"} if self._cdc else None
-                )
                 parts.append(
-                    _FilePartition(os.path.join(self._table.path, e["path"]), extra)
+                    _FilePartition(os.path.join(self._table.path, e["path"]), None)
                 )
         return parts
 
@@ -272,9 +331,15 @@ class SnaplogDataSource(DataSource):
             return T.StructType([*base.fields, *_CDC_FIELDS])
         return base
 
-    def reader(self, schema: T.StructType) -> SnaplogBatchReader:
+    def reader(self, schema: T.StructType) -> DataSourceReader:
         from pyspark.sql import SparkSession
 
+        if str(self.options.get("readchangefeed", "")).lower() == "true":
+            # batch CDF (previously this silently served snapshot rows
+            # with NULL change columns — worse than any error)
+            r = SnaplogCdcBatchReader(self._path(), dict(self.options))
+            r._schema = schema
+            return r
         session = SparkSession.getActiveSession()
         enabled = (
             session is not None

@@ -47,11 +47,12 @@ def _order_projection(col: str, dtype: T.DataType):
     if isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
         return c.cast("timestamp").cast("double")
     if isinstance(dtype, T.StringType):
-        # first 7 bytes as a big-endian integer: preserves lexicographic
-        # order of the prefix, which is all bucket locality needs
-        return F.conv(F.substring(F.hex(F.encode(c, "UTF-8")), 1, 14), 16, 10).cast(
-            "double"
-        )
+        # first 7 bytes as a big-endian integer, RIGHT-padded with zero
+        # bytes: without the pad, 'aa' (0x6161) would project above 'b'
+        # (0x62) and scatter lexicographic neighbors across buckets
+        return F.conv(
+            F.rpad(F.substring(F.hex(F.encode(c, "UTF-8")), 1, 14), 14, "0"), 16, 10
+        ).cast("double")
     raise ValueError(
         f"column {col!r} of type {dtype.simpleString()} is not z-orderable "
         "(numeric/date/timestamp/string/boolean only)"

@@ -166,9 +166,15 @@ class SparkTableProductStore(_LatestMixin):
         self.format = format
 
     def _ensure(self) -> None:
+        # append-only with a put sequence: re-putting an (id, version)
+        # appends a newer row and readers take the highest seq — put acts
+        # as REPLACE like every other store tier (a plain INSERT left the
+        # stale row winning get()'s limit(1) nondeterministically, which
+        # broke the draft-approve flow that re-puts with status flipped)
         self.spark.sql(
             f"CREATE TABLE IF NOT EXISTS {self.table} "
-            f"(id STRING, version STRING, document STRING) USING {self.format}"
+            f"(id STRING, version STRING, document STRING, seq BIGINT) "
+            f"USING {self.format}"
         )
 
     def put(self, product: DataProduct) -> None:
@@ -176,8 +182,11 @@ class SparkTableProductStore(_LatestMixin):
         doc = json.dumps(product.to_dict(), sort_keys=True).replace("'", "''")
         pid = product.id.replace("'", "''")
         ver = product.version.replace("'", "''")
+        import time
+
         self.spark.sql(
-            f"INSERT INTO {self.table} VALUES ('{pid}', '{ver}', '{doc}')"
+            f"INSERT INTO {self.table} VALUES "
+            f"('{pid}', '{ver}', '{doc}', {time.time_ns()})"
         )
 
     def get(self, product_id: str, version: str) -> Optional[DataProduct]:
@@ -187,6 +196,7 @@ class SparkTableProductStore(_LatestMixin):
         rows = (
             self.spark.table(self.table)
             .where(f"id = '{pid}' AND version = '{ver}'")
+            .orderBy("seq", ascending=False)  # latest put wins
             .select("document")
             .limit(1)
             .collect()

@@ -720,3 +720,45 @@ def test_governed_snaplog_filters_and_streaming(spark, tmp_path):
                 options={"filters": [("k", "<", 10)]},
             ),
         )
+
+
+def test_governed_time_travel_accepts_iso_timestamps(spark, tmp_path):
+    """Review finding: the locator contract documents ISO-8601 instants,
+    but the snaplog governed read only parsed floats."""
+    from dc43_spark.io.read import ReadRequest, load_dataframe
+
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    t = SnaplogTable(spark, path)
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    mid = t.snapshot(0).timestamp
+    t.write(_df(spark, [(2, "b")]), mode="append")
+
+    # +1ms: isoformat truncates to microseconds, which would land the
+    # instant a hair BEFORE the commit it came from
+    iso = dt.datetime.fromtimestamp(mid + 0.001, dt.timezone.utc).isoformat()
+    for ts in (mid, str(mid), iso, iso.replace("+00:00", "")):
+        got = load_dataframe(
+            spark,
+            ReadRequest(path=path, format="snaplog", options={"timestampAsOf": ts}),
+        )
+        assert {r.k for r in got.collect()} == {1}, ts
+
+
+def test_governed_merge_table_target_raises_clearly(spark, tmp_path):
+    from dc43_spark.contracts.model import Contract, SchemaObject, SchemaProperty
+    from dc43_spark.io.merge import merge_with_contract
+
+    contract = Contract(
+        id="t.x", version="0.1.0",
+        schema_objects=[SchemaObject(name="t", properties=[
+            SchemaProperty("k", "bigint", required=True),
+            SchemaProperty("v", "string", required=True),
+        ])],
+    )
+    with pytest.raises(ValueError, match="path-based"):
+        merge_with_contract(
+            spark, _df(spark, [(1, "a")]), contract,
+            keys=["k"], table="db.t", format="snaplog",
+        )

@@ -158,3 +158,59 @@ def test_vacuum_prunes_cdc_with_clear_error(spark, tmp_path):
         t.table_changes(1, 1)
     # retained head still reads fine
     assert t.read().count() == 2
+
+
+def test_change_feed_flag_persists_as_table_property(spark, tmp_path):
+    """Review finding: an independently-constructed handle (the governed
+    merge path builds its own SnaplogTable) must keep writing CDC once
+    any handle enabled the feed — the flag is a TABLE property, not a
+    per-handle option."""
+    path = str(tmp_path / "t")
+    t = SnaplogTable(spark, path, change_feed=True)
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+
+    fresh = SnaplogTable(spark, path)  # default flag OFF
+    assert fresh.change_feed  # persisted property wins
+    fresh.delete([("k", "=", 1)])
+    # the delete, executed through the flag-less handle, still fed CDC
+    assert _changes(t, 1, 1) == [(1, "a", "delete", 1)]
+
+    # the governed merge path (its own handle) also keeps the feed whole
+    from dc43_spark.contracts.model import Contract, SchemaObject, SchemaProperty
+    from dc43_spark.io.merge import merge_with_contract
+
+    contract = Contract(
+        id="t.cdc", version="0.1.0",
+        schema_objects=[SchemaObject(name="t", properties=[
+            SchemaProperty("k", "bigint", required=True),
+            SchemaProperty("v", "string", required=True),
+        ])],
+    )
+    merge_with_contract(
+        spark, _df(spark, [(2, "B")]), contract,
+        keys=["k"], path=path, format="snaplog",
+    )
+    assert sorted(_changes(t, 2, 2)) == [
+        (2, "B", "update_postimage", 2),
+        (2, "b", "update_preimage", 2),
+    ]
+
+
+def test_zero_change_merge_keeps_feed_readable(spark, tmp_path):
+    """Review finding: a merge that produces no change rows must still
+    mark its commit as feed-on (empty cdc list), and the ignore/ignore
+    degenerate merge must not crash building the change frame."""
+    t = SnaplogTable(spark, str(tmp_path / "t"), change_feed=True)
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    # every source key matches + when_matched update -> changes exist; use
+    # ignore/insert with full overlap for a zero-change commit
+    t.merge(_df(spark, [(1, "X")]), ["k"], when_matched="ignore")
+    assert _changes(t, 1, 1) == []  # readable, empty — NOT an error
+    # ignore/ignore merge: the degenerate no-clause change frame
+    t.merge(
+        _df(spark, [(1, "Y"), (9, "z")]), ["k"],
+        when_matched="ignore", when_not_matched="ignore",
+    )
+    assert t.version() == 2 and _changes(t, 2, 2) == []
+    # the whole feed stitches cleanly across the empty commits
+    assert len(_changes(t, 0)) == 1

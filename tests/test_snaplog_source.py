@@ -180,3 +180,34 @@ def test_batch_read_after_schema_evolution(registered, tmp_path):
     )
     got = {r.k: r.score for r in registered.read.format("snaplog").load(path).collect()}
     assert got == {1: None, 2: 0.5}
+
+
+def test_batch_read_change_feed(registered, tmp_path):
+    """Review finding: batch readChangeFeed previously served snapshot
+    rows with NULL change columns. It must serve the actual feed."""
+    path = str(tmp_path / "t")
+    t = SnaplogTable(registered, path, change_feed=True)
+    t.write(registered.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.delete([("k", "=", 1)])
+    t.write(registered.createDataFrame([(3, "c")], "k long, v string"))
+
+    got = (
+        registered.read.format("snaplog")
+        .option("readChangeFeed", "true")
+        .load(path)
+    )
+    rows = sorted((r._commit_version, r._change_type, r.k) for r in got.collect())
+    assert rows == [
+        (0, "insert", 1),
+        (0, "insert", 2),
+        (1, "delete", 1),
+        (2, "insert", 3),
+    ]
+    ranged = (
+        registered.read.format("snaplog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .option("endingVersion", 1)
+        .load(path)
+    )
+    assert [(r._change_type, r.k) for r in ranged.collect()] == [("delete", 1)]

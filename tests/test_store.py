@@ -94,3 +94,35 @@ def test_http_contract_store_with_fake_transport():
         return 400, None
 
     _exercise(HTTPContractStore(transport))
+
+
+def test_spark_table_stores_put_is_replace(spark):
+    """Review finding: plain INSERT made re-put keep the stale row and
+    get() nondeterministic — the draft-approve flow re-puts the same
+    version with status flipped and must read back the new document."""
+    from dc43_spark.contracts.model import Contract, SchemaObject, SchemaProperty
+    from dc43_spark.contracts.store import SparkTableContractStore
+    from dc43_spark.products.odps import DataProduct
+    from dc43_spark.products.store import SparkTableProductStore
+
+    cs = SparkTableContractStore(spark, "default.put_replace_contracts")
+    c = Contract(
+        id="pr.c", version="1.0.0", status="draft",
+        schema_objects=[SchemaObject(name="t", properties=[
+            SchemaProperty("k", "bigint", required=True),
+        ])],
+    )
+    cs.put(c)
+    c2 = Contract.from_dict(c.to_dict())
+    c2.status = "active"
+    cs.put(c2)
+    assert cs.get("pr.c", "1.0.0").status == "active"
+    assert cs.versions("pr.c") == ["1.0.0"]
+
+    ps = SparkTableProductStore(spark, "default.put_replace_products")
+    p = DataProduct(id="pr.p", version="1.0.0", status="draft")
+    ps.put(p)
+    p2 = DataProduct.from_dict(p.to_dict())
+    p2.status = "active"
+    ps.put(p2)
+    assert ps.get("pr.p", "1.0.0").status == "active"

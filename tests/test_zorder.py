@@ -123,3 +123,13 @@ def test_compact_zorder_by_routes_through_log(spark, tmp_path):
     assert t.read().count() == 4096
     with pytest.raises(ValueError, match="not both"):
         t.compact(cluster_by=["x"], zorder_by=["y"])
+
+
+def test_string_projection_is_length_order_safe(spark):
+    """Review finding: the unpadded hex prefix projected 'aa' above 'b'.
+    The padded projection must keep lexicographic order across lengths."""
+    words = ["a", "aa", "ab", "b", "ba", "z", "zz"]
+    df = spark.createDataFrame([(w,) for w in sorted(words)], "s string")
+    keyed = with_zorder_key(df, ["s"], bits=6)
+    got = [r.s for r in keyed.orderBy("_zorder_key", "s").collect()]
+    assert got == sorted(words)
