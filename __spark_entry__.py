@@ -82,6 +82,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         **showcase.EXTRA_QUERIES,
         **showcase_scale.EXTRA_QUERIES,
+        **showcase_io.EXTRA_QUERIES,
         **showcase_curation.EXTRA_QUERIES,
     }
 
@@ -90,5 +91,6 @@ def extra_oracle_sql() -> dict[str, str]:
     return {
         **showcase.EXTRA_ORACLES,
         **showcase_scale.EXTRA_ORACLES,
+        **showcase_io.EXTRA_ORACLES,
         **showcase_curation.EXTRA_ORACLES,
     }

@@ -190,6 +190,62 @@ UNION ALL
 SELECT * FROM base WHERE o_orderkey % 5 = 1
 """
 
+def q_ivm_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view maintained PURELY from the snaplog
+    change feed (io/ivm.py), hash-checked against a full GROUP BY
+    recompute.
+
+    Table history: v0 overwrite (the even-key slice) -> initial view
+    refresh -> v1 DELETE (o_orderkey < 2000, a file-pruned row-level op)
+    -> v2 append (the %5==1 slice) -> incremental refresh consuming only
+    the delete+append change window. The returned view (revenue cents +
+    row count per order status) must equal the oracle's recompute over
+    the FINAL table state — any drift in CDC row tagging, signed-delta
+    algebra, NULL-sum bookkeeping, or offset tracking breaks the hash."""
+    from dc43_spark.io.ivm import refresh_sum_view, sum_view_select
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    base = _orders_base(spark, sf_dir)
+    root = _scratch(sf_dir, "ivm")
+    table = SnaplogTable(
+        spark, os.path.join(root, "orders"), change_feed=True
+    )
+    table.write(
+        base.filter(F.col("o_orderkey") % 2 == 0)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        mode="overwrite",
+    )
+    view = SnaplogTable(spark, os.path.join(root, "view"))
+    refresh_sum_view(
+        view, table, keys=["o_orderstatus"], sums={"revenue_cents": "o_totalprice_cents"}
+    )
+    table.delete([("o_orderkey", "<", 2000)])
+    table.write(base.filter(F.col("o_orderkey") % 5 == 1), mode="append")
+    st = refresh_sum_view(
+        view, table, keys=["o_orderstatus"], sums={"revenue_cents": "o_totalprice_cents"}
+    )
+    assert st.strategy == "incremental", st
+    return sum_view_select(view, ["revenue_cents"]).select(
+        "o_orderstatus", "revenue_cents", "n_rows"
+    )
+
+
+_IVM_CDC_SQL = f"""
+WITH base AS ({_BASE_SQL}),
+head AS (
+  SELECT * FROM base WHERE o_orderkey % 2 = 0 AND o_orderkey >= 2000
+  UNION ALL
+  SELECT * FROM base WHERE o_orderkey % 5 = 1
+)
+SELECT o_orderstatus,
+       SUM(o_totalprice_cents) AS revenue_cents,
+       COUNT(*) AS n_rows
+FROM head
+GROUP BY o_orderstatus
+"""
+
+
 IO_QUERIES = {
     "merge_upsert_orders": q_merge_upsert_orders,
     "versioned_read_orders": q_versioned_read_orders,
@@ -198,4 +254,12 @@ IO_QUERIES = {
 IO_ORACLES = {
     "merge_upsert_orders": _MERGE_UPSERT_SQL,
     "versioned_read_orders": _VERSIONED_READ_SQL,
+}
+
+EXTRA_QUERIES = {
+    "ivm_cdc_orders": q_ivm_cdc_orders,
+}
+
+EXTRA_ORACLES = {
+    "ivm_cdc_orders": _IVM_CDC_SQL,
 }
