@@ -264,7 +264,13 @@ class SnaplogStreamReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "")).lower() == "true"
         )
         sv = options.get("startingversion")
-        self._starting = int(sv) if sv is not None else 0
+        if sv is not None and str(sv).lower() == "latest":
+            # Delta's "new data only": skip history (incl. any vacuumed
+            # commits) and serve commits made after the stream started
+            head = self._table.version()
+            self._starting = 0 if head is None else head + 1
+        else:
+            self._starting = int(sv) if sv is not None else 0
 
     def initialOffset(self) -> dict:
         return {"version": self._starting - 1}

@@ -211,3 +211,17 @@ def test_batch_read_change_feed(registered, tmp_path):
         .load(path)
     )
     assert [(r._change_type, r.k) for r in ranged.collect()] == [("delete", 1)]
+
+
+def test_stream_starting_version_latest(registered, tmp_path):
+    """startingVersion=latest skips existing history (Delta's new-data-only
+    mode): only commits made after the stream's first start arrive."""
+    path = str(tmp_path / "t")
+    t = SnaplogTable(registered, path)
+    t.write(registered.createDataFrame([(1, "old")], "k long, v string"))
+    cp, out = str(tmp_path / "cp"), str(tmp_path / "out")
+    got = _run_stream(registered, path, cp, out, startingVersion="latest")
+    assert got.count() == 0  # pre-existing rows skipped
+    t.write(registered.createDataFrame([(2, "new")], "k long, v string"))
+    got = _run_stream(registered, path, cp, out, startingVersion="latest")
+    assert [r.k for r in got.collect()] == [2]
