@@ -102,6 +102,7 @@ from pyspark.sql import types as T
 LOG_DIR = "_snaplog"
 DATA_DIR = "data"
 CDC_DIR = "_change_data"
+DV_DIR = "_deletes"
 CHANGE_TYPE_COL = "_change_type"
 _VERSION_WIDTH = 20
 _STATS_MAX_COLUMNS = 32  # delta-style cap: stats for the first N columns
@@ -165,9 +166,14 @@ class Snapshot:
     timestamp: float
     files: tuple[FileEntry, ...]
     schema_json: Optional[str]
+    # active deletion-vector files (merge-on-read deletes): (file rel
+    # path, rows). Empty unless delete(strategy="merge_on_read") ran
+    # since the last materialize.
+    dvs: tuple[FileEntry, ...] = ()
 
     @property
     def rows(self) -> int:
+        # NOTE: overstates by the deletion-vector'd rows while dvs exist
         return sum(f.rows for f in self.files)
 
 
@@ -407,6 +413,10 @@ class SnaplogTable:
         return os.path.join(self.path, CDC_DIR)
 
     @property
+    def dv_dir(self) -> str:
+        return os.path.join(self.path, DV_DIR)
+
+    @property
     def _properties_file(self) -> str:
         # name is non-numeric, so _versions() never mistakes it for a commit
         return os.path.join(self.log_dir, "properties.json")
@@ -505,6 +515,7 @@ class SnaplogTable:
 
         start = 0
         files: dict[str, FileEntry] = {}
+        dvs: list[FileEntry] = []
         schema_json: Optional[str] = None
         cps = [c for c in self._checkpoint_versions() if c <= version]
         if cps:
@@ -514,6 +525,9 @@ class SnaplogTable:
                 e["path"]: FileEntry(e["path"], e["rows"], e["bytes"], e.get("stats", {}))
                 for e in cp["files"]
             }
+            dvs = [
+                FileEntry(e["path"], e["rows"], 0, {}) for e in cp.get("dvs", [])
+            ]
             schema_json = cp.get("schema_json")
             start = cps[-1] + 1
         ts = 0.0
@@ -526,6 +540,10 @@ class SnaplogTable:
                 files[e["path"]] = FileEntry(
                     e["path"], e["rows"], e["bytes"], e.get("stats", {})
                 )
+            if commit.get("dv_clear"):
+                dvs = []
+            for e in commit.get("dv_add", []):
+                dvs.append(FileEntry(e["path"], e["rows"], 0, {}))
             schema_json = commit.get("schema_json") or schema_json
         if start > version and cps:  # snapshot == checkpoint version
             ts = cp["timestamp"]
@@ -534,6 +552,7 @@ class SnaplogTable:
             timestamp=ts,
             files=tuple(sorted(files.values(), key=lambda f: f.path)),
             schema_json=schema_json,
+            dvs=tuple(dvs),
         )
 
     def history(self) -> list[CommitInfo]:
@@ -586,7 +605,10 @@ class SnaplogTable:
         SNAPSHOT's recorded schema: no footer schema inference at
         planning (O(1) instead of O(files)), and files written before an
         additive schema evolution read their missing columns as NULL —
-        by-name resolution, Delta's contract."""
+        by-name resolution, Delta's contract. Active deletion vectors
+        (merge-on-read deletes) are subtracted by a broadcast anti-join
+        on the hidden (file, row_index) identity — zero cost when none
+        exist."""
         paths = [os.path.join(self.path, f.path) for f in files]
         schema = (
             T.StructType.fromJson(json.loads(snap.schema_json))
@@ -600,7 +622,25 @@ class SnaplogTable:
         reader = self.spark.read.format("parquet")
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.load(paths)
+        df = reader.load(paths)
+        if snap.dvs:
+            cols = df.columns
+            dv = self.spark.read.parquet(
+                *[os.path.join(self.path, f.path) for f in snap.dvs]
+            )
+            keyed = df.select(
+                "*",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                    "_dv_file"
+                ),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            )
+            df = keyed.join(
+                F.broadcast(dv),
+                (keyed["_dv_file"] == dv["file"]) & (keyed["_dv_pos"] == dv["pos"]),
+                "left_anti",
+            ).select(*cols)
+        return df
 
     # ---------------- commit machinery
 
@@ -654,6 +694,7 @@ class SnaplogTable:
                 {"path": f.path, "rows": f.rows, "bytes": f.bytes, "stats": f.stats}
                 for f in snap.files
             ],
+            "dvs": [{"path": f.path, "rows": f.rows} for f in snap.dvs],
         }
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
@@ -672,6 +713,8 @@ class SnaplogTable:
         txn: Optional[dict] = None,
         cdc: "Optional[Sequence[FileEntry]]" = None,
         data_change: bool = True,
+        dv_add: Sequence[FileEntry] = (),
+        dv_clear: bool = False,
     ) -> int:
         """Write one commit. ``expected_version`` pins the read snapshot
         (merge/overwrite/compact); ``retry_append`` lets blind appends chase
@@ -700,6 +743,10 @@ class SnaplogTable:
             record["cdc"] = [{"path": f.path, "rows": f.rows} for f in cdc]
         if not data_change:
             record["data_change"] = False
+        if dv_add:
+            record["dv_add"] = [{"path": f.path, "rows": f.rows} for f in dv_add]
+        if dv_clear:
+            record["dv_clear"] = True
         attempts = 0
         while True:
             current = self.version()
@@ -864,6 +911,7 @@ class SnaplogTable:
                 schema_json=schema_json,
                 expected_version=current,
                 txn=txn,
+                dv_clear=True,  # removed files take their vectors with them
             )
         added = self._stage_files(df)
         return self._commit(
@@ -938,6 +986,7 @@ class SnaplogTable:
                 return MergeStats(0, 0, 0, 0, strategy="initial-write")
             return MergeStats(0, 0, 0, 0, strategy="no-op")
         snap = self.snapshot(current)
+        self._require_no_dvs(snap, "merge")
         files = list(snap.files)
 
         # level 1: driver-side min/max intersection (footer stats, no IO);
@@ -1182,6 +1231,119 @@ class SnaplogTable:
                 "read changes before vacuuming past them"
             )
 
+    # ---------------- merge-on-read deletes (deletion vectors)
+
+    def _require_no_dvs(self, snap: Snapshot, op: str) -> None:
+        if snap.dvs:
+            raise ValueError(
+                f"{op} on {self.path} with ACTIVE deletion vectors would "
+                "resurrect merge-on-read-deleted rows; run "
+                "materialize_deletes() first"
+            )
+
+    def _keyed_scan(self, files: Sequence[FileEntry], snap: Snapshot) -> DataFrame:
+        """Raw (DV-unapplied) scan of ``files`` with the per-row identity
+        (file basename, row_index) projected as _dv_file/_dv_pos."""
+        paths = [os.path.join(self.path, f.path) for f in files]
+        schema = (
+            T.StructType.fromJson(json.loads(snap.schema_json))
+            if snap.schema_json
+            else None
+        )
+        reader = self.spark.read.format("parquet")
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.load(paths)
+        return df.select(
+            "*",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "_dv_file"
+            ),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        )
+
+    def _delete_merge_on_read(
+        self, snap: Snapshot, candidates: Sequence[FileEntry], pred, current: int
+    ) -> RewriteStats:
+        if not candidates:
+            return RewriteStats(len(snap.files), 0, 0, 0, 0, 0)
+        keyed = self._keyed_scan(candidates, snap)
+        if snap.dvs:  # already-deleted rows are not deleted "again"
+            dv = self.spark.read.parquet(
+                *[os.path.join(self.path, f.path) for f in snap.dvs]
+            )
+            keyed = keyed.join(
+                F.broadcast(dv),
+                (keyed["_dv_file"] == dv["file"]) & (keyed["_dv_pos"] == dv["pos"]),
+                "left_anti",
+            )
+        hit = keyed.filter(pred).localCheckpoint(eager=True)
+        n_del = hit.count()
+        if n_del == 0:
+            return RewriteStats(len(snap.files), len(candidates), 0, 0, 0, 0)
+        cdc = None
+        if self.change_feed:
+            data_cols = [c for c in hit.columns if c not in ("_dv_file", "_dv_pos")]
+            cdc = self._stage_files(
+                hit.select(*data_cols, F.lit("delete").alias(CHANGE_TYPE_COL)),
+                dest_dir=self.cdc_dir,
+            )
+        dv_added = self._stage_files(
+            hit.select(
+                F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
+            ),
+            dest_dir=self.dv_dir,
+        )
+        self._commit(
+            "delete",
+            schema_json=snap.schema_json,
+            expected_version=current,
+            cdc=cdc,
+            dv_add=dv_added,
+        )
+        return RewriteStats(
+            files_total=len(snap.files),
+            candidates_after_stats=len(candidates),
+            files_rewritten=0,
+            files_added=0,
+            rows_before=n_del,
+            rows_after=0,
+        )
+
+    def materialize_deletes(self) -> int:
+        """Fold active deletion vectors into a copy-on-write rewrite of
+        ONLY the files that have DV'd rows, then clear the vectors (one
+        commit, ``data_change=false`` — logical rows are unchanged, so
+        the change feed and streams skip it). Returns files rewritten."""
+        current = self.version()
+        if current is None:
+            raise FileNotFoundError(f"no snaplog table at {self.path}")
+        snap = self.snapshot(current)
+        if not snap.dvs:
+            return 0
+        dv = self.spark.read.parquet(
+            *[os.path.join(self.path, f.path) for f in snap.dvs]
+        )
+        names = {r["file"] for r in dv.select("file").distinct().collect()}
+        touched = [f for f in snap.files if os.path.basename(f.path) in names]
+        keyed = self._keyed_scan(touched, snap)
+        kept = keyed.join(
+            F.broadcast(dv),
+            (keyed["_dv_file"] == dv["file"]) & (keyed["_dv_pos"] == dv["pos"]),
+            "left_anti",
+        ).drop("_dv_file", "_dv_pos")
+        added = self._stage_files(kept)
+        self._commit(
+            "materialize",
+            add=added,
+            remove=[f.path for f in touched],
+            schema_json=snap.schema_json,
+            expected_version=current,
+            data_change=False,
+            dv_clear=True,
+        )
+        return len(touched)
+
     # ---------------- row-level ops (DELETE / UPDATE)
 
     def _exact_touched(
@@ -1203,16 +1365,34 @@ class SnaplogTable:
         names = {os.path.basename(r["_fp"]) for r in matched}
         return [f for f in candidates if os.path.basename(f.path) in names]
 
-    def delete(self, filters) -> RewriteStats:
-        """File-granular copy-on-write DELETE: two-level pruning (footer
-        stats, then the exact ``_metadata.file_path`` scan) picks the
-        files holding matching rows; only those are rewritten with the
+    def delete(self, filters, *, strategy: str = "copy_on_write") -> RewriteStats:
+        """Row-level DELETE with two physical strategies.
+
+        ``copy_on_write`` (default): two-level pruning (footer stats,
+        then the exact ``_metadata.file_path`` scan) picks the files
+        holding matching rows; only those are rewritten with the
         survivors — a file whose every row matches is simply dropped.
         Untouched files carry over by reference, and prior versions keep
         the deleted rows (time travel) until ``vacuum``.
+
+        ``merge_on_read``: write a DELETION VECTOR instead — the matching
+        rows' (file, row_index) identities land in ``_deletes/`` and
+        every scan subtracts them with one broadcast anti-join. Cost is
+        O(matching rows) regardless of file sizes (the Delta/Iceberg v2
+        DV trade); reads pay the anti-join until
+        ``materialize_deletes()`` folds the vectors into a rewrite.
+        While DVs are active, file-rewriting ops (merge/update/compact/
+        COW delete) refuse — they would resurrect DV'd rows.
+        Stats returned for MOR: files_rewritten/files_added are 0 and
+        rows_before - rows_after is the newly deleted row count.
+
         Ref parity note: the reference delegates row deletes to Delta
-        (spark/io/merge.py whenMatchedDelete); this is the same physical
-        strategy on the snaplog manifest."""
+        (spark/io/merge.py whenMatchedDelete); these are the same two
+        physical strategies on the snaplog manifest."""
+        if strategy not in ("copy_on_write", "merge_on_read"):
+            raise ValueError(
+                f"delete strategy must be copy_on_write|merge_on_read, got {strategy!r}"
+            )
         groups = _normalize_filters(filters)
         pred = _filters_to_column(groups)
         current = self.version()
@@ -1221,6 +1401,9 @@ class SnaplogTable:
         snap = self.snapshot(current)
         files = list(snap.files)
         candidates = [f for f in files if _file_may_match(f, groups)]
+        if strategy == "merge_on_read":
+            return self._delete_merge_on_read(snap, candidates, pred, current)
+        self._require_no_dvs(snap, "copy-on-write delete")
         touched = self._exact_touched(candidates, pred, snap)
         if not touched:
             return RewriteStats(len(files), len(candidates), 0, 0, 0, 0)
@@ -1268,6 +1451,7 @@ class SnaplogTable:
         if current is None:
             raise FileNotFoundError(f"no snaplog table at {self.path}")
         snap = self.snapshot(current)
+        self._require_no_dvs(snap, "update")
         files = list(snap.files)
         candidates = [f for f in files if _file_may_match(f, groups)]
         touched = self._exact_touched(candidates, pred, snap)
@@ -1346,6 +1530,7 @@ class SnaplogTable:
         if current is None:
             raise FileNotFoundError(f"no snaplog table at {self.path}")
         snap = self.snapshot(current)
+        self._require_no_dvs(snap, "compact")
         threshold = target_file_mb * 1024 * 1024
         small = [f for f in snap.files if f.bytes < threshold]
         if len(small) < min_files:
@@ -1396,6 +1581,16 @@ class SnaplogTable:
                 rel = f"{DATA_DIR}/{name}"
                 if name.endswith(".parquet") and rel not in live:
                     os.unlink(os.path.join(self.data_dir, name))
+                    deleted += 1
+        # deletion-vector files not referenced by any retained snapshot
+        live_dvs = set()
+        for v in retained:
+            live_dvs.update(f.path for f in self.snapshot(v).dvs)
+        if os.path.isdir(self.dv_dir):
+            for name in os.listdir(self.dv_dir):
+                rel = f"{DV_DIR}/{name}"
+                if name.endswith(".parquet") and rel not in live_dvs:
+                    os.unlink(os.path.join(self.dv_dir, name))
                     deleted += 1
         # change-data files follow the same retention: commits older than
         # the retained window lose their CDC (table_changes over them then

@@ -76,11 +76,19 @@ _CDC_FIELDS = [
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, extra: Optional[dict] = None):
+    def __init__(
+        self,
+        path: str,
+        extra: Optional[dict] = None,
+        deleted_positions: Optional[list] = None,
+    ):
         # extra: constant columns appended to every row of the file
-        # (change-feed tagging); None for plain reads
+        # (change-feed tagging); None for plain reads.
+        # deleted_positions: row indexes masked out by active deletion
+        # vectors (merge-on-read deletes); None/empty for most files.
         self.path = path
         self.extra = extra
+        self.deleted_positions = deleted_positions
 
 
 def _arrow_batches(partition: _FilePartition, schema: T.StructType):
@@ -105,6 +113,12 @@ def _arrow_batches(partition: _FilePartition, schema: T.StructType):
             tbl = tbl.append_column(f, pa.nulls(tbl.num_rows, type=f.type))
         tbl = tbl.select([f.name for f in target])
     tbl = tbl.cast(target)
+    if partition.deleted_positions:
+        import numpy as np
+
+        keep = np.ones(tbl.num_rows, dtype=bool)
+        keep[np.asarray(partition.deleted_positions, dtype=np.int64)] = False
+        tbl = tbl.filter(pa.array(keep))
     if extra:
         full = to_arrow_schema(schema)
         n = tbl.num_rows
@@ -162,9 +176,30 @@ class SnaplogBatchReader(DataSourceReader):
         self._root = t.path
         self._pruned: list[FileEntry] = list(self._snap.files)
 
+    def _dv_positions(self) -> dict:
+        """file basename -> deleted row indexes, read driver-side with
+        pyarrow (DV files are small by construction)."""
+        if not self._snap.dvs:
+            return {}
+        import pyarrow.parquet as pq
+
+        out: dict[str, list] = {}
+        for f in self._snap.dvs:
+            tbl = pq.read_table(os.path.join(self._root, f.path))
+            for fn, pos in zip(
+                tbl.column("file").to_pylist(), tbl.column("pos").to_pylist()
+            ):
+                out.setdefault(fn, []).append(pos)
+        return out
+
     def partitions(self):
+        dv = self._dv_positions()
         return [
-            _FilePartition(os.path.join(self._root, f.path)) for f in self._pruned
+            _FilePartition(
+                os.path.join(self._root, f.path),
+                deleted_positions=dv.get(os.path.basename(f.path)),
+            )
+            for f in self._pruned
         ]
 
     def read(self, partition: _FilePartition):
@@ -290,9 +325,10 @@ class SnaplogStreamReader(DataSourceStreamReader):
                 _require_files(commit_parts, v)
                 parts.extend(commit_parts)
                 continue
-            if rec.get("remove") and not self._ignore_changes:
+            if (rec.get("remove") or rec.get("dv_add")) and not self._ignore_changes:
                 raise ValueError(
-                    f"commit v{v} ({rec.get('operation')}) rewrites files; "
+                    f"commit v{v} ({rec.get('operation')}) rewrites or "
+                    "deletion-vectors files; "
                     "a snaplog stream is append-only — set "
                     "ignoreChanges=true to replay rewritten rows (Delta's "
                     "contract) or enable the table's change feed and read "

@@ -762,3 +762,92 @@ def test_governed_merge_table_target_raises_clearly(spark, tmp_path):
             spark, _df(spark, [(1, "a")]), contract,
             keys=["k"], table="db.t", format="snaplog",
         )
+
+
+def test_merge_on_read_delete_deletion_vectors(spark, tmp_path):
+    """MOR delete: O(matching rows) — no data file rewritten; every read
+    surface (native scan, filters, time travel, Python data source)
+    subtracts the vectors; materialize folds them into a rewrite of only
+    the DV'd files; rewriting ops refuse while vectors are active."""
+    t = _clustered(spark, tmp_path)  # 1000 rows, 8 files, keys clustered
+    pre_files = {f.path for f in t.snapshot().files}
+
+    st = t.delete([("k", ">=", 100), ("k", "<", 120)], strategy="merge_on_read")
+    assert st.files_rewritten == 0 and st.files_added == 0
+    assert st.rows_before == 20  # newly deleted rows
+    # NO data file changed — the commit only added a deletion vector
+    assert {f.path for f in t.snapshot().files} == pre_files
+    assert len(t.snapshot().dvs) >= 1
+    assert t.read().count() == 980
+    assert t.read().filter(F.col("k") == 105).count() == 0
+    # filters + DV compose (pruned scan still subtracts vectors)
+    assert t.read(filters=[("k", ">=", 90), ("k", "<", 130)]).count() == 20
+    # time travel: pre-delete snapshot unaffected
+    assert t.read(version_as_of=0).count() == 1000
+
+    # idempotence: re-deleting already-vectored rows is a commit-free no-op
+    v = t.version()
+    st2 = t.delete([("k", ">=", 100), ("k", "<", 110)], strategy="merge_on_read")
+    assert st2.rows_before == 0 and t.version() == v
+
+    # rewriting ops refuse while vectors are active
+    for op in (
+        lambda: t.merge(_df(spark, [(1, "x")]), ["k"]),
+        lambda: t.update([("k", "=", 1)], set={"v": F.lit("X")}),
+        lambda: t.compact(target_file_mb=1),
+        lambda: t.delete([("k", "=", 1)]),
+    ):
+        with pytest.raises(ValueError, match="deletion vectors"):
+            op()
+
+    # the Python data source masks the vectors too
+    from dc43_spark.io.snaplog_source import SnaplogDataSource
+
+    spark.dataSource.register(SnaplogDataSource)
+    via_source = spark.read.format("snaplog").load(t.path)
+    assert via_source.count() == 980
+    assert via_source.filter(F.col("k") == 105).count() == 0
+
+    # materialize: rewrite ONLY the DV'd files, clear vectors, same rows
+    rewritten = t.materialize_deletes()
+    assert rewritten < len(pre_files)
+    assert t.snapshot().dvs == ()
+    assert t.read().count() == 980
+    # untouched files carried by reference
+    assert len(pre_files & {f.path for f in t.snapshot().files}) == len(pre_files) - rewritten
+    # ops work again
+    t.update([("k", "=", 1)], set={"v": F.lit("ONE")})
+    assert t.read().filter(F.col("v") == "ONE").count() == 1
+    assert t.materialize_deletes() == 0  # nothing active
+
+
+def test_mor_delete_cdc_and_stream_contract(spark, tmp_path):
+    """MOR deletes feed the CDC stream exactly like COW deletes, and the
+    plain append-only stream rejects them."""
+    from dc43_spark.io.snaplog_source import SnaplogDataSource
+
+    t = SnaplogTable(spark, str(tmp_path / "t"), change_feed=True)
+    t.write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ).coalesce(1)
+    )
+    t.delete([("k", "in", [1, 3])], strategy="merge_on_read")
+    got = sorted(
+        (r.k, r._change_type) for r in t.table_changes(1, 1).collect()
+    )
+    assert got == [(1, "delete"), (3, "delete")]
+
+    spark.dataSource.register(SnaplogDataSource)
+    q = (
+        spark.readStream.format("snaplog")
+        .load(str(tmp_path / "t"))
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="deletion-vectors|ignoreChanges"):
+        q.awaitTermination(120)
+        raise AssertionError("stream should have failed on the MOR delete")
