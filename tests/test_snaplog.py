@@ -321,6 +321,10 @@ _OPS = st.lists(
             st.tuples(st.integers(0, 9), st.integers(0, 10)),
         ),
         st.tuples(
+            st.just("mor_delete"),
+            st.tuples(st.integers(0, 9), st.integers(0, 10)),
+        ),
+        st.tuples(
             st.just("update"),
             st.lists(st.integers(0, 9), min_size=1, max_size=4, unique=True),
         ),
@@ -334,7 +338,7 @@ _OPS = st.lists(
 @given(ops=_OPS)
 def test_snaplog_matches_model_under_random_op_sequences(spark, tmp_path_factory, ops):
     """Model check: any interleaving of append/overwrite/merge/compact/
-    delete/update must
+    delete/mor_delete(+auto-materialize)/update must
     leave (a) the head matching a dict model replaying the same MERGE
     algebra, and (b) EVERY historic version still reading back its own
     recorded row multiset (compaction/merge must never mutate history)."""
@@ -345,6 +349,13 @@ def test_snaplog_matches_model_under_random_op_sequences(spark, tmp_path_factory
 
     def mk(keys):
         return spark.createDataFrame([(k, f"s{k}") for k in keys], "k long, v string")
+
+    def settle():
+        # rewriting ops refuse while deletion vectors are active (they
+        # would resurrect MOR-deleted rows) — materialize first, which is
+        # a logical no-op the model never sees
+        if t.version() is not None and t.snapshot().dvs:
+            t.materialize_deletes()
 
     # model: multiset of (k, v) rows; merge keys update-or-insert
     rows: list[tuple[int, str]] = []
@@ -358,6 +369,7 @@ def test_snaplog_matches_model_under_random_op_sequences(spark, tmp_path_factory
             t.write(mk(keys), mode="overwrite")
             rows = [(k, f"s{k}") for k in keys]
         elif op == "merge":
+            settle()
             if t.version() is None:
                 t.merge(mk(keys), ["k"])
                 rows = [(k, f"s{k}") for k in sorted(set(keys))]
@@ -372,17 +384,28 @@ def test_snaplog_matches_model_under_random_op_sequences(spark, tmp_path_factory
         elif op == "delete":
             if t.version() is None:
                 continue
+            settle()
             lo, hi = keys
             t.delete([("k", ">=", lo), ("k", "<", hi)])
+            rows = [(k, v) for k, v in rows if not (lo <= k < hi)]
+        elif op == "mor_delete":
+            if t.version() is None:
+                continue
+            lo, hi = keys
+            t.delete(
+                [("k", ">=", lo), ("k", "<", hi)], strategy="merge_on_read"
+            )
             rows = [(k, v) for k, v in rows if not (lo <= k < hi)]
         elif op == "update":
             if t.version() is None:
                 continue
+            settle()
             t.update([("k", "in", list(keys))], set={"v": F.lit("U")})
             rows = [(k, "U") if k in set(keys) else (k, v) for k, v in rows]
         else:  # compact
             if t.version() is None:
                 continue
+            settle()
             t.compact(target_file_mb=1)  # everything is "small": full collapse
         # record a model snapshot only when the op actually committed
         # (compact no-ops below min_files; nothing else may silently skip)
