@@ -86,6 +86,8 @@ HEADLINE = [
     # governed IO (write + merge + versioned read round-trips)
     "merge_upsert_orders",
     "versioned_read_orders",
+    # CDC + incremental view maintenance through the snaplog change feed
+    "ivm_cdc_orders",
     # governance orchestration (metrics -> verdict -> stores -> read-back)
     "governance_verdict_orders",
     "profile_orders",
