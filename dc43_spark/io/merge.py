@@ -91,6 +91,7 @@ def _outer_join_merge(
     when_matched: str,
     when_not_matched: str,
     delete_predicate: Optional[str],
+    keep_target_cols: tuple = (),
 ) -> DataFrame:
     """MERGE semantics as one full-outer join. Callers must validate
     source-key uniqueness (``require_unique_merge_keys``) first.
@@ -100,6 +101,11 @@ def _outer_join_merge(
                       matched + delete_predicate(source) -> dropped
     - key only in target: kept
     - key only in source: ``insert`` -> source row; ``ignore`` -> dropped
+
+    ``keep_target_cols``: columns the SOURCE genuinely lacks (schema
+    evolution null-filled them) — updates retain the target's value
+    there, Delta's updateAll-under-evolution rule, while inserts still
+    take the source-side NULL.
     """
     cols = target.columns
     # Explicit presence flags, NOT key-isNotNull probes: the join matches
@@ -130,8 +136,13 @@ def _outer_join_merge(
         | (has_t & has_s & ~F.col("_del"))
         | (~has_t & has_s & F.lit(when_not_matched == "insert"))
     )
+    keep_t = set(keep_target_cols)
     out_cols = [
-        F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        (
+            F.when(has_t, F.col(f"t.{c}")).otherwise(F.col(f"s.{c}")).alias(c)
+            if c in keep_t
+            else F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        )
         for c in cols
     ]
     return joined.filter(keep_row).select(*out_cols)

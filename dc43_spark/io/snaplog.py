@@ -961,6 +961,7 @@ class SnaplogTable:
         delete_predicate: Optional[str] = None,
         txn: Optional[dict] = None,
         check_source_keys: bool = True,
+        merge_schema: bool = False,
     ) -> MergeStats:
         """File-granular copy-on-write MERGE (ref spark/io/merge.py:43-127
         semantics, Delta's physical strategy): prune to the files that
@@ -971,7 +972,12 @@ class SnaplogTable:
         refresh loop in io/ivm.py leans on this). ``check_source_keys=
         False`` skips the duplicate-source-key probe for callers that
         already ran it (merge_with_contract) — it is a full source
-        scan+shuffle, not a free assertion."""
+        scan+shuffle, not a free assertion. ``merge_schema=True`` is
+        Delta's automatic evolution: source-only columns join the table
+        schema (existing rows read them as NULL) and source rows missing
+        table columns insert NULLs; without the flag both shapes raise
+        (silently dropping a source column is how data quietly
+        disappears). Type changes on a shared column always raise."""
         from dc43_spark.io.merge import (
             _outer_join_merge,
             require_unique_merge_keys,
@@ -987,6 +993,44 @@ class SnaplogTable:
             return MergeStats(0, 0, 0, 0, strategy="no-op")
         snap = self.snapshot(current)
         self._require_no_dvs(snap, "merge")
+        evolved_json = snap.schema_json
+        keep_target_cols: tuple = ()
+        if snap.schema_json:
+            table_schema = T.StructType.fromJson(json.loads(snap.schema_json))
+            old = {f.name: f for f in table_schema.fields}
+            new = {f.name: f for f in source.schema.fields}
+            conflicts = sorted(
+                n
+                for n in old.keys() & new.keys()
+                if old[n].dataType.simpleString() != new[n].dataType.simpleString()
+            )
+            if conflicts:
+                raise ValueError(
+                    f"merge type mismatch on {self.path} for column(s) "
+                    f"{conflicts}; overwrite to change a column's type"
+                )
+            missing_in_src = sorted(old.keys() - new.keys())
+            extra_in_src = sorted(new.keys() - old.keys())
+            keep_target_cols = tuple(missing_in_src)
+            if (missing_in_src or extra_in_src) and not merge_schema:
+                raise ValueError(
+                    f"merge schema mismatch on {self.path}: source is "
+                    f"missing {missing_in_src} and adds {extra_in_src}; "
+                    "pass merge_schema=True for additive evolution"
+                )
+            if extra_in_src or missing_in_src:
+                evolved = T.StructType(
+                    [*table_schema.fields, *[new[n] for n in extra_in_src]]
+                )
+                evolved_json = evolved.json()
+                source = source.select(
+                    *[
+                        F.col(f.name)
+                        if f.name in new
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in evolved.fields
+                    ]
+                )
         files = list(snap.files)
 
         # level 1: driver-side min/max intersection (footer stats, no IO);
@@ -1032,6 +1076,11 @@ class SnaplogTable:
         tgt_rows = None
         if touched:
             tgt_rows = self._scan(touched, snap)
+            for c in [c for c in source.columns if c not in tgt_rows.columns]:
+                # evolved source-only columns: existing rows carry NULL
+                tgt_rows = tgt_rows.withColumn(
+                    c, F.lit(None).cast(source.schema[c].dataType)
+                )
             merged = _outer_join_merge(
                 tgt_rows,
                 source,
@@ -1039,6 +1088,7 @@ class SnaplogTable:
                 when_matched=when_matched,
                 when_not_matched=when_not_matched,
                 delete_predicate=delete_predicate,
+                keep_target_cols=keep_target_cols,
             )
         elif when_not_matched == "insert":
             merged = source  # nothing matched anywhere: pure insert
@@ -1053,6 +1103,7 @@ class SnaplogTable:
                     when_matched=when_matched,
                     when_not_matched=when_not_matched,
                     delete_predicate=delete_predicate,
+                    keep_target_cols=keep_target_cols,
                 ),
                 dest_dir=self.cdc_dir,
             )
@@ -1061,7 +1112,7 @@ class SnaplogTable:
             "merge",
             add=added,
             remove=[f.path for f in touched],
-            schema_json=snap.schema_json,
+            schema_json=evolved_json,
             expected_version=current,
             cdc=cdc,
             txn=txn,
@@ -1082,6 +1133,7 @@ class SnaplogTable:
         when_matched: str,
         when_not_matched: str,
         delete_predicate: Optional[str],
+        keep_target_cols: tuple = (),
     ) -> DataFrame:
         """Row-level change rows for one MERGE, tagged with Delta CDF's
         vocabulary (insert / update_preimage / update_postimage / delete).
@@ -1104,7 +1156,18 @@ class SnaplogTable:
         if when_matched == "update":
             upd = inner.filter(~dele)
             parts.append(tag(upd.select("t.*"), "update_preimage"))
-            parts.append(tag(upd.select(*[F.col(f"s.{c}") for c in cols]), "update_postimage"))
+            keep_t = set(keep_target_cols)
+            parts.append(
+                tag(
+                    upd.select(
+                        *[
+                            F.col(f"t.{c}") if c in keep_t else F.col(f"s.{c}")
+                            for c in cols
+                        ]
+                    ),
+                    "update_postimage",
+                )
+            )
         if delete_predicate:
             parts.append(tag(inner.filter(dele).select("t.*"), "delete"))
         if when_not_matched == "insert":

@@ -874,3 +874,40 @@ def test_mor_delete_cdc_and_stream_contract(spark, tmp_path):
     with pytest.raises(Exception, match="deletion-vectors|ignoreChanges"):
         q.awaitTermination(120)
         raise AssertionError("stream should have failed on the MOR delete")
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """Delta's automatic merge evolution: source-only columns join the
+    table (existing rows read NULL), narrow sources insert NULLs; both
+    shapes RAISE without the flag (a silent drop loses data), and type
+    changes always raise."""
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+
+    wide = spark.createDataFrame(
+        [(2, "B", 0.9), (3, "c", 0.5)], "k long, v string, score double"
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.merge(wide, ["k"])
+    st = t.merge(wide, ["k"], merge_schema=True)
+    assert st.files_rewritten >= 1
+    got = {r.k: (r.v, r.score) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("B", 0.9), 3: ("c", 0.5)}
+    assert t.read(version_as_of=0).columns == ["k", "v"]  # history keeps its schema
+
+    # narrow source: inserts carry NULL for missing columns, but a
+    # matched UPDATE keeps the target's values there (Delta's
+    # updateAll-under-evolution rule — a narrow upsert must not wipe
+    # columns it never mentioned)
+    narrow = spark.createDataFrame([(4,), (2,)], "k long")
+    st = t.merge(narrow, ["k"], merge_schema=True)
+    got = {r.k: (r.v, r.score) for r in t.read().collect()}
+    assert got[4] == (None, None)
+    assert got[2] == ("B", 0.9)  # retained, not nulled
+
+    # shared-column type change is never mergeable
+    with pytest.raises(ValueError, match="type mismatch"):
+        t.merge(
+            spark.createDataFrame([(9, 1)], "k long, v long"), ["k"],
+            merge_schema=True,
+        )
