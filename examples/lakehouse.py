@@ -93,6 +93,17 @@ def main() -> int:
         [(r.k, r.s) for r in lookup.collect()],
     )
 
+    # 5b. Merge-on-read delete: a deletion vector lands instead of a file
+    #     rewrite (O(matching rows)); reads subtract it until materialize
+    #     folds it back into only the affected files.
+    st = table.delete([("k", ">=", 900), ("k", "<", 910)], strategy="merge_on_read")
+    print(
+        f"MOR delete: {st.rows_before} rows vectored, "
+        f"{st.files_rewritten} files rewritten; head rows:", table.read().count(),
+    )
+    print("materialized files:", table.materialize_deletes(),
+          " head rows:", table.read().count())
+
     # 6. Change data feed + incremental materialized view: downstream
     #    reprocesses only changed rows — never the table.
     from dc43_spark.io.ivm import refresh_sum_view, sum_view_select
