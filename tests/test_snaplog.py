@@ -911,3 +911,17 @@ def test_merge_schema_evolution(spark, tmp_path):
             spark.createDataFrame([(9, 1)], "k long, v long"), ["k"],
             merge_schema=True,
         )
+
+
+def test_read_plan_stays_joinless_without_deletion_vectors(spark, tmp_path):
+    """The DV anti-join must cost literally nothing when no vectors are
+    active: the hot read path plans a bare scan (no Join operator), with
+    or without filters."""
+    t = _clustered(spark, tmp_path, n=100, files=2)
+    for df in (t.read(), t.read(filters=[("k", "<", 10)])):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, plan
+    # and WITH vectors the subtraction is a broadcast join, never a shuffle
+    t.delete([("k", "=", 5)], strategy="merge_on_read")
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
