@@ -85,6 +85,32 @@ class FSContractStore(_ResolveMixin):
         return sorted(p.name for p in self.root.iterdir() if p.is_dir())
 
 
+def ensure_versioned_doc_table(spark, table: str, format: str) -> bool:
+    """Create the 4-column ``(id, version, document, seq)`` store table if
+    absent; MIGRATE a pre-seq 3-column table in place via ``ALTER TABLE
+    ADD COLUMNS`` (CREATE IF NOT EXISTS alone would leave the old layout,
+    making every INSERT fail on arity and ``orderBy(seq)`` unresolvable).
+    Legacy rows read ``seq`` as NULL and sort LAST under the seq-DESC
+    latest-wins read, so historical puts stay visible and any re-put
+    wins. Returns whether ``seq`` is available; False (a catalog/format
+    that cannot evolve) degrades to seq-less first-row-wins — see
+    MIGRATION.md."""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} "
+        f"(id STRING, version STRING, document STRING, seq BIGINT) "
+        f"USING {format}"
+    )
+    cols = [f.name.lower() for f in spark.table(table).schema.fields]
+    if "seq" in cols:
+        return True
+    try:
+        spark.sql(f"ALTER TABLE {table} ADD COLUMNS (seq BIGINT)")
+        spark.catalog.refreshTable(table)
+        return "seq" in [f.name.lower() for f in spark.table(table).schema.fields]
+    except Exception:
+        return False
+
+
 class SparkTableContractStore(_ResolveMixin):
     """Contracts in a Spark catalog table ``(id, version, document)``.
 
@@ -97,6 +123,7 @@ class SparkTableContractStore(_ResolveMixin):
         self.spark = spark
         self.table = table
         self.format = format
+        self._has_seq: Optional[bool] = None
 
     def _ensure(self) -> None:
         # append-only with a put sequence: re-putting an (id, version)
@@ -104,11 +131,10 @@ class SparkTableContractStore(_ResolveMixin):
         # as REPLACE like every other store tier (a plain INSERT left the
         # stale row winning get()'s limit(1) nondeterministically, which
         # broke the draft-approve flow that re-puts with status flipped)
-        self.spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {self.table} "
-            f"(id STRING, version STRING, document STRING, seq BIGINT) "
-            f"USING {self.format}"
-        )
+        if self._has_seq is None:
+            self._has_seq = ensure_versioned_doc_table(
+                self.spark, self.table, self.format
+            )
 
     def put(self, contract: Contract) -> None:
         self._ensure()
@@ -117,23 +143,21 @@ class SparkTableContractStore(_ResolveMixin):
         ver = contract.version.replace("'", "''")
         import time
 
+        seq = f", {time.time_ns()}" if self._has_seq else ""
         self.spark.sql(
-            f"INSERT INTO {self.table} VALUES "
-            f"('{cid}', '{ver}', '{doc}', {time.time_ns()})"
+            f"INSERT INTO {self.table} VALUES ('{cid}', '{ver}', '{doc}'{seq})"
         )
 
     def get(self, contract_id: str, version: str) -> Optional[Contract]:
         self._ensure()
         cid = contract_id.replace("'", "''")
         ver = version.replace("'", "''")
-        rows = (
-            self.spark.table(self.table)
-            .where(f"id = '{cid}' AND version = '{ver}'")
-            .orderBy("seq", ascending=False)  # latest put wins
-            .select("document")
-            .limit(1)
-            .collect()
+        df = self.spark.table(self.table).where(
+            f"id = '{cid}' AND version = '{ver}'"
         )
+        if self._has_seq:
+            df = df.orderBy("seq", ascending=False)  # latest put wins
+        rows = df.select("document").limit(1).collect()
         if not rows:
             return None
         return Contract.from_dict(json.loads(rows[0][0]))

@@ -715,6 +715,7 @@ class SnaplogTable:
         data_change: bool = True,
         dv_add: Sequence[FileEntry] = (),
         dv_clear: bool = False,
+        schema_fn=None,
     ) -> int:
         """Write one commit. ``expected_version`` pins the read snapshot
         (merge/overwrite/compact); ``retry_append`` lets blind appends chase
@@ -723,7 +724,15 @@ class SnaplogTable:
         ``cdc`` lists row-level change files under _change_data/ (read by
         ``table_changes``); ``data_change=False`` marks layout-only commits
         (compaction) that the change feed must skip — Delta's
-        dataChange=false action flag."""
+        dataChange=false action flag.
+
+        ``schema_fn`` (appends only): a zero-arg callable re-deriving the
+        commit's schema_json against the CURRENT head, re-invoked on every
+        attempt. Without it, an append racing a concurrent schema
+        evolution would land at a later version still carrying the
+        pre-evolution schema — and since ``snapshot()`` takes the last
+        non-null schema_json, that stale record would roll the table
+        schema back and silently NULL the evolved column on reads."""
         record = {
             "operation": operation,
             "add": [
@@ -755,6 +764,12 @@ class SnaplogTable:
                     f"{operation} read snapshot v{expected_version} of {self.path} "
                     f"is stale: table is now at v{current}"
                 )
+            if schema_fn is not None:
+                fresh = schema_fn()
+                if fresh:
+                    record["schema_json"] = fresh
+                else:
+                    record.pop("schema_json", None)
             version = 0 if current is None else current + 1
             record["version"] = version
             record["timestamp"] = time.time()
@@ -802,7 +817,7 @@ class SnaplogTable:
         last = self.last_txn_version(app_id)
         if last is not None and version <= last:
             return None
-        schema_json = self._check_append_schema(df)
+        self._check_append_schema(df)  # fail fast, before staging any data
         added = self._stage_files(df)
         for _ in range(20):
             last = self.last_txn_version(app_id)
@@ -812,9 +827,11 @@ class SnaplogTable:
                 return self._commit(
                     "append",
                     add=added,
-                    schema_json=schema_json,
                     expected_version=self.version(),
                     txn={"app_id": app_id, "version": int(version)},
+                    # re-derived per attempt: a concurrent schema evolution
+                    # must not be rolled back by this append's stale record
+                    schema_fn=lambda: self._check_append_schema(df),
                 )
             except SnapshotConflictError:
                 continue  # head moved: re-check the txn ledger, then retry
@@ -895,7 +912,7 @@ class SnaplogTable:
             )
         schema_json = df.schema.json()
         if mode == "append":
-            schema_json = self._check_append_schema(df, merge_schema)
+            self._check_append_schema(df, merge_schema)  # fail before staging
         if mode == "overwrite":
             current = self.version()
             remove = (
@@ -915,7 +932,14 @@ class SnaplogTable:
             )
         added = self._stage_files(df)
         return self._commit(
-            "append", add=added, schema_json=schema_json, retry_append=True, txn=txn
+            "append",
+            add=added,
+            retry_append=True,
+            txn=txn,
+            # re-derived per attempt (see _commit): an append that loses the
+            # race to a schema-evolving commit must record the EVOLVED union
+            # schema, not its pre-race view of the table
+            schema_fn=lambda: self._check_append_schema(df, merge_schema),
         )
 
     # ---------------- copy-on-write MERGE
@@ -1239,10 +1263,32 @@ class SnaplogTable:
             addedp = [os.path.join(self.path, e["path"]) for e in rec.get("add", [])]
             self._require_files(removed + addedp, v)
             if removed:
+                dele = self.spark.read.format("parquet").load(removed)
+                # rows already deleted by an ACTIVE deletion vector at the
+                # pre-commit snapshot were emitted as deletes by the MOR
+                # delete's own CDC — re-emitting them here would make a
+                # CDC consumer (e.g. an IVM view) double-subtract them
+                pre_dvs = self.snapshot(v - 1).dvs if v > versions[0] else ()
+                if pre_dvs:
+                    dv_paths = [os.path.join(self.path, f.path) for f in pre_dvs]
+                    self._require_files(dv_paths, v)
+                    dv = self.spark.read.parquet(*dv_paths)
+                    cols = dele.columns
+                    keyed = dele.select(
+                        "*",
+                        F.element_at(
+                            F.split(F.col("_metadata.file_path"), "/"), -1
+                        ).alias("_dv_file"),
+                        F.col("_metadata.row_index").alias("_dv_pos"),
+                    )
+                    dele = keyed.join(
+                        F.broadcast(dv),
+                        (keyed["_dv_file"] == dv["file"])
+                        & (keyed["_dv_pos"] == dv["pos"]),
+                        "left_anti",
+                    ).select(*cols)
                 frames.append(
-                    self.spark.read.format("parquet")
-                    .load(removed)
-                    .select("*", F.lit("delete").alias(CHANGE_TYPE_COL), *stamp)
+                    dele.select("*", F.lit("delete").alias(CHANGE_TYPE_COL), *stamp)
                 )
             if addedp:
                 frames.append(
@@ -1659,12 +1705,33 @@ class SnaplogTable:
         # the retained window lose their CDC (table_changes over them then
         # raises the explicit "vacuumed" error) — Delta ties CDC retention
         # to the log retention the same way
+        referenced_cdc: set[str] = set()
         for v in versions:
-            if v >= retained[0]:
-                break
             for e in self._read_commit(v).get("cdc", []):
+                if v >= retained[0]:
+                    referenced_cdc.add(e["path"])
+                    continue
                 p = os.path.join(self.path, e["path"])
                 if os.path.exists(p):
                     os.unlink(p)
                     deleted += 1
+        # CDC files staged by a merge/delete/update that then hit a
+        # SnapshotConflictError (or crashed) before committing belong to
+        # NO manifest — under contention they leak unboundedly
+        if os.path.isdir(self.cdc_dir):
+            for name in os.listdir(self.cdc_dir):
+                rel = f"{CDC_DIR}/{name}"
+                if name.endswith(".parquet") and rel not in referenced_cdc:
+                    os.unlink(os.path.join(self.cdc_dir, name))
+                    deleted += 1
+        # crash leftovers: staging dirs whose writer died mid-_stage_files,
+        # and claimer temp manifests that never got linked (vacuum's
+        # single-maintenance-owner contract means no writer is live now)
+        for name in os.listdir(self.path):
+            if name.startswith("_staging_"):
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        if os.path.isdir(self.log_dir):
+            for name in os.listdir(self.log_dir):
+                if name.endswith(".tmp"):
+                    os.unlink(os.path.join(self.log_dir, name))
         return deleted

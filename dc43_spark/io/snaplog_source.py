@@ -176,24 +176,8 @@ class SnaplogBatchReader(DataSourceReader):
         self._root = t.path
         self._pruned: list[FileEntry] = list(self._snap.files)
 
-    def _dv_positions(self) -> dict:
-        """file basename -> deleted row indexes, read driver-side with
-        pyarrow (DV files are small by construction)."""
-        if not self._snap.dvs:
-            return {}
-        import pyarrow.parquet as pq
-
-        out: dict[str, list] = {}
-        for f in self._snap.dvs:
-            tbl = pq.read_table(os.path.join(self._root, f.path))
-            for fn, pos in zip(
-                tbl.column("file").to_pylist(), tbl.column("pos").to_pylist()
-            ):
-                out.setdefault(fn, []).append(pos)
-        return out
-
     def partitions(self):
-        dv = self._dv_positions()
+        dv = _dv_position_map(self._root, self._snap.dvs)
         return [
             _FilePartition(
                 os.path.join(self._root, f.path),
@@ -217,11 +201,32 @@ class SnaplogPushdownBatchReader(SnaplogBatchReader):
         return filters
 
 
+def _dv_position_map(root: str, dvs) -> dict:
+    """file basename -> sorted deleted row indexes, read driver-side with
+    pyarrow (DV files are O(deleted rows) small by construction)."""
+    if not dvs:
+        return {}
+    import pyarrow.parquet as pq
+
+    out: dict[str, list] = {}
+    for f in dvs:
+        tbl = pq.read_table(os.path.join(root, f.path))
+        for fn, pos in zip(
+            tbl.column("file").to_pylist(), tbl.column("pos").to_pylist()
+        ):
+            out.setdefault(fn, []).append(pos)
+    return out
+
+
 def _cdc_commit_partitions(table: SnaplogTable, v: int, rec: dict) -> list:
     """Change-feed partitions for ONE commit — table_changes' rules:
     cdc files as written; appends/overwrites derive insert (added files)
     and delete (removed files) rows; merge/delete/update without cdc
-    raise (the rewritten files can't distinguish carried rows)."""
+    raise (the rewritten files can't distinguish carried rows). Rows a
+    merge-on-read delete already DV'd out before this commit were
+    emitted as deletes by that delete's own CDC, so remove-derived
+    delete partitions mask them via ``deleted_positions`` — without the
+    mask a CDC consumer would double-subtract them."""
     stamp = {"_commit_version": v, "_commit_timestamp": rec["timestamp"]}
     parts: list[_FilePartition] = []
     if "cdc" in rec:
@@ -236,10 +241,16 @@ def _cdc_commit_partitions(table: SnaplogTable, v: int, rec: dict) -> list:
             "the table's change feed was off when it committed; enable "
             "SnaplogTable(..., change_feed=True) on the writer"
         )
+    dv_pos: dict = {}
+    if rec.get("remove"):
+        pre = table.snapshot(v - 1) if v > 0 else None
+        dv_pos = _dv_position_map(table.path, pre.dvs if pre else ())
     for p in rec.get("remove", []):
         parts.append(
             _FilePartition(
-                os.path.join(table.path, p), {**stamp, CHANGE_TYPE_COL: "delete"}
+                os.path.join(table.path, p),
+                {**stamp, CHANGE_TYPE_COL: "delete"},
+                deleted_positions=dv_pos.get(os.path.basename(p)),
             )
         )
     for e in rec.get("add", []):
@@ -274,6 +285,14 @@ class SnaplogCdcBatchReader(DataSourceReader):
         ev = options.get("endingversion")
         self._start = int(sv) if sv is not None else versions[0]
         self._end = int(ev) if ev is not None else versions[-1]
+        # same descriptive error table_changes raises — without it an
+        # out-of-range option surfaces as a raw FileNotFoundError from
+        # _read_commit and a negative start silently reads nothing
+        if self._start < versions[0] or self._end > versions[-1]:
+            raise ValueError(
+                f"change range [{self._start}, {self._end}] outside table "
+                f"versions [{versions[0]}, {versions[-1]}]"
+            )
 
     def partitions(self):
         parts: list[_FilePartition] = []

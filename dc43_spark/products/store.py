@@ -164,18 +164,22 @@ class SparkTableProductStore(_LatestMixin):
         self.spark = spark
         self.table = table
         self.format = format
+        self._has_seq: Optional[bool] = None
 
     def _ensure(self) -> None:
         # append-only with a put sequence: re-putting an (id, version)
         # appends a newer row and readers take the highest seq — put acts
         # as REPLACE like every other store tier (a plain INSERT left the
         # stale row winning get()'s limit(1) nondeterministically, which
-        # broke the draft-approve flow that re-puts with status flipped)
-        self.spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {self.table} "
-            f"(id STRING, version STRING, document STRING, seq BIGINT) "
-            f"USING {self.format}"
-        )
+        # broke the draft-approve flow that re-puts with status flipped).
+        # Pre-seq 3-column tables are migrated in place (see
+        # contracts/store.py ensure_versioned_doc_table + MIGRATION.md).
+        if self._has_seq is None:
+            from dc43_spark.contracts.store import ensure_versioned_doc_table
+
+            self._has_seq = ensure_versioned_doc_table(
+                self.spark, self.table, self.format
+            )
 
     def put(self, product: DataProduct) -> None:
         self._ensure()
@@ -184,23 +188,21 @@ class SparkTableProductStore(_LatestMixin):
         ver = product.version.replace("'", "''")
         import time
 
+        seq = f", {time.time_ns()}" if self._has_seq else ""
         self.spark.sql(
-            f"INSERT INTO {self.table} VALUES "
-            f"('{pid}', '{ver}', '{doc}', {time.time_ns()})"
+            f"INSERT INTO {self.table} VALUES ('{pid}', '{ver}', '{doc}'{seq})"
         )
 
     def get(self, product_id: str, version: str) -> Optional[DataProduct]:
         self._ensure()
         pid = product_id.replace("'", "''")
         ver = version.replace("'", "''")
-        rows = (
-            self.spark.table(self.table)
-            .where(f"id = '{pid}' AND version = '{ver}'")
-            .orderBy("seq", ascending=False)  # latest put wins
-            .select("document")
-            .limit(1)
-            .collect()
+        df = self.spark.table(self.table).where(
+            f"id = '{pid}' AND version = '{ver}'"
         )
+        if self._has_seq:
+            df = df.orderBy("seq", ascending=False)  # latest put wins
+        rows = df.select("document").limit(1).collect()
         if not rows:
             return None
         return DataProduct.from_dict(json.loads(rows[0][0]))

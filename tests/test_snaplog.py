@@ -925,3 +925,92 @@ def test_read_plan_stays_joinless_without_deletion_vectors(spark, tmp_path):
     t.delete([("k", "=", 5)], strategy="merge_on_read")
     plan = t.read()._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+class _RivalClaimer:
+    """Claimer that lets a rival commit land FIRST, once, so the caller's
+    first claim attempt loses the race and must retry."""
+
+    def __init__(self, rival_fn):
+        from dc43_spark.io.snaplog import LinkCommitClaimer
+
+        self._inner = LinkCommitClaimer()
+        self._rival_fn = rival_fn
+        self._fired = False
+
+    def claim(self, log_dir, dest_name, payload):
+        if not self._fired:
+            self._fired = True
+            self._rival_fn()  # rival claims this very version
+        return self._inner.claim(log_dir, dest_name, payload)
+
+
+def test_append_racing_schema_evolution_keeps_evolved_schema(spark, tmp_path):
+    """ADVICE r7 (medium): an append whose commit loses the race to a
+    concurrent schema-evolving commit must re-derive its schema_json
+    against the NEW head — recording the pre-race schema at a later
+    version would roll the table schema back and silently NULL the
+    evolved column on every read."""
+    path = str(tmp_path / "t")
+    base = SnaplogTable(spark, path)
+    base.write(_df(spark, [(1, "a")]), mode="overwrite")
+
+    def rival():
+        # an independent handle lands an additive evolution (adds w)
+        wide = spark.createDataFrame([(50, "e", 5.0)], "k long, v string, w double")
+        SnaplogTable(spark, path).write(wide, mode="append", merge_schema=True)
+
+    t = SnaplogTable(spark, path)
+    t.claimer = _RivalClaimer(rival)
+    t.write(_df(spark, [(2, "b")]), mode="append", merge_schema=True)
+
+    # the append landed AFTER the evolution and must carry the union schema
+    assert t.read().columns == ["k", "v", "w"]
+    got = {(r.k, r.v, r.w) for r in t.read().collect()}
+    assert got == {(1, "a", None), (50, "e", 5.0), (2, "b", None)}
+
+
+def test_append_racing_evolution_without_merge_schema_raises(spark, tmp_path):
+    """Same race without merge_schema: the retry re-checks against the
+    evolved head and fails fast instead of silently rolling it back."""
+    path = str(tmp_path / "t")
+    base = SnaplogTable(spark, path)
+    base.write(_df(spark, [(1, "a")]), mode="overwrite")
+
+    def rival():
+        wide = spark.createDataFrame([(50, "e", 5.0)], "k long, v string, w double")
+        SnaplogTable(spark, path).write(wide, mode="append", merge_schema=True)
+
+    t = SnaplogTable(spark, path)
+    t.claimer = _RivalClaimer(rival)
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        t.write(_df(spark, [(2, "b")]), mode="append")
+    # rival's evolution is intact
+    assert t.read().columns == ["k", "v", "w"]
+
+
+def test_vacuum_sweeps_orphaned_cdc_and_staging(spark, tmp_path):
+    """ADVICE r7 (low): CDC files staged by a conflicted/crashed row-level
+    op belong to no manifest and must not leak; same for staging dirs and
+    claimer temp manifests."""
+    t = SnaplogTable(spark, str(tmp_path / "t"), change_feed=True)
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    t.delete([("k", "=", 1)])  # real CDC for v1
+    real_cdc = {
+        e["path"] for e in t._read_commit(1)["cdc"]
+    }
+    assert real_cdc
+    # orphans: a CDC parquet no manifest references, a staging dir, a tmp
+    orphan = os.path.join(t.cdc_dir, "part-orphan-deadbeef.parquet")
+    open(orphan, "wb").write(b"not really parquet")
+    os.makedirs(os.path.join(t.path, "_staging_dead"), exist_ok=True)
+    open(os.path.join(t.log_dir, "xyz.tmp"), "w").write("{}")
+
+    t.vacuum(keep_versions=10)  # every version retained -> no real deletes
+
+    assert not os.path.exists(orphan)
+    assert not os.path.isdir(os.path.join(t.path, "_staging_dead"))
+    assert not os.path.exists(os.path.join(t.log_dir, "xyz.tmp"))
+    for rel in real_cdc:  # referenced CDC of retained versions survives
+        assert os.path.exists(os.path.join(t.path, rel))
+    assert {r.k for r in t.read().collect()} == {2}

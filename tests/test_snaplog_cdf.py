@@ -214,3 +214,32 @@ def test_zero_change_merge_keeps_feed_readable(spark, tmp_path):
     assert t.version() == 2 and _changes(t, 2, 2) == []
     # the whole feed stitches cleanly across the empty commits
     assert len(_changes(t, 0)) == 1
+
+
+def test_overwrite_with_active_dvs_does_not_double_delete(spark, tmp_path):
+    """ADVICE r7 (medium): an overwrite while merge-on-read deletion
+    vectors are active derives its delete events from the removed files —
+    rows ALREADY deleted by the DV commit's own CDC must be subtracted or
+    a CDC consumer (e.g. an IVM view) double-counts the delete."""
+    t = SnaplogTable(spark, str(tmp_path / "t"), change_feed=True)
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), mode="overwrite")  # v0
+    t.delete([("k", "=", 2)], strategy="merge_on_read")  # v1: CDC delete of (2,b)
+    t.write(_df(spark, [(9, "z")]), mode="overwrite")  # v2: removes v0's files
+
+    # v2 deletes only the rows still LIVE before it: (1,a) and (3,c)
+    assert sorted(_changes(t, 2, 2)) == [
+        (1, "a", "delete", 2),
+        (3, "c", "delete", 2),
+        (9, "z", "insert", 2),
+    ]
+    # across the whole feed, k=2 is deleted exactly once (at v1)
+    full = _changes(t, 0)
+    assert [c for c in full if c[0] == 2 and c[2] == "delete"] == [(2, "b", "delete", 1)]
+    # signed replay of the feed reproduces the head exactly
+    live = {}
+    for k, v, typ, _ in sorted(full, key=lambda c: c[3]):
+        if typ in ("insert", "update_postimage"):
+            live[k] = v
+        elif typ in ("delete",):
+            live.pop(k, None)
+    assert live == {9: "z"}

@@ -225,3 +225,49 @@ def test_stream_starting_version_latest(registered, tmp_path):
     t.write(registered.createDataFrame([(2, "new")], "k long, v string"))
     got = _run_stream(registered, path, cp, out, startingVersion="latest")
     assert [r.k for r in got.collect()] == [2]
+
+
+def test_batch_cdc_validates_version_range(registered, tmp_path):
+    """ADVICE r7 (low): out-of-range startingVersion/endingVersion raise
+    the same descriptive error table_changes uses, not a raw
+    FileNotFoundError (or a silent empty read for negative starts)."""
+    path = str(tmp_path / "t")
+    t = SnaplogTable(registered, path)
+    t.write(
+        registered.createDataFrame([(1, "a")], "k long, v string"), mode="overwrite"
+    )
+    for opts in ({"endingVersion": "99"}, {"startingVersion": "-3"}):
+        reader = (
+            registered.read.format("snaplog")
+            .option("readChangeFeed", "true")
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        with pytest.raises(Exception, match="change range"):
+            reader.load(path).collect()
+
+
+def test_batch_cdc_masks_dv_deleted_rows_on_overwrite(registered, tmp_path):
+    """ADVICE r7 (medium), data-source twin: remove-derived delete
+    partitions mask rows an active deletion vector already deleted."""
+    path = str(tmp_path / "t")
+    t = SnaplogTable(registered, path, change_feed=True)
+    t.write(
+        registered.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ),
+        mode="overwrite",
+    )
+    t.delete([("k", "=", 2)], strategy="merge_on_read")  # v1
+    t.write(
+        registered.createDataFrame([(9, "z")], "k long, v string"), mode="overwrite"
+    )  # v2
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in registered.read.format("snaplog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2")
+        .load(path)
+        .collect()
+    )
+    assert got == [(1, "a", "delete"), (3, "c", "delete"), (9, "z", "insert")]

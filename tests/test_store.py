@@ -126,3 +126,39 @@ def test_spark_table_stores_put_is_replace(spark):
     p2.status = "active"
     ps.put(p2)
     assert ps.get("pr.p", "1.0.0").status == "active"
+
+
+def test_spark_table_store_migrates_legacy_3col_layout(spark):
+    """ADVICE r7 (low): a pre-seq (id, version, document) table must be
+    evolved in place (ALTER TABLE ADD COLUMNS) — CREATE IF NOT EXISTS
+    alone left put() failing on INSERT arity and get() unable to resolve
+    orderBy('seq'). Legacy rows stay readable; re-puts win."""
+    import json as _json
+
+    from dc43_spark.contracts.model import Contract, SchemaObject, SchemaProperty
+    from dc43_spark.contracts.store import SparkTableContractStore
+
+    table = "default.legacy_contracts"
+    spark.sql(
+        f"CREATE TABLE {table} (id STRING, version STRING, document STRING) "
+        "USING parquet"
+    )
+    legacy = Contract(
+        id="lg.c", version="1.0.0", status="draft",
+        schema_objects=[SchemaObject(name="t", properties=[
+            SchemaProperty("k", "bigint", required=True),
+        ])],
+    )
+    doc = _json.dumps(legacy.to_dict(), sort_keys=True).replace("'", "''")
+    spark.sql(f"INSERT INTO {table} VALUES ('lg.c', '1.0.0', '{doc}')")
+
+    store = SparkTableContractStore(spark, table)
+    # legacy row is readable through the migrated store
+    assert store.get("lg.c", "1.0.0").status == "draft"
+    # re-put wins over the seq-NULL legacy row (desc sort, NULLS LAST)
+    flipped = Contract.from_dict(legacy.to_dict())
+    flipped.status = "active"
+    store.put(flipped)
+    assert store.get("lg.c", "1.0.0").status == "active"
+    assert store.versions("lg.c") == ["1.0.0"]
+    assert "seq" in [f.name for f in spark.table(table).schema.fields]
