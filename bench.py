@@ -83,11 +83,18 @@ HEADLINE = [
     "streaming_events_hourly",
     "streaming_dedup_events",
     "streaming_user_sessions",
+    "cdf_batch_orders",
+    "mor_delete_orders",
+    "snaplog_stream_orders",
     # governed IO (write + merge + versioned read round-trips)
     "merge_upsert_orders",
     "versioned_read_orders",
     # CDC + incremental view maintenance through the snaplog change feed
     "ivm_cdc_orders",
+    # r8: snaplog table-format core (batch CDF, deletion vectors, stream src)
+    "cdf_batch_orders",
+    "mor_delete_orders",
+    "snaplog_stream_orders",
     # governance orchestration (metrics -> verdict -> stores -> read-back)
     "governance_verdict_orders",
     "profile_orders",

@@ -246,20 +246,179 @@ GROUP BY o_orderstatus
 """
 
 
+def q_cdf_batch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch change data feed (Delta's ``table_changes``): a MERGE's
+    row-level change rows read back from the snaplog CDC (io/snaplog.py
+    ``table_changes``), hash-checked against the oracle's reconstruction
+    of the delta between the two snapshots.
+
+    v0 overwrite = the even-key slice; v1 merge (source = the %3 slice
+    with status 'U' and doubled cents, delete where custkey % 10 = 0).
+    Matched keys are exactly %6 == 0, so every CDF event class is
+    derivable in closed form: update_preimage/postimage for matched
+    non-deleted keys, delete for the matched custkey%10 rows, insert for
+    the odd %3 keys. Any drift in CDC tagging, the preimage join, or
+    commit attribution flips rows between classes and breaks the hash."""
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    base = _orders_base(spark, sf_dir)
+    path = os.path.join(_scratch(sf_dir, "cdf"), "orders")
+    table = SnaplogTable(spark, path, change_feed=True)
+    table.write(
+        base.filter(F.col("o_orderkey") % 2 == 0)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        mode="overwrite",
+    )
+    source = (
+        base.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice_cents", F.col("o_totalprice_cents") * 2)
+    )
+    table.merge(
+        source, ["o_orderkey"], delete_predicate="s.o_custkey % 10 = 0"
+    )
+    return table.table_changes(1, 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice_cents",
+        F.col("_change_type").alias("change_type"),
+    )
+
+
+_CDF_BATCH_SQL = f"""
+WITH base AS ({_BASE_SQL})
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice_cents,
+       'update_preimage' AS change_type
+FROM base WHERE o_orderkey % 6 = 0 AND o_custkey % 10 <> 0
+UNION ALL
+SELECT o_orderkey, o_custkey, 'U', o_totalprice_cents * 2, 'update_postimage'
+FROM base WHERE o_orderkey % 6 = 0 AND o_custkey % 10 <> 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice_cents, 'delete'
+FROM base WHERE o_orderkey % 6 = 0 AND o_custkey % 10 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, 'U', o_totalprice_cents * 2, 'insert'
+FROM base WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+"""
+
+
+def q_mor_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (deletion vectors) + materialize: v1 DV-delete
+    (custkey < 50), v2 ``materialize_deletes`` folds the vectors into a
+    bounded rewrite, v3 a SECOND DV-delete (price > 200k), and the final
+    read subtracts the active vectors with the broadcast anti-join
+    (io/snaplog.py ``_delete_merge_on_read`` / ``materialize_deletes``).
+    Oracle = the even slice minus both predicates; in-gate asserts pin
+    the physical strategy (zero files rewritten by MOR deletes, >0 by
+    materialize) so the gate can't silently degrade to copy-on-write."""
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    base = _orders_base(spark, sf_dir)
+    path = os.path.join(_scratch(sf_dir, "mor"), "orders")
+    table = SnaplogTable(spark, path)
+    table.write(
+        base.filter(F.col("o_orderkey") % 2 == 0)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        mode="overwrite",
+    )
+    st1 = table.delete([("o_custkey", "<", 50)], strategy="merge_on_read")
+    assert st1.files_rewritten == 0 and st1.rows_before > 0, st1
+    assert table.materialize_deletes() > 0
+    st2 = table.delete(
+        [("o_totalprice_cents", ">", 20_000_000)], strategy="merge_on_read"
+    )
+    assert st2.files_rewritten == 0 and st2.rows_before > 0, st2
+    return table.read()
+
+
+_MOR_DELETE_SQL = f"""
+WITH base AS ({_BASE_SQL})
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice_cents
+FROM base
+WHERE o_orderkey % 2 = 0
+  AND NOT (o_custkey < 50)
+  AND NOT (o_totalprice_cents > 20000000)
+"""
+
+
+def q_snaplog_stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snaplog as a STREAMING source (io/snaplog_source.py): the commit
+    log served as exactly-once offsets through the registered PySpark
+    data source. Two availableNow passes share one checkpoint — the
+    first consumes v0+v1, a new commit lands, the second consumes ONLY
+    v2 — so the cumulative sink equals the multiset union of the three
+    appended slices (which overlap: e.g. key 6 is in both the even and
+    %5==1 slices). A replayed or skipped commit changes the multiset and
+    breaks the hash."""
+    from dc43_spark.io.snaplog import SnaplogTable
+    from dc43_spark.io.snaplog_source import SnaplogDataSource
+
+    spark.dataSource.register(SnaplogDataSource)
+    base = _orders_base(spark, sf_dir)
+    root = _scratch(sf_dir, "stream")
+    path = os.path.join(root, "orders")
+    out = os.path.join(root, "out")
+    cp = os.path.join(root, "cp")
+    table = SnaplogTable(spark, path)
+    table.write(
+        base.filter(F.col("o_orderkey") % 2 == 0)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        mode="overwrite",
+    )
+    table.write(base.filter(F.col("o_orderkey") % 5 == 1), mode="append")
+
+    def run_pass():
+        q = (
+            spark.readStream.format("snaplog")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_pass()  # consumes v0 + v1
+    table.write(base.filter(F.col("o_orderkey") % 7 == 3), mode="append")
+    run_pass()  # same checkpoint: consumes ONLY v2
+    return spark.read.parquet(out)
+
+
+_SNAPLOG_STREAM_SQL = f"""
+WITH base AS ({_BASE_SQL})
+SELECT * FROM base WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT * FROM base WHERE o_orderkey % 5 = 1
+UNION ALL
+SELECT * FROM base WHERE o_orderkey % 7 = 3
+"""
+
+
 IO_QUERIES = {
     "merge_upsert_orders": q_merge_upsert_orders,
     "versioned_read_orders": q_versioned_read_orders,
+    # r8 rotation (VERDICT r7 #1): the r7 table-format core under hard
+    # driver-oracle rows — IVM, batch CDF, deletion vectors, streaming src
+    "ivm_cdc_orders": q_ivm_cdc_orders,
+    "cdf_batch_orders": q_cdf_batch_orders,
+    "mor_delete_orders": q_mor_delete_orders,
+    "snaplog_stream_orders": q_snaplog_stream_orders,
 }
 
 IO_ORACLES = {
     "merge_upsert_orders": _MERGE_UPSERT_SQL,
     "versioned_read_orders": _VERSIONED_READ_SQL,
-}
-
-EXTRA_QUERIES = {
-    "ivm_cdc_orders": q_ivm_cdc_orders,
-}
-
-EXTRA_ORACLES = {
     "ivm_cdc_orders": _IVM_CDC_SQL,
+    "cdf_batch_orders": _CDF_BATCH_SQL,
+    "mor_delete_orders": _MOR_DELETE_SQL,
+    "snaplog_stream_orders": _SNAPLOG_STREAM_SQL,
 }
+
+EXTRA_QUERIES = {}
+
+EXTRA_ORACLES = {}

@@ -1338,7 +1338,6 @@ _NORMALIZE = (
 
 SCALE_QUERIES = {
     "dedup_exact_documents": q_dedup_exact_documents,
-    "lang_id_documents": q_lang_id_documents,
     "simhash_documents": q_simhash_documents,
     "near_dup_pairs_documents": q_near_dup_pairs_documents,
     "minhash_near_dup_documents": q_minhash_near_dup_documents,
@@ -1352,12 +1351,9 @@ SCALE_QUERIES = {
     "ann_ivf_int8_embeddings": q_ann_ivf_int8_embeddings,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
-    "top_parts_by_revenue": q_top_parts_by_revenue,
-    "json_props_events": q_json_props_events,
     "asof_purchase_attribution": q_asof_purchase_attribution,
     "interval_join_sessions": q_interval_join_sessions,
     "events_rollup": q_events_rollup,
-    "salted_orders_by_nation": q_salted_orders_by_nation,
     "user_sessions_events": q_user_sessions_events,
     "streaming_events_hourly": q_streaming_events_hourly,
     "streaming_dedup_events": q_streaming_dedup_events,
@@ -1369,7 +1365,6 @@ SCALE_ORACLES = {
         "SELECT min(doc_id) AS doc_id, md5(text) AS fp, "
         "CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY md5(text)"
     ),
-    "lang_id_documents": _lang_id_sql(),
     "simhash_documents": _simhash_sql(),
     "near_dup_pairs_documents": _near_dup_sql(" WHERE doc_id < 2000"),
     "minhash_near_dup_documents": _near_dup_sql(),  # LSH must agree with exact here
@@ -1385,13 +1380,9 @@ SCALE_ORACLES = {
     "ann_ivf_int8_embeddings": _KNN_SQL,
     "pricing_summary": _PRICING_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,
-    "top_parts_by_revenue": _TOP_PARTS_SQL,
-    "json_props_events": _JSON_PROPS_SQL,
     "asof_purchase_attribution": _ASOF_ATTRIBUTION_SQL,
     "interval_join_sessions": _INTERVAL_JOIN_SESSIONS_SQL,
     "events_rollup": _EVENTS_ROLLUP_SQL,
-    # salted join is row-identical to the plain join, same oracle
-    "salted_orders_by_nation": _ORDERS_BY_NATION_SQL,
     "user_sessions_events": _USER_SESSIONS_SQL,
     # streaming result is the batch aggregation (complete mode, epoch-aligned
     # tumbling windows) — the batch oracle applies verbatim
@@ -1549,6 +1540,18 @@ EXTRA_QUERIES = {
     "text_stats_documents": q_text_stats_documents,
     "frame_plan_documents": q_frame_plan_documents,
     "knn_embeddings": q_knn_embeddings,
+    # r8 rotation (VERDICT r7 #1): displaced for the snaplog table-format
+    # gates (ivm/cdf/mor-delete/stream source) — each subsumed by a richer
+    # surviving gate: lang_id by quality/corpus_filter (same n-gram text
+    # kernel family), json_props by events_rollup (same events JSON
+    # projections under a richer agg), salted_orders_by_nation by
+    # top_customers (same broadcast-dim join; the salting twin is
+    # plan-pinned in test_skew), top_parts by top_customers (same
+    # revenue-top-k shape over a bigger join).
+    "lang_id_documents": q_lang_id_documents,
+    "top_parts_by_revenue": q_top_parts_by_revenue,
+    "json_props_events": q_json_props_events,
+    "salted_orders_by_nation": q_salted_orders_by_nation,
 }
 
 EXTRA_ORACLES = {
@@ -1559,6 +1562,10 @@ EXTRA_ORACLES = {
     "fingerprint_documents": f"SELECT doc_id, md5({_NORMALIZE}) AS fp FROM documents",
     "text_stats_documents": _TEXT_STATS_SQL,
     "frame_plan_documents": _FRAME_PLAN_SQL,
+    "lang_id_documents": _lang_id_sql(),
+    "top_parts_by_revenue": _TOP_PARTS_SQL,
+    "json_props_events": _JSON_PROPS_SQL,
+    "salted_orders_by_nation": _ORDERS_BY_NATION_SQL,
     "knn_embeddings": _KNN_SQL,
 }
 
