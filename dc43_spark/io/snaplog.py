@@ -158,6 +158,12 @@ class FileEntry:
     rows: int
     bytes: int
     stats: dict  # {col: {"min": v, "max": v, "nulls": n}} (prunable cols only)
+    # hive-style partition values for this file ({col: value}, JSON
+    # scalars, None = NULL partition); empty for unpartitioned tables.
+    # Partition values are ALSO folded into ``stats`` as exact
+    # min==max envelopes, so every pruning path (read filters, merge
+    # key ranges, pushed filters) short-circuits on them for free.
+    partition: dict = field(default_factory=dict)
 
 
 @dataclass(frozen=True)
@@ -170,6 +176,10 @@ class Snapshot:
     # path, rows). Empty unless delete(strategy="merge_on_read") ran
     # since the last materialize.
     dvs: tuple[FileEntry, ...] = ()
+    # hive-style partition columns this snapshot's files are laid out by
+    # (Delta's partitionBy): () = unpartitioned. Scans of a partitioned
+    # snapshot reconstruct the columns from the directory structure.
+    partition_by: tuple = ()
 
     @property
     def rows(self) -> int:
@@ -254,6 +264,73 @@ def _footer_stats(abs_path: str) -> tuple[int, int, dict]:
                 except TypeError:  # incomparable across groups -> disqualify
                     acc[name] = None
     return rows, size, {k: v for k, v in acc.items() if v is not None}
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _parse_partition_dirs(rel_dir: str, partition_by: Sequence[str], schema) -> dict:
+    """``region=us/n=10`` (as written by Spark's partitionBy) -> typed
+    {col: value}. Values are URL-decoded; ``__HIVE_DEFAULT_PARTITION__``
+    is NULL; types come from the table schema (a failed conversion keeps
+    the raw string — reads stay exact via Spark's own path parsing, the
+    file just loses exact-stats pruning on that column)."""
+    from urllib.parse import unquote
+
+    out: dict = {}
+    parts = [p for p in rel_dir.split(os.sep) if p]
+    if len(parts) != len(partition_by):
+        raise ValueError(
+            f"staged file dir {rel_dir!r} does not match partition spec "
+            f"{list(partition_by)}"
+        )
+    types = {f.name: f.dataType for f in schema.fields}
+    for col, seg in zip(partition_by, parts):
+        name, _, raw = seg.partition("=")
+        if name != col:
+            raise ValueError(
+                f"staged dir segment {seg!r} does not match partition column {col!r}"
+            )
+        raw = unquote(raw)
+        if raw == _HIVE_NULL:
+            out[col] = None
+            continue
+        out[col] = _typed_partition_value(raw, types.get(col))
+    return out
+
+
+def _typed_partition_value(raw: str, dtype):
+    """Directory-name string -> python value of the column's Spark type
+    (the same JSON-scalar family _json_safe produces for footer stats)."""
+    import datetime
+
+    if dtype is None:
+        return raw
+    s = dtype.simpleString()
+    try:
+        if s in ("bigint", "int", "smallint", "tinyint"):
+            return int(raw)
+        if s in ("double", "float"):
+            return float(raw)
+        if s == "boolean":
+            return raw.lower() == "true"
+        if s == "date":
+            return datetime.date.fromisoformat(raw).isoformat()
+        return raw
+    except ValueError:
+        return raw
+
+
+def _partition_stats(partition: dict, rows: int) -> dict:
+    """Exact min==max stats envelopes from partition values — every row
+    of the file carries the value, so pruning on them is EXACT for every
+    filter op (incl. != / not in, where a real range could not prune)."""
+    out = {}
+    for col, v in partition.items():
+        if v is None:
+            continue  # all-NULL partition: no envelope; files stay candidates
+        out[col] = {"min": v, "max": v, "nulls": 0}
+    return out
 
 
 def _commit_name(version: int) -> str:
@@ -517,18 +594,22 @@ class SnaplogTable:
         files: dict[str, FileEntry] = {}
         dvs: list[FileEntry] = []
         schema_json: Optional[str] = None
+        partition_by: tuple = ()
         cps = [c for c in self._checkpoint_versions() if c <= version]
         if cps:
-            with open(os.path.join(self.log_dir, _checkpoint_name(cps[-1]))) as fh:
-                cp = json.load(fh)
+            cp = self._read_checkpoint(cps[-1])
             files = {
-                e["path"]: FileEntry(e["path"], e["rows"], e["bytes"], e.get("stats", {}))
+                e["path"]: FileEntry(
+                    e["path"], e["rows"], e["bytes"], e.get("stats", {}),
+                    e.get("partition", {}),
+                )
                 for e in cp["files"]
             }
             dvs = [
                 FileEntry(e["path"], e["rows"], 0, {}) for e in cp.get("dvs", [])
             ]
             schema_json = cp.get("schema_json")
+            partition_by = tuple(cp.get("partition_by", ()))
             start = cps[-1] + 1
         ts = 0.0
         for v in range(start, version + 1):
@@ -538,13 +619,16 @@ class SnaplogTable:
                 files.pop(name, None)
             for e in commit.get("add", []):
                 files[e["path"]] = FileEntry(
-                    e["path"], e["rows"], e["bytes"], e.get("stats", {})
+                    e["path"], e["rows"], e["bytes"], e.get("stats", {}),
+                    e.get("partition", {}),
                 )
             if commit.get("dv_clear"):
                 dvs = []
             for e in commit.get("dv_add", []):
                 dvs.append(FileEntry(e["path"], e["rows"], 0, {}))
             schema_json = commit.get("schema_json") or schema_json
+            if "partition_by" in commit:
+                partition_by = tuple(commit["partition_by"])
         if start > version and cps:  # snapshot == checkpoint version
             ts = cp["timestamp"]
         return Snapshot(
@@ -553,6 +637,7 @@ class SnaplogTable:
             files=tuple(sorted(files.values(), key=lambda f: f.path)),
             schema_json=schema_json,
             dvs=tuple(dvs),
+            partition_by=partition_by,
         )
 
     def history(self) -> list[CommitInfo]:
@@ -622,7 +707,15 @@ class SnaplogTable:
         reader = self.spark.read.format("parquet")
         if schema is not None:
             reader = reader.schema(schema)
+        if snap.partition_by:
+            # hive-layout files: Spark reconstructs the partition columns
+            # from the col=val directories under data/ (typed by the
+            # explicit snapshot schema); it APPENDS them after the file
+            # columns, so re-project to the recorded column order
+            reader = reader.option("basePath", self.data_dir)
         df = reader.load(paths)
+        if snap.partition_by and schema is not None:
+            df = df.select(*[f.name for f in schema.fields])
         if snap.dvs:
             cols = df.columns
             dv = self.spark.read.parquet(
@@ -645,33 +738,55 @@ class SnaplogTable:
     # ---------------- commit machinery
 
     def _stage_files(
-        self, df: DataFrame, *, dest_dir: Optional[str] = None
+        self,
+        df: DataFrame,
+        *,
+        dest_dir: Optional[str] = None,
+        partition_by: Sequence[str] = (),
     ) -> list[FileEntry]:
         """Write ``df`` into data/ (or ``dest_dir``, e.g. the change-data
         dir) via a staging dir; files stay invisible (no manifest
-        references them) until the commit lands."""
+        references them) until the commit lands. With ``partition_by``
+        the hive-style ``col=value`` layout is preserved under data/ and
+        each entry records its typed partition values (folded into stats
+        as exact min==max envelopes — see FileEntry)."""
         dest_root = dest_dir or self.data_dir
         rel_root = os.path.relpath(dest_root, self.path)
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
         os.makedirs(dest_root, exist_ok=True)
         entries = []
         try:
-            for name in sorted(os.listdir(staging)):
-                if not name.endswith(".parquet") or name.startswith((".", "_")):
-                    continue
-                # Spark part names embed a task-attempt UUID — globally unique
-                dest = os.path.join(dest_root, name)
-                os.rename(os.path.join(staging, name), dest)
-                rows, size, stats = _footer_stats(dest)
-                if rows == 0:
-                    # schema travels in the commit's schema_json; a 0-row
-                    # part (empty overwrite, whole-file delete) adds noise
-                    os.unlink(dest)
-                    continue
-                entries.append(
-                    FileEntry(f"{rel_root}/{name}", rows, size, stats)
+            for root, _dirs, names in os.walk(staging):
+                rel_dir = os.path.relpath(root, staging)
+                partition = (
+                    _parse_partition_dirs(rel_dir, partition_by, df.schema)
+                    if partition_by and rel_dir != "."
+                    else {}
                 )
+                if partition_by and rel_dir == "." :
+                    continue  # only _SUCCESS/marker files live at the root
+                for name in sorted(names):
+                    if not name.endswith(".parquet") or name.startswith((".", "_")):
+                        continue
+                    # Spark part names embed a task-attempt UUID — globally unique
+                    sub = "" if rel_dir == "." else rel_dir + "/"
+                    os.makedirs(os.path.join(dest_root, rel_dir), exist_ok=True)
+                    dest = os.path.join(dest_root, sub, name)
+                    os.rename(os.path.join(root, name), dest)
+                    rows, size, stats = _footer_stats(dest)
+                    if rows == 0:
+                        # schema travels in the commit's schema_json; a 0-row
+                        # part (empty overwrite, whole-file delete) adds noise
+                        os.unlink(dest)
+                        continue
+                    stats.update(_partition_stats(partition, rows))
+                    entries.append(
+                        FileEntry(f"{rel_root}/{sub}{name}", rows, size, stats, partition)
+                    )
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return entries
@@ -682,6 +797,10 @@ class SnaplogTable:
             self.log_dir, _commit_name(version), json.dumps(record)
         )
 
+    def _read_checkpoint(self, version: int) -> dict:
+        with open(os.path.join(self.log_dir, _checkpoint_name(version))) as fh:
+            return json.load(fh)
+
     def _maybe_checkpoint(self, version: int) -> None:
         if version == 0 or version % self.checkpoint_interval != 0:
             return
@@ -690,8 +809,9 @@ class SnaplogTable:
             "version": version,
             "timestamp": snap.timestamp,
             "schema_json": snap.schema_json,
+            "partition_by": list(snap.partition_by),
             "files": [
-                {"path": f.path, "rows": f.rows, "bytes": f.bytes, "stats": f.stats}
+                self._entry_record(f)
                 for f in snap.files
             ],
             "dvs": [{"path": f.path, "rows": f.rows} for f in snap.dvs],
@@ -700,6 +820,13 @@ class SnaplogTable:
         with os.fdopen(fd, "w") as fh:
             json.dump(record, fh)
         os.replace(tmp, os.path.join(self.log_dir, _checkpoint_name(version)))
+
+    @staticmethod
+    def _entry_record(f: FileEntry) -> dict:
+        rec = {"path": f.path, "rows": f.rows, "bytes": f.bytes, "stats": f.stats}
+        if f.partition:
+            rec["partition"] = f.partition
+        return rec
 
     def _commit(
         self,
@@ -716,6 +843,7 @@ class SnaplogTable:
         dv_add: Sequence[FileEntry] = (),
         dv_clear: bool = False,
         schema_fn=None,
+        partition_by: Optional[Sequence[str]] = None,
     ) -> int:
         """Write one commit. ``expected_version`` pins the read snapshot
         (merge/overwrite/compact); ``retry_append`` lets blind appends chase
@@ -735,14 +863,13 @@ class SnaplogTable:
         schema back and silently NULL the evolved column on reads."""
         record = {
             "operation": operation,
-            "add": [
-                {"path": f.path, "rows": f.rows, "bytes": f.bytes, "stats": f.stats}
-                for f in add
-            ],
+            "add": [self._entry_record(f) for f in add],
             "remove": list(remove),
         }
         if schema_json:
             record["schema_json"] = schema_json
+        if partition_by is not None:
+            record["partition_by"] = list(partition_by)
         if txn:
             record["txn"] = dict(txn)
         if cdc is not None:
@@ -899,20 +1026,32 @@ class SnaplogTable:
         *,
         merge_schema: bool = False,
         txn: Optional[dict] = None,
+        partition_by: Optional[Sequence[str]] = None,
     ) -> int:
         """Transactional append/overwrite; returns the committed version.
         ``merge_schema=True`` allows additive column evolution on append
         (see ``_check_append_schema``). ``txn`` stamps the manifest (see
-        ``merge``); for skip-on-replay idempotence use ``write_txn``."""
+        ``merge``); for skip-on-replay idempotence use ``write_txn``.
+
+        ``partition_by`` (Delta's partitionBy) lays files out hive-style
+        (``data/col=val/...``) and records each file's partition values
+        in the manifest — exact pruning for read filters, merge key
+        ranges, and the data source's pushed filters, with zero reliance
+        on footer stats. The spec is a TABLE property: set it on the
+        first write (or change it with overwrite, which replaces every
+        file); appends inherit it automatically and raise on an explicit
+        mismatch."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"snaplog write mode must be append|overwrite, got {mode!r}")
         if CHANGE_TYPE_COL in df.columns:
             raise ValueError(
                 f"column name {CHANGE_TYPE_COL!r} is reserved for the change feed"
             )
+        if partition_by:
+            missing = sorted(c for c in partition_by if c not in df.columns)
+            if missing:
+                raise ValueError(f"partition_by columns not in DataFrame: {missing}")
         schema_json = df.schema.json()
-        if mode == "append":
-            self._check_append_schema(df, merge_schema)  # fail before staging
         if mode == "overwrite":
             current = self.version()
             remove = (
@@ -920,7 +1059,8 @@ class SnaplogTable:
                 if current is not None
                 else []
             )
-            added = self._stage_files(df)
+            spec = tuple(partition_by or ())
+            added = self._stage_files(df, partition_by=spec)
             return self._commit(
                 "overwrite",
                 add=added,
@@ -929,17 +1069,42 @@ class SnaplogTable:
                 expected_version=current,
                 txn=txn,
                 dv_clear=True,  # removed files take their vectors with them
+                partition_by=spec,
             )
-        added = self._stage_files(df)
+        self._check_append_schema(df, merge_schema)  # fail before staging
+        current = self.version()
+        if current is None:
+            spec = tuple(partition_by or ())
+        else:
+            spec = self.snapshot(current).partition_by
+            if partition_by is not None and tuple(partition_by) != spec:
+                raise ValueError(
+                    f"append partition_by {list(partition_by)} does not match "
+                    f"the table's spec {list(spec)}; overwrite to re-partition"
+                )
+
+        def _recheck():
+            # re-derived per attempt (see _commit): an append that loses
+            # the race to a schema-evolving commit must record the EVOLVED
+            # union schema; one that loses to a concurrent RE-PARTITION
+            # has its files staged in the wrong layout and must abort
+            head = self.version()
+            head_spec = self.snapshot(head).partition_by if head is not None else spec
+            if head_spec != spec:
+                raise SnapshotConflictError(
+                    f"table {self.path} was re-partitioned concurrently "
+                    f"({list(spec)} -> {list(head_spec)}); retry the append"
+                )
+            return self._check_append_schema(df, merge_schema)
+
+        added = self._stage_files(df, partition_by=spec)
         return self._commit(
             "append",
             add=added,
             retry_append=True,
             txn=txn,
-            # re-derived per attempt (see _commit): an append that loses the
-            # race to a schema-evolving commit must record the EVOLVED union
-            # schema, not its pre-race view of the table
-            schema_fn=lambda: self._check_append_schema(df, merge_schema),
+            partition_by=spec,
+            schema_fn=_recheck,
         )
 
     # ---------------- copy-on-write MERGE
@@ -1131,7 +1296,7 @@ class SnaplogTable:
                 ),
                 dest_dir=self.cdc_dir,
             )
-        added = self._stage_files(merged)
+        added = self._stage_files(merged, partition_by=snap.partition_by)
         self._commit(
             "merge",
             add=added,
@@ -1262,13 +1427,14 @@ class SnaplogTable:
             removed = [os.path.join(self.path, p) for p in rec.get("remove", [])]
             addedp = [os.path.join(self.path, e["path"]) for e in rec.get("add", [])]
             self._require_files(removed + addedp, v)
+            pre = self.snapshot(v - 1) if removed and v > versions[0] else None
             if removed:
-                dele = self.spark.read.format("parquet").load(removed)
+                dele = self._raw_scan(removed, pre)
                 # rows already deleted by an ACTIVE deletion vector at the
                 # pre-commit snapshot were emitted as deletes by the MOR
                 # delete's own CDC — re-emitting them here would make a
                 # CDC consumer (e.g. an IVM view) double-subtract them
-                pre_dvs = self.snapshot(v - 1).dvs if v > versions[0] else ()
+                pre_dvs = pre.dvs if pre else ()
                 if pre_dvs:
                     dv_paths = [os.path.join(self.path, f.path) for f in pre_dvs]
                     self._require_files(dv_paths, v)
@@ -1292,9 +1458,9 @@ class SnaplogTable:
                 )
             if addedp:
                 frames.append(
-                    self.spark.read.format("parquet")
-                    .load(addedp)
-                    .select("*", F.lit("insert").alias(CHANGE_TYPE_COL), *stamp)
+                    self._raw_scan(addedp, self.snapshot(v)).select(
+                        "*", F.lit("insert").alias(CHANGE_TYPE_COL), *stamp
+                    )
                 )
         if not frames:
             snap = self.snapshot(end)
@@ -1331,6 +1497,17 @@ class SnaplogTable:
         # start == head+1 (caller is current) yields the typed empty frame
         return self.table_changes(start, head), head
 
+    def _raw_scan(self, paths: Sequence[str], snap: Optional[Snapshot]) -> DataFrame:
+        """Plain multi-path read of table data files under a snapshot's
+        schema/partition layout (no DV subtraction) — the change feed's
+        building block for add/remove-derived events."""
+        reader = self.spark.read.format("parquet")
+        if snap is not None and snap.schema_json:
+            reader = reader.schema(T.StructType.fromJson(json.loads(snap.schema_json)))
+        if snap is not None and snap.partition_by:
+            reader = reader.option("basePath", self.data_dir)
+        return reader.load(list(paths))
+
     def _require_files(self, paths: Sequence[str], version: int) -> None:
         missing = [p for p in paths if not os.path.exists(p)]
         if missing:
@@ -1362,6 +1539,8 @@ class SnaplogTable:
         reader = self.spark.read.format("parquet")
         if schema is not None:
             reader = reader.schema(schema)
+        if snap.partition_by:
+            reader = reader.option("basePath", self.data_dir)
         df = reader.load(paths)
         return df.select(
             "*",
@@ -1441,7 +1620,7 @@ class SnaplogTable:
             (keyed["_dv_file"] == dv["file"]) & (keyed["_dv_pos"] == dv["pos"]),
             "left_anti",
         ).drop("_dv_file", "_dv_pos")
-        added = self._stage_files(kept)
+        added = self._stage_files(kept, partition_by=snap.partition_by)
         self._commit(
             "materialize",
             add=added,
@@ -1527,7 +1706,7 @@ class SnaplogTable:
                 ),
                 dest_dir=self.cdc_dir,
             )
-        added = self._stage_files(keep)
+        added = self._stage_files(keep, partition_by=snap.partition_by)
         self._commit(
             "delete",
             add=added,
@@ -1598,7 +1777,7 @@ class SnaplogTable:
                 F.lit("update_postimage").alias(CHANGE_TYPE_COL),
             )
             cdc = self._stage_files(pre.unionByName(post), dest_dir=self.cdc_dir)
-        added = self._stage_files(rewritten)
+        added = self._stage_files(rewritten, partition_by=snap.partition_by)
         self._commit(
             "update",
             add=added,
@@ -1640,6 +1819,12 @@ class SnaplogTable:
             raise FileNotFoundError(f"no snaplog table at {self.path}")
         snap = self.snapshot(current)
         self._require_no_dvs(snap, "compact")
+        if snap.partition_by and (cluster_by or zorder_by):
+            raise ValueError(
+                "cluster_by/zorder_by compaction on a hive-partitioned "
+                f"table ({list(snap.partition_by)}) is not supported; "
+                "plain compact() preserves the partition layout"
+            )
         threshold = target_file_mb * 1024 * 1024
         small = [f for f in snap.files if f.bytes < threshold]
         if len(small) < min_files:
@@ -1656,7 +1841,7 @@ class SnaplogTable:
             df = df.sortWithinPartitions(*[F.col(c) for c in cluster_by])
         else:
             df = df.coalesce(n_out)
-        added = self._stage_files(df)
+        added = self._stage_files(df, partition_by=snap.partition_by)
         return self._commit(
             "compact",
             add=added,
@@ -1686,11 +1871,14 @@ class SnaplogTable:
             live.update(f.path for f in self.snapshot(v).files)
         deleted = 0
         if os.path.isdir(self.data_dir):
-            for name in os.listdir(self.data_dir):
-                rel = f"{DATA_DIR}/{name}"
-                if name.endswith(".parquet") and rel not in live:
-                    os.unlink(os.path.join(self.data_dir, name))
-                    deleted += 1
+            # recursive: partitioned tables nest files under col=val dirs
+            for root, _dirs, names in os.walk(self.data_dir):
+                for name in names:
+                    abs_p = os.path.join(root, name)
+                    rel = os.path.relpath(abs_p, self.path)
+                    if name.endswith(".parquet") and rel not in live:
+                        os.unlink(abs_p)
+                        deleted += 1
         # deletion-vector files not referenced by any retained snapshot
         live_dvs = set()
         for v in retained:

@@ -125,13 +125,23 @@ def _arrow_batches(partition: _FilePartition, schema: T.StructType):
         arrays = []
         for f in schema.fields:
             if f.name in extra:
-                arrays.append(
-                    pa.array([extra[f.name]] * n, type=full.field(f.name).type)
-                )
+                arrays.append(_const_array(extra[f.name], full.field(f.name).type, n))
             else:
                 arrays.append(tbl.column(f.name).combine_chunks())
         tbl = pa.Table.from_arrays(arrays, schema=full)
     yield from tbl.to_batches(max_chunksize=1 << 16)
+
+
+def _const_array(value, typ, n: int):
+    """n copies of a constant as an Arrow array of ``typ``. Manifest
+    partition values are JSON scalars (dates ride as ISO strings), so
+    fall back to an untyped build + cast when the direct build refuses."""
+    import pyarrow as pa
+
+    try:
+        return pa.array([value] * n, type=typ)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError, TypeError):
+        return pa.array([value] * n).cast(typ)
 
 
 def _filters_to_tuples(filters: Sequence[Filter]) -> list[tuple]:
@@ -181,6 +191,9 @@ class SnaplogBatchReader(DataSourceReader):
         return [
             _FilePartition(
                 os.path.join(self._root, f.path),
+                # hive-partitioned files don't carry their partition
+                # columns in-file: serve the manifest values as constants
+                extra=dict(f.partition) or None,
                 deleted_positions=dv.get(os.path.basename(f.path)),
             )
             for f in self._pruned
@@ -242,14 +255,17 @@ def _cdc_commit_partitions(table: SnaplogTable, v: int, rec: dict) -> list:
             "SnaplogTable(..., change_feed=True) on the writer"
         )
     dv_pos: dict = {}
+    pre_partition: dict = {}
     if rec.get("remove"):
         pre = table.snapshot(v - 1) if v > 0 else None
         dv_pos = _dv_position_map(table.path, pre.dvs if pre else ())
+        if pre is not None:
+            pre_partition = {f.path: f.partition for f in pre.files}
     for p in rec.get("remove", []):
         parts.append(
             _FilePartition(
                 os.path.join(table.path, p),
-                {**stamp, CHANGE_TYPE_COL: "delete"},
+                {**stamp, CHANGE_TYPE_COL: "delete", **pre_partition.get(p, {})},
                 deleted_positions=dv_pos.get(os.path.basename(p)),
             )
         )
@@ -257,7 +273,7 @@ def _cdc_commit_partitions(table: SnaplogTable, v: int, rec: dict) -> list:
         parts.append(
             _FilePartition(
                 os.path.join(table.path, e["path"]),
-                {**stamp, CHANGE_TYPE_COL: "insert"},
+                {**stamp, CHANGE_TYPE_COL: "insert", **e.get("partition", {})},
             )
         )
     return parts
@@ -355,7 +371,10 @@ class SnaplogStreamReader(DataSourceStreamReader):
                 )
             for e in rec.get("add", []):
                 parts.append(
-                    _FilePartition(os.path.join(self._table.path, e["path"]), None)
+                    _FilePartition(
+                        os.path.join(self._table.path, e["path"]),
+                        e.get("partition") or None,
+                    )
                 )
         return parts
 
