@@ -12,9 +12,11 @@ Layout::
 
     <table>/
       _snaplog/
-        00000000000000000000.json             commit 0 (add/remove actions)
-        00000000000000000001.json             commit 1
-        00000000000000000010.checkpoint.json  full live-file listing
+        00000000000000000000.json                commit 0 (add/remove actions)
+        00000000000000000001.json                commit 1
+        00000000000000000010.checkpoint.parquet  full live-file listing
+                                                 (columnar; legacy .json
+                                                 checkpoints stay readable)
       data/part-...-<uuid>.parquet            immutable data files
 
 Every commit is a JSON manifest of ``add`` (new file entries with row
@@ -38,6 +40,12 @@ concurrent table rewrites.
 every ``checkpoint_interval`` commits; ``snapshot(v)`` loads the newest
 checkpoint <= v and replays only the commits after it, so reads are
 O(files + interval) no matter how long the table's history grows.
+Checkpoints are COLUMNAR parquet (Delta's move, for Delta's reason) and
+snapshots are LAZY: stats pruning runs vectorized over the arrow
+columns and per-file Python objects are built only for files that
+survive — a selective read on a 100k-file table plans in ~44 ms where
+the eager JSON form took ~1.4 s (measured: tools/snaplog_ladder.py
+--metadata, SCALE.md).
 
 **Copy-on-write MERGE.** Two-level file pruning picks the rewrite set:
 (1) driver-side min/max stats intersection against the source key range
@@ -86,6 +94,7 @@ the table logic.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
@@ -150,6 +159,71 @@ class LinkCommitClaimer:
             os.unlink(tmp)
 
 
+class HttpCommitClaimer:
+    """Object-store claimer: mutual exclusion via HTTP conditional put
+    (``PUT If-None-Match: *`` — the S3/GCS/ADLS create-if-absent
+    primitive; 412 = a rival already holds the version). After winning,
+    the manifest is PUBLISHED to the local log dir so readers see it; in
+    a real object store the accepted PUT is itself the publish, so the
+    split only exists where (as here) a filesystem mirrors the store.
+
+    Crash recovery: losing a claim whose winner died between the
+    store-accept and the publish would strand readers — so on 412 the
+    claimer GETs the winning payload and completes the publish
+    idempotently (every later writer heals the gap; same trick as
+    S3-committer "complete the other guy's commit")."""
+
+    def __init__(self, base_url: str, *, timeout: float = 10.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    def _url(self, dest_name: str) -> str:
+        from urllib.parse import quote
+
+        return f"{self.base_url}/{quote(dest_name)}"
+
+    def claim(self, log_dir: str, dest_name: str, payload: str) -> bool:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            self._url(dest_name),
+            data=payload.encode(),
+            method="PUT",
+            headers={"If-None-Match": "*", "Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                if resp.status not in (200, 201):
+                    raise OSError(
+                        f"conditional put of {dest_name} returned {resp.status}"
+                    )
+        except urllib.error.HTTPError as exc:
+            if exc.code != 412:
+                raise
+            self._heal(log_dir, dest_name)
+            return False
+        self._publish(log_dir, dest_name, payload)
+        return True
+
+    def _publish(self, log_dir: str, dest_name: str, payload: str) -> None:
+        os.makedirs(log_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=log_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, os.path.join(log_dir, dest_name))
+
+    def _heal(self, log_dir: str, dest_name: str) -> None:
+        """The version is claimed in the store but may not be published
+        locally (winner crashed mid-commit): fetch and publish it."""
+        import urllib.request
+
+        if os.path.exists(os.path.join(log_dir, dest_name)):
+            return
+        with urllib.request.urlopen(self._url(dest_name), timeout=self.timeout) as r:
+            self._publish(log_dir, dest_name, r.read().decode())
+
+
 @dataclass(frozen=True)
 class FileEntry:
     """One immutable data file as recorded in the log."""
@@ -166,11 +240,264 @@ class FileEntry:
     partition: dict = field(default_factory=dict)
 
 
+class _FileBlock:
+    """Columnar live-file listing backing a checkpoint-based snapshot.
+
+    The driver-side scale problem with eager snapshots is not parse
+    speed but PYTHON OBJECT COUNT: 100k files x ~5 stat columns is
+    ~500k dicts + 100k dataclasses (~1.5 s) before a single filter is
+    evaluated. This block keeps the checkpoint columnar (arrow-backed,
+    columns converted lazily on first touch) and materializes a
+    ``FileEntry`` ONLY for files that survive pruning — a selective
+    read converts the path column plus the filtered columns' stats and
+    builds entries for the handful of matching files, never the table.
+    """
+
+    def __init__(self, cols: dict, stat_names: Sequence[str], json_stats: Sequence[str] = (), tbl=None):
+        self._cols = dict(cols)  # name -> python list (lazy-filled from tbl)
+        self._tbl = tbl  # pyarrow.Table or None (fully materialized)
+        self.stat_names = list(stat_names)
+        self._json_stats = set(json_stats)  # stat cols stored JSON-encoded
+
+    def __len__(self) -> int:
+        if self._tbl is not None:
+            return self._tbl.num_rows
+        return len(self._cols["path"])
+
+    def col(self, name: str) -> list:
+        got = self._cols.get(name)
+        if got is None:
+            got = self._tbl.column(name).to_pylist()
+            if name.startswith("s_") and name.split("_", 2)[2] in self._json_stats:
+                got = [None if v is None else json.loads(v) for v in got]
+            self._cols[name] = got
+        return got
+
+    def stat(self, col: str):
+        """(mins, maxs, nulls) lists for ``col``, or None if the table
+        never recorded stats for it. ``mins[i] is None`` = no stats for
+        that file on that column."""
+        if col not in self.stat_names:
+            return None
+        return (self.col(f"s_min_{col}"), self.col(f"s_max_{col}"), self.col(f"s_nulls_{col}"))
+
+    def cell(self, name: str, i: int):
+        """One value WITHOUT converting the whole column (arrow scalar
+        access) — materializing a handful of pruned survivors must not
+        cost O(files)."""
+        got = self._cols.get(name)
+        if got is not None:
+            return got[i]
+        if self._tbl is None or name not in self._tbl.column_names:
+            return None
+        v = self._tbl.column(name)[i].as_py()
+        if (
+            v is not None
+            and name.startswith("s_")
+            and name.split("_", 2)[2] in self._json_stats
+        ):
+            v = json.loads(v)
+        return v
+
+    def entry(self, i: int) -> FileEntry:
+        st = {}
+        for c in self.stat_names:
+            mn = self.cell(f"s_min_{c}", i)
+            if mn is not None:
+                st[c] = {
+                    "min": mn,
+                    "max": self.cell(f"s_max_{c}", i),
+                    "nulls": self.cell(f"s_nulls_{c}", i) or 0,
+                }
+        raw = self.cell("partition", i)
+        part = (raw if isinstance(raw, dict) else json.loads(raw)) if raw else {}
+        return FileEntry(
+            self.cell("path", i), self.cell("rows", i), self.cell("bytes", i), st, part
+        )
+
+    def entries(self, indices: Sequence[int]) -> list:
+        """Materialize many entries: bulk-convert the columns first when
+        the selection is a large fraction of the block (amortized lists
+        beat per-scalar arrow access), per-cell otherwise."""
+        if self._tbl is not None and len(indices) >= max(1024, len(self) // 8):
+            for name in self._tbl.column_names:
+                if not name.startswith("__arrow_"):
+                    self.col(name)
+        return [self.entry(i) for i in indices]
+
+    def may_match(self, i: int, groups: list) -> bool:
+        """DNF stats test for file ``i`` without building its entry."""
+        for g in groups:
+            ok = True
+            for col, op, val in g:
+                tri = self.stat(col)
+                if tri is None or tri[0][i] is None:
+                    continue  # no stats -> cannot exclude on this condition
+                if not _cond_may_match({"min": tri[0][i], "max": tri[1][i]}, op, val):
+                    ok = False
+                    break
+            if ok:
+                return True
+        return False
+
+    def _stat_arrow(self, col: str):
+        """(mins, maxs, nulls) as arrow arrays for vectorized pruning,
+        or None when the column can't vectorize (JSON-mixed types)."""
+        if col not in self.stat_names or col in self._json_stats:
+            return None
+        key = f"__arrow_{col}"
+        got = self._cols.get(key)
+        if got is None:
+            import pyarrow as pa
+
+            if self._tbl is not None:
+                got = tuple(
+                    self._tbl.column(f"s_{p}_{col}").combine_chunks()
+                    for p in ("min", "max", "nulls")
+                )
+            else:
+                try:
+                    got = tuple(
+                        pa.array(self.col(f"s_{p}_{col}"))
+                        for p in ("min", "max", "nulls")
+                    )
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    got = False  # mixed python types -> scalar path
+            self._cols[key] = got
+        return got or None
+
+    def prune_mask(self, groups: list):
+        """Vectorized DNF stats mask over ALL block rows (True = the
+        file may match) via pyarrow.compute — C++ speed instead of a
+        100k-iteration Python loop. Returns None when any condition
+        can't vectorize (type mismatch, mixed-type stats); the caller
+        then falls back to the exact per-file loop."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        try:
+            group_masks = []
+            for g in groups:
+                m = None
+                for col, op, val in g:
+                    arrs = self._stat_arrow(col)
+                    if arrs is None:
+                        continue  # column can't exclude anything
+                    c = _vectorized_cond(arrs, op, val)
+                    if c is None:
+                        continue
+                    # null stats cell = unknown = cannot exclude
+                    c = pc.fill_null(c, True)
+                    m = c if m is None else pc.and_(m, c)
+                if m is None:
+                    return None  # a group keeps everything -> no pruning
+                group_masks.append(m)
+            mask = group_masks[0]
+            for m in group_masks[1:]:
+                mask = pc.or_(mask, m)
+            return mask
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError, TypeError):
+            return None
+
+    def range_mask(self, keys: Sequence[str], key_ranges: dict):
+        """Vectorized merge-key range intersection (see range_match)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        try:
+            keep = None
+            for k in keys:
+                rng = key_ranges.get(k)
+                arrs = self._stat_arrow(k)
+                if rng is None or arrs is None:
+                    continue
+                lo, hi, src_has_null = rng
+                if lo is None or hi is None:
+                    continue
+                mins, maxs, nulls = arrs
+                excl = pc.fill_null(
+                    pc.or_(pc.less(maxs, lo), pc.greater(mins, hi)), False
+                )
+                if src_has_null:
+                    # files holding target NULLs can match a source NULL
+                    # key anywhere — never excluded on this key
+                    nz = pc.fill_null(nulls, 0)
+                    excl = pc.and_(excl, pc.equal(nz, 0))
+                k_keep = pc.invert(excl)
+                keep = k_keep if keep is None else pc.and_(keep, k_keep)
+            return keep  # None = nothing prunable -> keep all
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError, TypeError):
+            return False  # signal: fall back to the scalar loop
+
+    def range_match(self, i: int, keys: Sequence[str], key_ranges: dict) -> bool:
+        """Merge-key [lo, hi] intersection test (see _prune_by_stats)."""
+        for k in keys:
+            rng = key_ranges.get(k)
+            tri = self.stat(k)
+            if rng is None or tri is None or tri[0][i] is None:
+                continue
+            lo, hi, src_has_null = rng
+            if src_has_null and (tri[2][i] or 0) > 0:
+                continue
+            if lo is None or hi is None:
+                continue
+            try:
+                if tri[1][i] < lo or tri[0][i] > hi:
+                    return False
+            except TypeError:
+                continue
+        return True
+
+    def prune_indices(self, indices: Sequence[int], groups: list) -> list:
+        mask = self.prune_mask(groups)
+        if mask is None:
+            return [i for i in indices if self.may_match(i, groups)]
+        m = mask.to_pylist()
+        return [i for i in indices if m[i]]
+
+    def range_indices(
+        self, indices: Sequence[int], keys: Sequence[str], key_ranges: dict
+    ) -> list:
+        mask = self.range_mask(keys, key_ranges)
+        if mask is None:
+            return list(indices)
+        if mask is False:
+            return [i for i in indices if self.range_match(i, keys, key_ranges)]
+        m = mask.to_pylist()
+        return [i for i in indices if m[i]]
+
+    @classmethod
+    def from_entries(cls, entries: Sequence[FileEntry]) -> "_FileBlock":
+        stat_names = sorted({c for e in entries for c in e.stats})
+        cols = {
+            "path": [e.path for e in entries],
+            "rows": [e.rows for e in entries],
+            "bytes": [e.bytes for e in entries],
+            "partition": [e.partition or None for e in entries],
+        }
+        for c in stat_names:
+            cols[f"s_min_{c}"] = [e.stats.get(c, {}).get("min") for e in entries]
+            cols[f"s_max_{c}"] = [e.stats.get(c, {}).get("max") for e in entries]
+            cols[f"s_nulls_{c}"] = [e.stats.get(c, {}).get("nulls") for e in entries]
+        return cls(cols, stat_names)
+
+
 @dataclass(frozen=True)
 class Snapshot:
+    """Live state of the table at one version.
+
+    Stored as a lazily-materialized delta over the nearest checkpoint:
+    ``base`` (columnar checkpoint listing), ``removed`` (base paths the
+    tail commits dropped) and ``added`` (tail-commit file entries).
+    ``.files`` materializes the full sorted tuple on first access and
+    caches it; the pruning entry points (``prune`` / ``prune_ranges`` /
+    ``file_paths`` / ``rows`` / ``num_files``) answer WITHOUT building
+    per-file Python objects for anything pruning rejects, which is what
+    keeps a selective read on a 100k-file table sub-second driver-side.
+    """
+
     version: int
     timestamp: float
-    files: tuple[FileEntry, ...]
     schema_json: Optional[str]
     # active deletion-vector files (merge-on-read deletes): (file rel
     # path, rows). Empty unless delete(strategy="merge_on_read") ran
@@ -180,11 +507,76 @@ class Snapshot:
     # (Delta's partitionBy): () = unpartitioned. Scans of a partitioned
     # snapshot reconstruct the columns from the directory structure.
     partition_by: tuple = ()
+    base: Optional[_FileBlock] = None
+    removed: frozenset = frozenset()
+    added: tuple[FileEntry, ...] = ()
+
+    @functools.cached_property
+    def _live_idx(self) -> list:
+        """Base indices still live after the tail delta (adds override
+        same-path base entries; UUID part names make that near-impossible
+        in practice, but the replay semantics require it)."""
+        if self.base is None:
+            return []
+        skip = self.removed | {e.path for e in self.added}
+        if not skip:
+            return range(len(self.base))
+        return [i for i, p in enumerate(self.base.col("path")) if p not in skip]
+
+    @functools.cached_property
+    def files(self) -> tuple[FileEntry, ...]:
+        entries = self.base.entries(self._live_idx) if self.base else []
+        entries.extend(self.added)
+        return tuple(sorted(entries, key=lambda f: f.path))
+
+    @property
+    def num_files(self) -> int:
+        if "files" in self.__dict__:
+            return len(self.files)
+        return len(self._live_idx) + len(self.added)
+
+    def file_paths(self) -> list:
+        """Live relative paths without materializing entries."""
+        if "files" in self.__dict__:
+            return [f.path for f in self.files]
+        out = [self.base.col("path")[i] for i in self._live_idx] if self.base else []
+        out.extend(e.path for e in self.added)
+        return out
+
+    def prune(self, groups: list) -> list:
+        """Live files that MAY match the DNF filter ``groups`` —
+        vectorized (arrow compute) over the checkpoint base, per-entry
+        over the small tail; only survivors materialize."""
+        out = (
+            self.base.entries(self.base.prune_indices(self._live_idx, groups))
+            if self.base
+            else []
+        )
+        out.extend(e for e in self.added if _file_may_match(e, groups))
+        out.sort(key=lambda f: f.path)
+        return out
+
+    def prune_ranges(self, keys: Sequence[str], key_ranges: dict) -> list:
+        """Live files whose stats envelope intersects the merge-key
+        ranges (level-1 merge pruning) — same lazy shape as ``prune``."""
+        out = (
+            self.base.entries(
+                self.base.range_indices(self._live_idx, keys, key_ranges)
+            )
+            if self.base
+            else []
+        )
+        out.extend(_prune_entries_by_stats(self.added, keys, key_ranges))
+        out.sort(key=lambda f: f.path)
+        return out
 
     @property
     def rows(self) -> int:
         # NOTE: overstates by the deletion-vector'd rows while dvs exist
-        return sum(f.rows for f in self.files)
+        if "files" in self.__dict__ or self.base is None:
+            return sum(f.rows for f in self.files)
+        rows = self.base.col("rows")
+        return sum(rows[i] for i in self._live_idx) + sum(e.rows for e in self.added)
 
 
 @dataclass
@@ -337,8 +729,8 @@ def _commit_name(version: int) -> str:
     return f"{version:0{_VERSION_WIDTH}d}.json"
 
 
-def _checkpoint_name(version: int) -> str:
-    return f"{version:0{_VERSION_WIDTH}d}.checkpoint.json"
+def _checkpoint_name(version: int, fmt: str = "json") -> str:
+    return f"{version:0{_VERSION_WIDTH}d}.checkpoint.{fmt}"
 
 
 # ---------------- predicate file skipping (pyarrow-DNF-style filters)
@@ -411,6 +803,77 @@ def _file_may_match(f: FileEntry, groups: list[list[tuple]]) -> bool:
     )
 
 
+def _vectorized_cond(arrs, op: str, val):
+    """The arrow-compute twin of ``_cond_may_match``: a boolean array
+    over ALL files (True / null = may match) for one condition. Returns
+    None when the condition can't exclude anything (NULL literal);
+    raises Arrow errors on type mismatch (caller falls back)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mins, maxs, _nulls = arrs
+    if op in ("in", "not in"):
+        vals = list(val)
+        if any(v is None for v in vals):
+            return None
+        if op == "in":
+            m = None
+            for v in vals:
+                c = pc.and_(pc.less_equal(mins, v), pc.greater_equal(maxs, v))
+                m = c if m is None else pc.or_(m, c)
+            return m
+        return pc.invert(
+            pc.and_(pc.equal(mins, maxs), pc.is_in(mins, value_set=pa.array(vals)))
+        )
+    if val is None:
+        return None
+    if op in ("=", "=="):
+        return pc.and_(pc.less_equal(mins, val), pc.greater_equal(maxs, val))
+    if op == "!=":
+        return pc.invert(pc.and_(pc.equal(mins, val), pc.equal(maxs, val)))
+    if op == "<":
+        return pc.less(mins, val)
+    if op == "<=":
+        return pc.less_equal(mins, val)
+    if op == ">":
+        return pc.greater(maxs, val)
+    if op == ">=":
+        return pc.greater_equal(maxs, val)
+    return None
+
+
+def _prune_entries_by_stats(
+    files: Sequence[FileEntry], keys: Sequence[str], key_ranges: dict
+) -> list[FileEntry]:
+    """Keep files whose [min,max] intersects the source key range on
+    EVERY key column; files without stats stay candidates. A source
+    NULL key matches target NULLs ANYWHERE (the merge join is
+    null-safe), so when the source carries one, files with a nonzero
+    null count survive regardless of their envelope."""
+    out = []
+    for f in files:
+        keep = True
+        for k in keys:
+            rng = key_ranges.get(k)
+            st = f.stats.get(k)
+            if rng is None or st is None:
+                continue  # no information -> can't prune
+            lo, hi, src_has_null = rng
+            if src_has_null and st.get("nulls", 0) > 0:
+                continue  # a NULL-NULL match is possible in this file
+            if lo is None or hi is None:
+                continue
+            try:
+                if st["max"] < lo or st["min"] > hi:
+                    keep = False
+                    break
+            except TypeError:  # incomparable types -> keep
+                continue
+        if keep:
+            out.append(f)
+    return out
+
+
 def _filters_to_column(groups: list[list[tuple]]):
     """The SAME predicate as a Spark Column — applied residually after
     file pruning so results are row-exact regardless of pruning power."""
@@ -463,12 +926,18 @@ class SnaplogTable:
         path: str,
         *,
         checkpoint_interval: int = 10,
+        checkpoint_format: str = "parquet",
         claimer: Optional[CommitClaimer] = None,
         change_feed: bool = False,
     ) -> None:
         self.spark = spark
         self.path = os.path.abspath(path.rstrip("/"))
         self.checkpoint_interval = checkpoint_interval
+        if checkpoint_format not in ("parquet", "json"):
+            raise ValueError(
+                f"checkpoint_format must be parquet|json, got {checkpoint_format!r}"
+            )
+        self.checkpoint_format = checkpoint_format
         self.claimer = claimer or LinkCommitClaimer()
         # Delta-parity default OFF (delta.enableChangeDataFeed): when on,
         # merge/delete/update additionally write their row-level changes
@@ -553,12 +1022,13 @@ class SnaplogTable:
     def _checkpoint_versions(self) -> list[int]:
         if not os.path.isdir(self.log_dir):
             return []
-        out = []
+        out = set()
         for name in os.listdir(self.log_dir):
-            if name.endswith(".checkpoint.json"):
-                stem = name[: -len(".checkpoint.json")]
-                if stem.isdigit():
-                    out.append(int(stem))
+            for ext in (".checkpoint.json", ".checkpoint.parquet"):
+                if name.endswith(ext):
+                    stem = name[: -len(ext)]
+                    if stem.isdigit():
+                        out.add(int(stem))
         return sorted(out)
 
     def snapshot(
@@ -591,37 +1061,34 @@ class SnaplogTable:
             )
 
         start = 0
-        files: dict[str, FileEntry] = {}
+        base: Optional[_FileBlock] = None
+        cp_ts = 0.0
+        removed: set = set()
+        added: dict[str, FileEntry] = {}  # tail adds, path-unique, ordered
         dvs: list[FileEntry] = []
         schema_json: Optional[str] = None
         partition_by: tuple = ()
         cps = [c for c in self._checkpoint_versions() if c <= version]
         if cps:
-            cp = self._read_checkpoint(cps[-1])
-            files = {
-                e["path"]: FileEntry(
-                    e["path"], e["rows"], e["bytes"], e.get("stats", {}),
-                    e.get("partition", {}),
-                )
-                for e in cp["files"]
-            }
-            dvs = [
-                FileEntry(e["path"], e["rows"], 0, {}) for e in cp.get("dvs", [])
-            ]
-            schema_json = cp.get("schema_json")
-            partition_by = tuple(cp.get("partition_by", ()))
+            base, dvs, schema_json, partition_by, cp_ts = self._load_checkpoint(
+                cps[-1]
+            )
             start = cps[-1] + 1
         ts = 0.0
         for v in range(start, version + 1):
             commit = self._read_commit(v)
             ts = commit["timestamp"]
             for name in commit.get("remove", []):
-                files.pop(name, None)
+                # a tail add being removed never reaches the snapshot; a
+                # base entry is tombstoned (the base block is immutable)
+                if added.pop(name, None) is None:
+                    removed.add(name)
             for e in commit.get("add", []):
-                files[e["path"]] = FileEntry(
+                added[e["path"]] = FileEntry(
                     e["path"], e["rows"], e["bytes"], e.get("stats", {}),
                     e.get("partition", {}),
                 )
+                removed.discard(e["path"])  # re-add of a removed path wins
             if commit.get("dv_clear"):
                 dvs = []
             for e in commit.get("dv_add", []):
@@ -630,14 +1097,16 @@ class SnaplogTable:
             if "partition_by" in commit:
                 partition_by = tuple(commit["partition_by"])
         if start > version and cps:  # snapshot == checkpoint version
-            ts = cp["timestamp"]
+            ts = cp_ts
         return Snapshot(
             version=version,
             timestamp=ts,
-            files=tuple(sorted(files.values(), key=lambda f: f.path)),
             schema_json=schema_json,
             dvs=tuple(dvs),
             partition_by=partition_by,
+            base=base,
+            removed=frozenset(removed),
+            added=tuple(added.values()),
         )
 
     def history(self) -> list[CommitInfo]:
@@ -676,12 +1145,15 @@ class SnaplogTable:
         results are row-exact whatever the pruning caught; ``df.
         inputFiles()`` is the observable proof of the skip."""
         snap = self.snapshot(version_as_of, timestamp=timestamp_as_of)
-        files = list(snap.files)
         pred = None
         if filters is not None:
             groups = _normalize_filters(filters)
-            files = [f for f in files if _file_may_match(f, groups)]
+            # lazy prune: only the filtered columns' stats are touched
+            # and only surviving files materialize (see Snapshot.prune)
+            files = snap.prune(groups)
             pred = _filters_to_column(groups)
+        else:
+            files = list(snap.files)
         df = self._scan(files, snap)
         return df.filter(pred) if pred is not None else df
 
@@ -797,14 +1269,70 @@ class SnaplogTable:
             self.log_dir, _commit_name(version), json.dumps(record)
         )
 
-    def _read_checkpoint(self, version: int) -> dict:
+    def _load_checkpoint(self, version: int):
+        """-> (base _FileBlock, dvs, schema_json, partition_by, timestamp).
+        Parquet preferred (columnar, lazily converted); legacy JSON
+        checkpoints stay readable and are columnarized on load."""
+        pq_path = os.path.join(self.log_dir, _checkpoint_name(version, "parquet"))
+        if os.path.exists(pq_path):
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(pq_path)
+            md = {
+                k.decode(): v.decode()
+                for k, v in (tbl.schema.metadata or {}).items()
+            }
+            import pyarrow.compute as pc
+
+            dvs = []
+            is_dv = pc.equal(tbl.column("kind"), "dv")
+            if pc.any(is_dv).as_py():
+                dv_rows = tbl.filter(is_dv)
+                dvs = [
+                    FileEntry(p, r, 0, {})
+                    for p, r in zip(
+                        dv_rows.column("path").to_pylist(),
+                        dv_rows.column("rows").to_pylist(),
+                    )
+                ]
+                tbl = tbl.filter(pc.invert(is_dv))
+            base = _FileBlock(
+                {},
+                json.loads(md.get("stat_cols", "[]")),
+                json.loads(md.get("json_stat_cols", "[]")),
+                tbl=tbl,
+            )
+            return (
+                base,
+                dvs,
+                md.get("schema_json") or None,
+                tuple(json.loads(md.get("partition_by", "[]"))),
+                float(md.get("timestamp", "0")),
+            )
         with open(os.path.join(self.log_dir, _checkpoint_name(version))) as fh:
-            return json.load(fh)
+            cp = json.load(fh)
+        entries = [
+            FileEntry(
+                e["path"], e["rows"], e["bytes"], e.get("stats", {}),
+                e.get("partition", {}),
+            )
+            for e in cp["files"]
+        ]
+        return (
+            _FileBlock.from_entries(entries),
+            [FileEntry(e["path"], e["rows"], 0, {}) for e in cp.get("dvs", [])],
+            cp.get("schema_json"),
+            tuple(cp.get("partition_by", ())),
+            cp.get("timestamp", 0.0),
+        )
 
     def _maybe_checkpoint(self, version: int) -> None:
         if version == 0 or version % self.checkpoint_interval != 0:
             return
         snap = self.snapshot(version)
+        if self.checkpoint_format == "parquet":
+            self._write_parquet_checkpoint(version, snap)
+            return
         record = {
             "version": version,
             "timestamp": snap.timestamp,
@@ -820,6 +1348,70 @@ class SnaplogTable:
         with os.fdopen(fd, "w") as fh:
             json.dump(record, fh)
         os.replace(tmp, os.path.join(self.log_dir, _checkpoint_name(version)))
+
+    def _write_parquet_checkpoint(self, version: int, snap: Snapshot) -> None:
+        """Columnar checkpoint: one row per live file (+ one per active
+        deletion vector), per-stat-column native min/max/nulls columns,
+        table-level facts in the parquet key-value metadata. ~6x smaller
+        than the JSON form and, far more importantly, loadable WITHOUT
+        building per-file Python objects (see _FileBlock)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = list(snap.files)
+        stat_cols = sorted({c for f in files for c in f.stats})
+        cols: dict = {
+            "kind": ["file"] * len(files) + ["dv"] * len(snap.dvs),
+            "path": [f.path for f in files] + [d.path for d in snap.dvs],
+            "rows": pa.array(
+                [f.rows for f in files] + [d.rows for d in snap.dvs], pa.int64()
+            ),
+            "bytes": pa.array(
+                [f.bytes for f in files] + [0] * len(snap.dvs), pa.int64()
+            ),
+            "partition": [
+                json.dumps(f.partition) if f.partition else None for f in files
+            ]
+            + [None] * len(snap.dvs),
+        }
+        json_cols = []
+        pad = [None] * len(snap.dvs)
+        for c in stat_cols:
+            triples = {
+                "min": [f.stats.get(c, {}).get("min") for f in files],
+                "max": [f.stats.get(c, {}).get("max") for f in files],
+                "nulls": [f.stats.get(c, {}).get("nulls") for f in files],
+            }
+            try:
+                for part in ("min", "max", "nulls"):
+                    cols[f"s_{part}_{c}"] = pa.array(triples[part] + pad)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                # mixed scalar types across files (possible after type
+                # widening): JSON-encode this column, decode lazily
+                json_cols.append(c)
+                for part in ("min", "max", "nulls"):
+                    cols[f"s_{part}_{c}"] = pa.array(
+                        [
+                            None if v is None else json.dumps(v)
+                            for v in triples[part]
+                        ]
+                        + pad,
+                        pa.string(),
+                    )
+        tbl = pa.table(cols).replace_schema_metadata(
+            {
+                "snaplog_version": str(version),
+                "timestamp": repr(snap.timestamp),
+                "schema_json": snap.schema_json or "",
+                "partition_by": json.dumps(list(snap.partition_by)),
+                "stat_cols": json.dumps(stat_cols),
+                "json_stat_cols": json.dumps(json_cols),
+            }
+        )
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(tbl, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(self.log_dir, _checkpoint_name(version, "parquet")))
 
     @staticmethod
     def _entry_record(f: FileEntry) -> dict:
@@ -1055,9 +1647,7 @@ class SnaplogTable:
         if mode == "overwrite":
             current = self.version()
             remove = (
-                [f.path for f in self.snapshot(current).files]
-                if current is not None
-                else []
+                self.snapshot(current).file_paths() if current is not None else []
             )
             spec = tuple(partition_by or ())
             added = self._stage_files(df, partition_by=spec)
@@ -1112,33 +1702,7 @@ class SnaplogTable:
     def _prune_by_stats(
         self, files: Sequence[FileEntry], keys: Sequence[str], key_ranges: dict
     ) -> list[FileEntry]:
-        """Keep files whose [min,max] intersects the source key range on
-        EVERY key column; files without stats stay candidates. A source
-        NULL key matches target NULLs ANYWHERE (the merge join is
-        null-safe), so when the source carries one, files with a nonzero
-        null count survive regardless of their envelope."""
-        out = []
-        for f in files:
-            keep = True
-            for k in keys:
-                rng = key_ranges.get(k)
-                st = f.stats.get(k)
-                if rng is None or st is None:
-                    continue  # no information -> can't prune
-                lo, hi, src_has_null = rng
-                if src_has_null and st.get("nulls", 0) > 0:
-                    continue  # a NULL-NULL match is possible in this file
-                if lo is None or hi is None:
-                    continue
-                try:
-                    if st["max"] < lo or st["min"] > hi:
-                        keep = False
-                        break
-                except TypeError:  # incomparable types -> keep
-                    continue
-            if keep:
-                out.append(f)
-        return out
+        return _prune_entries_by_stats(files, keys, key_ranges)
 
     def merge(
         self,
@@ -1220,7 +1784,6 @@ class SnaplogTable:
                         for f in evolved.fields
                     ]
                 )
-        files = list(snap.files)
 
         # level 1: driver-side min/max intersection (footer stats, no IO);
         # also probe whether the source carries a NULL key — those match
@@ -1241,7 +1804,7 @@ class SnaplogTable:
             )
             for i, k in enumerate(keys)
         }
-        candidates = self._prune_by_stats(files, keys, key_ranges)
+        candidates = snap.prune_ranges(keys, key_ranges)
 
         # level 2: exact, distributed — which candidate files actually hold
         # a matched key (hidden _metadata.file_path + null-safe semi join)
@@ -1282,7 +1845,7 @@ class SnaplogTable:
         elif when_not_matched == "insert":
             merged = source  # nothing matched anywhere: pure insert
         else:
-            return MergeStats(len(files), len(candidates), 0, 0)
+            return MergeStats(snap.num_files, len(candidates), 0, 0)
 
         cdc = None
         if self.change_feed:
@@ -1307,7 +1870,7 @@ class SnaplogTable:
             txn=txn,
         )
         return MergeStats(
-            files_total=len(files),
+            files_total=snap.num_files,
             candidates_after_stats=len(candidates),
             files_rewritten=len(touched),
             files_added=len(added),
@@ -1554,7 +2117,7 @@ class SnaplogTable:
         self, snap: Snapshot, candidates: Sequence[FileEntry], pred, current: int
     ) -> RewriteStats:
         if not candidates:
-            return RewriteStats(len(snap.files), 0, 0, 0, 0, 0)
+            return RewriteStats(snap.num_files, 0, 0, 0, 0, 0)
         keyed = self._keyed_scan(candidates, snap)
         if snap.dvs:  # already-deleted rows are not deleted "again"
             dv = self.spark.read.parquet(
@@ -1568,7 +2131,7 @@ class SnaplogTable:
         hit = keyed.filter(pred).localCheckpoint(eager=True)
         n_del = hit.count()
         if n_del == 0:
-            return RewriteStats(len(snap.files), len(candidates), 0, 0, 0, 0)
+            return RewriteStats(snap.num_files, len(candidates), 0, 0, 0, 0)
         cdc = None
         if self.change_feed:
             data_cols = [c for c in hit.columns if c not in ("_dv_file", "_dv_pos")]
@@ -1590,7 +2153,7 @@ class SnaplogTable:
             dv_add=dv_added,
         )
         return RewriteStats(
-            files_total=len(snap.files),
+            files_total=snap.num_files,
             candidates_after_stats=len(candidates),
             files_rewritten=0,
             files_added=0,
@@ -1687,14 +2250,13 @@ class SnaplogTable:
         if current is None:
             raise FileNotFoundError(f"no snaplog table at {self.path}")
         snap = self.snapshot(current)
-        files = list(snap.files)
-        candidates = [f for f in files if _file_may_match(f, groups)]
+        candidates = snap.prune(groups)
         if strategy == "merge_on_read":
             return self._delete_merge_on_read(snap, candidates, pred, current)
         self._require_no_dvs(snap, "copy-on-write delete")
         touched = self._exact_touched(candidates, pred, snap)
         if not touched:
-            return RewriteStats(len(files), len(candidates), 0, 0, 0, 0)
+            return RewriteStats(snap.num_files, len(candidates), 0, 0, 0, 0)
         rows_before = sum(f.rows for f in touched)
         df = self._scan(touched, snap)
         keep = df.filter(~pred | pred.isNull())  # NULL predicate rows are KEPT
@@ -1716,7 +2278,7 @@ class SnaplogTable:
             cdc=cdc,
         )
         return RewriteStats(
-            files_total=len(files),
+            files_total=snap.num_files,
             candidates_after_stats=len(candidates),
             files_rewritten=len(touched),
             files_added=len(added),
@@ -1740,11 +2302,10 @@ class SnaplogTable:
             raise FileNotFoundError(f"no snaplog table at {self.path}")
         snap = self.snapshot(current)
         self._require_no_dvs(snap, "update")
-        files = list(snap.files)
-        candidates = [f for f in files if _file_may_match(f, groups)]
+        candidates = snap.prune(groups)
         touched = self._exact_touched(candidates, pred, snap)
         if not touched:
-            return RewriteStats(len(files), len(candidates), 0, 0, 0, 0)
+            return RewriteStats(snap.num_files, len(candidates), 0, 0, 0, 0)
         df = self._scan(touched, snap)
         missing = sorted(c for c in set if c not in df.columns)
         if missing:
@@ -1788,7 +2349,7 @@ class SnaplogTable:
         )
         rows = sum(f.rows for f in touched)
         return RewriteStats(
-            files_total=len(files),
+            files_total=snap.num_files,
             candidates_after_stats=len(candidates),
             files_rewritten=len(touched),
             files_added=len(added),
@@ -1868,7 +2429,7 @@ class SnaplogTable:
         retained = versions[-max(1, keep_versions):]
         live: set[str] = set()
         for v in retained:
-            live.update(f.path for f in self.snapshot(v).files)
+            live.update(self.snapshot(v).file_paths())
         deleted = 0
         if os.path.isdir(self.data_dir):
             # recursive: partitioned tables nest files under col=val dirs

@@ -184,9 +184,16 @@ class SnaplogBatchReader(DataSourceReader):
             timestamp=float(ts) if ts is not None else None,
         )
         self._root = t.path
-        self._pruned: list[FileEntry] = list(self._snap.files)
+        # pushed filters (DNF groups); files stay UNMATERIALIZED until
+        # partitions() so pruning runs columnar over the checkpoint base
+        self._filter_groups = None
 
     def partitions(self):
+        pruned = (
+            self._snap.prune(self._filter_groups)
+            if self._filter_groups
+            else list(self._snap.files)
+        )
         dv = _dv_position_map(self._root, self._snap.dvs)
         return [
             _FilePartition(
@@ -196,7 +203,7 @@ class SnaplogBatchReader(DataSourceReader):
                 extra=dict(f.partition) or None,
                 deleted_positions=dv.get(os.path.basename(f.path)),
             )
-            for f in self._pruned
+            for f in pruned
         ]
 
     def read(self, partition: _FilePartition):
@@ -207,8 +214,7 @@ class SnaplogPushdownBatchReader(SnaplogBatchReader):
     def pushFilters(self, filters):
         tuples = _filters_to_tuples(filters)
         if tuples:
-            groups = _normalize_filters(tuples)
-            self._pruned = [f for f in self._pruned if _file_may_match(f, groups)]
+            self._filter_groups = _normalize_filters(tuples)
         # stats pruning is file-granular, never row-exact: hand EVERY
         # filter back so Spark re-applies them to the surviving rows
         return filters

@@ -55,16 +55,65 @@ def test_checkpoint_bounds_replay(spark, tmp_path):
     t = SnaplogTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
     for i in range(12):
         t.write(_df(spark, [(i, f"r{i}")]), mode="append")
-    # checkpoints at 5 and 10 exist
+    # columnar (parquet) checkpoints at 5 and 10 exist
     names = os.listdir(t.log_dir)
-    assert any(n.endswith("05.checkpoint.json") for n in names)
-    assert any(n.endswith("10.checkpoint.json") for n in names)
+    assert any(n.endswith("05.checkpoint.parquet") for n in names)
+    assert any(n.endswith("10.checkpoint.parquet") for n in names)
     # snapshot at head and at a mid version both reconstruct correctly
     assert t.read().count() == 12
     assert t.read(version_as_of=7).count() == 8
     # the checkpoint actually lists the full live set (not just a delta)
-    cp = json.load(open(os.path.join(t.log_dir, [n for n in names if n.endswith("10.checkpoint.json")][0])))
+    import pyarrow.parquet as pq
+
+    cp = pq.read_table(
+        os.path.join(
+            t.log_dir, [n for n in names if n.endswith("10.checkpoint.parquet")][0]
+        )
+    )
+    assert cp.num_rows >= 11
+    # a checkpoint-based snapshot is LAZY: stats prune + entry build
+    # happen columnar without materializing .files first
+    snap = t.snapshot(10)
+    assert "files" not in snap.__dict__
+    assert snap.num_files >= 11 and len(snap.file_paths()) == snap.num_files
+    pruned = snap.prune([[("k", "=", 3)]])
+    assert "files" not in snap.__dict__  # pruning did not materialize
+    assert [f.stats["k"]["min"] for f in pruned] == [3]
+    assert len(snap.files) == snap.num_files  # materializes on demand
+
+
+def test_legacy_json_checkpoint_roundtrip(spark, tmp_path):
+    """A table whose checkpoints were written by the JSON format (pre-
+    parquet) keeps reading; new handles may keep writing JSON."""
+    t = SnaplogTable(
+        spark, str(tmp_path / "t"), checkpoint_interval=5, checkpoint_format="json"
+    )
+    for i in range(12):
+        t.write(_df(spark, [(i, f"r{i}")]), mode="append")
+    names = os.listdir(t.log_dir)
+    assert any(n.endswith("05.checkpoint.json") for n in names)
+    assert not any(n.endswith(".checkpoint.parquet") for n in names)
+    cp = json.load(
+        open(
+            os.path.join(
+                t.log_dir, [n for n in names if n.endswith("10.checkpoint.json")][0]
+            )
+        )
+    )
     assert len(cp["files"]) >= 11
+    assert t.read().count() == 12
+    assert t.read(version_as_of=7).count() == 8
+    # a parquet-default handle on the same table reads the JSON
+    # checkpoint and upgrades the format at the next boundary
+    t2 = SnaplogTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
+    assert t2.read().count() == 12
+    for i in range(12, 16):
+        t2.write(_df(spark, [(i, f"r{i}")]), mode="append")
+    assert any(
+        n.endswith("15.checkpoint.parquet") for n in os.listdir(t2.log_dir)
+    )
+    assert t2.read().count() == 16
+    assert t2.read(version_as_of=7).count() == 8
 
 
 def test_merge_cow_matches_full_merge_semantics(spark, tmp_path):

@@ -61,13 +61,127 @@ def timed(fn, reps: int) -> float:
     return best
 
 
+def metadata_ladder(entry_counts, reps: int) -> None:
+    """Driver-side METADATA ladder (no Spark): synthesize checkpoints of
+    N file entries in both formats and measure what a reader pays —
+
+    - ``snapshot()``       log load only (lazy: no per-file objects)
+    - ``prune 1 col``      snapshot + stats-prune one filter column to
+                           a handful of files (the selective-read path)
+    - ``materialize``      snapshot + full .files tuple (the worst case:
+                           every per-file Python object built)
+
+    This is the honest version of the 'JSON checkpoint parse is the one
+    O(table-files) single-threaded step' concern: at 100k+ entries the
+    dominant cost is building 100k FileEntry + ~500k stats dicts, not
+    bytes parsed — which is why the parquet checkpoint is read lazily
+    (arrow columns converted per-need) instead of just re-encoded."""
+    import random
+
+    from dc43_spark.io.snaplog import FileEntry, SnaplogTable
+
+    rng = random.Random(7)
+    results = []
+    for n in entry_counts:
+        root = tempfile.mkdtemp(prefix="snaplog_meta_")
+        try:
+            row = {"entries": n}
+            for fmt in ("json", "parquet"):
+                path = os.path.join(root, fmt)
+                t = SnaplogTable.__new__(SnaplogTable)
+                t.spark = None
+                t.path = path
+                t.checkpoint_interval = 10
+                t.checkpoint_format = fmt
+                os.makedirs(t.log_dir)
+                # synthetic live set: n clustered files, 4 stat columns
+                entries = tuple(
+                    FileEntry(
+                        f"data/part-{i:07d}-{rng.getrandbits(64):016x}.parquet",
+                        10_000,
+                        5_000_000,
+                        {
+                            c: {
+                                "min": i * 10_000 + off,
+                                "max": (i + 1) * 10_000 + off,
+                                "nulls": 0,
+                            }
+                            for off, c in enumerate(("k", "g", "x", "ts"))
+                        },
+                    )
+                    for i in range(n)
+                )
+                snap = type(
+                    "S", (), {"files": entries, "dvs": (), "schema_json": "{}",
+                              "partition_by": (), "timestamp": 1.0}
+                )()
+                if fmt == "parquet":
+                    t._write_parquet_checkpoint(10, snap)
+                else:
+                    rec = {
+                        "version": 10, "timestamp": 1.0, "schema_json": "{}",
+                        "partition_by": [],
+                        "files": [t._entry_record(f) for f in entries],
+                        "dvs": [],
+                    }
+                    with open(
+                        os.path.join(t.log_dir, "%020d.checkpoint.json" % 10), "w"
+                    ) as fh:
+                        json.dump(rec, fh)
+                with open(os.path.join(t.log_dir, "%020d.json" % 10), "w") as fh:
+                    json.dump({"operation": "append", "add": [], "remove": [],
+                               "timestamp": 1.0}, fh)
+                del entries
+
+                probe = (n // 2) * 10_000 + 5
+                row[f"{fmt}_snapshot_s"] = round(
+                    timed(lambda: t.snapshot(10), reps), 3
+                )
+                row[f"{fmt}_prune_s"] = round(
+                    timed(lambda: t.snapshot(10).prune([[("k", "=", probe)]]), reps),
+                    3,
+                )
+                row[f"{fmt}_materialize_s"] = round(
+                    timed(lambda: len(t.snapshot(10).files), reps), 3
+                )
+                row[f"{fmt}_bytes_mb"] = round(
+                    os.path.getsize(
+                        os.path.join(
+                            t.log_dir,
+                            "%020d.checkpoint.%s"
+                            % (10, "parquet" if fmt == "parquet" else "json"),
+                        )
+                    )
+                    / 1e6,
+                    1,
+                )
+            results.append(row)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    hdr = list(results[0].keys())
+    print("| " + " | ".join(hdr) + " |")
+    print("|" + "---|" * len(hdr))
+    for r in results:
+        print("| " + " | ".join(str(r[h]) for h in hdr) + " |")
+    print(json.dumps({"snaplog_metadata_ladder": results}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,4,16")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--base-rows", type=int, default=200_000)
     ap.add_argument("--base-files", type=int, default=8)
+    ap.add_argument(
+        "--metadata",
+        default=None,
+        help="run the driver-side metadata ladder instead, at these "
+        "synthetic checkpoint entry counts (e.g. 10000,100000)",
+    )
     args = ap.parse_args()
+    if args.metadata:
+        metadata_ladder([int(s) for s in args.metadata.split(",")], args.reps)
+        return
     scales = [int(s) for s in args.scales.split(",")]
 
     from pyspark.sql import SparkSession
