@@ -66,7 +66,15 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _body(self) -> Optional[Any]:
         length = int(self.headers.get("Content-Length") or 0)
-        return json.loads(self.rfile.read(length)) if length else None
+        if not length:
+            return None
+        raw = self.rfile.read(length)
+        ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+        if ctype == "application/x-www-form-urlencoded":
+            # the webui authoring form posts urlencoded fields; expose
+            # them as a flat single-valued dict
+            return {k: v[0] for k, v in parse_qs(raw.decode()).items()}
+        return json.loads(raw)
 
     @property
     def _contracts(self) -> ContractStore:
@@ -115,6 +123,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send_html(
                     200, webui.render_index(self._contracts, self._gov)
                 )
+            if seg == ["ui", "author"]:
+                return self._send_html(200, webui.render_author_form())
             if len(seg) == 3 and seg[1] == "contracts":
                 return self._send_html(
                     200, webui.render_contract(self._contracts, seg[2])
@@ -173,6 +183,59 @@ class _Handler(BaseHTTPRequestHandler):
         if seg == ["governance", "activity"] and body is not None:
             self._gov.record_activity(body)
             return self._send(204)
+        if seg == ["workflow", "contracts"] and body is not None:
+            # authoring: JSON {"document": {...}} or the webui form's
+            # urlencoded fields (contract_id/columns/description)
+            from dc43_spark.governance.workflow import author_draft
+            from dc43_spark.governance.webui import form_to_document
+
+            payload = dict(body)
+            document = payload.get("document")
+            if document is None:
+                try:
+                    document = form_to_document(payload)
+                except ValueError as exc:
+                    return self._send(400, {"error": str(exc)})
+            try:
+                drafted = author_draft(
+                    self._contracts,
+                    self._gov,
+                    document,
+                    author=str(payload.get("author", "")),
+                    note=str(payload.get("note", "")),
+                )
+            except ValueError as exc:
+                return self._send(400, {"error": str(exc)})
+            return self._send(
+                201, {"contract_id": drafted.id, "version": drafted.version,
+                      "status": drafted.status}
+            )
+        if (
+            len(seg) == 5
+            and seg[:2] == ["workflow", "contracts"]
+            and seg[4] == "edit"
+            and body is not None
+        ):
+            from dc43_spark.governance.workflow import edit_draft
+
+            try:
+                drafted = edit_draft(
+                    self._contracts,
+                    self._gov,
+                    seg[2],
+                    seg[3],
+                    dict(body.get("changes") or {}),
+                    author=str(body.get("author", "")),
+                    note=str(body.get("note", "")),
+                )
+            except LookupError:
+                return self._send(404)
+            except ValueError as exc:
+                return self._send(400, {"error": str(exc)})
+            return self._send(
+                201, {"contract_id": drafted.id, "version": drafted.version,
+                      "status": drafted.status}
+            )
         if (
             len(seg) == 5
             and seg[:2] == ["workflow", "contracts"]

@@ -29,6 +29,49 @@ class GovernanceStore(Protocol):
     def status_matrix(self, dataset_id: str) -> list[dict[str, Any]]: ...
 
 
+def _metric_numeric(value: Any) -> Optional[float]:
+    """Float hint for a metric value when it resembles a number (the
+    reference's normalise_metric_value coercion, governance/backend/
+    stores/_metrics.py) — lets stores filter/chart without parsing."""
+    if isinstance(value, bool):
+        return float(value)
+    if isinstance(value, (int, float)):
+        return float(value)
+    if isinstance(value, str):
+        try:
+            return float(value.strip())
+        except ValueError:
+            return None
+    return None
+
+
+def _flatten_metrics(
+    dataset_id: str, dataset_version: str, payload: dict[str, Any]
+) -> list[dict[str, Any]]:
+    """One record per metric key from a status payload (ref
+    extract_metrics: the ``metrics`` mapping, falling back to
+    details.metrics when a provider only attached them there)."""
+    metrics = payload.get("metrics")
+    if not isinstance(metrics, dict):
+        details = payload.get("details")
+        metrics = details.get("metrics") if isinstance(details, dict) else None
+    if not isinstance(metrics, dict):
+        return []
+    return [
+        {
+            "dataset_id": dataset_id,
+            "dataset_version": dataset_version,
+            "contract_id": str(payload.get("contract_id", "")),
+            "contract_version": str(payload.get("contract_version", "")),
+            "recorded_at": str(payload.get("recorded_at", "")),
+            "metric_key": str(k),
+            "metric_value": json.dumps(v, sort_keys=True, default=str),
+            "metric_numeric_value": _metric_numeric(v),
+        }
+        for k, v in metrics.items()
+    ]
+
+
 class MemoryGovernanceStore:
     def __init__(self) -> None:
         self._statuses: dict[tuple[str, str], dict[str, Any]] = {}
@@ -68,6 +111,32 @@ class MemoryGovernanceStore:
             for (d, v), payload in sorted(self._statuses.items())
             if d == dataset_id
         ]
+
+    def list_datasets(self) -> list[str]:
+        return sorted({d for d, _ in self._statuses.keys()})
+
+    def load_metrics(
+        self,
+        dataset_id: str,
+        *,
+        dataset_version: Optional[str] = None,
+        contract_id: Optional[str] = None,
+        contract_version: Optional[str] = None,
+    ) -> list[dict[str, Any]]:
+        out = []
+        for (d, v), payload in sorted(self._statuses.items()):
+            if d != dataset_id or (dataset_version is not None and v != dataset_version):
+                continue
+            for rec in _flatten_metrics(d, v, payload):
+                if contract_id is not None and rec["contract_id"] != contract_id:
+                    continue
+                if (
+                    contract_version is not None
+                    and rec["contract_version"] != contract_version
+                ):
+                    continue
+                out.append(rec)
+        return out
 
 
 def _safe(name: str) -> str:
@@ -136,6 +205,33 @@ class FSGovernanceStore:
             )
         return out
 
+    def list_datasets(self) -> list[str]:
+        return sorted(p.name for p in (self.root / "status").iterdir() if p.is_dir())
+
+    def load_metrics(
+        self,
+        dataset_id: str,
+        *,
+        dataset_version: Optional[str] = None,
+        contract_id: Optional[str] = None,
+        contract_version: Optional[str] = None,
+    ) -> list[dict[str, Any]]:
+        out = []
+        for row in self.status_matrix(dataset_id):
+            v = row["dataset_version"]
+            if dataset_version is not None and v != dataset_version:
+                continue
+            for rec in _flatten_metrics(dataset_id, v, row):
+                if contract_id is not None and rec["contract_id"] != contract_id:
+                    continue
+                if (
+                    contract_version is not None
+                    and rec["contract_version"] != contract_version
+                ):
+                    continue
+                out.append(rec)
+        return out
+
 
 class SparkTableGovernanceStore:
     """Governance records in Spark catalog tables — the analogue of the
@@ -184,6 +280,79 @@ class SparkTableGovernanceStore:
             f"INSERT INTO {t} VALUES ('{self._esc(dataset_id)}', "
             f"'{self._esc(dataset_version)}', '{doc}', {self._next_seq()})"
         )
+        self._append_metrics(dataset_id, dataset_version, payload)
+
+    # -- metrics (ref governance/backend/stores/delta.py dq_metrics tier):
+    # one row per metric key so history charts/filters never parse payloads
+    def _metrics_table(self) -> str:
+        return self._ensure(
+            "metrics",
+            "dataset_id STRING, dataset_version STRING, contract_id STRING, "
+            "contract_version STRING, recorded_at STRING, metric_key STRING, "
+            "metric_value STRING, metric_numeric_value DOUBLE, seq BIGINT",
+        )
+
+    def _append_metrics(self, dataset_id, dataset_version, payload) -> None:
+        recs = _flatten_metrics(dataset_id, dataset_version, payload)
+        if not recs:
+            return
+        t = self._metrics_table()
+        seq = self._next_seq()
+        df = self.spark.createDataFrame(
+            [
+                (
+                    r["dataset_id"], r["dataset_version"], r["contract_id"],
+                    r["contract_version"], r["recorded_at"], r["metric_key"],
+                    r["metric_value"], r["metric_numeric_value"], seq,
+                )
+                for r in recs
+            ],
+            "dataset_id string, dataset_version string, contract_id string, "
+            "contract_version string, recorded_at string, metric_key string, "
+            "metric_value string, metric_numeric_value double, seq bigint",
+        )
+        df.write.insertInto(t)
+
+    def load_metrics(
+        self,
+        dataset_id: str,
+        *,
+        dataset_version: Optional[str] = None,
+        contract_id: Optional[str] = None,
+        contract_version: Optional[str] = None,
+    ) -> list[dict[str, Any]]:
+        """Metric observations for a dataset (latest write wins per
+        (dataset_version, metric_key)), ordered by recorded_at then key."""
+        t = self._metrics_table()
+        df = self.spark.table(t).where(
+            f"dataset_id = '{self._esc(dataset_id)}'"
+        )
+        if dataset_version is not None:
+            df = df.where(f"dataset_version = '{self._esc(dataset_version)}'")
+        if contract_id is not None:
+            df = df.where(f"contract_id = '{self._esc(contract_id)}'")
+        if contract_version is not None:
+            df = df.where(f"contract_version = '{self._esc(contract_version)}'")
+        rows = df.orderBy("seq").collect()
+        latest: dict[tuple, dict[str, Any]] = {}
+        for r in rows:  # later seq overwrites: latest-wins re-validation
+            d = r.asDict()
+            d.pop("seq")
+            latest[(d["dataset_version"], d["metric_key"])] = d
+        return sorted(
+            latest.values(), key=lambda d: (d["recorded_at"], d["metric_key"])
+        )
+
+    def list_datasets(self) -> list[str]:
+        t = self._status_table()
+        return [
+            r["dataset_id"]
+            for r in self.spark.table(t)
+            .select("dataset_id")
+            .distinct()
+            .orderBy("dataset_id")
+            .collect()
+        ]
 
     def load_status(self, dataset_id, dataset_version):
         t = self._status_table()

@@ -90,6 +90,7 @@ def render_index(contract_store, governance_store) -> str:
         if draft_rows
         else "<p>(none)</p>"
     )
+    body += '<p><a href="/ui/author">author a new contract draft</a></p>'
     return _PAGE.format(title="dc43 governance", body=body)
 
 
@@ -186,3 +187,84 @@ def render_dataset(governance_store, dataset_id: str) -> str | None:
         else "<p>(none)</p>"
     )
     return _PAGE.format(title=f"dataset {escape(dataset_id)}", body=body)
+
+
+# -- authoring (the write half: form -> ODCS document -> reviewable draft)
+
+def form_to_document(fields: dict) -> dict:
+    """The webui authoring form's urlencoded fields -> an ODCS-shaped
+    contract document for ``workflow.author_draft``.
+
+    ``columns`` is one ``name:type[:required][:unique]`` per line — the
+    deliberately-small surface a human fills in a browser; anything
+    richer (quality rules, servers) arrives via the JSON API instead.
+    """
+    contract_id = str(fields.get("contract_id", "")).strip()
+    if not contract_id:
+        raise ValueError("contract_id is required")
+    lines = [
+        ln.strip() for ln in str(fields.get("columns", "")).splitlines() if ln.strip()
+    ]
+    if not lines:
+        raise ValueError("columns must list at least one 'name:type' line")
+    props = []
+    for ln in lines:
+        parts = [p.strip() for p in ln.split(":")]
+        if len(parts) < 2 or not parts[0] or not parts[1]:
+            raise ValueError(f"column line must be 'name:type[:required]': {ln!r}")
+        flags = {p.lower() for p in parts[2:]}
+        unknown = flags - {"required", "unique"}
+        if unknown:
+            raise ValueError(f"unknown column flags {sorted(unknown)} in {ln!r}")
+        prop: dict = {"name": parts[0], "physicalType": parts[1]}
+        if "required" in flags:
+            prop["required"] = True
+        if "unique" in flags:
+            prop["unique"] = True
+        props.append(prop)
+    doc: dict = {
+        "id": contract_id,
+        "schema": [
+            {
+                "name": str(fields.get("object", "")).strip()
+                or contract_id.rsplit(".", 1)[-1],
+                "properties": props,
+            }
+        ],
+    }
+    version = str(fields.get("version", "")).strip()
+    if version:
+        doc["version"] = version
+    description = str(fields.get("description", "")).strip()
+    if description:
+        doc["description"] = description
+    return doc
+
+
+def render_author_form(message: str | None = None, error: str | None = None) -> str:
+    """The contract authoring form (POSTs urlencoded to the existing
+    /workflow/contracts route; bearer auth applies identically). Static
+    markup except the flash line, which is escaped like everything else."""
+    flash = ""
+    if error:
+        flash = f'<p class="block">{escape(error)}</p>'
+    elif message:
+        flash = f'<p class="ok">{escape(message)}</p>'
+    body = flash + (
+        '<form method="post" action="/workflow/contracts">'
+        "<p><label>contract id<br>"
+        '<input name="contract_id" size="40" placeholder="sales.orders"></label></p>'
+        "<p><label>version (blank = auto draft version)<br>"
+        '<input name="version" size="20" placeholder="1.0.0"></label></p>'
+        "<p><label>columns, one <code>name:type[:required][:unique]</code> per line<br>"
+        '<textarea name="columns" rows="8" cols="60" placeholder="o_orderkey:bigint:required:unique&#10;o_totalprice:decimal(15,2)"></textarea></label></p>'
+        "<p><label>description<br>"
+        '<input name="description" size="60"></label></p>'
+        "<p><label>author<br>"
+        '<input name="author" size="30"></label></p>'
+        '<p><button type="submit">Create draft</button></p>'
+        "</form>"
+        "<p>The submission lands as a <code>draft</code>; it reaches governed "
+        "reads only after approval on the review workflow.</p>"
+    )
+    return _PAGE.format(title="author a contract draft", body=body)

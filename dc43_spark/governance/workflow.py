@@ -110,6 +110,116 @@ def review_draft(
     return reviewed
 
 
+def _next_authored_version(contract_store, contract_id: str, base: Optional[str]) -> str:
+    """Minor-bump of the base (default: highest parseable existing
+    version, else 0.0.0) with an ``-draft-authored-<n>`` suffix; ``n``
+    increments past any existing collision so authored versions are
+    deterministic without a clock (documents are immutable — a version
+    string is never reused)."""
+    target: Optional[tuple] = None
+    candidates = [base] if base else contract_store.versions(contract_id)
+    for v in candidates or []:
+        try:
+            sv = SemVer.parse(v)
+        except ValueError:
+            continue
+        if sv.prerelease:
+            # a draft is a prerelease OF its core: new drafts join the
+            # same release target instead of consuming another bump
+            core = (sv.major, sv.minor, sv.patch)
+        else:
+            b = SemVer(sv.major, sv.minor, sv.patch).bump("minor")
+            core = (b.major, b.minor, b.patch)
+        if target is None or core > target:
+            target = core
+    bumped = SemVer(*target) if target else SemVer(0, 1, 0)
+    stem = f"{bumped.major}.{bumped.minor}.{bumped.patch}-draft-authored"
+    n = 1
+    existing = set(contract_store.versions(contract_id))
+    while f"{stem}-{n}" in existing:
+        n += 1
+    return f"{stem}-{n}"
+
+
+def author_draft(
+    contract_store,
+    governance_store,
+    document: dict,
+    *,
+    author: str = "",
+    note: str = "",
+) -> Contract:
+    """Create a brand-new contract draft from a submitted document — the
+    authoring half of the contracts-app surface (ref dc43-contracts-app
+    server.py contract create/edit forms). The document is ODCS-shaped
+    (``Contract.from_dict``); whatever status it claims, it enters the
+    store as ``status='draft'`` so nothing reaches a governed read
+    without passing ``review_draft``. Version: honored if supplied (and
+    free), else ``_next_authored_version``. Raises ``ValueError`` on a
+    schema-less document or a version collision (documents are
+    immutable)."""
+    doc = dict(document)
+    contract_id = str(doc.get("id") or "")
+    if not contract_id:
+        raise ValueError("authored contract document needs an 'id'")
+    version = str(doc.get("version") or "") or _next_authored_version(
+        contract_store, contract_id, None
+    )
+    if contract_store.get(contract_id, version) is not None:
+        raise ValueError(
+            f"contract {contract_id}:{version} already exists; documents are "
+            "immutable — author a new version instead"
+        )
+    doc["version"] = version
+    doc["status"] = "draft"
+    contract = Contract.from_dict(doc)
+    if not contract.schema_objects or not contract.schema_object.properties:
+        raise ValueError("authored contract needs at least one schema property")
+    contract_store.put(contract)
+    if governance_store is not None:
+        entry = {
+            "operation": "contract_authored",
+            "contract_id": contract_id,
+            "contract_version": version,
+            "author": author,
+        }
+        if note:
+            entry["note"] = note
+        governance_store.record_activity(entry)
+    return contract
+
+
+def edit_draft(
+    contract_store,
+    governance_store,
+    contract_id: str,
+    base_version: str,
+    changes: dict,
+    *,
+    author: str = "",
+    note: str = "",
+) -> Contract:
+    """Edit = author a NEW draft from an existing version (any status)
+    with ``changes`` overlaid — documents are immutable, so editing
+    never touches the base. ``changes`` replaces top-level document
+    sections (``schema``, ``description``, ``customProperties``, ...);
+    id/version/status are managed here and cannot be overridden. The new
+    version is a minor bump of the base with the authored-draft suffix."""
+    base = contract_store.get(contract_id, base_version)
+    if base is None:
+        raise LookupError(f"contract {contract_id}:{base_version} not found")
+    doc = base.to_dict()
+    for key, value in changes.items():
+        if key in ("id", "version", "status"):
+            raise ValueError(f"edit cannot override {key!r}")
+        doc[key] = value
+    doc["version"] = _next_authored_version(contract_store, contract_id, base_version)
+    entry_note = note or f"edited from {base_version}"
+    return author_draft(
+        contract_store, governance_store, doc, author=author, note=entry_note
+    )
+
+
 def latest_active(contract_store, contract_id: str) -> Optional[Contract]:
     """Highest-semver ACTIVE version — what a governed read resolves after
     reviews have moved statuses around."""

@@ -349,3 +349,62 @@ def test_drift_tracking_catches_shape_via_psi(spark, service):
     )
     drift = [w for w in out.validation.warnings if w.startswith("drift vs")]
     assert drift and "amount" in drift[0]
+
+
+def test_governance_metrics_tier_across_stores(spark, tmp_path):
+    """The dq_metrics tier (ref governance/backend/stores/delta.py):
+    save_status flattens the payload's metrics into one row per key;
+    load_metrics filters by version/contract and is latest-wins per
+    (version, key); list_datasets enumerates. Memory, FS and Spark-table
+    stores must agree."""
+    from dc43_spark.governance.stores import (
+        FSGovernanceStore,
+        MemoryGovernanceStore,
+        SparkTableGovernanceStore,
+    )
+
+    def payload(n_violations, recorded_at, status="ok"):
+        return {
+            "status": status,
+            "ok": status == "ok",
+            "contract_id": "c.orders",
+            "contract_version": "1.0.0",
+            "recorded_at": recorded_at,
+            "metrics": {
+                "row_count": 100,
+                "violations.not_null_k": n_violations,
+                "note": "free-text",
+            },
+        }
+
+    stores = [
+        MemoryGovernanceStore(),
+        FSGovernanceStore(tmp_path / "gov"),
+        SparkTableGovernanceStore(spark, "gov_metrics"),
+    ]
+    for store in stores:
+        store.save_status("path:/d/orders", "1.0.0", payload(7, "t1", "warn"))
+        store.save_status("path:/d/orders", "1.0.0", payload(0, "t2"))  # re-run
+        store.save_status("path:/d/orders", "1.1.0", payload(3, "t3"))
+        store.save_status("path:/other", "0.1.0", payload(1, "t4"))
+
+        datasets = store.list_datasets()
+        assert len(datasets) == 2 and datasets == sorted(datasets)
+
+        recs = store.load_metrics("path:/d/orders")
+        # latest-wins: the re-validated 1.0.0 shows 0 violations, not 7
+        got = {
+            (r["dataset_version"], r["metric_key"]): r["metric_numeric_value"]
+            for r in recs
+        }
+        assert got[("1.0.0", "violations.not_null_k")] == 0.0
+        assert got[("1.1.0", "violations.not_null_k")] == 3.0
+        assert got[("1.0.0", "row_count")] == 100.0
+        assert got[("1.0.0", "note")] is None  # non-numeric: payload only
+        assert all(r["contract_id"] == "c.orders" for r in recs)
+
+        one = store.load_metrics("path:/d/orders", dataset_version="1.1.0")
+        assert {r["metric_key"] for r in one} == {
+            "row_count", "violations.not_null_k", "note",
+        }
+        assert store.load_metrics("path:/d/orders", contract_id="nope") == []
