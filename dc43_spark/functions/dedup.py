@@ -300,26 +300,34 @@ def ngram_jaccard_pairs(
     jaccard = inter / (|A|+|B|-inter). The shingle join is the scalable
     exact method (no doc x doc cross join); pair it with LSH candidates to
     bound the pair space on huge corpora."""
+    # |A| rides the exploded rows (computed ONCE per doc off the distinct
+    # array, before the generator): the pair aggregation then has both
+    # set sizes in hand and the jaccard needs NO further join. Through r7
+    # this was a separate corpus-wide groupBy for the sizes plus two
+    # joins back onto the pairs — three extra shuffles for numbers the
+    # pre-explode array always knew, and the dominant cold-start codegen
+    # surface of the clustering gate.
     sh = df.select(
-        F.col(id_col), F.explode(token_shingles(text_col, shingle_size)).alias("sh")
+        F.col(id_col), token_shingles(text_col, shingle_size).alias("_arr")
+    ).select(
+        F.col(id_col),
+        F.size("_arr").alias("n"),
+        F.explode("_arr").alias("sh"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    return (
         a.join(b, on=[F.col("a.sh") == F.col("b.sh"),
                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
         .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min(F.col("a.n")).alias("_na"),  # constant per doc
+            F.min(F.col("b.n")).alias("_nb"),
+        )
         .withColumn(
             "jaccard",
             F.round(
-                F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter")), scale
+                F.col("inter") / (F.col("_na") + F.col("_nb") - F.col("inter")), scale
             ),
         )
         .filter(F.col("jaccard") >= threshold)

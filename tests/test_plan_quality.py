@@ -209,3 +209,18 @@ def test_bigram_familiarity_no_cartesian(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = plan_string(bigram_familiarity(docs), "simple")
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_ngram_jaccard_pairs_single_shuffle_no_size_joins(spark):
+    """r8: |A|/|B| ride the exploded shingle rows, so exact-Jaccard pair
+    mining is ONE shuffle (the inverted-index join + its partial-agg
+    reuse) — through r7 a separate corpus-wide sizes groupBy plus two
+    joins back onto the pairs made it four."""
+    from dc43_spark.functions import dedup as dd
+    from dc43_spark.showcase import load_spread
+
+    docs = load_spread(spark, SF_DIR, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8)
+    assert shuffle_exchanges(pairs) == 1
+    plan = plan_string(pairs)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
