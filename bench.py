@@ -83,14 +83,12 @@ HEADLINE = [
     "streaming_events_hourly",
     "streaming_dedup_events",
     "streaming_user_sessions",
-    "cdf_batch_orders",
-    "mor_delete_orders",
-    "snaplog_stream_orders",
     # governed IO (write + merge + versioned read round-trips)
     "merge_upsert_orders",
     "versioned_read_orders",
     # CDC + incremental view maintenance through the snaplog change feed
     "ivm_cdc_orders",
+    "ivm_full_agg_orders",
     # r8: snaplog table-format core (batch CDF, deletion vectors, stream src)
     "cdf_batch_orders",
     "mor_delete_orders",

@@ -2359,6 +2359,67 @@ class SnaplogTable:
 
     # ---------------- maintenance
 
+    def restore(
+        self,
+        *,
+        version_as_of: Optional[int] = None,
+        timestamp_as_of: Optional[float] = None,
+    ) -> int:
+        """Delta's ``RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF``: roll
+        the LIVE state back to a historic snapshot with one forward
+        commit (history is never rewritten — the bad commits stay
+        readable, the restore is itself undoable). The commit is pure
+        metadata: re-add the target's files missing from the head, remove
+        the head's files the target lacked — O(files differing), zero
+        data movement, zero Spark jobs.
+
+        Restores the target's schema, partition spec and deletion-vector
+        state wholesale. Requires the target's files to still exist
+        (``vacuum`` retention bounds how far back a restore can reach —
+        Delta's rule too). On change-feed tables a target with ACTIVE
+        deletion vectors is refused: the feed derives this commit's
+        inserts from re-added files, which would resurrect DV-deleted
+        rows in the CDC stream (materialize before the target version,
+        or run the table without change_feed)."""
+        current = self.version()
+        if current is None:
+            raise FileNotFoundError(f"no snaplog table at {self.path}")
+        target = self.snapshot(version_as_of, timestamp=timestamp_as_of)
+        if target.version == current:
+            return current  # already there: no-op, no commit
+        if self.change_feed and target.dvs:
+            raise ValueError(
+                f"restore of {self.path} to v{target.version} refused: the "
+                "target snapshot has active deletion vectors and this table "
+                "writes a change feed — re-added files would resurrect "
+                "DV-deleted rows in the CDC stream"
+            )
+        tgt_files = {f.path: f for f in target.files}
+        missing = [
+            os.path.join(self.path, p)
+            for p in [*tgt_files, *(d.path for d in target.dvs)]
+            if not os.path.exists(os.path.join(self.path, p))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {self.path} to v{target.version}: "
+                f"{len(missing)} file(s) were vacuumed (first: {missing[0]}); "
+                "restores reach only as far back as vacuum retention"
+            )
+        now_paths = set(self.snapshot(current).file_paths())
+        add = [e for p, e in sorted(tgt_files.items()) if p not in now_paths]
+        remove = sorted(now_paths - set(tgt_files))
+        return self._commit(
+            "restore",
+            add=add,
+            remove=remove,
+            schema_json=target.schema_json,
+            expected_version=current,
+            dv_clear=True,
+            dv_add=target.dvs,
+            partition_by=target.partition_by,
+        )
+
     def compact(
         self,
         *,
@@ -2380,11 +2441,12 @@ class SnaplogTable:
             raise FileNotFoundError(f"no snaplog table at {self.path}")
         snap = self.snapshot(current)
         self._require_no_dvs(snap, "compact")
-        if snap.partition_by and (cluster_by or zorder_by):
+        spec = list(snap.partition_by)
+        if spec and set(spec) & set([*(cluster_by or ()), *(zorder_by or ())]):
             raise ValueError(
-                "cluster_by/zorder_by compaction on a hive-partitioned "
-                f"table ({list(snap.partition_by)}) is not supported; "
-                "plain compact() preserves the partition layout"
+                f"cluster_by/zorder_by must not repeat the partition "
+                f"columns {spec}; partition values are constant per file "
+                "and already prune exactly"
             )
         threshold = target_file_mb * 1024 * 1024
         small = [f for f in snap.files if f.bytes < threshold]
@@ -2393,13 +2455,18 @@ class SnaplogTable:
         df = self._scan(small, snap)
         total = sum(f.bytes for f in small)
         n_out = max(1, round(total / threshold))
+        # on a hive-partitioned table, clustering happens WITHIN each
+        # partition (Delta's OPTIMIZE ZORDER scope): partition columns
+        # lead the range key + sort so rows stay partition-grouped and
+        # each partition's files cover contiguous cluster ranges
         if zorder_by:
             from dc43_spark.io.zorder import zorder_repartition
 
-            df = zorder_repartition(df, zorder_by, n_out)
+            df = zorder_repartition(df, zorder_by, n_out, prefix_cols=spec)
         elif cluster_by:
-            df = df.repartitionByRange(n_out, *[F.col(c) for c in cluster_by])
-            df = df.sortWithinPartitions(*[F.col(c) for c in cluster_by])
+            lead = [F.col(c) for c in [*spec, *cluster_by]]
+            df = df.repartitionByRange(n_out, *lead)
+            df = df.sortWithinPartitions(*lead)
         else:
             df = df.coalesce(n_out)
         added = self._stage_files(df, partition_by=snap.partition_by)

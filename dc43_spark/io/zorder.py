@@ -113,13 +113,27 @@ def with_zorder_key(
 
 
 def zorder_repartition(
-    df: DataFrame, cols: Sequence[str], n_files: int, *, bits: int = 8
+    df: DataFrame,
+    cols: Sequence[str],
+    n_files: int,
+    *,
+    bits: int = 8,
+    prefix_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Lay ``df`` out as ``n_files`` z-ordered files: range-partition on
     the interleaved key (one shuffle), sort within each partition, drop
     the key. Footer min/max stats then bound every z-ordered column per
-    file, which is what snaplog ``read(filters=...)`` prunes on."""
+    file, which is what snaplog ``read(filters=...)`` prunes on.
+
+    ``prefix_cols`` (hive partition columns) lead the range key and the
+    sort, so rows stay grouped by partition and each partition's files
+    cover contiguous z-ranges — Delta's OPTIMIZE ZORDER within
+    partitions. Bucket envelopes stay GLOBAL (one driver aggregate, not
+    one per partition): keys are coarser inside narrow partitions but
+    never wrong, and pruning exactness comes from the footer stats, not
+    the key."""
     keyed = with_zorder_key(df, cols, bits=bits)
-    out = keyed.repartitionByRange(max(1, n_files), F.col("_zorder_key"))
-    out = out.sortWithinPartitions("_zorder_key")
+    lead = [F.col(c) for c in prefix_cols]
+    out = keyed.repartitionByRange(max(1, n_files), *lead, F.col("_zorder_key"))
+    out = out.sortWithinPartitions(*lead, "_zorder_key")
     return out.drop("_zorder_key")

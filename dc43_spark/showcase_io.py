@@ -419,6 +419,83 @@ IO_ORACLES = {
     "snaplog_stream_orders": _SNAPLOG_STREAM_SQL,
 }
 
-EXTRA_QUERIES = {}
+def q_ivm_full_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 extra: the NON-invertible IVM aggregates (io/ivm.py
+    refresh_view) under the same table history as ``ivm_cdc_orders`` —
+    AVG from stored sum+count, MIN/MAX with the targeted dirty-group
+    rescan (the v1 DELETE takes each status's minimum order key, so the
+    incremental refresh MUST rescan those groups to land the oracle's
+    recompute; ``groups_rescanned`` is asserted to prove the path ran).
+    AVG surfaces as integral micro-units (BIGINT) per the gate-output
+    discipline."""
+    from dc43_spark.io.ivm import refresh_view, view_select
+    from dc43_spark.io.snaplog import SnaplogTable
 
-EXTRA_ORACLES = {}
+    base = _orders_base(spark, sf_dir)
+    root = _scratch(sf_dir, "ivm_full")
+    table = SnaplogTable(spark, os.path.join(root, "orders"), change_feed=True)
+    table.write(
+        base.filter(F.col("o_orderkey") % 2 == 0)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        mode="overwrite",
+    )
+    view = SnaplogTable(spark, os.path.join(root, "view"))
+    spec = dict(
+        keys=["o_orderstatus"],
+        sums={"revenue_cents": "o_totalprice_cents"},
+        avgs={"avg_cents": "o_totalprice_cents"},
+        mins={"min_key": "o_orderkey"},
+        maxs={"max_key": "o_orderkey"},
+    )
+    refresh_view(view, table, **spec)
+    table.delete([("o_orderkey", "<", 2000)])
+    table.write(base.filter(F.col("o_orderkey") % 5 == 1), mode="append")
+    st = refresh_view(view, table, **spec)
+    assert st.strategy == "incremental" and st.groups_rescanned > 0, st
+    out = view_select(
+        view, sums=["revenue_cents"], avgs=["avg_cents"],
+        mins=["min_key"], maxs=["max_key"],
+    )
+    # the maintained AVG column must agree with the exact stored sums
+    # (driver-side check over the handful of groups); the gate output
+    # then re-derives millicents in BIGINT half-up arithmetic, the only
+    # cross-engine-stable way to emit a ratio (see micro_ratio)
+    for r in out.collect():
+        assert abs(r.avg_cents - r.revenue_cents / r.n_rows) < 1e-6, r
+    num = F.col("revenue_cents") * F.lit(1000)
+    den = F.col("n_rows")
+    return out.select(
+        "o_orderstatus",
+        "revenue_cents",
+        F.call_function("div", F.lit(2) * num + den, F.lit(2) * den)
+        .cast("long")
+        .alias("avg_millicents"),
+        "min_key",
+        "max_key",
+        "n_rows",
+    )
+
+
+_IVM_FULL_AGG_SQL = f"""
+WITH base AS ({_BASE_SQL}),
+head AS (
+  SELECT * FROM base WHERE o_orderkey % 2 = 0 AND o_orderkey >= 2000
+  UNION ALL
+  SELECT * FROM base WHERE o_orderkey % 5 = 1
+)
+SELECT o_orderstatus,
+       SUM(o_totalprice_cents) AS revenue_cents,
+       (2 * SUM(o_totalprice_cents) * 1000 + COUNT(*)) // (2 * COUNT(*))
+         AS avg_millicents,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       COUNT(*) AS n_rows
+FROM head
+GROUP BY o_orderstatus
+"""
+
+
+EXTRA_QUERIES = {"ivm_full_agg_orders": q_ivm_full_agg_orders}
+
+EXTRA_ORACLES = {"ivm_full_agg_orders": _IVM_FULL_AGG_SQL}

@@ -1063,3 +1063,93 @@ def test_vacuum_sweeps_orphaned_cdc_and_staging(spark, tmp_path):
     for rel in real_cdc:  # referenced CDC of retained versions survives
         assert os.path.exists(os.path.join(t.path, rel))
     assert {r.k for r in t.read().collect()} == {2}
+
+
+def test_restore_rolls_live_state_back_with_one_forward_commit(spark, tmp_path):
+    """Delta RESTORE semantics: live state returns to the target snapshot
+    via a new commit; history is intact, the restore is undoable, and the
+    commit is metadata-only (no new data files)."""
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")  # v0
+    t.write(_df(spark, [(3, "c")]), mode="append")  # v1
+    t.delete([("k", "=", 1)])  # v2: drops 1
+    t.write(_df(spark, [(4, "d")]), mode="append")  # v3
+    assert {r.k for r in t.read().collect()} == {2, 3, 4}
+
+    data_files_before = set()
+    for root, _d, names in os.walk(t.data_dir):
+        data_files_before.update(names)
+    v = t.restore(version_as_of=1)
+    assert v == 4
+    # back to v1's exact content
+    assert {r.k for r in t.read().collect()} == {1, 2, 3}
+    # metadata-only: no data file was written
+    data_files_after = set()
+    for root, _d, names in os.walk(t.data_dir):
+        data_files_after.update(names)
+    assert data_files_after == data_files_before
+    # history intact: the pre-restore head still reads
+    assert {r.k for r in t.read(version_as_of=3).collect()} == {2, 3, 4}
+    assert t.history()[-1].operation == "restore"
+    # restore is undoable (restore the restore)
+    t.restore(version_as_of=3)
+    assert {r.k for r in t.read().collect()} == {2, 3, 4}
+    # restoring the current state is a no-op without a commit
+    head = t.version()
+    assert t.restore(version_as_of=head) == head
+    assert t.version() == head
+
+
+def test_restore_brings_back_schema_and_partition_spec(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame([(1, "us", "a"), (2, "eu", "b")], "k long, region string, v string"),
+        mode="overwrite",
+        partition_by=["region"],
+    )  # v0 partitioned
+    t.write(
+        spark.createDataFrame([(3, "us", "c", 9)], "k long, region string, v string, extra long"),
+        mode="overwrite",
+    )  # v1: re-partitioned (none) + wider schema
+    assert t.snapshot().partition_by == ()
+    t.restore(version_as_of=0)
+    snap = t.snapshot()
+    assert snap.partition_by == ("region",)
+    got = t.read()
+    assert got.columns == ["k", "region", "v"]
+    # partition pruning works against the restored layout
+    pruned = t.read(filters=[("region", "=", "eu")])
+    assert [r.k for r in pruned.collect()] == [2]
+    assert all("region=eu" in p for p in pruned.inputFiles())
+
+
+def test_restore_blocked_past_vacuum_and_dv_cdc_guard(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")  # v0
+    t.write(_df(spark, [(2, "b")]), mode="overwrite")  # v1 (drops v0 files)
+    t.vacuum(keep_versions=1)  # v0's files swept
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        t.restore(version_as_of=0)
+
+    cf = SnaplogTable(spark, str(tmp_path / "cf"), change_feed=True)
+    cf.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")  # v0
+    cf.delete([("k", "=", 1)], strategy="merge_on_read")  # v1: DV active
+    cf.write(_df(spark, [(3, "c")]), mode="append")  # v2
+    with pytest.raises(ValueError, match="deletion vectors"):
+        cf.restore(version_as_of=1)
+    # restoring to the DV-free v0 is fine and the feed stays consistent
+    cf.restore(version_as_of=0)
+    assert {r.k for r in cf.read().collect()} == {1, 2}
+
+
+def test_restore_with_dvs_without_change_feed(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), mode="overwrite")  # v0
+    t.delete([("k", "=", 2)], strategy="merge_on_read")  # v1: DV
+    t.write(_df(spark, [(4, "d")]), mode="append")  # v2
+    t.delete([("k", "=", 3)], strategy="merge_on_read")  # v3: second DV
+    assert {r.k for r in t.read().collect()} == {1, 4}
+    # restore to v1: DV state comes back exactly
+    t.restore(version_as_of=1)
+    assert {r.k for r in t.read().collect()} == {1, 3}
+    assert len(t.snapshot().dvs) == 1

@@ -154,8 +154,8 @@ def test_compact_preserves_layout_and_zorder_refuses(spark, tmp_path):
     assert len(snap.files) < n_before
     assert all(f.path.startswith("data/region=") for f in snap.files)
     assert sorted(r.k for r in t.read().collect()) == list(range(30))
-    with pytest.raises(ValueError, match="hive-partitioned"):
-        t.compact(target_file_mb=64, zorder_by=["k"])
+    with pytest.raises(ValueError, match="must not repeat"):
+        t.compact(target_file_mb=64, zorder_by=["region", "k"])
     # vacuum walks the nested layout and sweeps the pre-compaction files
     deleted = t.vacuum(keep_versions=1)
     assert deleted >= n_before
@@ -233,3 +233,50 @@ def test_data_source_pushdown_prunes_partitions(spark, tmp_path):
     r.pushFilters([EqualTo(("region",), "eu")])
     parts = r.partitions()
     assert parts and all("region=eu" in p.path for p in parts)
+
+
+def test_zorder_compaction_within_partitions(spark, tmp_path):
+    """Delta's OPTIMIZE ZORDER scope on a partitioned table: clustering
+    runs WITHIN each hive partition — the layout survives, every file
+    stays single-partition, and a (partition, zorder-col) filter prunes
+    to a file subset through BOTH mechanisms."""
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    rows = [(i, ["us", "eu"][i % 2], i * 7 % 1000) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, region string, x long").repartition(8)
+    t.write(df, mode="overwrite", partition_by=["region"])
+    v = t.compact(target_file_mb=1, zorder_by=["k"], min_files=2)
+    assert v is not None
+    snap = t.snapshot()
+    assert snap.partition_by == ("region",)
+    assert all(f.path.startswith("data/region=") for f in snap.files)
+    # per-partition files cover contiguous, mostly non-overlapping k
+    # ranges; a narrow k filter within one partition opens a file subset
+    per_region = {}
+    for f in snap.files:
+        per_region.setdefault(f.partition["region"], []).append(f)
+    assert set(per_region) == {"us", "eu"}
+    got = t.read(filters=[("region", "=", "us"), ("k", "=", 4)])
+    opened = got.inputFiles()
+    assert all("region=us" in p for p in opened)
+    assert len(opened) < len(per_region["us"]) or len(per_region["us"]) == 1
+    assert [r.k for r in got.collect()] == [4]
+    # full content intact
+    assert t.read().count() == 2000
+
+
+def test_cluster_compaction_within_partitions(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    rows = [(i, ["us", "eu"][i % 2], f"v{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, region string, v string").repartition(8)
+    t.write(df, mode="overwrite", partition_by=["region"])
+    assert t.compact(target_file_mb=1, cluster_by=["k"], min_files=2) is not None
+    snap = t.snapshot()
+    assert all(f.path.startswith("data/region=") for f in snap.files)
+    # clustered: within a partition, files' k-ranges don't overlap
+    for region, files in (
+        ("us", [f for f in snap.files if f.partition["region"] == "us"]),
+    ):
+        spans = sorted((f.stats["k"]["min"], f.stats["k"]["max"]) for f in files)
+        for (al, ah), (bl, bh) in zip(spans, spans[1:]):
+            assert ah <= bl
+    assert t.read().count() == 2000
