@@ -377,6 +377,7 @@ _OPS = st.lists(
             st.just("update"),
             st.lists(st.integers(0, 9), min_size=1, max_size=4, unique=True),
         ),
+        st.tuples(st.just("restore"), st.integers(0, 10)),
     ),
     min_size=1,
     max_size=6,
@@ -387,7 +388,7 @@ _OPS = st.lists(
 @given(ops=_OPS)
 def test_snaplog_matches_model_under_random_op_sequences(spark, tmp_path_factory, ops):
     """Model check: any interleaving of append/overwrite/merge/compact/
-    delete/mor_delete(+auto-materialize)/update must
+    delete/mor_delete(+auto-materialize)/update/restore must
     leave (a) the head matching a dict model replaying the same MERGE
     algebra, and (b) EVERY historic version still reading back its own
     recorded row multiset (compaction/merge must never mutate history)."""
@@ -451,6 +452,13 @@ def test_snaplog_matches_model_under_random_op_sequences(spark, tmp_path_factory
             settle()
             t.update([("k", "in", list(keys))], set={"v": F.lit("U")})
             rows = [(k, "U") if k in set(keys) else (k, v) for k, v in rows]
+        elif op == "restore":
+            if t.version() is None or not history:
+                continue
+            committed = [c.version for c in t.history()]
+            idx = keys % len(history)
+            t.restore(version_as_of=committed[idx])
+            rows = list(history[idx])
         else:  # compact
             if t.version() is None:
                 continue
