@@ -97,6 +97,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -633,9 +634,15 @@ def _footer_stats(abs_path: str) -> tuple[int, int, dict]:
                 continue
             if name in acc and acc[name] is None:
                 continue  # already disqualified (missing/unsafe stats)
-            st = col.statistics
-            lo = _json_safe(st.min) if st is not None and st.has_min_max else None
-            hi = _json_safe(st.max) if st is not None and st.has_min_max else None
+            try:
+                st = col.statistics
+                lo = _json_safe(st.min) if st is not None and st.has_min_max else None
+                hi = _json_safe(st.max) if st is not None and st.has_min_max else None
+            except Exception:  # pyarrow can't decode stats for some
+                # physical types (e.g. decimals on this version) — the
+                # column simply doesn't prune; correctness is unaffected
+                acc[name] = None
+                continue
             if lo is None or hi is None:
                 acc[name] = None
                 continue
@@ -723,6 +730,47 @@ def _partition_stats(partition: dict, rows: int) -> dict:
             continue  # all-NULL partition: no envelope; files stay candidates
         out[col] = {"min": v, "max": v, "nulls": 0}
     return out
+
+
+_INT_CHAIN = ("tinyint", "smallint", "int", "bigint")
+_DECIMAL_RE = re.compile(r"decimal\((\d+),(\d+)\)")
+
+
+def _widened(old: str, new: str) -> Optional[str]:
+    """The wider of two primitive types under the LOSSLESS widening
+    chains (Delta's type widening: byte->short->int->long,
+    byte/short/int/float->double, decimal precision growth at equal
+    scale) — or None when neither losslessly widens the other. Spark 4's
+    parquet reader upcasts narrower files under the wider read schema,
+    so evolving the SNAPSHOT schema is sufficient; no file rewrites."""
+    if old == new:
+        return old
+    if old in _INT_CHAIN and new in _INT_CHAIN:
+        return new if _INT_CHAIN.index(new) > _INT_CHAIN.index(old) else old
+    pair = {old, new}
+    if "double" in pair:
+        other = (pair - {"double"}).pop()
+        return "double" if other in ("float", "tinyint", "smallint", "int") else None
+    mo, mn = _DECIMAL_RE.fullmatch(old), _DECIMAL_RE.fullmatch(new)
+    if mo and mn and mo.group(2) == mn.group(2):
+        return old if int(mo.group(1)) >= int(mn.group(1)) else new
+    return None
+
+
+def _widen_conflicts(old: dict, new: dict) -> tuple[dict, list]:
+    """Shared columns whose simpleString types differ -> ({col: wider
+    simpleString} for losslessly widenable ones, [hard conflicts])."""
+    widen: dict = {}
+    hard: list = []
+    for n in sorted(old.keys() & new.keys()):
+        if old[n] == new[n]:
+            continue
+        w = _widened(old[n], new[n])
+        if w is None:
+            hard.append(n)
+        else:
+            widen[n] = w
+    return widen, hard
 
 
 def _commit_name(version: int) -> str:
@@ -1568,12 +1616,17 @@ class SnaplogTable:
         divergent type would null-corrupt silently. Returns the
         schema_json the commit should record.
 
-        ``merge_schema`` (Delta's mergeSchema) relaxes this additively:
-        the append may introduce NEW columns (recorded in the evolved
-        union schema; older files read them as NULL) and may omit
-        existing ones (the new files read those as NULL). Type CHANGES
-        on a shared column always raise — that rewrite needs
-        ``overwrite``."""
+        ``merge_schema`` (Delta's mergeSchema + type widening) relaxes
+        this: the append may introduce NEW columns (recorded in the
+        evolved union schema; older files read them as NULL), may omit
+        existing ones (the new files read those as NULL), and may WIDEN
+        a shared column along a lossless chain (byte->short->int->long,
+        ->double, decimal precision growth — see ``_widened``); the
+        snapshot schema takes the wider type and Spark's parquet reader
+        upcasts the narrower files, no rewrite. A narrower append into
+        an already-wider column is likewise admitted (its files upcast
+        under the snapshot schema). LOSSY type changes always raise —
+        that rewrite needs ``overwrite``."""
         current = self.version()
         if current is None:
             return df.schema.json()
@@ -1583,29 +1636,41 @@ class SnaplogTable:
         table = T.StructType.fromJson(json.loads(existing))
         old = {f.name: f.dataType.simpleString() for f in table.fields}
         new = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-        conflicts = sorted(
-            n for n in old.keys() & new.keys() if old[n] != new[n]
-        )
-        if conflicts:
+        widen, hard = _widen_conflicts(old, new)
+        if hard:
             raise ValueError(
                 f"append type mismatch on {self.path} for column(s) "
-                f"{conflicts}: table has "
-                f"{[(n, old[n]) for n in conflicts]}, append has "
-                f"{[(n, new[n]) for n in conflicts]}; overwrite to change "
+                f"{hard}: table has "
+                f"{[(n, old[n]) for n in hard]}, append has "
+                f"{[(n, new[n]) for n in hard]}; overwrite to change "
                 "a column's type"
             )
-        if old.keys() == new.keys():
+        if widen and not merge_schema:
+            raise ValueError(
+                f"append would widen column(s) "
+                f"{[(n, old[n], '->', widen[n]) for n in widen]} on "
+                f"{self.path}; pass merge_schema=True to allow type widening"
+            )
+        if old.keys() == new.keys() and not any(
+            widen.get(n, old[n]) != old[n] for n in old
+        ):
             return existing
-        if not merge_schema:
+        if old.keys() != new.keys() and not merge_schema:
             raise ValueError(
                 f"append schema mismatch on {self.path}: table has "
                 f"{sorted(old.keys() - new.keys())} not in append, append "
                 f"has {sorted(new.keys() - old.keys())} not in table; pass "
                 "merge_schema=True for additive evolution or overwrite"
             )
+        df_fields = {f.name: f for f in df.schema.fields}
         evolved = T.StructType(
             [
-                *table.fields,
+                *[
+                    df_fields[f.name]
+                    if widen.get(f.name) not in (None, old[f.name])
+                    else f
+                    for f in table.fields
+                ],
                 *[f for f in df.schema.fields if f.name not in old],
             ]
         )
@@ -1748,42 +1813,62 @@ class SnaplogTable:
         self._require_no_dvs(snap, "merge")
         evolved_json = snap.schema_json
         keep_target_cols: tuple = ()
+        tgt_casts: dict = {}
         if snap.schema_json:
             table_schema = T.StructType.fromJson(json.loads(snap.schema_json))
             old = {f.name: f for f in table_schema.fields}
             new = {f.name: f for f in source.schema.fields}
-            conflicts = sorted(
-                n
-                for n in old.keys() & new.keys()
-                if old[n].dataType.simpleString() != new[n].dataType.simpleString()
+            widen, hard = _widen_conflicts(
+                {n: f.dataType.simpleString() for n, f in old.items()},
+                {n: f.dataType.simpleString() for n, f in new.items()},
             )
-            if conflicts:
+            if hard:
                 raise ValueError(
                     f"merge type mismatch on {self.path} for column(s) "
-                    f"{conflicts}; overwrite to change a column's type"
+                    f"{hard}; overwrite to change a column's type"
                 )
             missing_in_src = sorted(old.keys() - new.keys())
             extra_in_src = sorted(new.keys() - old.keys())
             keep_target_cols = tuple(missing_in_src)
-            if (missing_in_src or extra_in_src) and not merge_schema:
+            if (missing_in_src or extra_in_src or widen) and not merge_schema:
                 raise ValueError(
                     f"merge schema mismatch on {self.path}: source is "
-                    f"missing {missing_in_src} and adds {extra_in_src}; "
-                    "pass merge_schema=True for additive evolution"
+                    f"missing {missing_in_src}, adds {extra_in_src}, widens "
+                    f"{sorted(widen)}; pass merge_schema=True for additive "
+                    "evolution and lossless type widening"
                 )
-            if extra_in_src or missing_in_src:
+            if extra_in_src or missing_in_src or widen:
+                # per-field evolved type: the wider of (table, source)
+                def _etype(f):
+                    w = widen.get(f.name)
+                    if w is None or w == f.dataType.simpleString():
+                        return f
+                    return new[f.name]
+
                 evolved = T.StructType(
-                    [*table_schema.fields, *[new[n] for n in extra_in_src]]
+                    [*map(_etype, table_schema.fields), *[new[n] for n in extra_in_src]]
                 )
                 evolved_json = evolved.json()
+                etypes = {f.name: f.dataType for f in evolved.fields}
                 source = source.select(
                     *[
-                        F.col(f.name)
+                        (
+                            F.col(f.name).cast(f.dataType)
+                            if new[f.name].dataType != f.dataType
+                            else F.col(f.name)
+                        )
                         if f.name in new
                         else F.lit(None).cast(f.dataType).alias(f.name)
                         for f in evolved.fields
                     ]
                 )
+                # target rows scanned under the OLD snapshot schema must
+                # join/union at the evolved types
+                tgt_casts = {
+                    n: etypes[n]
+                    for n, f in old.items()
+                    if etypes[n] != f.dataType
+                }
 
         # level 1: driver-side min/max intersection (footer stats, no IO);
         # also probe whether the source carries a NULL key — those match
@@ -1828,6 +1913,8 @@ class SnaplogTable:
         tgt_rows = None
         if touched:
             tgt_rows = self._scan(touched, snap)
+            for c, dtype in tgt_casts.items():
+                tgt_rows = tgt_rows.withColumn(c, F.col(c).cast(dtype))
             for c in [c for c in source.columns if c not in tgt_rows.columns]:
                 # evolved source-only columns: existing rows carry NULL
                 tgt_rows = tgt_rows.withColumn(

@@ -1161,3 +1161,94 @@ def test_restore_with_dvs_without_change_feed(spark, tmp_path):
     t.restore(version_as_of=1)
     assert {r.k for r in t.read().collect()} == {1, 3}
     assert len(t.snapshot().dvs) == 1
+
+
+# -------- lossless type widening (Delta type widening, zero rewrites)
+
+
+def test_append_type_widening(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, 10)], "k int, x int"), mode="overwrite")
+    # widening append refused without the flag
+    with pytest.raises(ValueError, match="widen"):
+        t.write(spark.createDataFrame([(2, 5_000_000_000)], "k int, x long"))
+    # with merge_schema: snapshot schema takes the wider type; the old
+    # int32 file upcasts under it — NO rewrite
+    files_before = set(t.snapshot().file_paths())
+    t.write(
+        spark.createDataFrame([(2, 5_000_000_000)], "k int, x long"),
+        merge_schema=True,
+    )
+    assert files_before < set(t.snapshot().file_paths())  # pure append
+    got = t.read()
+    assert dict(got.dtypes) == {"k": "int", "x": "bigint"}
+    assert {(r.k, r.x) for r in got.collect()} == {(1, 10), (2, 5_000_000_000)}
+    # a NARROWER append into the now-wide column also lands (its file
+    # upcasts under the snapshot schema), and the schema stays wide
+    t.write(spark.createDataFrame([(3, 7)], "k int, x int"), merge_schema=True)
+    assert dict(t.read().dtypes)["x"] == "bigint"
+    assert {r.x for r in t.read().collect()} == {10, 5_000_000_000, 7}
+    # lossy changes still refuse outright
+    with pytest.raises(ValueError, match="type mismatch"):
+        t.write(
+            spark.createDataFrame([(4, "s")], "k int, x string"), merge_schema=True
+        )
+
+
+def test_merge_type_widening(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame([(1, 1.5), (2, 2.5)], "k int, x float"),
+        mode="overwrite",
+    )
+    src = spark.createDataFrame([(2, 9.25), (3, 3.25)], "k int, x double")
+    with pytest.raises(ValueError, match="widens"):
+        t.merge(src, ["k"])
+    t.merge(src, ["k"], merge_schema=True)
+    got = t.read()
+    assert dict(got.dtypes)["x"] == "double"
+    by_k = {r.k: r.x for r in got.collect()}
+    assert by_k[2] == 9.25 and by_k[3] == 3.25
+    assert abs(by_k[1] - 1.5) < 1e-9  # untouched row upcast exactly
+    # decimal precision growth, same scale
+    d = SnaplogTable(spark, str(tmp_path / "d"))
+    d.write(
+        spark.range(1).selectExpr("id k", "cast(1.25 as decimal(5,2)) x"),
+        mode="overwrite",
+    )
+    d.merge(
+        spark.range(1, 2).selectExpr("id k", "cast(123456.78 as decimal(12,2)) x"),
+        ["k"],
+        merge_schema=True,
+    )
+    assert dict(d.read().dtypes)["x"] == "decimal(12,2)"
+    assert d.read().count() == 2
+    # scale CHANGE is not lossless -> hard conflict
+    with pytest.raises(ValueError, match="type mismatch"):
+        d.merge(
+            spark.range(1).selectExpr("id k", "cast(1.2 as decimal(12,3)) x"),
+            ["k"],
+            merge_schema=True,
+        )
+
+
+def test_widening_composes_with_time_travel_and_stats_pruning(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.range(100).selectExpr("cast(id as int) k", "cast(id as int) x")
+        .repartitionByRange(4, "k"),
+        mode="overwrite",
+    )
+    t.write(
+        spark.createDataFrame([(200, 6_000_000_000)], "k int, x long"),
+        merge_schema=True,
+    )
+    # pre-evolution version still reads with the ORIGINAL schema
+    assert dict(t.read(version_as_of=0).dtypes)["x"] == "int"
+    assert dict(t.read().dtypes)["x"] == "bigint"
+    # stats pruning still exact across mixed int/long files
+    hit = t.read(filters=[("x", ">", 5_000_000_000)])
+    assert [r.k for r in hit.collect()] == [200]
+    assert len(hit.inputFiles()) == 1
+    small = t.read(filters=[("x", "=", 7)])
+    assert [r.k for r in small.collect()] == [7]
