@@ -109,10 +109,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import bloom as _bloom
+
 LOG_DIR = "_snaplog"
 DATA_DIR = "data"
 CDC_DIR = "_change_data"
 DV_DIR = "_deletes"
+BLOOM_DIR = "_index/bloom"
 CHANGE_TYPE_COL = "_change_type"
 _VERSION_WIDTH = 20
 _STATS_MAX_COLUMNS = 32  # delta-style cap: stats for the first N columns
@@ -511,6 +514,10 @@ class Snapshot:
     base: Optional[_FileBlock] = None
     removed: frozenset = frozenset()
     added: tuple[FileEntry, ...] = ()
+    # bloom sidecar rel paths visible at this version (checkpoint's
+    # consolidated sidecar + tail commits'), newest last. Empty unless
+    # the table configured bloom_columns.
+    bloom: tuple = ()
 
     @functools.cached_property
     def _live_idx(self) -> list:
@@ -977,6 +984,8 @@ class SnaplogTable:
         checkpoint_format: str = "parquet",
         claimer: Optional[CommitClaimer] = None,
         change_feed: bool = False,
+        bloom_columns: Optional[Sequence[str]] = None,
+        bloom_bits_per_key: int = 10,
     ) -> None:
         self.spark = spark
         self.path = os.path.abspath(path.rstrip("/"))
@@ -995,6 +1004,13 @@ class SnaplogTable:
         # merge path) keep writing CDC instead of silently punching holes
         # in the feed.
         self._change_feed_opt = change_feed
+        # Bloom data skipping (Delta's bloom filter index analogue, see
+        # io/bloom.py): configured ONCE, persisted as a table property so
+        # every later handle keeps the index complete; tables without it
+        # pay zero build or probe cost.
+        self._bloom_columns_opt = tuple(bloom_columns or ())
+        self.bloom_bits_per_key = bloom_bits_per_key
+        self._bloom_sidecars: dict[str, _bloom.BloomSidecar] = {}
 
     # ---------------- layout helpers
 
@@ -1015,24 +1031,42 @@ class SnaplogTable:
         # name is non-numeric, so _versions() never mistakes it for a commit
         return os.path.join(self.log_dir, "properties.json")
 
+    def _stored_properties(self) -> dict:
+        try:
+            with open(self._properties_file) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {}
+
     @property
     def change_feed(self) -> bool:
         """Change feed on? True when THIS handle enabled it or any past
         handle persisted it as a table property."""
         if self._change_feed_opt:
             return True
-        try:
-            with open(self._properties_file) as fh:
-                return bool(json.load(fh).get("change_feed"))
-        except (OSError, ValueError):
-            return False
+        return bool(self._stored_properties().get("change_feed"))
+
+    @property
+    def bloom_columns(self) -> tuple:
+        """Columns with per-file bloom indexes — this handle's option
+        plus whatever a past handle persisted, so independently
+        constructed writers keep the index complete."""
+        stored = tuple(self._stored_properties().get("bloom_columns", ()))
+        return self._bloom_columns_opt or stored
 
     def _persist_properties(self) -> None:
-        if not self._change_feed_opt or os.path.exists(self._properties_file):
+        stored = self._stored_properties()
+        want = dict(stored)
+        if self._change_feed_opt:
+            want["change_feed"] = True
+        if self._bloom_columns_opt and not stored.get("bloom_columns"):
+            want["bloom_columns"] = list(self._bloom_columns_opt)
+            want["bloom_bits_per_key"] = self.bloom_bits_per_key
+        if not want or want == stored:
             return
         tmp = self._properties_file + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"change_feed": True}, fh)
+            json.dump(want, fh)
         os.replace(tmp, self._properties_file)
 
     @property
@@ -1116,11 +1150,13 @@ class SnaplogTable:
         dvs: list[FileEntry] = []
         schema_json: Optional[str] = None
         partition_by: tuple = ()
+        bloom: list = []
         cps = [c for c in self._checkpoint_versions() if c <= version]
         if cps:
-            base, dvs, schema_json, partition_by, cp_ts = self._load_checkpoint(
-                cps[-1]
+            base, dvs, schema_json, partition_by, cp_ts, bloom = (
+                self._load_checkpoint(cps[-1])
             )
+            bloom = list(bloom)
             start = cps[-1] + 1
         ts = 0.0
         for v in range(start, version + 1):
@@ -1144,6 +1180,7 @@ class SnaplogTable:
             schema_json = commit.get("schema_json") or schema_json
             if "partition_by" in commit:
                 partition_by = tuple(commit["partition_by"])
+            bloom.extend(commit.get("bloom", []))
         if start > version and cps:  # snapshot == checkpoint version
             ts = cp_ts
         return Snapshot(
@@ -1155,6 +1192,7 @@ class SnaplogTable:
             base=base,
             removed=frozenset(removed),
             added=tuple(added.values()),
+            bloom=tuple(bloom),
         )
 
     def history(self) -> list[CommitInfo]:
@@ -1199,6 +1237,10 @@ class SnaplogTable:
             # lazy prune: only the filtered columns' stats are touched
             # and only surviving files materialize (see Snapshot.prune)
             files = snap.prune(groups)
+            # bloom pass: equality probes on indexed high-cardinality
+            # columns drop the stats survivors whose blooms prove the
+            # key absent (no-op unless the table has bloom_columns)
+            files = self._bloom_prune(files, groups, snap)
             pred = _filters_to_column(groups)
         else:
             files = list(snap.files)
@@ -1318,9 +1360,10 @@ class SnaplogTable:
         )
 
     def _load_checkpoint(self, version: int):
-        """-> (base _FileBlock, dvs, schema_json, partition_by, timestamp).
-        Parquet preferred (columnar, lazily converted); legacy JSON
-        checkpoints stay readable and are columnarized on load."""
+        """-> (base _FileBlock, dvs, schema_json, partition_by, timestamp,
+        bloom_files). Parquet preferred (columnar, lazily converted);
+        legacy JSON checkpoints stay readable and are columnarized on
+        load."""
         pq_path = os.path.join(self.log_dir, _checkpoint_name(version, "parquet"))
         if os.path.exists(pq_path):
             import pyarrow.parquet as pq
@@ -1356,6 +1399,7 @@ class SnaplogTable:
                 md.get("schema_json") or None,
                 tuple(json.loads(md.get("partition_by", "[]"))),
                 float(md.get("timestamp", "0")),
+                tuple(json.loads(md.get("bloom_files", "[]"))),
             )
         with open(os.path.join(self.log_dir, _checkpoint_name(version))) as fh:
             cp = json.load(fh)
@@ -1372,14 +1416,16 @@ class SnaplogTable:
             cp.get("schema_json"),
             tuple(cp.get("partition_by", ())),
             cp.get("timestamp", 0.0),
+            tuple(cp.get("bloom_files", ())),
         )
 
     def _maybe_checkpoint(self, version: int) -> None:
         if version == 0 or version % self.checkpoint_interval != 0:
             return
         snap = self.snapshot(version)
+        bloom_files = self._consolidate_blooms(version, snap)
         if self.checkpoint_format == "parquet":
-            self._write_parquet_checkpoint(version, snap)
+            self._write_parquet_checkpoint(version, snap, bloom_files)
             return
         record = {
             "version": version,
@@ -1392,12 +1438,40 @@ class SnaplogTable:
             ],
             "dvs": [{"path": f.path, "rows": f.rows} for f in snap.dvs],
         }
+        if bloom_files:
+            record["bloom_files"] = bloom_files
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump(record, fh)
         os.replace(tmp, os.path.join(self.log_dir, _checkpoint_name(version)))
 
-    def _write_parquet_checkpoint(self, version: int, snap: Snapshot) -> None:
+    def _consolidate_blooms(self, version: int, snap: Snapshot) -> list:
+        """Merge the snapshot's bloom sidecars into ONE, keeping only
+        LIVE files' blooms, so the per-snapshot sidecar count is bounded
+        by the checkpoint interval and probe-time index loads stay
+        O(live files). Cost O(live blooms), same class as the
+        checkpoint write itself. Old sidecars stay on disk for older
+        snapshots until vacuum."""
+        if not snap.bloom:
+            return []
+        live = set(snap.file_paths())
+        merged: dict = {}
+        for rel in snap.bloom:  # oldest first: later sidecars override
+            abs_p = os.path.join(self.path, rel)
+            if not os.path.exists(abs_p):
+                continue
+            for row in _bloom.BloomSidecar(abs_p).read_all():
+                if row["path"] in live:
+                    merged[(row["path"], row["col"])] = row
+        if not merged:
+            return []
+        name = f"{BLOOM_DIR}/cp-{version:0{_VERSION_WIDTH}d}-{uuid.uuid4().hex}.parquet"
+        _bloom.write_sidecar(os.path.join(self.path, name), list(merged.values()))
+        return [name]
+
+    def _write_parquet_checkpoint(
+        self, version: int, snap: Snapshot, bloom_files: Sequence[str] = ()
+    ) -> None:
         """Columnar checkpoint: one row per live file (+ one per active
         deletion vector), per-stat-column native min/max/nulls columns,
         table-level facts in the parquet key-value metadata. ~6x smaller
@@ -1454,6 +1528,7 @@ class SnaplogTable:
                 "partition_by": json.dumps(list(snap.partition_by)),
                 "stat_cols": json.dumps(stat_cols),
                 "json_stat_cols": json.dumps(json_cols),
+                "bloom_files": json.dumps(list(bloom_files)),
             }
         )
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
@@ -1467,6 +1542,123 @@ class SnaplogTable:
         if f.partition:
             rec["partition"] = f.partition
         return rec
+
+    # ---------------- bloom data skipping (see io/bloom.py)
+
+    @property
+    def bloom_dir(self) -> str:
+        return os.path.join(self.path, BLOOM_DIR)
+
+    def _build_bloom_sidecar(self, add: Sequence[FileEntry]) -> Optional[str]:
+        """One parquet sidecar holding a bloom per (new file, bloom
+        column). Hashing runs JVM-side (``xxhash64`` under whole-stage
+        codegen over ONLY the commit's files); Python sees int64 hash
+        columns per file via Arrow and folds them into bit arrays with
+        numpy — zero row-at-a-time work. Cost O(rows in ``add``)."""
+        paths = [os.path.join(self.path, f.path) for f in add]
+        scan = self.spark.read.parquet(*paths)
+        fields = {f.name: f.dataType.typeName() for f in scan.schema.fields}
+        cols: list[str] = []
+        sel = [F.col("_metadata.file_path").alias("_bf_file")]
+        for c in self.bloom_columns:
+            t = fields.get(c)
+            if t is None:
+                continue  # files written before the evolution adding c
+            if t in _bloom.INTEGRAL_TYPES:
+                canon = F.col(c).cast("long")  # one integer canon
+            elif t == "string":
+                canon = F.col(c)
+            else:
+                raise ValueError(
+                    f"bloom column {c!r} has unsupported type {t} "
+                    "(integral or string only)"
+                )
+            i = len(cols)
+            sel.append(F.xxhash64(canon).alias(f"__h1_{i}"))
+            sel.append(
+                F.xxhash64(canon, F.lit(1).cast("long")).alias(f"__h2_{i}")
+            )
+            cols.append(c)
+        if not cols:
+            return None
+        bits_per_key = self.bloom_bits_per_key
+        colnames = list(cols)
+
+        def build(pdf):
+            import pandas as pd
+
+            from dc43_spark.io import bloom as B
+
+            out = []
+            path = pdf["_bf_file"].iloc[0]
+            for i, c in enumerate(colnames):
+                h1 = pdf[f"__h1_{i}"].to_numpy()
+                h2 = pdf[f"__h2_{i}"].to_numpy()
+                m, k = B.bloom_params(len(h1), bits_per_key)
+                out.append((path, c, len(h1), m, k, B.build_bits(h1, h2, m, k)))
+            return pd.DataFrame(out, columns=["path", "col", "n", "m", "k", "bits"])
+
+        rows = (
+            scan.select(*sel)
+            .groupBy("_bf_file")
+            .applyInPandas(
+                build, "path string, col string, n long, m long, k int, bits binary"
+            )
+            .collect()  # bounded: (files in commit) x (bloom cols) rows
+        )
+        from urllib.parse import urlparse
+
+        rel_rows = []
+        for r in rows:
+            p = urlparse(r["path"]).path if r["path"].startswith("file:") else r["path"]
+            rel_rows.append(
+                {
+                    "path": os.path.relpath(p, self.path),
+                    "col": r["col"],
+                    "n": r["n"],
+                    "m": r["m"],
+                    "k": r["k"],
+                    "bits": bytes(r["bits"]),
+                }
+            )
+        name = f"{BLOOM_DIR}/{uuid.uuid4().hex}.parquet"
+        _bloom.write_sidecar(os.path.join(self.path, name), rel_rows)
+        return name
+
+    def _bloom_lookup(self, snap: Snapshot):
+        """(path, col) -> (m, k, bits) | None over the snapshot's
+        sidecars, newest first, lazily opened and cached per handle."""
+        readers = []
+        for rel in reversed(snap.bloom):
+            rd = self._bloom_sidecars.get(rel)
+            if rd is None:
+                abs_p = os.path.join(self.path, rel)
+                if not os.path.exists(abs_p):
+                    continue  # vacuumed under an old snapshot
+                rd = self._bloom_sidecars.setdefault(rel, _bloom.BloomSidecar(abs_p))
+            readers.append(rd)
+
+        def lookup(path: str, col: str):
+            for rd in readers:
+                hit = rd.get(path, col)
+                if hit is not None:
+                    return hit
+            return None
+
+        return lookup
+
+    def _bloom_prune(
+        self, files: list, groups: list, snap: Snapshot
+    ) -> list:
+        """Drop stats-surviving files whose blooms prove the equality
+        probes absent. Runs AFTER min/max pruning, so cost is O(stats
+        survivors) — and only when the filter has =/in conditions."""
+        if not snap.bloom or not files or not _bloom.bloomable_conditions(groups):
+            return files
+        lookup = self._bloom_lookup(snap)
+        return [
+            f for f in files if _bloom.group_may_match(lookup, groups, f.path)
+        ]
 
     def _commit(
         self,
@@ -1506,6 +1698,14 @@ class SnaplogTable:
             "add": [self._entry_record(f) for f in add],
             "remove": list(remove),
         }
+        if add and self.bloom_columns:
+            # per-file bloom sidecar for the commit's NEW data files —
+            # O(rows added), JVM-hashed (see _build_bloom_sidecar); a
+            # conflict-aborted commit leaves an orphan sidecar that
+            # vacuum sweeps
+            bloom_rel = self._build_bloom_sidecar(add)
+            if bloom_rel:
+                record["bloom"] = [bloom_rel]
         if schema_json:
             record["schema_json"] = schema_json
         if partition_by is not None:
@@ -2626,6 +2826,18 @@ class SnaplogTable:
                 rel = f"{CDC_DIR}/{name}"
                 if name.endswith(".parquet") and rel not in referenced_cdc:
                     os.unlink(os.path.join(self.cdc_dir, name))
+                    deleted += 1
+        # bloom sidecars: keep those any retained snapshot references
+        # (checkpoint-consolidated + tail); sweep the rest — including
+        # orphans staged by conflict-aborted commits
+        if os.path.isdir(self.bloom_dir):
+            live_bloom: set = set()
+            for v in retained:
+                live_bloom.update(self.snapshot(v).bloom)
+            for name in os.listdir(self.bloom_dir):
+                rel = f"{BLOOM_DIR}/{name}"
+                if name.endswith(".parquet") and rel not in live_bloom:
+                    os.unlink(os.path.join(self.bloom_dir, name))
                     deleted += 1
         # crash leftovers: staging dirs whose writer died mid-_stage_files,
         # and claimer temp manifests that never got linked (vacuum's

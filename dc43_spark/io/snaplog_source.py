@@ -184,16 +184,22 @@ class SnaplogBatchReader(DataSourceReader):
             timestamp=float(ts) if ts is not None else None,
         )
         self._root = t.path
+        self._table = t
         # pushed filters (DNF groups); files stay UNMATERIALIZED until
         # partitions() so pruning runs columnar over the checkpoint base
         self._filter_groups = None
 
     def partitions(self):
-        pruned = (
-            self._snap.prune(self._filter_groups)
-            if self._filter_groups
-            else list(self._snap.files)
-        )
+        if self._filter_groups:
+            pruned = self._snap.prune(self._filter_groups)
+            # bloom pass: =/IN probes on indexed columns drop stats
+            # survivors whose blooms prove the key absent (no-op on
+            # tables without bloom_columns)
+            pruned = self._table._bloom_prune(
+                pruned, self._filter_groups, self._snap
+            )
+        else:
+            pruned = list(self._snap.files)
         dv = _dv_position_map(self._root, self._snap.dvs)
         return [
             _FilePartition(

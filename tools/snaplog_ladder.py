@@ -166,6 +166,91 @@ def metadata_ladder(entry_counts, reps: int) -> None:
     print(json.dumps({"snaplog_metadata_ladder": results}))
 
 
+def bloom_ladder(file_counts, rows_per_file: int, reps: int) -> None:
+    """Bloom data-skipping ladder: the workload min/max stats CANNOT
+    prune. Keys are written hash-interleaved across files, so every
+    file's [min, max] envelope straddles every probe value — a stats-
+    only point lookup opens ALL files; the bloom pass should open ~1
+    (+fpp). Measures, per table size:
+
+    - files opened, bloom vs stats-only (same data, twin tables)
+    - cold planning (first probe: sidecar index load) and warm planning
+      wall time — both DRIVER-side only, zero Spark jobs
+    - end-to-end lookup (plan + collect) bloom vs stats-only
+    - sidecar bytes per data file
+
+    Expected at scale: warm planning FLAT-ish (index dict hit + one
+    512-row row-group decode); end-to-end speedup grows with file count
+    because the stats-only scan reads O(table)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from dc43_spark.io.snaplog import BLOOM_DIR, SnaplogTable
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results = []
+    for n_files in file_counts:
+        root = tempfile.mkdtemp(prefix="snaplog_bloom_")
+        try:
+            n_rows = n_files * rows_per_file
+            df = spark.range(n_rows).select(
+                F.col("id").alias("k"),
+                F.md5(F.col("id").cast("string")).alias("payload"),
+            ).repartition(n_files, F.col("k") % n_files)
+            tb = SnaplogTable(spark, os.path.join(root, "b"), bloom_columns=["k"])
+            tb.write(df, mode="overwrite")
+            tn = SnaplogTable(spark, os.path.join(root, "n"))
+            tn.write(df, mode="overwrite")
+            probe = n_rows // 2 + 1
+            row = {"files": n_files, "rows": n_rows}
+
+            t0 = time.monotonic()
+            cold = tb.read(filters=[("k", "=", probe)])
+            row["bloom_plan_cold_s"] = round(time.monotonic() - t0, 4)
+            row["bloom_files_opened"] = len(cold.inputFiles())
+            row["stats_files_opened"] = len(
+                tn.read(filters=[("k", "=", probe)]).inputFiles()
+            )
+            row["bloom_plan_warm_s"] = round(
+                timed(lambda: tb.read(filters=[("k", "=", probe + 2)]), reps), 4
+            )
+            row["bloom_lookup_s"] = round(
+                timed(
+                    lambda: tb.read(filters=[("k", "=", probe + 4)]).collect(), reps
+                ),
+                3,
+            )
+            row["stats_lookup_s"] = round(
+                timed(
+                    lambda: tn.read(filters=[("k", "=", probe + 4)]).collect(), reps
+                ),
+                3,
+            )
+            bdir = os.path.join(tb.path, BLOOM_DIR)
+            row["sidecar_kb_per_file"] = round(
+                sum(os.path.getsize(os.path.join(bdir, f)) for f in os.listdir(bdir))
+                / 1024.0
+                / n_files,
+                1,
+            )
+            results.append(row)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    hdr = list(results[0].keys())
+    print("| " + " | ".join(hdr) + " |")
+    print("|" + "---|" * len(hdr))
+    for r in results:
+        print("| " + " | ".join(str(r[h]) for h in hdr) + " |")
+    print(json.dumps({"snaplog_bloom_ladder": results}))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,4,16")
@@ -178,9 +263,21 @@ def main() -> None:
         help="run the driver-side metadata ladder instead, at these "
         "synthetic checkpoint entry counts (e.g. 10000,100000)",
     )
+    ap.add_argument(
+        "--bloom",
+        default=None,
+        help="run the bloom data-skipping ladder instead, at these file "
+        "counts (e.g. 64,256,1024)",
+    )
+    ap.add_argument("--rows-per-file", type=int, default=10_000)
     args = ap.parse_args()
     if args.metadata:
         metadata_ladder([int(s) for s in args.metadata.split(",")], args.reps)
+        return
+    if args.bloom:
+        bloom_ladder(
+            [int(s) for s in args.bloom.split(",")], args.rows_per_file, args.reps
+        )
         return
     scales = [int(s) for s in args.scales.split(",")]
 
