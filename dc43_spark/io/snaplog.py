@@ -972,6 +972,50 @@ class RewriteStats:
     rows_after: int
 
 
+@dataclass(frozen=True)
+class ReadInfo:
+    """What a pinned-snapshot operation READ, for logical conflict
+    detection at commit time (Delta's OptimisticTransaction model: a
+    conflict is a semantic overlap with an intermediate commit, not
+    merely a moved head). ``paths`` is the stats-candidate file set the
+    op scanned — sound as a read set because stats pruning only drops
+    files PROVABLY free of matching rows. Exactly one of
+    ``key_ranges`` (merge: {key: (lo, hi, has_null)}) / ``groups``
+    (delete/update: DNF filter) describes the read predicate used to
+    test concurrently-ADDED files; both None with ``reads_rest=True``
+    means the op read the whole table (every add conflicts).
+    ``reads_rest=False`` marks pure layout ops (compact, materialize)
+    whose result is unaffected by files they did not touch.
+
+    ``isolation`` mirrors Delta's two levels: under the default
+    ``write_serializable``, a concurrent BLIND APPEND never conflicts
+    (the relaxation Delta ships as its default — writes stay
+    serializable, snapshot reads may observe the append's rows even
+    though the pinned op did not); ``serializable`` also conflicts on
+    blind appends whose file stats may satisfy the read predicate."""
+
+    paths: frozenset
+    key_ranges: Optional[tuple] = None  # (keys, {k: (lo, hi, has_null)})
+    groups: Optional[list] = None  # DNF [(col, op, val), ...] groups
+    reads_rest: bool = True
+    isolation: str = "write_serializable"
+
+
+#: operations whose commits never read the table (their adds are
+#: source-only data). Everything else's adds are derived from a
+#: table read and conflict with overlapping readers at BOTH levels.
+_BLIND_OPS = ("append",)
+
+
+def _check_isolation(isolation: str) -> str:
+    if isolation not in ("write_serializable", "serializable"):
+        raise ValueError(
+            "isolation must be write_serializable|serializable, "
+            f"got {isolation!r}"
+        )
+    return isolation
+
+
 class SnaplogTable:
     """Handle on one snaplog table directory (create lazily on first write)."""
 
@@ -1676,6 +1720,7 @@ class SnaplogTable:
         dv_clear: bool = False,
         schema_fn=None,
         partition_by: Optional[Sequence[str]] = None,
+        read_info: Optional[ReadInfo] = None,
     ) -> int:
         """Write one commit. ``expected_version`` pins the read snapshot
         (merge/overwrite/compact); ``retry_append`` lets blind appends chase
@@ -1685,6 +1730,17 @@ class SnaplogTable:
         ``table_changes``); ``data_change=False`` marks layout-only commits
         (compaction) that the change feed must skip — Delta's
         dataChange=false action flag.
+
+        ``read_info`` upgrades the ``expected_version`` pin from physical
+        to LOGICAL conflict detection (Delta's OptimisticTransaction
+        checkAndRetry): when the head moved past the pin, the intermediate
+        commits are checked for semantic overlap — removed files this op
+        read or also removes, added files whose stats may satisfy this
+        op's read predicate, schema/partition changes, deletion-vector
+        activity — and if every intermediate commit is disjoint, the
+        commit REBASES onto the new head instead of raising. Disjoint
+        concurrent merges, appends racing compactions, and partition-local
+        writers all land without aborting each other.
 
         ``schema_fn`` (appends only): a zero-arg callable re-deriving the
         commit's schema_json against the CURRENT head, re-invoked on every
@@ -1727,10 +1783,16 @@ class SnaplogTable:
         while True:
             current = self.version()
             if expected_version is not None and current != expected_version:
-                raise SnapshotConflictError(
-                    f"{operation} read snapshot v{expected_version} of {self.path} "
-                    f"is stale: table is now at v{current}"
+                if read_info is None:
+                    raise SnapshotConflictError(
+                        f"{operation} read snapshot v{expected_version} of "
+                        f"{self.path} is stale: table is now at v{current}"
+                    )
+                # logical check: disjoint intermediate commits -> rebase
+                self._check_rebase(
+                    expected_version, current, record, read_info, operation
                 )
+                expected_version = current
             if schema_fn is not None:
                 fresh = schema_fn()
                 if fresh:
@@ -1745,6 +1807,9 @@ class SnaplogTable:
                 self._maybe_checkpoint(version)
                 return version
             if expected_version is not None:
+                if read_info is not None and attempts < 20:
+                    attempts += 1
+                    continue  # head moved again: re-run the logical check
                 raise SnapshotConflictError(
                     f"concurrent commit claimed v{version} of {self.path} "
                     f"during {operation}"
@@ -1754,6 +1819,110 @@ class SnaplogTable:
                     f"could not claim a commit version for {operation} on {self.path}"
                 )
             attempts += 1
+
+    def _check_rebase(
+        self,
+        base: int,
+        current: int,
+        record: dict,
+        info: ReadInfo,
+        operation: str,
+    ) -> None:
+        """Raise SnapshotConflictError iff any commit in (base, current]
+        semantically overlaps this operation; returning means the commit
+        may safely rebase onto ``current``. Rules (Delta's conflict
+        matrix):
+
+        - metadata: a schema or partition-spec change vs the base
+          snapshot always conflicts (the op computed under the old one).
+        - delete/delete: an intermediate commit removed a file this op
+          also removes (two rewrites of the same file).
+        - delete/read: an intermediate commit removed a file this op
+          READ — its outputs would resurrect or lose those rows.
+        - deletion vectors: any intermediate dv_add conflicts (the
+          manifest doesn't say which data files the vectors target, so
+          disjointness is unprovable — conservative).
+        - append/read: intermediate ADDS whose stats (plus exact
+          partition values) may satisfy this op's read predicate
+          conflict — except blind appends under write_serializable
+          (Delta's default relaxation), and dataChange=false re-layouts
+          of files this op provably did not read (their rows were
+          already proven non-matching when their source files were
+          stats-pruned from the read set)."""
+        base_snap = self.snapshot(base)
+        my_removes = set(record.get("remove", ()))
+        try:
+            base_schema = json.loads(base_snap.schema_json or "null")
+        except ValueError:
+            base_schema = None
+        for v in range(base + 1, current + 1):
+            c = self._read_commit(v)
+            op = c.get("operation", "?")
+            where = f"{operation} on {self.path}: concurrent {op} at v{v}"
+            sj = c.get("schema_json")
+            if sj:
+                try:
+                    their_schema = json.loads(sj)
+                except ValueError:
+                    their_schema = object()
+                if their_schema != base_schema:
+                    raise SnapshotConflictError(
+                        f"{where} changed the table schema"
+                    )
+            pb = c.get("partition_by")
+            if pb is not None and tuple(pb) != base_snap.partition_by:
+                raise SnapshotConflictError(
+                    f"{where} changed the partition spec "
+                    f"{list(base_snap.partition_by)} -> {list(pb)}"
+                )
+            their_removed = set(c.get("remove", ()))
+            both = sorted(their_removed & my_removes)
+            if both:
+                raise SnapshotConflictError(
+                    f"{where} also rewrote/removed {both[:3]}"
+                )
+            read_hit = sorted(their_removed & info.paths)
+            if read_hit:
+                raise SnapshotConflictError(
+                    f"{where} removed files this operation read: {read_hit[:3]}"
+                )
+            if c.get("dv_add"):
+                raise SnapshotConflictError(
+                    f"{where} added deletion vectors"
+                )
+            adds = c.get("add", ())
+            if not adds or not info.reads_rest:
+                continue
+            if c.get("data_change") is False and not (
+                their_removed & (info.paths | my_removes)
+            ):
+                continue  # re-layout of rows this op provably never read
+            if op in _BLIND_OPS and info.isolation != "serializable":
+                continue
+            entries = []
+            for e in adds:
+                stats = dict(e.get("stats", {}))
+                for k, pv in (e.get("partition") or {}).items():
+                    # exact per-file partition values beat stats envelopes
+                    if pv is not None and k not in stats:
+                        stats[k] = {"min": pv, "max": pv, "nulls": 0}
+                entries.append(
+                    FileEntry(e["path"], e["rows"], e["bytes"], stats,
+                              e.get("partition", {}))
+                )
+            if info.key_ranges is not None:
+                keys, ranges = info.key_ranges
+                hits = _prune_entries_by_stats(entries, keys, ranges)
+            elif info.groups is not None:
+                hits = [f for f in entries if _file_may_match(f, info.groups)]
+            else:
+                hits = entries  # whole-table read: every add overlaps
+            if hits:
+                raise SnapshotConflictError(
+                    f"{where} added files that may hold rows matching this "
+                    f"operation's read predicate: "
+                    f"{[f.path for f in hits[:3]]}"
+                )
 
     # ---------------- idempotent-writer tracking (Delta txnAppId shape)
 
@@ -1980,6 +2149,7 @@ class SnaplogTable:
         txn: Optional[dict] = None,
         check_source_keys: bool = True,
         merge_schema: bool = False,
+        isolation: str = "write_serializable",
     ) -> MergeStats:
         """File-granular copy-on-write MERGE (ref spark/io/merge.py:43-127
         semantics, Delta's physical strategy): prune to the files that
@@ -1995,12 +2165,22 @@ class SnaplogTable:
         schema (existing rows read them as NULL) and source rows missing
         table columns insert NULLs; without the flag both shapes raise
         (silently dropping a source column is how data quietly
-        disappears). Type changes on a shared column always raise."""
+        disappears). Type changes on a shared column always raise.
+
+        ``isolation``: conflict level for commits that land between this
+        merge's snapshot read and its commit (see ``ReadInfo``). Under
+        the default ``write_serializable`` a concurrent blind append
+        never aborts the merge (even with overlapping key ranges —
+        Delta's documented relaxation); ``serializable`` aborts on
+        overlapping-range appends too. Concurrent merges/updates/deletes
+        conflict only when file sets or key-range envelopes overlap, so
+        partition-disjoint writers all land."""
         from dc43_spark.io.merge import (
             _outer_join_merge,
             require_unique_merge_keys,
         )
 
+        _check_isolation(isolation)
         if check_source_keys:
             require_unique_merge_keys(source, keys)
         current = self.version()
@@ -2155,6 +2335,11 @@ class SnaplogTable:
             expected_version=current,
             cdc=cdc,
             txn=txn,
+            read_info=ReadInfo(
+                paths=frozenset(f.path for f in candidates),
+                key_ranges=(tuple(keys), key_ranges),
+                isolation=isolation,
+            ),
         )
         return MergeStats(
             files_total=snap.num_files,
@@ -2401,7 +2586,12 @@ class SnaplogTable:
         )
 
     def _delete_merge_on_read(
-        self, snap: Snapshot, candidates: Sequence[FileEntry], pred, current: int
+        self,
+        snap: Snapshot,
+        candidates: Sequence[FileEntry],
+        pred,
+        current: int,
+        read_info: Optional[ReadInfo] = None,
     ) -> RewriteStats:
         if not candidates:
             return RewriteStats(snap.num_files, 0, 0, 0, 0, 0)
@@ -2438,6 +2628,7 @@ class SnaplogTable:
             expected_version=current,
             cdc=cdc,
             dv_add=dv_added,
+            read_info=read_info,
         )
         return RewriteStats(
             files_total=snap.num_files,
@@ -2479,6 +2670,12 @@ class SnaplogTable:
             expected_version=current,
             data_change=False,
             dv_clear=True,
+            # reads only the DV'd files; concurrent appends rebase freely.
+            # A concurrent dv_add (vectors this rewrite would not fold
+            # before clearing) conflicts via the blanket dv_add rule.
+            read_info=ReadInfo(
+                paths=frozenset(f.path for f in touched), reads_rest=False
+            ),
         )
         return len(touched)
 
@@ -2503,7 +2700,13 @@ class SnaplogTable:
         names = {os.path.basename(r["_fp"]) for r in matched}
         return [f for f in candidates if os.path.basename(f.path) in names]
 
-    def delete(self, filters, *, strategy: str = "copy_on_write") -> RewriteStats:
+    def delete(
+        self,
+        filters,
+        *,
+        strategy: str = "copy_on_write",
+        isolation: str = "write_serializable",
+    ) -> RewriteStats:
         """Row-level DELETE with two physical strategies.
 
         ``copy_on_write`` (default): two-level pruning (footer stats,
@@ -2531,6 +2734,7 @@ class SnaplogTable:
             raise ValueError(
                 f"delete strategy must be copy_on_write|merge_on_read, got {strategy!r}"
             )
+        _check_isolation(isolation)
         groups = _normalize_filters(filters)
         pred = _filters_to_column(groups)
         current = self.version()
@@ -2538,8 +2742,15 @@ class SnaplogTable:
             raise FileNotFoundError(f"no snaplog table at {self.path}")
         snap = self.snapshot(current)
         candidates = snap.prune(groups)
+        read_info = ReadInfo(
+            paths=frozenset(f.path for f in candidates),
+            groups=groups,
+            isolation=isolation,
+        )
         if strategy == "merge_on_read":
-            return self._delete_merge_on_read(snap, candidates, pred, current)
+            return self._delete_merge_on_read(
+                snap, candidates, pred, current, read_info
+            )
         self._require_no_dvs(snap, "copy-on-write delete")
         touched = self._exact_touched(candidates, pred, snap)
         if not touched:
@@ -2563,6 +2774,7 @@ class SnaplogTable:
             schema_json=snap.schema_json,
             expected_version=current,
             cdc=cdc,
+            read_info=read_info,
         )
         return RewriteStats(
             files_total=snap.num_files,
@@ -2573,7 +2785,13 @@ class SnaplogTable:
             rows_after=sum(f.rows for f in added),
         )
 
-    def update(self, filters, set: dict) -> RewriteStats:
+    def update(
+        self,
+        filters,
+        set: dict,
+        *,
+        isolation: str = "write_serializable",
+    ) -> RewriteStats:
         """File-granular copy-on-write UPDATE: rewrite ONLY files holding
         rows that satisfy ``filters``, applying ``set`` (column ->
         Column/SQL-string expression, evaluated against the pre-update
@@ -2582,6 +2800,7 @@ class SnaplogTable:
         ``delete``."""
         if not set:
             raise ValueError("update() needs at least one column in set=")
+        _check_isolation(isolation)
         groups = _normalize_filters(filters)
         pred = _filters_to_column(groups)
         current = self.version()
@@ -2633,6 +2852,11 @@ class SnaplogTable:
             schema_json=snap.schema_json,
             expected_version=current,
             cdc=cdc,
+            read_info=ReadInfo(
+                paths=frozenset(f.path for f in candidates),
+                groups=groups,
+                isolation=isolation,
+            ),
         )
         rows = sum(f.rows for f in touched)
         return RewriteStats(
@@ -2764,6 +2988,12 @@ class SnaplogTable:
             schema_json=snap.schema_json,
             expected_version=current,
             data_change=False,  # layout-only: the change feed skips it
+            # OPTIMIZE must not abort ingest: concurrent appends/merges
+            # rebase under it unless they rewrote one of the files being
+            # compacted (delete/delete) — Delta's OPTIMIZE semantics
+            read_info=ReadInfo(
+                paths=frozenset(f.path for f in small), reads_rest=False
+            ),
         )
 
     def vacuum(self, *, keep_versions: int = 1) -> int:
