@@ -131,6 +131,15 @@ class SnapshotConflictError(RuntimeError):
     """A concurrent commit invalidated this transaction's read snapshot."""
 
 
+class ConstraintViolationError(ValueError):
+    """Incoming rows violate the table's CHECK constraints. Carries the
+    per-constraint violation counts in ``.counts``."""
+
+    def __init__(self, message: str, counts: dict):
+        super().__init__(message)
+        self.counts = dict(counts)
+
+
 class CommitClaimer(Protocol):
     """Atomic put-if-absent of a commit manifest — the ONLY primitive the
     log needs from storage. ``claim`` writes ``payload`` to ``dest_name``
@@ -518,6 +527,12 @@ class Snapshot:
     # consolidated sidecar + tail commits'), newest last. Empty unless
     # the table configured bloom_columns.
     bloom: tuple = ()
+    # CHECK constraints active at this version: name -> SQL boolean
+    # expression (Delta's CHECK constraint semantics: a row violates
+    # only when the expression is strictly FALSE; NULL passes). The
+    # full map rides in each constraint-changing commit, so time travel
+    # sees the constraint set AS OF that version.
+    constraints: dict = field(default_factory=dict)
 
     @functools.cached_property
     def _live_idx(self) -> list:
@@ -1195,12 +1210,14 @@ class SnaplogTable:
         schema_json: Optional[str] = None
         partition_by: tuple = ()
         bloom: list = []
+        constraints: dict = {}
         cps = [c for c in self._checkpoint_versions() if c <= version]
         if cps:
-            base, dvs, schema_json, partition_by, cp_ts, bloom = (
+            base, dvs, schema_json, partition_by, cp_ts, bloom, constraints = (
                 self._load_checkpoint(cps[-1])
             )
             bloom = list(bloom)
+            constraints = dict(constraints)
             start = cps[-1] + 1
         ts = 0.0
         for v in range(start, version + 1):
@@ -1225,6 +1242,8 @@ class SnaplogTable:
             if "partition_by" in commit:
                 partition_by = tuple(commit["partition_by"])
             bloom.extend(commit.get("bloom", []))
+            if "constraints" in commit:  # full replacement map
+                constraints = dict(commit["constraints"])
         if start > version and cps:  # snapshot == checkpoint version
             ts = cp_ts
         return Snapshot(
@@ -1237,6 +1256,7 @@ class SnaplogTable:
             removed=frozenset(removed),
             added=tuple(added.values()),
             bloom=tuple(bloom),
+            constraints=constraints,
         )
 
     def history(self) -> list[CommitInfo]:
@@ -1255,6 +1275,149 @@ class SnaplogTable:
         return out
 
     # ---------------- reads
+
+    # ---------------- CHECK constraints (Delta's table constraints)
+
+    @property
+    def check_constraints(self) -> dict:
+        """Active ``name -> SQL boolean expression`` map at the head
+        (empty when the table has none or does not exist yet)."""
+        try:
+            return dict(self.snapshot().constraints)
+        except FileNotFoundError:
+            return {}
+
+    def _enforce_constraints(self, df: DataFrame, constraints: dict, operation: str) -> None:
+        """ONE aggregate pass counting rows where any constraint
+        expression is strictly FALSE (SQL CHECK semantics: NULL passes).
+        Partial aggregation makes this a map-side count + one tiny
+        shuffle regardless of batch size. Raises with per-constraint
+        counts so the writer sees every broken rule at once, not just
+        the first."""
+        if not constraints:
+            return
+        row = df.agg(
+            *[
+                F.sum(
+                    F.when(F.expr(e) == F.lit(False), 1).otherwise(0)
+                ).alias(n)
+                for n, e in sorted(constraints.items())
+            ]
+        ).first()
+        bad = {n: int(row[n]) for n in sorted(constraints) if row[n]}
+        if bad:
+            raise ConstraintViolationError(
+                f"{operation} on {self.path} violates CHECK constraint(s): "
+                + "; ".join(
+                    f"{n} [{constraints[n]}] -> {c} row(s)"
+                    for n, c in bad.items()
+                ),
+                counts=bad,
+            )
+
+    def add_check_constraint(self, name: str, expr: str) -> int:
+        """Register a CHECK constraint (Delta's ``ALTER TABLE ADD
+        CONSTRAINT``): every subsequent append/overwrite/merge/update
+        batch must satisfy ``expr`` (a Spark SQL boolean expression;
+        a row violates only when it evaluates to FALSE — NULL passes,
+        use an explicit ``IS NOT NULL`` constraint for required
+        columns). EXISTING rows are validated first with one scan, so a
+        registered constraint is an invariant of the whole table, not
+        just of future writes. The full constraint map rides in a
+        metadata-only commit — versioned, conflict-checked, and visible
+        to time travel (old versions keep their old constraint set)."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"constraint name {name!r} must be an identifier")
+        current = self.version()
+        if current is None:
+            raise FileNotFoundError(f"no snaplog table at {self.path}")
+        snap = self.snapshot(current)
+        cons = dict(snap.constraints)
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists on {self.path} "
+                f"({cons[name]}); drop it first"
+            )
+        self._enforce_constraints(
+            self.read(version_as_of=current), {name: expr}, "add_check_constraint"
+        )
+        cons[name] = str(expr)
+        return self._commit(
+            "set_constraints",
+            expected_version=current,
+            data_change=False,  # no logical rows changed
+            constraints=cons,
+            schema_json=snap.schema_json,
+        )
+
+    def drop_check_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint by name (metadata-only commit)."""
+        current = self.version()
+        if current is None:
+            raise FileNotFoundError(f"no snaplog table at {self.path}")
+        snap = self.snapshot(current)
+        cons = dict(snap.constraints)
+        if name not in cons:
+            raise ValueError(
+                f"no constraint {name!r} on {self.path} (have {sorted(cons)})"
+            )
+        del cons[name]
+        return self._commit(
+            "set_constraints",
+            expected_version=current,
+            data_change=False,
+            constraints=cons,
+            schema_json=snap.schema_json,
+        )
+
+    def apply_contract_constraints(self, contract, *, include_optional: bool = False) -> dict:
+        """Register every row-level expectation of an ODCS contract as a
+        CHECK constraint in ONE commit (the engine-side bridge between
+        the contracts surface and the table format: after this, the
+        TABLE enforces the contract on every writer, governed or not).
+        Metric-only expectations (unique/query) stay with the validation
+        engine — they are not row predicates. Returns the {name: expr}
+        map that was added; no-ops (already-registered names with the
+        same expression) are skipped, and a name collision with a
+        DIFFERENT expression raises."""
+        from dc43_spark.expectations.compiler import (
+            expectation_specs,
+            row_predicates,
+        )
+
+        preds = row_predicates(
+            expectation_specs(contract), include_optional=include_optional
+        )
+        current = self.version()
+        if current is None:
+            raise FileNotFoundError(f"no snaplog table at {self.path}")
+        snap = self.snapshot(current)
+        cons = dict(snap.constraints)
+        added: dict = {}
+        for key, expr in sorted(preds.items()):
+            name = re.sub(r"\W", "_", key)
+            if name in cons:
+                if cons[name] != expr:
+                    raise ValueError(
+                        f"constraint {name!r} exists with a different "
+                        f"expression ({cons[name]} != {expr})"
+                    )
+                continue
+            added[name] = expr
+        if not added:
+            return {}
+        self._enforce_constraints(
+            self.read(version_as_of=current), added, "apply_contract_constraints"
+        )
+        cons.update(added)
+        self._commit(
+            "set_constraints",
+            expected_version=current,
+            data_change=False,
+            constraints=cons,
+            schema_json=snap.schema_json,
+        )
+        return added
 
     def read(
         self,
@@ -1405,9 +1568,9 @@ class SnaplogTable:
 
     def _load_checkpoint(self, version: int):
         """-> (base _FileBlock, dvs, schema_json, partition_by, timestamp,
-        bloom_files). Parquet preferred (columnar, lazily converted);
-        legacy JSON checkpoints stay readable and are columnarized on
-        load."""
+        bloom_files, constraints). Parquet preferred (columnar, lazily
+        converted); legacy JSON checkpoints stay readable and are
+        columnarized on load."""
         pq_path = os.path.join(self.log_dir, _checkpoint_name(version, "parquet"))
         if os.path.exists(pq_path):
             import pyarrow.parquet as pq
@@ -1444,6 +1607,7 @@ class SnaplogTable:
                 tuple(json.loads(md.get("partition_by", "[]"))),
                 float(md.get("timestamp", "0")),
                 tuple(json.loads(md.get("bloom_files", "[]"))),
+                json.loads(md.get("constraints", "{}")),
             )
         with open(os.path.join(self.log_dir, _checkpoint_name(version))) as fh:
             cp = json.load(fh)
@@ -1461,6 +1625,7 @@ class SnaplogTable:
             tuple(cp.get("partition_by", ())),
             cp.get("timestamp", 0.0),
             tuple(cp.get("bloom_files", ())),
+            cp.get("constraints", {}),
         )
 
     def _maybe_checkpoint(self, version: int) -> None:
@@ -1484,6 +1649,8 @@ class SnaplogTable:
         }
         if bloom_files:
             record["bloom_files"] = bloom_files
+        if snap.constraints:
+            record["constraints"] = snap.constraints
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump(record, fh)
@@ -1573,6 +1740,7 @@ class SnaplogTable:
                 "stat_cols": json.dumps(stat_cols),
                 "json_stat_cols": json.dumps(json_cols),
                 "bloom_files": json.dumps(list(bloom_files)),
+                "constraints": json.dumps(snap.constraints),
             }
         )
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
@@ -1721,6 +1889,7 @@ class SnaplogTable:
         schema_fn=None,
         partition_by: Optional[Sequence[str]] = None,
         read_info: Optional[ReadInfo] = None,
+        constraints: Optional[dict] = None,
     ) -> int:
         """Write one commit. ``expected_version`` pins the read snapshot
         (merge/overwrite/compact); ``retry_append`` lets blind appends chase
@@ -1775,6 +1944,10 @@ class SnaplogTable:
             record["cdc"] = [{"path": f.path, "rows": f.rows} for f in cdc]
         if not data_change:
             record["data_change"] = False
+        if constraints is not None:
+            # the FULL constraint map (not a delta): snapshot replay and
+            # time travel take the last map seen, like schema_json
+            record["constraints"] = dict(constraints)
         if dv_add:
             record["dv_add"] = [{"path": f.path, "rows": f.rows} for f in dv_add]
         if dv_clear:
@@ -1801,7 +1974,20 @@ class SnaplogTable:
                     record.pop("schema_json", None)
             version = 0 if current is None else current + 1
             record["version"] = version
-            record["timestamp"] = time.time()
+            # in-commit monotonic timestamps (Delta's ICT): clamp to
+            # strictly-after the head commit so timestampAsOf resolution
+            # (newest version with ts <= t) stays correct even when
+            # writers' clocks skew — a later version NEVER carries an
+            # earlier timestamp. Cost: one head-manifest read per commit.
+            now = time.time()
+            if current is not None:
+                try:
+                    prev_ts = float(self._read_commit(current)["timestamp"])
+                except (OSError, KeyError, ValueError, TypeError):
+                    prev_ts = 0.0
+                if now <= prev_ts:
+                    now = prev_ts + 1e-3
+            record["timestamp"] = now
             if self._try_commit(version, record):
                 self._persist_properties()
                 self._maybe_checkpoint(version)
@@ -1874,6 +2060,11 @@ class SnaplogTable:
                 raise SnapshotConflictError(
                     f"{where} changed the partition spec "
                     f"{list(base_snap.partition_by)} -> {list(pb)}"
+                )
+            cons = c.get("constraints")
+            if cons is not None and cons != base_snap.constraints:
+                raise SnapshotConflictError(
+                    f"{where} changed the CHECK constraints"
                 )
             their_removed = set(c.get("remove", ()))
             both = sorted(their_removed & my_removes)
@@ -1954,6 +2145,7 @@ class SnaplogTable:
         if last is not None and version <= last:
             return None
         self._check_append_schema(df)  # fail fast, before staging any data
+        self._enforce_constraints(df, self.check_constraints, "write_txn")
         added = self._stage_files(df)
         for _ in range(20):
             last = self.last_txn_version(app_id)
@@ -2080,6 +2272,12 @@ class SnaplogTable:
         schema_json = df.schema.json()
         if mode == "overwrite":
             current = self.version()
+            cons = (
+                self.snapshot(current).constraints if current is not None else {}
+            )
+            # constraints are a TABLE invariant: they survive overwrite
+            # (Delta's semantics) — drop them explicitly to relax
+            self._enforce_constraints(df, cons, "overwrite")
             remove = (
                 self.snapshot(current).file_paths() if current is not None else []
             )
@@ -2099,25 +2297,40 @@ class SnaplogTable:
         current = self.version()
         if current is None:
             spec = tuple(partition_by or ())
+            cons: dict = {}
         else:
-            spec = self.snapshot(current).partition_by
+            head_snap = self.snapshot(current)
+            spec = head_snap.partition_by
+            cons = head_snap.constraints
             if partition_by is not None and tuple(partition_by) != spec:
                 raise ValueError(
                     f"append partition_by {list(partition_by)} does not match "
                     f"the table's spec {list(spec)}; overwrite to re-partition"
                 )
+        self._enforce_constraints(df, cons, "append")
 
         def _recheck():
             # re-derived per attempt (see _commit): an append that loses
             # the race to a schema-evolving commit must record the EVOLVED
             # union schema; one that loses to a concurrent RE-PARTITION
-            # has its files staged in the wrong layout and must abort
+            # has its files staged in the wrong layout — and one that
+            # loses to a concurrent CONSTRAINT change was validated
+            # against the wrong rule set — so both must abort
             head = self.version()
-            head_spec = self.snapshot(head).partition_by if head is not None else spec
+            if head is not None:
+                hs = self.snapshot(head)
+                head_spec, head_cons = hs.partition_by, hs.constraints
+            else:
+                head_spec, head_cons = spec, cons
             if head_spec != spec:
                 raise SnapshotConflictError(
                     f"table {self.path} was re-partitioned concurrently "
                     f"({list(spec)} -> {list(head_spec)}); retry the append"
+                )
+            if head_cons != cons:
+                raise SnapshotConflictError(
+                    f"CHECK constraints on {self.path} changed concurrently; "
+                    "retry the append (it was validated against the old set)"
                 )
             return self._check_append_schema(df, merge_schema)
 
@@ -2313,6 +2526,10 @@ class SnaplogTable:
             merged = source  # nothing matched anywhere: pure insert
         else:
             return MergeStats(snap.num_files, len(candidates), 0, 0)
+
+        # CHECK constraints: the rewritten content is exactly the rows
+        # this merge writes; carried-over files already hold (invariant)
+        self._enforce_constraints(merged, snap.constraints, "merge")
 
         cdc = None
         if self.change_feed:
@@ -2830,6 +3047,7 @@ class SnaplogTable:
                 for c in df.columns
             ]
         )
+        self._enforce_constraints(rewritten, snap.constraints, "update")
         cdc = None
         if self.change_feed:
             matched = df.filter(pred)
@@ -2929,6 +3147,9 @@ class SnaplogTable:
             dv_clear=True,
             dv_add=target.dvs,
             partition_by=target.partition_by,
+            # metadata restores wholesale: the CHECK constraint set rolls
+            # back with the data it was proven against
+            constraints=target.constraints,
         )
 
     def compact(
