@@ -1890,6 +1890,7 @@ class SnaplogTable:
         partition_by: Optional[Sequence[str]] = None,
         read_info: Optional[ReadInfo] = None,
         constraints: Optional[dict] = None,
+        bloom: Optional[Sequence[str]] = None,
     ) -> int:
         """Write one commit. ``expected_version`` pins the read snapshot
         (merge/overwrite/compact); ``retry_append`` lets blind appends chase
@@ -1923,7 +1924,12 @@ class SnaplogTable:
             "add": [self._entry_record(f) for f in add],
             "remove": list(remove),
         }
-        if add and self.bloom_columns:
+        if bloom is not None:
+            # caller-supplied sidecar list (deep clone carries the
+            # source's consolidated sidecars instead of rebuilding)
+            if bloom:
+                record["bloom"] = list(bloom)
+        elif add and self.bloom_columns:
             # per-file bloom sidecar for the commit's NEW data files —
             # O(rows added), JVM-hashed (see _build_bloom_sidecar); a
             # conflict-aborted commit leaves an orphan sidecar that
@@ -3151,6 +3157,118 @@ class SnaplogTable:
             # back with the data it was proven against
             constraints=target.constraints,
         )
+
+    def clone(
+        self,
+        dest_path: str,
+        *,
+        shallow: bool = True,
+        version_as_of: Optional[int] = None,
+        timestamp_as_of: Optional[float] = None,
+    ) -> "SnaplogTable":
+        """Delta's ``CLONE``: a new independent table at ``dest_path``
+        whose v0 holds this table's state (optionally as of a version /
+        timestamp).
+
+        ``shallow=True`` (default) is METADATA-ONLY — the clone's
+        manifest references the source's data and deletion-vector files
+        by absolute path: O(files) driver work, zero data movement,
+        zero Spark jobs, at any table size. Writes to either side never
+        touch the other: the clone's appends/merges/deletes stage into
+        its OWN data dir (copy-on-write makes divergence natural), and
+        each side's vacuum only sweeps its own directories. The one
+        shared-fate caveat (Delta's too): vacuuming the SOURCE can
+        delete files a shallow clone still references — deep-clone
+        anything that must outlive the source's retention. Shallow
+        clones of hive-partitioned tables are refused: partition-column
+        reconstruction needs a single basePath, which a foreign-rooted
+        file set does not have (deep clone handles them).
+
+        ``shallow=False`` copies every referenced data/DV file (and the
+        bloom sidecars, which stay valid because relative paths are
+        preserved) into the destination — a fully self-contained copy.
+
+        Schema, partition spec, CHECK constraints, deletion-vector
+        state, and table properties (change_feed, bloom config) all
+        carry over; history does NOT (the clone starts at v0 — Delta's
+        rule). Returns the new table's handle."""
+        target = self.snapshot(version_as_of, timestamp=timestamp_as_of)
+        dest = SnaplogTable(
+            self.spark,
+            dest_path,
+            checkpoint_interval=self.checkpoint_interval,
+            checkpoint_format=self.checkpoint_format,
+        )
+        if dest.exists():
+            raise ValueError(f"clone destination {dest.path} already exists")
+        if shallow and target.partition_by:
+            raise ValueError(
+                f"shallow clone of hive-partitioned {self.path} is not "
+                "supported (partition reconstruction needs one basePath); "
+                "use shallow=False"
+            )
+
+        def _src_abs(rel: str) -> str:
+            return rel if os.path.isabs(rel) else os.path.join(self.path, rel)
+
+        entries: list[FileEntry] = []
+        dv_entries: list[FileEntry] = []
+        bloom_rels: list = []
+        if shallow:
+            for f in target.files:
+                entries.append(
+                    FileEntry(_src_abs(f.path), f.rows, f.bytes, f.stats, f.partition)
+                )
+            for d in target.dvs:
+                dv_entries.append(FileEntry(_src_abs(d.path), d.rows, 0, {}))
+            # bloom sidecars key files by source-relative path, which the
+            # clone's absolute entries never match: drop them (pruning
+            # stays sound — files without a bloom are always kept)
+        else:
+            for f in target.files:
+                rel = (
+                    f"{DATA_DIR}/{os.path.basename(f.path)}"
+                    if os.path.isabs(f.path)  # deep clone OF a shallow clone
+                    else f.path
+                )
+                dst = os.path.join(dest.path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copyfile(_src_abs(f.path), dst)
+                entries.append(FileEntry(rel, f.rows, f.bytes, f.stats, f.partition))
+            for d in target.dvs:
+                rel = (
+                    f"{DV_DIR}/{os.path.basename(d.path)}"
+                    if os.path.isabs(d.path)
+                    else d.path
+                )
+                dst = os.path.join(dest.path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copyfile(_src_abs(d.path), dst)
+                dv_entries.append(FileEntry(rel, d.rows, 0, {}))
+            for rel in target.bloom:
+                src = os.path.join(self.path, rel)
+                if not os.path.exists(src):
+                    continue  # vacuumed sidecar of an older snapshot
+                dst = os.path.join(dest.path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copyfile(src, dst)
+                bloom_rels.append(rel)
+        os.makedirs(dest.log_dir, exist_ok=True)
+        dest._commit(
+            "clone",
+            add=entries,
+            schema_json=target.schema_json,
+            partition_by=target.partition_by,
+            constraints=target.constraints or None,
+            dv_add=dv_entries,
+            bloom=bloom_rels,
+        )
+        props = self._stored_properties()
+        if props:
+            with open(dest._properties_file + ".tmp", "w") as fh:
+                json.dump(props, fh)
+            os.replace(dest._properties_file + ".tmp", dest._properties_file)
+        return dest
 
     def compact(
         self,
