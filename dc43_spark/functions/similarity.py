@@ -789,3 +789,225 @@ def ivf_index_append(
     out.repartition("centroid_id").write.mode("append").partitionBy(
         "centroid_id"
     ).parquet(f"{path}/lists")
+
+
+# --------------------------------------------------------------- product
+# quantization (Jegou et al. 2011, "Product Quantization for Nearest
+# Neighbor Search" — the FAISS IndexPQ scheme, public)
+
+
+def train_pq(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    n_codes: int = 256,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    train_limit: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train PQ codebooks: split the (L2-normalised) vector into ``m``
+    subspaces and k-means each independently -> (m, n_codes, dim/m).
+
+    Same scale contract as ``ivf_centroids``: the training sample is a
+    deterministic TakeOrdered slice pulled to the driver via Arrow, and
+    Lloyd runs in NumPy — the codebooks are tiny (m * n_codes * dim/m
+    floats, ~128 KB at dim=64/m=8/256 codes) and broadcast everywhere
+    they are used. Deterministic given (corpus, seed): seeded init,
+    fixed iteration count, empty clusters re-seeded from a cursor."""
+    pdf = (
+        corpus.select(
+            F.col(corpus_id).alias("i"), _as_double(F.col(corpus_vec)).alias("v")
+        )
+        .orderBy("i")
+        .limit(train_limit)
+        .toPandas()
+    )
+    x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    k = min(n_codes, n)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        xj = x[:, j * dsub : (j + 1) * dsub]
+        cent = xj[rng.choice(n, size=k, replace=False)].copy()
+        respawn = 0
+        for _ in range(iters):
+            # plain L2 Lloyd per subspace (subvectors are NOT unit-norm)
+            d2 = ((xj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = xj[assign == c]
+                if len(members) == 0:
+                    cent[c] = xj[respawn % n]
+                    respawn += 1
+                else:
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code array<smallint>): each vector L2-normalised, each
+    subvector snapped to its nearest codebook entry (L2). 8 bytes +
+    m*2 bytes per vector instead of dim*8 — at dim=64/m=8 a 16x corpus
+    compression, which is what lets a 100 TB embedding table's search
+    working set fit a cluster's memory. Arrow-batched NumPy, narrow
+    (shuffle-free) map."""
+    import pandas as pd
+
+    m, k, dsub = codebooks.shape
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(codebooks)
+
+    src = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_vec"))
+
+    def encode(batches):
+        books = bc.value
+        # ||c||^2 per subspace, precomputed once per executor batch-iter
+        cnorm = (books**2).sum(axis=2)  # (m, k)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            if mat.shape[1] != m * dsub:
+                raise ValueError(
+                    f"vector dim {mat.shape[1]} != codebook dim {m * dsub}"
+                )
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            codes = np.empty((mat.shape[0], m), dtype=np.int16)
+            for j in range(m):
+                xj = mat[:, j * dsub : (j + 1) * dsub]
+                # argmin ||x - c||^2 == argmin (||c||^2 - 2 x.c)
+                scores = cnorm[j][None, :] - 2.0 * (xj @ books[j].T)
+                codes[:, j] = np.argmin(scores, axis=1).astype(np.int16)
+            obj = np.empty(codes.shape[0], dtype=object)
+            for i in range(codes.shape[0]):
+                obj[i] = codes[i]
+            yield pd.DataFrame({"_id": pdf["_id"].to_numpy(), "_code": obj})
+
+    return src.mapInPandas(encode, "_id long, _code array<smallint>").select(
+        F.col("_id").alias(id_col), F.col("_code").alias("code")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    k: int = 5,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus: Optional[DataFrame] = None,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    rescore_factor: int = 0,
+    scale: Optional[int] = 6,
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via ADC (asymmetric
+    distance computation): per query, an (m x n_codes) table of
+    subspace dot products is precomputed once driver-side and broadcast;
+    each corpus CODE row then scores with m table lookups + a sum —
+    never touching a float vector. The scan reads 2m bytes per row
+    instead of 8*dim; local per-batch top-k bounds the shuffle exactly
+    like ``cosine_topk_matmul``.
+
+    ``rescore_factor`` > 0 re-ranks the top ``k*rescore_factor`` ADC
+    candidates with EXACT cosine against ``corpus`` (required then) —
+    the standard PQ serving recipe: cheap coarse pass over codes, exact
+    pass over a candidate set that is k*factor rows per query, not the
+    corpus."""
+    import pandas as pd
+
+    m, n_codes_, dsub = codebooks.shape
+    q_rows = queries.select(query_id, query_vec).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    if q_mat.shape[1] != m * dsub:
+        raise ValueError(
+            f"query dim {q_mat.shape[1]} != codebook dim {m * dsub}"
+        )
+    # tables[q, j, c] = q_sub_j . codebook[j, c]  -> ADC dot ~ cosine
+    tables = np.einsum(
+        "qjd,jcd->qjc", q_mat.reshape(-1, m, dsub), codebooks
+    )
+    sc = queries.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, tables))
+    take = k * rescore_factor if rescore_factor else k
+
+    def score(batches):
+        ids, tabs = bq.value
+        arange_m = np.arange(m)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["_nid"].to_numpy(dtype=np.int64)
+            cmat = np.stack(pdf["_code"].to_numpy()).astype(np.int64)  # (B, m)
+            sims = np.empty((cmat.shape[0], len(ids)), dtype=np.float64)
+            for qi in range(len(ids)):
+                sims[:, qi] = tabs[qi][arange_m[None, :], cmat].sum(axis=1)
+            top = min(take + 1, sims.shape[0])
+            key_ids = np.broadcast_to(c_ids[:, None], sims.shape)
+            idx = np.lexsort((key_ids, -sims), axis=0)[:top]
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(ids, top),
+                    "n_id": c_ids[idx].T.ravel(),
+                    "_adc": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+                }
+            )
+
+    c = codes.select(F.col(corpus_id).alias("_nid"), F.col("code").alias("_code"))
+    scored = c.mapInPandas(score, "q_id long, n_id long, _adc double").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_adc").desc(), F.col("n_id").asc())
+    coarse = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= take)
+    )
+    if not rescore_factor:
+        return coarse.select(
+            "q_id",
+            "n_id",
+            F.col("rank").cast("int").alias("rank"),
+            (F.round(F.col("_adc"), scale) if scale else F.col("_adc")).alias("score"),
+        )
+    if corpus is None:
+        raise ValueError("rescore_factor > 0 needs corpus= for exact rescoring")
+    cand = coarse.select("q_id", "n_id")
+    cvec = corpus.select(
+        F.col(corpus_id).alias("n_id"), _as_double(F.col(corpus_vec)).alias("_nvec")
+    )
+    qvec = queries.select(
+        F.col(query_id).alias("q_id"), _as_double(F.col(query_vec)).alias("_qvec")
+    )
+    exact = (
+        cand.join(F.broadcast(qvec), "q_id")
+        .join(cvec, "n_id")
+        .select("q_id", "n_id", cosine(F.col("_qvec"), F.col("_nvec")).alias("_cos"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("n_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.col("rank").cast("int").alias("rank"),
+            (F.round(F.col("_cos"), scale) if scale else F.col("_cos")).alias("score"),
+        )
+    )
