@@ -533,6 +533,21 @@ class Snapshot:
     # full map rides in each constraint-changing commit, so time travel
     # sees the constraint set AS OF that version.
     constraints: dict = field(default_factory=dict)
+    # column mapping (Delta's columnMapping mode=name): logical column
+    # name -> PHYSICAL name as stored in the parquet files. Only
+    # non-identity entries are recorded; an empty map means logical ==
+    # physical everywhere (every table until its first RENAME COLUMN).
+    # Physical names are frozen at first write and never change, so
+    # every file of every version stays readable under any mapping.
+    column_mapping: dict = field(default_factory=dict)
+    # physical names retired by DROP COLUMN: old files still hold their
+    # data, so re-adding a column under a retired name is refused — it
+    # would resurrect the dropped values in pre-drop files.
+    retired: tuple = ()
+
+    def physical(self, name: str) -> str:
+        """Physical (in-file) column name for a logical name."""
+        return self.column_mapping.get(name, name)
 
     @functools.cached_property
     def _live_idx(self) -> list:
@@ -1211,13 +1226,25 @@ class SnaplogTable:
         partition_by: tuple = ()
         bloom: list = []
         constraints: dict = {}
+        column_mapping: dict = {}
+        retired: tuple = ()
         cps = [c for c in self._checkpoint_versions() if c <= version]
         if cps:
-            base, dvs, schema_json, partition_by, cp_ts, bloom, constraints = (
-                self._load_checkpoint(cps[-1])
-            )
+            (
+                base,
+                dvs,
+                schema_json,
+                partition_by,
+                cp_ts,
+                bloom,
+                constraints,
+                column_mapping,
+                retired,
+            ) = self._load_checkpoint(cps[-1])
             bloom = list(bloom)
             constraints = dict(constraints)
+            column_mapping = dict(column_mapping)
+            retired = tuple(retired)
             start = cps[-1] + 1
         ts = 0.0
         for v in range(start, version + 1):
@@ -1244,6 +1271,10 @@ class SnaplogTable:
             bloom.extend(commit.get("bloom", []))
             if "constraints" in commit:  # full replacement map
                 constraints = dict(commit["constraints"])
+            if "column_mapping" in commit:  # full replacement map
+                column_mapping = dict(commit["column_mapping"])
+            if "retired" in commit:  # full replacement list
+                retired = tuple(commit["retired"])
         if start > version and cps:  # snapshot == checkpoint version
             ts = cp_ts
         return Snapshot(
@@ -1257,6 +1288,8 @@ class SnaplogTable:
             added=tuple(added.values()),
             bloom=tuple(bloom),
             constraints=constraints,
+            column_mapping=column_mapping,
+            retired=retired,
         )
 
     def history(self) -> list[CommitInfo]:
@@ -1419,6 +1452,117 @@ class SnaplogTable:
         )
         return added
 
+    # ---------------- column mapping (Delta's columnMapping mode=name)
+
+    def _mapping_base(self, op: str) -> tuple[int, Snapshot, T.StructType]:
+        current = self.version()
+        if current is None:
+            raise FileNotFoundError(f"no snaplog table at {self.path}")
+        snap = self.snapshot(current)
+        schema = self._logical_schema(snap)
+        if schema is None:
+            raise ValueError(f"{op}: table {self.path} has no recorded schema")
+        return current, snap, schema
+
+    def _refuse_referenced(self, snap: Snapshot, name: str, op: str) -> None:
+        if name in snap.partition_by:
+            raise ValueError(
+                f"{op} {name!r} on {self.path}: partition columns shape the "
+                "directory layout; overwrite with a new partition_by instead"
+            )
+        if name in self.bloom_columns:
+            raise ValueError(
+                f"{op} {name!r} on {self.path}: the column has a bloom "
+                "index keyed by this name"
+            )
+        pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(name)}(?![A-Za-z0-9_])")
+        holding = sorted(
+            n for n, e in snap.constraints.items() if pat.search(e)
+        )
+        if holding:
+            raise ValueError(
+                f"{op} {name!r} on {self.path}: CHECK constraint(s) "
+                f"{holding} reference it; drop them first"
+            )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Delta's ``ALTER TABLE RENAME COLUMN`` via column mapping: a
+        metadata-only commit that binds the NEW logical name to the
+        column's frozen physical (in-file) name — zero files rewritten
+        at any table size. Reads alias physical -> logical at scan time;
+        writes stage under physical names; stats/bloom pruning and merge
+        key envelopes translate through the mapping. Time travel and
+        RESTORE see each version's own names. Refused for partition and
+        bloom-indexed columns and for columns referenced by CHECK
+        constraints (drop those first)."""
+        current, snap, schema = self._mapping_base("rename_column")
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} on {self.path} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists on {self.path}")
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+            raise ValueError(f"new column name {new!r} must be an identifier")
+        self._refuse_referenced(snap, old, "rename_column")
+        phys = snap.physical(old)
+        if new == phys and old != phys:
+            # renaming back to the original physical name: mapping entry
+            # simply disappears (logical == physical again)
+            pass
+        elif new in set(snap.retired) | set(snap.column_mapping.values()):
+            raise ValueError(
+                f"rename_column: {new!r} is a retired/occupied physical "
+                f"slot on {self.path}; pick another name"
+            )
+        mapping = dict(snap.column_mapping)
+        mapping.pop(old, None)
+        if new != phys:
+            mapping[new] = phys
+        evolved = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        return self._commit(
+            "rename_column",
+            schema_json=evolved.json(),
+            expected_version=current,
+            data_change=False,
+            column_mapping=mapping,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """Delta's ``ALTER TABLE DROP COLUMN`` under column mapping: a
+        metadata-only commit removing the column from the logical schema
+        — the physical column stays in existing files (time travel keeps
+        reading it) but every scan of the live table prunes it for free
+        (explicit-schema reads never touch unrequested parquet columns).
+        The physical name is RETIRED: re-adding a column under it is
+        refused, since by-name resolution would resurrect the dropped
+        values from pre-drop files. Same referential guards as rename."""
+        current, snap, schema = self._mapping_base("drop_column")
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no column {name!r} on {self.path} (have {names})")
+        if len(names) == 1:
+            raise ValueError(f"cannot drop the only column of {self.path}")
+        self._refuse_referenced(snap, name, "drop_column")
+        mapping = dict(snap.column_mapping)
+        phys = snap.physical(name)
+        mapping.pop(name, None)
+        evolved = T.StructType([f for f in schema.fields if f.name != name])
+        return self._commit(
+            "drop_column",
+            schema_json=evolved.json(),
+            expected_version=current,
+            data_change=False,
+            column_mapping=mapping,
+            retired=[*snap.retired, phys],
+        )
+
     def read(
         self,
         *,
@@ -1441,20 +1585,65 @@ class SnaplogTable:
         pred = None
         if filters is not None:
             groups = _normalize_filters(filters)
+            # stats and blooms are keyed by PHYSICAL names; the residual
+            # predicate runs after the scan aliases back to logical
+            pgroups = self._phys_groups(groups, snap)
             # lazy prune: only the filtered columns' stats are touched
             # and only surviving files materialize (see Snapshot.prune)
-            files = snap.prune(groups)
+            files = snap.prune(pgroups)
             # bloom pass: equality probes on indexed high-cardinality
             # columns drop the stats survivors whose blooms prove the
             # key absent (no-op unless the table has bloom_columns)
-            files = self._bloom_prune(files, groups, snap)
+            files = self._bloom_prune(files, pgroups, snap)
             pred = _filters_to_column(groups)
         else:
             files = list(snap.files)
         df = self._scan(files, snap)
         return df.filter(pred) if pred is not None else df
 
-    def _scan(self, files: Sequence[FileEntry], snap: Snapshot) -> DataFrame:
+    @staticmethod
+    def _logical_schema(snap: Snapshot) -> Optional[T.StructType]:
+        if not snap.schema_json:
+            return None
+        return T.StructType.fromJson(json.loads(snap.schema_json))
+
+    @staticmethod
+    def _physical_schema(snap: Snapshot) -> Optional[T.StructType]:
+        """The snapshot schema under IN-FILE names (identity unless a
+        rename happened — physical names are frozen at first write)."""
+        schema = SnaplogTable._logical_schema(snap)
+        if schema is None or not snap.column_mapping:
+            return schema
+        return T.StructType(
+            [
+                T.StructField(snap.physical(f.name), f.dataType, f.nullable, f.metadata)
+                for f in schema.fields
+            ]
+        )
+
+    @staticmethod
+    def _to_physical_df(df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Rename logical -> physical columns before staging, so every
+        file on disk speaks physical names regardless of renames."""
+        if not snap.column_mapping:
+            return df
+        return df.select(
+            *[F.col(c).alias(snap.physical(c)) for c in df.columns]
+        )
+
+    @staticmethod
+    def _phys_groups(groups: list, snap: Snapshot) -> list:
+        """DNF filter with logical column names -> physical (stats in
+        manifests and parquet footers are keyed by physical names)."""
+        if not snap.column_mapping:
+            return groups
+        return [
+            [(snap.physical(c), op, v) for c, op, v in g] for g in groups
+        ]
+
+    def _scan(
+        self, files: Sequence[FileEntry], snap: Snapshot, *, keep_meta: bool = False
+    ) -> DataFrame:
         """One multi-path parquet scan pinned to ``files``, under the
         SNAPSHOT's recorded schema: no footer schema inference at
         planning (O(1) instead of O(files)), and files written before an
@@ -1462,20 +1651,23 @@ class SnaplogTable:
         by-name resolution, Delta's contract. Active deletion vectors
         (merge-on-read deletes) are subtracted by a broadcast anti-join
         on the hidden (file, row_index) identity — zero cost when none
-        exist."""
+        exist.
+
+        Columns are read under their PHYSICAL names and aliased back to
+        logical ones when the table has a column mapping (renames).
+        ``keep_meta`` materialises ``_metadata`` through that projection
+        so level-2 pruning can keep addressing ``_metadata.file_path``
+        whether or not a mapping is active."""
         paths = [os.path.join(self.path, f.path) for f in files]
-        schema = (
-            T.StructType.fromJson(json.loads(snap.schema_json))
-            if snap.schema_json
-            else None
-        )
+        schema = self._logical_schema(snap)
+        phys = self._physical_schema(snap)
         if not paths:
             if schema is not None:
                 return self.spark.createDataFrame([], schema)
             raise ValueError(f"empty snaplog snapshot v{snap.version} has no schema")
         reader = self.spark.read.format("parquet")
-        if schema is not None:
-            reader = reader.schema(schema)
+        if phys is not None:
+            reader = reader.schema(phys)
         if snap.partition_by:
             # hive-layout files: Spark reconstructs the partition columns
             # from the col=val directories under data/ (typed by the
@@ -1483,8 +1675,8 @@ class SnaplogTable:
             # columns, so re-project to the recorded column order
             reader = reader.option("basePath", self.data_dir)
         df = reader.load(paths)
-        if snap.partition_by and schema is not None:
-            df = df.select(*[f.name for f in schema.fields])
+        if snap.partition_by and phys is not None:
+            df = df.select(*[f.name for f in phys.fields])
         if snap.dvs:
             cols = df.columns
             dv = self.spark.read.parquet(
@@ -1502,6 +1694,14 @@ class SnaplogTable:
                 (keyed["_dv_file"] == dv["file"]) & (keyed["_dv_pos"] == dv["pos"]),
                 "left_anti",
             ).select(*cols)
+        if snap.column_mapping and schema is not None:
+            sel = [
+                F.col(p.name).alias(l.name)
+                for p, l in zip(phys.fields, schema.fields)
+            ]
+            if keep_meta:
+                sel.append(F.col("_metadata"))
+            df = df.select(*sel)
         return df
 
     # ---------------- commit machinery
@@ -1568,9 +1768,9 @@ class SnaplogTable:
 
     def _load_checkpoint(self, version: int):
         """-> (base _FileBlock, dvs, schema_json, partition_by, timestamp,
-        bloom_files, constraints). Parquet preferred (columnar, lazily
-        converted); legacy JSON checkpoints stay readable and are
-        columnarized on load."""
+        bloom_files, constraints, column_mapping). Parquet preferred
+        (columnar, lazily converted); legacy JSON checkpoints stay
+        readable and are columnarized on load."""
         pq_path = os.path.join(self.log_dir, _checkpoint_name(version, "parquet"))
         if os.path.exists(pq_path):
             import pyarrow.parquet as pq
@@ -1608,6 +1808,8 @@ class SnaplogTable:
                 float(md.get("timestamp", "0")),
                 tuple(json.loads(md.get("bloom_files", "[]"))),
                 json.loads(md.get("constraints", "{}")),
+                json.loads(md.get("column_mapping", "{}")),
+                tuple(json.loads(md.get("retired", "[]"))),
             )
         with open(os.path.join(self.log_dir, _checkpoint_name(version))) as fh:
             cp = json.load(fh)
@@ -1626,6 +1828,8 @@ class SnaplogTable:
             cp.get("timestamp", 0.0),
             tuple(cp.get("bloom_files", ())),
             cp.get("constraints", {}),
+            cp.get("column_mapping", {}),
+            tuple(cp.get("retired", ())),
         )
 
     def _maybe_checkpoint(self, version: int) -> None:
@@ -1651,6 +1855,10 @@ class SnaplogTable:
             record["bloom_files"] = bloom_files
         if snap.constraints:
             record["constraints"] = snap.constraints
+        if snap.column_mapping:
+            record["column_mapping"] = snap.column_mapping
+        if snap.retired:
+            record["retired"] = list(snap.retired)
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump(record, fh)
@@ -1741,6 +1949,8 @@ class SnaplogTable:
                 "json_stat_cols": json.dumps(json_cols),
                 "bloom_files": json.dumps(list(bloom_files)),
                 "constraints": json.dumps(snap.constraints),
+                "column_mapping": json.dumps(snap.column_mapping),
+                "retired": json.dumps(list(snap.retired)),
             }
         )
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
@@ -1891,6 +2101,8 @@ class SnaplogTable:
         read_info: Optional[ReadInfo] = None,
         constraints: Optional[dict] = None,
         bloom: Optional[Sequence[str]] = None,
+        column_mapping: Optional[dict] = None,
+        retired: Optional[Sequence[str]] = None,
     ) -> int:
         """Write one commit. ``expected_version`` pins the read snapshot
         (merge/overwrite/compact); ``retry_append`` lets blind appends chase
@@ -1954,6 +2166,10 @@ class SnaplogTable:
             # the FULL constraint map (not a delta): snapshot replay and
             # time travel take the last map seen, like schema_json
             record["constraints"] = dict(constraints)
+        if column_mapping is not None:
+            record["column_mapping"] = dict(column_mapping)  # full map
+        if retired is not None:
+            record["retired"] = list(retired)  # full list
         if dv_add:
             record["dv_add"] = [{"path": f.path, "rows": f.rows} for f in dv_add]
         if dv_clear:
@@ -2072,6 +2288,11 @@ class SnaplogTable:
                 raise SnapshotConflictError(
                     f"{where} changed the CHECK constraints"
                 )
+            cm = c.get("column_mapping")
+            if cm is not None and cm != base_snap.column_mapping:
+                raise SnapshotConflictError(
+                    f"{where} renamed or dropped columns"
+                )
             their_removed = set(c.get("remove", ()))
             both = sorted(their_removed & my_removes)
             if both:
@@ -2152,7 +2373,10 @@ class SnaplogTable:
             return None
         self._check_append_schema(df)  # fail fast, before staging any data
         self._enforce_constraints(df, self.check_constraints, "write_txn")
-        added = self._stage_files(df)
+        cur = self.version()
+        added = self._stage_files(
+            self._to_physical_df(df, self.snapshot(cur)) if cur is not None else df
+        )
         for _ in range(20):
             last = self.last_txn_version(app_id)
             if last is not None and version <= last:
@@ -2229,6 +2453,18 @@ class SnaplogTable:
                 f"has {sorted(new.keys() - old.keys())} not in table; pass "
                 "merge_schema=True for additive evolution or overwrite"
             )
+        snap = self.snapshot(current)
+        revived = sorted(
+            (new.keys() - old.keys())
+            & (set(snap.retired) | set(snap.column_mapping.values()))
+        )
+        if revived:
+            raise ValueError(
+                f"column name(s) {revived} on {self.path} are retired "
+                "physical slots (a DROP/RENAME's in-file name): re-adding "
+                "them would resurrect old values from pre-drop files; use "
+                "a different name or overwrite the table"
+            )
         df_fields = {f.name: f for f in df.schema.fields}
         evolved = T.StructType(
             [
@@ -2278,15 +2514,11 @@ class SnaplogTable:
         schema_json = df.schema.json()
         if mode == "overwrite":
             current = self.version()
-            cons = (
-                self.snapshot(current).constraints if current is not None else {}
-            )
+            head = self.snapshot(current) if current is not None else None
             # constraints are a TABLE invariant: they survive overwrite
             # (Delta's semantics) — drop them explicitly to relax
-            self._enforce_constraints(df, cons, "overwrite")
-            remove = (
-                self.snapshot(current).file_paths() if current is not None else []
-            )
+            self._enforce_constraints(df, head.constraints if head else {}, "overwrite")
+            remove = head.file_paths() if head else []
             spec = tuple(partition_by or ())
             added = self._stage_files(df, partition_by=spec)
             return self._commit(
@@ -2298,16 +2530,23 @@ class SnaplogTable:
                 txn=txn,
                 dv_clear=True,  # removed files take their vectors with them
                 partition_by=spec,
+                # every file is replaced: logical == physical again and
+                # no retired slot survives
+                column_mapping={} if head and head.column_mapping else None,
+                retired=[] if head and head.retired else None,
             )
         self._check_append_schema(df, merge_schema)  # fail before staging
         current = self.version()
         if current is None:
             spec = tuple(partition_by or ())
             cons: dict = {}
+            mapping: dict = {}
+            head_snap = None
         else:
             head_snap = self.snapshot(current)
             spec = head_snap.partition_by
             cons = head_snap.constraints
+            mapping = head_snap.column_mapping
             if partition_by is not None and tuple(partition_by) != spec:
                 raise ValueError(
                     f"append partition_by {list(partition_by)} does not match "
@@ -2320,14 +2559,17 @@ class SnaplogTable:
             # the race to a schema-evolving commit must record the EVOLVED
             # union schema; one that loses to a concurrent RE-PARTITION
             # has its files staged in the wrong layout — and one that
-            # loses to a concurrent CONSTRAINT change was validated
-            # against the wrong rule set — so both must abort
+            # loses to a concurrent CONSTRAINT change (validated against
+            # the old rules) or RENAME/DROP (staged under the old
+            # physical names) must likewise abort
             head = self.version()
             if head is not None:
                 hs = self.snapshot(head)
-                head_spec, head_cons = hs.partition_by, hs.constraints
+                head_spec, head_cons, head_map = (
+                    hs.partition_by, hs.constraints, hs.column_mapping,
+                )
             else:
-                head_spec, head_cons = spec, cons
+                head_spec, head_cons, head_map = spec, cons, mapping
             if head_spec != spec:
                 raise SnapshotConflictError(
                     f"table {self.path} was re-partitioned concurrently "
@@ -2338,9 +2580,17 @@ class SnaplogTable:
                     f"CHECK constraints on {self.path} changed concurrently; "
                     "retry the append (it was validated against the old set)"
                 )
+            if head_map != mapping:
+                raise SnapshotConflictError(
+                    f"columns of {self.path} were renamed/dropped "
+                    "concurrently; retry the append"
+                )
             return self._check_append_schema(df, merge_schema)
 
-        added = self._stage_files(df, partition_by=spec)
+        added = self._stage_files(
+            self._to_physical_df(df, head_snap) if head_snap is not None else df,
+            partition_by=spec,
+        )
         return self._commit(
             "append",
             add=added,
@@ -2428,6 +2678,16 @@ class SnaplogTable:
                 )
             missing_in_src = sorted(old.keys() - new.keys())
             extra_in_src = sorted(new.keys() - old.keys())
+            revived = sorted(
+                set(extra_in_src)
+                & (set(snap.retired) | set(snap.column_mapping.values()))
+            )
+            if revived:
+                raise ValueError(
+                    f"merge would re-add retired physical column(s) "
+                    f"{revived} on {self.path} (see drop_column/"
+                    "rename_column); use a different name"
+                )
             keep_target_cols = tuple(missing_in_src)
             if (missing_in_src or extra_in_src or widen) and not merge_schema:
                 raise ValueError(
@@ -2480,21 +2740,24 @@ class SnaplogTable:
                 for i, k in enumerate(keys)
             ],
         ).first()
+        # stats envelopes are keyed by PHYSICAL names (identity unless a
+        # column was renamed)
         key_ranges = {
-            k: (
+            snap.physical(k): (
                 _json_safe(ranges_row[f"_lo_{i}"]),
                 _json_safe(ranges_row[f"_hi_{i}"]),
                 bool(ranges_row[f"_null_{i}"]),
             )
             for i, k in enumerate(keys)
         }
-        candidates = snap.prune_ranges(keys, key_ranges)
+        phys_keys = [snap.physical(k) for k in keys]
+        candidates = snap.prune_ranges(phys_keys, key_ranges)
 
         # level 2: exact, distributed — which candidate files actually hold
         # a matched key (hidden _metadata.file_path + null-safe semi join)
         touched_names: set[str] = set()
         if candidates:
-            tgt = self._scan(candidates, snap).select(
+            tgt = self._scan(candidates, snap, keep_meta=True).select(
                 *[F.col(k) for k in keys],
                 F.col("_metadata.file_path").alias("_fp"),
             )
@@ -2540,16 +2803,21 @@ class SnaplogTable:
         cdc = None
         if self.change_feed:
             cdc = self._stage_files(
-                self._merge_changes(
-                    tgt_rows, source, list(keys),
-                    when_matched=when_matched,
-                    when_not_matched=when_not_matched,
-                    delete_predicate=delete_predicate,
-                    keep_target_cols=keep_target_cols,
+                self._to_physical_df(
+                    self._merge_changes(
+                        tgt_rows, source, list(keys),
+                        when_matched=when_matched,
+                        when_not_matched=when_not_matched,
+                        delete_predicate=delete_predicate,
+                        keep_target_cols=keep_target_cols,
+                    ),
+                    snap,
                 ),
                 dest_dir=self.cdc_dir,
             )
-        added = self._stage_files(merged, partition_by=snap.partition_by)
+        added = self._stage_files(
+            self._to_physical_df(merged, snap), partition_by=snap.partition_by
+        )
         self._commit(
             "merge",
             add=added,
@@ -2560,7 +2828,7 @@ class SnaplogTable:
             txn=txn,
             read_info=ReadInfo(
                 paths=frozenset(f.path for f in candidates),
-                key_ranges=(tuple(keys), key_ranges),
+                key_ranges=(tuple(phys_keys), key_ranges),
                 isolation=isolation,
             ),
         )
@@ -2659,6 +2927,9 @@ class SnaplogTable:
                 f"versions [{versions[0]}, {versions[-1]}]"
             )
         frames = []
+        end_snap = self.snapshot(end)  # ONE mapping for every frame:
+        # physical names are frozen, so the end-version logical names
+        # apply uniformly across the whole range
         for v in range(starting_version, end + 1):
             rec = self._read_commit(v)
             if rec.get("data_change") is False:
@@ -2672,7 +2943,9 @@ class SnaplogTable:
                 self._require_files(paths, v)
                 if paths:
                     frames.append(
-                        self.spark.read.format("parquet").load(paths).select("*", *stamp)
+                        self._logical_alias(
+                            self.spark.read.format("parquet").load(paths), end_snap
+                        ).select("*", *stamp)
                     )
                 continue
             op = rec.get("operation")
@@ -2712,13 +2985,15 @@ class SnaplogTable:
                         "left_anti",
                     ).select(*cols)
                 frames.append(
-                    dele.select("*", F.lit("delete").alias(CHANGE_TYPE_COL), *stamp)
+                    self._logical_alias(dele, end_snap).select(
+                        "*", F.lit("delete").alias(CHANGE_TYPE_COL), *stamp
+                    )
                 )
             if addedp:
                 frames.append(
-                    self._raw_scan(addedp, self.snapshot(v)).select(
-                        "*", F.lit("insert").alias(CHANGE_TYPE_COL), *stamp
-                    )
+                    self._logical_alias(
+                        self._raw_scan(addedp, self.snapshot(v)), end_snap
+                    ).select("*", F.lit("insert").alias(CHANGE_TYPE_COL), *stamp)
                 )
         if not frames:
             snap = self.snapshot(end)
@@ -2757,14 +3032,27 @@ class SnaplogTable:
 
     def _raw_scan(self, paths: Sequence[str], snap: Optional[Snapshot]) -> DataFrame:
         """Plain multi-path read of table data files under a snapshot's
-        schema/partition layout (no DV subtraction) — the change feed's
-        building block for add/remove-derived events."""
+        PHYSICAL schema/partition layout (no DV subtraction, no logical
+        aliasing) — the change feed's building block for
+        add/remove-derived events; the caller aliases to logical names."""
         reader = self.spark.read.format("parquet")
         if snap is not None and snap.schema_json:
-            reader = reader.schema(T.StructType.fromJson(json.loads(snap.schema_json)))
+            reader = reader.schema(self._physical_schema(snap))
         if snap is not None and snap.partition_by:
             reader = reader.option("basePath", self.data_dir)
         return reader.load(list(paths))
+
+    @staticmethod
+    def _logical_alias(df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Rename physical -> logical columns (pass-through names stay).
+        Used by the change feed, which reads raw physical files: all
+        frames of a range alias under ONE (end-version) mapping, which
+        is sound because physical names are frozen for the table's
+        lifetime."""
+        if not snap.column_mapping:
+            return df
+        rev = {p: l for l, p in snap.column_mapping.items()}
+        return df.select(*[F.col(c).alias(rev.get(c, c)) for c in df.columns])
 
     def _require_files(self, paths: Sequence[str], version: int) -> None:
         missing = [p for p in paths if not os.path.exists(p)]
@@ -2787,21 +3075,24 @@ class SnaplogTable:
 
     def _keyed_scan(self, files: Sequence[FileEntry], snap: Snapshot) -> DataFrame:
         """Raw (DV-unapplied) scan of ``files`` with the per-row identity
-        (file basename, row_index) projected as _dv_file/_dv_pos."""
+        (file basename, row_index) projected as _dv_file/_dv_pos.
+        Columns come back under LOGICAL names (mapping-aware)."""
         paths = [os.path.join(self.path, f.path) for f in files]
-        schema = (
-            T.StructType.fromJson(json.loads(snap.schema_json))
-            if snap.schema_json
-            else None
-        )
+        schema = self._logical_schema(snap)
+        phys = self._physical_schema(snap)
         reader = self.spark.read.format("parquet")
-        if schema is not None:
-            reader = reader.schema(schema)
+        if phys is not None:
+            reader = reader.schema(phys)
         if snap.partition_by:
             reader = reader.option("basePath", self.data_dir)
         df = reader.load(paths)
+        cols = (
+            [F.col(p.name).alias(l.name) for p, l in zip(phys.fields, schema.fields)]
+            if snap.column_mapping and schema is not None
+            else [F.col("*")]
+        )
         return df.select(
-            "*",
+            *cols,
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
                 "_dv_file"
             ),
@@ -2836,7 +3127,10 @@ class SnaplogTable:
         if self.change_feed:
             data_cols = [c for c in hit.columns if c not in ("_dv_file", "_dv_pos")]
             cdc = self._stage_files(
-                hit.select(*data_cols, F.lit("delete").alias(CHANGE_TYPE_COL)),
+                self._to_physical_df(
+                    hit.select(*data_cols, F.lit("delete").alias(CHANGE_TYPE_COL)),
+                    snap,
+                ),
                 dest_dir=self.cdc_dir,
             )
         dv_added = self._stage_files(
@@ -2884,7 +3178,9 @@ class SnaplogTable:
             (keyed["_dv_file"] == dv["file"]) & (keyed["_dv_pos"] == dv["pos"]),
             "left_anti",
         ).drop("_dv_file", "_dv_pos")
-        added = self._stage_files(kept, partition_by=snap.partition_by)
+        added = self._stage_files(
+            self._to_physical_df(kept, snap), partition_by=snap.partition_by
+        )
         self._commit(
             "materialize",
             add=added,
@@ -2914,7 +3210,7 @@ class SnaplogTable:
         if not candidates:
             return []
         matched = (
-            self._scan(candidates, snap)
+            self._scan(candidates, snap, keep_meta=True)
             .filter(pred)
             .select(F.col("_metadata.file_path").alias("_fp"))
             .distinct()
@@ -2964,10 +3260,11 @@ class SnaplogTable:
         if current is None:
             raise FileNotFoundError(f"no snaplog table at {self.path}")
         snap = self.snapshot(current)
-        candidates = snap.prune(groups)
+        pgroups = self._phys_groups(groups, snap)
+        candidates = snap.prune(pgroups)
         read_info = ReadInfo(
             paths=frozenset(f.path for f in candidates),
-            groups=groups,
+            groups=pgroups,
             isolation=isolation,
         )
         if strategy == "merge_on_read":
@@ -2984,12 +3281,17 @@ class SnaplogTable:
         cdc = None
         if self.change_feed:
             cdc = self._stage_files(
-                df.filter(pred).select(
-                    "*", F.lit("delete").alias(CHANGE_TYPE_COL)
+                self._to_physical_df(
+                    df.filter(pred).select(
+                        "*", F.lit("delete").alias(CHANGE_TYPE_COL)
+                    ),
+                    snap,
                 ),
                 dest_dir=self.cdc_dir,
             )
-        added = self._stage_files(keep, partition_by=snap.partition_by)
+        added = self._stage_files(
+            self._to_physical_df(keep, snap), partition_by=snap.partition_by
+        )
         self._commit(
             "delete",
             add=added,
@@ -3031,7 +3333,8 @@ class SnaplogTable:
             raise FileNotFoundError(f"no snaplog table at {self.path}")
         snap = self.snapshot(current)
         self._require_no_dvs(snap, "update")
-        candidates = snap.prune(groups)
+        pgroups = self._phys_groups(groups, snap)
+        candidates = snap.prune(pgroups)
         touched = self._exact_touched(candidates, pred, snap)
         if not touched:
             return RewriteStats(snap.num_files, len(candidates), 0, 0, 0, 0)
@@ -3067,8 +3370,13 @@ class SnaplogTable:
                 ],
                 F.lit("update_postimage").alias(CHANGE_TYPE_COL),
             )
-            cdc = self._stage_files(pre.unionByName(post), dest_dir=self.cdc_dir)
-        added = self._stage_files(rewritten, partition_by=snap.partition_by)
+            cdc = self._stage_files(
+                self._to_physical_df(pre.unionByName(post), snap),
+                dest_dir=self.cdc_dir,
+            )
+        added = self._stage_files(
+            self._to_physical_df(rewritten, snap), partition_by=snap.partition_by
+        )
         self._commit(
             "update",
             add=added,
@@ -3078,7 +3386,7 @@ class SnaplogTable:
             cdc=cdc,
             read_info=ReadInfo(
                 paths=frozenset(f.path for f in candidates),
-                groups=groups,
+                groups=pgroups,
                 isolation=isolation,
             ),
         )
@@ -3153,9 +3461,11 @@ class SnaplogTable:
             dv_clear=True,
             dv_add=target.dvs,
             partition_by=target.partition_by,
-            # metadata restores wholesale: the CHECK constraint set rolls
-            # back with the data it was proven against
+            # metadata restores wholesale: constraints and column names
+            # roll back with the data they were proven against
             constraints=target.constraints,
+            column_mapping=target.column_mapping,
+            retired=target.retired,
         )
 
     def clone(
@@ -3262,6 +3572,8 @@ class SnaplogTable:
             constraints=target.constraints or None,
             dv_add=dv_entries,
             bloom=bloom_rels,
+            column_mapping=target.column_mapping or None,
+            retired=target.retired or None,
         )
         props = self._stored_properties()
         if props:
@@ -3319,7 +3631,9 @@ class SnaplogTable:
             df = df.sortWithinPartitions(*lead)
         else:
             df = df.coalesce(n_out)
-        added = self._stage_files(df, partition_by=snap.partition_by)
+        added = self._stage_files(
+            self._to_physical_df(df, snap), partition_by=snap.partition_by
+        )
         return self._commit(
             "compact",
             add=added,

@@ -81,32 +81,44 @@ class _FilePartition(InputPartition):
         path: str,
         extra: Optional[dict] = None,
         deleted_positions: Optional[list] = None,
+        mapping: Optional[dict] = None,
     ):
         # extra: constant columns appended to every row of the file
         # (change-feed tagging); None for plain reads.
         # deleted_positions: row indexes masked out by active deletion
         # vectors (merge-on-read deletes); None/empty for most files.
+        # mapping: logical -> PHYSICAL column names (column mapping /
+        # renames); None when logical == physical.
         self.path = path
         self.extra = extra
         self.deleted_positions = deleted_positions
+        self.mapping = mapping
 
 
 def _arrow_batches(partition: _FilePartition, schema: T.StructType):
     """Executor-side read of ONE file as Arrow batches, cast to the
-    source schema (order + types), appending any constant CDC columns."""
+    source schema (order + types), appending any constant CDC columns.
+    Files store PHYSICAL column names; ``partition.mapping`` translates
+    the schema's logical names for the read and the table renames back."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
     extra = partition.extra or {}
+    phys_of = partition.mapping or {}
     file_fields = [f for f in schema.fields if f.name not in extra]
     target = to_arrow_schema(T.StructType(file_fields))
     pf = pq.ParquetFile(partition.path)
     present = set(pf.schema_arrow.names)
-    tbl = pq.read_table(
-        partition.path, columns=[f.name for f in file_fields if f.name in present]
-    )
-    missing = [f for f in target if f.name not in present]
+    have = [
+        (f.name, phys_of.get(f.name, f.name))
+        for f in file_fields
+        if phys_of.get(f.name, f.name) in present
+    ]
+    tbl = pq.read_table(partition.path, columns=[p for _l, p in have])
+    tbl = tbl.rename_columns([l for l, _p in have])
+    got = {l for l, _p in have}
+    missing = [f for f in target if f.name not in got]
     if missing:
         # file predates an additive schema evolution: NULL-fill by name
         for f in missing:
@@ -185,19 +197,27 @@ class SnaplogBatchReader(DataSourceReader):
         )
         self._root = t.path
         self._table = t
+        # the source serves the HEAD schema (by-name NULL-fill for older
+        # files), so translations use the head mapping too — sound for
+        # every version because physical names are frozen
+        self._mapping = t.snapshot().column_mapping
         # pushed filters (DNF groups); files stay UNMATERIALIZED until
         # partitions() so pruning runs columnar over the checkpoint base
         self._filter_groups = None
 
     def partitions(self):
         if self._filter_groups:
-            pruned = self._snap.prune(self._filter_groups)
+            m = self._mapping
+            groups = (
+                [[(m.get(c, c), op, v) for c, op, v in g] for g in self._filter_groups]
+                if m
+                else self._filter_groups
+            )
+            pruned = self._snap.prune(groups)
             # bloom pass: =/IN probes on indexed columns drop stats
             # survivors whose blooms prove the key absent (no-op on
             # tables without bloom_columns)
-            pruned = self._table._bloom_prune(
-                pruned, self._filter_groups, self._snap
-            )
+            pruned = self._table._bloom_prune(pruned, groups, self._snap)
         else:
             pruned = list(self._snap.files)
         dv = _dv_position_map(self._root, self._snap.dvs)
@@ -208,6 +228,7 @@ class SnaplogBatchReader(DataSourceReader):
                 # columns in-file: serve the manifest values as constants
                 extra=dict(f.partition) or None,
                 deleted_positions=dv.get(os.path.basename(f.path)),
+                mapping=self._mapping or None,
             )
             for f in pruned
         ]
@@ -253,11 +274,14 @@ def _cdc_commit_partitions(table: SnaplogTable, v: int, rec: dict) -> list:
     delete partitions mask them via ``deleted_positions`` — without the
     mask a CDC consumer would double-subtract them."""
     stamp = {"_commit_version": v, "_commit_timestamp": rec["timestamp"]}
+    mapping = table.snapshot().column_mapping or None  # head names, frozen physical
     parts: list[_FilePartition] = []
     if "cdc" in rec:
         for e in rec["cdc"]:
             parts.append(
-                _FilePartition(os.path.join(table.path, e["path"]), dict(stamp))
+                _FilePartition(
+                    os.path.join(table.path, e["path"]), dict(stamp), mapping=mapping
+                )
             )
         return parts
     if rec.get("operation") in ("merge", "delete", "update"):
@@ -279,6 +303,7 @@ def _cdc_commit_partitions(table: SnaplogTable, v: int, rec: dict) -> list:
                 os.path.join(table.path, p),
                 {**stamp, CHANGE_TYPE_COL: "delete", **pre_partition.get(p, {})},
                 deleted_positions=dv_pos.get(os.path.basename(p)),
+                mapping=mapping,
             )
         )
     for e in rec.get("add", []):
@@ -286,6 +311,7 @@ def _cdc_commit_partitions(table: SnaplogTable, v: int, rec: dict) -> list:
             _FilePartition(
                 os.path.join(table.path, e["path"]),
                 {**stamp, CHANGE_TYPE_COL: "insert", **e.get("partition", {})},
+                mapping=mapping,
             )
         )
     return parts
@@ -386,6 +412,7 @@ class SnaplogStreamReader(DataSourceStreamReader):
                     _FilePartition(
                         os.path.join(self._table.path, e["path"]),
                         e.get("partition") or None,
+                        mapping=self._table.snapshot().column_mapping or None,
                     )
                 )
         return parts
