@@ -378,6 +378,12 @@ _OPS = st.lists(
             st.lists(st.integers(0, 9), min_size=1, max_size=4, unique=True),
         ),
         st.tuples(st.just("restore"), st.integers(0, 10)),
+        # metadata-only commit pairs: rows unchanged, two versions added.
+        # They interleave RENAME COLUMN and constraint changes with every
+        # data op and force time travel across mapping/constraint
+        # boundaries (reads at the mid-version serve the renamed column).
+        st.tuples(st.just("rename_cycle"), st.just([])),
+        st.tuples(st.just("constraint_cycle"), st.just([])),
     ),
     min_size=1,
     max_size=6,
@@ -459,6 +465,34 @@ def test_snaplog_matches_model_under_random_op_sequences(spark, tmp_path_factory
             idx = keys % len(history)
             t.restore(version_as_of=committed[idx])
             rows = list(history[idx])
+            if t.version() != before:  # same-version restore is a no-op
+                history.append(tuple(sorted(rows)))
+            # the restore may have landed INSIDE a rename/constraint
+            # cycle: normalize so later ops (which speak "v" and re-add
+            # "soup_k_ok") stay well-formed — each fix is its own commit
+            if "w" in t.read().columns:
+                t.rename_column("w", "v")
+                history.append(tuple(sorted(rows)))
+            if "soup_k_ok" in t.check_constraints:
+                t.drop_check_constraint("soup_k_ok")
+                history.append(tuple(sorted(rows)))
+            continue
+        elif op == "rename_cycle":
+            if t.version() is None:
+                continue
+            t.rename_column("v", "w")
+            history.append(tuple(sorted(rows)))  # mid-cycle version
+            t.rename_column("w", "v")
+            history.append(tuple(sorted(rows)))
+            continue
+        elif op == "constraint_cycle":
+            if t.version() is None:
+                continue
+            t.add_check_constraint("soup_k_ok", "k >= 0")
+            history.append(tuple(sorted(rows)))  # mid-cycle version
+            t.drop_check_constraint("soup_k_ok")
+            history.append(tuple(sorted(rows)))
+            continue
         else:  # compact
             if t.version() is None:
                 continue
@@ -471,15 +505,18 @@ def test_snaplog_matches_model_under_random_op_sequences(spark, tmp_path_factory
 
     if t.version() is None:
         return
-    got = tuple(sorted((r.k, r.v) for r in t.read().collect()))
+    got = tuple(sorted(tuple(r) for r in t.read().collect()))
     assert got == history[-1]
-    # time travel: every version reads back exactly what the model saw.
-    # (versions map 1:1 to model snapshots EXCEPT no-op merges/compacts
-    # that committed nothing — walk both lists in step)
+    # time travel: every version reads back exactly what the model saw —
+    # POSITIONALLY, because versions inside a rename_cycle serve the
+    # renamed column name. (versions map 1:1 to model snapshots EXCEPT
+    # no-op merges/compacts that committed nothing — walk both in step)
     versions = [c.version for c in t.history()]
     assert len(versions) == len(history)
     for v, want in zip(versions, history):
-        at_v = tuple(sorted((r.k, r.v) for r in t.read(version_as_of=v).collect()))
+        at_v = tuple(
+            sorted(tuple(r) for r in t.read(version_as_of=v).collect())
+        )
         assert at_v == want, (v, want, at_v)
 
 

@@ -116,6 +116,28 @@ def main() -> int:
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
+    # product quantization: pure-ADC ranking and the rescore serving
+    # recipe, at two code resolutions (coarse 8x4bitsish vs fine 16xfull)
+    for m, n_codes in ((8, 256), (16, 256)):
+        books = sim.train_pq(corpus, m=m, n_codes=n_codes)
+        codes = sim.pq_encode(corpus, books).cache()
+        codes.count()
+        approx = topk_sets(sim.pq_topk(queries, codes, books, k=args.k))
+        r = recall(truth, approx, args.k)
+        name = f"pq_m{m}_k{n_codes}_adc"
+        results[name] = round(r, 4)
+        print(f"{name}: recall@{args.k} = {r:.3f}")
+        approx = topk_sets(
+            sim.pq_topk(
+                queries, codes, books, k=args.k, corpus=corpus, rescore_factor=8
+            )
+        )
+        r = recall(truth, approx, args.k)
+        name = f"pq_m{m}_k{n_codes}_rescore8"
+        results[name] = round(r, 4)
+        print(f"{name}: recall@{args.k} = {r:.3f}")
+        codes.unpersist()
+
     print(json.dumps({"k": args.k, "n_corpus": n_corpus, "recall": results}))
     spark.stop()
     return 0
