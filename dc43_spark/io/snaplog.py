@@ -1309,6 +1309,38 @@ class SnaplogTable:
 
     # ---------------- reads
 
+    def describe_detail(self) -> dict:
+        """Delta's ``DESCRIBE DETAIL``: one dict of table facts, all
+        driver-side metadata (num_files/size come from the manifest
+        listing, never a filesystem walk of the data)."""
+        current = self.version()
+        if current is None:
+            raise FileNotFoundError(f"no snaplog table at {self.path}")
+        snap = self.snapshot(current)
+        first = self._read_commit(self._versions()[0])
+        schema = self._logical_schema(snap)
+        files = snap.files
+        return {
+            "format": "snaplog",
+            "location": self.path,
+            "version": current,
+            "created_at": first["timestamp"],
+            "last_modified": snap.timestamp,
+            "num_files": len(files),
+            "size_bytes": sum(f.bytes for f in files),
+            "num_rows": snap.rows,
+            "partition_columns": list(snap.partition_by),
+            "columns": [f.name for f in schema.fields] if schema else [],
+            "column_mapping": dict(snap.column_mapping),
+            "retired_columns": list(snap.retired),
+            "constraints": dict(snap.constraints),
+            "bloom_columns": list(self.bloom_columns),
+            "change_feed": self.change_feed,
+            "active_deletion_vectors": len(snap.dvs),
+            "checkpoint_versions": self._checkpoint_versions(),
+            "checkpoint_interval": self.checkpoint_interval,
+        }
+
     # ---------------- CHECK constraints (Delta's table constraints)
 
     @property
@@ -3649,10 +3681,22 @@ class SnaplogTable:
             ),
         )
 
-    def vacuum(self, *, keep_versions: int = 1) -> int:
-        """Physically delete data files referenced by NO retained snapshot
-        (the last ``keep_versions`` versions). Returns files deleted.
-        Time-travel reaches only retained versions afterwards.
+    def vacuum(
+        self,
+        *,
+        keep_versions: int = 1,
+        retention_hours: Optional[float] = None,
+        dry_run: bool = False,
+    ):
+        """Physically delete data files referenced by NO retained snapshot.
+        Retention is the last ``keep_versions`` versions, UNION every
+        version younger than ``retention_hours`` (Delta's time-based
+        RETAIN — in-commit timestamps are monotonic, so the retained set
+        is always a contiguous suffix of the log). Returns files deleted
+        (int) — or, with ``dry_run=True``, the would-be-deleted relative
+        paths WITHOUT touching anything (Delta's VACUUM DRY RUN; crash
+        leftovers are not listed since sweeping them is not a data
+        deletion). Time-travel reaches only retained versions afterwards.
 
         Concurrency caveat (same class as Delta's unsafe-VACUUM window): a
         writer that has staged files into data/ but not yet committed its
@@ -3662,12 +3706,28 @@ class SnaplogTable:
         risk."""
         versions = self._versions()
         if not versions:
-            return 0
+            return [] if dry_run else 0
         retained = versions[-max(1, keep_versions):]
+        if retention_hours is not None:
+            cutoff = time.time() - retention_hours * 3600.0
+            young = [
+                v for v in versions
+                if self._read_commit(v)["timestamp"] >= cutoff
+            ]
+            retained = sorted(set(retained) | set(young))
+        removals: list[str] = []
         live: set[str] = set()
         for v in retained:
             live.update(self.snapshot(v).file_paths())
         deleted = 0
+
+        def _rm(abs_p: str, rel: str) -> None:
+            nonlocal deleted
+            removals.append(rel)
+            if not dry_run:
+                os.unlink(abs_p)
+            deleted += 1
+
         if os.path.isdir(self.data_dir):
             # recursive: partitioned tables nest files under col=val dirs
             for root, _dirs, names in os.walk(self.data_dir):
@@ -3675,8 +3735,7 @@ class SnaplogTable:
                     abs_p = os.path.join(root, name)
                     rel = os.path.relpath(abs_p, self.path)
                     if name.endswith(".parquet") and rel not in live:
-                        os.unlink(abs_p)
-                        deleted += 1
+                        _rm(abs_p, rel)
         # deletion-vector files not referenced by any retained snapshot
         live_dvs = set()
         for v in retained:
@@ -3685,8 +3744,7 @@ class SnaplogTable:
             for name in os.listdir(self.dv_dir):
                 rel = f"{DV_DIR}/{name}"
                 if name.endswith(".parquet") and rel not in live_dvs:
-                    os.unlink(os.path.join(self.dv_dir, name))
-                    deleted += 1
+                    _rm(os.path.join(self.dv_dir, name), rel)
         # change-data files follow the same retention: commits older than
         # the retained window lose their CDC (table_changes over them then
         # raises the explicit "vacuumed" error) — Delta ties CDC retention
@@ -3699,8 +3757,7 @@ class SnaplogTable:
                     continue
                 p = os.path.join(self.path, e["path"])
                 if os.path.exists(p):
-                    os.unlink(p)
-                    deleted += 1
+                    _rm(p, e["path"])
         # CDC files staged by a merge/delete/update that then hit a
         # SnapshotConflictError (or crashed) before committing belong to
         # NO manifest — under contention they leak unboundedly
@@ -3708,8 +3765,7 @@ class SnaplogTable:
             for name in os.listdir(self.cdc_dir):
                 rel = f"{CDC_DIR}/{name}"
                 if name.endswith(".parquet") and rel not in referenced_cdc:
-                    os.unlink(os.path.join(self.cdc_dir, name))
-                    deleted += 1
+                    _rm(os.path.join(self.cdc_dir, name), rel)
         # bloom sidecars: keep those any retained snapshot references
         # (checkpoint-consolidated + tail); sweep the rest — including
         # orphans staged by conflict-aborted commits
@@ -3720,8 +3776,9 @@ class SnaplogTable:
             for name in os.listdir(self.bloom_dir):
                 rel = f"{BLOOM_DIR}/{name}"
                 if name.endswith(".parquet") and rel not in live_bloom:
-                    os.unlink(os.path.join(self.bloom_dir, name))
-                    deleted += 1
+                    _rm(os.path.join(self.bloom_dir, name), rel)
+        if dry_run:
+            return removals
         # crash leftovers: staging dirs whose writer died mid-_stage_files,
         # and claimer temp manifests that never got linked (vacuum's
         # single-maintenance-owner contract means no writer is live now)
