@@ -769,6 +769,199 @@ def _partition_stats(partition: dict, rows: int) -> dict:
     return out
 
 
+# ---------------- hidden partitioning (Iceberg's partition transforms)
+
+_XFORM_RE = re.compile(r"^\s*(years|months|days|hours)\s*\(\s*([A-Za-z_]\w*)\s*\)\s*$")
+_BUCKET_RE = re.compile(r"^\s*bucket\s*\(\s*(\d+)\s*,\s*([A-Za-z_]\w*)\s*\)\s*$")
+_TRUNC_RE = re.compile(r"^\s*truncate\s*\(\s*(\d+)\s*,\s*([A-Za-z_]\w*)\s*\)\s*$")
+_EPOCH = None  # datetime.date(1970, 1, 1), built lazily
+
+
+@dataclass(frozen=True)
+class PartitionField:
+    """One entry of a partition spec: a plain column (``kind='identity'``)
+    or an Iceberg-style transform (``years/months/days/hours(col)``,
+    ``bucket(N, col)``, ``truncate(W, col)``). Transform entries derive a
+    HIDDEN partition column named ``name`` from ``source``; queries keep
+    filtering on the SOURCE column and pruning translates automatically
+    (Iceberg's hidden-partitioning contract, the fix for Hive's
+    'forgot the partition predicate = full scan' failure mode)."""
+
+    spec: str
+    name: str
+    source: str
+    kind: str
+    arg: Optional[int] = None
+
+    @property
+    def hidden(self) -> bool:
+        return self.kind != "identity"
+
+    @property
+    def monotonic(self) -> bool:
+        """Order-preserving transform: a range on the source maps to a
+        range on the partition value (bucket is the only non-monotone)."""
+        return self.kind in ("years", "months", "days", "hours", "truncate")
+
+
+def parse_partition_spec(spec_strings: Sequence[str]) -> list[PartitionField]:
+    out = []
+    for s in spec_strings:
+        m = _XFORM_RE.match(s)
+        if m:
+            kind, src = m.group(1), m.group(2)
+            out.append(PartitionField(s, f"_pt_{kind}_{src}", src, kind))
+            continue
+        m = _BUCKET_RE.match(s)
+        if m:
+            n, src = int(m.group(1)), m.group(2)
+            if n <= 0:
+                raise ValueError(f"bucket count must be positive in {s!r}")
+            out.append(PartitionField(s, f"_pt_bucket{n}_{src}", src, "bucket", n))
+            continue
+        m = _TRUNC_RE.match(s)
+        if m:
+            w, src = int(m.group(1)), m.group(2)
+            if w <= 0:
+                raise ValueError(f"truncate width must be positive in {s!r}")
+            out.append(PartitionField(s, f"_pt_trunc{w}_{src}", src, "truncate", w))
+            continue
+        if not re.fullmatch(r"[A-Za-z_]\w*", s.strip()):
+            raise ValueError(
+                f"unsupported partition spec {s!r}: use a column name or "
+                "years/months/days/hours(col), bucket(n, col), truncate(w, col)"
+            )
+        s = s.strip()
+        out.append(PartitionField(s, s, s, "identity"))
+    return out
+
+
+def partition_sources(spec_strings: Sequence[str]) -> set:
+    """Every column a partition spec depends on (identity + transform
+    sources) — the set rename/drop must refuse."""
+    return {f.source for f in parse_partition_spec(spec_strings)}
+
+
+def _transform_column(f: PartitionField, src_type: str):
+    """The Spark expression deriving ``f``'s hidden partition value.
+    Epoch-anchored ints for time transforms (Iceberg's encoding), all in
+    the session's calendar frame — the SAME frame filter literals are
+    interpreted in, so driver-side translation agrees by construction."""
+    c = F.col(f.source)
+    if f.kind == "years":
+        return F.year(c) - 1970
+    if f.kind == "months":
+        return (F.year(c) - 1970) * 12 + F.month(c) - 1
+    if f.kind == "days":
+        return F.datediff(c.cast("date"), F.lit("1970-01-01"))
+    if f.kind == "hours":
+        return (
+            F.datediff(c.cast("date"), F.lit("1970-01-01")) * 24 + F.hour(c)
+        )
+    if f.kind == "bucket":
+        canon = c.cast("long") if src_type in _bloom.INTEGRAL_TYPES else c
+        return F.pmod(F.xxhash64(canon), F.lit(f.arg))
+    if f.kind == "truncate":
+        if src_type == "string":
+            return F.substring(c, 1, f.arg)
+        return (c - F.pmod(c, F.lit(f.arg))).cast(src_type)
+    raise AssertionError(f.kind)
+
+
+def _as_datetime(val):
+    import datetime
+
+    if isinstance(val, datetime.datetime):
+        return val
+    if isinstance(val, datetime.date):
+        return datetime.datetime(val.year, val.month, val.day)
+    if isinstance(val, str):
+        try:
+            return datetime.datetime.fromisoformat(val)
+        except ValueError:
+            return None
+    return None
+
+
+def transform_literal(f: PartitionField, val):
+    """Driver-side twin of ``_transform_column`` for ONE filter literal;
+    None = not translatable (the filter simply doesn't prune on this
+    hidden column — conservative)."""
+    if val is None:
+        return None
+    if f.kind in ("years", "months", "days", "hours"):
+        dt = _as_datetime(val)
+        if dt is None:
+            return None
+        if f.kind == "years":
+            return dt.year - 1970
+        if f.kind == "months":
+            return (dt.year - 1970) * 12 + dt.month - 1
+        import datetime
+
+        days = (dt.date() - datetime.date(1970, 1, 1)).days
+        return days if f.kind == "days" else days * 24 + dt.hour
+    if f.kind == "bucket":
+        if isinstance(val, bool):
+            return None
+        if isinstance(val, int):
+            if not (-(1 << 63) <= val < (1 << 63)):
+                return None
+            h = _bloom.xxh64_long(val)
+        elif isinstance(val, str):
+            h = _bloom.xxh64(val.encode("utf-8"))
+        else:
+            return None
+        signed = ((h + (1 << 63)) & ((1 << 64) - 1)) - (1 << 63)
+        return signed % f.arg  # == Spark's pmod for positive modulus
+    if f.kind == "truncate":
+        if isinstance(val, bool):
+            return None
+        if isinstance(val, int):
+            return val - (val % f.arg)
+        if isinstance(val, str):
+            return val[: f.arg]
+        return None
+    return None
+
+
+def augment_groups_for_partitions(groups: list, spec_strings: Sequence[str]) -> list:
+    """Add derivable hidden-partition conditions to a DNF filter: a
+    predicate on the SOURCE column implies one on the transform value
+    (equality for any transform; ranges for monotonic ones, widened to
+    inclusive bounds). Purely additive — every original condition stays,
+    so results remain row-exact and a failed translation just skips."""
+    fields = [f for f in parse_partition_spec(spec_strings) if f.hidden]
+    if not fields or not groups:
+        return groups
+    by_src: dict = {}
+    for f in fields:
+        by_src.setdefault(f.source, []).append(f)
+    out = []
+    for g in groups:
+        g2 = list(g)
+        for col, op, val in g:
+            for f in by_src.get(col, ()):
+                if op in ("=", "=="):
+                    t = transform_literal(f, val)
+                    if t is not None:
+                        g2.append((f.name, "=", t))
+                elif op == "in":
+                    ts = [transform_literal(f, v) for v in val]
+                    if ts and all(t is not None for t in ts):
+                        g2.append((f.name, "in", ts))
+                elif f.monotonic and op in ("<", "<="):
+                    t = transform_literal(f, val)
+                    if t is not None:
+                        g2.append((f.name, "<=", t))  # floor: inclusive
+                elif f.monotonic and op in (">", ">="):
+                    t = transform_literal(f, val)
+                    if t is not None:
+                        g2.append((f.name, ">=", t))
+        out.append(g2)
+    return out
+
+
 _INT_CHAIN = ("tinyint", "smallint", "int", "bigint")
 _DECIMAL_RE = re.compile(r"decimal\((\d+),(\d+)\)")
 
@@ -1497,10 +1690,11 @@ class SnaplogTable:
         return current, snap, schema
 
     def _refuse_referenced(self, snap: Snapshot, name: str, op: str) -> None:
-        if name in snap.partition_by:
+        if name in partition_sources(snap.partition_by):
             raise ValueError(
-                f"{op} {name!r} on {self.path}: partition columns shape the "
-                "directory layout; overwrite with a new partition_by instead"
+                f"{op} {name!r} on {self.path}: the partition spec "
+                f"{list(snap.partition_by)} depends on it; overwrite with "
+                "a new partition_by instead"
             )
         if name in self.bloom_columns:
             raise ValueError(
@@ -1620,6 +1814,10 @@ class SnaplogTable:
             # stats and blooms are keyed by PHYSICAL names; the residual
             # predicate runs after the scan aliases back to logical
             pgroups = self._phys_groups(groups, snap)
+            # hidden partitioning: filters on a transform's SOURCE column
+            # gain the derived partition-value conditions (Iceberg's
+            # hidden-partition pruning; partition values ride in stats)
+            pgroups = augment_groups_for_partitions(pgroups, snap.partition_by)
             # lazy prune: only the filtered columns' stats are touched
             # and only surviving files materialize (see Snapshot.prune)
             files = snap.prune(pgroups)
@@ -1754,9 +1952,28 @@ class SnaplogTable:
         dest_root = dest_dir or self.data_dir
         rel_root = os.path.relpath(dest_root, self.path)
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
-        writer = df.write.mode("overwrite")
+        part_names: Sequence[str] = ()
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
+            fields = parse_partition_spec(partition_by)
+            types = {fld.name: fld.dataType.typeName() for fld in df.schema.fields}
+            for f in fields:
+                if f.hidden and f.name not in df.columns:
+                    if f.source not in types:
+                        raise ValueError(
+                            f"partition transform {f.spec!r} references "
+                            f"column {f.source!r} not in the DataFrame"
+                        )
+                    df = df.withColumn(
+                        f.name, _transform_column(f, types[f.source])
+                    )
+                elif not f.hidden and f.name not in types:
+                    raise ValueError(
+                        f"partition column {f.name!r} not in the DataFrame"
+                    )
+            part_names = [f.name for f in fields]
+        writer = df.write.mode("overwrite")
+        if part_names:
+            writer = writer.partitionBy(*part_names)
         writer.parquet(staging)
         os.makedirs(dest_root, exist_ok=True)
         entries = []
@@ -1764,8 +1981,8 @@ class SnaplogTable:
             for root, _dirs, names in os.walk(staging):
                 rel_dir = os.path.relpath(root, staging)
                 partition = (
-                    _parse_partition_dirs(rel_dir, partition_by, df.schema)
-                    if partition_by and rel_dir != "."
+                    _parse_partition_dirs(rel_dir, part_names, df.schema)
+                    if part_names and rel_dir != "."
                     else {}
                 )
                 if partition_by and rel_dir == "." :
@@ -2540,9 +2757,21 @@ class SnaplogTable:
                 f"column name {CHANGE_TYPE_COL!r} is reserved for the change feed"
             )
         if partition_by:
-            missing = sorted(c for c in partition_by if c not in df.columns)
+            missing = sorted(
+                c for c in partition_sources(partition_by) if c not in df.columns
+            )
             if missing:
                 raise ValueError(f"partition_by columns not in DataFrame: {missing}")
+            clash = sorted(
+                f.name
+                for f in parse_partition_spec(partition_by)
+                if f.hidden and f.name in df.columns
+            )
+            if clash:
+                raise ValueError(
+                    f"DataFrame columns {clash} collide with hidden "
+                    "partition-transform names; rename them"
+                )
         schema_json = df.schema.json()
         if mode == "overwrite":
             current = self.version()
@@ -2783,6 +3012,17 @@ class SnaplogTable:
             for i, k in enumerate(keys)
         }
         phys_keys = [snap.physical(k) for k in keys]
+        # hidden partitioning: a merge keyed on a transform's source gains
+        # the derived partition-value range (monotonic transforms only;
+        # NULL-carrying source ranges skip — the hidden envelope can't
+        # represent the null-safe match)
+        for pf in parse_partition_spec(snap.partition_by):
+            if pf.hidden and pf.monotonic and pf.source in keys:
+                lo, hi, has_null = key_ranges[snap.physical(pf.source)]
+                tlo, thi = transform_literal(pf, lo), transform_literal(pf, hi)
+                if tlo is not None and thi is not None and not has_null:
+                    key_ranges[pf.name] = (tlo, thi, False)
+                    phys_keys.append(pf.name)
         candidates = snap.prune_ranges(phys_keys, key_ranges)
 
         # level 2: exact, distributed — which candidate files actually hold
@@ -3068,11 +3308,16 @@ class SnaplogTable:
         aliasing) — the change feed's building block for
         add/remove-derived events; the caller aliases to logical names."""
         reader = self.spark.read.format("parquet")
-        if snap is not None and snap.schema_json:
-            reader = reader.schema(self._physical_schema(snap))
+        phys = self._physical_schema(snap) if snap is not None else None
+        if phys is not None:
+            reader = reader.schema(phys)
         if snap is not None and snap.partition_by:
             reader = reader.option("basePath", self.data_dir)
-        return reader.load(list(paths))
+        df = reader.load(list(paths))
+        if phys is not None and snap.partition_by:
+            # drop appended hidden-transform partition columns
+            df = df.select(*[f.name for f in phys.fields])
+        return df
 
     @staticmethod
     def _logical_alias(df: DataFrame, snap: Snapshot) -> DataFrame:
@@ -3118,11 +3363,17 @@ class SnaplogTable:
         if snap.partition_by:
             reader = reader.option("basePath", self.data_dir)
         df = reader.load(paths)
-        cols = (
-            [F.col(p.name).alias(l.name) for p, l in zip(phys.fields, schema.fields)]
-            if snap.column_mapping and schema is not None
-            else [F.col("*")]
-        )
+        if snap.column_mapping and schema is not None:
+            cols = [
+                F.col(p.name).alias(l.name)
+                for p, l in zip(phys.fields, schema.fields)
+            ]
+        elif phys is not None:
+            # exact projection (drops e.g. appended hidden-transform
+            # partition columns, which are directory metadata, not data)
+            cols = [F.col(f.name) for f in phys.fields]
+        else:
+            cols = [F.col("*")]
         return df.select(
             *cols,
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
@@ -3292,7 +3543,9 @@ class SnaplogTable:
         if current is None:
             raise FileNotFoundError(f"no snaplog table at {self.path}")
         snap = self.snapshot(current)
-        pgroups = self._phys_groups(groups, snap)
+        pgroups = augment_groups_for_partitions(
+            self._phys_groups(groups, snap), snap.partition_by
+        )
         candidates = snap.prune(pgroups)
         read_info = ReadInfo(
             paths=frozenset(f.path for f in candidates),
@@ -3365,7 +3618,9 @@ class SnaplogTable:
             raise FileNotFoundError(f"no snaplog table at {self.path}")
         snap = self.snapshot(current)
         self._require_no_dvs(snap, "update")
-        pgroups = self._phys_groups(groups, snap)
+        pgroups = augment_groups_for_partitions(
+            self._phys_groups(groups, snap), snap.partition_by
+        )
         candidates = snap.prune(pgroups)
         touched = self._exact_touched(candidates, pred, snap)
         if not touched:
@@ -3636,7 +3891,14 @@ class SnaplogTable:
         snap = self.snapshot(current)
         self._require_no_dvs(snap, "compact")
         spec = list(snap.partition_by)
-        if spec and set(spec) & set([*(cluster_by or ()), *(zorder_by or ())]):
+        pfields = parse_partition_spec(spec)
+        # clustering by an IDENTITY partition col (or a hidden name) is a
+        # no-op request — values are constant per file; clustering by a
+        # TRANSFORM's source (e.g. ts under days(ts)) is useful and allowed
+        flat = {f.name for f in pfields if not f.hidden} | {
+            f.name for f in pfields
+        }
+        if spec and flat & set([*(cluster_by or ()), *(zorder_by or ())]):
             raise ValueError(
                 f"cluster_by/zorder_by must not repeat the partition "
                 f"columns {spec}; partition values are constant per file "
@@ -3652,13 +3914,20 @@ class SnaplogTable:
         # on a hive-partitioned table, clustering happens WITHIN each
         # partition (Delta's OPTIMIZE ZORDER scope): partition columns
         # lead the range key + sort so rows stay partition-grouped and
-        # each partition's files cover contiguous cluster ranges
+        # each partition's files cover contiguous cluster ranges. Hidden
+        # transform columns are derived up front (staging reuses them).
+        if (cluster_by or zorder_by) and any(f.hidden for f in pfields):
+            types = {fld.name: fld.dataType.typeName() for fld in df.schema.fields}
+            for f in pfields:
+                if f.hidden:
+                    df = df.withColumn(f.name, _transform_column(f, types[f.source]))
+        part_lead = [f.name for f in pfields]
         if zorder_by:
             from dc43_spark.io.zorder import zorder_repartition
 
-            df = zorder_repartition(df, zorder_by, n_out, prefix_cols=spec)
+            df = zorder_repartition(df, zorder_by, n_out, prefix_cols=part_lead)
         elif cluster_by:
-            lead = [F.col(c) for c in [*spec, *cluster_by]]
+            lead = [F.col(c) for c in [*part_lead, *cluster_by]]
             df = df.repartitionByRange(n_out, *lead)
             df = df.sortWithinPartitions(*lead)
         else:

@@ -66,6 +66,7 @@ from dc43_spark.io.snaplog import (
     SnaplogTable,
     _file_may_match,
     _normalize_filters,
+    augment_groups_for_partitions,
 )
 
 _CDC_FIELDS = [
@@ -212,6 +213,11 @@ class SnaplogBatchReader(DataSourceReader):
                 [[(m.get(c, c), op, v) for c, op, v in g] for g in self._filter_groups]
                 if m
                 else self._filter_groups
+            )
+            # hidden partitioning: pushed filters on a transform's source
+            # gain the derived partition-value conditions
+            groups = augment_groups_for_partitions(
+                groups, self._snap.partition_by
             )
             pruned = self._snap.prune(groups)
             # bloom pass: =/IN probes on indexed columns drop stats

@@ -408,10 +408,15 @@ def test_snaplog_matches_model_under_random_op_sequences(spark, tmp_path_factory
 
     def settle():
         # rewriting ops refuse while deletion vectors are active (they
-        # would resurrect MOR-deleted rows) — materialize first, which is
-        # a logical no-op the model never sees
+        # would resurrect MOR-deleted rows) — materialize first. That IS
+        # a commit (rows unchanged), so the model records a snapshot for
+        # it; call sites re-anchor `before` so the op's own commit still
+        # gets exactly one entry.
         if t.version() is not None and t.snapshot().dvs:
             t.materialize_deletes()
+            history.append(tuple(sorted(rows)))
+            return True
+        return False
 
     # model: multiset of (k, v) rows; merge keys update-or-insert
     rows: list[tuple[int, str]] = []
@@ -425,7 +430,8 @@ def test_snaplog_matches_model_under_random_op_sequences(spark, tmp_path_factory
             t.write(mk(keys), mode="overwrite")
             rows = [(k, f"s{k}") for k in keys]
         elif op == "merge":
-            settle()
+            if settle():
+                before = t.version()
             if t.version() is None:
                 t.merge(mk(keys), ["k"])
                 rows = [(k, f"s{k}") for k in sorted(set(keys))]
@@ -440,7 +446,8 @@ def test_snaplog_matches_model_under_random_op_sequences(spark, tmp_path_factory
         elif op == "delete":
             if t.version() is None:
                 continue
-            settle()
+            if settle():
+                before = t.version()
             lo, hi = keys
             t.delete([("k", ">=", lo), ("k", "<", hi)])
             rows = [(k, v) for k, v in rows if not (lo <= k < hi)]
@@ -455,7 +462,8 @@ def test_snaplog_matches_model_under_random_op_sequences(spark, tmp_path_factory
         elif op == "update":
             if t.version() is None:
                 continue
-            settle()
+            if settle():
+                before = t.version()
             t.update([("k", "in", list(keys))], set={"v": F.lit("U")})
             rows = [(k, "U") if k in set(keys) else (k, v) for k, v in rows]
         elif op == "restore":
@@ -496,7 +504,8 @@ def test_snaplog_matches_model_under_random_op_sequences(spark, tmp_path_factory
         else:  # compact
             if t.version() is None:
                 continue
-            settle()
+            if settle():
+                before = t.version()
             t.compact(target_file_mb=1)  # everything is "small": full collapse
         # record a model snapshot only when the op actually committed
         # (compact no-ops below min_files; nothing else may silently skip)
