@@ -1253,6 +1253,10 @@ class SnaplogTable:
         change_feed: bool = False,
         bloom_columns: Optional[Sequence[str]] = None,
         bloom_bits_per_key: int = 10,
+        optimize_write: bool = False,
+        auto_compact: bool = False,
+        auto_compact_min_files: int = 16,
+        auto_compact_target_mb: int = 128,
     ) -> None:
         self.spark = spark
         self.path = os.path.abspath(path.rstrip("/"))
@@ -1278,6 +1282,13 @@ class SnaplogTable:
         self._bloom_columns_opt = tuple(bloom_columns or ())
         self.bloom_bits_per_key = bloom_bits_per_key
         self._bloom_sidecars: dict[str, _bloom.BloomSidecar] = {}
+        # Delta's delta.autoOptimize.{optimizeWrite,autoCompact} twins —
+        # the small-file fixes for high-frequency ingest. Both persist as
+        # table properties so every later handle keeps the layout policy.
+        self._optimize_write_opt = optimize_write
+        self._auto_compact_opt = auto_compact
+        self._auto_compact_min_files = auto_compact_min_files
+        self._auto_compact_target_mb = auto_compact_target_mb
 
     # ---------------- layout helpers
 
@@ -1321,6 +1332,45 @@ class SnaplogTable:
         stored = tuple(self._stored_properties().get("bloom_columns", ()))
         return self._bloom_columns_opt or stored
 
+    @property
+    def optimize_write(self) -> bool:
+        """Partition-aligned shuffle before staging writes (Delta's
+        optimizeWrite): an N-input-partition append to a partitioned
+        table lands one file per touched partition value instead of up
+        to N per value."""
+        if self._optimize_write_opt:
+            return True
+        return bool(self._stored_properties().get("optimize_write"))
+
+    @property
+    def auto_compact(self) -> bool:
+        """Best-effort bin-packing of small files in the partitions a
+        write/merge just touched, as a follow-up data_change=false commit
+        (Delta's autoCompact)."""
+        if self._auto_compact_opt:
+            return True
+        return bool(self._stored_properties().get("auto_compact"))
+
+    @property
+    def auto_compact_min_files(self) -> int:
+        if self._auto_compact_opt:
+            return self._auto_compact_min_files
+        return int(
+            self._stored_properties().get(
+                "auto_compact_min_files", self._auto_compact_min_files
+            )
+        )
+
+    @property
+    def auto_compact_target_mb(self) -> int:
+        if self._auto_compact_opt:
+            return self._auto_compact_target_mb
+        return int(
+            self._stored_properties().get(
+                "auto_compact_target_mb", self._auto_compact_target_mb
+            )
+        )
+
     def _persist_properties(self) -> None:
         stored = self._stored_properties()
         want = dict(stored)
@@ -1329,6 +1379,12 @@ class SnaplogTable:
         if self._bloom_columns_opt and not stored.get("bloom_columns"):
             want["bloom_columns"] = list(self._bloom_columns_opt)
             want["bloom_bits_per_key"] = self.bloom_bits_per_key
+        if self._optimize_write_opt and not stored.get("optimize_write"):
+            want["optimize_write"] = True
+        if self._auto_compact_opt and not stored.get("auto_compact"):
+            want["auto_compact"] = True
+            want["auto_compact_min_files"] = self._auto_compact_min_files
+            want["auto_compact_target_mb"] = self._auto_compact_target_mb
         if not want or want == stored:
             return
         tmp = self._properties_file + ".tmp"
@@ -1529,6 +1585,8 @@ class SnaplogTable:
             "constraints": dict(snap.constraints),
             "bloom_columns": list(self.bloom_columns),
             "change_feed": self.change_feed,
+            "optimize_write": self.optimize_write,
+            "auto_compact": self.auto_compact,
             "active_deletion_vectors": len(snap.dvs),
             "checkpoint_versions": self._checkpoint_versions(),
             "checkpoint_interval": self.checkpoint_interval,
@@ -1942,13 +2000,21 @@ class SnaplogTable:
         *,
         dest_dir: Optional[str] = None,
         partition_by: Sequence[str] = (),
+        align_partitions: bool = False,
     ) -> list[FileEntry]:
         """Write ``df`` into data/ (or ``dest_dir``, e.g. the change-data
         dir) via a staging dir; files stay invisible (no manifest
         references them) until the commit lands. With ``partition_by``
-        the hive-style ``col=value`` layout is preserved under data/ and
+        the hive-style ``col=val/...`` layout is preserved under data/ and
         each entry records its typed partition values (folded into stats
-        as exact min==max envelopes — see FileEntry)."""
+        as exact min==max envelopes — see FileEntry).
+
+        ``align_partitions`` (Delta's optimizeWrite): ONE hash shuffle on
+        the partition values before the write, so each touched partition
+        value lands in a single task and writes a single file — without
+        it, an append arriving in N input partitions fans out to up to
+        N files PER partition value, the classic small-file generator on
+        high-frequency partitioned ingest."""
         dest_root = dest_dir or self.data_dir
         rel_root = os.path.relpath(dest_root, self.path)
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
@@ -1971,6 +2037,8 @@ class SnaplogTable:
                         f"partition column {f.name!r} not in the DataFrame"
                     )
             part_names = [f.name for f in fields]
+            if align_partitions:
+                df = df.repartition(*[F.col(n) for n in part_names])
         writer = df.write.mode("overwrite")
         if part_names:
             writer = writer.partitionBy(*part_names)
@@ -2736,6 +2804,7 @@ class SnaplogTable:
         merge_schema: bool = False,
         txn: Optional[dict] = None,
         partition_by: Optional[Sequence[str]] = None,
+        optimize_write: Optional[bool] = None,
     ) -> int:
         """Transactional append/overwrite; returns the committed version.
         ``merge_schema=True`` allows additive column evolution on append
@@ -2749,7 +2818,12 @@ class SnaplogTable:
         on footer stats. The spec is a TABLE property: set it on the
         first write (or change it with overwrite, which replaces every
         file); appends inherit it automatically and raise on an explicit
-        mismatch."""
+        mismatch.
+
+        ``optimize_write`` overrides the table/handle policy for this one
+        write (see the constructor and ``_stage_files``); after the
+        commit, ``auto_compact`` (if enabled) bin-packs small files in
+        the touched partitions as a best-effort follow-up commit."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"snaplog write mode must be append|overwrite, got {mode!r}")
         if CHANGE_TYPE_COL in df.columns:
@@ -2773,6 +2847,7 @@ class SnaplogTable:
                     "partition-transform names; rename them"
                 )
         schema_json = df.schema.json()
+        ow = optimize_write if optimize_write is not None else self.optimize_write
         if mode == "overwrite":
             current = self.version()
             head = self.snapshot(current) if current is not None else None
@@ -2781,8 +2856,8 @@ class SnaplogTable:
             self._enforce_constraints(df, head.constraints if head else {}, "overwrite")
             remove = head.file_paths() if head else []
             spec = tuple(partition_by or ())
-            added = self._stage_files(df, partition_by=spec)
-            return self._commit(
+            added = self._stage_files(df, partition_by=spec, align_partitions=ow)
+            version = self._commit(
                 "overwrite",
                 add=added,
                 remove=remove,
@@ -2796,6 +2871,8 @@ class SnaplogTable:
                 column_mapping={} if head and head.column_mapping else None,
                 retired=[] if head and head.retired else None,
             )
+            self._maybe_auto_compact(added)
+            return version
         self._check_append_schema(df, merge_schema)  # fail before staging
         current = self.version()
         if current is None:
@@ -2851,8 +2928,9 @@ class SnaplogTable:
         added = self._stage_files(
             self._to_physical_df(df, head_snap) if head_snap is not None else df,
             partition_by=spec,
+            align_partitions=ow,
         )
-        return self._commit(
+        version = self._commit(
             "append",
             add=added,
             retry_append=True,
@@ -2860,6 +2938,8 @@ class SnaplogTable:
             partition_by=spec,
             schema_fn=_recheck,
         )
+        self._maybe_auto_compact(added)
+        return version
 
     # ---------------- copy-on-write MERGE
 
@@ -3088,7 +3168,9 @@ class SnaplogTable:
                 dest_dir=self.cdc_dir,
             )
         added = self._stage_files(
-            self._to_physical_df(merged, snap), partition_by=snap.partition_by
+            self._to_physical_df(merged, snap),
+            partition_by=snap.partition_by,
+            align_partitions=self.optimize_write,
         )
         self._commit(
             "merge",
@@ -3104,6 +3186,7 @@ class SnaplogTable:
                 isolation=isolation,
             ),
         )
+        self._maybe_auto_compact(added)
         return MergeStats(
             files_total=snap.num_files,
             candidates_after_stats=len(candidates),
@@ -3869,6 +3952,28 @@ class SnaplogTable:
             os.replace(dest._properties_file + ".tmp", dest._properties_file)
         return dest
 
+    def _maybe_auto_compact(self, added: Sequence[FileEntry]) -> Optional[int]:
+        """Delta's autoCompact: after a file-adding commit, bin-pack the
+        small files of JUST the partitions that commit touched, as a
+        separate best-effort data_change=false commit. Ingest never fails
+        on maintenance: a concurrent-writer conflict or freshly-appeared
+        deletion vectors simply skip this round — the next write retries.
+        Scoping to touched partitions keeps the follow-up O(one
+        partition's small files), never O(table)."""
+        if not added or not self.auto_compact:
+            return None
+        current = self.version()
+        if current is None or self.snapshot(current).dvs:
+            return None
+        try:
+            return self.compact(
+                target_file_mb=self.auto_compact_target_mb,
+                min_files=self.auto_compact_min_files,
+                _partitions={frozenset(e.partition.items()) for e in added},
+            )
+        except SnapshotConflictError:
+            return None
+
     def compact(
         self,
         *,
@@ -3876,13 +3981,24 @@ class SnaplogTable:
         cluster_by: Optional[Sequence[str]] = None,
         zorder_by: Optional[Sequence[str]] = None,
         min_files: int = 2,
+        where=None,
+        _partitions: Optional[set] = None,
     ) -> Optional[int]:
         """Rewrite small files into ~target-size ones THROUGH the log —
         transactional, conflict-checked, history-preserving (old versions
         still read the pre-compaction files until vacuum). ``cluster_by``
         range-clusters (tight stats on the LEADING column); ``zorder_by``
         interleaves bucket bits (io/zorder.py) so ``read(filters=...)``
-        prunes files on EVERY listed column — Delta's OPTIMIZE ZORDER."""
+        prunes files on EVERY listed column — Delta's OPTIMIZE ZORDER.
+
+        ``where`` (Delta's OPTIMIZE WHERE) scopes the rewrite to files
+        that MAY hold matching rows — the same DNF filters ``read``
+        takes, resolved via partition values and stats, incl. hidden
+        transform translation. Selection is per-FILE and conservative,
+        which is always safe here: compaction rewrites whole files and
+        preserves every row, so an over-selected file just gets packed
+        too. ``_partitions`` (internal, auto-compact) restricts to an
+        exact set of partition-value tuples."""
         if cluster_by and zorder_by:
             raise ValueError("pass cluster_by or zorder_by, not both")
         current = self.version()
@@ -3905,7 +4021,18 @@ class SnaplogTable:
                 "and already prune exactly"
             )
         threshold = target_file_mb * 1024 * 1024
-        small = [f for f in snap.files if f.bytes < threshold]
+        scope = snap.files
+        if where is not None:
+            pgroups = augment_groups_for_partitions(
+                self._phys_groups(_normalize_filters(where), snap),
+                snap.partition_by,
+            )
+            scope = snap.prune(pgroups)
+        if _partitions is not None:
+            scope = [
+                f for f in scope if frozenset(f.partition.items()) in _partitions
+            ]
+        small = [f for f in scope if f.bytes < threshold]
         if len(small) < min_files:
             return None
         df = self._scan(small, snap)
