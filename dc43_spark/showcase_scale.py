@@ -406,6 +406,74 @@ def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_matmul(queries, emb, k=5)
 
 
+KMEANS_K = 8
+KMEANS_SEED = 7
+KMEANS_SAMPLE_N = 3
+
+
+def q_cluster_sample_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced REPRESENTATIVE sampling (functions/clustering.py):
+    assign every corpus vector to its nearest of 8 fixed seeded unit
+    centroids by cosine (argmax ties -> lowest centroid id, same as the
+    oracle's rank-1-by-(cos DESC, cid ASC)), keep the 3 most central rows
+    per cluster. The codebook is fixed so the oracle can embed the same
+    literal doubles; the DISTRIBUTED k-means trainer that would produce
+    it at scale is pinned against a NumPy Lloyd twin in
+    tests/test_clustering.py. Plan: one narrow Arrow matmul for
+    assignment + one window shuffle with map-side WindowGroupLimit —
+    the 100 TB shape for domain-balancing a crawl."""
+    from dc43_spark.functions.clustering import (
+        cluster_balanced_sample,
+        seeded_centroids,
+    )
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    cent = seeded_centroids(EMB_DIM, KMEANS_K, seed=KMEANS_SEED)
+    picked = cluster_balanced_sample(
+        emb,
+        cent,
+        n_per_cluster=KMEANS_SAMPLE_N,
+        by="representative",
+        join_back=False,
+    )
+    return picked.select(
+        "cluster_id",
+        "vec_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("cosine"),
+    )
+
+
+def _cluster_sample_sql() -> str:
+    """Same seeded codebook as literal doubles (repr round-trips exactly),
+    same assignment tie-break, same per-cluster rank order."""
+    from dc43_spark.functions.clustering import seeded_centroids
+
+    cent = seeded_centroids(EMB_DIM, KMEANS_K, seed=KMEANS_SEED)
+    values = ", ".join(
+        f"({cid}, [" + ", ".join(repr(x) for x in row) + "])"
+        for cid, row in enumerate(cent)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c(cid, cv) AS (SELECT * FROM (VALUES {values})),
+scored AS (
+  SELECT vec_id, cid, list_cosine_similarity(v, cv) AS cos
+  FROM e CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, cid, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS arank
+  FROM scored
+), ranked AS (
+  SELECT CAST(cid AS BIGINT) AS cluster_id, vec_id, cos,
+         row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM assigned WHERE arank = 1
+)
+SELECT cluster_id, vec_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {KMEANS_SAMPLE_N}
+"""
+
+
 def q_ann_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 at FULL probe (nprobe == n_centroids): every list is
     probed, so the result equals exact brute force and the brute-force
@@ -1552,6 +1620,9 @@ EXTRA_QUERIES = {
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "json_props_events": q_json_props_events,
     "salted_orders_by_nation": q_salted_orders_by_nation,
+    # r8: cluster-balanced sampling over the distributed k-means toolkit
+    # (new capability, born as an extra — the 50-slot window is full)
+    "cluster_sample_embeddings": q_cluster_sample_embeddings,
 }
 
 EXTRA_ORACLES = {
@@ -1567,6 +1638,7 @@ EXTRA_ORACLES = {
     "json_props_events": _JSON_PROPS_SQL,
     "salted_orders_by_nation": _ORDERS_BY_NATION_SQL,
     "knn_embeddings": _KNN_SQL,
+    "cluster_sample_embeddings": _cluster_sample_sql(),
 }
 
 # r7 rotation: the r6 operators move INTO the driver window (their defs
