@@ -544,6 +544,11 @@ class Snapshot:
     # data, so re-adding a column under a retired name is refused — it
     # would resurrect the dropped values in pre-drop files.
     retired: tuple = ()
+    # named refs (Iceberg's tags): tag name -> pinned version. The full
+    # map rides in each ref-changing commit (like constraints), so refs
+    # are versioned, conflict-checked, and time travel sees the ref set
+    # AS OF any version. vacuum retains every head-tagged version.
+    refs: dict = field(default_factory=dict)
 
     def physical(self, name: str) -> str:
         """Physical (in-file) column name for a logical name."""
@@ -1477,6 +1482,7 @@ class SnaplogTable:
         constraints: dict = {}
         column_mapping: dict = {}
         retired: tuple = ()
+        refs: dict = {}
         cps = [c for c in self._checkpoint_versions() if c <= version]
         if cps:
             (
@@ -1489,11 +1495,13 @@ class SnaplogTable:
                 constraints,
                 column_mapping,
                 retired,
+                refs,
             ) = self._load_checkpoint(cps[-1])
             bloom = list(bloom)
             constraints = dict(constraints)
             column_mapping = dict(column_mapping)
             retired = tuple(retired)
+            refs = dict(refs)
             start = cps[-1] + 1
         ts = 0.0
         for v in range(start, version + 1):
@@ -1524,6 +1532,8 @@ class SnaplogTable:
                 column_mapping = dict(commit["column_mapping"])
             if "retired" in commit:  # full replacement list
                 retired = tuple(commit["retired"])
+            if "refs" in commit:  # full replacement map
+                refs = dict(commit["refs"])
         if start > version and cps:  # snapshot == checkpoint version
             ts = cp_ts
         return Snapshot(
@@ -1539,6 +1549,7 @@ class SnaplogTable:
             constraints=constraints,
             column_mapping=column_mapping,
             retired=retired,
+            refs=refs,
         )
 
     def history(self) -> list[CommitInfo]:
@@ -1583,6 +1594,7 @@ class SnaplogTable:
             "column_mapping": dict(snap.column_mapping),
             "retired_columns": list(snap.retired),
             "constraints": dict(snap.constraints),
+            "tags": dict(snap.refs),
             "bloom_columns": list(self.bloom_columns),
             "change_feed": self.change_feed,
             "optimize_write": self.optimize_write,
@@ -1591,6 +1603,81 @@ class SnaplogTable:
             "checkpoint_versions": self._checkpoint_versions(),
             "checkpoint_interval": self.checkpoint_interval,
         }
+
+    # ---------------- named refs (Iceberg's tags)
+
+    @property
+    def tags(self) -> dict:
+        """Active ``tag name -> version`` map at the head (empty when the
+        table has none or does not exist yet)."""
+        try:
+            return dict(self.snapshot().refs)
+        except FileNotFoundError:
+            return {}
+
+    def create_tag(
+        self, name: str, version: Optional[int] = None, *, replace: bool = False
+    ) -> int:
+        """Pin a version under a NAME (Iceberg's tags): ``read(tag=...)``
+        / ``restore(tag=...)`` resolve it, and ``vacuum`` retains every
+        head-tagged version's files regardless of age — a release or an
+        audit snapshot survives retention sweeps until untagged. The full
+        ref map rides in a metadata-only commit (data_change=false, the
+        change feed skips it), so tags are versioned, conflict-checked
+        against concurrent writers, and time travel sees the ref set as
+        of any version. Default ``version`` = the current head."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.\-]*", name):
+            raise ValueError(f"tag name {name!r} must be an identifier")
+        current = self.version()
+        if current is None:
+            raise FileNotFoundError(f"no snaplog table at {self.path}")
+        versions = self._versions()
+        target = current if version is None else int(version)
+        if target not in versions:
+            raise ValueError(
+                f"cannot tag version {target} of {self.path} "
+                f"(have {versions[0]}..{versions[-1]})"
+            )
+        snap = self.snapshot(current)
+        refs = dict(snap.refs)
+        if name in refs and not replace:
+            raise ValueError(
+                f"tag {name!r} already pins v{refs[name]} on {self.path}; "
+                "pass replace=True to move it"
+            )
+        refs[name] = target
+        return self._commit(
+            "set_refs",
+            expected_version=current,
+            data_change=False,
+            refs=refs,
+            schema_json=snap.schema_json,
+        )
+
+    def delete_tag(self, name: str) -> int:
+        """Remove a tag (metadata-only commit); its version's files fall
+        back under normal vacuum retention."""
+        current = self.version()
+        if current is None:
+            raise FileNotFoundError(f"no snaplog table at {self.path}")
+        snap = self.snapshot(current)
+        refs = dict(snap.refs)
+        if name not in refs:
+            raise ValueError(f"no tag {name!r} on {self.path} (have {sorted(refs)})")
+        del refs[name]
+        return self._commit(
+            "set_refs",
+            expected_version=current,
+            data_change=False,
+            refs=refs,
+            schema_json=snap.schema_json,
+        )
+
+    def _resolve_tag(self, tag: str) -> int:
+        refs = self.tags
+        if tag not in refs:
+            raise ValueError(f"no tag {tag!r} on {self.path} (have {sorted(refs)})")
+        return refs[tag]
 
     # ---------------- CHECK constraints (Delta's table constraints)
 
@@ -1853,6 +1940,7 @@ class SnaplogTable:
         version_as_of: Optional[int] = None,
         timestamp_as_of: Optional[float] = None,
         filters=None,
+        tag: Optional[str] = None,
     ) -> DataFrame:
         """Snapshot-pinned scan: one declarative multi-path parquet read, so
         Catalyst keeps pushdown/pruning across the pinned file set.
@@ -1864,7 +1952,15 @@ class SnaplogTable:
         on a clustered table a selective read opens one file, not the
         table. The same predicate is re-applied as a Spark filter, so
         results are row-exact whatever the pruning caught; ``df.
-        inputFiles()`` is the observable proof of the skip."""
+        inputFiles()`` is the observable proof of the skip.
+
+        ``tag`` pins the version a head tag names (exclusive with the
+        other pins; the tag map is always read at head — tags are
+        pointers, not snapshot content)."""
+        if tag is not None:
+            if version_as_of is not None or timestamp_as_of is not None:
+                raise ValueError("pass tag OR version_as_of/timestamp_as_of")
+            version_as_of = self._resolve_tag(tag)
         snap = self.snapshot(version_as_of, timestamp=timestamp_as_of)
         pred = None
         if filters is not None:
@@ -2127,6 +2223,7 @@ class SnaplogTable:
                 json.loads(md.get("constraints", "{}")),
                 json.loads(md.get("column_mapping", "{}")),
                 tuple(json.loads(md.get("retired", "[]"))),
+                json.loads(md.get("refs", "{}")),
             )
         with open(os.path.join(self.log_dir, _checkpoint_name(version))) as fh:
             cp = json.load(fh)
@@ -2147,6 +2244,7 @@ class SnaplogTable:
             cp.get("constraints", {}),
             cp.get("column_mapping", {}),
             tuple(cp.get("retired", ())),
+            cp.get("refs", {}),
         )
 
     def _maybe_checkpoint(self, version: int) -> None:
@@ -2176,6 +2274,8 @@ class SnaplogTable:
             record["column_mapping"] = snap.column_mapping
         if snap.retired:
             record["retired"] = list(snap.retired)
+        if snap.refs:
+            record["refs"] = snap.refs
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump(record, fh)
@@ -2268,6 +2368,7 @@ class SnaplogTable:
                 "constraints": json.dumps(snap.constraints),
                 "column_mapping": json.dumps(snap.column_mapping),
                 "retired": json.dumps(list(snap.retired)),
+                "refs": json.dumps(snap.refs),
             }
         )
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
@@ -2420,6 +2521,7 @@ class SnaplogTable:
         bloom: Optional[Sequence[str]] = None,
         column_mapping: Optional[dict] = None,
         retired: Optional[Sequence[str]] = None,
+        refs: Optional[dict] = None,
     ) -> int:
         """Write one commit. ``expected_version`` pins the read snapshot
         (merge/overwrite/compact); ``retry_append`` lets blind appends chase
@@ -2487,6 +2589,8 @@ class SnaplogTable:
             record["column_mapping"] = dict(column_mapping)  # full map
         if retired is not None:
             record["retired"] = list(retired)  # full list
+        if refs is not None:
+            record["refs"] = dict(refs)  # full map, like constraints
         if dv_add:
             record["dv_add"] = [{"path": f.path, "rows": f.rows} for f in dv_add]
         if dv_clear:
@@ -3777,6 +3881,7 @@ class SnaplogTable:
         *,
         version_as_of: Optional[int] = None,
         timestamp_as_of: Optional[float] = None,
+        tag: Optional[str] = None,
     ) -> int:
         """Delta's ``RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF``: roll
         the LIVE state back to a historic snapshot with one forward
@@ -3793,7 +3898,13 @@ class SnaplogTable:
         deletion vectors is refused: the feed derives this commit's
         inserts from re-added files, which would resurrect DV-deleted
         rows in the CDC stream (materialize before the target version,
-        or run the table without change_feed)."""
+        or run the table without change_feed). ``tag`` resolves a head
+        tag to its pinned version (refs themselves never roll back with
+        a restore — they are pointers, not snapshot content)."""
+        if tag is not None:
+            if version_as_of is not None or timestamp_as_of is not None:
+                raise ValueError("pass tag OR version_as_of/timestamp_as_of")
+            version_as_of = self._resolve_tag(tag)
         current = self.version()
         if current is None:
             raise FileNotFoundError(f"no snaplog table at {self.path}")
@@ -4111,6 +4222,14 @@ class SnaplogTable:
                 if self._read_commit(v)["timestamp"] >= cutoff
             ]
             retained = sorted(set(retained) | set(young))
+        # head-tagged versions are retained regardless of age (Iceberg's
+        # tag retention): a release tag keeps its snapshot restorable.
+        # An old tag makes the retained set non-contiguous; the CDC sweep
+        # below keys off retained[0], which then conservatively KEEPS the
+        # change data of the in-between versions too — never drops it.
+        tagged = set(self.snapshot(versions[-1]).refs.values()) & set(versions)
+        if tagged:
+            retained = sorted(set(retained) | tagged)
         removals: list[str] = []
         live: set[str] = set()
         for v in retained:

@@ -1,0 +1,112 @@
+"""Named refs for snaplog — Iceberg's tags: pin a version under a name,
+resolve it in read/restore, protect it from vacuum, version the ref map
+itself through the commit log (full-map metadata commits, the
+constraints pattern)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dc43_spark.io.snaplog import SnaplogTable
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"s{i}") for i in range(lo, hi)], "k long, v string"
+    ).coalesce(1)
+
+
+def test_create_read_restore_by_tag(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 0, 5), mode="overwrite")
+    t.write(_df(spark, 5, 8), mode="append")
+    t.create_tag("v1_release", 1)
+    t.write(_df(spark, 0, 2), mode="overwrite")
+
+    assert t.tags == {"v1_release": 1}
+    assert t.read(tag="v1_release").count() == 8
+    assert t.read().count() == 2
+    # the ref map is itself versioned: before the tag commit it is empty
+    assert t.snapshot(1).refs == {}
+    # restore by tag; the tag survives the restore (refs are pointers,
+    # not snapshot content — they never roll back)
+    t.restore(tag="v1_release")
+    assert t.read().count() == 8
+    assert t.tags == {"v1_release": 1}
+
+
+def test_tag_guards(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    with pytest.raises(FileNotFoundError):
+        t.create_tag("x")
+    t.write(_df(spark, 0, 3), mode="overwrite")
+    t.create_tag("head")  # default: current head
+    assert t.tags == {"head": 0}
+    with pytest.raises(ValueError, match="already pins"):
+        t.create_tag("head", 0)
+    with pytest.raises(ValueError, match="have 0..1"):
+        t.create_tag("nope", 7)
+    with pytest.raises(ValueError, match="identifier"):
+        t.create_tag("bad name")
+    with pytest.raises(ValueError, match="no tag"):
+        t.read(tag="missing")
+    with pytest.raises(ValueError, match="no tag"):
+        t.delete_tag("missing")
+    with pytest.raises(ValueError, match="tag OR version_as_of"):
+        t.read(tag="head", version_as_of=0)
+    # replace moves the pin in one commit
+    t.write(_df(spark, 3, 6), mode="append")
+    t.create_tag("head", replace=True)
+    assert t.tags == {"head": t.version() - 1}  # tag commit itself is +1
+
+
+def test_vacuum_retains_tagged_versions(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 0, 5), mode="overwrite")   # v0
+    t.write(_df(spark, 0, 3), mode="overwrite")   # v1 (drops v0's file)
+    t.create_tag("audit", 1)                       # v2
+    t.write(_df(spark, 0, 2), mode="overwrite")   # v3 (drops v1's file)
+    t.write(_df(spark, 0, 1), mode="overwrite")   # v4
+
+    deleted = t.vacuum(keep_versions=1)
+    # v0's and v3's exclusive files are swept; v1's survives via the tag
+    assert deleted == 2
+    assert t.read(tag="audit").count() == 3
+    assert t.read().count() == 1
+    # untag -> the next vacuum sweeps it and the tag read dies with vacuum
+    t.delete_tag("audit")
+    assert t.vacuum(keep_versions=1) == 1
+    with pytest.raises(Exception):
+        t.read(version_as_of=1).collect()
+
+
+def test_tags_survive_checkpoints_and_new_handles(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"), checkpoint_interval=3)
+    t.write(_df(spark, 0, 3), mode="overwrite")
+    t.create_tag("r1")
+    for i in range(6):  # cross at least one checkpoint boundary
+        t.write(_df(spark, 10 * i, 10 * i + 2), mode="append")
+    t2 = SnaplogTable(spark, str(tmp_path / "t"), checkpoint_interval=3)
+    assert t2.tags == {"r1": 0}
+    assert t2.read(tag="r1").count() == 3
+    assert t2.describe_detail()["tags"] == {"r1": 0}
+
+
+def test_tag_commits_are_invisible_to_the_change_feed(spark, tmp_path):
+    t = SnaplogTable(spark, str(tmp_path / "t"), change_feed=True)
+    t.write(_df(spark, 0, 3), mode="overwrite")
+    t.create_tag("x")
+    t.delete_tag("x")
+    feed = t.table_changes(0).collect()
+    assert sorted(r._change_type for r in feed) == ["insert"] * 3
+    assert {r._commit_version for r in feed} == {0}
+
+
+def test_clone_does_not_carry_tags(spark, tmp_path):
+    """A clone's v0 is the source snapshot; source tag versions do not
+    exist in the clone's log, so carrying refs would dangle."""
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 0, 4), mode="overwrite")
+    t.create_tag("keep")
+    c = t.clone(str(tmp_path / "c"))
+    assert c.tags == {}
+    assert c.read().count() == 4
