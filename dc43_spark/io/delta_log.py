@@ -1,0 +1,481 @@
+"""Standalone Delta Lake transaction-log READER — no delta-spark jar.
+
+Implements the PUBLIC Delta table protocol (delta.io PROTOCOL.md): JSON
+commit files under ``_delta_log/`` (one action per line:
+add / remove / metaData / protocol / commitInfo / txn), parquet
+checkpoints (single and multi-part) discovered by listing, URL-encoded
+file paths, per-file ``partitionValues`` and JSON ``stats``
+(minValues / maxValues / nullCount), and column mapping
+``mode=name`` via the schema fields' ``delta.columnMapping.physicalName``
+metadata. Snapshot reconstruction, version / timestamp time travel,
+stats + partition data skipping, and the actual scan are all plain
+Spark parquet reads over the reconstructed live file set.
+
+Why: the reference's MERGE / time-travel branches target Delta tables
+(ref spark/io/merge.py:43-127, locators.py:490-509) but delta-spark is
+not installable in this container. The snaplog format carries the
+SEMANTICS under oracle gates; this module adds protocol-level
+interoperability — a governed read of format="delta" works against a
+real Delta table's log without the jar (io/read.py falls back here
+when ``import delta`` fails). Reader-only by design: writing the Delta
+protocol without the reference implementation to verify against is
+where silent corruption lives, so writes keep requiring the jar.
+
+Protocol coverage is explicit and checked: reader versions 1 and 2 are
+supported; version 3 only when every ``readerFeatures`` entry is in
+``SUPPORTED_READER_FEATURES``. Deletion vectors (an add action with a
+non-null ``deletionVector``) and v2 checkpoints are refused with a
+clear error, never silently misread.
+
+Scale shape: snapshot reconstruction is O(checkpoint rows + tail
+commits) driver-side metadata; pruning reuses snaplog's conservative
+DNF-over-stats kernel (Delta's truncated string bounds stay valid upper
+/ lower bounds, so conservatism is preserved); the scan unions one
+parquet read per surviving partition-value group, each with the
+explicit data schema (no inference, no directory listing).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import re
+import urllib.parse
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from dc43_spark.io.snaplog import (
+    FileEntry,
+    _file_may_match,
+    _filters_to_column,
+    _normalize_filters,
+)
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CP_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+_CP_PART_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+
+#: reader-version-3 table features this implementation actually honors.
+SUPPORTED_READER_FEATURES = frozenset({"timestampNtz", "columnMapping"})
+
+
+class DeltaProtocolError(RuntimeError):
+    """The table requires reader capabilities this module doesn't have —
+    refusing loudly beats misreading silently."""
+
+
+@dataclass
+class DeltaFile:
+    """One live data file: decoded relative path, raw (string/null)
+    partition values, and a snaplog-shaped ``stats`` envelope for the
+    shared pruning kernel."""
+
+    path: str
+    partition_values: dict
+    size: int
+    stats: dict = field(default_factory=dict)
+
+
+@dataclass
+class DeltaSnapshot:
+    version: int
+    timestamp: float  # unix seconds (commitInfo ms, else file mtime)
+    schema: StructType
+    partition_columns: tuple
+    files: tuple
+    column_mapping: bool
+    configuration: dict
+
+
+def _decode_path(p: str) -> str:
+    # add/remove paths are URL-encoded relative paths (PROTOCOL.md)
+    return urllib.parse.unquote(p)
+
+
+def _as_map(v) -> dict:
+    """partitionValues normalization: JSON commits carry a dict, parquet
+    checkpoints carry a MAP column that pyarrow materializes as a list
+    of (key, value) tuples."""
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return v
+    return dict(v)
+
+
+def _parse_partition_value(type_name: str, raw):
+    """Typed Python value from the protocol's string serialization
+    (None and "" both mean NULL per the spec's serialization rules for
+    the JSON map; everything else is the canonical string form)."""
+    if raw is None or raw == "":
+        return None
+    if type_name in ("byte", "short", "integer", "long"):
+        return int(raw)
+    if type_name in ("float", "double"):
+        return float(raw)
+    if type_name == "boolean":
+        return raw == "true"
+    if type_name == "date":
+        return datetime.date.fromisoformat(raw)
+    if type_name.startswith("decimal"):
+        from decimal import Decimal
+
+        return Decimal(raw)
+    if type_name.startswith("timestamp"):
+        try:
+            return datetime.datetime.fromisoformat(raw)
+        except ValueError:
+            return None  # exotic form: no pruning on this column
+    return raw  # string and anything else: compare as-is
+
+
+class DeltaLogTable:
+    """Read-only handle on a Delta table directory (``<path>/_delta_log``)."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = os.path.abspath(path.rstrip("/"))
+        self.log_dir = os.path.join(self.path, "_delta_log")
+
+    # ---------------- log listing
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_dir) and bool(self._versions())
+
+    def _versions(self) -> list:
+        out = []
+        if os.path.isdir(self.log_dir):
+            for n in os.listdir(self.log_dir):
+                m = _COMMIT_RE.match(n)
+                if m:
+                    out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _checkpoints(self) -> dict:
+        """version -> list of checkpoint parquet paths (1 = single-file,
+        n = multi-part; only COMPLETE multi-part sets qualify)."""
+        found: dict = {}
+        if not os.path.isdir(self.log_dir):
+            return found
+        parts: dict = {}
+        for n in os.listdir(self.log_dir):
+            m = _CP_RE.match(n)
+            if m:
+                found[int(m.group(1))] = [os.path.join(self.log_dir, n)]
+                continue
+            m = _CP_PART_RE.match(n)
+            if m:
+                v, total = int(m.group(1)), int(m.group(3))
+                parts.setdefault((v, total), []).append(os.path.join(self.log_dir, n))
+        for (v, total), paths in parts.items():
+            if len(paths) == total and v not in found:
+                found[v] = sorted(paths)
+        return found
+
+    def version(self) -> Optional[int]:
+        versions = self._versions()
+        return versions[-1] if versions else None
+
+    def _commit_lines(self, version: int) -> list:
+        p = os.path.join(self.log_dir, f"{version:020d}.json")
+        with open(p) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def _commit_timestamp(self, version: int) -> float:
+        for action in self._commit_lines(version):
+            info = action.get("commitInfo")
+            if info and "timestamp" in info:
+                return info["timestamp"] / 1000.0
+        return os.path.getmtime(os.path.join(self.log_dir, f"{version:020d}.json"))
+
+    def history(self) -> list:
+        """(version, timestamp, operation) per commit, oldest first."""
+        out = []
+        for v in self._versions():
+            op = None
+            for action in self._commit_lines(v):
+                info = action.get("commitInfo")
+                if info:
+                    op = info.get("operation")
+                    break
+            out.append((v, self._commit_timestamp(v), op))
+        return out
+
+    # ---------------- snapshot reconstruction
+
+    @staticmethod
+    def _check_protocol(protocol: dict) -> None:
+        v = protocol.get("minReaderVersion", 1)
+        if v <= 2:
+            return  # v1 basic, v2 column mapping — both implemented
+        feats = set(protocol.get("readerFeatures") or ())
+        unsupported = feats - SUPPORTED_READER_FEATURES
+        if unsupported:
+            raise DeltaProtocolError(
+                f"Delta table requires reader features {sorted(unsupported)} "
+                f"(supported here: {sorted(SUPPORTED_READER_FEATURES)})"
+            )
+
+    @staticmethod
+    def _check_add(add: dict) -> None:
+        if add.get("deletionVector"):
+            raise DeltaProtocolError(
+                "Delta table has files with deletion vectors; this reader "
+                "does not merge them (read with delta-spark, or purge DVs)"
+            )
+
+    def _snapshot_stats(self, add: dict, schema_types: dict) -> dict:
+        """Snaplog-shaped stats envelope from the add action's JSON stats
+        string + exact partition-value envelopes (min == max)."""
+        out: dict = {}
+        raw = add.get("stats")
+        if raw:
+            try:
+                st = json.loads(raw) if isinstance(raw, str) else raw
+            except ValueError:
+                st = {}
+            mins = st.get("minValues") or {}
+            maxs = st.get("maxValues") or {}
+            nulls = st.get("nullCount") or {}
+            for c in set(mins) | set(maxs) | set(nulls):
+                if isinstance(mins.get(c), dict) or isinstance(maxs.get(c), dict):
+                    continue  # nested-struct stats: not prunable here
+                out[c] = {
+                    "min": mins.get(c),
+                    "max": maxs.get(c),
+                    "nulls": nulls.get(c, 0),
+                }
+        for c, raw_v in _as_map(add.get("partitionValues")).items():
+            try:
+                v = _parse_partition_value(schema_types.get(c, "string"), raw_v)
+            except (ValueError, ArithmeticError):
+                continue
+            out[c] = {"min": v, "max": v, "nulls": 0 if v is not None else 1}
+        return out
+
+    def snapshot(
+        self,
+        version: Optional[int] = None,
+        *,
+        timestamp: Optional[float] = None,
+    ) -> DeltaSnapshot:
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp")
+            cands = [v for v in versions if self._commit_timestamp(v) <= timestamp]
+            if not cands:
+                raise ValueError(
+                    f"no Delta commit at or before timestamp {timestamp}"
+                )
+            version = cands[-1]
+        if version is None:
+            version = versions[-1]
+        if version not in versions:
+            raise FileNotFoundError(
+                f"version {version} not in {self.path} "
+                f"(have {versions[0]}..{versions[-1]})"
+            )
+
+        adds: dict = {}
+        meta: Optional[dict] = None
+        protocol: dict = {}
+        start = 0
+        cps = sorted(v for v in self._checkpoints() if v <= version)
+        if cps:
+            self._load_checkpoint(cps[-1], adds, protocol_out=protocol)
+            meta = self._cp_meta
+            start = cps[-1] + 1
+        for v in range(start, version + 1):
+            for action in self._commit_lines(v):
+                if "protocol" in action:
+                    protocol.update(action["protocol"])
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    add = action["add"]
+                    self._check_add(add)
+                    adds[_decode_path(add["path"])] = add
+                elif "remove" in action:
+                    adds.pop(_decode_path(action["remove"]["path"]), None)
+        self._check_protocol(protocol)
+        if meta is None:
+            raise DeltaProtocolError(f"no metaData action in {self.log_dir}")
+        if (meta.get("format") or {}).get("provider", "parquet") != "parquet":
+            raise DeltaProtocolError(
+                f"unsupported Delta data format {meta['format']!r}"
+            )
+        conf = meta.get("configuration") or {}
+        mapping_mode = conf.get("delta.columnMapping.mode", "none")
+        if mapping_mode not in ("none", "name"):
+            raise DeltaProtocolError(
+                f"unsupported column mapping mode {mapping_mode!r} (id-mode "
+                "needs parquet field-id resolution)"
+            )
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        part_cols = tuple(meta.get("partitionColumns") or ())
+        if mapping_mode == "name" and part_cols:
+            raise DeltaProtocolError(
+                "column mapping with partition columns is not supported here "
+                "(partitionValues are keyed by physical names)"
+            )
+        types = {f.name: f.dataType.typeName() for f in schema.fields}
+        files = tuple(
+            DeltaFile(
+                p,
+                _as_map(a.get("partitionValues")),
+                a.get("size", 0),
+                self._snapshot_stats(a, types),
+            )
+            for p, a in sorted(adds.items())
+        )
+        return DeltaSnapshot(
+            version=version,
+            timestamp=self._commit_timestamp(version),
+            schema=schema,
+            partition_columns=part_cols,
+            files=files,
+            column_mapping=(mapping_mode == "name"),
+            configuration=conf,
+        )
+
+    def _load_checkpoint(self, version: int, adds: dict, *, protocol_out: dict):
+        import pyarrow.parquet as pq
+
+        self._cp_meta = None
+        for path in self._checkpoints()[version]:
+            tbl = pq.read_table(path)
+            cols = tbl.column_names
+            rows = tbl.to_pylist()
+            for row in rows:
+                add = row.get("add") if "add" in cols else None
+                if add and add.get("path"):
+                    self._check_add(add)
+                    adds[_decode_path(add["path"])] = add
+                md = row.get("metaData") if "metaData" in cols else None
+                if md and md.get("schemaString"):
+                    self._cp_meta = md
+                proto = row.get("protocol") if "protocol" in cols else None
+                if proto and proto.get("minReaderVersion") is not None:
+                    protocol_out.update(
+                        {k: v for k, v in proto.items() if v is not None}
+                    )
+
+    # ---------------- scan
+
+    def _physical_schema(self, snap: DeltaSnapshot) -> StructType:
+        if not snap.column_mapping:
+            return snap.schema
+        phys = StructType()
+        for f in snap.schema.fields:
+            md = f.metadata or {}
+            phys.add(
+                md.get("delta.columnMapping.physicalName", f.name),
+                f.dataType,
+                f.nullable,
+            )
+        return phys
+
+    def read(
+        self,
+        *,
+        version_as_of: Optional[int] = None,
+        timestamp_as_of: Optional[float] = None,
+        filters=None,
+    ) -> DataFrame:
+        """Snapshot-pinned batch scan. ``filters`` (pyarrow DNF, the
+        snaplog spelling) prunes files via Delta's per-file stats and
+        exact partition values, then re-applies as a Spark predicate —
+        row-exact regardless of pruning power."""
+        snap = self.snapshot(version_as_of, timestamp=timestamp_as_of)
+        files = list(snap.files)
+        pred = None
+        if filters is not None:
+            groups = _normalize_filters(filters)
+            files = [
+                f
+                for f in files
+                if _file_may_match(
+                    FileEntry(f.path, 0, f.size, f.stats, {}), groups
+                )
+            ]
+            pred = _filters_to_column(groups)
+
+        types = {f.name: f.dataType.typeName() for f in snap.schema.fields}
+        data_fields = [
+            f for f in snap.schema.fields if f.name not in snap.partition_columns
+        ]
+        data_schema = StructType(data_fields)
+        if snap.column_mapping:
+            data_schema = self._physical_schema(snap)
+
+        if not files:
+            df = self.spark.createDataFrame([], snap.schema)
+            return df.filter(pred) if pred is not None else df
+
+        if not snap.partition_columns:
+            df = (
+                self.spark.read.format("parquet")
+                .schema(data_schema)
+                .load([os.path.join(self.path, f.path) for f in files])
+            )
+            if snap.column_mapping:
+                df = df.select(
+                    *[
+                        F.col(p.name).alias(l.name)
+                        for p, l in zip(data_schema.fields, snap.schema.fields)
+                    ]
+                )
+            return df.filter(pred) if pred is not None else df
+
+        # partitioned: the protocol's partitionValues are authoritative
+        # (hive-style directories are conventional, not required), so
+        # group files by partition tuple and attach values as typed
+        # literals — one parquet read per surviving group, unioned
+        groups_by_vals: dict = {}
+        for f in files:
+            key = tuple(f.partition_values.get(c) for c in snap.partition_columns)
+            groups_by_vals.setdefault(key, []).append(f)
+        parts = []
+        for key, members in sorted(groups_by_vals.items(), key=lambda kv: str(kv[0])):
+            df = (
+                self.spark.read.format("parquet")
+                .schema(data_schema)
+                .load([os.path.join(self.path, m.path) for m in members])
+            )
+            for c, raw in zip(snap.partition_columns, key):
+                val = _parse_partition_value(types[c], raw)
+                df = df.withColumn(c, F.lit(val).cast(types[c]))
+            parts.append(df.select(*[f.name for f in snap.schema.fields]))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df.filter(pred) if pred is not None else df
+
+
+def delta_read_fallback(
+    spark: SparkSession, path: str, options: Optional[dict] = None
+) -> DataFrame:
+    """The io/read.py hook: honor the emitted Delta reader options
+    (versionAsOf / timestampAsOf, ISO or unix seconds) through this
+    protocol reader when delta-spark is absent."""
+    options = options or {}
+    version = options.get("versionAsOf")
+    ts = options.get("timestampAsOf")
+    t = DeltaLogTable(spark, path)
+    if ts is not None:
+        try:
+            ts = float(ts)
+        except (TypeError, ValueError):
+            ts = datetime.datetime.fromisoformat(str(ts)).timestamp()
+    return t.read(
+        version_as_of=int(version) if version is not None else None,
+        timestamp_as_of=ts,
+    )

@@ -128,6 +128,16 @@ def load_dataframe(spark: SparkSession, request: ReadRequest) -> DataFrame:
             # of a clustered table prunes files before the scan
             filters=opts.get("filters"),
         )
+    if request.format == "delta" and request.path and not request.streaming:
+        from dc43_spark.io.merge import delta_available
+
+        if not delta_available():
+            # protocol-level fallback (io/delta_log.py): the emitted
+            # versionAsOf/timestampAsOf options are honored by a pure
+            # _delta_log reader when the delta-spark jar is absent
+            from dc43_spark.io.delta_log import delta_read_fallback
+
+            return delta_read_fallback(spark, request.path, request.options)
     reader = spark.readStream if request.streaming else spark.read
     if request.format:
         reader = reader.format(request.format)

@@ -1,0 +1,348 @@
+"""Protocol-level Delta Lake log reader (io/delta_log.py) — no jar.
+
+The fixtures hand-write _delta_log contents per the PUBLIC protocol
+(delta.io PROTOCOL.md): JSON action lines, URL-encoded paths, string
+partitionValues, JSON stats, parquet checkpoints with MAP-typed
+partitionValues (exactly what delta-spark emits), reader versions and
+table features. Every supported shape is read back through Spark and
+checked row-exactly; every unsupported shape must refuse loudly."""
+
+import datetime
+import json
+import os
+import urllib.parse
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from dc43_spark.io.delta_log import (
+    DeltaLogTable,
+    DeltaProtocolError,
+    delta_read_fallback,
+)
+
+SCHEMA_KV = {
+    "type": "struct",
+    "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+    ],
+}
+
+
+def _meta(schema=SCHEMA_KV, partition_columns=(), configuration=None):
+    return {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-000000000000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": list(partition_columns),
+            "configuration": configuration or {},
+        }
+    }
+
+
+def _protocol(reader=1, writer=2, reader_features=None):
+    p = {"minReaderVersion": reader, "minWriterVersion": writer}
+    if reader_features is not None:
+        p["readerFeatures"] = list(reader_features)
+    return {"protocol": p}
+
+
+def _commit(table, version, actions, ts_ms=None):
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    lines = [{"commitInfo": {"timestamp": ts_ms or (1700000000000 + version * 60000),
+                             "operation": "WRITE"}}]
+    lines += actions
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in lines)
+
+
+def _data_file(table, rel, rows, schema=("k", "v")):
+    """One parquet data file with the given (k, v) rows + its add action."""
+    abs_p = os.path.join(table, rel)
+    os.makedirs(os.path.dirname(abs_p), exist_ok=True)
+    cols = {schema[0]: pa.array([r[0] for r in rows], pa.int64()),
+            schema[1]: pa.array([r[1] for r in rows], pa.string())}
+    pq.write_table(pa.table(cols), abs_p)
+    ks = [r[0] for r in rows if r[0] is not None]
+    stats = {
+        "numRecords": len(rows),
+        "minValues": {"k": min(ks)} if ks else {},
+        "maxValues": {"k": max(ks)} if ks else {},
+        "nullCount": {"k": len(rows) - len(ks)},
+    }
+    return {
+        "add": {
+            "path": urllib.parse.quote(rel),
+            "partitionValues": {},
+            "size": os.path.getsize(abs_p),
+            "modificationTime": 0,
+            "dataChange": True,
+            "stats": json.dumps(stats),
+        }
+    }
+
+
+def test_basic_read_time_travel_and_remove(spark, tmp_path):
+    t = str(tmp_path / "t")
+    a0 = _data_file(t, "part-0.parquet", [(1, "a"), (2, "b")])
+    _commit(t, 0, [_protocol(), _meta(), a0])
+    a1 = _data_file(t, "sub dir/part 1.parquet", [(3, "c")])  # URL-encoded path
+    assert "%20" in a1["add"]["path"]
+    _commit(t, 1, [a1])
+    _commit(t, 2, [{"remove": {"path": a0["add"]["path"], "dataChange": True}}])
+
+    d = DeltaLogTable(spark, t)
+    assert d.exists() and d.version() == 2
+    assert {r.k for r in d.read().collect()} == {3}
+    assert {r.k for r in d.read(version_as_of=1).collect()} == {1, 2, 3}
+    assert {r.k for r in d.read(version_as_of=0).collect()} == {1, 2}
+    # timestamp travel: v1's commitInfo stamp
+    ts1 = 1700000000000 / 1000.0 + 60
+    assert {r.k for r in d.read(timestamp_as_of=ts1).collect()} == {1, 2, 3}
+    assert [h[0] for h in d.history()] == [0, 1, 2]
+    assert all(h[2] == "WRITE" for h in d.history())
+
+
+def test_stats_pruning_and_residual_exactness(spark, tmp_path):
+    t = str(tmp_path / "t")
+    adds = []
+    for i in range(4):
+        adds.append(
+            _data_file(t, f"p{i}.parquet", [(10 * i + j, f"s{j}") for j in range(10)])
+        )
+    _commit(t, 0, [_protocol(), _meta(), *adds])
+    d = DeltaLogTable(spark, t)
+    df = d.read(filters=[("k", ">=", 20), ("k", "<", 25)])
+    assert len(df.inputFiles()) == 1  # stats pruned 3 of 4 files
+    assert sorted(r.k for r in df.collect()) == list(range(20, 25))
+
+
+def test_partitioned_flat_layout_protocol_authoritative(spark, tmp_path):
+    """partitionValues come from the LOG, not the directory layout —
+    files live flat on disk and the partition column (absent from the
+    data files) is reattached typed, including a NULL partition."""
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "p", "type": "integer", "nullable": True, "metadata": {}},
+        ],
+    }
+    t = str(tmp_path / "t")
+    a1 = _data_file(t, "f1.parquet", [(1, "a")])
+    a1["add"]["partitionValues"] = {"p": "7"}
+    a2 = _data_file(t, "f2.parquet", [(2, "b")])
+    a2["add"]["partitionValues"] = {"p": "8"}
+    a3 = _data_file(t, "f3.parquet", [(3, "c")])
+    a3["add"]["partitionValues"] = {"p": None}
+    _commit(t, 0, [_protocol(), _meta(schema, ["p"]), a1, a2, a3])
+
+    d = DeltaLogTable(spark, t)
+    got = {(r.k, r.p) for r in d.read().collect()}
+    assert got == {(1, 7), (2, 8), (3, None)}
+    assert [f.dataType.typeName() for f in d.read().schema.fields] == [
+        "long", "string", "integer",
+    ]
+    # partition filter prunes to one file (exact min==max envelope)
+    df = d.read(filters=[("p", "=", 7)])
+    assert len(df.inputFiles()) == 1
+    assert [(r.k, r.p) for r in df.collect()] == [(1, 7)]
+
+
+def test_checkpoint_with_map_partition_values(spark, tmp_path):
+    """A parquet checkpoint exactly as delta-spark lays it out: one row
+    per action, add.partitionValues as a MAP column (pyarrow yields
+    key-value tuple lists), tail commits replayed on top."""
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "p", "type": "integer", "nullable": True, "metadata": {}},
+        ],
+    }
+    t = str(tmp_path / "t")
+    a1 = _data_file(t, "f1.parquet", [(1, "a")])
+    a1["add"]["partitionValues"] = {"p": "1"}
+    a2 = _data_file(t, "f2.parquet", [(2, "b")])
+    a2["add"]["partitionValues"] = {"p": "2"}
+    _commit(t, 0, [_protocol(), _meta(schema, ["p"]), a1])
+    _commit(t, 1, [a2])
+
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("stats", pa.string()),
+        ]
+    )
+    meta_struct = json.loads(json.dumps(_meta(schema, ["p"])["metaData"]))
+    meta_struct["schemaString"] = _meta(schema, ["p"])["metaData"]["schemaString"]
+    cp = pa.table(
+        {
+            "add": pa.array(
+                [
+                    {
+                        "path": a["add"]["path"],
+                        "partitionValues": list(a["add"]["partitionValues"].items()),
+                        "size": a["add"]["size"],
+                        "stats": a["add"]["stats"],
+                    }
+                    for a in (a1, a2)
+                ]
+                + [None, None],
+                add_t,
+            ),
+            "metaData": pa.array(
+                [None, None, {
+                    "id": meta_struct["id"],
+                    "schemaString": meta_struct["schemaString"],
+                    "partitionColumns": ["p"],
+                }, None],
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            "protocol": pa.array(
+                [None, None, None, {"minReaderVersion": 1, "minWriterVersion": 2}],
+                pa.struct(
+                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                ),
+            ),
+        }
+    )
+    log = os.path.join(t, "_delta_log")
+    pq.write_table(cp, os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+
+    a3 = _data_file(t, "f3.parquet", [(3, "c")])
+    a3["add"]["partitionValues"] = {"p": "3"}
+    _commit(t, 2, [a3, {"remove": {"path": a1["add"]["path"], "dataChange": True}}])
+
+    d = DeltaLogTable(spark, t)
+    snap = d.snapshot()
+    assert snap.version == 2 and len(snap.files) == 2
+    got = {(r.k, r.p) for r in d.read().collect()}
+    assert got == {(2, 2), (3, 3)}
+    # the checkpoint alone serves v1 (no replay of commit 0 needed: the
+    # reader starts at the checkpoint even if commit 0 were vacuumed)
+    os.unlink(os.path.join(log, f"{0:020d}.json"))
+    d2 = DeltaLogTable(spark, t)
+    assert {(r.k, r.p) for r in d2.read(version_as_of=1).collect()} == {
+        (1, 1), (2, 2),
+    }
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "key",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-abc123",
+                },
+            },
+            {
+                "name": "val",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-def456",
+                },
+            },
+        ],
+    }
+    t = str(tmp_path / "t")
+    a = _data_file(t, "f.parquet", [(5, "x")], schema=("col-abc123", "col-def456"))
+    _commit(
+        t,
+        0,
+        [
+            _protocol(reader=2, writer=5),
+            _meta(schema, configuration={"delta.columnMapping.mode": "name"}),
+            a,
+        ],
+    )
+    d = DeltaLogTable(spark, t)
+    rows = d.read().collect()
+    assert d.read().columns == ["key", "val"]
+    assert [(r.key, r.val) for r in rows] == [(5, "x")]
+
+
+def test_refusals_are_loud(spark, tmp_path):
+    t = str(tmp_path / "t")
+    a = _data_file(t, "f.parquet", [(1, "a")])
+    dv = json.loads(json.dumps(a))
+    dv["add"]["deletionVector"] = {"storageType": "u", "pathOrInlineDv": "x",
+                                   "sizeInBytes": 1, "cardinality": 1}
+    _commit(t, 0, [_protocol(reader=3, reader_features=["deletionVectors"]),
+                   _meta(), dv])
+    with pytest.raises(DeltaProtocolError, match="deletion vector"):
+        DeltaLogTable(spark, t).snapshot()
+
+    t2 = str(tmp_path / "t2")
+    a2 = _data_file(t2, "f.parquet", [(1, "a")])
+    _commit(t2, 0, [_protocol(reader=3, reader_features=["v2Checkpoint"]),
+                    _meta(), a2])
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+        DeltaLogTable(spark, t2).snapshot()
+
+    t3 = str(tmp_path / "t3")
+    a3 = _data_file(t3, "f.parquet", [(1, "a")])
+    _commit(t3, 0, [_protocol(reader=2),
+                    _meta(configuration={"delta.columnMapping.mode": "id"}), a3])
+    with pytest.raises(DeltaProtocolError, match="id-mode"):
+        DeltaLogTable(spark, t3).snapshot()
+
+
+def test_read_fallback_options(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _commit(t, 0, [_protocol(), _meta(),
+                   _data_file(t, "f0.parquet", [(1, "a")])])
+    _commit(t, 1, [_data_file(t, "f1.parquet", [(2, "b")])])
+    assert {r.k for r in delta_read_fallback(spark, t).collect()} == {1, 2}
+    assert {
+        r.k for r in delta_read_fallback(spark, t, {"versionAsOf": "0"}).collect()
+    } == {1}
+    iso = datetime.datetime.fromtimestamp(1700000000.0 + 30).isoformat()
+    assert {
+        r.k
+        for r in delta_read_fallback(spark, t, {"timestampAsOf": iso}).collect()
+    } == {1}
+
+
+def test_governed_read_path_falls_back_without_the_jar(spark, tmp_path):
+    """io/read.py: a ReadRequest with format='delta' (what the locators
+    emit for Databricks targets) resolves through the protocol reader in
+    this jar-less container, honoring the emitted time-travel options."""
+    from dc43_spark.io.merge import delta_available
+    from dc43_spark.io.read import ReadRequest, load_dataframe
+
+    assert not delta_available()  # the container invariant this guards
+    t = str(tmp_path / "t")
+    _commit(t, 0, [_protocol(), _meta(),
+                   _data_file(t, "f0.parquet", [(1, "a"), (2, "b")])])
+    _commit(t, 1, [_data_file(t, "f1.parquet", [(3, "c")])])
+
+    df = load_dataframe(spark, ReadRequest(path=t, format="delta"))
+    assert {r.k for r in df.collect()} == {1, 2, 3}
+    pinned = load_dataframe(
+        spark,
+        ReadRequest(path=t, format="delta", options={"versionAsOf": "0"}),
+    )
+    assert {r.k for r in pinned.collect()} == {1, 2}
