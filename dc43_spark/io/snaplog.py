@@ -4063,6 +4063,123 @@ class SnaplogTable:
             os.replace(dest._properties_file + ".tmp", dest._properties_file)
         return dest
 
+    # ---------------- write-audit-publish (Iceberg's WAP pattern)
+
+    @property
+    def _branch_marker_file(self) -> str:
+        # non-numeric name: _versions() never mistakes it for a commit
+        return os.path.join(self.log_dir, "branch.json")
+
+    def branch_out(self, dest_path: str) -> "SnaplogTable":
+        """Start a write-audit-publish branch: a shallow clone (zero
+        copy) that RECORDS its provenance (source path + version), so
+        the source can later ``publish`` it back atomically. The flow:
+
+            branch = table.branch_out(staging_path)
+            branch.write(...); branch.merge(...)        # write
+            validate branch.read() however you like      # audit
+            table.publish(branch)                        # publish
+
+        Readers of the source never see in-flight branch work; the
+        publish is ONE commit, and it fast-forwards only — if the source
+        advanced past the fork, publish raises instead of guessing a
+        merge. Audit failures cost nothing: delete the branch dir."""
+        current = self.version()
+        if current is None:
+            raise FileNotFoundError(f"no snaplog table at {self.path}")
+        branch = self.clone(dest_path, shallow=True, version_as_of=current)
+        tmp = branch._branch_marker_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"source_path": self.path, "source_version": current}, fh)
+        os.replace(tmp, branch._branch_marker_file)
+        return branch
+
+    def publish(self, branch: "SnaplogTable") -> int:
+        """Land a ``branch_out`` branch's NET effect on this table as one
+        atomic commit (operation ``publish``; the change feed derives
+        coarse delete+insert events from it, like an overwrite).
+
+        Fast-forward only: the commit pins the fork version, so a source
+        that advanced since ``branch_out`` raises SnapshotConflictError —
+        re-branch from the new head and replay the work (rebasing two
+        divergent histories is a merge policy, not something to guess).
+        Branch-added files are ADOPTED into the source's data dir by
+        hard link (copy across filesystems): zero data rewrite. Schema /
+        constraint / column-mapping evolution on the branch carries
+        over wholesale. A branch publishes at most once; deletion
+        vectors must be materialized on the branch first. If the commit
+        loses a race, adopted-but-unreferenced files are crash leftovers
+        that vacuum sweeps."""
+        try:
+            with open(branch._branch_marker_file) as fh:
+                marker = json.load(fh)
+        except OSError:
+            raise ValueError(
+                f"{branch.path} is not a branch (no provenance marker); "
+                "create it with branch_out"
+            )
+        if marker.get("source_path") != self.path:
+            raise ValueError(
+                f"branch {branch.path} forked from "
+                f"{marker.get('source_path')!r}, not {self.path}"
+            )
+        if "published_at_source_version" in marker:
+            raise ValueError(
+                f"branch {branch.path} was already published (source "
+                f"v{marker['published_at_source_version']}); branch again"
+            )
+        base_v = marker["source_version"]
+        bhead = branch.version()
+        if bhead is None or bhead == 0:
+            return self.version()  # no branch commits: publish is a no-op
+        bsnap = branch.snapshot(bhead)
+        branch._require_no_dvs(bsnap, "publish")
+
+        v0_paths = {f.path for f in branch.snapshot(0).files}  # absolute
+        head_files = {f.path: f for f in bsnap.files}
+        removed = []
+        for p in sorted(v0_paths - set(head_files)):
+            if not p.startswith(self.path + os.sep):
+                raise ValueError(
+                    f"branch v0 references {p!r} outside the source table"
+                )
+            removed.append(os.path.relpath(p, self.path))
+        added = []
+        for p in sorted(set(head_files) - v0_paths):
+            f = head_files[p]
+            src_abs = p if os.path.isabs(p) else os.path.join(branch.path, p)
+            rel = f"{DATA_DIR}/{os.path.basename(p)}"
+            dst = os.path.join(self.path, rel)
+            if os.path.exists(dst):
+                raise ValueError(
+                    f"publish file collision on {rel!r} (uuid part names "
+                    "should make this impossible — investigate)"
+                )
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src_abs, dst)
+            except OSError:
+                shutil.copyfile(src_abs, dst)
+            added.append(FileEntry(rel, f.rows, f.bytes, f.stats, f.partition))
+
+        version = self._commit(
+            "publish",
+            add=added,
+            remove=removed,
+            schema_json=bsnap.schema_json,
+            expected_version=base_v,  # the fast-forward pin
+            partition_by=bsnap.partition_by,
+            constraints=bsnap.constraints,
+            column_mapping=bsnap.column_mapping,
+            retired=bsnap.retired,
+        )
+        marker["published_at_source_version"] = version
+        tmp = branch._branch_marker_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(marker, fh)
+        os.replace(tmp, branch._branch_marker_file)
+        return version
+
     def _maybe_auto_compact(self, added: Sequence[FileEntry]) -> Optional[int]:
         """Delta's autoCompact: after a file-adding commit, bin-pack the
         small files of JUST the partitions that commit touched, as a
