@@ -251,6 +251,92 @@ def bloom_ladder(file_counts, rows_per_file: int, reps: int) -> None:
     spark.stop()
 
 
+def optimize_ladder(append_counts, reps: int) -> None:
+    """Small-file ingest ladder: N tiny appends on a PLAIN table vs an
+    AUTO-COMPACT table — head file count and point-read wall time; plus
+    the optimizeWrite pin (files per multi-partition write, with vs
+    without the aligned shuffle). Expected: plain file count grows
+    linearly with appends and the read slows with it; auto-compact
+    keeps both flat; optimizeWrite lands one file per partition value."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="snaplog_optimize_")
+    results = []
+    try:
+        for n in append_counts:
+            row = {"appends": n}
+            for kind in ("plain", "auto_compact"):
+                t = SnaplogTable(
+                    spark,
+                    f"{root}/{kind}{n}",
+                    auto_compact=(kind == "auto_compact"),
+                    auto_compact_min_files=8,
+                )
+                for i in range(n):
+                    t.write(
+                        spark.createDataFrame(
+                            [(i, f"s{i}")], "k long, v string"
+                        ).coalesce(1),
+                        mode="append",
+                    )
+                files = t.snapshot().num_files
+                t_read = timed(
+                    lambda t=t: t.read(filters=[("k", "=", 1)]).collect(), reps
+                )
+                compacts = sum(
+                    1 for c in t.history() if c.operation == "compact"
+                )
+                row[f"{kind}_files"] = files
+                row[f"{kind}_read_s"] = round(t_read, 3)
+                if kind == "auto_compact":
+                    row["compact_commits"] = compacts
+                shutil.rmtree(f"{root}/{kind}{n}", ignore_errors=True)
+            results.append(row)
+
+        # optimizeWrite pin: 16 input partitions x 8 partition values
+        df = (
+            spark.range(80_000)
+            .select(
+                (F.col("id") % 8).cast("string").alias("p"),
+                F.col("id").alias("k"),
+            )
+            .repartition(16)
+        )
+        for ow in (False, True):
+            t = SnaplogTable(spark, f"{root}/ow{ow}", optimize_write=ow)
+            t0 = time.monotonic()
+            t.write(df, mode="overwrite", partition_by=["p"])
+            dt = time.monotonic() - t0
+            results.append(
+                {
+                    "appends": f"optimize_write={ow}",
+                    "plain_files": t.snapshot().num_files,
+                    "plain_read_s": round(dt, 3),
+                }
+            )
+            shutil.rmtree(f"{root}/ow{ow}", ignore_errors=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    hdr = ["appends", "plain_files", "plain_read_s", "auto_compact_files",
+           "auto_compact_read_s", "compact_commits"]
+    print("| " + " | ".join(hdr) + " |")
+    print("|" + "---|" * len(hdr))
+    for r in results:
+        print("| " + " | ".join(str(r.get(h, "")) for h in hdr) + " |")
+    print(json.dumps({"optimize_ladder": results}))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,4,16")
@@ -270,7 +356,16 @@ def main() -> None:
         "counts (e.g. 64,256,1024)",
     )
     ap.add_argument("--rows-per-file", type=int, default=10_000)
+    ap.add_argument(
+        "--optimize",
+        default=None,
+        help="run the small-file ingest ladder instead, at these tiny-"
+        "append counts (e.g. 32,128)",
+    )
     args = ap.parse_args()
+    if args.optimize:
+        optimize_ladder([int(s) for s in args.optimize.split(",")], args.reps)
+        return
     if args.metadata:
         metadata_ladder([int(s) for s in args.metadata.split(",")], args.reps)
         return
