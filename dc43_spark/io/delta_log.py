@@ -479,3 +479,137 @@ def delta_read_fallback(
         version_as_of=int(version) if version is not None else None,
         timestamp_as_of=ts,
     )
+
+
+# ---------------- one-way export (UniForm's direction, reversed)
+
+def _serialize_partition_value(v):
+    """The protocol's canonical string form for a partition value."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    return str(v)
+
+
+def export_delta_snapshot(
+    table,
+    dest_path: str,
+    *,
+    version_as_of: Optional[int] = None,
+    timestamp_as_of: Optional[float] = None,
+) -> str:
+    """Materialize ONE snaplog snapshot as a Delta table: data files
+    hard-linked (copied across filesystems) preserving their relative
+    layout, plus a single protocol-compliant ``_delta_log`` commit 0
+    (protocol 1/2, metaData with the snapshot's Spark schema JSON —
+    snaplog stores StructType.json(), which IS Delta's schemaString
+    format — per-file partitionValues and JSON stats). One-way, one
+    commit: no history carries over (Delta's CONVERT semantics).
+
+    Verification honesty: round-trips are pinned against THIS module's
+    independent protocol reader and the hand-written spec fixtures in
+    tests/test_delta_log.py; a cluster with real delta-spark remains
+    the final authority. The governed WRITE path still requires the jar
+    (see module docstring) — this exporter only emits a static snapshot
+    for migration/interop.
+
+    Refuses rather than approximates: active deletion vectors
+    (materialize first), column mapping / retired columns (files hold
+    physical names the export would have to re-describe), and hidden
+    partition transforms (no Delta analogue; identity partitions export
+    fine, keeping their hive layout)."""
+    import shutil
+
+    from dc43_spark.io.snaplog import parse_partition_spec
+
+    snap = table.snapshot(version_as_of, timestamp=timestamp_as_of)
+    if snap.dvs:
+        raise ValueError(
+            "export with active deletion vectors would resurrect deleted "
+            "rows; run materialize_deletes() first"
+        )
+    if snap.column_mapping or snap.retired:
+        raise ValueError(
+            "export of a column-mapped table is not supported (files hold "
+            "physical names; read+rewrite to export)"
+        )
+    fields = parse_partition_spec(snap.partition_by)
+    if any(f.hidden for f in fields):
+        raise ValueError(
+            "hidden partition transforms have no Delta analogue; export a "
+            "compacted copy partitioned by identity columns instead"
+        )
+    if not snap.schema_json:
+        raise ValueError(f"{table.path} has no recorded schema")
+
+    dest = os.path.abspath(dest_path.rstrip("/"))
+    log = os.path.join(dest, "_delta_log")
+    if os.path.exists(log):
+        raise ValueError(f"export destination {dest} already has a _delta_log")
+    os.makedirs(log, exist_ok=True)
+    part_cols = [f.name for f in fields]
+
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(snap.timestamp * 1000),
+                "operation": "CONVERT",
+                "operationParameters": {"sourceFormat": "snaplog"},
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "00000000-0000-0000-0000-00000000dc43",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema_json,
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": int(snap.timestamp * 1000),
+            }
+        },
+    ]
+    for f in snap.files:
+        src_abs = f.path if os.path.isabs(f.path) else os.path.join(table.path, f.path)
+        rel = os.path.relpath(f.path, "data") if f.path.startswith("data/") else (
+            os.path.basename(f.path)
+        )
+        dst = os.path.join(dest, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(src_abs, dst)
+        except OSError:
+            shutil.copyfile(src_abs, dst)
+        stats = {
+            "numRecords": f.rows,
+            "minValues": {}, "maxValues": {}, "nullCount": {},
+        }
+        for c, st in f.stats.items():
+            if c in part_cols:
+                continue  # canonical: partition values live in partitionValues
+            stats["minValues"][c] = st.get("min")
+            stats["maxValues"][c] = st.get("max")
+            stats["nullCount"][c] = st.get("nulls", 0)
+        actions.append(
+            {
+                "add": {
+                    "path": urllib.parse.quote(rel),
+                    "partitionValues": {
+                        c: _serialize_partition_value(v)
+                        for c, v in f.partition.items()
+                    },
+                    "size": f.bytes,
+                    "modificationTime": int(snap.timestamp * 1000),
+                    "dataChange": True,
+                    "stats": json.dumps(stats),
+                }
+            }
+        )
+    tmp = os.path.join(log, ".export.tmp")
+    with open(tmp, "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in actions)
+    os.replace(tmp, os.path.join(log, f"{0:020d}.json"))
+    return dest

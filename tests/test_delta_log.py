@@ -346,3 +346,82 @@ def test_governed_read_path_falls_back_without_the_jar(spark, tmp_path):
         ReadRequest(path=t, format="delta", options={"versionAsOf": "0"}),
     )
     assert {r.k for r in pinned.collect()} == {1, 2}
+
+
+def test_export_snaplog_snapshot_roundtrip(spark, tmp_path):
+    """A snaplog snapshot exported as a Delta table reads back row-exact
+    through the independent protocol reader, with partition + stats
+    pruning intact and time-travel pinning which snapshot exports."""
+    from dc43_spark.io.delta_log import export_delta_snapshot
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    t = SnaplogTable(spark, str(tmp_path / "src"))
+    df = spark.createDataFrame(
+        [(p, k, f"s{k}") for p in ("a", "b") for k in range(10)],
+        "p string, k long, v string",
+    )
+    t.write(
+        df.repartition("p"), mode="overwrite", partition_by=["p"]
+    )
+    t.write(
+        spark.createDataFrame([("a", 100, "late")], "p string, k long, v string")
+        .coalesce(1),
+        mode="append",
+    )
+
+    dest = export_delta_snapshot(t, str(tmp_path / "delta"))
+    d = DeltaLogTable(spark, dest)
+    got = {(r.p, r.k, r.v) for r in d.read().collect()}
+    want = {(r.p, r.k, r.v) for r in t.read().collect()}
+    assert got == want and len(got) == 21
+    # partition pruning through the export
+    pruned = d.read(filters=[("p", "=", "b")])
+    assert {r.p for r in pruned.collect()} == {"b"}
+    assert all("p=b" in f or "b" in f for f in pruned.inputFiles())
+    # stats pruning: k=100 lives in the late single-row file
+    assert len(d.read(filters=[("k", "=", 100)]).inputFiles()) == 1
+    # hard links, not copies (zero data movement on one filesystem)
+    linked = [f for f in d.snapshot().files
+              if os.stat(os.path.join(dest, f.path)).st_nlink >= 2]
+    assert linked
+    # version pinning: exporting v0 omits the late row
+    dest0 = export_delta_snapshot(t, str(tmp_path / "delta0"), version_as_of=0)
+    assert DeltaLogTable(spark, dest0).read().count() == 20
+
+
+def test_export_refusals(spark, tmp_path):
+    from dc43_spark.io.delta_log import export_delta_snapshot
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1),
+        mode="overwrite",
+    )
+    t.delete([("k", "=", 1)], strategy="merge_on_read")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        export_delta_snapshot(t, str(tmp_path / "d1"))
+    t.materialize_deletes()
+    t.rename_column("v", "w")
+    with pytest.raises(ValueError, match="column-mapped"):
+        export_delta_snapshot(t, str(tmp_path / "d2"))
+
+    h = SnaplogTable(spark, str(tmp_path / "h"))
+    h.write(
+        spark.createDataFrame(
+            [(datetime.datetime(2026, 1, 1), 1)], "ts timestamp, k long"
+        ).coalesce(1),
+        mode="overwrite",
+        partition_by=["days(ts)"],
+    )
+    with pytest.raises(ValueError, match="hidden partition"):
+        export_delta_snapshot(h, str(tmp_path / "d3"))
+
+    ok = SnaplogTable(spark, str(tmp_path / "ok"))
+    ok.write(
+        spark.createDataFrame([(1, "a")], "k long, v string").coalesce(1),
+        mode="overwrite",
+    )
+    dest = export_delta_snapshot(ok, str(tmp_path / "d4"))
+    with pytest.raises(ValueError, match="already has"):
+        export_delta_snapshot(ok, dest)
