@@ -549,6 +549,12 @@ class Snapshot:
     # are versioned, conflict-checked, and time travel sees the ref set
     # AS OF any version. vacuum retains every head-tagged version.
     refs: dict = field(default_factory=dict)
+    # generated columns (Delta's GENERATED ALWAYS AS): column -> SQL
+    # expression. Writes compute the column when absent and VALIDATE it
+    # when provided (one aggregate pass, null-safe equality); the full
+    # map rides in metadata commits like constraints, so time travel and
+    # restore see the generation rules as of any version.
+    generated: dict = field(default_factory=dict)
 
     def physical(self, name: str) -> str:
         """Physical (in-file) column name for a logical name."""
@@ -1483,6 +1489,7 @@ class SnaplogTable:
         column_mapping: dict = {}
         retired: tuple = ()
         refs: dict = {}
+        generated: dict = {}
         cps = [c for c in self._checkpoint_versions() if c <= version]
         if cps:
             (
@@ -1496,12 +1503,14 @@ class SnaplogTable:
                 column_mapping,
                 retired,
                 refs,
+                generated,
             ) = self._load_checkpoint(cps[-1])
             bloom = list(bloom)
             constraints = dict(constraints)
             column_mapping = dict(column_mapping)
             retired = tuple(retired)
             refs = dict(refs)
+            generated = dict(generated)
             start = cps[-1] + 1
         ts = 0.0
         for v in range(start, version + 1):
@@ -1534,6 +1543,8 @@ class SnaplogTable:
                 retired = tuple(commit["retired"])
             if "refs" in commit:  # full replacement map
                 refs = dict(commit["refs"])
+            if "generated" in commit:  # full replacement map
+                generated = dict(commit["generated"])
         if start > version and cps:  # snapshot == checkpoint version
             ts = cp_ts
         return Snapshot(
@@ -1550,6 +1561,7 @@ class SnaplogTable:
             column_mapping=column_mapping,
             retired=retired,
             refs=refs,
+            generated=generated,
         )
 
     def history(self) -> list[CommitInfo]:
@@ -1594,6 +1606,7 @@ class SnaplogTable:
             "column_mapping": dict(snap.column_mapping),
             "retired_columns": list(snap.retired),
             "constraints": dict(snap.constraints),
+            "generated_columns": dict(snap.generated),
             "tags": dict(snap.refs),
             "bloom_columns": list(self.bloom_columns),
             "change_feed": self.change_feed,
@@ -1678,6 +1691,112 @@ class SnaplogTable:
         if tag not in refs:
             raise ValueError(f"no tag {tag!r} on {self.path} (have {sorted(refs)})")
         return refs[tag]
+
+    # ---------------- generated columns (Delta's GENERATED ALWAYS AS)
+
+    @property
+    def generated_columns(self) -> dict:
+        """Active ``column -> SQL expression`` map at the head (empty
+        when the table has none or does not exist yet)."""
+        try:
+            return dict(self.snapshot().generated)
+        except FileNotFoundError:
+            return {}
+
+    def set_generated_column(self, name: str, expr: str) -> int:
+        """Declare ``name`` GENERATED ALWAYS AS ``expr`` (Delta's
+        generated columns): every later write COMPUTES the column when
+        the incoming DataFrame lacks it and VALIDATES it (null-safe
+        equality, one aggregate pass) when provided — a writer supplying
+        non-matching values fails, so the invariant holds table-wide.
+        If the column already exists, current rows are validated first.
+        The full map rides in a metadata-only commit (constraints
+        pattern): versioned, conflict-checked, visible to time travel,
+        carried by RESTORE/CLONE/publish. Combine with
+        ``partition_by=[name]`` for Delta's partition-by-derived-column
+        (or use hidden partitioning, which needs no schema column)."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"generated column name {name!r} must be an identifier")
+        current = self.version()
+        if current is None:
+            raise FileNotFoundError(f"no snaplog table at {self.path}")
+        snap = self.snapshot(current)
+        gen = dict(snap.generated)
+        if name in gen:
+            raise ValueError(
+                f"column {name!r} is already generated as ({gen[name]}) on "
+                f"{self.path}; drop it first"
+            )
+        schema = self._logical_schema(snap)
+        if schema is not None and name in [f.name for f in schema.fields]:
+            self._validate_generated(
+                self.read(version_as_of=current),
+                {name: str(expr)},
+                "set_generated_column",
+            )
+        gen[name] = str(expr)
+        return self._commit(
+            "set_generated",
+            expected_version=current,
+            data_change=False,
+            generated=gen,
+            schema_json=snap.schema_json,
+        )
+
+    def drop_generated_column(self, name: str) -> int:
+        """Remove the generation rule (metadata-only; the column and its
+        data stay — only the compute/validate behavior stops)."""
+        current = self.version()
+        if current is None:
+            raise FileNotFoundError(f"no snaplog table at {self.path}")
+        snap = self.snapshot(current)
+        gen = dict(snap.generated)
+        if name not in gen:
+            raise ValueError(
+                f"no generated column {name!r} on {self.path} (have {sorted(gen)})"
+            )
+        del gen[name]
+        return self._commit(
+            "set_generated",
+            expected_version=current,
+            data_change=False,
+            generated=gen,
+            schema_json=snap.schema_json,
+        )
+
+    def _validate_generated(self, df: DataFrame, gen: dict, operation: str) -> None:
+        """ONE aggregate pass counting rows where a PROVIDED generated
+        column disagrees with its expression (null-safe: NULL == NULL
+        passes, NULL vs value fails — ``<=>`` semantics)."""
+        checks = {n: e for n, e in gen.items() if n in df.columns}
+        if not checks:
+            return
+        row = df.agg(
+            *[
+                F.sum(
+                    (~F.expr(f"`{n}` <=> ({e})")).cast("long")
+                ).alias(n)
+                for n, e in sorted(checks.items())
+            ]
+        ).collect()[0]
+        bad = {n: int(row[n]) for n in sorted(checks) if row[n]}
+        if bad:
+            detail = "; ".join(
+                f"{n} != ({checks[n]}) -> {c} row(s)" for n, c in bad.items()
+            )
+            raise ValueError(
+                f"{operation} on {self.path} violates generated column(s): {detail}"
+            )
+
+    def _apply_generated(self, df: DataFrame, gen: dict, operation: str) -> DataFrame:
+        """Compute absent generated columns, validate provided ones."""
+        if not gen:
+            return df
+        self._validate_generated(df, gen, operation)
+        for n, e in sorted(gen.items()):
+            if n not in df.columns:
+                df = df.withColumn(n, F.expr(e))
+        return df
 
     # ---------------- CHECK constraints (Delta's table constraints)
 
@@ -1854,6 +1973,16 @@ class SnaplogTable:
             raise ValueError(
                 f"{op} {name!r} on {self.path}: CHECK constraint(s) "
                 f"{holding} reference it; drop them first"
+            )
+        gen_holding = sorted(
+            n
+            for n, e in snap.generated.items()
+            if n == name or pat.search(e)
+        )
+        if gen_holding:
+            raise ValueError(
+                f"{op} {name!r} on {self.path}: generated column(s) "
+                f"{gen_holding} depend on it; drop them first"
             )
 
     def rename_column(self, old: str, new: str) -> int:
@@ -2224,6 +2353,7 @@ class SnaplogTable:
                 json.loads(md.get("column_mapping", "{}")),
                 tuple(json.loads(md.get("retired", "[]"))),
                 json.loads(md.get("refs", "{}")),
+                json.loads(md.get("generated", "{}")),
             )
         with open(os.path.join(self.log_dir, _checkpoint_name(version))) as fh:
             cp = json.load(fh)
@@ -2245,6 +2375,7 @@ class SnaplogTable:
             cp.get("column_mapping", {}),
             tuple(cp.get("retired", ())),
             cp.get("refs", {}),
+            cp.get("generated", {}),
         )
 
     def _maybe_checkpoint(self, version: int) -> None:
@@ -2276,6 +2407,8 @@ class SnaplogTable:
             record["retired"] = list(snap.retired)
         if snap.refs:
             record["refs"] = snap.refs
+        if snap.generated:
+            record["generated"] = snap.generated
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump(record, fh)
@@ -2369,6 +2502,7 @@ class SnaplogTable:
                 "column_mapping": json.dumps(snap.column_mapping),
                 "retired": json.dumps(list(snap.retired)),
                 "refs": json.dumps(snap.refs),
+                "generated": json.dumps(snap.generated),
             }
         )
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
@@ -2522,6 +2656,7 @@ class SnaplogTable:
         column_mapping: Optional[dict] = None,
         retired: Optional[Sequence[str]] = None,
         refs: Optional[dict] = None,
+        generated: Optional[dict] = None,
     ) -> int:
         """Write one commit. ``expected_version`` pins the read snapshot
         (merge/overwrite/compact); ``retry_append`` lets blind appends chase
@@ -2591,6 +2726,8 @@ class SnaplogTable:
             record["retired"] = list(retired)  # full list
         if refs is not None:
             record["refs"] = dict(refs)  # full map, like constraints
+        if generated is not None:
+            record["generated"] = dict(generated)  # full map
         if dv_add:
             record["dv_add"] = [{"path": f.path, "rows": f.rows} for f in dv_add]
         if dv_clear:
@@ -2950,6 +3087,11 @@ class SnaplogTable:
                     f"DataFrame columns {clash} collide with hidden "
                     "partition-transform names; rename them"
                 )
+        gen = self.generated_columns
+        if gen:
+            # compute absent generated columns / validate provided ones
+            # BEFORE the schema snapshot so evolution sees the real shape
+            df = self._apply_generated(df, gen, f"write({mode})")
         schema_json = df.schema.json()
         ow = optimize_write if optimize_write is not None else self.optimize_write
         if mode == "overwrite":
@@ -3026,6 +3168,12 @@ class SnaplogTable:
                 raise SnapshotConflictError(
                     f"columns of {self.path} were renamed/dropped "
                     "concurrently; retry the append"
+                )
+            head_gen = hs.generated if head is not None else gen
+            if head_gen != gen:
+                raise SnapshotConflictError(
+                    f"generated columns of {self.path} changed concurrently; "
+                    "retry the append (it was computed under the old rules)"
                 )
             return self._check_append_schema(df, merge_schema)
 
@@ -3105,6 +3253,9 @@ class SnaplogTable:
             return MergeStats(0, 0, 0, 0, strategy="no-op")
         snap = self.snapshot(current)
         self._require_no_dvs(snap, "merge")
+        if snap.generated:
+            # inserts must carry computed values; provided ones validate
+            source = self._apply_generated(source, snap.generated, "merge")
         evolved_json = snap.schema_json
         keep_target_cols: tuple = ()
         tgt_casts: dict = {}
@@ -3947,6 +4098,7 @@ class SnaplogTable:
             constraints=target.constraints,
             column_mapping=target.column_mapping,
             retired=target.retired,
+            generated=target.generated,
         )
 
     def clone(
@@ -4055,6 +4207,7 @@ class SnaplogTable:
             bloom=bloom_rels,
             column_mapping=target.column_mapping or None,
             retired=target.retired or None,
+            generated=target.generated or None,
         )
         props = self._stored_properties()
         if props:
@@ -4172,6 +4325,7 @@ class SnaplogTable:
             constraints=bsnap.constraints,
             column_mapping=bsnap.column_mapping,
             retired=bsnap.retired,
+            generated=bsnap.generated,
         )
         marker["published_at_source_version"] = version
         tmp = branch._branch_marker_file + ".tmp"
