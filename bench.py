@@ -90,6 +90,7 @@ HEADLINE = [
     # CDC + incremental view maintenance through the snaplog change feed
     "ivm_cdc_orders",
     "ivm_full_agg_orders",
+    "wap_publish_orders",
     # r8: snaplog table-format core (batch CDF, deletion vectors, stream src)
     "cdf_batch_orders",
     "mor_delete_orders",
@@ -137,6 +138,7 @@ COUNT_ONLY = {
     "streaming_user_sessions",
     "merge_upsert_orders",
     "versioned_read_orders",
+    "wap_publish_orders",
     "repetition_documents",
     "stratified_sample_documents",
     "sample_split_documents",

@@ -496,6 +496,64 @@ GROUP BY o_orderstatus
 """
 
 
-EXTRA_QUERIES = {"ivm_full_agg_orders": q_ivm_full_agg_orders}
+def q_wap_publish_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish end-to-end (io/snaplog.py branch_out/publish):
+    the branch takes a row-level DELETE and a MERGE upsert; the source
+    stays untouched through the audit (version pin asserted) and the
+    publish lands BOTH as one fast-forward commit whose result must
+    hash-match the composed relational algebra. In-gate asserts pin that
+    isolation (source at v0 until publish) and the publish commit."""
+    from dc43_spark.io.snaplog import SnaplogTable
 
-EXTRA_ORACLES = {"ivm_full_agg_orders": _IVM_FULL_AGG_SQL}
+    base = _orders_base(spark, sf_dir)
+    root = _scratch(sf_dir, "wap")
+    src = SnaplogTable(spark, os.path.join(root, "orders"))
+    src.write(
+        base.filter(F.col("o_orderkey") % 2 == 0)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        mode="overwrite",
+    )
+    branch = src.branch_out(os.path.join(root, "staging"))
+    branch.delete([("o_custkey", "<", 100)])
+    branch.merge(
+        base.filter(F.col("o_orderkey") % 7 == 3).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("W").alias("o_orderstatus"),
+            (F.col("o_totalprice_cents") * 3).alias("o_totalprice_cents"),
+        ),
+        ["o_orderkey"],
+    )
+    assert src.version() == 0, "audit phase must not touch the source"
+    src.publish(branch)
+    assert src.history()[-1].operation == "publish"
+    return src.read()
+
+
+_WAP_PUBLISH_SQL = f"""
+WITH base AS ({_BASE_SQL}),
+t1 AS (
+  SELECT * FROM base
+  WHERE o_orderkey % 2 = 0 AND NOT (o_custkey < 100)
+),
+s AS (
+  SELECT o_orderkey, o_custkey, 'W' AS o_orderstatus,
+         o_totalprice_cents * 3 AS o_totalprice_cents
+  FROM base WHERE o_orderkey % 7 = 3
+)
+SELECT * FROM s
+UNION ALL
+SELECT * FROM t1 WHERE o_orderkey % 7 <> 3
+"""
+
+
+EXTRA_QUERIES = {
+    "ivm_full_agg_orders": q_ivm_full_agg_orders,
+    "wap_publish_orders": q_wap_publish_orders,
+}
+
+EXTRA_ORACLES = {
+    "ivm_full_agg_orders": _IVM_FULL_AGG_SQL,
+    "wap_publish_orders": _WAP_PUBLISH_SQL,
+}
