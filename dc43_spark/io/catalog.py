@@ -1,0 +1,104 @@
+"""Named-table catalog over snaplog: one root directory, one table per
+name, and temp-view registration so ``spark.sql`` speaks to the format.
+
+The reference addresses datasets by contract-derived paths (ref
+dc43-integrations spark/io locators); this adds the warehouse-style
+naming layer a SQL user expects: ``catalog.table("orders")`` for the
+programmatic surface, ``catalog.sql("SELECT ... FROM orders JOIN
+customers ...")`` for the declarative one. Views read through the
+registered snaplog data source (io/snaplog_source.py), so Catalyst
+keeps filter pushdown -> stats/partition pruning on every view, and
+any spark.sql plan over the views composes with the rest of the
+session (joins against parquet, UDFs, window functions).
+
+Driver cost: listing is one readdir; registration is one handle per
+table, no data IO. No central metastore process — the filesystem IS
+the catalog, which is the same deployment story as the table format
+itself (object store + conditional-put claimer)."""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dc43_spark.io.snaplog import SnaplogTable
+
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+class SnaplogCatalog:
+    """Handle on a catalog root; tables live at ``<root>/<name>``."""
+
+    def __init__(self, spark: SparkSession, root: str, **table_defaults) -> None:
+        self.spark = spark
+        self.root = os.path.abspath(root.rstrip("/"))
+        self.table_defaults = table_defaults
+        os.makedirs(self.root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        if not _NAME_RE.match(name):
+            raise ValueError(f"table name {name!r} must be an identifier")
+        return os.path.join(self.root, name)
+
+    def table(self, name: str, **overrides) -> SnaplogTable:
+        """Handle for ``name`` (created lazily on first write, like any
+        snaplog path). ``overrides`` beat the catalog-level defaults."""
+        kw = {**self.table_defaults, **overrides}
+        return SnaplogTable(self.spark, self._path(name), **kw)
+
+    def tables(self) -> list:
+        return sorted(
+            n
+            for n in os.listdir(self.root)
+            if _NAME_RE.match(n)
+            and SnaplogTable.is_snaplog(os.path.join(self.root, n))
+        )
+
+    def exists(self, name: str) -> bool:
+        return SnaplogTable.is_snaplog(self._path(name))
+
+    def drop(self, name: str, *, purge: bool = False) -> None:
+        """Remove a table. Data deletion is explicit: without ``purge``
+        a table that still holds commits is refused."""
+        path = self._path(name)
+        if not SnaplogTable.is_snaplog(path):
+            raise ValueError(f"no table {name!r} in {self.root}")
+        if not purge:
+            raise ValueError(
+                f"drop {name!r} would delete its data and history; pass "
+                "purge=True to confirm"
+            )
+        shutil.rmtree(path)
+
+    def register_views(
+        self, names: Optional[Sequence[str]] = None, *, prefix: str = ""
+    ) -> list:
+        """Create one temp view per table through the snaplog data source
+        (pushdown-capable); returns the registered view names. Views are
+        session-scoped and head-pinned at FIRST USE per query — pin a
+        version explicitly with ``spark.read.format("snaplog")
+        .option("versionAsOf", n)`` when you need repeatable reads."""
+        from dc43_spark.io.snaplog_source import SnaplogDataSource
+
+        self.spark.dataSource.register(SnaplogDataSource)
+        out = []
+        for name in names if names is not None else self.tables():
+            path = self._path(name)
+            if not SnaplogTable.is_snaplog(path):
+                raise ValueError(f"no table {name!r} in {self.root}")
+            view = f"{prefix}{name}"
+            self.spark.read.format("snaplog").load(path).createOrReplaceTempView(
+                view
+            )
+            out.append(view)
+        return out
+
+    def sql(self, query: str) -> DataFrame:
+        """Register every table as a view, then run the query — the
+        one-liner for ad-hoc SQL over the catalog."""
+        self.register_views()
+        return self.spark.sql(query)
