@@ -182,6 +182,71 @@ def main() -> int:
     )
     print("active after review:", latest_active(svc.contract_store, "lake.orders").version)
 
+    # 8. Tags + write-audit-publish: stage risky work on a zero-copy
+    #    branch, audit it with the contract engine, publish atomically.
+    table.create_tag("pre_wap")
+    branch = table.branch_out(os.path.join(work, "staging"))
+    branch.merge(
+        spark.createDataFrame([(5, "audited")], "k long, s string"), ["k"]
+    )
+    from dc43_spark.governance.wap import governed_publish
+
+    svc.contract_store.put(
+        Contract(
+            id="lake.orders_wap", version="1.0.0",
+            schema_objects=[SchemaObject(
+                name="orders",
+                properties=[
+                    SchemaProperty("k", "bigint", required=True),
+                    SchemaProperty("s", "string", required=True),
+                ],
+            )],
+        )
+    )
+    res = governed_publish(svc, table, branch, "lake.orders_wap")
+    print("governed publish:", res.verdict, "-> landed at v", res.source_version)
+    print("rollback path stays open: read(tag='pre_wap') rows =",
+          table.read(tag="pre_wap").count())
+
+    # 9. Generated columns + the OPTIMIZE surface: writes compute derived
+    #    columns and keep the small-file problem down on their own.
+    gen = SnaplogTable(
+        spark, os.path.join(work, "gen"),
+        auto_compact=True, auto_compact_min_files=4, optimize_write=True,
+    )
+    gen.write(
+        spark.createDataFrame([(1, 12.34)], "k long, amount double"),
+        mode="overwrite",
+    )
+    gen.set_generated_column("cents", "CAST(amount * 100 AS BIGINT)")
+    for i in range(2, 8):  # tiny appends: auto-compact keeps files bounded
+        gen.write(
+            spark.createDataFrame([(i, i * 1.0)], "k long, amount double")
+            .coalesce(1),
+            mode="append", merge_schema=(i == 2),
+        )
+    print("generated cents for k=5:",
+          {r.k: r.cents for r in gen.read(filters=[("k", "=", 5)]).collect()})
+    print("files after auto-compact:", gen.snapshot().num_files,
+          "of", len([c for c in gen.history() if c.operation == 'append']) + 1,
+          "data commits")
+
+    # 10. A named catalog + SQL over the format (pushdown intact).
+    from dc43_spark.io.catalog import SnaplogCatalog
+
+    cat = SnaplogCatalog(spark, os.path.join(work, "warehouse"))
+    cat.table("orders").write(table.read(), mode="overwrite")
+    print("catalog SQL:",
+          cat.sql("SELECT COUNT(*) AS n FROM orders WHERE k < 100").collect())
+
+    # 11. Hand the snapshot to a Delta cluster: one protocol-compliant
+    #     _delta_log, data files hard-linked (and read it back through
+    #     the jar-less protocol reader to prove the round trip).
+    from dc43_spark.io.delta_log import DeltaLogTable, export_delta_snapshot
+
+    dest = export_delta_snapshot(gen, os.path.join(work, "delta_export"))
+    print("delta export read-back rows:", DeltaLogTable(spark, dest).read().count())
+
     spark.stop()
     return 0
 

@@ -384,6 +384,7 @@ _OPS = st.lists(
         # boundaries (reads at the mid-version serve the renamed column).
         st.tuples(st.just("rename_cycle"), st.just([])),
         st.tuples(st.just("constraint_cycle"), st.just([])),
+        st.tuples(st.just("tag_cycle"), st.just([])),
     ),
     min_size=1,
     max_size=6,
@@ -499,6 +500,17 @@ def test_snaplog_matches_model_under_random_op_sequences(spark, tmp_path_factory
             t.add_check_constraint("soup_k_ok", "k >= 0")
             history.append(tuple(sorted(rows)))  # mid-cycle version
             t.drop_check_constraint("soup_k_ok")
+            history.append(tuple(sorted(rows)))
+            continue
+        elif op == "tag_cycle":
+            # tags are pure metadata pointers: two commits, rows
+            # unchanged, refs invisible to every data read (and they do
+            # NOT roll back with restore, unlike constraints/mapping)
+            if t.version() is None:
+                continue
+            t.create_tag("soup", t.version(), replace=True)
+            history.append(tuple(sorted(rows)))
+            t.delete_tag("soup")
             history.append(tuple(sorted(rows)))
             continue
         else:  # compact
