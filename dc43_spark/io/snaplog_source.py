@@ -192,6 +192,13 @@ class SnaplogBatchReader(DataSourceReader):
         t = SnaplogTable(None, path)
         v = options.get("versionasof")
         ts = options.get("timestampasof")
+        tag = options.get("tagasof")
+        if tag is not None:
+            if v is not None or ts is not None:
+                raise ValueError(
+                    "pass tagAsOf OR versionAsOf/timestampAsOf, not both"
+                )
+            v = t._resolve_tag(tag)  # Iceberg's named refs (snaplog tags)
         self._snap = t.snapshot(
             int(v) if v is not None else None,
             timestamp=float(ts) if ts is not None else None,

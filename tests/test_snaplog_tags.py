@@ -110,3 +110,27 @@ def test_clone_does_not_carry_tags(spark, tmp_path):
     c = t.clone(str(tmp_path / "c"))
     assert c.tags == {}
     assert c.read().count() == 4
+
+
+def test_tag_as_of_through_the_data_source(spark, tmp_path):
+    from dc43_spark.io.snaplog_source import SnaplogDataSource
+
+    spark.dataSource.register(SnaplogDataSource)
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 0, 4), mode="overwrite")
+    t.create_tag("r1")
+    t.write(_df(spark, 0, 2), mode="overwrite")
+
+    df = spark.read.format("snaplog").option("tagAsOf", "r1").load(t.path)
+    assert df.count() == 4
+    assert spark.read.format("snaplog").load(t.path).count() == 2
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("snaplog")
+            .option("tagAsOf", "r1")
+            .option("versionAsOf", "0")
+            .load(t.path)
+            .count()
+        )
+    with pytest.raises(Exception, match="no tag"):
+        spark.read.format("snaplog").option("tagAsOf", "zz").load(t.path).count()
