@@ -3087,7 +3087,12 @@ class SnaplogTable:
                     f"DataFrame columns {clash} collide with hidden "
                     "partition-transform names; rename them"
                 )
-        gen = self.generated_columns
+        # ONE head snapshot load serves generated-column rules, constraint
+        # enforcement, and (overwrite) the remove set — at a 100k-file
+        # table, snapshot reconstruction is the driver cost of a write
+        current = self.version()
+        head = self.snapshot(current) if current is not None else None
+        gen = head.generated if head is not None else {}
         if gen:
             # compute absent generated columns / validate provided ones
             # BEFORE the schema snapshot so evolution sees the real shape
@@ -3095,8 +3100,6 @@ class SnaplogTable:
         schema_json = df.schema.json()
         ow = optimize_write if optimize_write is not None else self.optimize_write
         if mode == "overwrite":
-            current = self.version()
-            head = self.snapshot(current) if current is not None else None
             # constraints are a TABLE invariant: they survive overwrite
             # (Delta's semantics) — drop them explicitly to relax
             self._enforce_constraints(df, head.constraints if head else {}, "overwrite")
@@ -3120,14 +3123,12 @@ class SnaplogTable:
             self._maybe_auto_compact(added)
             return version
         self._check_append_schema(df, merge_schema)  # fail before staging
-        current = self.version()
+        head_snap = head
         if current is None:
             spec = tuple(partition_by or ())
             cons: dict = {}
             mapping: dict = {}
-            head_snap = None
         else:
-            head_snap = self.snapshot(current)
             spec = head_snap.partition_by
             cons = head_snap.constraints
             mapping = head_snap.column_mapping
