@@ -91,6 +91,7 @@ def _outer_join_merge(
     when_matched: str,
     when_not_matched: str,
     delete_predicate: Optional[str],
+    insert_predicate: Optional[str] = None,
     keep_target_cols: tuple = (),
 ) -> DataFrame:
     """MERGE semantics as one full-outer join. Callers must validate
@@ -101,6 +102,9 @@ def _outer_join_merge(
                       matched + delete_predicate(source) -> dropped
     - key only in target: kept
     - key only in source: ``insert`` -> source row; ``ignore`` -> dropped
+      (``insert_predicate``, SQL over ``s.<col>``, further gates which
+      unmatched source rows insert — Delta's conditional
+      whenNotMatchedInsert; NULL verdicts don't insert)
 
     ``keep_target_cols``: columns the SOURCE genuinely lacks (schema
     evolution null-filled them) — updates retain the target's value
@@ -127,14 +131,19 @@ def _outer_join_merge(
     else:
         joined = joined.withColumn("_del", F.lit(False))
 
+    ins_ok = (
+        F.coalesce(F.expr(insert_predicate), F.lit(False))
+        if insert_predicate
+        else F.lit(True)
+    )
     take_source = (
         (has_t & has_s & F.lit(when_matched == "update"))
-        | (~has_t & has_s & F.lit(when_not_matched == "insert"))
+        | (~has_t & has_s & F.lit(when_not_matched == "insert") & ins_ok)
     )
     keep_row = (
         (has_t & ~has_s)
         | (has_t & has_s & ~F.col("_del"))
-        | (~has_t & has_s & F.lit(when_not_matched == "insert"))
+        | (~has_t & has_s & F.lit(when_not_matched == "insert") & ins_ok)
     )
     keep_t = set(keep_target_cols)
     out_cols = [

@@ -3209,6 +3209,7 @@ class SnaplogTable:
         when_matched: str = "update",
         when_not_matched: str = "insert",
         delete_predicate: Optional[str] = None,
+        insert_predicate: Optional[str] = None,
         txn: Optional[dict] = None,
         check_source_keys: bool = True,
         merge_schema: bool = False,
@@ -3237,7 +3238,14 @@ class SnaplogTable:
         Delta's documented relaxation); ``serializable`` aborts on
         overlapping-range appends too. Concurrent merges/updates/deletes
         conflict only when file sets or key-range envelopes overlap, so
-        partition-disjoint writers all land."""
+        partition-disjoint writers all land.
+
+        ``insert_predicate`` (Delta's conditional whenNotMatchedInsert):
+        SQL over the source alias ``s`` gating WHICH unmatched source
+        rows insert — the missing half of CDC apply, where a feed's
+        delete markers must neither insert ("s.op = 'D'" rows with no
+        target match) nor be dropped silently (matched ones delete via
+        ``delete_predicate``)."""
         from dc43_spark.io.merge import (
             _outer_join_merge,
             require_unique_merge_keys,
@@ -3249,7 +3257,10 @@ class SnaplogTable:
         current = self.version()
         if current is None:
             if when_not_matched == "insert":
-                self.write(source, mode="overwrite")
+                first = source
+                if insert_predicate is not None:
+                    first = source.alias("s").filter(F.expr(insert_predicate))
+                self.write(first, mode="overwrite")
                 return MergeStats(0, 0, 0, 0, strategy="initial-write")
             return MergeStats(0, 0, 0, 0, strategy="no-op")
         snap = self.snapshot(current)
@@ -3397,10 +3408,13 @@ class SnaplogTable:
                 when_matched=when_matched,
                 when_not_matched=when_not_matched,
                 delete_predicate=delete_predicate,
+                insert_predicate=insert_predicate,
                 keep_target_cols=keep_target_cols,
             )
         elif when_not_matched == "insert":
             merged = source  # nothing matched anywhere: pure insert
+            if insert_predicate is not None:
+                merged = source.alias("s").filter(F.expr(insert_predicate))
         else:
             return MergeStats(snap.num_files, len(candidates), 0, 0)
 
@@ -3417,6 +3431,7 @@ class SnaplogTable:
                         when_matched=when_matched,
                         when_not_matched=when_not_matched,
                         delete_predicate=delete_predicate,
+                        insert_predicate=insert_predicate,
                         keep_target_cols=keep_target_cols,
                     ),
                     snap,
@@ -3459,6 +3474,7 @@ class SnaplogTable:
         when_matched: str,
         when_not_matched: str,
         delete_predicate: Optional[str],
+        insert_predicate: Optional[str] = None,
         keep_target_cols: tuple = (),
     ) -> DataFrame:
         """Row-level change rows for one MERGE, tagged with Delta CDF's
@@ -3470,6 +3486,8 @@ class SnaplogTable:
             *[F.col(c) for c in cols], F.lit(t).alias(CHANGE_TYPE_COL)
         )
         if tgt_rows is None:  # nothing matched anywhere: pure insert
+            if insert_predicate is not None:
+                source = source.alias("s").filter(F.expr(insert_predicate))
             return tag(source, "insert")
         t, s = tgt_rows.alias("t"), source.alias("s")
         cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
@@ -3498,6 +3516,8 @@ class SnaplogTable:
             parts.append(tag(inner.filter(dele).select("t.*"), "delete"))
         if when_not_matched == "insert":
             ins = s.join(t.select(*keys), cond, "left_anti")
+            if insert_predicate is not None:
+                ins = ins.filter(F.expr(insert_predicate))
             parts.append(tag(ins.select(*[F.col(f"s.{c}") for c in cols]), "insert"))
         if not parts:  # both clauses 'ignore': a zero-change merge
             return tag((tgt_rows if tgt_rows is not None else source).limit(0), "insert")

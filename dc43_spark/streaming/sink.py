@@ -63,3 +63,81 @@ def snaplog_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def snaplog_upsert_sink(
+    df: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    *,
+    keys,
+    app_id: Optional[str] = None,
+    order_col: Optional[str] = None,
+    delete_predicate: Optional[str] = None,
+    trigger_once: bool = False,
+):
+    """Streaming UPSERT into a snaplog table: each micro-batch MERGEs on
+    ``keys`` with the batch_id riding as the transaction marker, so a
+    replayed batch skips instead of re-applying (foreachBatch is
+    at-least-once; the marker commits atomically with the merge's
+    manifest). This is the CDC-apply recipe — Delta's
+    foreachBatch-MERGE pattern — on the in-repo format.
+
+    ``order_col``: when one batch carries SEVERAL rows per key (a busy
+    CDC feed), keep only the row with the highest ``order_col`` per key
+    (ties: arbitrary-but-deterministic via a final key sort). Without
+    it, duplicate source keys are a hard error (SQL MERGE ambiguity —
+    the same refusal the batch merge makes).
+
+    ``delete_predicate``: SQL over the source alias ``s`` marking
+    delete rows — pass ``"s.op = 'D'"`` to apply a soft-delete CDC
+    feed. Matched delete rows DELETE; unmatched ones are SKIPPED (the
+    merge's ``insert_predicate`` gates them out), so a feed's delete
+    markers never materialize as data — all in the one atomic merge
+    commit the txn marker rides on.
+
+    Exactly-once argument: batches of ONE streaming query are serial
+    (the checkpoint serializes them), so the check-marker-then-merge
+    window has no same-app racer; a crash after the merge's commit
+    replays into the marker check and skips; a crash before it left
+    nothing visible."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    ident = app_id or f"snaplog-upsert:{os.path.abspath(checkpoint_path)}"
+    key_list = list(keys)
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table = SnaplogTable(batch_df.sparkSession, table_path)
+        last = table.last_txn_version(ident)
+        if last is not None and int(batch_id) <= last:
+            return  # replayed batch: already committed atomically
+        if order_col is not None:
+            w = Window.partitionBy(*key_list).orderBy(
+                F.col(order_col).desc(), *[F.col(k) for k in key_list]
+            )
+            batch_df = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        table.merge(
+            batch_df,
+            key_list,
+            txn={"app_id": ident, "version": int(batch_id)},
+            delete_predicate=delete_predicate,
+            insert_predicate=(
+                f"NOT ({delete_predicate})" if delete_predicate else None
+            ),
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
