@@ -337,3 +337,76 @@ def test_rebase_replays_full_window(spark, tmp_path, monkeypatch):
     t2.delete([("id", "<", 10)])
     got = sorted(heads(t2))
     assert got == [*range(10, 95), *range(1000, 1005)]
+
+
+def test_threaded_writer_soak(spark, tmp_path):
+    """REAL races, not monkeypatched interleavings: appender threads,
+    disjoint-key merger threads, and auto-compaction all hammer ONE
+    table through independent handles. Appends chase the head
+    (retry_append); mergers retry on SnapshotConflictError like any
+    production writer. The final state must equal the serial model —
+    every appended row exactly once, each merged key at its thread's
+    last value — and the log must be a gap-free version chain."""
+    import threading
+
+    from dc43_spark.io.snaplog import SnaplogTable, SnapshotConflictError
+
+    path = str(tmp_path / "t")
+    SnaplogTable(spark, path, auto_compact=True, auto_compact_min_files=6).write(
+        spark.createDataFrame([(0, "seed")], "k long, v string").coalesce(1),
+        mode="overwrite",
+    )
+    errors = []
+
+    def appender(tid: int) -> None:
+        t = SnaplogTable(spark, path, auto_compact=True, auto_compact_min_files=6)
+        try:
+            for i in range(6):
+                t.write(
+                    spark.createDataFrame(
+                        [(100 * tid + i, f"a{tid}")], "k long, v string"
+                    ).coalesce(1),
+                    mode="append",
+                )
+        except Exception as exc:  # pragma: no cover - fail loudly below
+            errors.append(exc)
+
+    def merger(tid: int) -> None:
+        t = SnaplogTable(spark, path)
+        try:
+            for i in range(4):
+                src = spark.createDataFrame(
+                    [(10_000 * tid + j, f"m{tid}_{i}") for j in range(3)],
+                    "k long, v string",
+                ).coalesce(1)
+                for attempt in range(25):
+                    try:
+                        t.merge(src, ["k"])
+                        break
+                    except SnapshotConflictError:
+                        continue
+                else:  # pragma: no cover
+                    raise RuntimeError(f"merger {tid} starved out")
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=appender, args=(tid,)) for tid in (1, 2, 3)]
+    threads += [threading.Thread(target=merger, args=(tid,)) for tid in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not errors, errors
+
+    t = SnaplogTable(spark, path)
+    got = {r.k: r.v for r in t.read().collect()}
+    want = {0: "seed"}
+    for tid in (1, 2, 3):
+        want.update({100 * tid + i: f"a{tid}" for i in range(6)})
+    for tid in (1, 2):
+        want.update({10_000 * tid + j: f"m{tid}_3" for j in range(3)})
+    assert got == want
+    versions = [c.version for c in t.history()]
+    assert versions == list(range(len(versions)))  # gap-free chain
+    ops = {c.operation for c in t.history()}
+    assert {"append", "merge"} <= ops
