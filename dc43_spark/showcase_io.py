@@ -548,12 +548,15 @@ SELECT * FROM t1 WHERE o_orderkey % 7 <> 3
 """
 
 
+# r8 rotation: write-audit-publish joins the 50-slot driver window
+# (IO_QUERIES is defined above the gate function, so register here)
+IO_QUERIES["wap_publish_orders"] = q_wap_publish_orders
+IO_ORACLES["wap_publish_orders"] = _WAP_PUBLISH_SQL
+
 EXTRA_QUERIES = {
     "ivm_full_agg_orders": q_ivm_full_agg_orders,
-    "wap_publish_orders": q_wap_publish_orders,
 }
 
 EXTRA_ORACLES = {
     "ivm_full_agg_orders": _IVM_FULL_AGG_SQL,
-    "wap_publish_orders": _WAP_PUBLISH_SQL,
 }

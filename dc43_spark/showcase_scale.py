@@ -1406,8 +1406,10 @@ _NORMALIZE = (
 
 SCALE_QUERIES = {
     "dedup_exact_documents": q_dedup_exact_documents,
-    "simhash_documents": q_simhash_documents,
-    "near_dup_pairs_documents": q_near_dup_pairs_documents,
+    # r8 rotation: simhash/near_dup_pairs move to extras (both subsumed
+    # by minhash_near_dup's exact-Jaccard oracle + dedup_clusters' pair
+    # mining) in favour of the r8 ops below
+    "cluster_sample_embeddings": q_cluster_sample_embeddings,
     "minhash_near_dup_documents": q_minhash_near_dup_documents,
     "dedup_clusters_documents": q_dedup_clusters_documents,
     "quality_documents": q_quality_documents,
@@ -1433,8 +1435,7 @@ SCALE_ORACLES = {
         "SELECT min(doc_id) AS doc_id, md5(text) AS fp, "
         "CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY md5(text)"
     ),
-    "simhash_documents": _simhash_sql(),
-    "near_dup_pairs_documents": _near_dup_sql(" WHERE doc_id < 2000"),
+    "cluster_sample_embeddings": _cluster_sample_sql(),
     "minhash_near_dup_documents": _near_dup_sql(),  # LSH must agree with exact here
     "dedup_clusters_documents": _DEDUP_CLUSTERS_SQL,
     "quality_documents": _quality_sql(),
@@ -1620,9 +1621,11 @@ EXTRA_QUERIES = {
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "json_props_events": q_json_props_events,
     "salted_orders_by_nation": q_salted_orders_by_nation,
-    # r8: cluster-balanced sampling over the distributed k-means toolkit
-    # (new capability, born as an extra — the 50-slot window is full)
-    "cluster_sample_embeddings": q_cluster_sample_embeddings,
+    # r8 rotation: displaced in favour of cluster_sample_embeddings +
+    # wap_publish_orders (see SCALE_QUERIES note) — still oracle-checked
+    # here on every pytest run
+    "simhash_documents": q_simhash_documents,
+    "near_dup_pairs_documents": q_near_dup_pairs_documents,
 }
 
 EXTRA_ORACLES = {
@@ -1638,7 +1641,8 @@ EXTRA_ORACLES = {
     "json_props_events": _JSON_PROPS_SQL,
     "salted_orders_by_nation": _ORDERS_BY_NATION_SQL,
     "knn_embeddings": _KNN_SQL,
-    "cluster_sample_embeddings": _cluster_sample_sql(),
+    "simhash_documents": _simhash_sql(),
+    "near_dup_pairs_documents": _near_dup_sql(" WHERE doc_id < 2000"),
 }
 
 # r7 rotation: the r6 operators move INTO the driver window (their defs
