@@ -2916,7 +2916,14 @@ class SnaplogTable:
                 best = tv if best is None or tv > best else best
         return best
 
-    def write_txn(self, df: DataFrame, *, app_id: str, version: int) -> Optional[int]:
+    def write_txn(
+        self,
+        df: DataFrame,
+        *,
+        app_id: str,
+        version: int,
+        merge_schema: bool = False,
+    ) -> Optional[int]:
         """Idempotent append: a (app_id, version) pair lands AT MOST once —
         the txn marker commits atomically WITH the data files, so a replay
         of an already-committed version is skipped (returns None) and a
@@ -2929,7 +2936,7 @@ class SnaplogTable:
         last = self.last_txn_version(app_id)
         if last is not None and version <= last:
             return None
-        self._check_append_schema(df)  # fail fast, before staging any data
+        self._check_append_schema(df, merge_schema)  # fail fast, pre-staging
         self._enforce_constraints(df, self.check_constraints, "write_txn")
         cur = self.version()
         added = self._stage_files(
@@ -2947,7 +2954,7 @@ class SnaplogTable:
                     txn={"app_id": app_id, "version": int(version)},
                     # re-derived per attempt: a concurrent schema evolution
                     # must not be rolled back by this append's stale record
-                    schema_fn=lambda: self._check_append_schema(df),
+                    schema_fn=lambda: self._check_append_schema(df, merge_schema),
                 )
             except SnapshotConflictError:
                 continue  # head moved: re-check the txn ledger, then retry

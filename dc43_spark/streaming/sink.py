@@ -40,6 +40,7 @@ def snaplog_sink(
     *,
     app_id: Optional[str] = None,
     trigger_once: bool = False,
+    merge_schema: bool = False,
 ):
     """Start a streaming write of ``df`` into the snaplog table at
     ``table_path``. ``app_id`` defaults to a checkpoint-derived identity
@@ -53,7 +54,12 @@ def snaplog_sink(
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         table = SnaplogTable(batch_df.sparkSession, table_path)
-        table.write_txn(batch_df, app_id=ident, version=int(batch_id))
+        # merge_schema: an upstream feed that GAINS columns keeps landing
+        # (Delta's mergeSchema on the streaming sink); off by default so
+        # accidental drift still fails loudly
+        table.write_txn(
+            batch_df, app_id=ident, version=int(batch_id), merge_schema=merge_schema
+        )
 
     writer = (
         df.writeStream.foreachBatch(_write_batch)
@@ -75,6 +81,7 @@ def snaplog_upsert_sink(
     order_col: Optional[str] = None,
     delete_predicate: Optional[str] = None,
     trigger_once: bool = False,
+    merge_schema: bool = False,
 ):
     """Streaming UPSERT into a snaplog table: each micro-batch MERGEs on
     ``keys`` with the batch_id riding as the transaction marker, so a
@@ -127,6 +134,7 @@ def snaplog_upsert_sink(
             batch_df,
             key_list,
             txn={"app_id": ident, "version": int(batch_id)},
+            merge_schema=merge_schema,
             delete_predicate=delete_predicate,
             insert_predicate=(
                 f"NOT ({delete_predicate})" if delete_predicate else None

@@ -122,3 +122,38 @@ def test_upsert_sink_in_batch_dedupe_by_order_col(spark, tmp_path):
     with pytest.raises(Exception, match="duplicate keys"):
         q.awaitTermination(300)
         raise RuntimeError(str(q.exception()))
+
+def test_sinks_evolve_schema_when_allowed(spark, tmp_path):
+    """A feed that GAINS a column keeps landing with merge_schema=True
+    (older rows read NULL); without the flag the drift fails loudly."""
+    from dc43_spark.streaming.sink import snaplog_sink
+
+    src_dir = str(tmp_path / "feed")
+    table = str(tmp_path / "t")
+    cp = str(tmp_path / "cp")
+    spark.createDataFrame([(1, "a")], "k long, v string").coalesce(1)\
+        .write.mode("append").parquet(src_dir)
+    q = snaplog_sink(
+        spark.readStream.schema("k long, v string").parquet(src_dir),
+        table, cp, trigger_once=True,
+    )
+    assert q.awaitTermination(300)
+
+    src2 = str(tmp_path / "feed2")
+    spark.createDataFrame([(2, "b", 9.5)], "k long, v string, w double")\
+        .coalesce(1).write.mode("append").parquet(src2)
+    q = snaplog_sink(
+        spark.readStream.schema("k long, v string, w double").parquet(src2),
+        table, str(tmp_path / "cp2"), trigger_once=True,
+    )
+    with pytest.raises(Exception, match="schema"):  # drift w/o flag: loud
+        q.awaitTermination(300)
+
+    q = snaplog_sink(
+        spark.readStream.schema("k long, v string, w double").parquet(src2),
+        table, str(tmp_path / "cp3"), trigger_once=True, merge_schema=True,
+    )
+    assert q.awaitTermination(300)
+    t = SnaplogTable(spark, table)
+    got = {(r.k, r.v, r.w) for r in t.read().collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5)}
