@@ -337,6 +337,75 @@ def optimize_ladder(append_counts, reps: int) -> None:
     spark.stop()
 
 
+def wap_ladder(scales, reps: int, base_rows: int = 100_000, base_files: int = 8) -> None:
+    """Publish-cost ladder: a FIXED-SIZE branch (one small merge + one
+    small append) published into tables of growing size. Expected:
+    publish wall time and files adopted stay FLAT — the commit is
+    O(files the branch changed), never O(table)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="snaplog_wap_")
+    results = []
+    try:
+        for s in scales:
+            n_rows = base_rows * s
+            t = build_table(spark, f"{root}/t{s}", n_rows, base_files * s)
+            pre_files = t.snapshot().num_files
+
+            def one_publish(i=[0]):
+                i[0] += 1
+                b = t.branch_out(f"{root}/b{s}_{i[0]}")
+                b.merge(
+                    spark.createDataFrame(
+                        [(n_rows // 2 + j, 0, 0, "wap") for j in range(5)],
+                        "k long, g long, x long, payload string",
+                    ).coalesce(1),
+                    ["k"],
+                )
+                b.write(
+                    spark.createDataFrame(
+                        [(10 * n_rows + i[0], 0, 0, "new")],
+                        "k long, g long, x long, payload string",
+                    ).coalesce(1),
+                    mode="append",
+                )
+                t.publish(b)
+
+            dt = timed(one_publish, reps)
+            post = t.snapshot()
+            results.append(
+                {
+                    "scale": s,
+                    "rows": n_rows,
+                    "table_files_before": pre_files,
+                    "publish_s": round(dt, 3),
+                    "files_changed_by_last_publish": post.num_files
+                    - pre_files
+                    + 1,  # merge rewrote 1, append+insert added
+                }
+            )
+            shutil.rmtree(f"{root}/t{s}", ignore_errors=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    hdr = list(results[0].keys())
+    print("| " + " | ".join(hdr) + " |")
+    print("|" + "---|" * len(hdr))
+    for r in results:
+        print("| " + " | ".join(str(r[h]) for h in hdr) + " |")
+    print(json.dumps({"wap_ladder": results}))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,4,16")
@@ -362,7 +431,16 @@ def main() -> None:
         help="run the small-file ingest ladder instead, at these tiny-"
         "append counts (e.g. 32,128)",
     )
+    ap.add_argument(
+        "--wap",
+        default=None,
+        help="run the publish-cost ladder instead, at these table scales "
+        "(e.g. 1,4,16)",
+    )
     args = ap.parse_args()
+    if args.wap:
+        wap_ladder([int(s) for s in args.wap.split(",")], args.reps)
+        return
     if args.optimize:
         optimize_ladder([int(s) for s in args.optimize.split(",")], args.reps)
         return
