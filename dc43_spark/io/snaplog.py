@@ -1321,11 +1321,25 @@ class SnaplogTable:
         return os.path.join(self.log_dir, "properties.json")
 
     def _stored_properties(self) -> dict:
+        """Persisted table properties, mtime-cached per handle: the
+        feed/bloom/optimize flags are consulted several times per write,
+        and on an object store every uncached read is a GET. Another
+        handle's property write bumps the mtime and invalidates."""
+        try:
+            mtime = os.path.getmtime(self._properties_file)
+        except OSError:
+            self._props_cache = None
+            return {}
+        cached = getattr(self, "_props_cache", None)
+        if cached is not None and cached[0] == mtime:
+            return cached[1]
         try:
             with open(self._properties_file) as fh:
-                return json.load(fh)
+                props = json.load(fh)
         except (OSError, ValueError):
             return {}
+        self._props_cache = (mtime, props)
+        return props
 
     @property
     def change_feed(self) -> bool:
