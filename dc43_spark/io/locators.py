@@ -131,6 +131,18 @@ def list_folder_versions(base_path: str) -> list[str]:
     return sorted(names, key=SemVer.parse)
 
 
+def _is_instant(value: str) -> bool:
+    """Is this pin an ISO-8601 instant (-> timestampAsOf) rather than a
+    symbolic version name (-> tagAsOf on snaplog)?"""
+    import datetime as _dt
+
+    try:
+        _dt.datetime.fromisoformat(value)
+        return True
+    except ValueError:
+        return False
+
+
 def delta_time_travel_options(
     *, version: Optional[int] = None, timestamp: Optional[str] = None
 ) -> dict[str, str]:
@@ -188,11 +200,15 @@ class ContractVersionLocator:
             version = self.dataset_version
             if version == LATEST:
                 return replace(out, dataset_version=version)
-            opts = (
-                delta_time_travel_options(version=int(version))
-                if version.isdigit()
-                else delta_time_travel_options(timestamp=version)
-            )
+            if version.isdigit():
+                opts = delta_time_travel_options(version=int(version))
+            elif fmt == "snaplog" and not _is_instant(version):
+                # snaplog: a symbolic dataset version (e.g. "1.2.0", the
+                # shape governed writes TAG the table with) resolves as a
+                # named ref — governance versions == table refs
+                opts = {"tagAsOf": version}
+            else:
+                opts = delta_time_travel_options(timestamp=version)
             return replace(
                 out, options={**out.options, **opts}, dataset_version=version
             )

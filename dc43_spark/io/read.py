@@ -124,6 +124,7 @@ def load_dataframe(spark: SparkSession, request: ReadRequest) -> DataFrame:
         return SnaplogTable(spark, request.path).read(
             version_as_of=int(version) if version is not None else None,
             timestamp_as_of=ts,
+            tag=opts.get("tagAsOf"),
             # pyarrow-DNF data skipping (snaplog.read) — a governed read
             # of a clustered table prunes files before the scan
             filters=opts.get("filters"),

@@ -1653,8 +1653,11 @@ class SnaplogTable:
         change feed skips it), so tags are versioned, conflict-checked
         against concurrent writers, and time travel sees the ref set as
         of any version. Default ``version`` = the current head."""
-        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.\-]*", name):
-            raise ValueError(f"tag name {name!r} must be an identifier")
+        if not re.fullmatch(r"[A-Za-z0-9_][A-Za-z0-9_.\-]*", name):
+            raise ValueError(
+                f"tag name {name!r} must be alphanumeric/._- (no leading "
+                "separator)"
+            )
         current = self.version()
         if current is None:
             raise FileNotFoundError(f"no snaplog table at {self.path}")

@@ -136,6 +136,7 @@ def write_with_contract(
         )
         path, table, format = res.path, res.table, res.format
         options = res.options
+        dataset_version = res.dataset_version
     if path is None and table is None:
         for server in contract.servers:
             path, table = server.path, server.table
@@ -206,6 +207,22 @@ def write_with_contract(
     finally:
         if persist_aligned and multi_action:
             aligned.unpersist()
+    if (
+        format == "snaplog"
+        and path is not None
+        and locator is not None
+        and dataset_version
+        and dataset_version != "latest"
+    ):
+        # governance versions == table refs: tag the committed head so
+        # read pins by the SAME symbolic version resolve format-level
+        # time travel (re-writing a version moves its tag, matching the
+        # folder-per-version strategy's replace semantics)
+        from dc43_spark.io.snaplog import SnaplogTable
+
+        SnaplogTable(df.sparkSession, path).create_tag(
+            str(dataset_version), replace=True
+        )
     if interceptors:
         for hook in interceptors:
             hook.post_write(io_ctx, validation)

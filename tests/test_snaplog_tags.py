@@ -45,8 +45,10 @@ def test_tag_guards(spark, tmp_path):
         t.create_tag("head", 0)
     with pytest.raises(ValueError, match="have 0..1"):
         t.create_tag("nope", 7)
-    with pytest.raises(ValueError, match="identifier"):
+    with pytest.raises(ValueError, match="alphanumeric"):
         t.create_tag("bad name")
+    t.create_tag("1.0.0")  # SemVer names allowed (governed writes use them)
+    t.delete_tag("1.0.0")
     with pytest.raises(ValueError, match="no tag"):
         t.read(tag="missing")
     with pytest.raises(ValueError, match="no tag"):
@@ -134,3 +136,59 @@ def test_tag_as_of_through_the_data_source(spark, tmp_path):
         )
     with pytest.raises(Exception, match="no tag"):
         spark.read.format("snaplog").option("tagAsOf", "zz").load(t.path).count()
+
+
+def test_governed_writes_tag_dataset_versions(spark, tmp_path):
+    """Governance versions == table refs: a governed write through a
+    version locator TAGS the committed head with the dataset_version,
+    and a governed read pinned at that symbolic version resolves through
+    tagAsOf — contract-level versioning mapped onto format-level time
+    travel (the snaplog twin of the folder-per-version strategy)."""
+    from dc43_spark.contracts import Contract, SchemaObject, SchemaProperty
+    from dc43_spark.io.locators import ContractVersionLocator, StaticDatasetLocator
+    from dc43_spark.io.read import read_with_contract
+    from dc43_spark.io.write import write_with_contract
+
+    contract = Contract(
+        id="tags.orders", version="0.1.0",
+        schema_objects=[SchemaObject(
+            name="t",
+            properties=[
+                SchemaProperty("k", "bigint", required=True),
+                SchemaProperty("v", "string", required=True),
+            ],
+        )],
+    )
+    path = str(tmp_path / "t")
+
+    def loc(version):
+        return ContractVersionLocator(
+            version, base=StaticDatasetLocator(path=path, format="snaplog")
+        )
+
+    write_with_contract(
+        _df(spark, 0, 4), contract, locator=loc("1.0.0"), mode="overwrite"
+    )
+    write_with_contract(
+        _df(spark, 4, 6), contract, locator=loc("1.1.0"), mode="append"
+    )
+    t = SnaplogTable(spark, path)
+    assert t.tags == {"1.0.0": 0, "1.1.0": 2}  # each tag commit is +1
+
+    aligned, result = read_with_contract(
+        spark, contract, locator=loc("1.0.0"), metrics=False
+    )
+    assert result.status == "ok"
+    assert aligned.count() == 4
+    aligned, _ = read_with_contract(
+        spark, contract, locator=loc("1.1.0"), metrics=False
+    )
+    assert aligned.count() == 6
+    # re-writing a version MOVES its tag (folder-replace semantics)
+    write_with_contract(
+        _df(spark, 0, 2), contract, locator=loc("1.0.0"), mode="overwrite"
+    )
+    aligned, _ = read_with_contract(
+        spark, contract, locator=loc("1.0.0"), metrics=False
+    )
+    assert aligned.count() == 2
