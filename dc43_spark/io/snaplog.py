@@ -4509,6 +4509,7 @@ class SnaplogTable:
         *,
         keep_versions: int = 1,
         retention_hours: Optional[float] = None,
+        min_file_age_hours: float = 0.0,
         dry_run: bool = False,
     ):
         """Physically delete data files referenced by NO retained snapshot.
@@ -4523,7 +4524,11 @@ class SnaplogTable:
 
         Concurrency caveat (same class as Delta's unsafe-VACUUM window): a
         writer that has staged files into data/ but not yet committed its
-        manifest would lose them to a simultaneous vacuum. Run vacuum from
+        manifest would lose them to a simultaneous vacuum.
+        ``min_file_age_hours`` is the Delta-style mitigation: unreferenced
+        files YOUNGER than the threshold are kept (an in-flight writer's
+        staged data survives; the next vacuum sweeps it once it is old
+        enough to be a true orphan). With the default 0, run vacuum from
         the table's single maintenance owner, not alongside live writers —
         commits themselves stay safe; only uncommitted staged files are at
         risk."""
@@ -4551,9 +4556,16 @@ class SnaplogTable:
         for v in retained:
             live.update(self.snapshot(v).file_paths())
         deleted = 0
+        age_cutoff = time.time() - min_file_age_hours * 3600.0
 
         def _rm(abs_p: str, rel: str) -> None:
             nonlocal deleted
+            if min_file_age_hours > 0:
+                try:
+                    if os.path.getmtime(abs_p) > age_cutoff:
+                        return  # too young: possibly a live writer's staging
+                except OSError:
+                    return
             removals.append(rel)
             if not dry_run:
                 os.unlink(abs_p)

@@ -77,3 +77,24 @@ def test_describe_detail_missing_table(spark, tmp_path):
     t = SnaplogTable(spark, str(tmp_path / "none"))
     with pytest.raises(FileNotFoundError):
         t.describe_detail()
+
+
+def test_vacuum_min_file_age_protects_young_orphans(spark, tmp_path):
+    """Delta's unsafe-VACUUM mitigation: unreferenced files YOUNGER than
+    min_file_age_hours survive the sweep (an in-flight writer's staged
+    data is indistinguishable from an orphan until it ages)."""
+    import os
+    import time
+
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, 0, 5))
+    t.write(_df(spark, 0, 3), mode="overwrite")  # v0's file now unreferenced
+    # age-guarded: everything is seconds old -> nothing deleted
+    assert t.vacuum(keep_versions=1, min_file_age_hours=1.0) == 0
+    assert t.read(version_as_of=0).count() == 5  # still fully readable
+    # back-date the orphan: now it is a true orphan and sweeps
+    for root, _dirs, names in os.walk(t.data_dir):
+        for n in names:
+            os.utime(os.path.join(root, n), (time.time() - 7200,) * 2)
+    assert t.vacuum(keep_versions=1, min_file_age_hours=1.0) == 1
+    assert t.read().count() == 3
