@@ -2953,6 +2953,10 @@ class SnaplogTable:
         last = self.last_txn_version(app_id)
         if last is not None and version <= last:
             return None
+        cur0 = self.version()
+        gen = self.snapshot(cur0).generated if cur0 is not None else {}
+        if gen:
+            df = self._apply_generated(df, gen, "write_txn")
         self._check_append_schema(df, merge_schema)  # fail fast, pre-staging
         self._enforce_constraints(df, self.check_constraints, "write_txn")
         cur = self.version()
@@ -4001,6 +4005,13 @@ class SnaplogTable:
             raise FileNotFoundError(f"no snaplog table at {self.path}")
         snap = self.snapshot(current)
         self._require_no_dvs(snap, "update")
+        gen_hit = sorted(set.keys() & snap.generated.keys())
+        if gen_hit:
+            raise ValueError(
+                f"update() cannot set generated column(s) {gen_hit} "
+                "(GENERATED ALWAYS AS); update their source columns and "
+                "the expressions recompute"
+            )
         pgroups = augment_groups_for_partitions(
             self._phys_groups(groups, snap), snap.partition_by
         )
@@ -4026,6 +4037,16 @@ class SnaplogTable:
                 for c in df.columns
             ]
         )
+        # generated columns recompute from the POST-update row (Delta's
+        # UPDATE rule) — a source-column update can never desync them.
+        # Unconditional over the rewrite set: untouched rows already
+        # satisfy the invariant, so recompute is identity there
+        # (generation expressions must be deterministic, like Delta's).
+        for g, e in sorted(snap.generated.items()):
+            if g in df.columns:
+                rewritten = rewritten.withColumn(
+                    g, F.expr(e).cast(df.schema[g].dataType)
+                )
         self._enforce_constraints(rewritten, snap.constraints, "update")
         cdc = None
         if self.change_feed:
@@ -4038,7 +4059,14 @@ class SnaplogTable:
                     (assignments[c] if c in assignments else F.col(c)).alias(c)
                     for c in df.columns
                 ],
-                F.lit("update_postimage").alias(CHANGE_TYPE_COL),
+            )
+            for g, e in sorted(snap.generated.items()):
+                if g in post.columns:
+                    post = post.withColumn(
+                        g, F.expr(e).cast(df.schema[g].dataType)
+                    )
+            post = post.select(
+                "*", F.lit("update_postimage").alias(CHANGE_TYPE_COL)
             )
             cdc = self._stage_files(
                 self._to_physical_df(pre.unionByName(post), snap),
@@ -4335,13 +4363,19 @@ class SnaplogTable:
 
         v0_paths = {f.path for f in branch.snapshot(0).files}  # absolute
         head_files = {f.path: f for f in bsnap.files}
+        source_paths = set(self.snapshot().file_paths())
         removed = []
         for p in sorted(v0_paths - set(head_files)):
-            if not p.startswith(self.path + os.sep):
+            if p.startswith(self.path + os.sep):
+                removed.append(os.path.relpath(p, self.path))
+            elif p in source_paths:
+                # the source is itself a shallow clone: it references this
+                # file by the SAME origin-absolute string — remove verbatim
+                removed.append(p)
+            else:
                 raise ValueError(
-                    f"branch v0 references {p!r} outside the source table"
+                    f"branch v0 references {p!r} unknown to the source table"
                 )
-            removed.append(os.path.relpath(p, self.path))
         added = []
         for p in sorted(set(head_files) - v0_paths):
             f = head_files[p]

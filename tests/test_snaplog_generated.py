@@ -157,3 +157,39 @@ def test_generated_partition_column_prunes(spark, tmp_path):
     assert pruned.count() == 2
     assert len(pruned.inputFiles()) == 2  # only day=2's two files
     assert t.snapshot().num_files > 2
+
+def test_update_recomputes_generated_and_refuses_direct_set(spark, tmp_path):
+    """Delta's UPDATE rule: setting a source column recomputes dependent
+    generated columns from the post-update row; setting the generated
+    column directly is refused."""
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(
+        _df(spark, [(1, 2.0, 200), (2, 3.0, 300)],
+            "k long, amount double, cents bigint"),
+        mode="overwrite",
+    )
+    t.set_generated_column("cents", "CAST(amount * 100 AS BIGINT)")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS"):
+        t.update([("k", "=", 1)], set={"cents": F.lit(999)})
+    t.update([("k", "=", 1)], set={"amount": F.lit(9.0)})
+    got = {r.k: (r.amount, r.cents) for r in t.read().collect()}
+    assert got == {1: (9.0, 900), 2: (3.0, 300)}
+
+
+def test_write_txn_computes_and_validates_generated(spark, tmp_path):
+    """The exactly-once sink path enforces generated columns too — a
+    streaming writer cannot bypass the invariant."""
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(
+        _df(spark, [(1, 1.0, 100)], "k long, amount double, cents bigint"),
+        mode="overwrite",
+    )
+    t.set_generated_column("cents", "CAST(amount * 100 AS BIGINT)")
+    t.write_txn(_df(spark, [(2, 2.5)], "k long, amount double"),
+                app_id="s", version=0)
+    assert {r.k: r.cents for r in t.read().collect()}[2] == 250
+    with pytest.raises(ValueError, match="generated column"):
+        t.write_txn(
+            _df(spark, [(3, 1.0, 999)], "k long, amount double, cents bigint"),
+            app_id="s", version=1,
+        )

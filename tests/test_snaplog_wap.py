@@ -119,3 +119,18 @@ def test_schema_evolution_on_branch_carries_over(spark, tmp_path):
     src.publish(branch)
     got = {(r.k, r.v, r.w) for r in src.read().collect()}
     assert got == {(1, "a", None), (2, "b", 7.5)}
+
+
+def test_publish_on_a_shallow_clone_source(spark, tmp_path):
+    """A branch of a SHALLOW CLONE references origin-absolute files; a
+    branch merge that rewrites one must publish back into the clone
+    (remove-by-verbatim-path), leaving the ORIGIN untouched."""
+    origin = SnaplogTable(spark, str(tmp_path / "origin"))
+    origin.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    clone = origin.clone(str(tmp_path / "clone"))
+
+    branch = clone.branch_out(str(tmp_path / "b"))
+    branch.merge(_df(spark, [(1, "patched")]), ["k"])
+    clone.publish(branch)
+    assert {r.k: r.v for r in clone.read().collect()} == {1: "patched", 2: "b"}
+    assert {r.k: r.v for r in origin.read().collect()} == {1: "a", 2: "b"}
