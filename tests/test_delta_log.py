@@ -425,3 +425,61 @@ def test_export_refusals(spark, tmp_path):
     dest = export_delta_snapshot(ok, str(tmp_path / "d4"))
     with pytest.raises(ValueError, match="already has"):
         export_delta_snapshot(ok, dest)
+
+
+def test_multi_part_checkpoint(spark, tmp_path):
+    """delta-spark splits big checkpoints into N parts
+    (%020d.checkpoint.%010d.%010d.parquet); only COMPLETE sets qualify."""
+    t = str(tmp_path / "t")
+    a1 = _data_file(t, "f1.parquet", [(1, "a")])
+    a2 = _data_file(t, "f2.parquet", [(2, "b")])
+    _commit(t, 0, [_protocol(), _meta(), a1])
+    _commit(t, 1, [a2])
+
+    add_t = pa.struct([("path", pa.string()), ("size", pa.int64()),
+                       ("stats", pa.string())])
+    meta_t = pa.struct([("id", pa.string()), ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string()))])
+    proto_t = pa.struct([("minReaderVersion", pa.int32()),
+                         ("minWriterVersion", pa.int32())])
+    log = os.path.join(t, "_delta_log")
+
+    def part(n, adds, metas, protos):
+        pq.write_table(
+            pa.table({
+                "add": pa.array(adds, add_t),
+                "metaData": pa.array(metas, meta_t),
+                "protocol": pa.array(protos, proto_t),
+            }),
+            os.path.join(log, f"{1:020d}.checkpoint.{n:010d}.{2:010d}.parquet"),
+        )
+
+    meta_row = {
+        "id": "x",
+        "schemaString": _meta()["metaData"]["schemaString"],
+        "partitionColumns": [],
+    }
+    part(1, [{"path": a1["add"]["path"], "size": 1, "stats": a1["add"]["stats"]}],
+         [None], [{"minReaderVersion": 1, "minWriterVersion": 2}])
+    part(2, [{"path": a2["add"]["path"], "size": 1, "stats": a2["add"]["stats"]}],
+         [meta_row], [None])
+    # commit 0 vacuumed: the reader must reconstruct from the parts alone
+    os.unlink(os.path.join(log, f"{0:020d}.json"))
+
+    d = DeltaLogTable(spark, t)
+    assert {r.k for r in d.read(version_as_of=1).collect()} == {1, 2}
+
+    # an INCOMPLETE part set (1 of 2) must NOT be treated as a checkpoint
+    t2 = str(tmp_path / "t2")
+    b1 = _data_file(t2, "f1.parquet", [(5, "e")])
+    _commit(t2, 0, [_protocol(), _meta(), b1])
+    log2 = os.path.join(t2, "_delta_log")
+    pq.write_table(
+        pa.table({"add": pa.array([None], add_t),
+                  "metaData": pa.array([None], meta_t),
+                  "protocol": pa.array([None], proto_t)}),
+        os.path.join(log2, f"{0:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    d2 = DeltaLogTable(spark, t2)
+    assert d2._checkpoints() == {}  # ignored -> replay falls back to JSON
+    assert {r.k for r in d2.read().collect()} == {5}
