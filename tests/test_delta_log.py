@@ -483,3 +483,40 @@ def test_multi_part_checkpoint(spark, tmp_path):
     d2 = DeltaLogTable(spark, t2)
     assert d2._checkpoints() == {}  # ignored -> replay falls back to JSON
     assert {r.k for r in d2.read().collect()} == {5}
+
+
+def test_governed_read_over_a_delta_table(spark, tmp_path):
+    """The reference's Databricks read shape end-to-end in-container:
+    contract + format='delta' + a version-pinned locator, scanning a
+    real _delta_log through the protocol reader, schema-validated."""
+    from dc43_spark.contracts import Contract, SchemaObject, SchemaProperty
+    from dc43_spark.io.locators import ContractVersionLocator, StaticDatasetLocator
+    from dc43_spark.io.read import read_with_contract
+
+    t = str(tmp_path / "t")
+    _commit(t, 0, [_protocol(), _meta(),
+                   _data_file(t, "f0.parquet", [(1, "a"), (2, "b")])])
+    _commit(t, 1, [_data_file(t, "f1.parquet", [(3, "c")])])
+
+    contract = Contract(
+        id="delta.kv", version="0.1.0",
+        schema_objects=[SchemaObject(
+            name="kv",
+            properties=[
+                SchemaProperty("k", "bigint", required=True),
+                SchemaProperty("v", "string", required=True),
+            ],
+        )],
+    )
+    aligned, result = read_with_contract(
+        spark, contract, metrics=False,
+        locator=ContractVersionLocator(
+            "0", base=StaticDatasetLocator(path=t, format="delta")
+        ),
+    )
+    assert result.status == "ok", result.errors
+    assert {r.k for r in aligned.collect()} == {1, 2}
+    aligned, _ = read_with_contract(
+        spark, contract, path=t, format="delta", metrics=False
+    )
+    assert {r.k for r in aligned.collect()} == {1, 2, 3}
