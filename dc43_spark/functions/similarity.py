@@ -1011,3 +1011,134 @@ def pq_topk(
             (F.round(F.col("_cos"), scale) if scale else F.col("_cos")).alias("score"),
         )
     )
+
+
+# ---------------- IVF-PQ (FAISS IndexIVFPQ composition, public scheme)
+
+
+def _ivfpq_encode(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, centroid_id, code) in ONE Arrow pass: coarse assignment
+    against the broadcast centroid matrix + PQ encoding against the
+    broadcast codebooks — the build side of IVF-PQ, narrow
+    (shuffle-free). Codes are of the NORMALISED vector (not the
+    residual): the plain-PQ codebooks stay reusable and `pq_topk`'s ADC
+    tables apply verbatim; the tests measure what the simplification
+    costs in recall."""
+    import pandas as pd
+
+    m, _k, dsub = codebooks.shape
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((centroids, codebooks))
+    src = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_vec"))
+
+    def enc(batches):
+        cent, books = bc.value
+        cnorm = (books**2).sum(axis=2)  # (m, k)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            if mat.shape[1] != m * dsub:
+                raise ValueError(
+                    f"vector dim {mat.shape[1]} != codebook dim {m * dsub}"
+                )
+            normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            lists = np.argmax(normed @ cent.T, axis=1).astype(np.int64)
+            codes = np.empty((mat.shape[0], m), dtype=np.int16)
+            for j in range(m):
+                xj = normed[:, j * dsub : (j + 1) * dsub]
+                scores = cnorm[j][None, :] - 2.0 * (xj @ books[j].T)
+                codes[:, j] = np.argmin(scores, axis=1).astype(np.int16)
+            obj = np.empty(codes.shape[0], dtype=object)
+            for i in range(codes.shape[0]):
+                obj[i] = codes[i]
+            yield pd.DataFrame(
+                {"_id": pdf["_id"].to_numpy(), "centroid_id": lists, "_code": obj}
+            )
+
+    return src.mapInPandas(enc, "_id long, centroid_id long, _code array<smallint>")
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 42,
+    rescore_factor: int = 4,
+    train_limit: int = 4096,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    scale: Optional[int] = 6,
+) -> DataFrame:
+    """FAISS's IndexIVFPQ serving shape: a coarse quantizer prunes the
+    corpus to the ``nprobe`` lists nearest each query, ADC scores ONLY
+    those lists' 2m-byte codes, and the top ``k * rescore_factor``
+    candidates re-rank with exact cosine. The scan cost is
+    (probed fraction of corpus) x (2m bytes/row) — at 100 TB both
+    factors matter: IVF bounds rows, PQ bounds bytes; the exact pass
+    touches k x factor float vectors per query, never the corpus.
+
+    Full probe (nprobe == n_centroids) + rescoring reproduces exact KNN
+    whenever k x factor candidates suffice — the oracle the tests pin;
+    partial-probe recall is measured, not argued."""
+    cent = ivf_centroids(
+        corpus,
+        n_centroids=n_centroids,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        train_limit=train_limit,
+        seed=seed,
+    )
+    books = train_pq(
+        corpus,
+        m=m,
+        n_codes=n_codes,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        train_limit=train_limit,
+        seed=seed,
+    )
+    enc = _ivfpq_encode(
+        corpus, cent, books, id_col=corpus_id, vec_col=corpus_vec
+    )
+
+    q_rows = queries.select(query_id, query_vec).collect()
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    nprobe = min(nprobe, cent.shape[0])
+    sims = q_mat @ cent.T
+    part = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
+    probed = sorted({int(c) for row in part for c in row})
+    # the IVF prune: only the union of probed lists' codes are scanned
+    # (per-query exactness is preserved by the rescore; pruning to the
+    # UNION keeps the scan one pass instead of |queries| passes)
+    pruned = enc.filter(F.col("centroid_id").isin(probed)).select(
+        F.col("_id").alias(corpus_id), F.col("_code").alias("code")
+    )
+    return pq_topk(
+        queries,
+        pruned,
+        books,
+        k=k,
+        query_id=query_id,
+        query_vec=query_vec,
+        corpus=corpus,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        rescore_factor=rescore_factor,
+        scale=scale,
+    )
