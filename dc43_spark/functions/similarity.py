@@ -915,6 +915,7 @@ def pq_topk(
     corpus_vec: str = "embedding",
     rescore_factor: int = 0,
     scale: Optional[int] = 6,
+    probe_lists: Optional[dict] = None,
 ) -> DataFrame:
     """Approximate cosine top-k over PQ codes via ADC (asymmetric
     distance computation): per query, an (m x n_codes) table of
@@ -945,20 +946,33 @@ def pq_topk(
         "qjd,jcd->qjc", q_mat.reshape(-1, m, dsub), codebooks
     )
     sc = queries.sparkSession.sparkContext
-    bq = sc.broadcast((q_ids, tables))
+    probes = (
+        {int(q): np.array(sorted(v), dtype=np.int64) for q, v in probe_lists.items()}
+        if probe_lists is not None
+        else None
+    )
+    bq = sc.broadcast((q_ids, tables, probes))
     take = k * rescore_factor if rescore_factor else k
 
     def score(batches):
-        ids, tabs = bq.value
+        ids, tabs, prb = bq.value
         arange_m = np.arange(m)
         for pdf in batches:
             if pdf.empty:
                 continue
             c_ids = pdf["_nid"].to_numpy(dtype=np.int64)
             cmat = np.stack(pdf["_code"].to_numpy()).astype(np.int64)  # (B, m)
+            c_lists = (
+                pdf["_list"].to_numpy(dtype=np.int64) if prb is not None else None
+            )
             sims = np.empty((cmat.shape[0], len(ids)), dtype=np.float64)
             for qi in range(len(ids)):
                 sims[:, qi] = tabs[qi][arange_m[None, :], cmat].sum(axis=1)
+                if prb is not None:
+                    # IVF-PQ per-query list restriction: a row outside
+                    # THIS query's probed lists never becomes a candidate
+                    mask = np.isin(c_lists, prb.get(int(ids[qi]), c_lists[:0]))
+                    sims[~mask, qi] = -np.inf
             top = min(take + 1, sims.shape[0])
             key_ids = np.broadcast_to(c_ids[:, None], sims.shape)
             idx = np.lexsort((key_ids, -sims), axis=0)[:top]
@@ -970,9 +984,14 @@ def pq_topk(
                 }
             )
 
-    c = codes.select(F.col(corpus_id).alias("_nid"), F.col("code").alias("_code"))
-    scored = c.mapInPandas(score, "q_id long, n_id long, _adc double").filter(
-        F.col("q_id") != F.col("n_id")
+    sel = [F.col(corpus_id).alias("_nid"), F.col("code").alias("_code")]
+    if probe_lists is not None:
+        sel.append(F.col("centroid_id").alias("_list"))
+    c = codes.select(*sel)
+    scored = (
+        c.mapInPandas(score, "q_id long, n_id long, _adc double")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .filter(F.col("_adc") != float("-inf"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("_adc").desc(), F.col("n_id").asc())
     coarse = (
@@ -1122,12 +1141,18 @@ def ivfpq_topk(
     nprobe = min(nprobe, cent.shape[0])
     sims = q_mat @ cent.T
     part = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
-    probed = sorted({int(c) for row in part for c in row})
-    # the IVF prune: only the union of probed lists' codes are scanned
-    # (per-query exactness is preserved by the rescore; pruning to the
-    # UNION keeps the scan one pass instead of |queries| passes)
+    probe_map = {
+        int(r[0]): {int(c) for c in row} for r, row in zip(q_rows, part)
+    }
+    probed = sorted({c for row in part for c in row})
+    # two-level prune: the SCAN drops every list no query probes (one
+    # pass over the union), and the ADC scorer then restricts each
+    # query to ITS OWN probed lists (true IndexIVFPQ semantics — with
+    # many queries the union alone would cover everything)
     pruned = enc.filter(F.col("centroid_id").isin(probed)).select(
-        F.col("_id").alias(corpus_id), F.col("_code").alias("code")
+        F.col("_id").alias(corpus_id),
+        F.col("_code").alias("code"),
+        "centroid_id",
     )
     return pq_topk(
         queries,
@@ -1141,4 +1166,5 @@ def ivfpq_topk(
         corpus_vec=corpus_vec,
         rescore_factor=rescore_factor,
         scale=scale,
+        probe_lists=probe_map,
     )

@@ -138,6 +138,19 @@ def main() -> int:
         print(f"{name}: recall@{args.k} = {r:.3f}")
         codes.unpersist()
 
+    # IVF-PQ: list pruning x byte compression (both approximations stack)
+    for nprobe in (2, 4, 8, 16):
+        approx = topk_sets(
+            sim.ivfpq_topk(
+                queries, corpus, k=args.k, n_centroids=16, nprobe=nprobe,
+                rescore_factor=8,
+            )
+        )
+        r = recall(truth, approx, args.k)
+        name = f"ivfpq_c16_probe{nprobe}_rescore8"
+        results[name] = round(r, 4)
+        print(f"{name}: recall@{args.k} = {r:.3f}")
+
     print(json.dumps({"k": args.k, "n_corpus": n_corpus, "recall": results}))
     spark.stop()
     return 0
