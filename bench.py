@@ -50,6 +50,7 @@ HEADLINE = [
     "ann_ivf_int8_embeddings",
     "knn_embeddings",
     "cluster_sample_embeddings",
+    "ann_ivfpq_embeddings",
     # training-data curation
     "repetition_documents",
     "stratified_sample_documents",

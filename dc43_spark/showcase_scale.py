@@ -474,6 +474,20 @@ FROM ranked WHERE rank <= {KMEANS_SAMPLE_N}
 """
 
 
+def q_ann_ivfpq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5 at FULL probe with exact rescoring: every list is
+    probed and the rescore re-ranks k*8 candidates with exact cosine, so
+    the result equals brute-force KNN and the exact oracle hash-checks
+    the whole encode/probe/ADC/rescore machinery (same pattern as the
+    ivf/int8 gates). Partial-probe recall is measured in
+    tests/test_similarity_ivfpq.py and tools/ann_recall.py."""
+    emb = load_spread(spark, sf_dir, "embeddings")
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return sim.ivfpq_topk(
+        queries, emb, k=5, n_centroids=16, nprobe=16, rescore_factor=8, seed=42
+    ).withColumnRenamed("score", "cosine")
+
+
 def q_ann_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 at FULL probe (nprobe == n_centroids): every list is
     probed, so the result equals exact brute force and the brute-force
@@ -1621,6 +1635,8 @@ EXTRA_QUERIES = {
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "json_props_events": q_json_props_events,
     "salted_orders_by_nation": q_salted_orders_by_nation,
+    # r8: the composed ANN tier at its exact setting (oracle = brute KNN)
+    "ann_ivfpq_embeddings": q_ann_ivfpq_embeddings,
     # r8 rotation: displaced in favour of cluster_sample_embeddings +
     # wap_publish_orders (see SCALE_QUERIES note) — still oracle-checked
     # here on every pytest run
@@ -1643,6 +1659,7 @@ EXTRA_ORACLES = {
     "knn_embeddings": _KNN_SQL,
     "simhash_documents": _simhash_sql(),
     "near_dup_pairs_documents": _near_dup_sql(" WHERE doc_id < 2000"),
+    "ann_ivfpq_embeddings": _KNN_SQL,
 }
 
 # r7 rotation: the r6 operators move INTO the driver window (their defs
