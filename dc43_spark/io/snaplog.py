@@ -2868,6 +2868,14 @@ class SnaplogTable:
                 raise SnapshotConflictError(
                     f"{where} renamed or dropped columns"
                 )
+            gen = c.get("generated")
+            if gen is not None and gen != dict(base_snap.generated):
+                # rows staged under the old rules would land computed /
+                # validated against expressions the table no longer has
+                # (the append path's _recheck aborts on this too)
+                raise SnapshotConflictError(
+                    f"{where} changed the generated-column rules"
+                )
             their_removed = set(c.get("remove", ()))
             both = sorted(their_removed & my_removes)
             if both:

@@ -217,12 +217,26 @@ def write_with_contract(
         # governance versions == table refs: tag the committed head so
         # read pins by the SAME symbolic version resolve format-level
         # time travel (re-writing a version moves its tag, matching the
-        # folder-per-version strategy's replace semantics)
-        from dc43_spark.io.snaplog import SnaplogTable
+        # folder-per-version strategy's replace semantics). Mirror the
+        # read-side routing (locators.py ContractVersionLocator.for_read):
+        # pure digits resolve as versionAsOf and ISO instants as
+        # timestampAsOf, so tagging those would create a ref the reader
+        # never consults — and instants contain ':'/'+' which the tag-name
+        # grammar rejects AFTER the data commit, turning a landed write
+        # into an error whose retry duplicates the append.
+        from dc43_spark.io.locators import _is_instant
+        from dc43_spark.io.snaplog import SnaplogTable, SnapshotConflictError
 
-        SnaplogTable(df.sparkSession, path).create_tag(
-            str(dataset_version), replace=True
-        )
+        version_str = str(dataset_version)
+        if not version_str.isdigit() and not _is_instant(version_str):
+            tagger = SnaplogTable(df.sparkSession, path)
+            try:
+                tagger.create_tag(version_str, replace=True)
+            except SnapshotConflictError:
+                # a concurrent commit raced the ref update; the data is
+                # already durable, so retry the tag once rather than
+                # failing (and re-running) the whole write
+                tagger.create_tag(version_str, replace=True)
     if interceptors:
         for hook in interceptors:
             hook.post_write(io_ctx, validation)

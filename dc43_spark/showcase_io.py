@@ -239,7 +239,7 @@ head AS (
   SELECT * FROM base WHERE o_orderkey % 5 = 1
 )
 SELECT o_orderstatus,
-       SUM(o_totalprice_cents) AS revenue_cents,
+       CAST(SUM(o_totalprice_cents) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_rows
 FROM head
 GROUP BY o_orderstatus
@@ -485,9 +485,9 @@ head AS (
   SELECT * FROM base WHERE o_orderkey % 5 = 1
 )
 SELECT o_orderstatus,
-       SUM(o_totalprice_cents) AS revenue_cents,
-       (2 * SUM(o_totalprice_cents) * 1000 + COUNT(*)) // (2 * COUNT(*))
-         AS avg_millicents,
+       CAST(SUM(o_totalprice_cents) AS BIGINT) AS revenue_cents,
+       CAST((2 * SUM(o_totalprice_cents) * 1000 + COUNT(*)) // (2 * COUNT(*))
+         AS BIGINT) AS avg_millicents,
        MIN(o_orderkey) AS min_key,
        MAX(o_orderkey) AS max_key,
        COUNT(*) AS n_rows

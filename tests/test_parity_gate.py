@@ -62,6 +62,31 @@ def duck_con(sf_dir):
     con.close()
 
 
+def test_dtype_gate_flags_hugeint_oracle(spark, duck_con, sf_dir):
+    """The r8 failure class: an oracle whose bare SUM yields HUGEINT was
+    rows/schema/string-green locally yet hash-red in the driver (its hash is
+    dtype-sensitive). check_parity must fail such an oracle even when every
+    stringified value matches."""
+    def fn(sp, d):
+        return sp.range(1).selectExpr("CAST(3 AS BIGINT) AS s")
+
+    bare = "SELECT SUM(x) AS s FROM (VALUES (1),(1),(1)) t(x)"
+    problems = check_parity.check_query(spark, duck_con, fn, bare, sf_dir)
+    assert any("HUGEINT" in p for p in problems), problems
+
+    cast = "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (1),(1),(1)) t(x)"
+    assert not check_parity.check_query(spark, duck_con, fn, cast, sf_dir)
+
+
+def test_dtype_gate_flags_width_mismatch(spark, duck_con, sf_dir):
+    def fn(sp, d):
+        return sp.range(1).selectExpr("CAST(7 AS INT) AS v")
+
+    problems = check_parity.check_query(
+        spark, duck_con, fn, "SELECT CAST(7 AS BIGINT) AS v", sf_dir)
+    assert any("dtype mismatch" in p for p in problems), problems
+
+
 @pytest.mark.parity
 @pytest.mark.parametrize("name", UNGATED or ["__all_gated__"])
 def test_driver_ungated_query_matches_oracle(spark, duck_con, sf_dir, name):

@@ -192,3 +192,51 @@ def test_governed_writes_tag_dataset_versions(spark, tmp_path):
         spark, contract, locator=loc("1.0.0"), metrics=False
     )
     assert aligned.count() == 2
+
+
+def test_governed_write_tagging_mirrors_read_routing(spark, tmp_path):
+    """Read pins route pure digits to versionAsOf and ISO instants to
+    timestampAsOf (locators.py for_read) — NEVER to tagAsOf — so governed
+    writes must not tag those version shapes: instants contain ':' which
+    the tag grammar rejects AFTER the data commit (a retry would then
+    duplicate the append), and a digit tag would never be consulted."""
+    from dc43_spark.contracts import Contract, SchemaObject, SchemaProperty
+    from dc43_spark.io.locators import ContractVersionLocator, StaticDatasetLocator
+    from dc43_spark.io.write import write_with_contract
+
+    contract = Contract(
+        id="tags.routing", version="0.1.0",
+        schema_objects=[SchemaObject(
+            name="t",
+            properties=[SchemaProperty("k", "bigint", required=True),
+                        SchemaProperty("v", "string", required=True)],
+        )],
+    )
+    path = str(tmp_path / "t")
+
+    def loc(version):
+        return ContractVersionLocator(
+            version, base=StaticDatasetLocator(path=path, format="snaplog")
+        )
+
+    # ISO instant: must not raise post-commit and must not create a tag
+    write_with_contract(
+        _df(spark, 0, 3), contract,
+        locator=loc("2026-01-01T00:00:00+00:00"), mode="overwrite",
+    )
+    t = SnaplogTable(spark, path)
+    assert t.tags == {}
+    assert t.read().count() == 3
+    # pure digit: resolved as versionAsOf on read, so no tag either
+    write_with_contract(
+        _df(spark, 3, 5), contract, locator=loc("1"), mode="append",
+    )
+    t = SnaplogTable(spark, path)
+    assert t.tags == {}
+    assert t.version() == 1  # data commits only, no tag commits
+    # symbolic SemVer still tags
+    write_with_contract(
+        _df(spark, 5, 6), contract, locator=loc("1.0.0"), mode="append",
+    )
+    t = SnaplogTable(spark, path)
+    assert t.tags == {"1.0.0": 2}

@@ -43,6 +43,72 @@ def _rowset(columns, rows):
     return sorted("\x1f".join(_norm(r[i]) for i in order) for r in rows)
 
 
+# --- dtype families -------------------------------------------------------
+# The driver's value hash is dtype-sensitive: a DuckDB HUGEINT (int128)
+# column hash-diverges from Spark's BIGINT even when every value is equal
+# (r8 lesson: `ivm_cdc_orders` was rows/schema-green locally and hash-red in
+# the driver because one oracle's SUM wasn't CAST to BIGINT). Stringified
+# comparison is blind to that, so parity also requires each name-matched
+# column to land in the same type FAMILY on both engines.
+
+_SPARK_FAMILY = {
+    "bigint": "BIGINT", "long": "BIGINT", "int": "INTEGER",
+    "integer": "INTEGER", "smallint": "SMALLINT", "tinyint": "TINYINT",
+    "double": "DOUBLE", "float": "FLOAT", "string": "VARCHAR",
+    "boolean": "BOOLEAN", "date": "DATE", "binary": "BLOB",
+    "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+}
+
+_DUCK_FAMILY = {
+    "BIGINT": "BIGINT", "INTEGER": "INTEGER", "SMALLINT": "SMALLINT",
+    "TINYINT": "TINYINT", "UBIGINT": "HUGEINT", "UINTEGER": "BIGINT",
+    "DOUBLE": "DOUBLE", "FLOAT": "FLOAT", "VARCHAR": "VARCHAR",
+    "BOOLEAN": "BOOLEAN", "DATE": "DATE", "BLOB": "BLOB",
+    "TIMESTAMP": "TIMESTAMP", "TIMESTAMP WITH TIME ZONE": "TIMESTAMP",
+    "TIMESTAMP_NS": "TIMESTAMP", "TIMESTAMP_MS": "TIMESTAMP",
+    # int128: Spark has no corresponding type — always a mismatch, which is
+    # the point (bare SUM / integer `//` over BIGINT in DuckDB yields this)
+    "HUGEINT": "HUGEINT",
+}
+
+
+def _spark_family(simple: str) -> str:
+    simple = simple.lower()
+    if simple.startswith("decimal"):
+        # precision/scale differences are value-visible and caught by the
+        # stringified row compare; the family check only needs the kind
+        return "DECIMAL"
+    if simple.startswith("array<") and simple.endswith(">"):
+        return _spark_family(simple[6:-1]) + "[]"
+    return _SPARK_FAMILY.get(simple, simple.upper())
+
+
+def _duck_family(type_str: str) -> str:
+    type_str = type_str.upper()
+    if type_str.startswith("DECIMAL"):
+        return "DECIMAL"
+    if type_str.endswith("[]"):
+        return _duck_family(type_str[:-2]) + "[]"
+    return _DUCK_FAMILY.get(type_str, type_str)
+
+
+def dtype_problems(sdf, rel) -> list:
+    """Name-matched column type-family mismatches between Spark and DuckDB."""
+    spark_types = {f.name: _spark_family(f.dataType.simpleString())
+                   for f in sdf.schema.fields}
+    problems = []
+    for name, dtype in zip(rel.columns, rel.types):
+        want = spark_types.get(name)
+        got = _duck_family(str(dtype))
+        if want is not None and want != got:
+            problems.append(
+                f"dtype mismatch on '{name}': spark {want} vs duckdb {got}"
+                + (" (wrap the oracle expression in CAST(... AS BIGINT))"
+                   if got == "HUGEINT" else "")
+            )
+    return problems
+
+
 def duckdb_connection(sf_dir: str):
     """DuckDB connection with the driver's table views registered."""
     con = duckdb.connect()
@@ -72,6 +138,7 @@ def check_query(spark, con, fn, sql, sf_dir: str) -> list:
         problems.append(f"row count {len(srows)} vs {len(drows)}")
     if sorted(scols) != sorted(dcols):
         problems.append(f"columns {sorted(scols)} vs {sorted(dcols)}")
+    problems += dtype_problems(sdf, rel)
     if not problems:
         a, b = _rowset(scols, srows), _rowset(dcols, drows)
         if a != b:
