@@ -452,7 +452,12 @@ class DeltaLogTable:
             )
             for c, raw in zip(snap.partition_columns, key):
                 val = _parse_partition_value(types[c], raw)
-                df = df.withColumn(c, F.lit(val).cast(types[c]))
+                # cast to the field's ACTUAL DataType, not typeName():
+                # DecimalType.typeName() is the bare string 'decimal',
+                # which Spark parses as decimal(10,0) and silently
+                # mangles the column's precision/scale
+                field = snap.schema[c].dataType
+                df = df.withColumn(c, F.lit(val).cast(field))
             parts.append(df.select(*[f.name for f in snap.schema.fields]))
         df = parts[0]
         for p in parts[1:]:

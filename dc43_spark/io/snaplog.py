@@ -131,6 +131,15 @@ class SnapshotConflictError(RuntimeError):
     """A concurrent commit invalidated this transaction's read snapshot."""
 
 
+class _TableRulesChangedError(SnapshotConflictError):
+    """The table's validation/layout rules (partition spec, CHECK
+    constraints, column mapping, generated columns) changed between an
+    operation's validation and its commit. Unlike a plain head-moved
+    conflict this is NOT retryable with the already-staged files — they
+    were computed under the old rules — so retry loops must re-raise it
+    instead of re-attempting the commit."""
+
+
 class ConstraintViolationError(ValueError):
     """Incoming rows violate the table's CHECK constraints. Carries the
     per-constraint violation counts in ``.counts``."""
@@ -2961,16 +2970,51 @@ class SnaplogTable:
         last = self.last_txn_version(app_id)
         if last is not None and version <= last:
             return None
-        cur0 = self.version()
-        gen = self.snapshot(cur0).generated if cur0 is not None else {}
-        if gen:
-            df = self._apply_generated(df, gen, "write_txn")
-        self._check_append_schema(df, merge_schema)  # fail fast, pre-staging
-        self._enforce_constraints(df, self.check_constraints, "write_txn")
+        # ONE head snapshot load serves generated rules, constraints, the
+        # partition spec, and the physical mapping (write()'s discipline)
         cur = self.version()
+        head = self.snapshot(cur) if cur is not None else None
+        gen0 = dict(head.generated) if head is not None else {}
+        if gen0:
+            df = self._apply_generated(df, gen0, "write_txn")
+        self._check_append_schema(df, merge_schema)  # fail fast, pre-staging
+        cons0 = head.constraints if head is not None else {}
+        self._enforce_constraints(df, cons0, "write_txn")
+        spec0 = head.partition_by if head is not None else ()
+        map0 = head.column_mapping if head is not None else {}
         added = self._stage_files(
-            self._to_physical_df(df, self.snapshot(cur)) if cur is not None else df
+            self._to_physical_df(df, head) if head is not None else df,
+            partition_by=spec0,
+            align_partitions=self.optimize_write,
         )
+
+        def _txn_recheck():
+            # re-derived per attempt (see _commit): losing the race to a
+            # schema evolution must record the EVOLVED schema; losing to a
+            # re-partition, constraint change, rename/drop, or generated-
+            # column change means the staged files embody STALE rules —
+            # abort rather than land them (write()._recheck's contract)
+            hv = self.version()
+            hs = self.snapshot(hv) if hv is not None else None
+            if hs is not None:
+                if hs.partition_by != spec0:
+                    raise _TableRulesChangedError(
+                        f"table {self.path} was re-partitioned concurrently"
+                    )
+                if hs.constraints != cons0:
+                    raise _TableRulesChangedError(
+                        f"CHECK constraints on {self.path} changed concurrently"
+                    )
+                if hs.column_mapping != map0:
+                    raise _TableRulesChangedError(
+                        f"columns of {self.path} were renamed/dropped concurrently"
+                    )
+                if dict(hs.generated) != gen0:
+                    raise _TableRulesChangedError(
+                        f"generated columns of {self.path} changed concurrently"
+                    )
+            return self._check_append_schema(df, merge_schema)
+
         for _ in range(20):
             last = self.last_txn_version(app_id)
             if last is not None and version <= last:
@@ -2981,10 +3025,11 @@ class SnaplogTable:
                     add=added,
                     expected_version=self.version(),
                     txn={"app_id": app_id, "version": int(version)},
-                    # re-derived per attempt: a concurrent schema evolution
-                    # must not be rolled back by this append's stale record
-                    schema_fn=lambda: self._check_append_schema(df, merge_schema),
+                    partition_by=spec0,
+                    schema_fn=_txn_recheck,
                 )
+            except _TableRulesChangedError:
+                raise  # staged files embody stale rules: never retryable
             except SnapshotConflictError:
                 continue  # head moved: re-check the txn ledger, then retry
         raise SnapshotConflictError(

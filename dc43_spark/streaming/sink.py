@@ -92,7 +92,9 @@ def snaplog_upsert_sink(
 
     ``order_col``: when one batch carries SEVERAL rows per key (a busy
     CDC feed), keep only the row with the highest ``order_col`` per key
-    (ties: arbitrary-but-deterministic via a final key sort). Without
+    (ties: deterministic — the lexicographically largest remaining row
+    wins, ordered over the struct of the non-key non-order columns, so
+    a replay or re-planned batch picks the SAME survivor). Without
     it, duplicate source keys are a hard error (SQL MERGE ambiguity —
     the same refusal the batch merge makes).
 
@@ -122,8 +124,17 @@ def snaplog_upsert_sink(
         if last is not None and int(batch_id) <= last:
             return  # replayed batch: already committed atomically
         if order_col is not None:
+            # key columns are CONSTANT within the window partition, so
+            # they cannot break ties — order over the remaining payload
+            # columns so rows tying on order_col pick the same survivor
+            # across retries and re-planned batches
+            rest = [c for c in batch_df.columns
+                    if c not in key_list and c != order_col]
+            tiebreak = (
+                [F.struct(*[F.col(c) for c in rest]).desc()] if rest else []
+            )
             w = Window.partitionBy(*key_list).orderBy(
-                F.col(order_col).desc(), *[F.col(k) for k in key_list]
+                F.col(order_col).desc(), *tiebreak
             )
             batch_df = (
                 batch_df.withColumn("_rn", F.row_number().over(w))

@@ -410,3 +410,81 @@ def test_threaded_writer_soak(spark, tmp_path):
     assert versions == list(range(len(versions)))  # gap-free chain
     ops = {c.operation for c in t.history()}
     assert {"append", "merge"} <= ops
+
+
+# ---------------- write_txn (idempotent append) vs rule changes
+
+
+def test_write_txn_aborts_on_concurrent_constraint_change(
+    spark, tmp_path, monkeypatch
+):
+    """write_txn validates constraints/generated/mapping against the head
+    once before staging; a rule change landing between validation and
+    commit means the staged files embody STALE rules — the retry loop
+    must abort (the files were validated under the old constraint set),
+    not blindly chase the head like a plain version conflict."""
+    path = str(tmp_path / "t")
+    t = SnaplogTable(spark, path)
+    t.write(_df(spark, 0, 3), mode="overwrite")
+    other = SnaplogTable(spark, path)
+    inject_before_next_commit(
+        monkeypatch, lambda: other.add_check_constraint("pos", "id >= 0")
+    )
+    with pytest.raises(SnapshotConflictError, match="constraint"):
+        t.write_txn(_df(spark, 3, 6), app_id="app", version=1)
+    # nothing landed: the staged files stay invisible
+    assert SnaplogTable(spark, path).read().count() == 3
+
+
+def test_write_txn_aborts_on_concurrent_generated_change(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "t")
+    t = SnaplogTable(spark, path)
+    t.write(_df(spark, 0, 3), mode="overwrite")
+    other = SnaplogTable(spark, path)
+    inject_before_next_commit(
+        monkeypatch,
+        lambda: other.set_generated_column("v", "'x'"),
+    )
+    with pytest.raises(SnapshotConflictError, match="generated"):
+        t.write_txn(_df(spark, 3, 6), app_id="app", version=1)
+    assert SnaplogTable(spark, path).read().count() == 3
+
+
+def test_write_txn_still_chases_plain_appends(spark, tmp_path, monkeypatch):
+    """A rule-NEUTRAL concurrent append is the retryable case: the txn
+    ledger re-check runs, the head is chased, and the batch lands once."""
+    path = str(tmp_path / "t")
+    t = SnaplogTable(spark, path)
+    t.write(_df(spark, 0, 3), mode="overwrite")
+    other = SnaplogTable(spark, path)
+    inject_before_next_commit(
+        monkeypatch, lambda: other.write(_df(spark, 100, 103), mode="append")
+    )
+    assert t.write_txn(_df(spark, 3, 6), app_id="app", version=1) is not None
+    assert SnaplogTable(spark, path).read().count() == 9
+
+
+def test_write_txn_respects_partition_spec(spark, tmp_path):
+    """write_txn stages files under the table's partition layout — an
+    idempotent append into a partitioned table must keep partition
+    pruning alive for its files, not land them spec-less."""
+    path = str(tmp_path / "t")
+    t = SnaplogTable(spark, path)
+    t.write(
+        _df(spark, 0, 4).withColumn("p", F.col("id") % 2),
+        mode="overwrite", partition_by=["p"],
+    )
+    t.write_txn(
+        _df(spark, 4, 8).withColumn("p", F.col("id") % 2),
+        app_id="app", version=1,
+    )
+    snap = t.snapshot(t.version())
+    # every file (seed AND txn append) carries its typed partition value
+    for e in snap.files:
+        assert e.stats.get("p") is not None, e.path
+        assert e.stats["p"]["min"] == e.stats["p"]["max"]
+    # pruning over the partition column keeps only half the files
+    kept = t.read(filters=[("p", "=", 0)])
+    assert {r.id for r in kept.collect()} == {0, 2, 4, 6}

@@ -157,3 +157,22 @@ def test_sinks_evolve_schema_when_allowed(spark, tmp_path):
     t = SnaplogTable(spark, table)
     got = {(r.k, r.v, r.w) for r in t.read().collect()}
     assert got == {(1, "a", None), (2, "b", 9.5)}
+
+
+def test_upsert_sink_order_col_ties_pick_deterministic_survivor(spark, tmp_path):
+    """Rows tying on order_col: the survivor is the lexicographically
+    largest payload, NOT whichever row the plan happened to order first —
+    a retried/re-planned batch must land the identical table state. The
+    key columns can't break the tie (they are constant within the window
+    partition), so the sink orders over the remaining payload struct."""
+    src_dir = str(tmp_path / "feed")
+    # 8 same-key rows ALL tying on seq, shuffled across two files so the
+    # scan order is plan-dependent
+    _write_src(spark, src_dir, [(1, f"v{i}", 7, "U") for i in (3, 0, 5, 1)])
+    _write_src(spark, src_dir, [(1, f"v{i}", 7, "U") for i in (2, 7, 4, 6)])
+    for run in ("a", "b"):  # two independent runs must agree
+        table = str(tmp_path / f"t{run}")
+        _run(spark, src_dir, table, str(tmp_path / f"cp{run}"),
+             order_col="seq")
+        t = SnaplogTable(spark, table)
+        assert {(r.k, r.v) for r in t.read().collect()} == {(1, "v7")}, run
