@@ -23,16 +23,25 @@ where silent corruption lives, so writes keep requiring the jar.
 
 Protocol coverage is explicit and checked: reader versions 1 and 2 are
 supported; version 3 only when every ``readerFeatures`` entry is in
-``SUPPORTED_READER_FEATURES``. Deletion vectors (an add action with a
-non-null ``deletionVector``) and v2 checkpoints are refused with a
+``SUPPORTED_READER_FEATURES`` — which now includes ``deletionVectors``
+(all three storage types: on-disk ``u``/``p`` and inline ``i``, decoded
+by io/dv.py's portable-RoaringBitmapArray codec and applied as a
+broadcast anti-join on ``(file, _metadata.row_index)``) and
+``v2Checkpoint`` (UUID-named top-level checkpoint — parquet or JSON —
+whose ``sidecar`` actions point at add/remove sidecar parquet files
+under ``_delta_log/_sidecars/``). Anything else is refused with a
 clear error, never silently misread.
 
 Scale shape: snapshot reconstruction is O(checkpoint rows + tail
 commits) driver-side metadata; pruning reuses snaplog's conservative
 DNF-over-stats kernel (Delta's truncated string bounds stay valid upper
-/ lower bounds, so conservatism is preserved); the scan unions one
-parquet read per surviving partition-value group, each with the
-explicit data schema (no inference, no directory listing).
+/ lower bounds, so conservatism is preserved; a DV only shrinks a
+file's live rows, so its stats stay valid envelopes); the scan unions
+one parquet read per surviving partition-value group, each with the
+explicit data schema (no inference, no directory listing). DV bitmaps
+are decoded ON EXECUTORS — descriptors ship as a tiny DataFrame and
+``mapInPandas`` expands deleted positions next to the data, so the
+driver never materializes row positions.
 """
 
 from __future__ import annotations
@@ -59,9 +68,15 @@ from dc43_spark.io.snaplog import (
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CP_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CP_PART_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+# v2 checkpoints: <version>.checkpoint.<uniqueStr>.{parquet|json}; the
+# uniqueStr (a UUID in practice) never contains '.', so the multi-part
+# v1 pattern above can't be shadowed by this one
+_CP_V2_RE = re.compile(r"^(\d{20})\.checkpoint\.([A-Za-z0-9\-]+)\.(parquet|json)$")
 
 #: reader-version-3 table features this implementation actually honors.
-SUPPORTED_READER_FEATURES = frozenset({"timestampNtz", "columnMapping"})
+SUPPORTED_READER_FEATURES = frozenset(
+    {"timestampNtz", "columnMapping", "deletionVectors", "v2Checkpoint"}
+)
 
 
 class DeltaProtocolError(RuntimeError):
@@ -79,6 +94,8 @@ class DeltaFile:
     partition_values: dict
     size: int
     stats: dict = field(default_factory=dict)
+    #: normalized ``add.deletionVector`` descriptor, or None
+    dv: Optional[dict] = None
 
 
 @dataclass
@@ -157,8 +174,10 @@ class DeltaLogTable:
         return sorted(out)
 
     def _checkpoints(self) -> dict:
-        """version -> list of checkpoint parquet paths (1 = single-file,
-        n = multi-part; only COMPLETE multi-part sets qualify)."""
+        """version -> list of checkpoint paths: 1 entry = single-file v1
+        OR a v2 top-level file (UUID-named, parquet or json — its
+        ``sidecar`` actions are chased at load time), n entries = v1
+        multi-part; only COMPLETE multi-part sets qualify."""
         found: dict = {}
         if not os.path.isdir(self.log_dir):
             return found
@@ -172,14 +191,27 @@ class DeltaLogTable:
             if m:
                 v, total = int(m.group(1)), int(m.group(3))
                 parts.setdefault((v, total), []).append(os.path.join(self.log_dir, n))
+                continue
+            m = _CP_V2_RE.match(n)
+            if m:
+                # a v1 single-file checkpoint for the same version wins
+                # only by dict-insertion below; prefer v2 last (both are
+                # complete snapshots, either is correct)
+                found.setdefault(int(m.group(1)), [os.path.join(self.log_dir, n)])
         for (v, total), paths in parts.items():
             if len(paths) == total and v not in found:
                 found[v] = sorted(paths)
         return found
 
     def version(self) -> Optional[int]:
-        versions = self._versions()
+        versions = self._all_versions()
         return versions[-1] if versions else None
+
+    def _all_versions(self) -> list:
+        """Readable versions: JSON commits plus checkpointed versions —
+        a checkpoint is a complete snapshot, so its version stays
+        readable after the JSON commits it covers are vacuumed."""
+        return sorted(set(self._versions()) | set(self._checkpoints()))
 
     def _commit_lines(self, version: int) -> list:
         p = os.path.join(self.log_dir, f"{version:020d}.json")
@@ -187,11 +219,16 @@ class DeltaLogTable:
             return [json.loads(line) for line in fh if line.strip()]
 
     def _commit_timestamp(self, version: int) -> float:
+        commit = os.path.join(self.log_dir, f"{version:020d}.json")
+        if not os.path.exists(commit):
+            # checkpoint-only version (its JSON commit was vacuumed):
+            # best available stamp is the checkpoint file's mtime
+            return os.path.getmtime(self._checkpoints()[version][0])
         for action in self._commit_lines(version):
             info = action.get("commitInfo")
             if info and "timestamp" in info:
                 return info["timestamp"] / 1000.0
-        return os.path.getmtime(os.path.join(self.log_dir, f"{version:020d}.json"))
+        return os.path.getmtime(commit)
 
     def history(self) -> list:
         """(version, timestamp, operation) per commit, oldest first."""
@@ -222,12 +259,25 @@ class DeltaLogTable:
             )
 
     @staticmethod
-    def _check_add(add: dict) -> None:
-        if add.get("deletionVector"):
+    def _dv_descriptor(add: dict) -> Optional[dict]:
+        """Normalized deletionVector descriptor from an add action (JSON
+        commit dict or parquet-checkpoint struct row; a null struct
+        materializes as None or an all-None dict)."""
+        raw = add.get("deletionVector")
+        if not raw or raw.get("pathOrInlineDv") is None:
+            return None
+        storage = raw.get("storageType", "u")
+        if storage not in ("u", "i", "p"):
             raise DeltaProtocolError(
-                "Delta table has files with deletion vectors; this reader "
-                "does not merge them (read with delta-spark, or purge DVs)"
+                f"unknown deletion-vector storageType {storage!r}"
             )
+        return {
+            "storageType": storage,
+            "pathOrInlineDv": raw["pathOrInlineDv"],
+            "offset": raw.get("offset") or 0,
+            "sizeInBytes": raw.get("sizeInBytes"),
+            "cardinality": raw.get("cardinality"),
+        }
 
     def _snapshot_stats(self, add: dict, schema_types: dict) -> dict:
         """Snaplog-shaped stats envelope from the add action's JSON stats
@@ -264,7 +314,7 @@ class DeltaLogTable:
         *,
         timestamp: Optional[float] = None,
     ) -> DeltaSnapshot:
-        versions = self._versions()
+        versions = self._all_versions()
         if not versions:
             raise FileNotFoundError(f"no Delta log at {self.log_dir}")
         if timestamp is not None:
@@ -301,7 +351,6 @@ class DeltaLogTable:
                     meta = action["metaData"]
                 elif "add" in action:
                     add = action["add"]
-                    self._check_add(add)
                     adds[_decode_path(add["path"])] = add
                 elif "remove" in action:
                     adds.pop(_decode_path(action["remove"]["path"]), None)
@@ -333,6 +382,7 @@ class DeltaLogTable:
                 _as_map(a.get("partitionValues")),
                 a.get("size", 0),
                 self._snapshot_stats(a, types),
+                dv=self._dv_descriptor(a),
             )
             for p, a in sorted(adds.items())
         )
@@ -346,27 +396,51 @@ class DeltaLogTable:
             configuration=conf,
         )
 
-    def _load_checkpoint(self, version: int, adds: dict, *, protocol_out: dict):
+    def _checkpoint_actions(self, path: str) -> list:
+        """Uniform action rows from one checkpoint file — parquet rows or
+        (v2 JSON) one action object per line."""
+        if path.endswith(".json"):
+            with open(path) as fh:
+                return [json.loads(line) for line in fh if line.strip()]
         import pyarrow.parquet as pq
 
+        return pq.read_table(path).to_pylist()
+
+    def _load_checkpoint(self, version: int, adds: dict, *, protocol_out: dict):
         self._cp_meta = None
+        sidecars: list = []
         for path in self._checkpoints()[version]:
-            tbl = pq.read_table(path)
-            cols = tbl.column_names
-            rows = tbl.to_pylist()
-            for row in rows:
-                add = row.get("add") if "add" in cols else None
-                if add and add.get("path"):
-                    self._check_add(add)
-                    adds[_decode_path(add["path"])] = add
-                md = row.get("metaData") if "metaData" in cols else None
-                if md and md.get("schemaString"):
-                    self._cp_meta = md
-                proto = row.get("protocol") if "protocol" in cols else None
-                if proto and proto.get("minReaderVersion") is not None:
-                    protocol_out.update(
-                        {k: v for k, v in proto.items() if v is not None}
-                    )
+            for row in self._checkpoint_actions(path):
+                self._apply_checkpoint_row(row, adds, protocol_out, sidecars)
+        # v2: the top-level file carries protocol/metaData/checkpointMetadata;
+        # add/remove live in sidecar parquet files under _sidecars/
+        for sc in sidecars:
+            import pyarrow.parquet as pq
+
+            sc_path = (
+                sc if os.path.isabs(sc)
+                else os.path.join(self.log_dir, "_sidecars", sc)
+            )
+            for row in pq.read_table(sc_path).to_pylist():
+                self._apply_checkpoint_row(row, adds, protocol_out, [])
+
+    def _apply_checkpoint_row(
+        self, row: dict, adds: dict, protocol_out: dict, sidecars: list
+    ) -> None:
+        add = row.get("add")
+        if add and add.get("path"):
+            adds[_decode_path(add["path"])] = add
+        md = row.get("metaData")
+        if md and md.get("schemaString"):
+            self._cp_meta = md
+        proto = row.get("protocol")
+        if proto and proto.get("minReaderVersion") is not None:
+            protocol_out.update(
+                {k: v for k, v in proto.items() if v is not None}
+            )
+        sc = row.get("sidecar")
+        if sc and sc.get("path"):
+            sidecars.append(sc["path"])
 
     # ---------------- scan
 
@@ -382,6 +456,68 @@ class DeltaLogTable:
                 f.nullable,
             )
         return phys
+
+    def _apply_dvs(self, df: DataFrame, files: Sequence[DeltaFile]) -> DataFrame:
+        """Filter out rows a deletion vector marks deleted. Descriptors
+        ship as a tiny DataFrame; ``mapInPandas`` decodes each bitmap ON
+        an executor into ``(file, pos)`` rows (io/dv.py), which broadcast
+        anti-join against ``(_metadata.file_name, _metadata.row_index)``
+        — the same shape snaplog's own DV scan uses. Files without DVs
+        pay nothing beyond the join's null-side probe; a read with no
+        DV-bearing files returns ``df`` untouched."""
+        dv_files = [f for f in files if f.dv]
+        if not dv_files:
+            return df
+        rows = [
+            (
+                os.path.basename(f.path),
+                f.dv["storageType"],
+                f.dv["pathOrInlineDv"],
+                int(f.dv["offset"] or 0),
+                int(f.dv["sizeInBytes"] or -1),
+                int(f.dv["cardinality"] if f.dv["cardinality"] is not None else -1),
+            )
+            for f in dv_files
+        ]
+        desc = self.spark.createDataFrame(
+            rows,
+            "file string, storage string, spec string, "
+            "off long, size long, card long",
+        )
+        table_path = self.path
+
+        def _expand(batches):
+            import pandas as pd
+
+            from dc43_spark.io.dv import decode_dv_descriptor
+
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    positions = decode_dv_descriptor(
+                        table_path,
+                        {
+                            "storageType": r.storage,
+                            "pathOrInlineDv": r.spec,
+                            "offset": r.off,
+                            "sizeInBytes": None if r.size < 0 else r.size,
+                            "cardinality": None if r.card < 0 else r.card,
+                        },
+                    )
+                    yield pd.DataFrame({"file": r.file, "pos": positions})
+
+        deleted = desc.mapInPandas(_expand, "file string, pos long")
+        cols = df.columns
+        keyed = df.select(
+            "*",
+            F.col("_metadata.file_name").alias("_dv_file"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        )
+        return keyed.join(
+            F.broadcast(deleted),
+            (keyed["_dv_file"] == deleted["file"])
+            & (keyed["_dv_pos"] == deleted["pos"]),
+            "left_anti",
+        ).select(*cols)
 
     def read(
         self,
@@ -426,6 +562,7 @@ class DeltaLogTable:
                 .schema(data_schema)
                 .load([os.path.join(self.path, f.path) for f in files])
             )
+            df = self._apply_dvs(df, files)
             if snap.column_mapping:
                 df = df.select(
                     *[
@@ -450,6 +587,7 @@ class DeltaLogTable:
                 .schema(data_schema)
                 .load([os.path.join(self.path, m.path) for m in members])
             )
+            df = self._apply_dvs(df, members)
             for c, raw in zip(snap.partition_columns, key):
                 val = _parse_partition_value(types[c], raw)
                 # cast to the field's ACTUAL DataType, not typeName():

