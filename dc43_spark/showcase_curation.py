@@ -658,7 +658,6 @@ CURATION_QUERIES = {
     "corpus_filter_documents": q_corpus_filter_documents,
     "bpe_pairs_documents": q_bpe_pairs_documents,
     "pii_redact_documents": q_pii_redact_documents,
-    "encode_tokens_documents": q_encode_tokens_documents,
     "curation_pipeline_documents": q_curation_pipeline_documents,
 }
 
@@ -670,7 +669,6 @@ CURATION_ORACLES = {
     "corpus_filter_documents": _corpus_filter_sql(),
     "bpe_pairs_documents": _bpe_pairs_sql(),
     "pii_redact_documents": _pii_redact_sql(),
-    "encode_tokens_documents": _encode_tokens_sql(),
     "curation_pipeline_documents": _curation_pipeline_sql(),
 }
 
@@ -873,6 +871,10 @@ FROM c2, range(0, {max_copies}) g(g) WHERE g.g < nc
 #: split twin of the richer mix_by_lang epoch mixer) and packed_chunks
 #: (its chunk_hash kernel stays pinned via chunk_documents here).
 #: Still run by bench.py (r1-comparable names) and `pytest -m parity`.
+#: r9 rotation (VERDICT r8 #4) demotes encode_tokens (its BPE-encode
+#: kernel is the first stage of curation_pipeline_documents) and
+#: bigram_familiarity (subsumed by the same pipeline's familiarity
+#: scoring) to make room for delta_log_read + ivm_full_agg.
 EXTRA_QUERIES = {
     "stratified_sample_documents": q_stratified_sample_documents,
     "train_split_documents": q_train_split_documents,
@@ -880,6 +882,8 @@ EXTRA_QUERIES = {
     "sample_split_documents": q_sample_split_documents,
     "packed_chunks_documents": q_packed_chunks_documents,
 }
+EXTRA_QUERIES["encode_tokens_documents"] = q_encode_tokens_documents
+EXTRA_QUERIES["bigram_familiarity_documents"] = q_bigram_familiarity_documents
 
 EXTRA_ORACLES = {
     "stratified_sample_documents": _stratified_sample_sql(),
@@ -888,14 +892,14 @@ EXTRA_ORACLES = {
     "sample_split_documents": _sample_split_sql(),
     "packed_chunks_documents": _PACKED_CHUNKS_SQL,
 }
+EXTRA_ORACLES["encode_tokens_documents"] = _encode_tokens_sql()
+EXTRA_ORACLES["bigram_familiarity_documents"] = _BIGRAM_FAMILIARITY_SQL
 
 # r7 rotation: the r6 curation operators move INTO the driver window
 # (their defs sit below the main registry, so they join it here).
 CURATION_QUERIES["mix_by_lang_documents"] = q_mix_by_lang_documents
-CURATION_QUERIES["bigram_familiarity_documents"] = q_bigram_familiarity_documents
 CURATION_QUERIES["filter_report_documents"] = q_filter_report_documents
 CURATION_QUERIES["boilerplate_strip_documents"] = q_boilerplate_strip_documents
 CURATION_ORACLES["mix_by_lang_documents"] = _mix_by_lang_sql()
-CURATION_ORACLES["bigram_familiarity_documents"] = _BIGRAM_FAMILIARITY_SQL
 CURATION_ORACLES["filter_report_documents"] = _filter_report_sql()
 CURATION_ORACLES["boilerplate_strip_documents"] = _boilerplate_strip_sql()

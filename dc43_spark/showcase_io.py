@@ -553,10 +553,140 @@ SELECT * FROM t1 WHERE o_orderkey % 7 <> 3
 IO_QUERIES["wap_publish_orders"] = q_wap_publish_orders
 IO_ORACLES["wap_publish_orders"] = _WAP_PUBLISH_SQL
 
-EXTRA_QUERIES = {
-    "ivm_full_agg_orders": q_ivm_full_agg_orders,
-}
 
-EXTRA_ORACLES = {
-    "ivm_full_agg_orders": _IVM_FULL_AGG_SQL,
-}
+def q_delta_log_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed read of a REAL Delta transaction log, hand-written per
+    the PUBLIC protocol and scanned jar-lessly (io/delta_log.py +
+    io/dv.py) — the reference's Databricks read shape (ref
+    spark/io/merge.py:43-127, locators.py:490-509) under a hard oracle.
+
+    The scratch table: v0 adds two key-sorted data files (even / odd
+    order keys); v1 replaces the even file with a deletion-vector add —
+    an ON-DISK portable-RoaringBitmapArray DV (storageType 'u', z85
+    UUID, big-endian size+CRC framing) deleting every
+    ``o_orderkey % 10 == 0`` row by its position in the sorted file.
+    The gate reads BOTH pinned versions through the governed path
+    (ContractVersionLocator -> versionAsOf -> protocol reader) and
+    aggregates; the oracle reconstructs each version's live row set
+    from ``orders`` directly."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    import json as _json
+    import numpy as _np
+
+    from dc43_spark.io import dv as _dv
+
+    base = _orders_base(spark, sf_dir)
+    root = os.path.join(_scratch(sf_dir, "delta_log"), "orders")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+
+    fields = [
+        ("o_orderkey", "long", _pa.int64()),
+        ("o_custkey", "long", _pa.int64()),
+        ("o_orderstatus", "string", _pa.string()),
+        ("o_totalprice_cents", "long", _pa.int64()),
+    ]
+
+    def _add_file(rel: str, pdf) -> dict:
+        _pq.write_table(
+            _pa.table({n: _pa.array(pdf[n], t) for n, _, t in fields}),
+            os.path.join(root, rel),
+        )
+        return {"add": {
+            "path": rel, "partitionValues": {}, "dataChange": True,
+            "size": os.path.getsize(os.path.join(root, rel)),
+            "stats": _json.dumps({
+                "numRecords": len(pdf),
+                "minValues": {"o_orderkey": int(pdf["o_orderkey"].min())},
+                "maxValues": {"o_orderkey": int(pdf["o_orderkey"].max())},
+                "nullCount": {"o_orderkey": 0},
+            }),
+        }}
+
+    # deterministic file contents: key-sorted pandas slices
+    pdf = base.orderBy("o_orderkey").toPandas()
+    even = pdf[pdf.o_orderkey % 2 == 0].reset_index(drop=True)
+    odd = pdf[pdf.o_orderkey % 2 == 1].reset_index(drop=True)
+    add_even, add_odd = _add_file("even.parquet", even), _add_file("odd.parquet", odd)
+
+    def _commit(version: int, actions: list) -> None:
+        lines = [{"commitInfo": {"timestamp": 1700000000000 + version,
+                                 "operation": "WRITE"}}] + actions
+        with open(os.path.join(log, f"{version:020d}.json"), "w") as fh:
+            fh.writelines(_json.dumps(a) + "\n" for a in lines)
+
+    meta = {"metaData": {
+        "id": "00000000-0000-0000-0000-00000000d43a",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _json.dumps({"type": "struct", "fields": [
+            {"name": n, "type": t, "nullable": True, "metadata": {}}
+            for n, t, _ in fields
+        ]}),
+        "partitionColumns": [], "configuration": {},
+    }}
+    proto = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"]}}
+    _commit(0, [proto, meta, add_even, add_odd])
+
+    # v1: DELETE o_orderkey % 10 == 0 — all even, so one DV on even.parquet
+    positions = _np.flatnonzero((even.o_orderkey % 10 == 0).to_numpy())
+    blob = _dv.serialize_dv_blob(positions)
+    import uuid as _uuid
+
+    u = _uuid.uuid4()
+    (off,) = _dv.write_dv_file(
+        os.path.join(root, f"deletion_vector_{u}.bin"), [blob]
+    )
+    dv_add = _json.loads(_json.dumps(add_even))
+    dv_add["add"]["deletionVector"] = {
+        "storageType": "u", "pathOrInlineDv": _dv.z85_encode(u.bytes),
+        "offset": off, "sizeInBytes": len(blob),
+        "cardinality": int(len(positions)),
+    }
+    _commit(1, [dv_add])
+
+    contract = merge_orders_contract()
+
+    def _pinned(version: str) -> DataFrame:
+        aligned, result = read_with_contract(
+            spark, contract, metrics=False,
+            locator=ContractVersionLocator(
+                version, base=StaticDatasetLocator(path=root, format="delta")
+            ),
+        )
+        assert result.status == "ok", result.errors
+        return aligned.withColumn("version_read", F.lit(int(version)))
+
+    both = _pinned("0").unionByName(_pinned("1"))
+    return both.groupBy("version_read", "o_orderstatus").agg(
+        F.sum("o_totalprice_cents").cast("long").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_DELTA_LOG_READ_SQL = f"""
+WITH base AS ({_BASE_SQL})
+SELECT 0 AS version_read, o_orderstatus,
+       CAST(SUM(o_totalprice_cents) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_rows
+FROM base GROUP BY o_orderstatus
+UNION ALL
+SELECT 1 AS version_read, o_orderstatus,
+       CAST(SUM(o_totalprice_cents) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_rows
+FROM base WHERE o_orderkey % 10 <> 0 GROUP BY o_orderstatus
+"""
+
+# r9 rotation (VERDICT r8 #4): the jar-less Delta protocol reader — now
+# with real deletion vectors — and the non-invertible IVM aggregates join
+# the 50-slot window; encode_tokens/bigram_familiarity rotate to extras
+# (both subsumed by curation_pipeline_documents, still parity-checked).
+IO_QUERIES["delta_log_read_orders"] = q_delta_log_read_orders
+IO_ORACLES["delta_log_read_orders"] = _DELTA_LOG_READ_SQL
+IO_QUERIES["ivm_full_agg_orders"] = q_ivm_full_agg_orders
+IO_ORACLES["ivm_full_agg_orders"] = _IVM_FULL_AGG_SQL
+
+EXTRA_QUERIES: dict = {}
+
+EXTRA_ORACLES: dict = {}
