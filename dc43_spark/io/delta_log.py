@@ -659,21 +659,24 @@ def export_delta_snapshot(
     (see module docstring) — this exporter only emits a static snapshot
     for migration/interop.
 
-    Refuses rather than approximates: active deletion vectors
-    (materialize first), column mapping / retired columns (files hold
-    physical names the export would have to re-describe), and hidden
-    partition transforms (no Delta analogue; identity partitions export
-    fine, keeping their hive layout)."""
+    Deletion vectors EXPORT (r9): a snaplog MOR snapshot's (file, pos)
+    DV parquet is re-encoded as protocol DVs — one on-disk DV file
+    holding a portable-RoaringBitmapArray blob per deleted-from data
+    file (io/dv.py), each add action carrying the spec descriptor
+    (storageType 'u', z85 UUID, offset/size/cardinality) — and the
+    protocol is raised to reader 3 / writer 7 with the
+    ``deletionVectors`` feature, exactly what delta-spark writes for a
+    MOR DELETE. No delete materialization, no data rewrite.
+
+    Refuses rather than approximates: column mapping / retired columns
+    (files hold physical names the export would have to re-describe)
+    and hidden partition transforms (no Delta analogue; identity
+    partitions export fine, keeping their hive layout)."""
     import shutil
 
     from dc43_spark.io.snaplog import parse_partition_spec
 
     snap = table.snapshot(version_as_of, timestamp=timestamp_as_of)
-    if snap.dvs:
-        raise ValueError(
-            "export with active deletion vectors would resurrect deleted "
-            "rows; run materialize_deletes() first"
-        )
     if snap.column_mapping or snap.retired:
         raise ValueError(
             "export of a column-mapped table is not supported (files hold "
@@ -695,6 +698,49 @@ def export_delta_snapshot(
     os.makedirs(log, exist_ok=True)
     part_cols = [f.name for f in fields]
 
+    # re-encode snaplog's (file, pos) DV parquet as protocol deletion
+    # vectors: positions grouped per data-file basename (metadata-scale
+    # driver read — same envelope as the manifest itself)
+    dv_descriptors: dict = {}
+    if snap.dvs:
+        import uuid as _uuid
+
+        import pyarrow.parquet as _pq
+
+        from dc43_spark.io import dv as _dvmod
+
+        pos_by_file: dict = {}
+        for e in snap.dvs:
+            tbl = _pq.read_table(os.path.join(table.path, e.path))
+            for fname, p in zip(
+                tbl.column("file").to_pylist(), tbl.column("pos").to_pylist()
+            ):
+                pos_by_file.setdefault(fname, []).append(p)
+        u = _uuid.uuid4()
+        names = sorted(pos_by_file)
+        blobs = [_dvmod.serialize_dv_blob(pos_by_file[n]) for n in names]
+        offsets = _dvmod.write_dv_file(
+            os.path.join(dest, f"deletion_vector_{u}.bin"), blobs
+        )
+        for n, blob, off in zip(names, blobs, offsets):
+            dv_descriptors[n] = {
+                "storageType": "u",
+                "pathOrInlineDv": _dvmod.z85_encode(u.bytes),
+                "offset": off,
+                "sizeInBytes": len(blob),
+                "cardinality": len(set(pos_by_file[n])),
+            }
+
+    protocol = (
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+        if dv_descriptors
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
     actions = [
         {
             "commitInfo": {
@@ -703,7 +749,7 @@ def export_delta_snapshot(
                 "operationParameters": {"sourceFormat": "snaplog"},
             }
         },
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": protocol},
         {
             "metaData": {
                 "id": "00000000-0000-0000-0000-00000000dc43",
@@ -736,21 +782,21 @@ def export_delta_snapshot(
             stats["minValues"][c] = st.get("min")
             stats["maxValues"][c] = st.get("max")
             stats["nullCount"][c] = st.get("nulls", 0)
-        actions.append(
-            {
-                "add": {
-                    "path": urllib.parse.quote(rel),
-                    "partitionValues": {
-                        c: _serialize_partition_value(v)
-                        for c, v in f.partition.items()
-                    },
-                    "size": f.bytes,
-                    "modificationTime": int(snap.timestamp * 1000),
-                    "dataChange": True,
-                    "stats": json.dumps(stats),
-                }
-            }
-        )
+        add = {
+            "path": urllib.parse.quote(rel),
+            "partitionValues": {
+                c: _serialize_partition_value(v)
+                for c, v in f.partition.items()
+            },
+            "size": f.bytes,
+            "modificationTime": int(snap.timestamp * 1000),
+            "dataChange": True,
+            "stats": json.dumps(stats),
+        }
+        desc = dv_descriptors.get(os.path.basename(rel))
+        if desc is not None:
+            add["deletionVector"] = desc
+        actions.append({"add": add})
     tmp = os.path.join(log, ".export.tmp")
     with open(tmp, "w") as fh:
         fh.writelines(json.dumps(a) + "\n" for a in actions)

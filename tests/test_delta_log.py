@@ -401,10 +401,6 @@ def test_export_refusals(spark, tmp_path):
         spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1),
         mode="overwrite",
     )
-    t.delete([("k", "=", 1)], strategy="merge_on_read")
-    with pytest.raises(ValueError, match="deletion vectors"):
-        export_delta_snapshot(t, str(tmp_path / "d1"))
-    t.materialize_deletes()
     t.rename_column("v", "w")
     with pytest.raises(ValueError, match="column-mapped"):
         export_delta_snapshot(t, str(tmp_path / "d2"))
@@ -737,3 +733,37 @@ def test_v2_checkpoint_json_top_level(spark, tmp_path):
     d = DeltaLogTable(spark, t)
     assert d.version() is None or True  # no JSON commits left: snapshot via checkpoint
     assert {r.k for r in d.read(version_as_of=1).collect()} == {1, 2}
+
+
+def test_export_mor_snapshot_with_deletion_vectors(spark, tmp_path):
+    """A snaplog merge-on-read snapshot exports WITHOUT materializing its
+    deletes: the (file, pos) DV parquet re-encodes as protocol deletion
+    vectors (one on-disk DV file, per-data-file roaring blobs, reader 3 /
+    writer 7 + deletionVectors feature), and the independent protocol
+    reader returns the exact live rows at BOTH exported versions."""
+    from dc43_spark.io.delta_log import export_delta_snapshot
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    t = SnaplogTable(spark, str(tmp_path / "src"))
+    df = spark.createDataFrame(
+        [(k, f"s{k}") for k in range(20)], "k long, v string"
+    )
+    t.write(df.repartitionByRange(2, "k").sortWithinPartitions("k"),
+            mode="overwrite")                       # v0: two files
+    t.delete([("k", "in", (1, 5, 17))], strategy="merge_on_read")  # v1: DVs
+    assert t.snapshot(t.version()).dvs              # really MOR, no rewrite
+
+    dest = export_delta_snapshot(t, str(tmp_path / "delta"))
+    d = DeltaLogTable(spark, dest)
+    snap = d.snapshot()
+    assert any(f.dv for f in snap.files)            # descriptors landed
+    got = {(r.k, r.v) for r in d.read().collect()}
+    want = {(r.k, r.v) for r in t.read().collect()}
+    assert got == want and len(got) == 17
+    # pre-delete version exports clean (protocol 1/2, no DV file)
+    dest0 = export_delta_snapshot(t, str(tmp_path / "delta0"), version_as_of=0)
+    d0 = DeltaLogTable(spark, dest0)
+    assert not any(f.dv for f in d0.snapshot().files)
+    assert {r.k for r in d0.read().collect()} == set(range(20))
+    # stats pruning composes with the exported DVs
+    assert {r.k for r in d.read(filters=[("k", "<=", 5)]).collect()} == {0, 2, 3, 4}
