@@ -97,8 +97,98 @@ class SnaplogCatalog:
             out.append(view)
         return out
 
-    def sql(self, query: str) -> DataFrame:
-        """Register every table as a view, then run the query — the
-        one-liner for ad-hoc SQL over the catalog."""
-        self.register_views()
+    # ---------------- SQL entry point
+
+    def _referenced_tables(self, query: str) -> list:
+        """Catalog tables whose names appear as identifiers in ``query``.
+        Conservative overapproximation (a column sharing a table's name
+        registers one extra view — a metadata handle, no data IO); the
+        win is the common case: a single-table query on a 1000-table
+        catalog registers ONE view, not 1000."""
+        words = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", query))
+        return [t for t in self.tables() if t in words]
+
+    def sql(self, query: str, *, tables: Optional[Sequence[str]] = None) -> DataFrame:
+        """One SQL entry point over the catalog. Queries register ONLY the
+        referenced tables as pushdown-capable views (pass ``tables=`` to
+        pin the set explicitly); DDL/DML statements route to the table
+        API:
+
+        - ``CREATE TABLE [IF NOT EXISTS] t (col type, ...)`` — empty table
+        - ``CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (c, ...)] AS
+          SELECT ...`` — CTAS through a snaplog overwrite
+        - ``INSERT INTO t SELECT ...`` — transactional append
+        - ``DROP TABLE [IF EXISTS] t PURGE`` — drop (PURGE is mandatory,
+          mirroring ``drop()``'s explicit-data-deletion contract)
+
+        DDL/DML return a one-row status frame (table, version)."""
+        m = _DDL_CREATE_AS.match(query)
+        if m:
+            if_not_exists, name, part, select = m.groups()
+            if self.exists(name):
+                if if_not_exists:
+                    return self._status(name, self.table(name).version())
+                raise ValueError(f"table {name!r} already exists")
+            df = self.sql(select, tables=tables)
+            spec = [c.strip() for c in part.split(",")] if part else None
+            v = self.table(name).write(df, mode="overwrite", partition_by=spec)
+            return self._status(name, v)
+        m = _DDL_CREATE.match(query)
+        if m:
+            if_not_exists, name, cols = m.groups()
+            if self.exists(name):
+                if if_not_exists:
+                    return self._status(name, self.table(name).version())
+                raise ValueError(f"table {name!r} already exists")
+            empty = self.spark.createDataFrame([], cols)
+            return self._status(name, self.table(name).write(empty, mode="overwrite"))
+        m = _DDL_INSERT.match(query)
+        if m:
+            name, select = m.groups()
+            if not self.exists(name):
+                raise ValueError(f"no table {name!r} in {self.root}")
+            df = self.sql(select, tables=tables)
+            return self._status(name, self.table(name).write(df, mode="append"))
+        m = _DDL_DROP.match(query)
+        if m:
+            if_exists, name, purge = m.groups()
+            if not self.exists(name) and if_exists:
+                return self._status(name, None)
+            if not purge:
+                raise ValueError(
+                    f"DROP TABLE {name} would delete its data and history; "
+                    "add PURGE to confirm"
+                )
+            self.drop(name, purge=True)
+            self.spark.catalog.dropTempView(name)
+            return self._status(name, None)
+        self.register_views(
+            tables if tables is not None else self._referenced_tables(query)
+        )
         return self.spark.sql(query)
+
+    def _status(self, name: str, version) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(name, version)], "table string, version long"
+        )
+
+
+_DDL_CREATE_AS = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DDL_CREATE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z_][A-Za-z0-9_]*)"
+    r"\s*\((.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DDL_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DDL_DROP = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_][A-Za-z0-9_]*)"
+    r"\s*(PURGE)?\s*;?\s*$",
+    re.IGNORECASE,
+)

@@ -98,3 +98,68 @@ def test_catalog_defaults_flow_to_tables(spark, tmp_path):
     # per-call override wins
     t2 = cat.table("events", change_feed=False)
     assert t2.change_feed  # persisted table property still on
+
+
+def test_sql_registers_only_referenced_tables(spark, tmp_path):
+    """A single-table query on an N-table catalog registers ONE view —
+    at warehouse scale (1000s of tables) per-query registration of the
+    whole catalog would be the dominant query-planning cost."""
+    cat = SnaplogCatalog(spark, str(tmp_path / "wh"))
+    for name in ("t_alpha", "t_beta", "t_gamma"):
+        cat.table(name).write(
+            spark.createDataFrame([(1, name)], "k long, v string").coalesce(1),
+            mode="overwrite",
+        )
+    for name in ("t_alpha", "t_beta", "t_gamma"):
+        spark.catalog.dropTempView(name)
+    assert cat.sql("SELECT v FROM t_alpha").collect()[0].v == "t_alpha"
+    views = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    assert "t_alpha" in views and "t_beta" not in views and "t_gamma" not in views
+    # explicit pinning beats inference
+    spark.catalog.dropTempView("t_alpha")
+    cat.sql("SELECT v FROM t_beta", tables=["t_beta"]).collect()
+    views = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    assert "t_beta" in views and "t_alpha" not in views
+
+
+def test_sql_ddl_passthrough(spark, tmp_path):
+    """The catalog as the single SQL entry point: CREATE (empty + CTAS +
+    partitioned CTAS), INSERT INTO, DROP ... PURGE."""
+    cat = SnaplogCatalog(spark, str(tmp_path / "wh"))
+    cat.table("src").write(
+        spark.createDataFrame(
+            [(i, i % 2, float(i)) for i in range(10)], "k long, p long, amt double"
+        ).coalesce(1),
+        mode="overwrite",
+    )
+
+    st = cat.sql("CREATE TABLE empty_t (k LONG, v STRING)").collect()[0]
+    assert st.table == "empty_t" and st.version == 0
+    assert cat.table("empty_t").read().count() == 0
+    assert [f.name for f in cat.table("empty_t").read().schema.fields] == ["k", "v"]
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql("CREATE TABLE empty_t (k LONG)")
+    cat.sql("CREATE TABLE IF NOT EXISTS empty_t (k LONG)")  # no-op
+
+    cat.sql("CREATE TABLE big AS SELECT k, amt FROM src WHERE k >= 5")
+    assert {r.k for r in cat.table("big").read().collect()} == {5, 6, 7, 8, 9}
+
+    cat.sql(
+        "CREATE TABLE by_p PARTITIONED BY (p) AS SELECT * FROM src"
+    )
+    assert cat.table("by_p").snapshot(0).partition_by == ("p",)
+    assert cat.table("by_p").read(filters=[("p", "=", 1)]).count() == 5
+
+    st = cat.sql("INSERT INTO big SELECT k, amt FROM src WHERE k < 2").collect()[0]
+    assert st.version == 1
+    assert cat.table("big").read().count() == 7
+    with pytest.raises(ValueError, match="no table"):
+        cat.sql("INSERT INTO nope SELECT * FROM src")
+
+    with pytest.raises(ValueError, match="PURGE"):
+        cat.sql("DROP TABLE big")
+    cat.sql("DROP TABLE big PURGE")
+    assert not cat.exists("big")
+    cat.sql("DROP TABLE IF EXISTS big PURGE")  # no-op
+    with pytest.raises(ValueError, match="no table"):
+        cat.sql("DROP TABLE big PURGE")
