@@ -23,6 +23,11 @@ Routes (mirror of the reference's service surface):
   GET  /governance/activity[?dataset_id=...]        -> {"entries": [...]}
   POST /governance/activity                         <- entry JSON
   GET  /governance/status-matrix/{dataset}          -> {"rows": [...]}
+  GET  /products                                    -> {"ids": [...]}
+  GET  /products/{id}/versions                      -> {"versions": [...]}
+  GET  /products/{id}/{version}                     -> ODPS product JSON
+  POST /products                                    <- {"document": ODPS} | form
+  POST /products/{id}/ports                         <- {"port", "kind", "bump"}
 
 Path segments are URL-quoted by clients (dataset ids contain ``:`` and
 ``/`` — the ``path:<p>`` convention).
@@ -81,6 +86,10 @@ class _Handler(BaseHTTPRequestHandler):
         return self.server.contract_store  # type: ignore[attr-defined]
 
     @property
+    def _products(self):
+        return self.server.product_store  # type: ignore[attr-defined]
+
+    @property
     def _gov(self) -> GovernanceStore:
         return self.server.governance_store  # type: ignore[attr-defined]
 
@@ -125,6 +134,12 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             if seg == ["ui", "author"]:
                 return self._send_html(200, webui.render_author_form())
+            if seg == ["ui", "author-product"]:
+                return self._send_html(200, webui.render_product_author_form())
+            if len(seg) == 3 and seg[1] == "products":
+                return self._send_html(
+                    200, webui.render_product(self._products, seg[2])
+                )
             if len(seg) == 3 and seg[1] == "contracts":
                 return self._send_html(
                     200, webui.render_contract(self._contracts, seg[2])
@@ -157,6 +172,14 @@ class _Handler(BaseHTTPRequestHandler):
             from dc43_spark.governance.workflow import list_drafts
 
             return self._send(200, {"drafts": list_drafts(self._contracts)})
+        if seg == ["products"]:
+            return self._send(200, {"ids": self._products.list_ids()})
+        if len(seg) == 3 and seg[0] == "products" and seg[2] == "versions":
+            return self._send(200, {"versions": self._products.versions(seg[1])})
+        if len(seg) == 3 and seg[0] == "products":
+            product = self._products.get(seg[1], seg[2])
+            return self._send(404 if product is None else 200,
+                              None if product is None else product.to_dict())
         self._send(404)
 
     def do_PUT(self) -> None:  # noqa: N802
@@ -260,6 +283,66 @@ class _Handler(BaseHTTPRequestHandler):
             except ValueError as exc:
                 return self._send(409, {"error": str(exc)})
             return self._send(200, {"status": reviewed.status})
+        if seg == ["products"] and body is not None:
+            # authoring: JSON {"document": {...ODPS...}} or the webui
+            # form's urlencoded fields (product_id/output_ports/...)
+            from dc43_spark.governance.webui import form_to_product
+            from dc43_spark.products.odps import DataProduct, ProductRegistry
+
+            payload = dict(body)
+            document = payload.get("document")
+            if document is None:
+                try:
+                    document = form_to_product(payload)
+                except ValueError as exc:
+                    return self._send(400, {"error": str(exc)})
+            try:
+                product = DataProduct.from_dict(document)
+            except (KeyError, TypeError, ValueError) as exc:
+                return self._send(400, {"error": f"invalid product: {exc}"})
+            registry = ProductRegistry(self._contracts, self._products)
+            try:
+                # registration validates every port binding resolves
+                registry.register(product)
+            except LookupError as exc:
+                return self._send(400, {"error": str(exc)})
+            return self._send(
+                201, {"product_id": product.id, "version": product.version,
+                      "status": product.status}
+            )
+        if (
+            len(seg) == 3
+            and seg[0] == "products"
+            and seg[2] == "ports"
+            and body is not None
+        ):
+            from dc43_spark.products.odps import Port
+            from dc43_spark.products.store import register_port
+
+            payload = dict(body)
+            try:
+                port = Port.from_dict(dict(payload.get("port") or {}))
+            except (KeyError, TypeError) as exc:
+                return self._send(400, {"error": f"invalid port: {exc}"})
+            if port.contract_id and self._contracts.resolve(
+                port.contract_id, port.contract_version
+            ) is None:
+                return self._send(
+                    400,
+                    {"error": f"port binds unknown contract "
+                              f"{port.contract_id} {port.contract_version}"},
+                )
+            try:
+                evolved = register_port(
+                    self._products, seg[1], port,
+                    kind=str(payload.get("kind", "output")),
+                    bump=str(payload.get("bump", "minor")),
+                )
+            except ValueError as exc:
+                return self._send(400, {"error": str(exc)})
+            return self._send(
+                201, {"product_id": evolved.id, "version": evolved.version}
+            )
         self._send(404)
 
 
@@ -274,13 +357,17 @@ class GovernanceServiceServer:
         contract_store: Optional[ContractStore] = None,
         governance_store: Optional[GovernanceStore] = None,
         *,
+        product_store=None,
         host: str = "127.0.0.1",
         port: int = 0,
         auth_token: Optional[str] = None,
     ) -> None:
+        from dc43_spark.products.store import MemoryProductStore
+
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.contract_store = contract_store or MemoryContractStore()  # type: ignore[attr-defined]
         self._httpd.governance_store = governance_store or MemoryGovernanceStore()  # type: ignore[attr-defined]
+        self._httpd.product_store = product_store or MemoryProductStore()  # type: ignore[attr-defined]
         self._httpd.auth_token = auth_token  # type: ignore[attr-defined]
         self._thread: Optional[threading.Thread] = None
 
@@ -363,3 +450,55 @@ class HTTPGovernanceStore:
             "GET", f"/governance/status-matrix/{self._q(dataset_id)}", None
         )
         return list(payload.get("rows", [])) if payload else []
+
+
+class HTTPProductStore:
+    """ProductStore client over the /products JSON routes (the remote half
+    of the reference's data-product client/backend split, ref
+    dc43-service-clients data_products). Same injectable ``Transport``;
+    plugs straight into ``ProductRegistry(product_store=...)`` so
+    port-bound governed reads resolve over the wire."""
+
+    def __init__(self, transport: Transport) -> None:
+        self._call = transport
+
+    @staticmethod
+    def _q(segment: str) -> str:
+        return quote(segment, safe="")
+
+    def put(self, product) -> None:
+        status, payload = self._call(
+            "POST", "/products", {"document": product.to_dict()}
+        )
+        if status >= 400:
+            raise RuntimeError(
+                f"product put failed: HTTP {status} "
+                f"{(payload or {}).get('error', '')}"
+            )
+
+    def get(self, product_id: str, version: str):
+        from dc43_spark.products.odps import DataProduct
+
+        status, payload = self._call(
+            "GET", f"/products/{self._q(product_id)}/{self._q(version)}", None
+        )
+        return None if status == 404 else DataProduct.from_dict(payload)
+
+    def versions(self, product_id: str) -> list:
+        status, payload = self._call(
+            "GET", f"/products/{self._q(product_id)}/versions", None
+        )
+        return list(payload.get("versions", [])) if payload else []
+
+    def list_ids(self) -> list:
+        status, payload = self._call("GET", "/products", None)
+        return list(payload.get("ids", [])) if payload else []
+
+    def latest(self, product_id: str):
+        from dc43_spark.contracts.versioning import SemVer
+
+        versions = self.versions(product_id)
+        if not versions:
+            return None
+        best = max(versions, key=SemVer.parse)
+        return self.get(product_id, best)

@@ -268,3 +268,102 @@ def render_author_form(message: str | None = None, error: str | None = None) -> 
         "reads only after approval on the review workflow.</p>"
     )
     return _PAGE.format(title="author a contract draft", body=body)
+
+
+# ---------------- data products (ODPS)
+
+
+def _port_lines_to_ports(raw: str, field_name: str) -> list[dict]:
+    """``name:contract_id[:version]`` per line -> ODPS port dicts.
+    Richer bindings (source-product ports, pins) arrive via the JSON
+    API, same split as contract authoring."""
+    ports = []
+    for ln in (s.strip() for s in str(raw).splitlines()):
+        if not ln:
+            continue
+        parts = [p.strip() for p in ln.split(":")]
+        if len(parts) < 2 or not parts[0] or not parts[1]:
+            raise ValueError(
+                f"{field_name} line must be 'name:contract_id[:version]': {ln!r}"
+            )
+        port: dict = {"name": parts[0], "contractId": parts[1]}
+        if len(parts) > 3:
+            raise ValueError(f"too many ':' segments in {field_name} line {ln!r}")
+        if len(parts) == 3 and parts[2]:
+            port["version"] = parts[2]
+        ports.append(port)
+    return ports
+
+
+def form_to_product(fields: dict) -> dict:
+    """The product authoring form's urlencoded fields -> an ODPS-shaped
+    product document (products/odps.py DataProduct.from_dict)."""
+    product_id = str(fields.get("product_id", "")).strip()
+    if not product_id:
+        raise ValueError("product_id is required")
+    outputs = _port_lines_to_ports(fields.get("output_ports", ""), "output_ports")
+    inputs = _port_lines_to_ports(fields.get("input_ports", ""), "input_ports")
+    if not outputs and not inputs:
+        raise ValueError("at least one input or output port is required")
+    doc: dict = {"id": product_id, "outputPorts": outputs, "inputPorts": inputs}
+    version = str(fields.get("version", "")).strip()
+    if version:
+        doc["version"] = version
+    status = str(fields.get("status", "")).strip()
+    if status:
+        doc["status"] = status
+    return doc
+
+
+def render_product_author_form(
+    message: str | None = None, error: str | None = None
+) -> str:
+    """The product authoring form (POSTs urlencoded to /products)."""
+    flash = ""
+    if error:
+        flash = f'<p class="block">{escape(error)}</p>'
+    elif message:
+        flash = f'<p class="ok">{escape(message)}</p>'
+    body = flash + (
+        '<form method="post" action="/products">'
+        "<p><label>product id<br>"
+        '<input name="product_id" size="40" placeholder="sales.analytics"></label></p>'
+        "<p><label>version (blank = 0.1.0)<br>"
+        '<input name="version" size="20" placeholder="0.1.0"></label></p>'
+        "<p><label>output ports, one <code>name:contract_id[:version]</code> per line<br>"
+        '<textarea name="output_ports" rows="4" cols="60" placeholder="gold:sales.orders:latest"></textarea></label></p>'
+        "<p><label>input ports, one <code>name:contract_id[:version]</code> per line<br>"
+        '<textarea name="input_ports" rows="4" cols="60"></textarea></label></p>'
+        '<p><button type="submit">Create product</button></p>'
+        "</form>"
+        "<p>Ports must bind contracts the store already resolves; the "
+        "registry refuses dangling bindings.</p>"
+    )
+    return _PAGE.format(title="author a data product", body=body)
+
+
+def render_product(product_store, product_id: str) -> str | None:
+    """One product's versions + port bindings."""
+    versions = product_store.versions(product_id)
+    if not versions:
+        return None
+    sections = []
+    for v in versions:
+        p = product_store.get(product_id, v)
+        rows = [
+            ["output", escape(port.name), escape(port.contract_id),
+             escape(port.contract_version)]
+            for port in p.output_ports
+        ] + [
+            ["input", escape(port.name),
+             escape(port.contract_id or f"{port.source_product}#{port.source_port}"),
+             escape(port.contract_version)]
+            for port in p.input_ports
+        ]
+        sections.append(
+            f"<h2>{escape(v)} <small>({escape(p.status)})</small></h2>"
+            + _table(["kind", "port", "contract / source", "version"], rows)
+        )
+    return _PAGE.format(
+        title=f"product {escape(product_id)}", body="".join(sections)
+    )

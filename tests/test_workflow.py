@@ -349,3 +349,111 @@ def test_authoring_form_route_and_bearer_auth():
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(req)
         assert exc.value.code == 401
+
+
+def test_product_authoring_routes_port_bound_read(spark, tmp_path):
+    """VERDICT r8 #8's loop over real sockets: author a contract (with a
+    server path), approve it, POST a product whose output port binds it,
+    then a port-bound governed READ through the HTTP-backed registry
+    resolves the contract and validates real data. Plus port evolution
+    (POST /products/{id}/ports bumps a new immutable version), dangling
+    bindings refused, form + bearer-auth parity with contract authoring."""
+    import urllib.error
+    import urllib.request
+
+    from dc43_spark.contracts.http_store import HTTPContractStore, urllib_transport
+    from dc43_spark.governance.server import (
+        GovernanceServiceServer,
+        HTTPProductStore,
+    )
+    from dc43_spark.io.read import read_with_contract
+    from dc43_spark.products.odps import ProductRegistry
+
+    data = str(tmp_path / "orders")
+    spark.createDataFrame(
+        [(1, 9.5), (2, 3.25)], "order_id long, amount double"
+    ).write.parquet(data)
+
+    with GovernanceServiceServer(auth_token="tok") as url:
+        transport = urllib_transport(url, token="tok")
+        contracts = HTTPContractStore(transport)
+        contracts.put(Contract(
+            id="sales.orders", version="1.0.0", status="active",
+            schema_objects=[SchemaObject(
+                name="orders",
+                properties=[SchemaProperty("order_id", "bigint", required=True),
+                            SchemaProperty("amount", "double")],
+            )],
+            servers=[__import__("dc43_spark.contracts.model",
+                                fromlist=["Server"]).Server(path=data,
+                                                            format="parquet")],
+        ))
+
+        # dangling binding refused at registration
+        status, payload = transport(
+            "POST", "/products",
+            {"document": {"id": "p.analytics",
+                          "outputPorts": [{"name": "gold",
+                                           "contractId": "nope.missing"}]}},
+        )
+        assert status == 400 and "unknown contract" in payload["error"]
+
+        # JSON create with a resolvable binding
+        status, payload = transport(
+            "POST", "/products",
+            {"document": {"id": "p.analytics",
+                          "outputPorts": [{"name": "gold",
+                                           "contractId": "sales.orders",
+                                           "version": "latest"}]}},
+        )
+        assert status == 201 and payload["version"] == "0.1.0"
+        registry = ProductRegistry(contracts, HTTPProductStore(transport))
+
+        # port evolution: adding an input port bumps an immutable version
+        status, payload = transport(
+            "POST", "/products/p.analytics/ports",
+            {"port": {"name": "raw", "contractId": "sales.orders"},
+             "kind": "input", "bump": "minor"},
+        )
+        assert status == 201 and payload["version"] == "0.2.0"
+        status, payload = transport("GET", "/products/p.analytics/versions", None)
+        assert payload["versions"] == ["0.1.0", "0.2.0"]
+        # port-bound governed READ through the HTTP-backed registry:
+        # reads resolve the consumer's INPUT port (ref local.py:1279-1366)
+        df, result = read_with_contract(
+            spark, registry=registry, product="p.analytics", port="raw",
+        )
+        assert result.status == "ok" and df.count() == 2
+        # a port binding an unknown contract is refused
+        status, payload = transport(
+            "POST", "/products/p.analytics/ports",
+            {"port": {"name": "bad", "contractId": "nope.missing"}},
+        )
+        assert status == 400
+
+        # the authoring form renders + urlencoded create works
+        auth = {"Authorization": "Bearer tok"}
+        req = urllib.request.Request(f"{url}/ui/author-product", headers=auth)
+        with urllib.request.urlopen(req) as resp:
+            page = resp.read().decode()
+        assert 'action="/products"' in page and "output_ports" in page
+        body = (
+            "product_id=p.form&output_ports=gold%3Asales.orders%3Alatest"
+        ).encode()
+        req = urllib.request.Request(
+            f"{url}/products", data=body,
+            headers={**auth,
+                     "Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 201
+        # the product page renders its bindings
+        req = urllib.request.Request(f"{url}/ui/products/p.form", headers=auth)
+        with urllib.request.urlopen(req) as resp:
+            page = resp.read().decode()
+        assert "sales.orders" in page and "gold" in page
+        # bearer auth closes the product surface too
+        req = urllib.request.Request(f"{url}/products", data=body)
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 401
