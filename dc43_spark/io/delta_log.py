@@ -746,7 +746,12 @@ def export_delta_snapshot(
             "commitInfo": {
                 "timestamp": int(snap.timestamp * 1000),
                 "operation": "CONVERT",
-                "operationParameters": {"sourceFormat": "snaplog"},
+                "operationParameters": {
+                    "sourceFormat": "snaplog",
+                    # mirrored version marker: sync_delta_export resumes
+                    # from here
+                    "snaplogVersion": snap.version,
+                },
             }
         },
         {"protocol": protocol},
@@ -762,43 +767,241 @@ def export_delta_snapshot(
         },
     ]
     for f in snap.files:
-        src_abs = f.path if os.path.isabs(f.path) else os.path.join(table.path, f.path)
-        rel = os.path.relpath(f.path, "data") if f.path.startswith("data/") else (
-            os.path.basename(f.path)
-        )
-        dst = os.path.join(dest, rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        try:
-            os.link(src_abs, dst)
-        except OSError:
-            shutil.copyfile(src_abs, dst)
-        stats = {
-            "numRecords": f.rows,
-            "minValues": {}, "maxValues": {}, "nullCount": {},
-        }
-        for c, st in f.stats.items():
-            if c in part_cols:
-                continue  # canonical: partition values live in partitionValues
-            stats["minValues"][c] = st.get("min")
-            stats["maxValues"][c] = st.get("max")
-            stats["nullCount"][c] = st.get("nulls", 0)
-        add = {
-            "path": urllib.parse.quote(rel),
-            "partitionValues": {
-                c: _serialize_partition_value(v)
-                for c, v in f.partition.items()
-            },
-            "size": f.bytes,
-            "modificationTime": int(snap.timestamp * 1000),
-            "dataChange": True,
-            "stats": json.dumps(stats),
-        }
-        desc = dv_descriptors.get(os.path.basename(rel))
-        if desc is not None:
-            add["deletionVector"] = desc
-        actions.append({"add": add})
+        rel = _delta_rel(f.path)
+        _link_or_copy(table.path, f.path, os.path.join(dest, rel))
+        actions.append({"add": _export_add_action(
+            f, rel, int(snap.timestamp * 1000), part_cols,
+            dv_descriptors.get(os.path.basename(rel)),
+        )})
+    _write_delta_commit(log, 0, actions)
+    return dest
+
+
+def _delta_rel(path: str) -> str:
+    """Snaplog file path -> its relative path inside the Delta export
+    (data/ prefix stripped, partition subdirs preserved)."""
+    if path.startswith("data/"):
+        return os.path.relpath(path, "data")
+    return os.path.basename(path)
+
+
+def _link_or_copy(table_path: str, src_rel: str, dst: str) -> None:
+    import shutil
+
+    src_abs = src_rel if os.path.isabs(src_rel) else os.path.join(table_path, src_rel)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if os.path.exists(dst):
+        return  # already mirrored by a prior export/sync
+    try:
+        os.link(src_abs, dst)
+    except OSError:
+        shutil.copyfile(src_abs, dst)
+
+
+def _export_add_action(
+    f, rel: str, ts_ms: int, part_cols: Sequence[str], desc: Optional[dict]
+) -> dict:
+    stats = {"numRecords": f.rows, "minValues": {}, "maxValues": {},
+             "nullCount": {}}
+    for c, st in f.stats.items():
+        if c in part_cols:
+            continue  # canonical: partition values live in partitionValues
+        stats["minValues"][c] = st.get("min")
+        stats["maxValues"][c] = st.get("max")
+        stats["nullCount"][c] = st.get("nulls", 0)
+    add = {
+        "path": urllib.parse.quote(rel),
+        "partitionValues": {
+            c: _serialize_partition_value(v) for c, v in f.partition.items()
+        },
+        "size": f.bytes,
+        "modificationTime": ts_ms,
+        "dataChange": True,
+        "stats": json.dumps(stats),
+    }
+    if desc is not None:
+        add["deletionVector"] = desc
+    return add
+
+
+def _write_delta_commit(log: str, version: int, actions: list) -> None:
     tmp = os.path.join(log, ".export.tmp")
     with open(tmp, "w") as fh:
         fh.writelines(json.dumps(a) + "\n" for a in actions)
-    os.replace(tmp, os.path.join(log, f"{0:020d}.json"))
-    return dest
+    os.replace(tmp, os.path.join(log, f"{version:020d}.json"))
+
+
+def _snaplog_dv_positions(table, snap) -> dict:
+    """data-file basename -> sorted deleted positions, unioned across the
+    snapshot's DV parquet files (metadata-scale driver read)."""
+    import pyarrow.parquet as pq
+
+    pos_by_file: dict = {}
+    for e in snap.dvs:
+        tbl = pq.read_table(os.path.join(table.path, e.path))
+        for fname, p in zip(
+            tbl.column("file").to_pylist(), tbl.column("pos").to_pylist()
+        ):
+            pos_by_file.setdefault(fname, set()).add(p)
+    return {k: sorted(v) for k, v in pos_by_file.items()}
+
+
+def _emit_dv_file(dest: str, pos_by_file: dict) -> dict:
+    """Write one protocol DV file covering ``pos_by_file`` and return
+    basename -> descriptor."""
+    import uuid as _uuid
+
+    from dc43_spark.io import dv as _dvmod
+
+    if not pos_by_file:
+        return {}
+    u = _uuid.uuid4()
+    names = sorted(pos_by_file)
+    blobs = [_dvmod.serialize_dv_blob(pos_by_file[n]) for n in names]
+    offsets = _dvmod.write_dv_file(
+        os.path.join(dest, f"deletion_vector_{u}.bin"), blobs
+    )
+    return {
+        n: {
+            "storageType": "u",
+            "pathOrInlineDv": _dvmod.z85_encode(u.bytes),
+            "offset": off,
+            "sizeInBytes": len(blob),
+            "cardinality": len(pos_by_file[n]),
+        }
+        for n, blob, off in zip(names, blobs, offsets)
+    }
+
+
+def sync_delta_export(table, dest_path: str) -> Optional[int]:
+    """Incrementally mirror a snaplog table into its Delta export: ONE
+    Delta commit capturing everything that changed since the last
+    export/sync — new files linked + added, vanished files removed,
+    DV-state changes re-added with fresh protocol descriptors (Delta's
+    remove+add convention for a file whose vector grew). The mirrored
+    snaplog version rides in ``commitInfo.operationParameters``, so sync
+    is idempotent (no-op returns None when the head is already
+    mirrored) and resumable after any number of snaplog commits.
+
+    First call on an empty destination falls back to a full
+    ``export_delta_snapshot``. Cost per sync is O(changed files +
+    changed DV positions) metadata plus hard links — table size never
+    enters. Returns the new Delta version (or 0 for the initial
+    export)."""
+    dest = os.path.abspath(dest_path.rstrip("/"))
+    log = os.path.join(dest, "_delta_log")
+    if not os.path.isdir(log):
+        export_delta_snapshot(table, dest)
+        return 0
+
+    versions = sorted(
+        int(m.group(1))
+        for m in (_COMMIT_RE.match(n) for n in os.listdir(log))
+        if m
+    )
+    if not versions:
+        raise ValueError(f"{dest} has a _delta_log but no commits")
+    last_delta = versions[-1]
+    mirrored = None
+    for v in reversed(versions):
+        with open(os.path.join(log, f"{v:020d}.json")) as fh:
+            for line in fh:
+                info = json.loads(line).get("commitInfo")
+                if info:
+                    params = info.get("operationParameters") or {}
+                    if "snaplogVersion" in params:
+                        mirrored = int(params["snaplogVersion"])
+                    break
+        if mirrored is not None:
+            break
+    if mirrored is None:
+        raise ValueError(
+            f"{dest} was not produced by export_delta_snapshot/sync "
+            "(no snaplogVersion marker in its commits)"
+        )
+    head = table.version()
+    if head is None or head <= mirrored:
+        return None
+
+    from dc43_spark.io.snaplog import parse_partition_spec
+
+    old_snap = table.snapshot(mirrored)
+    new_snap = table.snapshot(head)
+    if new_snap.column_mapping or new_snap.retired:
+        raise ValueError(
+            "sync of a column-mapped table is not supported (files hold "
+            "physical names; read+rewrite to export)"
+        )
+    fields = parse_partition_spec(new_snap.partition_by)
+    if any(f.hidden for f in fields):
+        raise ValueError("hidden partition transforms have no Delta analogue")
+    if new_snap.schema_json != old_snap.schema_json or tuple(
+        new_snap.partition_by
+    ) != tuple(old_snap.partition_by):
+        raise ValueError(
+            "schema or partition spec changed since the last sync; "
+            "export a fresh Delta table for the new shape"
+        )
+    part_cols = [f.name for f in fields]
+
+    old_files = {_delta_rel(f.path): f for f in old_snap.files}
+    new_files = {_delta_rel(f.path): f for f in new_snap.files}
+    old_dv = _snaplog_dv_positions(table, old_snap)
+    new_dv = _snaplog_dv_positions(table, new_snap)
+
+    removed = sorted(set(old_files) - set(new_files))
+    added = sorted(set(new_files) - set(old_files))
+    # surviving files whose DV state changed: remove+add with the new
+    # descriptor (Delta's convention — the add supersedes)
+    dv_changed = sorted(
+        rel
+        for rel in set(new_files) & set(old_files)
+        if new_dv.get(os.path.basename(rel)) != old_dv.get(os.path.basename(rel))
+    )
+    ts_ms = int(new_snap.timestamp * 1000)
+    descriptors = _emit_dv_file(
+        dest,
+        {
+            os.path.basename(rel): new_dv[os.path.basename(rel)]
+            for rel in (added + dv_changed)
+            if os.path.basename(rel) in new_dv
+        },
+    )
+    actions: list = [
+        {
+            "commitInfo": {
+                "timestamp": ts_ms,
+                "operation": "SYNC",
+                "operationParameters": {
+                    "sourceFormat": "snaplog",
+                    "snaplogVersion": head,
+                },
+            }
+        }
+    ]
+    if descriptors:
+        # the initial export may have been protocol 1/2 (no DVs then);
+        # a later protocol action legally upgrades the table in place
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        )
+    for rel in removed + dv_changed:
+        actions.append(
+            {"remove": {"path": urllib.parse.quote(rel), "dataChange": True,
+                        "deletionTimestamp": ts_ms}}
+        )
+    for rel in added + dv_changed:
+        f = new_files[rel]
+        _link_or_copy(table.path, f.path, os.path.join(dest, rel))
+        actions.append({"add": _export_add_action(
+            f, rel, ts_ms, part_cols, descriptors.get(os.path.basename(rel))
+        )})
+    _write_delta_commit(log, last_delta + 1, actions)
+    return last_delta + 1

@@ -767,3 +767,71 @@ def test_export_mor_snapshot_with_deletion_vectors(spark, tmp_path):
     assert {r.k for r in d0.read().collect()} == set(range(20))
     # stats pruning composes with the exported DVs
     assert {r.k for r in d.read(filters=[("k", "<=", 5)]).collect()} == {0, 2, 3, 4}
+
+
+def test_sync_delta_export_incremental_mirror(spark, tmp_path):
+    """sync_delta_export keeps a Delta mirror current with ONE commit per
+    sync: appends land as adds, overwrites as remove+add, MOR deletes as
+    remove+add with a fresh protocol DV (growing vectors re-described),
+    compaction as a layout swap — and an already-mirrored head is a
+    no-op. The independent reader must agree with the snaplog head after
+    every sync, and history must stay navigable at each mirrored point."""
+    from dc43_spark.io.delta_log import export_delta_snapshot, sync_delta_export
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    t = SnaplogTable(spark, str(tmp_path / "src"))
+    t.write(
+        spark.createDataFrame([(k, f"s{k}") for k in range(10)],
+                              "k long, v string").coalesce(1),
+        mode="overwrite",
+    )
+    dest = str(tmp_path / "mirror")
+    assert sync_delta_export(t, dest) == 0          # initial = full export
+    d = DeltaLogTable(spark, dest)
+    assert {r.k for r in d.read().collect()} == set(range(10))
+    assert sync_delta_export(t, dest) is None       # head mirrored: no-op
+
+    # append + MOR delete, then ONE sync commit carries both
+    t.write(
+        spark.createDataFrame([(100, "x"), (101, "y")],
+                              "k long, v string").coalesce(1),
+        mode="append",
+    )
+    t.delete([("k", "in", (3, 7))], strategy="merge_on_read")
+    v = sync_delta_export(t, dest)
+    assert v == 1
+    d = DeltaLogTable(spark, dest)
+    assert {r.k for r in d.read().collect()} == (
+        set(range(10)) - {3, 7}
+    ) | {100, 101}
+    # the mirror's v0 still reads the pre-sync state
+    assert {r.k for r in d.read(version_as_of=0).collect()} == set(range(10))
+
+    # the vector GROWS on the same surviving file: re-described, not stale
+    t.delete([("k", "=", 9)], strategy="merge_on_read")
+    assert sync_delta_export(t, dest) == 2
+    d = DeltaLogTable(spark, dest)
+    assert {r.k for r in d.read().collect()} == (
+        set(range(10)) - {3, 7, 9}
+    ) | {100, 101}
+
+    # materialize + compact: the mirror swaps layout, rows unchanged
+    t.materialize_deletes()
+    from dc43_spark.io.maintenance import compact_dataset
+
+    compact_dataset(spark, t.path, target_file_mb=64)
+    assert sync_delta_export(t, dest) == 3
+    d = DeltaLogTable(spark, dest)
+    assert {r.k for r in d.read().collect()} == (
+        set(range(10)) - {3, 7, 9}
+    ) | {100, 101}
+    assert not any(f.dv for f in d.snapshot().files)  # DVs materialized away
+
+    # schema evolution refuses (a mirror can't re-describe old files)
+    t.write(
+        spark.createDataFrame([(1, "a", 0.5)], "k long, v string, w double")
+        .coalesce(1),
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="schema or partition"):
+        sync_delta_export(t, dest)

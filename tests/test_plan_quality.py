@@ -224,3 +224,55 @@ def test_ngram_jaccard_pairs_single_shuffle_no_size_joins(spark):
     assert shuffle_exchanges(pairs) == 1
     plan = plan_string(pairs)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_delta_dv_scan_broadcasts_deleted_positions(spark, tmp_path):
+    """The jar-less Delta reader's deletion-vector filter must stay a
+    BROADCAST left-anti join on (file_name, row_index): at 100 TB the
+    data side is the big scan while deleted positions are bitmap-sized,
+    so a shuffled anti-join here would be the classic scale bug."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dc43_spark.io import dv as dvmod
+    from dc43_spark.io.delta_log import DeltaLogTable
+
+    t = str(tmp_path / "t")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    pq.write_table(
+        pa.table({"k": pa.array(list(range(8)), pa.int64())}),
+        os.path.join(t, "f.parquet"),
+    )
+    blob = dvmod.serialize_dv_blob([2, 5])
+    (off,) = dvmod.write_dv_file(os.path.join(t, "deletion_vector_x.bin"), [blob])
+    import uuid
+
+    u = uuid.uuid4()
+    os.replace(os.path.join(t, "deletion_vector_x.bin"),
+               os.path.join(t, f"deletion_vector_{u}.bin"))
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps({"type": "struct", "fields": [
+                          {"name": "k", "type": "long", "nullable": True,
+                           "metadata": {}}]}),
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                 "dataChange": True,
+                 "deletionVector": {"storageType": "u",
+                                    "pathOrInlineDv": dvmod.z85_encode(u.bytes),
+                                    "offset": off, "sizeInBytes": len(blob),
+                                    "cardinality": 2}}},
+    ]
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in actions)
+
+    df = DeltaLogTable(spark, t).read()
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert sorted(r.k for r in df.collect()) == [0, 1, 3, 4, 6, 7]

@@ -113,7 +113,9 @@ def metadata_ladder(entry_counts, reps: int) -> None:
                 )
                 snap = type(
                     "S", (), {"files": entries, "dvs": (), "schema_json": "{}",
-                              "partition_by": (), "timestamp": 1.0}
+                              "partition_by": (), "timestamp": 1.0,
+                              "constraints": {}, "column_mapping": {},
+                              "retired": (), "refs": {}, "generated": {}}
                 )()
                 if fmt == "parquet":
                     t._write_parquet_checkpoint(10, snap)
