@@ -32,7 +32,8 @@ _GATE_FIRST = [
     "corpus_filter_documents",
     "bpe_pairs_documents",
     "pii_redact_documents",
-    "encode_tokens_documents",
+    # encode_tokens_documents rotated to extras in r9 (subsumed by
+    # curation_pipeline_documents)
     "curation_pipeline_documents",
     "governance_verdict_orders",
     "profile_orders",

@@ -96,6 +96,8 @@ HEADLINE = [
     "cdf_batch_orders",
     "mor_delete_orders",
     "snaplog_stream_orders",
+    # r9: jar-less Delta protocol read (hand-written log + real DVs)
+    "delta_log_read_orders",
     # governance orchestration (metrics -> verdict -> stores -> read-back)
     "governance_verdict_orders",
     "profile_orders",

@@ -17,9 +17,17 @@ not installable in this container. The snaplog format carries the
 SEMANTICS under oracle gates; this module adds protocol-level
 interoperability — a governed read of format="delta" works against a
 real Delta table's log without the jar (io/read.py falls back here
-when ``import delta`` fails). Reader-only by design: writing the Delta
-protocol without the reference implementation to verify against is
-where silent corruption lives, so writes keep requiring the jar.
+when ``import delta`` fails).
+
+Writes (r9): the SAFE subset only — ``delta_write`` does create, blind
+append, and snapshot-pinned overwrite, with CHECK constraints + column
+invariants validated per write and an explicit writer-protocol gate
+(``_check_writer_protocol``) that refuses generated/identity columns,
+column mapping, and unknown writer features rather than approximating
+them. Row-mutating operations (MERGE/UPDATE/DELETE) stay on snaplog —
+mirror them out with ``sync_delta_export`` — or on the jar: writing
+THOSE without the reference implementation to verify against is where
+silent corruption lives.
 
 Protocol coverage is explicit and checked: reader versions 1 and 2 are
 supported; version 3 only when every ``readerFeatures`` entry is in
@@ -1005,3 +1013,329 @@ def sync_delta_export(table, dest_path: str) -> Optional[int]:
         )})
     _write_delta_commit(log, last_delta + 1, actions)
     return last_delta + 1
+
+
+# ---------------- jar-less WRITE path (the safe subset)
+
+#: writer-side table features whose obligations this writer actually
+#: honors on its supported operations (append / overwrite / create).
+SUPPORTED_WRITER_FEATURES = frozenset(
+    {
+        "appendOnly",        # this writer never removes data on append
+        "invariants",        # validated per write (schema-field metadata)
+        "checkConstraints",  # validated per write (delta.constraints.*)
+        "changeDataFeed",    # append/overwrite carry their own change
+                             # data through add/remove dataChange actions
+        "deletionVectors",   # appends never touch existing vectors;
+                             # overwrite removes files WITH their DVs
+        "v2Checkpoint",      # this writer never writes checkpoints
+        "timestampNtz",
+        "domainMetadata",    # appends/overwrites don't drop domains
+    }
+)
+
+#: implied writer features below protocol v7 (PROTOCOL.md version table)
+_WRITER_VERSION_FEATURES = {
+    2: {"invariants", "appendOnly"},
+    3: {"checkConstraints"},
+    4: {"changeDataFeed", "generatedColumns"},
+    5: {"columnMapping"},
+    6: {"identityColumns"},
+}
+
+
+class DeltaWriteError(RuntimeError):
+    """The table requires writer capabilities this module doesn't have."""
+
+
+def _check_writer_protocol(protocol: dict, meta: dict, schema: StructType) -> None:
+    """Refuse loudly unless every writer obligation is honorable.
+
+    Feature flags alone don't block: ``generatedColumns`` on a table with
+    no generated column costs an appender nothing — what blocks is the
+    PRESENCE of a field this writer can't maintain (generated/identity
+    definitions, column mapping)."""
+    v = protocol.get("minWriterVersion", 1)
+    if v >= 7:
+        feats = set(protocol.get("writerFeatures") or ())
+    else:
+        feats = set()
+        for ver, f in _WRITER_VERSION_FEATURES.items():
+            if v >= ver:
+                feats |= f
+    unsupported = feats - SUPPORTED_WRITER_FEATURES - {
+        "generatedColumns", "identityColumns", "columnMapping",
+    }
+    if unsupported:
+        raise DeltaWriteError(
+            f"Delta table requires writer features {sorted(unsupported)} "
+            f"(supported here: {sorted(SUPPORTED_WRITER_FEATURES)})"
+        )
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.columnMapping.mode", "none") != "none":
+        raise DeltaWriteError(
+            "column-mapped Delta tables are read-only here (writing "
+            "physical names without the reference implementation to "
+            "verify against is where silent corruption lives)"
+        )
+    for f in schema.fields:
+        md = f.metadata or {}
+        if "delta.generatedAlwaysAs" in md:
+            raise DeltaWriteError(
+                f"column {f.name!r} is a generated column; this writer "
+                "does not compute generation expressions"
+            )
+        if any(k.startswith("delta.identity.") for k in md):
+            raise DeltaWriteError(
+                f"column {f.name!r} is an identity column; this writer "
+                "does not allocate identity values"
+            )
+
+
+def _delta_row_rules(meta: dict, schema: StructType) -> dict:
+    """name -> SQL expression for every row rule the table declares:
+    CHECK constraints (``delta.constraints.*`` config) and column
+    invariants (field metadata ``delta.invariants``)."""
+    rules: dict = {}
+    for k, v in (meta.get("configuration") or {}).items():
+        if k.startswith("delta.constraints."):
+            rules[k[len("delta.constraints."):]] = v
+    for f in schema.fields:
+        inv = (f.metadata or {}).get("delta.invariants")
+        if inv:
+            doc = json.loads(inv) if isinstance(inv, str) else inv
+            expr = doc.get("expression", {}).get("expression")
+            if not expr:
+                raise DeltaWriteError(
+                    f"unparseable invariant on column {f.name!r}: {inv!r}"
+                )
+            rules[f"invariant({f.name})"] = expr
+    return rules
+
+
+def _enforce_delta_rules(df: DataFrame, rules: dict) -> None:
+    if not rules:
+        return
+    row = df.agg(
+        *[
+            F.sum(F.when(F.expr(f"NOT ({e})"), 1).otherwise(0)).alias(n)
+            for n, e in sorted(rules.items())
+        ]
+    ).first()
+    bad = {n: int(row[n] or 0) for n in sorted(rules) if row[n]}
+    if bad:
+        raise DeltaWriteError(
+            "write violates table rule(s): "
+            + "; ".join(f"{n} [{rules[n]}] -> {c} row(s)" for n, c in bad.items())
+        )
+
+
+def delta_write(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "append",
+    partition_by: Optional[Sequence[str]] = None,
+) -> int:
+    """Jar-less Delta WRITE — the safe subset: create, blind append,
+    overwrite. MERGE/UPDATE/DELETE stay on snaplog (+``sync_delta_export``
+    mirror) or the jar; this writer refuses every table whose writer
+    obligations it can't honor (see ``_check_writer_protocol``) and
+    validates CHECK constraints + column invariants with one Spark
+    aggregate before staging.
+
+    Commit protocol: data files stage invisibly (Spark parquet write
+    into the table directory under part-unique names), stats come from
+    the parquet FOOTERS (no second scan), and the commit claims
+    ``_delta_log/<version>.json`` through the same atomic claimer
+    abstraction snaplog uses (hard-link locally; conditional put on
+    object stores) — losing a race re-reads the head, re-checks schema
+    and rules, and retries with the already-staged files. Appends are
+    blind (Delta's write_serializable default for appends); overwrite
+    pins its read snapshot and conflicts if the head moved.
+
+    Returns the committed Delta version."""
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    from dc43_spark.io.snaplog import LinkCommitClaimer, _footer_stats
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"delta_write supports append|overwrite, not {mode!r}")
+    dest = os.path.abspath(path.rstrip("/"))
+    log = os.path.join(dest, "_delta_log")
+    t = DeltaLogTable(spark, dest)
+    exists = t.exists()
+    snap = t.snapshot() if exists else None
+
+    if snap is not None:
+        # writer gate needs the raw protocol + metaData, not just the
+        # snapshot view
+        protocol, meta = _raw_protocol_meta(t, snap.version)
+        _check_writer_protocol(protocol, meta, snap.schema)
+        part_cols = list(snap.partition_columns)
+        if partition_by is not None and list(partition_by) != part_cols:
+            if mode != "overwrite":
+                raise ValueError(
+                    f"append partition_by {list(partition_by)} does not "
+                    f"match the table's spec {part_cols}"
+                )
+            part_cols = list(partition_by)
+        if mode == "append":
+            want = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+            got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            if want != got:
+                raise ValueError(
+                    f"append schema mismatch: table has {sorted(want.items())}, "
+                    f"append has {sorted(got.items())}"
+                )
+        _enforce_delta_rules(df, _delta_row_rules(meta, snap.schema))
+    else:
+        part_cols = list(partition_by or ())
+        missing = [c for c in part_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition_by columns not in DataFrame: {missing}")
+
+    # ---- stage data files (invisible until the commit lands)
+    staging = os.path.join(dest, f"_staging_{_uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+    adds = []
+    ts_ms = int(_time.time() * 1000)
+    try:
+        for root, _dirs, names in os.walk(staging):
+            rel_dir = os.path.relpath(root, staging)
+            if part_cols and rel_dir == ".":
+                continue
+            pvals: dict = {}
+            if part_cols and rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    c, _, raw = seg.partition("=")
+                    pvals[c] = (
+                        None
+                        if raw == "__HIVE_DEFAULT_PARTITION__"
+                        else urllib.parse.unquote(raw)
+                    )
+            for name in sorted(names):
+                if not name.endswith(".parquet") or name.startswith((".", "_")):
+                    continue
+                sub = "" if rel_dir == "." else rel_dir + "/"
+                os.makedirs(os.path.join(dest, rel_dir) if sub else dest,
+                            exist_ok=True)
+                final = os.path.join(dest, sub + name)
+                os.rename(os.path.join(root, name), final)
+                rows, size, stats = _footer_stats(final)
+                if rows == 0:
+                    os.unlink(final)
+                    continue
+                st = {"numRecords": rows, "minValues": {}, "maxValues": {},
+                      "nullCount": {}}
+                for c, s in stats.items():
+                    st["minValues"][c] = s.get("min")
+                    st["maxValues"][c] = s.get("max")
+                    st["nullCount"][c] = s.get("nulls", 0)
+                adds.append({
+                    "path": urllib.parse.quote(sub + name),
+                    "partitionValues": pvals,
+                    "size": size,
+                    "modificationTime": ts_ms,
+                    "dataChange": True,
+                    "stats": json.dumps(st),
+                })
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    # ---- claim the commit (retry on version races)
+    claimer = LinkCommitClaimer()
+    base_version = snap.version if snap is not None else None
+    for _ in range(20):
+        head = t.version() if t.exists() else None
+        actions: list = [{
+            "commitInfo": {
+                "timestamp": ts_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode},
+            }
+        }]
+        if head is None:
+            actions.append({"protocol": {"minReaderVersion": 1,
+                                         "minWriterVersion": 2}})
+            actions.append({"metaData": {
+                "id": str(_uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": ts_ms,
+            }})
+            next_version = 0
+        else:
+            if head != base_version:
+                # the head moved since validation: re-read and re-check
+                # (schema/rules may have changed; staged files are
+                # schema-bound, rules must re-validate)
+                snap = t.snapshot(head)
+                protocol, meta = _raw_protocol_meta(t, head)
+                _check_writer_protocol(protocol, meta, snap.schema)
+                if mode == "overwrite":
+                    raise DeltaProtocolError(
+                        f"overwrite of {dest} lost its snapshot pin: a "
+                        f"concurrent commit moved v{base_version} -> "
+                        f"v{head}; retry the overwrite"
+                    )
+                want = {f.name: f.dataType.simpleString()
+                        for f in snap.schema.fields}
+                got = {f.name: f.dataType.simpleString()
+                       for f in df.schema.fields}
+                if want != got:
+                    raise DeltaProtocolError(
+                        "table schema changed concurrently; the staged "
+                        "files no longer match"
+                    )
+                _enforce_delta_rules(df, _delta_row_rules(meta, snap.schema))
+                base_version = head
+            if mode == "overwrite":
+                for f in snap.files:
+                    actions.append({"remove": {
+                        "path": urllib.parse.quote(f.path),
+                        "dataChange": True,
+                        "deletionTimestamp": ts_ms,
+                    }})
+                if {f.name: f.dataType.simpleString() for f in snap.schema.fields} != {
+                    f.name: f.dataType.simpleString() for f in df.schema.fields
+                } or list(snap.partition_columns) != part_cols:
+                    _, meta = _raw_protocol_meta(t, head)
+                    new_meta = dict(meta)
+                    new_meta["schemaString"] = df.schema.json()
+                    new_meta["partitionColumns"] = part_cols
+                    actions.append({"metaData": new_meta})
+            next_version = head + 1
+        actions += [{"add": a} for a in adds]
+        payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+        if claimer.claim(log, f"{next_version:020d}.json", payload):
+            return next_version
+    raise DeltaProtocolError(f"could not claim a commit on {dest} after 20 tries")
+
+
+def _raw_protocol_meta(t: DeltaLogTable, version: int) -> tuple:
+    """(protocol, metaData) action dicts in effect at ``version``."""
+    protocol: dict = {}
+    meta: Optional[dict] = None
+    cps = sorted(v for v in t._checkpoints() if v <= version)
+    start = 0
+    if cps:
+        adds: dict = {}
+        t._load_checkpoint(cps[-1], adds, protocol_out=protocol)
+        meta = t._cp_meta
+        start = cps[-1] + 1
+    for v in range(start, version + 1):
+        for action in t._commit_lines(v):
+            if "protocol" in action:
+                protocol.update(action["protocol"])
+            elif "metaData" in action:
+                meta = action["metaData"]
+    return protocol, (meta or {})

@@ -74,6 +74,17 @@ def execute_write_request(req: WriteRequest, writer_modifier=None) -> None:
             return
         table.write(req.df, mode=req.mode)
         return
+    if req.format == "delta" and req.path:
+        from dc43_spark.io.merge import delta_available
+
+        if not delta_available():
+            # jar-less protocol writer: create / append / overwrite with
+            # constraint+invariant validation (io/delta_log.py delta_write);
+            # row-mutating ops still need the jar or snaplog + sync mirror
+            from dc43_spark.io.delta_log import delta_write
+
+            delta_write(req.df.sparkSession, req.df, req.path, mode=req.mode)
+            return
     writer = req.df.write.mode(req.mode)
     if req.format:
         writer = writer.format(req.format)
