@@ -316,6 +316,48 @@ class DeltaLogTable:
             out[c] = {"min": v, "max": v, "nulls": 0 if v is not None else 1}
         return out
 
+    def _collect_state(self, version: int) -> tuple:
+        """Raw log state at ``version``: (adds by decoded path, metaData,
+        protocol, latest txn version per appId) — checkpoint base plus
+        tail-commit replay. The single reconstruction kernel behind
+        ``snapshot()``, the checkpoint writer, and the txn ledger."""
+        adds: dict = {}
+        meta: Optional[dict] = None
+        protocol: dict = {}
+        txns: dict = {}
+        start = 0
+        cps = sorted(v for v in self._checkpoints() if v <= version)
+        if cps:
+            self._load_checkpoint(cps[-1], adds, protocol_out=protocol,
+                                  txn_out=txns)
+            meta = self._cp_meta
+            start = cps[-1] + 1
+        for v in range(start, version + 1):
+            for action in self._commit_lines(v):
+                if "protocol" in action:
+                    protocol.update(action["protocol"])
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    add = action["add"]
+                    adds[_decode_path(add["path"])] = add
+                elif "remove" in action:
+                    adds.pop(_decode_path(action["remove"]["path"]), None)
+                elif "txn" in action:
+                    t = action["txn"]
+                    txns[t["appId"]] = max(
+                        txns.get(t["appId"], -1), int(t["version"])
+                    )
+        return adds, meta, protocol, txns
+
+    def last_txn_version(self, app_id: str) -> Optional[int]:
+        """Highest committed transaction version for ``app_id`` (Delta's
+        txn action ledger) — the idempotent-writer primitive."""
+        head = self.version()
+        if head is None:
+            return None
+        return self._collect_state(head)[3].get(app_id)
+
     def snapshot(
         self,
         version: Optional[int] = None,
@@ -342,26 +384,7 @@ class DeltaLogTable:
                 f"(have {versions[0]}..{versions[-1]})"
             )
 
-        adds: dict = {}
-        meta: Optional[dict] = None
-        protocol: dict = {}
-        start = 0
-        cps = sorted(v for v in self._checkpoints() if v <= version)
-        if cps:
-            self._load_checkpoint(cps[-1], adds, protocol_out=protocol)
-            meta = self._cp_meta
-            start = cps[-1] + 1
-        for v in range(start, version + 1):
-            for action in self._commit_lines(v):
-                if "protocol" in action:
-                    protocol.update(action["protocol"])
-                elif "metaData" in action:
-                    meta = action["metaData"]
-                elif "add" in action:
-                    add = action["add"]
-                    adds[_decode_path(add["path"])] = add
-                elif "remove" in action:
-                    adds.pop(_decode_path(action["remove"]["path"]), None)
+        adds, meta, protocol, _txns = self._collect_state(version)
         self._check_protocol(protocol)
         if meta is None:
             raise DeltaProtocolError(f"no metaData action in {self.log_dir}")
@@ -414,12 +437,16 @@ class DeltaLogTable:
 
         return pq.read_table(path).to_pylist()
 
-    def _load_checkpoint(self, version: int, adds: dict, *, protocol_out: dict):
+    def _load_checkpoint(
+        self, version: int, adds: dict, *, protocol_out: dict,
+        txn_out: Optional[dict] = None,
+    ):
         self._cp_meta = None
         sidecars: list = []
         for path in self._checkpoints()[version]:
             for row in self._checkpoint_actions(path):
-                self._apply_checkpoint_row(row, adds, protocol_out, sidecars)
+                self._apply_checkpoint_row(row, adds, protocol_out, sidecars,
+                                           txn_out)
         # v2: the top-level file carries protocol/metaData/checkpointMetadata;
         # add/remove live in sidecar parquet files under _sidecars/
         for sc in sidecars:
@@ -430,10 +457,11 @@ class DeltaLogTable:
                 else os.path.join(self.log_dir, "_sidecars", sc)
             )
             for row in pq.read_table(sc_path).to_pylist():
-                self._apply_checkpoint_row(row, adds, protocol_out, [])
+                self._apply_checkpoint_row(row, adds, protocol_out, [], txn_out)
 
     def _apply_checkpoint_row(
-        self, row: dict, adds: dict, protocol_out: dict, sidecars: list
+        self, row: dict, adds: dict, protocol_out: dict, sidecars: list,
+        txn_out: Optional[dict] = None,
     ) -> None:
         add = row.get("add")
         if add and add.get("path"):
@@ -445,6 +473,11 @@ class DeltaLogTable:
         if proto and proto.get("minReaderVersion") is not None:
             protocol_out.update(
                 {k: v for k, v in proto.items() if v is not None}
+            )
+        txn = row.get("txn")
+        if txn_out is not None and txn and txn.get("appId") is not None:
+            txn_out[txn["appId"]] = max(
+                txn_out.get(txn["appId"], -1), int(txn["version"])
             )
         sc = row.get("sidecar")
         if sc and sc.get("path"):
@@ -1137,7 +1170,9 @@ def delta_write(
     *,
     mode: str = "append",
     partition_by: Optional[Sequence[str]] = None,
-) -> int:
+    txn: Optional[dict] = None,
+    checkpoint_interval: Optional[int] = 10,
+) -> Optional[int]:
     """Jar-less Delta WRITE — the safe subset: create, blind append,
     overwrite. MERGE/UPDATE/DELETE stay on snaplog (+``sync_delta_export``
     mirror) or the jar; this writer refuses every table whose writer
@@ -1155,7 +1190,15 @@ def delta_write(
     blind (Delta's write_serializable default for appends); overwrite
     pins its read snapshot and conflicts if the head moved.
 
-    Returns the committed Delta version."""
+    ``txn`` ({"appId": ..., "version": N}) rides Delta's transaction-
+    identifier action: a replayed (appId, version) pair is skipped
+    (returns None) — foreachBatch's exactly-once recipe, same ledger
+    delta-spark's ``txnAppId``/``txnVersion`` options maintain. Every
+    ``checkpoint_interval``-th commit also writes a classic parquet
+    checkpoint plus ``_last_checkpoint``, bounding log replay for any
+    reader.
+
+    Returns the committed Delta version (None = idempotent skip)."""
     import shutil
     import time as _time
     import uuid as _uuid
@@ -1164,10 +1207,16 @@ def delta_write(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"delta_write supports append|overwrite, not {mode!r}")
+    if txn is not None and mode != "append":
+        raise ValueError("txn writes are append-only (blind-append ledger)")
     dest = os.path.abspath(path.rstrip("/"))
     log = os.path.join(dest, "_delta_log")
     t = DeltaLogTable(spark, dest)
     exists = t.exists()
+    if txn is not None and exists:
+        last = t.last_txn_version(str(txn["appId"]))
+        if last is not None and int(txn["version"]) <= last:
+            return None  # replayed batch: already committed atomically
     snap = t.snapshot() if exists else None
 
     if snap is not None:
@@ -1254,6 +1303,10 @@ def delta_write(
     base_version = snap.version if snap is not None else None
     for _ in range(20):
         head = t.version() if t.exists() else None
+        if txn is not None and head is not None:
+            last = t.last_txn_version(str(txn["appId"]))
+            if last is not None and int(txn["version"]) <= last:
+                return None  # a racer committed it; staged files orphan
         actions: list = [{
             "commitInfo": {
                 "timestamp": ts_ms,
@@ -1261,6 +1314,12 @@ def delta_write(
                 "operationParameters": {"mode": mode},
             }
         }]
+        if txn is not None:
+            actions.append({"txn": {
+                "appId": str(txn["appId"]),
+                "version": int(txn["version"]),
+                "lastUpdated": ts_ms,
+            }})
         if head is None:
             actions.append({"protocol": {"minReaderVersion": 1,
                                          "minWriterVersion": 2}})
@@ -1317,25 +1376,135 @@ def delta_write(
         actions += [{"add": a} for a in adds]
         payload = "\n".join(json.dumps(a) for a in actions) + "\n"
         if claimer.claim(log, f"{next_version:020d}.json", payload):
+            if (
+                checkpoint_interval
+                and next_version
+                and next_version % checkpoint_interval == 0
+            ):
+                write_delta_checkpoint(t, next_version)
             return next_version
     raise DeltaProtocolError(f"could not claim a commit on {dest} after 20 tries")
 
 
+def write_delta_checkpoint(t: DeltaLogTable, version: Optional[int] = None) -> str:
+    """Classic single-file parquet checkpoint at ``version`` (one row per
+    action: every live add, the metaData, the protocol, the latest txn
+    per appId) plus the ``_last_checkpoint`` hint file — bounds log
+    replay to O(checkpoint + tail) for ANY Delta reader. Uses the same
+    reconstruction kernel as ``snapshot()``, so what the checkpoint says
+    is exactly what a replay would compute."""
+    import tempfile as _tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if version is None:
+        version = t.version()
+    adds, meta, protocol, txns = t._collect_state(version)
+    if meta is None:
+        raise DeltaProtocolError(f"no metaData action in {t.log_dir}")
+
+    dv_t = pa.struct([
+        ("storageType", pa.string()), ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int32()), ("sizeInBytes", pa.int32()),
+        ("cardinality", pa.int64()),
+    ])
+    add_t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("stats", pa.string()),
+        ("deletionVector", dv_t),
+    ])
+    meta_t = pa.struct([
+        ("id", pa.string()),
+        ("format", pa.struct([("provider", pa.string()),
+                              ("options", pa.map_(pa.string(), pa.string()))])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", pa.map_(pa.string(), pa.string())),
+        ("createdTime", pa.int64()),
+    ])
+    proto_t = pa.struct([
+        ("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32()),
+        ("readerFeatures", pa.list_(pa.string())),
+        ("writerFeatures", pa.list_(pa.string())),
+    ])
+    txn_t = pa.struct([
+        ("appId", pa.string()), ("version", pa.int64()),
+        ("lastUpdated", pa.int64()),
+    ])
+
+    add_rows: list = []
+    for p, a in sorted(adds.items()):
+        dv = a.get("deletionVector")
+        add_rows.append({
+            "path": a["path"],
+            "partitionValues": list(_as_map(a.get("partitionValues")).items()),
+            "size": a.get("size", 0),
+            "modificationTime": a.get("modificationTime", 0),
+            "dataChange": True,
+            "stats": a.get("stats"),
+            "deletionVector": (
+                {
+                    "storageType": dv.get("storageType", "u"),
+                    "pathOrInlineDv": dv["pathOrInlineDv"],
+                    "offset": dv.get("offset"),
+                    "sizeInBytes": dv.get("sizeInBytes"),
+                    "cardinality": dv.get("cardinality"),
+                }
+                if dv and dv.get("pathOrInlineDv") is not None
+                else None
+            ),
+        })
+    meta_row = {
+        "id": meta.get("id", ""),
+        "format": {
+            "provider": (meta.get("format") or {}).get("provider", "parquet"),
+            "options": list(((meta.get("format") or {}).get("options") or {})
+                            .items()),
+        },
+        "schemaString": meta["schemaString"],
+        "partitionColumns": list(meta.get("partitionColumns") or ()),
+        "configuration": list((meta.get("configuration") or {}).items()),
+        "createdTime": meta.get("createdTime"),
+    }
+    proto_row = {
+        "minReaderVersion": protocol.get("minReaderVersion", 1),
+        "minWriterVersion": protocol.get("minWriterVersion", 2),
+        "readerFeatures": protocol.get("readerFeatures"),
+        "writerFeatures": protocol.get("writerFeatures"),
+    }
+    txn_rows = [
+        {"appId": app, "version": v, "lastUpdated": None}
+        for app, v in sorted(txns.items())
+    ]
+
+    n_extra = 2 + len(txn_rows)
+    n = len(add_rows) + n_extra
+    tbl = pa.table({
+        "add": pa.array(add_rows + [None] * n_extra, add_t),
+        "metaData": pa.array([None] * len(add_rows) + [meta_row]
+                             + [None] * (1 + len(txn_rows)), meta_t),
+        "protocol": pa.array([None] * (len(add_rows) + 1) + [proto_row]
+                             + [None] * len(txn_rows), proto_t),
+        "txn": pa.array([None] * (len(add_rows) + 2) + txn_rows, txn_t),
+    })
+    fd, tmp = _tempfile.mkstemp(dir=t.log_dir, suffix=".tmp")
+    os.close(fd)
+    pq.write_table(tbl, tmp, compression="snappy")
+    final = os.path.join(t.log_dir, f"{version:020d}.checkpoint.parquet")
+    os.replace(tmp, final)
+    hint = os.path.join(t.log_dir, "_last_checkpoint")
+    with open(hint + ".tmp", "w") as fh:
+        json.dump({"version": version, "size": n}, fh)
+    os.replace(hint + ".tmp", hint)
+    return final
+
+
 def _raw_protocol_meta(t: DeltaLogTable, version: int) -> tuple:
     """(protocol, metaData) action dicts in effect at ``version``."""
-    protocol: dict = {}
-    meta: Optional[dict] = None
-    cps = sorted(v for v in t._checkpoints() if v <= version)
-    start = 0
-    if cps:
-        adds: dict = {}
-        t._load_checkpoint(cps[-1], adds, protocol_out=protocol)
-        meta = t._cp_meta
-        start = cps[-1] + 1
-    for v in range(start, version + 1):
-        for action in t._commit_lines(v):
-            if "protocol" in action:
-                protocol.update(action["protocol"])
-            elif "metaData" in action:
-                meta = action["metaData"]
+    _adds, meta, protocol, _txns = t._collect_state(version)
     return protocol, (meta or {})

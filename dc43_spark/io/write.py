@@ -83,7 +83,16 @@ def execute_write_request(req: WriteRequest, writer_modifier=None) -> None:
             # row-mutating ops still need the jar or snaplog + sync mirror
             from dc43_spark.io.delta_log import delta_write
 
-            delta_write(req.df.sparkSession, req.df, req.path, mode=req.mode)
+            opts = req.options or {}
+            app_id, txn_version = opts.get("txnAppId"), opts.get("txnVersion")
+            txn = (
+                {"appId": str(app_id), "version": int(txn_version)}
+                if app_id is not None and txn_version is not None
+                else None
+            )
+            delta_write(
+                req.df.sparkSession, req.df, req.path, mode=req.mode, txn=txn
+            )
             return
     writer = req.df.write.mode(req.mode)
     if req.format:

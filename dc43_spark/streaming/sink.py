@@ -160,3 +160,41 @@ def snaplog_upsert_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def delta_sink(
+    df: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    *,
+    app_id: Optional[str] = None,
+    trigger_once: bool = False,
+):
+    """Streaming append into a JAR-LESS Delta table: each micro-batch
+    lands through ``delta_write`` with the batch_id riding as Delta's
+    transaction identifier (txn action), so a replayed batch skips
+    instead of re-appending — the exactly-once recipe delta-spark's
+    ``txnAppId``/``txnVersion`` options implement, on the protocol
+    writer. Every Nth commit also writes a parquet checkpoint, so a
+    long-lived streaming table keeps O(checkpoint + tail) replay for
+    any Delta reader.
+
+    Returns the started StreamingQuery."""
+    from dc43_spark.io.delta_log import delta_write
+
+    ident = app_id or f"delta-sink:{os.path.abspath(checkpoint_path)}"
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta_write(
+            batch_df.sparkSession, batch_df, table_path,
+            mode="append", txn={"appId": ident, "version": int(batch_id)},
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

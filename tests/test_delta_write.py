@@ -240,3 +240,104 @@ def test_governed_delta_write_read_roundtrip_without_jar(spark, tmp_path):
     assert {r.k for r in aligned.collect()} == set(range(6))
     # the written log is a REAL _delta_log the independent reader serves
     assert DeltaLogTable(spark, path).version() == 1
+
+
+def test_txn_idempotent_appends(spark, tmp_path):
+    """Delta's transaction-identifier ledger on the jar-less writer: a
+    replayed (appId, version) is a no-op, a higher version lands, a
+    SECOND app keeps its own ledger — and the ledger survives a parquet
+    checkpoint (txn actions ride in checkpoint rows per the spec)."""
+    from dc43_spark.io.delta_log import write_delta_checkpoint
+
+    t = str(tmp_path / "t")
+    assert delta_write(spark, _df(spark, 0, 2), t,
+                       txn={"appId": "app", "version": 0}) == 0
+    assert delta_write(spark, _df(spark, 0, 2), t,
+                       txn={"appId": "app", "version": 0}) is None  # replay
+    assert delta_write(spark, _df(spark, 2, 4), t,
+                       txn={"appId": "app", "version": 1}) == 1
+    assert delta_write(spark, _df(spark, 4, 5), t,
+                       txn={"appId": "other", "version": 0}) == 2
+    d = DeltaLogTable(spark, t)
+    assert d.last_txn_version("app") == 1
+    assert d.last_txn_version("other") == 0
+    assert d.read().count() == 5
+    # ledger survives checkpointing + vacuumed JSON commits
+    write_delta_checkpoint(d)
+    for v in range(2):
+        os.unlink(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+    d2 = DeltaLogTable(spark, t)
+    assert d2.last_txn_version("app") == 1
+    assert delta_write(spark, _df(spark, 0, 2), t,
+                       txn={"appId": "app", "version": 1}) is None
+
+
+def test_checkpoint_interval_bounds_replay(spark, tmp_path):
+    """Every Nth delta_write emits a classic parquet checkpoint +
+    _last_checkpoint; the reader serves the table with every
+    pre-checkpoint JSON commit deleted, and partition values, stats
+    pruning and time travel survive the checkpoint round-trip."""
+    t = str(tmp_path / "t")
+    df0 = spark.range(6).select(F.col("id").alias("k"),
+                                (F.col("id") % 2).alias("p"))
+    delta_write(spark, df0, t, partition_by=["p"], checkpoint_interval=2)
+    for lo in (10, 20, 30):
+        delta_write(
+            spark,
+            spark.range(lo, lo + 2).select(
+                F.col("k") if False else F.col("id").alias("k"),
+                (F.col("id") % 2).alias("p"),
+            ),
+            t, checkpoint_interval=2,
+        )
+    log = os.path.join(t, "_delta_log")
+    cps = [n for n in os.listdir(log) if n.endswith(".checkpoint.parquet")]
+    assert len(cps) == 1 and cps[0].startswith(f"{2:020d}")
+    assert json.load(open(os.path.join(log, "_last_checkpoint")))["version"] == 2
+    # vacuum the checkpointed-away commits; everything still reads
+    for v in range(2):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    d = DeltaLogTable(spark, t)
+    assert d.read().count() == 12
+    assert {r.k for r in d.read(version_as_of=2).collect()} == (
+        set(range(6)) | {10, 11, 20, 21}
+    )
+    assert {r.k for r in d.read(filters=[("p", "=", 1)]).collect()} == {
+        1, 3, 5, 11, 21, 31,
+    }
+
+
+def test_delta_streaming_sink_exactly_once(spark, tmp_path):
+    """The streaming append sink on the protocol writer: per-batch txn
+    markers swallow a full fresh-checkpoint replay."""
+    from dc43_spark.streaming.sink import delta_sink
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "t")
+    spark.createDataFrame([(1, "x")], "k long, v string").coalesce(1).write.mode(
+        "append").parquet(src)
+    q = delta_sink(
+        spark.readStream.schema("k long, v string").parquet(src),
+        table, str(tmp_path / "cp"), trigger_once=True,
+    )
+    q.awaitTermination(300)
+    d = DeltaLogTable(spark, table)
+    assert d.read().count() == 1
+    # new file + restart (same checkpoint): exactly one more batch
+    spark.createDataFrame([(2, "y")], "k long, v string").coalesce(1).write.mode(
+        "append").parquet(src)
+    q = delta_sink(
+        spark.readStream.schema("k long, v string").parquet(src),
+        table, str(tmp_path / "cp"), trigger_once=True,
+    )
+    q.awaitTermination(300)
+    assert DeltaLogTable(spark, table).read().count() == 2
+    # adversarial replay from a FRESH checkpoint, same app identity:
+    # every batch id re-delivers from zero and the ledger swallows all
+    ident = f"delta-sink:{os.path.abspath(str(tmp_path / 'cp'))}"
+    q = delta_sink(
+        spark.readStream.schema("k long, v string").parquet(src),
+        table, str(tmp_path / "cp2"), app_id=ident, trigger_once=True,
+    )
+    q.awaitTermination(300)
+    assert DeltaLogTable(spark, table).read().count() == 2
