@@ -1,0 +1,286 @@
+"""Jar-less Delta tables as a first-class Spark data source (PySpark 4
+Python data-source API) — batch AND streaming:
+
+    spark.dataSource.register(DeltaLogDataSource)
+    spark.read.format("deltalog").load(path)                 # snapshot
+    spark.read.format("deltalog").option("versionAsOf", 3)...
+    spark.readStream.format("deltalog").load(path)           # incremental
+
+Why a second batch path when ``DeltaLogTable.read`` exists: the data
+source serves the STREAMING half — commit-offset incremental reads of a
+real ``_delta_log`` (Delta's own streaming-source semantics:
+``startingVersion``, ``ignoreDeletes``, ``ignoreChanges``) — and gives
+the batch path Catalyst filter pushdown (pushFilters -> stats +
+partition-value pruning BEFORE partition planning, so a selective scan
+of a large table plans only the surviving files). Deletion vectors are
+applied as per-file positional masks INSIDE the Arrow read (no join at
+all on this path); partition values attach as constant Arrow columns.
+
+Streaming semantics mirror delta-spark's source contract:
+- appends (add actions with dataChange=true) stream through;
+- dataChange=false commits (compaction / re-layout) are invisible;
+- delete-only commits refuse unless ``ignoreDeletes=true``;
+- commits that rewrite files (remove + add, or an add carrying a NEW
+  deletion vector) refuse unless ``ignoreChanges=true``, which replays
+  the rewritten file's LIVE rows — the same at-least-once caveat Delta
+  documents;
+- ``startingVersion`` (number or ``latest``) positions the first batch.
+
+Registered as ``deltalog`` so a cluster that HAS delta-spark keeps the
+``delta`` name for the jar; io/read.py routes streaming format="delta"
+reads here when the jar is absent.
+
+Reuses snaplog_source's executor kernel (_arrow_batches: arrow-batched
+column-pruned reads, NULL-fill for additive evolution, positional DV
+masks, constant partition columns) — one read path to keep correct.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+)
+
+from dc43_spark.io.delta_log import (
+    DeltaLogTable,
+    DeltaProtocolError,
+    _decode_path,
+    _parse_partition_value,
+)
+from dc43_spark.io.snaplog import _file_may_match, _normalize_filters, FileEntry
+from dc43_spark.io.snaplog_source import (
+    _FilePartition,
+    _arrow_batches,
+    _filters_to_tuples,
+)
+
+
+def _typed_partition_values(
+    raw: dict, types: dict
+) -> dict:
+    return {
+        c: _parse_partition_value(types.get(c, "string"), v)
+        for c, v in raw.items()
+    }
+
+
+def _file_partition(table: DeltaLogTable, snap, f, types: dict) -> _FilePartition:
+    """One live Delta file -> the shared executor partition shape:
+    typed partition constants, a positional DV mask (decoded driver-side
+    — metadata-scale, same envelope as the manifest), and the
+    logical->physical mapping when column mapping is active."""
+    deleted = None
+    if f.dv is not None:
+        from dc43_spark.io.dv import decode_dv_descriptor
+
+        deleted = decode_dv_descriptor(table.path, f.dv).tolist()
+    mapping = None
+    if snap.column_mapping:
+        mapping = {
+            fld.name: (fld.metadata or {}).get(
+                "delta.columnMapping.physicalName", fld.name
+            )
+            for fld in snap.schema.fields
+        }
+    extra = _typed_partition_values(
+        {c: f.partition_values.get(c) for c in snap.partition_columns}, types
+    ) or None
+    return _FilePartition(
+        os.path.join(table.path, f.path),
+        extra,
+        deleted_positions=deleted,
+        mapping=mapping,
+    )
+
+
+class DeltaLogBatchReader(DataSourceReader):
+    """Snapshot scan with stats/partition pruning via pushed filters."""
+
+    def __init__(self, path: str, options: dict):
+        self._table = DeltaLogTable(None, path)
+        v = options.get("versionasof")
+        ts = options.get("timestampasof")
+        self._snap = self._table.snapshot(
+            int(v) if v is not None else None,
+            timestamp=float(ts) if ts is not None else None,
+        )
+        self._pushed: list = []
+
+    def pushFilters(self, filters):
+        supported = _filters_to_tuples(filters)
+        if supported:
+            self._pushed = [supported]  # one AND-group
+        return iter(filters)  # Spark re-applies everything: row-exact
+
+    def partitions(self):
+        snap = self._snap
+        types = {f.name: f.dataType.typeName() for f in snap.schema.fields}
+        files = list(snap.files)
+        if self._pushed:
+            groups = _normalize_filters(self._pushed[0])
+            files = [
+                f for f in files
+                if _file_may_match(FileEntry(f.path, 0, f.size, f.stats, {}),
+                                   groups)
+            ]
+        return [_file_partition(self._table, snap, f, types) for f in files]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        yield from _arrow_batches(partition, self._snap.schema)
+
+
+class DeltaLogStreamReader(DataSourceStreamReader):
+    """Commit-offset incremental reads of a Delta log (the source half
+    of Delta's streaming contract)."""
+
+    def __init__(self, path: str, schema: T.StructType, options: dict):
+        self._table = DeltaLogTable(None, path)
+        self._schema = schema
+        self._ignore_deletes = (
+            str(options.get("ignoredeletes", "")).lower() == "true"
+        )
+        self._ignore_changes = (
+            str(options.get("ignorechanges", "")).lower() == "true"
+        )
+        sv = options.get("startingversion")
+        if sv is not None and str(sv).lower() == "latest":
+            head = self._table.version()
+            self._starting = 0 if head is None else head + 1
+        else:
+            self._starting = int(sv) if sv is not None else 0
+
+    def initialOffset(self) -> dict:
+        return {"version": self._starting - 1}
+
+    def latestOffset(self) -> dict:
+        head = self._table.version()
+        return {"version": -1 if head is None else head}
+
+    def partitions(self, start: dict, end: dict):
+        snap = self._table.snapshot(max(end["version"], 0)) if end[
+            "version"
+        ] >= 0 else None
+        types = (
+            {f.name: f.dataType.typeName() for f in snap.schema.fields}
+            if snap is not None
+            else {}
+        )
+        mapping = None
+        if snap is not None and snap.column_mapping:
+            mapping = {
+                fld.name: (fld.metadata or {}).get(
+                    "delta.columnMapping.physicalName", fld.name
+                )
+                for fld in snap.schema.fields
+            }
+        parts: list = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            adds, removes = [], []
+            for action in self._table._commit_lines(v):
+                if "add" in action:
+                    adds.append(action["add"])
+                elif "remove" in action:
+                    removes.append(action["remove"])
+            data_adds = [a for a in adds if a.get("dataChange", True)]
+            data_removes = [r for r in removes if r.get("dataChange", True)]
+            if not data_adds and not data_removes:
+                continue  # txn/metaData/protocol/compaction-only commit
+            rewrites = bool(data_removes) and bool(data_adds)
+            dv_adds = [
+                a for a in data_adds
+                if (a.get("deletionVector") or {}).get("pathOrInlineDv")
+            ]
+            if (rewrites or dv_adds) and not self._ignore_changes:
+                raise ValueError(
+                    f"commit v{v} rewrites or deletion-vectors files; a "
+                    "Delta stream is append-only — set ignoreChanges=true "
+                    "to replay rewritten rows (Delta's contract) or read "
+                    "the table in batch"
+                )
+            if data_removes and not data_adds and not (
+                self._ignore_deletes or self._ignore_changes
+            ):
+                raise ValueError(
+                    f"commit v{v} deletes data; set ignoreDeletes=true to "
+                    "skip delete-only commits (Delta's contract)"
+                )
+            for a in data_adds:
+                f_path = _decode_path(a["path"])
+                dv = a.get("deletionVector")
+                deleted = None
+                if dv and dv.get("pathOrInlineDv"):
+                    from dc43_spark.io.dv import decode_dv_descriptor
+
+                    deleted = decode_dv_descriptor(
+                        self._table.path,
+                        {
+                            "storageType": dv.get("storageType", "u"),
+                            "pathOrInlineDv": dv["pathOrInlineDv"],
+                            "offset": dv.get("offset") or 0,
+                            "sizeInBytes": dv.get("sizeInBytes"),
+                            "cardinality": dv.get("cardinality"),
+                        },
+                    ).tolist()
+                raw_pv = {
+                    c: (a.get("partitionValues") or {}).get(c)
+                    for c in (snap.partition_columns if snap else ())
+                }
+                parts.append(
+                    _FilePartition(
+                        os.path.join(self._table.path, f_path),
+                        _typed_partition_values(raw_pv, types) or None,
+                        deleted_positions=deleted,
+                        mapping=mapping,
+                    )
+                )
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        yield from _arrow_batches(partition, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint; the log is immutable
+
+
+class DeltaLogDataSource(DataSource):
+    """``spark.dataSource.register(DeltaLogDataSource)`` then
+    ``.format("deltalog")``. Options: ``versionAsOf`` / ``timestampAsOf``
+    (batch), ``startingVersion`` / ``ignoreDeletes`` / ``ignoreChanges``
+    (streaming)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "deltalog"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("deltalog source needs a path: .load(<table dir>)")
+        return path
+
+    def schema(self) -> T.StructType:
+        t = DeltaLogTable(None, self._path())
+        v = self.options.get("versionasof")
+        ts = self.options.get("timestampasof")
+        return t.snapshot(
+            int(v) if v is not None else None,
+            timestamp=float(ts) if ts is not None else None,
+        ).schema
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return DeltaLogBatchReader(self._path(), dict(self.options))
+
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        if str(self.options.get("readchangefeed", "")).lower() == "true":
+            raise DeltaProtocolError(
+                "readChangeFeed on the jar-less source is not supported "
+                "(CDF needs _change_data files this reader doesn't parse); "
+                "read the snaplog twin's change feed or use delta-spark"
+            )
+        return DeltaLogStreamReader(self._path(), schema, dict(self.options))

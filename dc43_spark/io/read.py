@@ -129,9 +129,20 @@ def load_dataframe(spark: SparkSession, request: ReadRequest) -> DataFrame:
             # of a clustered table prunes files before the scan
             filters=opts.get("filters"),
         )
-    if request.format == "delta" and request.path and not request.streaming:
+    if request.format == "delta" and request.path:
         from dc43_spark.io.merge import delta_available
 
+        if not delta_available() and request.streaming:
+            # commit-offset streaming over a real _delta_log through the
+            # registered Python data source (io/delta_source.py) when
+            # the jar is absent; Delta's own source options pass through
+            from dc43_spark.io.delta_source import DeltaLogDataSource
+
+            spark.dataSource.register(DeltaLogDataSource)
+            reader = spark.readStream.format("deltalog")
+            for k, v in (request.options or {}).items():
+                reader = reader.option(k, v)
+            return reader.load(request.path)
         if not delta_available():
             # protocol-level fallback (io/delta_log.py): the emitted
             # versionAsOf/timestampAsOf options are honored by a pure

@@ -1,0 +1,173 @@
+"""Jar-less Delta as a registered Spark data source (io/delta_source.py):
+batch scans with pushed-filter pruning + positional DV masks, and
+commit-offset STREAMING with Delta's source options (startingVersion,
+ignoreDeletes, ignoreChanges)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dc43_spark.io.delta_log import DeltaLogTable, delta_write
+from dc43_spark.io.delta_source import DeltaLogDataSource
+
+
+def _df(spark, lo, hi, v="x"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(v).alias("v")
+    ).coalesce(1)
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(DeltaLogDataSource)
+    return spark
+
+
+def test_batch_scan_time_travel_and_pruning(registered, spark, tmp_path):
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 10), t)
+    delta_write(spark, _df(spark, 10, 20), t)
+
+    df = spark.read.format("deltalog").load(t)
+    assert df.count() == 20
+    pinned = spark.read.format("deltalog").option("versionAsOf", 0).load(t)
+    assert {r.k for r in pinned.collect()} == set(range(10))
+    # pushed filter prunes to the one file whose stats envelope matches
+    from dc43_spark.io.delta_source import DeltaLogBatchReader
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    r = DeltaLogBatchReader(t, {})
+    assert len(r.partitions()) == 2
+    r.pushFilters([GreaterThanOrEqual(("k",), 15)])
+    assert len(r.partitions()) == 1
+    got = spark.read.format("deltalog").load(t).filter("k >= 15")
+    assert {x.k for x in got.collect()} == set(range(15, 20))
+
+
+def test_batch_scan_applies_dv_mask(registered, spark, tmp_path):
+    """A DV-bearing file reads through the positional mask inside the
+    Arrow kernel — no join in this path at all."""
+    from dc43_spark.io.snaplog import SnaplogTable
+    from dc43_spark.io.delta_log import export_delta_snapshot
+
+    src = SnaplogTable(spark, str(tmp_path / "src"))
+    src.write(_df(spark, 0, 10), mode="overwrite")
+    src.delete([("k", "in", (2, 7))], strategy="merge_on_read")
+    dest = export_delta_snapshot(src, str(tmp_path / "delta"))
+
+    df = spark.read.format("deltalog").load(dest)
+    assert {r.k for r in df.collect()} == set(range(10)) - {2, 7}
+
+
+def test_streaming_appends_and_starting_version(registered, spark, tmp_path):
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 3, "a"), t)
+    delta_write(spark, _df(spark, 3, 5, "b"), t)
+
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("deltalog").load(t)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert {r.k for r in spark.read.parquet(out).collect()} == set(range(5))
+
+    # new commit, restart same checkpoint: only the delta arrives
+    delta_write(spark, _df(spark, 5, 8, "c"), t)
+    q = (
+        spark.readStream.format("deltalog").load(t)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert spark.read.parquet(out).count() == 8
+
+    # startingVersion skips history
+    out2 = str(tmp_path / "out2")
+    q = (
+        spark.readStream.format("deltalog")
+        .option("startingVersion", 2).load(t)
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert {r.k for r in spark.read.parquet(out2).collect()} == {5, 6, 7}
+
+
+def test_streaming_change_commits_follow_the_contract(registered, spark, tmp_path):
+    """Delete-only commits refuse without ignoreDeletes; rewrite commits
+    refuse without ignoreChanges, and with it the live rows replay."""
+    from dc43_spark.io.snaplog import SnaplogTable
+    from dc43_spark.io.delta_log import export_delta_snapshot, sync_delta_export
+
+    src = SnaplogTable(spark, str(tmp_path / "src"))
+    src.write(_df(spark, 0, 6), mode="overwrite")
+    dest = export_delta_snapshot(src, str(tmp_path / "delta"))
+    src.delete([("k", "=", 1)], strategy="merge_on_read")
+    sync_delta_export(src, dest)  # v1: remove + DV re-add
+
+    def run(opts, cp, out):
+        reader = spark.readStream.format("deltalog")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load(dest)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception():
+            raise RuntimeError(str(q.exception()))
+
+    with pytest.raises(Exception, match="ignoreChanges"):
+        run({}, str(tmp_path / "cp1"), str(tmp_path / "o1"))
+    # with ignoreChanges a full replay duplicates the rewritten file's
+    # LIVE rows on top of the pre-rewrite batch — Delta's documented
+    # at-least-once caveat, pinned exactly: 6 original + 5 live
+    run({"ignoreChanges": "true"}, str(tmp_path / "cp2"), str(tmp_path / "o2"))
+    replayed = spark.read.parquet(str(tmp_path / "o2"))
+    assert replayed.count() == 11
+    assert {r.k for r in replayed.collect()} == set(range(6))
+    # starting AT the rewrite commit isolates the DV mask: only live rows
+    run({"ignoreChanges": "true", "startingVersion": 1},
+        str(tmp_path / "cp3"), str(tmp_path / "o3"))
+    got = {r.k for r in spark.read.parquet(str(tmp_path / "o3")).collect()}
+    assert got == set(range(6)) - {1}
+
+
+def test_governed_streaming_read_falls_back(registered, spark, tmp_path):
+    """read.py routes streaming format='delta' through the registered
+    source when the jar is absent — the reference's streaming read shape
+    jar-lessly."""
+    from dc43_spark.io.read import ReadRequest, load_dataframe
+
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 4), t)
+    sdf = load_dataframe(
+        spark, ReadRequest(path=t, format="delta", streaming=True)
+    )
+    assert sdf.isStreaming
+    out = str(tmp_path / "out")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert spark.read.parquet(out).count() == 4
