@@ -1508,3 +1508,181 @@ def _raw_protocol_meta(t: DeltaLogTable, version: int) -> tuple:
     """(protocol, metaData) action dicts in effect at ``version``."""
     _adds, meta, protocol, _txns = t._collect_state(version)
     return protocol, (meta or {})
+
+
+def delta_optimize(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_mb: int = 128,
+) -> Optional[int]:
+    """Jar-less OPTIMIZE: bin-pack small live files per partition tuple
+    into ~target-size files and land ONE ``dataChange=false`` commit
+    (remove olds + add replacements) — layout-only, invisible to
+    streams, rows unchanged. Conflict rule: the commit claims the next
+    version; if the head moved, the compaction retries only while every
+    input file is STILL live (a racer that removed one of our inputs
+    aborts the compaction — its rewrite supersedes ours).
+
+    Returns the committed version, or None when nothing needed packing."""
+    import time as _time
+    import uuid as _uuid
+
+    from dc43_spark.io.snaplog import LinkCommitClaimer, _footer_stats
+
+    dest = os.path.abspath(path.rstrip("/"))
+    t = DeltaLogTable(spark, dest)
+    snap = t.snapshot()
+    protocol, meta = _raw_protocol_meta(t, snap.version)
+    _check_writer_protocol(protocol, meta, snap.schema)
+    target = target_file_mb * (1 << 20)
+
+    # bins: per partition tuple, files under half the target, packed
+    # greedily; singleton bins are already compact
+    groups: dict = {}
+    for f in snap.files:
+        if f.dv is not None:
+            continue  # DV-bearing files need a materializing rewrite
+        if f.size < target // 2:
+            key = tuple(sorted(f.partition_values.items()))
+            groups.setdefault(key, []).append(f)
+    bins = []
+    for key, members in sorted(groups.items()):
+        members.sort(key=lambda f: f.size)
+        cur, cur_bytes = [], 0
+        for f in members:
+            if cur and cur_bytes + f.size > target:
+                bins.append((key, cur))
+                cur, cur_bytes = [], 0
+            cur.append(f)
+            cur_bytes += f.size
+        if len(cur) > 1:
+            bins.append((key, cur))
+    bins = [(k, m) for k, m in bins if len(m) > 1]
+    if not bins:
+        return None
+
+    data_fields = [
+        f for f in snap.schema.fields if f.name not in snap.partition_columns
+    ]
+    data_schema = StructType(data_fields)
+    ts_ms = int(_time.time() * 1000)
+    adds, removes = [], []
+    for key, members in bins:
+        df = (
+            spark.read.format("parquet")
+            .schema(data_schema)
+            .load([os.path.join(dest, m.path) for m in members])
+            .coalesce(1)
+        )
+        staging = os.path.join(dest, f"_staging_{_uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        import shutil
+
+        try:
+            part = [
+                n for n in os.listdir(staging)
+                if n.endswith(".parquet") and not n.startswith((".", "_"))
+            ]
+            assert len(part) == 1, part
+            final = os.path.join(dest, part[0])
+            os.rename(os.path.join(staging, part[0]), final)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        rows, size, stats = _footer_stats(final)
+        st = {"numRecords": rows, "minValues": {}, "maxValues": {},
+              "nullCount": {}}
+        for c, s in stats.items():
+            st["minValues"][c] = s.get("min")
+            st["maxValues"][c] = s.get("max")
+            st["nullCount"][c] = s.get("nulls", 0)
+        adds.append({
+            "path": urllib.parse.quote(part[0]),
+            "partitionValues": dict(key),
+            "size": size,
+            "modificationTime": ts_ms,
+            "dataChange": False,
+            "stats": json.dumps(st),
+        })
+        removes += [m.path for m in members]
+
+    claimer = LinkCommitClaimer()
+    log = os.path.join(dest, "_delta_log")
+    actions = [
+        {"commitInfo": {"timestamp": ts_ms, "operation": "OPTIMIZE",
+                        "operationParameters": {
+                            "targetSize": str(target)}}},
+    ] + [
+        {"remove": {"path": urllib.parse.quote(p), "dataChange": False,
+                    "deletionTimestamp": ts_ms}}
+        for p in removes
+    ] + [{"add": a} for a in adds]
+    payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+    for _ in range(20):
+        head = t.version()
+        if head != snap.version:
+            live = {f.path for f in t.snapshot(head).files}
+            if not all(p in live for p in removes):
+                raise DeltaProtocolError(
+                    f"OPTIMIZE of {dest} conflicts: a concurrent commit "
+                    "rewrote files this compaction read; retry"
+                )
+            snap = t.snapshot(head)
+        if claimer.claim(log, f"{head + 1:020d}.json", payload):
+            return head + 1
+    raise DeltaProtocolError(f"could not claim a commit on {dest} after 20 tries")
+
+
+def delta_vacuum(
+    spark: SparkSession,
+    path: str,
+    *,
+    retain_hours: float = 168.0,
+    dry_run: bool = False,
+) -> list:
+    """Jar-less VACUUM: delete data files that the CURRENT snapshot does
+    not reference and whose modification time is older than the
+    retention window — Delta's semantics (time travel to versions whose
+    files are swept stops working; the log itself is never deleted).
+    Also sweeps the orphans this writer can produce (staged files of a
+    skipped idempotent replay or a lost commit race). DV files
+    referenced by live adds are protected.
+
+    Returns the (relative) paths removed; ``dry_run`` lists without
+    deleting."""
+    import time as _time
+
+    dest = os.path.abspath(path.rstrip("/"))
+    t = DeltaLogTable(spark, dest)
+    snap = t.snapshot()
+    live = {os.path.normpath(f.path) for f in snap.files}
+    dv_files = set()
+    for f in snap.files:
+        if f.dv is not None and f.dv["storageType"] in ("u", "p"):
+            from dc43_spark.io.dv import dv_absolute_path
+
+            dv_files.add(os.path.normpath(
+                os.path.relpath(dv_absolute_path(dest, f.dv), dest)
+            ))
+    cutoff = _time.time() - retain_hours * 3600.0
+    swept = []
+    for root, dirs, names in os.walk(dest):
+        rel_root = os.path.relpath(root, dest)
+        if rel_root.split(os.sep)[0] == "_delta_log":
+            dirs[:] = []
+            continue
+        for n in names:
+            rel = os.path.normpath(
+                n if rel_root == "." else os.path.join(rel_root, n)
+            )
+            if rel in live or rel in dv_files:
+                continue
+            if not (n.endswith(".parquet") or n.endswith(".bin")):
+                continue
+            full = os.path.join(root, n)
+            if os.path.getmtime(full) >= cutoff:
+                continue
+            swept.append(rel)
+            if not dry_run:
+                os.unlink(full)
+    return sorted(swept)

@@ -341,3 +341,92 @@ def test_delta_streaming_sink_exactly_once(spark, tmp_path):
     )
     q.awaitTermination(300)
     assert DeltaLogTable(spark, table).read().count() == 2
+
+
+def test_optimize_bin_packs_invisible_to_streams(spark, tmp_path):
+    """OPTIMIZE packs small files per partition into one dataChange=false
+    commit: rows identical, file count drops, time travel intact, and a
+    stream over the table never sees the re-layout."""
+    from dc43_spark.io.delta_log import delta_optimize
+    from dc43_spark.io.delta_source import DeltaLogDataSource
+
+    t = str(tmp_path / "t")
+    for lo in range(0, 12, 2):
+        delta_write(
+            spark,
+            spark.range(lo, lo + 2).select(
+                F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+            ),
+            t, partition_by=["p"], checkpoint_interval=None,
+        )
+    d = DeltaLogTable(spark, t)
+    before = len(d.snapshot().files)
+    assert before == 12  # 6 writes x 2 partitions
+    v = delta_optimize(spark, t, target_file_mb=64)
+    assert v == 6
+    d = DeltaLogTable(spark, t)
+    assert len(d.snapshot().files) == 2  # one packed file per partition
+    assert {r.k for r in d.read().collect()} == set(range(12))
+    assert len(d.read(version_as_of=5).collect()) == 12  # pre-optimize
+    # partition values survived the re-layout
+    assert {r.k for r in d.read(filters=[("p", "=", 1)]).collect()} == {
+        1, 3, 5, 7, 9, 11,
+    }
+    # idempotent: nothing left to pack
+    assert delta_optimize(spark, t, target_file_mb=64) is None
+    # streams skip the layout-only commit entirely
+    spark.dataSource.register(DeltaLogDataSource)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("deltalog").load(t)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert spark.read.parquet(out).count() == 12  # no duplicate replay
+
+
+def test_vacuum_sweeps_unreferenced_and_orphans(spark, tmp_path):
+    """VACUUM deletes files the head doesn't reference once past
+    retention — overwritten data, optimize leftovers, and the orphan a
+    skipped txn replay staged — while live data and referenced DV files
+    survive; swept old versions stop reading, the head keeps reading."""
+    from dc43_spark.io.delta_log import delta_optimize, delta_vacuum
+
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 4), t)                     # v0
+    delta_write(spark, _df(spark, 100, 102), t, mode="overwrite")  # v1
+    delta_write(spark, _df(spark, 102, 104), t)                 # v2
+    # orphan: a replayed txn stages files, then skips the commit
+    delta_write(spark, _df(spark, 9, 10), t, txn={"appId": "a", "version": 0})
+    assert delta_write(spark, _df(spark, 9, 10), t,
+                       txn={"appId": "a", "version": 0}) is None
+
+    # retention guards recent files: nothing sweeps at the default window
+    assert delta_vacuum(spark, t) == []
+    swept = delta_vacuum(spark, t, retain_hours=0, dry_run=True)
+    assert swept and all(s.endswith(".parquet") for s in swept)
+    # dry run deleted nothing
+    assert delta_vacuum(spark, t, retain_hours=0, dry_run=True) == swept
+    assert delta_vacuum(spark, t, retain_hours=0) == swept
+    d = DeltaLogTable(spark, t)
+    assert {r.k for r in d.read().collect()} == {100, 101, 102, 103, 9}
+    # v0's data file is gone: the pinned read now fails at scan time
+    with pytest.raises(Exception):
+        d.read(version_as_of=0).collect()
+
+
+def test_vacuum_protects_referenced_dv_files(spark, tmp_path):
+    from dc43_spark.io.delta_log import delta_vacuum, export_delta_snapshot
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    src = SnaplogTable(spark, str(tmp_path / "src"))
+    src.write(_df(spark, 0, 6), mode="overwrite")
+    src.delete([("k", "=", 2)], strategy="merge_on_read")
+    dest = export_delta_snapshot(src, str(tmp_path / "delta"))
+    assert delta_vacuum(spark, dest, retain_hours=0) == []
+    d = DeltaLogTable(spark, dest)
+    assert {r.k for r in d.read().collect()} == set(range(6)) - {2}
