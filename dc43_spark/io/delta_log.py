@@ -1149,12 +1149,20 @@ def _delta_row_rules(meta: dict, schema: StructType) -> dict:
 def _enforce_delta_rules(df: DataFrame, rules: dict) -> None:
     if not rules:
         return
-    row = df.agg(
-        *[
-            F.sum(F.when(F.expr(f"NOT ({e})"), 1).otherwise(0)).alias(n)
-            for n, e in sorted(rules.items())
-        ]
-    ).first()
+    try:
+        row = df.agg(
+            *[
+                F.sum(F.when(F.expr(f"NOT ({e})"), 1).otherwise(0)).alias(n)
+                for n, e in sorted(rules.items())
+            ]
+        ).first()
+    except Exception as exc:
+        # a rule referencing a column the frame omits (merge_schema
+        # append dropping an invariant-bearing column) must refuse, not
+        # land rows that silently violate the rule as NULLs
+        raise DeltaWriteError(
+            f"table rule not checkable against this frame: {exc}"
+        ) from exc
     bad = {n: int(row[n] or 0) for n in sorted(rules) if row[n]}
     if bad:
         raise DeltaWriteError(
@@ -1171,6 +1179,7 @@ def delta_write(
     mode: str = "append",
     partition_by: Optional[Sequence[str]] = None,
     txn: Optional[dict] = None,
+    merge_schema: bool = False,
     checkpoint_interval: Optional[int] = 10,
 ) -> Optional[int]:
     """Jar-less Delta WRITE — the safe subset: create, blind append,
@@ -1236,10 +1245,24 @@ def delta_write(
             want = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
             got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
             if want != got:
-                raise ValueError(
-                    f"append schema mismatch: table has {sorted(want.items())}, "
-                    f"append has {sorted(got.items())}"
+                conflicts = sorted(
+                    n for n in want.keys() & got.keys() if want[n] != got[n]
                 )
+                if conflicts:
+                    raise ValueError(
+                        f"append type mismatch on column(s) {conflicts}: "
+                        f"table has {[(n, want[n]) for n in conflicts]}, "
+                        f"append has {[(n, got[n]) for n in conflicts]}; "
+                        "overwrite to change a column's type"
+                    )
+                if not merge_schema:
+                    raise ValueError(
+                        f"append schema mismatch: table has "
+                        f"{sorted(want.items())}, append has "
+                        f"{sorted(got.items())}; pass merge_schema=True for "
+                        "additive evolution (new columns / omitted nullable "
+                        "columns — Delta's mergeSchema)"
+                    )
         _enforce_delta_rules(df, _delta_row_rules(meta, snap.schema))
     else:
         part_cols = list(partition_by or ())
@@ -1350,7 +1373,9 @@ def delta_write(
                         for f in snap.schema.fields}
                 got = {f.name: f.dataType.simpleString()
                        for f in df.schema.fields}
-                if want != got:
+                conflicts = {n for n in want.keys() & got.keys()
+                             if want[n] != got[n]}
+                if conflicts or (want != got and not merge_schema):
                     raise DeltaProtocolError(
                         "table schema changed concurrently; the staged "
                         "files no longer match"
@@ -1371,6 +1396,18 @@ def delta_write(
                     new_meta = dict(meta)
                     new_meta["schemaString"] = df.schema.json()
                     new_meta["partitionColumns"] = part_cols
+                    actions.append({"metaData": new_meta})
+            else:
+                new_cols = [f for f in df.schema.fields
+                            if f.name not in {x.name for x in snap.schema.fields}]
+                if new_cols:
+                    # additive evolution: the append commit carries the
+                    # UNION schema (existing order + new columns at the
+                    # end); older files read the new columns as NULL
+                    evolved = StructType(list(snap.schema.fields) + new_cols)
+                    _, meta_now = _raw_protocol_meta(t, head)
+                    new_meta = dict(meta_now)
+                    new_meta["schemaString"] = evolved.json()
                     actions.append({"metaData": new_meta})
             next_version = head + 1
         actions += [{"add": a} for a in adds]

@@ -430,3 +430,51 @@ def test_vacuum_protects_referenced_dv_files(spark, tmp_path):
     assert delta_vacuum(spark, dest, retain_hours=0) == []
     d = DeltaLogTable(spark, dest)
     assert {r.k for r in d.read().collect()} == set(range(6)) - {2}
+
+
+def test_merge_schema_additive_evolution(spark, tmp_path):
+    """mergeSchema on the jar-less append: a NEW column extends the
+    table schema in the same commit (older files read NULL), an OMITTED
+    nullable column reads NULL for the new rows, a TYPE change still
+    refuses, and without the flag drift fails loudly."""
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 2), t)
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        delta_write(
+            spark,
+            spark.createDataFrame([(5, "z", 1.5)], "k long, v string, w double")
+            .coalesce(1),
+            t,
+        )
+    delta_write(
+        spark,
+        spark.createDataFrame([(5, "z", 1.5)], "k long, v string, w double")
+        .coalesce(1),
+        t, merge_schema=True,
+    )
+    d = DeltaLogTable(spark, t)
+    assert [f.name for f in d.snapshot().schema.fields] == ["k", "v", "w"]
+    got = {(r.k, r.v, r.w) for r in d.read().collect()}
+    assert got == {(0, "x", None), (1, "x", None), (5, "z", 1.5)}
+    # omitted nullable column: new rows read NULL for it
+    delta_write(
+        spark,
+        spark.createDataFrame([(9, 2.5)], "k long, w double").coalesce(1),
+        t, merge_schema=True,
+    )
+    d = DeltaLogTable(spark, t)
+    assert {(r.k, r.v, r.w) for r in d.read().collect()} == {
+        (0, "x", None), (1, "x", None), (5, "z", 1.5), (9, None, 2.5),
+    }
+    # type changes never merge
+    with pytest.raises(ValueError, match="type mismatch"):
+        delta_write(
+            spark,
+            spark.createDataFrame([("s",)], "k string").coalesce(1),
+            t, merge_schema=True,
+        )
+    # the pre-evolution version still reads under its own schema
+    assert [f.name for f in d.snapshot(0).schema.fields] == ["k", "v"]
+    assert {(r.k, r.v) for r in d.read(version_as_of=0).collect()} == {
+        (0, "x"), (1, "x"),
+    }
