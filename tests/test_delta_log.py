@@ -835,3 +835,65 @@ def test_sync_delta_export_incremental_mirror(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="schema or partition"):
         sync_delta_export(t, dest)
+
+
+def test_v2_checkpoint_sidecar_carries_deletion_vectors(spark, tmp_path):
+    """Protocol cross-product: a v2 checkpoint whose SIDECAR add rows
+    carry deletionVector structs — the snapshot must apply the DV even
+    when every JSON commit is vacuumed."""
+    import uuid
+
+    t = str(tmp_path / "t")
+    a1 = _data_file(t, "f1.parquet", [(k, f"s{k}") for k in range(6)])
+    proto = _protocol(reader=3, writer=7,
+                      reader_features=["deletionVectors", "v2Checkpoint"])
+    _commit(t, 0, [proto, _meta(), a1])
+    dv = _dv_add(t, a1, [1, 4])
+    _commit(t, 1, [dv])
+
+    s1 = _sidecar(t, "dv_side.parquet", [dv])
+    log = os.path.join(t, "_delta_log")
+    lines = [
+        {"checkpointMetadata": {"version": 1}},
+        {"sidecar": {"path": s1, "sizeInBytes": 1}},
+        _meta(),
+        proto,
+    ]
+    with open(os.path.join(log, f"{1:020d}.checkpoint.{uuid.uuid4()}.json"),
+              "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in lines)
+    os.unlink(os.path.join(log, f"{0:020d}.json"))
+    os.unlink(os.path.join(log, f"{1:020d}.json"))
+
+    d = DeltaLogTable(spark, t)
+    assert {r.k for r in d.read(version_as_of=1).collect()} == {0, 2, 3, 5}
+
+
+def test_own_checkpoint_roundtrips_deletion_vectors(spark, tmp_path):
+    """write_delta_checkpoint on a DV-bearing mirror: the descriptor
+    survives the checkpoint row and the table reads after its JSON
+    commits are vacuumed."""
+    from dc43_spark.io.delta_log import (
+        export_delta_snapshot,
+        sync_delta_export,
+        write_delta_checkpoint,
+    )
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    src = SnaplogTable(spark, str(tmp_path / "src"))
+    src.write(
+        spark.createDataFrame([(k, f"s{k}") for k in range(8)],
+                              "k long, v string").coalesce(1),
+        mode="overwrite",
+    )
+    dest = export_delta_snapshot(src, str(tmp_path / "delta"))
+    src.delete([("k", "in", (0, 6))], strategy="merge_on_read")
+    sync_delta_export(src, dest)
+
+    d = DeltaLogTable(spark, dest)
+    write_delta_checkpoint(d)
+    log = os.path.join(dest, "_delta_log")
+    for v in (0, 1):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    d2 = DeltaLogTable(spark, dest)
+    assert {r.k for r in d2.read().collect()} == set(range(8)) - {0, 6}
