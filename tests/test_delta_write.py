@@ -478,3 +478,94 @@ def test_merge_schema_additive_evolution(spark, tmp_path):
     assert {(r.k, r.v) for r in d.read(version_as_of=0).collect()} == {
         (0, "x"), (1, "x"),
     }
+
+
+# --------------------------------------------------------------------------
+# model-based: random op sequences vs a pure-Python model (hypothesis)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_DELTA_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"),
+                  st.lists(st.integers(0, 9), min_size=1, max_size=4)),
+        st.tuples(st.just("overwrite"),
+                  st.lists(st.integers(0, 9), min_size=1, max_size=4)),
+        st.tuples(st.just("txn"),
+                  st.tuples(st.integers(0, 3),
+                            st.lists(st.integers(0, 9), min_size=1,
+                                     max_size=3))),
+        st.tuples(st.just("optimize"), st.just([])),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(ops=_DELTA_OPS)
+def test_delta_write_matches_model_under_random_sequences(
+    spark, tmp_path_factory, ops
+):
+    """Model check for the jar-less writer: any interleaving of append /
+    overwrite / idempotent-txn append (with replays) / optimize — under
+    checkpoint_interval=3 so checkpoints land mid-soup — must leave the
+    head matching a list-model replay AND every historic version still
+    reading back its own recorded multiset through the independent
+    reader (optimize must never mutate history)."""
+    from collections import Counter
+
+    from dc43_spark.io.delta_log import delta_optimize
+
+    path = str(tmp_path_factory.mktemp("delta_model") / "t")
+
+    def mk(keys):
+        return spark.createDataFrame(
+            [(k, f"s{k}") for k in keys], "k long, v string"
+        ).coalesce(1)
+
+    rows: list = []       # model multiset of keys
+    history: list = []    # per committed version: tuple(sorted(rows))
+    last_txn = -1
+
+    for op, arg in ops:
+        if op == "append":
+            v = delta_write(spark, mk(arg), path, checkpoint_interval=3)
+            rows += arg
+            history.append(tuple(sorted(rows)))
+            assert v == len(history) - 1
+        elif op == "overwrite":
+            delta_write(spark, mk(arg), path, mode="overwrite",
+                        checkpoint_interval=3)
+            rows = list(arg)
+            history.append(tuple(sorted(rows)))
+        elif op == "txn":
+            ver, keys = arg
+            if not history:
+                continue  # ledger check needs an existing table; skip
+            got = delta_write(spark, mk(keys), path,
+                              txn={"appId": "soup", "version": ver},
+                              checkpoint_interval=3)
+            if ver <= last_txn:
+                assert got is None  # replay swallowed, no commit
+            else:
+                rows += keys
+                history.append(tuple(sorted(rows)))
+                last_txn = ver
+        elif op == "optimize":
+            if not history:
+                continue
+            got = delta_optimize(spark, path, target_file_mb=64)
+            if got is not None:
+                history.append(tuple(sorted(rows)))  # layout-only commit
+
+    if not history:
+        return
+    d = DeltaLogTable(spark, path)
+    assert d.version() == len(history) - 1
+    got = Counter(r.k for r in d.read().collect())
+    assert got == Counter(rows)
+    for v, want in enumerate(history):
+        at = Counter(r.k for r in d.read(version_as_of=v).collect())
+        assert at == Counter(want), f"v{v}"

@@ -108,3 +108,37 @@ def test_descriptor_resolution(tmp_path):
     bad = dict(desc, cardinality=3)
     with pytest.raises(ValueError, match="cardinality"):
         dv.decode_dv_descriptor(table, bad)
+
+
+# --------------------------------------------------------------------------
+# property-based: any position set round-trips (hypothesis)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SPARSE = st.lists(st.integers(0, 2**40), max_size=200)
+_DENSE = st.tuples(
+    st.integers(0, 2**33), st.integers(4000, 9000)
+).map(lambda t: list(range(t[0], t[0] + t[1])))  # forces bitmap containers
+
+
+@settings(max_examples=60, deadline=None)
+@given(positions=st.one_of(_SPARSE, _DENSE))
+def test_blob_roundtrip_property(positions):
+    assert dv.parse_dv_blob(dv.serialize_dv_blob(positions)).tolist() == sorted(
+        set(positions)
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    groups=st.lists(
+        st.lists(st.integers(0, 2**20), max_size=50), min_size=1, max_size=4
+    )
+)
+def test_file_framing_roundtrip_property(groups, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("dv") / "deletion_vector_p.bin")
+    blobs = [dv.serialize_dv_blob(g) for g in groups]
+    offsets = dv.write_dv_file(p, blobs)
+    for g, blob, off in zip(groups, blobs, offsets):
+        assert dv.read_dv_from_file(p, off, len(blob)).tolist() == sorted(set(g))
