@@ -44,28 +44,51 @@ class SnaplogCatalog:
             raise ValueError(f"table name {name!r} must be an identifier")
         return os.path.join(self.root, name)
 
+    def format_of(self, name: str) -> Optional[str]:
+        """``"snaplog"`` / ``"delta"`` (a ``_delta_log`` directory — read
+        through the jar-less protocol reader) / None when absent. The
+        catalog root can hold BOTH formats side by side; SQL spans them."""
+        path = self._path(name)
+        if SnaplogTable.is_snaplog(path):
+            return "snaplog"
+        if os.path.isdir(os.path.join(path, "_delta_log")):
+            return "delta"
+        return None
+
     def table(self, name: str, **overrides) -> SnaplogTable:
-        """Handle for ``name`` (created lazily on first write, like any
-        snaplog path). ``overrides`` beat the catalog-level defaults."""
+        """Snaplog handle for ``name`` (created lazily on first write,
+        like any snaplog path). ``overrides`` beat the catalog-level
+        defaults. Delta tables get ``delta_table``."""
+        if self.format_of(name) == "delta":
+            raise ValueError(
+                f"{name!r} is a Delta table; use delta_table({name!r})"
+            )
         kw = {**self.table_defaults, **overrides}
         return SnaplogTable(self.spark, self._path(name), **kw)
+
+    def delta_table(self, name: str):
+        """Jar-less Delta handle for ``name`` (io/delta_log.py)."""
+        from dc43_spark.io.delta_log import DeltaLogTable
+
+        if self.format_of(name) != "delta":
+            raise ValueError(f"no Delta table {name!r} in {self.root}")
+        return DeltaLogTable(self.spark, self._path(name))
 
     def tables(self) -> list:
         return sorted(
             n
             for n in os.listdir(self.root)
-            if _NAME_RE.match(n)
-            and SnaplogTable.is_snaplog(os.path.join(self.root, n))
+            if _NAME_RE.match(n) and self.format_of(n) is not None
         )
 
     def exists(self, name: str) -> bool:
-        return SnaplogTable.is_snaplog(self._path(name))
+        return self.format_of(name) is not None
 
     def drop(self, name: str, *, purge: bool = False) -> None:
-        """Remove a table. Data deletion is explicit: without ``purge``
-        a table that still holds commits is refused."""
+        """Remove a table (either format). Data deletion is explicit:
+        without ``purge`` a table that still holds commits is refused."""
         path = self._path(name)
-        if not SnaplogTable.is_snaplog(path):
+        if self.format_of(name) is None:
             raise ValueError(f"no table {name!r} in {self.root}")
         if not purge:
             raise ValueError(
@@ -88,10 +111,18 @@ class SnaplogCatalog:
         out = []
         for name in names if names is not None else self.tables():
             path = self._path(name)
-            if not SnaplogTable.is_snaplog(path):
+            fmt = self.format_of(name)
+            if fmt is None:
                 raise ValueError(f"no table {name!r} in {self.root}")
+            if fmt == "delta":
+                from dc43_spark.io.delta_source import DeltaLogDataSource
+
+                self.spark.dataSource.register(DeltaLogDataSource)
+                source = "deltalog"
+            else:
+                source = "snaplog"
             view = f"{prefix}{name}"
-            self.spark.read.format("snaplog").load(path).createOrReplaceTempView(
+            self.spark.read.format(source).load(path).createOrReplaceTempView(
                 view
             )
             out.append(view)
@@ -148,6 +179,13 @@ class SnaplogCatalog:
             if not self.exists(name):
                 raise ValueError(f"no table {name!r} in {self.root}")
             df = self.sql(select, tables=tables)
+            if self.format_of(name) == "delta":
+                from dc43_spark.io.delta_log import delta_write
+
+                return self._status(
+                    name,
+                    delta_write(self.spark, df, self._path(name), mode="append"),
+                )
             return self._status(name, self.table(name).write(df, mode="append"))
         m = _DDL_DROP.match(query)
         if m:

@@ -163,3 +163,48 @@ def test_sql_ddl_passthrough(spark, tmp_path):
     cat.sql("DROP TABLE IF EXISTS big PURGE")  # no-op
     with pytest.raises(ValueError, match="no table"):
         cat.sql("DROP TABLE big PURGE")
+
+
+def test_mixed_catalog_spans_snaplog_and_delta(spark, tmp_path):
+    """One catalog root, both formats: a jar-less Delta table (a real
+    _delta_log) lists, registers through the deltalog source, JOINs
+    against snaplog tables in one SQL, takes INSERT INTO through
+    delta_write, and drops with the same purge discipline."""
+    from dc43_spark.io.delta_log import delta_write
+
+    cat = SnaplogCatalog(spark, str(tmp_path / "wh"))
+    cat.table("dims").write(
+        spark.createDataFrame([(0, "even"), (1, "odd")], "p long, name string")
+        .coalesce(1),
+        mode="overwrite",
+    )
+    delta_write(
+        spark,
+        spark.range(10).select(F.col("id").alias("k"),
+                               (F.col("id") % 2).alias("p")),
+        cat._path("facts"),
+    )
+
+    assert cat.tables() == ["dims", "facts"]
+    assert cat.format_of("facts") == "delta" and cat.format_of("dims") == "snaplog"
+    with pytest.raises(ValueError, match="delta_table"):
+        cat.table("facts")
+    assert cat.delta_table("facts").read().count() == 10
+
+    got = {
+        (r.name, r.n)
+        for r in cat.sql(
+            "SELECT d.name, COUNT(*) AS n FROM facts f "
+            "JOIN dims d USING (p) GROUP BY d.name"
+        ).collect()
+    }
+    assert got == {("even", 5), ("odd", 5)}
+
+    st = cat.sql("INSERT INTO facts SELECT CAST(100 AS BIGINT) AS k, CAST(0 AS BIGINT) AS p").collect()[0]
+    assert st.version == 1
+    assert cat.delta_table("facts").read().count() == 11
+
+    with pytest.raises(ValueError, match="PURGE"):
+        cat.sql("DROP TABLE facts")
+    cat.sql("DROP TABLE facts PURGE")
+    assert cat.tables() == ["dims"]
