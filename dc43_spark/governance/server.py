@@ -130,7 +130,9 @@ class _Handler(BaseHTTPRequestHandler):
 
             if seg == ["ui"]:
                 return self._send_html(
-                    200, webui.render_index(self._contracts, self._gov)
+                    200,
+                    webui.render_index(self._contracts, self._gov,
+                                       self._products),
                 )
             if seg == ["ui", "author"]:
                 return self._send_html(200, webui.render_author_form())

@@ -52,7 +52,7 @@ def _status_cell(status: Any) -> str:
     return f'<span class="{text if text in ("ok", "warn", "block") else ""}">{text}</span>'
 
 
-def render_index(contract_store, governance_store) -> str:
+def render_index(contract_store, governance_store, product_store=None) -> str:
     contract_rows = []
     for cid in contract_store.list_ids():
         versions = contract_store.versions(cid)
@@ -90,7 +90,23 @@ def render_index(contract_store, governance_store) -> str:
         if draft_rows
         else "<p>(none)</p>"
     )
-    body += '<p><a href="/ui/author">author a new contract draft</a></p>'
+    if product_store is not None:
+        product_rows = [
+            [
+                f'<a href="/ui/products/{quote(pid, safe="")}">{escape(pid)}</a>',
+                escape(", ".join(product_store.versions(pid))),
+            ]
+            for pid in product_store.list_ids()
+        ]
+        body += "<h2>Data products</h2>" + (
+            _table(["product", "versions"], product_rows)
+            if product_rows
+            else "<p>(none)</p>"
+        )
+    body += (
+        '<p><a href="/ui/author">author a new contract draft</a> · '
+        '<a href="/ui/author-product">author a data product</a></p>'
+    )
     return _PAGE.format(title="dc43 governance", body=body)
 
 

@@ -648,8 +648,9 @@ def delta_read_fallback(
     spark: SparkSession, path: str, options: Optional[dict] = None
 ) -> DataFrame:
     """The io/read.py hook: honor the emitted Delta reader options
-    (versionAsOf / timestampAsOf, ISO or unix seconds) through this
-    protocol reader when delta-spark is absent."""
+    (versionAsOf / timestampAsOf, ISO or unix seconds; ``filters`` —
+    the same pyarrow-DNF data-skipping option governed snaplog reads
+    take) through this protocol reader when delta-spark is absent."""
     options = options or {}
     version = options.get("versionAsOf")
     ts = options.get("timestampAsOf")
@@ -662,6 +663,7 @@ def delta_read_fallback(
     return t.read(
         version_as_of=int(version) if version is not None else None,
         timestamp_as_of=ts,
+        filters=options.get("filters"),
     )
 
 

@@ -327,6 +327,10 @@ def test_read_fallback_options(spark, tmp_path):
         r.k
         for r in delta_read_fallback(spark, t, {"timestampAsOf": iso}).collect()
     } == {1}
+    # filters option: same data-skipping spelling as governed snaplog reads
+    pruned = delta_read_fallback(spark, t, {"filters": [("k", "=", 2)]})
+    assert len(pruned.inputFiles()) == 1
+    assert {r.k for r in pruned.collect()} == {2}
 
 
 def test_governed_read_path_falls_back_without_the_jar(spark, tmp_path):
