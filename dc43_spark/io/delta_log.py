@@ -1725,3 +1725,163 @@ def delta_vacuum(
             if not dry_run:
                 os.unlink(full)
     return sorted(swept)
+
+
+# ---------------- batch change data feed (Delta's table_changes)
+
+
+def _delta_table_changes(
+    t: DeltaLogTable,
+    starting_version: int,
+    ending_version: Optional[int] = None,
+) -> DataFrame:
+    """Row-level changes in ``[starting_version, ending_version]`` from a
+    real Delta log — Delta's ``table_changes`` without the jar. Each row
+    carries ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``.
+
+    Sources per commit, following the protocol's CDF rules:
+    - ``cdc`` actions present -> AUTHORITATIVE: read the ``_change_data``
+      parquet files (they carry ``_change_type`` incl. update pre/post
+      images); the commit's add/remove actions are storage bookkeeping.
+    - else NEW-path adds derive inserts (under the add's own DV); a
+      re-add of an existing path whose deletion vector GREW derives
+      deletes for exactly the newly-deleted positions; full-file removes
+      derive deletes by reading the removed file under its PRIOR vector
+      (raises if vacuum already swept it).
+    - any other rewrite of an existing path without cdc files refuses —
+      row-level truth is not reconstructible from file actions.
+
+    Driver cost: one state reconstruction at ``starting_version - 1``
+    plus an O(actions) replay across the range; per-commit positional
+    filters ship as broadcast (anti-)joins on ``_metadata.row_index``,
+    bounded by the commit's own change volume."""
+    head = t.version()
+    if head is None:
+        raise FileNotFoundError(f"no Delta log at {t.log_dir}")
+    end = head if ending_version is None else ending_version
+    if starting_version > end:
+        raise ValueError(f"starting_version {starting_version} > end {end}")
+
+    from dc43_spark.io.dv import decode_dv_descriptor
+
+    spark = t.spark
+    snap_schema = t.snapshot(end).schema
+    data_cols = [f.name for f in snap_schema.fields]
+    # running raw-add state, advanced commit by commit (O(range), not
+    # O(range x history))
+    state = t._collect_state(starting_version - 1)[0] if starting_version > 0 else {}
+    out_parts: list = []
+
+    def _tagged(df: DataFrame, change: Optional[str], v: int, ts: float) -> DataFrame:
+        if change is not None:
+            df = df.withColumn("_change_type", F.lit(change))
+        return df.select(
+            *data_cols, "_change_type",
+            F.lit(v).cast("long").alias("_commit_version"),
+            F.lit(ts).cast("double").alias("_commit_timestamp"),
+        )
+
+    def _positions(add: Optional[dict]):
+        dv = (add or {}).get("deletionVector")
+        if not dv or dv.get("pathOrInlineDv") is None:
+            return frozenset()
+        return frozenset(
+            decode_dv_descriptor(t.path, {
+                "storageType": dv.get("storageType", "u"),
+                "pathOrInlineDv": dv["pathOrInlineDv"],
+                "offset": dv.get("offset") or 0,
+                "sizeInBytes": dv.get("sizeInBytes"),
+                "cardinality": dv.get("cardinality"),
+            }).tolist()
+        )
+
+    def _rows_at(rel_path: str, positions, mode: str) -> DataFrame:
+        """File rows KEPT at / DROPPED from ``positions`` via a broadcast
+        (anti-)join on the hidden row index — never an isin literal."""
+        df = spark.read.parquet(os.path.join(t.path, rel_path))
+        if not positions:
+            return df if mode == "drop" else df.limit(0)
+        cols = df.columns
+        pos_df = spark.createDataFrame(
+            [(int(p),) for p in sorted(positions)], "_pos long"
+        )
+        keyed = df.select("*", F.col("_metadata.row_index").alias("_pos_k"))
+        joined = keyed.join(
+            F.broadcast(pos_df), keyed["_pos_k"] == pos_df["_pos"],
+            "left_semi" if mode == "keep" else "left_anti",
+        )
+        return joined.select(*cols)
+
+    for v in range(max(starting_version, 0), end + 1):
+        ts = t._commit_timestamp(v)
+        cdc_paths, adds, removes = [], [], []
+        for action in t._commit_lines(v):
+            if "cdc" in action:
+                cdc_paths.append(_decode_path(action["cdc"]["path"]))
+            elif "add" in action:
+                adds.append(action["add"])
+            elif "remove" in action:
+                removes.append(action["remove"])
+        data_adds = [a for a in adds if a.get("dataChange", True)]
+        data_removes = [r for r in removes if r.get("dataChange", True)]
+        if cdc_paths:
+            df = spark.read.parquet(*[os.path.join(t.path, p) for p in cdc_paths])
+            out_parts.append(_tagged(df, None, v, ts))
+        else:
+            removed_paths = {_decode_path(r["path"]) for r in data_removes}
+            for a in data_adds:
+                p = _decode_path(a["path"])
+                prior = state.get(p)
+                if prior is None:
+                    out_parts.append(
+                        _tagged(_rows_at(p, _positions(a), "drop"), "insert", v, ts)
+                    )
+                    continue
+                new_set, old_set = _positions(a), _positions(prior)
+                if new_set >= old_set:
+                    newly = new_set - old_set
+                    if newly:
+                        out_parts.append(
+                            _tagged(_rows_at(p, newly, "keep"), "delete", v, ts)
+                        )
+                    removed_paths.discard(p)
+                    continue
+                raise DeltaProtocolError(
+                    f"commit v{v} rewrites {p} without change-data files; "
+                    "row-level changes are not reconstructible (enable CDF "
+                    "on the writer, or diff snapshots)"
+                )
+            for p in sorted(removed_paths):
+                prior = state.get(p)
+                if prior is None:
+                    continue  # tombstone for an already-absent path
+                out_parts.append(
+                    _tagged(_rows_at(p, _positions(prior), "drop"), "delete", v, ts)
+                )
+        # advance the running state past this commit
+        for a in adds:
+            state[_decode_path(a["path"])] = a
+        for r in removes:
+            state.pop(_decode_path(r["path"]), None)
+
+    if not out_parts:
+        from pyspark.sql.types import (
+            DoubleType, LongType, StringType, StructField,
+        )
+
+        empty = StructType(
+            list(snap_schema.fields)
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+                StructField("_commit_timestamp", DoubleType()),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+DeltaLogTable.table_changes = _delta_table_changes

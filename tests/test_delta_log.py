@@ -901,3 +901,82 @@ def test_own_checkpoint_roundtrips_deletion_vectors(spark, tmp_path):
         os.unlink(os.path.join(log, f"{v:020d}.json"))
     d2 = DeltaLogTable(spark, dest)
     assert {r.k for r in d2.read().collect()} == set(range(8)) - {0, 6}
+
+
+def test_table_changes_derived_and_authoritative(spark, tmp_path):
+    """Jar-less CDF: derived inserts for appends, derived deletes for
+    full-file removes and for DV growth on a surviving file (exactly the
+    newly-deleted positions), and AUTHORITATIVE cdc files when a commit
+    carries them — delta-spark's MERGE/UPDATE shape, hand-written."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from dc43_spark.io.delta_log import delta_write
+
+    t = str(tmp_path / "t")
+    delta_write(
+        spark,
+        spark.createDataFrame([(k, f"s{k}") for k in range(4)],
+                              "k long, v string").coalesce(1),
+        t,
+    )                                                     # v0 insert x4
+    delta_write(
+        spark,
+        spark.createDataFrame([(9, "z")], "k long, v string").coalesce(1),
+        t,
+    )                                                     # v1 insert x1
+
+    d = DeltaLogTable(spark, t)
+    ch = d.table_changes(0).collect()
+    by_v = {}
+    for r in ch:
+        by_v.setdefault(r._commit_version, []).append((r.k, r._change_type))
+    assert sorted(by_v[0]) == [(k, "insert") for k in range(4)]
+    assert by_v[1] == [(9, "insert")]
+
+    # v2: hand-written MOR delete — remove + re-add with a DV on k=2
+    add0 = None
+    for action in d._commit_lines(0):
+        if "add" in action:
+            add0 = action["add"]
+    dv_add = _dv_add(t, {"add": add0}, [2])  # position 2 == k=2 (sorted write)
+    _commit(t, 2, [
+        {"remove": {"path": add0["path"], "dataChange": True}},
+        dv_add,
+    ])
+    ch2 = {(r.k, r._change_type) for r in
+           DeltaLogTable(spark, t).table_changes(2, 2).collect()}
+    assert ch2 == {(2, "delete")}
+
+    # v3: hand-written authoritative cdc commit (update pre/post images)
+    cdc_rel = "_change_data/cdc-0.parquet"
+    os.makedirs(os.path.join(t, "_change_data"), exist_ok=True)
+    _pq.write_table(
+        _pa.table({
+            "k": _pa.array([9, 9], _pa.int64()),
+            "v": _pa.array(["z", "Z2"], _pa.string()),
+            "_change_type": _pa.array(
+                ["update_preimage", "update_postimage"], _pa.string()),
+        }),
+        os.path.join(t, cdc_rel),
+    )
+    _commit(t, 3, [{"cdc": {"path": cdc_rel, "partitionValues": {},
+                            "size": 1, "dataChange": False}}])
+    ch3 = {(r.k, r.v, r._change_type) for r in
+           DeltaLogTable(spark, t).table_changes(3, 3).collect()}
+    assert ch3 == {(9, "z", "update_preimage"), (9, "Z2", "update_postimage")}
+
+    # v4: full-file delete of v1's file derives delete rows
+    add1 = None
+    for action in DeltaLogTable(spark, t)._commit_lines(1):
+        if "add" in action:
+            add1 = action["add"]
+    _commit(t, 4, [{"remove": {"path": add1["path"], "dataChange": True}}])
+    ch4 = {(r.k, r._change_type) for r in
+           DeltaLogTable(spark, t).table_changes(4, 4).collect()}
+    assert ch4 == {(9, "delete")}
+
+    # windows compose and timestamps/versions ride along
+    allch = DeltaLogTable(spark, t).table_changes(0)
+    assert allch.filter("_change_type = 'delete'").count() == 2
+    assert {r._commit_version for r in allch.collect()} == {0, 1, 2, 3, 4}
