@@ -652,9 +652,16 @@ def delta_read_fallback(
     the same pyarrow-DNF data-skipping option governed snaplog reads
     take) through this protocol reader when delta-spark is absent."""
     options = options or {}
+    t = DeltaLogTable(spark, path)
+    if str(options.get("readChangeFeed", "")).lower() == "true":
+        # batch CDF, Delta's option spelling: startingVersion/endingVersion
+        return t.table_changes(
+            int(options.get("startingVersion", 0)),
+            (int(options["endingVersion"])
+             if options.get("endingVersion") is not None else None),
+        )
     version = options.get("versionAsOf")
     ts = options.get("timestampAsOf")
-    t = DeltaLogTable(spark, path)
     if ts is not None:
         try:
             ts = float(ts)

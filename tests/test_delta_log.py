@@ -980,3 +980,20 @@ def test_table_changes_derived_and_authoritative(spark, tmp_path):
     allch = DeltaLogTable(spark, t).table_changes(0)
     assert allch.filter("_change_type = 'delete'").count() == 2
     assert {r._commit_version for r in allch.collect()} == {0, 1, 2, 3, 4}
+
+
+def test_read_fallback_change_feed_option(spark, tmp_path):
+    """Delta's batch-CDF option spelling routes through table_changes on
+    the governed fallback."""
+    from dc43_spark.io.delta_log import delta_write
+
+    t = str(tmp_path / "t")
+    delta_write(spark, spark.createDataFrame([(1, "a")], "k long, v string")
+                .coalesce(1), t)
+    delta_write(spark, spark.createDataFrame([(2, "b")], "k long, v string")
+                .coalesce(1), t)
+    ch = delta_read_fallback(
+        spark, t, {"readChangeFeed": "true", "startingVersion": 1}
+    )
+    assert {(r.k, r._change_type, r._commit_version)
+            for r in ch.collect()} == {(2, "insert", 1)}
