@@ -1892,3 +1892,29 @@ def _delta_table_changes(
 
 
 DeltaLogTable.table_changes = _delta_table_changes
+
+
+def _delta_describe_detail(t: DeltaLogTable) -> dict:
+    """Operational summary (Delta's DESCRIBE DETAIL shape): format,
+    location, counts/bytes, partition columns, protocol, configuration —
+    driver-side metadata only."""
+    snap = t.snapshot()
+    protocol, meta = _raw_protocol_meta(t, snap.version)
+    return {
+        "format": "delta",
+        "location": t.path,
+        "version": snap.version,
+        "numFiles": len(snap.files),
+        "sizeInBytes": sum(f.size for f in snap.files),
+        "numDeletionVectors": sum(1 for f in snap.files if f.dv),
+        "partitionColumns": list(snap.partition_columns),
+        "minReaderVersion": protocol.get("minReaderVersion", 1),
+        "minWriterVersion": protocol.get("minWriterVersion", 2),
+        "readerFeatures": sorted(protocol.get("readerFeatures") or ()),
+        "writerFeatures": sorted(protocol.get("writerFeatures") or ()),
+        "configuration": dict(meta.get("configuration") or {}),
+        "id": meta.get("id"),
+    }
+
+
+DeltaLogTable.describe_detail = _delta_describe_detail

@@ -569,3 +569,18 @@ def test_delta_write_matches_model_under_random_sequences(
     for v, want in enumerate(history):
         at = Counter(r.k for r in d.read(version_as_of=v).collect())
         assert at == Counter(want), f"v{v}"
+
+
+def test_describe_detail(spark, tmp_path):
+    t = str(tmp_path / "t")
+    delta_write(
+        spark,
+        spark.range(4).select(F.col("id").alias("k"),
+                              (F.col("id") % 2).alias("p")).coalesce(1),
+        t, partition_by=["p"],
+    )
+    d = DeltaLogTable(spark, t).describe_detail()
+    assert d["format"] == "delta" and d["version"] == 0
+    assert d["numFiles"] == 2 and d["partitionColumns"] == ["p"]
+    assert d["sizeInBytes"] > 0 and d["numDeletionVectors"] == 0
+    assert d["minReaderVersion"] == 1 and d["minWriterVersion"] == 2
