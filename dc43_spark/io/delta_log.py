@@ -1122,16 +1122,42 @@ def _check_writer_protocol(protocol: dict, meta: dict, schema: StructType) -> No
         )
     for f in schema.fields:
         md = f.metadata or {}
-        if "delta.generatedAlwaysAs" in md:
-            raise DeltaWriteError(
-                f"column {f.name!r} is a generated column; this writer "
-                "does not compute generation expressions"
-            )
         if any(k.startswith("delta.identity.") for k in md):
             raise DeltaWriteError(
                 f"column {f.name!r} is an identity column; this writer "
                 "does not allocate identity values"
             )
+
+
+def _generated_columns(schema: StructType) -> dict:
+    """name -> generation SQL expression (field metadata
+    ``delta.generatedAlwaysAs`` — Delta's GENERATED ALWAYS AS)."""
+    return {
+        f.name: (f.metadata or {})["delta.generatedAlwaysAs"]
+        for f in schema.fields
+        if "delta.generatedAlwaysAs" in (f.metadata or {})
+    }
+
+
+def _apply_generated_columns(df: DataFrame, gen: dict) -> DataFrame:
+    """Compute ABSENT generated columns and validate PROVIDED ones
+    null-safely (a provided value differing from its expression is a
+    protocol violation — delta-spark raises the same way)."""
+    bad: dict = {}
+    for name, expr in sorted(gen.items()):
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr))
+            continue
+        mism = df.filter(~F.col(name).eqNullSafe(F.expr(expr))).count()
+        if mism:
+            bad[name] = mism
+    if bad:
+        raise DeltaWriteError(
+            "provided generated-column values disagree with their "
+            "expressions: "
+            + "; ".join(f"{n} -> {c} row(s)" for n, c in sorted(bad.items()))
+        )
+    return df
 
 
 def _delta_row_rules(meta: dict, schema: StructType) -> dict:
@@ -1237,11 +1263,17 @@ def delta_write(
             return None  # replayed batch: already committed atomically
     snap = t.snapshot() if exists else None
 
+    gen0: dict = {}
     if snap is not None:
         # writer gate needs the raw protocol + metaData, not just the
         # snapshot view
         protocol, meta = _raw_protocol_meta(t, snap.version)
         _check_writer_protocol(protocol, meta, snap.schema)
+        gen0 = _generated_columns(snap.schema)
+        if gen0:
+            # compute absent generated columns / validate provided ones
+            # BEFORE the schema gate so evolution sees the real shape
+            df = _apply_generated_columns(df, gen0)
         part_cols = list(snap.partition_columns)
         if partition_by is not None and list(partition_by) != part_cols:
             if mode != "overwrite":
@@ -1388,6 +1420,11 @@ def delta_write(
                     raise DeltaProtocolError(
                         "table schema changed concurrently; the staged "
                         "files no longer match"
+                    )
+                if _generated_columns(snap.schema) != gen0:
+                    raise DeltaProtocolError(
+                        "generated-column rules changed concurrently; the "
+                        "staged files were computed under the old rules"
                     )
                 _enforce_delta_rules(df, _delta_row_rules(meta, snap.schema))
                 base_version = head
@@ -1560,15 +1597,20 @@ def delta_optimize(
     spark: SparkSession,
     path: str,
     *,
-    target_file_mb: int = 128,
+    target_file_mb: float = 128,
+    zorder_by: Optional[Sequence[str]] = None,
 ) -> Optional[int]:
     """Jar-less OPTIMIZE: bin-pack small live files per partition tuple
-    into ~target-size files and land ONE ``dataChange=false`` commit
-    (remove olds + add replacements) — layout-only, invisible to
-    streams, rows unchanged. Conflict rule: the commit claims the next
-    version; if the head moved, the compaction retries only while every
-    input file is STILL live (a racer that removed one of our inputs
-    aborts the compaction — its rewrite supersedes ours).
+    into ~target-size files — or, with ``zorder_by``, rewrite EVERY live
+    file per partition as Morton-interleaved z-ordered layout
+    (io/zorder.py: one range-partition shuffle per group, so footer
+    min/max stats bound every listed column per file and stats pruning
+    serves them all) — and land ONE ``dataChange=false`` commit (remove
+    olds + add replacements): layout-only, invisible to streams, rows
+    unchanged. Conflict rule: the commit claims the next version; if the
+    head moved, it retries only while every input file is STILL live (a
+    racer that removed one of our inputs aborts — its rewrite supersedes
+    ours).
 
     Returns the committed version, or None when nothing needed packing."""
     import time as _time
@@ -1581,30 +1623,43 @@ def delta_optimize(
     snap = t.snapshot()
     protocol, meta = _raw_protocol_meta(t, snap.version)
     _check_writer_protocol(protocol, meta, snap.schema)
-    target = target_file_mb * (1 << 20)
+    target = int(target_file_mb * (1 << 20))
 
-    # bins: per partition tuple, files under half the target, packed
-    # greedily; singleton bins are already compact
     groups: dict = {}
     for f in snap.files:
         if f.dv is not None:
             continue  # DV-bearing files need a materializing rewrite
-        if f.size < target // 2:
+        if zorder_by or f.size < target // 2:
             key = tuple(sorted(f.partition_values.items()))
             groups.setdefault(key, []).append(f)
-    bins = []
-    for key, members in sorted(groups.items()):
-        members.sort(key=lambda f: f.size)
-        cur, cur_bytes = [], 0
-        for f in members:
-            if cur and cur_bytes + f.size > target:
+    if zorder_by:
+        bad = set(zorder_by) & set(snap.partition_columns)
+        if bad:
+            raise ValueError(
+                f"zorder_by must not repeat partition columns {sorted(bad)}; "
+                "partition values are constant per file"
+            )
+        missing = [c for c in zorder_by
+                   if c not in {f.name for f in snap.schema.fields}]
+        if missing:
+            raise ValueError(f"zorder_by columns not in schema: {missing}")
+        # ZORDER rewrites every group outright (Delta's OPTIMIZE ZORDER)
+        bins = sorted(groups.items())
+    else:
+        # greedy small-file bins; singleton bins are already compact
+        bins = []
+        for key, members in sorted(groups.items()):
+            members.sort(key=lambda f: f.size)
+            cur, cur_bytes = [], 0
+            for f in members:
+                if cur and cur_bytes + f.size > target:
+                    bins.append((key, cur))
+                    cur, cur_bytes = [], 0
+                cur.append(f)
+                cur_bytes += f.size
+            if len(cur) > 1:
                 bins.append((key, cur))
-                cur, cur_bytes = [], 0
-            cur.append(f)
-            cur_bytes += f.size
-        if len(cur) > 1:
-            bins.append((key, cur))
-    bins = [(k, m) for k, m in bins if len(m) > 1]
+        bins = [(k, m) for k, m in bins if len(m) > 1]
     if not bins:
         return None
 
@@ -1619,37 +1674,49 @@ def delta_optimize(
             spark.read.format("parquet")
             .schema(data_schema)
             .load([os.path.join(dest, m.path) for m in members])
-            .coalesce(1)
         )
+        if zorder_by:
+            from dc43_spark.io.zorder import zorder_repartition
+
+            total = sum(m.size for m in members)
+            df = zorder_repartition(
+                df, list(zorder_by), max(1, round(total / target))
+            )
+        else:
+            df = df.coalesce(1)
         staging = os.path.join(dest, f"_staging_{_uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
         import shutil
 
         try:
-            part = [
+            parts = sorted(
                 n for n in os.listdir(staging)
                 if n.endswith(".parquet") and not n.startswith((".", "_"))
-            ]
-            assert len(part) == 1, part
-            final = os.path.join(dest, part[0])
-            os.rename(os.path.join(staging, part[0]), final)
+            )
+            for n in parts:
+                os.rename(os.path.join(staging, n), os.path.join(dest, n))
         finally:
             shutil.rmtree(staging, ignore_errors=True)
-        rows, size, stats = _footer_stats(final)
-        st = {"numRecords": rows, "minValues": {}, "maxValues": {},
-              "nullCount": {}}
-        for c, s in stats.items():
-            st["minValues"][c] = s.get("min")
-            st["maxValues"][c] = s.get("max")
-            st["nullCount"][c] = s.get("nulls", 0)
-        adds.append({
-            "path": urllib.parse.quote(part[0]),
-            "partitionValues": dict(key),
-            "size": size,
-            "modificationTime": ts_ms,
-            "dataChange": False,
-            "stats": json.dumps(st),
-        })
+        for n in parts:
+            final = os.path.join(dest, n)
+            rows, size, stats = _footer_stats(final)
+            if rows == 0:
+                os.unlink(final)
+                continue
+            st = {"numRecords": rows, "minValues": {}, "maxValues": {},
+                  "nullCount": {}}
+            for c, s in stats.items():
+                st["minValues"][c] = s.get("min")
+                st["maxValues"][c] = s.get("max")
+                st["nullCount"][c] = s.get("nulls", 0)
+            adds.append({
+                "path": urllib.parse.quote(n),
+                "partitionValues": dict(key),
+                "size": size,
+                "modificationTime": ts_ms,
+                "dataChange": False,
+                "stats": json.dumps(st),
+            })
         removes += [m.path for m in members]
 
     claimer = LinkCommitClaimer()
@@ -1657,7 +1724,9 @@ def delta_optimize(
     actions = [
         {"commitInfo": {"timestamp": ts_ms, "operation": "OPTIMIZE",
                         "operationParameters": {
-                            "targetSize": str(target)}}},
+                            "targetSize": str(target),
+                            **({"zOrderBy": json.dumps(list(zorder_by))}
+                               if zorder_by else {})}}},
     ] + [
         {"remove": {"path": urllib.parse.quote(p), "dataChange": False,
                     "deletionTimestamp": ts_ms}}

@@ -98,11 +98,11 @@ def test_writer_protocol_gate(spark, tmp_path):
                         "writerFeatures": ["icebergCompatV2"]})
     with pytest.raises(DeltaWriteError, match="icebergCompatV2"):
         delta_write(spark, _df(spark, 2, 3), t)
-    # generated column refuses even though the FEATURE would pass
+    # identity column refuses even though a FEATURE flag alone wouldn't
     _amend(1, protocol={"minReaderVersion": 1, "minWriterVersion": 7,
-                        "writerFeatures": ["generatedColumns"]},
-           field_md={"delta.generatedAlwaysAs": "v || 'x'"})
-    with pytest.raises(DeltaWriteError, match="generated column"):
+                        "writerFeatures": ["identityColumns"]},
+           field_md={"delta.identity.start": 1, "delta.identity.step": 1})
+    with pytest.raises(DeltaWriteError, match="identity column"):
         delta_write(spark, _df(spark, 2, 3), t)
     # column mapping refuses
     _amend(1, meta_extra={"delta.columnMapping.mode": "name"})
@@ -584,3 +584,92 @@ def test_describe_detail(spark, tmp_path):
     assert d["numFiles"] == 2 and d["partitionColumns"] == ["p"]
     assert d["sizeInBytes"] > 0 and d["numDeletionVectors"] == 0
     assert d["minReaderVersion"] == 1 and d["minWriterVersion"] == 2
+
+
+def test_generated_columns_computed_and_validated(spark, tmp_path):
+    """GENERATED ALWAYS AS on the jar-less writer: an append missing the
+    generated column gets it computed from the expression; a provided
+    value that disagrees refuses; agreeing values pass."""
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 1, 3), t)
+    log = os.path.join(t, "_delta_log")
+    with open(os.path.join(log, f"{0:020d}.json")) as fh:
+        actions = [json.loads(ln) for ln in fh]
+    for a in actions:
+        if "metaData" in a:
+            schema = json.loads(a["metaData"]["schemaString"])
+            schema["fields"].append({
+                "name": "k2", "type": "long", "nullable": True,
+                "metadata": {"delta.generatedAlwaysAs": "k * 2"},
+            })
+            a["metaData"]["schemaString"] = json.dumps(schema)
+        if "add" in a:
+            a = None
+    actions = [a for a in actions if a and "add" not in a]
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in actions)
+    # ...and wipe the v0 rows so every live row has the generated column
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
+        for action in [{"commitInfo": {"timestamp": 1, "operation": "DELETE"}}]:
+            fh.write(json.dumps(action) + "\n")
+        d0 = DeltaLogTable(spark, t)
+        for f in d0.snapshot(0).files:
+            fh.write(json.dumps(
+                {"remove": {"path": f.path, "dataChange": True}}) + "\n")
+
+    # absent generated column: computed
+    delta_write(spark, _df(spark, 10, 12), t)
+    d = DeltaLogTable(spark, t)
+    assert {(r.k, r.k2) for r in d.read().collect()} == {(10, 20), (11, 22)}
+    # provided + agreeing: passes
+    delta_write(
+        spark,
+        spark.createDataFrame([(5, "x", 10)], "k long, v string, k2 long")
+        .coalesce(1),
+        t,
+    )
+    assert {(r.k, r.k2) for r in DeltaLogTable(spark, t).read().collect()} == {
+        (10, 20), (11, 22), (5, 10),
+    }
+    # provided + disagreeing: refuses
+    with pytest.raises(DeltaWriteError, match="disagree"):
+        delta_write(
+            spark,
+            spark.createDataFrame([(6, "y", 13)], "k long, v string, k2 long")
+            .coalesce(1),
+            t,
+        )
+
+
+def test_optimize_zorder_clusters_all_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: every live file rewrites as Morton-interleaved
+    layout, so footer stats prune on BOTH listed columns — including the
+    trailing one a linear sort can't serve."""
+    from dc43_spark.io.delta_log import delta_optimize
+
+    t = str(tmp_path / "t")
+    # 8 writes of interleaved (x, y) ranges -> 8 unclustered files
+    for i in range(8):
+        delta_write(
+            spark,
+            spark.range(i * 64, (i + 1) * 64).select(
+                (F.col("id") % 16).alias("x"),
+                ((F.col("id") * 7) % 16).alias("y"),
+                F.col("id").alias("payload"),
+            ).coalesce(1),
+            t, checkpoint_interval=None,
+        )
+    with pytest.raises(ValueError, match="not in schema"):
+        delta_optimize(spark, t, zorder_by=["nope"])
+    v = delta_optimize(spark, t, target_file_mb=0.003, zorder_by=["x", "y"])
+    assert v == 8
+    d = DeltaLogTable(spark, t)
+    files = d.snapshot().files
+    assert 1 < len(files) <= 8
+    assert d.read().count() == 512  # rows unchanged
+    # pruning now works on the TRAILING z-order column
+    total = len(files)
+    pruned_y = len(d.read(filters=[("y", "=", 3)]).inputFiles())
+    assert pruned_y < total, (pruned_y, total)
+    pruned_x = len(d.read(filters=[("x", "=", 3)]).inputFiles())
+    assert pruned_x < total, (pruned_x, total)
