@@ -26,3 +26,15 @@ def test_lakehouse_example_runs():
     assert "merge rewrote 1/" in proc.stdout
     assert "stream rows (after replay): 5" in proc.stdout
     assert "active after review:" in proc.stdout
+
+
+def test_delta_interop_example_runs():
+    proc = subprocess.run(
+        [sys.executable, "examples/delta_interop.py"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "txn replay skipped" in proc.stdout
+    assert "through format('deltalog')" in proc.stdout
+    assert "protocol deletion vectors" in proc.stdout
+    assert "status=ok" in proc.stdout
