@@ -501,17 +501,24 @@ class DeltaLogTable:
     def _apply_dvs(self, df: DataFrame, files: Sequence[DeltaFile]) -> DataFrame:
         """Filter out rows a deletion vector marks deleted. Descriptors
         ship as a tiny DataFrame; ``mapInPandas`` decodes each bitmap ON
-        an executor into ``(file, pos)`` rows (io/dv.py), which broadcast
-        anti-join against ``(_metadata.file_name, _metadata.row_index)``
-        — the same shape snaplog's own DV scan uses. Files without DVs
-        pay nothing beyond the join's null-side probe; a read with no
-        DV-bearing files returns ``df`` untouched."""
+        an executor into ``(file, rel, pos)`` rows (io/dv.py), which
+        broadcast anti-join against the scan's hidden lineage columns.
+        The join hashes on ``_metadata.file_name`` equality but ALSO
+        requires ``_metadata.file_path`` to end with the add's full
+        relative path (raw or URL-quoted — file_path is a URI): two live
+        files sharing a basename in different partition directories are
+        legal in Delta, and a basename-only key would cross-apply one
+        file's mask to the other. Files without DVs pay nothing beyond
+        the join's null-side probe; a read with no DV-bearing files
+        returns ``df`` untouched."""
         dv_files = [f for f in files if f.dv]
         if not dv_files:
             return df
         rows = [
             (
                 os.path.basename(f.path),
+                "/" + f.path.lstrip("/"),
+                "/" + urllib.parse.quote(f.path.lstrip("/")),
                 f.dv["storageType"],
                 f.dv["pathOrInlineDv"],
                 int(f.dv["offset"] or 0),
@@ -522,8 +529,8 @@ class DeltaLogTable:
         ]
         desc = self.spark.createDataFrame(
             rows,
-            "file string, storage string, spec string, "
-            "off long, size long, card long",
+            "file string, rel string, relq string, storage string, "
+            "spec string, off long, size long, card long",
         )
         table_path = self.path
 
@@ -544,19 +551,31 @@ class DeltaLogTable:
                             "cardinality": None if r.card < 0 else r.card,
                         },
                     )
-                    yield pd.DataFrame({"file": r.file, "pos": positions})
+                    yield pd.DataFrame(
+                        {"file": r.file, "rel": r.rel, "relq": r.relq,
+                         "pos": positions}
+                    )
 
-        deleted = desc.mapInPandas(_expand, "file string, pos long")
+        deleted = desc.mapInPandas(
+            _expand, "file string, rel string, relq string, pos long"
+        )
         cols = df.columns
         keyed = df.select(
             "*",
             F.col("_metadata.file_name").alias("_dv_file"),
+            F.col("_metadata.file_path").alias("_dv_path"),
             F.col("_metadata.row_index").alias("_dv_pos"),
         )
+        # equality on (basename, pos) drives a BroadcastHashJoin; the
+        # suffix check rides as a residual condition on matched pairs
         return keyed.join(
             F.broadcast(deleted),
             (keyed["_dv_file"] == deleted["file"])
-            & (keyed["_dv_pos"] == deleted["pos"]),
+            & (keyed["_dv_pos"] == deleted["pos"])
+            & (
+                keyed["_dv_path"].endswith(deleted["rel"])
+                | keyed["_dv_path"].endswith(deleted["relq"])
+            ),
             "left_anti",
         ).select(*cols)
 
@@ -1090,6 +1109,19 @@ class DeltaWriteError(RuntimeError):
     """The table requires writer capabilities this module doesn't have."""
 
 
+def _check_append_only(meta: dict, mode: str) -> None:
+    """``delta.appendOnly=true`` is a writer OBLIGATION, not just a
+    feature flag: any operation that emits dataChange=true removes
+    (overwrite, DELETE/UPDATE/MERGE) must refuse. Compaction
+    (dataChange=false) stays legal — it moves bytes, not rows."""
+    conf = meta.get("configuration") or {}
+    if mode != "append" and str(conf.get("delta.appendOnly", "")).lower() == "true":
+        raise DeltaWriteError(
+            f"table has delta.appendOnly=true; {mode!r} would remove "
+            "existing data — appends only"
+        )
+
+
 def _check_writer_protocol(protocol: dict, meta: dict, schema: StructType) -> None:
     """Refuse loudly unless every writer obligation is honorable.
 
@@ -1139,25 +1171,22 @@ def _generated_columns(schema: StructType) -> dict:
     }
 
 
-def _apply_generated_columns(df: DataFrame, gen: dict) -> DataFrame:
-    """Compute ABSENT generated columns and validate PROVIDED ones
-    null-safely (a provided value differing from its expression is a
-    protocol violation — delta-spark raises the same way)."""
-    bad: dict = {}
+def _apply_generated_columns(df: DataFrame, gen: dict) -> tuple:
+    """Compute ABSENT generated columns (no Spark action) and return
+    ``(df, rules)`` where ``rules`` are null-safe equality checks for the
+    PROVIDED ones — folded into the writer's single
+    ``_enforce_delta_rules`` aggregate alongside CHECK constraints and
+    invariants, so N generated columns + M constraints still cost ONE
+    Spark action per write (a provided value differing from its
+    expression is a protocol violation — delta-spark raises the same
+    way)."""
+    rules: dict = {}
     for name, expr in sorted(gen.items()):
         if name not in df.columns:
             df = df.withColumn(name, F.expr(expr))
-            continue
-        mism = df.filter(~F.col(name).eqNullSafe(F.expr(expr))).count()
-        if mism:
-            bad[name] = mism
-    if bad:
-        raise DeltaWriteError(
-            "provided generated-column values disagree with their "
-            "expressions: "
-            + "; ".join(f"{n} -> {c} row(s)" for n, c in sorted(bad.items()))
-        )
-    return df
+        else:
+            rules[f"generated({name})"] = f"`{name}` <=> ({expr})"
+    return df, rules
 
 
 def _delta_row_rules(meta: dict, schema: StructType) -> dict:
@@ -1264,16 +1293,19 @@ def delta_write(
     snap = t.snapshot() if exists else None
 
     gen0: dict = {}
+    gen_rules: dict = {}
     if snap is not None:
         # writer gate needs the raw protocol + metaData, not just the
         # snapshot view
         protocol, meta = _raw_protocol_meta(t, snap.version)
         _check_writer_protocol(protocol, meta, snap.schema)
+        _check_append_only(meta, mode)
         gen0 = _generated_columns(snap.schema)
         if gen0:
-            # compute absent generated columns / validate provided ones
-            # BEFORE the schema gate so evolution sees the real shape
-            df = _apply_generated_columns(df, gen0)
+            # compute absent generated columns / collect validation rules
+            # for provided ones BEFORE the schema gate so evolution sees
+            # the real shape; the rules join the constraint aggregate
+            df, gen_rules = _apply_generated_columns(df, gen0)
         part_cols = list(snap.partition_columns)
         if partition_by is not None and list(partition_by) != part_cols:
             if mode != "overwrite":
@@ -1304,7 +1336,9 @@ def delta_write(
                         "additive evolution (new columns / omitted nullable "
                         "columns — Delta's mergeSchema)"
                     )
-        _enforce_delta_rules(df, _delta_row_rules(meta, snap.schema))
+        _enforce_delta_rules(
+            df, {**_delta_row_rules(meta, snap.schema), **gen_rules}
+        )
     else:
         part_cols = list(partition_by or ())
         missing = [c for c in part_cols if c not in df.columns]
@@ -1333,14 +1367,19 @@ def delta_write(
                         if raw == "__HIVE_DEFAULT_PARTITION__"
                         else urllib.parse.unquote(raw)
                     )
-            for name in sorted(names):
-                if not name.endswith(".parquet") or name.startswith((".", "_")):
+            for src_name in sorted(names):
+                if not src_name.endswith(".parquet") or src_name.startswith((".", "_")):
                     continue
+                # per-file UUID names: Spark reuses one job UUID across a
+                # dynamic-partition write, so two partition dirs can get
+                # the SAME basename — unique names keep basename-keyed
+                # consumers (DV joins, export grouping) collision-free
+                name = f"part-{_uuid.uuid4().hex}.parquet"
                 sub = "" if rel_dir == "." else rel_dir + "/"
                 os.makedirs(os.path.join(dest, rel_dir) if sub else dest,
                             exist_ok=True)
                 final = os.path.join(dest, sub + name)
-                os.rename(os.path.join(root, name), final)
+                os.rename(os.path.join(root, src_name), final)
                 rows, size, stats = _footer_stats(final)
                 if rows == 0:
                     os.unlink(final)
@@ -1404,6 +1443,7 @@ def delta_write(
                 snap = t.snapshot(head)
                 protocol, meta = _raw_protocol_meta(t, head)
                 _check_writer_protocol(protocol, meta, snap.schema)
+                _check_append_only(meta, mode)
                 if mode == "overwrite":
                     raise DeltaProtocolError(
                         f"overwrite of {dest} lost its snapshot pin: a "
@@ -1426,7 +1466,9 @@ def delta_write(
                         "generated-column rules changed concurrently; the "
                         "staged files were computed under the old rules"
                     )
-                _enforce_delta_rules(df, _delta_row_rules(meta, snap.schema))
+                _enforce_delta_rules(
+                    df, {**_delta_row_rules(meta, snap.schema), **gen_rules}
+                )
                 base_version = head
             if mode == "overwrite":
                 for f in snap.files:
@@ -1608,9 +1650,11 @@ def delta_optimize(
     serves them all) — and land ONE ``dataChange=false`` commit (remove
     olds + add replacements): layout-only, invisible to streams, rows
     unchanged. Conflict rule: the commit claims the next version; if the
-    head moved, it retries only while every input file is STILL live (a
-    racer that removed one of our inputs aborts — its rewrite supersedes
-    ours).
+    head moved, it retries only while every input file's FULL add state
+    is unchanged — still live AND its deletionVector descriptor identical
+    to the snapshot this compaction read (a racer that removed an input
+    aborts, and so does one that re-added it with a new/grown vector:
+    compacting from the pre-DV read would resurrect deleted rows).
 
     Returns the committed version, or None when nothing needed packing."""
     import time as _time
@@ -1689,12 +1733,15 @@ def delta_optimize(
         import shutil
 
         try:
-            parts = sorted(
+            parts = []
+            for n in sorted(
                 n for n in os.listdir(staging)
                 if n.endswith(".parquet") and not n.startswith((".", "_"))
-            )
-            for n in parts:
-                os.rename(os.path.join(staging, n), os.path.join(dest, n))
+            ):
+                # per-file UUID names (see delta_write's staging walk)
+                unique = f"part-{_uuid.uuid4().hex}.parquet"
+                os.rename(os.path.join(staging, n), os.path.join(dest, unique))
+                parts.append(unique)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         for n in parts:
@@ -1732,16 +1779,21 @@ def delta_optimize(
                     "deletionTimestamp": ts_ms}}
         for p in removes
     ] + [{"add": a} for a in adds]
+    # the add state each input was read under (all inputs are DV-free by
+    # selection above, so ANY descriptor appearing is a conflict)
+    input_dv = {m.path: m.dv for _key, members in bins for m in members}
     payload = "\n".join(json.dumps(a) for a in actions) + "\n"
     for _ in range(20):
         head = t.version()
         if head != snap.version:
-            live = {f.path for f in t.snapshot(head).files}
-            if not all(p in live for p in removes):
-                raise DeltaProtocolError(
-                    f"OPTIMIZE of {dest} conflicts: a concurrent commit "
-                    "rewrote files this compaction read; retry"
-                )
+            now = {f.path: f.dv for f in t.snapshot(head).files}
+            for p, dv0 in input_dv.items():
+                if p not in now or now[p] != dv0:
+                    raise DeltaProtocolError(
+                        f"OPTIMIZE of {dest} conflicts: a concurrent commit "
+                        f"rewrote or deletion-vectored input file {p!r}; "
+                        "the compaction read stale rows — retry"
+                    )
             snap = t.snapshot(head)
         if claimer.claim(log, f"{head + 1:020d}.json", payload):
             return head + 1

@@ -24,7 +24,15 @@ Streaming semantics mirror delta-spark's source contract:
   deletion vector) refuse unless ``ignoreChanges=true``, which replays
   the rewritten file's LIVE rows — the same at-least-once caveat Delta
   documents;
-- ``startingVersion`` (number or ``latest``) positions the first batch.
+- without ``startingVersion`` the FIRST batch serves the current
+  snapshot (delta-spark's ``isStartingVersion`` initialization), then
+  later batches are incremental — replaying from version 0 would fail
+  on tables whose early commits were cleaned up or whose rewritten
+  data files were vacuumed, and would re-emit superseded rows;
+- ``startingVersion`` (number or ``latest``) positions the first batch
+  explicitly; a number that predates the earliest retained JSON commit
+  refuses with a clear error instead of a FileNotFoundError deep in
+  commit replay.
 
 Registered as ``deltalog`` so a cluster that HAS delta-spark keeps the
 ``delta`` name for the jar; io/read.py routes streaming format="delta"
@@ -149,13 +157,30 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "")).lower() == "true"
         )
         sv = options.get("startingversion")
-        if sv is not None and str(sv).lower() == "latest":
+        self._snapshot_start = False
+        if sv is None:
+            # delta-spark's default: initialize from the LATEST snapshot
+            # (isStartingVersion) — the first batch is the snapshot's
+            # live files, not a replay of history that may be vacuumed
+            head = self._table.version()
+            if head is None:
+                self._starting = 0  # empty dir: nothing to snapshot yet
+            else:
+                self._starting = head + 1
+                self._snapshot_start = True
+        elif str(sv).lower() == "latest":
             head = self._table.version()
             self._starting = 0 if head is None else head + 1
         else:
-            self._starting = int(sv) if sv is not None else 0
+            self._starting = int(sv)
 
     def initialOffset(self) -> dict:
+        if self._snapshot_start:
+            # "snapshot at version N still owed": the first planned batch
+            # serves snapshot(N)'s files plus any commits N+1..end; once
+            # the batch commits, the stored offset is a plain version and
+            # the stream is purely incremental
+            return {"version": self._starting - 1, "snapshot": True}
         return {"version": self._starting - 1}
 
     def latestOffset(self) -> dict:
@@ -180,6 +205,25 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 for fld in snap.schema.fields
             }
         parts: list = []
+        if start.get("snapshot") and start["version"] >= 0:
+            # owed initial batch: the snapshot's live files (each under
+            # its own DV mask / typed partition constants), exactly what
+            # delta-spark's isStartingVersion start serves
+            snap0 = self._table.snapshot(start["version"])
+            types0 = {f.name: f.dataType.typeName() for f in snap0.schema.fields}
+            for f in snap0.files:
+                parts.append(_file_partition(self._table, snap0, f, types0))
+        first_needed = start["version"] + 1
+        if first_needed <= end["version"]:
+            retained = self._table._versions()
+            if not retained or first_needed < retained[0]:
+                raise DeltaProtocolError(
+                    f"commits {first_needed}..{end['version']} of "
+                    f"{self._table.path} are no longer retained (earliest "
+                    f"JSON commit: {retained[0] if retained else 'none'}); "
+                    "omit startingVersion to initialize from the current "
+                    "snapshot instead of replaying cleaned-up history"
+                )
         for v in range(start["version"] + 1, end["version"] + 1):
             adds, removes = [], []
             for action in self._table._commit_lines(v):

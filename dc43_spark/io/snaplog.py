@@ -2306,14 +2306,20 @@ class SnaplogTable:
                 )
                 if partition_by and rel_dir == "." :
                     continue  # only _SUCCESS/marker files live at the root
-                for name in sorted(names):
-                    if not name.endswith(".parquet") or name.startswith((".", "_")):
+                for src_name in sorted(names):
+                    if not src_name.endswith(".parquet") or src_name.startswith((".", "_")):
                         continue
-                    # Spark part names embed a task-attempt UUID — globally unique
+                    # Rename to a per-file UUID: Spark part names reuse one
+                    # job UUID across a dynamic-partition write, so the SAME
+                    # basename can land in two partition dirs — and DV state
+                    # is keyed by basename (the scan joins on
+                    # _metadata.file_name), so colliding names would
+                    # cross-apply one file's deletes to the other
+                    name = f"part-{uuid.uuid4().hex}.parquet"
                     sub = "" if rel_dir == "." else rel_dir + "/"
                     os.makedirs(os.path.join(dest_root, rel_dir), exist_ok=True)
                     dest = os.path.join(dest_root, sub, name)
-                    os.rename(os.path.join(root, name), dest)
+                    os.rename(os.path.join(root, src_name), dest)
                     rows, size, stats = _footer_stats(dest)
                     if rows == 0:
                         # schema travels in the commit's schema_json; a 0-row

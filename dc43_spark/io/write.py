@@ -90,8 +90,17 @@ def execute_write_request(req: WriteRequest, writer_modifier=None) -> None:
                 if app_id is not None and txn_version is not None
                 else None
             )
+            # honor the delta-spark writer option spellings the governed
+            # route forwards: mergeSchema (additive evolution) and a
+            # comma-separated partitionBy (new-table layout)
+            pb = opts.get("partitionBy")
             delta_write(
-                req.df.sparkSession, req.df, req.path, mode=req.mode, txn=txn
+                req.df.sparkSession, req.df, req.path, mode=req.mode, txn=txn,
+                merge_schema=str(opts.get("mergeSchema", "")).lower() == "true",
+                partition_by=(
+                    [c.strip() for c in str(pb).split(",") if c.strip()]
+                    if pb else None
+                ),
             )
             return
     writer = req.df.write.mode(req.mode)

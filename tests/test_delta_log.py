@@ -623,6 +623,25 @@ def test_deletion_vectors_partitioned(spark, tmp_path):
     assert {r.k for r in d.read(filters=[("p", "=", 2)]).collect()} == {4}
 
 
+def test_deletion_vectors_key_on_full_path_not_basename(spark, tmp_path):
+    """Two live files sharing a BASENAME in different directories (legal
+    in Delta; plausible for CONVERT-ed hive layouts): the DV mask of one
+    must not cross-apply to the other — ADVICE r9 (the old join keyed on
+    _metadata.file_name alone)."""
+    t = str(tmp_path / "t")
+    a1 = _data_file(t, "d1/part-0.parquet",
+                    [(1, "a"), (2, "b"), (3, "c"), (4, "d")])
+    a2 = _data_file(t, "d2/part-0.parquet", [(10, "x"), (11, "y")])
+    _commit(t, 0, [_protocol(reader=3, writer=7,
+                             reader_features=["deletionVectors"]),
+                   _meta(), a1, a2])
+    _commit(t, 1, [_dv_add(t, a1, [0])])  # delete k=1 from d1's file ONLY
+
+    d = DeltaLogTable(spark, t)
+    # the twin at d2/part-0.parquet keeps its row 0 (k=10)
+    assert {r.k for r in d.read().collect()} == {2, 3, 4, 10, 11}
+
+
 # ---------------- v2 checkpoints (PROTOCOL.md "V2 Spec Checkpoints")
 
 

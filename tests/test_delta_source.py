@@ -133,12 +133,22 @@ def test_streaming_change_commits_follow_the_contract(registered, spark, tmp_pat
         if q.exception():
             raise RuntimeError(str(q.exception()))
 
+    # a fresh stream with NO startingVersion initializes from the CURRENT
+    # snapshot (delta-spark's isStartingVersion): the rewrite history is
+    # never replayed, so no ignoreChanges is needed and only live rows
+    # arrive — ADVICE r9 (the old default replayed from version 0)
+    run({}, str(tmp_path / "cp0"), str(tmp_path / "o0"))
+    snap_rows = spark.read.parquet(str(tmp_path / "o0"))
+    assert {r.k for r in snap_rows.collect()} == set(range(6)) - {1}
+    assert snap_rows.count() == 5
+    # an EXPLICIT historical start replays commits and hits the contract
     with pytest.raises(Exception, match="ignoreChanges"):
-        run({}, str(tmp_path / "cp1"), str(tmp_path / "o1"))
+        run({"startingVersion": 0}, str(tmp_path / "cp1"), str(tmp_path / "o1"))
     # with ignoreChanges a full replay duplicates the rewritten file's
     # LIVE rows on top of the pre-rewrite batch — Delta's documented
     # at-least-once caveat, pinned exactly: 6 original + 5 live
-    run({"ignoreChanges": "true"}, str(tmp_path / "cp2"), str(tmp_path / "o2"))
+    run({"ignoreChanges": "true", "startingVersion": 0},
+        str(tmp_path / "cp2"), str(tmp_path / "o2"))
     replayed = spark.read.parquet(str(tmp_path / "o2"))
     assert replayed.count() == 11
     assert {r.k for r in replayed.collect()} == set(range(6))
@@ -147,6 +157,76 @@ def test_streaming_change_commits_follow_the_contract(registered, spark, tmp_pat
         str(tmp_path / "cp3"), str(tmp_path / "o3"))
     got = {r.k for r in spark.read.parquet(str(tmp_path / "o3")).collect()}
     assert got == set(range(6)) - {1}
+
+
+def test_snapshot_start_then_incremental(registered, spark, tmp_path):
+    """Default (no startingVersion) = snapshot-first: the first batch is
+    the live snapshot, and a LATER commit arrives incrementally through
+    the same checkpoint — no history replay, no duplicates."""
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 3, "a"), t)
+    delta_write(spark, _df(spark, 3, 6, "b"), t)
+
+    def run():
+        q = (
+            spark.readStream.format("deltalog").load(t)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception():
+            raise RuntimeError(str(q.exception()))
+        return spark.read.parquet(str(tmp_path / "out"))
+
+    assert run().count() == 6  # one snapshot batch, not two commit batches
+    delta_write(spark, _df(spark, 6, 8, "c"), t)
+    got = run()
+    assert got.count() == 8
+    assert {r.k for r in got.collect()} == set(range(8))
+
+
+def test_cleaned_up_history_refuses_explicit_start_but_snapshots(
+    registered, spark, tmp_path
+):
+    """A table whose early JSON commits were cleaned up (checkpoint
+    retains readability): explicit startingVersion=0 refuses with a
+    clear error instead of FileNotFoundError; the default snapshot
+    start serves the live rows — ADVICE r9."""
+    from dc43_spark.io.delta_log import write_delta_checkpoint
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        delta_write(spark, _df(spark, 3 * i, 3 * i + 3), t,
+                    checkpoint_interval=None)
+    write_delta_checkpoint(DeltaLogTable(spark, t), 2)
+    os.unlink(os.path.join(t, "_delta_log", f"{0:020d}.json"))
+    os.unlink(os.path.join(t, "_delta_log", f"{1:020d}.json"))
+
+    def run(opts, cp, out):
+        reader = spark.readStream.format("deltalog")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load(t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception():
+            raise RuntimeError(str(q.exception()))
+
+    with pytest.raises(Exception, match="no longer retained"):
+        run({"startingVersion": 0}, str(tmp_path / "cp1"), str(tmp_path / "o1"))
+    run({}, str(tmp_path / "cp2"), str(tmp_path / "o2"))
+    assert {
+        r.k for r in spark.read.parquet(str(tmp_path / "o2")).collect()
+    } == set(range(9))
 
 
 def test_governed_streaming_read_falls_back(registered, spark, tmp_path):
