@@ -1,0 +1,767 @@
+"""Jar-less Delta row-mutating writes — MERGE / UPDATE / DELETE.
+
+The reference's primary write surface is ``DeltaTable.merge`` (ref
+spark/io/merge.py:43-127); r9's jar-less writer stopped at append /
+overwrite and routed row-level ops to snaplog. This module closes that
+gap by composing pieces that already existed and were independently
+verified: the deletion-vector codec (io/dv.py — delta.io PROTOCOL.md
+"Deletion Vectors" + RoaringFormatSpec), the protocol reader's DV scan
+(io/delta_log.py), and the atomic version claimer.
+
+Two physical strategies, matching delta-spark's own split:
+
+- **deletion vectors** (``delta.enableDeletionVectors=true`` or the
+  table already carries the feature): touched rows are marked deleted by
+  writing ONE protocol DV file per touched data file — serialized ON THE
+  EXECUTORS via ``applyInPandas`` grouped by file, so deleted positions
+  never materialize on the driver — and the commit re-adds each touched
+  file with its new descriptor (remove + add, the protocol's
+  supersession convention). A file whose vector would cover every
+  physical row emits a plain remove instead. No data rewrite for
+  deletes; updates/merge-updates write only the NEW row versions.
+- **copy-on-write** (the default for tables without the feature — any
+  Delta reader can keep reading them): touched files are rewritten
+  without their deleted rows; untouched files carry over by reference.
+
+Row semantics are standard SQL MERGE (same matrix as io/merge.py's
+``_outer_join_merge``, which remains the oracle in tests): matched +
+``delete_predicate`` -> dropped; matched + ``when_matched=update`` ->
+source values; unmatched source + ``when_not_matched=insert`` (gated by
+``insert_predicate``) -> inserted; everything else untouched. The
+source must be key-unique (SQL MERGE refuses multiple matches).
+
+Change data feed: when ``delta.enableChangeDataFeed=true``, every DML
+commit stages ``_change_data`` parquet files (insert / delete /
+update_preimage / update_postimage rows — partitioned tables store
+partition values in directories, exactly delta-spark's layout) and
+references them with ``cdc`` actions, which the CDF reader treats as
+authoritative. Without CDF the reader still derives inserts and deletes
+from the commit's file actions (new adds + DV growth).
+
+Validation parity with delta_write: CHECK constraints, column
+invariants, and generated-column rules all run as ONE aggregate over
+the new rows; generated columns are recomputed for updates (and refuse
+being SET directly, delta-spark's rule); ``delta.appendOnly=true``
+refuses all three operations.
+
+Concurrency: the whole operation is optimistic — compute against a
+pinned snapshot, claim ``head+1``; ANY head movement (or a lost claim
+race) recomputes from the new head, never re-using stale row positions.
+Orphaned staging output from lost races is swept by ``delta_vacuum``.
+
+Scale shape: one lineage scan (per-partition-group parquet reads with
+``_metadata.row_index``; existing DV masks applied as a broadcast
+anti-join), one join against the source, DV serialization distributed
+per file, new rows staged through the same footer-stats path as
+delta_write. Nothing is O(table) on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.parse
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from dc43_spark.io.delta_log import (
+    _WRITER_VERSION_FEATURES,
+    DeltaLogTable,
+    DeltaProtocolError,
+    DeltaWriteError,
+    _apply_generated_columns,
+    _check_append_only,
+    _check_writer_protocol,
+    _delta_row_rules,
+    _enforce_delta_rules,
+    _generated_columns,
+    _parse_partition_value,
+    _raw_protocol_meta,
+    _stage_data_files,
+    write_delta_checkpoint,
+)
+
+_REL = "_dc43_rel"
+_POS = "_dc43_pos"
+
+
+class _DmlConflict(Exception):
+    """A concurrent commit moved the head (or won the claim) — the
+    caller recomputes against the new snapshot."""
+
+
+def _cdf_enabled(meta: dict) -> bool:
+    conf = meta.get("configuration") or {}
+    return str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true"
+
+
+def _dvs_enabled(protocol: dict, meta: dict) -> bool:
+    conf = meta.get("configuration") or {}
+    if str(conf.get("delta.enableDeletionVectors", "")).lower() == "true":
+        return True
+    return "deletionVectors" in set(protocol.get("writerFeatures") or ())
+
+
+def _live_lineage(t: DeltaLogTable, snap) -> DataFrame:
+    """Every LIVE row of the snapshot (existing DV masks applied) with
+    two hidden lineage columns: ``_dc43_rel`` (the add action's decoded
+    relative path) and ``_dc43_pos`` (the parquet row index) — the
+    coordinates a deletion vector addresses. Typed partition columns
+    attach as literals per group, same as the snapshot scan."""
+    spark = t.spark
+    out_schema = StructType(
+        list(snap.schema.fields)
+        + [StructField(_REL, StringType()), StructField(_POS, LongType())]
+    )
+    if not snap.files:
+        return spark.createDataFrame([], out_schema)
+    types = {f.name: f.dataType.typeName() for f in snap.schema.fields}
+    data_fields = [
+        f for f in snap.schema.fields if f.name not in snap.partition_columns
+    ]
+    data_schema = StructType(data_fields)
+
+    # basename equality drives the hash join; the full-relative-path
+    # suffix check rides as a residual (same keying as _apply_dvs)
+    file_rows = [
+        (
+            os.path.basename(f.path),
+            f.path,
+            "/" + f.path.lstrip("/"),
+            "/" + urllib.parse.quote(f.path.lstrip("/")),
+        )
+        for f in snap.files
+    ]
+    files_df = F.broadcast(
+        spark.createDataFrame(
+            file_rows, "base string, rel string, sfx string, sfxq string"
+        )
+    )
+
+    groups: dict = {}
+    for f in snap.files:
+        key = tuple(f.partition_values.get(c) for c in snap.partition_columns)
+        groups.setdefault(key, []).append(f)
+    parts = []
+    for key, members in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        df = (
+            spark.read.format("parquet")
+            .schema(data_schema)
+            .load([os.path.join(t.path, m.path) for m in members])
+            .select(
+                "*",
+                F.col("_metadata.file_name").alias("_dc43_base"),
+                F.col("_metadata.file_path").alias("_dc43_path"),
+                F.col("_metadata.row_index").alias(_POS),
+            )
+        )
+        for c, raw in zip(snap.partition_columns, key):
+            val = _parse_partition_value(types[c], raw)
+            df = df.withColumn(c, F.lit(val).cast(snap.schema[c].dataType))
+        parts.append(df)
+    scan = parts[0]
+    for p in parts[1:]:
+        scan = scan.unionByName(p)
+    tagged = (
+        scan.join(
+            files_df,
+            (scan["_dc43_base"] == files_df["base"])
+            & (
+                scan["_dc43_path"].endswith(files_df["sfx"])
+                | scan["_dc43_path"].endswith(files_df["sfxq"])
+            ),
+            "inner",
+        )
+        .withColumnRenamed("rel", _REL)
+        .select(*[f.name for f in snap.schema.fields], _REL, _POS)
+    )
+
+    # existing DV masks: expand descriptors on executors, anti-join on
+    # the exact (rel, pos) key — already-deleted rows are invisible
+    dv_files = [f for f in snap.files if f.dv]
+    if dv_files:
+        table_path = t.path
+        desc = spark.createDataFrame(
+            [
+                (
+                    f.path,
+                    f.dv["storageType"],
+                    f.dv["pathOrInlineDv"],
+                    int(f.dv["offset"] or 0),
+                    int(f.dv["sizeInBytes"] or -1),
+                    int(f.dv["cardinality"])
+                    if f.dv["cardinality"] is not None
+                    else -1,
+                )
+                for f in dv_files
+            ],
+            "rel string, storage string, spec string, off long, "
+            "size long, card long",
+        )
+
+        def _expand(batches):
+            import pandas as pd
+
+            from dc43_spark.io.dv import decode_dv_descriptor
+
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    positions = decode_dv_descriptor(
+                        table_path,
+                        {
+                            "storageType": r.storage,
+                            "pathOrInlineDv": r.spec,
+                            "offset": r.off,
+                            "sizeInBytes": None if r.size < 0 else r.size,
+                            "cardinality": None if r.card < 0 else r.card,
+                        },
+                    )
+                    yield pd.DataFrame({"rel": r.rel, "pos": positions})
+
+        deleted = desc.mapInPandas(_expand, "rel string, pos long")
+        tagged = tagged.join(
+            F.broadcast(deleted),
+            (tagged[_REL] == deleted["rel"]) & (tagged[_POS] == deleted["pos"]),
+            "left_anti",
+        )
+    return tagged
+
+
+def _stage_dv_files(t: DeltaLogTable, del_rows: DataFrame, old_dvs: dict) -> dict:
+    """Serialize one protocol deletion vector PER TOUCHED FILE on the
+    executors: ``applyInPandas`` grouped by ``_dc43_rel`` merges the new
+    positions with the file's existing vector (descriptors ride in the
+    closure — metadata-scale), writes a single-blob DV file into the
+    table directory (invisible until the commit references it), and
+    returns only the tiny descriptor rows. -> {rel: descriptor+card}."""
+    table_path = t.path
+
+    def _write(key, pdf):
+        import uuid as _uuid
+
+        import pandas as pd
+
+        from dc43_spark.io import dv as dvmod
+
+        rel = key[0]
+        positions = set(int(p) for p in pdf[_POS])
+        old = old_dvs.get(rel)
+        if old:
+            positions.update(
+                int(p) for p in dvmod.decode_dv_descriptor(table_path, old)
+            )
+        blob = dvmod.serialize_dv_blob(sorted(positions))
+        u = _uuid.uuid4()
+        (off,) = dvmod.write_dv_file(
+            os.path.join(table_path, f"deletion_vector_{u}.bin"), [blob]
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "rel": rel,
+                    "spec": dvmod.z85_encode(u.bytes),
+                    "off": off,
+                    "size": len(blob),
+                    "card": len(positions),
+                }
+            ]
+        )
+
+    rows = (
+        del_rows.select(_REL, _POS)
+        .groupBy(_REL)
+        .applyInPandas(
+            _write, "rel string, spec string, off long, size long, card long"
+        )
+        .collect()
+    )
+    return {
+        r.rel: {
+            "storageType": "u",
+            "pathOrInlineDv": r.spec,
+            "offset": int(r.off),
+            "sizeInBytes": int(r.size),
+            "cardinality": int(r.card),
+        }
+        for r in rows
+    }
+
+
+def _dv_protocol_upgrade(protocol: dict) -> Optional[dict]:
+    """A protocol action adding the deletionVectors feature (reader 3 /
+    writer 7), folding in the features the OLD versions implied — or
+    None when the table already carries it."""
+    wfeats = set(protocol.get("writerFeatures") or ())
+    if protocol.get("minWriterVersion", 2) >= 7 and "deletionVectors" in wfeats:
+        return None
+    rv = protocol.get("minReaderVersion", 1)
+    rfeats = set(protocol.get("readerFeatures") or ())
+    if rv < 3:
+        rfeats = {"columnMapping"} if rv >= 2 else set()
+    wv = protocol.get("minWriterVersion", 2)
+    if wv < 7:
+        wfeats = set()
+        for ver, fs in _WRITER_VERSION_FEATURES.items():
+            if wv >= ver:
+                wfeats |= fs
+    rfeats.add("deletionVectors")
+    wfeats.add("deletionVectors")
+    return {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rfeats),
+            "writerFeatures": sorted(wfeats),
+        }
+    }
+
+
+def _commit_dml(
+    t: DeltaLogTable,
+    snap,
+    protocol: dict,
+    meta: dict,
+    *,
+    op: str,
+    params: dict,
+    del_rows: Optional[DataFrame],
+    lineage: DataFrame,
+    new_rows: Optional[DataFrame],
+    cdf_rows: Optional[DataFrame],
+    use_dvs: Optional[bool],
+    checkpoint_interval: Optional[int] = 10,
+) -> int:
+    """Stage + claim one DML commit against the pinned ``snap``. Raises
+    ``_DmlConflict`` if the head moved or the claim lost — the caller
+    recomputes; staged files orphan and are swept by delta_vacuum."""
+    from dc43_spark.io.snaplog import LinkCommitClaimer
+
+    dest = t.path
+    part_cols = list(snap.partition_columns)
+    ts_ms = int(time.time() * 1000)
+    if use_dvs is None:
+        use_dvs = _dvs_enabled(protocol, meta)
+
+    raw_adds = t._collect_state(snap.version)[0]  # rel -> raw add action
+    actions: list = [
+        {
+            "commitInfo": {
+                "timestamp": ts_ms,
+                "operation": op,
+                "operationParameters": params,
+            }
+        }
+    ]
+
+    dv_written = False
+    if del_rows is not None:
+        if use_dvs:
+            old_dvs = {f.path: f.dv for f in snap.files if f.dv}
+            descs = _stage_dv_files(t, del_rows, old_dvs)
+            dv_written = bool(descs)
+            for rel in sorted(descs):
+                raw = raw_adds[rel]
+                actions.append(
+                    {
+                        "remove": {
+                            "path": raw["path"],
+                            "dataChange": True,
+                            "deletionTimestamp": ts_ms,
+                        }
+                    }
+                )
+                num = None
+                if raw.get("stats"):
+                    try:
+                        st = raw["stats"]
+                        num = (json.loads(st) if isinstance(st, str) else st).get(
+                            "numRecords"
+                        )
+                    except ValueError:
+                        num = None
+                if num is not None and descs[rel]["cardinality"] >= num:
+                    continue  # every physical row dead: plain remove
+                new_add = dict(raw)
+                new_add["deletionVector"] = descs[rel]
+                new_add["dataChange"] = True
+                actions.append({"add": new_add})
+        else:
+            # copy-on-write: rewrite ONLY the touched files without
+            # their deleted rows; untouched files carry over untouched
+            touched = [
+                r[0] for r in del_rows.select(_REL).distinct().collect()
+            ]
+            if touched:
+                kept = lineage.filter(F.col(_REL).isin(touched)).join(
+                    del_rows.select(
+                        F.col(_REL).alias("_del_rel"),
+                        F.col(_POS).alias("_del_pos"),
+                    ),
+                    (F.col(_REL) == F.col("_del_rel"))
+                    & (F.col(_POS) == F.col("_del_pos")),
+                    "left_anti",
+                ).drop(_REL, _POS)
+                for e in _stage_data_files(kept, dest, part_cols, ts_ms):
+                    actions.append({"add": e})
+                for rel in sorted(touched):
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": raw_adds[rel]["path"],
+                                "dataChange": True,
+                                "deletionTimestamp": ts_ms,
+                            }
+                        }
+                    )
+
+    if new_rows is not None:
+        for e in _stage_data_files(new_rows, dest, part_cols, ts_ms):
+            actions.append({"add": e})
+
+    if cdf_rows is not None and _cdf_enabled(meta):
+        for e in _stage_data_files(
+            cdf_rows, dest, part_cols, ts_ms, subdir="_change_data"
+        ):
+            actions.append(
+                {
+                    "cdc": {
+                        "path": e["path"],
+                        "partitionValues": e["partitionValues"],
+                        "size": e["size"],
+                        "dataChange": False,
+                    }
+                }
+            )
+
+    if dv_written:
+        upgrade = _dv_protocol_upgrade(protocol)
+        if upgrade is not None:
+            actions.insert(1, upgrade)
+
+    head = t.version()
+    if head != snap.version:
+        raise _DmlConflict(f"head moved v{snap.version} -> v{head}")
+    next_version = snap.version + 1
+    payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+    log = os.path.join(dest, "_delta_log")
+    if not LinkCommitClaimer().claim(log, f"{next_version:020d}.json", payload):
+        raise _DmlConflict(f"lost the claim on v{next_version}")
+    if (
+        checkpoint_interval
+        and next_version
+        and next_version % checkpoint_interval == 0
+    ):
+        write_delta_checkpoint(t, next_version)
+    return next_version
+
+
+def _pin_snapshot(spark: SparkSession, path: str, op: str):
+    t = DeltaLogTable(spark, path)
+    snap = t.snapshot()
+    protocol, meta = _raw_protocol_meta(t, snap.version)
+    _check_writer_protocol(protocol, meta, snap.schema)
+    _check_append_only(meta, op)
+    return t, snap, protocol, meta
+
+
+def delta_delete(
+    spark: SparkSession,
+    path: str,
+    predicate: Optional[str] = None,
+    *,
+    use_dvs: Optional[bool] = None,
+    max_retries: int = 20,
+) -> Optional[int]:
+    """DELETE FROM a real ``_delta_log`` table without the jar. Rows
+    matching ``predicate`` (SQL over the table's columns; None = all
+    rows) are removed via deletion vectors or copy-on-write (module
+    docstring). Returns the committed version, or None when nothing
+    matched."""
+    for _ in range(max_retries):
+        t, snap, protocol, meta = _pin_snapshot(spark, path, "delete")
+        lineage = _live_lineage(t, snap)
+        pred = F.expr(predicate) if predicate else F.lit(True)
+        hit = lineage.filter(pred).localCheckpoint(eager=True)
+        if hit.isEmpty():
+            return None
+        data_cols = [f.name for f in snap.schema.fields]
+        cdf = None
+        if _cdf_enabled(meta):
+            cdf = hit.select(
+                *data_cols, F.lit("delete").alias("_change_type")
+            )
+        try:
+            return _commit_dml(
+                t, snap, protocol, meta,
+                op="DELETE",
+                params={"predicate": predicate or "true"},
+                del_rows=hit.select(_REL, _POS),
+                lineage=lineage,
+                new_rows=None,
+                cdf_rows=cdf,
+                use_dvs=use_dvs,
+            )
+        except _DmlConflict:
+            continue
+    raise DeltaProtocolError(
+        f"DELETE on {path} kept conflicting after {max_retries} attempts"
+    )
+
+
+def delta_update(
+    spark: SparkSession,
+    path: str,
+    set: dict,
+    predicate: Optional[str] = None,
+    *,
+    use_dvs: Optional[bool] = None,
+    max_retries: int = 20,
+) -> Optional[int]:
+    """UPDATE a real ``_delta_log`` table without the jar: rows matching
+    ``predicate`` get ``set`` ({column: SQL expression over the OLD row})
+    applied; old versions are deletion-vectored (or copy-on-write
+    rewritten) and the new row versions land as fresh files. Generated
+    columns are recomputed (and refuse being SET directly); constraints,
+    invariants, and generated rules validate in one aggregate. Returns
+    the committed version, or None when nothing matched."""
+    gen_probe = None
+    for _ in range(max_retries):
+        t, snap, protocol, meta = _pin_snapshot(spark, path, "update")
+        data_cols = [f.name for f in snap.schema.fields]
+        gen = _generated_columns(snap.schema)
+        if gen_probe is None:
+            bad_set = sorted(set.keys() & gen.keys())
+            if bad_set:
+                raise DeltaWriteError(
+                    f"column(s) {bad_set} are GENERATED ALWAYS AS; their "
+                    "values recompute from the expression — update the "
+                    "source columns instead"
+                )
+            missing = sorted(k for k in set if k not in data_cols)
+            if missing:
+                raise DeltaWriteError(f"SET columns not in schema: {missing}")
+            gen_probe = True
+        lineage = _live_lineage(t, snap)
+        pred = F.expr(predicate) if predicate else F.lit(True)
+        hit = lineage.filter(pred).localCheckpoint(eager=True)
+        if hit.isEmpty():
+            return None
+        updated = hit.select(
+            *[
+                F.expr(set[c]).cast(snap.schema[c].dataType).alias(c)
+                if c in set
+                else F.col(c)
+                for c in data_cols
+            ]
+        )
+        if gen:
+            updated, _ = _apply_generated_columns(updated.drop(*gen), gen)
+            updated = updated.select(*data_cols)
+        _enforce_delta_rules(updated, _delta_row_rules(meta, snap.schema))
+        cdf = None
+        if _cdf_enabled(meta):
+            cdf = hit.select(
+                *data_cols, F.lit("update_preimage").alias("_change_type")
+            ).unionByName(
+                updated.select(
+                    *data_cols,
+                    F.lit("update_postimage").alias("_change_type"),
+                )
+            )
+        try:
+            return _commit_dml(
+                t, snap, protocol, meta,
+                op="UPDATE",
+                params={"predicate": predicate or "true"},
+                del_rows=hit.select(_REL, _POS),
+                lineage=lineage,
+                new_rows=updated,
+                cdf_rows=cdf,
+                use_dvs=use_dvs,
+            )
+        except _DmlConflict:
+            continue
+    raise DeltaProtocolError(
+        f"UPDATE on {path} kept conflicting after {max_retries} attempts"
+    )
+
+
+def delta_merge(
+    spark: SparkSession,
+    source_df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    *,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    delete_predicate: Optional[str] = None,
+    insert_predicate: Optional[str] = None,
+    use_dvs: Optional[bool] = None,
+    check_source_keys: bool = True,
+    max_retries: int = 20,
+) -> Optional[int]:
+    """MERGE INTO a real ``_delta_log`` table without the jar — the
+    reference's primary write surface (ref spark/io/merge.py:43-127)
+    re-expressed over protocol deletion vectors / copy-on-write.
+
+    ``when_matched`` in {"update", "ignore"}; ``when_not_matched`` in
+    {"insert", "ignore"}; ``delete_predicate`` / ``insert_predicate``
+    are SQL over the source columns as ``s.<col>`` (Delta's conditional
+    clauses). The source must carry the table's columns (generated
+    columns may be omitted — they recompute). Returns the committed
+    version, or None when the merge changed nothing."""
+    if when_matched not in ("update", "ignore"):
+        raise ValueError(f"when_matched must be update|ignore, got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(
+            f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
+        )
+    keys = list(keys)
+    if check_source_keys:
+        from dc43_spark.io.merge import require_unique_merge_keys
+
+        require_unique_merge_keys(source_df, keys)
+
+    for _ in range(max_retries):
+        t, snap, protocol, meta = _pin_snapshot(spark, path, "merge")
+        data_cols = [f.name for f in snap.schema.fields]
+        gen = _generated_columns(snap.schema)
+        src = source_df
+        gen_rules: dict = {}
+        if gen:
+            src, gen_rules = _apply_generated_columns(src, gen)
+        missing = sorted(c for c in data_cols if c not in src.columns)
+        if missing:
+            raise DeltaWriteError(
+                f"merge source lacks table column(s) {missing}; align the "
+                "source to the table schema first"
+            )
+        extra = sorted(c for c in src.columns if c not in data_cols)
+        if extra:
+            raise DeltaWriteError(
+                f"merge source has column(s) {extra} not in the table; "
+                "drop them or evolve the schema with delta_write first"
+            )
+        # align source types to the table's (delta-spark's implicit
+        # up-casts on updateAll/insertAll)
+        src = src.select(
+            *[
+                F.col(c).cast(snap.schema[c].dataType).alias(c)
+                for c in data_cols
+            ]
+        )
+        bad_keys = sorted(k for k in keys if k not in data_cols)
+        if bad_keys:
+            raise DeltaWriteError(f"merge keys not in schema: {bad_keys}")
+
+        lineage = _live_lineage(t, snap)
+        tl = lineage.alias("t")
+        sl = src.alias("s")
+        cond = [
+            F.col(f"t.`{k}`").eqNullSafe(F.col(f"s.`{k}`")) for k in keys
+        ]
+        matched = tl.join(sl, cond, "inner")
+        del_col = (
+            F.coalesce(F.expr(delete_predicate), F.lit(False))
+            if delete_predicate
+            else F.lit(False)
+        )
+        matched = matched.withColumn("_dc43_del", del_col)
+        if when_matched != "update":
+            matched = matched.filter("_dc43_del")
+        touch = matched.select(
+            F.col(f"t.`{_REL}`").alias(_REL),
+            F.col(f"t.`{_POS}`").alias(_POS),
+            F.col("_dc43_del"),
+            *[F.col(f"t.`{c}`").alias(f"_t_{c}") for c in data_cols],
+            *[F.col(f"s.`{c}`").alias(f"_s_{c}") for c in data_cols],
+        ).localCheckpoint(eager=True)
+
+        inserts = None
+        if when_not_matched == "insert":
+            anti = sl.join(tl.select(*keys).alias("t"), cond, "left_anti")
+            if insert_predicate:
+                anti = anti.filter(
+                    F.coalesce(F.expr(insert_predicate), F.lit(False))
+                )
+            inserts = anti.select(*data_cols).localCheckpoint(eager=True)
+
+        n_touch = touch.count()
+        n_ins = inserts.count() if inserts is not None else 0
+        if n_touch == 0 and n_ins == 0:
+            return None
+
+        updates = None
+        if when_matched == "update":
+            updates = touch.filter(~F.col("_dc43_del")).select(
+                *[F.col(f"_s_{c}").alias(c) for c in data_cols]
+            )
+        new_parts = [p for p in (updates, inserts) if p is not None]
+        new_rows = None
+        if new_parts:
+            new_rows = new_parts[0]
+            for p in new_parts[1:]:
+                new_rows = new_rows.unionByName(p)
+            _enforce_delta_rules(
+                new_rows, {**_delta_row_rules(meta, snap.schema), **gen_rules}
+            )
+
+        cdf = None
+        if _cdf_enabled(meta):
+            frames = []
+            deletes = touch.filter("_dc43_del").select(
+                *[F.col(f"_t_{c}").alias(c) for c in data_cols],
+                F.lit("delete").alias("_change_type"),
+            )
+            frames.append(deletes)
+            if when_matched == "update":
+                pre = touch.filter(~F.col("_dc43_del")).select(
+                    *[F.col(f"_t_{c}").alias(c) for c in data_cols],
+                    F.lit("update_preimage").alias("_change_type"),
+                )
+                post = touch.filter(~F.col("_dc43_del")).select(
+                    *[F.col(f"_s_{c}").alias(c) for c in data_cols],
+                    F.lit("update_postimage").alias("_change_type"),
+                )
+                frames += [pre, post]
+            if inserts is not None:
+                frames.append(
+                    inserts.select(
+                        *data_cols, F.lit("insert").alias("_change_type")
+                    )
+                )
+            cdf = frames[0]
+            for fr in frames[1:]:
+                cdf = cdf.unionByName(fr)
+
+        try:
+            return _commit_dml(
+                t, snap, protocol, meta,
+                op="MERGE",
+                params={
+                    "predicate": " AND ".join(f"t.{k} <=> s.{k}" for k in keys),
+                    "matchedPredicates": json.dumps(
+                        [{"actionType": when_matched}]
+                        + (
+                            [{"actionType": "delete",
+                              "predicate": delete_predicate}]
+                            if delete_predicate
+                            else []
+                        )
+                    ),
+                },
+                del_rows=touch.select(_REL, _POS) if n_touch else None,
+                lineage=lineage,
+                new_rows=new_rows,
+                cdf_rows=cdf,
+                use_dvs=use_dvs,
+            )
+        except _DmlConflict:
+            continue
+    raise DeltaProtocolError(
+        f"MERGE on {path} kept conflicting after {max_retries} attempts"
+    )

@@ -19,15 +19,17 @@ interoperability — a governed read of format="delta" works against a
 real Delta table's log without the jar (io/read.py falls back here
 when ``import delta`` fails).
 
-Writes (r9): the SAFE subset only — ``delta_write`` does create, blind
-append, and snapshot-pinned overwrite, with CHECK constraints + column
-invariants validated per write and an explicit writer-protocol gate
-(``_check_writer_protocol``) that refuses generated/identity columns,
-column mapping, and unknown writer features rather than approximating
-them. Row-mutating operations (MERGE/UPDATE/DELETE) stay on snaplog —
-mirror them out with ``sync_delta_export`` — or on the jar: writing
-THOSE without the reference implementation to verify against is where
-silent corruption lives.
+Writes: ``delta_write`` does create, blind append, and snapshot-pinned
+overwrite, with CHECK constraints + column invariants validated per
+write and an explicit writer-protocol gate (``_check_writer_protocol``)
+that refuses identity columns, column mapping, and unknown writer
+features rather than approximating them. Row-mutating operations
+(MERGE/UPDATE/DELETE, r10) live in io/delta_dml.py — deletion-vector or
+copy-on-write strategies over this module's reader + claimer, with CDF
+emission. The honest caveat stands: round-trips are verified against
+THIS repo's independent reader and hand-written protocol fixtures;
+delta-spark itself is not installable in this container, so a cluster
+with the jar remains the final interop authority.
 
 Protocol coverage is explicit and checked: reader versions 1 and 2 are
 supported; version 3 only when every ``readerFeatures`` entry is in
@@ -64,7 +66,13 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from dc43_spark.io.snaplog import (
     FileEntry,
@@ -1235,6 +1243,80 @@ def _enforce_delta_rules(df: DataFrame, rules: dict) -> None:
         )
 
 
+def _stage_data_files(
+    df: DataFrame,
+    dest: str,
+    part_cols: Sequence[str],
+    ts_ms: int,
+    *,
+    subdir: str = "",
+) -> list:
+    """Stage ``df`` as parquet under ``dest`` (or ``dest/subdir`` — e.g.
+    ``_change_data`` for CDF files) through an invisible staging dir,
+    returning protocol ``add``-shaped dicts: URL-encoded relative path,
+    hive-parsed partitionValues, footer-derived stats. Files get per-file
+    UUID names (Spark reuses one job UUID across a dynamic-partition
+    write, so two partition dirs can get the SAME basename — unique names
+    keep basename-keyed consumers collision-free). Shared by
+    ``delta_write`` and the DML kernel (io/delta_dml.py)."""
+    import shutil
+    import uuid as _uuid
+
+    from dc43_spark.io.snaplog import _footer_stats
+
+    staging = os.path.join(dest, f"_staging_{_uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+    adds: list = []
+    prefix = subdir.rstrip("/") + "/" if subdir else ""
+    try:
+        for root, _dirs, names in os.walk(staging):
+            rel_dir = os.path.relpath(root, staging)
+            if part_cols and rel_dir == ".":
+                continue
+            pvals: dict = {}
+            if part_cols and rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    c, _, raw = seg.partition("=")
+                    pvals[c] = (
+                        None
+                        if raw == "__HIVE_DEFAULT_PARTITION__"
+                        else urllib.parse.unquote(raw)
+                    )
+            for src_name in sorted(names):
+                if not src_name.endswith(".parquet") or src_name.startswith((".", "_")):
+                    continue
+                name = f"part-{_uuid.uuid4().hex}.parquet"
+                sub = prefix if rel_dir == "." else prefix + rel_dir + "/"
+                os.makedirs(os.path.join(dest, sub) if sub else dest,
+                            exist_ok=True)
+                final = os.path.join(dest, sub + name)
+                os.rename(os.path.join(root, src_name), final)
+                rows, size, stats = _footer_stats(final)
+                if rows == 0:
+                    os.unlink(final)
+                    continue
+                st = {"numRecords": rows, "minValues": {}, "maxValues": {},
+                      "nullCount": {}}
+                for c, s in stats.items():
+                    st["minValues"][c] = s.get("min")
+                    st["maxValues"][c] = s.get("max")
+                    st["nullCount"][c] = s.get("nulls", 0)
+                adds.append({
+                    "path": urllib.parse.quote(sub + name),
+                    "partitionValues": pvals,
+                    "size": size,
+                    "modificationTime": ts_ms,
+                    "dataChange": True,
+                    "stats": json.dumps(st),
+                })
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
 def delta_write(
     spark: SparkSession,
     df: DataFrame,
@@ -1245,6 +1327,7 @@ def delta_write(
     txn: Optional[dict] = None,
     merge_schema: bool = False,
     checkpoint_interval: Optional[int] = 10,
+    configuration: Optional[dict] = None,
 ) -> Optional[int]:
     """Jar-less Delta WRITE — the safe subset: create, blind append,
     overwrite. MERGE/UPDATE/DELETE stay on snaplog (+``sync_delta_export``
@@ -1346,60 +1429,8 @@ def delta_write(
             raise ValueError(f"partition_by columns not in DataFrame: {missing}")
 
     # ---- stage data files (invisible until the commit lands)
-    staging = os.path.join(dest, f"_staging_{_uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(staging)
-    adds = []
     ts_ms = int(_time.time() * 1000)
-    try:
-        for root, _dirs, names in os.walk(staging):
-            rel_dir = os.path.relpath(root, staging)
-            if part_cols and rel_dir == ".":
-                continue
-            pvals: dict = {}
-            if part_cols and rel_dir != ".":
-                for seg in rel_dir.split(os.sep):
-                    c, _, raw = seg.partition("=")
-                    pvals[c] = (
-                        None
-                        if raw == "__HIVE_DEFAULT_PARTITION__"
-                        else urllib.parse.unquote(raw)
-                    )
-            for src_name in sorted(names):
-                if not src_name.endswith(".parquet") or src_name.startswith((".", "_")):
-                    continue
-                # per-file UUID names: Spark reuses one job UUID across a
-                # dynamic-partition write, so two partition dirs can get
-                # the SAME basename — unique names keep basename-keyed
-                # consumers (DV joins, export grouping) collision-free
-                name = f"part-{_uuid.uuid4().hex}.parquet"
-                sub = "" if rel_dir == "." else rel_dir + "/"
-                os.makedirs(os.path.join(dest, rel_dir) if sub else dest,
-                            exist_ok=True)
-                final = os.path.join(dest, sub + name)
-                os.rename(os.path.join(root, src_name), final)
-                rows, size, stats = _footer_stats(final)
-                if rows == 0:
-                    os.unlink(final)
-                    continue
-                st = {"numRecords": rows, "minValues": {}, "maxValues": {},
-                      "nullCount": {}}
-                for c, s in stats.items():
-                    st["minValues"][c] = s.get("min")
-                    st["maxValues"][c] = s.get("max")
-                    st["nullCount"][c] = s.get("nulls", 0)
-                adds.append({
-                    "path": urllib.parse.quote(sub + name),
-                    "partitionValues": pvals,
-                    "size": size,
-                    "modificationTime": ts_ms,
-                    "dataChange": True,
-                    "stats": json.dumps(st),
-                })
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    adds = _stage_data_files(df, dest, part_cols, ts_ms)
 
     # ---- claim the commit (retry on version races)
     claimer = LinkCommitClaimer()
@@ -1431,7 +1462,9 @@ def delta_write(
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": df.schema.json(),
                 "partitionColumns": part_cols,
-                "configuration": {},
+                # table properties at create time (delta.constraints.*,
+                # delta.enableChangeDataFeed, delta.appendOnly, ...)
+                "configuration": dict(configuration or {}),
                 "createdTime": ts_ms,
             }})
             next_version = 0
@@ -1893,7 +1926,10 @@ def _delta_table_changes(
     from dc43_spark.io.dv import decode_dv_descriptor
 
     spark = t.spark
-    snap_schema = t.snapshot(end).schema
+    end_snap = t.snapshot(end)
+    snap_schema = end_snap.schema
+    part_cols = list(end_snap.partition_columns)
+    types = {f.name: f.dataType.typeName() for f in snap_schema.fields}
     data_cols = [f.name for f in snap_schema.fields]
     # running raw-add state, advanced commit by commit (O(range), not
     # O(range x history))
@@ -1942,19 +1978,54 @@ def _delta_table_changes(
 
     for v in range(max(starting_version, 0), end + 1):
         ts = t._commit_timestamp(v)
-        cdc_paths, adds, removes = [], [], []
+        cdc_entries, adds, removes = [], [], []
         for action in t._commit_lines(v):
             if "cdc" in action:
-                cdc_paths.append(_decode_path(action["cdc"]["path"]))
+                cdc_entries.append(
+                    (
+                        _decode_path(action["cdc"]["path"]),
+                        _as_map(action["cdc"].get("partitionValues")),
+                    )
+                )
             elif "add" in action:
                 adds.append(action["add"])
             elif "remove" in action:
                 removes.append(action["remove"])
         data_adds = [a for a in adds if a.get("dataChange", True)]
         data_removes = [r for r in removes if r.get("dataChange", True)]
-        if cdc_paths:
-            df = spark.read.parquet(*[os.path.join(t.path, p) for p in cdc_paths])
-            out_parts.append(_tagged(df, None, v, ts))
+        if cdc_entries:
+            if part_cols:
+                # partitioned tables store change data like data files:
+                # partition values in the action, NOT in the file — read
+                # each partition group with the explicit change schema
+                # and attach typed literals (delta-spark's layout)
+                cdc_schema = StructType(
+                    [f for f in snap_schema.fields if f.name not in part_cols]
+                    + [StructField("_change_type", StringType())]
+                )
+                by_vals: dict = {}
+                for p, pv in cdc_entries:
+                    key = tuple(pv.get(c) for c in part_cols)
+                    by_vals.setdefault(key, []).append(p)
+                for key, paths in sorted(
+                    by_vals.items(), key=lambda kv: str(kv[0])
+                ):
+                    df = (
+                        spark.read.format("parquet")
+                        .schema(cdc_schema)
+                        .load([os.path.join(t.path, p) for p in paths])
+                    )
+                    for c, raw in zip(part_cols, key):
+                        val = _parse_partition_value(types[c], raw)
+                        df = df.withColumn(
+                            c, F.lit(val).cast(snap_schema[c].dataType)
+                        )
+                    out_parts.append(_tagged(df, None, v, ts))
+            else:
+                df = spark.read.parquet(
+                    *[os.path.join(t.path, p) for p, _pv in cdc_entries]
+                )
+                out_parts.append(_tagged(df, None, v, ts))
         else:
             removed_paths = {_decode_path(r["path"]) for r in data_removes}
             for a in data_adds:
@@ -1993,10 +2064,6 @@ def _delta_table_changes(
             state.pop(_decode_path(r["path"]), None)
 
     if not out_parts:
-        from pyspark.sql.types import (
-            DoubleType, LongType, StringType, StructField,
-        )
-
         empty = StructType(
             list(snap_schema.fields)
             + [

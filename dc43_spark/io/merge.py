@@ -9,6 +9,9 @@ Three physical strategies:
 - **delta** (Databricks deployments): ``DeltaTable.merge`` — transactional,
   file-pruned by the join condition, no full rewrite. Used automatically
   when delta-spark is importable and the target format is ``delta``.
+  Without the jar, format="delta" paths route to the jar-less protocol
+  MERGE (io/delta_dml.py, r10): deletion-vector or copy-on-write row
+  mutation committed straight to the ``_delta_log``.
 - **snaplog** (the in-container 100 TB path, r7): file-granular
   copy-on-write through the snapshot log — footer-stats pruning + an
   exact distributed semi-join pick the files containing matched keys;
@@ -269,6 +272,31 @@ def merge_with_contract(
             builder = builder.whenNotMatchedInsertAll()
         builder.execute()
         return _done(MergeResult(validation, "delta", path, table))
+
+    if fmt == "delta" and path:
+        # jar-less protocol MERGE (r10): deletion-vector or copy-on-write
+        # row mutation on a real _delta_log (io/delta_dml.py) — the
+        # reference's DeltaTable.merge surface without delta-spark
+        from dc43_spark.io.delta_log import DeltaLogTable
+        from dc43_spark.io.delta_dml import delta_merge
+
+        t = DeltaLogTable(spark, path)
+        if not t.exists():
+            if when_not_matched != "insert":
+                return _done(MergeResult(validation, "initial-write", path, table))
+            write_with_contract(
+                aligned, contract, path=path, table=None, format="delta",
+                mode="overwrite", enforce=False,
+            )
+            return _done(MergeResult(validation, "initial-write", path, table))
+        delta_merge(
+            spark, aligned, path, keys,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            delete_predicate=delete_predicate,
+            check_source_keys=False,  # require_unique_merge_keys ran above
+        )
+        return _done(MergeResult(validation, "delta-log-dml", path, table))
 
     # -------- parquet fallback: outer-join rewrite + atomic dir swap
     target_exists = (path is not None and os.path.exists(path)) or (

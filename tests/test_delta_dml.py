@@ -1,0 +1,500 @@
+"""Jar-less Delta MERGE / UPDATE / DELETE (io/delta_dml.py): deletion-
+vector and copy-on-write strategies, CDF emission, rule enforcement,
+and optimistic concurrency — every mutation read back through the
+independent protocol reader and (for merge) checked against the
+outer-join MERGE oracle."""
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from dc43_spark.io.delta_dml import delta_delete, delta_merge, delta_update
+from dc43_spark.io.delta_log import (
+    DeltaLogTable,
+    DeltaWriteError,
+    delta_write,
+)
+
+
+def _df(spark, rows, schema="k long, v string, amt long"):
+    return spark.createDataFrame(rows, schema).coalesce(1)
+
+
+def _mk(spark, path, n=8, **kw):
+    delta_write(
+        spark,
+        _df(spark, [(i, f"s{i}", i * 10) for i in range(n)]),
+        path,
+        checkpoint_interval=None,
+        **kw,
+    )
+    return DeltaLogTable(spark, path)
+
+
+def _rows(t, **kw):
+    return {(r.k, r.v, r.amt) for r in t.read(**kw).collect()}
+
+
+# ---------------- DELETE
+
+
+def test_delete_with_dvs_no_rewrite(spark, tmp_path):
+    """DV delete: rows vanish, the data file is NOT rewritten (same
+    path re-added with a descriptor), time travel still shows them."""
+    t = _mk(spark, str(tmp_path / "t"))
+    files0 = {f.path for f in t.snapshot().files}
+    v = delta_delete(spark, t.path, "k >= 6", use_dvs=True)
+    assert v == 1
+    assert {r.k for r in t.read().collect()} == set(range(6))
+    assert {r.k for r in t.read(version_as_of=0).collect()} == set(range(8))
+    snap = t.snapshot()
+    assert {f.path for f in snap.files} == files0  # same file, new DV
+    assert sum(1 for f in snap.files if f.dv) == 1
+    assert any(n.endswith(".bin") for n in os.listdir(t.path))
+    # protocol upgraded in the same commit
+    d = t.describe_detail()
+    assert "deletionVectors" in d["readerFeatures"]
+    assert "deletionVectors" in d["writerFeatures"]
+    # a second delete MERGES the existing vector (old deletes stay)
+    assert delta_delete(spark, t.path, "k = 0", use_dvs=True) == 2
+    assert {r.k for r in t.read().collect()} == {1, 2, 3, 4, 5}
+    # no matches: no commit
+    assert delta_delete(spark, t.path, "k = 999", use_dvs=True) is None
+    assert t.version() == 2
+
+
+def test_delete_copy_on_write_default(spark, tmp_path):
+    """Without the DV feature the default strategy rewrites the touched
+    file (any Delta reader keeps working) — no .bin files appear."""
+    t = _mk(spark, str(tmp_path / "t"))
+    v = delta_delete(spark, t.path, "k IN (2, 5)")
+    assert v == 1
+    assert {r.k for r in t.read().collect()} == {0, 1, 3, 4, 6, 7}
+    snap = t.snapshot()
+    assert all(f.dv is None for f in snap.files)
+    assert not any(n.endswith(".bin") for n in os.listdir(t.path))
+    d = t.describe_detail()
+    assert d["minReaderVersion"] == 1  # protocol untouched
+
+
+def test_delete_whole_file_emits_plain_remove(spark, tmp_path):
+    """A DV covering every physical row of a file degenerates to a
+    remove action — no dead file with a 100% vector."""
+    path = str(tmp_path / "t")
+    delta_write(spark, _df(spark, [(1, "a", 10), (2, "b", 20)]), path,
+                checkpoint_interval=None)
+    delta_write(spark, _df(spark, [(3, "c", 30)]), path,
+                checkpoint_interval=None)
+    t = DeltaLogTable(spark, path)
+    assert delta_delete(spark, path, "k <= 2", use_dvs=True) == 2
+    snap = t.snapshot()
+    assert len(snap.files) == 1 and snap.files[0].dv is None
+    assert {r.k for r in t.read().collect()} == {3}
+
+
+def test_delete_on_partitioned_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(12).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+    )
+    delta_write(spark, df, path, partition_by=["p"], checkpoint_interval=None)
+    t = DeltaLogTable(spark, path)
+    assert delta_delete(spark, path, "p = 1 AND k < 7", use_dvs=True) == 1
+    got = {(r.k, r.p) for r in t.read().collect()}
+    assert got == {(i, i % 3) for i in range(12)} - {(1, 1), (4, 1)}
+    # partition pruning still composes with the DV mask
+    assert {r.k for r in t.read(filters=[("p", "=", 1)]).collect()} == {7, 10}
+
+
+# ---------------- UPDATE
+
+
+def test_update_rewrites_matched_rows(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    v = delta_update(
+        spark, t.path,
+        {"v": "concat(v, '!')", "amt": "amt + 1"},
+        "k >= 6",
+        use_dvs=True,
+    )
+    assert v == 1
+    got = _rows(t)
+    assert got == {(i, f"s{i}", i * 10) for i in range(6)} | {
+        (6, "s6!", 61), (7, "s7!", 71)
+    }
+    # old row versions stay time-travelable
+    assert _rows(t, version_as_of=0) == {
+        (i, f"s{i}", i * 10) for i in range(8)
+    }
+    assert delta_update(spark, t.path, {"amt": "0"}, "k = 999") is None
+
+
+def test_update_refuses_set_on_generated_and_recomputes(spark, tmp_path):
+    """SET on a GENERATED ALWAYS AS column refuses; updating its source
+    recomputes the generated value (delta-spark's rule)."""
+    path = str(tmp_path / "t")
+    delta_write(spark, _df(spark, [(1, "a", 10), (2, "b", 20)]), path,
+                checkpoint_interval=None)
+    log = os.path.join(path, "_delta_log")
+    with open(os.path.join(log, f"{0:020d}.json")) as fh:
+        actions = [json.loads(ln) for ln in fh if ln.strip()]
+    for a in actions:
+        md = a.get("metaData")
+        if md:
+            schema = json.loads(md["schemaString"])
+            schema["fields"].append({
+                "name": "amt2", "type": "long", "nullable": True,
+                "metadata": {"delta.generatedAlwaysAs": "amt * 2"},
+            })
+            md["schemaString"] = json.dumps(schema)
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in actions
+                      if "add" not in a)
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
+        fh.write(json.dumps(
+            {"commitInfo": {"timestamp": 1, "operation": "DELETE"}}) + "\n")
+        for f in DeltaLogTable(spark, path).snapshot(0).files:
+            fh.write(json.dumps(
+                {"remove": {"path": f.path, "dataChange": True}}) + "\n")
+    delta_write(spark, _df(spark, [(1, "a", 10), (2, "b", 20)]), path,
+                checkpoint_interval=None)
+
+    with pytest.raises(DeltaWriteError, match="GENERATED"):
+        delta_update(spark, path, {"amt2": "5"}, "k = 1")
+    assert delta_update(spark, path, {"amt": "amt + 5"}, "k = 1") == 4
+    got = {(r.k, r.amt, r.amt2)
+           for r in DeltaLogTable(spark, path).read().collect()}
+    assert got == {(1, 15, 30), (2, 20, 40)}
+
+
+def test_update_enforces_constraints_on_new_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    delta_write(
+        spark, _df(spark, [(1, "a", 10)]), path,
+        checkpoint_interval=None,
+        configuration={"delta.constraints.amt_pos": "amt >= 0"},
+    )
+    with pytest.raises(DeltaWriteError, match="amt_pos"):
+        delta_update(spark, path, {"amt": "-5"}, "k = 1")
+    # nothing landed
+    assert DeltaLogTable(spark, path).version() == 0
+
+
+# ---------------- MERGE
+
+
+def test_merge_update_insert_delete_matches_oracle(spark, tmp_path):
+    """The DV merge's row fates match the outer-join MERGE oracle
+    (io/merge.py _outer_join_merge) on the same inputs."""
+    from dc43_spark.io.merge import _outer_join_merge
+
+    t = _mk(spark, str(tmp_path / "t"))
+    target0 = t.read().select("k", "v", "amt")
+    source = _df(spark, [
+        (5, "upd5", 500),    # matched -> update
+        (6, "del6", -1),     # matched -> delete (amt < 0)
+        (100, "new", 1000),  # unmatched -> insert
+        (101, "neg", -7),    # unmatched -> insert (delete pred ignores)
+    ])
+    expected = {
+        tuple(r) for r in _outer_join_merge(
+            target0, source, ["k"],
+            when_matched="update", when_not_matched="insert",
+            delete_predicate="s.amt < 0",
+        ).collect()
+    }
+    v = delta_merge(
+        spark, source, t.path, ["k"],
+        delete_predicate="s.amt < 0", use_dvs=True,
+    )
+    assert v == 1
+    assert _rows(t) == expected
+    # the untouched files carried over; touched ones are DV'd not rewritten
+    snap = t.snapshot()
+    assert sum(1 for f in snap.files if f.dv) == 1
+    # time travel to the pre-merge state
+    assert _rows(t, version_as_of=0) == {tuple(r) for r in target0.collect()}
+
+
+def test_merge_clause_variants(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=4)
+    # ignore matched, insert only the rows passing insert_predicate
+    v = delta_merge(
+        spark,
+        _df(spark, [(2, "skip", 0), (50, "in", 1), (51, "out", -1)]),
+        t.path, ["k"],
+        when_matched="ignore",
+        insert_predicate="s.amt > 0",
+        use_dvs=True,
+    )
+    assert v == 1
+    assert _rows(t) == {(i, f"s{i}", i * 10) for i in range(4)} | {(50, "in", 1)}
+    # ignore unmatched: update only
+    v = delta_merge(
+        spark,
+        _df(spark, [(0, "upd0", 7), (99, "nope", 9)]),
+        t.path, ["k"],
+        when_not_matched="ignore",
+        use_dvs=True,
+    )
+    assert v == 2
+    assert (0, "upd0", 7) in _rows(t) and not any(
+        k == 99 for k, _v, _a in _rows(t)
+    )
+    # no-op merge commits nothing
+    assert delta_merge(
+        spark, _df(spark, [(999, "x", 1)]), t.path, ["k"],
+        when_not_matched="ignore",
+    ) is None
+    # duplicate source keys refuse (SQL MERGE ambiguity)
+    with pytest.raises(ValueError, match="duplicate"):
+        delta_merge(
+            spark, _df(spark, [(1, "a", 1), (1, "b", 2)]), t.path, ["k"]
+        )
+
+
+def test_merge_copy_on_write(spark, tmp_path):
+    """COW merge rewrites only the touched file; no DV artifacts."""
+    path = str(tmp_path / "t")
+    delta_write(spark, _df(spark, [(1, "a", 10), (2, "b", 20)]), path,
+                checkpoint_interval=None)
+    delta_write(spark, _df(spark, [(3, "c", 30)]), path,
+                checkpoint_interval=None)
+    t = DeltaLogTable(spark, path)
+    v = delta_merge(
+        spark, _df(spark, [(2, "B", 200), (9, "i", 90)]), path, ["k"],
+        use_dvs=False,
+    )
+    assert v == 2
+    assert _rows(t) == {(1, "a", 10), (2, "B", 200), (3, "c", 30), (9, "i", 90)}
+    snap = t.snapshot()
+    assert all(f.dv is None for f in snap.files)
+    assert not any(n.endswith(".bin") for n in os.listdir(path))
+
+
+def test_merge_source_schema_gates(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n=2)
+    with pytest.raises(DeltaWriteError, match="lacks table column"):
+        delta_merge(
+            spark,
+            spark.createDataFrame([(1, "x")], "k long, v string").coalesce(1),
+            t.path, ["k"],
+        )
+    with pytest.raises(DeltaWriteError, match="not in the table"):
+        delta_merge(
+            spark,
+            spark.createDataFrame(
+                [(1, "x", 1, 9)], "k long, v string, amt long, zz long"
+            ).coalesce(1),
+            t.path, ["k"],
+        )
+
+
+def test_dml_refuses_append_only(spark, tmp_path):
+    path = str(tmp_path / "t")
+    delta_write(spark, _df(spark, [(1, "a", 10)]), path,
+                checkpoint_interval=None,
+                configuration={"delta.appendOnly": "true"})
+    for op in (
+        lambda: delta_delete(spark, path, "k = 1"),
+        lambda: delta_update(spark, path, {"amt": "0"}),
+        lambda: delta_merge(spark, _df(spark, [(1, "b", 1)]), path, ["k"]),
+    ):
+        with pytest.raises(DeltaWriteError, match="appendOnly"):
+            op()
+
+
+# ---------------- change data feed
+
+
+def test_dml_emits_authoritative_cdf(spark, tmp_path):
+    """With delta.enableChangeDataFeed=true every DML commit writes
+    _change_data files + cdc actions; table_changes serves them as
+    authoritative (update pre/post images, merge inserts/deletes)."""
+    path = str(tmp_path / "t")
+    delta_write(
+        spark, _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]),
+        path, checkpoint_interval=None,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaLogTable(spark, path)
+    assert delta_update(spark, path, {"amt": "amt + 1"}, "k = 2",
+                        use_dvs=True) == 1
+    assert delta_merge(
+        spark, _df(spark, [(3, "C", 300), (4, "d", 40), (1, "x", -1)]),
+        path, ["k"], delete_predicate="s.amt < 0", use_dvs=True,
+    ) == 2
+    assert os.path.isdir(os.path.join(path, "_change_data"))
+
+    ch1 = {(r.k, r.amt, r._change_type)
+           for r in t.table_changes(1, 1).collect()}
+    assert ch1 == {(2, 20, "update_preimage"), (2, 21, "update_postimage")}
+    ch2 = {(r.k, r.v, r._change_type)
+           for r in t.table_changes(2, 2).collect()}
+    assert ch2 == {
+        (3, "c", "update_preimage"), (3, "C", "update_postimage"),
+        (4, "d", "insert"), (1, "a", "delete"),
+    }
+    # the table itself reads correctly after both ops
+    assert _rows(t) == {(2, "b", 21), (3, "C", 300), (4, "d", 40)}
+
+
+def test_dml_cdf_on_partitioned_table(spark, tmp_path):
+    """Partitioned CDF: change files store partition values in dirs +
+    cdc partitionValues (delta-spark's layout); the reader attaches
+    them back as typed literals."""
+    path = str(tmp_path / "t")
+    df = spark.range(8).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    delta_write(spark, df, path, partition_by=["p"],
+                checkpoint_interval=None,
+                configuration={"delta.enableChangeDataFeed": "true"})
+    t = DeltaLogTable(spark, path)
+    assert delta_delete(spark, path, "k IN (2, 3)", use_dvs=True) == 1
+    ch = {(r.k, r.p, r._change_type)
+          for r in t.table_changes(1, 1).collect()}
+    assert ch == {(2, 0, "delete"), (3, 1, "delete")}
+    got = {(r.k, r.p) for r in t.read().collect()}
+    assert got == {(i, i % 2) for i in range(8)} - {(2, 0), (3, 1)}
+
+
+def test_derived_cdf_without_change_files(spark, tmp_path):
+    """Without CDF enabled, table_changes still derives merge effects
+    from file actions: new adds -> inserts, DV growth -> deletes."""
+    t = _mk(spark, str(tmp_path / "t"), n=4)
+    delta_merge(
+        spark, _df(spark, [(1, "U", 100), (9, "i", 90)]), t.path, ["k"],
+        use_dvs=True,
+    )
+    ch = {(r.k, r._change_type) for r in t.table_changes(1, 1).collect()}
+    # an update without cdc files derives as delete(old) + insert(new)
+    assert ch == {(1, "delete"), (1, "insert"), (9, "insert")}
+
+
+# ---------------- streams + governed routing
+
+
+def test_stream_sees_dml_under_ignore_changes(spark, tmp_path):
+    from dc43_spark.io.delta_source import DeltaLogDataSource
+
+    spark.dataSource.register(DeltaLogDataSource)
+    t = _mk(spark, str(tmp_path / "t"), n=4)
+    delta_delete(spark, t.path, "k = 1", use_dvs=True)
+
+    def run(opts, cp, out):
+        reader = spark.readStream.format("deltalog")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load(t.path)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", cp)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        if q.exception():
+            raise RuntimeError(str(q.exception()))
+
+    with pytest.raises(Exception, match="ignoreChanges"):
+        run({"startingVersion": 0}, str(tmp_path / "cp1"), str(tmp_path / "o1"))
+    run({}, str(tmp_path / "cp2"), str(tmp_path / "o2"))  # snapshot start
+    assert {r.k for r in spark.read.parquet(str(tmp_path / "o2")).collect()} \
+        == {0, 2, 3}
+
+
+def test_governed_merge_routes_jarlessly(spark, tmp_path):
+    """merge_with_contract(format='delta') now lands on the protocol
+    MERGE when the jar is absent — the reference's primary write
+    surface, end-to-end under contract validation."""
+    from dc43_spark.contracts import Contract, SchemaObject, SchemaProperty
+    from dc43_spark.io.merge import merge_with_contract
+    from dc43_spark.io.read import read_with_contract
+
+    path = str(tmp_path / "t")
+    contract = Contract(
+        id="dml.orders", version="1.0.0", status="active",
+        schema_objects=[
+            SchemaObject(
+                name="t",
+                properties=[
+                    SchemaProperty("k", "bigint", required=True),
+                    SchemaProperty("v", "string"),
+                    SchemaProperty("amt", "bigint"),
+                ],
+            )
+        ],
+    )
+    src0 = _df(spark, [(1, "a", 10), (2, "b", 20)])
+    r0 = merge_with_contract(spark, src0, contract, keys=["k"], path=path,
+                             format="delta")
+    assert r0.strategy == "initial-write"
+    r1 = merge_with_contract(
+        spark, _df(spark, [(2, "B", 200), (3, "c", 30)]), contract,
+        keys=["k"], path=path, format="delta",
+    )
+    assert r1.strategy == "delta-log-dml"
+    df, _validation = read_with_contract(
+        spark, contract, path=path, format="delta", metrics=False
+    )
+    assert {(r.k, r.v, r.amt) for r in df.collect()} == {
+        (1, "a", 10), (2, "B", 200), (3, "c", 30),
+    }
+
+
+# ---------------- concurrency soak (r9 ask #9)
+
+
+def test_dml_concurrency_soak(spark, tmp_path):
+    """3 blind appenders race 2 mergers on one Delta table: every append
+    lands exactly once, every merger retries through conflicts, and the
+    final state equals the sequential model (appends are key-disjoint
+    from merges, so order doesn't matter)."""
+    path = str(tmp_path / "t")
+    delta_write(
+        spark, _df(spark, [(i, f"s{i}", i * 10) for i in range(6)]), path,
+        checkpoint_interval=None,
+    )
+    errors = []
+
+    def appender(lo):
+        try:
+            delta_write(
+                spark, _df(spark, [(lo, "app", lo)]), path,
+                checkpoint_interval=None,
+            )
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def merger(k, tag):
+        try:
+            delta_merge(
+                spark, _df(spark, [(k, tag, k * 1000)]), path, ["k"],
+                use_dvs=True,
+            )
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = (
+        [threading.Thread(target=appender, args=(lo,))
+         for lo in (100, 200, 300)]
+        + [threading.Thread(target=merger, args=args)
+           for args in ((1, "m1"), (4, "m4"))]
+    )
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not errors, errors
+
+    t = DeltaLogTable(spark, path)
+    assert t.version() == 5  # 1 create + 3 appends + 2 merges
+    expected = {(i, f"s{i}", i * 10) for i in range(6)} - {
+        (1, "s1", 10), (4, "s4", 40)
+    } | {(1, "m1", 1000), (4, "m4", 4000)} | {
+        (lo, "app", lo) for lo in (100, 200, 300)
+    }
+    assert _rows(t) == expected
