@@ -98,6 +98,10 @@ HEADLINE = [
     "snaplog_stream_orders",
     # r9: jar-less Delta protocol read (hand-written log + real DVs)
     "delta_log_read_orders",
+    # r10: jar-less Delta WRITER (create + txn append + pinned reads) and
+    # deletion-vector MERGE through the governed route
+    "delta_write_orders",
+    "delta_merge_orders",
     # governance orchestration (metrics -> verdict -> stores -> read-back)
     "governance_verdict_orders",
     "profile_orders",

@@ -899,7 +899,10 @@ EXTRA_ORACLES["bigram_familiarity_documents"] = _BIGRAM_FAMILIARITY_SQL
 # (their defs sit below the main registry, so they join it here).
 CURATION_QUERIES["mix_by_lang_documents"] = q_mix_by_lang_documents
 CURATION_QUERIES["filter_report_documents"] = q_filter_report_documents
-CURATION_QUERIES["boilerplate_strip_documents"] = q_boilerplate_strip_documents
 CURATION_ORACLES["mix_by_lang_documents"] = _mix_by_lang_sql()
 CURATION_ORACLES["filter_report_documents"] = _filter_report_sql()
-CURATION_ORACLES["boilerplate_strip_documents"] = _boilerplate_strip_sql()
+# r10 rotation: boilerplate_strip moves to extras (its span-mining core
+# is subsumed by duplicated_spans_documents' oracle) to make room for the
+# Delta writer + DV-merge gates; still bench-run and parity-pinned.
+EXTRA_QUERIES["boilerplate_strip_documents"] = q_boilerplate_strip_documents
+EXTRA_ORACLES["boilerplate_strip_documents"] = _boilerplate_strip_sql()

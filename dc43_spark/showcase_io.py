@@ -687,6 +687,156 @@ IO_ORACLES["delta_log_read_orders"] = _DELTA_LOG_READ_SQL
 IO_QUERIES["ivm_full_agg_orders"] = q_ivm_full_agg_orders
 IO_ORACLES["ivm_full_agg_orders"] = _IVM_FULL_AGG_SQL
 
+def q_delta_write_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The jar-less Delta WRITER under a hard oracle (r10 rotation —
+    VERDICT r9 #2: the r9 writer flagship had pytest coverage only).
+
+    Governed write -> pinned read loop on a REAL ``_delta_log`` the
+    repo's own writer produces (io/delta_log.py delta_write): v0 creates
+    the table from the even order keys through ``write_with_contract``
+    (format="delta", jar absent -> protocol writer), v1 appends the odd
+    keys as an idempotent ``txnAppId/txnVersion`` write, and the SAME
+    txn is replayed — the ledger must swallow the duplicate, which the
+    oracle's row counts pin. Both versions then read back through the
+    governed pinned path (ContractVersionLocator -> versionAsOf ->
+    protocol reader); the oracle reconstructs each version from
+    ``orders`` directly."""
+    base = _orders_base(spark, sf_dir)
+    contract = merge_orders_contract()
+    root = os.path.join(_scratch(sf_dir, "delta_write"), "orders")
+
+    write_with_contract(  # v0: create
+        base.filter(F.col("o_orderkey") % 2 == 0),
+        contract, path=root, format="delta", mode="append",
+    )
+    odd = base.filter(F.col("o_orderkey") % 2 == 1)
+    for _replay in range(2):  # second call is a replayed batch: no-op
+        write_with_contract(
+            odd, contract, path=root, format="delta", mode="append",
+            options={"txnAppId": "gate-delta-write", "txnVersion": "1"},
+        )
+
+    def _pinned(version: str) -> DataFrame:
+        aligned, result = read_with_contract(
+            spark, contract, metrics=False,
+            locator=ContractVersionLocator(
+                version, base=StaticDatasetLocator(path=root, format="delta")
+            ),
+        )
+        assert result.status == "ok", result.errors
+        return aligned.withColumn("version_read", F.lit(int(version)))
+
+    both = _pinned("0").unionByName(_pinned("1"))
+    return both.groupBy("version_read", "o_orderstatus").agg(
+        F.sum("o_totalprice_cents").cast("long").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_DELTA_WRITE_SQL = f"""
+WITH base AS ({_BASE_SQL})
+SELECT 0 AS version_read, o_orderstatus,
+       CAST(SUM(o_totalprice_cents) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_rows
+FROM base WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
+UNION ALL
+SELECT 1 AS version_read, o_orderstatus,
+       CAST(SUM(o_totalprice_cents) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_rows
+FROM base GROUP BY o_orderstatus
+"""
+
+
+def q_delta_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jar-less Delta MERGE with protocol deletion vectors under a hard
+    oracle (r10 — VERDICT r9 #1): ``merge_with_contract`` routes
+    format="delta" to io/delta_dml.py when delta-spark is absent.
+
+    The target is created by the repo's own writer WITH
+    ``delta.enableDeletionVectors=true`` (even order keys); the source
+    is every ``o_orderkey % 3 == 0`` row re-statused 'U' with doubled
+    cents. All three MERGE fates fire: matched + s.o_custkey % 10 == 0
+    deletes (becomes a deletion vector on the touched file), matched
+    otherwise updates (DV + new row file), source-only inserts. Both the
+    pre-merge and post-merge versions read back through the governed
+    pinned path — proving DV time travel on a DML'd log — and the
+    oracle replays the MERGE algebra over ``orders``."""
+    from dc43_spark.io.delta_log import delta_write
+
+    base = _orders_base(spark, sf_dir)
+    contract = merge_orders_contract()
+    root = os.path.join(_scratch(sf_dir, "delta_merge"), "orders")
+
+    delta_write(  # create with the DV feature enabled (table property)
+        spark, base.filter(F.col("o_orderkey") % 2 == 0), root,
+        configuration={"delta.enableDeletionVectors": "true"},
+        checkpoint_interval=None,
+    )
+    source = (
+        base.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice_cents", F.col("o_totalprice_cents") * 2)
+    )
+    merge_with_contract(
+        spark, source, contract,
+        keys=["o_orderkey"],
+        path=root,
+        format="delta",
+        delete_predicate="s.o_custkey % 10 = 0",
+    )
+
+    def _pinned(version: str) -> DataFrame:
+        aligned, result = read_with_contract(
+            spark, contract, metrics=False,
+            locator=ContractVersionLocator(
+                version, base=StaticDatasetLocator(path=root, format="delta")
+            ),
+        )
+        assert result.status == "ok", result.errors
+        return aligned.withColumn("version_read", F.lit(int(version)))
+
+    both = _pinned("0").unionByName(_pinned("1"))
+    return both.groupBy("version_read", "o_orderstatus").agg(
+        F.sum("o_totalprice_cents").cast("long").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_DELTA_MERGE_SQL = f"""
+WITH base AS ({_BASE_SQL}),
+t0 AS (SELECT * FROM base WHERE o_orderkey % 2 = 0),
+s AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice_cents * 2 AS o_totalprice_cents
+  FROM base WHERE o_orderkey % 3 = 0
+),
+v1 AS (
+  SELECT * FROM t0 WHERE o_orderkey % 3 <> 0
+  UNION ALL
+  SELECT * FROM s WHERE NOT (o_orderkey % 2 = 0 AND o_custkey % 10 = 0)
+)
+SELECT 0 AS version_read, o_orderstatus,
+       CAST(SUM(o_totalprice_cents) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_rows
+FROM t0 GROUP BY o_orderstatus
+UNION ALL
+SELECT 1 AS version_read, o_orderstatus,
+       CAST(SUM(o_totalprice_cents) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_rows
+FROM v1 GROUP BY o_orderstatus
+"""
+
+# r10 rotation (VERDICT r9 #1/#2): the jar-less Delta WRITER (create +
+# idempotent txn append + pinned reads) and the deletion-vector MERGE
+# join the 50-slot window; boilerplate_strip_documents (subsumed by
+# duplicated_spans_documents' span oracle) and ann_ivf_int8_embeddings
+# (quantization twin of ann_ivf_embeddings, still pytest-pinned by
+# test_similarity_quant) rotate to extras.
+IO_QUERIES["delta_write_orders"] = q_delta_write_orders
+IO_ORACLES["delta_write_orders"] = _DELTA_WRITE_SQL
+IO_QUERIES["delta_merge_orders"] = q_delta_merge_orders
+IO_ORACLES["delta_merge_orders"] = _DELTA_MERGE_SQL
+
 EXTRA_QUERIES: dict = {}
 
 EXTRA_ORACLES: dict = {}

@@ -1432,7 +1432,9 @@ SCALE_QUERIES = {
     "cosine_pairs_embeddings": q_cosine_pairs_embeddings,
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "ann_ivf_embeddings": q_ann_ivf_embeddings,
-    "ann_ivf_int8_embeddings": q_ann_ivf_int8_embeddings,
+    # r10 rotation: ann_ivf_int8 moves to extras (quantization twin of
+    # ann_ivf — same index/probe path, int8 rescore pinned by
+    # test_similarity_quant) for the Delta writer + DV-merge gates
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "asof_purchase_attribution": q_asof_purchase_attribution,
@@ -1459,8 +1461,6 @@ SCALE_ORACLES = {
     "ann_lsh_embeddings": _ann_lsh_sql(),
     # full probe == exact brute force, so the KNN oracle applies verbatim
     "ann_ivf_embeddings": _KNN_SQL,
-    # full probe + exact rescore reproduces exact KNN (see gate docstring)
-    "ann_ivf_int8_embeddings": _KNN_SQL,
     "pricing_summary": _PRICING_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,
     "asof_purchase_attribution": _ASOF_ATTRIBUTION_SQL,
@@ -1642,6 +1642,10 @@ EXTRA_QUERIES = {
     # here on every pytest run
     "simhash_documents": q_simhash_documents,
     "near_dup_pairs_documents": q_near_dup_pairs_documents,
+    # r10 rotation: int8-rescore ANN twin of the surviving ann_ivf gate
+    # (full probe + exact rescore == exact KNN; test_similarity_quant
+    # pins the quantization kernel) — displaced for the Delta DML gates
+    "ann_ivf_int8_embeddings": q_ann_ivf_int8_embeddings,
 }
 
 EXTRA_ORACLES = {
@@ -1660,6 +1664,7 @@ EXTRA_ORACLES = {
     "simhash_documents": _simhash_sql(),
     "near_dup_pairs_documents": _near_dup_sql(" WHERE doc_id < 2000"),
     "ann_ivfpq_embeddings": _KNN_SQL,
+    "ann_ivf_int8_embeddings": _KNN_SQL,
 }
 
 # r7 rotation: the r6 operators move INTO the driver window (their defs
