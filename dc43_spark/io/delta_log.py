@@ -476,6 +476,14 @@ class DeltaLogTable:
             adds[_decode_path(add["path"])] = add
         md = row.get("metaData")
         if md and md.get("schemaString"):
+            # parquet checkpoints materialize MAP columns as (k, v) tuple
+            # lists — normalize so every consumer sees plain dicts
+            md = dict(md)
+            md["configuration"] = _as_map(md.get("configuration"))
+            if md.get("format"):
+                fmt = dict(md["format"])
+                fmt["options"] = _as_map(fmt.get("options"))
+                md["format"] = fmt
             self._cp_meta = md
         proto = row.get("protocol")
         if proto and proto.get("minReaderVersion") is not None:
@@ -1130,13 +1138,20 @@ def _check_append_only(meta: dict, mode: str) -> None:
         )
 
 
-def _check_writer_protocol(protocol: dict, meta: dict, schema: StructType) -> None:
+def _check_writer_protocol(
+    protocol: dict,
+    meta: dict,
+    schema: StructType,
+    *,
+    allow_column_mapping: bool = False,
+) -> None:
     """Refuse loudly unless every writer obligation is honorable.
 
     Feature flags alone don't block: ``generatedColumns`` on a table with
     no generated column costs an appender nothing — what blocks is the
     PRESENCE of a field this writer can't maintain (generated/identity
-    definitions, column mapping)."""
+    definitions; column mapping unless the caller writes physical names —
+    delta_write does since r10, the DML kernel does not yet)."""
     v = protocol.get("minWriterVersion", 1)
     if v >= 7:
         feats = set(protocol.get("writerFeatures") or ())
@@ -1154,11 +1169,17 @@ def _check_writer_protocol(protocol: dict, meta: dict, schema: StructType) -> No
             f"(supported here: {sorted(SUPPORTED_WRITER_FEATURES)})"
         )
     conf = meta.get("configuration") or {}
-    if conf.get("delta.columnMapping.mode", "none") != "none":
+    mode = conf.get("delta.columnMapping.mode", "none")
+    if mode not in ("none", "name"):
         raise DeltaWriteError(
-            "column-mapped Delta tables are read-only here (writing "
-            "physical names without the reference implementation to "
-            "verify against is where silent corruption lives)"
+            f"column mapping mode {mode!r} is not writable here (id-mode "
+            "needs parquet field-id emission)"
+        )
+    if mode == "name" and not allow_column_mapping:
+        raise DeltaWriteError(
+            "column-mapped Delta tables support append/overwrite and "
+            "metadata-only rename/drop here; row-mutating DML on mapped "
+            "tables still needs the jar or snaplog + sync mirror"
         )
     for f in schema.fields:
         md = f.metadata or {}
@@ -1381,7 +1402,9 @@ def delta_write(
         # writer gate needs the raw protocol + metaData, not just the
         # snapshot view
         protocol, meta = _raw_protocol_meta(t, snap.version)
-        _check_writer_protocol(protocol, meta, snap.schema)
+        _check_writer_protocol(
+            protocol, meta, snap.schema, allow_column_mapping=True
+        )
         _check_append_only(meta, mode)
         gen0 = _generated_columns(snap.schema)
         if gen0:
@@ -1429,8 +1452,34 @@ def delta_write(
             raise ValueError(f"partition_by columns not in DataFrame: {missing}")
 
     # ---- stage data files (invisible until the commit lands)
+    # Column-mapped tables (mode=name) store PHYSICAL column names in the
+    # files: rename logical -> physical before staging (validation above
+    # ran on the logical frame). New columns from additive evolution get
+    # fresh col-<uuid> physical names, assigned ONCE so the staged files
+    # and the evolution metaData agree across claim retries.
+    mapping_mode = snap is not None and snap.column_mapping
+    phys_by_logical: dict = {}
+    new_phys: dict = {}
+    if mapping_mode:
+        phys_by_logical = {
+            f.name: (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            for f in snap.schema.fields
+        }
+        for c in df.columns:
+            if c not in phys_by_logical:
+                new_phys[c] = f"col-{_uuid.uuid4().hex}"
+        stage_df = df.select(
+            *[
+                F.col(c).alias(phys_by_logical.get(c, new_phys.get(c, c)))
+                for c in df.columns
+            ]
+        )
+    else:
+        stage_df = df
     ts_ms = int(_time.time() * 1000)
-    adds = _stage_data_files(df, dest, part_cols, ts_ms)
+    adds = _stage_data_files(stage_df, dest, part_cols, ts_ms)
 
     # ---- claim the commit (retry on version races)
     claimer = LinkCommitClaimer()
@@ -1475,8 +1524,32 @@ def delta_write(
                 # schema-bound, rules must re-validate)
                 snap = t.snapshot(head)
                 protocol, meta = _raw_protocol_meta(t, head)
-                _check_writer_protocol(protocol, meta, snap.schema)
+                _check_writer_protocol(
+                    protocol, meta, snap.schema, allow_column_mapping=True
+                )
                 _check_append_only(meta, mode)
+                if mapping_mode != snap.column_mapping:
+                    raise DeltaProtocolError(
+                        "column mapping was toggled concurrently; the "
+                        "staged files carry the wrong column names"
+                    )
+                if mapping_mode:
+                    now_phys = {
+                        f.name: (f.metadata or {}).get(
+                            "delta.columnMapping.physicalName", f.name
+                        )
+                        for f in snap.schema.fields
+                    }
+                    stale = sorted(
+                        c
+                        for c, p in {**phys_by_logical, **new_phys}.items()
+                        if now_phys.get(c, p) != p
+                    )
+                    if stale:
+                        raise DeltaProtocolError(
+                            f"physical names of column(s) {stale} changed "
+                            "concurrently; the staged files no longer match"
+                        )
                 if mode == "overwrite":
                     raise DeltaProtocolError(
                         f"overwrite of {dest} lost its snapshot pin: a "
@@ -1513,6 +1586,13 @@ def delta_write(
                 if {f.name: f.dataType.simpleString() for f in snap.schema.fields} != {
                     f.name: f.dataType.simpleString() for f in df.schema.fields
                 } or list(snap.partition_columns) != part_cols:
+                    if mapping_mode:
+                        raise DeltaWriteError(
+                            "schema-changing overwrite on a column-mapped "
+                            "table is not supported here; rename/drop via "
+                            "delta_rename_column / delta_drop_column, add "
+                            "columns via merge_schema appends"
+                        )
                     _, meta = _raw_protocol_meta(t, head)
                     new_meta = dict(meta)
                     new_meta["schemaString"] = df.schema.json()
@@ -1525,9 +1605,33 @@ def delta_write(
                     # additive evolution: the append commit carries the
                     # UNION schema (existing order + new columns at the
                     # end); older files read the new columns as NULL
-                    evolved = StructType(list(snap.schema.fields) + new_cols)
                     _, meta_now = _raw_protocol_meta(t, head)
                     new_meta = dict(meta_now)
+                    if mapping_mode:
+                        # mapped tables: new fields need fresh ids +
+                        # physical names and a maxColumnId bump
+                        conf_now = dict(meta_now.get("configuration") or {})
+                        max_id = int(
+                            conf_now.get("delta.columnMapping.maxColumnId", 0)
+                        )
+                        mapped_new = []
+                        for f0 in new_cols:
+                            max_id += 1
+                            mapped_new.append(StructField(
+                                f0.name, f0.dataType, True,
+                                metadata={
+                                    "delta.columnMapping.id": max_id,
+                                    "delta.columnMapping.physicalName":
+                                        new_phys[f0.name],
+                                },
+                            ))
+                        evolved = StructType(
+                            list(snap.schema.fields) + mapped_new
+                        )
+                        conf_now["delta.columnMapping.maxColumnId"] = str(max_id)
+                        new_meta["configuration"] = conf_now
+                    else:
+                        evolved = StructType(list(snap.schema.fields) + new_cols)
                     new_meta["schemaString"] = evolved.json()
                     actions.append({"metaData": new_meta})
             next_version = head + 1
@@ -1886,6 +1990,205 @@ def delta_vacuum(
             if not dry_run:
                 os.unlink(full)
     return sorted(swept)
+
+
+# ---------------- column mapping DDL (metadata-only commits)
+
+
+def _referencing_rules(meta: dict, schema_doc: dict, column: str) -> list:
+    """Rule names (CHECK constraints, invariants, generated expressions)
+    whose SQL mentions ``column`` — conservative word-boundary scan, the
+    same discipline snaplog's rename/drop guards use."""
+    import re as _re
+
+    pat = _re.compile(rf"(?<![A-Za-z0-9_`]){_re.escape(column)}(?![A-Za-z0-9_])")
+    hits = []
+    for k, v in (meta.get("configuration") or {}).items():
+        if k.startswith("delta.constraints.") and pat.search(v):
+            hits.append(k)
+    for f in schema_doc.get("fields", ()):
+        md = f.get("metadata") or {}
+        gen = md.get("delta.generatedAlwaysAs")
+        if gen and f.get("name") != column and pat.search(gen):
+            hits.append(f"generated({f['name']})")
+        inv = md.get("delta.invariants")
+        if inv and f.get("name") != column and pat.search(
+            inv if isinstance(inv, str) else json.dumps(inv)
+        ):
+            hits.append(f"invariant({f['name']})")
+    return hits
+
+
+def _metadata_commit(spark: SparkSession, path: str, op: str, params: dict,
+                     mutate) -> int:
+    """One metadata-only commit through the claim loop: ``mutate(meta,
+    protocol)`` -> (new_meta, new_protocol_or_None); rename/drop/mapping
+    upgrades are O(1) commits — no data moves (the protocol's whole point
+    for these operations)."""
+    import time as _time
+
+    from dc43_spark.io.snaplog import LinkCommitClaimer
+
+    t = DeltaLogTable(spark, path)
+    claimer = LinkCommitClaimer()
+    log = t.log_dir
+    for _ in range(20):
+        head = t.version()
+        if head is None:
+            raise FileNotFoundError(f"no Delta log at {log}")
+        _adds, meta, protocol, _txns = t._collect_state(head)
+        if meta is None:
+            raise DeltaProtocolError(f"no metaData action in {log}")
+        new_meta, new_protocol = mutate(dict(meta), dict(protocol))
+        ts_ms = int(_time.time() * 1000)
+        actions = [
+            {"commitInfo": {"timestamp": ts_ms, "operation": op,
+                            "operationParameters": params}},
+        ]
+        if new_protocol is not None:
+            actions.append({"protocol": new_protocol})
+        actions.append({"metaData": new_meta})
+        payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+        if claimer.claim(log, f"{head + 1:020d}.json", payload):
+            return head + 1
+    raise DeltaProtocolError(f"could not claim a commit on {path} after 20 tries")
+
+
+def delta_enable_column_mapping(spark: SparkSession, path: str) -> int:
+    """Upgrade a table to ``delta.columnMapping.mode=name``: every field
+    gets an id and a physical name EQUAL to its current name (so every
+    existing data file stays readable), the protocol rises to the
+    column-mapping floor (reader 2 / writer 5, or the feature on v3/v7
+    tables), and rename/drop become metadata-only operations. One
+    commit, no data movement — Delta's own upgrade path."""
+    def mutate(meta, protocol):
+        conf = dict(meta.get("configuration") or {})
+        mode = conf.get("delta.columnMapping.mode", "none")
+        if mode == "name":
+            raise DeltaWriteError(f"{path} already has column mapping enabled")
+        if mode != "none":
+            raise DeltaProtocolError(f"unsupported mapping mode {mode!r}")
+        if meta.get("partitionColumns"):
+            raise DeltaWriteError(
+                "column mapping on a partitioned table is not supported "
+                "here (partitionValues are keyed by physical names)"
+            )
+        doc = json.loads(meta["schemaString"])
+        next_id = 0
+        for f in doc["fields"]:
+            next_id += 1
+            md = dict(f.get("metadata") or {})
+            md["delta.columnMapping.id"] = next_id
+            md["delta.columnMapping.physicalName"] = f["name"]
+            f["metadata"] = md
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = str(next_id)
+        meta["schemaString"] = json.dumps(doc)
+        meta["configuration"] = conf
+
+        rv = protocol.get("minReaderVersion", 1)
+        wv = protocol.get("minWriterVersion", 2)
+        new_protocol = None
+        if rv >= 3 or wv >= 7:
+            rfeats = set(protocol.get("readerFeatures") or ())
+            wfeats = set(protocol.get("writerFeatures") or ())
+            if rv < 3:
+                rfeats = ({"columnMapping"} if rv >= 2 else set())
+            if wv < 7:
+                wfeats = set()
+                for ver, fs in _WRITER_VERSION_FEATURES.items():
+                    if wv >= ver:
+                        wfeats |= fs
+            rfeats.add("columnMapping")
+            wfeats.add("columnMapping")
+            new_protocol = {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": sorted(rfeats),
+                "writerFeatures": sorted(wfeats),
+            }
+        elif rv < 2 or wv < 5:
+            new_protocol = {
+                "minReaderVersion": max(rv, 2),
+                "minWriterVersion": max(wv, 5),
+            }
+        return meta, new_protocol
+
+    return _metadata_commit(
+        spark, path, "UPGRADE COLUMN MAPPING", {"mode": "name"}, mutate
+    )
+
+
+def delta_rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN as one metadata commit (requires column
+    mapping — the physical name stays, only the logical name moves, so
+    no data file is touched and time travel keeps each version's own
+    names). Refuses when constraints / invariants / other generated
+    columns reference the old name — their SQL would silently break."""
+    def mutate(meta, protocol):
+        conf = meta.get("configuration") or {}
+        if conf.get("delta.columnMapping.mode", "none") != "name":
+            raise DeltaWriteError(
+                f"rename needs column mapping; run "
+                f"delta_enable_column_mapping({path!r}) first"
+            )
+        doc = json.loads(meta["schemaString"])
+        names = [f["name"] for f in doc["fields"]]
+        if old not in names:
+            raise DeltaWriteError(f"no column {old!r} in {sorted(names)}")
+        if new in names:
+            raise DeltaWriteError(f"column {new!r} already exists")
+        hits = _referencing_rules(meta, doc, old)
+        if hits:
+            raise DeltaWriteError(
+                f"column {old!r} is referenced by {sorted(hits)}; "
+                "drop or update those rules first"
+            )
+        for f in doc["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        meta["schemaString"] = json.dumps(doc)
+        return meta, None
+
+    return _metadata_commit(
+        spark, path, "RENAME COLUMN", {"from": old, "to": new}, mutate
+    )
+
+
+def delta_drop_column(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN as one metadata commit (requires column
+    mapping — the physical column stays in the files, it just stops
+    being part of the logical schema; old versions still read it).
+    Refuses when other rules reference the column."""
+    def mutate(meta, protocol):
+        conf = meta.get("configuration") or {}
+        if conf.get("delta.columnMapping.mode", "none") != "name":
+            raise DeltaWriteError(
+                f"drop needs column mapping; run "
+                f"delta_enable_column_mapping({path!r}) first"
+            )
+        doc = json.loads(meta["schemaString"])
+        names = [f["name"] for f in doc["fields"]]
+        if name not in names:
+            raise DeltaWriteError(f"no column {name!r} in {sorted(names)}")
+        if len(names) == 1:
+            raise DeltaWriteError("cannot drop the only column")
+        hits = _referencing_rules(meta, doc, name)
+        if hits:
+            raise DeltaWriteError(
+                f"column {name!r} is referenced by {sorted(hits)}; "
+                "drop or update those rules first"
+            )
+        # a CHECK constraint ON the dropped column would strand a rule
+        # over a vanished name — the reference scan above catches cross
+        # references; the column's own invariant/generated metadata
+        # leaves with the field itself
+        doc["fields"] = [f for f in doc["fields"] if f["name"] != name]
+        meta["schemaString"] = json.dumps(doc)
+        return meta, None
+
+    return _metadata_commit(
+        spark, path, "DROP COLUMNS", {"column": name}, mutate
+    )
 
 
 # ---------------- batch change data feed (Delta's table_changes)
