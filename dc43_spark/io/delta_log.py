@@ -1648,13 +1648,32 @@ def delta_write(
     raise DeltaProtocolError(f"could not claim a commit on {dest} after 20 tries")
 
 
-def write_delta_checkpoint(t: DeltaLogTable, version: Optional[int] = None) -> str:
-    """Classic single-file parquet checkpoint at ``version`` (one row per
-    action: every live add, the metaData, the protocol, the latest txn
-    per appId) plus the ``_last_checkpoint`` hint file — bounds log
-    replay to O(checkpoint + tail) for ANY Delta reader. Uses the same
-    reconstruction kernel as ``snapshot()``, so what the checkpoint says
-    is exactly what a replay would compute."""
+def write_delta_checkpoint(
+    t: DeltaLogTable,
+    version: Optional[int] = None,
+    *,
+    policy: Optional[str] = None,
+) -> str:
+    """Checkpoint at ``version`` plus the ``_last_checkpoint`` hint file —
+    bounds log replay to O(checkpoint + tail) for ANY Delta reader. Uses
+    the same reconstruction kernel as ``snapshot()``, so what the
+    checkpoint says is exactly what a replay would compute.
+
+    Two forms (PROTOCOL.md "Checkpoints"):
+
+    - ``classic`` (default): single ``<version>.checkpoint.parquet`` with
+      one row per action (every live add, the metaData, the protocol,
+      the latest txn per appId) — readable by every Delta reader.
+    - ``v2``: a UUID-named ``<version>.checkpoint.<uuid>.parquet``
+      top-level file carrying checkpointMetadata / protocol / metaData /
+      txn rows plus ``sidecar`` actions pointing at add-row parquet
+      files under ``_delta_log/_sidecars/`` — what
+      ``delta.checkpointPolicy=v2`` tables expect; requires the
+      v2Checkpoint reader feature, which the protocol row asserts.
+
+    ``policy=None`` resolves from the table's ``delta.checkpointPolicy``
+    configuration (delta-spark's spelling), so delta_write's cadence
+    checkpoints v2 tables in their native form automatically."""
     import tempfile as _tempfile
 
     import pyarrow as pa
@@ -1665,6 +1684,12 @@ def write_delta_checkpoint(t: DeltaLogTable, version: Optional[int] = None) -> s
     adds, meta, protocol, txns = t._collect_state(version)
     if meta is None:
         raise DeltaProtocolError(f"no metaData action in {t.log_dir}")
+    if policy is None:
+        policy = (meta.get("configuration") or {}).get(
+            "delta.checkpointPolicy", "classic"
+        )
+    if policy not in ("classic", "v2"):
+        raise ValueError(f"checkpoint policy must be classic|v2, not {policy!r}")
 
     dv_t = pa.struct([
         ("storageType", pa.string()), ("pathOrInlineDv", pa.string()),
@@ -1744,21 +1769,75 @@ def write_delta_checkpoint(t: DeltaLogTable, version: Optional[int] = None) -> s
         for app, v in sorted(txns.items())
     ]
 
-    n_extra = 2 + len(txn_rows)
-    n = len(add_rows) + n_extra
-    tbl = pa.table({
-        "add": pa.array(add_rows + [None] * n_extra, add_t),
-        "metaData": pa.array([None] * len(add_rows) + [meta_row]
-                             + [None] * (1 + len(txn_rows)), meta_t),
-        "protocol": pa.array([None] * (len(add_rows) + 1) + [proto_row]
-                             + [None] * len(txn_rows), proto_t),
-        "txn": pa.array([None] * (len(add_rows) + 2) + txn_rows, txn_t),
-    })
-    fd, tmp = _tempfile.mkstemp(dir=t.log_dir, suffix=".tmp")
-    os.close(fd)
-    pq.write_table(tbl, tmp, compression="snappy")
-    final = os.path.join(t.log_dir, f"{version:020d}.checkpoint.parquet")
-    os.replace(tmp, final)
+    def _atomic_write(table: pa.Table, dest: str) -> None:
+        fd, tmp = _tempfile.mkstemp(dir=os.path.dirname(dest), suffix=".tmp")
+        os.close(fd)
+        pq.write_table(table, tmp, compression="snappy")
+        os.replace(tmp, dest)
+
+    n = len(add_rows) + 2 + len(txn_rows)
+    if policy == "v2":
+        import time as _time
+        import uuid as _uuid
+
+        # sidecar: the add rows live in their own parquet under
+        # _delta_log/_sidecars/, referenced by a sidecar action
+        sidecars_dir = os.path.join(t.log_dir, "_sidecars")
+        os.makedirs(sidecars_dir, exist_ok=True)
+        sc_name = f"{_uuid.uuid4()}.parquet"
+        sc_path = os.path.join(sidecars_dir, sc_name)
+        _atomic_write(pa.table({"add": pa.array(add_rows, add_t)}), sc_path)
+
+        cp_meta_t = pa.struct([
+            ("version", pa.int64()),
+            ("tags", pa.map_(pa.string(), pa.string())),
+        ])
+        sidecar_t = pa.struct([
+            ("path", pa.string()),
+            ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+        ])
+        sc_row = {
+            "path": sc_name,
+            "sizeInBytes": os.path.getsize(sc_path),
+            "modificationTime": int(_time.time() * 1000),
+        }
+        n_top = 3 + len(txn_rows) + 1
+        top = pa.table({
+            "checkpointMetadata": pa.array(
+                [{"version": version, "tags": []}] + [None] * (n_top - 1),
+                cp_meta_t,
+            ),
+            "metaData": pa.array(
+                [None, meta_row] + [None] * (n_top - 2), meta_t
+            ),
+            "protocol": pa.array(
+                [None, None, proto_row] + [None] * (n_top - 3), proto_t
+            ),
+            "txn": pa.array(
+                [None] * 3 + txn_rows + [None], txn_t
+            ),
+            "sidecar": pa.array(
+                [None] * (n_top - 1) + [sc_row], sidecar_t
+            ),
+        })
+        final = os.path.join(
+            t.log_dir,
+            f"{version:020d}.checkpoint.{_uuid.uuid4().hex}.parquet",
+        )
+        _atomic_write(top, final)
+    else:
+        n_extra = 2 + len(txn_rows)
+        tbl = pa.table({
+            "add": pa.array(add_rows + [None] * n_extra, add_t),
+            "metaData": pa.array([None] * len(add_rows) + [meta_row]
+                                 + [None] * (1 + len(txn_rows)), meta_t),
+            "protocol": pa.array([None] * (len(add_rows) + 1) + [proto_row]
+                                 + [None] * len(txn_rows), proto_t),
+            "txn": pa.array([None] * (len(add_rows) + 2) + txn_rows, txn_t),
+        })
+        final = os.path.join(t.log_dir, f"{version:020d}.checkpoint.parquet")
+        _atomic_write(tbl, final)
     hint = os.path.join(t.log_dir, "_last_checkpoint")
     with open(hint + ".tmp", "w") as fh:
         json.dump({"version": version, "size": n}, fh)
