@@ -249,6 +249,26 @@ def main() -> int:
     # kept so a reviewer can tell a host stall (t0 >> t1) from a genuinely
     # slow query (t0 ~= t1) without re-running anything
     retried: dict[str, list[float]] = {}
+
+    # Self-calibration canary (r9 judge ask #7): a FIXED tiny reference
+    # query — filtered count over lineitem, the same plan every round —
+    # timed first and last. Downstream comparisons divide by canary_sec to
+    # normalize away window-to-window host drift (this machine's documented
+    # kernel-time storms make raw totals move 1.3-2x between windows with
+    # zero code change; see SCALE.md). Three reps each side, min taken, so
+    # a single stall can't poison the calibration itself.
+    def _canary() -> float:
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+                .filter("l_quantity > 25").count()
+            )
+            reps.append(time.perf_counter() - t0)
+        return round(min(reps), 4)
+
+    canary_first = _canary()
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
@@ -260,6 +280,8 @@ def main() -> int:
             dt = min(dt, dt2)
         timings[name] = round(dt, 3)
 
+    canary_last = _canary()
+    canary = round(min(canary_first, canary_last), 4)
     total = round(sum(timings.values()), 3)
     sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
@@ -270,6 +292,9 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "retried": retried,
+                "canary_sec": canary,
+                "canary_first_sec": canary_first,
+                "canary_last_sec": canary_last,
                 "sf": sf_num,
             }
         )
@@ -287,6 +312,9 @@ def main() -> int:
                 "queries": {"total": total},
                 "n_queries": len(timings),
                 "retried": sorted(retried),
+                "canary_sec": canary,
+                "canary_first_sec": canary_first,
+                "canary_last_sec": canary_last,
                 "sf": sf_num,
             }
         )

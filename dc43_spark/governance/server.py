@@ -146,6 +146,10 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send_html(
                     200, webui.render_contract(self._contracts, seg[2])
                 )
+            if seg == ["ui", "datasets"]:
+                return self._send_html(
+                    200, webui.render_datasets_dashboard(self._gov)
+                )
             if len(seg) == 3 and seg[1] == "datasets":
                 return self._send_html(
                     200, webui.render_dataset(self._gov, seg[2])

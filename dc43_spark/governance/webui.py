@@ -9,6 +9,8 @@ renders the same core read paths as plain HTML over the existing
 
   /ui                      contract + dataset index
   /ui/contracts/<id>       versions, schema fields, quality rules
+  /ui/datasets             all datasets x latest verdict (the landing
+                           matrix of the reference app's dataset routes)
   /ui/datasets/<id>        status matrix + contract link + activity
 
 Stdlib-only (``html.escape`` + string templates), read-only, and served
@@ -72,7 +74,10 @@ def render_index(contract_store, governance_store, product_store=None) -> str:
         [f'<a href="/ui/datasets/{quote(ds, safe="")}">{escape(ds)}</a>']
         for ds in seen
     ]
-    body += "<h2>Datasets with activity</h2>" + (
+    body += (
+        '<h2>Datasets with activity</h2>'
+        '<p><a href="/ui/datasets">all datasets x latest verdict</a></p>'
+    ) + (
         _table(["dataset"], dataset_rows) if dataset_rows else "<p>(none)</p>"
     )
     from dc43_spark.governance.workflow import list_drafts
@@ -156,6 +161,55 @@ def render_contract(contract_store, contract_id: str) -> str | None:
     return _PAGE.format(
         title=f"contract {escape(contract_id)}", body="".join(sections)
     )
+
+
+def render_datasets_dashboard(governance_store) -> str:
+    """All datasets x their LATEST verdict in one table — the reference
+    app's landing surface (ref dc43-contracts-app server.py dataset
+    routes) over the existing ``list_datasets`` / ``status_matrix`` /
+    ``get_link`` store reads. Driver-side metadata only."""
+    rows = []
+    for ds in governance_store.list_datasets():
+        matrix = governance_store.status_matrix(ds)
+        latest = matrix[-1] if matrix else {}
+        link = governance_store.get_link(ds) or {}
+        violations = ""
+        metrics = governance_store.load_metrics(
+            ds, dataset_version=latest.get("dataset_version")
+        )
+        bad = [
+            m for m in metrics
+            if str(m.get("metric_key", "")).startswith("violations.")
+            and (m.get("metric_numeric_value") or 0)
+        ]
+        if metrics:
+            violations = f"{len(bad)} rule(s) violated" if bad else "clean"
+        contract = ""
+        if link.get("contract_id"):
+            cid = str(link["contract_id"])
+            contract = (
+                f'<a href="/ui/contracts/{quote(cid, safe="")}">'
+                f"{escape(cid)}</a> : "
+                f"{escape(str(link.get('contract_version', '')))}"
+            )
+        rows.append([
+            f'<a href="/ui/datasets/{quote(ds, safe="")}">{escape(ds)}</a>',
+            escape(str(latest.get("dataset_version", ""))),
+            _status_cell(latest.get("status", "")),
+            contract,
+            escape(violations),
+            escape(str(len(matrix))),
+        ])
+    body = (
+        _table(
+            ["dataset", "latest version", "verdict", "contract",
+             "latest metrics", "versions recorded"],
+            rows,
+        )
+        if rows
+        else "<p>(no datasets recorded)</p>"
+    )
+    return _PAGE.format(title="datasets", body=body)
 
 
 def render_dataset(governance_store, dataset_id: str) -> str | None:
