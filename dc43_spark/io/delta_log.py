@@ -785,36 +785,9 @@ def export_delta_snapshot(
 
     # re-encode snaplog's (file, pos) DV parquet as protocol deletion
     # vectors: positions grouped per data-file basename (metadata-scale
-    # driver read — same envelope as the manifest itself)
-    dv_descriptors: dict = {}
-    if snap.dvs:
-        import uuid as _uuid
-
-        import pyarrow.parquet as _pq
-
-        from dc43_spark.io import dv as _dvmod
-
-        pos_by_file: dict = {}
-        for e in snap.dvs:
-            tbl = _pq.read_table(os.path.join(table.path, e.path))
-            for fname, p in zip(
-                tbl.column("file").to_pylist(), tbl.column("pos").to_pylist()
-            ):
-                pos_by_file.setdefault(fname, []).append(p)
-        u = _uuid.uuid4()
-        names = sorted(pos_by_file)
-        blobs = [_dvmod.serialize_dv_blob(pos_by_file[n]) for n in names]
-        offsets = _dvmod.write_dv_file(
-            os.path.join(dest, f"deletion_vector_{u}.bin"), blobs
-        )
-        for n, blob, off in zip(names, blobs, offsets):
-            dv_descriptors[n] = {
-                "storageType": "u",
-                "pathOrInlineDv": _dvmod.z85_encode(u.bytes),
-                "offset": off,
-                "sizeInBytes": len(blob),
-                "cardinality": len(set(pos_by_file[n])),
-            }
+    # driver read — same envelope as the manifest itself; vectorized,
+    # ladder-measured in SCALE.md)
+    dv_descriptors = _emit_dv_file(dest, _snaplog_dv_positions(table, snap))
 
     protocol = (
         {
@@ -916,19 +889,58 @@ def _write_delta_commit(log: str, version: int, actions: list) -> None:
     os.replace(tmp, os.path.join(log, f"{version:020d}.json"))
 
 
-def _snaplog_dv_positions(table, snap) -> dict:
-    """data-file basename -> sorted deleted positions, unioned across the
-    snapshot's DV parquet files (metadata-scale driver read)."""
+def _snaplog_dv_positions(table, snap, *, only_files=None) -> dict:
+    """data-file basename -> sorted-unique deleted positions, unioned
+    across the snapshot's DV parquet files. ``only_files`` (a set of
+    basenames) restricts the union to those files — sync's fast path
+    reads only the CHANGED files' positions.
+
+    Driver-side by design (the result feeds driver-side commit
+    assembly), but VECTORIZED: arrow column reads, dictionary-encoded
+    file names packed with the position into one uint64 key, a single
+    ``np.unique`` (sort + dedup + group in one pass) — no per-row
+    Python, no lexsort. Ladder-measured (tools/dv_ladder.py, SCALE.md
+    "DV export driver envelope")."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    pos_by_file: dict = {}
-    for e in snap.dvs:
-        tbl = pq.read_table(os.path.join(table.path, e.path))
-        for fname, p in zip(
-            tbl.column("file").to_pylist(), tbl.column("pos").to_pylist()
-        ):
-            pos_by_file.setdefault(fname, set()).add(p)
-    return {k: sorted(v) for k, v in pos_by_file.items()}
+    if not snap.dvs:
+        return {}
+    tbl = pa.concat_tables(
+        pq.read_table(os.path.join(table.path, e.path), columns=["file", "pos"])
+        for e in snap.dvs
+    )
+    if only_files is not None:
+        tbl = tbl.filter(
+            pc.is_in(tbl.column("file"), pa.array(sorted(only_files)))
+        )
+    if tbl.num_rows == 0:
+        return {}
+    enc = tbl.column("file").combine_chunks().dictionary_encode()
+    names = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+    pos = tbl.column("pos").to_numpy(zero_copy_only=False).astype(np.uint64)
+    if int(pos.max()) >= (1 << 40) or len(names) >= (1 << 24):
+        # can't pack: fall back to a stable two-key sort (positions past
+        # 2^40 would need a trillion-row parquet file — defensive only)
+        order = np.lexsort((pos, codes))
+        codes_s, pos_s = codes[order], pos[order]
+        key = None
+    else:
+        packed = (codes << np.uint64(40)) | pos
+        key = np.unique(packed)
+        codes_s = key >> np.uint64(40)
+        pos_s = key & np.uint64((1 << 40) - 1)
+    bounds = np.flatnonzero(np.diff(codes_s.astype(np.int64))) + 1
+    chunks = np.split(pos_s.astype(np.int64), bounds)
+    group_codes = codes_s[np.concatenate(([0], bounds))] if len(codes_s) else []
+    dedup = (lambda a: a) if key is not None else np.unique
+    return {
+        names[int(c)]: dedup(chunk).tolist()
+        for c, chunk in zip(group_codes, chunks)
+    }
 
 
 def _emit_dv_file(dest: str, pos_by_file: dict) -> dict:
@@ -1031,18 +1043,51 @@ def sync_delta_export(table, dest_path: str) -> Optional[int]:
 
     old_files = {_delta_rel(f.path): f for f in old_snap.files}
     new_files = {_delta_rel(f.path): f for f in new_snap.files}
-    old_dv = _snaplog_dv_positions(table, old_snap)
-    new_dv = _snaplog_dv_positions(table, new_snap)
-
     removed = sorted(set(old_files) - set(new_files))
     added = sorted(set(new_files) - set(old_files))
+    survivors = set(new_files) & set(old_files)
+
     # surviving files whose DV state changed: remove+add with the new
-    # descriptor (Delta's convention — the add supersedes)
-    dv_changed = sorted(
-        rel
-        for rel in set(new_files) & set(old_files)
-        if new_dv.get(os.path.basename(rel)) != old_dv.get(os.path.basename(rel))
-    )
+    # descriptor (Delta's convention — the add supersedes). Fast path
+    # (r10, VERDICT r9 #5): snaplog DV parquets are append-only until a
+    # materialize clears them, so when the old snapshot's DV files are a
+    # subset of the new one's, the files with NEW deletes are exactly
+    # those named in the DELTA parquets — the sync reads O(changed
+    # positions), never the full deleted set of a long-lived MOR table.
+    old_dvpaths = {e.path for e in old_snap.dvs}
+    new_dvpaths = {e.path for e in new_snap.dvs}
+    if old_dvpaths <= new_dvpaths:
+        changed_names: set = set()
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        for e in new_snap.dvs:
+            if e.path in old_dvpaths:
+                continue
+            col = _pq.read_table(
+                os.path.join(table.path, e.path), columns=["file"]
+            ).column("file")
+            changed_names.update(_pc.unique(col.combine_chunks()).to_pylist())
+        dv_changed = sorted(
+            rel for rel in survivors
+            if os.path.basename(rel) in changed_names
+        )
+        need = {os.path.basename(rel) for rel in added + dv_changed}
+        new_dv = (
+            _snaplog_dv_positions(table, new_snap, only_files=need)
+            if need
+            else {}
+        )
+    else:
+        # a materialize/restore rewrote DV state: full positional diff
+        old_dv = _snaplog_dv_positions(table, old_snap)
+        new_dv = _snaplog_dv_positions(table, new_snap)
+        dv_changed = sorted(
+            rel
+            for rel in survivors
+            if new_dv.get(os.path.basename(rel))
+            != old_dv.get(os.path.basename(rel))
+        )
     ts_ms = int(new_snap.timestamp * 1000)
     descriptors = _emit_dv_file(
         dest,
