@@ -124,6 +124,17 @@ def _live_lineage(t: DeltaLogTable, snap) -> DataFrame:
         f for f in snap.schema.fields if f.name not in snap.partition_columns
     ]
     data_schema = StructType(data_fields)
+    rename_back: dict = {}
+    if snap.column_mapping:
+        # mapped tables: files hold PHYSICAL names — read physically,
+        # alias back to logical right after the scan (mapping+partitions
+        # is refused at snapshot() level, so data_schema covers all)
+        data_schema = t._physical_schema(snap)
+        rename_back = {
+            (f.metadata or {}).get("delta.columnMapping.physicalName", f.name):
+                f.name
+            for f in snap.schema.fields
+        }
 
     # basename equality drives the hash join; the full-relative-path
     # suffix check rides as a residual (same keying as _apply_dvs)
@@ -159,6 +170,14 @@ def _live_lineage(t: DeltaLogTable, snap) -> DataFrame:
                 F.col("_metadata.row_index").alias(_POS),
             )
         )
+        if rename_back:
+            df = df.select(
+                *[
+                    F.col(f"`{p}`").alias(rename_back.get(p, p))
+                    for p in [f.name for f in data_schema.fields]
+                ],
+                "_dc43_base", "_dc43_path", _POS,
+            )
         for c, raw in zip(snap.partition_columns, key):
             val = _parse_partition_value(types[c], raw)
             df = df.withColumn(c, F.lit(val).cast(snap.schema[c].dataType))
@@ -229,6 +248,23 @@ def _live_lineage(t: DeltaLogTable, snap) -> DataFrame:
             "left_anti",
         )
     return tagged
+
+
+def _to_physical(df: DataFrame, snap) -> DataFrame:
+    """Rename logical columns to their physical names before staging a
+    mapped table's files (delta_write's discipline); extra columns
+    (``_change_type``) pass through unchanged."""
+    if not snap.column_mapping:
+        return df
+    phys = {
+        f.name: (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+        for f in snap.schema.fields
+    }
+    return df.select(
+        *[F.col(f"`{c}`").alias(phys.get(c, c)) for c in df.columns]
+    )
 
 
 def _stage_dv_files(t: DeltaLogTable, del_rows: DataFrame, old_dvs: dict) -> dict:
@@ -405,7 +441,9 @@ def _commit_dml(
                     & (F.col(_POS) == F.col("_del_pos")),
                     "left_anti",
                 ).drop(_REL, _POS)
-                for e in _stage_data_files(kept, dest, part_cols, ts_ms):
+                for e in _stage_data_files(
+                    _to_physical(kept, snap), dest, part_cols, ts_ms
+                ):
                     actions.append({"add": e})
                 for rel in sorted(touched):
                     actions.append(
@@ -419,12 +457,15 @@ def _commit_dml(
                     )
 
     if new_rows is not None:
-        for e in _stage_data_files(new_rows, dest, part_cols, ts_ms):
+        for e in _stage_data_files(
+            _to_physical(new_rows, snap), dest, part_cols, ts_ms
+        ):
             actions.append({"add": e})
 
     if cdf_rows is not None and _cdf_enabled(meta):
         for e in _stage_data_files(
-            cdf_rows, dest, part_cols, ts_ms, subdir="_change_data"
+            _to_physical(cdf_rows, snap), dest, part_cols, ts_ms,
+            subdir="_change_data",
         ):
             actions.append(
                 {
@@ -463,7 +504,9 @@ def _pin_snapshot(spark: SparkSession, path: str, op: str):
     t = DeltaLogTable(spark, path)
     snap = t.snapshot()
     protocol, meta = _raw_protocol_meta(t, snap.version)
-    _check_writer_protocol(protocol, meta, snap.schema)
+    _check_writer_protocol(
+        protocol, meta, snap.schema, allow_column_mapping=True
+    )
     _check_append_only(meta, op)
     return t, snap, protocol, meta
 

@@ -1188,15 +1188,17 @@ def _check_writer_protocol(
     meta: dict,
     schema: StructType,
     *,
-    allow_column_mapping: bool = False,
+    allow_column_mapping: bool = True,
 ) -> None:
     """Refuse loudly unless every writer obligation is honorable.
 
     Feature flags alone don't block: ``generatedColumns`` on a table with
     no generated column costs an appender nothing — what blocks is the
-    PRESENCE of a field this writer can't maintain (generated/identity
-    definitions; column mapping unless the caller writes physical names —
-    delta_write does since r10, the DML kernel does not yet)."""
+    PRESENCE of a field this writer can't maintain (identity definitions;
+    id-mode column mapping). Name-mode column mapping is fully writable
+    since r10 (delta_write, the DML kernel, and delta_optimize all stage
+    under physical names); ``allow_column_mapping=False`` remains for a
+    caller that genuinely cannot."""
     v = protocol.get("minWriterVersion", 1)
     if v >= 7:
         feats = set(protocol.get("writerFeatures") or ())
@@ -1222,9 +1224,8 @@ def _check_writer_protocol(
         )
     if mode == "name" and not allow_column_mapping:
         raise DeltaWriteError(
-            "column-mapped Delta tables support append/overwrite and "
-            "metadata-only rename/drop here; row-mutating DML on mapped "
-            "tables still needs the jar or snaplog + sync mirror"
+            "column-mapped Delta table: this operation does not write "
+            "physical names"
         )
     for f in schema.fields:
         md = f.metadata or {}
@@ -1937,6 +1938,14 @@ def delta_optimize(
         if zorder_by or f.size < target // 2:
             key = tuple(sorted(f.partition_values.items()))
             groups.setdefault(key, []).append(f)
+    # column-mapped tables: files hold physical names — the compaction
+    # reads AND rewrites physically (no renaming needed); logical names
+    # only matter for zorder_by resolution below
+    phys_of = {
+        f.name: (f.metadata or {}).get("delta.columnMapping.physicalName",
+                                       f.name)
+        for f in snap.schema.fields
+    } if snap.column_mapping else {}
     if zorder_by:
         bad = set(zorder_by) & set(snap.partition_columns)
         if bad:
@@ -1948,6 +1957,8 @@ def delta_optimize(
                    if c not in {f.name for f in snap.schema.fields}]
         if missing:
             raise ValueError(f"zorder_by columns not in schema: {missing}")
+        if phys_of:
+            zorder_by = [phys_of[c] for c in zorder_by]
         # ZORDER rewrites every group outright (Delta's OPTIMIZE ZORDER)
         bins = sorted(groups.items())
     else:
@@ -1971,7 +1982,10 @@ def delta_optimize(
     data_fields = [
         f for f in snap.schema.fields if f.name not in snap.partition_columns
     ]
-    data_schema = StructType(data_fields)
+    data_schema = (
+        t._physical_schema(snap) if snap.column_mapping
+        else StructType(data_fields)
+    )
     ts_ms = int(_time.time() * 1000)
     adds, removes = [], []
     for key, members in bins:
@@ -2114,6 +2128,186 @@ def delta_vacuum(
             if not dry_run:
                 os.unlink(full)
     return sorted(swept)
+
+
+def delta_restore(
+    spark: SparkSession,
+    path: str,
+    *,
+    version: Optional[int] = None,
+    timestamp: Optional[float] = None,
+) -> Optional[int]:
+    """RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF, jar-lessly: ONE
+    commit that makes the live set equal the target snapshot's — removes
+    for files the target doesn't have, re-adds (with their original
+    deletion-vector descriptors and stats) for files the current head
+    lost or whose DV state moved on. Metadata reverts with it when the
+    schema/configuration changed; the protocol never downgrades
+    (delta-spark's rule). History stays append-only — the restore is a
+    new version, so the "future" you restored away remains navigable.
+
+    Refuses when a needed data file (or its DV file) was vacuumed —
+    restoring a swept version is impossible, loudly (delta-spark fails
+    the same way) — and on ``delta.appendOnly`` tables (restores remove
+    data). Returns the committed version, or None when the head already
+    equals the target."""
+    import time as _time
+
+    from dc43_spark.io.dv import dv_absolute_path
+    from dc43_spark.io.snaplog import LinkCommitClaimer
+
+    dest = os.path.abspath(path.rstrip("/"))
+    t = DeltaLogTable(spark, dest)
+    target_snap = t.snapshot(version, timestamp=timestamp)
+    target_version = target_snap.version
+    target_adds, target_meta, _tp, _tt = t._collect_state(target_version)
+
+    # every file the restore would resurrect must still exist
+    for rel, add in target_adds.items():
+        if not os.path.exists(os.path.join(dest, rel)):
+            raise DeltaProtocolError(
+                f"cannot restore {dest} to v{target_version}: data file "
+                f"{rel!r} was vacuumed"
+            )
+        dv = add.get("deletionVector")
+        if dv and dv.get("pathOrInlineDv") and dv.get("storageType") != "i":
+            dv_path = dv_absolute_path(dest, dv)
+            if dv_path and not os.path.exists(dv_path):
+                raise DeltaProtocolError(
+                    f"cannot restore {dest} to v{target_version}: deletion "
+                    f"vector of {rel!r} was vacuumed"
+                )
+
+    claimer = LinkCommitClaimer()
+    for _ in range(20):
+        head = t.version()
+        cur_adds, cur_meta, protocol, _txns = t._collect_state(head)
+        _check_writer_protocol(
+            protocol, cur_meta or {}, target_snap.schema,
+            allow_column_mapping=True,
+        )
+        _check_append_only(cur_meta or {}, "restore")
+        removes = sorted(set(cur_adds) - set(target_adds))
+        readds = sorted(
+            rel for rel, add in target_adds.items()
+            if cur_adds.get(rel) != add
+        )
+        meta_changed = (cur_meta or {}) != (target_meta or {})
+        if not removes and not readds and not meta_changed:
+            return None  # head already equals the target
+        ts_ms = int(_time.time() * 1000)
+        actions: list = [{
+            "commitInfo": {
+                "timestamp": ts_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": target_version},
+            }
+        }]
+        if meta_changed and target_meta is not None:
+            actions.append({"metaData": target_meta})
+        for rel in removes:
+            actions.append({"remove": {
+                "path": cur_adds[rel]["path"],
+                "dataChange": True,
+                "deletionTimestamp": ts_ms,
+            }})
+        for rel in readds:
+            if rel in cur_adds:
+                # DV state differs: remove+add supersession, per spec
+                actions.append({"remove": {
+                    "path": cur_adds[rel]["path"],
+                    "dataChange": True,
+                    "deletionTimestamp": ts_ms,
+                }})
+            actions.append({"add": {**target_adds[rel], "dataChange": True}})
+        payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+        if claimer.claim(t.log_dir, f"{head + 1:020d}.json", payload):
+            return head + 1
+    raise DeltaProtocolError(f"could not claim a commit on {dest} after 20 tries")
+
+
+def delta_clone(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    *,
+    shallow: bool = False,
+    version: Optional[int] = None,
+    timestamp: Optional[float] = None,
+) -> str:
+    """CREATE TABLE ... CLONE, jar-lessly. ``shallow=True`` writes a new
+    ``_delta_log`` whose add actions point at the SOURCE's data files by
+    absolute path (Delta's shallow-clone convention — zero data copied;
+    on-disk deletion vectors re-described as absolute-path ``p``
+    descriptors); ``shallow=False`` hard-links/copies the files in,
+    keeping relative layout (snapshot copy, like CONVERT). Either way
+    the clone is an independent table from commit 0: writes, DML, and
+    VACUUM on it never touch the source (vacuum walks only the clone's
+    directory, so absolute-path source files are untouchable by
+    construction). History does NOT carry over — Delta's CLONE
+    semantics. Returns ``dest_path``."""
+    import time as _time
+    import uuid as _uuid
+
+    from dc43_spark.io.dv import dv_absolute_path
+
+    src = os.path.abspath(src_path.rstrip("/"))
+    dest = os.path.abspath(dest_path.rstrip("/"))
+    t = DeltaLogTable(spark, src)
+    snap = t.snapshot(version, timestamp=timestamp)
+    raw_adds, meta, protocol, _txns = t._collect_state(snap.version)
+    if meta is None:
+        raise DeltaProtocolError(f"no metaData action in {t.log_dir}")
+    log = os.path.join(dest, "_delta_log")
+    if os.path.exists(log):
+        raise ValueError(f"clone destination {dest} already has a _delta_log")
+    os.makedirs(log, exist_ok=True)
+
+    ts_ms = int(_time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["id"] = str(_uuid.uuid4())
+    new_meta["createdTime"] = ts_ms
+    actions: list = [
+        {"commitInfo": {
+            "timestamp": ts_ms,
+            "operation": "CLONE",
+            "operationParameters": {
+                "sourceTable": src,
+                "sourceVersion": snap.version,
+                "isShallow": shallow,
+            },
+        }},
+        {"protocol": dict(protocol) or {"minReaderVersion": 1,
+                                        "minWriterVersion": 2}},
+        {"metaData": new_meta},
+    ]
+    for rel, add in sorted(raw_adds.items()):
+        new_add = dict(add)
+        # checkpoint-sourced adds carry partitionValues as (k, v) tuple
+        # lists (arrow MAP materialization) — normalize for the JSON commit
+        new_add["partitionValues"] = _as_map(add.get("partitionValues"))
+        dv = add.get("deletionVector")
+        if shallow:
+            new_add["path"] = urllib.parse.quote(
+                os.path.join(src, rel), safe="/"
+            )
+            if dv and dv.get("pathOrInlineDv") and dv.get("storageType") != "i":
+                # re-describe the on-disk vector by absolute path so the
+                # clone resolves it without the source's directory layout
+                new_add["deletionVector"] = {
+                    **dv,
+                    "storageType": "p",
+                    "pathOrInlineDv": dv_absolute_path(src, dv),
+                }
+        else:
+            _link_or_copy(src, rel, os.path.join(dest, rel))
+            if dv and dv.get("pathOrInlineDv") and dv.get("storageType") != "i":
+                src_dv = dv_absolute_path(src, dv)
+                dv_rel = os.path.relpath(src_dv, src)
+                _link_or_copy(src, dv_rel, os.path.join(dest, dv_rel))
+        actions.append({"add": new_add})
+    _write_delta_commit(log, 0, actions)
+    return dest
 
 
 # ---------------- column mapping DDL (metadata-only commits)
@@ -2448,6 +2642,26 @@ def _delta_table_changes(
                             c, F.lit(val).cast(snap_schema[c].dataType)
                         )
                     out_parts.append(_tagged(df, None, v, ts))
+            elif end_snap.column_mapping:
+                # mapped tables: change files hold PHYSICAL names
+                phys = t._physical_schema(end_snap)
+                cdc_schema = StructType(
+                    list(phys.fields)
+                    + [StructField("_change_type", StringType())]
+                )
+                df = (
+                    spark.read.format("parquet")
+                    .schema(cdc_schema)
+                    .load([os.path.join(t.path, p) for p, _pv in cdc_entries])
+                    .select(
+                        *[
+                            F.col(f"`{p.name}`").alias(l.name)
+                            for p, l in zip(phys.fields, snap_schema.fields)
+                        ],
+                        "_change_type",
+                    )
+                )
+                out_parts.append(_tagged(df, None, v, ts))
             else:
                 df = spark.read.parquet(
                     *[os.path.join(t.path, p) for p, _pv in cdc_entries]

@@ -498,3 +498,134 @@ def test_dml_concurrency_soak(spark, tmp_path):
         (lo, "app", lo) for lo in (100, 200, 300)
     }
     assert _rows(t) == expected
+
+
+def test_restore_to_earlier_version(spark, tmp_path):
+    """RESTORE: one commit returns the live set (incl. DV state) to the
+    target version; the restored-away future stays navigable; a swept
+    file refuses; restoring to the current state is a no-op."""
+    from dc43_spark.io.delta_log import DeltaProtocolError, delta_restore
+
+    t = _mk(spark, str(tmp_path / "t"))                       # v0: 0..7
+    delta_write(spark, _df(spark, [(100, "x", 1)]), t.path,
+                checkpoint_interval=None)                      # v1
+    # deletes k=6,7 via a DV on file A and ALL of file B (k=100) -> remove
+    delta_delete(spark, t.path, "k >= 6", use_dvs=True)        # v2: DV
+    delta_write(spark, _df(spark, [(200, "y", 2)]), t.path,
+                mode="overwrite")                              # v3
+
+    assert {r.k for r in t.read().collect()} == {200}
+    v = delta_restore(spark, t.path, version=2)
+    assert v == 4
+    assert {r.k for r in t.read().collect()} == set(range(6))
+    # the DV state came back with the restore
+    assert sum(1 for f in t.snapshot().files if f.dv) == 1
+    # the restored-away overwrite is still navigable
+    assert {r.k for r in t.read(version_as_of=3).collect()} == {200}
+    # restore to where we are: no-op
+    assert delta_restore(spark, t.path, version=2) is None
+
+    # restore to v0 (pre-DV, pre-append) round-trips too
+    assert delta_restore(spark, t.path, version=0) == 5
+    assert {r.k for r in t.read().collect()} == set(range(8))
+
+    # a vacuumed target refuses loudly
+    from dc43_spark.io.delta_log import delta_vacuum
+
+    delta_vacuum(spark, t.path, retain_hours=0)  # sweeps v3's overwrite file
+    with pytest.raises(DeltaProtocolError, match="vacuumed"):
+        delta_restore(spark, t.path, version=3)
+
+
+def test_shallow_and_deep_clone(spark, tmp_path):
+    """CLONE: shallow points at the source's files by absolute path
+    (zero copy, DVs re-described as absolute 'p' descriptors) and is an
+    independent table — DML and VACUUM on the clone never touch the
+    source; deep clone links the files in. No history carries over."""
+    from dc43_spark.io.delta_log import delta_clone, delta_vacuum
+
+    src = _mk(spark, str(tmp_path / "src"))
+    delta_delete(spark, src.path, "k IN (2, 3)", use_dvs=True)
+    src_rows = _rows(src)
+
+    # shallow
+    c1 = delta_clone(spark, src.path, str(tmp_path / "c1"), shallow=True)
+    t1 = DeltaLogTable(spark, c1)
+    assert t1.version() == 0  # fresh history
+    assert _rows(t1) == src_rows
+    # DML on the clone: deletes land in the CLONE's log/dir only
+    delta_delete(spark, c1, "k = 0", use_dvs=True)
+    assert _rows(t1) == src_rows - {(0, "s0", 0)}
+    assert _rows(src) == src_rows  # source untouched
+    # vacuum on the clone can't reach the source's files
+    delta_vacuum(spark, c1, retain_hours=0)
+    assert _rows(src) == src_rows
+    assert _rows(t1) == src_rows - {(0, "s0", 0)}
+    # and a write to the clone appends independently
+    delta_write(spark, _df(spark, [(500, "c", 5)]), c1,
+                checkpoint_interval=None)
+    assert (500, "c", 5) in _rows(t1) and (500, "c", 5) not in _rows(src)
+
+    # deep
+    c2 = delta_clone(spark, src.path, str(tmp_path / "c2"))
+    t2 = DeltaLogTable(spark, c2)
+    assert _rows(t2) == src_rows
+    # deep clone owns its bytes: removing the source leaves it readable
+    import shutil
+
+    shutil.rmtree(src.path)
+    assert _rows(t2) == src_rows
+    # destination collision refuses
+    with pytest.raises(ValueError, match="already has"):
+        delta_clone(spark, c2, c1, shallow=True)
+
+
+def test_dml_and_optimize_on_column_mapped_table(spark, tmp_path):
+    """DV DML, CDF, and OPTIMIZE all run on a column-mapped table:
+    physical names stay in the files, logical names in the API — a
+    rename mid-history doesn't disturb row mutation (r10: the last
+    mapped-table refusal closed)."""
+    from dc43_spark.io.delta_log import (
+        delta_enable_column_mapping,
+        delta_optimize,
+        delta_rename_column,
+    )
+
+    path = str(tmp_path / "t")
+    delta_write(
+        spark, _df(spark, [(i, f"s{i}", i * 10) for i in range(6)]), path,
+        checkpoint_interval=None,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_enable_column_mapping(spark, path)
+    delta_rename_column(spark, path, "v", "label")
+    t = DeltaLogTable(spark, path)
+
+    # DELETE via DV on the mapped table, predicate over the NEW name
+    assert delta_delete(spark, path, "label = 's2'", use_dvs=True) == 3
+    got = {(r.k, r.label) for r in t.read().collect()}
+    assert got == {(i, f"s{i}") for i in range(6)} - {(2, "s2")}
+    # CDF change files round-trip with logical names
+    ch = {(r.k, r.label, r._change_type)
+          for r in t.table_changes(3, 3).collect()}
+    assert ch == {(2, "s2", "delete")}
+
+    # MERGE with update+insert on the mapped table
+    assert delta_merge(
+        spark,
+        spark.createDataFrame([(1, "ONE", 100), (9, "nine", 90)],
+                              "k long, label string, amt long").coalesce(1),
+        path, ["k"], use_dvs=True,
+    ) == 4
+    got = {(r.k, r.label, r.amt) for r in t.read().collect()}
+    assert (1, "ONE", 100) in got and (9, "nine", 90) in got
+
+    # OPTIMIZE packs the mapped files; rows and names unchanged
+    assert delta_optimize(spark, path, target_file_mb=64) == 5
+    t = DeltaLogTable(spark, path)
+    assert {(r.k, r.label, r.amt) for r in t.read().collect()} == got
+    # zorder on the LOGICAL name resolves to the physical column
+    assert delta_optimize(spark, path, target_file_mb=64,
+                          zorder_by=["label"]) is not None
+    assert {(r.k, r.label, r.amt)
+            for r in DeltaLogTable(spark, path).read().collect()} == got

@@ -104,14 +104,12 @@ def test_writer_protocol_gate(spark, tmp_path):
            field_md={"delta.identity.start": 1, "delta.identity.step": 1})
     with pytest.raises(DeltaWriteError, match="identity column"):
         delta_write(spark, _df(spark, 2, 3), t)
-    # column mapping: the writer handles it (r10) but row-mutating DML
-    # still refuses — physical-name DV bookkeeping isn't wired there
-    _amend(1, meta_extra={"delta.columnMapping.mode": "name"})
-    delta_write(spark, _df(spark, 10, 11), t)
-    from dc43_spark.io.delta_dml import delta_delete
-
-    with pytest.raises(DeltaWriteError, match="column-mapped"):
-        delta_delete(spark, t, "k = 0")
+    # id-mode column mapping refuses (field-id resolution not implemented);
+    # name-mode is fully writable since r10 — pinned in
+    # test_column_mapping_write_rename_drop_roundtrip and test_delta_dml
+    _amend(1, meta_extra={"delta.columnMapping.mode": "id"})
+    with pytest.raises(DeltaProtocolError, match="id-mode"):
+        delta_write(spark, _df(spark, 10, 11), t)
 
 
 def test_check_constraints_and_invariants_enforced(spark, tmp_path):
