@@ -292,6 +292,203 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         pass  # offsets live in the stream checkpoint; the log is immutable
 
 
+class DeltaLogCDFStreamReader(DataSourceStreamReader):
+    """Streaming CHANGE DATA FEED over a real Delta log (delta-spark's
+    ``readChangeFeed`` stream) — row-level changes instead of raw rows,
+    with ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``.
+
+    Per-commit rules mirror the batch ``table_changes`` kernel: ``cdc``
+    actions are AUTHORITATIVE (their files carry ``_change_type``,
+    incl. update pre/post images); otherwise NEW adds derive inserts
+    (under the add's own DV), deletion-vector growth derives deletes for
+    exactly the newly-deleted positions (``kept_positions`` — the rows
+    AT those indexes are the pre-images), full-file removes derive
+    deletes of the file's prior live rows, and any other rewrite refuses
+    loudly. Without ``startingVersion`` the first batch is the current
+    snapshot's live rows as inserts (delta-spark's CDF stream start)."""
+
+    def __init__(self, path: str, schema: T.StructType, options: dict):
+        self._table = DeltaLogTable(None, path)
+        self._schema = schema
+        self._snapshot_start = False
+        sv = options.get("startingversion")
+        if sv is None:
+            head = self._table.version()
+            if head is None:
+                self._starting = 0
+            else:
+                self._starting = head + 1
+                self._snapshot_start = True
+        elif str(sv).lower() == "latest":
+            head = self._table.version()
+            self._starting = 0 if head is None else head + 1
+        else:
+            self._starting = int(sv)
+
+    def initialOffset(self) -> dict:
+        if self._snapshot_start:
+            return {"version": self._starting - 1, "snapshot": True}
+        return {"version": self._starting - 1}
+
+    def latestOffset(self) -> dict:
+        head = self._table.version()
+        return {"version": -1 if head is None else head}
+
+    def _decode_positions(self, dv: Optional[dict]):
+        if not dv or not dv.get("pathOrInlineDv"):
+            return None
+        from dc43_spark.io.dv import decode_dv_descriptor
+
+        return decode_dv_descriptor(
+            self._table.path,
+            {
+                "storageType": dv.get("storageType", "u"),
+                "pathOrInlineDv": dv["pathOrInlineDv"],
+                "offset": dv.get("offset") or 0,
+                "sizeInBytes": dv.get("sizeInBytes"),
+                "cardinality": dv.get("cardinality"),
+            },
+        ).tolist()
+
+    def partitions(self, start: dict, end: dict):
+        t = self._table
+        if end["version"] < 0:
+            return []
+        snap = t.snapshot(max(end["version"], 0))
+        types = {f.name: f.dataType.typeName() for f in snap.schema.fields}
+        mapping = None
+        if snap.column_mapping:
+            mapping = {
+                fld.name: (fld.metadata or {}).get(
+                    "delta.columnMapping.physicalName", fld.name
+                )
+                for fld in snap.schema.fields
+            }
+
+        def _pvals(raw: Optional[dict]) -> dict:
+            return _typed_partition_values(
+                {c: (raw or {}).get(c) for c in snap.partition_columns}, types
+            )
+
+        parts: list = []
+        first_needed = start["version"] + 1
+        if start.get("snapshot") and start["version"] >= 0:
+            snap0 = t.snapshot(start["version"])
+            ts0 = snap0.timestamp
+            types0 = {f.name: f.dataType.typeName() for f in snap0.schema.fields}
+            for f in snap0.files:
+                deleted = None
+                if f.dv:
+                    deleted = self._decode_positions(f.dv)
+                parts.append(_FilePartition(
+                    os.path.join(t.path, f.path),
+                    {
+                        **_typed_partition_values(
+                            {c: f.partition_values.get(c)
+                             for c in snap0.partition_columns}, types0
+                        ),
+                        "_change_type": "insert",
+                        "_commit_version": start["version"],
+                        "_commit_timestamp": ts0,
+                    },
+                    deleted_positions=deleted,
+                    mapping=mapping,
+                ))
+        if first_needed <= end["version"]:
+            retained = t._versions()
+            if not retained or first_needed < retained[0]:
+                raise DeltaProtocolError(
+                    f"commits {first_needed}..{end['version']} of {t.path} "
+                    "are no longer retained; omit startingVersion to start "
+                    "from the current snapshot"
+                )
+        state = (
+            t._collect_state(start["version"])[0]
+            if first_needed > 0 and first_needed <= end["version"]
+            else {}
+        )
+        for v in range(first_needed, end["version"] + 1):
+            ts = t._commit_timestamp(v)
+            stamp = {"_commit_version": v, "_commit_timestamp": ts}
+            cdc_entries, adds, removes = [], [], []
+            for action in t._commit_lines(v):
+                if "cdc" in action:
+                    cdc_entries.append(action["cdc"])
+                elif "add" in action:
+                    adds.append(action["add"])
+                elif "remove" in action:
+                    removes.append(action["remove"])
+            data_adds = [a for a in adds if a.get("dataChange", True)]
+            data_removes = [r for r in removes if r.get("dataChange", True)]
+            if cdc_entries:
+                for e in cdc_entries:
+                    parts.append(_FilePartition(
+                        os.path.join(t.path, _decode_path(e["path"])),
+                        {**_pvals(e.get("partitionValues")), **stamp},
+                        mapping=mapping,
+                    ))
+            else:
+                removed_paths = {_decode_path(r["path"]) for r in data_removes}
+                for a in data_adds:
+                    p = _decode_path(a["path"])
+                    prior = state.get(p)
+                    if prior is None:
+                        parts.append(_FilePartition(
+                            os.path.join(t.path, p),
+                            {**_pvals(a.get("partitionValues")),
+                             "_change_type": "insert", **stamp},
+                            deleted_positions=self._decode_positions(
+                                a.get("deletionVector")
+                            ),
+                            mapping=mapping,
+                        ))
+                        continue
+                    new_set = set(self._decode_positions(
+                        a.get("deletionVector")) or ())
+                    old_set = set(self._decode_positions(
+                        prior.get("deletionVector")) or ())
+                    if new_set >= old_set:
+                        newly = sorted(new_set - old_set)
+                        if newly:
+                            parts.append(_FilePartition(
+                                os.path.join(t.path, p),
+                                {**_pvals(prior.get("partitionValues")),
+                                 "_change_type": "delete", **stamp},
+                                kept_positions=newly,
+                                mapping=mapping,
+                            ))
+                        removed_paths.discard(p)
+                        continue
+                    raise DeltaProtocolError(
+                        f"commit v{v} rewrites {p} without change-data "
+                        "files; row-level changes are not reconstructible"
+                    )
+                for p in sorted(removed_paths):
+                    prior = state.get(p)
+                    if prior is None:
+                        continue  # tombstone for an already-absent path
+                    parts.append(_FilePartition(
+                        os.path.join(t.path, p),
+                        {**_pvals(prior.get("partitionValues")),
+                         "_change_type": "delete", **stamp},
+                        deleted_positions=self._decode_positions(
+                            prior.get("deletionVector")
+                        ),
+                        mapping=mapping,
+                    ))
+            for a in adds:
+                state[_decode_path(a["path"])] = a
+            for r in removes:
+                state.pop(_decode_path(r["path"]), None)
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        yield from _arrow_batches(partition, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint; the log is immutable
+
+
 class DeltaLogDataSource(DataSource):
     """``spark.dataSource.register(DeltaLogDataSource)`` then
     ``.format("deltalog")``. Options: ``versionAsOf`` / ``timestampAsOf``
@@ -312,19 +509,25 @@ class DeltaLogDataSource(DataSource):
         t = DeltaLogTable(None, self._path())
         v = self.options.get("versionasof")
         ts = self.options.get("timestampasof")
-        return t.snapshot(
+        base = t.snapshot(
             int(v) if v is not None else None,
             timestamp=float(ts) if ts is not None else None,
         ).schema
+        if str(self.options.get("readchangefeed", "")).lower() == "true":
+            return T.StructType([
+                *base.fields,
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField("_commit_timestamp", T.DoubleType()),
+            ])
+        return base
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return DeltaLogBatchReader(self._path(), dict(self.options))
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         if str(self.options.get("readchangefeed", "")).lower() == "true":
-            raise DeltaProtocolError(
-                "readChangeFeed on the jar-less source is not supported "
-                "(CDF needs _change_data files this reader doesn't parse); "
-                "read the snaplog twin's change feed or use delta-spark"
+            return DeltaLogCDFStreamReader(
+                self._path(), schema, dict(self.options)
             )
         return DeltaLogStreamReader(self._path(), schema, dict(self.options))

@@ -83,6 +83,7 @@ class _FilePartition(InputPartition):
         extra: Optional[dict] = None,
         deleted_positions: Optional[list] = None,
         mapping: Optional[dict] = None,
+        kept_positions: Optional[list] = None,
     ):
         # extra: constant columns appended to every row of the file
         # (change-feed tagging); None for plain reads.
@@ -90,10 +91,14 @@ class _FilePartition(InputPartition):
         # vectors (merge-on-read deletes); None/empty for most files.
         # mapping: logical -> PHYSICAL column names (column mapping /
         # renames); None when logical == physical.
+        # kept_positions: the INVERSE selector — serve ONLY these row
+        # indexes (a CDF 'delete' batch reads exactly the newly-deleted
+        # rows); mutually exclusive with deleted_positions.
         self.path = path
         self.extra = extra
         self.deleted_positions = deleted_positions
         self.mapping = mapping
+        self.kept_positions = kept_positions
 
 
 def _arrow_batches(partition: _FilePartition, schema: T.StructType):
@@ -131,6 +136,12 @@ def _arrow_batches(partition: _FilePartition, schema: T.StructType):
 
         keep = np.ones(tbl.num_rows, dtype=bool)
         keep[np.asarray(partition.deleted_positions, dtype=np.int64)] = False
+        tbl = tbl.filter(pa.array(keep))
+    if partition.kept_positions is not None:
+        import numpy as np
+
+        keep = np.zeros(tbl.num_rows, dtype=bool)
+        keep[np.asarray(partition.kept_positions, dtype=np.int64)] = True
         tbl = tbl.filter(pa.array(keep))
     if extra:
         full = to_arrow_schema(schema)

@@ -251,3 +251,88 @@ def test_governed_streaming_read_falls_back(registered, spark, tmp_path):
     )
     q.awaitTermination(300)
     assert spark.read.parquet(out).count() == 4
+
+
+def test_streaming_change_data_feed(registered, spark, tmp_path):
+    """readChangeFeed streaming on the jar-less source: authoritative
+    cdc commits stream pre/post images, derived commits stream inserts
+    and DV-growth deletes, the default start serves the live snapshot as
+    inserts, and a checkpoint restart picks up only new changes."""
+    from dc43_spark.io.delta_dml import delta_delete, delta_update
+
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 4), t, checkpoint_interval=None,
+                configuration={"delta.enableChangeDataFeed": "true"})  # v0
+    delta_update(spark, t, {"v": "'V'"}, "k = 2", use_dvs=True)  # v1 cdc
+    delta_delete(spark, t, "k = 0", use_dvs=True)                # v2 cdc
+
+    def run(opts, cp, out):
+        reader = spark.readStream.format("deltalog").option(
+            "readChangeFeed", "true")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load(t)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", cp)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        if q.exception():
+            raise RuntimeError(str(q.exception()))
+        return spark.read.parquet(out)
+
+    # explicit full-history replay
+    got = run({"startingVersion": 0}, str(tmp_path / "cp1"), str(tmp_path / "o1"))
+    by_v = {}
+    for r in got.collect():
+        by_v.setdefault(r._commit_version, set()).add((r.k, r.v, r._change_type))
+    assert by_v[0] == {(k, "x", "insert") for k in range(4)}
+    assert by_v[1] == {(2, "x", "update_preimage"), (2, "V", "update_postimage")}
+    assert by_v[2] == {(0, "x", "delete")}
+
+    # default start: the LIVE snapshot as inserts, then new changes only
+    got = run({}, str(tmp_path / "cp2"), str(tmp_path / "o2"))
+    assert {(r.k, r.v, r._change_type) for r in got.collect()} == {
+        (1, "x", "insert"), (3, "x", "insert"), (2, "V", "insert"),
+    }
+    delta_delete(spark, t, "k = 3", use_dvs=True)                # v3 cdc
+    got = run({}, str(tmp_path / "cp2"), str(tmp_path / "o2"))
+    assert (3, "x", "delete") in {
+        (r.k, r.v, r._change_type) for r in got.collect()
+    }
+    assert got.count() == 4  # 3 snapshot inserts + 1 new delete
+
+
+def test_streaming_cdf_derives_without_change_files(registered, spark, tmp_path):
+    """A table whose writer never emitted cdc files still streams derived
+    changes: appends as inserts, DV growth as deletes of exactly the
+    newly-deleted rows, full-file removes as deletes."""
+    from dc43_spark.io.delta_dml import delta_delete
+
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 4, "a"), t, checkpoint_interval=None)
+    delta_write(spark, _df(spark, 4, 6, "b"), t, checkpoint_interval=None)
+    delta_delete(spark, t, "k = 1", use_dvs=True)     # DV growth
+    delta_delete(spark, t, "k >= 4", use_dvs=True)    # whole second file
+
+    q = (
+        spark.readStream.format("deltalog")
+        .option("readChangeFeed", "true").option("startingVersion", 0)
+        .load(t)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "o"))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    if q.exception():
+        raise RuntimeError(str(q.exception()))
+    rows = spark.read.parquet(str(tmp_path / "o")).collect()
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r._commit_version, set()).add((r.k, r._change_type))
+    assert by_v[0] == {(k, "insert") for k in range(4)}
+    assert by_v[1] == {(4, "insert"), (5, "insert")}
+    assert by_v[2] == {(1, "delete")}
+    assert by_v[3] == {(4, "delete"), (5, "delete")}
