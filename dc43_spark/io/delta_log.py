@@ -2526,12 +2526,13 @@ def _delta_table_changes(
       parquet files (they carry ``_change_type`` incl. update pre/post
       images); the commit's add/remove actions are storage bookkeeping.
     - else NEW-path adds derive inserts (under the add's own DV); a
-      re-add of an existing path whose deletion vector GREW derives
-      deletes for exactly the newly-deleted positions; full-file removes
-      derive deletes by reading the removed file under its PRIOR vector
-      (raises if vacuum already swept it).
-    - any other rewrite of an existing path without cdc files refuses —
-      row-level truth is not reconstructible from file actions.
+      re-add of an existing path whose deletion vector CHANGED derives
+      deletes for the newly-deleted positions AND inserts for positions
+      the new vector no longer covers (rows a RESTORE resurrected);
+      full-file removes derive deletes by reading the removed file under
+      its PRIOR vector (raises if vacuum already swept it).
+    - a path-set rewrite (remove+add of different paths) without cdc
+      files refuses — row-level truth is not reconstructible there.
 
     Driver cost: one state reconstruction at ``starting_version - 1``
     plus an O(actions) replay across the range; per-commit positional
@@ -2599,7 +2600,7 @@ def _delta_table_changes(
 
     for v in range(max(starting_version, 0), end + 1):
         ts = t._commit_timestamp(v)
-        cdc_entries, adds, removes = [], [], []
+        cdc_entries, adds, removes, ordered = [], [], [], []
         for action in t._commit_lines(v):
             if "cdc" in action:
                 cdc_entries.append(
@@ -2610,8 +2611,10 @@ def _delta_table_changes(
                 )
             elif "add" in action:
                 adds.append(action["add"])
+                ordered.append(("add", action["add"]))
             elif "remove" in action:
                 removes.append(action["remove"])
+                ordered.append(("remove", action["remove"]))
         data_adds = [a for a in adds if a.get("dataChange", True)]
         data_removes = [r for r in removes if r.get("dataChange", True)]
         if cdc_entries:
@@ -2678,19 +2681,20 @@ def _delta_table_changes(
                     )
                     continue
                 new_set, old_set = _positions(a), _positions(prior)
-                if new_set >= old_set:
-                    newly = new_set - old_set
-                    if newly:
-                        out_parts.append(
-                            _tagged(_rows_at(p, newly, "keep"), "delete", v, ts)
-                        )
-                    removed_paths.discard(p)
-                    continue
-                raise DeltaProtocolError(
-                    f"commit v{v} rewrites {p} without change-data files; "
-                    "row-level changes are not reconstructible (enable CDF "
-                    "on the writer, or diff snapshots)"
-                )
+                newly = new_set - old_set
+                restored = old_set - new_set
+                if newly:
+                    out_parts.append(
+                        _tagged(_rows_at(p, newly, "keep"), "delete", v, ts)
+                    )
+                if restored:
+                    # the new vector UNCOVERED rows (RESTORE to an
+                    # earlier DV state): they re-enter the table
+                    out_parts.append(
+                        _tagged(_rows_at(p, restored, "keep"), "insert", v, ts)
+                    )
+                removed_paths.discard(p)
+                continue
             for p in sorted(removed_paths):
                 prior = state.get(p)
                 if prior is None:
@@ -2698,11 +2702,15 @@ def _delta_table_changes(
                 out_parts.append(
                     _tagged(_rows_at(p, _positions(prior), "drop"), "delete", v, ts)
                 )
-        # advance the running state past this commit
-        for a in adds:
-            state[_decode_path(a["path"])] = a
-        for r in removes:
-            state.pop(_decode_path(r["path"]), None)
+        # advance the running state past this commit IN ACTION ORDER —
+        # a remove+add of the SAME path (DV supersession) must leave the
+        # add standing; applying all adds then all removes would drop it
+        # and misread the path as brand-new at the next commit
+        for kind, act in ordered:
+            if kind == "add":
+                state[_decode_path(act["path"])] = act
+            else:
+                state.pop(_decode_path(act["path"]), None)
 
     if not out_parts:
         empty = StructType(

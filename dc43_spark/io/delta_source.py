@@ -410,14 +410,16 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
         for v in range(first_needed, end["version"] + 1):
             ts = t._commit_timestamp(v)
             stamp = {"_commit_version": v, "_commit_timestamp": ts}
-            cdc_entries, adds, removes = [], [], []
+            cdc_entries, adds, removes, ordered = [], [], [], []
             for action in t._commit_lines(v):
                 if "cdc" in action:
                     cdc_entries.append(action["cdc"])
                 elif "add" in action:
                     adds.append(action["add"])
+                    ordered.append(("add", action["add"]))
                 elif "remove" in action:
                     removes.append(action["remove"])
+                    ordered.append(("remove", action["remove"]))
             data_adds = [a for a in adds if a.get("dataChange", True)]
             data_removes = [r for r in removes if r.get("dataChange", True)]
             if cdc_entries:
@@ -447,22 +449,27 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
                         a.get("deletionVector")) or ())
                     old_set = set(self._decode_positions(
                         prior.get("deletionVector")) or ())
-                    if new_set >= old_set:
-                        newly = sorted(new_set - old_set)
-                        if newly:
-                            parts.append(_FilePartition(
-                                os.path.join(t.path, p),
-                                {**_pvals(prior.get("partitionValues")),
-                                 "_change_type": "delete", **stamp},
-                                kept_positions=newly,
-                                mapping=mapping,
-                            ))
-                        removed_paths.discard(p)
-                        continue
-                    raise DeltaProtocolError(
-                        f"commit v{v} rewrites {p} without change-data "
-                        "files; row-level changes are not reconstructible"
-                    )
+                    newly = sorted(new_set - old_set)
+                    restored = sorted(old_set - new_set)
+                    if newly:
+                        parts.append(_FilePartition(
+                            os.path.join(t.path, p),
+                            {**_pvals(prior.get("partitionValues")),
+                             "_change_type": "delete", **stamp},
+                            kept_positions=newly,
+                            mapping=mapping,
+                        ))
+                    if restored:
+                        # a RESTORE uncovered previously-deleted rows
+                        parts.append(_FilePartition(
+                            os.path.join(t.path, p),
+                            {**_pvals(a.get("partitionValues")),
+                             "_change_type": "insert", **stamp},
+                            kept_positions=restored,
+                            mapping=mapping,
+                        ))
+                    removed_paths.discard(p)
+                    continue
                 for p in sorted(removed_paths):
                     prior = state.get(p)
                     if prior is None:
@@ -476,10 +483,13 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
                         ),
                         mapping=mapping,
                     ))
-            for a in adds:
-                state[_decode_path(a["path"])] = a
-            for r in removes:
-                state.pop(_decode_path(r["path"]), None)
+            # advance IN ACTION ORDER: remove+add of the same path (DV
+            # supersession) must leave the add standing
+            for kind, act in ordered:
+                if kind == "add":
+                    state[_decode_path(act["path"])] = act
+                else:
+                    state.pop(_decode_path(act["path"]), None)
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator:

@@ -629,3 +629,48 @@ def test_dml_and_optimize_on_column_mapped_table(spark, tmp_path):
                           zorder_by=["label"]) is not None
     assert {(r.k, r.label, r.amt)
             for r in DeltaLogTable(spark, path).read().collect()} == got
+
+
+def test_cdf_derives_through_restore(spark, tmp_path):
+    """A RESTORE shrinks a file's deletion vector: CDF (batch and
+    streaming) derives the uncovered rows as inserts and the re-deleted
+    rows as deletes — no refusal, no cdc files needed."""
+    from dc43_spark.io.delta_log import delta_restore
+    from dc43_spark.io.delta_source import DeltaLogDataSource
+
+    spark.dataSource.register(DeltaLogDataSource)
+    t = _mk(spark, str(tmp_path / "t"), n=4)
+    delta_delete(spark, t.path, "k IN (1, 2)", use_dvs=True)   # v1
+    assert delta_restore(spark, t.path, version=0) == 2        # v2: DV shrinks
+
+    ch = {(r.k, r._change_type) for r in t.table_changes(2, 2).collect()}
+    assert ch == {(1, "insert"), (2, "insert")}
+    # a window SPANNING the DV commit and the restore: the running state
+    # must keep the superseded add alive through its same-commit remove
+    # (regression: the advance once applied adds before removes, dropping
+    # the path and misreading the restore as a whole-file insert)
+    spanning = {(r.k, r._change_type, r._commit_version)
+                for r in t.table_changes(1, 2).collect()}
+    assert spanning == {
+        (1, "delete", 1), (2, "delete", 1),
+        (1, "insert", 2), (2, "insert", 2),
+    }
+
+    q = (
+        spark.readStream.format("deltalog")
+        .option("readChangeFeed", "true").option("startingVersion", 1)
+        .load(t.path)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "o"))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    if q.exception():
+        raise RuntimeError(str(q.exception()))
+    rows = spark.read.parquet(str(tmp_path / "o")).collect()
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r._commit_version, set()).add((r.k, r._change_type))
+    assert by_v[1] == {(1, "delete"), (2, "delete")}
+    assert by_v[2] == {(1, "insert"), (2, "insert")}
