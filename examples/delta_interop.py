@@ -126,6 +126,26 @@ def main() -> int:
     print(f"6. governed read of format='delta': status={verdict.status}, "
           f"{aligned.count()} rows")
 
+    # 7. row-mutating DML with deletion vectors + RESTORE (r10)
+    from dc43_spark.io.delta_dml import delta_delete, delta_merge
+    from dc43_spark.io.delta_log import delta_restore
+
+    n0 = DeltaLogTable(spark, t).read().count()
+    v_del = delta_delete(spark, t, "k % 3 = 0", use_dvs=True)
+    v_mrg = delta_merge(
+        spark,
+        spark.createDataFrame([(1, 999), (1000, 7)], "k long, bucket long")
+        .coalesce(1),
+        t, ["k"], use_dvs=True,
+    )
+    d = DeltaLogTable(spark, t)
+    print(f"7. DELETE v{v_del} (deletion vectors, no rewrite) + MERGE "
+          f"v{v_mrg}: {n0} -> {d.read().count()} rows; "
+          f"{sum(1 for f in d.snapshot().files if f.dv)} DV-bearing file(s)")
+    v_rst = delta_restore(spark, t, version=v_del - 1)
+    print(f"8. RESTORE to v{v_del - 1} landed as v{v_rst}: back to "
+          f"{DeltaLogTable(spark, t).read().count()} rows, history intact")
+
     spark.stop()
     print("delta interop tour complete:", root)
     return 0

@@ -276,3 +276,33 @@ def test_delta_dv_scan_broadcasts_deleted_positions(spark, tmp_path):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan
     assert sorted(r.k for r in df.collect()) == [0, 1, 3, 4, 6, 7]
+
+
+def test_dml_lineage_scan_broadcasts_and_never_cartesians(spark, tmp_path):
+    """The DML kernel's lineage scan (io/delta_dml.py _live_lineage) must
+    keep both of its joins broadcast: the file-identity tag (tiny file
+    list vs the big scan) and the existing-DV anti-join (bitmap-sized
+    positions vs the big scan). A SortMergeJoin or cartesian on either
+    would shuffle the whole table per DML at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from dc43_spark.io.delta_dml import _live_lineage, delta_delete
+    from dc43_spark.io.delta_log import DeltaLogTable, delta_write
+
+    t = str(tmp_path / "t")
+    delta_write(
+        spark,
+        spark.range(64).select(F.col("id").alias("k"),
+                               F.lit("x").alias("v")).coalesce(2),
+        t, checkpoint_interval=None,
+    )
+    delta_delete(spark, t, "k = 3", use_dvs=True)  # gives the scan a DV
+
+    tbl = DeltaLogTable(spark, t)
+    df = _live_lineage(tbl, tbl.snapshot())
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # tag join + DV anti-join
+    assert "LeftAnti" in plan, plan
+    assert df.count() == 63
