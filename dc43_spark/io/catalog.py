@@ -149,6 +149,11 @@ class SnaplogCatalog:
         - ``CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (c, ...)] AS
           SELECT ...`` — CTAS through a snaplog overwrite
         - ``INSERT INTO t SELECT ...`` — transactional append
+        - ``DELETE FROM t [WHERE pred]`` — row-level delete (snaplog
+          copy-on-write; jar-less deletion-vector/COW on Delta tables)
+        - ``UPDATE t SET col = expr[, ...] [WHERE pred]`` — row-level
+          update on either format (generated columns recompute; SET on
+          one refuses)
         - ``DROP TABLE [IF EXISTS] t PURGE`` — drop (PURGE is mandatory,
           mirroring ``drop()``'s explicit-data-deletion contract)
 
@@ -187,6 +192,37 @@ class SnaplogCatalog:
                     delta_write(self.spark, df, self._path(name), mode="append"),
                 )
             return self._status(name, self.table(name).write(df, mode="append"))
+        m = _DML_DELETE.match(query)
+        if m:
+            name, where = m.groups()
+            if not self.exists(name):
+                raise ValueError(f"no table {name!r} in {self.root}")
+            if self.format_of(name) == "delta":
+                from dc43_spark.io.delta_dml import delta_delete
+
+                delta_delete(self.spark, self._path(name), where)
+                return self._status(
+                    name, self.delta_table(name).version()
+                )
+            t = self.table(name)
+            t.delete(where=where if where is not None else "true")
+            return self._status(name, t.version())
+        m = _DML_UPDATE.match(query)
+        if m:
+            name, assignments, where = m.groups()
+            if not self.exists(name):
+                raise ValueError(f"no table {name!r} in {self.root}")
+            sets = _parse_assignments(assignments)
+            if self.format_of(name) == "delta":
+                from dc43_spark.io.delta_dml import delta_update
+
+                delta_update(self.spark, self._path(name), sets, where)
+                return self._status(
+                    name, self.delta_table(name).version()
+                )
+            t = self.table(name)
+            t.update(set=sets, where=where if where is not None else "true")
+            return self._status(name, t.version())
         m = _DDL_DROP.match(query)
         if m:
             if_exists, name, purge = m.groups()
@@ -225,6 +261,55 @@ _DDL_INSERT = re.compile(
     r"^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_DML_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DML_UPDATE = re.compile(
+    r"^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)"
+    r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_assignments(raw: str) -> dict:
+    """``col = expr, col2 = expr2`` -> {col: expr}: split on commas at
+    paren/quote depth zero (function calls and string literals keep
+    their commas), then take the FIRST top-level '=' of each part."""
+    parts, buf, depth, quote = [], [], 0, None
+    for ch in raw:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    out: dict = {}
+    for part in parts:
+        m = re.match(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*$",
+                     part, re.DOTALL)
+        if not m:
+            raise ValueError(f"unparseable SET assignment: {part.strip()!r}")
+        col, expr = m.groups()
+        if col in out:
+            raise ValueError(f"column {col!r} assigned twice in SET")
+        out[col] = expr
+    return out
+
+
 _DDL_DROP = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_][A-Za-z0-9_]*)"
     r"\s*(PURGE)?\s*;?\s*$",

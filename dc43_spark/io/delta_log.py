@@ -689,11 +689,48 @@ def delta_read_fallback(
     options = options or {}
     t = DeltaLogTable(spark, path)
     if str(options.get("readChangeFeed", "")).lower() == "true":
-        # batch CDF, Delta's option spelling: startingVersion/endingVersion
+        # batch CDF, Delta's option spellings: startingVersion/endingVersion
+        # or startingTimestamp/endingTimestamp (resolved against commit
+        # timestamps — start = first commit AT/AFTER, end = last AT/BEFORE)
+        def _ts(key):
+            raw = options.get(key)
+            if raw is None:
+                return None
+            try:
+                return float(raw)
+            except (TypeError, ValueError):
+                return datetime.datetime.fromisoformat(str(raw)).timestamp()
+
+        start = options.get("startingVersion")
+        end = options.get("endingVersion")
+        st, et = _ts("startingTimestamp"), _ts("endingTimestamp")
+        if st is not None:
+            if start is not None:
+                raise ValueError(
+                    "pass startingVersion OR startingTimestamp, not both"
+                )
+            versions = t._versions()
+            after = [v for v in versions if t._commit_timestamp(v) >= st]
+            if not after:
+                raise ValueError(
+                    f"no Delta commit at or after startingTimestamp {st}"
+                )
+            start = after[0]
+        if et is not None:
+            if end is not None:
+                raise ValueError(
+                    "pass endingVersion OR endingTimestamp, not both"
+                )
+            versions = t._versions()
+            before = [v for v in versions if t._commit_timestamp(v) <= et]
+            if not before:
+                raise ValueError(
+                    f"no Delta commit at or before endingTimestamp {et}"
+                )
+            end = before[-1]
         return t.table_changes(
-            int(options.get("startingVersion", 0)),
-            (int(options["endingVersion"])
-             if options.get("endingVersion") is not None else None),
+            int(start) if start is not None else 0,
+            int(end) if end is not None else None,
         )
     version = options.get("versionAsOf")
     ts = options.get("timestampAsOf")

@@ -3948,14 +3948,41 @@ class SnaplogTable:
         names = {os.path.basename(r["_fp"]) for r in matched}
         return [f for f in candidates if os.path.basename(f.path) in names]
 
+    def _filters_and_where(self, filters, where: Optional[str], op: str):
+        """(pruning groups, row predicate) from the two predicate
+        spellings: DNF ``filters`` (prunes + filters) and/or SQL
+        ``where`` (filters only) — at least one required, both AND."""
+        if filters is None and where is None:
+            raise ValueError(
+                f"{op}() needs filters= (pyarrow DNF) and/or where= "
+                "(SQL predicate)"
+            )
+        groups = _normalize_filters(filters) if filters is not None else []
+        parts = []
+        if groups:
+            parts.append(_filters_to_column(groups))
+        if where is not None:
+            parts.append(F.expr(where))
+        pred = parts[0]
+        for p in parts[1:]:
+            pred = pred & p
+        return groups, pred
+
     def delete(
         self,
-        filters,
+        filters=None,
         *,
+        where: Optional[str] = None,
         strategy: str = "copy_on_write",
         isolation: str = "write_serializable",
     ) -> RewriteStats:
         """Row-level DELETE with two physical strategies.
+
+        The predicate comes from ``filters`` (pyarrow DNF — drives file
+        PRUNING too), ``where`` (a raw SQL predicate — row-exact but
+        prunes nothing by itself), or both ANDed (filters prune, where
+        refines) — delta-spark's ``delete(condition)`` spelling next to
+        the skipping-aware one.
 
         ``copy_on_write`` (default): two-level pruning (footer stats,
         then the exact ``_metadata.file_path`` scan) picks the files
@@ -3983,16 +4010,22 @@ class SnaplogTable:
                 f"delete strategy must be copy_on_write|merge_on_read, got {strategy!r}"
             )
         _check_isolation(isolation)
-        groups = _normalize_filters(filters)
-        pred = _filters_to_column(groups)
+        groups, pred = self._filters_and_where(filters, where, "delete")
         current = self.version()
         if current is None:
             raise FileNotFoundError(f"no snaplog table at {self.path}")
         snap = self.snapshot(current)
-        pgroups = augment_groups_for_partitions(
-            self._phys_groups(groups, snap), snap.partition_by
-        )
-        candidates = snap.prune(pgroups)
+        if groups:
+            pgroups = augment_groups_for_partitions(
+                self._phys_groups(groups, snap), snap.partition_by
+            )
+            candidates = snap.prune(pgroups)
+        else:
+            # where-only predicate: nothing prunable — candidates are
+            # every live file, and the read predicate is "whole table"
+            # for conflict detection (groups=None + reads_rest)
+            pgroups = None
+            candidates = list(snap.files)
         read_info = ReadInfo(
             paths=frozenset(f.path for f in candidates),
             groups=pgroups,
@@ -4043,22 +4076,23 @@ class SnaplogTable:
 
     def update(
         self,
-        filters,
-        set: dict,
+        filters=None,
+        set: Optional[dict] = None,
         *,
+        where: Optional[str] = None,
         isolation: str = "write_serializable",
     ) -> RewriteStats:
         """File-granular copy-on-write UPDATE: rewrite ONLY files holding
-        rows that satisfy ``filters``, applying ``set`` (column ->
-        Column/SQL-string expression, evaluated against the pre-update
-        row) where the predicate holds and passing other rows through
-        unchanged. Same two-level pruning and conflict semantics as
-        ``delete``."""
+        rows that satisfy the predicate (``filters`` pyarrow DNF — also
+        prunes — and/or a raw SQL ``where``, same contract as
+        ``delete``), applying ``set`` (column -> Column/SQL-string
+        expression, evaluated against the pre-update row) where the
+        predicate holds and passing other rows through unchanged. Same
+        two-level pruning and conflict semantics as ``delete``."""
         if not set:
             raise ValueError("update() needs at least one column in set=")
         _check_isolation(isolation)
-        groups = _normalize_filters(filters)
-        pred = _filters_to_column(groups)
+        groups, pred = self._filters_and_where(filters, where, "update")
         current = self.version()
         if current is None:
             raise FileNotFoundError(f"no snaplog table at {self.path}")
@@ -4071,10 +4105,14 @@ class SnaplogTable:
                 "(GENERATED ALWAYS AS); update their source columns and "
                 "the expressions recompute"
             )
-        pgroups = augment_groups_for_partitions(
-            self._phys_groups(groups, snap), snap.partition_by
-        )
-        candidates = snap.prune(pgroups)
+        if groups:
+            pgroups = augment_groups_for_partitions(
+                self._phys_groups(groups, snap), snap.partition_by
+            )
+            candidates = snap.prune(pgroups)
+        else:
+            pgroups = None  # where-only: no pruning, whole-table read set
+            candidates = list(snap.files)
         touched = self._exact_touched(candidates, pred, snap)
         if not touched:
             return RewriteStats(snap.num_files, len(candidates), 0, 0, 0, 0)

@@ -1016,3 +1016,35 @@ def test_read_fallback_change_feed_option(spark, tmp_path):
     )
     assert {(r.k, r._change_type, r._commit_version)
             for r in ch.collect()} == {(2, "insert", 1)}
+
+
+def test_read_fallback_cdf_timestamp_options(spark, tmp_path):
+    """startingTimestamp/endingTimestamp resolve against commit
+    timestamps (start = first commit at/after, end = last at/before),
+    Delta's option spelling."""
+    from dc43_spark.io.delta_log import delta_write
+
+    t = str(tmp_path / "t")
+    a1 = _data_file(t, "f1.parquet", [(1, "a")])
+    a2 = _data_file(t, "f2.parquet", [(2, "b")])
+    a3 = _data_file(t, "f3.parquet", [(3, "c")])
+    _commit(t, 0, [_protocol(), _meta(), a1], ts_ms=1_000_000)
+    _commit(t, 1, [a2], ts_ms=2_000_000)
+    _commit(t, 2, [a3], ts_ms=3_000_000)
+
+    got = delta_read_fallback(spark, t, {
+        "readChangeFeed": "true",
+        "startingTimestamp": "1500",   # unix seconds -> v1 is first >=
+        "endingTimestamp": "2500",     # v1 is last <=
+    })
+    assert {(r.k, r._change_type, r._commit_version)
+            for r in got.collect()} == {(2, "insert", 1)}
+    with pytest.raises(ValueError, match="not both"):
+        delta_read_fallback(spark, t, {
+            "readChangeFeed": "true",
+            "startingVersion": 0, "startingTimestamp": "1500",
+        })
+    with pytest.raises(ValueError, match="at or after"):
+        delta_read_fallback(spark, t, {
+            "readChangeFeed": "true", "startingTimestamp": "9999999",
+        })

@@ -208,3 +208,72 @@ def test_mixed_catalog_spans_snaplog_and_delta(spark, tmp_path):
         cat.sql("DROP TABLE facts")
     cat.sql("DROP TABLE facts PURGE")
     assert cat.tables() == ["dims"]
+
+
+def test_sql_delete_and_update_route_to_both_formats(spark, tmp_path):
+    """DELETE FROM / UPDATE ... SET over catalog.sql(): snaplog tables
+    take the copy-on-write path, Delta tables the jar-less DML path;
+    assignments with function-call commas parse; WHERE is optional."""
+    import os
+
+    from dc43_spark.io.catalog import SnaplogCatalog
+    from dc43_spark.io.delta_log import DeltaLogTable, delta_write
+
+    cat = SnaplogCatalog(spark, str(tmp_path / "wh"))
+    cat.sql("CREATE TABLE s AS SELECT id AS k, id * 10 AS amt "
+            "FROM range(8)")
+    delta_write(
+        spark,
+        spark.range(8).selectExpr("id AS k", "id * 10 AS amt").coalesce(1),
+        os.path.join(cat.root, "d"), checkpoint_interval=None,
+    )
+
+    cat.sql("DELETE FROM s WHERE k >= 6")
+    assert {r.k for r in cat.sql("SELECT k FROM s").collect()} == set(range(6))
+    cat.sql("UPDATE s SET amt = greatest(amt, 25), k = k + 100 WHERE k < 2")
+    got = {(r.k, r.amt) for r in cat.sql("SELECT * FROM s").collect()}
+    assert got == {(100, 25), (101, 25), (2, 20), (3, 30), (4, 40), (5, 50)}
+
+    cat.sql("DELETE FROM d WHERE k IN (0, 7)")
+    d = DeltaLogTable(spark, os.path.join(cat.root, "d"))
+    assert {r.k for r in d.read().collect()} == {1, 2, 3, 4, 5, 6}
+    cat.sql("UPDATE d SET amt = amt + 1 WHERE k = 1")
+    assert (1, 11) in {(r.k, r.amt) for r in d.read().collect()}
+    # WHERE-less delete empties the table (explicit, like SQL)
+    cat.sql("DELETE FROM d")
+    assert d.read().count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no table"):
+        cat.sql("DELETE FROM nope WHERE k = 1")
+    with _pytest.raises(ValueError, match="unparseable"):
+        cat.sql("UPDATE s SET 5 = k")
+
+
+def test_snaplog_where_predicates_direct(spark, tmp_path):
+    """delete(where=)/update(where=) take raw SQL predicates (delta-
+    spark's condition spelling): row-exact with no DNF translation, and
+    composable with filters (filters prune, where refines)."""
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.range(10).selectExpr("id AS k", "id * 10 AS amt",
+                                   "CAST(id % 2 AS STRING) AS par")
+        .coalesce(1),
+        mode="overwrite",
+    )
+    t.delete(where="k % 3 = 0 AND amt < 70")  # 0, 3, 6
+    assert {r.k for r in t.read().collect()} == {1, 2, 4, 5, 7, 8, 9}
+    t.update(set={"amt": "amt + 1"}, where="par = '1'")
+    got = {(r.k, r.amt) for r in t.read().collect()}
+    assert got == {(1, 11), (2, 20), (4, 40), (5, 51), (7, 71),
+                   (8, 80), (9, 91)}
+    # both spellings compose: filters prune, where refines row-exactly
+    t.delete([("k", ">=", 8)], where="amt > 85")
+    assert {r.k for r in t.read().collect()} == {1, 2, 4, 5, 7, 8}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="filters= .*where=|where="):
+        t.delete()
