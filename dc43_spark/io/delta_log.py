@@ -2768,6 +2768,37 @@ def _delta_table_changes(
 DeltaLogTable.table_changes = _delta_table_changes
 
 
+def _delta_changes_since(self, version: Optional[int]) -> tuple:
+    """Incremental-consumer helper mirroring snaplog's ``changes_since``:
+    ``(changes, head)`` for commits AFTER ``version`` (exclusive; None =
+    from the first readable commit). With this, a real Delta table can
+    SOURCE the incremental-view-maintenance kernel (io/ivm.py) — the
+    signed-delta refresh reads the jar-less change feed instead of a
+    snaplog one; everything downstream (offsets riding the view's txn
+    marker, MIN/MAX dirty-group rescans via ``read(version_as_of=head)``)
+    composes unchanged."""
+    versions = self._all_versions()
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+    head = versions[-1]
+    start = versions[0] if version is None else version + 1
+    if start > head:
+        # caller is current: the typed empty frame (snaplog's contract)
+        schema = StructType(
+            list(self.snapshot(head).schema.fields)
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+                StructField("_commit_timestamp", DoubleType()),
+            ]
+        )
+        return self.spark.createDataFrame([], schema), head
+    return self.table_changes(start, head), head
+
+
+DeltaLogTable.changes_since = _delta_changes_since
+
+
 def _delta_describe_detail(t: DeltaLogTable) -> dict:
     """Operational summary (Delta's DESCRIBE DETAIL shape): format,
     location, counts/bytes, partition columns, protocol, configuration —
