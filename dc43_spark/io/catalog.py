@@ -154,6 +154,13 @@ class SnaplogCatalog:
         - ``UPDATE t SET col = expr[, ...] [WHERE pred]`` — row-level
           update on either format (generated columns recompute; SET on
           one refuses)
+        - ``MERGE INTO t t USING <table | (subquery)> s ON t.k = s.k
+          [AND ...] [WHEN MATCHED AND pred THEN DELETE] [WHEN MATCHED
+          THEN UPDATE SET *] [WHEN NOT MATCHED [AND pred] THEN INSERT
+          *]`` — the updateAll/insertAll subset both engines' merge APIs
+          implement; aliases are fixed ``t``/``s``, ON takes equality
+          conjuncts on shared key names, and column-level UPDATE SET
+          assignments refuse with a pointer to the merge API
         - ``DROP TABLE [IF EXISTS] t PURGE`` — drop (PURGE is mandatory,
           mirroring ``drop()``'s explicit-data-deletion contract)
 
@@ -192,6 +199,28 @@ class SnaplogCatalog:
                     delta_write(self.spark, df, self._path(name), mode="append"),
                 )
             return self._status(name, self.table(name).write(df, mode="append"))
+        m = _DML_MERGE.match(query)
+        if m:
+            name, source_sql, on_cond, whens = m.groups()
+            if not self.exists(name):
+                raise ValueError(f"no table {name!r} in {self.root}")
+            src_sql = source_sql.strip()
+            if src_sql.startswith("("):
+                src_df = self.sql(src_sql[1:-1], tables=tables)
+            else:
+                src_df = self.sql(f"SELECT * FROM {src_sql}", tables=tables)
+            keys = _merge_on_keys(on_cond)
+            clauses = _merge_when_clauses(whens)
+            if self.format_of(name) == "delta":
+                from dc43_spark.io.delta_dml import delta_merge
+
+                delta_merge(
+                    self.spark, src_df, self._path(name), keys, **clauses
+                )
+                return self._status(name, self.delta_table(name).version())
+            t = self.table(name)
+            t.merge(src_df, keys, **clauses)
+            return self._status(name, t.version())
         m = _DML_DELETE.match(query)
         if m:
             name, where = m.groups()
@@ -261,6 +290,98 @@ _DDL_INSERT = re.compile(
     r"^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_DML_MERGE = re.compile(
+    # fixed aliases t / s keep the grammar honest: predicates inside the
+    # WHEN clauses reference s.<col> exactly like the merge APIs expect
+    r"^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(?:AS\s+)?t\s+"
+    r"USING\s+(\(.*\)|[A-Za-z_][A-Za-z0-9_]*)\s+(?:AS\s+)?s\s+"
+    r"ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_RE = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    r"(DELETE|UPDATE\s+SET\s+\*|UPDATE\s+SET\s+[^*].*?|INSERT\s+\*|INSERT\s+\(.*?\))"
+    r"(?=\s+WHEN\s|\s*;?\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _merge_on_keys(cond: str) -> list:
+    """ON equality conjuncts -> shared key names. Supported shape:
+    ``t.k = s.k [AND t.k2 <=> s.k2 ...]`` (either side order); anything
+    else refuses — a non-equi merge condition has no key-join plan."""
+    keys = []
+    for part in re.split(r"\s+AND\s+", cond.strip(), flags=re.IGNORECASE):
+        m = re.match(
+            r"^\s*(?:t\.`?(\w+)`?\s*(?:=|<=>)\s*s\.`?(\w+)`?"
+            r"|s\.`?(\w+)`?\s*(?:=|<=>)\s*t\.`?(\w+)`?)\s*$",
+            part,
+        )
+        if not m:
+            raise ValueError(
+                f"unsupported MERGE ON conjunct {part.strip()!r}: use "
+                "t.<col> = s.<col> equality (the key-join subset)"
+            )
+        a, b = (m.group(1), m.group(2)) if m.group(1) else (m.group(4), m.group(3))
+        if a != b:
+            raise ValueError(
+                f"MERGE ON joins different column names ({a!r} vs {b!r}); "
+                "the SQL surface covers same-name keys — use the merge "
+                "API for renamed joins"
+            )
+        keys.append(a)
+    return keys
+
+
+def _merge_when_clauses(whens: str) -> dict:
+    """WHEN clause list -> merge API kwargs (updateAll/insertAll subset)."""
+    out = {
+        "when_matched": "ignore",
+        "when_not_matched": "ignore",
+        "delete_predicate": None,
+        "insert_predicate": None,
+    }
+    matched_any = False
+    for not_m, pred, action in _WHEN_RE.findall(whens):
+        act = re.sub(r"\s+", " ", action.strip().upper())
+        if not_m:
+            if not act.startswith("INSERT"):
+                raise ValueError("WHEN NOT MATCHED supports THEN INSERT *")
+            if act != "INSERT *":
+                raise ValueError(
+                    "column-level INSERT lists are not supported; use "
+                    "INSERT * (insertAll) or the merge API"
+                )
+            out["when_not_matched"] = "insert"
+            if pred:
+                out["insert_predicate"] = pred.strip()
+            continue
+        matched_any = True
+        if act == "DELETE":
+            if not pred:
+                raise ValueError(
+                    "WHEN MATCHED THEN DELETE needs AND <predicate> here "
+                    "(an unconditional matched-delete is an anti-join — "
+                    "use DELETE FROM with a key IN (...) predicate)"
+                )
+            out["delete_predicate"] = pred.strip()
+        elif act == "UPDATE SET *":
+            if pred:
+                raise ValueError(
+                    "conditional WHEN MATCHED ... UPDATE is not supported "
+                    "on the SQL surface; use the merge API"
+                )
+            out["when_matched"] = "update"
+        else:
+            raise ValueError(
+                "column-level UPDATE SET assignments are not supported in "
+                "MERGE; use UPDATE SET * (updateAll) or the merge API"
+            )
+    if not matched_any and out["when_not_matched"] == "ignore":
+        raise ValueError("MERGE needs at least one WHEN clause")
+    return out
+
+
 _DML_DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)"
     r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",

@@ -277,3 +277,60 @@ def test_snaplog_where_predicates_direct(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="filters= .*where=|where="):
         t.delete()
+
+
+def test_sql_merge_into_both_formats(spark, tmp_path):
+    """MERGE INTO over catalog.sql(): the updateAll/insertAll subset with
+    delete/insert predicates, routed to snaplog's COW merge and the
+    jar-less Delta DML merge; unsupported grammar refuses with pointers
+    to the APIs."""
+    import os
+
+    from dc43_spark.io.catalog import SnaplogCatalog
+    from dc43_spark.io.delta_log import DeltaLogTable, delta_write
+
+    cat = SnaplogCatalog(spark, str(tmp_path / "wh"))
+    cat.sql("CREATE TABLE tgt AS SELECT id AS k, id * 10 AS amt "
+            "FROM range(6)")
+    cat.sql("CREATE TABLE src AS "
+            "SELECT id AS k, id * 1000 AS amt FROM range(4, 9)")
+    delta_write(
+        spark,
+        spark.range(6).selectExpr("id AS k", "id * 10 AS amt").coalesce(1),
+        os.path.join(cat.root, "dtgt"), checkpoint_interval=None,
+    )
+
+    # snaplog target: update + conditional insert
+    cat.sql(
+        "MERGE INTO tgt t USING src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s.k < 8 THEN INSERT *"
+    )
+    got = {(r.k, r.amt) for r in cat.sql("SELECT * FROM tgt").collect()}
+    assert got == {(0, 0), (1, 10), (2, 20), (3, 30),
+                   (4, 4000), (5, 5000), (6, 6000), (7, 7000)}
+
+    # delta target: subquery source + matched-delete predicate
+    cat.sql(
+        "MERGE INTO dtgt t USING "
+        "(SELECT id AS k, id * 100 AS amt FROM range(3, 8)) s "
+        "ON t.k = s.k "
+        "WHEN MATCHED AND s.amt >= 500 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    d = DeltaLogTable(spark, os.path.join(cat.root, "dtgt"))
+    got = {(r.k, r.amt) for r in d.read().collect()}
+    # 5 deleted (500), 3,4 updated, 6,7 inserted, 0-2 kept
+    assert got == {(0, 0), (1, 10), (2, 20), (3, 300), (4, 400),
+                   (6, 600), (7, 700)}
+
+    with pytest.raises(ValueError, match="key-join subset"):
+        cat.sql("MERGE INTO tgt t USING src s ON t.k > s.k "
+                "WHEN MATCHED THEN UPDATE SET *")
+    with pytest.raises(ValueError, match="column-level UPDATE"):
+        cat.sql("MERGE INTO tgt t USING src s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET amt = s.amt")
+    with pytest.raises(ValueError, match="anti-join"):
+        cat.sql("MERGE INTO tgt t USING src s ON t.k = s.k "
+                "WHEN MATCHED THEN DELETE")
