@@ -106,18 +106,55 @@ def _dvs_enabled(protocol: dict, meta: dict) -> bool:
     return "deletionVectors" in set(protocol.get("writerFeatures") or ())
 
 
-def _live_lineage(t: DeltaLogTable, snap) -> DataFrame:
-    """Every LIVE row of the snapshot (existing DV masks applied) with
-    two hidden lineage columns: ``_dc43_rel`` (the add action's decoded
-    relative path) and ``_dc43_pos`` (the parquet row index) — the
-    coordinates a deletion vector addresses. Typed partition columns
-    attach as literals per group, same as the snapshot scan."""
+def _merge_candidate_files(src: DataFrame, snap, keys: Sequence[str]) -> list:
+    """Delta-spark's merge file pruning: ONE aggregate over the source
+    computes each key's min/max (+ null presence), and only target files
+    whose stats envelope intersects every key range can hold a match —
+    the rest never enter the lineage scan. Sound for inserts too: a
+    pruned file provably contains no key in the source range, so no
+    source row can match there. A key with source NULLs skips its
+    conditions (NULL joins NULL under eqNullSafe and stats can't bound
+    it) — conservative, never wrong."""
+    row = src.agg(
+        *[F.min(F.col(k)).alias(f"_lo_{k}") for k in keys],
+        *[F.max(F.col(k)).alias(f"_hi_{k}") for k in keys],
+        *[
+            F.sum(F.when(F.col(k).isNull(), 1).otherwise(0)).alias(f"_n_{k}")
+            for k in keys
+        ],
+    ).first()
+    conds = []
+    for k in keys:
+        if row[f"_n_{k}"] or row[f"_lo_{k}"] is None:
+            continue  # NULL keys present (or empty source): unprunable key
+        conds.append((k, ">=", row[f"_lo_{k}"]))
+        conds.append((k, "<=", row[f"_hi_{k}"]))
+    if not conds:
+        return list(snap.files)
+    from dc43_spark.io.snaplog import FileEntry, _file_may_match
+
+    groups = [conds]  # one AND-group
+    return [
+        f
+        for f in snap.files
+        if _file_may_match(FileEntry(f.path, 0, f.size, f.stats, {}), groups)
+    ]
+
+
+def _live_lineage(t: DeltaLogTable, snap, files=None) -> DataFrame:
+    """Every LIVE row of ``files`` (default: the whole snapshot;
+    existing DV masks applied) with two hidden lineage columns:
+    ``_dc43_rel`` (the add action's decoded relative path) and
+    ``_dc43_pos`` (the parquet row index) — the coordinates a deletion
+    vector addresses. Typed partition columns attach as literals per
+    group, same as the snapshot scan."""
     spark = t.spark
     out_schema = StructType(
         list(snap.schema.fields)
         + [StructField(_REL, StringType()), StructField(_POS, LongType())]
     )
-    if not snap.files:
+    scan_files = list(snap.files) if files is None else list(files)
+    if not scan_files:
         return spark.createDataFrame([], out_schema)
     types = {f.name: f.dataType.typeName() for f in snap.schema.fields}
     data_fields = [
@@ -145,7 +182,7 @@ def _live_lineage(t: DeltaLogTable, snap) -> DataFrame:
             "/" + f.path.lstrip("/"),
             "/" + urllib.parse.quote(f.path.lstrip("/")),
         )
-        for f in snap.files
+        for f in scan_files
     ]
     files_df = F.broadcast(
         spark.createDataFrame(
@@ -154,7 +191,7 @@ def _live_lineage(t: DeltaLogTable, snap) -> DataFrame:
     )
 
     groups: dict = {}
-    for f in snap.files:
+    for f in scan_files:
         key = tuple(f.partition_values.get(c) for c in snap.partition_columns)
         groups.setdefault(key, []).append(f)
     parts = []
@@ -201,7 +238,7 @@ def _live_lineage(t: DeltaLogTable, snap) -> DataFrame:
 
     # existing DV masks: expand descriptors on executors, anti-join on
     # the exact (rel, pos) key — already-deleted rows are invisible
-    dv_files = [f for f in snap.files if f.dv]
+    dv_files = [f for f in scan_files if f.dv]
     if dv_files:
         table_path = t.path
         desc = spark.createDataFrame(
@@ -432,7 +469,16 @@ def _commit_dml(
                 r[0] for r in del_rows.select(_REL).distinct().collect()
             ]
             if touched:
-                kept = lineage.filter(F.col(_REL).isin(touched)).join(
+                # broadcast semi-join, not an isin literal: a wide table's
+                # touched-file list would otherwise bloat the plan string
+                touch_df = F.broadcast(
+                    t.spark.createDataFrame(
+                        [(p,) for p in sorted(touched)], "_touch_rel string"
+                    )
+                )
+                kept = lineage.join(
+                    touch_df, F.col(_REL) == F.col("_touch_rel"), "left_semi"
+                ).join(
                     del_rows.select(
                         F.col(_REL).alias("_del_rel"),
                         F.col(_POS).alias("_del_pos"),
@@ -701,7 +747,12 @@ def delta_merge(
         if bad_keys:
             raise DeltaWriteError(f"merge keys not in schema: {bad_keys}")
 
-        lineage = _live_lineage(t, snap)
+        # merge file pruning (delta-spark's shape): only files whose
+        # stats envelope intersects the source's key ranges can match —
+        # pruned files carry over untouched, and the insert anti-join
+        # over the pruned lineage stays exact (see helper docstring)
+        candidates = _merge_candidate_files(src, snap, keys)
+        lineage = _live_lineage(t, snap, files=candidates)
         tl = lineage.alias("t")
         sl = src.alias("s")
         cond = [

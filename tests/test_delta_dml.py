@@ -736,3 +736,41 @@ def test_ivm_refresh_over_delta_change_feed(spark, tmp_path):
     assert materialized() == recompute()
     # caller current: no-op
     assert refresh_view(view, src, **kw).strategy == "no-op"
+
+
+def test_merge_prunes_candidate_files_by_source_key_range(spark, tmp_path):
+    """Merge file pruning: only target files whose stats envelope
+    intersects the source's key range enter the lineage scan — a
+    key-clustered 100 TB table merges against the files the CDC batch
+    touches, not the world. NULL source keys disable pruning (eqNullSafe
+    semantics), and results always match the unpruned algebra."""
+    from dc43_spark.io.delta_dml import _merge_candidate_files
+
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):  # three key-disjoint files
+        delta_write(
+            spark,
+            _df(spark, [(lo + i, f"s{lo + i}", lo) for i in range(4)]),
+            path, checkpoint_interval=None,
+        )
+    t = DeltaLogTable(spark, path)
+    src = _df(spark, [(101, "U", 1), (102, "U", 2), (150, "new", 3)])
+    snap = t.snapshot()
+    cands = _merge_candidate_files(src, snap, ["k"])
+    assert len(cands) == 1  # only the 100..103 file intersects [101,150]
+    assert len(snap.files) == 3
+
+    assert delta_merge(spark, src, path, ["k"], use_dvs=True) == 3
+    got = _rows(t)
+    assert (101, "U", 1) in got and (102, "U", 2) in got
+    assert (150, "new", 3) in got
+    assert (0, "s0", 0) in got and (200, "s200", 200) in got
+    # only the intersecting file acquired a deletion vector
+    snap = t.snapshot()
+    assert sum(1 for f in snap.files if f.dv) == 1
+
+    # a NULL source key disables pruning on that key — never wrong
+    src_null = spark.createDataFrame(
+        [(None, "n", 9)], "k long, v string, amt long"
+    ).coalesce(1)
+    assert len(_merge_candidate_files(src_null, snap, ["k"])) == len(snap.files)
