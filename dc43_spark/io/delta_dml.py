@@ -407,6 +407,7 @@ def _commit_dml(
     cdf_rows: Optional[DataFrame],
     use_dvs: Optional[bool],
     checkpoint_interval: Optional[int] = 10,
+    new_meta: Optional[dict] = None,
 ) -> int:
     """Stage + claim one DML commit against the pinned ``snap``. Raises
     ``_DmlConflict`` if the head moved or the claim lost — the caller
@@ -429,6 +430,10 @@ def _commit_dml(
             }
         }
     ]
+    if new_meta is not None:
+        # schema evolution rides the DML commit (merge_schema): older
+        # files read the appended columns as NULL
+        actions.append({"metaData": new_meta})
 
     dv_written = False
     if del_rows is not None:
@@ -691,6 +696,7 @@ def delta_merge(
     insert_predicate: Optional[str] = None,
     use_dvs: Optional[bool] = None,
     check_source_keys: bool = True,
+    merge_schema: bool = False,
     max_retries: int = 20,
 ) -> Optional[int]:
     """MERGE INTO a real ``_delta_log`` table without the jar — the
@@ -724,22 +730,53 @@ def delta_merge(
         if gen:
             src, gen_rules = _apply_generated_columns(src, gen)
         missing = sorted(c for c in data_cols if c not in src.columns)
-        if missing:
+        if missing and not merge_schema:
             raise DeltaWriteError(
                 f"merge source lacks table column(s) {missing}; align the "
-                "source to the table schema first"
+                "source or pass merge_schema=True (updates keep the "
+                "target's value there, inserts take NULL — Delta's "
+                "updateAll-under-evolution rule)"
             )
-        extra = sorted(c for c in src.columns if c not in data_cols)
-        if extra:
+        extra = [c for c in src.columns if c not in data_cols]
+        if extra and not merge_schema:
             raise DeltaWriteError(
-                f"merge source has column(s) {extra} not in the table; "
-                "drop them or evolve the schema with delta_write first"
+                f"merge source has column(s) {sorted(extra)} not in the "
+                "table; drop them or pass merge_schema=True for additive "
+                "evolution (Delta's autoMerge)"
             )
+        new_meta = None
+        if extra:
+            if snap.column_mapping:
+                raise DeltaWriteError(
+                    "merge_schema evolution on a column-mapped table is "
+                    "not supported in DML; add the columns with a "
+                    "merge_schema delta_write append first"
+                )
+            evolved = StructType(
+                list(snap.schema.fields)
+                + [StructField(c, src.schema[c].dataType, True)
+                   for c in extra]
+            )
+            new_meta = dict(meta)
+            new_meta["schemaString"] = evolved.json()
+            data_cols = data_cols + extra
         # align source types to the table's (delta-spark's implicit
-        # up-casts on updateAll/insertAll)
+        # up-casts on updateAll/insertAll); evolved/missing columns take
+        # the source's type / NULL
         src = src.select(
             *[
-                F.col(c).cast(snap.schema[c].dataType).alias(c)
+                (
+                    F.col(c).cast(snap.schema[c].dataType)
+                    if c in {f.name for f in snap.schema.fields}
+                    and c in src.columns
+                    else (
+                        F.col(c)
+                        if c in src.columns
+                        else F.lit(None).cast(
+                            snap.schema[c].dataType
+                        )
+                    )
+                ).alias(c)
                 for c in data_cols
             ]
         )
@@ -767,11 +804,19 @@ def delta_merge(
         matched = matched.withColumn("_dc43_del", del_col)
         if when_matched != "update":
             matched = matched.filter("_dc43_del")
+        table_cols = {f.name for f in snap.schema.fields}
+
+        def _t_side(c):
+            # evolved columns don't exist on the target side yet
+            if c in table_cols:
+                return F.col(f"t.`{c}`").alias(f"_t_{c}")
+            return F.lit(None).cast(src.schema[c].dataType).alias(f"_t_{c}")
+
         touch = matched.select(
             F.col(f"t.`{_REL}`").alias(_REL),
             F.col(f"t.`{_POS}`").alias(_POS),
             F.col("_dc43_del"),
-            *[F.col(f"t.`{c}`").alias(f"_t_{c}") for c in data_cols],
+            *[_t_side(c) for c in data_cols],
             *[F.col(f"s.`{c}`").alias(f"_s_{c}") for c in data_cols],
         ).localCheckpoint(eager=True)
 
@@ -790,9 +835,16 @@ def delta_merge(
             return None
 
         updates = None
+        # columns the SOURCE genuinely lacks: updates retain the target's
+        # value (Delta's updateAll-under-evolution rule); inserts keep
+        # the source-side NULL
+        keep_t = set(missing) if merge_schema else set()
         if when_matched == "update":
             updates = touch.filter(~F.col("_dc43_del")).select(
-                *[F.col(f"_s_{c}").alias(c) for c in data_cols]
+                *[
+                    F.col(f"_t_{c}" if c in keep_t else f"_s_{c}").alias(c)
+                    for c in data_cols
+                ]
             )
         new_parts = [p for p in (updates, inserts) if p is not None]
         new_rows = None
@@ -818,7 +870,10 @@ def delta_merge(
                     F.lit("update_preimage").alias("_change_type"),
                 )
                 post = touch.filter(~F.col("_dc43_del")).select(
-                    *[F.col(f"_s_{c}").alias(c) for c in data_cols],
+                    *[
+                        F.col(f"_t_{c}" if c in keep_t else f"_s_{c}").alias(c)
+                        for c in data_cols
+                    ],
                     F.lit("update_postimage").alias("_change_type"),
                 )
                 frames += [pre, post]
@@ -853,6 +908,7 @@ def delta_merge(
                 new_rows=new_rows,
                 cdf_rows=cdf,
                 use_dvs=use_dvs,
+                new_meta=new_meta,
             )
         except _DmlConflict:
             continue

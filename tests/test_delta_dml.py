@@ -774,3 +774,102 @@ def test_merge_prunes_candidate_files_by_source_key_range(spark, tmp_path):
         [(None, "n", 9)], "k long, v string, amt long"
     ).coalesce(1)
     assert len(_merge_candidate_files(src_null, snap, ["k"])) == len(snap.files)
+
+
+def test_optimize_races_dml_without_resurrecting_deletes(spark, tmp_path):
+    """OPTIMIZE racing deletion-vector DML under true parallelism: the
+    compaction either lands before the DML (whose retry recomputes over
+    the packed layout) or aborts on the DV conflict (ADVICE r9 fix) and
+    retries — in EVERY interleaving the deleted rows stay deleted and
+    appended rows land exactly once."""
+    from dc43_spark.io.delta_log import DeltaProtocolError, delta_optimize
+
+    path = str(tmp_path / "t")
+    for lo in (0, 8):  # two small files so optimize has work
+        delta_write(
+            spark,
+            _df(spark, [(lo + i, f"s{lo + i}", lo) for i in range(8)]),
+            path, checkpoint_interval=None,
+        )
+    errors, outcomes = [], {}
+
+    def deleter():
+        try:
+            outcomes["delete"] = delta_delete(
+                spark, path, "k IN (1, 9)", use_dvs=True
+            )
+        except Exception as exc:  # pragma: no cover
+            errors.append(("delete", exc))
+
+    def optimizer():
+        # the conflict abort is a legal outcome; retry once like a
+        # maintenance job would
+        for _ in range(3):
+            try:
+                outcomes["optimize"] = delta_optimize(
+                    spark, path, target_file_mb=64
+                )
+                return
+            except DeltaProtocolError:
+                continue
+            except Exception as exc:  # pragma: no cover
+                errors.append(("optimize", exc))
+                return
+        outcomes["optimize"] = "aborted"
+
+    def appender():
+        try:
+            outcomes["append"] = delta_write(
+                spark, _df(spark, [(500, "app", 5)]), path,
+                checkpoint_interval=None,
+            )
+        except Exception as exc:  # pragma: no cover
+            errors.append(("append", exc))
+
+    threads = [threading.Thread(target=f)
+               for f in (deleter, optimizer, appender)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not errors, errors
+    assert outcomes["delete"] is not None
+
+    t = DeltaLogTable(spark, path)
+    got = {r.k for r in t.read().collect()}
+    assert got == (set(range(16)) - {1, 9}) | {500}  # no resurrections
+    # rows survive a follow-up full compaction of DV-free files too
+    delta_optimize(spark, path, target_file_mb=64)
+    assert {r.k for r in DeltaLogTable(spark, path).read().collect()} == got
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """merge_schema=True: extra source columns evolve the table schema
+    inside the MERGE commit (old rows read them as NULL); source-missing
+    columns keep the TARGET's value on update and insert NULL — Delta's
+    updateAll/insertAll-under-evolution rules. Without the flag both
+    shapes refuse."""
+    t = _mk(spark, str(tmp_path / "t"), n=4)
+
+    with pytest.raises(DeltaWriteError, match="autoMerge|merge_schema"):
+        delta_merge(
+            spark,
+            spark.createDataFrame([(1, "x", 1, 9)],
+                                  "k long, v string, amt long, tag long")
+            .coalesce(1),
+            t.path, ["k"],
+        )
+
+    # extra column: evolves; missing column (v): target kept on update
+    src = spark.createDataFrame(
+        [(1, 111, 9), (50, 500, 8)], "k long, amt long, tag long"
+    ).coalesce(1)
+    assert delta_merge(spark, src, t.path, ["k"], use_dvs=True,
+                       merge_schema=True) == 1
+    t = DeltaLogTable(spark, t.path)
+    assert "tag" in [f.name for f in t.snapshot().schema.fields]
+    got = {(r.k, r.v, r.amt, r.tag) for r in t.read().collect()}
+    assert (1, "s1", 111, 9) in got       # update: v kept from target
+    assert (50, None, 500, 8) in got      # insert: v is NULL
+    assert (0, "s0", 0, None) in got      # old rows: evolved col NULL
+    assert len(got) == 5
