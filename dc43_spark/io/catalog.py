@@ -238,7 +238,8 @@ class SnaplogCatalog:
             return self._status(name, t.version())
         m = _DML_UPDATE.match(query)
         if m:
-            name, assignments, where = m.groups()
+            name, rest = m.groups()
+            assignments, where = _split_top_where(rest)
             if not self.exists(name):
                 raise ValueError(f"no table {name!r} in {self.root}")
             sets = _parse_assignments(assignments)
@@ -334,15 +335,34 @@ def _merge_on_keys(cond: str) -> list:
 
 
 def _merge_when_clauses(whens: str) -> dict:
-    """WHEN clause list -> merge API kwargs (updateAll/insertAll subset)."""
+    """WHEN clause list -> merge API kwargs (updateAll/insertAll subset).
+    The WHOLE clause text must be consumed by recognized clauses — a
+    spelling the grammar doesn't know (WHEN NOT MATCHED BY SOURCE, a
+    conditional update form, ...) refuses instead of silently executing
+    the merge without it."""
     out = {
         "when_matched": "ignore",
         "when_not_matched": "ignore",
         "delete_predicate": None,
         "insert_predicate": None,
     }
+    matches = list(_WHEN_RE.finditer(whens))
+    last = 0
+    gaps = []
+    for m in matches:
+        gaps.append(whens[last:m.start()])
+        last = m.end()
+    gaps.append(whens[last:])
+    leftover = "".join(gaps).strip().strip(";").strip()
+    if leftover:
+        raise ValueError(
+            f"unsupported MERGE clause text {leftover!r}; the SQL "
+            "surface covers WHEN MATCHED [AND p] THEN DELETE, WHEN MATCHED "
+            "THEN UPDATE SET *, WHEN NOT MATCHED [AND p] THEN INSERT * — "
+            "use the merge API for anything else"
+        )
     matched_any = False
-    for not_m, pred, action in _WHEN_RE.findall(whens):
+    for not_m, pred, action in (m.groups() for m in matches):
         act = re.sub(r"\s+", " ", action.strip().upper())
         if not_m:
             if not act.startswith("INSERT"):
@@ -388,10 +408,39 @@ _DML_DELETE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DML_UPDATE = re.compile(
-    r"^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)"
-    r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    r"^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _split_top_where(s: str):
+    """(assignments, where_or_None) at the FIRST top-level WHERE keyword
+    — outside quotes and parens, word-bounded — so a string literal
+    containing 'where' never splits the statement."""
+    depth, quote, i, n = 0, None, 0, len(s)
+    up = s.upper()
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and up.startswith("WHERE", i)
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + 5 >= n or not (s[i + 5].isalnum() or s[i + 5] == "_"))
+        ):
+            return s[:i].rstrip(), s[i + 5:].strip()
+        i += 1
+    return s, None
 
 
 def _parse_assignments(raw: str) -> dict:

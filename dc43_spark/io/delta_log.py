@@ -130,6 +130,28 @@ def _decode_path(p: str) -> str:
     return urllib.parse.unquote(p)
 
 
+def _canon_add(add: dict) -> dict:
+    """Canonical JSON-shaped form of an add action regardless of where it
+    was materialized from. Parquet checkpoints hand back MAP columns as
+    (k, v) tuple LISTS and absent struct fields as explicit Nones — a
+    consumer that re-EMITS such an add verbatim (DML's DV supersession,
+    restore's re-adds) would write protocol-malformed JSON
+    (``\"partitionValues\": [[\"p\", \"0\"]]``) that no real Delta reader
+    parses, and dict comparisons against JSON-sourced adds would
+    spuriously differ. Normalizes partitionValues to a dict, drops
+    None-valued keys, and keeps only the DV descriptor's real fields."""
+    out = {k: v for k, v in add.items() if v is not None}
+    out["partitionValues"] = _as_map(add.get("partitionValues"))
+    dv = add.get("deletionVector")
+    if dv and dv.get("pathOrInlineDv") is not None:
+        out["deletionVector"] = {
+            k: v for k, v in dv.items() if v is not None
+        }
+    else:
+        out.pop("deletionVector", None)
+    return out
+
+
 def _as_map(v) -> dict:
     """partitionValues normalization: JSON commits carry a dict, parquet
     checkpoints carry a MAP column that pyarrow materializes as a list
@@ -348,7 +370,7 @@ class DeltaLogTable:
                     meta = action["metaData"]
                 elif "add" in action:
                     add = action["add"]
-                    adds[_decode_path(add["path"])] = add
+                    adds[_decode_path(add["path"])] = _canon_add(add)
                 elif "remove" in action:
                     adds.pop(_decode_path(action["remove"]["path"]), None)
                 elif "txn" in action:
@@ -473,7 +495,7 @@ class DeltaLogTable:
     ) -> None:
         add = row.get("add")
         if add and add.get("path"):
-            adds[_decode_path(add["path"])] = add
+            adds[_decode_path(add["path"])] = _canon_add(add)
         md = row.get("metaData")
         if md and md.get("schemaString"):
             # parquet checkpoints materialize MAP columns as (k, v) tuple
@@ -1473,6 +1495,13 @@ def delta_write(
     log = os.path.join(dest, "_delta_log")
     t = DeltaLogTable(spark, dest)
     exists = t.exists()
+    if configuration is not None and exists:
+        # silently ignoring an explicit argument is how callers believe
+        # a table property (appendOnly, CDF, ...) applied when it didn't
+        raise ValueError(
+            f"configuration= applies at CREATE time; {dest} already "
+            "exists — change table properties with a metadata commit"
+        )
     if txn is not None and exists:
         last = t.last_txn_version(str(txn["appId"]))
         if last is not None and int(txn["version"]) <= last:
@@ -2225,11 +2254,33 @@ def delta_restore(
         )
         _check_append_only(cur_meta or {}, "restore")
         removes = sorted(set(cur_adds) - set(target_adds))
+
+        def _state_key(add: dict):
+            # semantic identity of a live file: its DV descriptor is the
+            # only mutable part (data files are immutable); stats strings
+            # may differ in key order across writers, so parse them
+            st = add.get("stats")
+            try:
+                st = json.loads(st) if isinstance(st, str) else st
+            except ValueError:
+                pass
+            return (add.get("deletionVector"), st, add.get("size"))
+
         readds = sorted(
             rel for rel, add in target_adds.items()
-            if cur_adds.get(rel) != add
+            if rel not in cur_adds
+            or _state_key(cur_adds[rel]) != _state_key(add)
         )
-        meta_changed = (cur_meta or {}) != (target_meta or {})
+
+        def _meta_key(m: Optional[dict]):
+            m = m or {}
+            return (
+                m.get("schemaString"),
+                list(m.get("partitionColumns") or ()),
+                dict(m.get("configuration") or {}),
+            )
+
+        meta_changed = _meta_key(cur_meta) != _meta_key(target_meta)
         if not removes and not readds and not meta_changed:
             return None  # head already equals the target
         ts_ms = int(_time.time() * 1000)
@@ -2618,22 +2669,50 @@ def _delta_table_changes(
             }).tolist()
         )
 
-    def _rows_at(rel_path: str, positions, mode: str) -> DataFrame:
+    # files store the data columns only (physical names when mapped);
+    # partition values attach from the add action as typed literals —
+    # without this the derived paths crash on partitioned/mapped tables
+    file_schema = (
+        t._physical_schema(end_snap)
+        if end_snap.column_mapping
+        else StructType(
+            [f for f in snap_schema.fields if f.name not in part_cols]
+        )
+    )
+
+    def _rows_at(rel_path: str, positions, mode: str, pvals) -> DataFrame:
         """File rows KEPT at / DROPPED from ``positions`` via a broadcast
         (anti-)join on the hidden row index — never an isin literal."""
-        df = spark.read.parquet(os.path.join(t.path, rel_path))
-        if not positions:
-            return df if mode == "drop" else df.limit(0)
-        cols = df.columns
-        pos_df = spark.createDataFrame(
-            [(int(p),) for p in sorted(positions)], "_pos long"
+        df = (
+            spark.read.format("parquet")
+            .schema(file_schema)
+            .load(os.path.join(t.path, rel_path))
         )
-        keyed = df.select("*", F.col("_metadata.row_index").alias("_pos_k"))
-        joined = keyed.join(
-            F.broadcast(pos_df), keyed["_pos_k"] == pos_df["_pos"],
-            "left_semi" if mode == "keep" else "left_anti",
-        )
-        return joined.select(*cols)
+        if positions:
+            pos_df = spark.createDataFrame(
+                [(int(p),) for p in sorted(positions)], "_pos long"
+            )
+            keyed = df.select(
+                "*", F.col("_metadata.row_index").alias("_pos_k")
+            )
+            df = keyed.join(
+                F.broadcast(pos_df), keyed["_pos_k"] == pos_df["_pos"],
+                "left_semi" if mode == "keep" else "left_anti",
+            ).drop("_pos_k")
+        elif mode == "keep":
+            df = df.limit(0)
+        if end_snap.column_mapping:
+            df = df.select(
+                *[
+                    F.col(f"`{p.name}`").alias(l.name)
+                    for p, l in zip(file_schema.fields, snap_schema.fields)
+                ]
+            )
+        pv = _as_map(pvals)
+        for c in part_cols:
+            val = _parse_partition_value(types[c], pv.get(c))
+            df = df.withColumn(c, F.lit(val).cast(snap_schema[c].dataType))
+        return df
 
     for v in range(max(starting_version, 0), end + 1):
         ts = t._commit_timestamp(v)
@@ -2714,7 +2793,9 @@ def _delta_table_changes(
                 prior = state.get(p)
                 if prior is None:
                     out_parts.append(
-                        _tagged(_rows_at(p, _positions(a), "drop"), "insert", v, ts)
+                        _tagged(_rows_at(p, _positions(a), "drop",
+                                          a.get("partitionValues")),
+                                "insert", v, ts)
                     )
                     continue
                 new_set, old_set = _positions(a), _positions(prior)
@@ -2722,13 +2803,17 @@ def _delta_table_changes(
                 restored = old_set - new_set
                 if newly:
                     out_parts.append(
-                        _tagged(_rows_at(p, newly, "keep"), "delete", v, ts)
+                        _tagged(_rows_at(p, newly, "keep",
+                                          a.get("partitionValues")),
+                                "delete", v, ts)
                     )
                 if restored:
                     # the new vector UNCOVERED rows (RESTORE to an
                     # earlier DV state): they re-enter the table
                     out_parts.append(
-                        _tagged(_rows_at(p, restored, "keep"), "insert", v, ts)
+                        _tagged(_rows_at(p, restored, "keep",
+                                          a.get("partitionValues")),
+                                "insert", v, ts)
                     )
                 removed_paths.discard(p)
                 continue
@@ -2737,7 +2822,9 @@ def _delta_table_changes(
                 if prior is None:
                     continue  # tombstone for an already-absent path
                 out_parts.append(
-                    _tagged(_rows_at(p, _positions(prior), "drop"), "delete", v, ts)
+                    _tagged(_rows_at(p, _positions(prior), "drop",
+                                      prior.get("partitionValues")),
+                            "delete", v, ts)
                 )
         # advance the running state past this commit IN ACTION ORDER —
         # a remove+add of the SAME path (DV supersession) must leave the
@@ -2781,7 +2868,18 @@ def _delta_changes_since(self, version: Optional[int]) -> tuple:
     if not versions:
         raise FileNotFoundError(f"no Delta log at {self.log_dir}")
     head = versions[-1]
-    start = versions[0] if version is None else version + 1
+    if version is None:
+        retained = self._versions()  # JSON commits still on disk
+        if not retained or retained[0] != 0:
+            raise DeltaProtocolError(
+                f"history before v{retained[0] if retained else head} of "
+                f"{self.path} was cleaned up; a change consumer cannot "
+                "bootstrap from the feed — initialize from a snapshot "
+                "read and pass its version as the offset"
+            )
+        start = 0
+    else:
+        start = version + 1
     if start > head:
         # caller is current: the typed empty frame (snaplog's contract)
         schema = StructType(

@@ -58,6 +58,7 @@ from pyspark.sql.datasource import (
 from dc43_spark.io.delta_log import (
     DeltaLogTable,
     DeltaProtocolError,
+    _as_map,
     _decode_path,
     _parse_partition_value,
 )
@@ -365,9 +366,10 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
                 for fld in snap.schema.fields
             }
 
-        def _pvals(raw: Optional[dict]) -> dict:
+        def _pvals(raw) -> dict:
+            pv = _as_map(raw)  # checkpoint adds carry MAPs as tuple lists
             return _typed_partition_values(
-                {c: (raw or {}).get(c) for c in snap.partition_columns}, types
+                {c: pv.get(c) for c in snap.partition_columns}, types
             )
 
         parts: list = []

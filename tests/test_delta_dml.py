@@ -873,3 +873,106 @@ def test_merge_schema_evolution(spark, tmp_path):
     assert (50, None, 500, 8) in got      # insert: v is NULL
     assert (0, "s0", 0, None) in got      # old rows: evolved col NULL
     assert len(got) == 5
+
+
+def test_checkpoint_sourced_state_stays_protocol_shaped(spark, tmp_path):
+    """Adds materialized from a parquet checkpoint carry MAP columns as
+    tuple lists; every re-EMIT site (DV supersession, restore) must
+    write protocol-shaped JSON — partitionValues as an OBJECT, no
+    explicit nulls (review r10: a partitioned table past its first
+    checkpoint wrote [["p","0"]] into the log, unreadable by any real
+    Delta reader)."""
+    from dc43_spark.io.delta_log import delta_restore, write_delta_checkpoint
+
+    path = str(tmp_path / "t")
+    df = spark.range(8).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    ).coalesce(1)  # one multi-row file per partition dir
+    delta_write(spark, df, path, partition_by=["p"], checkpoint_interval=None)
+    t = DeltaLogTable(spark, path)
+    write_delta_checkpoint(t)
+    os.unlink(os.path.join(path, "_delta_log", f"{0:020d}.json"))
+
+    # DV delete on checkpoint-materialized state: supersession add must
+    # be a protocol-shaped JSON object
+    assert delta_delete(spark, path, "k = 2", use_dvs=True) == 1
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json")) as fh:
+        actions = [json.loads(ln) for ln in fh if ln.strip()]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert adds, actions
+    for a in adds:
+        assert isinstance(a["partitionValues"], dict), a["partitionValues"]
+        assert None not in a.values()
+    got = {(r.k, r.p) for r in DeltaLogTable(spark, path).read().collect()}
+    assert got == {(i, i % 2) for i in range(8)} - {(2, 0)}
+
+    # restore across the checkpoint boundary: no-op detection holds
+    # (canonical state comparison) and re-adds stay protocol-shaped
+    from dc43_spark.io.delta_log import delta_restore as _rst
+
+    assert _rst(spark, path, version=1) is None  # already at target
+    assert _rst(spark, path, version=0) == 2
+    with open(os.path.join(path, "_delta_log", f"{2:020d}.json")) as fh:
+        for ln in fh:
+            a = json.loads(ln)
+            if "add" in a:
+                assert isinstance(a["add"]["partitionValues"], dict)
+    assert {(r.k, r.p)
+            for r in DeltaLogTable(spark, path).read().collect()} == {
+        (i, i % 2) for i in range(8)
+    }
+
+
+def test_derived_cdf_on_partitioned_table_without_change_files(spark, tmp_path):
+    """Derived (no-cdc) table_changes on a PARTITIONED table: partition
+    columns attach from the add actions (review r10: the batch kernel
+    crashed resolving them; the streaming reader already handled it)."""
+    path = str(tmp_path / "t")
+    df = spark.range(8).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    delta_write(spark, df, path, partition_by=["p"], checkpoint_interval=None)
+    t = DeltaLogTable(spark, path)
+    delta_delete(spark, path, "k IN (2, 3)", use_dvs=True)
+    ch = {(r.k, r.p, r._change_type) for r in t.table_changes(0).collect()}
+    assert {(i, i % 2, "insert") for i in range(8)} <= ch
+    assert (2, 0, "delete") in ch and (3, 1, "delete") in ch
+
+    # and the IVM consumer contract works over the partitioned feed
+    changes, head = t.changes_since(0)
+    assert head == 1
+    assert {(r.k, r._change_type) for r in changes.collect()} == {
+        (2, "delete"), (3, "delete"),
+    }
+
+
+def test_changes_since_refuses_cleaned_history(spark, tmp_path):
+    """A change consumer bootstrapping (offset None) over a table whose
+    early commits were cleaned up must get a clear refusal, not a
+    FileNotFoundError mid-replay (review r10)."""
+    from dc43_spark.io.delta_log import (
+        DeltaProtocolError,
+        write_delta_checkpoint,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        delta_write(spark, _df(spark, [(i, "x", i)]), path,
+                    checkpoint_interval=None)
+    t = DeltaLogTable(spark, path)
+    write_delta_checkpoint(t, 1)
+    os.unlink(os.path.join(path, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(DeltaProtocolError, match="cleaned up"):
+        t.changes_since(None)
+    # explicit offsets over retained commits keep working
+    changes, head = t.changes_since(1)
+    assert head == 2 and changes.count() == 1
+
+
+def test_delta_write_configuration_refused_on_existing_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    delta_write(spark, _df(spark, [(1, "a", 1)]), path,
+                checkpoint_interval=None)
+    with pytest.raises(ValueError, match="CREATE time"):
+        delta_write(spark, _df(spark, [(2, "b", 2)]), path,
+                    configuration={"delta.appendOnly": "true"})

@@ -334,3 +334,41 @@ def test_sql_merge_into_both_formats(spark, tmp_path):
     with pytest.raises(ValueError, match="anti-join"):
         cat.sql("MERGE INTO tgt t USING src s ON t.k = s.k "
                 "WHEN MATCHED THEN DELETE")
+
+
+def test_sql_merge_refuses_unrecognized_when_clauses(spark, tmp_path):
+    """A WHEN spelling outside the supported grammar must refuse, not
+    silently execute the merge without it (review r10)."""
+    from dc43_spark.io.catalog import SnaplogCatalog
+
+    cat = SnaplogCatalog(spark, str(tmp_path / "wh"))
+    cat.sql("CREATE TABLE t2 AS SELECT id AS k, id AS amt FROM range(3)")
+    cat.sql("CREATE TABLE s2 AS SELECT id AS k, id AS amt FROM range(2, 5)")
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+        cat.sql(
+            "MERGE INTO t2 t USING s2 s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED BY TARGET THEN INSERT *"
+        )
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+        cat.sql(
+            "MERGE INTO t2 t USING s2 s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
+    # nothing executed
+    assert cat.sql("SELECT * FROM t2").count() == 3
+
+
+def test_sql_update_where_inside_string_literal(spark, tmp_path):
+    """The SET/WHERE split is quote-aware: a literal containing 'WHERE'
+    doesn't truncate the assignment (review r10)."""
+    from dc43_spark.io.catalog import SnaplogCatalog
+
+    cat = SnaplogCatalog(spark, str(tmp_path / "wh"))
+    cat.sql("CREATE TABLE t3 AS SELECT id AS k, CAST(id AS STRING) AS v "
+            "FROM range(3)")
+    cat.sql("UPDATE t3 SET v = 'a WHERE b'")
+    assert {r.v for r in cat.sql("SELECT v FROM t3").collect()} == {"a WHERE b"}
+    cat.sql("UPDATE t3 SET v = 'x WHERE y' WHERE k = 1")
+    got = {(r.k, r.v) for r in cat.sql("SELECT * FROM t3").collect()}
+    assert got == {(0, "a WHERE b"), (1, "x WHERE y"), (2, "a WHERE b")}
