@@ -155,12 +155,15 @@ class SnaplogCatalog:
           update on either format (generated columns recompute; SET on
           one refuses)
         - ``MERGE INTO t t USING <table | (subquery)> s ON t.k = s.k
-          [AND ...] [WHEN MATCHED AND pred THEN DELETE] [WHEN MATCHED
-          THEN UPDATE SET *] [WHEN NOT MATCHED [AND pred] THEN INSERT
-          *]`` — the updateAll/insertAll subset both engines' merge APIs
-          implement; aliases are fixed ``t``/``s``, ON takes equality
-          conjuncts on shared key names, and column-level UPDATE SET
-          assignments refuse with a pointer to the merge API
+          [AND ...]`` followed by any one-per-kind combination of
+          ``WHEN MATCHED [AND p] THEN DELETE | UPDATE SET * |
+          UPDATE SET c = expr, ...``, ``WHEN NOT MATCHED [AND p] THEN
+          INSERT * | INSERT (cols) VALUES (exprs)``, and ``WHEN NOT
+          MATCHED BY SOURCE [AND p] THEN DELETE | UPDATE SET c = expr``
+          — delta-spark's full conditional clause surface (r11), with
+          the engines' fixed clause priority (matched delete wins over
+          update). Aliases are fixed ``t``/``s``; ON takes equality
+          conjuncts on shared key names
         - ``DROP TABLE [IF EXISTS] t PURGE`` — drop (PURGE is mandatory,
           mirroring ``drop()``'s explicit-data-deletion contract)
 
@@ -300,11 +303,55 @@ _DML_MERGE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_RE = re.compile(
-    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
-    r"(DELETE|UPDATE\s+SET\s+\*|UPDATE\s+SET\s+[^*].*?|INSERT\s+\*|INSERT\s+\(.*?\))"
+    r"WHEN\s+(?:(NOT)\s+)?MATCHED(\s+BY\s+SOURCE)?(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    r"(DELETE|UPDATE\s+SET\s+.+?|INSERT\s+\*"
+    r"|INSERT\s*\(.+?\)\s*VALUES\s*\(.+?\))"
     r"(?=\s+WHEN\s|\s*;?\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _split_top_level(text: str) -> list:
+    """Split on commas OUTSIDE parens/brackets/quotes (SET lists and
+    VALUES tuples carry function calls and string literals)."""
+    parts, cur, depth, quote = [], [], 0, None
+    for ch in text:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_set_map(text: str, kind: str) -> dict:
+    """``c = expr, t.d = expr`` -> {col: expr} (the merge APIs' SET map;
+    expressions pass through verbatim — they may reference t./s.)."""
+    out: dict = {}
+    for a in _split_top_level(text):
+        m = re.match(r"^\s*(?:t\.)?`?(\w+)`?\s*=\s*(.+)$", a, re.DOTALL)
+        if not m:
+            raise ValueError(f"unsupported {kind} SET assignment {a!r}")
+        col = m.group(1)
+        if col in out:
+            raise ValueError(f"{kind} SET assigns {col!r} twice")
+        out[col] = m.group(2).strip()
+    return out
 
 
 def _merge_on_keys(cond: str) -> list:
@@ -335,16 +382,31 @@ def _merge_on_keys(cond: str) -> list:
 
 
 def _merge_when_clauses(whens: str) -> dict:
-    """WHEN clause list -> merge API kwargs (updateAll/insertAll subset).
-    The WHOLE clause text must be consumed by recognized clauses — a
-    spelling the grammar doesn't know (WHEN NOT MATCHED BY SOURCE, a
-    conditional update form, ...) refuses instead of silently executing
-    the merge without it."""
+    """WHEN clause list -> merge API kwargs — delta-spark's full clause
+    surface (r11, VERDICT r10 #2):
+
+    - ``WHEN MATCHED [AND p] THEN DELETE`` (delete wins over update and
+      is checked first — the engines' fixed clause priority; pred-less
+      deletes every matched row)
+    - ``WHEN MATCHED [AND p] THEN UPDATE SET *`` (updateAll) or
+      ``UPDATE SET c = expr, ...`` (column-level; exprs over t./s.)
+    - ``WHEN NOT MATCHED [AND p] THEN INSERT *`` (insertAll) or
+      ``INSERT (c, ...) VALUES (expr, ...)`` (unlisted columns NULL)
+    - ``WHEN NOT MATCHED BY SOURCE [AND p] THEN DELETE`` or
+      ``UPDATE SET c = expr, ...`` (exprs over t.)
+
+    One clause per kind (the APIs take fixed-priority kwargs, not an
+    ordered clause list). The WHOLE clause text must be consumed by
+    recognized clauses — an unknown spelling refuses instead of silently
+    executing the merge without it."""
     out = {
         "when_matched": "ignore",
         "when_not_matched": "ignore",
         "delete_predicate": None,
         "insert_predicate": None,
+        "matched_predicate": None,
+        "when_not_matched_by_source": "ignore",
+        "not_matched_by_source_predicate": None,
     }
     matches = list(_WHEN_RE.finditer(whens))
     last = 0
@@ -356,48 +418,103 @@ def _merge_when_clauses(whens: str) -> dict:
     leftover = "".join(gaps).strip().strip(";").strip()
     if leftover:
         raise ValueError(
-            f"unsupported MERGE clause text {leftover!r}; the SQL "
-            "surface covers WHEN MATCHED [AND p] THEN DELETE, WHEN MATCHED "
-            "THEN UPDATE SET *, WHEN NOT MATCHED [AND p] THEN INSERT * — "
-            "use the merge API for anything else"
+            f"unsupported MERGE clause text {leftover!r}; see the "
+            "catalog.sql docstring for the supported WHEN clause forms"
         )
-    matched_any = False
-    for not_m, pred, action in (m.groups() for m in matches):
-        act = re.sub(r"\s+", " ", action.strip().upper())
-        if not_m:
-            if not act.startswith("INSERT"):
-                raise ValueError("WHEN NOT MATCHED supports THEN INSERT *")
-            if act != "INSERT *":
-                raise ValueError(
-                    "column-level INSERT lists are not supported; use "
-                    "INSERT * (insertAll) or the merge API"
+
+    def _once(key, ok):
+        if not ok:
+            raise ValueError(
+                f"duplicate {key} clause; the SQL surface takes one "
+                "clause per kind (fixed priority: matched delete, then "
+                "matched update)"
+            )
+
+    seen = set()
+    for not_m, by_src, pred, action in (m.groups() for m in matches):
+        act = re.sub(r"\s+", " ", action.strip())
+        act_u = act.upper()
+        pred = pred.strip() if pred else None
+        if by_src:
+            if not not_m:
+                raise ValueError("MATCHED BY SOURCE is not a clause; use "
+                                 "WHEN NOT MATCHED BY SOURCE")
+            _once("WHEN NOT MATCHED BY SOURCE", "bs" not in seen)
+            seen.add("bs")
+            if act_u == "DELETE":
+                out["when_not_matched_by_source"] = "delete"
+            elif act_u.startswith("UPDATE SET"):
+                body = act[len("UPDATE SET"):].strip()
+                if body == "*":
+                    raise ValueError(
+                        "UPDATE SET * is meaningless BY SOURCE (there is "
+                        "no source row); list the assignments"
+                    )
+                out["when_not_matched_by_source"] = _parse_set_map(
+                    body, "WHEN NOT MATCHED BY SOURCE"
                 )
-            out["when_not_matched"] = "insert"
+            else:
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE supports THEN DELETE or "
+                    "THEN UPDATE SET c = expr, ..."
+                )
             if pred:
-                out["insert_predicate"] = pred.strip()
+                out["not_matched_by_source_predicate"] = pred
             continue
-        matched_any = True
-        if act == "DELETE":
-            if not pred:
-                raise ValueError(
-                    "WHEN MATCHED THEN DELETE needs AND <predicate> here "
-                    "(an unconditional matched-delete is an anti-join — "
-                    "use DELETE FROM with a key IN (...) predicate)"
+        if not_m:
+            _once("WHEN NOT MATCHED", "ins" not in seen)
+            seen.add("ins")
+            if act_u == "INSERT *":
+                out["when_not_matched"] = "insert"
+            elif act_u.startswith("INSERT"):
+                m2 = re.match(
+                    r"^INSERT\s*\((.+?)\)\s*VALUES\s*\((.+)\)\s*$",
+                    act, re.IGNORECASE | re.DOTALL,
                 )
-            out["delete_predicate"] = pred.strip()
-        elif act == "UPDATE SET *":
+                if not m2:
+                    raise ValueError(
+                        "WHEN NOT MATCHED supports INSERT * or "
+                        "INSERT (cols) VALUES (exprs)"
+                    )
+                cols = [
+                    re.sub(r"^`?(\w+)`?$", r"\1", c)
+                    for c in _split_top_level(m2.group(1))
+                ]
+                vals = _split_top_level(m2.group(2))
+                if len(cols) != len(vals):
+                    raise ValueError(
+                        f"INSERT lists {len(cols)} columns but "
+                        f"{len(vals)} values"
+                    )
+                out["when_not_matched"] = dict(zip(cols, vals))
+            else:
+                raise ValueError("WHEN NOT MATCHED supports THEN INSERT")
             if pred:
-                raise ValueError(
-                    "conditional WHEN MATCHED ... UPDATE is not supported "
-                    "on the SQL surface; use the merge API"
-                )
+                out["insert_predicate"] = pred
+            continue
+        if act_u == "DELETE":
+            _once("WHEN MATCHED ... DELETE", "del" not in seen)
+            seen.add("del")
+            out["delete_predicate"] = pred or "true"
+        elif act_u == "UPDATE SET *":
+            _once("WHEN MATCHED ... UPDATE", "upd" not in seen)
+            seen.add("upd")
             out["when_matched"] = "update"
+            if pred:
+                out["matched_predicate"] = pred
+        elif act_u.startswith("UPDATE SET"):
+            _once("WHEN MATCHED ... UPDATE", "upd" not in seen)
+            seen.add("upd")
+            out["when_matched"] = _parse_set_map(
+                act[len("UPDATE SET"):].strip(), "WHEN MATCHED"
+            )
+            if pred:
+                out["matched_predicate"] = pred
         else:
             raise ValueError(
-                "column-level UPDATE SET assignments are not supported in "
-                "MERGE; use UPDATE SET * (updateAll) or the merge API"
+                "WHEN MATCHED supports THEN DELETE or THEN UPDATE SET"
             )
-    if not matched_any and out["when_not_matched"] == "ignore":
+    if not seen:
         raise ValueError("MERGE needs at least one WHEN clause")
     return out
 

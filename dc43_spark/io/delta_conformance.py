@@ -1,0 +1,346 @@
+"""Machine-checkable Delta protocol conformance (VERDICT r10 #6).
+
+delta-spark is unobtainable in this environment (COVERAGE.md records the
+pip failure), so the jar-less writer's output cannot be interop-proven by
+the real reader. This module is the next-best structural gate: a strict
+shape model of every log action, transcribed from the PUBLIC spec
+(delta.io PROTOCOL.md — "Actions", "Add File and Remove File",
+"Change Metadata", "Protocol Evolution", "Transaction Identifiers",
+"Add CDC File", "Deletion Vector Descriptor Schema", "Checkpoints"),
+validated over EVERY commit and checkpoint the writer / DML / OPTIMIZE /
+RESTORE / CLONE paths emit during the test suite (a conftest fixture
+scans each test's ``_delta_log`` dirs at teardown).
+
+The class of bug this catches structurally: b1eb905's checkpoint-sourced
+adds re-emitted with tuple-list ``partitionValues`` — a shape no JSON
+reader of the protocol accepts — which value-level tests missed until a
+downstream read tripped."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+
+class DeltaConformanceError(AssertionError):
+    """An emitted action violates the protocol's documented shape."""
+
+
+_ACTION_KEYS = {
+    "commitInfo", "protocol", "metaData", "add", "remove", "txn", "cdc",
+    "domainMetadata", "checkpointMetadata", "sidecar",
+}
+
+_DV_STORAGE_TYPES = {"u", "i", "p"}
+
+
+def _err(ctx: str, msg: str):
+    raise DeltaConformanceError(f"{ctx}: {msg}")
+
+
+def _require(cond: bool, ctx: str, msg: str):
+    if not cond:
+        _err(ctx, msg)
+
+
+def _check_string_map(v, ctx: str, *, allow_null_values: bool):
+    """The protocol's ``Map[String, String]`` shape (partitionValues /
+    configuration): a JSON OBJECT whose keys are strings and whose
+    values are strings (or null where the spec serializes NULL partition
+    values that way). Lists of pairs, tuples, or typed values are the
+    exact corruption class the checkpoint round-trip once produced."""
+    _require(isinstance(v, dict), ctx, f"must be a JSON object, got {type(v).__name__}")
+    for k, val in v.items():
+        _require(isinstance(k, str), ctx, f"non-string key {k!r}")
+        if val is None:
+            _require(allow_null_values, ctx, f"null value for key {k!r}")
+        else:
+            _require(
+                isinstance(val, str), ctx,
+                f"value for key {k!r} must be a string, got {type(val).__name__}",
+            )
+
+
+def _check_dv(dv: dict, ctx: str):
+    """Deletion Vector Descriptor Schema (PROTOCOL.md): storageType one
+    of u/i/p; pathOrInlineDv string; offset optional int (required
+    meaningfully for 'u'); sizeInBytes and cardinality ints."""
+    _require(isinstance(dv, dict), ctx, "deletionVector must be an object")
+    st = dv.get("storageType")
+    _require(st in _DV_STORAGE_TYPES, ctx, f"storageType {st!r} not in u/i/p")
+    _require(
+        isinstance(dv.get("pathOrInlineDv"), str) and dv["pathOrInlineDv"],
+        ctx, "pathOrInlineDv must be a non-empty string",
+    )
+    off = dv.get("offset")
+    _require(off is None or isinstance(off, int), ctx, "offset must be an int")
+    for k in ("sizeInBytes", "cardinality"):
+        _require(isinstance(dv.get(k), int), ctx, f"{k} must be an int")
+    _require(dv["cardinality"] >= 0, ctx, "cardinality must be >= 0")
+
+
+def _check_add(a: dict, ctx: str):
+    _require(isinstance(a.get("path"), str) and a["path"], ctx,
+             "add.path must be a non-empty string")
+    _require("partitionValues" in a, ctx, "add.partitionValues is required")
+    _check_string_map(a["partitionValues"], f"{ctx}.partitionValues",
+                      allow_null_values=True)
+    _require(isinstance(a.get("size"), int) and a["size"] >= 0, ctx,
+             "add.size must be a non-negative int")
+    _require(isinstance(a.get("dataChange"), bool), ctx,
+             "add.dataChange must be a boolean")
+    mt = a.get("modificationTime")
+    _require(mt is None or isinstance(mt, int), ctx,
+             "add.modificationTime must be an int")
+    stats = a.get("stats")
+    if stats is not None:
+        _require(isinstance(stats, str), ctx,
+                 "add.stats must be a JSON STRING (stringified), not an object")
+        try:
+            parsed = json.loads(stats)
+        except ValueError:
+            _err(ctx, "add.stats is not valid JSON")
+        _require(isinstance(parsed, dict), ctx, "add.stats must encode an object")
+        if "numRecords" in parsed:
+            _require(isinstance(parsed["numRecords"], int), ctx,
+                     "stats.numRecords must be an int")
+    if a.get("deletionVector") is not None:
+        _check_dv(a["deletionVector"], f"{ctx}.deletionVector")
+
+
+def _check_remove(r: dict, ctx: str):
+    _require(isinstance(r.get("path"), str) and r["path"], ctx,
+             "remove.path must be a non-empty string")
+    dt = r.get("deletionTimestamp")
+    _require(dt is None or isinstance(dt, int), ctx,
+             "remove.deletionTimestamp must be an int")
+    dc = r.get("dataChange")
+    _require(dc is None or isinstance(dc, bool), ctx,
+             "remove.dataChange must be a boolean")
+    if r.get("partitionValues") is not None:
+        _check_string_map(r["partitionValues"], f"{ctx}.partitionValues",
+                          allow_null_values=True)
+    if r.get("deletionVector") is not None:
+        _check_dv(r["deletionVector"], f"{ctx}.deletionVector")
+
+
+def _check_metadata(m: dict, ctx: str):
+    _require(isinstance(m.get("id"), str) and m["id"], ctx,
+             "metaData.id must be a non-empty string")
+    fmt = m.get("format")
+    _require(isinstance(fmt, dict), ctx, "metaData.format must be an object")
+    _require(isinstance(fmt.get("provider"), str), ctx,
+             "format.provider must be a string")
+    ss = m.get("schemaString")
+    _require(isinstance(ss, str), ctx, "metaData.schemaString must be a string")
+    try:
+        doc = json.loads(ss)
+    except ValueError:
+        _err(ctx, "schemaString is not valid JSON")
+    _require(doc.get("type") == "struct" and isinstance(doc.get("fields"), list),
+             ctx, "schemaString must encode a struct with a fields list")
+    for f in doc["fields"]:
+        _require(isinstance(f, dict) and isinstance(f.get("name"), str),
+                 ctx, f"schema field {f!r} must have a string name")
+        _require("type" in f, ctx, f"schema field {f['name']} lacks a type")
+        _require(isinstance(f.get("nullable"), bool), ctx,
+                 f"schema field {f['name']} lacks a boolean nullable")
+        _require(isinstance(f.get("metadata"), dict), ctx,
+                 f"schema field {f['name']} lacks a metadata object")
+    pc = m.get("partitionColumns")
+    _require(isinstance(pc, list) and all(isinstance(c, str) for c in pc),
+             ctx, "metaData.partitionColumns must be a list of strings")
+    names = {f["name"] for f in doc["fields"]}
+    # partitionColumns reference schema (logical) columns
+    missing = [c for c in pc if c not in names]
+    _require(not missing, ctx,
+             f"partitionColumns {missing} not in the schema")
+    conf = m.get("configuration")
+    if conf is not None:
+        _check_string_map(conf, f"{ctx}.configuration", allow_null_values=False)
+    ct = m.get("createdTime")
+    _require(ct is None or isinstance(ct, int), ctx,
+             "metaData.createdTime must be an int")
+
+
+def _check_protocol(p: dict, ctx: str):
+    rv, wv = p.get("minReaderVersion"), p.get("minWriterVersion")
+    _require(isinstance(rv, int) and rv >= 1, ctx,
+             "minReaderVersion must be an int >= 1")
+    _require(isinstance(wv, int) and wv >= 1, ctx,
+             "minWriterVersion must be an int >= 1")
+    rf, wf = p.get("readerFeatures"), p.get("writerFeatures")
+    if rf is not None:
+        _require(rv >= 3, ctx, "readerFeatures requires minReaderVersion >= 3")
+        _require(isinstance(rf, list) and all(isinstance(x, str) for x in rf),
+                 ctx, "readerFeatures must be a list of strings")
+    if wf is not None:
+        _require(wv >= 7, ctx, "writerFeatures requires minWriterVersion >= 7")
+        _require(isinstance(wf, list) and all(isinstance(x, str) for x in wf),
+                 ctx, "writerFeatures must be a list of strings")
+    if rv >= 3 and wf is not None and rf is not None:
+        # reader-writer features (deletionVectors, columnMapping, v2Checkpoint)
+        # present on the writer side must also be on the reader side
+        for feat in ("deletionVectors", "columnMapping", "v2Checkpoint"):
+            if feat in wf:
+                _require(feat in rf, ctx,
+                         f"reader-writer feature {feat} missing from readerFeatures")
+
+
+def _check_txn(t: dict, ctx: str):
+    _require(isinstance(t.get("appId"), str) and t["appId"], ctx,
+             "txn.appId must be a non-empty string")
+    _require(isinstance(t.get("version"), int), ctx,
+             "txn.version must be an int")
+
+
+def _check_cdc(c: dict, ctx: str):
+    _require(isinstance(c.get("path"), str) and c["path"], ctx,
+             "cdc.path must be a non-empty string")
+    _check_string_map(c.get("partitionValues", {}), f"{ctx}.partitionValues",
+                      allow_null_values=True)
+    _require(isinstance(c.get("size"), int), ctx, "cdc.size must be an int")
+    _require(c.get("dataChange") is False, ctx,
+             "cdc.dataChange must be false (PROTOCOL.md: CDC files are "
+             "bookkeeping, data change rides the cdc rows themselves)")
+
+
+_CHECKERS = {
+    "add": _check_add,
+    "remove": _check_remove,
+    "metaData": _check_metadata,
+    "protocol": _check_protocol,
+    "txn": _check_txn,
+    "cdc": _check_cdc,
+}
+
+
+def validate_action(action: dict, ctx: str = "action") -> None:
+    """One log line: exactly one recognized action key, whose payload
+    satisfies the spec's shape."""
+    _require(isinstance(action, dict), ctx, "log line must be a JSON object")
+    keys = [k for k in action if k in _ACTION_KEYS]
+    _require(len(keys) == 1, ctx,
+             f"expected exactly one action key, got {sorted(action)}")
+    extra = [k for k in action if k not in _ACTION_KEYS]
+    _require(not extra, ctx, f"unknown top-level keys {extra}")
+    kind = keys[0]
+    checker = _CHECKERS.get(kind)
+    if checker is not None:
+        payload = action[kind]
+        _require(isinstance(payload, dict), ctx, f"{kind} must be an object")
+        checker(payload, f"{ctx}.{kind}")
+
+
+def validate_commit_file(path: str) -> int:
+    """Every line of one ``<version>.json`` commit. Returns actions seen."""
+    n = 0
+    with open(path) as fh:
+        for i, line in enumerate(fh):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                action = json.loads(line)
+            except ValueError:
+                _err(f"{os.path.basename(path)}:{i + 1}", "line is not valid JSON")
+            validate_action(action, f"{os.path.basename(path)}:{i + 1}")
+            n += 1
+    return n
+
+
+def _checkpoint_actions(path: str):
+    """Yield action dicts reconstructed from a classic/v2 parquet
+    checkpoint the way a reader would (nulls dropped, map columns to
+    plain dicts) — the same surface delta-spark parses."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    for row in tbl.to_pylist():
+        for kind in ("add", "remove", "metaData", "protocol", "txn"):
+            payload = row.get(kind)
+            if payload is None:
+                continue
+            yield kind, _strip_nulls(payload)
+
+
+def _strip_nulls(v):
+    if isinstance(v, dict):
+        return {k: _strip_nulls(x) for k, x in v.items() if x is not None}
+    if isinstance(v, list):
+        # pyarrow yields MAP columns as [(k, v), ...] pair lists — convert
+        # back to the JSON-object shape the protocol mandates so shape
+        # checks run on what a JSON round-trip would see
+        if v and all(isinstance(x, tuple) and len(x) == 2 for x in v):
+            return {k: _strip_nulls(x) for k, x in v}
+        return [_strip_nulls(x) for x in v]
+    return v
+
+
+def validate_checkpoint_file(path: str) -> int:
+    """Every action row of one parquet checkpoint part. partitionValues
+    survive the map round-trip as real objects (the b1eb905 class)."""
+    n = 0
+    for kind, payload in _checkpoint_actions(path):
+        # a checkpoint add whose partitionValues came back as a pair-LIST
+        # would fail _check_string_map after _strip_nulls's map fold only
+        # if heterogenous; enforce dict-ness explicitly first
+        if kind in ("add", "remove", "cdc") and "partitionValues" in payload:
+            pv = payload["partitionValues"]
+            if not isinstance(pv, dict):
+                _err(os.path.basename(path),
+                     f"{kind}.partitionValues round-trips as "
+                     f"{type(pv).__name__}, not an object")
+        validate_action({kind: payload}, os.path.basename(path))
+        n += 1
+    return n
+
+
+def validate_log_dir(table_path: str) -> dict:
+    """Validate every commit json + checkpoint parquet under
+    ``<table>/_delta_log``. Returns counters (for test assertions)."""
+    log = os.path.join(table_path, "_delta_log")
+    out = {"commits": 0, "checkpoints": 0, "actions": 0}
+    if not os.path.isdir(log):
+        return out
+    for name in sorted(os.listdir(log)):
+        full = os.path.join(log, name)
+        if name.endswith(".json") and name != "_last_checkpoint" and not name.startswith("_"):
+            out["commits"] += 1
+            out["actions"] += validate_commit_file(full)
+        elif name.endswith(".parquet") and ".checkpoint" in name:
+            out["checkpoints"] += 1
+            out["actions"] += validate_checkpoint_file(full)
+    lc = os.path.join(log, "_last_checkpoint")
+    if os.path.exists(lc):
+        with open(lc) as fh:
+            doc = json.load(fh)
+        _require(isinstance(doc.get("version"), int), "_last_checkpoint",
+                 "version must be an int")
+        _require(isinstance(doc.get("size"), int), "_last_checkpoint",
+                 "size must be an int")
+    return out
+
+
+def find_delta_logs(root: str) -> list:
+    """All table paths under ``root`` that carry a ``_delta_log``."""
+    hits = []
+    for dirpath, dirnames, _files in os.walk(root):
+        if "_delta_log" in dirnames:
+            hits.append(dirpath)
+            dirnames.remove("_delta_log")
+    return hits
+
+
+def validate_tree(root: str) -> dict:
+    """Conformance-check every Delta table under ``root`` (the conftest
+    teardown hook's entry point). Raises DeltaConformanceError on the
+    first violation; returns aggregate counters otherwise."""
+    total = {"tables": 0, "commits": 0, "checkpoints": 0, "actions": 0}
+    for table in find_delta_logs(root):
+        got = validate_log_dir(table)
+        total["tables"] += 1
+        for k in ("commits", "checkpoints", "actions"):
+            total[k] += got[k]
+    return total

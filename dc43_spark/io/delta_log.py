@@ -189,6 +189,83 @@ def _parse_partition_value(type_name: str, raw):
     return raw  # string and anything else: compare as-is
 
 
+def _file_identity_df(spark: SparkSession, snap, files) -> DataFrame:
+    """One broadcast-sized row per add action: file-identity columns
+    (basename plus raw/URL-quoted relative-path suffixes —
+    ``_metadata.file_path`` is a URI) and the action's TYPED partition
+    values, parsed driver-side from the protocol's canonical strings.
+    Joining a scan's ``_metadata`` columns against this frame tags every
+    row with its add's relative path and partition values in ONE
+    broadcast join — no per-partition-tuple union branches (a 10k-
+    partition snapshot would otherwise pay superlinear Catalyst analysis
+    on a 10k-branch union plan)."""
+    types = {f.name: f.dataType.typeName() for f in snap.schema.fields}
+    schema = StructType(
+        [
+            StructField("_dc43_fb", StringType()),
+            StructField("_dc43_rel", StringType()),
+            StructField("_dc43_fsfx", StringType()),
+            StructField("_dc43_fsfxq", StringType()),
+        ]
+        + [
+            StructField(c, snap.schema[c].dataType)
+            for c in snap.partition_columns
+        ]
+    )
+    rows = [
+        (
+            os.path.basename(f.path),
+            f.path,
+            "/" + f.path.lstrip("/"),
+            "/" + urllib.parse.quote(f.path.lstrip("/")),
+            *[
+                _parse_partition_value(types[c], f.partition_values.get(c))
+                for c in snap.partition_columns
+            ],
+        )
+        for f in files
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+#: Broadcast ceiling for expanded deletion-vector positions (one row per
+#: deleted position). Spark's broadcast relation caps at 8 GB and builds
+#: ON THE DRIVER; ~10M (rel, pos) rows is comfortably inside that while a
+#: MOR-heavy 100 TB table written by another engine can carry billions —
+#: those must shuffle. Overridable per session via
+#: ``spark.dc43.delta.dvBroadcastMaxPositions``.
+_DV_BROADCAST_MAX_POSITIONS = 10_000_000
+
+
+def _dv_total_cardinality(dv_files) -> int:
+    """Summed deleted-position count across the descriptors, or -1 when
+    any descriptor omits ``cardinality`` (unbounded -> treat as large)."""
+    total = 0
+    for f in dv_files:
+        card = f.dv.get("cardinality")
+        if card is None or int(card) < 0:
+            return -1
+        total += int(card)
+    return total
+
+
+def _dv_join_side(spark: SparkSession, deleted: DataFrame, total_card: int) -> DataFrame:
+    """The anti-join's build side for expanded DV positions: broadcast
+    only while the descriptors' summed cardinality fits the gate; above
+    it (or when cardinality is unknown) hint a sort-merge join so the
+    positions shuffle instead of materializing one row per deleted
+    position in an 8 GB-capped driver-built broadcast relation."""
+    limit = int(
+        spark.conf.get(
+            "spark.dc43.delta.dvBroadcastMaxPositions",
+            str(_DV_BROADCAST_MAX_POSITIONS),
+        )
+    )
+    if 0 <= total_card <= limit:
+        return F.broadcast(deleted)
+    return deleted.hint("merge")
+
+
 class DeltaLogTable:
     """Read-only handle on a Delta table directory (``<path>/_delta_log``)."""
 
@@ -317,9 +394,16 @@ class DeltaLogTable:
             "cardinality": raw.get("cardinality"),
         }
 
-    def _snapshot_stats(self, add: dict, schema_types: dict) -> dict:
+    def _snapshot_stats(
+        self, add: dict, schema_types: dict, p2l: Optional[dict] = None
+    ) -> dict:
         """Snaplog-shaped stats envelope from the add action's JSON stats
-        string + exact partition-value envelopes (min == max)."""
+        string + exact partition-value envelopes (min == max). On a
+        column-mapped table the log keys stats and partitionValues by
+        PHYSICAL names (PROTOCOL.md, Writer Requirements for Column
+        Mapping); ``p2l`` maps them back to logical so data skipping
+        sees the user's column names."""
+        p2l = p2l or {}
         out: dict = {}
         raw = add.get("stats")
         if raw:
@@ -333,17 +417,27 @@ class DeltaLogTable:
             for c in set(mins) | set(maxs) | set(nulls):
                 if isinstance(mins.get(c), dict) or isinstance(maxs.get(c), dict):
                     continue  # nested-struct stats: not prunable here
-                out[c] = {
+                out[p2l.get(c, c)] = {
                     "min": mins.get(c),
                     "max": maxs.get(c),
                     "nulls": nulls.get(c, 0),
                 }
         for c, raw_v in _as_map(add.get("partitionValues")).items():
+            c = p2l.get(c, c)
             try:
                 v = _parse_partition_value(schema_types.get(c, "string"), raw_v)
             except (ValueError, ArithmeticError):
                 continue
-            out[c] = {"min": v, "max": v, "nulls": 0 if v is not None else 1}
+            # "exact": a min==max==NULL partition envelope means the
+            # column IS NULL for every row — prunable under any
+            # comparison (footer stats can't claim this: their null
+            # min/max may just mean truncated/omitted stats)
+            out[c] = {
+                "min": v,
+                "max": v,
+                "nulls": 0 if v is not None else 1,
+                "exact": True,
+            }
         return out
 
     def _collect_state(self, version: int) -> tuple:
@@ -431,18 +525,29 @@ class DeltaLogTable:
             )
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = tuple(meta.get("partitionColumns") or ())
-        if mapping_mode == "name" and part_cols:
-            raise DeltaProtocolError(
-                "column mapping with partition columns is not supported here "
-                "(partitionValues are keyed by physical names)"
-            )
+        # column-mapped tables key partitionValues and stats by PHYSICAL
+        # names (PROTOCOL.md, Writer Requirements for Column Mapping)
+        # while metaData.partitionColumns holds LOGICAL names — normalize
+        # to logical at snapshot build so every downstream consumer
+        # (scan grouping, data skipping, DML) sees one naming scheme
+        p2l: dict = {}
+        if mapping_mode == "name":
+            p2l = {
+                (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                ): f.name
+                for f in schema.fields
+            }
         types = {f.name: f.dataType.typeName() for f in schema.fields}
         files = tuple(
             DeltaFile(
                 p,
-                _as_map(a.get("partitionValues")),
+                {
+                    p2l.get(k, k): v
+                    for k, v in _as_map(a.get("partitionValues")).items()
+                },
                 a.get("size", 0),
-                self._snapshot_stats(a, types),
+                self._snapshot_stats(a, types, p2l),
                 dv=self._dv_descriptor(a),
             )
             for p, a in sorted(adds.items())
@@ -523,11 +628,17 @@ class DeltaLogTable:
 
     # ---------------- scan
 
-    def _physical_schema(self, snap: DeltaSnapshot) -> StructType:
+    def _physical_schema(
+        self, snap: DeltaSnapshot, fields: Optional[Sequence] = None
+    ) -> StructType:
+        """Physical (on-file) names for ``fields`` (default: the full
+        schema; pass the non-partition fields for partitioned tables —
+        partition values live in the log, never in the files)."""
+        src = snap.schema.fields if fields is None else list(fields)
         if not snap.column_mapping:
-            return snap.schema
+            return StructType(src)
         phys = StructType()
-        for f in snap.schema.fields:
+        for f in src:
             md = f.metadata or {}
             phys.add(
                 md.get("delta.columnMapping.physicalName", f.name),
@@ -540,7 +651,12 @@ class DeltaLogTable:
         """Filter out rows a deletion vector marks deleted. Descriptors
         ship as a tiny DataFrame; ``mapInPandas`` decodes each bitmap ON
         an executor into ``(file, rel, pos)`` rows (io/dv.py), which
-        broadcast anti-join against the scan's hidden lineage columns.
+        anti-join against the scan's hidden lineage columns — broadcast
+        while the descriptors' summed cardinality fits the gate, plain
+        shuffle above it (``_dv_join_side``: a MOR-heavy table written by
+        someone else's engine can carry billions of deleted positions;
+        broadcasting one row per position would blow the 8 GB broadcast
+        ceiling / OOM the driver).
         The join hashes on ``_metadata.file_name`` equality but ALSO
         requires ``_metadata.file_path`` to end with the add's full
         relative path (raw or URL-quoted — file_path is a URI): two live
@@ -552,6 +668,26 @@ class DeltaLogTable:
         dv_files = [f for f in files if f.dv]
         if not dv_files:
             return df
+        cols = df.columns
+        keyed = df.select(
+            "*",
+            F.col("_metadata.file_name").alias("_dv_file"),
+            F.col("_metadata.file_path").alias("_dv_path"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        )
+        return self._dv_filter(
+            keyed, dv_files, "_dv_file", "_dv_path", "_dv_pos"
+        ).select(*cols)
+
+    def _dv_filter(
+        self, df: DataFrame, dv_files: Sequence[DeltaFile],
+        base_col: str, path_col: str, pos_col: str,
+    ) -> DataFrame:
+        """The DV anti-join against pre-extracted ``_metadata`` columns
+        (``_apply_dvs``'s kernel; the partitioned scan calls it directly
+        because metadata columns are selected once for the
+        partition-value tag join). ``dv_files`` must already be filtered
+        to DV-bearing adds."""
         rows = [
             (
                 os.path.basename(f.path),
@@ -597,25 +733,18 @@ class DeltaLogTable:
         deleted = desc.mapInPandas(
             _expand, "file string, rel string, relq string, pos long"
         )
-        cols = df.columns
-        keyed = df.select(
-            "*",
-            F.col("_metadata.file_name").alias("_dv_file"),
-            F.col("_metadata.file_path").alias("_dv_path"),
-            F.col("_metadata.row_index").alias("_dv_pos"),
-        )
-        # equality on (basename, pos) drives a BroadcastHashJoin; the
+        # equality on (basename, pos) drives the hash/merge join; the
         # suffix check rides as a residual condition on matched pairs
-        return keyed.join(
-            F.broadcast(deleted),
-            (keyed["_dv_file"] == deleted["file"])
-            & (keyed["_dv_pos"] == deleted["pos"])
+        return df.join(
+            _dv_join_side(self.spark, deleted, _dv_total_cardinality(dv_files)),
+            (df[base_col] == deleted["file"])
+            & (df[pos_col] == deleted["pos"])
             & (
-                keyed["_dv_path"].endswith(deleted["rel"])
-                | keyed["_dv_path"].endswith(deleted["relq"])
+                df[path_col].endswith(deleted["rel"])
+                | df[path_col].endswith(deleted["relq"])
             ),
             "left_anti",
-        ).select(*cols)
+        )
 
     def read(
         self,
@@ -642,13 +771,12 @@ class DeltaLogTable:
             ]
             pred = _filters_to_column(groups)
 
-        types = {f.name: f.dataType.typeName() for f in snap.schema.fields}
         data_fields = [
             f for f in snap.schema.fields if f.name not in snap.partition_columns
         ]
         data_schema = StructType(data_fields)
         if snap.column_mapping:
-            data_schema = self._physical_schema(snap)
+            data_schema = self._physical_schema(snap, data_fields)
 
         if not files:
             df = self.spark.createDataFrame([], snap.schema)
@@ -671,33 +799,49 @@ class DeltaLogTable:
             return df.filter(pred) if pred is not None else df
 
         # partitioned: the protocol's partitionValues are authoritative
-        # (hive-style directories are conventional, not required), so
-        # group files by partition tuple and attach values as typed
-        # literals — one parquet read per surviving group, unioned
-        groups_by_vals: dict = {}
-        for f in files:
-            key = tuple(f.partition_values.get(c) for c in snap.partition_columns)
-            groups_by_vals.setdefault(key, []).append(f)
-        parts = []
-        for key, members in sorted(groups_by_vals.items(), key=lambda kv: str(kv[0])):
-            df = (
-                self.spark.read.format("parquet")
-                .schema(data_schema)
-                .load([os.path.join(self.path, m.path) for m in members])
+        # (hive-style directories are conventional, not required). ONE
+        # parquet scan over every surviving file; each row's TYPED
+        # partition values join in from the broadcast per-file identity
+        # map (basename + path-suffix residual keying — see
+        # _file_identity_df) instead of a per-partition-tuple union,
+        # whose Catalyst analysis cost grows superlinearly past ~1k
+        # partitions (VERDICT r10 #7). Column-mapped partitioned tables
+        # work the same way: the files hold physical DATA columns only,
+        # and partition values ride the identity join under their
+        # logical names (keys in partitionValues are physical and are
+        # normalized to logical at snapshot build).
+        ident = F.broadcast(_file_identity_df(self.spark, snap, files))
+        df = (
+            self.spark.read.format("parquet")
+            .schema(data_schema)
+            .load([os.path.join(self.path, f.path) for f in files])
+            .select(
+                "*",
+                F.col("_metadata.file_name").alias("_dv_file"),
+                F.col("_metadata.file_path").alias("_dv_path"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
             )
-            df = self._apply_dvs(df, members)
-            for c, raw in zip(snap.partition_columns, key):
-                val = _parse_partition_value(types[c], raw)
-                # cast to the field's ACTUAL DataType, not typeName():
-                # DecimalType.typeName() is the bare string 'decimal',
-                # which Spark parses as decimal(10,0) and silently
-                # mangles the column's precision/scale
-                field = snap.schema[c].dataType
-                df = df.withColumn(c, F.lit(val).cast(field))
-            parts.append(df.select(*[f.name for f in snap.schema.fields]))
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
+        )
+        dv_files = [f for f in files if f.dv]
+        if dv_files:
+            df = self._dv_filter(df, dv_files, "_dv_file", "_dv_path", "_dv_pos")
+        if snap.column_mapping:
+            df = df.select(
+                *[
+                    F.col(f"`{p.name}`").alias(l.name)
+                    for p, l in zip(data_schema.fields, data_fields)
+                ],
+                "_dv_file", "_dv_path",
+            )
+        df = df.join(
+            ident,
+            (df["_dv_file"] == ident["_dc43_fb"])
+            & (
+                df["_dv_path"].endswith(ident["_dc43_fsfx"])
+                | df["_dv_path"].endswith(ident["_dc43_fsfxq"])
+            ),
+            "inner",
+        ).select(*[f.name for f in snap.schema.fields])
         return df.filter(pred) if pred is not None else df
 
 
@@ -1296,13 +1440,19 @@ def _check_writer_protocol(
 
 
 def _generated_columns(schema: StructType) -> dict:
-    """name -> generation SQL expression (field metadata
-    ``delta.generatedAlwaysAs`` — Delta's GENERATED ALWAYS AS)."""
-    return {
-        f.name: (f.metadata or {})["delta.generatedAlwaysAs"]
-        for f in schema.fields
-        if "delta.generatedAlwaysAs" in (f.metadata or {})
-    }
+    """name -> generation SQL expression. The protocol's field-metadata
+    key is ``delta.generationExpression`` (PROTOCOL.md, Writer
+    Requirements for Generated Columns — what delta-spark writes);
+    ``delta.generatedAlwaysAs`` is also accepted for logs authored with
+    the pre-r11 spelling."""
+    out = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        expr = md.get("delta.generationExpression",
+                      md.get("delta.generatedAlwaysAs"))
+        if expr is not None:
+            out[f.name] = expr
+    return out
 
 
 def _apply_generated_columns(df: DataFrame, gen: dict) -> tuple:
@@ -1591,7 +1741,15 @@ def delta_write(
     else:
         stage_df = df
     ts_ms = int(_time.time() * 1000)
-    adds = _stage_data_files(stage_df, dest, part_cols, ts_ms)
+    # mapped tables partition their files by PHYSICAL names too — the
+    # staged hive dirs become the add's partitionValues keys, which the
+    # protocol requires physical (snapshot() maps them back to logical)
+    stage_part_cols = (
+        [phys_by_logical.get(c, new_phys.get(c, c)) for c in part_cols]
+        if mapping_mode
+        else part_cols
+    )
+    adds = _stage_data_files(stage_df, dest, stage_part_cols, ts_ms)
 
     # ---- claim the commit (retry on version races)
     claimer = LinkCommitClaimer()
@@ -2414,7 +2572,8 @@ def _referencing_rules(meta: dict, schema_doc: dict, column: str) -> list:
             hits.append(k)
     for f in schema_doc.get("fields", ()):
         md = f.get("metadata") or {}
-        gen = md.get("delta.generatedAlwaysAs")
+        gen = md.get("delta.generationExpression",
+                     md.get("delta.generatedAlwaysAs"))
         if gen and f.get("name") != column and pat.search(gen):
             hits.append(f"generated({f['name']})")
         inv = md.get("delta.invariants")
@@ -2474,11 +2633,12 @@ def delta_enable_column_mapping(spark: SparkSession, path: str) -> int:
             raise DeltaWriteError(f"{path} already has column mapping enabled")
         if mode != "none":
             raise DeltaProtocolError(f"unsupported mapping mode {mode!r}")
-        if meta.get("partitionColumns"):
-            raise DeltaWriteError(
-                "column mapping on a partitioned table is not supported "
-                "here (partitionValues are keyed by physical names)"
-            )
+        # partitioned tables upgrade cleanly: each column's physical name
+        # is set EQUAL to its current name, so every existing add's
+        # partitionValues map (keyed by physical names per PROTOCOL.md's
+        # column-mapping writer requirements) is already correctly keyed;
+        # metaData.partitionColumns stays logical and follows renames
+        # (delta_rename_column)
         doc = json.loads(meta["schemaString"])
         next_id = 0
         for f in doc["fields"]:
@@ -2553,6 +2713,13 @@ def delta_rename_column(spark: SparkSession, path: str, old: str, new: str) -> i
             if f["name"] == old:
                 f["name"] = new
         meta["schemaString"] = json.dumps(doc)
+        # partitionColumns holds LOGICAL names (it aligns with the
+        # logical schemaString; add actions' partitionValues stay keyed
+        # by the unchanged physical name) — follow the rename
+        if old in (meta.get("partitionColumns") or ()):
+            meta["partitionColumns"] = [
+                new if c == old else c for c in meta["partitionColumns"]
+            ]
         return meta, None
 
     return _metadata_commit(
@@ -2578,6 +2745,11 @@ def delta_drop_column(spark: SparkSession, path: str, name: str) -> int:
             raise DeltaWriteError(f"no column {name!r} in {sorted(names)}")
         if len(names) == 1:
             raise DeltaWriteError("cannot drop the only column")
+        if name in (meta.get("partitionColumns") or ()):
+            raise DeltaWriteError(
+                f"column {name!r} is a partition column; a table's "
+                "partitioning cannot be dropped via DROP COLUMN"
+            )
         hits = _referencing_rules(meta, doc, name)
         if hits:
             raise DeltaWriteError(
@@ -2641,6 +2813,17 @@ def _delta_table_changes(
     part_cols = list(end_snap.partition_columns)
     types = {f.name: f.dataType.typeName() for f in snap_schema.fields}
     data_cols = [f.name for f in snap_schema.fields]
+    data_fields = [f for f in snap_schema.fields if f.name not in part_cols]
+    # raw actions key partitionValues by PHYSICAL names on mapped tables
+    # (the snapshot normalizes its copy, but this replay reads actions
+    # directly) — map back to logical before any lookup
+    p2l: dict = {}
+    if end_snap.column_mapping:
+        p2l = {
+            (f.metadata or {}).get("delta.columnMapping.physicalName", f.name):
+                f.name
+            for f in snap_schema.fields
+        }
     # running raw-add state, advanced commit by commit (O(range), not
     # O(range x history))
     state = t._collect_state(starting_version - 1)[0] if starting_version > 0 else {}
@@ -2672,13 +2855,7 @@ def _delta_table_changes(
     # files store the data columns only (physical names when mapped);
     # partition values attach from the add action as typed literals —
     # without this the derived paths crash on partitioned/mapped tables
-    file_schema = (
-        t._physical_schema(end_snap)
-        if end_snap.column_mapping
-        else StructType(
-            [f for f in snap_schema.fields if f.name not in part_cols]
-        )
-    )
+    file_schema = t._physical_schema(end_snap, data_fields)
 
     def _rows_at(rel_path: str, positions, mode: str, pvals) -> DataFrame:
         """File rows KEPT at / DROPPED from ``positions`` via a broadcast
@@ -2705,10 +2882,10 @@ def _delta_table_changes(
             df = df.select(
                 *[
                     F.col(f"`{p.name}`").alias(l.name)
-                    for p, l in zip(file_schema.fields, snap_schema.fields)
+                    for p, l in zip(file_schema.fields, data_fields)
                 ]
             )
-        pv = _as_map(pvals)
+        pv = {p2l.get(k, k): v for k, v in _as_map(pvals).items()}
         for c in part_cols:
             val = _parse_partition_value(types[c], pv.get(c))
             df = df.withColumn(c, F.lit(val).cast(snap_schema[c].dataType))
@@ -2738,13 +2915,15 @@ def _delta_table_changes(
                 # partitioned tables store change data like data files:
                 # partition values in the action, NOT in the file — read
                 # each partition group with the explicit change schema
+                # (PHYSICAL data names on mapped tables, aliased back)
                 # and attach typed literals (delta-spark's layout)
                 cdc_schema = StructType(
-                    [f for f in snap_schema.fields if f.name not in part_cols]
+                    list(file_schema.fields)
                     + [StructField("_change_type", StringType())]
                 )
                 by_vals: dict = {}
                 for p, pv in cdc_entries:
+                    pv = {p2l.get(k, k): val for k, val in pv.items()}
                     key = tuple(pv.get(c) for c in part_cols)
                     by_vals.setdefault(key, []).append(p)
                 for key, paths in sorted(
@@ -2755,6 +2934,14 @@ def _delta_table_changes(
                         .schema(cdc_schema)
                         .load([os.path.join(t.path, p) for p in paths])
                     )
+                    if end_snap.column_mapping:
+                        df = df.select(
+                            *[
+                                F.col(f"`{p.name}`").alias(l.name)
+                                for p, l in zip(file_schema.fields, data_fields)
+                            ],
+                            "_change_type",
+                        )
                     for c, raw in zip(part_cols, key):
                         val = _parse_partition_value(types[c], raw)
                         df = df.withColumn(

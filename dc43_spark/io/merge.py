@@ -86,35 +86,121 @@ def require_unique_merge_keys(source: DataFrame, keys: list[str]) -> None:
         )
 
 
+def validate_merge_clauses(
+    when_matched,
+    when_not_matched,
+    when_not_matched_by_source="ignore",
+) -> None:
+    """Shared argument gate for the three merge engines (outer-join
+    rewrite, snaplog COW, jar-less Delta DML). The dict forms are
+    delta-spark's column-level clauses: ``whenMatchedUpdate(set=...)``,
+    ``whenNotMatchedInsert(values=...)``,
+    ``whenNotMatchedBySourceUpdate(set=...)``."""
+    if not (when_matched in ("update", "ignore")
+            or isinstance(when_matched, dict)):
+        raise ValueError(
+            f"when_matched must be update|ignore or a {{col: expr}} SET "
+            f"map, got {when_matched!r}"
+        )
+    if not (when_not_matched in ("insert", "ignore")
+            or isinstance(when_not_matched, dict)):
+        raise ValueError(
+            f"when_not_matched must be insert|ignore or a {{col: expr}} "
+            f"VALUES map, got {when_not_matched!r}"
+        )
+    if not (when_not_matched_by_source in ("ignore", "delete")
+            or isinstance(when_not_matched_by_source, dict)):
+        raise ValueError(
+            f"when_not_matched_by_source must be ignore|delete or a "
+            f"{{col: expr}} SET map, got {when_not_matched_by_source!r}"
+        )
+
+
+def _matched_value(c, when_matched, keep_t: set, tgt_type=None):
+    """New value of column ``c`` for a matched-and-updated row:
+    updateAll takes the source side (target side for evolution-missing
+    columns); a SET map takes its expression (over ``t.``/``s.``
+    references) and leaves unset columns at the target's value —
+    delta-spark's ``UPDATE SET`` rule."""
+    if isinstance(when_matched, dict):
+        if c in when_matched:
+            e = F.expr(when_matched[c])
+            return e.cast(tgt_type) if tgt_type is not None else e
+        return F.col(f"t.`{c}`")
+    if c in keep_t:
+        return F.col(f"t.`{c}`")
+    return F.col(f"s.`{c}`")
+
+
+def _insert_value(c, when_not_matched, tgt_type=None):
+    """Value of column ``c`` for an inserted row: insertAll takes the
+    source column; a VALUES map takes its expression (over ``s.``) and
+    leaves unlisted columns NULL — delta-spark's ``INSERT (cols)
+    VALUES (exprs)`` rule."""
+    if isinstance(when_not_matched, dict):
+        if c in when_not_matched:
+            e = F.expr(when_not_matched[c])
+            return e.cast(tgt_type) if tgt_type is not None else e
+        return (F.lit(None).cast(tgt_type)
+                if tgt_type is not None else F.lit(None))
+    return F.col(f"s.`{c}`")
+
+
+def _by_source_value(c, clause, tgt_type=None):
+    """Value of column ``c`` for a NOT-MATCHED-BY-SOURCE updated row: the
+    SET map's expression (over ``t.`` — there is no source side), unset
+    columns keep the target's value."""
+    if isinstance(clause, dict) and c in clause:
+        e = F.expr(clause[c])
+        return e.cast(tgt_type) if tgt_type is not None else e
+    return F.col(f"t.`{c}`")
+
+
 def _outer_join_merge(
     target: DataFrame,
     source: DataFrame,
     keys: list[str],
     *,
-    when_matched: str,
-    when_not_matched: str,
+    when_matched,
+    when_not_matched,
     delete_predicate: Optional[str],
     insert_predicate: Optional[str] = None,
+    matched_predicate: Optional[str] = None,
+    when_not_matched_by_source="ignore",
+    not_matched_by_source_predicate: Optional[str] = None,
     keep_target_cols: tuple = (),
 ) -> DataFrame:
     """MERGE semantics as one full-outer join. Callers must validate
     source-key uniqueness (``require_unique_merge_keys``) first.
 
-    Row fates (standard SQL MERGE):
-    - key in both:    ``update`` -> source row; ``ignore`` -> target row;
-                      matched + delete_predicate(source) -> dropped
-    - key only in target: kept
-    - key only in source: ``insert`` -> source row; ``ignore`` -> dropped
+    Row fates (standard SQL MERGE + delta-spark's conditional clauses,
+    ref spark/io/merge.py:43-127 forwards these through an arbitrary
+    builder modifier):
+    - key in both: matched + ``delete_predicate`` -> dropped (delete
+      wins; checked first). Else ``when_matched``: ``"update"`` -> source
+      row; a ``{col: expr}`` SET map -> expressions over ``t.``/``s.``
+      with unset columns keeping the target value; ``"ignore"`` ->
+      target row. ``matched_predicate`` (SQL over ``t.``/``s.``) gates
+      the update clause — failing rows stay unchanged (NULL = fail).
+    - key only in target: ``when_not_matched_by_source`` ``"ignore"`` ->
+      kept; ``"delete"`` -> dropped; a SET map -> updated over ``t.``;
+      ``not_matched_by_source_predicate`` gates either action.
+    - key only in source: ``when_not_matched`` ``"insert"`` -> source
+      row; a ``{col: expr}`` VALUES map -> expressions over ``s.`` with
+      unlisted columns NULL; ``"ignore"`` -> dropped.
       (``insert_predicate``, SQL over ``s.<col>``, further gates which
-      unmatched source rows insert — Delta's conditional
-      whenNotMatchedInsert; NULL verdicts don't insert)
+      unmatched source rows insert; NULL verdicts don't insert)
 
     ``keep_target_cols``: columns the SOURCE genuinely lacks (schema
     evolution null-filled them) — updates retain the target's value
     there, Delta's updateAll-under-evolution rule, while inserts still
     take the source-side NULL.
     """
+    validate_merge_clauses(
+        when_matched, when_not_matched, when_not_matched_by_source
+    )
     cols = target.columns
+    types = {f.name: f.dataType for f in target.schema.fields}
     # Explicit presence flags, NOT key-isNotNull probes: the join matches
     # with eqNullSafe, so a NULL key is a legitimate value — a target row
     # with key NULL must read as "present" or merges silently drop it
@@ -126,8 +212,9 @@ def _outer_join_merge(
     has_s = F.coalesce(F.col("s._s_present"), F.lit(False))
 
     if delete_predicate:
-        # predicate references source-side columns as ``s.<col>``; a NULL
-        # verdict (e.g. on target-only rows) means "don't delete"
+        # predicate references the joined row (``s.<col>`` and/or
+        # ``t.<col>``); a NULL verdict (e.g. on target-only rows) means
+        # "don't delete"
         joined = joined.withColumn(
             "_del", F.coalesce(F.expr(delete_predicate), F.lit(False))
         )
@@ -139,22 +226,43 @@ def _outer_join_merge(
         if insert_predicate
         else F.lit(True)
     )
-    take_source = (
-        (has_t & has_s & F.lit(when_matched == "update"))
-        | (~has_t & has_s & F.lit(when_not_matched == "insert") & ins_ok)
+    upd_ok = (
+        F.coalesce(F.expr(matched_predicate), F.lit(False))
+        if matched_predicate
+        else F.lit(True)
+    )
+    bs_ok = (
+        F.coalesce(F.expr(not_matched_by_source_predicate), F.lit(False))
+        if not_matched_by_source_predicate
+        else F.lit(True)
+    )
+    upd_act = (
+        has_t & has_s & ~F.col("_del")
+        & F.lit(when_matched != "ignore") & upd_ok
+    )
+    bs_del = (
+        has_t & ~has_s
+        & F.lit(when_not_matched_by_source == "delete") & bs_ok
+    )
+    bs_upd = (
+        has_t & ~has_s
+        & F.lit(isinstance(when_not_matched_by_source, dict)) & bs_ok
+    )
+    ins_act = (
+        ~has_t & has_s & F.lit(when_not_matched != "ignore") & ins_ok
     )
     keep_row = (
-        (has_t & ~has_s)
-        | (has_t & has_s & ~F.col("_del"))
-        | (~has_t & has_s & F.lit(when_not_matched == "insert") & ins_ok)
+        (has_t & has_s & ~F.col("_del"))
+        | (has_t & ~has_s & ~bs_del)
+        | ins_act
     )
     keep_t = set(keep_target_cols)
     out_cols = [
-        (
-            F.when(has_t, F.col(f"t.{c}")).otherwise(F.col(f"s.{c}")).alias(c)
-            if c in keep_t
-            else F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-        )
+        F.when(upd_act, _matched_value(c, when_matched, keep_t, types.get(c)))
+        .when(bs_upd, _by_source_value(c, when_not_matched_by_source, types.get(c)))
+        .when(ins_act, _insert_value(c, when_not_matched, types.get(c)))
+        .otherwise(F.col(f"t.`{c}`"))
+        .alias(c)
         for c in cols
     ]
     return joined.filter(keep_row).select(*out_cols)

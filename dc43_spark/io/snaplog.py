@@ -108,6 +108,7 @@ from typing import Optional, Protocol, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 from . import bloom as _bloom
 
@@ -1070,6 +1071,13 @@ def _cond_may_match(stats: Optional[dict], op: str, val) -> bool:
     vals = list(val) if op in ("in", "not in") else [val]
     if any(v is None for v in vals):
         return True  # NULL literal: Spark yields no rows, but don't reason here
+    if lo is None and hi is None:
+        # an EXACT envelope (a partition value: min==max by construction)
+        # that is NULL means the column is NULL on every row — NULL
+        # satisfies none of these comparisons, so the file prunes; a
+        # footer-stats null min/max just means omitted/truncated stats
+        # (long strings) and stays conservative
+        return not stats.get("exact", False)
     try:
         if op in ("=", "=="):
             return lo <= val <= hi
@@ -3293,10 +3301,13 @@ class SnaplogTable:
         source: DataFrame,
         keys: Sequence[str],
         *,
-        when_matched: str = "update",
-        when_not_matched: str = "insert",
+        when_matched="update",
+        when_not_matched="insert",
         delete_predicate: Optional[str] = None,
         insert_predicate: Optional[str] = None,
+        matched_predicate: Optional[str] = None,
+        when_not_matched_by_source="ignore",
+        not_matched_by_source_predicate: Optional[str] = None,
         txn: Optional[dict] = None,
         check_source_keys: bool = True,
         merge_schema: bool = False,
@@ -3332,17 +3343,45 @@ class SnaplogTable:
         rows insert — the missing half of CDC apply, where a feed's
         delete markers must neither insert ("s.op = 'D'" rows with no
         target match) nor be dropped silently (matched ones delete via
-        ``delete_predicate``)."""
+        ``delete_predicate``).
+
+        Conditional clauses (delta-spark's full merge surface, shared
+        with io/delta_dml.py — see ``_outer_join_merge`` for the exact
+        row fates): ``when_matched``/``when_not_matched`` also accept
+        ``{col: SQL expr}`` SET/VALUES maps; ``matched_predicate`` gates
+        the update clause (``WHEN MATCHED AND pred THEN UPDATE``);
+        ``when_not_matched_by_source`` ("ignore" | "delete" | SET map,
+        gated by ``not_matched_by_source_predicate``) acts on target
+        rows with NO source match — which disables source-key file
+        pruning (any file can hold such rows) and instead probes every
+        file for rows the clause would touch. Map forms never evolve
+        the schema."""
         from dc43_spark.io.merge import (
             _outer_join_merge,
             require_unique_merge_keys,
+            validate_merge_clauses,
         )
 
         _check_isolation(isolation)
+        validate_merge_clauses(
+            when_matched, when_not_matched, when_not_matched_by_source
+        )
+        dict_clauses = any(
+            isinstance(c, dict)
+            for c in (when_matched, when_not_matched,
+                      when_not_matched_by_source)
+        )
+        all_forms = when_matched == "update" or when_not_matched == "insert"
         if check_source_keys:
             require_unique_merge_keys(source, keys)
         current = self.version()
         if current is None:
+            if isinstance(when_not_matched, dict):
+                raise ValueError(
+                    "column-level INSERT VALUES needs an existing table "
+                    "(its schema defines the unlisted-NULL columns); "
+                    "create the table first"
+                )
             if when_not_matched == "insert":
                 first = source
                 if insert_predicate is not None:
@@ -3352,13 +3391,39 @@ class SnaplogTable:
             return MergeStats(0, 0, 0, 0, strategy="no-op")
         snap = self.snapshot(current)
         self._require_no_dvs(snap, "merge")
-        if snap.generated:
+        for clause, kind in (
+            (when_matched, "when_matched SET"),
+            (when_not_matched, "when_not_matched VALUES"),
+            (when_not_matched_by_source, "when_not_matched_by_source SET"),
+        ):
+            if isinstance(clause, dict):
+                bad = sorted(set(clause) & set(snap.generated or {}))
+                if bad:
+                    raise ValueError(
+                        f"column(s) {bad} in {kind} are generated; their "
+                        "values recompute from the expression"
+                    )
+        if snap.generated and all_forms:
             # inserts must carry computed values; provided ones validate
             source = self._apply_generated(source, snap.generated, "merge")
         evolved_json = snap.schema_json
         keep_target_cols: tuple = ()
         tgt_casts: dict = {}
-        if snap.schema_json:
+        if snap.schema_json and not all_forms:
+            # map forms keep the source's own columns (their expressions
+            # may reference any of them) and never evolve the schema;
+            # only the join keys align to the table's types
+            table_schema = T.StructType.fromJson(json.loads(snap.schema_json))
+            ttypes = {f.name: f.dataType for f in table_schema.fields}
+            source = source.select(
+                *[
+                    F.col(c).cast(ttypes[c]).alias(c)
+                    if c in keys and c in ttypes
+                    else F.col(c)
+                    for c in source.columns
+                ]
+            )
+        elif snap.schema_json:
             table_schema = T.StructType.fromJson(json.loads(snap.schema_json))
             old = {f.name: f for f in table_schema.fields}
             new = {f.name: f for f in source.schema.fields}
@@ -3458,12 +3523,21 @@ class SnaplogTable:
                     key_ranges[pf.name] = (tlo, thi, False)
                     phys_keys.append(pf.name)
         candidates = snap.prune_ranges(phys_keys, key_ranges)
+        bs_active = when_not_matched_by_source != "ignore"
+        if bs_active:
+            # by-source rows are defined by having NO source match — any
+            # file can hold them, so source-key pruning is unsound; the
+            # exact probe below still keeps the rewrite set minimal
+            candidates = list(snap.files)
 
         # level 2: exact, distributed — which candidate files actually hold
-        # a matched key (hidden _metadata.file_path + null-safe semi join)
+        # a matched key (hidden _metadata.file_path + null-safe semi join),
+        # plus, under a by-source clause, a row with NO match that passes
+        # the clause predicate (anti join) — only those files rewrite
         touched_names: set[str] = set()
         if candidates:
-            tgt = self._scan(candidates, snap, keep_meta=True).select(
+            scan = self._scan(candidates, snap, keep_meta=True)
+            tgt = scan.select(
                 *[F.col(k) for k in keys],
                 F.col("_metadata.file_path").alias("_fp"),
             )
@@ -3476,6 +3550,26 @@ class SnaplogTable:
                 .collect()  # bounded by file count — driver metadata only
             )
             touched_names = {os.path.basename(r["_fp"]) for r in matched}
+            if bs_active:
+                full = scan.select(
+                    "*", F.col("_metadata.file_path").alias("_fp")
+                )
+                bs_probe = full.join(
+                    src_keys,
+                    [full[k].eqNullSafe(src_keys[k]) for k in keys],
+                    "left_anti",
+                ).alias("t")
+                if not_matched_by_source_predicate:
+                    bs_probe = bs_probe.filter(
+                        F.coalesce(
+                            F.expr(not_matched_by_source_predicate),
+                            F.lit(False),
+                        )
+                    )
+                touched_names |= {
+                    os.path.basename(r["_fp"])
+                    for r in bs_probe.select("_fp").distinct().collect()
+                }
         touched = [f for f in candidates if os.path.basename(f.path) in touched_names]
 
         tgt_rows = None
@@ -3496,12 +3590,40 @@ class SnaplogTable:
                 when_not_matched=when_not_matched,
                 delete_predicate=delete_predicate,
                 insert_predicate=insert_predicate,
+                matched_predicate=matched_predicate,
+                when_not_matched_by_source=when_not_matched_by_source,
+                not_matched_by_source_predicate=not_matched_by_source_predicate,
                 keep_target_cols=keep_target_cols,
             )
-        elif when_not_matched == "insert":
-            merged = source  # nothing matched anywhere: pure insert
+            if snap.generated and dict_clauses:
+                # map-form rows mix target/source values: recompute
+                # generated columns from the final row
+                out_cols = merged.columns
+                merged = self._apply_generated(
+                    merged.drop(*snap.generated), snap.generated, "merge"
+                ).select(*out_cols)
+        elif when_not_matched != "ignore":
+            # nothing matched anywhere: pure insert
+            s = source.alias("s")
             if insert_predicate is not None:
-                merged = source.alias("s").filter(F.expr(insert_predicate))
+                s = s.filter(F.expr(insert_predicate))
+            if isinstance(when_not_matched, dict):
+                from dc43_spark.io.merge import _insert_value
+
+                tbl_schema = T.StructType.fromJson(json.loads(snap.schema_json))
+                merged = s.select(
+                    *[
+                        _insert_value(f.name, when_not_matched, f.dataType)
+                        .alias(f.name)
+                        for f in tbl_schema.fields
+                    ]
+                )
+                if snap.generated:
+                    merged = self._apply_generated(
+                        merged.drop(*snap.generated), snap.generated, "merge"
+                    ).select(*[f.name for f in tbl_schema.fields])
+            else:
+                merged = s
         else:
             return MergeStats(snap.num_files, len(candidates), 0, 0)
 
@@ -3519,7 +3641,13 @@ class SnaplogTable:
                         when_not_matched=when_not_matched,
                         delete_predicate=delete_predicate,
                         insert_predicate=insert_predicate,
+                        matched_predicate=matched_predicate,
+                        when_not_matched_by_source=when_not_matched_by_source,
+                        not_matched_by_source_predicate=(
+                            not_matched_by_source_predicate
+                        ),
                         keep_target_cols=keep_target_cols,
+                        generated=snap.generated or {},
                     ),
                     snap,
                 ),
@@ -3558,24 +3686,60 @@ class SnaplogTable:
         source: DataFrame,
         keys: list[str],
         *,
-        when_matched: str,
-        when_not_matched: str,
+        when_matched,
+        when_not_matched,
         delete_predicate: Optional[str],
         insert_predicate: Optional[str] = None,
+        matched_predicate: Optional[str] = None,
+        when_not_matched_by_source="ignore",
+        not_matched_by_source_predicate: Optional[str] = None,
         keep_target_cols: tuple = (),
+        generated: Optional[dict] = None,
     ) -> DataFrame:
         """Row-level change rows for one MERGE, tagged with Delta CDF's
         vocabulary (insert / update_preimage / update_postimage / delete).
         One inner join of the TOUCHED files' rows against the source —
-        bounded by the rewrite set, never the table."""
+        bounded by the rewrite set, never the table. Mirrors every clause
+        ``_outer_join_merge`` implements (map forms, clause predicates,
+        by-source actions); map-form post-images recompute generated
+        columns from the final row."""
+        from dc43_spark.io.merge import (
+            _by_source_value,
+            _insert_value,
+            _matched_value,
+        )
+
+        generated = generated or {}
         cols = source.columns if tgt_rows is None else tgt_rows.columns
+        types = {
+            f.name: f.dataType
+            for f in (source if tgt_rows is None else tgt_rows).schema.fields
+        }
         tag = lambda df, t: df.select(
             *[F.col(c) for c in cols], F.lit(t).alias(CHANGE_TYPE_COL)
         )
+
+        def _regen(df: DataFrame, clause) -> DataFrame:
+            if generated and isinstance(clause, dict):
+                return self._apply_generated(
+                    df.drop(*generated), generated, "merge"
+                ).select(*cols)
+            return df
+
         if tgt_rows is None:  # nothing matched anywhere: pure insert
+            s = source.alias("s")
             if insert_predicate is not None:
-                source = source.alias("s").filter(F.expr(insert_predicate))
-            return tag(source, "insert")
+                s = s.filter(F.expr(insert_predicate))
+            if isinstance(when_not_matched, dict):
+                vals = s.select(
+                    *[
+                        _insert_value(c, when_not_matched, types.get(c))
+                        .alias(c)
+                        for c in cols
+                    ]
+                )
+                return tag(_regen(vals, when_not_matched), "insert")
+            return tag(s, "insert")
         t, s = tgt_rows.alias("t"), source.alias("s")
         cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
         inner = t.join(s, cond, "inner")
@@ -3583,31 +3747,71 @@ class SnaplogTable:
             F.expr(delete_predicate) if delete_predicate else F.lit(False),
             F.lit(False),
         )
+        upd_ok = (
+            F.coalesce(F.expr(matched_predicate), F.lit(False))
+            if matched_predicate
+            else F.lit(True)
+        )
         parts = []
-        if when_matched == "update":
-            upd = inner.filter(~dele)
+        if when_matched != "ignore":
+            upd = inner.filter(~dele & upd_ok)
             parts.append(tag(upd.select("t.*"), "update_preimage"))
             keep_t = set(keep_target_cols)
-            parts.append(
-                tag(
-                    upd.select(
-                        *[
-                            F.col(f"t.{c}") if c in keep_t else F.col(f"s.{c}")
-                            for c in cols
-                        ]
-                    ),
-                    "update_postimage",
-                )
+            post = upd.select(
+                *[
+                    _matched_value(c, when_matched, keep_t, types.get(c))
+                    .alias(c)
+                    for c in cols
+                ]
             )
+            parts.append(tag(_regen(post, when_matched), "update_postimage"))
         if delete_predicate:
             parts.append(tag(inner.filter(dele).select("t.*"), "delete"))
-        if when_not_matched == "insert":
-            ins = s.join(t.select(*keys), cond, "left_anti")
+        if when_not_matched_by_source != "ignore":
+            bs = t.join(s.select(*keys), cond, "left_anti").alias("t")
+            if not_matched_by_source_predicate:
+                bs = bs.filter(
+                    F.coalesce(
+                        F.expr(not_matched_by_source_predicate), F.lit(False)
+                    )
+                )
+            if when_not_matched_by_source == "delete":
+                parts.append(tag(bs, "delete"))
+            else:
+                parts.append(tag(bs, "update_preimage"))
+                bs_post = bs.select(
+                    *[
+                        _by_source_value(
+                            c, when_not_matched_by_source, types.get(c)
+                        ).alias(c)
+                        for c in cols
+                    ]
+                )
+                parts.append(
+                    tag(
+                        _regen(bs_post, when_not_matched_by_source),
+                        "update_postimage",
+                    )
+                )
+        if when_not_matched != "ignore":
+            ins = s.join(t.select(*keys), cond, "left_anti").alias("s")
             if insert_predicate is not None:
                 ins = ins.filter(F.expr(insert_predicate))
-            parts.append(tag(ins.select(*[F.col(f"s.{c}") for c in cols]), "insert"))
-        if not parts:  # both clauses 'ignore': a zero-change merge
-            return tag((tgt_rows if tgt_rows is not None else source).limit(0), "insert")
+            if isinstance(when_not_matched, dict):
+                vals = ins.select(
+                    *[
+                        _insert_value(c, when_not_matched, types.get(c))
+                        .alias(c)
+                        for c in cols
+                    ]
+                )
+                parts.append(tag(_regen(vals, when_not_matched), "insert"))
+            else:
+                parts.append(
+                    tag(ins.select(*[F.col(f"s.{c}") for c in cols]), "insert")
+                )
+        if not parts:  # every clause 'ignore': a zero-change merge
+            return tag(tgt_rows.limit(0), "insert")
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -3848,42 +4052,51 @@ class SnaplogTable:
                 (keyed["_dv_file"] == dv["file"]) & (keyed["_dv_pos"] == dv["pos"]),
                 "left_anti",
             )
-        hit = keyed.filter(pred).localCheckpoint(eager=True)
-        n_del = hit.count()
-        if n_del == 0:
-            return RewriteStats(snap.num_files, len(candidates), 0, 0, 0, 0)
-        cdc = None
-        if self.change_feed:
-            data_cols = [c for c in hit.columns if c not in ("_dv_file", "_dv_pos")]
-            cdc = self._stage_files(
-                self._to_physical_df(
-                    hit.select(*data_cols, F.lit("delete").alias(CHANGE_TYPE_COL)),
-                    snap,
+        # persist, not localCheckpoint: spillable/evictable storage whose
+        # lost blocks recompute from the pinned candidate scan — a
+        # wide-predicate delete never hard-materializes every hit row
+        keep = keyed.columns if self.change_feed else ["_dv_file", "_dv_pos"]
+        hit = keyed.filter(pred).select(*keep).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            n_del = hit.count()
+            if n_del == 0:
+                return RewriteStats(snap.num_files, len(candidates), 0, 0, 0, 0)
+            cdc = None
+            if self.change_feed:
+                data_cols = [c for c in hit.columns if c not in ("_dv_file", "_dv_pos")]
+                cdc = self._stage_files(
+                    self._to_physical_df(
+                        hit.select(*data_cols, F.lit("delete").alias(CHANGE_TYPE_COL)),
+                        snap,
+                    ),
+                    dest_dir=self.cdc_dir,
+                )
+            dv_added = self._stage_files(
+                hit.select(
+                    F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
                 ),
-                dest_dir=self.cdc_dir,
+                dest_dir=self.dv_dir,
             )
-        dv_added = self._stage_files(
-            hit.select(
-                F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
-            ),
-            dest_dir=self.dv_dir,
-        )
-        self._commit(
-            "delete",
-            schema_json=snap.schema_json,
-            expected_version=current,
-            cdc=cdc,
-            dv_add=dv_added,
-            read_info=read_info,
-        )
-        return RewriteStats(
-            files_total=snap.num_files,
-            candidates_after_stats=len(candidates),
-            files_rewritten=0,
-            files_added=0,
-            rows_before=n_del,
-            rows_after=0,
-        )
+            self._commit(
+                "delete",
+                schema_json=snap.schema_json,
+                expected_version=current,
+                cdc=cdc,
+                dv_add=dv_added,
+                read_info=read_info,
+            )
+            return RewriteStats(
+                files_total=snap.num_files,
+                candidates_after_stats=len(candidates),
+                files_rewritten=0,
+                files_added=0,
+                rows_before=n_del,
+                rows_after=0,
+            )
+        finally:
+            hit.unpersist()
 
     def materialize_deletes(self) -> int:
         """Fold active deletion vectors into a copy-on-write rewrite of

@@ -1,0 +1,151 @@
+"""Protocol conformance gate (io/delta_conformance.py — VERDICT r10 #6):
+the PROTOCOL.md action-shape model must accept everything the repo's own
+writer/DML/maintenance paths emit (positive: real tables exercised here;
+plus the autouse conftest fixture sweeps every other test's logs) and
+REJECT hand-broken logs of the classes the spec forbids (negative:
+including b1eb905's tuple-list partitionValues)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dc43_spark.io.delta_conformance import (
+    DeltaConformanceError,
+    validate_action,
+    validate_commit_file,
+    validate_log_dir,
+    validate_tree,
+)
+from dc43_spark.io.delta_dml import delta_delete, delta_merge, delta_update
+from dc43_spark.io.delta_log import (
+    delta_clone,
+    delta_optimize,
+    delta_restore,
+    delta_write,
+)
+
+
+def test_every_writer_path_emits_conformant_logs(spark, tmp_path):
+    """create + append + partitioned write + DV merge + update + delete +
+    optimize + restore + clone, all validated commit-by-commit plus the
+    checkpoint parquet."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k % 3, k * 10) for k in range(20)], "k long, p long, amt long"
+    )
+    delta_write(
+        spark, df, path, partition_by=["p"], checkpoint_interval=2,
+        configuration={"delta.enableDeletionVectors": "true",
+                       "delta.enableChangeDataFeed": "true"},
+    )
+    delta_write(
+        spark,
+        spark.createDataFrame([(100, 0, 1)], "k long, p long, amt long"),
+        path, mode="append", checkpoint_interval=2,
+        txn={"appId": "conf", "version": 1},
+    )
+    src = spark.createDataFrame(
+        [(2, 0, 222), (200, 1, 2)], "k long, p long, amt long"
+    )
+    delta_merge(spark, src, path, ["k"], use_dvs=True)
+    delta_update(spark, path, {"amt": "amt + 1"}, "k = 3")
+    delta_delete(spark, path, "k = 4")
+    delta_optimize(spark, path)
+    delta_restore(spark, path, version=1)
+    clone = str(tmp_path / "c")
+    delta_clone(spark, path, clone, shallow=False)
+    from dc43_spark.io.delta_log import DeltaLogTable, write_delta_checkpoint
+
+    t = DeltaLogTable(spark, path)
+    write_delta_checkpoint(t, t.version())
+
+    got = validate_log_dir(path)
+    assert got["commits"] >= 7
+    assert got["checkpoints"] >= 1
+    assert got["actions"] > got["commits"]
+    total = validate_tree(str(tmp_path))
+    assert total["tables"] == 2
+
+
+@pytest.mark.nonconformant_log
+def test_broken_logs_are_rejected(tmp_path):
+    """Each corruption class raises with a pointed message."""
+    # the b1eb905 class: partitionValues as a pair LIST, not an object
+    with pytest.raises(DeltaConformanceError, match="partitionValues"):
+        validate_action({"add": {
+            "path": "f.parquet", "partitionValues": [["p", "1"]],
+            "size": 1, "dataChange": True,
+        }})
+    # typed (non-string) partition value
+    with pytest.raises(DeltaConformanceError, match="must be a string"):
+        validate_action({"add": {
+            "path": "f.parquet", "partitionValues": {"p": 1},
+            "size": 1, "dataChange": True,
+        }})
+    # stats as an inline object instead of a stringified JSON
+    with pytest.raises(DeltaConformanceError, match="JSON STRING"):
+        validate_action({"add": {
+            "path": "f.parquet", "partitionValues": {}, "size": 1,
+            "dataChange": True, "stats": {"numRecords": 3},
+        }})
+    # two actions on one line
+    with pytest.raises(DeltaConformanceError, match="exactly one action"):
+        validate_action({"add": {"path": "f", "partitionValues": {},
+                                 "size": 1, "dataChange": True},
+                         "remove": {"path": "g"}})
+    # writerFeatures on a pre-v7 protocol
+    with pytest.raises(DeltaConformanceError, match="writerFeatures"):
+        validate_action({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 2,
+            "writerFeatures": ["deletionVectors"],
+        }})
+    # deletionVectors writer feature without the reader half
+    with pytest.raises(DeltaConformanceError, match="readerFeatures"):
+        validate_action({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": [], "writerFeatures": ["deletionVectors"],
+        }})
+    # DV descriptor with a bogus storageType / missing cardinality
+    with pytest.raises(DeltaConformanceError, match="storageType"):
+        validate_action({"add": {
+            "path": "f.parquet", "partitionValues": {}, "size": 1,
+            "dataChange": True,
+            "deletionVector": {"storageType": "x", "pathOrInlineDv": "a",
+                               "sizeInBytes": 1, "cardinality": 1},
+        }})
+    # partition column not in the schema
+    with pytest.raises(DeltaConformanceError, match="not in the schema"):
+        validate_action({"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": ["ghost"], "configuration": {},
+        }})
+    # cdc with dataChange true
+    with pytest.raises(DeltaConformanceError, match="dataChange"):
+        validate_action({"cdc": {"path": "c.parquet", "partitionValues": {},
+                                 "size": 1, "dataChange": True}})
+    # a whole broken commit file
+    log = tmp_path / "t" / "_delta_log"
+    log.mkdir(parents=True)
+    bad = log / f"{0:020d}.json"
+    bad.write_text(json.dumps({"add": {
+        "path": "f.parquet", "partitionValues": [("p", "1")],
+        "size": 1, "dataChange": True,
+    }}) + "\n")
+    with pytest.raises(DeltaConformanceError):
+        validate_commit_file(str(bad))
+    with pytest.raises(DeltaConformanceError):
+        validate_tree(str(tmp_path))
+
+
+@pytest.mark.nonconformant_log
+def test_non_json_line_rejected(tmp_path):
+    log = tmp_path / "t" / "_delta_log"
+    log.mkdir(parents=True)
+    (log / f"{0:020d}.json").write_text("{not json}\n")
+    with pytest.raises(DeltaConformanceError, match="not valid JSON"):
+        validate_log_dir(str(tmp_path / "t"))

@@ -306,3 +306,47 @@ def test_dml_lineage_scan_broadcasts_and_never_cartesians(spark, tmp_path):
     assert plan.count("BroadcastHashJoin") >= 2, plan  # tag join + DV anti-join
     assert "LeftAnti" in plan, plan
     assert df.count() == 63
+
+
+def test_dv_anti_join_shuffles_above_cardinality_gate(spark, tmp_path):
+    """VERDICT r10 #1: the DV anti-join must NOT broadcast unconditionally.
+    Above ``spark.dc43.delta.dvBroadcastMaxPositions`` (summed descriptor
+    cardinality — one expanded row PER DELETED POSITION) both the reader's
+    scan and the DML lineage scan must fall back to a shuffled sort-merge
+    anti-join: a foreign MOR table can carry billions of deleted positions,
+    far past the 8 GB driver-built broadcast ceiling. Results must be
+    identical on either side of the gate."""
+    from dc43_spark.io.delta_dml import _live_lineage, delta_delete
+    from dc43_spark.io.delta_log import DeltaLogTable, delta_write
+
+    t = str(tmp_path / "t")
+    delta_write(
+        spark,
+        spark.range(64).select(F.col("id").alias("k"),
+                               F.lit("x").alias("v")).coalesce(2),
+        t, checkpoint_interval=None,
+    )
+    delta_delete(spark, t, "k IN (3, 7, 11)", use_dvs=True)  # card = 3
+
+    tbl = DeltaLogTable(spark, t)
+    key = "spark.dc43.delta.dvBroadcastMaxPositions"
+    try:
+        spark.conf.set(key, "2")  # gate below the 3 deleted positions
+        scan = tbl.read()
+        plan = plan_string(scan)
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+        assert sorted(r.k for r in scan.collect()) == [
+            k for k in range(64) if k not in (3, 7, 11)
+        ]
+        lineage = _live_lineage(tbl, tbl.snapshot())
+        lplan = plan_string(lineage)
+        assert "SortMergeJoin" in lplan and "LeftAnti" in lplan, lplan
+        # the file-identity tag join stays broadcast — only the DV side shuffles
+        assert "BroadcastHashJoin" in lplan, lplan
+        assert lineage.count() == 61
+
+        spark.conf.set(key, "1000")  # gate above: broadcast returns
+        plan2 = plan_string(tbl.read())
+        assert "BroadcastHashJoin" in plan2 and "SortMergeJoin" not in plan2, plan2
+    finally:
+        spark.conf.unset(key)

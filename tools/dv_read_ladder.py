@@ -1,0 +1,149 @@
+"""Read-path ladder for deletion-vector application (VERDICT r10 #1):
+measure the DV anti-join in ``DeltaLogTable.read()`` at 1M / 10M / 100M
+deleted positions, on both sides of the
+``spark.dc43.delta.dvBroadcastMaxPositions`` gate.
+
+The data side is a FIXED-size scan (``--rows`` over ``--files`` parquet
+files): the variable under test is the expanded-DV build side — one row
+per deleted position — which below the gate broadcasts and above it
+shuffles (sort-merge). Broadcasting 100M+ positions is exactly the
+driver-OOM shape the gate exists to prevent, so the ladder only forces
+broadcast at rungs at or below the default ceiling.
+
+The table is hand-authored protocol state (real parquet + real DV blobs
+via io/dv.py + a real ``_delta_log``), so the measured path is the
+production reader end to end.
+
+Usage: python tools/dv_read_ladder.py [--scales 1000000,10000000,100000000]
+       [--files 64] [--rows 2000000] [--reps 2]
+Prints a markdown table + one JSON line (SCALE.md material).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dc43_spark.io import dv as dvmod  # noqa: E402
+from dc43_spark.io.delta_log import DeltaLogTable  # noqa: E402
+
+_GATE_KEY = "spark.dc43.delta.dvBroadcastMaxPositions"
+
+
+def _build(root: str, n_positions: int, n_files: int, n_rows: int) -> None:
+    os.makedirs(os.path.join(root, "_delta_log"))
+    rows_per_file = n_rows // n_files
+    pos_per_file = n_positions // n_files
+    adds = []
+    data = pa.table({"k": pa.array(np.arange(rows_per_file), pa.int64())})
+    rng = np.random.default_rng(11)
+    for i in range(n_files):
+        name = f"part-{i:05d}.parquet"
+        pq.write_table(data, os.path.join(root, name))
+        # positions spread over a 64M space: realistic sparse bitmaps,
+        # most positions past the physical rows (join probe misses are
+        # the common case on a MOR table's wide bitmap)
+        positions = np.unique(
+            rng.integers(0, 64_000_000, pos_per_file).astype(np.int64)
+        )
+        blob = dvmod.serialize_dv_blob(positions)
+        u = uuid.uuid4()
+        (off,) = dvmod.write_dv_file(
+            os.path.join(root, f"deletion_vector_{u}.bin"), [blob]
+        )
+        adds.append({
+            "add": {
+                "path": name, "partitionValues": {}, "size": 1,
+                "dataChange": True,
+                "stats": json.dumps({"numRecords": rows_per_file}),
+                "deletionVector": {
+                    "storageType": "u",
+                    "pathOrInlineDv": dvmod.z85_encode(u.bytes),
+                    "offset": off, "sizeInBytes": len(blob),
+                    "cardinality": int(len(positions)),
+                },
+            }
+        })
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "ladder", "format": {"provider": "parquet",
+                                                 "options": {}},
+                      "schemaString": json.dumps({"type": "struct", "fields": [
+                          {"name": "k", "type": "long", "nullable": True,
+                           "metadata": {}}]}),
+                      "partitionColumns": [], "configuration": {}}},
+    ] + adds
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in actions)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1000000,10000000,100000000")
+    ap.add_argument("--files", type=int, default=64)
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .appName("dv_read_ladder")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = []
+    for n in scales:
+        root = tempfile.mkdtemp(prefix="dv_read_ladder_")
+        try:
+            _build(root, n, args.files, args.rows)
+            tbl = DeltaLogTable(spark, root)
+            for mode in ("broadcast", "shuffle"):
+                if mode == "broadcast" and n > 10_000_000:
+                    continue  # the gate exists to forbid exactly this
+                spark.conf.set(_GATE_KEY, str(n + 1 if mode == "broadcast" else 0))
+                best = min(
+                    _timed(lambda: tbl.read().count())
+                    for _ in range(args.reps)
+                )
+                rows.append({"positions": n, "mode": mode,
+                             "count_sec": round(best, 2)})
+        finally:
+            spark.conf.unset(_GATE_KEY)
+            shutil.rmtree(root, ignore_errors=True)
+
+    print("| positions | join mode | scan+count s |")
+    print("|---|---|---|")
+    for r in rows:
+        print(f"| {r['positions']:,} | {r['mode']} | {r['count_sec']} |")
+    print(json.dumps({"metric": "dv_read_ladder", "rows": rows}))
+    return 0
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
