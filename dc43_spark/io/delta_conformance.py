@@ -265,15 +265,24 @@ def _checkpoint_actions(path: str):
             yield kind, _strip_nulls(payload)
 
 
+_MAP_KEYS = ("partitionValues", "configuration", "options", "tags")
+
+
 def _strip_nulls(v):
     if isinstance(v, dict):
-        return {k: _strip_nulls(x) for k, x in v.items() if x is not None}
+        out = {k: _strip_nulls(x) for k, x in v.items() if x is not None}
+        # pyarrow yields MAP columns as [(k, v), ...] pair lists (and an
+        # EMPTY map as []) — restore the JSON-object shape the protocol
+        # mandates for the known map-typed fields, so shape checks run on
+        # what a JSON round-trip would see
+        for mk in _MAP_KEYS:
+            mv = out.get(mk)
+            if isinstance(mv, list) and all(
+                isinstance(x, tuple) and len(x) == 2 for x in mv
+            ):
+                out[mk] = {k: x for k, x in mv}
+        return out
     if isinstance(v, list):
-        # pyarrow yields MAP columns as [(k, v), ...] pair lists — convert
-        # back to the JSON-object shape the protocol mandates so shape
-        # checks run on what a JSON round-trip would see
-        if v and all(isinstance(x, tuple) and len(x) == 2 for x in v):
-            return {k: _strip_nulls(x) for k, x in v}
         return [_strip_nulls(x) for x in v]
     return v
 
@@ -292,6 +301,11 @@ def validate_checkpoint_file(path: str) -> int:
                 _err(os.path.basename(path),
                      f"{kind}.partitionValues round-trips as "
                      f"{type(pv).__name__}, not an object")
+        if kind in ("add", "remove"):
+            # PROTOCOL.md (Checkpoints): dataChange in checkpoint actions
+            # "should be set to false" — the parquet column is nullable
+            # and a null there reads as the mandated false
+            payload.setdefault("dataChange", False)
         validate_action({kind: payload}, os.path.basename(path))
         n += 1
     return n

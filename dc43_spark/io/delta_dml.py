@@ -23,12 +23,18 @@ Two physical strategies, matching delta-spark's own split:
   Delta reader can keep reading them): touched files are rewritten
   without their deleted rows; untouched files carry over by reference.
 
-Row semantics are standard SQL MERGE (same matrix as io/merge.py's
-``_outer_join_merge``, which remains the oracle in tests): matched +
-``delete_predicate`` -> dropped; matched + ``when_matched=update`` ->
-source values; unmatched source + ``when_not_matched=insert`` (gated by
-``insert_predicate``) -> inserted; everything else untouched. The
-source must be key-unique (SQL MERGE refuses multiple matches).
+Row semantics are standard SQL MERGE plus delta-spark's conditional
+clauses (same matrix as io/merge.py's ``_outer_join_merge``, which
+remains the oracle in tests): matched + ``delete_predicate`` -> dropped
+(delete wins, checked first); matched + ``when_matched`` ("update",
+a ``{col: expr}`` SET map, gated by ``matched_predicate``) -> updated;
+unmatched source + ``when_not_matched`` ("insert" or a VALUES map,
+gated by ``insert_predicate``) -> inserted; target rows with NO source
+match + ``when_not_matched_by_source`` ("delete" or a SET map, gated by
+``not_matched_by_source_predicate``) -> deleted/updated — this clause
+disables source-key file pruning (any file can hold such rows).
+Everything else untouched. The source must be key-unique (SQL MERGE
+refuses multiple matches).
 
 Change data feed: when ``delta.enableChangeDataFeed=true``, every DML
 commit stages ``_change_data`` parquet files (insert / delete /
@@ -49,11 +55,16 @@ pinned snapshot, claim ``head+1``; ANY head movement (or a lost claim
 race) recomputes from the new head, never re-using stale row positions.
 Orphaned staging output from lost races is swept by ``delta_vacuum``.
 
-Scale shape: one lineage scan (per-partition-group parquet reads with
-``_metadata.row_index``; existing DV masks applied as a broadcast
-anti-join), one join against the source, DV serialization distributed
-per file, new rows staged through the same footer-stats path as
-delta_write. Nothing is O(table) on the driver.
+Scale shape: one lineage scan (a single parquet read regardless of
+partition count — typed partition values ride the broadcast
+file-identity join; existing DV masks applied as a cardinality-gated
+anti-join, broadcast below ~10M positions, shuffle above), one join
+against the source, DV serialization distributed per file, new rows
+staged through the same footer-stats path as delta_write. Touch sets
+persist to spillable MEMORY_AND_DISK storage (recomputable from the
+pinned snapshot; pre-image columns ride only when CDF needs them —
+tools/dml_touch_ladder.py measures the envelope). Nothing is O(table)
+on the driver.
 """
 
 from __future__ import annotations

@@ -2206,10 +2206,14 @@ def delta_optimize(
     data_fields = [
         f for f in snap.schema.fields if f.name not in snap.partition_columns
     ]
-    data_schema = (
-        t._physical_schema(snap) if snap.column_mapping
-        else StructType(data_fields)
-    )
+    data_schema = t._physical_schema(snap, data_fields)
+    # re-emitted adds key partitionValues by PHYSICAL names (the snapshot
+    # normalized its copy to logical)
+    l2p = {
+        f.name: (f.metadata or {}).get("delta.columnMapping.physicalName",
+                                       f.name)
+        for f in snap.schema.fields
+    } if snap.column_mapping else {}
     ts_ms = int(_time.time() * 1000)
     adds, removes = [], []
     for key, members in bins:
@@ -2257,7 +2261,7 @@ def delta_optimize(
                 st["nullCount"][c] = s.get("nulls", 0)
             adds.append({
                 "path": urllib.parse.quote(n),
-                "partitionValues": dict(key),
+                "partitionValues": {l2p.get(c, c): v for c, v in key},
                 "size": size,
                 "modificationTime": ts_ms,
                 "dataChange": False,

@@ -155,6 +155,7 @@ def test_partitioned_flat_layout_protocol_authoritative(spark, tmp_path):
     assert [(r.k, r.p) for r in df.collect()] == [(1, 7)]
 
 
+@pytest.mark.nonconformant_log  # minimal hand-authored checkpoint omits metaData.format
 def test_checkpoint_with_map_partition_values(spark, tmp_path):
     """A parquet checkpoint exactly as delta-spark lays it out: one row
     per action, add.partitionValues as a MAP column (pyarrow yields
@@ -284,6 +285,7 @@ def test_column_mapping_name_mode(spark, tmp_path):
     assert [(r.key, r.val) for r in rows] == [(5, "x")]
 
 
+@pytest.mark.nonconformant_log  # deliberately broken actions (unknown DV storageType etc.)
 def test_refusals_are_loud(spark, tmp_path):
     # a reader feature this module genuinely doesn't implement
     t = str(tmp_path / "t")
@@ -430,6 +432,7 @@ def test_export_refusals(spark, tmp_path):
         export_delta_snapshot(ok, dest)
 
 
+@pytest.mark.nonconformant_log  # minimal hand-authored checkpoint omits required add fields
 def test_multi_part_checkpoint(spark, tmp_path):
     """delta-spark splits big checkpoints into N parts
     (%020d.checkpoint.%010d.%010d.parquet); only COMPLETE sets qualify."""
@@ -676,6 +679,7 @@ def _sidecar(table, name, adds):
     return name
 
 
+@pytest.mark.nonconformant_log  # minimal hand-authored v2 manifest omits metaData.format
 def test_v2_checkpoint_parquet_with_sidecars(spark, tmp_path):
     """A UUID-named v2 checkpoint: protocol/metaData/checkpointMetadata at
     top level, adds split across two sidecar files. The reader must serve

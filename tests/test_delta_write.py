@@ -962,3 +962,115 @@ def test_v2_checkpoint_writes(spark, tmp_path):
     assert p.endswith(".checkpoint.parquet")
     with pytest.raises(ValueError, match="classic|v2"):
         write_delta_checkpoint(DeltaLogTable(spark, t), policy="nope")
+
+
+def test_column_mapping_on_partitioned_table_roundtrip(spark, tmp_path):
+    """Column mapping + PARTITIONED tables (VERDICT r10 #3 — the refusal
+    matrix rows flip to round-trips): enable mapping on a partitioned
+    table, append through the writer (PHYSICAL partitionValues keys in
+    the log, logical everywhere user-facing), RENAME the partition column
+    (metaData.partitionColumns follows — delta-spark renames partitioned
+    tables routinely), DML with deletion vectors + CDF, partition-filter
+    pruning on the renamed column, OPTIMIZE, pinned reads under each
+    version's own names, and DROP COLUMN refusing the partition column."""
+    import json as _json
+
+    from dc43_spark.io.delta_dml import delta_delete, delta_merge
+    from dc43_spark.io.delta_log import (
+        delta_drop_column,
+        delta_enable_column_mapping,
+        delta_optimize,
+        delta_rename_column,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k % 2, f"s{k}") for k in range(8)], "k long, p long, v string"
+    )
+    delta_write(
+        spark, df, t, partition_by=["p"], checkpoint_interval=None,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )                                                                  # v0
+    assert delta_enable_column_mapping(spark, t) == 1                  # v1
+    d = DeltaLogTable(spark, t)
+    snap = d.snapshot()
+    assert snap.column_mapping and snap.partition_columns == ("p",)
+    assert {(r.k, r.p) for r in d.read().collect()} == {
+        (k, k % 2) for k in range(8)
+    }
+
+    # append AFTER mapping: hive dirs + partitionValues key by the
+    # PHYSICAL name (== original here), snapshot reads them back logical
+    delta_write(
+        spark,
+        spark.createDataFrame([(100, 1, "x")], "k long, p long, v string"),
+        t, checkpoint_interval=None,
+    )                                                                  # v2
+    assert (100, 1) in {(r.k, r.p) for r in d.read().collect()}
+
+    # rename the PARTITION column: partitionColumns follows the logical
+    # name; the log's physical keys are untouched
+    assert delta_rename_column(spark, t, "p", "region") == 3           # v3
+    d = DeltaLogTable(spark, t)
+    snap = d.snapshot()
+    assert snap.partition_columns == ("region",)
+    raw_meta = None
+    with open(os.path.join(t, "_delta_log", f"{3:020d}.json")) as fh:
+        for line in fh:
+            a = _json.loads(line)
+            if "metaData" in a:
+                raw_meta = a["metaData"]
+    assert raw_meta["partitionColumns"] == ["region"]
+    got = {(r.k, r.region) for r in d.read().collect()}
+    assert (100, 1) in got and (0, 0) in got
+    # the pinned pre-rename version keeps ITS name
+    assert "p" in d.read(version_as_of=2).columns
+
+    # partition-filter pruning on the RENAMED logical column
+    pruned = d.read(filters=[("region", "=", 0)])
+    assert len(pruned.inputFiles()) < len(d.read().inputFiles())
+    assert {r.region for r in pruned.collect()} == {0}
+
+    # append under the renamed name: partitionValues still key physical
+    delta_write(
+        spark,
+        spark.createDataFrame([(200, 0, "y")],
+                              "k long, region long, v string"),
+        t, checkpoint_interval=None,
+    )                                                                  # v4
+    raw = d._collect_state(d.version())[0]
+    assert all("p" in a["partitionValues"] for a in raw.values())
+
+    # DML on the mapped+partitioned table: DV merge + delete, CDF green
+    delta_merge(
+        spark,
+        spark.createDataFrame(
+            [(1, 1, "upd"), (300, 1, "ins")], "k long, region long, v string"
+        ),
+        t, ["k"], use_dvs=True,
+    )                                                                  # v5
+    rows = {(r.k, r.v) for r in d.read().collect()}
+    assert (1, "upd") in rows and (300, "ins") in rows
+    delta_delete(spark, t, "k = 2", use_dvs=True)                      # v6
+    assert 2 not in {r.k for r in d.read().collect()}
+    ch = d.table_changes(5, 6)
+    types = {(r.k, r["_change_type"]) for r in ch.collect()}
+    assert (1, "update_postimage") in types and (300, "insert") in types
+    assert (2, "delete") in types
+    # CDF rows carry the LOGICAL partition column, typed
+    assert dict(ch.dtypes)["region"] == "bigint"
+
+    # OPTIMIZE bin-packs within partitions; physical partitionValues keys
+    v_opt = delta_optimize(spark, t, target_file_mb=64)
+    if v_opt is not None:
+        assert {r.k for r in d.read().collect()} == (
+            {0, 1, 3, 4, 5, 6, 7, 100, 200, 300}
+        )
+
+    with pytest.raises(DeltaWriteError, match="partition column"):
+        delta_drop_column(spark, t, "region")
+
+    # conformance: every commit this dance emitted is protocol-shaped
+    from dc43_spark.io.delta_conformance import validate_log_dir
+
+    assert validate_log_dir(t)["commits"] >= 7
