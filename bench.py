@@ -102,6 +102,8 @@ HEADLINE = [
     # deletion-vector MERGE through the governed route
     "delta_write_orders",
     "delta_merge_orders",
+    # r11: SQL-parsed conditional MERGE (every clause kind in one commit)
+    "sql_merge_orders",
     # governance orchestration (metrics -> verdict -> stores -> read-back)
     "governance_verdict_orders",
     "profile_orders",

@@ -277,19 +277,27 @@ def merge_with_contract(
     path: Optional[str] = None,
     table: Optional[str] = None,
     format: Optional[str] = None,
-    when_matched: str = "update",
-    when_not_matched: str = "insert",
+    when_matched="update",
+    when_not_matched="insert",
     delete_predicate: Optional[str] = None,
+    insert_predicate: Optional[str] = None,
+    matched_predicate: Optional[str] = None,
+    when_not_matched_by_source="ignore",
+    not_matched_by_source_predicate: Optional[str] = None,
     enforce: bool = True,
     auto_cast: bool = True,
     interceptors: Optional[list] = None,
 ) -> MergeResult:
     """Validate ``source_df`` against ``contract`` then upsert into target.
 
-    ``when_matched`` in {"update", "ignore"}; ``when_not_matched`` in
-    {"insert", "ignore"}; ``delete_predicate`` is a SQL predicate over the
-    source columns (prefix ``s.``) deleting matched rows, mirroring the
-    reference's arbitrary-condition merge builder (merge.py:43-127).
+    ``when_matched`` / ``when_not_matched`` / ``when_not_matched_by_source``
+    take the full conditional clause surface (strings or ``{col: expr}``
+    maps — see ``_outer_join_merge``), with ``matched_predicate`` /
+    ``insert_predicate`` / ``not_matched_by_source_predicate`` gating each
+    clause: the reference's arbitrary-condition merge builder
+    (merge.py:43-127) expressed as explicit kwargs, forwarded to whichever
+    engine serves the target (delta-spark builder, jar-less Delta DML,
+    snaplog COW, outer-join rewrite).
 
     Interceptors run around the merge like any governed write (explicit
     list, else conf/env discovery — io/status.py): ``pre_write`` may
@@ -311,10 +319,9 @@ def merge_with_contract(
             replacement = hook.pre_write(io_ctx, source_df)
             if replacement is not None:
                 source_df = replacement
-    if when_matched not in ("update", "ignore"):
-        raise ValueError(f"when_matched must be update|ignore, got {when_matched!r}")
-    if when_not_matched not in ("insert", "ignore"):
-        raise ValueError(f"when_not_matched must be insert|ignore, got {when_not_matched!r}")
+    validate_merge_clauses(
+        when_matched, when_not_matched, when_not_matched_by_source
+    )
     if path is None and table is None:
         raise ValueError("merge target missing: need path or table")
     fmt = format or ("parquet" if path else None)
@@ -360,6 +367,10 @@ def merge_with_contract(
             when_matched=when_matched,
             when_not_matched=when_not_matched,
             delete_predicate=delete_predicate,
+            insert_predicate=insert_predicate,
+            matched_predicate=matched_predicate,
+            when_not_matched_by_source=when_not_matched_by_source,
+            not_matched_by_source_predicate=not_matched_by_source_predicate,
             check_source_keys=False,  # require_unique_merge_keys ran above
         )
         return _done(MergeResult(validation, f"snaplog-{stats.strategy}", path, table))
@@ -374,10 +385,27 @@ def merge_with_contract(
         builder = dt.alias("t").merge(aligned.alias("s"), cond)
         if delete_predicate:
             builder = builder.whenMatchedDelete(condition=delete_predicate)
-        if when_matched == "update":
-            builder = builder.whenMatchedUpdateAll()
-        if when_not_matched == "insert":
-            builder = builder.whenNotMatchedInsertAll()
+        if isinstance(when_matched, dict):
+            builder = builder.whenMatchedUpdate(
+                condition=matched_predicate, set=when_matched
+            )
+        elif when_matched == "update":
+            builder = builder.whenMatchedUpdateAll(condition=matched_predicate)
+        if isinstance(when_not_matched, dict):
+            builder = builder.whenNotMatchedInsert(
+                condition=insert_predicate, values=when_not_matched
+            )
+        elif when_not_matched == "insert":
+            builder = builder.whenNotMatchedInsertAll(condition=insert_predicate)
+        if when_not_matched_by_source == "delete":
+            builder = builder.whenNotMatchedBySourceDelete(
+                condition=not_matched_by_source_predicate
+            )
+        elif isinstance(when_not_matched_by_source, dict):
+            builder = builder.whenNotMatchedBySourceUpdate(
+                condition=not_matched_by_source_predicate,
+                set=when_not_matched_by_source,
+            )
         builder.execute()
         return _done(MergeResult(validation, "delta", path, table))
 
@@ -402,6 +430,10 @@ def merge_with_contract(
             when_matched=when_matched,
             when_not_matched=when_not_matched,
             delete_predicate=delete_predicate,
+            insert_predicate=insert_predicate,
+            matched_predicate=matched_predicate,
+            when_not_matched_by_source=when_not_matched_by_source,
+            not_matched_by_source_predicate=not_matched_by_source_predicate,
             check_source_keys=False,  # require_unique_merge_keys ran above
         )
         return _done(MergeResult(validation, "delta-log-dml", path, table))
@@ -427,6 +459,10 @@ def merge_with_contract(
         when_matched=when_matched,
         when_not_matched=when_not_matched,
         delete_predicate=delete_predicate,
+        insert_predicate=insert_predicate,
+        matched_predicate=matched_predicate,
+        when_not_matched_by_source=when_not_matched_by_source,
+        not_matched_by_source_predicate=not_matched_by_source_predicate,
     )
     if table:
         # shuffle result to a temp view then overwrite (Spark can't overwrite

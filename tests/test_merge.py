@@ -135,3 +135,64 @@ def test_merge_runs_interceptors(spark, tmp_path):
     assert calls == [("pre", "merge"), ("post", "ok")]
     # the pre_write filter removed the bad row before validation/write
     assert spark.read.parquet(target).count() == 1
+
+
+def test_merge_with_contract_conditional_clauses_all_strategies(spark, tmp_path):
+    """r11: merge_with_contract forwards the full conditional clause
+    surface (ref spark/io/merge.py:43-127's builder-modifier breadth as
+    explicit kwargs) to EVERY engine — parquet outer-join rewrite,
+    snaplog COW, jar-less Delta DML — with identical row fates."""
+    from dc43_spark.io.delta_log import DeltaLogTable, delta_write
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    base = [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)]
+    src = spark.createDataFrame(
+        [(2, "B", 200.0), (3, "C", 300.0), (9, "i", 90.0), (11, "x", 1.0)],
+        SCHEMA,
+    )
+    kw = dict(
+        keys=["k"],
+        delete_predicate="s.k = 3",
+        matched_predicate="t.amount < 100",
+        when_matched={"v": "upper(s.v)", "amount": "t.amount + s.amount"},
+        insert_predicate="s.k < 10",
+        when_not_matched={"k": "s.k", "amount": "s.amount * 2"},
+        when_not_matched_by_source={"v": "'stale'"},
+        not_matched_by_source_predicate="t.k = 1",
+    )
+    # fates: k=3 deleted; k=2 SET-updated (B, 220.0); k=1 by-source
+    # 'stale'; k=4 untouched; k=9 VALUES-inserted (v NULL, 180.0);
+    # k=11 gated out by insert_predicate
+    expect = [
+        (1, "stale", 10.0), (2, "B", 220.0), (4, "d", 40.0),
+        (9, None, 180.0),
+    ]
+
+    # parquet outer-join rewrite
+    p = str(tmp_path / "pq")
+    spark.createDataFrame(base, SCHEMA).write.parquet(p)
+    res = merge_with_contract(spark, src, contract(), path=p, **kw)
+    assert res.strategy == "outer-join-rewrite"
+    assert rows(spark.read.parquet(p)) == expect
+
+    # snaplog COW
+    sp = str(tmp_path / "sl")
+    SnaplogTable(spark, sp).write(
+        spark.createDataFrame(base, SCHEMA), mode="overwrite"
+    )
+    res = merge_with_contract(spark, src, contract(), path=sp,
+                              format="snaplog", **kw)
+    assert res.strategy.startswith("snaplog")
+    assert rows(SnaplogTable(spark, sp).read()) == expect
+
+    # jar-less Delta DML (deletion vectors)
+    dp = str(tmp_path / "dl")
+    delta_write(
+        spark, spark.createDataFrame(base, SCHEMA), dp,
+        checkpoint_interval=None,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    res = merge_with_contract(spark, src, contract(), path=dp,
+                              format="delta", **kw)
+    assert res.strategy == "delta-log-dml"
+    assert rows(DeltaLogTable(spark, dp).read()) == expect
