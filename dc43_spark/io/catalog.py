@@ -303,10 +303,12 @@ _DML_MERGE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_RE = re.compile(
+    # the clause-boundary lookahead requires WHEN **[NOT] MATCHED** — a
+    # bare \s+WHEN\s would truncate SET expressions containing CASE WHEN
     r"WHEN\s+(?:(NOT)\s+)?MATCHED(\s+BY\s+SOURCE)?(?:\s+AND\s+(.+?))?\s+THEN\s+"
     r"(DELETE|UPDATE\s+SET\s+.+?|INSERT\s+\*"
     r"|INSERT\s*\(.+?\)\s*VALUES\s*\(.+?\))"
-    r"(?=\s+WHEN\s|\s*;?\s*$)",
+    r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*;?\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -431,10 +433,20 @@ def _merge_when_clauses(whens: str) -> dict:
             )
 
     seen = set()
+    matched_update_seen = False
     for not_m, by_src, pred, action in (m.groups() for m in matches):
-        act = re.sub(r"\s+", " ", action.strip())
-        act_u = act.upper()
+        # collapse whitespace ONLY in the keyword-matching copy — SET /
+        # VALUES bodies pass through verbatim (a collapsed copy would
+        # silently rewrite multi-space/newline content inside string
+        # literals in the expressions)
+        raw = action.strip()
+        act_u = re.sub(r"\s+", " ", raw).upper()
         pred = pred.strip() if pred else None
+
+        def _body(keyword: str) -> str:
+            m2 = re.match(rf"{keyword}\s+(.*)$", raw,
+                          re.IGNORECASE | re.DOTALL)
+            return m2.group(1).strip()
         if by_src:
             if not not_m:
                 raise ValueError("MATCHED BY SOURCE is not a clause; use "
@@ -444,7 +456,7 @@ def _merge_when_clauses(whens: str) -> dict:
             if act_u == "DELETE":
                 out["when_not_matched_by_source"] = "delete"
             elif act_u.startswith("UPDATE SET"):
-                body = act[len("UPDATE SET"):].strip()
+                body = _body(r"UPDATE\s+SET")
                 if body == "*":
                     raise ValueError(
                         "UPDATE SET * is meaningless BY SOURCE (there is "
@@ -469,7 +481,7 @@ def _merge_when_clauses(whens: str) -> dict:
             elif act_u.startswith("INSERT"):
                 m2 = re.match(
                     r"^INSERT\s*\((.+?)\)\s*VALUES\s*\((.+)\)\s*$",
-                    act, re.IGNORECASE | re.DOTALL,
+                    raw, re.IGNORECASE | re.DOTALL,
                 )
                 if not m2:
                     raise ValueError(
@@ -486,6 +498,11 @@ def _merge_when_clauses(whens: str) -> dict:
                         f"INSERT lists {len(cols)} columns but "
                         f"{len(vals)} values"
                     )
+                dup = sorted({c for c in cols if cols.count(c) > 1})
+                if dup:
+                    raise ValueError(
+                        f"INSERT lists column(s) {dup} more than once"
+                    )
                 out["when_not_matched"] = dict(zip(cols, vals))
             else:
                 raise ValueError("WHEN NOT MATCHED supports THEN INSERT")
@@ -495,18 +512,28 @@ def _merge_when_clauses(whens: str) -> dict:
         if act_u == "DELETE":
             _once("WHEN MATCHED ... DELETE", "del" not in seen)
             seen.add("del")
+            if matched_update_seen:
+                raise ValueError(
+                    "WHEN MATCHED clauses must list DELETE before UPDATE: "
+                    "the engines apply fixed delete-first priority, and "
+                    "accepting UPDATE-then-DELETE order would silently "
+                    "diverge from SQL MERGE's first-matching-clause "
+                    "semantics for rows satisfying both predicates"
+                )
             out["delete_predicate"] = pred or "true"
         elif act_u == "UPDATE SET *":
             _once("WHEN MATCHED ... UPDATE", "upd" not in seen)
             seen.add("upd")
+            matched_update_seen = True
             out["when_matched"] = "update"
             if pred:
                 out["matched_predicate"] = pred
         elif act_u.startswith("UPDATE SET"):
             _once("WHEN MATCHED ... UPDATE", "upd" not in seen)
             seen.add("upd")
+            matched_update_seen = True
             out["when_matched"] = _parse_set_map(
-                act[len("UPDATE SET"):].strip(), "WHEN MATCHED"
+                _body(r"UPDATE\s+SET"), "WHEN MATCHED"
             )
             if pred:
                 out["matched_predicate"] = pred

@@ -659,34 +659,35 @@ def delta_update(
         lineage = _live_lineage(t, snap)
         pred = F.expr(predicate) if predicate else F.lit(True)
         # persist, not localCheckpoint (VERDICT r10 #4) — UPDATE always
-        # needs the full row (new values compute from the old)
+        # needs the full row (new values compute from the old); the
+        # try/finally below releases it on EVERY exit, including a
+        # constraint-violation raise from _enforce_delta_rules
         hit = lineage.filter(pred).persist(StorageLevel.MEMORY_AND_DISK)
-        if hit.isEmpty():
-            hit.unpersist()
-            return None
-        updated = hit.select(
-            *[
-                F.expr(set[c]).cast(snap.schema[c].dataType).alias(c)
-                if c in set
-                else F.col(c)
-                for c in data_cols
-            ]
-        )
-        if gen:
-            updated, _ = _apply_generated_columns(updated.drop(*gen), gen)
-            updated = updated.select(*data_cols)
-        _enforce_delta_rules(updated, _delta_row_rules(meta, snap.schema))
-        cdf = None
-        if _cdf_enabled(meta):
-            cdf = hit.select(
-                *data_cols, F.lit("update_preimage").alias("_change_type")
-            ).unionByName(
-                updated.select(
-                    *data_cols,
-                    F.lit("update_postimage").alias("_change_type"),
-                )
-            )
         try:
+            if hit.isEmpty():
+                return None
+            updated = hit.select(
+                *[
+                    F.expr(set[c]).cast(snap.schema[c].dataType).alias(c)
+                    if c in set
+                    else F.col(c)
+                    for c in data_cols
+                ]
+            )
+            if gen:
+                updated, _ = _apply_generated_columns(updated.drop(*gen), gen)
+                updated = updated.select(*data_cols)
+            _enforce_delta_rules(updated, _delta_row_rules(meta, snap.schema))
+            cdf = None
+            if _cdf_enabled(meta):
+                cdf = hit.select(
+                    *data_cols, F.lit("update_preimage").alias("_change_type")
+                ).unionByName(
+                    updated.select(
+                        *data_cols,
+                        F.lit("update_postimage").alias("_change_type"),
+                    )
+                )
             return _commit_dml(
                 t, snap, protocol, meta,
                 op="UPDATE",
@@ -969,7 +970,22 @@ def delta_merge(
                         F.expr(not_matched_by_source_predicate), F.lit(False)
                     )
                 )
-            bs = bs.persist(StorageLevel.MEMORY_AND_DISK)
+            # width discipline (same as delete's): a by-source DELETE
+            # without CDF needs only the (rel, pos) coordinates — don't
+            # re-materialize the full table width in executor storage.
+            # Evolved (merge_schema) columns don't exist on the lineage
+            # side yet: typed NULLs, same as the matched path's _t_side.
+            bs_sel = [F.col(_REL), F.col(_POS)]
+            if cdf_on or isinstance(bs_clause, dict):
+                bs_sel += [
+                    (
+                        F.col(f"`{c}`")
+                        if c in table_cols
+                        else F.lit(None).cast(types[c])
+                    ).alias(c)
+                    for c in data_cols
+                ]
+            bs = bs.select(*bs_sel).persist(StorageLevel.MEMORY_AND_DISK)
 
         inserts = None
         if when_not_matched != "ignore":
@@ -987,144 +1003,134 @@ def delta_merge(
             ).persist(StorageLevel.MEMORY_AND_DISK)
 
         frames = [f for f in (touch, bs, inserts) if f is not None]
+        try:
+            n_touch = touch.count()
+            n_bs = bs.count() if bs is not None else 0
+            n_ins = inserts.count() if inserts is not None else 0
+            if n_touch == 0 and n_bs == 0 and n_ins == 0:
+                return None
 
-        def _release():
-            for f in frames:
-                f.unpersist()
-
-        n_touch = touch.count()
-        n_bs = bs.count() if bs is not None else 0
-        n_ins = inserts.count() if inserts is not None else 0
-        if n_touch == 0 and n_bs == 0 and n_ins == 0:
-            _release()
-            return None
-
-        def _regen(frame: DataFrame) -> DataFrame:
-            # map-form rows mix target/source values: recompute generated
-            # columns from the final row (delta-spark's rule); *All forms
-            # already carry source-side computed values
-            if gen and dict_clauses:
-                out, _ = _apply_generated_columns(frame.drop(*gen), gen)
-                return out.select(*data_cols)
-            return frame
-
-        updates = None
-        if upd_form and n_touch:
-            updates = _regen(
-                touch.filter(F.col("_dc43_upd")).select(
-                    *[F.col(f"_n_{c}").alias(c) for c in data_cols]
-                )
-            )
-        bs_updates = None
-        if isinstance(bs_clause, dict) and n_bs:
-            bs_updates = _regen(
-                bs.alias("t").select(
-                    *[
-                        _by_source_value(c, bs_clause, types[c]).alias(c)
-                        for c in data_cols
-                    ]
-                )
-            )
-        if inserts is not None and gen and isinstance(when_not_matched, dict):
-            inserts = _regen(inserts)
-
-        new_parts = [
-            p for p in (updates, bs_updates, inserts) if p is not None
-        ]
-        new_rows = None
-        if new_parts:
-            new_rows = new_parts[0]
-            for p in new_parts[1:]:
-                new_rows = new_rows.unionByName(p)
-            _enforce_delta_rules(
-                new_rows, {**_delta_row_rules(meta, snap.schema), **gen_rules}
-            )
-
-        del_parts = []
-        if n_touch:
-            del_parts.append(touch.select(_REL, _POS))
-        if bs is not None and n_bs and bs_clause != "ignore":
-            del_parts.append(bs.select(_REL, _POS))
-        del_rows = None
-        if del_parts:
-            del_rows = del_parts[0]
-            for p in del_parts[1:]:
-                del_rows = del_rows.unionByName(p)
-
-        cdf = None
-        if cdf_on:
-            cframes = []
-            deletes = touch.filter("_dc43_del").select(
-                *[F.col(f"_t_{c}").alias(c) for c in data_cols],
-                F.lit("delete").alias("_change_type"),
-            )
-            cframes.append(deletes)
-            if upd_form:
-                pre = touch.filter(F.col("_dc43_upd")).select(
-                    *[F.col(f"_t_{c}").alias(c) for c in data_cols],
-                    F.lit("update_preimage").alias("_change_type"),
-                )
-                post = touch.filter(F.col("_dc43_upd")).select(
-                    *[F.col(f"_n_{c}").alias(c) for c in data_cols],
-                    F.lit("update_postimage").alias("_change_type"),
-                )
+            def _regen(frame: DataFrame) -> DataFrame:
+                # map-form rows mix target/source values: recompute generated
+                # columns from the final row (delta-spark's rule); *All forms
+                # already carry source-side computed values
                 if gen and dict_clauses:
-                    post = _regen(
-                        touch.filter(F.col("_dc43_upd")).select(
-                            *[F.col(f"_n_{c}").alias(c) for c in data_cols]
-                        )
-                    ).select(
-                        *data_cols,
+                    out, _ = _apply_generated_columns(frame.drop(*gen), gen)
+                    return out.select(*data_cols)
+                return frame
+
+            updates = None
+            if upd_form and n_touch:
+                updates = _regen(
+                    touch.filter(F.col("_dc43_upd")).select(
+                        *[F.col(f"_n_{c}").alias(c) for c in data_cols]
+                    )
+                )
+            bs_updates = None
+            if isinstance(bs_clause, dict) and n_bs:
+                bs_updates = _regen(
+                    bs.alias("t").select(
+                        *[
+                            _by_source_value(c, bs_clause, types[c]).alias(c)
+                            for c in data_cols
+                        ]
+                    )
+                )
+            if inserts is not None and gen and isinstance(when_not_matched, dict):
+                inserts = _regen(inserts)
+
+            new_parts = [
+                p for p in (updates, bs_updates, inserts) if p is not None
+            ]
+            new_rows = None
+            if new_parts:
+                new_rows = new_parts[0]
+                for p in new_parts[1:]:
+                    new_rows = new_rows.unionByName(p)
+                _enforce_delta_rules(
+                    new_rows, {**_delta_row_rules(meta, snap.schema), **gen_rules}
+                )
+
+            del_parts = []
+            if n_touch:
+                del_parts.append(touch.select(_REL, _POS))
+            if bs is not None and n_bs and bs_clause != "ignore":
+                del_parts.append(bs.select(_REL, _POS))
+            del_rows = None
+            if del_parts:
+                del_rows = del_parts[0]
+                for p in del_parts[1:]:
+                    del_rows = del_rows.unionByName(p)
+
+            cdf = None
+            if cdf_on:
+                cframes = []
+                deletes = touch.filter("_dc43_del").select(
+                    *[F.col(f"_t_{c}").alias(c) for c in data_cols],
+                    F.lit("delete").alias("_change_type"),
+                )
+                cframes.append(deletes)
+                if upd_form:
+                    pre = touch.filter(F.col("_dc43_upd")).select(
+                        *[F.col(f"_t_{c}").alias(c) for c in data_cols],
+                        F.lit("update_preimage").alias("_change_type"),
+                    )
+                    post = touch.filter(F.col("_dc43_upd")).select(
+                        *[F.col(f"_n_{c}").alias(c) for c in data_cols],
                         F.lit("update_postimage").alias("_change_type"),
                     )
-                cframes += [pre, post]
-            if bs is not None and n_bs:
-                if bs_clause == "delete":
-                    cframes.append(
-                        bs.select(
-                            *data_cols,
-                            F.lit("delete").alias("_change_type"),
-                        )
-                    )
-                elif isinstance(bs_clause, dict):
-                    cframes.append(
-                        bs.select(
-                            *data_cols,
-                            F.lit("update_preimage").alias("_change_type"),
-                        )
-                    )
-                    cframes.append(
-                        bs_updates.select(
+                    if gen and dict_clauses:
+                        post = _regen(
+                            touch.filter(F.col("_dc43_upd")).select(
+                                *[F.col(f"_n_{c}").alias(c) for c in data_cols]
+                            )
+                        ).select(
                             *data_cols,
                             F.lit("update_postimage").alias("_change_type"),
                         )
+                    cframes += [pre, post]
+                if bs is not None and n_bs:
+                    if bs_clause == "delete":
+                        cframes.append(
+                            bs.select(
+                                *data_cols,
+                                F.lit("delete").alias("_change_type"),
+                            )
+                        )
+                    elif isinstance(bs_clause, dict):
+                        cframes.append(
+                            bs.select(
+                                *data_cols,
+                                F.lit("update_preimage").alias("_change_type"),
+                            )
+                        )
+                        cframes.append(
+                            bs_updates.select(
+                                *data_cols,
+                                F.lit("update_postimage").alias("_change_type"),
+                            )
+                        )
+                if inserts is not None:
+                    cframes.append(
+                        inserts.select(
+                            *data_cols, F.lit("insert").alias("_change_type")
+                        )
                     )
-            if inserts is not None:
-                cframes.append(
-                    inserts.select(
-                        *data_cols, F.lit("insert").alias("_change_type")
-                    )
-                )
-            cdf = cframes[0]
-            for fr in cframes[1:]:
-                cdf = cdf.unionByName(fr)
+                cdf = cframes[0]
+                for fr in cframes[1:]:
+                    cdf = cdf.unionByName(fr)
 
-        matched_clauses = []
-        if delete_predicate:
-            matched_clauses.append(
-                {"actionType": "delete", "predicate": delete_predicate}
-            )
-        if upd_form:
-            entry = {
-                "actionType": "update"
-                if isinstance(when_matched, dict)
-                else "update",
-            }
-            if matched_predicate:
-                entry["predicate"] = matched_predicate
-            matched_clauses.append(entry)
-        try:
-            version = _commit_dml(
+            matched_clauses = []
+            if delete_predicate:
+                matched_clauses.append(
+                    {"actionType": "delete", "predicate": delete_predicate}
+                )
+            if upd_form:
+                entry = {"actionType": "update"}
+                if matched_predicate:
+                    entry["predicate"] = matched_predicate
+                matched_clauses.append(entry)
+            return _commit_dml(
                 t, snap, protocol, meta,
                 op="MERGE",
                 params={
@@ -1138,11 +1144,14 @@ def delta_merge(
                 use_dvs=use_dvs,
                 new_meta=new_meta,
             )
-            _release()
-            return version
         except _DmlConflict:
-            _release()
             continue
+        finally:
+            # release on EVERY exit — success, conflict retry, or a
+            # non-conflict failure (constraint violation, protocol
+            # error): persisted touch sets must never outlive the op
+            for f in frames:
+                f.unpersist()
     raise DeltaProtocolError(
         f"MERGE on {path} kept conflicting after {max_retries} attempts"
     )

@@ -97,22 +97,24 @@ def validate_merge_clauses(
     ``whenNotMatchedInsert(values=...)``,
     ``whenNotMatchedBySourceUpdate(set=...)``."""
     if not (when_matched in ("update", "ignore")
-            or isinstance(when_matched, dict)):
+            or (isinstance(when_matched, dict) and when_matched)):
         raise ValueError(
-            f"when_matched must be update|ignore or a {{col: expr}} SET "
-            f"map, got {when_matched!r}"
+            f"when_matched must be update|ignore or a NON-EMPTY "
+            f"{{col: expr}} SET map, got {when_matched!r}"
         )
     if not (when_not_matched in ("insert", "ignore")
-            or isinstance(when_not_matched, dict)):
+            or (isinstance(when_not_matched, dict) and when_not_matched)):
         raise ValueError(
-            f"when_not_matched must be insert|ignore or a {{col: expr}} "
-            f"VALUES map, got {when_not_matched!r}"
+            f"when_not_matched must be insert|ignore or a NON-EMPTY "
+            f"{{col: expr}} VALUES map, got {when_not_matched!r}"
         )
     if not (when_not_matched_by_source in ("ignore", "delete")
-            or isinstance(when_not_matched_by_source, dict)):
+            or (isinstance(when_not_matched_by_source, dict)
+                and when_not_matched_by_source)):
         raise ValueError(
             f"when_not_matched_by_source must be ignore|delete or a "
-            f"{{col: expr}} SET map, got {when_not_matched_by_source!r}"
+            f"NON-EMPTY {{col: expr}} SET map, got "
+            f"{when_not_matched_by_source!r}"
         )
 
 
@@ -257,15 +259,35 @@ def _outer_join_merge(
         | ins_act
     )
     keep_t = set(keep_target_cols)
-    out_cols = [
-        F.when(upd_act, _matched_value(c, when_matched, keep_t, types.get(c)))
-        .when(bs_upd, _by_source_value(c, when_not_matched_by_source, types.get(c)))
-        .when(ins_act, _insert_value(c, when_not_matched, types.get(c)))
-        .otherwise(F.col(f"t.`{c}`"))
-        .alias(c)
-        for c in cols
-    ]
-    return joined.filter(keep_row).select(*out_cols)
+
+    def _out(c):
+        # build expressions ONLY for active clauses: a dead branch's value
+        # expression (e.g. s.`v` for an ignored insert) would still need
+        # to RESOLVE, crashing map-form merges whose source legitimately
+        # lacks target columns
+        col = F.lit(None)
+        branches = []
+        if when_matched != "ignore":
+            branches.append(
+                (upd_act, _matched_value(c, when_matched, keep_t, types.get(c)))
+            )
+        if isinstance(when_not_matched_by_source, dict):
+            branches.append(
+                (bs_upd,
+                 _by_source_value(c, when_not_matched_by_source, types.get(c)))
+            )
+        if when_not_matched != "ignore":
+            branches.append(
+                (ins_act, _insert_value(c, when_not_matched, types.get(c)))
+            )
+        if not branches:
+            return F.col(f"t.`{c}`").alias(c)
+        col = F.when(*branches[0])
+        for cond, val in branches[1:]:
+            col = col.when(cond, val)
+        return col.otherwise(F.col(f"t.`{c}`")).alias(c)
+
+    return joined.filter(keep_row).select(*[_out(c) for c in cols])
 
 
 def merge_with_contract(

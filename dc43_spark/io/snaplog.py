@@ -3577,11 +3577,16 @@ class SnaplogTable:
             tgt_rows = self._scan(touched, snap)
             for c, dtype in tgt_casts.items():
                 tgt_rows = tgt_rows.withColumn(c, F.col(c).cast(dtype))
-            for c in [c for c in source.columns if c not in tgt_rows.columns]:
-                # evolved source-only columns: existing rows carry NULL
-                tgt_rows = tgt_rows.withColumn(
-                    c, F.lit(None).cast(source.schema[c].dataType)
-                )
+            if all_forms:
+                # evolved source-only columns: existing rows carry NULL.
+                # *All forms only — map forms never evolve, and null-
+                # filling here would stage data files with columns the
+                # committed schema doesn't declare (map-form expressions
+                # read source columns from the s side of the join)
+                for c in [c for c in source.columns if c not in tgt_rows.columns]:
+                    tgt_rows = tgt_rows.withColumn(
+                        c, F.lit(None).cast(source.schema[c].dataType)
+                    )
             merged = _outer_join_merge(
                 tgt_rows,
                 source,
@@ -3648,6 +3653,11 @@ class SnaplogTable:
                         ),
                         keep_target_cols=keep_target_cols,
                         generated=snap.generated or {},
+                        table_schema=(
+                            T.StructType.fromJson(json.loads(snap.schema_json))
+                            if snap.schema_json
+                            else None
+                        ),
                     ),
                     snap,
                 ),
@@ -3695,6 +3705,7 @@ class SnaplogTable:
         not_matched_by_source_predicate: Optional[str] = None,
         keep_target_cols: tuple = (),
         generated: Optional[dict] = None,
+        table_schema=None,
     ) -> DataFrame:
         """Row-level change rows for one MERGE, tagged with Delta CDF's
         vocabulary (insert / update_preimage / update_postimage / delete).
@@ -3702,7 +3713,10 @@ class SnaplogTable:
         bounded by the rewrite set, never the table. Mirrors every clause
         ``_outer_join_merge`` implements (map forms, clause predicates,
         by-source actions); map-form post-images recompute generated
-        columns from the final row."""
+        columns from the final row. ``table_schema`` (StructType) is
+        authoritative for the change rows' columns when no touched file
+        provided them (tgt_rows None) — a map-form pure insert must stage
+        TABLE-shaped change rows, not source-shaped ones."""
         from dc43_spark.io.merge import (
             _by_source_value,
             _insert_value,
@@ -3710,11 +3724,20 @@ class SnaplogTable:
         )
 
         generated = generated or {}
-        cols = source.columns if tgt_rows is None else tgt_rows.columns
-        types = {
-            f.name: f.dataType
-            for f in (source if tgt_rows is None else tgt_rows).schema.fields
-        }
+        if tgt_rows is not None:
+            cols = tgt_rows.columns
+            types = {f.name: f.dataType for f in tgt_rows.schema.fields}
+        elif isinstance(when_not_matched, dict) and table_schema is not None:
+            # map-form pure insert: change rows are TABLE-shaped (the
+            # VALUES map defines every column; source-shaped rows would
+            # stage change files whose schema doesn't match the table)
+            cols = [f.name for f in table_schema.fields]
+            types = {f.name: f.dataType for f in table_schema.fields}
+        else:
+            # insertAll pure insert: the (aligned, possibly evolved)
+            # source IS the table shape
+            cols = source.columns
+            types = {f.name: f.dataType for f in source.schema.fields}
         tag = lambda df, t: df.select(
             *[F.col(c) for c in cols], F.lit(t).alias(CHANGE_TYPE_COL)
         )

@@ -313,3 +313,76 @@ def test_by_source_scans_all_files_matched_only_prunes(spark, tmp_path):
     got = {r.k for r in t.read().collect()}
     assert got == {0, 1, 2, 3, 4}  # the 100.. file WAS scanned and purged
     assert {r.w for r in t.read().filter("k = 2").collect()} == {"hit"}
+
+
+def test_map_form_source_missing_target_column_all_engines(spark, tmp_path):
+    """Review r11 fix: inactive clauses must not BUILD value expressions —
+    a map-form merge whose source lacks a target column crashed the
+    snaplog/outer-join engines on the dead insert branch's s.`col`."""
+    from dc43_spark.io.merge import _outer_join_merge
+
+    tgt = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    src = spark.createDataFrame([(2, 7)], "k long, delta long")
+    out = _outer_join_merge(
+        tgt, src, ["k"],
+        when_matched={"v": "CAST(s.delta AS STRING)"},
+        when_not_matched="ignore",
+        delete_predicate=None,
+    )
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "a"), (2, "7")}
+    # snaplog twin (catalog-SQL shaped)
+    t = SnaplogTable(spark, str(tmp_path / "s"))
+    t.write(tgt, mode="overwrite")
+    t.merge(src, ["k"], when_matched={"v": "CAST(s.delta AS STRING)"},
+            when_not_matched="ignore")
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a"), (2, "7")}
+
+
+def test_map_form_merge_stages_no_undeclared_columns(spark, tmp_path):
+    """Review r11 fix: map forms never evolve the schema — the rewritten
+    data files must not smuggle source-only columns into storage."""
+    import glob
+
+    t = SnaplogTable(spark, str(tmp_path / "s"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+            mode="overwrite")
+    t.merge(
+        spark.createDataFrame([(2, 7)], "k long, delta long"), ["k"],
+        when_matched={"v": "CAST(s.delta AS STRING)"},
+        when_not_matched="ignore",
+    )
+    for f in glob.glob(str(tmp_path / "s" / "data" / "*.parquet")):
+        import pyarrow.parquet as pq
+
+        cols = set(pq.read_schema(f).names)
+        assert "delta" not in cols, f
+
+
+def test_snaplog_pure_insert_map_form_cdf_is_table_shaped(spark, tmp_path):
+    """Review r11 fix: a map-form pure insert (no candidate file holds a
+    source key) must stage TABLE-shaped change rows, not source-shaped."""
+    t = SnaplogTable(spark, str(tmp_path / "s"), change_feed=True)
+    t.write(spark.createDataFrame([(1, "a")], "k long, v string"),
+            mode="overwrite")
+    t.merge(
+        spark.createDataFrame([(50, "W")], "k long, w string"), ["k"],
+        when_matched={"v": "s.w"},
+        when_not_matched={"k": "s.k", "v": "s.w"},
+    )
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a"), (50, "W")}
+    ch = t.table_changes(1, 1)
+    assert set(ch.columns) >= {"k", "v", "_change_type"}
+    assert "w" not in ch.columns
+    ins = {(r.k, r.v) for r in ch.filter("_change_type = 'insert'").collect()}
+    assert ins == {(50, "W")}
+
+
+def test_empty_set_map_refused(spark, tmp_path):
+    from dc43_spark.io.merge import validate_merge_clauses
+
+    with pytest.raises(ValueError, match="NON-EMPTY"):
+        validate_merge_clauses({}, "ignore")
+    with pytest.raises(ValueError, match="NON-EMPTY"):
+        validate_merge_clauses("ignore", {})
+    with pytest.raises(ValueError, match="NON-EMPTY"):
+        validate_merge_clauses("ignore", "ignore", {})

@@ -402,3 +402,64 @@ def test_sql_update_where_inside_string_literal(spark, tmp_path):
     cat.sql("UPDATE t3 SET v = 'x WHERE y' WHERE k = 1")
     got = {(r.k, r.v) for r in cat.sql("SELECT * FROM t3").collect()}
     assert got == {(0, "a WHERE b"), (1, "x WHERE y"), (2, "a WHERE b")}
+
+
+def test_sql_merge_case_when_inside_set_expression(spark, tmp_path):
+    """A CASE WHEN inside an UPDATE SET expression must not be mistaken
+    for a clause boundary (the boundary lookahead requires WHEN [NOT]
+    MATCHED) — r11 parser regression pin."""
+    from dc43_spark.io.catalog import SnaplogCatalog
+
+    cat = SnaplogCatalog(spark, str(tmp_path / "wh"))
+    cat.sql("CREATE TABLE t3 AS SELECT id AS k, id * 10 AS amt FROM range(4)")
+    cat.sql("CREATE TABLE s3 AS SELECT id AS k, id AS amt FROM range(2, 6)")
+    cat.sql(
+        "MERGE INTO t3 t USING s3 s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET "
+        "  amt = CASE WHEN s.amt > 2 THEN -1 ELSE t.amt + 100 END "
+        "WHEN NOT MATCHED THEN INSERT (k, amt) "
+        "  VALUES (s.k, CASE WHEN s.k = 5 THEN 555 ELSE 0 END)"
+    )
+    got = {(r.k, r.amt) for r in cat.sql("SELECT * FROM t3").collect()}
+    assert got == {(0, 0), (1, 10), (2, 120), (3, -1), (4, 0), (5, 555)}
+
+
+def test_sql_merge_parser_hardening(spark, tmp_path):
+    """Review r11 fixes: (a) whitespace inside string literals in SET /
+    VALUES bodies passes through verbatim (the keyword-matching copy is
+    collapsed, the body is not); (b) duplicate INSERT columns refuse;
+    (c) an identifier starting with 'matched' inside CASE WHEN is not a
+    clause boundary; (d) UPDATE written before DELETE refuses (the
+    engines' fixed delete-first priority would silently diverge from
+    SQL's written-order semantics)."""
+    from dc43_spark.io.catalog import SnaplogCatalog
+
+    cat = SnaplogCatalog(spark, str(tmp_path / "wh"))
+    cat.sql("CREATE TABLE t4 AS SELECT id AS k, 'x' AS v FROM range(3)")
+    cat.sql("CREATE TABLE s4 AS SELECT id AS k, id AS matched_flag "
+            "FROM range(2, 5)")
+
+    # (a) multi-space literal survives
+    cat.sql("MERGE INTO t4 t USING s4 s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = 'a  b'")
+    assert {r.v for r in cat.sql("SELECT v FROM t4 WHERE k = 2").collect()} \
+        == {"a  b"}
+
+    # (c) CASE WHEN <identifier starting with "matched"> parses
+    cat.sql("MERGE INTO t4 t USING s4 s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET "
+            "v = CASE WHEN s.matched_flag > 2 THEN 'hi' ELSE 'lo' END")
+    got = {(r.k, r.v) for r in cat.sql("SELECT k, v FROM t4").collect()}
+    assert (2, "lo") in got and (0, "x") in got
+
+    # (b) duplicate INSERT column refuses
+    with pytest.raises(ValueError, match="more than once"):
+        cat.sql("MERGE INTO t4 t USING s4 s ON t.k = s.k "
+                "WHEN NOT MATCHED THEN INSERT (k, k) VALUES (s.k, 0)")
+
+    # (d) UPDATE before DELETE refuses — written order contradicts the
+    # fixed delete-first priority
+    with pytest.raises(ValueError, match="DELETE before UPDATE"):
+        cat.sql("MERGE INTO t4 t USING s4 s ON t.k = s.k "
+                "WHEN MATCHED AND s.k = 2 THEN UPDATE SET * "
+                "WHEN MATCHED THEN DELETE")
