@@ -1,0 +1,176 @@
+"""Exhaustive conditional-MERGE clause matrix vs a pure-Python model.
+
+Every combination of {when_matched} x {matched_predicate} x
+{delete_predicate} x {when_not_matched} x {insert_predicate} x
+{when_not_matched_by_source} x {not_matched_by_source_predicate} runs
+through the shared outer-join kernel and is compared row-for-row with an
+independent Python implementation of the clause semantics (delete-first
+fixed priority, NULL predicate = fail, SET/VALUES maps, by-source
+actions). A deterministic sample of the matrix additionally round-trips
+through the snaplog COW engine and the jar-less Delta DML engine (their
+agreement with the kernel on targeted cases is pinned in
+test_merge_clauses; this adds breadth)."""
+
+import itertools
+
+import pytest
+
+from dc43_spark.io.merge import _outer_join_merge
+
+TGT = [(k, k * 10) for k in range(10)]          # k 0..9
+SRC = [(k, k * 100) for k in range(5, 15)]      # k 5..14
+
+# SQL expression strings paired with their python twins
+WM_OPTS = {
+    "update": "update",
+    "ignore": "ignore",
+    "set": {"v": "s.v + t.v"},
+}
+WM_PY = {
+    "update": lambda t, s: (s[0], s[1]),
+    "ignore": None,
+    "set": lambda t, s: (t[0], s[1] + t[1]),
+}
+MP_OPTS = {None: None, "t.v % 30 = 0": lambda t, s: t[1] % 30 == 0}
+DP_OPTS = {None: None, "s.k % 3 = 0": lambda t, s: s[0] % 3 == 0}
+WN_OPTS = {
+    "insert": "insert",
+    "ignore": "ignore",
+    "values": {"k": "s.k", "v": "s.v - 100"},
+}
+WN_PY = {
+    "insert": lambda s: (s[0], s[1]),
+    "ignore": None,
+    "values": lambda s: (s[0], s[1] - 100),
+}
+IP_OPTS = {None: None, "s.k % 2 = 0": lambda s: s[0] % 2 == 0}
+BS_OPTS = {
+    "ignore": "ignore",
+    "delete": "delete",
+    "set": {"v": "t.v + 1000"},
+}
+BS_PY = {
+    "ignore": None,
+    "delete": "delete",
+    "set": lambda t: (t[0], t[1] + 1000),
+}
+BP_OPTS = {None: None, "t.k % 2 = 1": lambda t: t[0] % 2 == 1}
+
+
+def py_merge(wm, mp, dp, wn, ip, bs, bp):
+    """The clause semantics in plain Python (delete wins; predicates
+    default True; by-source acts on target rows with NO source match)."""
+    src_by_k = {r[0]: r for r in SRC}
+    out = set()
+    for t in TGT:
+        s = src_by_k.get(t[0])
+        if s is not None:                                   # matched
+            if DP_OPTS[dp] is not None and DP_OPTS[dp](t, s):
+                continue                                    # deleted
+            fn = WM_PY[wm]
+            upd_ok = MP_OPTS[mp] is None or MP_OPTS[mp](t, s)
+            if fn is not None and upd_ok:
+                out.add(fn(t, s))
+            else:
+                out.add(t)
+        else:                                               # by source
+            act = BS_PY[bs]
+            bs_ok = BP_OPTS[bp] is None or BP_OPTS[bp](t)
+            if act == "delete" and bs_ok:
+                continue
+            if callable(act) and bs_ok:
+                out.add(act(t))
+            else:
+                out.add(t)
+    tgt_keys = {r[0] for r in TGT}
+    for s in SRC:
+        if s[0] in tgt_keys:
+            continue
+        fn = WN_PY[wn]
+        if fn is None:
+            continue
+        if IP_OPTS[ip] is not None and not IP_OPTS[ip](s):
+            continue
+        out.add(fn(s))
+    return out
+
+
+MATRIX = list(itertools.product(
+    WM_OPTS, MP_OPTS, DP_OPTS, WN_OPTS, IP_OPTS, BS_OPTS, BP_OPTS,
+))  # 3*2*2*3*2*3*2 = 432 combinations
+
+
+def _frames(spark):
+    return (
+        spark.createDataFrame(TGT, "k long, v long"),
+        spark.createDataFrame(SRC, "k long, v long"),
+    )
+
+
+def test_kernel_matches_python_model_across_the_full_matrix(spark):
+    """All 432 combinations through the outer-join kernel — ONE Spark
+    job: the combos evaluate lazily and union into a single tagged frame
+    so the matrix costs one collect, not 432."""
+    from pyspark.sql import functions as F
+
+    tgt, src = _frames(spark)
+    tagged = []
+    expected = {}
+    for i, (wm, mp, dp, wn, ip, bs, bp) in enumerate(MATRIX):
+        out = _outer_join_merge(
+            tgt, src, ["k"],
+            when_matched=WM_OPTS[wm],
+            matched_predicate=mp,
+            delete_predicate=dp,
+            when_not_matched=WN_OPTS[wn],
+            insert_predicate=ip,
+            when_not_matched_by_source=BS_OPTS[bs],
+            not_matched_by_source_predicate=bp,
+        )
+        tagged.append(out.select(F.lit(i).alias("combo"), "k", "v"))
+        expected[i] = py_merge(wm, mp, dp, wn, ip, bs, bp)
+    union = tagged[0]
+    for t in tagged[1:]:
+        union = union.unionByName(t)
+    got: dict = {}
+    for r in union.collect():
+        got.setdefault(r.combo, set()).add((r.k, r.v))
+    for i, (combo) in enumerate(MATRIX):
+        assert got.get(i, set()) == expected[i], (i, combo)
+
+
+@pytest.mark.parametrize("combo_idx", [7, 85, 160, 233, 311, 431])
+def test_engines_match_python_model_on_sampled_combos(spark, tmp_path, combo_idx):
+    """A deterministic sample of the matrix through the snaplog COW
+    engine and the jar-less Delta DML engine (DV strategy)."""
+    from dc43_spark.io.delta_dml import delta_merge
+    from dc43_spark.io.delta_log import DeltaLogTable, delta_write
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    wm, mp, dp, wn, ip, bs, bp = MATRIX[combo_idx]
+    expect = py_merge(wm, mp, dp, wn, ip, bs, bp)
+    kw = dict(
+        when_matched=WM_OPTS[wm],
+        matched_predicate=mp,
+        delete_predicate=dp,
+        when_not_matched=WN_OPTS[wn],
+        insert_predicate=ip,
+        when_not_matched_by_source=BS_OPTS[bs],
+        not_matched_by_source_predicate=bp,
+    )
+    tgt, src = _frames(spark)
+
+    t = SnaplogTable(spark, str(tmp_path / "s"))
+    t.write(tgt, mode="overwrite")
+    t.merge(src, ["k"], **kw)
+    assert {(r.k, r.v) for r in t.read().collect()} == expect
+
+    dp_path = str(tmp_path / "d")
+    delta_write(
+        spark, tgt, dp_path, checkpoint_interval=None,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    delta_merge(spark, src, dp_path, ["k"], **kw)
+    assert {
+        (r.k, r.v) for r in DeltaLogTable(spark, dp_path).read().collect()
+    } == expect
