@@ -93,6 +93,7 @@ from dc43_spark.io.delta_log import (
     _dv_total_cardinality,
     _enforce_delta_rules,
     _generated_columns,
+    _identity_columns,
     _file_identity_df,
     _raw_protocol_meta,
     _stage_data_files,
@@ -184,15 +185,16 @@ def _live_lineage(t: DeltaLogTable, snap, files=None) -> DataFrame:
     data_schema = StructType(data_fields)
     rename_back: dict = {}
     if snap.column_mapping:
-        # mapped tables: files hold PHYSICAL names — read physically,
-        # alias back to logical right after the scan (partition columns
-        # never live in the files; they ride the tag join below under
-        # their logical names)
+        # mapped tables: read through the mode's resolution schema
+        # (physical names, or logical+field-id for id mode) and alias
+        # back to logical right after the scan — a positional zip, so it
+        # degenerates to a no-op for id mode (partition columns never
+        # live in the files; they ride the tag join below under their
+        # logical names)
         data_schema = t._physical_schema(snap, data_fields)
         rename_back = {
-            (f.metadata or {}).get("delta.columnMapping.physicalName", f.name):
-                f.name
-            for f in data_fields
+            p.name: l.name
+            for p, l in zip(data_schema.fields, data_fields)
         }
 
     files_df = F.broadcast(_file_identity_df(spark, snap, scan_files))
@@ -285,8 +287,10 @@ def _live_lineage(t: DeltaLogTable, snap, files=None) -> DataFrame:
 
 def _to_physical(df: DataFrame, snap) -> DataFrame:
     """Rename logical columns to their physical names before staging a
-    mapped table's files (delta_write's discipline); extra columns
-    (``_change_type``) pass through unchanged."""
+    mapped table's files, carrying ``parquet.field.id`` alias metadata so
+    the staged parquet keeps field ids (required for id-mode resolution;
+    delta-spark-faithful for name mode). Extra columns (``_change_type``)
+    pass through unchanged."""
     if not snap.column_mapping:
         return df
     phys = {
@@ -295,9 +299,20 @@ def _to_physical(df: DataFrame, snap) -> DataFrame:
         )
         for f in snap.schema.fields
     }
-    return df.select(
-        *[F.col(f"`{c}`").alias(phys.get(c, c)) for c in df.columns]
-    )
+    fids = {
+        f.name: (f.metadata or {}).get("delta.columnMapping.id")
+        for f in snap.schema.fields
+    }
+
+    def _col(c):
+        fid = fids.get(c)
+        if fid is not None:
+            return F.col(f"`{c}`").alias(
+                phys.get(c, c), metadata={"parquet.field.id": int(fid)}
+            )
+        return F.col(f"`{c}`").alias(phys.get(c, c))
+
+    return df.select(*[_col(c) for c in df.columns])
 
 
 def _stage_dv_files(t: DeltaLogTable, del_rows: DataFrame, old_dvs: dict) -> dict:
@@ -652,6 +667,14 @@ def delta_update(
                     "values recompute from the expression — update the "
                     "source columns instead"
                 )
+            bad_ident = sorted(
+                set.keys() & _identity_columns(snap.schema).keys()
+            )
+            if bad_ident:
+                raise DeltaWriteError(
+                    f"column(s) {bad_ident} are IDENTITY columns; their "
+                    "values are writer-allocated and cannot be SET"
+                )
             missing = sorted(k for k in set if k not in data_cols)
             if missing:
                 raise DeltaWriteError(f"SET columns not in schema: {missing}")
@@ -783,6 +806,31 @@ def delta_merge(
         data_cols = [f.name for f in snap.schema.fields]
         types = {f.name: f.dataType for f in snap.schema.fields}
         gen = _generated_columns(snap.schema)
+        ident = _identity_columns(snap.schema)
+        if ident:
+            # operations that cannot corrupt the identity sequence are
+            # allowed (deletes, SET maps leaving the columns untouched);
+            # everything that would write identity values refuses loudly
+            if when_not_matched != "ignore":
+                raise DeltaWriteError(
+                    "MERGE inserts on an identity-column table are not "
+                    "supported here (identity allocation inside MERGE); "
+                    "insert the rows with a delta_write append instead"
+                )
+            if when_matched == "update":
+                raise DeltaWriteError(
+                    "updateAll on an identity-column table would overwrite "
+                    f"identity column(s) {sorted(ident)}; use a SET map "
+                    "that leaves them untouched"
+                )
+            for clause in (when_matched, when_not_matched_by_source):
+                if isinstance(clause, dict):
+                    bad = sorted(set(clause) & set(ident))
+                    if bad:
+                        raise DeltaWriteError(
+                            f"column(s) {bad} are IDENTITY columns; their "
+                            "values are writer-allocated and cannot be SET"
+                        )
         for clause, kind in (
             (when_matched, "when_matched SET"),
             (when_not_matched, "when_not_matched VALUES"),

@@ -22,8 +22,12 @@ when ``import delta`` fails).
 Writes: ``delta_write`` does create, blind append, and snapshot-pinned
 overwrite, with CHECK constraints + column invariants validated per
 write and an explicit writer-protocol gate (``_check_writer_protocol``)
-that refuses identity columns, column mapping, and unknown writer
-features rather than approximating them. Row-mutating operations
+that refuses unknown writer features rather than approximating them.
+Column mapping is fully writable in BOTH modes (name since r10; id since
+r11 — staged parquet carries field ids, reads resolve via Spark's native
+field-id matching), and identity columns allocate protocol-faithful
+values on append with the high water mark advancing in the same commit
+(r11). Row-mutating operations
 (MERGE/UPDATE/DELETE, r10) live in io/delta_dml.py — deletion-vector or
 copy-on-write strategies over this module's reader + claimer, with CDF
 emission. The honest caveat stands: round-trips are verified against
@@ -121,8 +125,12 @@ class DeltaSnapshot:
     schema: StructType
     partition_columns: tuple
     files: tuple
-    column_mapping: bool
+    column_mapping: bool  # True for BOTH name- and id-mode mapping
     configuration: dict
+    #: "none" | "name" | "id" — id-mode resolves file columns by parquet
+    #: FIELD ID (delta.columnMapping.id -> parquet.field.id read schema
+    #: metadata; Spark's native field-id matching does the rest)
+    mapping_mode: str = "none"
 
 
 def _decode_path(p: str) -> str:
@@ -518,11 +526,29 @@ class DeltaLogTable:
             )
         conf = meta.get("configuration") or {}
         mapping_mode = conf.get("delta.columnMapping.mode", "none")
-        if mapping_mode not in ("none", "name"):
+        if mapping_mode not in ("none", "name", "id"):
             raise DeltaProtocolError(
-                f"unsupported column mapping mode {mapping_mode!r} (id-mode "
-                "needs parquet field-id resolution)"
+                f"unsupported column mapping mode {mapping_mode!r}"
             )
+        if mapping_mode == "id":
+            # id-mode files are resolved by parquet FIELD ID: the read
+            # schemas this reader builds carry parquet.field.id metadata,
+            # and this session conf turns on Spark's native id matching
+            # (a no-op for schemas without the metadata, so enabling it
+            # session-wide is safe)
+            schema_doc = json.loads(meta["schemaString"])
+            missing_ids = [
+                f["name"] for f in schema_doc.get("fields", ())
+                if "delta.columnMapping.id"
+                not in (f.get("metadata") or {})
+            ]
+            if missing_ids:
+                raise DeltaProtocolError(
+                    f"id-mode table field(s) {missing_ids} lack "
+                    "delta.columnMapping.id — field-id resolution is "
+                    "impossible; the log is malformed"
+                )
+            self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = tuple(meta.get("partitionColumns") or ())
         # column-mapped tables key partitionValues and stats by PHYSICAL
@@ -531,7 +557,7 @@ class DeltaLogTable:
         # to logical at snapshot build so every downstream consumer
         # (scan grouping, data skipping, DML) sees one naming scheme
         p2l: dict = {}
-        if mapping_mode == "name":
+        if mapping_mode in ("name", "id"):
             p2l = {
                 (f.metadata or {}).get(
                     "delta.columnMapping.physicalName", f.name
@@ -558,8 +584,9 @@ class DeltaLogTable:
             schema=schema,
             partition_columns=part_cols,
             files=files,
-            column_mapping=(mapping_mode == "name"),
+            column_mapping=(mapping_mode in ("name", "id")),
             configuration=conf,
+            mapping_mode=mapping_mode,
         )
 
     def _checkpoint_actions(self, path: str) -> list:
@@ -631,20 +658,35 @@ class DeltaLogTable:
     def _physical_schema(
         self, snap: DeltaSnapshot, fields: Optional[Sequence] = None
     ) -> StructType:
-        """Physical (on-file) names for ``fields`` (default: the full
-        schema; pass the non-partition fields for partitioned tables —
-        partition values live in the log, never in the files)."""
+        """The READ schema that resolves ``fields`` against the data
+        files (default: the full schema; pass the non-partition fields
+        for partitioned tables — partition values live in the log, never
+        in the files).
+
+        - name mode: physical names (files are matched by name).
+        - id mode: LOGICAL names carrying ``parquet.field.id`` metadata
+          (``delta.columnMapping.id``) — Spark's field-id matching
+          resolves the file columns, so no alias-back is needed (the
+          positional alias-back zips become identity maps)."""
         src = snap.schema.fields if fields is None else list(fields)
         if not snap.column_mapping:
             return StructType(src)
         phys = StructType()
         for f in src:
             md = f.metadata or {}
-            phys.add(
-                md.get("delta.columnMapping.physicalName", f.name),
-                f.dataType,
-                f.nullable,
-            )
+            if snap.mapping_mode == "id":
+                phys.add(
+                    StructField(
+                        f.name, f.dataType, f.nullable,
+                        {"parquet.field.id": int(md["delta.columnMapping.id"])},
+                    )
+                )
+            else:
+                phys.add(
+                    md.get("delta.columnMapping.physicalName", f.name),
+                    f.dataType,
+                    f.nullable,
+                )
         return phys
 
     def _apply_dvs(self, df: DataFrame, files: Sequence[DeltaFile]) -> DataFrame:
@@ -1420,23 +1462,50 @@ def _check_writer_protocol(
         )
     conf = meta.get("configuration") or {}
     mode = conf.get("delta.columnMapping.mode", "none")
-    if mode not in ("none", "name"):
+    if mode not in ("none", "name", "id"):
         raise DeltaWriteError(
-            f"column mapping mode {mode!r} is not writable here (id-mode "
-            "needs parquet field-id emission)"
+            f"column mapping mode {mode!r} is not writable here"
         )
-    if mode == "name" and not allow_column_mapping:
+    if mode in ("name", "id") and not allow_column_mapping:
         raise DeltaWriteError(
             "column-mapped Delta table: this operation does not write "
             "physical names"
         )
+    if mode == "id":
+        for f in schema.fields:
+            if "delta.columnMapping.id" not in (f.metadata or {}):
+                raise DeltaWriteError(
+                    f"id-mode table field {f.name!r} lacks "
+                    "delta.columnMapping.id; cannot emit parquet field ids"
+                )
+def _identity_columns(schema: StructType) -> dict:
+    """name -> {"start", "step", "hwm", "allow"} for IDENTITY fields
+    (PROTOCOL.md Identity Columns: ``delta.identity.start`` /
+    ``delta.identity.step`` / ``delta.identity.highWaterMark`` /
+    ``delta.identity.allowExplicitInsert`` field metadata). Since r11 the
+    writer GENERATES values for appends (start + k*step, beyond the high
+    water mark, HWM advanced in the same commit); DML allows operations
+    that cannot corrupt the sequence and refuses the rest loudly."""
+    out = {}
     for f in schema.fields:
         md = f.metadata or {}
-        if any(k.startswith("delta.identity.") for k in md):
-            raise DeltaWriteError(
-                f"column {f.name!r} is an identity column; this writer "
-                "does not allocate identity values"
-            )
+        if "delta.identity.start" in md or "delta.identity.step" in md:
+            out[f.name] = {
+                "start": int(md.get("delta.identity.start", 1)),
+                "step": int(md.get("delta.identity.step", 1)),
+                "hwm": (
+                    int(md["delta.identity.highWaterMark"])
+                    if "delta.identity.highWaterMark" in md
+                    else None
+                ),
+                "allow": bool(md.get("delta.identity.allowExplicitInsert",
+                                     False)),
+            }
+            if out[f.name]["step"] == 0:
+                raise DeltaProtocolError(
+                    f"identity column {f.name!r} has step 0"
+                )
+    return out
 
 
 def _generated_columns(schema: StructType) -> dict:
@@ -1660,6 +1729,7 @@ def delta_write(
 
     gen0: dict = {}
     gen_rules: dict = {}
+    ident_generated: dict = {}
     if snap is not None:
         # writer gate needs the raw protocol + metaData, not just the
         # snapshot view
@@ -1674,6 +1744,36 @@ def delta_write(
             # for provided ones BEFORE the schema gate so evolution sees
             # the real shape; the rules join the constraint aggregate
             df, gen_rules = _apply_generated_columns(df, gen0)
+        ident0 = _identity_columns(snap.schema)
+        for _iname, _ispec in sorted(ident0.items()):
+            if _iname in df.columns:
+                if not _ispec["allow"]:
+                    raise DeltaWriteError(
+                        f"column {_iname!r} is GENERATED ALWAYS AS IDENTITY "
+                        "(allowExplicitInsert=false); omit it — values are "
+                        "allocated by the writer"
+                    )
+                # explicit insert allowed: values pass through unchanged
+                # (the HWM does not chase explicit values — delta-spark's
+                # rule; ALTER ... SYNC IDENTITY is the catch-up)
+                continue
+            # allocate: start + k*step, strictly beyond the high water
+            # mark in the step's direction; monotonically_increasing_id
+            # keeps allocation distributed (uniqueness per write job) and
+            # gaps are allowed by the protocol
+            base = (
+                _ispec["hwm"] + _ispec["step"]
+                if _ispec["hwm"] is not None
+                else _ispec["start"]
+            )
+            df = df.withColumn(
+                _iname,
+                (
+                    F.lit(base)
+                    + F.lit(_ispec["step"]) * F.monotonically_increasing_id()
+                ).cast(snap.schema[_iname].dataType),
+            )
+            ident_generated[_iname] = _ispec
         part_cols = list(snap.partition_columns)
         if partition_by is not None and list(partition_by) != part_cols:
             if mode != "overwrite":
@@ -1720,6 +1820,7 @@ def delta_write(
     # fresh col-<uuid> physical names, assigned ONCE so the staged files
     # and the evolution metaData agree across claim retries.
     mapping_mode = snap is not None and snap.column_mapping
+    id_mode = snap is not None and snap.mapping_mode == "id"
     phys_by_logical: dict = {}
     new_phys: dict = {}
     if mapping_mode:
@@ -1729,15 +1830,36 @@ def delta_write(
             )
             for f in snap.schema.fields
         }
+        fid_by_logical = {
+            f.name: (f.metadata or {}).get("delta.columnMapping.id")
+            for f in snap.schema.fields
+        }
         for c in df.columns:
             if c not in phys_by_logical:
+                if id_mode:
+                    raise DeltaWriteError(
+                        f"additive evolution on an id-mode mapped table is "
+                        f"not supported here (column {c!r} would need a "
+                        "field id assigned at commit time, after the files "
+                        "are staged); add the column with a metadata "
+                        "commit first"
+                    )
                 new_phys[c] = f"col-{_uuid.uuid4().hex}"
-        stage_df = df.select(
-            *[
-                F.col(c).alias(phys_by_logical.get(c, new_phys.get(c, c)))
-                for c in df.columns
-            ]
-        )
+
+        def _stage_col(c):
+            # physical name in the file; parquet field ids ride the alias
+            # metadata (Spark's fieldId.write is on by default) — REQUIRED
+            # for id-mode resolution, harmless and delta-spark-faithful
+            # for name mode
+            phys = phys_by_logical.get(c, new_phys.get(c, c))
+            fid = fid_by_logical.get(c)
+            if fid is not None:
+                return F.col(c).alias(
+                    phys, metadata={"parquet.field.id": int(fid)}
+                )
+            return F.col(c).alias(phys)
+
+        stage_df = df.select(*[_stage_col(c) for c in df.columns])
     else:
         stage_df = df
     ts_ms = int(_time.time() * 1000)
@@ -1750,6 +1872,46 @@ def delta_write(
         else part_cols
     )
     adds = _stage_data_files(stage_df, dest, stage_part_cols, ts_ms)
+
+    # identity high water marks advance from the STAGED FOOTER STATS —
+    # no extra scan; the metaData action below commits them atomically
+    # with the files (PROTOCOL.md Identity Columns writer requirement)
+    ident_hwm: dict = {}
+    for _iname, _ispec in ident_generated.items():
+        pcol = (
+            phys_by_logical.get(_iname, _iname) if mapping_mode else _iname
+        )
+        side = "maxValues" if _ispec["step"] > 0 else "minValues"
+        vals = []
+        for a in adds:
+            try:
+                v = json.loads(a["stats"])[side].get(pcol)
+            except (KeyError, ValueError):
+                v = None
+            if v is not None:
+                vals.append(int(v))
+        if vals:
+            new_mark = max(vals) if _ispec["step"] > 0 else min(vals)
+            old = _ispec["hwm"]
+            if old is not None:
+                new_mark = (
+                    max(new_mark, old) if _ispec["step"] > 0
+                    else min(new_mark, old)
+                )
+            ident_hwm[_iname] = new_mark
+
+    def _apply_ident_hwm(meta_doc: dict) -> dict:
+        """Return a metaData dict whose identity fields carry the
+        advanced high water marks."""
+        doc = json.loads(meta_doc["schemaString"])
+        for f0 in doc["fields"]:
+            if f0["name"] in ident_hwm:
+                md0 = dict(f0.get("metadata") or {})
+                md0["delta.identity.highWaterMark"] = ident_hwm[f0["name"]]
+                f0["metadata"] = md0
+        out = dict(meta_doc)
+        out["schemaString"] = json.dumps(doc)
+        return out
 
     # ---- claim the commit (retry on version races)
     claimer = LinkCommitClaimer()
@@ -1868,6 +2030,12 @@ def delta_write(
                     new_meta["schemaString"] = df.schema.json()
                     new_meta["partitionColumns"] = part_cols
                     actions.append({"metaData": new_meta})
+                elif ident_hwm:
+                    # same-schema overwrite on an identity table: advance
+                    # the marks (overwrite pins its snapshot, so no
+                    # concurrent-allocation race is possible here)
+                    _, meta_now = _raw_protocol_meta(t, head)
+                    actions.append({"metaData": _apply_ident_hwm(meta_now)})
             else:
                 new_cols = [f for f in df.schema.fields
                             if f.name not in {x.name for x in snap.schema.fields}]
@@ -1903,7 +2071,24 @@ def delta_write(
                     else:
                         evolved = StructType(list(snap.schema.fields) + new_cols)
                     new_meta["schemaString"] = evolved.json()
+                    if ident_hwm:
+                        new_meta = _apply_ident_hwm(new_meta)
                     actions.append({"metaData": new_meta})
+                elif ident_hwm:
+                    if head != base_version:
+                        # another writer may have allocated past our
+                        # pinned mark — our staged values could collide
+                        now_ident = _identity_columns(snap.schema)
+                        for n0, sp0 in ident_generated.items():
+                            if now_ident.get(n0, {}).get("hwm") != sp0["hwm"]:
+                                raise DeltaProtocolError(
+                                    f"identity high water mark of {n0!r} "
+                                    "moved concurrently; the staged values "
+                                    "were allocated under the old mark — "
+                                    "retry the write"
+                                )
+                    _, meta_now = _raw_protocol_meta(t, head)
+                    actions.append({"metaData": _apply_ident_hwm(meta_now)})
             next_version = head + 1
         actions += [{"add": a} for a in adds]
         payload = "\n".join(json.dumps(a) for a in actions) + "\n"
@@ -2164,12 +2349,13 @@ def delta_optimize(
             groups.setdefault(key, []).append(f)
     # column-mapped tables: files hold physical names — the compaction
     # reads AND rewrites physically (no renaming needed); logical names
-    # only matter for zorder_by resolution below
+    # only matter for zorder_by resolution below. id-mode read schemas
+    # keep LOGICAL names (field-id resolution), so no mapping there.
     phys_of = {
         f.name: (f.metadata or {}).get("delta.columnMapping.physicalName",
                                        f.name)
         for f in snap.schema.fields
-    } if snap.column_mapping else {}
+    } if snap.mapping_mode == "name" else {}
     if zorder_by:
         bad = set(zorder_by) & set(snap.partition_columns)
         if bad:

@@ -307,11 +307,14 @@ def test_refusals_are_loud(spark, tmp_path):
     with pytest.raises(DeltaProtocolError, match="storageType"):
         DeltaLogTable(spark, t2).snapshot()
 
+    # id-mode is READABLE since r11 (test_delta_id_mapping) — but a
+    # MALFORMED id-mode log whose fields lack delta.columnMapping.id
+    # still refuses loudly (field-id resolution is impossible)
     t3 = str(tmp_path / "t3")
     a3 = _data_file(t3, "f.parquet", [(1, "a")])
     _commit(t3, 0, [_protocol(reader=2),
                     _meta(configuration={"delta.columnMapping.mode": "id"}), a3])
-    with pytest.raises(DeltaProtocolError, match="id-mode"):
+    with pytest.raises(DeltaProtocolError, match="delta.columnMapping.id"):
         DeltaLogTable(spark, t3).snapshot()
 
 

@@ -98,17 +98,18 @@ def test_writer_protocol_gate(spark, tmp_path):
                         "writerFeatures": ["icebergCompatV2"]})
     with pytest.raises(DeltaWriteError, match="icebergCompatV2"):
         delta_write(spark, _df(spark, 2, 3), t)
-    # identity column refuses even though a FEATURE flag alone wouldn't
+    # identity columns ALLOCATE since r11: an explicit value for the
+    # GENERATED ALWAYS AS column still refuses (allowExplicitInsert off)
     _amend(1, protocol={"minReaderVersion": 1, "minWriterVersion": 7,
                         "writerFeatures": ["identityColumns"]},
            field_md={"delta.identity.start": 1, "delta.identity.step": 1})
-    with pytest.raises(DeltaWriteError, match="identity column"):
+    with pytest.raises(DeltaWriteError, match="GENERATED ALWAYS AS IDENTITY"):
         delta_write(spark, _df(spark, 2, 3), t)
-    # id-mode column mapping refuses (field-id resolution not implemented);
-    # name-mode is fully writable since r10 — pinned in
-    # test_column_mapping_write_rename_drop_roundtrip and test_delta_dml
+    # id-mode column mapping: a log claiming mode=id whose fields lack
+    # delta.columnMapping.id is malformed and refuses loudly (well-formed
+    # id-mode is fully readable+writable since r11 — test_delta_id_mapping)
     _amend(1, meta_extra={"delta.columnMapping.mode": "id"})
-    with pytest.raises(DeltaProtocolError, match="id-mode"):
+    with pytest.raises(DeltaProtocolError, match="delta.columnMapping.id"):
         delta_write(spark, _df(spark, 10, 11), t)
 
 
