@@ -166,6 +166,11 @@ class SnaplogCatalog:
           conjuncts on shared key names
         - ``DROP TABLE [IF EXISTS] t PURGE`` — drop (PURGE is mandatory,
           mirroring ``drop()``'s explicit-data-deletion contract)
+        - maintenance (r11, both formats): ``OPTIMIZE t [ZORDER BY
+          (c, ...)]``, ``VACUUM t [RETAIN n HOURS] [DRY RUN]`` (returns
+          (table, files, dry_run)), ``RESTORE TABLE t TO VERSION AS OF n
+          | TO TIMESTAMP AS OF 'iso'``, ``DESCRIBE HISTORY t`` (returns
+          (version, timestamp, operation) rows)
 
         DDL/DML return a one-row status frame (table, version)."""
         m = _DDL_CREATE_AS.match(query)
@@ -256,6 +261,91 @@ class SnaplogCatalog:
             t = self.table(name)
             t.update(set=sets, where=where if where is not None else "true")
             return self._status(name, t.version())
+        m = _DDL_OPTIMIZE.match(query)
+        if m:
+            name, zcols = m.groups()
+            if not self.exists(name):
+                raise ValueError(f"no table {name!r} in {self.root}")
+            z = (
+                [c.strip().strip("`") for c in zcols.split(",")]
+                if zcols else None
+            )
+            if self.format_of(name) == "delta":
+                from dc43_spark.io.delta_log import delta_optimize
+
+                delta_optimize(self.spark, self._path(name), zorder_by=z)
+                return self._status(name, self.delta_table(name).version())
+            t = self.table(name)
+            t.compact(zorder_by=z)
+            return self._status(name, t.version())
+        m = _DDL_VACUUM.match(query)
+        if m:
+            name, hours, dry = m.groups()
+            if not self.exists(name):
+                raise ValueError(f"no table {name!r} in {self.root}")
+            dry_run = bool(dry)
+            if self.format_of(name) == "delta":
+                from dc43_spark.io.delta_log import delta_vacuum
+
+                removed = delta_vacuum(
+                    self.spark, self._path(name),
+                    retain_hours=float(hours) if hours else 168.0,
+                    dry_run=dry_run,
+                )
+                n = len(removed)
+            else:
+                kw = {"dry_run": dry_run}
+                if hours is not None:
+                    kw["retention_hours"] = float(hours)
+                out = self.table(name).vacuum(**kw)
+                n = len(out) if isinstance(out, list) else int(out)
+            return self.spark.createDataFrame(
+                [(name, n, dry_run)],
+                "table string, files long, dry_run boolean",
+            )
+        m = _DDL_RESTORE.match(query)
+        if m:
+            name, ver, ts = m.groups()
+            if not self.exists(name):
+                raise ValueError(f"no table {name!r} in {self.root}")
+            ts_val = None
+            if ts is not None:
+                import datetime as _dt
+
+                ts_val = _dt.datetime.fromisoformat(ts).timestamp()
+            if self.format_of(name) == "delta":
+                from dc43_spark.io.delta_log import delta_restore
+
+                delta_restore(
+                    self.spark, self._path(name),
+                    version=int(ver) if ver is not None else None,
+                    timestamp=ts_val,
+                )
+                return self._status(name, self.delta_table(name).version())
+            t = self.table(name)
+            t.restore(
+                version_as_of=int(ver) if ver is not None else None,
+                timestamp_as_of=ts_val,
+            )
+            return self._status(name, t.version())
+        m = _DDL_HISTORY.match(query)
+        if m:
+            name = m.group(1)
+            if not self.exists(name):
+                raise ValueError(f"no table {name!r} in {self.root}")
+            if self.format_of(name) == "delta":
+                rows = [
+                    (int(v), float(ts), op)
+                    for v, ts, op in self.delta_table(name).history()
+                ]
+            else:
+                rows = [
+                    (int(c.version), float(c.timestamp), c.operation)
+                    for c in self.table(name).history()
+                ]
+            return self.spark.createDataFrame(
+                rows, "version long, timestamp double, operation string"
+            )
         m = _DDL_DROP.match(query)
         if m:
             if_exists, name, purge = m.groups()
@@ -627,5 +717,25 @@ def _parse_assignments(raw: str) -> dict:
 _DDL_DROP = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_][A-Za-z0-9_]*)"
     r"\s*(PURGE)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DDL_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DDL_VACUUM = re.compile(
+    r"^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DDL_RESTORE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DDL_HISTORY = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
     re.IGNORECASE,
 )

@@ -463,3 +463,49 @@ def test_sql_merge_parser_hardening(spark, tmp_path):
         cat.sql("MERGE INTO t4 t USING s4 s ON t.k = s.k "
                 "WHEN MATCHED AND s.k = 2 THEN UPDATE SET * "
                 "WHEN MATCHED THEN DELETE")
+
+
+def test_sql_maintenance_statements_both_formats(spark, tmp_path):
+    """r11: OPTIMIZE [ZORDER BY] / VACUUM [RETAIN n HOURS] [DRY RUN] /
+    RESTORE TABLE ... TO VERSION AS OF / DESCRIBE HISTORY route to the
+    snaplog table API and the jar-less Delta maintenance functions."""
+    import os
+
+    from dc43_spark.io.catalog import SnaplogCatalog
+    from dc43_spark.io.delta_log import DeltaLogTable, delta_write
+
+    cat = SnaplogCatalog(spark, str(tmp_path / "wh"))
+    # snaplog: several small commits to give OPTIMIZE something to pack
+    cat.sql("CREATE TABLE st AS SELECT id AS k, id * 2 AS amt FROM range(4)")
+    cat.sql("INSERT INTO st SELECT id AS k, id AS amt FROM range(10, 14)")
+    cat.sql("INSERT INTO st SELECT id AS k, id AS amt FROM range(20, 24)")
+    hist = cat.sql("DESCRIBE HISTORY st").collect()
+    assert [r.version for r in hist] == [0, 1, 2]
+    assert hist[0].operation in ("overwrite", "write")
+
+    st = cat.sql("OPTIMIZE st").collect()[0]
+    assert st.version == 3
+    assert cat.sql("SELECT * FROM st").count() == 12  # rows unchanged
+
+    dry = cat.sql("VACUUM st RETAIN 0 HOURS DRY RUN").collect()[0]
+    assert dry.dry_run and dry.files >= 0
+    cat.sql("RESTORE TABLE st TO VERSION AS OF 0")
+    assert {r.k for r in cat.sql("SELECT * FROM st").collect()} == {0, 1, 2, 3}
+
+    # delta: same statements through the jar-less functions
+    delta_write(
+        spark,
+        spark.range(4).selectExpr("id AS k", "id AS amt").coalesce(2),
+        os.path.join(cat.root, "dt"), checkpoint_interval=None,
+    )
+    cat.sql("INSERT INTO dt SELECT id AS k, id AS amt FROM range(50, 54)")
+    assert [r.version for r in cat.sql("DESCRIBE HISTORY dt").collect()] == [0, 1]
+    cat.sql("OPTIMIZE dt")
+    d = DeltaLogTable(spark, os.path.join(cat.root, "dt"))
+    assert d.read().count() == 8
+    out = cat.sql("VACUUM dt RETAIN 0 HOURS DRY RUN").collect()[0]
+    assert out.dry_run
+    cat.sql("RESTORE TABLE dt TO VERSION AS OF 0")
+    assert {r.k for r in d.read().collect()} == {0, 1, 2, 3}
+    with pytest.raises(ValueError, match="no table"):
+        cat.sql("OPTIMIZE ghost")
