@@ -1490,6 +1490,7 @@ def _identity_columns(schema: StructType) -> dict:
     for f in schema.fields:
         md = f.metadata or {}
         if "delta.identity.start" in md or "delta.identity.step" in md:
+            raw_allow = md.get("delta.identity.allowExplicitInsert", False)
             out[f.name] = {
                 "start": int(md.get("delta.identity.start", 1)),
                 "step": int(md.get("delta.identity.step", 1)),
@@ -1498,8 +1499,13 @@ def _identity_columns(schema: StructType) -> dict:
                     if "delta.identity.highWaterMark" in md
                     else None
                 ),
-                "allow": bool(md.get("delta.identity.allowExplicitInsert",
-                                     False)),
+                # defensive bool: a foreign writer storing the string
+                # "false" must not parse truthy
+                "allow": (
+                    raw_allow
+                    if isinstance(raw_allow, bool)
+                    else str(raw_allow).lower() == "true"
+                ),
             }
             if out[f.name]["step"] == 0:
                 raise DeltaProtocolError(

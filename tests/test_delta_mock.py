@@ -43,16 +43,35 @@ class RecordingBuilder:
     def __init__(self, log: list) -> None:
         self.log = log
 
+    # signatures mirror delta-spark's DeltaMergeBuilder (all clause
+    # methods take condition=; the column-level forms take set=/values=)
+
     def whenMatchedDelete(self, condition=None):  # noqa: N802
         self.log.append(("whenMatchedDelete", condition))
         return self
 
-    def whenMatchedUpdateAll(self):  # noqa: N802
-        self.log.append(("whenMatchedUpdateAll",))
+    def whenMatchedUpdateAll(self, condition=None):  # noqa: N802
+        self.log.append(("whenMatchedUpdateAll", condition))
         return self
 
-    def whenNotMatchedInsertAll(self):  # noqa: N802
-        self.log.append(("whenNotMatchedInsertAll",))
+    def whenMatchedUpdate(self, condition=None, set=None):  # noqa: N802
+        self.log.append(("whenMatchedUpdate", condition, set))
+        return self
+
+    def whenNotMatchedInsertAll(self, condition=None):  # noqa: N802
+        self.log.append(("whenNotMatchedInsertAll", condition))
+        return self
+
+    def whenNotMatchedInsert(self, condition=None, values=None):  # noqa: N802
+        self.log.append(("whenNotMatchedInsert", condition, values))
+        return self
+
+    def whenNotMatchedBySourceDelete(self, condition=None):  # noqa: N802
+        self.log.append(("whenNotMatchedBySourceDelete", condition))
+        return self
+
+    def whenNotMatchedBySourceUpdate(self, condition=None, set=None):  # noqa: N802
+        self.log.append(("whenNotMatchedBySourceUpdate", condition, set))
         return self
 
     def execute(self):
@@ -112,8 +131,8 @@ def test_delta_merge_builder_calls_update_insert(spark, fake_delta):
     assert merge_call[1] == "t.`k` <=> s.`k` AND t.`v` <=> s.`v`"
     assert merge_call[2] == ["k", "v", "amount"]  # contract-aligned source
     assert log[2:] == [
-        ("whenMatchedUpdateAll",),
-        ("whenNotMatchedInsertAll",),
+        ("whenMatchedUpdateAll", None),
+        ("whenNotMatchedInsertAll", None),
         ("execute",),
     ]
 
@@ -141,3 +160,42 @@ def test_delta_branch_still_validates_first(spark, fake_delta):
         )
     # blocked before any DeltaTable was ever constructed
     assert fake_delta.calls == []
+
+
+def test_delta_merge_builder_conditional_clause_forwarding(spark, fake_delta):
+    """r11: the full conditional clause surface forwards to delta-spark's
+    builder verbatim — SET/VALUES maps, per-clause predicates, by-source
+    actions (whenNotMatchedBySourceUpdate/Delete)."""
+    src = spark.createDataFrame([(1, "a", 1.0)], SCHEMA)
+    merge_with_contract(
+        spark, src, _contract(), keys=["k"], path="/delta/t", format="delta",
+        when_matched={"v": "s.v", "amount": "t.amount + s.amount"},
+        matched_predicate="t.amount < 100",
+        delete_predicate="s.amount < 0",
+        when_not_matched={"k": "s.k", "amount": "s.amount"},
+        insert_predicate="s.k > 0",
+        when_not_matched_by_source={"v": "'stale'"},
+        not_matched_by_source_predicate="t.k % 2 = 0",
+    )
+    log = fake_delta.last.log
+    assert ("whenMatchedDelete", "s.amount < 0") in log
+    assert (
+        "whenMatchedUpdate", "t.amount < 100",
+        {"v": "s.v", "amount": "t.amount + s.amount"},
+    ) in log
+    assert (
+        "whenNotMatchedInsert", "s.k > 0",
+        {"k": "s.k", "amount": "s.amount"},
+    ) in log
+    assert (
+        "whenNotMatchedBySourceUpdate", "t.k % 2 = 0", {"v": "'stale'"},
+    ) in log
+    assert log[-1] == ("execute",)
+    # and the delete variant
+    merge_with_contract(
+        spark, src, _contract(), keys=["k"], path="/delta/t2", format="delta",
+        when_matched="ignore", when_not_matched="ignore",
+        when_not_matched_by_source="delete",
+        not_matched_by_source_predicate="t.k = 9",
+    )
+    assert ("whenNotMatchedBySourceDelete", "t.k = 9") in fake_delta.last.log
