@@ -294,10 +294,12 @@ class SnaplogCatalog:
                 )
                 n = len(removed)
             else:
-                kw = {"dry_run": dry_run}
-                if hours is not None:
-                    kw["retention_hours"] = float(hours)
-                out = self.table(name).vacuum(**kw)
+                # same safety default as the delta branch (168 h): a bare
+                # VACUUM must not strip time travel the instant it runs
+                out = self.table(name).vacuum(
+                    retention_hours=float(hours) if hours else 168.0,
+                    dry_run=dry_run,
+                )
                 n = len(out) if isinstance(out, list) else int(out)
             return self.spark.createDataFrame(
                 [(name, n, dry_run)],
@@ -310,9 +312,9 @@ class SnaplogCatalog:
                 raise ValueError(f"no table {name!r} in {self.root}")
             ts_val = None
             if ts is not None:
-                import datetime as _dt
+                from dc43_spark.io.delta_log import _iso_ts
 
-                ts_val = _dt.datetime.fromisoformat(ts).timestamp()
+                ts_val = _iso_ts(ts)  # naive stamps are UTC (repo convention)
             if self.format_of(name) == "delta":
                 from dc43_spark.io.delta_log import delta_restore
 

@@ -197,6 +197,16 @@ def _parse_partition_value(type_name: str, raw):
     return raw  # string and anything else: compare as-is
 
 
+def _iso_ts(raw) -> float:
+    """ISO-8601 -> epoch seconds; NAIVE stamps are UTC — the repo's
+    time-travel convention (io/read.py's locator contract). A local-TZ
+    interpretation would restore/pin a different snapshot per host."""
+    dt = datetime.datetime.fromisoformat(str(raw))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return dt.timestamp()
+
+
 def _file_identity_df(spark: SparkSession, snap, files) -> DataFrame:
     """One broadcast-sized row per add action: file-identity columns
     (basename plus raw/URL-quoted relative-path suffixes —
@@ -548,7 +558,24 @@ class DeltaLogTable:
                     "delta.columnMapping.id — field-id resolution is "
                     "impossible; the log is malformed"
                 )
-            self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            cur = self.spark.conf.get(
+                "spark.sql.parquet.fieldId.read.enabled", None
+            )
+            if cur is None or str(cur).lower() == "true":
+                if cur is None:  # set once, not per snapshot
+                    self.spark.conf.set(
+                        "spark.sql.parquet.fieldId.read.enabled", "true"
+                    )
+            else:
+                # the session DELIBERATELY disabled field-id reads —
+                # don't silently flip global state under a read; refuse
+                # with the reason instead
+                raise DeltaProtocolError(
+                    "this id-mode table needs "
+                    "spark.sql.parquet.fieldId.read.enabled, which the "
+                    "session explicitly set false; re-enable it to read "
+                    "the table"
+                )
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = tuple(meta.get("partitionColumns") or ())
         # column-mapped tables key partitionValues and stats by PHYSICAL
@@ -907,7 +934,7 @@ def delta_read_fallback(
             try:
                 return float(raw)
             except (TypeError, ValueError):
-                return datetime.datetime.fromisoformat(str(raw)).timestamp()
+                return _iso_ts(raw)
 
         start = options.get("startingVersion")
         end = options.get("endingVersion")
@@ -946,7 +973,7 @@ def delta_read_fallback(
         try:
             ts = float(ts)
         except (TypeError, ValueError):
-            ts = datetime.datetime.fromisoformat(str(ts)).timestamp()
+            ts = _iso_ts(ts)
     return t.read(
         version_as_of=int(version) if version is not None else None,
         timestamp_as_of=ts,
@@ -2031,6 +2058,18 @@ def delta_write(
                             "delta_rename_column / delta_drop_column, add "
                             "columns via merge_schema appends"
                         )
+                    if ident_generated or _identity_columns(snap.schema):
+                        # df.schema carries NO field metadata (allocated
+                        # columns came from withColumn), so replacing the
+                        # schemaString would silently ERASE the identity
+                        # definition and its high water mark
+                        raise DeltaWriteError(
+                            "schema-changing overwrite on an identity-"
+                            "column table is not supported here: the new "
+                            "schema would drop the delta.identity.* "
+                            "definition; change the schema with a metadata "
+                            "commit first"
+                        )
                     _, meta = _raw_protocol_meta(t, head)
                     new_meta = dict(meta)
                     new_meta["schemaString"] = df.schema.json()
@@ -2081,18 +2120,22 @@ def delta_write(
                         new_meta = _apply_ident_hwm(new_meta)
                     actions.append({"metaData": new_meta})
                 elif ident_hwm:
-                    if head != base_version:
-                        # another writer may have allocated past our
-                        # pinned mark — our staged values could collide
-                        now_ident = _identity_columns(snap.schema)
-                        for n0, sp0 in ident_generated.items():
-                            if now_ident.get(n0, {}).get("hwm") != sp0["hwm"]:
-                                raise DeltaProtocolError(
-                                    f"identity high water mark of {n0!r} "
-                                    "moved concurrently; the staged values "
-                                    "were allocated under the old mark — "
-                                    "retry the write"
-                                )
+                    # compare the HEAD's identity marks against the specs
+                    # the values were allocated under — UNCONDITIONALLY
+                    # (the head-moved re-check above reassigns
+                    # base_version, so a head-vs-base comparison here
+                    # would be dead code): a concurrent writer that
+                    # advanced the mark means our staged values may
+                    # collide with its allocations
+                    now_ident = _identity_columns(t.snapshot(head).schema)
+                    for n0, sp0 in ident_generated.items():
+                        if now_ident.get(n0, {}).get("hwm") != sp0["hwm"]:
+                            raise DeltaProtocolError(
+                                f"identity high water mark of {n0!r} "
+                                "moved concurrently; the staged values "
+                                "were allocated under the old mark — "
+                                "retry the write"
+                            )
                     _, meta_now = _raw_protocol_meta(t, head)
                     actions.append({"metaData": _apply_ident_hwm(meta_now)})
             next_version = head + 1
@@ -2423,6 +2466,27 @@ def delta_optimize(
             )
         else:
             df = df.coalesce(1)
+        if snap.mapping_mode == "id":
+            # id-mode reads resolve through LOGICAL names + field ids;
+            # stage the rewrite back under PHYSICAL names (+ ids) so the
+            # new add's footer stats key physically — the protocol's
+            # column-mapping stats requirement, and what every other
+            # writer path here emits
+            df = df.select(
+                *[
+                    F.col(f"`{f.name}`").alias(
+                        (f.metadata or {}).get(
+                            "delta.columnMapping.physicalName", f.name
+                        ),
+                        metadata={
+                            "parquet.field.id": int(
+                                (f.metadata or {})["delta.columnMapping.id"]
+                            )
+                        },
+                    )
+                    for f in data_fields
+                ]
+            )
         staging = os.path.join(dest, f"_staging_{_uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
         import shutil

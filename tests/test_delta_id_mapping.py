@@ -174,3 +174,45 @@ def test_id_mode_dml_round_trip(spark, tmp_path):
         assert {(r.k, r.v) for r in d.read().collect()} == {
             (1, "B"), (2, "c"), (3, "D3"), (7, "g")
         }
+
+
+def test_id_mode_optimize_stats_keyed_physically(spark, tmp_path):
+    """Review r11 fix: OPTIMIZE on an id-mode table must stage the
+    rewrite under PHYSICAL names so the new add's footer stats key
+    physically (the protocol's column-mapping stats requirement), not
+    under the logical names the field-id read schema uses."""
+    import json as _json
+
+    from dc43_spark.io.delta_log import delta_optimize
+
+    t = _mk_id_table(tmp_path)
+    v = delta_optimize(spark, t, target_file_mb=64)
+    assert v == 1
+    d = DeltaLogTable(spark, t)
+    raw = d._collect_state(v)[0]
+    new_adds = [a for a in raw.values() if a["path"].startswith("part-")]
+    assert new_adds
+    st = _json.loads(new_adds[0]["stats"])
+    assert "col-aaa" in st["minValues"] and "k" not in st["minValues"]
+    # and the rewritten file still resolves by field id
+    assert {(r.k, r.v) for r in d.read().collect()} == {
+        (0, "a"), (1, "b"), (2, "c"), (3, "d")
+    }
+    # stats pruning through the physical keys (mapped back to logical)
+    assert {r.k for r in d.read(filters=[("k", "<", 2)]).collect()} == {0, 1}
+
+
+def test_id_mode_respects_explicit_fieldid_opt_out(spark, tmp_path):
+    """Review r11 fix: a session that DELIBERATELY disabled field-id
+    reads gets a pointed refusal, not silently flipped global state."""
+    from dc43_spark.io.delta_log import DeltaProtocolError
+
+    t = _mk_id_table(tmp_path / "optout")
+    key = "spark.sql.parquet.fieldId.read.enabled"
+    spark.conf.set(key, "false")
+    try:
+        with pytest.raises(DeltaProtocolError, match="fieldId"):
+            DeltaLogTable(spark, t).snapshot()
+    finally:
+        spark.conf.set(key, "true")
+    assert DeltaLogTable(spark, t).read().count() == 4

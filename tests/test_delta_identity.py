@@ -150,3 +150,61 @@ def test_negative_step_allocates_downward(spark, tmp_path):
     assert all(i < -5 for i in ids)
     assert all((i + 5) % 5 == 0 for i in ids)
     assert _identity_columns(d.snapshot().schema)["id"]["hwm"] == min(ids)
+
+
+def test_concurrent_identity_allocation_aborts(spark, tmp_path, monkeypatch):
+    """Review r11 fix: the HWM guard must compare the HEAD's marks
+    against the PINNED specs unconditionally (a head-vs-base comparison
+    was dead code — base_version is reassigned by the head-moved
+    re-check). A racer that advances the mark between our staging and
+    our claim forces an abort, never a silent duplicate allocation."""
+    from dc43_spark.io import snaplog as sl
+
+    path = _mk_identity_table(spark, tmp_path)
+    real_claim = sl.LinkCommitClaimer.claim
+    state = {"injected": False}
+
+    def claim(self, log, name, payload):
+        if not state["injected"] and path in log:
+            state["injected"] = True
+            # a concurrent writer lands FIRST and advances the mark
+            delta_write(
+                spark,
+                spark.createDataFrame([(50, "z")], "k long, v string"),
+                path, mode="append", checkpoint_interval=None,
+            )
+        return real_claim(self, log, name, payload)
+
+    monkeypatch.setattr(sl.LinkCommitClaimer, "claim", claim)
+    from dc43_spark.io.delta_log import DeltaProtocolError
+
+    with pytest.raises(DeltaProtocolError, match="identity high water mark"):
+        delta_write(
+            spark,
+            spark.createDataFrame([(60, "y")], "k long, v string"),
+            path, mode="append", checkpoint_interval=None,
+        )
+
+
+def test_schema_changing_overwrite_refuses_on_identity(spark, tmp_path):
+    """Review r11 fix: a schema-changing overwrite would replace the
+    schemaString with df.schema.json() and silently ERASE the
+    delta.identity.* definition — refuse instead."""
+    path = _mk_identity_table(spark, tmp_path)
+    with pytest.raises(DeltaWriteError, match="identity-"):
+        delta_write(
+            spark,
+            spark.createDataFrame([(1, "a", "extra")],
+                                  "k long, v string, w string"),
+            path, mode="overwrite", checkpoint_interval=None,
+        )
+    # a same-schema overwrite still works and re-allocates
+    delta_write(
+        spark,
+        spark.createDataFrame([(7, "n")], "k long, v string"),
+        path, mode="overwrite", checkpoint_interval=None,
+    )
+    d = DeltaLogTable(spark, path)
+    rows = {r.k: r.id for r in d.read().collect()}
+    assert rows[7] > 100
+    assert _identity_columns(d.snapshot().schema)["id"]["hwm"] == rows[7]

@@ -509,3 +509,18 @@ def test_sql_maintenance_statements_both_formats(spark, tmp_path):
     assert {r.k for r in d.read().collect()} == {0, 1, 2, 3}
     with pytest.raises(ValueError, match="no table"):
         cat.sql("OPTIMIZE ghost")
+
+
+def test_sql_vacuum_default_keeps_time_travel(spark, tmp_path):
+    """Review r11 fix: a bare VACUUM (no RETAIN) uses the same 168-hour
+    safety default on BOTH formats — it must not strip time travel the
+    instant it runs."""
+    from dc43_spark.io.catalog import SnaplogCatalog
+
+    cat = SnaplogCatalog(spark, str(tmp_path / "wh"))
+    cat.sql("CREATE TABLE vt AS SELECT id AS k FROM range(3)")
+    cat.sql("INSERT INTO vt SELECT id AS k FROM range(10, 13)")
+    out = cat.sql("VACUUM vt").collect()[0]
+    assert out.files == 0  # nothing old enough to sweep
+    cat.sql("RESTORE TABLE vt TO VERSION AS OF 0")  # time travel intact
+    assert {r.k for r in cat.sql("SELECT * FROM vt").collect()} == {0, 1, 2}
