@@ -3029,6 +3029,231 @@ def delta_drop_column(spark: SparkSession, path: str, name: str) -> int:
     )
 
 
+def delta_add_column(
+    spark: SparkSession, path: str, name: str, dtype: str
+) -> int:
+    """``ALTER TABLE ADD COLUMN`` as one metadata commit: the field is
+    appended to the logical schema as NULLABLE (anything else would
+    retroactively invalidate every existing file), no data moves, and
+    every pre-existing file null-fills the column because scans read
+    under the log's explicit schema (ref exposes the jar's ALTER
+    surface; here it is a log append). Under column mapping the field
+    gets a fresh id and a ``col-<uuid>`` physical name per PROTOCOL.md's
+    column-mapping writer requirements — re-adding a dropped logical
+    name therefore NEVER resurrects the dropped values."""
+    import uuid as _uuid
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise DeltaWriteError(f"column name {name!r} must be an identifier")
+    # parse the DDL type through the session (public surface, exact
+    # Spark semantics for decimals/arrays/maps/structs)
+    try:
+        field = spark.createDataFrame([], f"`{name}` {dtype}").schema.fields[0]
+    except Exception as exc:
+        raise DeltaWriteError(f"unparseable column type {dtype!r}: {exc}") from exc
+
+    def mutate(meta, protocol):
+        doc = json.loads(meta["schemaString"])
+        if name in (f["name"] for f in doc["fields"]):
+            raise DeltaWriteError(f"column {name!r} already exists")
+        new_field = {"name": name, "type": field.dataType.jsonValue(),
+                     "nullable": True, "metadata": {}}
+        conf = dict(meta.get("configuration") or {})
+        mode = conf.get("delta.columnMapping.mode", "none")
+        if mode in ("name", "id"):
+            next_id = int(conf.get("delta.columnMapping.maxColumnId", 0)) + 1
+            new_field["metadata"] = {
+                "delta.columnMapping.id": next_id,
+                "delta.columnMapping.physicalName": f"col-{_uuid.uuid4().hex}",
+            }
+            conf["delta.columnMapping.maxColumnId"] = str(next_id)
+            meta["configuration"] = conf
+        doc["fields"].append(new_field)
+        meta["schemaString"] = json.dumps(doc)
+        return meta, None
+
+    return _metadata_commit(
+        spark, path, "ADD COLUMNS", {"column": name, "type": dtype}, mutate
+    )
+
+
+def _bump_writer_protocol(protocol: dict, min_wv: int, feature: str):
+    """Protocol floor for a newly-declared writer obligation: on a v7
+    (table-features) table the feature name is added; below it the
+    legacy minWriterVersion rises to the version that implies it. None
+    when the current protocol already covers the feature."""
+    wv = protocol.get("minWriterVersion", 2)
+    if wv >= 7:
+        feats = set(protocol.get("writerFeatures") or ())
+        if feature in feats:
+            return None
+        out = dict(protocol)
+        out["writerFeatures"] = sorted(feats | {feature})
+        return out
+    if wv >= min_wv:
+        return None
+    out = dict(protocol)
+    out["minWriterVersion"] = min_wv
+    return out
+
+
+def delta_add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``: validates the
+    CURRENT rows in one aggregate pass (same null-passes semantics as
+    the writer's per-write enforcement — a row violates only when
+    ``NOT (expr)`` is true), then lands ``delta.constraints.<name>``
+    as a metadata commit with the checkConstraints protocol floor
+    (writer 3, or the feature on v7 tables). The validate→commit pair
+    is not serialized against concurrent appends (delta-spark's ALTER
+    has the same WriteSerializable caveat); the writer re-enforces the
+    rule on every subsequent write either way."""
+    key = name.strip().lower()
+    if not re.fullmatch(r"[a-z_][a-z0-9_]*", key):
+        raise DeltaWriteError(f"constraint name {name!r} must be an identifier")
+    t = DeltaLogTable(spark, path)
+    bad = t.read().filter(F.expr(f"NOT ({expr})")).limit(1).count()
+    if bad:
+        raise DeltaWriteError(
+            f"cannot add constraint {key!r}: existing rows violate "
+            f"CHECK ({expr})"
+        )
+
+    def mutate(meta, protocol):
+        conf = dict(meta.get("configuration") or {})
+        ck = f"delta.constraints.{key}"
+        if ck in conf:
+            raise DeltaWriteError(f"constraint {key!r} already exists")
+        conf[ck] = expr
+        meta["configuration"] = conf
+        return meta, _bump_writer_protocol(protocol, 3, "checkConstraints")
+
+    return _metadata_commit(
+        spark, path, "ADD CONSTRAINT", {"name": key, "expr": expr}, mutate
+    )
+
+
+def delta_drop_constraint(
+    spark: SparkSession, path: str, name: str, *, if_exists: bool = False
+) -> int:
+    """``ALTER TABLE DROP CONSTRAINT [IF EXISTS] name`` — removes the
+    ``delta.constraints.<name>`` entry in one metadata commit."""
+    key = name.strip().lower()
+
+    def mutate(meta, protocol):
+        conf = dict(meta.get("configuration") or {})
+        ck = f"delta.constraints.{key}"
+        if ck not in conf:
+            raise DeltaWriteError(
+                f"no constraint {key!r} on {path}"
+                + ("" if if_exists else "; pass if_exists=True to tolerate")
+            )
+        del conf[ck]
+        meta["configuration"] = conf
+        return meta, None
+
+    if if_exists:
+        # absent constraint -> no-op at the current head, no commit
+        t = DeltaLogTable(spark, path)
+        head = t.version()
+        _adds, meta, _protocol, _txns = t._collect_state(head)
+        if f"delta.constraints.{key}" not in (meta.get("configuration") or {}):
+            return head
+    return _metadata_commit(
+        spark, path, "DROP CONSTRAINT", {"name": key}, mutate
+    )
+
+
+#: properties whose value "true" obliges a writer capability
+#: (PROTOCOL.md version table): key -> (legacy floor, v7 feature name)
+_PROPERTY_WRITER_FLOORS = {
+    "delta.appendonly": (2, "appendOnly"),
+    "delta.enablechangedatafeed": (4, "changeDataFeed"),
+}
+
+
+def delta_set_properties(spark: SparkSession, path: str, props: dict) -> int:
+    """``ALTER TABLE SET TBLPROPERTIES``: merges ``props`` into
+    metaData.configuration (values stringified — the protocol's
+    configuration map is string->string) and raises the protocol floor
+    for obligation-carrying flags (delta.appendOnly -> writer 2,
+    delta.enableChangeDataFeed -> writer 4 / the v7 feature). Keys with
+    dedicated lifecycles refuse and point at their API: column mapping
+    needs physical-name assignment (delta_enable_column_mapping),
+    constraints need existing-row validation (delta_add_constraint)."""
+    if not props:
+        raise DeltaWriteError("SET TBLPROPERTIES needs at least one key")
+    norm = {str(k): ("true" if v is True else "false" if v is False else str(v))
+            for k, v in props.items()}
+    for k in norm:
+        lk = k.lower()
+        if lk.startswith("delta.columnmapping."):
+            raise DeltaWriteError(
+                f"{k} is managed by delta_enable_column_mapping (physical "
+                "names and ids must be assigned, not declared)"
+            )
+        if lk.startswith("delta.constraints."):
+            raise DeltaWriteError(
+                f"{k} is managed by delta_add_constraint (existing rows "
+                "must be validated before the rule lands)"
+            )
+
+    def mutate(meta, protocol):
+        conf = dict(meta.get("configuration") or {})
+        conf.update(norm)
+        meta["configuration"] = conf
+        new_protocol = None
+        for k, v in norm.items():
+            floor = _PROPERTY_WRITER_FLOORS.get(k.lower())
+            if floor and v.lower() == "true":
+                bumped = _bump_writer_protocol(
+                    new_protocol or protocol, *floor
+                )
+                if bumped is not None:
+                    new_protocol = bumped
+        return meta, new_protocol
+
+    return _metadata_commit(
+        spark, path, "SET TBLPROPERTIES", {"properties": norm}, mutate
+    )
+
+
+def delta_unset_properties(
+    spark: SparkSession, path: str, keys: Sequence[str], *,
+    if_exists: bool = False,
+) -> int:
+    """``ALTER TABLE UNSET TBLPROPERTIES [IF EXISTS]``: removes keys
+    from metaData.configuration. Column-mapping keys refuse — removing
+    them would orphan every physical-name binding in the schema; the
+    protocol has no mapping downgrade."""
+    if not keys:
+        raise DeltaWriteError("UNSET TBLPROPERTIES needs at least one key")
+    for k in keys:
+        if k.lower().startswith("delta.columnmapping."):
+            raise DeltaWriteError(
+                f"cannot unset {k}: the protocol has no column-mapping "
+                "downgrade (physical-name bindings would be orphaned)"
+            )
+
+    def mutate(meta, protocol):
+        conf = dict(meta.get("configuration") or {})
+        missing = [k for k in keys if k not in conf]
+        if missing and not if_exists:
+            raise DeltaWriteError(
+                f"no table propert{'y' if len(missing) == 1 else 'ies'} "
+                f"{sorted(missing)}; pass if_exists=True to tolerate"
+            )
+        for k in keys:
+            conf.pop(k, None)
+        meta["configuration"] = conf
+        return meta, None
+
+    return _metadata_commit(
+        spark, path, "UNSET TBLPROPERTIES", {"keys": list(keys)}, mutate
+    )
+
+
 # ---------------- batch change data feed (Delta's table_changes)
 
 
