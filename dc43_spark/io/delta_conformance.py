@@ -311,6 +311,48 @@ def validate_checkpoint_file(path: str) -> int:
     return n
 
 
+def _validate_ict_chain(log: str) -> None:
+    """In-Commit Timestamps (PROTOCOL.md): where present,
+    ``commitInfo.inCommitTimestamp`` must sit on the FIRST action of its
+    commit and be strictly increasing in version order; once a metaData
+    enables ``delta.enableInCommitTimestamps``, every later commit must
+    carry one until a metaData disables it."""
+    names = sorted(
+        n for n in os.listdir(log)
+        if n.endswith(".json") and not n.startswith("_")
+    )
+    enabled: Optional[bool] = None  # unknown until a metaData is seen
+    prev_ict: Optional[int] = None
+    for name in names:
+        with open(os.path.join(log, name)) as fh:
+            lines = [json.loads(x) for x in fh if x.strip()]
+        ict = None
+        for i, action in enumerate(lines):
+            info = action.get("commitInfo")
+            if info and "inCommitTimestamp" in info:
+                _require(i == 0, name,
+                         "commitInfo with inCommitTimestamp must be the "
+                         "FIRST action of its commit")
+                ict = int(info["inCommitTimestamp"])
+            meta = action.get("metaData")
+            if meta is not None:
+                conf = meta.get("configuration") or {}
+                enabled = str(conf.get(
+                    "delta.enableInCommitTimestamps", ""
+                )).lower() == "true"
+        if ict is not None and prev_ict is not None:
+            _require(ict > prev_ict, name,
+                     f"inCommitTimestamp {ict} must exceed the previous "
+                     f"commit's {prev_ict}")
+        if enabled and ict is None:
+            _err(name, "table enables delta.enableInCommitTimestamps but "
+                       "this commit carries no inCommitTimestamp")
+        if ict is not None:
+            prev_ict = ict
+        elif enabled is False:
+            prev_ict = None  # chain legitimately ended (disabled)
+
+
 def validate_log_dir(table_path: str) -> dict:
     """Validate every commit json + checkpoint parquet under
     ``<table>/_delta_log``. Returns counters (for test assertions)."""
@@ -326,6 +368,7 @@ def validate_log_dir(table_path: str) -> dict:
         elif name.endswith(".parquet") and ".checkpoint" in name:
             out["checkpoints"] += 1
             out["actions"] += validate_checkpoint_file(full)
+    _validate_ict_chain(log)
     lc = os.path.join(log, "_last_checkpoint")
     if os.path.exists(lc):
         with open(lc) as fh:

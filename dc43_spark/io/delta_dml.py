@@ -560,6 +560,17 @@ def _commit_dml(
     if head != snap.version:
         raise _DmlConflict(f"head moved v{snap.version} -> v{head}")
     next_version = snap.version + 1
+    from dc43_spark.io.delta_log import _stamp_ict
+
+    # ICT chains off the pinned head (== the real head, just checked; a
+    # lost race raises _DmlConflict and the caller recomputes + restamps)
+    _stamp_ict(
+        actions, t, head,
+        ((new_meta if new_meta is not None else meta) or {}).get(
+            "configuration"
+        ),
+        ts_ms,
+    )
     payload = "\n".join(json.dumps(a) for a in actions) + "\n"
     log = os.path.join(dest, "_delta_log")
     if not LinkCommitClaimer().claim(log, f"{next_version:020d}.json", payload):

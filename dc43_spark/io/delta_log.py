@@ -95,7 +95,23 @@ _CP_V2_RE = re.compile(r"^(\d{20})\.checkpoint\.([A-Za-z0-9\-]+)\.(parquet|json)
 
 #: reader-version-3 table features this implementation actually honors.
 SUPPORTED_READER_FEATURES = frozenset(
-    {"timestampNtz", "columnMapping", "deletionVectors", "v2Checkpoint"}
+    {
+        "timestampNtz", "columnMapping", "deletionVectors", "v2Checkpoint",
+        # files written before an ALTER COLUMN TYPE widening keep their
+        # narrow physical type; Spark's parquet reader performs every
+        # promotion the spec allows (int->long, float->double,
+        # int->double, date->timestampNTZ, decimal growth) natively when
+        # handed the wide read schema this reader always builds from
+        # schemaString ("-preview" = delta-spark 3.x preview tables)
+        "typeWidening", "typeWidening-preview",
+        # schemaString type "variant" maps to Spark's native VariantType;
+        # stats never cover variant columns (nested leaves), so pruning
+        # is untouched
+        "variantType", "variantType-preview",
+        # obligation lives on VACUUM, which runs a full reader+writer
+        # protocol gate before sweeping (delta_vacuum)
+        "vacuumProtocolCheck",
+    }
 )
 
 
@@ -359,6 +375,13 @@ class DeltaLogTable:
             return os.path.getmtime(self._checkpoints()[version][0])
         for action in self._commit_lines(version):
             info = action.get("commitInfo")
+            if info and "inCommitTimestamp" in info:
+                # in-commit timestamps (writer feature inCommitTimestamp,
+                # delta.enableInCommitTimestamps=true): the authoritative,
+                # strictly monotonic commit time lives IN the commit, not
+                # in filesystem metadata — a log copied between stores
+                # keeps its history (PROTOCOL.md In-Commit Timestamps)
+                return info["inCommitTimestamp"] / 1000.0
             if info and "timestamp" in info:
                 return info["timestamp"] / 1000.0
         return os.path.getmtime(commit)
@@ -1425,6 +1448,16 @@ SUPPORTED_WRITER_FEATURES = frozenset(
         "v2Checkpoint",      # this writer never writes checkpoints
         "timestampNtz",
         "domainMetadata",    # appends/overwrites don't drop domains
+        "inCommitTimestamp",  # every commit path stamps a strictly
+                              # monotonic commitInfo.inCommitTimestamp
+                              # when the table enables it (_stamp_ict)
+        "typeWidening",      # appends stage under the CURRENT (wide)
+        "typeWidening-preview",  # schema — the schema gate enforces it;
+                                 # widening itself is delta_widen_column_type
+        "variantType",       # staged parquet carries Spark's native
+        "variantType-preview",   # variant encoding (the same physical
+                                 # layout delta-spark writes)
+        "vacuumProtocolCheck",   # delta_vacuum gates on the full protocol
     }
 )
 
@@ -1440,6 +1473,58 @@ _WRITER_VERSION_FEATURES = {
 
 class DeltaWriteError(RuntimeError):
     """The table requires writer capabilities this module doesn't have."""
+
+
+def _ict_enabled(conf: Optional[dict]) -> bool:
+    return str((conf or {}).get(
+        "delta.enableInCommitTimestamps", ""
+    )).lower() == "true"
+
+
+def _prev_ict(t: "DeltaLogTable", head: Optional[int]) -> Optional[int]:
+    """``inCommitTimestamp`` of the head commit — None for a fresh table,
+    a pre-enablement head, or a checkpoint-only head whose JSON is gone
+    (enablement always re-starts the monotonic chain in that case)."""
+    if head is None:
+        return None
+    try:
+        lines = t._commit_lines(head)
+    except FileNotFoundError:
+        return None
+    for action in lines:
+        info = action.get("commitInfo")
+        if info and "inCommitTimestamp" in info:
+            return int(info["inCommitTimestamp"])
+    return None
+
+
+def _stamp_ict(
+    actions: list,
+    t: "DeltaLogTable",
+    head: Optional[int],
+    conf: Optional[dict],
+    ts_ms: int,
+) -> Optional[int]:
+    """In-commit timestamps (PROTOCOL.md): when the POST-commit
+    configuration carries ``delta.enableInCommitTimestamps=true``, the
+    commit's FIRST action must be ``commitInfo`` with an
+    ``inCommitTimestamp`` strictly greater than the previous commit's.
+    Mutates ``actions`` in place; returns the stamp (ms) or None when the
+    table doesn't enable the feature. Must run inside the claim-retry
+    loop — a new head means a new predecessor timestamp."""
+    if not _ict_enabled(conf):
+        return None
+    prev = _prev_ict(t, head)
+    ict = max(int(ts_ms), prev + 1) if prev is not None else int(ts_ms)
+    idx = next(
+        (i for i, a in enumerate(actions) if "commitInfo" in a), None
+    )
+    if idx is None:
+        actions.insert(0, {"commitInfo": {"timestamp": ts_ms}})
+    elif idx != 0:
+        actions.insert(0, actions.pop(idx))
+    actions[0]["commitInfo"]["inCommitTimestamp"] = ict
+    return ict
 
 
 def _check_append_only(meta: dict, mode: str) -> None:
@@ -1621,6 +1706,47 @@ def _enforce_delta_rules(df: DataFrame, rules: dict) -> None:
         )
 
 
+def _footer_stats_safe(spark: SparkSession, abs_path: str):
+    """``_footer_stats``, tolerant of footers this pyarrow can't parse:
+    Spark writes logical types (VARIANT) newer than the installed
+    pyarrow's Thrift schema. Fall back to a Spark footer-only row count
+    (count pushdown reads no data pages) and skip stats — Delta stats
+    are optional per add, and variant columns never carry them anyway."""
+    from dc43_spark.io.snaplog import _footer_stats, _json_safe
+
+    try:
+        return _footer_stats(abs_path)
+    except OSError:
+        df_f = spark.read.parquet(abs_path)
+        simple = {
+            "byte", "short", "integer", "long", "float", "double",
+            "decimal", "string", "boolean", "date", "timestamp",
+            "timestamp_ntz",
+        }
+        prunable = [
+            f.name for f in df_f.schema.fields
+            if f.dataType.typeName() in simple
+        ]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in prunable:
+            aggs += [
+                F.min(c).alias(f"__min_{c}"),
+                F.max(c).alias(f"__max_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nul_{c}"),
+            ]
+        row = df_f.agg(*aggs).collect()[0].asDict()
+        stats = {
+            c: {
+                "min": _json_safe(row[f"__min_{c}"]),
+                "max": _json_safe(row[f"__max_{c}"]),
+                "nulls": int(row[f"__nul_{c}"] or 0),
+            }
+            for c in prunable
+            if row[f"__min_{c}"] is not None
+        }
+        return int(row["__rows"]), os.path.getsize(abs_path), stats
+
+
 def _stage_data_files(
     df: DataFrame,
     dest: str,
@@ -1639,8 +1765,6 @@ def _stage_data_files(
     ``delta_write`` and the DML kernel (io/delta_dml.py)."""
     import shutil
     import uuid as _uuid
-
-    from dc43_spark.io.snaplog import _footer_stats
 
     staging = os.path.join(dest, f"_staging_{_uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
@@ -1672,7 +1796,9 @@ def _stage_data_files(
                             exist_ok=True)
                 final = os.path.join(dest, sub + name)
                 os.rename(os.path.join(root, src_name), final)
-                rows, size, stats = _footer_stats(final)
+                rows, size, stats = _footer_stats_safe(
+                    df.sparkSession, final
+                )
                 if rows == 0:
                     os.unlink(final)
                     continue
@@ -1969,8 +2095,28 @@ def delta_write(
                 "lastUpdated": ts_ms,
             }})
         if head is None:
-            actions.append({"protocol": {"minReaderVersion": 1,
-                                         "minWriterVersion": 2}})
+            # obligation-carrying properties raise the protocol floor at
+            # CREATE exactly as SET TBLPROPERTIES would later
+            # (delta.enableChangeDataFeed -> writer 4,
+            # delta.enableInCommitTimestamps -> v7 + feature)
+            create_protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+            for ck, cv in (configuration or {}).items():
+                floor = _PROPERTY_WRITER_FLOORS.get(str(ck).lower())
+                if floor and str(cv).lower() == "true":
+                    bumped = _bump_writer_protocol(create_protocol, *floor)
+                    if bumped is not None:
+                        create_protocol = bumped
+            # TIMESTAMP_NTZ / VARIANT columns demand their reader+writer
+            # features from birth — a legacy-protocol table with such a
+            # schema would be silently unreadable to conforming clients
+            type_feats = _schema_type_features(df.schema.json())
+            if type_feats:
+                upgraded = _protocol_with_features(
+                    create_protocol, type_feats, type_feats
+                )
+                if upgraded is not None:
+                    create_protocol = upgraded
+            actions.append({"protocol": create_protocol})
             actions.append({"metaData": {
                 "id": str(_uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
@@ -2075,6 +2221,14 @@ def delta_write(
                     new_meta["schemaString"] = df.schema.json()
                     new_meta["partitionColumns"] = part_cols
                     actions.append({"metaData": new_meta})
+                    ow_feats = _schema_type_features(df.schema.json())
+                    if ow_feats:
+                        protocol_now = _raw_protocol_meta(t, head)[0]
+                        up = _protocol_with_features(
+                            protocol_now, ow_feats, ow_feats
+                        )
+                        if up is not None:
+                            actions.append({"protocol": up})
                 elif ident_hwm:
                     # same-schema overwrite on an identity table: advance
                     # the marks (overwrite pins its snapshot, so no
@@ -2119,6 +2273,18 @@ def delta_write(
                     if ident_hwm:
                         new_meta = _apply_ident_hwm(new_meta)
                     actions.append({"metaData": new_meta})
+                    # a new TIMESTAMP_NTZ / VARIANT column rides its
+                    # protocol features into the same commit
+                    evo_feats = _schema_type_features(
+                        StructType(new_cols).json()
+                    )
+                    if evo_feats:
+                        protocol_now = _raw_protocol_meta(t, head)[0]
+                        up = _protocol_with_features(
+                            protocol_now, evo_feats, evo_feats
+                        )
+                        if up is not None:
+                            actions.append({"protocol": up})
                 elif ident_hwm:
                     # compare the HEAD's identity marks against the specs
                     # the values were allocated under — UNCONDITIONALLY
@@ -2140,6 +2306,12 @@ def delta_write(
                     actions.append({"metaData": _apply_ident_hwm(meta_now)})
             next_version = head + 1
         actions += [{"add": a} for a in adds]
+        conf_ict = (
+            dict(configuration or {})
+            if head is None
+            else (_raw_protocol_meta(t, head)[1] or {}).get("configuration")
+        )
+        _stamp_ict(actions, t, head, conf_ict, ts_ms)
         payload = "\n".join(json.dumps(a) for a in actions) + "\n"
         if claimer.claim(log, f"{next_version:020d}.json", payload):
             if (
@@ -2505,7 +2677,7 @@ def delta_optimize(
             shutil.rmtree(staging, ignore_errors=True)
         for n in parts:
             final = os.path.join(dest, n)
-            rows, size, stats = _footer_stats(final)
+            rows, size, stats = _footer_stats_safe(spark, final)
             if rows == 0:
                 os.unlink(final)
                 continue
@@ -2541,7 +2713,6 @@ def delta_optimize(
     # the add state each input was read under (all inputs are DV-free by
     # selection above, so ANY descriptor appearing is a conflict)
     input_dv = {m.path: m.dv for _key, members in bins for m in members}
-    payload = "\n".join(json.dumps(a) for a in actions) + "\n"
     for _ in range(20):
         head = t.version()
         if head != snap.version:
@@ -2554,6 +2725,18 @@ def delta_optimize(
                         "the compaction read stale rows — retry"
                     )
             snap = t.snapshot(head)
+        # payload is rebuilt per attempt: the in-commit timestamp chains
+        # off whatever commit is the head NOW
+        attempt = [
+            {k: (dict(v) if isinstance(v, dict) else v) for k, v in a.items()}
+            for a in actions
+        ]
+        _stamp_ict(
+            attempt, t, head,
+            (_raw_protocol_meta(t, head)[1] or {}).get("configuration"),
+            ts_ms,
+        )
+        payload = "\n".join(json.dumps(a) for a in attempt) + "\n"
         if claimer.claim(log, f"{head + 1:020d}.json", payload):
             return head + 1
     raise DeltaProtocolError(f"could not claim a commit on {dest} after 20 tries")
@@ -2580,7 +2763,14 @@ def delta_vacuum(
 
     dest = os.path.abspath(path.rstrip("/"))
     t = DeltaLogTable(spark, dest)
-    snap = t.snapshot()
+    snap = t.snapshot()  # runs the READER protocol gate
+    # vacuumProtocolCheck's obligation — and plain prudence either way:
+    # an unknown WRITER feature may store auxiliary files this sweep
+    # would misread as orphans; refuse rather than delete blind
+    protocol, meta = _raw_protocol_meta(t, snap.version)
+    _check_writer_protocol(
+        protocol, meta or {}, snap.schema, allow_column_mapping=True
+    )
     live = {os.path.normpath(f.path) for f in snap.files}
     dv_files = set()
     for f in snap.files:
@@ -2726,6 +2916,14 @@ def delta_restore(
                     "deletionTimestamp": ts_ms,
                 }})
             actions.append({"add": {**target_adds[rel], "dataChange": True}})
+        # the POST-restore configuration governs: restoring to a pre-ICT
+        # version (meta_changed drops the flag) legitimately ends the
+        # chain; restoring config that carries it keeps stamping
+        conf_after = (
+            (target_meta if meta_changed and target_meta is not None
+             else cur_meta) or {}
+        ).get("configuration")
+        _stamp_ict(actions, t, head, conf_after, ts_ms)
         payload = "\n".join(json.dumps(a) for a in actions) + "\n"
         if claimer.claim(t.log_dir, f"{head + 1:020d}.json", payload):
             return head + 1
@@ -2773,6 +2971,13 @@ def delta_clone(
     new_meta = dict(meta)
     new_meta["id"] = str(_uuid.uuid4())
     new_meta["createdTime"] = ts_ms
+    clone_conf = dict(new_meta.get("configuration") or {})
+    if _ict_enabled(clone_conf):
+        # the clone's history starts at ITS v0: the source's enablement
+        # markers point at source versions and must not carry over
+        clone_conf.pop("delta.inCommitTimestampEnablementVersion", None)
+        clone_conf.pop("delta.inCommitTimestampEnablementTimestamp", None)
+        new_meta["configuration"] = clone_conf
     actions: list = [
         {"commitInfo": {
             "timestamp": ts_ms,
@@ -2782,6 +2987,8 @@ def delta_clone(
                 "sourceVersion": snap.version,
                 "isShallow": shallow,
             },
+            **({"inCommitTimestamp": ts_ms}
+               if _ict_enabled(clone_conf) else {}),
         }},
         {"protocol": dict(protocol) or {"minReaderVersion": 1,
                                         "minWriterVersion": 2}},
@@ -2817,6 +3024,73 @@ def delta_clone(
 
 
 # ---------------- column mapping DDL (metadata-only commits)
+
+
+_TYPE_FEATURES = {"timestamp_ntz": "timestampNtz", "variant": "variantType"}
+
+
+def _schema_type_features(schema_json: str) -> set:
+    """Protocol features the SCHEMA itself demands (reader+writer both):
+    TIMESTAMP_NTZ and VARIANT columns are unreadable by a client that
+    doesn't know them, so the protocol must announce them — delta-spark
+    refuses to create such tables on legacy protocols for the same
+    reason."""
+    feats: set = set()
+
+    def _walk(t):
+        if isinstance(t, str):
+            f = _TYPE_FEATURES.get(t)
+            if f:
+                feats.add(f)
+        elif isinstance(t, dict):
+            tt = t.get("type")
+            if tt == "struct":
+                for fld in t.get("fields", ()):
+                    _walk(fld.get("type"))
+            elif tt == "array":
+                _walk(t.get("elementType"))
+            elif tt == "map":
+                _walk(t.get("keyType"))
+                _walk(t.get("valueType"))
+
+    _walk(json.loads(schema_json))
+    return feats
+
+
+def _protocol_with_features(
+    protocol: dict, rfeats_add: set, wfeats_add: set
+) -> Optional[dict]:
+    """The smallest protocol upgrade that announces the given reader +
+    writer features — None when the current protocol already covers them
+    all. Crossing to v3/v7 spells out every feature the legacy versions
+    implied (the table-features contract)."""
+    rv = protocol.get("minReaderVersion", 1)
+    wv = protocol.get("minWriterVersion", 2)
+    rfeats = set(protocol.get("readerFeatures") or ())
+    wfeats = set(protocol.get("writerFeatures") or ())
+    r_ok = not rfeats_add or (rv >= 3 and rfeats_add <= rfeats)
+    w_ok = not wfeats_add or (wv >= 7 and wfeats_add <= wfeats)
+    if r_ok and w_ok:
+        return None
+    if rv < 3:
+        rfeats = {"columnMapping"} if rv >= 2 else set()
+    if wv < 7:
+        wfeats = set()
+        for ver, fs in _WRITER_VERSION_FEATURES.items():
+            if wv >= ver:
+                wfeats |= fs
+    out = dict(protocol)
+    if rfeats_add:
+        out["minReaderVersion"] = 3
+        out["readerFeatures"] = sorted(rfeats | rfeats_add)
+        # v3 requires v7 (PROTOCOL.md: readerFeatures exists only when
+        # writerFeatures does)
+        out["minWriterVersion"] = 7
+        out["writerFeatures"] = sorted(wfeats | wfeats_add | rfeats_add)
+    else:
+        out["minWriterVersion"] = 7
+        out["writerFeatures"] = sorted(wfeats | wfeats_add)
+    return out
 
 
 def _referencing_rules(meta: dict, schema_doc: dict, column: str) -> list:
@@ -2872,6 +3146,21 @@ def _metadata_commit(spark: SparkSession, path: str, op: str, params: dict,
         ]
         if new_protocol is not None:
             actions.append({"protocol": new_protocol})
+        new_conf = new_meta.get("configuration") or {}
+        if _ict_enabled(new_conf) and not _ict_enabled(
+            meta.get("configuration")
+        ):
+            # the ENABLEMENT commit records where the monotonic chain
+            # starts: earlier versions keep their file-time stamps
+            # (PROTOCOL.md: enablementVersion / enablementTimestamp)
+            ict0 = _stamp_ict(actions, t, head, new_conf, ts_ms)
+            conf2 = dict(new_conf)
+            conf2["delta.inCommitTimestampEnablementVersion"] = str(head + 1)
+            conf2["delta.inCommitTimestampEnablementTimestamp"] = str(ict0)
+            new_meta = dict(new_meta)
+            new_meta["configuration"] = conf2
+        else:
+            _stamp_ict(actions, t, head, new_conf, ts_ms)
         actions.append({"metaData": new_meta})
         payload = "\n".join(json.dumps(a) for a in actions) + "\n"
         if claimer.claim(log, f"{head + 1:020d}.json", payload):
@@ -3094,6 +3383,14 @@ def _bump_writer_protocol(protocol: dict, min_wv: int, feature: str):
         return None
     out = dict(protocol)
     out["minWriterVersion"] = min_wv
+    if min_wv >= 7:
+        # table-features protocol: writerFeatures is REQUIRED at v7 and
+        # must spell out everything the old legacy version implied
+        implied = set()
+        for ver, fs in _WRITER_VERSION_FEATURES.items():
+            if wv >= ver:
+                implied |= fs
+        out["writerFeatures"] = sorted(implied | {feature})
     return out
 
 
@@ -3170,6 +3467,9 @@ def delta_drop_constraint(
 _PROPERTY_WRITER_FLOORS = {
     "delta.appendonly": (2, "appendOnly"),
     "delta.enablechangedatafeed": (4, "changeDataFeed"),
+    # v7-only feature: no legacy floor exists, so enabling it forces the
+    # table-features protocol (writerFeatures spelled out)
+    "delta.enableincommittimestamps": (7, "inCommitTimestamp"),
 }
 
 
@@ -3251,6 +3551,109 @@ def delta_unset_properties(
 
     return _metadata_commit(
         spark, path, "UNSET TBLPROPERTIES", {"keys": list(keys)}, mutate
+    )
+
+
+# ---------------- type widening (ALTER COLUMN ... TYPE)
+
+#: max base-10 digits an integral type can need (PROTOCOL.md Type
+#: Widening: integral -> decimal requires that many integer digits)
+_INT_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+
+_INT_CHAIN = ("byte", "short", "integer", "long")
+
+
+def _widening_allowed(frm: str, to: str) -> bool:
+    """Exactly the promotion lattice PROTOCOL.md's Type Widening section
+    permits (every one of which Spark's parquet reader performs natively
+    when handed the wide read schema — pinned by test_delta_widening)."""
+    if frm == to:
+        return False
+    if frm in _INT_CHAIN and to in _INT_CHAIN:
+        return _INT_CHAIN.index(frm) < _INT_CHAIN.index(to)
+    if frm == "float" and to == "double":
+        return True
+    if frm in ("byte", "short", "integer") and to == "double":
+        return True
+    if frm == "date" and to == "timestamp_ntz":
+        return True
+    md = re.fullmatch(r"decimal\((\d+),(\d+)\)", to)
+    if md:
+        p2, s2 = int(md.group(1)), int(md.group(2))
+        ms = re.fullmatch(r"decimal\((\d+),(\d+)\)", frm)
+        if ms:
+            p1, s1 = int(ms.group(1)), int(ms.group(2))
+            return s2 >= s1 and p2 - s2 >= p1 - s1
+        if frm in _INT_DIGITS:
+            return p2 - s2 >= _INT_DIGITS[frm]
+    return False
+
+
+def delta_widen_column_type(
+    spark: SparkSession, path: str, column: str, new_type: str
+) -> int:
+    """``ALTER TABLE ... ALTER COLUMN <column> TYPE <new_type>`` for the
+    widening lattice the protocol allows — a metadata-only commit: no
+    file rewrites, existing files keep their narrow physical type and
+    every scan reads them through the wide schema (Spark's parquet
+    promotion). The field records the change under
+    ``delta.typeWidening.typeChanges`` and the protocol gains the
+    typeWidening reader+writer features, exactly what delta-spark's
+    ALTER emits (ref spark/io/base.py writes through the jar; this is
+    the jar-less equivalent)."""
+    want = new_type.strip().lower().replace(" ", "")
+    want = {"int": "integer", "bigint": "long", "smallint": "short",
+            "tinyint": "byte"}.get(want, want)
+
+    def mutate(meta, protocol):
+        doc = json.loads(meta["schemaString"])
+        field = next(
+            (f for f in doc.get("fields", ()) if f.get("name") == column),
+            None,
+        )
+        if field is None:
+            raise DeltaWriteError(
+                f"no top-level column {column!r} (nested widening is not "
+                "supported here)"
+            )
+        frm = field["type"]
+        if not isinstance(frm, str):
+            raise DeltaWriteError(
+                f"column {column!r} has a nested type; widening applies "
+                "to primitive columns"
+            )
+        if column in (meta.get("partitionColumns") or ()):
+            raise DeltaWriteError(
+                f"cannot widen partition column {column!r}: existing "
+                "partitionValues strings were parsed under the old type"
+            )
+        refs = _referencing_rules(meta, doc, column)
+        if refs:
+            raise DeltaWriteError(
+                f"cannot widen {column!r}: referenced by {sorted(refs)} — "
+                "drop the rule(s) first, widen, then re-add"
+            )
+        if not _widening_allowed(frm, want):
+            raise DeltaWriteError(
+                f"{frm} -> {want} is not a protocol-allowed widening for "
+                f"column {column!r}"
+            )
+        md = dict(field.get("metadata") or {})
+        changes = list(md.get("delta.typeWidening.typeChanges") or ())
+        changes.append({"fromType": frm, "toType": want})
+        md["delta.typeWidening.typeChanges"] = changes
+        field["metadata"] = md
+        field["type"] = want
+        meta["schemaString"] = json.dumps(doc)
+
+        need = {"typeWidening"}
+        if want == "timestamp_ntz":
+            need.add("timestampNtz")
+        return meta, _protocol_with_features(protocol, need, need)
+
+    return _metadata_commit(
+        spark, path, "CHANGE COLUMN",
+        {"column": column, "type": want}, mutate,
     )
 
 
