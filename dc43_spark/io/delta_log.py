@@ -132,6 +132,11 @@ class DeltaFile:
     stats: dict = field(default_factory=dict)
     #: normalized ``add.deletionVector`` descriptor, or None
     dv: Optional[dict] = None
+    #: row tracking (PROTOCOL.md): fresh row ids are
+    #: ``base_row_id + row_index``; files written before enablement (or
+    #: by a non-tracking writer) carry None
+    base_row_id: Optional[int] = None
+    default_row_commit: Optional[int] = None
 
 
 @dataclass
@@ -223,7 +228,9 @@ def _iso_ts(raw) -> float:
     return dt.timestamp()
 
 
-def _file_identity_df(spark: SparkSession, snap, files) -> DataFrame:
+def _file_identity_df(
+    spark: SparkSession, snap, files, *, row_tracking: bool = False
+) -> DataFrame:
     """One broadcast-sized row per add action: file-identity columns
     (basename plus raw/URL-quoted relative-path suffixes —
     ``_metadata.file_path`` is a URI) and the action's TYPED partition
@@ -234,6 +241,14 @@ def _file_identity_df(spark: SparkSession, snap, files) -> DataFrame:
     partition snapshot would otherwise pay superlinear Catalyst analysis
     on a 10k-branch union plan)."""
     types = {f.name: f.dataType.typeName() for f in snap.schema.fields}
+    rt_fields = (
+        [
+            StructField("_dc43_rt_base", LongType()),
+            StructField("_dc43_rt_dver", LongType()),
+        ]
+        if row_tracking
+        else []
+    )
     schema = StructType(
         [
             StructField("_dc43_fb", StringType()),
@@ -241,6 +256,7 @@ def _file_identity_df(spark: SparkSession, snap, files) -> DataFrame:
             StructField("_dc43_fsfx", StringType()),
             StructField("_dc43_fsfxq", StringType()),
         ]
+        + rt_fields
         + [
             StructField(c, snap.schema[c].dataType)
             for c in snap.partition_columns
@@ -252,6 +268,11 @@ def _file_identity_df(spark: SparkSession, snap, files) -> DataFrame:
             f.path,
             "/" + f.path.lstrip("/"),
             "/" + urllib.parse.quote(f.path.lstrip("/")),
+            *(
+                (f.base_row_id, f.default_row_commit)
+                if row_tracking
+                else ()
+            ),
             *[
                 _parse_partition_value(types[c], f.partition_values.get(c))
                 for c in snap.partition_columns
@@ -311,7 +332,11 @@ class DeltaLogTable:
     # ---------------- log listing
 
     def exists(self) -> bool:
-        return os.path.isdir(self.log_dir) and bool(self._versions())
+        # checkpoints count: a table whose JSON commits were all
+        # vacuumed is still a table — treating it as absent would let a
+        # writer "create" v0 UNDER an existing checkpoint (a corrupt
+        # log: the checkpoint supersedes the fresh create on replay)
+        return os.path.isdir(self.log_dir) and bool(self._all_versions())
 
     def _versions(self) -> list:
         out = []
@@ -515,6 +540,34 @@ class DeltaLogTable:
                     )
         return adds, meta, protocol, txns
 
+    @staticmethod
+    def _fold_domain(action: dict, domains: dict) -> None:
+        dm = action.get("domainMetadata")
+        if dm and dm.get("domain"):
+            if dm.get("removed"):
+                domains.pop(dm["domain"], None)
+            else:
+                domains[dm["domain"]] = dm.get("configuration")
+
+    def _domains(self, version: int) -> dict:
+        """Live ``domainMetadata`` at ``version``: domain name ->
+        configuration (JSON string). Checkpoint base plus tail-commit
+        replay, ``removed=true`` tombstoning — the state row tracking's
+        high water mark (and any other writer's domain) lives in."""
+        domains: dict = {}
+        start = 0
+        cps = sorted(v for v in self._checkpoints() if v <= version)
+        if cps:
+            for path in self._checkpoints()[cps[-1]]:
+                for row in self._checkpoint_actions(path):
+                    if isinstance(row, dict):
+                        self._fold_domain(row, domains)
+            start = cps[-1] + 1
+        for v in range(start, version + 1):
+            for action in self._commit_lines(v):
+                self._fold_domain(action, domains)
+        return domains
+
     def last_txn_version(self, app_id: str) -> Optional[int]:
         """Highest committed transaction version for ``app_id`` (Delta's
         txn action ledger) — the idempotent-writer primitive."""
@@ -625,6 +678,14 @@ class DeltaLogTable:
                 a.get("size", 0),
                 self._snapshot_stats(a, types, p2l),
                 dv=self._dv_descriptor(a),
+                base_row_id=(
+                    int(a["baseRowId"])
+                    if a.get("baseRowId") is not None else None
+                ),
+                default_row_commit=(
+                    int(a["defaultRowCommitVersion"])
+                    if a.get("defaultRowCommitVersion") is not None else None
+                ),
             )
             for p, a in sorted(adds.items())
         )
@@ -844,11 +905,18 @@ class DeltaLogTable:
         version_as_of: Optional[int] = None,
         timestamp_as_of: Optional[float] = None,
         filters=None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Snapshot-pinned batch scan. ``filters`` (pyarrow DNF, the
         snaplog spelling) prunes files via Delta's per-file stats and
         exact partition values, then re-applies as a Spark predicate —
-        row-exact regardless of pruning power."""
+        row-exact regardless of pruning power.
+
+        ``with_row_ids=True`` (row-tracking tables) appends ``_row_id``
+        and ``_row_commit_version``: the materialized value a rewrite
+        stored, else the fresh ``baseRowId + row_index`` /
+        ``defaultRowCommitVersion`` — delta-spark's
+        ``_metadata.row_id`` semantics."""
         snap = self.snapshot(version_as_of, timestamp=timestamp_as_of)
         files = list(snap.files)
         pred = None
@@ -869,12 +937,32 @@ class DeltaLogTable:
         data_schema = StructType(data_fields)
         if snap.column_mapping:
             data_schema = self._physical_schema(snap, data_fields)
+        out_cols = [f.name for f in snap.schema.fields]
+        mat_id = mat_ver = None
+        if with_row_ids:
+            mat_id, mat_ver = _materialized_rt_cols(
+                {"configuration": snap.configuration}
+            )
+            # the materialized columns are physical-only: absent from
+            # the table schema, NULL in files that predate any rewrite
+            extra = [
+                StructField(mc, LongType())
+                for mc in (mat_id, mat_ver) if mc
+            ]
+            data_schema = StructType(list(data_schema.fields) + extra)
+            out_cols += ["_row_id", "_row_commit_version"]
 
         if not files:
             df = self.spark.createDataFrame([], snap.schema)
+            if with_row_ids:
+                df = df.select(
+                    "*",
+                    F.lit(None).cast("long").alias("_row_id"),
+                    F.lit(None).cast("long").alias("_row_commit_version"),
+                )
             return df.filter(pred) if pred is not None else df
 
-        if not snap.partition_columns:
+        if not snap.partition_columns and not with_row_ids:
             df = (
                 self.spark.read.format("parquet")
                 .schema(data_schema)
@@ -902,7 +990,12 @@ class DeltaLogTable:
         # and partition values ride the identity join under their
         # logical names (keys in partitionValues are physical and are
         # normalized to logical at snapshot build).
-        ident = F.broadcast(_file_identity_df(self.spark, snap, files))
+        ident = F.broadcast(
+            _file_identity_df(
+                self.spark, snap, files, row_tracking=with_row_ids
+            )
+        )
+        mat_extra = [mc for mc in (mat_id, mat_ver) if mc]
         df = (
             self.spark.read.format("parquet")
             .schema(data_schema)
@@ -918,12 +1011,14 @@ class DeltaLogTable:
         if dv_files:
             df = self._dv_filter(df, dv_files, "_dv_file", "_dv_path", "_dv_pos")
         if snap.column_mapping:
+            phys_fields = data_schema.fields[:len(data_fields)]
             df = df.select(
                 *[
                     F.col(f"`{p.name}`").alias(l.name)
-                    for p, l in zip(data_schema.fields, data_fields)
+                    for p, l in zip(phys_fields, data_fields)
                 ],
-                "_dv_file", "_dv_path",
+                *[F.col(f"`{mc}`") for mc in mat_extra],
+                "_dv_file", "_dv_path", "_dv_pos",
             )
         df = df.join(
             ident,
@@ -933,7 +1028,24 @@ class DeltaLogTable:
                 | df["_dv_path"].endswith(ident["_dc43_fsfxq"])
             ),
             "inner",
-        ).select(*[f.name for f in snap.schema.fields])
+        )
+        if with_row_ids:
+            fresh_id = F.col("_dc43_rt_base") + F.col("_dv_pos")
+            id_expr = (
+                F.coalesce(F.col(f"`{mat_id}`"), fresh_id)
+                if mat_id else fresh_id
+            )
+            ver_expr = (
+                F.coalesce(F.col(f"`{mat_ver}`"), F.col("_dc43_rt_dver"))
+                if mat_ver else F.col("_dc43_rt_dver")
+            )
+            df = df.select(
+                *[f.name for f in snap.schema.fields],
+                id_expr.cast("long").alias("_row_id"),
+                ver_expr.cast("long").alias("_row_commit_version"),
+            )
+        else:
+            df = df.select(*[f.name for f in snap.schema.fields])
         return df.filter(pred) if pred is not None else df
 
 
@@ -1458,6 +1570,10 @@ SUPPORTED_WRITER_FEATURES = frozenset(
         "variantType-preview",   # variant encoding (the same physical
                                  # layout delta-spark writes)
         "vacuumProtocolCheck",   # delta_vacuum gates on the full protocol
+        "rowTracking",       # every new add gets baseRowId /
+                             # defaultRowCommitVersion; the HWM domain
+                             # advances in the same commit; rewrites
+                             # preserve ids via the materialized columns
     }
 )
 
@@ -1525,6 +1641,86 @@ def _stamp_ict(
         actions.insert(0, actions.pop(idx))
     actions[0]["commitInfo"]["inCommitTimestamp"] = ict
     return ict
+
+
+# ---------------- row tracking (PROTOCOL.md "Row Tracking")
+
+_ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+
+def _row_tracking_present(protocol: dict) -> bool:
+    """Feature presence alone obliges a writer to assign baseRowId /
+    defaultRowCommitVersion to every new add (enablement additionally
+    promises STABLE ids to readers)."""
+    return (
+        protocol.get("minWriterVersion", 2) >= 7
+        and "rowTracking" in (protocol.get("writerFeatures") or ())
+    )
+
+
+def _row_tracking_enabled(meta: dict) -> bool:
+    return str((meta.get("configuration") or {}).get(
+        "delta.enableRowTracking", ""
+    )).lower() == "true"
+
+
+def _materialized_rt_cols(meta: dict) -> tuple:
+    """(row-id column, row-commit-version column) PHYSICAL names — the
+    columns a rewrite stores preserved ids in. They live only in the
+    files, never in the table schema."""
+    conf = meta.get("configuration") or {}
+    return (
+        conf.get("delta.rowTracking.materializedRowIdColumnName"),
+        conf.get("delta.rowTracking.materializedRowCommitVersionColumnName"),
+    )
+
+
+def _row_id_hwm(t: "DeltaLogTable", version: Optional[int]) -> int:
+    """The ``delta.rowTracking`` domain's rowIdHighWaterMark at
+    ``version`` (-1 when absent: no ids allocated yet)."""
+    if version is None:
+        return -1
+    conf = t._domains(version).get(_ROW_TRACKING_DOMAIN)
+    if not conf:
+        return -1
+    try:
+        return int(json.loads(conf).get("rowIdHighWaterMark", -1))
+    except (ValueError, TypeError):
+        return -1
+
+
+def _assign_fresh_row_ids(adds: list, hwm: int, commit_version: int) -> int:
+    """Mutate the add dicts that carry no baseRowId yet: consecutive
+    fresh id ranges above ``hwm`` (file's ids = base..base+numRecords-1)
+    plus this commit's version as defaultRowCommitVersion. Returns the
+    new high water mark. Idempotent per claim retry ONLY if the caller
+    recomputes hwm from the new head first — always call inside the
+    retry loop. Adds that already carry ids (DV supersession, restore
+    re-adds) are left untouched: their rows keep their identities."""
+    base = hwm + 1
+    for a in adds:
+        if a.get("baseRowId") is not None:
+            continue
+        rows = 0
+        st = a.get("stats")
+        if st:
+            try:
+                rows = int((json.loads(st) if isinstance(st, str) else st)
+                           .get("numRecords", 0))
+            except (ValueError, TypeError):
+                rows = 0
+        a["baseRowId"] = base
+        a["defaultRowCommitVersion"] = commit_version
+        base += max(rows, 1)
+    return base - 1
+
+
+def _row_tracking_domain_action(hwm: int) -> dict:
+    return {"domainMetadata": {
+        "domain": _ROW_TRACKING_DOMAIN,
+        "configuration": json.dumps({"rowIdHighWaterMark": int(hwm)}),
+        "removed": False,
+    }}
 
 
 def _check_append_only(meta: dict, mode: str) -> None:
@@ -1880,6 +2076,21 @@ def delta_write(
             f"configuration= applies at CREATE time; {dest} already "
             "exists — change table properties with a metadata commit"
         )
+    if configuration and str(configuration.get(
+        "delta.enableRowTracking", ""
+    )).lower() == "true":
+        # row tracking from birth: rewrites (DML/OPTIMIZE) preserve ids
+        # through these physical-only columns, so their names are fixed
+        # at create (stable across claim retries by computing them here)
+        configuration = dict(configuration)
+        configuration.setdefault(
+            "delta.rowTracking.materializedRowIdColumnName",
+            f"_row-id-col-{_uuid.uuid4()}",
+        )
+        configuration.setdefault(
+            "delta.rowTracking.materializedRowCommitVersionColumnName",
+            f"_row-commit-version-col-{_uuid.uuid4()}",
+        )
     if txn is not None and exists:
         last = t.last_txn_version(str(txn["appId"]))
         if last is not None and int(txn["version"]) <= last:
@@ -2116,6 +2327,14 @@ def delta_write(
                 )
                 if upgraded is not None:
                     create_protocol = upgraded
+            if str((configuration or {}).get(
+                "delta.enableRowTracking", ""
+            )).lower() == "true":
+                upgraded = _protocol_with_features(
+                    create_protocol, set(), {"rowTracking", "domainMetadata"}
+                )
+                if upgraded is not None:
+                    create_protocol = upgraded
             actions.append({"protocol": create_protocol})
             actions.append({"metaData": {
                 "id": str(_uuid.uuid4()),
@@ -2306,6 +2525,21 @@ def delta_write(
                     actions.append({"metaData": _apply_ident_hwm(meta_now)})
             next_version = head + 1
         actions += [{"add": a} for a in adds]
+        protocol_now = (
+            create_protocol
+            if head is None
+            else _raw_protocol_meta(t, head)[0]
+        )
+        if _row_tracking_present(protocol_now):
+            # fresh files get fresh id ranges; recompute per attempt —
+            # a moved head means a moved high water mark
+            for a in adds:
+                a.pop("baseRowId", None)
+                a.pop("defaultRowCommitVersion", None)
+            new_hwm = _assign_fresh_row_ids(
+                adds, _row_id_hwm(t, head), next_version
+            )
+            actions.append(_row_tracking_domain_action(new_hwm))
         conf_ict = (
             dict(configuration or {})
             if head is None
@@ -2380,6 +2614,13 @@ def write_delta_checkpoint(
         ("dataChange", pa.bool_()),
         ("stats", pa.string()),
         ("deletionVector", dv_t),
+        ("baseRowId", pa.int64()),
+        ("defaultRowCommitVersion", pa.int64()),
+    ])
+    domain_t = pa.struct([
+        ("domain", pa.string()),
+        ("configuration", pa.string()),
+        ("removed", pa.bool_()),
     ])
     meta_t = pa.struct([
         ("id", pa.string()),
@@ -2421,7 +2662,16 @@ def write_delta_checkpoint(
                 if dv and dv.get("pathOrInlineDv") is not None
                 else None
             ),
+            "baseRowId": a.get("baseRowId"),
+            "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
         })
+    # live domains persist through checkpoints (removed tombstones are
+    # dropped, per spec) — row tracking's HWM would otherwise vanish the
+    # moment its JSON commits are covered
+    domain_rows = [
+        {"domain": k, "configuration": v, "removed": False}
+        for k, v in sorted(t._domains(version).items())
+    ]
     meta_row = {
         "id": meta.get("id", ""),
         "format": {
@@ -2451,7 +2701,7 @@ def write_delta_checkpoint(
         pq.write_table(table, tmp, compression="snappy")
         os.replace(tmp, dest)
 
-    n = len(add_rows) + 2 + len(txn_rows)
+    n = len(add_rows) + 2 + len(txn_rows) + len(domain_rows)
     if policy == "v2":
         import time as _time
         import uuid as _uuid
@@ -2478,7 +2728,7 @@ def write_delta_checkpoint(
             "sizeInBytes": os.path.getsize(sc_path),
             "modificationTime": int(_time.time() * 1000),
         }
-        n_top = 3 + len(txn_rows) + 1
+        n_top = 3 + len(txn_rows) + len(domain_rows) + 1
         top = pa.table({
             "checkpointMetadata": pa.array(
                 [{"version": version, "tags": []}] + [None] * (n_top - 1),
@@ -2491,7 +2741,12 @@ def write_delta_checkpoint(
                 [None, None, proto_row] + [None] * (n_top - 3), proto_t
             ),
             "txn": pa.array(
-                [None] * 3 + txn_rows + [None], txn_t
+                [None] * 3 + txn_rows
+                + [None] * (len(domain_rows) + 1), txn_t
+            ),
+            "domainMetadata": pa.array(
+                [None] * (3 + len(txn_rows)) + domain_rows + [None],
+                domain_t,
             ),
             "sidecar": pa.array(
                 [None] * (n_top - 1) + [sc_row], sidecar_t
@@ -2503,14 +2758,22 @@ def write_delta_checkpoint(
         )
         _atomic_write(top, final)
     else:
-        n_extra = 2 + len(txn_rows)
+        n_extra = 2 + len(txn_rows) + len(domain_rows)
         tbl = pa.table({
             "add": pa.array(add_rows + [None] * n_extra, add_t),
-            "metaData": pa.array([None] * len(add_rows) + [meta_row]
-                                 + [None] * (1 + len(txn_rows)), meta_t),
-            "protocol": pa.array([None] * (len(add_rows) + 1) + [proto_row]
-                                 + [None] * len(txn_rows), proto_t),
-            "txn": pa.array([None] * (len(add_rows) + 2) + txn_rows, txn_t),
+            "metaData": pa.array(
+                [None] * len(add_rows) + [meta_row]
+                + [None] * (1 + len(txn_rows) + len(domain_rows)), meta_t),
+            "protocol": pa.array(
+                [None] * (len(add_rows) + 1) + [proto_row]
+                + [None] * (len(txn_rows) + len(domain_rows)), proto_t),
+            "txn": pa.array(
+                [None] * (len(add_rows) + 2) + txn_rows
+                + [None] * len(domain_rows), txn_t),
+            "domainMetadata": pa.array(
+                [None] * (len(add_rows) + 2 + len(txn_rows)) + domain_rows,
+                domain_t,
+            ),
         })
         final = os.path.join(t.log_dir, f"{version:020d}.checkpoint.parquet")
         _atomic_write(tbl, final)
@@ -2559,6 +2822,16 @@ def delta_optimize(
     snap = t.snapshot()
     protocol, meta = _raw_protocol_meta(t, snap.version)
     _check_writer_protocol(protocol, meta, snap.schema)
+    rt_mat = _row_tracking_present(protocol) and _row_tracking_enabled(meta)
+    rt_id_col = rt_ver_col = None
+    if rt_mat:
+        rt_id_col, rt_ver_col = _materialized_rt_cols(meta)
+        if not (rt_id_col and rt_ver_col):
+            raise DeltaWriteError(
+                "row tracking is enabled but the materialized column "
+                "names are not configured; a compaction cannot preserve "
+                "row ids — fix delta.rowTracking.materialized*ColumnName"
+            )
     target = int(target_file_mb * (1 << 20))
 
     groups: dict = {}
@@ -2624,11 +2897,49 @@ def delta_optimize(
     ts_ms = int(_time.time() * 1000)
     adds, removes = [], []
     for key, members in bins:
+        read_schema = data_schema
+        if rt_mat:
+            read_schema = StructType(
+                list(data_schema.fields)
+                + [StructField(mc, LongType())
+                   for mc in (rt_id_col, rt_ver_col)]
+            )
         df = (
             spark.read.format("parquet")
-            .schema(data_schema)
+            .schema(read_schema)
             .load([os.path.join(dest, m.path) for m in members])
         )
+        if rt_mat:
+            # combining files breaks the fresh-id fallback (baseRowId +
+            # index no longer addresses the original rows): every row's
+            # CURRENT id and last-modified version materialize into the
+            # physical columns of the compacted output
+            ident = F.broadcast(
+                _file_identity_df(spark, snap, members, row_tracking=True)
+            )
+            df = df.select(
+                "*",
+                F.col("_metadata.file_name").alias("_opt_fb"),
+                F.col("_metadata.file_path").alias("_opt_fp"),
+                F.col("_metadata.row_index").alias("_opt_pos"),
+            )
+            df = df.join(
+                ident,
+                (df["_opt_fb"] == ident["_dc43_fb"])
+                & (
+                    df["_opt_fp"].endswith(ident["_dc43_fsfx"])
+                    | df["_opt_fp"].endswith(ident["_dc43_fsfxq"])
+                ),
+                "inner",
+            )
+            fresh = F.col("_dc43_rt_base") + F.col("_opt_pos")
+            df = df.select(
+                *[F.col(f"`{f.name}`") for f in data_schema.fields],
+                F.coalesce(F.col(f"`{rt_id_col}`"), fresh)
+                .cast("long").alias(rt_id_col),
+                F.coalesce(F.col(f"`{rt_ver_col}`"), F.col("_dc43_rt_dver"))
+                .cast("long").alias(rt_ver_col),
+            )
         if zorder_by:
             from dc43_spark.io.zorder import zorder_repartition
 
@@ -2657,7 +2968,12 @@ def delta_optimize(
                         },
                     )
                     for f in data_fields
-                ]
+                ],
+                *[
+                    F.col(f"`{mc}`")
+                    for mc in (rt_id_col, rt_ver_col)
+                    if mc and mc in df.columns
+                ],
             )
         staging = os.path.join(dest, f"_staging_{_uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
@@ -2731,6 +3047,18 @@ def delta_optimize(
             {k: (dict(v) if isinstance(v, dict) else v) for k, v in a.items()}
             for a in actions
         ]
+        if _row_tracking_present(protocol):
+            # the compacted files are new: fresh id ranges (their rows'
+            # STABLE ids ride the materialized columns written above)
+            fresh_adds = [a["add"] for a in attempt if "add" in a]
+            for a in fresh_adds:
+                a.pop("baseRowId", None)
+                a.pop("defaultRowCommitVersion", None)
+            if fresh_adds:
+                new_hwm = _assign_fresh_row_ids(
+                    fresh_adds, _row_id_hwm(t, head), head + 1
+                )
+                attempt.append(_row_tracking_domain_action(new_hwm))
         _stamp_ict(
             attempt, t, head,
             (_raw_protocol_meta(t, head)[1] or {}).get("configuration"),
@@ -2994,6 +3322,13 @@ def delta_clone(
                                         "minWriterVersion": 2}},
         {"metaData": new_meta},
     ]
+    # live domains travel with the clone — row tracking's high water
+    # mark in particular, so the clone's next append can't reuse ids
+    # the cloned files already carry
+    for dname, dconf in sorted(t._domains(snap.version).items()):
+        actions.append({"domainMetadata": {
+            "domain": dname, "configuration": dconf, "removed": False,
+        }})
     for rel, add in sorted(raw_adds.items()):
         new_add = dict(add)
         # checkpoint-sourced adds carry partitionValues as (k, v) tuple
@@ -3498,6 +3833,13 @@ def delta_set_properties(spark: SparkSession, path: str, props: dict) -> int:
                 f"{k} is managed by delta_add_constraint (existing rows "
                 "must be validated before the rule lands)"
             )
+        if lk == "delta.enablerowtracking" or lk.startswith(
+            "delta.rowtracking."
+        ):
+            raise DeltaWriteError(
+                f"{k} is managed by delta_enable_row_tracking (existing "
+                "files must be backfilled with baseRowId ranges)"
+            )
 
     def mutate(meta, protocol):
         conf = dict(meta.get("configuration") or {})
@@ -3654,6 +3996,78 @@ def delta_widen_column_type(
     return _metadata_commit(
         spark, path, "CHANGE COLUMN",
         {"column": column, "type": want}, mutate,
+    )
+
+
+def delta_enable_row_tracking(spark: SparkSession, path: str) -> int:
+    """Enable row tracking on an EXISTING table: one commit that (a)
+    raises the protocol to v7 with the rowTracking + domainMetadata
+    features, (b) fixes the materialized row-id / row-commit-version
+    column names in the configuration, (c) BACKFILLS every live file —
+    re-added (dataChange=false) with a fresh baseRowId range and this
+    commit as its defaultRowCommitVersion — and (d) plants the
+    rowIdHighWaterMark domain. After this commit every row has a stable
+    id: ``baseRowId + row_index`` until a rewrite materializes it."""
+    import time as _time
+    import uuid as _uuid
+
+    from dc43_spark.io.snaplog import LinkCommitClaimer
+
+    t = DeltaLogTable(spark, path)
+    claimer = LinkCommitClaimer()
+    for _ in range(20):
+        head = t.version()
+        if head is None:
+            raise FileNotFoundError(f"no Delta log at {t.log_dir}")
+        adds, meta, protocol, _txns = t._collect_state(head)
+        if meta is None:
+            raise DeltaProtocolError(f"no metaData action in {t.log_dir}")
+        conf = dict(meta.get("configuration") or {})
+        if str(conf.get("delta.enableRowTracking", "")).lower() == "true":
+            return head  # already enabled
+        ts_ms = int(_time.time() * 1000)
+        next_version = head + 1
+        conf["delta.enableRowTracking"] = "true"
+        conf.setdefault(
+            "delta.rowTracking.materializedRowIdColumnName",
+            f"_row-id-col-{_uuid.uuid4()}",
+        )
+        conf.setdefault(
+            "delta.rowTracking.materializedRowCommitVersionColumnName",
+            f"_row-commit-version-col-{_uuid.uuid4()}",
+        )
+        new_meta = dict(meta)
+        new_meta["configuration"] = conf
+        actions: list = [{"commitInfo": {
+            "timestamp": ts_ms,
+            "operation": "SET TBLPROPERTIES",
+            "operationParameters": {
+                "properties": {"delta.enableRowTracking": "true"}
+            },
+        }}]
+        upgraded = _protocol_with_features(
+            protocol, set(), {"rowTracking", "domainMetadata"}
+        )
+        if upgraded is not None:
+            actions.append({"protocol": upgraded})
+        actions.append({"metaData": new_meta})
+        backfill = [
+            _canon_add(a) for _p, a in sorted(adds.items())
+            if a.get("baseRowId") is None
+        ]
+        for a in backfill:
+            a["dataChange"] = False
+        new_hwm = _assign_fresh_row_ids(
+            backfill, _row_id_hwm(t, head), next_version
+        )
+        actions += [{"add": a} for a in backfill]
+        actions.append(_row_tracking_domain_action(max(new_hwm, -1)))
+        _stamp_ict(actions, t, head, conf, ts_ms)
+        payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+        if claimer.claim(t.log_dir, f"{next_version:020d}.json", payload):
+            return next_version
+    raise DeltaProtocolError(
+        f"could not claim a commit on {path} after 20 tries"
     )
 
 
