@@ -171,6 +171,11 @@ class SnaplogCatalog:
           (table, files, dry_run)), ``RESTORE TABLE t TO VERSION AS OF n
           | TO TIMESTAMP AS OF 'iso'``, ``DESCRIBE HISTORY t`` (returns
           (version, timestamp, operation) rows)
+        - ``ALTER TABLE t ...`` (r11): ``RENAME COLUMN a TO b`` /
+          ``DROP COLUMN c`` / ``ADD CONSTRAINT n CHECK (expr)`` /
+          ``DROP CONSTRAINT [IF EXISTS] n`` on both formats;
+          ``ALTER COLUMN c TYPE <wider>`` (protocol type widening) and
+          ``SET/UNSET TBLPROPERTIES (...)`` on Delta tables
 
         DDL/DML return a one-row status frame (table, version)."""
         m = _DDL_CREATE_AS.match(query)
@@ -348,6 +353,12 @@ class SnaplogCatalog:
             return self.spark.createDataFrame(
                 rows, "version long, timestamp double, operation string"
             )
+        m = _DDL_ALTER.match(query)
+        if m:
+            name, rest = m.groups()
+            if not self.exists(name):
+                raise ValueError(f"no table {name!r} in {self.root}")
+            return self._sql_alter(name, rest.strip())
         m = _DDL_DROP.match(query)
         if m:
             if_exists, name, purge = m.groups()
@@ -371,7 +382,137 @@ class SnaplogCatalog:
             [(name, version)], "table string, version long"
         )
 
+    def _sql_alter(self, name: str, rest: str) -> DataFrame:
+        """``ALTER TABLE <name> <rest>`` on either format: RENAME/DROP
+        COLUMN and ADD/DROP CONSTRAINT map to both engines; ALTER COLUMN
+        TYPE (widening) and SET/UNSET TBLPROPERTIES are Delta-protocol
+        lifecycles and refuse on snaplog with a pointer. Unknown ALTER
+        spellings refuse rather than fall through to Spark (which would
+        silently no-op against a temp view)."""
+        path = self._path(name)
+        is_delta = self.format_of(name) == "delta"
 
+        m = re.match(
+            r"^ALTER\s+COLUMN\s+`?(\w+)`?\s+TYPE\s+(.+?)\s*$",
+            rest, re.IGNORECASE,
+        )
+        if m:
+            col, new_type = m.groups()
+            if not is_delta:
+                raise ValueError(
+                    "ALTER COLUMN TYPE (type widening) is a Delta-protocol "
+                    "lifecycle; snaplog tables have no widening commit"
+                )
+            from dc43_spark.io.delta_log import delta_widen_column_type
+
+            v = delta_widen_column_type(self.spark, path, col, new_type)
+            return self._status(name, v)
+        m = re.match(
+            r"^RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?$",
+            rest, re.IGNORECASE,
+        )
+        if m:
+            old, new = m.groups()
+            if is_delta:
+                from dc43_spark.io.delta_log import delta_rename_column
+
+                v = delta_rename_column(self.spark, path, old, new)
+            else:
+                v = self.table(name).rename_column(old, new)
+            return self._status(name, v)
+        m = re.match(r"^DROP\s+COLUMN\s+`?(\w+)`?$", rest, re.IGNORECASE)
+        if m:
+            col = m.group(1)
+            if is_delta:
+                from dc43_spark.io.delta_log import delta_drop_column
+
+                v = delta_drop_column(self.spark, path, col)
+            else:
+                v = self.table(name).drop_column(col)
+            return self._status(name, v)
+        m = re.match(
+            r"^ADD\s+CONSTRAINT\s+`?(\w+)`?\s+CHECK\s*\((.+)\)\s*$",
+            rest, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            cname, expr = m.groups()
+            if is_delta:
+                from dc43_spark.io.delta_log import delta_add_constraint
+
+                v = delta_add_constraint(self.spark, path, cname, expr)
+            else:
+                v = self.table(name).add_check_constraint(cname, expr)
+            return self._status(name, v)
+        m = re.match(
+            r"^DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?`?(\w+)`?$",
+            rest, re.IGNORECASE,
+        )
+        if m:
+            if_exists, cname = m.group(1) is not None, m.group(2)
+            if is_delta:
+                from dc43_spark.io.delta_log import delta_drop_constraint
+
+                v = delta_drop_constraint(
+                    self.spark, path, cname, if_exists=if_exists
+                )
+            else:
+                v = self.table(name).drop_check_constraint(cname)
+            return self._status(name, v)
+        m = re.match(
+            r"^(UN)?SET\s+TBLPROPERTIES\s*(?:(IF\s+EXISTS)\s*)?\((.+)\)\s*$",
+            rest, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            unset, if_exists, body = m.groups()
+            if not is_delta:
+                raise ValueError(
+                    "SET/UNSET TBLPROPERTIES is a Delta-protocol "
+                    "lifecycle; snaplog table options are fixed at create"
+                )
+            if unset:
+                from dc43_spark.io.delta_log import delta_unset_properties
+
+                keys = [
+                    k.strip().strip("'\"`")
+                    for k in _split_top_level(body)
+                ]
+                v = delta_unset_properties(
+                    self.spark, path, keys, if_exists=if_exists is not None
+                )
+            else:
+                from dc43_spark.io.delta_log import delta_set_properties
+
+                props = {}
+                for item in _split_top_level(body):
+                    km = re.match(
+                        r"^\s*['\"`]?([\w.]+)['\"`]?\s*=\s*(.+?)\s*$",
+                        item, re.DOTALL,
+                    )
+                    if not km:
+                        raise ValueError(
+                            f"unparseable TBLPROPERTIES entry {item!r}"
+                        )
+                    val = km.group(2).strip()
+                    if (
+                        len(val) >= 2
+                        and val[0] == val[-1]
+                        and val[0] in "'\""
+                    ):
+                        val = val[1:-1]
+                    props[km.group(1)] = val
+                v = delta_set_properties(self.spark, path, props)
+            return self._status(name, v)
+        raise ValueError(
+            f"unsupported ALTER TABLE clause {rest!r}; supported: ALTER "
+            "COLUMN t TYPE, RENAME COLUMN, DROP COLUMN, ADD/DROP "
+            "CONSTRAINT, SET/UNSET TBLPROPERTIES"
+        )
+
+
+_DDL_ALTER = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DDL_CREATE_AS = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z_][A-Za-z0-9_]*)"
     r"(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s+AS\s+(.+)$",

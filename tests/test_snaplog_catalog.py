@@ -524,3 +524,80 @@ def test_sql_vacuum_default_keeps_time_travel(spark, tmp_path):
     assert out.files == 0  # nothing old enough to sweep
     cat.sql("RESTORE TABLE vt TO VERSION AS OF 0")  # time travel intact
     assert {r.k for r in cat.sql("SELECT * FROM vt").collect()} == {0, 1, 2}
+
+
+def test_sql_alter_table_both_formats(spark, tmp_path):
+    """r11: ALTER TABLE through catalog.sql — RENAME/DROP COLUMN and
+    ADD/DROP CONSTRAINT on both formats; ALTER COLUMN TYPE (protocol
+    type widening) and SET/UNSET TBLPROPERTIES on Delta; unknown ALTER
+    spellings and snaplog-impossible lifecycles refuse loudly."""
+    import os
+
+    from dc43_spark.io.catalog import SnaplogCatalog
+    from dc43_spark.io.delta_log import DeltaLogTable, delta_write
+
+    cat = SnaplogCatalog(spark, str(tmp_path / "wh"))
+
+    # snaplog: rename + constraint lifecycle
+    cat.sql("CREATE TABLE st AS SELECT id AS k, id * 2 AS amt FROM range(4)")
+    cat.sql("ALTER TABLE st RENAME COLUMN amt TO total")
+    assert set(cat.sql("SELECT * FROM st").columns) == {"k", "total"}
+    cat.sql("ALTER TABLE st ADD CONSTRAINT pos CHECK (total >= 0)")
+    with pytest.raises(Exception, match="pos"):
+        cat.sql("INSERT INTO st SELECT id AS k, CAST(-1 AS BIGINT) AS total "
+                "FROM range(1)")
+    cat.sql("ALTER TABLE st DROP CONSTRAINT pos")
+    cat.sql("INSERT INTO st SELECT id AS k, CAST(-1 AS BIGINT) AS total "
+            "FROM range(90, 91)")
+    cat.sql("ALTER TABLE st DROP COLUMN total")
+    assert cat.sql("SELECT * FROM st").columns == ["k"]
+    with pytest.raises(ValueError, match="Delta-protocol"):
+        cat.sql("ALTER TABLE st ALTER COLUMN k TYPE decimal(30,0)")
+    with pytest.raises(ValueError, match="Delta-protocol"):
+        cat.sql("ALTER TABLE st SET TBLPROPERTIES ('a' = 'b')")
+
+    # delta: widening + properties + constraint through the same grammar
+    delta_write(
+        spark,
+        spark.range(4).selectExpr(
+            "CAST(id AS INT) AS k", "id AS amt"
+        ).coalesce(1),
+        os.path.join(cat.root, "dt"), checkpoint_interval=None,
+    )
+    cat.sql("ALTER TABLE dt ALTER COLUMN k TYPE bigint")
+    d = DeltaLogTable(spark, os.path.join(cat.root, "dt"))
+    assert d.read().schema["k"].dataType.simpleString() == "bigint"
+    cat.sql(
+        "ALTER TABLE dt SET TBLPROPERTIES "
+        "('delta.enableInCommitTimestamps' = 'true', 'custom.tag' = 'x')"
+    )
+    snap = d.snapshot()
+    assert snap.configuration["custom.tag"] == "x"
+    assert snap.configuration["delta.enableInCommitTimestamps"] == "true"
+    # the enablement commit itself carries the marker properties + ICT
+    import json as _json
+
+    with open(os.path.join(
+        cat.root, "dt", "_delta_log", f"{snap.version:020d}.json"
+    )) as fh:
+        first = _json.loads(fh.readline())
+    assert "inCommitTimestamp" in first["commitInfo"]
+    cat.sql("ALTER TABLE dt UNSET TBLPROPERTIES ('custom.tag')")
+    assert "custom.tag" not in DeltaLogTable(
+        spark, os.path.join(cat.root, "dt")
+    ).snapshot().configuration
+    cat.sql("ALTER TABLE dt ADD CONSTRAINT amt_pos CHECK (amt >= 0)")
+    with pytest.raises(Exception, match="amt_pos"):
+        cat.sql("INSERT INTO dt SELECT CAST(9 AS BIGINT) AS k, "
+                "CAST(-5 AS BIGINT) AS amt FROM range(1)")
+    cat.sql("ALTER TABLE dt DROP CONSTRAINT amt_pos")
+    # rename needs column mapping (delta-spark's own precondition)
+    with pytest.raises(Exception, match="column mapping"):
+        cat.sql("ALTER TABLE dt RENAME COLUMN amt TO total")
+    from dc43_spark.io.delta_log import delta_enable_column_mapping
+
+    delta_enable_column_mapping(spark, os.path.join(cat.root, "dt"))
+    cat.sql("ALTER TABLE dt RENAME COLUMN amt TO total")
+    assert set(d.read().columns) >= {"k", "total"}
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        cat.sql("ALTER TABLE dt CLUSTER BY (k)")
