@@ -1160,20 +1160,17 @@ def export_delta_snapshot(
     ``deletionVectors`` feature, exactly what delta-spark writes for a
     MOR DELETE. No delete materialization, no data rewrite.
 
-    Refuses rather than approximates: column mapping / retired columns
-    (files hold physical names the export would have to re-describe)
-    and hidden partition transforms (no Delta analogue; identity
-    partitions export fine, keeping their hive layout)."""
+    Column-mapped / retired-column tables (r11): exported as Delta
+    column mapping ``mode=name`` — both formats freeze the same
+    physical names in the files, so logical names + ids ride the
+    schemaString metadata and nothing rewrites. Hidden partition
+    transforms still refuse (no Delta analogue; identity partitions
+    export fine, keeping their hive layout)."""
     import shutil
 
     from dc43_spark.io.snaplog import parse_partition_spec
 
     snap = table.snapshot(version_as_of, timestamp=timestamp_as_of)
-    if snap.column_mapping or snap.retired:
-        raise ValueError(
-            "export of a column-mapped table is not supported (files hold "
-            "physical names; read+rewrite to export)"
-        )
     fields = parse_partition_spec(snap.partition_by)
     if any(f.hidden for f in fields):
         raise ValueError(
@@ -1196,16 +1193,45 @@ def export_delta_snapshot(
     # ladder-measured in SCALE.md)
     dv_descriptors = _emit_dv_file(dest, _snaplog_dv_positions(table, snap))
 
-    protocol = (
-        {
+    # column-mapped / retired-column snaplog tables export as Delta
+    # column mapping mode=name (r11 — the last export refusal lifted):
+    # files hold the same frozen physical names both formats read
+    # through, logical names + ids ride the schemaString metadata, stats
+    # and partitionValues stay physically keyed (partition columns are
+    # never renamable in snaplog, so theirs are identical either way);
+    # retired physical columns simply stay unprojected in the files.
+    schema_string = snap.schema_json
+    mapped = bool(snap.column_mapping or snap.retired)
+    configuration: dict = {}
+    if mapped:
+        doc = json.loads(snap.schema_json)
+        for i, f0 in enumerate(doc.get("fields", ()), start=1):
+            md = dict(f0.get("metadata") or {})
+            md["delta.columnMapping.id"] = i
+            md["delta.columnMapping.physicalName"] = snap.physical(
+                f0["name"]
+            )
+            f0["metadata"] = md
+        schema_string = json.dumps(doc)
+        configuration = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(
+                len(doc.get("fields", ()))
+            ),
+        }
+
+    if dv_descriptors or mapped:
+        rfeats = (["deletionVectors"] if dv_descriptors else []) + (
+            ["columnMapping"] if mapped else []
+        )
+        protocol = {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors"],
-            "writerFeatures": ["deletionVectors"],
+            "readerFeatures": sorted(rfeats),
+            "writerFeatures": sorted(rfeats),
         }
-        if dv_descriptors
-        else {"minReaderVersion": 1, "minWriterVersion": 2}
-    )
+    else:
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
     actions = [
         {
             "commitInfo": {
@@ -1224,9 +1250,9 @@ def export_delta_snapshot(
             "metaData": {
                 "id": "00000000-0000-0000-0000-00000000dc43",
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": snap.schema_json,
+                "schemaString": schema_string,
                 "partitionColumns": part_cols,
-                "configuration": {},
+                "configuration": configuration,
                 "createdTime": int(snap.timestamp * 1000),
             }
         },
@@ -1431,10 +1457,15 @@ def sync_delta_export(table, dest_path: str) -> Optional[int]:
 
     old_snap = table.snapshot(mirrored)
     new_snap = table.snapshot(head)
-    if new_snap.column_mapping or new_snap.retired:
+    if (
+        new_snap.column_mapping != old_snap.column_mapping
+        or tuple(new_snap.retired) != tuple(old_snap.retired)
+    ):
+        # a rename/drop since the mirror would need a metaData rewrite
+        # in the mirror too — out of the incremental path's scope
         raise ValueError(
-            "sync of a column-mapped table is not supported (files hold "
-            "physical names; read+rewrite to export)"
+            "column mapping changed since the last sync; export a fresh "
+            "Delta table for the new shape"
         )
     fields = parse_partition_spec(new_snap.partition_by)
     if any(f.hidden for f in fields):

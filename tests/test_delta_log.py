@@ -405,15 +405,6 @@ def test_export_refusals(spark, tmp_path):
     from dc43_spark.io.delta_log import export_delta_snapshot
     from dc43_spark.io.snaplog import SnaplogTable
 
-    t = SnaplogTable(spark, str(tmp_path / "t"))
-    t.write(
-        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1),
-        mode="overwrite",
-    )
-    t.rename_column("v", "w")
-    with pytest.raises(ValueError, match="column-mapped"):
-        export_delta_snapshot(t, str(tmp_path / "d2"))
-
     h = SnaplogTable(spark, str(tmp_path / "h"))
     h.write(
         spark.createDataFrame(
@@ -433,6 +424,55 @@ def test_export_refusals(spark, tmp_path):
     dest = export_delta_snapshot(ok, str(tmp_path / "d4"))
     with pytest.raises(ValueError, match="already has"):
         export_delta_snapshot(ok, dest)
+
+
+def test_export_column_mapped_table(spark, tmp_path):
+    """r11 (the last export refusal lifted): a renamed/dropped-column
+    snaplog table exports as a column-mapped (mode=name) Delta table —
+    both formats freeze the same physical names in the files, so the
+    export is still pure metadata + hard links. Sync stays incremental
+    while the mapping is unchanged and refuses after a rename."""
+    from dc43_spark.io.delta_log import (
+        DeltaLogTable,
+        export_delta_snapshot,
+        sync_delta_export,
+    )
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, v string, gone long"
+        ).coalesce(1),
+        mode="overwrite",
+    )
+    t.rename_column("v", "w")
+    t.drop_column("gone")
+    dest = export_delta_snapshot(t, str(tmp_path / "d"))
+    d = DeltaLogTable(spark, dest)
+    snap = d.snapshot()
+    assert snap.mapping_mode == "name"
+    assert [f.name for f in snap.schema.fields] == ["k", "w"]
+    got = {(r.k, r.w) for r in d.read().collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # stats pruning keys physically and still bites on the logical filter
+    assert len(d.read(filters=[("k", "=", 2)]).collect()) == 1
+    # incremental sync while the mapping is unchanged
+    t.write(
+        spark.createDataFrame([(3, "c")], "k long, w string").coalesce(1),
+        mode="append",
+    )
+    assert sync_delta_export(t, dest) is not None
+    got = {(r.k, r.w) for r in DeltaLogTable(spark, dest).read().collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # a rename since the mirror refuses the incremental path
+    t.rename_column("w", "x")
+    t.write(
+        spark.createDataFrame([(4, "d")], "k long, x string").coalesce(1),
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="column mapping changed"):
+        sync_delta_export(t, dest)
 
 
 @pytest.mark.nonconformant_log  # minimal hand-authored checkpoint omits required add fields
