@@ -1605,8 +1605,38 @@ SUPPORTED_WRITER_FEATURES = frozenset(
                              # defaultRowCommitVersion; the HWM domain
                              # advances in the same commit; rewrites
                              # preserve ids via the materialized columns
+        "clustering",        # liquid clustering: the delta.clustering
+                             # domain folds through state + checkpoints;
+                             # appends need not cluster (delta-spark's
+                             # own rule) and OPTIMIZE lays out by the
+                             # domain's clusteringColumns
+        "clusteringColumns",  # preview-era spelling of the same feature
     }
 )
+
+_CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def _clustering_columns(t: "DeltaLogTable", version: int) -> list:
+    """The table's liquid-clustering columns from the
+    ``delta.clustering`` domain ([] when unclustered). Nested column
+    paths refuse — this writer clusters top-level columns only."""
+    conf = t._domains(version).get(_CLUSTERING_DOMAIN)
+    if not conf:
+        return []
+    try:
+        cols = json.loads(conf).get("clusteringColumns") or []
+    except (ValueError, TypeError):
+        return []
+    out = []
+    for c in cols:
+        parts = c if isinstance(c, list) else [c]
+        if len(parts) != 1:
+            raise DeltaWriteError(
+                f"nested clustering column {parts!r} is not supported here"
+            )
+        out.append(parts[0])
+    return out
 
 #: implied writer features below protocol v7 (PROTOCOL.md version table)
 _WRITER_VERSION_FEATURES = {
@@ -2059,6 +2089,7 @@ def delta_write(
     merge_schema: bool = False,
     checkpoint_interval: Optional[int] = 10,
     configuration: Optional[dict] = None,
+    cluster_by: Optional[Sequence[str]] = None,
 ) -> Optional[int]:
     """Jar-less Delta WRITE — the safe subset: create, blind append,
     overwrite. MERGE/UPDATE/DELETE stay on snaplog (+``sync_delta_export``
@@ -2122,6 +2153,24 @@ def delta_write(
             "delta.rowTracking.materializedRowCommitVersionColumnName",
             f"_row-commit-version-col-{_uuid.uuid4()}",
         )
+    if cluster_by is not None:
+        # liquid clustering (PROTOCOL.md "Clustered Table"): declared at
+        # CREATE, laid out by OPTIMIZE (appends need not cluster —
+        # delta-spark's own rule, so the declaration is pure metadata)
+        if exists:
+            raise ValueError(
+                f"cluster_by= applies at CREATE time; {dest} already exists"
+            )
+        cluster_by = list(cluster_by)
+        missing = [c for c in cluster_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"cluster_by columns not in schema: {missing}")
+        overlap = set(cluster_by) & set(partition_by or ())
+        if overlap:
+            raise ValueError(
+                f"cluster_by and partition_by overlap on {sorted(overlap)}; "
+                "a clustered table is unpartitioned by convention"
+            )
     if txn is not None and exists:
         last = t.last_txn_version(str(txn["appId"]))
         if last is not None and int(txn["version"]) <= last:
@@ -2366,6 +2415,12 @@ def delta_write(
                 )
                 if upgraded is not None:
                     create_protocol = upgraded
+            if cluster_by:
+                upgraded = _protocol_with_features(
+                    create_protocol, set(), {"clustering", "domainMetadata"}
+                )
+                if upgraded is not None:
+                    create_protocol = upgraded
             actions.append({"protocol": create_protocol})
             actions.append({"metaData": {
                 "id": str(_uuid.uuid4()),
@@ -2377,6 +2432,14 @@ def delta_write(
                 "configuration": dict(configuration or {}),
                 "createdTime": ts_ms,
             }})
+            if cluster_by:
+                actions.append({"domainMetadata": {
+                    "domain": _CLUSTERING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [[c] for c in cluster_by]}
+                    ),
+                    "removed": False,
+                }})
             next_version = 0
         else:
             if head != base_version:
@@ -2863,6 +2926,13 @@ def delta_optimize(
                 "names are not configured; a compaction cannot preserve "
                 "row ids — fix delta.rowTracking.materialized*ColumnName"
             )
+    if zorder_by is None:
+        # liquid clustering: a bare OPTIMIZE on a clustered table IS the
+        # clustering pass (delta-spark's semantics) — lay every file out
+        # by the delta.clustering domain's columns
+        clustering = _clustering_columns(t, snap.version)
+        if clustering:
+            zorder_by = clustering
     target = int(target_file_mb * (1 << 20))
 
     groups: dict = {}
