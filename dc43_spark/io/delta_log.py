@@ -2624,7 +2624,7 @@ def delta_write(
             if head is None
             else _raw_protocol_meta(t, head)[0]
         )
-        if _row_tracking_present(protocol_now):
+        if _row_tracking_present(protocol_now) and adds:
             # fresh files get fresh id ranges; recompute per attempt —
             # a moved head means a moved high water mark
             for a in adds:
