@@ -420,6 +420,21 @@ class SnaplogCatalog:
             else:
                 v = self.table(name).rename_column(old, new)
             return self._status(name, v)
+        m = re.match(
+            r"^ADD\s+COLUMNS?\s*\(?\s*`?(\w+)`?\s+([\w(),]+)\s*\)?$",
+            rest, re.IGNORECASE,
+        )
+        if m:
+            col, dtype = m.groups()
+            if not is_delta:
+                raise ValueError(
+                    "ADD COLUMN on snaplog evolves through merge_schema "
+                    "appends (write the new column with merge_schema=True)"
+                )
+            from dc43_spark.io.delta_log import delta_add_column
+
+            v = delta_add_column(self.spark, path, col, dtype)
+            return self._status(name, v)
         m = re.match(r"^DROP\s+COLUMN\s+`?(\w+)`?$", rest, re.IGNORECASE)
         if m:
             col = m.group(1)

@@ -3795,7 +3795,15 @@ def delta_add_column(
             meta["configuration"] = conf
         doc["fields"].append(new_field)
         meta["schemaString"] = json.dumps(doc)
-        return meta, None
+        # a TIMESTAMP_NTZ / VARIANT column pulls its reader+writer
+        # features into the same commit (same rule as create/evolution)
+        need = _schema_type_features(
+            json.dumps({"type": "struct", "fields": [new_field]})
+        )
+        new_protocol = (
+            _protocol_with_features(protocol, need, need) if need else None
+        )
+        return meta, new_protocol
 
     return _metadata_commit(
         spark, path, "ADD COLUMNS", {"column": name, "type": dtype}, mutate

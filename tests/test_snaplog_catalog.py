@@ -601,3 +601,41 @@ def test_sql_alter_table_both_formats(spark, tmp_path):
     assert set(d.read().columns) >= {"k", "total"}
     with pytest.raises(ValueError, match="unsupported ALTER"):
         cat.sql("ALTER TABLE dt CLUSTER BY (k)")
+
+
+def test_sql_add_column(spark, tmp_path):
+    """r11: ALTER TABLE ADD COLUMN through catalog.sql — a metadata-only
+    commit on Delta (old files null-fill); feature-demanding types
+    (variant/ntz) pull their protocol features in the same commit;
+    snaplog points at merge_schema appends."""
+    import json as _json
+    import os
+
+    from dc43_spark.io.catalog import SnaplogCatalog
+    from dc43_spark.io.delta_log import DeltaLogTable, delta_write
+
+    cat = SnaplogCatalog(spark, str(tmp_path / "wh"))
+    delta_write(
+        spark, spark.range(3).selectExpr("id AS k").coalesce(1),
+        os.path.join(cat.root, "dt"), checkpoint_interval=None,
+    )
+    cat.sql("ALTER TABLE dt ADD COLUMN note string")
+    d = DeltaLogTable(spark, os.path.join(cat.root, "dt"))
+    assert [r.note for r in d.read().collect()] == [None, None, None]
+    cat.sql("ALTER TABLE dt ADD COLUMN payload variant")
+    snap = DeltaLogTable(spark, os.path.join(cat.root, "dt")).snapshot()
+    assert snap.schema["payload"].dataType.simpleString() == "variant"
+    log = os.path.join(cat.root, "dt", "_delta_log")
+    protocols = []
+    for n in sorted(os.listdir(log)):
+        if n.endswith(".json") and not n.startswith("_"):
+            with open(os.path.join(log, n)) as fh:
+                for line in fh:
+                    a = _json.loads(line)
+                    if "protocol" in a:
+                        protocols.append(a["protocol"])
+    assert "variantType" in protocols[-1]["readerFeatures"]
+
+    cat.sql("CREATE TABLE st AS SELECT id AS k FROM range(3)")
+    with pytest.raises(ValueError, match="merge_schema"):
+        cat.sql("ALTER TABLE st ADD COLUMN note string")
