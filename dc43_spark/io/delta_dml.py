@@ -976,19 +976,53 @@ def delta_merge(
             )
         new_meta = None
         if extra and merge_schema and not dict_clauses:
-            if snap.column_mapping:
+            if snap.mapping_mode == "id":
                 raise DeltaWriteError(
-                    "merge_schema evolution on a column-mapped table is "
-                    "not supported in DML; add the columns with a "
-                    "merge_schema delta_write append first"
+                    "additive evolution on an id-mode mapped table is not "
+                    "supported in DML (field ids are commit-assigned); add "
+                    "the columns with delta_add_column first"
                 )
-            evolved = StructType(
-                list(snap.schema.fields)
-                + [StructField(c, src.schema[c].dataType, True)
-                   for c in extra]
-            )
-            new_meta = dict(meta)
-            new_meta["schemaString"] = evolved.json()
+            if snap.column_mapping:
+                # name mode (r11): new columns get fresh ids + col-<uuid>
+                # physical names in the SAME commit — the evolved snapshot
+                # drives both the lineage scan (old files read the new
+                # physical columns as NULL) and the physical staging
+                import dataclasses as _dc
+                import uuid as _uuid
+
+                conf_now = dict(meta.get("configuration") or {})
+                max_id = int(
+                    conf_now.get("delta.columnMapping.maxColumnId", 0)
+                )
+                mapped_new = []
+                for c in extra:
+                    max_id += 1
+                    mapped_new.append(StructField(
+                        c, src.schema[c].dataType, True,
+                        metadata={
+                            "delta.columnMapping.id": max_id,
+                            "delta.columnMapping.physicalName":
+                                f"col-{_uuid.uuid4().hex}",
+                        },
+                    ))
+                evolved = StructType(list(snap.schema.fields) + mapped_new)
+                conf_now["delta.columnMapping.maxColumnId"] = str(max_id)
+                new_meta = dict(meta)
+                new_meta["schemaString"] = evolved.json()
+                new_meta["configuration"] = conf_now
+                snap = _dc.replace(
+                    snap, schema=evolved, configuration=conf_now
+                )
+                meta = dict(meta)
+                meta["configuration"] = conf_now
+            else:
+                evolved = StructType(
+                    list(snap.schema.fields)
+                    + [StructField(c, src.schema[c].dataType, True)
+                       for c in extra]
+                )
+                new_meta = dict(meta)
+                new_meta["schemaString"] = evolved.json()
             data_cols = data_cols + extra
             types = {f.name: f.dataType for f in evolved.fields}
         if (

@@ -976,3 +976,59 @@ def test_delta_write_configuration_refused_on_existing_table(spark, tmp_path):
     with pytest.raises(ValueError, match="CREATE time"):
         delta_write(spark, _df(spark, [(2, "b", 2)]), path,
                     configuration={"delta.appendOnly": "true"})
+
+
+def test_merge_schema_evolution_on_mapped_table(spark, tmp_path):
+    """r11: merge_schema evolution on a NAME-mapped table — the new
+    column gets a fresh id + col-<uuid> physical name in the SAME merge
+    commit; old rows read it as NULL, staged files carry the physical
+    name, and a later rename of the evolved column costs nothing."""
+    import json as _json
+    import os
+
+    from dc43_spark.io.delta_log import (
+        delta_enable_column_mapping,
+        delta_rename_column,
+    )
+    from dc43_spark.io.delta_dml import delta_merge
+
+    path = str(tmp_path / "t")
+    delta_write(
+        spark, _df(spark, [(i, f"s{i}", i * 10) for i in range(4)]), path,
+        checkpoint_interval=None,
+    )
+    delta_enable_column_mapping(spark, path)
+    delta_rename_column(spark, path, "v", "label")
+    src = spark.createDataFrame(
+        [(0, "upd", 5, "x0"), (9, "new", 95, "x9")],
+        "k long, label string, amt long, extra string",
+    ).coalesce(1)
+    v = delta_merge(spark, src, path, ["k"], merge_schema=True)
+    t = DeltaLogTable(spark, path)
+    snap = t.snapshot()
+    fields = {f.name: f for f in snap.schema.fields}
+    assert "extra" in fields
+    phys = (fields["extra"].metadata or {}).get(
+        "delta.columnMapping.physicalName"
+    )
+    assert phys and phys.startswith("col-")
+    got = {(r.k, r.label, r.extra) for r in t.read().collect()}
+    assert got == {
+        (0, "upd", "x0"), (1, "s1", None), (2, "s2", None),
+        (3, "s3", None), (9, "new", "x9"),
+    }
+    # the staged files hold the PHYSICAL name, never the logical one
+    with open(os.path.join(
+        path, "_delta_log", f"{v:020d}.json"
+    )) as fh:
+        adds = [
+            a["add"] for a in map(_json.loads, fh) if "add" in a
+        ]
+    assert adds
+    for a in adds:
+        st = _json.loads(a["stats"])
+        assert "extra" not in st["minValues"]
+    # id-mode stays refused with a pointer
+    delta_rename_column(spark, path, "extra", "extra2")
+    got = {(r.k, r.extra2) for r in t.read().collect()}
+    assert (9, "x9") in got
