@@ -1964,44 +1964,11 @@ def _enforce_delta_rules(df: DataFrame, rules: dict) -> None:
 
 
 def _footer_stats_safe(spark: SparkSession, abs_path: str):
-    """``_footer_stats``, tolerant of footers this pyarrow can't parse:
-    Spark writes logical types (VARIANT) newer than the installed
-    pyarrow's Thrift schema. Fall back to a Spark footer-only row count
-    (count pushdown reads no data pages) and skip stats — Delta stats
-    are optional per add, and variant columns never carry them anyway."""
-    from dc43_spark.io.snaplog import _footer_stats, _json_safe
+    """``_footer_stats``, tolerant of footers this pyarrow can't parse
+    (VARIANT logical type) — shared with snaplog's staging walk."""
+    from dc43_spark.io.snaplog import _footer_stats_safe as _impl
 
-    try:
-        return _footer_stats(abs_path)
-    except OSError:
-        df_f = spark.read.parquet(abs_path)
-        simple = {
-            "byte", "short", "integer", "long", "float", "double",
-            "decimal", "string", "boolean", "date", "timestamp",
-            "timestamp_ntz",
-        }
-        prunable = [
-            f.name for f in df_f.schema.fields
-            if f.dataType.typeName() in simple
-        ]
-        aggs = [F.count(F.lit(1)).alias("__rows")]
-        for c in prunable:
-            aggs += [
-                F.min(c).alias(f"__min_{c}"),
-                F.max(c).alias(f"__max_{c}"),
-                F.sum(F.col(c).isNull().cast("long")).alias(f"__nul_{c}"),
-            ]
-        row = df_f.agg(*aggs).collect()[0].asDict()
-        stats = {
-            c: {
-                "min": _json_safe(row[f"__min_{c}"]),
-                "max": _json_safe(row[f"__max_{c}"]),
-                "nulls": int(row[f"__nul_{c}"] or 0),
-            }
-            for c in prunable
-            if row[f"__min_{c}"] is not None
-        }
-        return int(row["__rows"]), os.path.getsize(abs_path), stats
+    return _impl(spark, abs_path)
 
 
 def _stage_data_files(

@@ -674,6 +674,48 @@ def _json_safe(value):
     return None
 
 
+def _footer_stats_safe(
+    spark: SparkSession, abs_path: str
+) -> tuple[int, int, dict]:
+    """``_footer_stats``, tolerant of footers this pyarrow can't parse:
+    Spark writes logical types (VARIANT) newer than the installed
+    pyarrow's Thrift schema. Falls back to a Spark footer-only row count
+    (count pushdown reads no data pages) plus one stats aggregate over
+    the prunable primitive columns — variant columns never carry stats
+    either way."""
+    try:
+        return _footer_stats(abs_path)
+    except OSError:
+        df_f = spark.read.parquet(abs_path)
+        simple = {
+            "byte", "short", "integer", "long", "float", "double",
+            "decimal", "string", "boolean", "date", "timestamp",
+            "timestamp_ntz",
+        }
+        prunable = [
+            f.name for f in df_f.schema.fields
+            if f.dataType.typeName() in simple
+        ]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in prunable:
+            aggs += [
+                F.min(c).alias(f"__min_{c}"),
+                F.max(c).alias(f"__max_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nul_{c}"),
+            ]
+        row = df_f.agg(*aggs).collect()[0].asDict()
+        stats = {
+            c: {
+                "min": _json_safe(row[f"__min_{c}"]),
+                "max": _json_safe(row[f"__max_{c}"]),
+                "nulls": int(row[f"__nul_{c}"] or 0),
+            }
+            for c in prunable
+            if row[f"__min_{c}"] is not None
+        }
+        return int(row["__rows"]), os.path.getsize(abs_path), stats
+
+
 def _footer_stats(abs_path: str) -> tuple[int, int, dict]:
     """(rows, bytes, per-column min/max/nulls) from the parquet footer —
     no data pages are read; the stats were computed by the writer."""
@@ -2328,7 +2370,7 @@ class SnaplogTable:
                     os.makedirs(os.path.join(dest_root, rel_dir), exist_ok=True)
                     dest = os.path.join(dest_root, sub, name)
                     os.rename(os.path.join(root, src_name), dest)
-                    rows, size, stats = _footer_stats(dest)
+                    rows, size, stats = _footer_stats_safe(self.spark, dest)
                     if rows == 0:
                         # schema travels in the commit's schema_json; a 0-row
                         # part (empty overwrite, whole-file delete) adds noise

@@ -1310,3 +1310,29 @@ def test_widening_composes_with_time_travel_and_stats_pruning(spark, tmp_path):
     assert len(hit.inputFiles()) == 1
     small = t.read(filters=[("x", "=", 7)])
     assert [r.k for r in small.collect()] == [7]
+
+
+def test_variant_column_roundtrip(spark, tmp_path):
+    """r11: a VARIANT column writes and reads through snaplog — staging
+    survives pyarrow's pre-VARIANT footer parser (_footer_stats_safe
+    falls back to a Spark footer count + stats aggregate), non-variant
+    columns keep pruning stats, and MOR deletes work unchanged."""
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    df = spark.sql(
+        "select id as k, parse_json(format_string('{\"n\": %d}', id)) as v "
+        "from range(6)"
+    ).coalesce(1)
+    t.write(df, mode="overwrite")
+    t.write(df.withColumn("k", F.col("k") + 10), mode="append")
+    t.read().createOrReplaceTempView("snap_variant")
+    got = spark.sql(
+        "select k, to_json(v) j from snap_variant order by k"
+    ).collect()
+    assert len(got) == 12
+    assert got[0].j == '{"n":0}' and got[-1].j == '{"n":5}'
+    # the stats fallback kept the prunable column's envelope
+    assert len(t.read(filters=[("k", ">=", 10)]).inputFiles()) == 1
+    t.delete([("k", "=", 3)])
+    assert t.read().count() == 11
