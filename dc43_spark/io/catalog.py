@@ -420,12 +420,20 @@ class SnaplogCatalog:
             else:
                 v = self.table(name).rename_column(old, new)
             return self._status(name, v)
-        m = re.match(
-            r"^ADD\s+COLUMNS?\s*\(?\s*`?(\w+)`?\s+([\w(),]+)\s*\)?$",
-            rest, re.IGNORECASE,
-        )
+        m = re.match(r"^ADD\s+COLUMNS?\s+(.+)$", rest,
+                     re.IGNORECASE | re.DOTALL)
         if m:
-            col, dtype = m.groups()
+            body = m.group(1).strip()
+            if body.startswith("(") and body.endswith(")"):
+                # the parenthesized spelling: ADD COLUMNS (c type)
+                body = body[1:-1].strip()
+            m2 = re.match(r"^`?(\w+)`?\s+(.+?)\s*$", body, re.DOTALL)
+            if not m2:
+                raise ValueError(
+                    f"unparseable ADD COLUMN clause {body!r}; expected "
+                    "ADD COLUMN <name> <type>"
+                )
+            col, dtype = m2.groups()
             if not is_delta:
                 raise ValueError(
                     "ADD COLUMN on snaplog evolves through merge_schema "

@@ -317,9 +317,14 @@ def _validate_ict_chain(log: str) -> None:
     commit and be strictly increasing in version order; once a metaData
     enables ``delta.enableInCommitTimestamps``, every later commit must
     carry one until a metaData disables it."""
+    import re as _re
+
+    # COMMIT files only (<20 digits>.json) — a v2 JSON checkpoint
+    # (<v>.checkpoint.<uuid>.json) is a snapshot, not a commit, and
+    # legitimately carries no inCommitTimestamp
     names = sorted(
         n for n in os.listdir(log)
-        if n.endswith(".json") and not n.startswith("_")
+        if _re.fullmatch(r"\d{20}\.json", n)
     )
     enabled: Optional[bool] = None  # unknown until a metaData is seen
     prev_ict: Optional[int] = None

@@ -937,7 +937,6 @@ class DeltaLogTable:
         data_schema = StructType(data_fields)
         if snap.column_mapping:
             data_schema = self._physical_schema(snap, data_fields)
-        out_cols = [f.name for f in snap.schema.fields]
         mat_id = mat_ver = None
         if with_row_ids:
             mat_id, mat_ver = _materialized_rt_cols(
@@ -950,7 +949,6 @@ class DeltaLogTable:
                 for mc in (mat_id, mat_ver) if mc
             ]
             data_schema = StructType(list(data_schema.fields) + extra)
-            out_cols += ["_row_id", "_row_commit_version"]
 
         if not files:
             df = self.spark.createDataFrame([], snap.schema)
@@ -1205,19 +1203,42 @@ def export_delta_snapshot(
     configuration: dict = {}
     if mapped:
         doc = json.loads(snap.schema_json)
-        for i, f0 in enumerate(doc.get("fields", ()), start=1):
+        counter = [0]
+
+        def _map_type(tp):
+            # the spec requires an id + physicalName on EVERY nested
+            # struct field under column mapping, not just top level;
+            # snaplog never renames nested fields, so physical == name
+            if isinstance(tp, dict):
+                tt = tp.get("type")
+                if tt == "struct":
+                    for nf in tp.get("fields", ()):
+                        md = dict(nf.get("metadata") or {})
+                        counter[0] += 1
+                        md["delta.columnMapping.id"] = counter[0]
+                        md["delta.columnMapping.physicalName"] = nf["name"]
+                        nf["metadata"] = md
+                        nf["type"] = _map_type(nf["type"])
+                elif tt == "array":
+                    tp["elementType"] = _map_type(tp.get("elementType"))
+                elif tt == "map":
+                    tp["keyType"] = _map_type(tp.get("keyType"))
+                    tp["valueType"] = _map_type(tp.get("valueType"))
+            return tp
+
+        for f0 in doc.get("fields", ()):
             md = dict(f0.get("metadata") or {})
-            md["delta.columnMapping.id"] = i
+            counter[0] += 1
+            md["delta.columnMapping.id"] = counter[0]
             md["delta.columnMapping.physicalName"] = snap.physical(
                 f0["name"]
             )
             f0["metadata"] = md
+            f0["type"] = _map_type(f0["type"])
         schema_string = json.dumps(doc)
         configuration = {
             "delta.columnMapping.mode": "name",
-            "delta.columnMapping.maxColumnId": str(
-                len(doc.get("fields", ()))
-            ),
+            "delta.columnMapping.maxColumnId": str(counter[0]),
         }
 
     if dv_descriptors or mapped:
@@ -1762,17 +1783,25 @@ def _assign_fresh_row_ids(adds: list, hwm: int, commit_version: int) -> int:
     for a in adds:
         if a.get("baseRowId") is not None:
             continue
-        rows = 0
+        rows = None
         st = a.get("stats")
         if st:
             try:
-                rows = int((json.loads(st) if isinstance(st, str) else st)
-                           .get("numRecords", 0))
+                rows = (json.loads(st) if isinstance(st, str) else st
+                        ).get("numRecords")
             except (ValueError, TypeError):
-                rows = 0
+                rows = None
+        if rows is None:
+            # every staging path in this module writes numRecords; an
+            # add without it cannot receive a RANGE — a guessed width
+            # would silently hand two rows the same "stable" id
+            raise DeltaWriteError(
+                f"add {a.get('path')!r} carries no numRecords stats; "
+                "cannot assign a row id range"
+            )
         a["baseRowId"] = base
         a["defaultRowCommitVersion"] = commit_version
-        base += max(rows, 1)
+        base += max(int(rows), 1)
     return base - 1
 
 
@@ -2088,7 +2117,7 @@ def delta_write(
     import time as _time
     import uuid as _uuid
 
-    from dc43_spark.io.snaplog import LinkCommitClaimer, _footer_stats
+    from dc43_spark.io.snaplog import LinkCommitClaimer
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"delta_write supports append|overwrite, not {mode!r}")
@@ -2132,11 +2161,12 @@ def delta_write(
         missing = [c for c in cluster_by if c not in df.columns]
         if missing:
             raise ValueError(f"cluster_by columns not in schema: {missing}")
-        overlap = set(cluster_by) & set(partition_by or ())
-        if overlap:
+        if partition_by:
+            # delta-spark rejects CLUSTER BY + PARTITIONED BY outright;
+            # emitting both would hand conforming clients an invalid table
             raise ValueError(
-                f"cluster_by and partition_by overlap on {sorted(overlap)}; "
-                "a clustered table is unpartitioned by convention"
+                "cluster_by cannot combine with partition_by: a clustered "
+                "Delta table is unpartitioned (delta-spark's own rule)"
             )
     if txn is not None and exists:
         last = t.last_txn_version(str(txn["appId"]))
@@ -2586,11 +2616,14 @@ def delta_write(
                     actions.append({"metaData": _apply_ident_hwm(meta_now)})
             next_version = head + 1
         actions += [{"add": a} for a in adds]
-        protocol_now = (
-            create_protocol
-            if head is None
-            else _raw_protocol_meta(t, head)[0]
-        )
+        if head is None:
+            protocol_now = create_protocol
+            conf_now = dict(configuration or {})
+        else:
+            # ONE state reconstruction per attempt serves both the
+            # row-tracking and ICT stamps
+            protocol_now, meta_now = _raw_protocol_meta(t, head)
+            conf_now = (meta_now or {}).get("configuration")
         if _row_tracking_present(protocol_now) and adds:
             # fresh files get fresh id ranges; recompute per attempt —
             # a moved head means a moved high water mark
@@ -2601,12 +2634,7 @@ def delta_write(
                 adds, _row_id_hwm(t, head), next_version
             )
             actions.append(_row_tracking_domain_action(new_hwm))
-        conf_ict = (
-            dict(configuration or {})
-            if head is None
-            else (_raw_protocol_meta(t, head)[1] or {}).get("configuration")
-        )
-        _stamp_ict(actions, t, head, conf_ict, ts_ms)
+        _stamp_ict(actions, t, head, conf_now, ts_ms)
         payload = "\n".join(json.dumps(a) for a in actions) + "\n"
         if claimer.claim(log, f"{next_version:020d}.json", payload):
             if (
@@ -2876,7 +2904,7 @@ def delta_optimize(
     import time as _time
     import uuid as _uuid
 
-    from dc43_spark.io.snaplog import LinkCommitClaimer, _footer_stats
+    from dc43_spark.io.snaplog import LinkCommitClaimer
 
     dest = os.path.abspath(path.rstrip("/"))
     t = DeltaLogTable(spark, dest)
@@ -2896,9 +2924,19 @@ def delta_optimize(
     if zorder_by is None:
         # liquid clustering: a bare OPTIMIZE on a clustered table IS the
         # clustering pass (delta-spark's semantics) — lay every file out
-        # by the delta.clustering domain's columns
+        # by the delta.clustering domain's columns. On mapped tables the
+        # domain stores PHYSICAL names (delta-spark's convention); the
+        # zorder surface below speaks logical, so translate.
         clustering = _clustering_columns(t, snap.version)
         if clustering:
+            if snap.column_mapping:
+                p2l = {
+                    (f.metadata or {}).get(
+                        "delta.columnMapping.physicalName", f.name
+                    ): f.name
+                    for f in snap.schema.fields
+                }
+                clustering = [p2l.get(c, c) for c in clustering]
             zorder_by = clustering
     target = int(target_file_mb * (1 << 20))
 
@@ -4101,6 +4139,13 @@ def delta_enable_row_tracking(spark: SparkSession, path: str) -> int:
         conf = dict(meta.get("configuration") or {})
         if str(conf.get("delta.enableRowTracking", "")).lower() == "true":
             return head  # already enabled
+        # same gate as every other write path: enabling row tracking
+        # re-adds files — obligations this writer can't honor must refuse
+        _check_writer_protocol(
+            protocol, meta,
+            StructType.fromJson(json.loads(meta["schemaString"])),
+            allow_column_mapping=True,
+        )
         ts_ms = int(_time.time() * 1000)
         next_version = head + 1
         conf["delta.enableRowTracking"] = "true"
@@ -4127,12 +4172,32 @@ def delta_enable_row_tracking(spark: SparkSession, path: str) -> int:
         if upgraded is not None:
             actions.append({"protocol": upgraded})
         actions.append({"metaData": new_meta})
-        backfill = [
-            _canon_add(a) for _p, a in sorted(adds.items())
-            if a.get("baseRowId") is None
-        ]
-        for a in backfill:
+        backfill = []
+        for rel, a in sorted(adds.items()):
+            if a.get("baseRowId") is not None:
+                continue
+            a = _canon_add(a)
             a["dataChange"] = False
+            st = a.get("stats")
+            try:
+                rows = (json.loads(st) if isinstance(st, str) else st or {}
+                        ).get("numRecords")
+            except (ValueError, TypeError):
+                rows = None
+            if rows is None:
+                # stats are OPTIONAL per add (foreign writers,
+                # dataSkippingNumIndexedCols=0): the id RANGE must still
+                # cover every physical row, so read the footer count —
+                # guessing would silently hand two rows the same id
+                n_rows, _size, _stats = _footer_stats_safe(
+                    spark, os.path.join(t.path, rel)
+                )
+                a["stats"] = json.dumps({
+                    **(json.loads(st) if isinstance(st, str) and st
+                       else {}),
+                    "numRecords": int(n_rows),
+                })
+            backfill.append(a)
         new_hwm = _assign_fresh_row_ids(
             backfill, _row_id_hwm(t, head), next_version
         )

@@ -118,9 +118,59 @@ def test_cluster_by_validations(spark, tmp_path):
     t = str(tmp_path / "t")
     with pytest.raises(ValueError, match="not in schema"):
         delta_write(spark, _df(spark, 0, 4), t, cluster_by=["zz"])
-    with pytest.raises(ValueError, match="overlap"):
+    with pytest.raises(ValueError, match="unpartitioned"):
         delta_write(spark, _df(spark, 0, 4), t,
-                    partition_by=["c"], cluster_by=["c"])
+                    partition_by=["v"], cluster_by=["c"])
     delta_write(spark, _df(spark, 0, 4), t)
     with pytest.raises(ValueError, match="CREATE time"):
         delta_write(spark, _df(spark, 4, 8), t, cluster_by=["c"])
+
+
+def test_clustered_mapped_table_optimizes_by_physical_domain(
+    spark, tmp_path
+):
+    """Finding-class: delta-spark stores PHYSICAL names in the
+    delta.clustering domain on mapped tables — OPTIMIZE must translate
+    them to logical before the zorder surface."""
+    from dc43_spark.io.delta_log import (
+        delta_enable_column_mapping,
+        delta_rename_column,
+    )
+
+    from dc43_spark.io.delta_log import _protocol_with_features
+
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 12000).repartition(3), t)
+    delta_enable_column_mapping(spark, t)
+    delta_rename_column(spark, t, "c", "cluster_key")  # physical stays "c"
+    d = DeltaLogTable(spark, t)
+    head = d.version()
+    log = os.path.join(t, "_delta_log")
+    protocol = None
+    for n in sorted(os.listdir(log)):
+        if n.endswith(".json") and not n.startswith("_"):
+            with open(os.path.join(log, n)) as fh:
+                for line in fh:
+                    a = json.loads(line)
+                    if "protocol" in a:
+                        protocol = a["protocol"]
+    protocol = _protocol_with_features(
+        protocol, set(), {"clustering", "domainMetadata"}
+    ) or protocol
+    actions = [
+        {"commitInfo": {"timestamp": 1, "operation": "CLUSTER BY"}},
+        {"protocol": protocol},
+        {"domainMetadata": {"domain": "delta.clustering",
+                            "configuration": json.dumps(
+                                {"clusteringColumns": [["c"]]}),
+                            "removed": False}},
+    ]
+    with open(os.path.join(log, f"{head + 1:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    # pre-fix this raised "zorder_by columns not in schema: ['c']"
+    v = delta_optimize(spark, t, target_file_mb=0.01)
+    assert v == head + 2
+    d = DeltaLogTable(spark, t)
+    assert d.read().count() == 12000
+    files_hit = len(d.read(filters=[("cluster_key", "=", 3)]).inputFiles())
+    assert files_hit < len(d.snapshot().files)

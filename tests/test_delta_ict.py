@@ -262,3 +262,24 @@ def test_hand_written_ict_log_reads_like_delta_spark(spark, tmp_path):
     delta_write(spark, spark.range(2, 4).select(F.col("id").alias("k")), str(t))
     icts = _icts(str(t))
     assert icts[1] > base
+
+
+def test_ict_chain_ignores_v2_json_checkpoints(spark, tmp_path):
+    """Finding-class: a v2 JSON checkpoint (<v>.checkpoint.<uuid>.json)
+    is a snapshot, not a commit — the conformance chain validator must
+    not demand an inCommitTimestamp from it."""
+    from dc43_spark.io.delta_conformance import validate_log_dir
+
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 3), t, configuration=ICT_CONF)
+    delta_write(spark, _df(spark, 3, 5), t)
+    log = os.path.join(t, "_delta_log")
+    cp = os.path.join(
+        log, f"{1:020d}.checkpoint.0f0f0f0f0f0f4e4e8e8e010101010101.json"
+    )
+    with open(cp, "w") as fh:
+        fh.write(json.dumps(
+            {"checkpointMetadata": {"version": 1, "tags": {}}}
+        ) + "\n")
+    out = validate_log_dir(t)  # must not raise on the checkpoint file
+    assert out["commits"] >= 2

@@ -1095,3 +1095,58 @@ def test_read_fallback_cdf_timestamp_options(spark, tmp_path):
         delta_read_fallback(spark, t, {
             "readChangeFeed": "true", "startingTimestamp": "9999999",
         })
+
+
+def test_export_column_mapped_nested_fields(spark, tmp_path):
+    """Finding-class: under column mapping EVERY nested struct field
+    needs an id + physicalName, not just the top level — an export
+    missing them is protocol-invalid to conforming readers."""
+    import json as _json
+
+    from dc43_spark.io.delta_log import DeltaLogTable, export_delta_snapshot
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.sql(
+            "select id as k, named_struct('a', id, 'b', "
+            "named_struct('c', id * 2)) as s, array(named_struct('x', id)) "
+            "as arr from range(3)"
+        ).coalesce(1),
+        mode="overwrite",
+    )
+    t.rename_column("k", "key")
+    dest = export_delta_snapshot(t, str(tmp_path / "d"))
+    meta = None
+    with open(f"{dest}/_delta_log/{0:020d}.json") as fh:
+        for line in fh:
+            a = _json.loads(line)
+            if "metaData" in a:
+                meta = a["metaData"]
+    doc = _json.loads(meta["schemaString"])
+    ids = []
+
+    def _walk(fields):
+        for f in fields:
+            md = f.get("metadata") or {}
+            assert "delta.columnMapping.id" in md, f["name"]
+            assert "delta.columnMapping.physicalName" in md, f["name"]
+            ids.append(md["delta.columnMapping.id"])
+            tp = f["type"]
+            if isinstance(tp, dict):
+                if tp.get("type") == "struct":
+                    _walk(tp["fields"])
+                elif tp.get("type") == "array" and isinstance(
+                    tp.get("elementType"), dict
+                ):
+                    _walk(tp["elementType"].get("fields", ()))
+
+    _walk(doc["fields"])
+    assert len(ids) == len(set(ids)) and len(ids) == 7
+    assert int(
+        meta["configuration"]["delta.columnMapping.maxColumnId"]
+    ) == max(ids)
+    got = DeltaLogTable(spark, dest).read().orderBy("key").collect()
+    assert [(r.key, r.s.a, r.s.b.c, r.arr[0].x) for r in got] == [
+        (0, 0, 0, 0), (1, 1, 2, 1), (2, 2, 4, 2),
+    ]

@@ -264,3 +264,48 @@ def test_set_properties_refuses_row_tracking_keys(spark, tmp_path):
     delta_write(spark, _df(spark, 0, 3), t)
     with pytest.raises(DeltaWriteError, match="delta_enable_row_tracking"):
         delta_set_properties(spark, t, {"delta.enableRowTracking": "true"})
+
+
+def test_backfill_reads_footers_when_stats_missing(spark, tmp_path):
+    """Finding-class: stats are OPTIONAL per add — a backfill that
+    guessed a width would hand two rows the same 'stable' id. The
+    enablement commit reads the parquet footer instead."""
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 5), t)   # one 5-row file
+    delta_write(spark, _df(spark, 5, 8), t)   # one 3-row file
+    log = os.path.join(t, "_delta_log")
+    for n in sorted(os.listdir(log)):
+        if not n.endswith(".json") or n.startswith("_"):
+            continue
+        p = os.path.join(log, n)
+        with open(p) as fh:
+            lines = [json.loads(x) for x in fh if x.strip()]
+        for a in lines:
+            if "add" in a:
+                a["add"].pop("stats", None)  # foreign writer: no stats
+        with open(p, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in lines) + "\n")
+    delta_enable_row_tracking(spark, t)
+    got = [r._row_id for r in DeltaLogTable(spark, t).read(
+        with_row_ids=True).collect()]
+    assert len(got) == 8 and len(set(got)) == 8
+    assert _hwm(spark, t) == 7
+
+
+def test_enable_refuses_unknown_writer_feature(spark, tmp_path):
+    """Enabling row tracking re-adds files — the same writer-protocol
+    gate as every other write path must run first."""
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 3), t)
+    log = os.path.join(t, "_delta_log")
+    name = f"{0:020d}.json"
+    with open(os.path.join(log, name)) as fh:
+        lines = [json.loads(x) for x in fh if x.strip()]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 1, "minWriterVersion": 7,
+                             "writerFeatures": ["icebergCompatV2"]}
+    with open(os.path.join(log, name), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in lines) + "\n")
+    with pytest.raises(DeltaWriteError, match="icebergCompatV2"):
+        delta_enable_row_tracking(spark, t)

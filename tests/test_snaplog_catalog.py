@@ -639,3 +639,26 @@ def test_sql_add_column(spark, tmp_path):
     cat.sql("CREATE TABLE st AS SELECT id AS k FROM range(3)")
     with pytest.raises(ValueError, match="merge_schema"):
         cat.sql("ALTER TABLE st ADD COLUMN note string")
+
+
+def test_sql_add_column_parenthesized_and_decimal(spark, tmp_path):
+    """Finding-class: the parenthesized ADD COLUMNS spelling and types
+    carrying their own parens must both parse."""
+    import os
+
+    from dc43_spark.io.catalog import SnaplogCatalog
+    from dc43_spark.io.delta_log import DeltaLogTable, delta_write
+
+    cat = SnaplogCatalog(spark, str(tmp_path / "wh"))
+    delta_write(
+        spark, spark.range(2).selectExpr("id AS k").coalesce(1),
+        os.path.join(cat.root, "dt"), checkpoint_interval=None,
+    )
+    cat.sql("ALTER TABLE dt ADD COLUMNS (note string)")
+    cat.sql("ALTER TABLE dt ADD COLUMN price decimal(10,2)")
+    cat.sql("ALTER TABLE dt ADD COLUMNS (tags array<string>)")
+    snap = DeltaLogTable(spark, os.path.join(cat.root, "dt")).snapshot()
+    types = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+    assert types["note"] == "string"
+    assert types["price"] == "decimal(10,2)"
+    assert types["tags"] == "array<string>"
