@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Optional
 
 
@@ -33,6 +34,8 @@ _ACTION_KEYS = {
 }
 
 _DV_STORAGE_TYPES = {"u", "i", "p"}
+
+_COMMIT_JSON_RE = re.compile(r"\d{20}\.json")
 
 
 def _err(ctx: str, msg: str):
@@ -317,14 +320,11 @@ def _validate_ict_chain(log: str) -> None:
     commit and be strictly increasing in version order; once a metaData
     enables ``delta.enableInCommitTimestamps``, every later commit must
     carry one until a metaData disables it."""
-    import re as _re
-
     # COMMIT files only (<20 digits>.json) — a v2 JSON checkpoint
     # (<v>.checkpoint.<uuid>.json) is a snapshot, not a commit, and
     # legitimately carries no inCommitTimestamp
     names = sorted(
-        n for n in os.listdir(log)
-        if _re.fullmatch(r"\d{20}\.json", n)
+        n for n in os.listdir(log) if _COMMIT_JSON_RE.fullmatch(n)
     )
     enabled: Optional[bool] = None  # unknown until a metaData is seen
     prev_ict: Optional[int] = None
@@ -358,6 +358,81 @@ def _validate_ict_chain(log: str) -> None:
             prev_ict = None  # chain legitimately ended (disabled)
 
 
+def _validate_row_tracking(log: str) -> None:
+    """Row Tracking (PROTOCOL.md): once ``delta.enableRowTracking`` is
+    on, every subsequent add must carry ``baseRowId`` +
+    ``defaultRowCommitVersion``; id ranges (base..base+numRecords-1)
+    must never overlap across live-or-dead adds; and the
+    ``delta.rowTracking`` domain's high water mark must cover every
+    assigned id. Commit-JSON replay only — checkpoint-sourced adds are
+    copies of commits this already checked."""
+    names = sorted(
+        n for n in os.listdir(log) if _COMMIT_JSON_RE.fullmatch(n)
+    )
+    enabled = False
+    hwm: Optional[int] = None
+    ranges: set = set()  # (base, end, path) of every assignment seen
+    for name in names:
+        with open(os.path.join(log, name)) as fh:
+            lines = [json.loads(x) for x in fh if x.strip()]
+        for action in lines:
+            meta = action.get("metaData")
+            if meta is not None:
+                conf = meta.get("configuration") or {}
+                enabled = str(conf.get(
+                    "delta.enableRowTracking", ""
+                )).lower() == "true"
+            dm = action.get("domainMetadata")
+            if dm and dm.get("domain") == "delta.rowTracking" and not dm.get(
+                "removed"
+            ):
+                try:
+                    hwm = int(json.loads(
+                        dm.get("configuration") or "{}"
+                    ).get("rowIdHighWaterMark"))
+                except (ValueError, TypeError):
+                    _err(name, "delta.rowTracking domain configuration must "
+                               "carry an integer rowIdHighWaterMark")
+            add = action.get("add")
+            if not add:
+                continue
+            base = add.get("baseRowId")
+            if enabled and base is None:
+                _err(name, f"add {add.get('path')!r}: table enables row "
+                           "tracking but the add carries no baseRowId")
+            if base is None:
+                continue
+            _require(add.get("defaultRowCommitVersion") is not None, name,
+                     f"add {add.get('path')!r} has baseRowId but no "
+                     "defaultRowCommitVersion")
+            st = add.get("stats")
+            rows = None
+            if st:
+                try:
+                    rows = (json.loads(st) if isinstance(st, str) else st
+                            ).get("numRecords")
+                except (ValueError, TypeError):
+                    rows = None
+            end = int(base) + max(int(rows or 1), 1) - 1
+            ranges.add((int(base), end, add.get("path")))
+    if ranges:
+        ordered = sorted(ranges)
+        for (b0, e0, p0), (b1, e1, p1) in zip(ordered, ordered[1:]):
+            # the SAME file may be re-added with its range (DV
+            # supersession, restore) — distinct files must not overlap
+            if p0 != p1 and b1 <= e0:
+                _err(log, f"row id range [{b1}, {e1}] of {p1!r} overlaps "
+                          f"[{b0}, {e0}] of {p0!r}")
+        if enabled:
+            top = max(e for _b, e, _p in ranges)
+            _require(
+                hwm is not None and hwm >= top,
+                names[-1] if names else log,
+                f"rowIdHighWaterMark {hwm} does not cover the highest "
+                f"assigned row id {top}",
+            )
+
+
 def validate_log_dir(table_path: str) -> dict:
     """Validate every commit json + checkpoint parquet under
     ``<table>/_delta_log``. Returns counters (for test assertions)."""
@@ -374,6 +449,7 @@ def validate_log_dir(table_path: str) -> dict:
             out["checkpoints"] += 1
             out["actions"] += validate_checkpoint_file(full)
     _validate_ict_chain(log)
+    _validate_row_tracking(log)
     lc = os.path.join(log, "_last_checkpoint")
     if os.path.exists(lc):
         with open(lc) as fh:

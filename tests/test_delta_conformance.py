@@ -149,3 +149,69 @@ def test_non_json_line_rejected(tmp_path):
     (log / f"{0:020d}.json").write_text("{not json}\n")
     with pytest.raises(DeltaConformanceError, match="not valid JSON"):
         validate_log_dir(str(tmp_path / "t"))
+
+
+@pytest.mark.nonconformant_log
+def test_row_tracking_shape_violations_rejected(tmp_path):
+    """r11: the structural gate extends to row tracking — overlapping id
+    ranges, enabled-but-unassigned adds, and a high water mark below the
+    top assigned id are all hand-broken-log rejects."""
+    import os
+
+    from dc43_spark.io.delta_conformance import validate_log_dir
+
+    def _table(name, actions_per_commit):
+        log = tmp_path / name / "_delta_log"
+        log.mkdir(parents=True)
+        for v, actions in enumerate(actions_per_commit):
+            with open(log / f"{v:020d}.json", "w") as fh:
+                fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        return str(tmp_path / name)
+
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}}]})
+    meta = {"metaData": {
+        "id": "x", "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema, "partitionColumns": [],
+        "configuration": {"delta.enableRowTracking": "true"},
+    }}
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                          "writerFeatures": ["rowTracking",
+                                             "domainMetadata"]}}
+
+    def _add(path, base, rows):
+        a = {"path": path, "partitionValues": {}, "size": 1,
+             "modificationTime": 1, "dataChange": True,
+             "stats": json.dumps({"numRecords": rows})}
+        if base is not None:
+            a["baseRowId"] = base
+            a["defaultRowCommitVersion"] = 0
+        return {"add": a}
+
+    dom = {"domainMetadata": {"domain": "delta.rowTracking",
+                              "configuration": json.dumps(
+                                  {"rowIdHighWaterMark": 9}),
+                              "removed": False}}
+    ci = {"commitInfo": {"timestamp": 1, "operation": "WRITE"}}
+
+    # overlapping ranges across two files
+    t = _table("overlap", [[ci, proto, meta, _add("a.parquet", 0, 5),
+                            _add("b.parquet", 3, 5), dom]])
+    with pytest.raises(DeltaConformanceError, match="overlaps"):
+        validate_log_dir(t)
+    # enabled but an add carries no baseRowId
+    t = _table("unassigned", [[ci, proto, meta, _add("a.parquet", None, 5)]])
+    with pytest.raises(DeltaConformanceError, match="no baseRowId"):
+        validate_log_dir(t)
+    # HWM below the top assigned id
+    low = {"domainMetadata": {"domain": "delta.rowTracking",
+                              "configuration": json.dumps(
+                                  {"rowIdHighWaterMark": 2}),
+                              "removed": False}}
+    t = _table("lowhwm", [[ci, proto, meta, _add("a.parquet", 0, 5), low]])
+    with pytest.raises(DeltaConformanceError, match="does not cover"):
+        validate_log_dir(t)
+    # a VALID table passes: disjoint ranges + covering HWM
+    t = _table("ok", [[ci, proto, meta, _add("a.parquet", 0, 5),
+                       _add("b.parquet", 5, 5, ), dom]])
+    validate_log_dir(t)
