@@ -104,6 +104,8 @@ HEADLINE = [
     "delta_merge_orders",
     # r11: SQL-parsed conditional MERGE (every clause kind in one commit)
     "sql_merge_orders",
+    # r11: row tracking — stable row ids through a COW UPDATE
+    "row_tracking_orders",
     # governance orchestration (metrics -> verdict -> stores -> read-back)
     "governance_verdict_orders",
     "profile_orders",

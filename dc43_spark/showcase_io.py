@@ -958,10 +958,81 @@ FROM v1 GROUP BY o_orderstatus
 IO_QUERIES["sql_merge_orders"] = q_sql_merge_orders
 IO_ORACLES["sql_merge_orders"] = _SQL_MERGE_SQL
 
+
+def q_row_tracking_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking under a hard oracle (r11): stable row identities
+    through a copy-on-write UPDATE on a real ``_delta_log``.
+
+    The table is created with ``delta.enableRowTracking=true`` from the
+    even order keys as ONE key-sorted file, so each row's fresh id is
+    exactly its 0-based rank among even keys — a value DuckDB recomputes
+    with ROW_NUMBER. The UPDATE re-statuses every ``o_custkey % 10 = 0``
+    row; copy-on-write rewrites the whole touched file, so BOTH the
+    updated rows' ids and the untouched survivors' ids+versions must
+    ride the materialized columns to stay correct. The gate aggregates
+    (count, sum of row ids, sum of commit versions) per status — any id
+    drift, duplicate, or version slip breaks the hash."""
+    from dc43_spark.io.delta_dml import delta_update
+    from dc43_spark.io.delta_log import DeltaLogTable, delta_write
+
+    base = _orders_base(spark, sf_dir)
+    root = os.path.join(_scratch(sf_dir, "row_tracking"), "orders")
+    evens = (
+        base.filter(F.col("o_orderkey") % 2 == 0)
+        .coalesce(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    delta_write(
+        spark, evens, root,
+        configuration={"delta.enableRowTracking": "true"},
+        checkpoint_interval=None,
+    )
+    delta_update(
+        spark, root, {"o_orderstatus": "'U'"}, "o_custkey % 10 = 0"
+    )
+    df = DeltaLogTable(spark, root).read(with_row_ids=True)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_row_id").cast("long").alias("sum_row_id"),
+        F.sum("_row_commit_version").cast("long").alias("sum_commit_ver"),
+    )
+
+
+_ROW_TRACKING_SQL = f"""
+WITH base AS ({_BASE_SQL}),
+evens AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+         AS rid
+  FROM base WHERE o_orderkey % 2 = 0
+),
+v1 AS (
+  SELECT CASE WHEN o_custkey % 10 = 0 THEN 'U' ELSE o_orderstatus END
+         AS o_orderstatus,
+         rid,
+         CASE WHEN o_custkey % 10 = 0 THEN 1 ELSE 0 END AS ver
+  FROM evens
+)
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(SUM(rid) AS BIGINT) AS sum_row_id,
+       CAST(SUM(ver) AS BIGINT) AS sum_commit_ver
+FROM v1 GROUP BY o_orderstatus
+"""
+
+# r11 rotation: row_tracking_orders joins the window;
+# delta_log_read_orders rotates to extras — its protocol-reader coverage
+# (pinned version reads, DV scan) is subsumed by delta_write_orders +
+# delta_merge_orders, which read back through the same reader, while its
+# hand-written-log fixtures live on in test_delta_log and it keeps
+# running in bench + the pytest parity sweep.
+IO_QUERIES["row_tracking_orders"] = q_row_tracking_orders
+IO_ORACLES["row_tracking_orders"] = _ROW_TRACKING_SQL
+
 EXTRA_QUERIES: dict = {
     "mor_delete_orders": IO_QUERIES.pop("mor_delete_orders"),
+    "delta_log_read_orders": IO_QUERIES.pop("delta_log_read_orders"),
 }
 
 EXTRA_ORACLES: dict = {
     "mor_delete_orders": IO_ORACLES.pop("mor_delete_orders"),
+    "delta_log_read_orders": IO_ORACLES.pop("delta_log_read_orders"),
 }
