@@ -1,0 +1,84 @@
+"""Setup-bundle generator (governance/setup_bundle.py — ref
+contracts-app setup_bundle/pipeline_stub.py): rendered scaffolds are
+verified BY EXECUTION — every generated pipeline runs in-process against
+its own config.toml and must print a green governed verdict."""
+
+import runpy
+
+import pytest
+
+from dc43_spark.governance.setup_bundle import (
+    BundleConfig,
+    render_setup_bundle,
+    write_setup_bundle,
+)
+
+
+def _run_bundle(monkeypatch, dest):
+    monkeypatch.chdir(dest)
+    entry = (
+        dest / "pipeline.py"
+        if (dest / "pipeline.py").exists()
+        else dest / "dlt_pipeline.py"
+    )
+    mod = runpy.run_path(str(entry), run_name="bundle_under_test")
+    return mod["main"]()
+
+
+@pytest.mark.parametrize(
+    "fmt,cstore,gstore",
+    [
+        ("parquet", "filesystem", "filesystem"),
+        ("snaplog", "memory", "sql"),
+        ("delta", "sql", "memory"),
+    ],
+)
+def test_spark_bundle_executes_green(
+    spark, tmp_path, monkeypatch, fmt, cstore, gstore
+):
+    cfg = BundleConfig(
+        project=f"demo-{fmt}",
+        table_format=fmt,
+        contract_store=cstore,
+        governance_store=gstore,
+        rows=60,
+    )
+    dest = tmp_path / fmt
+    paths = write_setup_bundle(cfg, str(dest))
+    assert {p.rsplit("/", 1)[1] for p in paths} == {
+        "config.toml", "pipeline.py", "README.md",
+    }
+    status = _run_bundle(monkeypatch, dest)
+    assert status == "ok"
+    # second run is idempotent (overwrite mode, store already seeded)
+    assert _run_bundle(monkeypatch, dest) == "ok"
+
+
+def test_dlt_bundle_executes_green(spark, tmp_path, monkeypatch):
+    cfg = BundleConfig(integration="dlt", rows=40)
+    dest = tmp_path / "dlt"
+    write_setup_bundle(cfg, str(dest))
+    reports = _run_bundle(monkeypatch, dest)
+    assert set(reports) == {"orders", "paid_orders"}
+    assert all(r.ok for r in reports.values())
+    assert reports["orders"].rows_out == 40
+
+
+def test_render_is_pure_and_refuses_overwrite(tmp_path):
+    cfg = BundleConfig()
+    a, b = render_setup_bundle(cfg), render_setup_bundle(cfg)
+    assert a == b  # pure function of the config
+    assert "build_contract_store" in a["pipeline.py"]
+    assert '[contract_store]\ntype = "filesystem"' in a["config.toml"]
+    write_setup_bundle(cfg, str(tmp_path / "b"))
+    with pytest.raises(FileExistsError, match="already exist"):
+        write_setup_bundle(cfg, str(tmp_path / "b"))
+
+
+def test_validation_matrix():
+    with pytest.raises(ValueError, match="integration"):
+        BundleConfig(integration="flink").validate()
+    with pytest.raises(ValueError, match="table_format"):
+        BundleConfig(table_format="iceberg").validate()
+    with pytest.raises(ValueError, match="contract_store"):
+        BundleConfig(contract_store="collibra").validate()
