@@ -68,6 +68,8 @@ HEADLINE = [
     "curation_pipeline_documents",
     "mix_by_lang_documents",
     "bigram_familiarity_documents",
+    # r11: exact heavy hitters via two-pass Misra–Gries summaries
+    "heavy_hitters_documents",
     "filter_report_documents",
     "boilerplate_strip_documents",
     # analytics

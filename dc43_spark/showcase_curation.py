@@ -885,6 +885,44 @@ EXTRA_QUERIES = {
 EXTRA_QUERIES["encode_tokens_documents"] = q_encode_tokens_documents
 EXTRA_QUERIES["bigram_familiarity_documents"] = q_bigram_familiarity_documents
 
+
+def q_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters through the two-pass Misra–Gries plan
+    (functions/sketch.py): tokens covering ≥ 1/64 of the corpus, found
+    with shuffle volume O(partitions × capacity) instead of one row per
+    DISTINCT token — at 100 TB the distinct-key shuffle IS the cost of
+    the naive plan. 1/64 is exactly representable in binary, so the
+    float threshold computes identically on both engines."""
+    from dc43_spark.functions.sketch import heavy_hitters
+
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return heavy_hitters(toks, "token", 1.0 / 64).select(
+        F.col("key").alias("token"),
+        F.col("n").cast("long").alias("n_occurrences"),
+        F.col("total").cast("long").alias("total_tokens"),
+    )
+
+
+_HEAVY_HITTERS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+),
+nz AS (SELECT token FROM toks WHERE token <> ''),
+tot AS (SELECT COUNT(*) AS total FROM nz)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST((SELECT total FROM tot) AS BIGINT) AS total_tokens
+FROM nz
+GROUP BY token
+HAVING COUNT(*) >= (1.0 / 64) * (SELECT total FROM tot)
+"""
+
+EXTRA_QUERIES["heavy_hitters_documents"] = q_heavy_hitters_documents
+
 EXTRA_ORACLES = {
     "stratified_sample_documents": _stratified_sample_sql(),
     "train_split_documents": _train_split_sql(),
@@ -893,6 +931,7 @@ EXTRA_ORACLES = {
     "packed_chunks_documents": _PACKED_CHUNKS_SQL,
 }
 EXTRA_ORACLES["encode_tokens_documents"] = _encode_tokens_sql()
+EXTRA_ORACLES["heavy_hitters_documents"] = _HEAVY_HITTERS_SQL
 EXTRA_ORACLES["bigram_familiarity_documents"] = _BIGRAM_FAMILIARITY_SQL
 
 # r7 rotation: the r6 curation operators move INTO the driver window
