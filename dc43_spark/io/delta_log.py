@@ -1111,6 +1111,9 @@ def delta_read_fallback(
         version_as_of=int(version) if version is not None else None,
         timestamp_as_of=ts,
         filters=options.get("filters"),
+        # row-tracking tables: governed reads can ask for the stable
+        # _row_id / _row_commit_version columns through options
+        with_row_ids=str(options.get("withRowIds", "")).lower() == "true",
     )
 
 
@@ -1632,6 +1635,13 @@ SUPPORTED_WRITER_FEATURES = frozenset(
                              # own rule) and OPTIMIZE lays out by the
                              # domain's clusteringColumns
         "clusteringColumns",  # preview-era spelling of the same feature
+        "checkpointProtection",  # obligation: never clean up protected
+                                 # log history piecemeal — this writer
+                                 # performs NO log cleanup at all (vacuum
+                                 # sweeps data files only), so the
+                                 # obligation holds vacuously and loudly
+                                 # stays that way (grep: no checkpoint
+                                 # deletion anywhere in this module)
     }
 )
 

@@ -309,3 +309,39 @@ def test_enable_refuses_unknown_writer_feature(spark, tmp_path):
         fh.write("\n".join(json.dumps(a) for a in lines) + "\n")
     with pytest.raises(DeltaWriteError, match="icebergCompatV2"):
         delta_enable_row_tracking(spark, t)
+
+
+def test_governed_fallback_exposes_row_ids(spark, tmp_path):
+    """The governed read route (delta_read_fallback options) can ask for
+    the stable id columns — the same spelling a locator would emit."""
+    from dc43_spark.io.delta_log import delta_read_fallback
+
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 4), t, configuration=RT)
+    got = delta_read_fallback(spark, t, {"withRowIds": "true"})
+    assert {"_row_id", "_row_commit_version"} <= set(got.columns)
+    assert sorted(r._row_id for r in got.collect()) == [0, 1, 2, 3]
+    plain = delta_read_fallback(spark, t, {})
+    assert "_row_id" not in plain.columns
+
+
+def test_checkpoint_protection_feature_accepted(spark, tmp_path):
+    """checkpointProtection's obligation (never clean up protected log
+    history piecemeal) holds vacuously — this writer performs no log
+    cleanup — so a foreign table carrying it must write, not refuse."""
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 3), t)
+    log = os.path.join(t, "_delta_log")
+    name = f"{0:020d}.json"
+    with open(os.path.join(log, name)) as fh:
+        lines = [json.loads(x) for x in fh if x.strip()]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["checkpointProtection"],
+            }
+    with open(os.path.join(log, name), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in lines) + "\n")
+    delta_write(spark, _df(spark, 3, 5), t)
+    assert DeltaLogTable(spark, t).read().count() == 5
