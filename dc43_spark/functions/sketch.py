@@ -71,6 +71,13 @@ def _mg_summaries(capacity: int):
     return run
 
 
+def default_capacity(min_fraction: float) -> int:
+    """The smallest per-partition summary size that makes the candidate
+    set provably complete for ``min_fraction`` (capacity+1 > 1/φ with a
+    2x margin that also halves the candidate count)."""
+    return max(int(math.ceil(2.0 / min_fraction)), 2)
+
+
 def heavy_hitters(
     df: DataFrame,
     key: Column | str,
@@ -87,7 +94,7 @@ def heavy_hitters(
     if not (0.0 < min_fraction <= 1.0):
         raise ValueError(f"min_fraction must be in (0, 1], not {min_fraction}")
     if capacity is None:
-        capacity = max(int(math.ceil(2.0 / min_fraction)), 2)
+        capacity = default_capacity(min_fraction)
     if capacity + 1 <= 1.0 / min_fraction:
         raise ValueError(
             f"capacity {capacity} cannot guarantee completeness for "

@@ -236,9 +236,11 @@ def validate_action(action: dict, ctx: str = "action") -> None:
         checker(payload, f"{ctx}.{kind}")
 
 
-def validate_commit_file(path: str) -> int:
-    """Every line of one ``<version>.json`` commit. Returns actions seen."""
-    n = 0
+def _parse_and_validate_commit(path: str) -> list:
+    """Parse + shape-validate every line of one commit/checkpoint JSON;
+    returns the action dicts so downstream chain validators never
+    re-read the file."""
+    actions = []
     with open(path) as fh:
         for i, line in enumerate(fh):
             line = line.strip()
@@ -249,8 +251,13 @@ def validate_commit_file(path: str) -> int:
             except ValueError:
                 _err(f"{os.path.basename(path)}:{i + 1}", "line is not valid JSON")
             validate_action(action, f"{os.path.basename(path)}:{i + 1}")
-            n += 1
-    return n
+            actions.append(action)
+    return actions
+
+
+def validate_commit_file(path: str) -> int:
+    """Every line of one ``<version>.json`` commit. Returns actions seen."""
+    return len(_parse_and_validate_commit(path))
 
 
 def _checkpoint_actions(path: str):
@@ -314,23 +321,18 @@ def validate_checkpoint_file(path: str) -> int:
     return n
 
 
-def _validate_ict_chain(log: str) -> None:
+def _validate_ict_chain(commits: list) -> None:
     """In-Commit Timestamps (PROTOCOL.md): where present,
     ``commitInfo.inCommitTimestamp`` must sit on the FIRST action of its
     commit and be strictly increasing in version order; once a metaData
     enables ``delta.enableInCommitTimestamps``, every later commit must
-    carry one until a metaData disables it."""
-    # COMMIT files only (<20 digits>.json) — a v2 JSON checkpoint
-    # (<v>.checkpoint.<uuid>.json) is a snapshot, not a commit, and
-    # legitimately carries no inCommitTimestamp
-    names = sorted(
-        n for n in os.listdir(log) if _COMMIT_JSON_RE.fullmatch(n)
-    )
+    carry one until a metaData disables it. ``commits`` holds the
+    ALREADY-PARSED (name, actions) pairs in version order — only real
+    commit files (a v2 JSON checkpoint is a snapshot, not a commit, and
+    legitimately carries no inCommitTimestamp).""" 
     enabled: Optional[bool] = None  # unknown until a metaData is seen
     prev_ict: Optional[int] = None
-    for name in names:
-        with open(os.path.join(log, name)) as fh:
-            lines = [json.loads(x) for x in fh if x.strip()]
+    for name, lines in commits:
         ict = None
         for i, action in enumerate(lines):
             info = action.get("commitInfo")
@@ -358,23 +360,19 @@ def _validate_ict_chain(log: str) -> None:
             prev_ict = None  # chain legitimately ended (disabled)
 
 
-def _validate_row_tracking(log: str) -> None:
+def _validate_row_tracking(commits: list) -> None:
     """Row Tracking (PROTOCOL.md): once ``delta.enableRowTracking`` is
     on, every subsequent add must carry ``baseRowId`` +
     ``defaultRowCommitVersion``; id ranges (base..base+numRecords-1)
     must never overlap across live-or-dead adds; and the
     ``delta.rowTracking`` domain's high water mark must cover every
-    assigned id. Commit-JSON replay only — checkpoint-sourced adds are
-    copies of commits this already checked."""
-    names = sorted(
-        n for n in os.listdir(log) if _COMMIT_JSON_RE.fullmatch(n)
-    )
+    assigned id. Commit replay only (already-parsed (name, actions)
+    pairs) — checkpoint-sourced adds are copies of commits this already
+    checked."""
     enabled = False
     hwm: Optional[int] = None
     ranges: set = set()  # (base, end, path) of every assignment seen
-    for name in names:
-        with open(os.path.join(log, name)) as fh:
-            lines = [json.loads(x) for x in fh if x.strip()]
+    for name, lines in commits:
         for action in lines:
             meta = action.get("metaData")
             if meta is not None:
@@ -413,21 +411,36 @@ def _validate_row_tracking(log: str) -> None:
                             ).get("numRecords")
                 except (ValueError, TypeError):
                     rows = None
+            if rows is not None and int(rows) == 0:
+                continue  # an empty file occupies NO ids (spec); its
+                # base may legally coincide with a later file's
+            # unknown width: conservatively one row (still requires a
+            # covering HWM, still must not sit inside another range)
             end = int(base) + max(int(rows or 1), 1) - 1
             ranges.add((int(base), end, add.get("path")))
     if ranges:
-        ordered = sorted(ranges)
-        for (b0, e0, p0), (b1, e1, p1) in zip(ordered, ordered[1:]):
-            # the SAME file may be re-added with its range (DV
-            # supersession, restore) — distinct files must not overlap
-            if p0 != p1 and b1 <= e0:
-                _err(log, f"row id range [{b1}, {e1}] of {p1!r} overlaps "
-                          f"[{b0}, {e0}] of {p0!r}")
+        # collapse per path first (DV supersession / restore re-add the
+        # SAME file with the SAME range; differing re-adds union), then
+        # a running max-end sweep over DISTINCT files — adjacent-pair
+        # checks miss a wide early range swallowing a later one
+        by_path: dict = {}
+        for b, e, p in ranges:
+            b0, e0 = by_path.get(p, (b, e))
+            by_path[p] = (min(b0, b), max(e0, e))
+        ordered = sorted((b, e, p) for p, (b, e) in by_path.items())
+        run_end, run_path = -1, None
+        for b, e, p in ordered:
+            if b <= run_end:
+                _err("row tracking",
+                     f"row id range [{b}, {e}] of {p!r} overlaps "
+                     f"{run_path!r}'s range ending at {run_end}")
+            if e > run_end:
+                run_end, run_path = e, p
         if enabled:
             top = max(e for _b, e, _p in ranges)
             _require(
                 hwm is not None and hwm >= top,
-                names[-1] if names else log,
+                commits[-1][0] if commits else "log",
                 f"rowIdHighWaterMark {hwm} does not cover the highest "
                 f"assigned row id {top}",
             )
@@ -440,16 +453,22 @@ def validate_log_dir(table_path: str) -> dict:
     out = {"commits": 0, "checkpoints": 0, "actions": 0}
     if not os.path.isdir(log):
         return out
+    commits: list = []  # (name, parsed actions) for TRUE commit files
     for name in sorted(os.listdir(log)):
         full = os.path.join(log, name)
         if name.endswith(".json") and name != "_last_checkpoint" and not name.startswith("_"):
             out["commits"] += 1
-            out["actions"] += validate_commit_file(full)
+            actions = _parse_and_validate_commit(full)
+            out["actions"] += len(actions)
+            if _COMMIT_JSON_RE.fullmatch(name):
+                commits.append((name, actions))
         elif name.endswith(".parquet") and ".checkpoint" in name:
             out["checkpoints"] += 1
             out["actions"] += validate_checkpoint_file(full)
-    _validate_ict_chain(log)
-    _validate_row_tracking(log)
+    # ONE parse feeds both chain validators (a per-test teardown scans
+    # every table the suite creates — triple-parsing long logs adds up)
+    _validate_ict_chain(commits)
+    _validate_row_tracking(commits)
     lc = os.path.join(log, "_last_checkpoint")
     if os.path.exists(lc):
         with open(lc) as fh:

@@ -215,3 +215,57 @@ def test_row_tracking_shape_violations_rejected(tmp_path):
     t = _table("ok", [[ci, proto, meta, _add("a.parquet", 0, 5),
                        _add("b.parquet", 5, 5, ), dom]])
     validate_log_dir(t)
+
+
+@pytest.mark.nonconformant_log
+def test_row_tracking_zero_record_and_swallowed_ranges(tmp_path):
+    """Review-fix pins: an EMPTY add occupies no ids (its base may
+    coincide with a later file's — legal), while a wide early range
+    swallowing a later one is caught even when adjacent-pair sorting
+    would hide it."""
+    from dc43_spark.io.delta_conformance import validate_log_dir
+
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}}]})
+    meta = {"metaData": {
+        "id": "x", "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema, "partitionColumns": [],
+        "configuration": {"delta.enableRowTracking": "true"},
+    }}
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                          "writerFeatures": ["rowTracking",
+                                             "domainMetadata"]}}
+    ci = {"commitInfo": {"timestamp": 1, "operation": "WRITE"}}
+
+    def _add(path, base, rows):
+        return {"add": {"path": path, "partitionValues": {}, "size": 1,
+                        "modificationTime": 1, "dataChange": True,
+                        "baseRowId": base, "defaultRowCommitVersion": 0,
+                        "stats": json.dumps({"numRecords": rows})}}
+
+    def _dom(hwm):
+        return {"domainMetadata": {"domain": "delta.rowTracking",
+                                   "configuration": json.dumps(
+                                       {"rowIdHighWaterMark": hwm}),
+                                   "removed": False}}
+
+    def _table(name, actions):
+        log = tmp_path / name / "_delta_log"
+        log.mkdir(parents=True)
+        with open(log / f"{0:020d}.json", "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        return str(tmp_path / name)
+
+    # legal: the empty add's base coincides with b's range start
+    t = _table("empty_ok", [ci, proto, meta,
+                            _add("empty.parquet", 5, 0),
+                            _add("b.parquet", 5, 5), _dom(9)])
+    validate_log_dir(t)
+    # caught: a[0,99] swallows b[50,60] even though the sorted NEIGHBOR
+    # of b is a same-path duplicate of a
+    t = _table("swallow", [ci, proto, meta,
+                           _add("a.parquet", 0, 100),
+                           _add("a.parquet", 0, 100),
+                           _add("b.parquet", 50, 11), _dom(99)])
+    with pytest.raises(DeltaConformanceError, match="overlaps"):
+        validate_log_dir(t)

@@ -52,6 +52,20 @@ def test_spark_bundle_executes_green(
     assert status == "ok"
     # second run is idempotent (overwrite mode, store already seeded)
     assert _run_bundle(monkeypatch, dest) == "ok"
+    # the verdict PERSISTED to the configured governance store (the
+    # bundle's store selection has a runtime effect, not just a print)
+    if gstore != "memory":
+        from dc43_spark.governance.bootstrap import (
+            build_governance_store,
+            load_config,
+        )
+
+        g = build_governance_store(
+            load_config(str(dest / "config.toml")).governance_store,
+            spark=spark,
+        )
+        matrix = g.status_matrix(f"data/{cfg.contract_id}")
+        assert matrix and matrix[-1]["status"] == "ok"
 
 
 def test_dlt_bundle_executes_green(spark, tmp_path, monkeypatch):

@@ -28,17 +28,20 @@ from dc43_spark.functions.sketch import _mg_summaries, heavy_hitters
 
 def _data(spark, rows, distinct, parts):
     # ~50% of rows spread over `distinct` uniform keys (the heavy tail),
-    # ~50% concentrated on 20 hot keys (the hitters)
+    # ~50% concentrated on 20 hot keys (the hitters). The modulus runs
+    # over id DIV 2 so each branch sees every residue — id % m over only
+    # even (or only odd) ids would silently halve both cardinalities.
+    half = F.floor(F.col("id") / 2)
     return (
         spark.range(rows)
         .repartition(parts)
         .select(
             F.when(
                 F.col("id") % 2 == 0,
-                (F.col("id") % 20).cast("string"),
+                (half % 20).cast("string"),
             )
             .otherwise(
-                F.concat(F.lit("u"), (F.col("id") % distinct).cast("string"))
+                F.concat(F.lit("u"), (half % distinct).cast("string"))
             )
             .alias("k")
         )
@@ -80,9 +83,9 @@ def main() -> None:
         n_hh = got.count()
         t_sketch = time.perf_counter() - t0
 
-        import math
+        from dc43_spark.functions.sketch import default_capacity
 
-        capacity = max(int(math.ceil(2.0 / args.frac)), 2)
+        capacity = default_capacity(args.frac)
         summary_rows = (
             df.select(F.col("k").alias("key"))
             .mapInPandas(_mg_summaries(capacity), "key string, cnt long")
