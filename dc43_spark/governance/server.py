@@ -146,6 +146,10 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send_html(
                     200, webui.render_contract(self._contracts, seg[2])
                 )
+            if seg == ["ui", "setup"]:
+                return self._send_html(
+                    200, webui.render_setup(parse_qs(url.query))
+                )
             if seg == ["ui", "datasets"]:
                 return self._send_html(
                     200, webui.render_datasets_dashboard(self._gov)

@@ -437,3 +437,68 @@ def render_product(product_store, product_id: str) -> str | None:
     return _PAGE.format(
         title=f"product {escape(product_id)}", body="".join(sections)
     )
+
+
+def render_setup(params: dict[str, Any] | None = None) -> str:
+    """``/ui/setup`` — the reference app's setup-bundle flow as one
+    page (ref contracts-app renders stack-aware pipeline stubs from its
+    config UI): pick the stack in the form, preview every generated
+    file inline; the same selections drive
+    ``governance.setup_bundle.write_setup_bundle`` programmatically."""
+    from dc43_spark.governance.setup_bundle import (
+        BundleConfig,
+        render_setup_bundle,
+    )
+
+    params = params or {}
+
+    def _pick(name: str, default: str) -> str:
+        raw = params.get(name, [default])
+        return (raw[0] if isinstance(raw, list) else raw) or default
+
+    cfg = BundleConfig(
+        project=_pick("project", "dc43-pipeline"),
+        integration=_pick("integration", "spark"),
+        table_format=_pick("format", "parquet"),
+        contract_store=_pick("contract_store", "filesystem"),
+        governance_store=_pick("governance_store", "filesystem"),
+    )
+    try:
+        files = render_setup_bundle(cfg)
+        error = None
+    except ValueError as exc:
+        files, error = {}, str(exc)
+
+    def _select(name: str, options: tuple, current: str) -> str:
+        opts = "".join(
+            f'<option value="{escape(o)}"'
+            f'{" selected" if o == current else ""}>{escape(o)}</option>'
+            for o in options
+        )
+        return f'<label>{escape(name)} <select name="{escape(name)}">{opts}</select></label>'
+
+    form = (
+        '<form method="get" action="/ui/setup">'
+        f'<p><label>project <input name="project" '
+        f'value="{escape(cfg.project)}"></label> '
+        + _select("integration", ("spark", "dlt"), cfg.integration)
+        + " "
+        + _select("format", ("parquet", "snaplog", "delta"),
+                  cfg.table_format)
+        + " "
+        + _select("contract_store", ("memory", "filesystem", "sql"),
+                  cfg.contract_store)
+        + " "
+        + _select("governance_store", ("memory", "filesystem", "sql"),
+                  cfg.governance_store)
+        + ' <button type="submit">render</button></p></form>'
+    )
+    body = form
+    if error:
+        body += f'<p class="block">{escape(error)}</p>'
+    for name, content in sorted(files.items()):
+        body += (
+            f"<h2><code>{escape(name)}</code></h2>"
+            f"<pre>{escape(content)}</pre>"
+        )
+    return _PAGE.format(title="setup bundle", body=body)

@@ -506,3 +506,40 @@ def test_datasets_dashboard_renders_live_verdicts():
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(f"{url}/ui/datasets")
         assert exc.value.code == 401
+
+
+def test_webui_setup_bundle_route():
+    """/ui/setup (r11): the setup-bundle flow as one page — stack
+    selections in the query, every generated file previewed inline, the
+    same renderer write_setup_bundle uses programmatically."""
+    import urllib.error
+    import urllib.request
+
+    from dc43_spark.governance.server import GovernanceServiceServer
+
+    with GovernanceServiceServer(auth_token="tok") as url:
+        auth = {"Authorization": "Bearer tok"}
+        req = urllib.request.Request(f"{url}/ui/setup", headers=auth)
+        with urllib.request.urlopen(req) as resp:
+            html = resp.read().decode()
+        assert "pipeline.py" in html and "config.toml" in html
+        assert "write_with_contract" in html  # the stub body previews
+        req = urllib.request.Request(
+            f"{url}/ui/setup?integration=dlt&format=snaplog"
+            "&governance_store=sql",
+            headers=auth,
+        )
+        with urllib.request.urlopen(req) as resp:
+            html = resp.read().decode()
+        assert "dlt_pipeline.py" in html and "LocalPipeline" in html
+        assert "type = &quot;sql&quot;" in html
+        # bad selections render the error, not a 500
+        req = urllib.request.Request(
+            f"{url}/ui/setup?format=iceberg", headers=auth
+        )
+        with urllib.request.urlopen(req) as resp:
+            html = resp.read().decode()
+        assert "table_format must be one of" in html
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"{url}/ui/setup")
+        assert exc.value.code == 401
