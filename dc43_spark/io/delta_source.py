@@ -14,7 +14,12 @@ the batch path Catalyst filter pushdown (pushFilters -> stats +
 partition-value pruning BEFORE partition planning, so a selective scan
 of a large table plans only the surviving files). Deletion vectors are
 applied as per-file positional masks INSIDE the Arrow read (no join at
-all on this path); partition values attach as constant Arrow columns.
+all on this path): only the O(1) DV *descriptor* rides each pickled
+partition and positions decode on the executor — the driver never
+materializes a position list, so a MOR-heavy foreign table with 100M+
+deleted positions plans in O(files) driver memory
+(tools/dv_read_ladder.py --source measures this). Partition values
+attach as constant Arrow columns.
 
 Streaming semantics mirror delta-spark's source contract:
 - appends (add actions with dataChange=true) stream through;
@@ -79,16 +84,30 @@ def _typed_partition_values(
     }
 
 
+def _norm_dv(dv) -> dict | None:
+    """Raw ``add.deletionVector`` action map -> the normalized descriptor
+    ``decode_dv_descriptor`` accepts, or None when absent. The descriptor
+    is O(1) (storage type + path/inline blob ref + offset/size) — it is
+    what rides the pickled partition; the positions it denotes are only
+    ever expanded executor-side inside ``_arrow_batches``."""
+    if not dv or not dv.get("pathOrInlineDv"):
+        return None
+    return {
+        "storageType": dv.get("storageType", "u"),
+        "pathOrInlineDv": dv["pathOrInlineDv"],
+        "offset": dv.get("offset") or 0,
+        "sizeInBytes": dv.get("sizeInBytes"),
+        "cardinality": dv.get("cardinality"),
+    }
+
+
 def _file_partition(table: DeltaLogTable, snap, f, types: dict) -> _FilePartition:
     """One live Delta file -> the shared executor partition shape:
-    typed partition constants, a positional DV mask (decoded driver-side
-    — metadata-scale, same envelope as the manifest), and the
-    logical->physical mapping when column mapping is active."""
-    deleted = None
-    if f.dv is not None:
-        from dc43_spark.io.dv import decode_dv_descriptor
-
-        deleted = decode_dv_descriptor(table.path, f.dv).tolist()
+    typed partition constants, the file's DV *descriptor* (positions
+    decode on the executor — never driver-side, a MOR-heavy table can
+    carry 100M+ deleted positions), and the logical->physical mapping
+    when column mapping is active."""
+    dv = _norm_dv(f.dv)
     mapping = None
     if snap.column_mapping:
         mapping = {
@@ -103,7 +122,7 @@ def _file_partition(table: DeltaLogTable, snap, f, types: dict) -> _FilePartitio
     return _FilePartition(
         os.path.join(table.path, f.path),
         extra,
-        deleted_positions=deleted,
+        dv_descriptor=(table.path, dv) if dv is not None else None,
         mapping=mapping,
     )
 
@@ -257,21 +276,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 )
             for a in data_adds:
                 f_path = _decode_path(a["path"])
-                dv = a.get("deletionVector")
-                deleted = None
-                if dv and dv.get("pathOrInlineDv"):
-                    from dc43_spark.io.dv import decode_dv_descriptor
-
-                    deleted = decode_dv_descriptor(
-                        self._table.path,
-                        {
-                            "storageType": dv.get("storageType", "u"),
-                            "pathOrInlineDv": dv["pathOrInlineDv"],
-                            "offset": dv.get("offset") or 0,
-                            "sizeInBytes": dv.get("sizeInBytes"),
-                            "cardinality": dv.get("cardinality"),
-                        },
-                    ).tolist()
+                dv = _norm_dv(a.get("deletionVector"))
                 raw_pv = {
                     c: (a.get("partitionValues") or {}).get(c)
                     for c in (snap.partition_columns if snap else ())
@@ -280,7 +285,9 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                     _FilePartition(
                         os.path.join(self._table.path, f_path),
                         _typed_partition_values(raw_pv, types) or None,
-                        deleted_positions=deleted,
+                        dv_descriptor=(
+                            (self._table.path, dv) if dv is not None else None
+                        ),
                         mapping=mapping,
                     )
                 )
@@ -335,21 +342,12 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
         head = self._table.version()
         return {"version": -1 if head is None else head}
 
-    def _decode_positions(self, dv: Optional[dict]):
-        if not dv or not dv.get("pathOrInlineDv"):
-            return None
-        from dc43_spark.io.dv import decode_dv_descriptor
-
-        return decode_dv_descriptor(
-            self._table.path,
-            {
-                "storageType": dv.get("storageType", "u"),
-                "pathOrInlineDv": dv["pathOrInlineDv"],
-                "offset": dv.get("offset") or 0,
-                "sizeInBytes": dv.get("sizeInBytes"),
-                "cardinality": dv.get("cardinality"),
-            },
-        ).tolist()
+    def _dv(self, dv) -> tuple | None:
+        """``dv_descriptor`` partition field for a raw action DV map —
+        the descriptor rides the partition; positions decode on the
+        executor (never driver-side)."""
+        d = _norm_dv(dv)
+        return (self._table.path, d) if d is not None else None
 
     def partitions(self, start: dict, end: dict):
         t = self._table
@@ -379,9 +377,6 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
             ts0 = snap0.timestamp
             types0 = {f.name: f.dataType.typeName() for f in snap0.schema.fields}
             for f in snap0.files:
-                deleted = None
-                if f.dv:
-                    deleted = self._decode_positions(f.dv)
                 parts.append(_FilePartition(
                     os.path.join(t.path, f.path),
                     {
@@ -393,7 +388,7 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
                         "_commit_version": start["version"],
                         "_commit_timestamp": ts0,
                     },
-                    deleted_positions=deleted,
+                    dv_descriptor=self._dv(f.dv),
                     mapping=mapping,
                 ))
         if first_needed <= end["version"]:
@@ -441,33 +436,33 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
                             os.path.join(t.path, p),
                             {**_pvals(a.get("partitionValues")),
                              "_change_type": "insert", **stamp},
-                            deleted_positions=self._decode_positions(
-                                a.get("deletionVector")
-                            ),
+                            dv_descriptor=self._dv(a.get("deletionVector")),
                             mapping=mapping,
                         ))
                         continue
-                    new_set = set(self._decode_positions(
-                        a.get("deletionVector")) or ())
-                    old_set = set(self._decode_positions(
-                        prior.get("deletionVector")) or ())
-                    newly = sorted(new_set - old_set)
-                    restored = sorted(old_set - new_set)
-                    if newly:
+                    # DV supersession: deletes are new−old positions,
+                    # RESTORE re-inserts are old−new — both diffs are
+                    # computed EXECUTOR-side from the two descriptors
+                    # (kept_dv_diff); the driver only compares the O(1)
+                    # descriptors for identity
+                    new_d = _norm_dv(a.get("deletionVector"))
+                    old_d = _norm_dv(prior.get("deletionVector"))
+                    if new_d is not None and new_d != old_d:
                         parts.append(_FilePartition(
                             os.path.join(t.path, p),
                             {**_pvals(prior.get("partitionValues")),
                              "_change_type": "delete", **stamp},
-                            kept_positions=newly,
+                            kept_dv_diff=(t.path, new_d, old_d),
                             mapping=mapping,
                         ))
-                    if restored:
-                        # a RESTORE uncovered previously-deleted rows
+                    if old_d is not None and old_d != new_d:
+                        # a RESTORE may have uncovered previously-deleted
+                        # rows (empty diff -> zero-row batch, harmless)
                         parts.append(_FilePartition(
                             os.path.join(t.path, p),
                             {**_pvals(a.get("partitionValues")),
                              "_change_type": "insert", **stamp},
-                            kept_positions=restored,
+                            kept_dv_diff=(t.path, old_d, new_d),
                             mapping=mapping,
                         ))
                     removed_paths.discard(p)
@@ -480,9 +475,7 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
                         os.path.join(t.path, p),
                         {**_pvals(prior.get("partitionValues")),
                          "_change_type": "delete", **stamp},
-                        deleted_positions=self._decode_positions(
-                            prior.get("deletionVector")
-                        ),
+                        dv_descriptor=self._dv(prior.get("deletionVector")),
                         mapping=mapping,
                     ))
             # advance IN ACTION ORDER: remove+add of the same path (DV

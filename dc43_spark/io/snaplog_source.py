@@ -84,6 +84,8 @@ class _FilePartition(InputPartition):
         deleted_positions: Optional[list] = None,
         mapping: Optional[dict] = None,
         kept_positions: Optional[list] = None,
+        dv_descriptor: Optional[tuple] = None,
+        kept_dv_diff: Optional[tuple] = None,
     ):
         # extra: constant columns appended to every row of the file
         # (change-feed tagging); None for plain reads.
@@ -94,11 +96,23 @@ class _FilePartition(InputPartition):
         # kept_positions: the INVERSE selector — serve ONLY these row
         # indexes (a CDF 'delete' batch reads exactly the newly-deleted
         # rows); mutually exclusive with deleted_positions.
+        # dv_descriptor: ``(table_root, delta DV descriptor)`` — the
+        # deleted-positions mask decoded ON THE EXECUTOR inside
+        # _arrow_batches. Only the O(1) descriptor rides the pickled
+        # partition; positions are never materialized driver-side
+        # (a MOR-heavy foreign table can carry 100M+ positions).
+        # kept_dv_diff: ``(table_root, desc_a, desc_b)`` — serve ONLY
+        # positions decode(a) − decode(b) (either side may be None =
+        # empty), again decoded executor-side; the CDF readers use it
+        # for DV-growth deletes (new−old) and RESTORE re-inserts
+        # (old−new) without driver-side set algebra.
         self.path = path
         self.extra = extra
         self.deleted_positions = deleted_positions
         self.mapping = mapping
         self.kept_positions = kept_positions
+        self.dv_descriptor = dv_descriptor
+        self.kept_dv_diff = kept_dv_diff
 
 
 def _arrow_batches(partition: _FilePartition, schema: T.StructType):
@@ -131,17 +145,45 @@ def _arrow_batches(partition: _FilePartition, schema: T.StructType):
             tbl = tbl.append_column(f, pa.nulls(tbl.num_rows, type=f.type))
         tbl = tbl.select([f.name for f in target])
     tbl = tbl.cast(target)
-    if partition.deleted_positions:
+    deleted = partition.deleted_positions
+    kept = partition.kept_positions
+    if partition.dv_descriptor is not None:
+        from dc43_spark.io.dv import decode_dv_descriptor
+
+        root, desc = partition.dv_descriptor
+        deleted = decode_dv_descriptor(root, desc)
+    if partition.kept_dv_diff is not None:
         import numpy as np
 
+        from dc43_spark.io.dv import decode_dv_descriptor
+
+        root, desc_a, desc_b = partition.kept_dv_diff
+        a = (
+            decode_dv_descriptor(root, desc_a)
+            if desc_a is not None
+            else np.empty(0, dtype=np.int64)
+        )
+        b = (
+            decode_dv_descriptor(root, desc_b)
+            if desc_b is not None
+            else np.empty(0, dtype=np.int64)
+        )
+        kept = np.setdiff1d(a, b)
+    if deleted is not None and len(deleted):
+        import numpy as np
+
+        idx = np.asarray(deleted, dtype=np.int64)
         keep = np.ones(tbl.num_rows, dtype=bool)
-        keep[np.asarray(partition.deleted_positions, dtype=np.int64)] = False
+        # positions past the file's rows are probe misses (wide sparse
+        # bitmaps are legal); the anti-join path ignores them too
+        keep[idx[idx < tbl.num_rows]] = False
         tbl = tbl.filter(pa.array(keep))
-    if partition.kept_positions is not None:
+    if kept is not None:
         import numpy as np
 
+        idx = np.asarray(kept, dtype=np.int64)
         keep = np.zeros(tbl.num_rows, dtype=bool)
-        keep[np.asarray(partition.kept_positions, dtype=np.int64)] = True
+        keep[idx[idx < tbl.num_rows]] = True
         tbl = tbl.filter(pa.array(keep))
     if extra:
         full = to_arrow_schema(schema)

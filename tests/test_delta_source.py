@@ -336,3 +336,104 @@ def test_streaming_cdf_derives_without_change_files(registered, spark, tmp_path)
     assert by_v[1] == {(4, "insert"), (5, "insert")}
     assert by_v[2] == {(1, "delete")}
     assert by_v[3] == {(4, "delete"), (5, "delete")}
+
+
+def test_streaming_high_cardinality_dv_stays_off_driver(
+    registered, spark, tmp_path
+):
+    """VERDICT r11 #1: a MOR-heavy foreign table read through the
+    Python-DataSource paths must never materialize DV positions on the
+    driver. The planned partitions carry only the O(1) descriptor
+    (``dv_descriptor``), decode happens inside the executor's Arrow
+    kernel, and the stream still serves exactly the live rows."""
+    import json as _json
+    import uuid as _uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dc43_spark.io import dv as dvmod
+    from dc43_spark.io.delta_source import (
+        DeltaLogBatchReader,
+        DeltaLogCDFStreamReader,
+        DeltaLogStreamReader,
+    )
+    from pyspark.sql import types as T
+
+    t = str(tmp_path / "t")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    n_rows = 1_000
+    pq.write_table(
+        pa.table({"k": pa.array(np.arange(n_rows), pa.int64())}),
+        os.path.join(t, "part-00000.parquet"),
+    )
+    # 200k positions spread over a 64M space (wide sparse bitmap — the
+    # ladder's shape); the handful below n_rows are the real deletes
+    rng = np.random.default_rng(7)
+    positions = np.unique(
+        np.concatenate([
+            rng.integers(n_rows, 64_000_000, 200_000),
+            np.array([2, 5, 900]),
+        ]).astype(np.int64)
+    )
+    blob = dvmod.serialize_dv_blob(positions)
+    u = _uuid.uuid4()
+    (off,) = dvmod.write_dv_file(
+        os.path.join(t, f"deletion_vector_{u}.bin"), [blob]
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "hc", "format": {"provider": "parquet",
+                                             "options": {}},
+                      "schemaString": _json.dumps(
+                          {"type": "struct", "fields": [
+                              {"name": "k", "type": "long",
+                               "nullable": True, "metadata": {}}]}),
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": "part-00000.parquet", "partitionValues": {},
+                 "size": 1, "dataChange": True,
+                 "stats": _json.dumps({"numRecords": n_rows}),
+                 "deletionVector": {
+                     "storageType": "u",
+                     "pathOrInlineDv": dvmod.z85_encode(u.bytes),
+                     "offset": off, "sizeInBytes": len(blob),
+                     "cardinality": int(len(positions))}}},
+    ]
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.writelines(_json.dumps(a) + "\n" for a in actions)
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    # every planner path ships the descriptor, never a position list
+    for parts in (
+        DeltaLogBatchReader(t, {}).partitions(),
+        DeltaLogStreamReader(t, schema, {}).partitions(
+            {"version": 0, "snapshot": True}, {"version": 0}
+        ),
+        DeltaLogCDFStreamReader(t, schema, {}).partitions(
+            {"version": 0, "snapshot": True}, {"version": 0}
+        ),
+    ):
+        assert parts, "planner produced no partitions"
+        for p in parts:
+            assert p.deleted_positions is None
+            assert p.kept_positions is None
+            assert p.dv_descriptor is not None
+            root, desc = p.dv_descriptor
+            assert desc["cardinality"] == len(positions)
+
+    # end to end through read_stream: live rows only
+    q = (
+        spark.readStream.format("deltalog").load(t)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "o"))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    if q.exception():
+        raise RuntimeError(str(q.exception()))
+    got = {r.k for r in spark.read.parquet(str(tmp_path / "o")).collect()}
+    assert got == set(range(n_rows)) - {2, 5, 900}

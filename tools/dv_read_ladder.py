@@ -14,8 +14,14 @@ The table is hand-authored protocol state (real parquet + real DV blobs
 via io/dv.py + a real ``_delta_log``), so the measured path is the
 production reader end to end.
 
+``--source`` adds a rung per scale for the Python-DataSource STREAMING
+path (``readStream.format("deltalog")`` -> noop sink, availableNow):
+since r12 only the O(1) DV descriptor rides each pickled partition and
+positions decode executor-side (VERDICT r11 #1), so this rung grows
+with per-file decode work, never with driver memory.
+
 Usage: python tools/dv_read_ladder.py [--scales 1000000,10000000,100000000]
-       [--files 64] [--rows 2000000] [--reps 2]
+       [--files 64] [--rows 2000000] [--reps 2] [--source]
 Prints a markdown table + one JSON line (SCALE.md material).
 """
 
@@ -97,6 +103,8 @@ def main() -> int:
     ap.add_argument("--files", type=int, default=64)
     ap.add_argument("--rows", type=int, default=2_000_000)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--source", action="store_true",
+                    help="also ladder the deltalog DataSource stream read")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
@@ -126,6 +134,30 @@ def main() -> int:
                     for _ in range(args.reps)
                 )
                 rows.append({"positions": n, "mode": mode,
+                             "count_sec": round(best, 2)})
+            if args.source:
+                from dc43_spark.io.delta_source import DeltaLogDataSource
+
+                spark.dataSource.register(DeltaLogDataSource)
+
+                def _stream() -> None:
+                    cp = tempfile.mkdtemp(prefix="dv_read_ladder_cp_")
+                    try:
+                        q = (
+                            spark.readStream.format("deltalog").load(root)
+                            .writeStream.format("noop")
+                            .option("checkpointLocation", cp)
+                            .trigger(availableNow=True)
+                            .start()
+                        )
+                        q.awaitTermination()
+                        if q.exception():
+                            raise RuntimeError(str(q.exception()))
+                    finally:
+                        shutil.rmtree(cp, ignore_errors=True)
+
+                best = min(_timed(_stream) for _ in range(args.reps))
+                rows.append({"positions": n, "mode": "stream-source",
                              "count_sec": round(best, 2)})
         finally:
             spark.conf.unset(_GATE_KEY)
