@@ -155,14 +155,15 @@ class SnaplogCatalog:
           update on either format (generated columns recompute; SET on
           one refuses)
         - ``MERGE INTO t t USING <table | (subquery)> s ON t.k = s.k
-          [AND ...]`` followed by any one-per-kind combination of
+          [AND ...]`` followed by ANY NUMBER of
           ``WHEN MATCHED [AND p] THEN DELETE | UPDATE SET * |
           UPDATE SET c = expr, ...``, ``WHEN NOT MATCHED [AND p] THEN
           INSERT * | INSERT (cols) VALUES (exprs)``, and ``WHEN NOT
           MATCHED BY SOURCE [AND p] THEN DELETE | UPDATE SET c = expr``
-          — delta-spark's full conditional clause surface (r11), with
-          the engines' fixed clause priority (matched delete wins over
-          update). Aliases are fixed ``t``/``s``; ON takes equality
+          clauses — delta-spark's full MULTI-clause surface (r12),
+          evaluated first-match-wins per kind in statement order
+          (standard SQL MERGE); only the last clause of a kind may omit
+          ``AND p``. Aliases are fixed ``t``/``s``; ON takes equality
           conjuncts on shared key names
         - ``DROP TABLE [IF EXISTS] t PURGE`` — drop (PURGE is mandatory,
           mirroring ``drop()``'s explicit-data-deletion contract)
@@ -640,12 +641,12 @@ def _merge_on_keys(cond: str) -> list:
 
 
 def _merge_when_clauses(whens: str) -> dict:
-    """WHEN clause list -> merge API kwargs — delta-spark's full clause
-    surface (r11, VERDICT r10 #2):
+    """WHEN clause list -> ordered merge-API clause lists — delta-spark's
+    full MULTI-clause surface (r12, VERDICT r11 #2): any number of
+    clauses per kind, evaluated first-match-wins in the statement's
+    order (standard SQL MERGE semantics):
 
-    - ``WHEN MATCHED [AND p] THEN DELETE`` (delete wins over update and
-      is checked first — the engines' fixed clause priority; pred-less
-      deletes every matched row)
+    - ``WHEN MATCHED [AND p] THEN DELETE``
     - ``WHEN MATCHED [AND p] THEN UPDATE SET *`` (updateAll) or
       ``UPDATE SET c = expr, ...`` (column-level; exprs over t./s.)
     - ``WHEN NOT MATCHED [AND p] THEN INSERT *`` (insertAll) or
@@ -653,18 +654,15 @@ def _merge_when_clauses(whens: str) -> dict:
     - ``WHEN NOT MATCHED BY SOURCE [AND p] THEN DELETE`` or
       ``UPDATE SET c = expr, ...`` (exprs over t.)
 
-    One clause per kind (the APIs take fixed-priority kwargs, not an
-    ordered clause list). The WHOLE clause text must be consumed by
-    recognized clauses — an unknown spelling refuses instead of silently
-    executing the merge without it."""
+    Per delta-spark's rule (enforced by normalize_merge_clauses at
+    execution), only the LAST clause of a kind may omit ``AND p``. The
+    WHOLE clause text must be consumed by recognized clauses — an
+    unknown spelling refuses instead of silently executing the merge
+    without it."""
     out = {
-        "when_matched": "ignore",
-        "when_not_matched": "ignore",
-        "delete_predicate": None,
-        "insert_predicate": None,
-        "matched_predicate": None,
-        "when_not_matched_by_source": "ignore",
-        "not_matched_by_source_predicate": None,
+        "matched_clauses": [],
+        "not_matched_clauses": [],
+        "not_matched_by_source_clauses": [],
     }
     matches = list(_WHEN_RE.finditer(whens))
     last = 0
@@ -680,16 +678,6 @@ def _merge_when_clauses(whens: str) -> dict:
             "catalog.sql docstring for the supported WHEN clause forms"
         )
 
-    def _once(key, ok):
-        if not ok:
-            raise ValueError(
-                f"duplicate {key} clause; the SQL surface takes one "
-                "clause per kind (fixed priority: matched delete, then "
-                "matched update)"
-            )
-
-    seen = set()
-    matched_update_seen = False
     for not_m, by_src, pred, action in (m.groups() for m in matches):
         # collapse whitespace ONLY in the keyword-matching copy — SET /
         # VALUES bodies pass through verbatim (a collapsed copy would
@@ -707,10 +695,10 @@ def _merge_when_clauses(whens: str) -> dict:
             if not not_m:
                 raise ValueError("MATCHED BY SOURCE is not a clause; use "
                                  "WHEN NOT MATCHED BY SOURCE")
-            _once("WHEN NOT MATCHED BY SOURCE", "bs" not in seen)
-            seen.add("bs")
             if act_u == "DELETE":
-                out["when_not_matched_by_source"] = "delete"
+                out["not_matched_by_source_clauses"].append(
+                    {"action": "delete", "condition": pred}
+                )
             elif act_u.startswith("UPDATE SET"):
                 body = _body(r"UPDATE\s+SET")
                 if body == "*":
@@ -718,22 +706,21 @@ def _merge_when_clauses(whens: str) -> dict:
                         "UPDATE SET * is meaningless BY SOURCE (there is "
                         "no source row); list the assignments"
                     )
-                out["when_not_matched_by_source"] = _parse_set_map(
-                    body, "WHEN NOT MATCHED BY SOURCE"
-                )
+                out["not_matched_by_source_clauses"].append({
+                    "action": "update", "condition": pred,
+                    "set": _parse_set_map(body, "WHEN NOT MATCHED BY SOURCE"),
+                })
             else:
                 raise ValueError(
                     "WHEN NOT MATCHED BY SOURCE supports THEN DELETE or "
                     "THEN UPDATE SET c = expr, ..."
                 )
-            if pred:
-                out["not_matched_by_source_predicate"] = pred
             continue
         if not_m:
-            _once("WHEN NOT MATCHED", "ins" not in seen)
-            seen.add("ins")
             if act_u == "INSERT *":
-                out["when_not_matched"] = "insert"
+                out["not_matched_clauses"].append(
+                    {"action": "insert", "condition": pred}
+                )
             elif act_u.startswith("INSERT"):
                 m2 = re.match(
                     r"^INSERT\s*\((.+?)\)\s*VALUES\s*\((.+)\)\s*$",
@@ -759,45 +746,31 @@ def _merge_when_clauses(whens: str) -> dict:
                     raise ValueError(
                         f"INSERT lists column(s) {dup} more than once"
                     )
-                out["when_not_matched"] = dict(zip(cols, vals))
+                out["not_matched_clauses"].append({
+                    "action": "insert", "condition": pred,
+                    "values": dict(zip(cols, vals)),
+                })
             else:
                 raise ValueError("WHEN NOT MATCHED supports THEN INSERT")
-            if pred:
-                out["insert_predicate"] = pred
             continue
         if act_u == "DELETE":
-            _once("WHEN MATCHED ... DELETE", "del" not in seen)
-            seen.add("del")
-            if matched_update_seen:
-                raise ValueError(
-                    "WHEN MATCHED clauses must list DELETE before UPDATE: "
-                    "the engines apply fixed delete-first priority, and "
-                    "accepting UPDATE-then-DELETE order would silently "
-                    "diverge from SQL MERGE's first-matching-clause "
-                    "semantics for rows satisfying both predicates"
-                )
-            out["delete_predicate"] = pred or "true"
-        elif act_u == "UPDATE SET *":
-            _once("WHEN MATCHED ... UPDATE", "upd" not in seen)
-            seen.add("upd")
-            matched_update_seen = True
-            out["when_matched"] = "update"
-            if pred:
-                out["matched_predicate"] = pred
-        elif act_u.startswith("UPDATE SET"):
-            _once("WHEN MATCHED ... UPDATE", "upd" not in seen)
-            seen.add("upd")
-            matched_update_seen = True
-            out["when_matched"] = _parse_set_map(
-                _body(r"UPDATE\s+SET"), "WHEN MATCHED"
+            out["matched_clauses"].append(
+                {"action": "delete", "condition": pred}
             )
-            if pred:
-                out["matched_predicate"] = pred
+        elif act_u == "UPDATE SET *":
+            out["matched_clauses"].append(
+                {"action": "update", "condition": pred}
+            )
+        elif act_u.startswith("UPDATE SET"):
+            out["matched_clauses"].append({
+                "action": "update", "condition": pred,
+                "set": _parse_set_map(_body(r"UPDATE\s+SET"), "WHEN MATCHED"),
+            })
         else:
             raise ValueError(
                 "WHEN MATCHED supports THEN DELETE or THEN UPDATE SET"
             )
-    if not seen:
+    if not any(out.values()):
         raise ValueError("MERGE needs at least one WHEN clause")
     return out
 

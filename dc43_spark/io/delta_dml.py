@@ -845,6 +845,9 @@ def delta_merge(
     matched_predicate: Optional[str] = None,
     when_not_matched_by_source="ignore",
     not_matched_by_source_predicate: Optional[str] = None,
+    matched_clauses: Optional[list] = None,
+    not_matched_clauses: Optional[list] = None,
+    not_matched_by_source_clauses: Optional[list] = None,
     use_dvs: Optional[bool] = None,
     check_source_keys: bool = True,
     merge_schema: bool = False,
@@ -879,28 +882,44 @@ def delta_merge(
     The *All string forms require the source to carry the table's
     columns (generated columns may be omitted — they recompute); the
     map forms only need the key columns plus whatever their expressions
-    reference, and never evolve the schema. Returns the committed
-    version, or None when the merge changed nothing."""
+    reference, and never evolve the schema.
+
+    ``matched_clauses`` / ``not_matched_clauses`` /
+    ``not_matched_by_source_clauses``: the ORDERED multi-clause surface
+    (first-match-wins per kind — delta-spark's chained builder, see
+    merge.normalize_merge_clauses); per kind pass the list OR the legacy
+    kwargs, not both. Returns the committed version, or None when the
+    merge changed nothing."""
     from dc43_spark.io.merge import (
+        any_clause_ok,
+        clause_value,
+        first_fate,
+        normalize_merge_clauses,
         require_unique_merge_keys,
-        validate_merge_clauses,
-        _by_source_value,
-        _insert_value,
-        _matched_value,
     )
 
-    validate_merge_clauses(
-        when_matched, when_not_matched, when_not_matched_by_source
+    m_cls, nm_cls, bs_cls = normalize_merge_clauses(
+        when_matched=when_matched,
+        when_not_matched=when_not_matched,
+        delete_predicate=delete_predicate,
+        insert_predicate=insert_predicate,
+        matched_predicate=matched_predicate,
+        when_not_matched_by_source=when_not_matched_by_source,
+        not_matched_by_source_predicate=not_matched_by_source_predicate,
+        matched_clauses=matched_clauses,
+        not_matched_clauses=not_matched_clauses,
+        not_matched_by_source_clauses=not_matched_by_source_clauses,
     )
     keys = list(keys)
     if check_source_keys:
         require_unique_merge_keys(source_df, keys)
     dict_clauses = any(
-        isinstance(c, dict)
-        for c in (when_matched, when_not_matched, when_not_matched_by_source)
+        cl.assignments is not None for cl in (*m_cls, *nm_cls, *bs_cls)
     )
-    all_update = when_matched == "update"
-    all_insert = when_not_matched == "insert"
+    all_update = any(
+        cl.action == "update" and cl.assignments is None for cl in m_cls
+    )
+    all_insert = any(cl.assignments is None for cl in nm_cls)
 
     for _ in range(max_retries):
         t, snap, protocol, meta = _pin_snapshot(spark, path, "merge")
@@ -913,39 +932,41 @@ def delta_merge(
             # operations that cannot corrupt the identity sequence are
             # allowed (deletes, SET maps leaving the columns untouched);
             # everything that would write identity values refuses loudly
-            if when_not_matched != "ignore":
+            if nm_cls:
                 raise DeltaWriteError(
                     "MERGE inserts on an identity-column table are not "
                     "supported here (identity allocation inside MERGE); "
                     "insert the rows with a delta_write append instead"
                 )
-            if when_matched == "update":
+            if all_update:
                 raise DeltaWriteError(
                     "updateAll on an identity-column table would overwrite "
                     f"identity column(s) {sorted(ident)}; use a SET map "
                     "that leaves them untouched"
                 )
-            for clause in (when_matched, when_not_matched_by_source):
-                if isinstance(clause, dict):
-                    bad = sorted(set(clause) & set(ident))
+            for clause in (*m_cls, *bs_cls):
+                if clause.assignments is not None:
+                    bad = sorted(set(clause.assignments) & set(ident))
                     if bad:
                         raise DeltaWriteError(
                             f"column(s) {bad} are IDENTITY columns; their "
                             "values are writer-allocated and cannot be SET"
                         )
         for clause, kind in (
-            (when_matched, "when_matched SET"),
-            (when_not_matched, "when_not_matched VALUES"),
-            (when_not_matched_by_source, "when_not_matched_by_source SET"),
+            *[(cl, "when_matched SET") for cl in m_cls],
+            *[(cl, "when_not_matched VALUES") for cl in nm_cls],
+            *[(cl, "when_not_matched_by_source SET") for cl in bs_cls],
         ):
-            if isinstance(clause, dict):
-                bad = sorted(set(clause) & set(gen))
+            if clause.assignments is not None:
+                bad = sorted(set(clause.assignments) & set(gen))
                 if bad:
                     raise DeltaWriteError(
                         f"column(s) {bad} in {kind} are GENERATED ALWAYS "
                         "AS; their values recompute from the expression"
                     )
-                unknown = sorted(c for c in clause if c not in table_cols)
+                unknown = sorted(
+                    c for c in clause.assignments if c not in table_cols
+                )
                 if unknown:
                     raise DeltaWriteError(
                         f"{kind} columns not in schema: {unknown}"
@@ -1026,7 +1047,7 @@ def delta_merge(
             data_cols = data_cols + extra
             types = {f.name: f.dataType for f in evolved.fields}
         if (
-            isinstance(when_not_matched_by_source, dict) and new_meta
+            any(cl.assignments is not None for cl in bs_cls) and new_meta
         ):  # pragma: no cover - unreachable (dict_clauses blocks evolution)
             raise DeltaWriteError(
                 "by-source SET with schema evolution is not supported"
@@ -1074,7 +1095,7 @@ def delta_merge(
         # over the pruned lineage stays exact (see helper docstring).
         # A by-source clause disables pruning: its rows are target rows
         # WITHOUT a source match, which any file can hold.
-        if when_not_matched_by_source == "ignore":
+        if not bs_cls:
             candidates = _merge_candidate_files(src, snap, keys)
         else:
             candidates = list(snap.files)
@@ -1090,24 +1111,14 @@ def delta_merge(
         ]
         cdf_on = _cdf_enabled(meta)
         keep_t = set(missing) if merge_schema else set()
-        upd_form = when_matched != "ignore"
+        upd_form = any(cl.action == "update" for cl in m_cls)
 
         matched = tl.join(sl, cond, "inner")
-        del_col = (
-            F.coalesce(F.expr(delete_predicate), F.lit(False))
-            if delete_predicate
-            else F.lit(False)
-        )
-        upd_col = F.lit(False)
-        if upd_form:
-            upd_col = (
-                F.coalesce(F.expr(matched_predicate), F.lit(False))
-                if matched_predicate
-                else F.lit(True)
-            )
+        # the row's fate is its FIRST passing clause's action (user
+        # order) — rows matching no clause stay untouched
         matched = (
-            matched.withColumn("_dc43_del", del_col)
-            .withColumn("_dc43_upd", ~del_col & upd_col)
+            matched.withColumn("_dc43_del", first_fate(m_cls, "delete"))
+            .withColumn("_dc43_upd", first_fate(m_cls, "update"))
             .filter(F.col("_dc43_del") | F.col("_dc43_upd"))
         )
 
@@ -1118,16 +1129,17 @@ def delta_merge(
             return F.lit(None).cast(types[c]).alias(f"_t_{c}")
 
         def _n_side(c):
-            # the updated row's value for column c (post-image)
-            if c in table_cols or c in src.columns:
-                base = _matched_value(c, when_matched, keep_t, types[c])
-            else:  # pragma: no cover - defensive
-                base = F.lit(None).cast(types[c])
-            if isinstance(when_matched, dict) and c not in when_matched \
-                    and c not in table_cols:
-                # evolved column unset by a SET map: NULL (unreachable
-                # today — map forms never evolve — kept for safety)
-                base = F.lit(None).cast(types[c])
+            # the updated row's value for column c (post-image): the
+            # first-matching update clause's value, chained in clause
+            # order; evolved columns fall back to NULL (no target side)
+            fb = (
+                F.col(f"t.`{c}`")
+                if c in table_cols
+                else F.lit(None).cast(types[c])
+            )
+            base = clause_value(
+                m_cls, "matched", c, types, keep_t=keep_t, otherwise=fb
+            )
             return base.alias(f"_n_{c}")
 
         touch_cols = [
@@ -1153,24 +1165,28 @@ def delta_merge(
         touch = matched.select(*touch_cols).persist(StorageLevel.MEMORY_AND_DISK)
 
         bs = None
-        bs_clause = when_not_matched_by_source
-        if bs_clause != "ignore":
-            bs = tl.join(sl.select(*[F.col(k) for k in keys]), cond, "left_anti")
-            if not_matched_by_source_predicate:
-                bs = bs.alias("t").filter(
-                    F.coalesce(
-                        F.expr(not_matched_by_source_predicate), F.lit(False)
-                    )
-                )
+        bs_upd_form = any(cl.action == "update" for cl in bs_cls)
+        if bs_cls:
+            bs = tl.join(
+                sl.select(*[F.col(k) for k in keys]), cond, "left_anti"
+            ).alias("t")
+            # a row is touched iff ANY clause fires; its fate (delete vs
+            # update) is the FIRST passing clause's action
+            bs = (
+                bs.filter(any_clause_ok(bs_cls))
+                .withColumn("_dc43_bsdel", first_fate(bs_cls, "delete"))
+                .withColumn("_dc43_bsupd", first_fate(bs_cls, "update"))
+            )
             # width discipline (same as delete's): a by-source DELETE
             # without CDF needs only the (rel, pos) coordinates — don't
             # re-materialize the full table width in executor storage.
             # Evolved (merge_schema) columns don't exist on the lineage
             # side yet: typed NULLs, same as the matched path's _t_side.
-            bs_sel = [F.col(_REL), F.col(_POS)]
-            if mat_id and isinstance(bs_clause, dict):
+            bs_sel = [F.col(_REL), F.col(_POS),
+                      F.col("_dc43_bsdel"), F.col("_dc43_bsupd")]
+            if mat_id and bs_upd_form:
                 bs_sel.append(F.col(_RTID))
-            if cdf_on or isinstance(bs_clause, dict):
+            if cdf_on or bs_upd_form:
                 bs_sel += [
                     (
                         F.col(f"`{c}`")
@@ -1179,19 +1195,33 @@ def delta_merge(
                     ).alias(c)
                     for c in data_cols
                 ]
+            if bs_upd_form:
+                # by-source post-image values chain in clause order over
+                # t.<col>; computed HERE (the narrow select drops the t
+                # alias) — delete-fate rows' values are unused
+                bs_sel += [
+                    clause_value(
+                        bs_cls, "not_matched_by_source", c, types,
+                        otherwise=(
+                            F.col(f"t.`{c}`")
+                            if c in table_cols
+                            else F.lit(None).cast(types[c])
+                        ),
+                    ).alias(f"_bsn_{c}")
+                    for c in data_cols
+                ]
             bs = bs.select(*bs_sel).persist(StorageLevel.MEMORY_AND_DISK)
 
         inserts = None
-        if when_not_matched != "ignore":
+        if nm_cls:
             anti = sl.join(tl.select(*keys).alias("t"), cond, "left_anti")
-            if insert_predicate:
-                anti = anti.filter(
-                    F.coalesce(F.expr(insert_predicate), F.lit(False))
-                )
-            anti = anti.alias("s")
+            anti = anti.alias("s").filter(any_clause_ok(nm_cls))
             inserts = anti.select(
                 *[
-                    _insert_value(c, when_not_matched, types[c]).alias(c)
+                    clause_value(
+                        nm_cls, "not_matched", c, types,
+                        otherwise=F.lit(None).cast(types[c]),
+                    ).alias(c)
                     for c in data_cols
                 ]
             ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1227,17 +1257,16 @@ def delta_merge(
                     )
                 )
             bs_updates = None
-            if isinstance(bs_clause, dict) and n_bs:
+            if bs_upd_form and n_bs:
                 bs_updates = _regen(
-                    bs.alias("t").select(
-                        *[
-                            _by_source_value(c, bs_clause, types[c]).alias(c)
-                            for c in data_cols
-                        ],
+                    bs.filter(F.col("_dc43_bsupd")).select(
+                        *[F.col(f"_bsn_{c}").alias(c) for c in data_cols],
                         *([F.col(_RTID).alias(mat_id)] if mat_id else []),
                     )
                 )
-            if inserts is not None and gen and isinstance(when_not_matched, dict):
+            if inserts is not None and gen and any(
+                cl.assignments is not None for cl in nm_cls
+            ):
                 inserts = _regen(inserts)
 
             new_parts = [
@@ -1259,7 +1288,10 @@ def delta_merge(
             del_parts = []
             if n_touch:
                 del_parts.append(touch.select(_REL, _POS))
-            if bs is not None and n_bs and bs_clause != "ignore":
+            if bs is not None and n_bs:
+                # every fired by-source row removes its old version
+                # (delete-fate rows stay gone; update-fate rows re-land
+                # as fresh rows via bs_updates)
                 del_parts.append(bs.select(_REL, _POS))
             del_rows = None
             if del_parts:
@@ -1295,16 +1327,16 @@ def delta_merge(
                         )
                     cframes += [pre, post]
                 if bs is not None and n_bs:
-                    if bs_clause == "delete":
+                    if any(cl.action == "delete" for cl in bs_cls):
                         cframes.append(
-                            bs.select(
+                            bs.filter(F.col("_dc43_bsdel")).select(
                                 *data_cols,
                                 F.lit("delete").alias("_change_type"),
                             )
                         )
-                    elif isinstance(bs_clause, dict):
+                    if bs_upd_form:
                         cframes.append(
-                            bs.select(
+                            bs.filter(F.col("_dc43_bsupd")).select(
                                 *data_cols,
                                 F.lit("update_preimage").alias("_change_type"),
                             )
@@ -1325,22 +1357,18 @@ def delta_merge(
                 for fr in cframes[1:]:
                     cdf = cdf.unionByName(fr)
 
-            matched_clauses = []
-            if delete_predicate:
-                matched_clauses.append(
-                    {"actionType": "delete", "predicate": delete_predicate}
-                )
-            if upd_form:
-                entry = {"actionType": "update"}
-                if matched_predicate:
-                    entry["predicate"] = matched_predicate
-                matched_clauses.append(entry)
+            matched_params = []
+            for cl in m_cls:
+                entry = {"actionType": cl.action}
+                if cl.condition:
+                    entry["predicate"] = cl.condition
+                matched_params.append(entry)
             return _commit_dml(
                 t, snap, protocol, meta,
                 op="MERGE",
                 params={
                     "predicate": " AND ".join(f"t.{k} <=> s.{k}" for k in keys),
-                    "matchedPredicates": json.dumps(matched_clauses),
+                    "matchedPredicates": json.dumps(matched_params),
                 },
                 del_rows=del_rows,
                 lineage=lineage,

@@ -86,6 +86,273 @@ def require_unique_merge_keys(source: DataFrame, keys: list[str]) -> None:
         )
 
 
+@dataclass(frozen=True)
+class MergeClause:
+    """One ordered MERGE clause — delta-spark's builder surface, where
+    ``whenMatched*``/``whenNotMatched*``/``whenNotMatchedBySource*`` may
+    each be chained MULTIPLE times and the clauses of a kind evaluate
+    first-match-wins in user order (ref spark/io/merge.py:43-127 forwards
+    the builder freely; VERDICT r11 #2).
+
+    ``action``: ``update`` | ``delete`` (matched / by-source kinds) or
+    ``insert`` (not-matched kind). ``condition``: SQL gate (NULL verdict =
+    fail); None = unconditional. ``assignments``: the SET / VALUES map;
+    None means updateAll / insertAll (never valid for delete, and a
+    by-source update always needs a map — there is no source row)."""
+
+    action: str
+    condition: Optional[str] = None
+    assignments: Optional[dict] = None
+
+
+_CLAUSE_ACTIONS = {
+    "matched": ("update", "delete"),
+    "not_matched": ("insert",),
+    "not_matched_by_source": ("update", "delete"),
+}
+
+
+def _coerce_clause(c, kind: str) -> MergeClause:
+    """A MergeClause or a ``{"action": ..., "condition": ...,
+    "set"/"values": {...}}`` dict -> a validated MergeClause for
+    ``kind``."""
+    if isinstance(c, MergeClause):
+        cl = c
+    elif isinstance(c, dict):
+        extra = set(c) - {"action", "condition", "set", "values"}
+        if extra:
+            raise ValueError(
+                f"unknown {kind} clause key(s) {sorted(extra)}; use "
+                "action/condition/set/values"
+            )
+        if "set" in c and "values" in c:
+            raise ValueError(f"{kind} clause has both 'set' and 'values'")
+        cl = MergeClause(
+            action=c.get("action", "insert" if kind == "not_matched" else "update"),
+            condition=c.get("condition"),
+            assignments=c.get("set", c.get("values")),
+        )
+    else:
+        raise ValueError(
+            f"{kind} clause must be a MergeClause or dict, got {c!r}"
+        )
+    if cl.action not in _CLAUSE_ACTIONS[kind]:
+        raise ValueError(
+            f"{kind} clause action must be one of "
+            f"{_CLAUSE_ACTIONS[kind]}, got {cl.action!r}"
+        )
+    if cl.action == "delete" and cl.assignments is not None:
+        raise ValueError(f"{kind} DELETE clause takes no SET map")
+    if cl.assignments is not None and not cl.assignments:
+        raise ValueError(f"{kind} clause SET/VALUES map must be non-empty")
+    if (
+        kind == "not_matched_by_source"
+        and cl.action == "update"
+        and cl.assignments is None
+    ):
+        raise ValueError(
+            "a by-source UPDATE needs a SET map (there is no source row "
+            "for UPDATE SET *)"
+        )
+    return cl
+
+
+def normalize_merge_clauses(
+    *,
+    when_matched="update",
+    when_not_matched="insert",
+    delete_predicate: Optional[str] = None,
+    insert_predicate: Optional[str] = None,
+    matched_predicate: Optional[str] = None,
+    when_not_matched_by_source="ignore",
+    not_matched_by_source_predicate: Optional[str] = None,
+    matched_clauses: Optional[list] = None,
+    not_matched_clauses: Optional[list] = None,
+    not_matched_by_source_clauses: Optional[list] = None,
+) -> tuple:
+    """The single clause vocabulary all four merge engines share:
+    ``(matched, not_matched, by_source)`` ordered MergeClause lists with
+    first-match-wins semantics.
+
+    Two input surfaces, per kind mutually exclusive: the legacy
+    fixed-priority kwargs (matched delete first, then the update clause
+    — exactly the order the kwargs historically applied), or an explicit
+    ordered ``*_clauses`` list (delta-spark's multi-clause builder).
+    Per delta-spark's rule, only the LAST clause of a kind may omit its
+    condition — an unconditional earlier clause makes the rest dead."""
+    if matched_clauses is not None:
+        if (
+            when_matched != "update"
+            or delete_predicate is not None
+            or matched_predicate is not None
+        ):
+            raise ValueError(
+                "pass matched_clauses OR the legacy when_matched/"
+                "delete_predicate/matched_predicate kwargs, not both"
+            )
+        matched = [_coerce_clause(c, "matched") for c in matched_clauses]
+    else:
+        validate_merge_clauses(when_matched, "insert", "ignore")
+        matched = []
+        if delete_predicate:
+            matched.append(MergeClause("delete", delete_predicate))
+        if when_matched != "ignore":
+            matched.append(MergeClause(
+                "update", matched_predicate,
+                when_matched if isinstance(when_matched, dict) else None,
+            ))
+    if not_matched_clauses is not None:
+        if when_not_matched != "insert" or insert_predicate is not None:
+            raise ValueError(
+                "pass not_matched_clauses OR the legacy when_not_matched/"
+                "insert_predicate kwargs, not both"
+            )
+        not_matched = [
+            _coerce_clause(c, "not_matched") for c in not_matched_clauses
+        ]
+    else:
+        validate_merge_clauses("update", when_not_matched, "ignore")
+        not_matched = []
+        if when_not_matched != "ignore":
+            not_matched.append(MergeClause(
+                "insert", insert_predicate,
+                when_not_matched if isinstance(when_not_matched, dict) else None,
+            ))
+    if not_matched_by_source_clauses is not None:
+        if (
+            when_not_matched_by_source != "ignore"
+            or not_matched_by_source_predicate is not None
+        ):
+            raise ValueError(
+                "pass not_matched_by_source_clauses OR the legacy "
+                "when_not_matched_by_source/"
+                "not_matched_by_source_predicate kwargs, not both"
+            )
+        by_source = [
+            _coerce_clause(c, "not_matched_by_source")
+            for c in not_matched_by_source_clauses
+        ]
+    else:
+        validate_merge_clauses("update", "insert", when_not_matched_by_source)
+        by_source = []
+        if when_not_matched_by_source == "delete":
+            by_source.append(
+                MergeClause("delete", not_matched_by_source_predicate)
+            )
+        elif isinstance(when_not_matched_by_source, dict):
+            by_source.append(MergeClause(
+                "update", not_matched_by_source_predicate,
+                when_not_matched_by_source,
+            ))
+    for kind, lst in (
+        ("matched", matched),
+        ("not matched", not_matched),
+        ("not matched by source", by_source),
+    ):
+        for cl in lst[:-1]:
+            if cl.condition is None:
+                raise ValueError(
+                    f"only the LAST 'when {kind}' clause may omit its "
+                    "condition — an unconditional earlier clause makes "
+                    "every later one dead (delta-spark's rule)"
+                )
+    return matched, not_matched, by_source
+
+
+def clause_gate(cl: MergeClause):
+    """The clause's condition as a Column gate: NULL verdict = fail,
+    missing condition = always-on."""
+    if cl.condition is None:
+        return F.lit(True)
+    return F.coalesce(F.expr(cl.condition), F.lit(False))
+
+
+def any_clause_ok(clauses: list):
+    """OR of the clauses' gates (does ANY clause fire for this row)."""
+    out = F.lit(False)
+    for cl in clauses:
+        out = out | clause_gate(cl)
+    return out
+
+
+def first_fate(clauses: list, action: str, guard=None):
+    """True iff the FIRST clause (user order) whose condition passes has
+    ``action`` — the row's fate under first-match-wins. ``guard``
+    (optional Column) pre-conditions every branch (e.g. presence flags in
+    an outer join)."""
+    chain = None
+    for cl in clauses:
+        cond = clause_gate(cl)
+        if guard is not None:
+            cond = guard & cond
+        hit = F.lit(cl.action == action)
+        chain = F.when(cond, hit) if chain is None else chain.when(cond, hit)
+    if chain is None:
+        return F.lit(False)
+    return F.coalesce(chain, F.lit(False))
+
+
+def clause_value(
+    clauses: list, kind: str, c: str, types: dict,
+    keep_t=(), guard=None, otherwise=None,
+):
+    """Column ``c``'s output value under first-match-wins: the first
+    passing clause's SET/VALUES/*All value (delete clauses contribute the
+    fallback value — their rows are dropped by the caller's keep logic,
+    but the branch must still SHADOW later clauses). Falls back to
+    ``otherwise`` (default ``t.c``) when no clause fires."""
+    fallback = otherwise if otherwise is not None else F.col(f"t.`{c}`")
+    chain = None
+    for cl in clauses:
+        cond = clause_gate(cl)
+        if guard is not None:
+            cond = guard & cond
+        if cl.action == "delete":
+            val = fallback
+        elif kind == "matched":
+            val = _matched_value(
+                c,
+                cl.assignments if cl.assignments is not None else "update",
+                set(keep_t), types.get(c),
+            )
+        elif kind == "not_matched_by_source":
+            val = _by_source_value(c, cl.assignments, types.get(c))
+        else:  # insert
+            val = _insert_value(
+                c,
+                cl.assignments if cl.assignments is not None else "insert",
+                types.get(c),
+            )
+        chain = F.when(cond, val) if chain is None else chain.when(cond, val)
+    if chain is None:
+        return fallback
+    return chain.otherwise(fallback)
+
+
+def insert_only_frame(source: DataFrame, not_matched: list, cols=None, types=None):
+    """The rows a MERGE inserts when NOTHING can match (absent/empty
+    target, or no candidate file held a key): first-match-wins across the
+    not-matched clauses. ``cols``/``types`` (the table shape) are
+    required when any clause carries a VALUES map — unlisted columns
+    insert NULL at the TABLE's types."""
+    s = source.alias("s").filter(any_clause_ok(not_matched))
+    if all(cl.assignments is None for cl in not_matched):
+        return s
+    if cols is None:
+        raise ValueError(
+            "column-level INSERT VALUES needs an existing table (its "
+            "schema defines the unlisted-NULL columns); create the table "
+            "first"
+        )
+    return s.select(*[
+        clause_value(
+            not_matched, "not_matched", c, types or {},
+            otherwise=F.lit(None).cast(types.get(c)) if types else F.lit(None),
+        ).alias(c)
+        for c in cols
+    ])
+
+
 def validate_merge_clauses(
     when_matched,
     when_not_matched,
@@ -163,43 +430,51 @@ def _outer_join_merge(
     source: DataFrame,
     keys: list[str],
     *,
-    when_matched,
-    when_not_matched,
-    delete_predicate: Optional[str],
+    when_matched="update",
+    when_not_matched="insert",
+    delete_predicate: Optional[str] = None,
     insert_predicate: Optional[str] = None,
     matched_predicate: Optional[str] = None,
     when_not_matched_by_source="ignore",
     not_matched_by_source_predicate: Optional[str] = None,
+    matched_clauses: Optional[list] = None,
+    not_matched_clauses: Optional[list] = None,
+    not_matched_by_source_clauses: Optional[list] = None,
     keep_target_cols: tuple = (),
 ) -> DataFrame:
     """MERGE semantics as one full-outer join. Callers must validate
     source-key uniqueness (``require_unique_merge_keys``) first.
 
-    Row fates (standard SQL MERGE + delta-spark's conditional clauses,
-    ref spark/io/merge.py:43-127 forwards these through an arbitrary
-    builder modifier):
-    - key in both: matched + ``delete_predicate`` -> dropped (delete
-      wins; checked first). Else ``when_matched``: ``"update"`` -> source
-      row; a ``{col: expr}`` SET map -> expressions over ``t.``/``s.``
-      with unset columns keeping the target value; ``"ignore"`` ->
-      target row. ``matched_predicate`` (SQL over ``t.``/``s.``) gates
-      the update clause — failing rows stay unchanged (NULL = fail).
-    - key only in target: ``when_not_matched_by_source`` ``"ignore"`` ->
-      kept; ``"delete"`` -> dropped; a SET map -> updated over ``t.``;
-      ``not_matched_by_source_predicate`` gates either action.
-    - key only in source: ``when_not_matched`` ``"insert"`` -> source
-      row; a ``{col: expr}`` VALUES map -> expressions over ``s.`` with
-      unlisted columns NULL; ``"ignore"`` -> dropped.
-      (``insert_predicate``, SQL over ``s.<col>``, further gates which
-      unmatched source rows insert; NULL verdicts don't insert)
+    Clause surface = ``normalize_merge_clauses``: either the legacy
+    fixed-priority kwargs or ordered multi-clause lists (delta-spark's
+    chained builder, ref spark/io/merge.py:43-127), evaluated
+    FIRST-MATCH-WINS per kind:
+    - key in both: the first matched clause whose condition passes
+      decides (delete -> dropped; update -> SET map over ``t.``/``s.``
+      with unset columns keeping the target value, or updateAll taking
+      the source row); no clause fires -> target row unchanged.
+    - key only in target: the first by-source clause decides (delete /
+      SET map over ``t.``); none -> kept.
+    - key only in source: the first insert clause whose condition passes
+      inserts (insertAll = source row; a VALUES map leaves unlisted
+      columns NULL); none -> dropped. NULL conditions never fire.
 
     ``keep_target_cols``: columns the SOURCE genuinely lacks (schema
     evolution null-filled them) — updates retain the target's value
     there, Delta's updateAll-under-evolution rule, while inserts still
     take the source-side NULL.
     """
-    validate_merge_clauses(
-        when_matched, when_not_matched, when_not_matched_by_source
+    m_cls, nm_cls, bs_cls = normalize_merge_clauses(
+        when_matched=when_matched,
+        when_not_matched=when_not_matched,
+        delete_predicate=delete_predicate,
+        insert_predicate=insert_predicate,
+        matched_predicate=matched_predicate,
+        when_not_matched_by_source=when_not_matched_by_source,
+        not_matched_by_source_predicate=not_matched_by_source_predicate,
+        matched_clauses=matched_clauses,
+        not_matched_clauses=not_matched_clauses,
+        not_matched_by_source_clauses=not_matched_by_source_clauses,
     )
     cols = target.columns
     types = {f.name: f.dataType for f in target.schema.fields}
@@ -213,73 +488,52 @@ def _outer_join_merge(
     has_t = F.coalesce(F.col("t._t_present"), F.lit(False))
     has_s = F.coalesce(F.col("s._s_present"), F.lit(False))
 
-    if delete_predicate:
-        # predicate references the joined row (``s.<col>`` and/or
-        # ``t.<col>``); a NULL verdict (e.g. on target-only rows) means
-        # "don't delete"
-        joined = joined.withColumn(
-            "_del", F.coalesce(F.expr(delete_predicate), F.lit(False))
-        )
-    else:
-        joined = joined.withColumn("_del", F.lit(False))
-
-    ins_ok = (
-        F.coalesce(F.expr(insert_predicate), F.lit(False))
-        if insert_predicate
-        else F.lit(True)
-    )
-    upd_ok = (
-        F.coalesce(F.expr(matched_predicate), F.lit(False))
-        if matched_predicate
-        else F.lit(True)
-    )
-    bs_ok = (
-        F.coalesce(F.expr(not_matched_by_source_predicate), F.lit(False))
-        if not_matched_by_source_predicate
-        else F.lit(True)
-    )
-    upd_act = (
-        has_t & has_s & ~F.col("_del")
-        & F.lit(when_matched != "ignore") & upd_ok
-    )
-    bs_del = (
-        has_t & ~has_s
-        & F.lit(when_not_matched_by_source == "delete") & bs_ok
-    )
-    bs_upd = (
-        has_t & ~has_s
-        & F.lit(isinstance(when_not_matched_by_source, dict)) & bs_ok
-    )
-    ins_act = (
-        ~has_t & has_s & F.lit(when_not_matched != "ignore") & ins_ok
-    )
-    keep_row = (
-        (has_t & has_s & ~F.col("_del"))
-        | (has_t & ~has_s & ~bs_del)
-        | ins_act
-    )
+    m_guard = has_t & has_s
+    bs_guard = has_t & ~has_s
+    ins_guard = ~has_t & has_s
+    m_del = m_guard & first_fate(m_cls, "delete")
+    bs_del = bs_guard & first_fate(bs_cls, "delete")
+    ins_act = ins_guard & any_clause_ok(nm_cls) if nm_cls else F.lit(False)
+    keep_row = (m_guard & ~m_del) | (bs_guard & ~bs_del) | ins_act
     keep_t = set(keep_target_cols)
 
     def _out(c):
-        # build expressions ONLY for active clauses: a dead branch's value
-        # expression (e.g. s.`v` for an ignored insert) would still need
-        # to RESOLVE, crashing map-form merges whose source legitimately
-        # lacks target columns
-        col = F.lit(None)
+        # one when-chain in clause order per kind (guarded by the join
+        # side), so the FIRST passing clause's value wins — delete
+        # branches contribute t.c purely to shadow later clauses (their
+        # rows are dropped by keep_row). Expressions build ONLY for
+        # clauses that exist: a dead branch's value expression (e.g.
+        # s.`v` for an absent insert clause) would still need to
+        # RESOLVE, crashing map-form merges whose source legitimately
+        # lacks target columns.
         branches = []
-        if when_matched != "ignore":
-            branches.append(
-                (upd_act, _matched_value(c, when_matched, keep_t, types.get(c)))
+        for cl in m_cls:
+            val = (
+                F.col(f"t.`{c}`")
+                if cl.action == "delete"
+                else _matched_value(
+                    c,
+                    cl.assignments if cl.assignments is not None else "update",
+                    keep_t, types.get(c),
+                )
             )
-        if isinstance(when_not_matched_by_source, dict):
-            branches.append(
-                (bs_upd,
-                 _by_source_value(c, when_not_matched_by_source, types.get(c)))
+            branches.append((m_guard & clause_gate(cl), val))
+        for cl in bs_cls:
+            val = (
+                F.col(f"t.`{c}`")
+                if cl.action == "delete"
+                else _by_source_value(c, cl.assignments, types.get(c))
             )
-        if when_not_matched != "ignore":
-            branches.append(
-                (ins_act, _insert_value(c, when_not_matched, types.get(c)))
-            )
+            branches.append((bs_guard & clause_gate(cl), val))
+        for cl in nm_cls:
+            branches.append((
+                ins_guard & clause_gate(cl),
+                _insert_value(
+                    c,
+                    cl.assignments if cl.assignments is not None else "insert",
+                    types.get(c),
+                ),
+            ))
         if not branches:
             return F.col(f"t.`{c}`").alias(c)
         col = F.when(*branches[0])
@@ -306,6 +560,9 @@ def merge_with_contract(
     matched_predicate: Optional[str] = None,
     when_not_matched_by_source="ignore",
     not_matched_by_source_predicate: Optional[str] = None,
+    matched_clauses: Optional[list] = None,
+    not_matched_clauses: Optional[list] = None,
+    not_matched_by_source_clauses: Optional[list] = None,
     enforce: bool = True,
     auto_cast: bool = True,
     interceptors: Optional[list] = None,
@@ -319,7 +576,12 @@ def merge_with_contract(
     clause: the reference's arbitrary-condition merge builder
     (merge.py:43-127) expressed as explicit kwargs, forwarded to whichever
     engine serves the target (delta-spark builder, jar-less Delta DML,
-    snaplog COW, outer-join rewrite).
+    snaplog COW, outer-join rewrite). ``matched_clauses`` /
+    ``not_matched_clauses`` / ``not_matched_by_source_clauses`` are the
+    ORDERED multi-clause surface instead (lists of MergeClause or
+    ``{"action", "condition", "set"/"values"}`` dicts, first-match-wins
+    per kind — delta-spark's chained builder); per kind, pass the list OR
+    the legacy kwargs, not both.
 
     Interceptors run around the merge like any governed write (explicit
     list, else conf/env discovery — io/status.py): ``pre_write`` may
@@ -341,8 +603,24 @@ def merge_with_contract(
             replacement = hook.pre_write(io_ctx, source_df)
             if replacement is not None:
                 source_df = replacement
-    validate_merge_clauses(
-        when_matched, when_not_matched, when_not_matched_by_source
+    m_cls, nm_cls, bs_cls = normalize_merge_clauses(
+        when_matched=when_matched,
+        when_not_matched=when_not_matched,
+        delete_predicate=delete_predicate,
+        insert_predicate=insert_predicate,
+        matched_predicate=matched_predicate,
+        when_not_matched_by_source=when_not_matched_by_source,
+        not_matched_by_source_predicate=not_matched_by_source_predicate,
+        matched_clauses=matched_clauses,
+        not_matched_clauses=not_matched_clauses,
+        not_matched_by_source_clauses=not_matched_by_source_clauses,
+    )
+    # engines consume the normalized ordered lists; their legacy kwargs
+    # stay at defaults (normalize_merge_clauses' per-kind exclusivity)
+    clause_kwargs = dict(
+        matched_clauses=[*m_cls],
+        not_matched_clauses=[*nm_cls],
+        not_matched_by_source_clauses=[*bs_cls],
     )
     if path is None and table is None:
         raise ValueError("merge target missing: need path or table")
@@ -386,13 +664,7 @@ def merge_with_contract(
         t = SnaplogTable(spark, path)
         stats = t.merge(
             aligned, keys,
-            when_matched=when_matched,
-            when_not_matched=when_not_matched,
-            delete_predicate=delete_predicate,
-            insert_predicate=insert_predicate,
-            matched_predicate=matched_predicate,
-            when_not_matched_by_source=when_not_matched_by_source,
-            not_matched_by_source_predicate=not_matched_by_source_predicate,
+            **clause_kwargs,
             check_source_keys=False,  # require_unique_merge_keys ran above
         )
         return _done(MergeResult(validation, f"snaplog-{stats.strategy}", path, table))
@@ -405,29 +677,36 @@ def merge_with_contract(
         )
         cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
         builder = dt.alias("t").merge(aligned.alias("s"), cond)
-        if delete_predicate:
-            builder = builder.whenMatchedDelete(condition=delete_predicate)
-        if isinstance(when_matched, dict):
-            builder = builder.whenMatchedUpdate(
-                condition=matched_predicate, set=when_matched
-            )
-        elif when_matched == "update":
-            builder = builder.whenMatchedUpdateAll(condition=matched_predicate)
-        if isinstance(when_not_matched, dict):
-            builder = builder.whenNotMatchedInsert(
-                condition=insert_predicate, values=when_not_matched
-            )
-        elif when_not_matched == "insert":
-            builder = builder.whenNotMatchedInsertAll(condition=insert_predicate)
-        if when_not_matched_by_source == "delete":
-            builder = builder.whenNotMatchedBySourceDelete(
-                condition=not_matched_by_source_predicate
-            )
-        elif isinstance(when_not_matched_by_source, dict):
-            builder = builder.whenNotMatchedBySourceUpdate(
-                condition=not_matched_by_source_predicate,
-                set=when_not_matched_by_source,
-            )
+        # chain each normalized clause IN ORDER — delta-spark applies
+        # chained same-kind clauses first-match-wins in builder order,
+        # exactly the normalize_merge_clauses semantics
+        for cl in m_cls:
+            if cl.action == "delete":
+                builder = builder.whenMatchedDelete(condition=cl.condition)
+            elif cl.assignments is not None:
+                builder = builder.whenMatchedUpdate(
+                    condition=cl.condition, set=cl.assignments
+                )
+            else:
+                builder = builder.whenMatchedUpdateAll(condition=cl.condition)
+        for cl in nm_cls:
+            if cl.assignments is not None:
+                builder = builder.whenNotMatchedInsert(
+                    condition=cl.condition, values=cl.assignments
+                )
+            else:
+                builder = builder.whenNotMatchedInsertAll(
+                    condition=cl.condition
+                )
+        for cl in bs_cls:
+            if cl.action == "delete":
+                builder = builder.whenNotMatchedBySourceDelete(
+                    condition=cl.condition
+                )
+            else:
+                builder = builder.whenNotMatchedBySourceUpdate(
+                    condition=cl.condition, set=cl.assignments
+                )
         builder.execute()
         return _done(MergeResult(validation, "delta", path, table))
 
@@ -440,22 +719,20 @@ def merge_with_contract(
 
         t = DeltaLogTable(spark, path)
         if not t.exists():
-            if when_not_matched != "insert":
+            # initial write serves only the rows the insert clauses would
+            # have inserted (insertAll forms; VALUES maps need an existing
+            # table's schema for the unlisted-NULL columns -> no-op)
+            if not nm_cls or any(cl.assignments is not None for cl in nm_cls):
                 return _done(MergeResult(validation, "initial-write", path, table))
             write_with_contract(
-                aligned, contract, path=path, table=None, format="delta",
+                insert_only_frame(aligned, nm_cls), contract,
+                path=path, table=None, format="delta",
                 mode="overwrite", enforce=False,
             )
             return _done(MergeResult(validation, "initial-write", path, table))
         delta_merge(
             spark, aligned, path, keys,
-            when_matched=when_matched,
-            when_not_matched=when_not_matched,
-            delete_predicate=delete_predicate,
-            insert_predicate=insert_predicate,
-            matched_predicate=matched_predicate,
-            when_not_matched_by_source=when_not_matched_by_source,
-            not_matched_by_source_predicate=not_matched_by_source_predicate,
+            **clause_kwargs,
             check_source_keys=False,  # require_unique_merge_keys ran above
         )
         return _done(MergeResult(validation, "delta-log-dml", path, table))
@@ -465,10 +742,11 @@ def merge_with_contract(
         table is not None and spark.catalog.tableExists(table)
     )
     if not target_exists:
-        if when_not_matched != "insert":
+        if not nm_cls or any(cl.assignments is not None for cl in nm_cls):
             return _done(MergeResult(validation, "initial-write", path, table))
         write_with_contract(
-            aligned, contract, path=path, table=table, format=fmt,
+            insert_only_frame(aligned, nm_cls), contract,
+            path=path, table=table, format=fmt,
             mode="overwrite", enforce=False,
         )
         return _done(MergeResult(validation, "initial-write", path, table))
@@ -476,16 +754,7 @@ def merge_with_contract(
     target = (
         spark.read.table(table) if table else spark.read.format(fmt or "parquet").load(path)
     )
-    merged = _outer_join_merge(
-        target, aligned, keys,
-        when_matched=when_matched,
-        when_not_matched=when_not_matched,
-        delete_predicate=delete_predicate,
-        insert_predicate=insert_predicate,
-        matched_predicate=matched_predicate,
-        when_not_matched_by_source=when_not_matched_by_source,
-        not_matched_by_source_predicate=not_matched_by_source_predicate,
-    )
+    merged = _outer_join_merge(target, aligned, keys, **clause_kwargs)
     if table:
         # shuffle result to a temp view then overwrite (Spark can't overwrite
         # a table it is reading from without a barrier)

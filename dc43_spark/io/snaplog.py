@@ -3350,6 +3350,9 @@ class SnaplogTable:
         matched_predicate: Optional[str] = None,
         when_not_matched_by_source="ignore",
         not_matched_by_source_predicate: Optional[str] = None,
+        matched_clauses: Optional[list] = None,
+        not_matched_clauses: Optional[list] = None,
+        not_matched_by_source_clauses: Optional[list] = None,
         txn: Optional[dict] = None,
         check_source_keys: bool = True,
         merge_schema: bool = False,
@@ -3397,49 +3400,63 @@ class SnaplogTable:
         rows with NO source match — which disables source-key file
         pruning (any file can hold such rows) and instead probes every
         file for rows the clause would touch. Map forms never evolve
-        the schema."""
+        the schema.
+
+        ``matched_clauses`` / ``not_matched_clauses`` /
+        ``not_matched_by_source_clauses``: the ORDERED multi-clause
+        surface (first-match-wins per kind, delta-spark's chained
+        builder — see merge.normalize_merge_clauses); per kind pass the
+        list OR the legacy kwargs, not both."""
         from dc43_spark.io.merge import (
             _outer_join_merge,
+            any_clause_ok,
+            insert_only_frame,
+            normalize_merge_clauses,
             require_unique_merge_keys,
-            validate_merge_clauses,
         )
 
         _check_isolation(isolation)
-        validate_merge_clauses(
-            when_matched, when_not_matched, when_not_matched_by_source
+        m_cls, nm_cls, bs_cls = normalize_merge_clauses(
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            delete_predicate=delete_predicate,
+            insert_predicate=insert_predicate,
+            matched_predicate=matched_predicate,
+            when_not_matched_by_source=when_not_matched_by_source,
+            not_matched_by_source_predicate=not_matched_by_source_predicate,
+            matched_clauses=matched_clauses,
+            not_matched_clauses=not_matched_clauses,
+            not_matched_by_source_clauses=not_matched_by_source_clauses,
         )
         dict_clauses = any(
-            isinstance(c, dict)
-            for c in (when_matched, when_not_matched,
-                      when_not_matched_by_source)
+            cl.assignments is not None for cl in (*m_cls, *nm_cls, *bs_cls)
         )
-        all_forms = when_matched == "update" or when_not_matched == "insert"
+        all_forms = any(
+            cl.action == "update" and cl.assignments is None for cl in m_cls
+        ) or any(cl.assignments is None for cl in nm_cls)
         if check_source_keys:
             require_unique_merge_keys(source, keys)
         current = self.version()
         if current is None:
-            if isinstance(when_not_matched, dict):
+            if any(cl.assignments is not None for cl in nm_cls):
                 raise ValueError(
                     "column-level INSERT VALUES needs an existing table "
                     "(its schema defines the unlisted-NULL columns); "
                     "create the table first"
                 )
-            if when_not_matched == "insert":
-                first = source
-                if insert_predicate is not None:
-                    first = source.alias("s").filter(F.expr(insert_predicate))
-                self.write(first, mode="overwrite")
+            if nm_cls:
+                self.write(insert_only_frame(source, nm_cls), mode="overwrite")
                 return MergeStats(0, 0, 0, 0, strategy="initial-write")
             return MergeStats(0, 0, 0, 0, strategy="no-op")
         snap = self.snapshot(current)
         self._require_no_dvs(snap, "merge")
         for clause, kind in (
-            (when_matched, "when_matched SET"),
-            (when_not_matched, "when_not_matched VALUES"),
-            (when_not_matched_by_source, "when_not_matched_by_source SET"),
+            *[(cl, "when_matched SET") for cl in m_cls],
+            *[(cl, "when_not_matched VALUES") for cl in nm_cls],
+            *[(cl, "when_not_matched_by_source SET") for cl in bs_cls],
         ):
-            if isinstance(clause, dict):
-                bad = sorted(set(clause) & set(snap.generated or {}))
+            if clause.assignments is not None:
+                bad = sorted(set(clause.assignments) & set(snap.generated or {}))
                 if bad:
                     raise ValueError(
                         f"column(s) {bad} in {kind} are generated; their "
@@ -3565,7 +3582,7 @@ class SnaplogTable:
                     key_ranges[pf.name] = (tlo, thi, False)
                     phys_keys.append(pf.name)
         candidates = snap.prune_ranges(phys_keys, key_ranges)
-        bs_active = when_not_matched_by_source != "ignore"
+        bs_active = bool(bs_cls)
         if bs_active:
             # by-source rows are defined by having NO source match — any
             # file can hold them, so source-key pruning is unsound; the
@@ -3601,13 +3618,10 @@ class SnaplogTable:
                     [full[k].eqNullSafe(src_keys[k]) for k in keys],
                     "left_anti",
                 ).alias("t")
-                if not_matched_by_source_predicate:
-                    bs_probe = bs_probe.filter(
-                        F.coalesce(
-                            F.expr(not_matched_by_source_predicate),
-                            F.lit(False),
-                        )
-                    )
+                # a file rewrites iff ANY by-source clause fires on one of
+                # its unmatched rows (first-match-wins only picks WHICH
+                # clause; any hit means the row changes or deletes)
+                bs_probe = bs_probe.filter(any_clause_ok(bs_cls))
                 touched_names |= {
                     os.path.basename(r["_fp"])
                     for r in bs_probe.select("_fp").distinct().collect()
@@ -3633,13 +3647,9 @@ class SnaplogTable:
                 tgt_rows,
                 source,
                 list(keys),
-                when_matched=when_matched,
-                when_not_matched=when_not_matched,
-                delete_predicate=delete_predicate,
-                insert_predicate=insert_predicate,
-                matched_predicate=matched_predicate,
-                when_not_matched_by_source=when_not_matched_by_source,
-                not_matched_by_source_predicate=not_matched_by_source_predicate,
+                matched_clauses=list(m_cls),
+                not_matched_clauses=list(nm_cls),
+                not_matched_by_source_clauses=list(bs_cls),
                 keep_target_cols=keep_target_cols,
             )
             if snap.generated and dict_clauses:
@@ -3649,28 +3659,21 @@ class SnaplogTable:
                 merged = self._apply_generated(
                     merged.drop(*snap.generated), snap.generated, "merge"
                 ).select(*out_cols)
-        elif when_not_matched != "ignore":
-            # nothing matched anywhere: pure insert
-            s = source.alias("s")
-            if insert_predicate is not None:
-                s = s.filter(F.expr(insert_predicate))
-            if isinstance(when_not_matched, dict):
-                from dc43_spark.io.merge import _insert_value
-
-                tbl_schema = T.StructType.fromJson(json.loads(snap.schema_json))
-                merged = s.select(
-                    *[
-                        _insert_value(f.name, when_not_matched, f.dataType)
-                        .alias(f.name)
-                        for f in tbl_schema.fields
-                    ]
-                )
-                if snap.generated:
-                    merged = self._apply_generated(
-                        merged.drop(*snap.generated), snap.generated, "merge"
-                    ).select(*[f.name for f in tbl_schema.fields])
-            else:
-                merged = s
+        elif nm_cls:
+            # nothing matched anywhere: pure insert (first-match-wins
+            # across the insert clauses)
+            tbl_schema = T.StructType.fromJson(json.loads(snap.schema_json))
+            merged = insert_only_frame(
+                source, nm_cls,
+                cols=[f.name for f in tbl_schema.fields],
+                types={f.name: f.dataType for f in tbl_schema.fields},
+            )
+            if snap.generated and any(
+                cl.assignments is not None for cl in nm_cls
+            ):
+                merged = self._apply_generated(
+                    merged.drop(*snap.generated), snap.generated, "merge"
+                ).select(*[f.name for f in tbl_schema.fields])
         else:
             return MergeStats(snap.num_files, len(candidates), 0, 0)
 
@@ -3684,15 +3687,9 @@ class SnaplogTable:
                 self._to_physical_df(
                     self._merge_changes(
                         tgt_rows, source, list(keys),
-                        when_matched=when_matched,
-                        when_not_matched=when_not_matched,
-                        delete_predicate=delete_predicate,
-                        insert_predicate=insert_predicate,
-                        matched_predicate=matched_predicate,
-                        when_not_matched_by_source=when_not_matched_by_source,
-                        not_matched_by_source_predicate=(
-                            not_matched_by_source_predicate
-                        ),
+                        matched=m_cls,
+                        not_matched=nm_cls,
+                        by_source=bs_cls,
                         keep_target_cols=keep_target_cols,
                         generated=snap.generated or {},
                         table_schema=(
@@ -3738,13 +3735,9 @@ class SnaplogTable:
         source: DataFrame,
         keys: list[str],
         *,
-        when_matched,
-        when_not_matched,
-        delete_predicate: Optional[str],
-        insert_predicate: Optional[str] = None,
-        matched_predicate: Optional[str] = None,
-        when_not_matched_by_source="ignore",
-        not_matched_by_source_predicate: Optional[str] = None,
+        matched: list,
+        not_matched: list,
+        by_source: list,
         keep_target_cols: tuple = (),
         generated: Optional[dict] = None,
         table_schema=None,
@@ -3752,24 +3745,28 @@ class SnaplogTable:
         """Row-level change rows for one MERGE, tagged with Delta CDF's
         vocabulary (insert / update_preimage / update_postimage / delete).
         One inner join of the TOUCHED files' rows against the source —
-        bounded by the rewrite set, never the table. Mirrors every clause
-        ``_outer_join_merge`` implements (map forms, clause predicates,
-        by-source actions); map-form post-images recompute generated
-        columns from the final row. ``table_schema`` (StructType) is
-        authoritative for the change rows' columns when no touched file
-        provided them (tgt_rows None) — a map-form pure insert must stage
-        TABLE-shaped change rows, not source-shaped ones."""
+        bounded by the rewrite set, never the table. Mirrors the same
+        normalized ordered clause lists ``_outer_join_merge`` executes
+        (first-match-wins per kind: a row's fate is its first passing
+        clause's action, its post-image that clause's values); map-form
+        post-images recompute generated columns from the final row.
+        ``table_schema`` (StructType) is authoritative for the change
+        rows' columns when no touched file provided them (tgt_rows None)
+        — a map-form pure insert must stage TABLE-shaped change rows,
+        not source-shaped ones."""
         from dc43_spark.io.merge import (
-            _by_source_value,
-            _insert_value,
-            _matched_value,
+            any_clause_ok,
+            clause_value,
+            first_fate,
+            insert_only_frame,
         )
 
         generated = generated or {}
+        nm_maps = any(cl.assignments is not None for cl in not_matched)
         if tgt_rows is not None:
             cols = tgt_rows.columns
             types = {f.name: f.dataType for f in tgt_rows.schema.fields}
-        elif isinstance(when_not_matched, dict) and table_schema is not None:
+        elif nm_maps and table_schema is not None:
             # map-form pure insert: change rows are TABLE-shaped (the
             # VALUES map defines every column; source-shaped rows would
             # stage change files whose schema doesn't match the table)
@@ -3784,93 +3781,71 @@ class SnaplogTable:
             *[F.col(c) for c in cols], F.lit(t).alias(CHANGE_TYPE_COL)
         )
 
-        def _regen(df: DataFrame, clause) -> DataFrame:
-            if generated and isinstance(clause, dict):
+        def _regen(df: DataFrame, maps: bool) -> DataFrame:
+            if generated and maps:
                 return self._apply_generated(
                     df.drop(*generated), generated, "merge"
                 ).select(*cols)
             return df
 
         if tgt_rows is None:  # nothing matched anywhere: pure insert
-            s = source.alias("s")
-            if insert_predicate is not None:
-                s = s.filter(F.expr(insert_predicate))
-            if isinstance(when_not_matched, dict):
-                vals = s.select(
-                    *[
-                        _insert_value(c, when_not_matched, types.get(c))
-                        .alias(c)
-                        for c in cols
-                    ]
-                )
-                return tag(_regen(vals, when_not_matched), "insert")
-            return tag(s, "insert")
+            ins = insert_only_frame(source, not_matched, cols=cols, types=types)
+            return tag(_regen(ins, nm_maps), "insert")
         t, s = tgt_rows.alias("t"), source.alias("s")
         cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
         inner = t.join(s, cond, "inner")
-        dele = F.coalesce(
-            F.expr(delete_predicate) if delete_predicate else F.lit(False),
-            F.lit(False),
-        )
-        upd_ok = (
-            F.coalesce(F.expr(matched_predicate), F.lit(False))
-            if matched_predicate
-            else F.lit(True)
-        )
+        keep_t = set(keep_target_cols)
+        m_maps = any(cl.assignments is not None for cl in matched)
+        bs_maps = any(cl.assignments is not None for cl in by_source)
         parts = []
-        if when_matched != "ignore":
-            upd = inner.filter(~dele & upd_ok)
+        if any(cl.action == "update" for cl in matched):
+            upd = inner.filter(first_fate(matched, "update"))
             parts.append(tag(upd.select("t.*"), "update_preimage"))
-            keep_t = set(keep_target_cols)
             post = upd.select(
                 *[
-                    _matched_value(c, when_matched, keep_t, types.get(c))
+                    clause_value(matched, "matched", c, types, keep_t=keep_t)
                     .alias(c)
                     for c in cols
                 ]
             )
-            parts.append(tag(_regen(post, when_matched), "update_postimage"))
-        if delete_predicate:
-            parts.append(tag(inner.filter(dele).select("t.*"), "delete"))
-        if when_not_matched_by_source != "ignore":
+            parts.append(tag(_regen(post, m_maps), "update_postimage"))
+        if any(cl.action == "delete" for cl in matched):
+            parts.append(
+                tag(inner.filter(first_fate(matched, "delete")).select("t.*"),
+                    "delete")
+            )
+        if by_source:
             bs = t.join(s.select(*keys), cond, "left_anti").alias("t")
-            if not_matched_by_source_predicate:
-                bs = bs.filter(
-                    F.coalesce(
-                        F.expr(not_matched_by_source_predicate), F.lit(False)
-                    )
+            if any(cl.action == "delete" for cl in by_source):
+                parts.append(
+                    tag(bs.filter(first_fate(by_source, "delete")), "delete")
                 )
-            if when_not_matched_by_source == "delete":
-                parts.append(tag(bs, "delete"))
-            else:
-                parts.append(tag(bs, "update_preimage"))
-                bs_post = bs.select(
+            if any(cl.action == "update" for cl in by_source):
+                bs_upd = bs.filter(first_fate(by_source, "update"))
+                parts.append(tag(bs_upd, "update_preimage"))
+                bs_post = bs_upd.select(
                     *[
-                        _by_source_value(
-                            c, when_not_matched_by_source, types.get(c)
+                        clause_value(
+                            by_source, "not_matched_by_source", c, types
                         ).alias(c)
                         for c in cols
                     ]
                 )
-                parts.append(
-                    tag(
-                        _regen(bs_post, when_not_matched_by_source),
-                        "update_postimage",
-                    )
-                )
-        if when_not_matched != "ignore":
+                parts.append(tag(_regen(bs_post, bs_maps), "update_postimage"))
+        if not_matched:
             ins = s.join(t.select(*keys), cond, "left_anti").alias("s")
-            if insert_predicate is not None:
-                ins = ins.filter(F.expr(insert_predicate))
-            if isinstance(when_not_matched, dict):
+            ins = ins.filter(any_clause_ok(not_matched))
+            if nm_maps:
                 vals = ins.select(
                     *[
-                        _insert_value(c, when_not_matched, types.get(c))
-                        .alias(c)
+                        clause_value(
+                            not_matched, "not_matched", c, types,
+                            otherwise=F.lit(None).cast(types.get(c)),
+                        ).alias(c)
                         for c in cols
                     ]
                 )
-                parts.append(tag(_regen(vals, when_not_matched), "insert"))
+                parts.append(tag(_regen(vals, nm_maps), "insert"))
             else:
                 parts.append(
                     tag(ins.select(*[F.col(f"s.{c}") for c in cols]), "insert")

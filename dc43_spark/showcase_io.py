@@ -847,8 +847,10 @@ def q_sql_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - ``WHEN MATCHED AND s.o_custkey % 10 = 0 THEN DELETE`` (deletion
       vector on the touched files),
-    - ``WHEN MATCHED AND t.o_totalprice_cents < 20000000 THEN UPDATE
-      SET`` with column-level expressions over BOTH aliases,
+    - TWO ``WHEN MATCHED ... THEN UPDATE SET`` clauses with different
+      predicates and SET maps (r12 — VERDICT r11 #2's ordered
+      multi-clause surface, first-match-wins in statement order), the
+      second unconditional,
     - ``WHEN NOT MATCHED AND ... THEN INSERT (cols) VALUES (exprs)``,
     - ``WHEN NOT MATCHED BY SOURCE AND ... THEN UPDATE SET`` (target
       rows with no source match — file pruning provably disabled).
@@ -881,6 +883,9 @@ def q_sql_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHEN MATCHED AND t.o_totalprice_cents < 20000000 THEN UPDATE SET "
         "  o_orderstatus = 'U', "
         "  o_totalprice_cents = t.o_totalprice_cents + s.o_totalprice_cents "
+        "WHEN MATCHED THEN UPDATE SET "
+        "  o_orderstatus = 'V', "
+        "  o_totalprice_cents = t.o_totalprice_cents - 1 "
         "WHEN NOT MATCHED AND s.o_orderkey % 4 = 1 THEN "
         "  INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice_cents) "
         "  VALUES (s.o_orderkey, s.o_custkey, 'N', "
@@ -923,10 +928,10 @@ s AS (
 v1 AS (
   SELECT t.o_orderkey, t.o_custkey,
          CASE WHEN t.o_totalprice_cents < 20000000
-              THEN 'U' ELSE t.o_orderstatus END AS o_orderstatus,
+              THEN 'U' ELSE 'V' END AS o_orderstatus,
          CASE WHEN t.o_totalprice_cents < 20000000
               THEN t.o_totalprice_cents + s.o_totalprice_cents
-              ELSE t.o_totalprice_cents END AS o_totalprice_cents
+              ELSE t.o_totalprice_cents - 1 END AS o_totalprice_cents
   FROM t0 t JOIN s ON t.o_orderkey = s.o_orderkey
   WHERE NOT (s.o_custkey % 10 = 0)
   UNION ALL

@@ -174,3 +174,198 @@ def test_engines_match_python_model_on_sampled_combos(spark, tmp_path, combo_idx
     assert {
         (r.k, r.v) for r in DeltaLogTable(spark, dp_path).read().collect()
     } == expect
+
+
+# ---------------- r12: ordered MULTI-clause merges (VERDICT r11 #2) ----------
+# Each scenario is (matched, not_matched, by_source) clause lists in both
+# vocabularies: the engine dicts and python twins (action, cond_fn, val_fn).
+# First-match-wins in list order — the python model below IS the spec.
+
+def _mk(action, cond_sql, cond_py, val_sql=None, val_py=None):
+    d = {"action": action, "condition": cond_sql}
+    if val_sql is not None:
+        d["set" if action == "update" else "values"] = val_sql
+    return d, (action, cond_py, val_py)
+
+
+MULTI_SCENARIOS = {
+    # two matched UPDATE clauses, different predicates/SET maps
+    "two_matched_updates": (
+        [
+            _mk("update", "s.v > 800", lambda t, s: s[1] > 800,
+                {"v": "s.v + 1"}, lambda t, s: (t[0], s[1] + 1)),
+            _mk("update", None, lambda t, s: True,
+                {"v": "t.v - 1"}, lambda t, s: (t[0], t[1] - 1)),
+        ],
+        [_mk("insert", None, lambda s: True)],
+        [],
+    ),
+    # UPDATE listed BEFORE DELETE: rows hitting the update never delete
+    "update_then_delete": (
+        [
+            _mk("update", "s.k % 2 = 0", lambda t, s: s[0] % 2 == 0,
+                {"v": "s.v"}, lambda t, s: (t[0], s[1])),
+            _mk("delete", None, lambda t, s: True),
+        ],
+        [],
+        [],
+    ),
+    # DELETE first, two updates after (3 matched clauses)
+    "delete_then_two_updates": (
+        [
+            _mk("delete", "s.k = 6", lambda t, s: s[0] == 6),
+            _mk("update", "t.v >= 80", lambda t, s: t[1] >= 80,
+                {"v": "t.v * 2"}, lambda t, s: (t[0], t[1] * 2)),
+            _mk("update", None, lambda t, s: True, None,
+                lambda t, s: (s[0], s[1])),  # updateAll
+        ],
+        [_mk("insert", "s.k % 2 = 1", lambda s: s[0] % 2 == 1)],
+        [],
+    ),
+    # two INSERT clauses: conditional VALUES map first, insertAll after
+    "two_inserts": (
+        [_mk("update", None, lambda t, s: True, None,
+             lambda t, s: (s[0], s[1]))],
+        [
+            _mk("insert", "s.k >= 13", lambda s: s[0] >= 13,
+                {"k": "s.k", "v": "0"}, lambda s: (s[0], 0)),
+            _mk("insert", None, lambda s: True, None, lambda s: (s[0], s[1])),
+        ],
+        [],
+    ),
+    # two BY SOURCE clauses: conditional DELETE, then SET fallback
+    "two_by_source": (
+        [],
+        [],
+        [
+            _mk("delete", "t.k < 2", lambda t: t[0] < 2),
+            _mk("update", None, lambda t: True,
+                {"v": "t.v + 7"}, lambda t: (t[0], t[1] + 7)),
+        ],
+    ),
+    # all three kinds multi/mixed at once
+    "kitchen_sink": (
+        [
+            _mk("delete", "s.v >= 1200", lambda t, s: s[1] >= 1200),
+            _mk("update", "t.k = 5", lambda t, s: t[0] == 5,
+                {"v": "-1"}, lambda t, s: (t[0], -1)),
+            _mk("update", None, lambda t, s: True,
+                {"v": "s.v"}, lambda t, s: (t[0], s[1])),
+        ],
+        [
+            _mk("insert", "s.k = 10", lambda s: s[0] == 10,
+                {"k": "s.k", "v": "999"}, lambda s: (s[0], 999)),
+            _mk("insert", "s.k > 12", lambda s: s[0] > 12),
+        ],
+        [
+            _mk("update", "t.k = 0", lambda t: t[0] == 0,
+                {"v": "t.v + 5"}, lambda t: (t[0], t[1] + 5)),
+            _mk("delete", "t.k >= 3", lambda t: t[0] >= 3),
+        ],
+    ),
+}
+
+
+def py_multi_merge(matched, not_matched, by_source):
+    """First-match-wins multi-clause semantics in plain Python."""
+    def first(clauses, *args):
+        for action, cond, val in clauses:
+            if cond(*args):
+                return action, val
+        return None, None
+
+    src_by_k = {r[0]: r for r in SRC}
+    out = set()
+    for t in TGT:
+        s = src_by_k.get(t[0])
+        if s is not None:
+            action, val = first([p for _, p in matched], t, s)
+            if action == "delete":
+                continue
+            out.add(val(t, s) if action == "update"
+                    else (val(s) if action == "insert" else t))
+        else:
+            action, val = first([p for _, p in by_source], t)
+            if action == "delete":
+                continue
+            out.add(val(t) if action == "update" else t)
+    tgt_keys = {r[0] for r in TGT}
+    for s in SRC:
+        if s[0] in tgt_keys:
+            continue
+        action, val = first([p for _, p in not_matched], s)
+        if action == "insert":
+            out.add(val(s) if val is not None else (s[0], s[1]))
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(MULTI_SCENARIOS))
+def test_multi_clause_orderings_match_python_model(spark, tmp_path, name):
+    """Each multi-clause ordering through ALL THREE engines (outer-join
+    kernel, snaplog COW, jar-less Delta DML with DVs) vs the python
+    model — first-match-wins in user order is the spec."""
+    from dc43_spark.io.delta_dml import delta_merge
+    from dc43_spark.io.delta_log import DeltaLogTable, delta_write
+    from dc43_spark.io.merge import _outer_join_merge
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    m, nm, bs = MULTI_SCENARIOS[name]
+    kw = dict(
+        matched_clauses=[d for d, _ in m],
+        not_matched_clauses=[d for d, _ in nm],
+        not_matched_by_source_clauses=[d for d, _ in bs],
+    )
+    expect = py_multi_merge(
+        [p for p in m], [p for p in nm], [p for p in bs]
+    )
+    tgt, src = _frames(spark)
+
+    out = _outer_join_merge(tgt, src, ["k"], **kw)
+    assert {(r.k, r.v) for r in out.collect()} == expect, "kernel"
+
+    t = SnaplogTable(spark, str(tmp_path / "s"))
+    t.write(tgt, mode="overwrite")
+    t.merge(src, ["k"], **kw)
+    assert {(r.k, r.v) for r in t.read().collect()} == expect, "snaplog"
+
+    dp = str(tmp_path / "d")
+    delta_write(
+        spark, tgt, dp, checkpoint_interval=None,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    delta_merge(spark, src, dp, ["k"], **kw)
+    assert {
+        (r.k, r.v) for r in DeltaLogTable(spark, dp).read().collect()
+    } == expect, "delta-dml"
+
+
+def test_multi_clause_validation_rules(spark):
+    """Unconditional non-last clauses refuse; list+legacy kwargs for the
+    same kind refuse; bad actions refuse."""
+    from dc43_spark.io.merge import normalize_merge_clauses
+
+    with pytest.raises(ValueError, match="LAST 'when matched'"):
+        normalize_merge_clauses(matched_clauses=[
+            {"action": "update"}, {"action": "delete", "condition": "t.k=1"},
+        ])
+    with pytest.raises(ValueError, match="not both"):
+        normalize_merge_clauses(
+            matched_clauses=[{"action": "delete", "condition": "t.k=1"}],
+            matched_predicate="t.k = 2",
+        )
+    with pytest.raises(ValueError, match="action must be one of"):
+        normalize_merge_clauses(not_matched_clauses=[{"action": "update"}])
+    with pytest.raises(ValueError, match="by-source UPDATE needs a SET"):
+        normalize_merge_clauses(
+            not_matched_by_source_clauses=[{"action": "update"}]
+        )
+    # legacy kwargs normalize to the documented fixed order: delete first
+    m, nm, bs = normalize_merge_clauses(
+        when_matched={"v": "s.v"}, delete_predicate="s.k = 1",
+        when_not_matched="insert", insert_predicate="s.k > 2",
+        when_not_matched_by_source="delete",
+    )
+    assert [c.action for c in m] == ["delete", "update"]
+    assert m[0].condition == "s.k = 1" and m[1].assignments == {"v": "s.v"}
+    assert nm[0].condition == "s.k > 2" and nm[0].assignments is None
+    assert bs[0].action == "delete" and bs[0].condition is None

@@ -368,11 +368,14 @@ def test_sql_merge_refuses_unrecognized_when_clauses(spark, tmp_path):
             "WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED BY TARGET THEN INSERT *"
         )
-    with pytest.raises(ValueError, match="duplicate WHEN MATCHED"):
+    # r12: multiple same-kind clauses are legal (first-match-wins), but
+    # an UNCONDITIONAL clause before another of its kind refuses — the
+    # later clause would be dead (delta-spark's rule)
+    with pytest.raises(ValueError, match="LAST 'when matched'"):
         cat.sql(
             "MERGE INTO t2 t USING s2 s ON t.k = s.k "
-            "WHEN MATCHED AND t.k = 2 THEN UPDATE SET * "
-            "WHEN MATCHED THEN UPDATE SET amt = 0"
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN MATCHED AND t.k = 2 THEN UPDATE SET amt = 0"
         )
     with pytest.raises(ValueError, match="BY SOURCE"):
         cat.sql(
@@ -429,9 +432,9 @@ def test_sql_merge_parser_hardening(spark, tmp_path):
     VALUES bodies passes through verbatim (the keyword-matching copy is
     collapsed, the body is not); (b) duplicate INSERT columns refuse;
     (c) an identifier starting with 'matched' inside CASE WHEN is not a
-    clause boundary; (d) UPDATE written before DELETE refuses (the
-    engines' fixed delete-first priority would silently diverge from
-    SQL's written-order semantics)."""
+    clause boundary; (d, rewritten for r12 multi-clause) UPDATE written
+    before DELETE evaluates in WRITTEN order — a row matching the
+    earlier UPDATE clause never reaches the later DELETE."""
     from dc43_spark.io.catalog import SnaplogCatalog
 
     cat = SnaplogCatalog(spark, str(tmp_path / "wh"))
@@ -457,12 +460,14 @@ def test_sql_merge_parser_hardening(spark, tmp_path):
         cat.sql("MERGE INTO t4 t USING s4 s ON t.k = s.k "
                 "WHEN NOT MATCHED THEN INSERT (k, k) VALUES (s.k, 0)")
 
-    # (d) UPDATE before DELETE refuses — written order contradicts the
-    # fixed delete-first priority
-    with pytest.raises(ValueError, match="DELETE before UPDATE"):
-        cat.sql("MERGE INTO t4 t USING s4 s ON t.k = s.k "
-                "WHEN MATCHED AND s.k = 2 THEN UPDATE SET * "
-                "WHEN MATCHED THEN DELETE")
+    # (d) r12: UPDATE before DELETE is legal and evaluates in written
+    # order — k=2 hits the first clause (updated, NOT deleted); no other
+    # key matches, so the trailing DELETE fires on nothing
+    cat.sql("MERGE INTO t4 t USING s4 s ON t.k = s.k "
+            "WHEN MATCHED AND s.k = 2 THEN UPDATE SET v = 'kept' "
+            "WHEN MATCHED THEN DELETE")
+    got = {(r.k, r.v) for r in cat.sql("SELECT k, v FROM t4").collect()}
+    assert got == {(0, "x"), (1, "x"), (2, "kept")}
 
 
 def test_sql_maintenance_statements_both_formats(spark, tmp_path):
