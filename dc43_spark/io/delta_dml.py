@@ -477,10 +477,19 @@ def _commit_dml(
     use_dvs: Optional[bool],
     checkpoint_interval: Optional[int] = 10,
     new_meta: Optional[dict] = None,
+    ident_alloc: Optional[dict] = None,
 ) -> int:
     """Stage + claim one DML commit against the pinned ``snap``. Raises
     ``_DmlConflict`` if the head moved or the claim lost — the caller
-    recomputes; staged files orphan and are swept by delta_vacuum."""
+    recomputes; staged files orphan and are swept by delta_vacuum.
+
+    ``ident_alloc``: identity specs ({name: {"start","step","hwm"}}) the
+    caller allocated values under (MERGE inserts) — the commit advances
+    each ``delta.identity.highWaterMark`` from the STAGED FOOTER STATS
+    of the new files, atomically with them (PROTOCOL.md Identity Columns
+    writer requirement, same shape as delta_write). Race safety is
+    inherited from the pin: ANY head movement raises ``_DmlConflict``
+    and the caller reallocates under the new mark."""
     from dc43_spark.io.snaplog import LinkCommitClaimer
 
     dest = t.path
@@ -597,11 +606,59 @@ def _commit_dml(
                         }
                     )
 
+    new_adds: list = []
     if new_rows is not None:
         for e in _stage_data_files(
             _to_physical(new_rows, snap), dest, part_cols, ts_ms
         ):
             actions.append({"add": e})
+            new_adds.append(e)
+
+    if ident_alloc and new_adds:
+        phys = {
+            f.name: (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            for f in snap.schema.fields
+        }
+        marks: dict = {}
+        for n, sp in ident_alloc.items():
+            side = "maxValues" if sp["step"] > 0 else "minValues"
+            vals = []
+            for a in new_adds:
+                try:
+                    v = json.loads(a["stats"])[side].get(phys.get(n, n))
+                except (KeyError, ValueError, TypeError):
+                    v = None
+                if v is not None:
+                    vals.append(int(v))
+            if vals:
+                new_mark = max(vals) if sp["step"] > 0 else min(vals)
+                if sp["hwm"] is not None:
+                    new_mark = (
+                        max(new_mark, sp["hwm"]) if sp["step"] > 0
+                        else min(new_mark, sp["hwm"])
+                    )
+                marks[n] = new_mark
+        if marks:
+            # patch the commit's metaData (the evolution one if present,
+            # else a fresh copy of the pinned meta) so the files and the
+            # advanced marks land atomically
+            target = new_meta if new_meta is not None else dict(meta)
+            doc = json.loads(target["schemaString"])
+            for f0 in doc["fields"]:
+                if f0["name"] in marks:
+                    md0 = dict(f0.get("metadata") or {})
+                    md0["delta.identity.highWaterMark"] = marks[f0["name"]]
+                    f0["metadata"] = md0
+            patched = dict(target)
+            patched["schemaString"] = json.dumps(doc)
+            for i, a in enumerate(actions):
+                if "metaData" in a:
+                    actions[i] = {"metaData": patched}
+                    break
+            else:
+                actions.insert(1, {"metaData": patched})
 
     if cdf_rows is not None and _cdf_enabled(meta):
         for e in _stage_data_files(
@@ -928,16 +985,14 @@ def delta_merge(
         types = {f.name: f.dataType for f in snap.schema.fields}
         gen = _generated_columns(snap.schema)
         ident = _identity_columns(snap.schema)
+        ident_alloc: dict = {}
         if ident:
-            # operations that cannot corrupt the identity sequence are
-            # allowed (deletes, SET maps leaving the columns untouched);
-            # everything that would write identity values refuses loudly
-            if nm_cls:
-                raise DeltaWriteError(
-                    "MERGE inserts on an identity-column table are not "
-                    "supported here (identity allocation inside MERGE); "
-                    "insert the rows with a delta_write append instead"
-                )
+            # updates may never write identity values (deletes and SET
+            # maps leaving the columns untouched are fine); merge-inserted
+            # rows ALLOCATE fresh values beyond the high water mark in the
+            # same commit (r12 — VERDICT r11 #3), exactly like delta_write:
+            # start + k*step past the mark, mark advanced from the staged
+            # footer stats, races aborted by the snapshot pin.
             if all_update:
                 raise DeltaWriteError(
                     "updateAll on an identity-column table would overwrite "
@@ -952,6 +1007,33 @@ def delta_merge(
                             f"column(s) {bad} are IDENTITY columns; their "
                             "values are writer-allocated and cannot be SET"
                         )
+            for n, sp in sorted(ident.items()):
+                # a clause writes n EXPLICITLY iff its VALUES map lists it
+                # or it is insertAll over a source that carries it
+                explicit = [
+                    cl for cl in nm_cls
+                    if (n in cl.assignments if cl.assignments is not None
+                        else n in source_df.columns)
+                ]
+                if explicit and not sp["allow"]:
+                    raise DeltaWriteError(
+                        f"column {n!r} is GENERATED ALWAYS AS IDENTITY "
+                        "(allowExplicitInsert=false); omit it from the "
+                        "insert clauses — values are allocated by the "
+                        "writer"
+                    )
+                if explicit and len(explicit) != len(nm_cls):
+                    raise DeltaWriteError(
+                        f"identity column {n!r} is written explicitly by "
+                        "some insert clauses but not others; mixing "
+                        "explicit values with writer allocation in one "
+                        "MERGE is ambiguous"
+                    )
+                if nm_cls and not explicit:
+                    ident_alloc[n] = sp
+                # explicit inserts (allow=true) pass through unchanged;
+                # the HWM does not chase explicit values (delta-spark's
+                # rule; ALTER ... SYNC IDENTITY is the catch-up)
         for clause, kind in (
             *[(cl, "when_matched SET") for cl in m_cls],
             *[(cl, "when_not_matched VALUES") for cl in nm_cls],
@@ -977,7 +1059,7 @@ def delta_merge(
             src, gen_rules = _apply_generated_columns(src, gen)
         missing = sorted(
             c for c in data_cols
-            if c not in src.columns
+            if c not in src.columns and c not in ident_alloc
         ) if (all_update or all_insert) else []
         if missing and not merge_schema:
             raise DeltaWriteError(
@@ -1224,7 +1306,26 @@ def delta_merge(
                     ).alias(c)
                     for c in data_cols
                 ]
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            for n, sp in sorted(ident_alloc.items()):
+                # start + k*step strictly beyond the pinned high water
+                # mark (monotonically_increasing_id keeps allocation
+                # distributed; gaps are protocol-legal). A concurrent
+                # commit raises _DmlConflict at claim time and the retry
+                # reallocates under the new mark.
+                base = (
+                    sp["hwm"] + sp["step"]
+                    if sp["hwm"] is not None
+                    else sp["start"]
+                )
+                inserts = inserts.withColumn(
+                    n,
+                    (
+                        F.lit(base)
+                        + F.lit(sp["step"]) * F.monotonically_increasing_id()
+                    ).cast(types[n]),
+                )
+            inserts = inserts.persist(StorageLevel.MEMORY_AND_DISK)
 
         frames = [f for f in (touch, bs, inserts) if f is not None]
         try:
@@ -1376,6 +1477,7 @@ def delta_merge(
                 cdf_rows=cdf,
                 use_dvs=use_dvs,
                 new_meta=new_meta,
+                ident_alloc=ident_alloc or None,
             )
         except _DmlConflict:
             continue

@@ -112,10 +112,10 @@ def test_dml_gates_on_identity_tables(spark, tmp_path):
     # SET on the identity column refuses
     with pytest.raises(DeltaWriteError, match="IDENTITY"):
         delta_update(spark, path, {"id": "0"}, "k = 1")
-    # merge inserts / updateAll refuse; identity-untouched SET maps work
+    # updateAll refuses (it would overwrite identity values); merge
+    # INSERTS allocate since r12 (VERDICT r11 #3) — tested below;
+    # identity-untouched SET maps work
     src = spark.createDataFrame([(2, "merged")], "k long, v string")
-    with pytest.raises(DeltaWriteError, match="identity"):
-        delta_merge(spark, src, path, ["k"])  # insertAll default
     with pytest.raises(DeltaWriteError, match="updateAll"):
         delta_merge(spark, src, path, ["k"], when_not_matched="ignore")
     delta_merge(
@@ -208,3 +208,118 @@ def test_schema_changing_overwrite_refuses_on_identity(spark, tmp_path):
     rows = {r.k: r.id for r in d.read().collect()}
     assert rows[7] > 100
     assert _identity_columns(d.snapshot().schema)["id"]["hwm"] == rows[7]
+
+
+def test_merge_inserts_allocate_identity(spark, tmp_path):
+    """r12 (VERDICT r11 #3): merge-inserted rows allocate start + k*step
+    beyond the high water mark in the SAME commit, the mark advances
+    from the staged footer stats, matched rows keep their identity."""
+    path = _mk_identity_table(spark, tmp_path)
+    delta_write(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        path, mode="append", checkpoint_interval=None,
+    )
+    d = DeltaLogTable(spark, path)
+    mark0 = _identity_columns(d.snapshot().schema)["id"]["hwm"]
+    ids_before = {r.k: r.id for r in d.read().collect()}
+
+    src = spark.createDataFrame(
+        [(2, "upd"), (5, "new5"), (6, "new6"), (7, "new7")],
+        "k long, v string",
+    )
+    delta_merge(
+        spark, src, path, ["k"],
+        when_matched={"v": "s.v"},  # insertAll default for not-matched
+    )
+    rows = {r.k: (r.v, r.id) for r in d.read().collect()}
+    # matched row updated, identity UNCHANGED
+    assert rows[2] == ("upd", ids_before[2])
+    new_ids = [rows[k][1] for k in (5, 6, 7)]
+    assert all(i > mark0 for i in new_ids)              # beyond the mark
+    assert all((i - 100) % 10 == 0 for i in new_ids)    # start + k*step
+    assert len(set(new_ids)) == 3                       # unique
+    # mark advanced atomically with the merge commit
+    assert _identity_columns(d.snapshot().schema)["id"]["hwm"] == max(new_ids)
+    # a follow-up append keeps allocating past the merge's mark
+    delta_write(
+        spark, spark.createDataFrame([(8, "h")], "k long, v string"),
+        path, mode="append", checkpoint_interval=None,
+    )
+    rows2 = {r.k: r.id for r in d.read().collect()}
+    assert rows2[8] > max(new_ids)
+
+
+def test_merge_insert_explicit_identity_rules(spark, tmp_path):
+    """Explicit identity values in insert clauses follow delta_write's
+    rules: refused under allowExplicitInsert=false, passed through (mark
+    not chased) under true; mixing explicit and allocating clauses in
+    one MERGE refuses."""
+    path = _mk_identity_table(spark, tmp_path, allow=False)
+    src = spark.createDataFrame([(5, "x", 999)], "k long, v string, id long")
+    with pytest.raises(DeltaWriteError, match="allowExplicitInsert"):
+        delta_merge(
+            spark, src, path, ["k"],
+            when_matched="ignore",
+            not_matched_clauses=[{
+                "action": "insert",
+                "values": {"k": "s.k", "v": "s.v", "id": "s.id"},
+            }],
+        )
+
+    path2 = _mk_identity_table(spark, tmp_path / "allow", allow=True)
+    d2 = DeltaLogTable(spark, path2)
+    delta_merge(
+        spark, src, path2, ["k"],
+        when_matched="ignore",
+        not_matched_clauses=[{
+            "action": "insert",
+            "values": {"k": "s.k", "v": "s.v", "id": "s.id"},
+        }],
+    )
+    assert {(r.k, r.id) for r in d2.read().collect()} >= {(5, 999)}
+    # explicit values do NOT advance the mark
+    assert _identity_columns(d2.snapshot().schema)["id"]["hwm"] == 100
+    # mixing explicit and allocating insert clauses refuses
+    with pytest.raises(DeltaWriteError, match="ambiguous"):
+        delta_merge(
+            spark, src, path2, ["k"],
+            when_matched="ignore",
+            not_matched_clauses=[
+                {"action": "insert", "condition": "s.k > 100",
+                 "values": {"k": "s.k", "v": "s.v", "id": "s.id"}},
+                {"action": "insert", "values": {"k": "s.k", "v": "s.v"}},
+            ],
+        )
+
+
+def test_merge_identity_race_reallocates(spark, tmp_path, monkeypatch):
+    """A concurrent commit that advances the mark between the merge's
+    staging and its claim forces a _DmlConflict retry; the retry
+    reallocates under the NEW mark — never duplicate identities."""
+    from dc43_spark.io import snaplog as sl
+
+    path = _mk_identity_table(spark, tmp_path)
+    real_claim = sl.LinkCommitClaimer.claim
+    state = {"injected": False}
+
+    def claim(self, log, name, payload):
+        if not state["injected"] and path in log and '"MERGE"' in payload:
+            state["injected"] = True
+            delta_write(
+                spark,
+                spark.createDataFrame([(50, "z")], "k long, v string"),
+                path, mode="append", checkpoint_interval=None,
+            )
+        return real_claim(self, log, name, payload)
+
+    monkeypatch.setattr(sl.LinkCommitClaimer, "claim", claim)
+    src = spark.createDataFrame([(60, "m")], "k long, v string")
+    delta_merge(spark, src, path, ["k"], when_matched="ignore")
+    d = DeltaLogTable(spark, path)
+    rows = {r.k: r.id for r in d.read().collect()}
+    assert state["injected"]
+    ids = [v for v in rows.values() if v is not None]
+    assert len(ids) == len(set(ids)), f"duplicate identity values: {rows}"
+    # the merge-inserted row allocated past the RACER's allocation
+    assert rows[60] > rows[50] > 100
