@@ -142,6 +142,21 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send_html(
                     200, webui.render_product(self._products, seg[2])
                 )
+            if len(seg) == 5 and seg[1] == "contracts" and seg[4] == "edit":
+                return self._send_html(
+                    200,
+                    webui.render_edit_form(self._contracts, seg[2], seg[3]),
+                )
+            if len(seg) == 4 and seg[1] == "contracts" and seg[3] == "diff":
+                q = parse_qs(url.query)
+                v_from = (q.get("from") or [""])[0]
+                v_to = (q.get("to") or [""])[0]
+                return self._send_html(
+                    200,
+                    webui.render_contract_diff(
+                        self._contracts, seg[2], v_from, v_to
+                    ),
+                )
             if len(seg) == 3 and seg[1] == "contracts":
                 return self._send_html(
                     200, webui.render_contract(self._contracts, seg[2])
@@ -251,13 +266,21 @@ class _Handler(BaseHTTPRequestHandler):
         ):
             from dc43_spark.governance.workflow import edit_draft
 
+            changes = body.get("changes")
+            if isinstance(changes, str):
+                # the webui edit form posts the overlay urlencoded as a
+                # JSON string
+                try:
+                    changes = json.loads(changes)
+                except ValueError as exc:
+                    return self._send(400, {"error": f"invalid changes JSON: {exc}"})
             try:
                 drafted = edit_draft(
                     self._contracts,
                     self._gov,
                     seg[2],
                     seg[3],
-                    dict(body.get("changes") or {}),
+                    dict(changes or {}),
                     author=str(body.get("author", "")),
                     note=str(body.get("note", "")),
                 )

@@ -9,6 +9,13 @@ renders the same core read paths as plain HTML over the existing
 
   /ui                      contract + dataset index
   /ui/contracts/<id>       versions, schema fields, quality rules
+  /ui/contracts/<id>/<v>/edit  pre-filled edit form -> new draft (r12,
+                           ref server.py edit_contract_form: the base
+                           version pre-loads, the save lands as a new
+                           version — here via the review workflow)
+  /ui/contracts/<id>/diff?from=<v>&to=<v>  field-level version diff
+                           (r12, the reference editor's baseline-vs-
+                           edited diff as a server-rendered page)
   /ui/datasets             all datasets x latest verdict (the landing
                            matrix of the reference app's dataset routes)
   /ui/datasets/<id>        status matrix + contract link + activity
@@ -120,10 +127,23 @@ def render_contract(contract_store, contract_id: str) -> str | None:
     if not versions:
         return None
     sections = []
-    for version in reversed(versions):
+    cq = quote(contract_id, safe="")
+    for i, version in enumerate(reversed(versions)):
         contract = contract_store.get(contract_id, version)
         if contract is None:
             continue
+        prior_idx = len(versions) - 1 - i - 1
+        links = (
+            f'<a href="/ui/contracts/{cq}/{quote(version, safe="")}/edit">'
+            "edit</a>"
+        )
+        if prior_idx >= 0:
+            prev = versions[prior_idx]
+            links += (
+                f' · <a href="/ui/contracts/{cq}/diff?'
+                f'from={quote(prev, safe="")}&to={quote(version, safe="")}">'
+                f"diff vs {escape(prev)}</a>"
+            )
         field_rows = []
         for obj in contract.schema_objects:
             for prop in obj.properties:
@@ -154,12 +174,145 @@ def render_contract(contract_store, contract_id: str) -> str | None:
         )
         sections.append(
             f"<h2>{escape(contract_id)} : {escape(version)}"
-            f" <small>({escape(contract.status)})</small></h2>"
+            f" <small>({escape(contract.status)})</small>"
+            f" <small>{links}</small></h2>"
             + (f"<p>servers: {servers}</p>" if servers else "")
             + _table(["field", "type", "flags", "quality rules"], field_rows)
         )
     return _PAGE.format(
         title=f"contract {escape(contract_id)}", body="".join(sections)
+    )
+
+
+# -- editing + version diff (r12 — the reference app's edit flow)
+
+
+def render_edit_form(
+    contract_store, contract_id: str, version: str,
+    message: str | None = None, error: str | None = None,
+) -> str | None:
+    """``/ui/contracts/<id>/<v>/edit`` — the reference's edit form (ref
+    contracts-app server.py ``edit_contract_form``: load the base
+    version, pre-fill the editor, save as a NEW version). Documents are
+    immutable here, so the save POSTs the editable sections as a
+    ``changes`` overlay to the existing ``/workflow/contracts/<id>/<v>/
+    edit`` route: a minor-bumped DRAFT that reaches governed reads only
+    after review — the same split as authoring."""
+    import json as _json
+
+    base = contract_store.get(contract_id, version)
+    if base is None:
+        return None
+    doc = base.to_dict()
+    editable = {
+        k: v for k, v in doc.items() if k not in ("id", "version", "status")
+    }
+    flash = ""
+    if error:
+        flash = f'<p class="block">{escape(error)}</p>'
+    elif message:
+        flash = f'<p class="ok">{escape(message)}</p>'
+    cq = quote(contract_id, safe="")
+    vq = quote(version, safe="")
+    body = flash + (
+        f"<p>editing <code>{escape(contract_id)}</code> : "
+        f"<code>{escape(version)}</code> — the save creates a NEW "
+        "minor-bumped <code>draft</code> version (documents are "
+        "immutable); it reaches governed reads only after review.</p>"
+        f'<form method="post" action="/workflow/contracts/{cq}/{vq}/edit">'
+        "<p><label>editable document sections (JSON; id/version/status "
+        "are managed by the workflow and cannot be overridden)<br>"
+        f'<textarea name="changes" rows="24" cols="100">'
+        f"{escape(_json.dumps(editable, indent=2, sort_keys=True))}"
+        "</textarea></label></p>"
+        '<p><label>author <input name="author" size="30"></label> '
+        '<label>note <input name="note" size="50"></label></p>'
+        '<p><button type="submit">Save as new draft version</button></p>'
+        "</form>"
+        f'<p><a href="/ui/contracts/{cq}">back to {escape(contract_id)}</a></p>'
+    )
+    return _PAGE.format(
+        title=f"edit {escape(contract_id)} : {escape(version)}", body=body
+    )
+
+
+def _field_map(contract) -> dict:
+    """(object, property) -> (type, flags, rules) for diffing."""
+    out = {}
+    for obj in contract.schema_objects:
+        for prop in obj.properties:
+            flags = ", ".join(
+                flag
+                for flag, on in (
+                    ("required", prop.required),
+                    ("unique", getattr(prop, "unique", False)),
+                )
+                if on
+            )
+            rules = "; ".join(
+                r.rule + (f"={r.value!r}" if r.value is not None else "")
+                for r in prop.quality
+            )
+            out[(obj.name, prop.name)] = (prop.physical_type, flags, rules)
+    return out
+
+
+def render_contract_diff(
+    contract_store, contract_id: str, v_from: str, v_to: str
+) -> str | None:
+    """``/ui/contracts/<id>/diff?from=&to=`` — field-level diff between
+    two stored versions (the reference editor's baseline-vs-edited diff,
+    server-rendered): added / removed columns, per-column type / flags /
+    quality-rule changes, plus description and status deltas."""
+    a = contract_store.get(contract_id, v_from)
+    b = contract_store.get(contract_id, v_to)
+    if a is None or b is None:
+        return None
+    fa, fb = _field_map(a), _field_map(b)
+    rows = []
+    labels = ("type", "flags", "quality rules")
+    for key in sorted(fa.keys() | fb.keys()):
+        name = f"<code>{escape(key[0])}.{escape(key[1])}</code>"
+        if key not in fa:
+            t, fl, ru = fb[key]
+            rows.append([name, '<span class="ok">added</span>',
+                         "", escape(f"{t}" + (f" [{fl}]" if fl else "")
+                                    + (f" {{{ru}}}" if ru else ""))])
+        elif key not in fb:
+            t, fl, ru = fa[key]
+            rows.append([name, '<span class="block">removed</span>',
+                         escape(f"{t}" + (f" [{fl}]" if fl else "")
+                                + (f" {{{ru}}}" if ru else "")), ""])
+        elif fa[key] != fb[key]:
+            changed = ", ".join(
+                lbl for lbl, x, y in zip(labels, fa[key], fb[key]) if x != y
+            )
+            rows.append([
+                name,
+                f'<span class="warn">changed ({escape(changed)})</span>',
+                escape(" / ".join(x or "·" for x in fa[key])),
+                escape(" / ".join(y or "·" for y in fb[key])),
+            ])
+    for label, x, y in (
+        ("description", a.description, b.description),
+        ("status", a.status, b.status),
+    ):
+        if (x or "") != (y or ""):
+            rows.append([f"<i>{escape(label)}</i>",
+                         '<span class="warn">changed</span>',
+                         escape(str(x or "·")), escape(str(y or "·"))])
+    body = (
+        f"<p><code>{escape(v_from)}</code> → <code>{escape(v_to)}</code></p>"
+        + (
+            _table(["field", "change", escape(v_from), escape(v_to)], rows)
+            if rows
+            else "<p>(identical)</p>"
+        )
+        + f'<p><a href="/ui/contracts/{quote(contract_id, safe="")}">back</a></p>'
+    )
+    return _PAGE.format(
+        title=f"diff {escape(contract_id)} {escape(v_from)}..{escape(v_to)}",
+        body=body,
     )
 
 

@@ -232,3 +232,80 @@ def test_web_ui_renders_contracts_and_datasets():
         page = fetch("/ui/datasets/" + urllib.parse.quote(evil, safe=""))
         assert "<script>alert(1)</script>" not in page
         assert "&lt;script&gt;" in page
+
+
+def test_web_ui_edit_form_and_version_diff():
+    """r12 (VERDICT r11 #8): the contract-editing UI — GET the
+    pre-filled edit form, POST the changes overlay urlencoded (the
+    form's encoding), land a minor-bumped draft, and render the
+    field-level version diff (added / changed / removed columns)."""
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from dc43_spark.contracts.store import MemoryContractStore
+    from dc43_spark.governance.stores import MemoryGovernanceStore
+
+    cs = MemoryContractStore()
+    gs = MemoryGovernanceStore()
+    contract = orders_contract()
+    cs.put(contract)
+    with GovernanceServiceServer(cs, gs) as url:
+        def fetch(path):
+            with urllib.request.urlopen(url + path, timeout=5) as resp:
+                return resp.read().decode()
+
+        cid = contract.id
+        ver = contract.version
+        # contract page links to edit + (no prior version yet, no diff)
+        page = fetch(f"/ui/contracts/{cid}")
+        assert f"/ui/contracts/{cid}/{ver}/edit" in page
+        # the edit form pre-fills the editable sections as JSON
+        form = fetch(f"/ui/contracts/{cid}/{ver}/edit")
+        assert "schema" in form and "o_orderkey" in form
+        assert f"/workflow/contracts/{cid}/{ver}/edit" in form
+        assert "cannot be overridden" in form
+
+        # POST the overlay urlencoded, exactly as the form does: drop a
+        # column, add one, change the description
+        doc = contract.to_dict()
+        schema = doc["schema"]
+        props = schema[0]["properties"]
+        props = [p for p in props if p["name"] != "o_orderpriority"]
+        props.append({"name": "o_note", "physicalType": "string"})
+        schema[0]["properties"] = props
+        changes = {"schema": schema, "description": "edited in the UI"}
+        body = urllib.parse.urlencode(
+            {"changes": json.dumps(changes), "author": "ui-test"}
+        ).encode()
+        req = urllib.request.Request(
+            url + f"/workflow/contracts/{cid}/{ver}/edit", data=body,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req, timeout=5) as resp:
+            out = json.loads(resp.read().decode())
+        assert out["status"] == "draft"
+        new_ver = out["version"]
+        assert new_ver != ver
+
+        # the diff page shows the added/removed columns and description
+        diff = fetch(
+            f"/ui/contracts/{cid}/diff?from={ver}&to={new_ver}"
+        )
+        assert "o_note" in diff and "added" in diff
+        assert "o_orderpriority" in diff and "removed" in diff
+        assert "description" in diff and "edited in the UI" in diff
+        # contract page now offers "diff vs previous"
+        page = fetch(f"/ui/contracts/{cid}")
+        assert "diff vs" in page
+        # unknown versions 404
+        try:
+            fetch(f"/ui/contracts/{cid}/diff?from={ver}&to=nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 404
+        try:
+            fetch(f"/ui/contracts/{cid}/9.9.9/edit")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 404
