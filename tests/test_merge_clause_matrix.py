@@ -369,3 +369,72 @@ def test_multi_clause_validation_rules(spark):
     assert m[0].condition == "s.k = 1" and m[1].assignments == {"v": "s.v"}
     assert nm[0].condition == "s.k > 2" and nm[0].assignments is None
     assert bs[0].action == "delete" and bs[0].condition is None
+
+
+def test_multi_clause_cdf_change_rows(spark, tmp_path):
+    """CDF emission under MULTI-clause merges: change rows split by each
+    row's first-matching clause — update pre/post images for update-fate
+    rows, deletes for delete-fate rows, first-match VALUES for inserts —
+    in BOTH change-feed engines (snaplog _merge_changes, delta_dml cdc
+    staging)."""
+    from dc43_spark.io.delta_dml import delta_merge
+    from dc43_spark.io.delta_log import DeltaLogTable, delta_write
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    kw = dict(
+        matched_clauses=[
+            {"action": "delete", "condition": "s.k = 6"},
+            {"action": "update", "condition": "t.v >= 80",
+             "set": {"v": "t.v * 2"}},
+            {"action": "update", "set": {"v": "s.v"}},
+        ],
+        not_matched_clauses=[
+            {"action": "insert", "condition": "s.k = 10",
+             "values": {"k": "s.k", "v": "0"}},
+            {"action": "insert", "condition": "s.k >= 13"},
+        ],
+        not_matched_by_source_clauses=[
+            {"action": "delete", "condition": "t.k < 2"},
+            {"action": "update", "condition": "t.k = 3",
+             "set": {"v": "t.v + 1"}},
+        ],
+    )
+    # TGT k 0..9 (v=k*10), SRC k 5..14 (v=k*100); matched fates:
+    # k=6 delete; k=8,9 (v>=80) double; k=5,7 take s.v.
+    # inserts: k=10 -> 0 (first clause), k=13,14 insertAll; 11,12 dropped.
+    # by source: k=0,1 delete; k=3 -> 31; k=2,4 untouched.
+    expected = {
+        ("delete", 6, 60), ("delete", 0, 0), ("delete", 1, 10),
+        ("update_preimage", 8, 80), ("update_postimage", 8, 160),
+        ("update_preimage", 9, 90), ("update_postimage", 9, 180),
+        ("update_preimage", 5, 50), ("update_postimage", 5, 500),
+        ("update_preimage", 7, 70), ("update_postimage", 7, 700),
+        ("update_preimage", 3, 30), ("update_postimage", 3, 31),
+        ("insert", 10, 0), ("insert", 13, 1300), ("insert", 14, 1400),
+    }
+    tgt, src = _frames(spark)
+
+    st = SnaplogTable(spark, str(tmp_path / "s"), change_feed=True)
+    st.write(tgt, mode="overwrite")
+    st.merge(src, ["k"], **kw)
+    got = {
+        (r._change_type, r.k, r.v)
+        for r in st.table_changes(1, 1).collect()
+    }
+    assert got == expected, "snaplog CDF"
+
+    dp = str(tmp_path / "d")
+    delta_write(
+        spark, tgt, dp, checkpoint_interval=None,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    delta_merge(spark, src, dp, ["k"], **kw)
+    dt = DeltaLogTable(spark, dp)
+    got = {
+        (r._change_type, r.k, r.v)
+        for r in dt.table_changes(1, 1).collect()
+    }
+    assert got == expected, "delta CDF"
