@@ -3596,19 +3596,26 @@ class SnaplogTable:
         touched_names: set[str] = set()
         if candidates:
             scan = self._scan(candidates, snap, keep_meta=True)
-            tgt = scan.select(
-                *[F.col(k) for k in keys],
-                F.col("_metadata.file_path").alias("_fp"),
-            )
             src_keys = source.select(*keys).dropDuplicates(list(keys))
-            cond = [tgt[k].eqNullSafe(src_keys[k]) for k in keys]
-            matched = (
-                tgt.join(src_keys, cond, "leftsemi")
-                .select("_fp")
-                .distinct()
-                .collect()  # bounded by file count — driver metadata only
-            )
-            touched_names = {os.path.basename(r["_fp"]) for r in matched}
+            if m_cls or nm_cls:
+                # files holding matched keys rewrite: matched clauses
+                # change their rows, and insert clauses need their rows
+                # present in the outer join (dropping them would
+                # duplicate-insert matched source keys). A pure by-source
+                # merge (both lists empty) skips the probe — matched
+                # rows are untouched by definition (r12).
+                tgt = scan.select(
+                    *[F.col(k) for k in keys],
+                    F.col("_metadata.file_path").alias("_fp"),
+                )
+                cond = [tgt[k].eqNullSafe(src_keys[k]) for k in keys]
+                matched = (
+                    tgt.join(src_keys, cond, "leftsemi")
+                    .select("_fp")
+                    .distinct()
+                    .collect()  # bounded by file count — driver metadata
+                )
+                touched_names = {os.path.basename(r["_fp"]) for r in matched}
             if bs_active:
                 full = scan.select(
                     "*", F.col("_metadata.file_path").alias("_fp")

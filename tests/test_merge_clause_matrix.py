@@ -438,3 +438,43 @@ def test_multi_clause_cdf_change_rows(spark, tmp_path):
         for r in dt.table_changes(1, 1).collect()
     }
     assert got == expected, "delta CDF"
+
+
+def test_multi_clause_merge_keeps_file_pruning(spark, tmp_path):
+    """Scale shape under multi-clause: matched/insert-only clause lists
+    keep source-key-range FILE PRUNING; any by-source clause provably
+    disables it (its rows are defined by having NO source match)."""
+    from pyspark.sql import functions as F
+
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.range(400).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ).repartitionByRange(4, "k").sortWithinPartitions("k"),
+        mode="overwrite",
+    )
+    src = spark.createDataFrame([(5, 1), (7, 2)], "k long, v long")
+    stats = t.merge(
+        src, ["k"],
+        matched_clauses=[
+            {"action": "update", "condition": "s.v = 1", "set": {"v": "0"}},
+            {"action": "update", "set": {"v": "s.v"}},
+        ],
+        not_matched_clauses=[{"action": "insert"}],
+    )
+    assert stats.files_total == 4
+    assert stats.candidates_after_stats == 1  # keys 5,7 live in one file
+    assert stats.files_rewritten == 1
+
+    stats = t.merge(
+        src, ["k"],
+        matched_clauses=[],
+        not_matched_clauses=[],
+        not_matched_by_source_clauses=[
+            {"action": "delete", "condition": "t.k = 399"},
+        ],
+    )
+    assert stats.candidates_after_stats == stats.files_total  # pruning off
+    assert stats.files_rewritten == 1  # exact probe keeps the rewrite tight

@@ -206,13 +206,15 @@ def test_zero_change_merge_keeps_feed_readable(spark, tmp_path):
     # ignore/insert with full overlap for a zero-change commit
     t.merge(_df(spark, [(1, "X")]), ["k"], when_matched="ignore")
     assert _changes(t, 1, 1) == []  # readable, empty — NOT an error
-    # ignore/ignore merge: the degenerate no-clause change frame
-    t.merge(
+    # ignore/ignore merge: no clause can touch anything, so since r12 it
+    # is a NO-OP (no commit, no identical-rewrite) instead of an empty
+    # feed-on commit
+    stats = t.merge(
         _df(spark, [(1, "Y"), (9, "z")]), ["k"],
         when_matched="ignore", when_not_matched="ignore",
     )
-    assert t.version() == 2 and _changes(t, 2, 2) == []
-    # the whole feed stitches cleanly across the empty commits
+    assert t.version() == 1 and stats.files_rewritten == 0
+    # the whole feed stitches cleanly across the empty commit
     assert len(_changes(t, 0)) == 1
 
 
