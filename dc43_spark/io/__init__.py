@@ -6,7 +6,7 @@ from dc43_spark.io.locators import (
     StaticDatasetLocator,
     delta_time_travel_options,
 )
-from dc43_spark.io.merge import MergeResult, merge_with_contract
+from dc43_spark.io.merge import MergeClause, MergeResult, merge_with_contract
 from dc43_spark.io.read import read_with_contract
 from dc43_spark.io.status import (
     DowngradeBlockedReadStatus,
@@ -31,6 +31,7 @@ __all__ = [
     "write_with_contract",
     "merge_with_contract",
     "MergeResult",
+    "MergeClause",
     "WriteResult",
     "ContractFirstDatasetLocator",
     "ContractVersionLocator",
