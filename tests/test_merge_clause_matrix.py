@@ -478,3 +478,95 @@ def test_multi_clause_merge_keeps_file_pruning(spark, tmp_path):
     )
     assert stats.candidates_after_stats == stats.files_total  # pruning off
     assert stats.files_rewritten == 1  # exact probe keeps the rewrite tight
+
+
+def _random_clause_lists(rng):
+    """One random multi-clause configuration (engine dicts + python
+    twins), honoring the only-last-unconditional rule."""
+    m_conds = [
+        ("s.v > 800", lambda t, s: s[1] > 800),
+        ("t.v % 30 = 0", lambda t, s: t[1] % 30 == 0),
+        ("s.k % 3 = 0", lambda t, s: s[0] % 3 == 0),
+    ]
+    m_updates = [
+        (None, lambda t, s: (s[0], s[1])),                    # updateAll
+        ({"v": "s.v + t.v"}, lambda t, s: (t[0], s[1] + t[1])),
+        ({"v": "t.v - 1"}, lambda t, s: (t[0], t[1] - 1)),
+    ]
+    i_conds = [
+        ("s.k % 2 = 0", lambda s: s[0] % 2 == 0),
+        ("s.k >= 12", lambda s: s[0] >= 12),
+    ]
+    i_vals = [
+        (None, lambda s: (s[0], s[1])),                       # insertAll
+        ({"k": "s.k", "v": "s.v - 100"}, lambda s: (s[0], s[1] - 100)),
+    ]
+    bs_conds = [
+        ("t.k % 2 = 1", lambda t: t[0] % 2 == 1),
+        ("t.k < 3", lambda t: t[0] < 3),
+    ]
+    bs_sets = [({"v": "t.v + 1000"}, lambda t: (t[0], t[1] + 1000))]
+
+    def pick_clauses(n, conds, build):
+        out = []
+        for i in range(n):
+            last = i == n - 1
+            cond = rng.choice(conds + [None]) if last else rng.choice(conds)
+            out.append(build(cond))
+        return out
+
+    def m_build(cond):
+        c_sql, c_py = cond if cond else (None, lambda t, s: True)
+        if rng.random() < 0.3:
+            return _mk("delete", c_sql, c_py)
+        v_sql, v_py = rng.choice(m_updates)
+        return _mk("update", c_sql, c_py, v_sql, v_py)
+
+    def i_build(cond):
+        c_sql, c_py = cond if cond else (None, lambda s: True)
+        v_sql, v_py = rng.choice(i_vals)
+        return _mk("insert", c_sql, c_py, v_sql, v_py)
+
+    def bs_build(cond):
+        c_sql, c_py = cond if cond else (None, lambda t: True)
+        if rng.random() < 0.5:
+            return _mk("delete", c_sql, c_py)
+        v_sql, v_py = rng.choice(bs_sets)
+        return _mk("update", c_sql, c_py, v_sql, v_py)
+
+    return (
+        pick_clauses(rng.randint(0, 3), m_conds, m_build),
+        pick_clauses(rng.randint(0, 3), i_conds, i_build),
+        pick_clauses(rng.randint(0, 2), bs_conds, bs_build),
+    )
+
+
+def test_random_multi_clause_sweep_matches_python_model(spark):
+    """30 seeded-random multi-clause configurations through the kernel
+    in ONE Spark job (tagged union), each vs the python model — breadth
+    beyond the handcrafted scenarios."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1202)
+    tgt, src = _frames(spark)
+    tagged, expected = [], {}
+    for i in range(30):
+        m, nm, bs = _random_clause_lists(rng)
+        out = _outer_join_merge(
+            tgt, src, ["k"],
+            matched_clauses=[d for d, _ in m],
+            not_matched_clauses=[d for d, _ in nm],
+            not_matched_by_source_clauses=[d for d, _ in bs],
+        )
+        tagged.append(out.select(F.lit(i).alias("combo"), "k", "v"))
+        expected[i] = py_multi_merge(m, nm, bs)
+    union = tagged[0]
+    for t in tagged[1:]:
+        union = union.unionByName(t)
+    got: dict = {}
+    for r in union.collect():
+        got.setdefault(r.combo, set()).add((r.k, r.v))
+    for i in range(30):
+        assert got.get(i, set()) == expected[i], f"combo {i}"
