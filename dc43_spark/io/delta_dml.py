@@ -1077,6 +1077,18 @@ def delta_merge(
                 "evolution (Delta's autoMerge), or reference them from "
                 "column-level SET/VALUES maps"
             )
+        if extra and merge_schema and dict_clauses and (
+            all_update or all_insert
+        ):
+            # the *All alignment below would silently DROP the extra
+            # source columns while the caller asked for evolution —
+            # refuse instead of half-applying merge_schema
+            raise DeltaWriteError(
+                "additive evolution (merge_schema=True) is not supported "
+                "when column-level SET/VALUES clauses are mixed with *All "
+                "clauses; evolve the schema with delta_add_column first "
+                "or use *All clauses only"
+            )
         new_meta = None
         if extra and merge_schema and not dict_clauses:
             if snap.mapping_mode == "id":

@@ -386,3 +386,32 @@ def test_empty_set_map_refused(spark, tmp_path):
         validate_merge_clauses("ignore", {})
     with pytest.raises(ValueError, match="NON-EMPTY"):
         validate_merge_clauses("ignore", "ignore", {})
+
+
+def test_mixed_clause_forms_refuse_half_applied_evolution(spark, tmp_path):
+    """r12: merge_schema with *All + map clauses MIXED would silently
+    drop the extra source columns during the *All alignment — refuse
+    loudly instead (evolve first, or use *All clauses only)."""
+    import pytest
+
+    from dc43_spark.io.delta_dml import delta_merge
+    from dc43_spark.io.delta_log import DeltaWriteError, delta_write
+
+    t = str(tmp_path / "t")
+    delta_write(
+        spark, spark.createDataFrame([(1, "a")], "k long, v string"), t,
+        checkpoint_interval=None,
+    )
+    src = spark.createDataFrame([(1, "b", 9)], "k long, v string, w long")
+    with pytest.raises(DeltaWriteError, match="mixed with \\*All"):
+        delta_merge(
+            spark, src, t, ["k"], merge_schema=True,
+            matched_clauses=[
+                {"action": "update", "condition": "s.w > 0",
+                 "set": {"v": "s.v"}},
+                {"action": "update"},  # *All fallback
+            ],
+        )
+    # pure *All evolution still works
+    v = delta_merge(spark, src, t, ["k"], merge_schema=True)
+    assert v == 1
