@@ -65,6 +65,29 @@ def main() -> int:
         f"(candidates after stats pruning: {stats.candidates_after_stats})"
     )
 
+    # 3b. Ordered MULTI-clause MERGE (delta-spark's chained builder):
+    #     clauses of a kind evaluate first-match-wins in list order —
+    #     here hot rows take the source value, everything else matched
+    #     falls to the unconditional second clause.
+    table.merge(
+        spark.createDataFrame(
+            [(k, "hot" if k < 13 else "cold") for k in range(10, 20)],
+            "k long, s string",
+        ),
+        ["k"],
+        matched_clauses=[
+            {"action": "update", "condition": "s.s = 'hot'",
+             "set": {"s": "concat('HOT:', s.s)"}},
+            {"action": "update", "set": {"s": "t.s"}},
+        ],
+        not_matched_clauses=[
+            {"action": "insert", "condition": "s.k % 2 = 0"},
+        ],
+    )
+    hot = table.read(filters=[("k", ">=", 10), ("k", "<", 13)])
+    print("multi-clause merge hot rows:",
+          sorted((r.k, r.s) for r in hot.filter("k < 13").collect()))
+
     # 4. Exactly-once streaming sink: each micro-batch commits its data AND
     #    its idempotence marker in one manifest; replays dedupe.
     from dc43_spark.streaming.sink import snaplog_sink
