@@ -345,3 +345,41 @@ def test_checkpoint_protection_feature_accepted(spark, tmp_path):
         fh.write("\n".join(json.dumps(a) for a in lines) + "\n")
     delta_write(spark, _df(spark, 3, 5), t)
     assert DeltaLogTable(spark, t).read().count() == 5
+
+
+def test_multi_clause_merge_preserves_row_ids_per_fate(spark, tmp_path):
+    """r12: under an ordered multi-clause merge, each row's STABLE id
+    follows its fate — update-fate rows (either matched update clause
+    or a by-source SET) keep their id through the rewrite, delete-fate
+    rows disappear, and inserted rows draw fresh ids above the mark."""
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 6), t, checkpoint_interval=None,
+                configuration=RT_DV)
+    before = {r[0]: r[2] for r in _ids(spark, t)}  # k -> _row_id
+
+    src = spark.range(3, 9).select(
+        F.col("id").alias("k"), F.lit("s").alias("v")
+    )
+    delta_merge(
+        spark, src, t, ["k"],
+        matched_clauses=[
+            {"action": "delete", "condition": "t.k = 3"},
+            {"action": "update", "condition": "t.k = 4",
+             "set": {"v": "'first'"}},
+            {"action": "update", "set": {"v": "'second'"}},
+        ],
+        not_matched_clauses=[{"action": "insert", "condition": "s.k >= 7"}],
+        not_matched_by_source_clauses=[
+            {"action": "update", "condition": "t.k = 0",
+             "set": {"v": "'bs'"}},
+        ],
+    )
+    after = {r[0]: (r[1], r[2]) for r in _ids(spark, t)}
+    assert 3 not in after                       # delete fate
+    assert after[4] == ("first", before[4])     # first update clause
+    assert after[5] == ("second", before[5])    # fallback update clause
+    assert after[0] == ("bs", before[0])        # by-source SET keeps id
+    assert after[1][1] == before[1] and after[2][1] == before[2]  # untouched
+    fresh = {after[k][1] for k in (7, 8)}
+    assert fresh.isdisjoint(set(before.values()))  # inserts: new ids
+    assert min(fresh) > max(before.values())

@@ -193,3 +193,41 @@ def test_write_txn_computes_and_validates_generated(spark, tmp_path):
             _df(spark, [(3, 1.0, 999)], "k long, amount double, cents bigint"),
             app_id="s", version=1,
         )
+
+
+def test_multi_clause_merge_recomputes_generated_per_fate(spark, tmp_path):
+    """r12: under multi-clause merges, generated columns recompute from
+    each row's FINAL values — whichever SET clause won — and SET maps
+    still refuse to touch a generated column directly."""
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(
+        _df(spark, [(1, 10.0, 1000), (2, 20.0, 2000), (3, 30.0, 3000)],
+            "k long, amount double, cents bigint"),
+        mode="overwrite",
+    )
+    t.set_generated_column("cents", "CAST(amount * 100 AS BIGINT)")
+
+    src = _df(spark, [(1, 5.0), (2, 7.0), (9, 9.0)])
+    t.merge(
+        src, ["k"],
+        matched_clauses=[
+            {"action": "update", "condition": "s.amount < 6",
+             "set": {"amount": "s.amount + 0.5"}},
+            {"action": "update", "set": {"amount": "s.amount"}},
+        ],
+        not_matched_clauses=[{"action": "insert"}],
+    )
+    got = {r.k: (r.amount, r.cents) for r in t.read().collect()}
+    assert got[1] == (5.5, 550)    # first clause won; cents recomputed
+    assert got[2] == (7.0, 700)    # fallback clause; cents recomputed
+    assert got[3] == (30.0, 3000)  # untouched
+    assert got[9] == (9.0, 900)    # insertAll computed the column
+
+    with pytest.raises(ValueError, match="generated"):
+        t.merge(
+            src, ["k"],
+            matched_clauses=[
+                {"action": "update", "set": {"cents": "0"}},
+            ],
+            not_matched_clauses=[],
+        )
