@@ -165,7 +165,18 @@ class DeltaLogBatchReader(DataSourceReader):
 
 class DeltaLogStreamReader(DataSourceStreamReader):
     """Commit-offset incremental reads of a Delta log (the source half
-    of Delta's streaming contract)."""
+    of Delta's streaming contract).
+
+    ``maxFilesPerTrigger`` (delta-spark's rate-limit option) caps each
+    microbatch's ADMITTED files: the owed initial snapshot is served in
+    file-index chunks (offsets carry ``{"snapshot": true, "index": k}``
+    — at 100 TB the first batch would otherwise be millions of files),
+    and incremental progress admits whole commits until the budget is
+    spent (at least one commit per batch, delta-spark's own floor).
+    The cap needs a consumed base, which the reader learns from
+    ``initialOffset``/``partitions``/``commit``; the first trigger after
+    a restart that replays no pending batch is served UNCAPPED (the
+    no-arg ``latestOffset`` API has no start offset to cap from)."""
 
     def __init__(self, path: str, schema: T.StructType, options: dict):
         self._table = DeltaLogTable(None, path)
@@ -176,6 +187,12 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self._ignore_changes = (
             str(options.get("ignorechanges", "")).lower() == "true"
         )
+        self._max_files = int(options.get("maxfilespertrigger", 0) or 0)
+        if self._max_files < 0:
+            raise ValueError("maxFilesPerTrigger must be positive")
+        self._base: Optional[dict] = None  # last known consumed offset
+        self._n_snapshot_files: Optional[int] = None
+        self._commit_adds: dict = {}  # version -> data-add count (cache)
         sv = options.get("startingversion")
         self._snapshot_start = False
         if sv is None:
@@ -200,12 +217,61 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             # serves snapshot(N)'s files plus any commits N+1..end; once
             # the batch commits, the stored offset is a plain version and
             # the stream is purely incremental
-            return {"version": self._starting - 1, "snapshot": True}
-        return {"version": self._starting - 1}
+            self._base = {"version": self._starting - 1, "snapshot": True,
+                          "index": 0}
+            return dict(self._base)
+        self._base = {"version": self._starting - 1}
+        return dict(self._base)
+
+    def _snapshot_file_count(self, version: int) -> int:
+        if self._n_snapshot_files is None:
+            self._n_snapshot_files = len(
+                list(self._table.snapshot(version).files)
+            )
+        return self._n_snapshot_files
+
+    def _commit_add_count(self, v: int) -> int:
+        if v not in self._commit_adds:
+            self._commit_adds[v] = sum(
+                1
+                for a in self._table._commit_lines(v)
+                if "add" in a and a["add"].get("dataChange", True)
+            )
+        return self._commit_adds[v]
 
     def latestOffset(self) -> dict:
         head = self._table.version()
-        return {"version": -1 if head is None else head}
+        full = {"version": -1 if head is None else head}
+        if not self._max_files or head is None or self._base is None:
+            return full
+        base = self._base
+        budget = self._max_files
+        snapshot_pending = False
+        if base.get("snapshot"):
+            n = self._snapshot_file_count(base["version"])
+            i = base.get("index", 0)
+            if i < n:
+                j = min(n, i + budget)
+                if j < n:
+                    return {"version": base["version"], "snapshot": True,
+                            "index": j}
+                budget -= j - i  # snapshot drains; leftover admits commits
+                snapshot_pending = True
+        start_v = base["version"]
+        end_v = start_v
+        v = start_v + 1
+        while v <= head and budget > 0:
+            end_v = v  # at least one commit per batch
+            budget -= max(self._commit_add_count(v), 1)
+            v += 1
+        if end_v == start_v:
+            if snapshot_pending:
+                # the batch that drains the snapshot's tail also CLOSES
+                # the snapshot phase (plain-version offset), even when no
+                # commit fits the leftover budget
+                return {"version": start_v}
+            return dict(base)  # caught up: offset unchanged, no batch
+        return {"version": end_v}
 
     def partitions(self, start: dict, end: dict):
         snap = self._table.snapshot(max(end["version"], 0)) if end[
@@ -228,11 +294,24 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         if start.get("snapshot") and start["version"] >= 0:
             # owed initial batch: the snapshot's live files (each under
             # its own DV mask / typed partition constants), exactly what
-            # delta-spark's isStartingVersion start serves
+            # delta-spark's isStartingVersion start serves. Under
+            # maxFilesPerTrigger the offsets carry a FILE INDEX into the
+            # path-sorted live list and each batch serves one [i, j)
+            # chunk; without the option i=0 and j=every file.
             snap0 = self._table.snapshot(start["version"])
             types0 = {f.name: f.dataType.typeName() for f in snap0.schema.fields}
-            for f in snap0.files:
+            files0 = sorted(snap0.files, key=lambda f: f.path)
+            i = start.get("index", 0)
+            j = (
+                end.get("index", len(files0))
+                if end.get("snapshot")
+                else len(files0)
+            )
+            for f in files0[i:j]:
                 parts.append(_file_partition(self._table, snap0, f, types0))
+        self._base = dict(end)
+        if end.get("snapshot"):
+            return parts  # snapshot chunk only; commits come later
         first_needed = start["version"] + 1
         if first_needed <= end["version"]:
             retained = self._table._versions()
@@ -297,7 +376,10 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         yield from _arrow_batches(partition, self._schema)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the stream checkpoint; the log is immutable
+        # offsets live in the stream checkpoint (the log is immutable);
+        # remembering the consumed offset lets maxFilesPerTrigger cap
+        # the NEXT latestOffset from the right base
+        self._base = dict(end)
 
 
 class DeltaLogCDFStreamReader(DataSourceStreamReader):
@@ -318,6 +400,13 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, schema: T.StructType, options: dict):
         self._table = DeltaLogTable(None, path)
         self._schema = schema
+        if options.get("maxfilespertrigger"):
+            raise ValueError(
+                "maxFilesPerTrigger is not supported on the change-feed "
+                "stream (its per-commit change derivation is not "
+                "file-splittable); rate-limit the plain stream or read "
+                "CDF in batch version ranges"
+            )
         self._snapshot_start = False
         sv = options.get("startingversion")
         if sv is None:
@@ -498,7 +587,9 @@ class DeltaLogDataSource(DataSource):
     """``spark.dataSource.register(DeltaLogDataSource)`` then
     ``.format("deltalog")``. Options: ``versionAsOf`` / ``timestampAsOf``
     (batch), ``startingVersion`` / ``ignoreDeletes`` / ``ignoreChanges``
-    (streaming)."""
+    / ``maxFilesPerTrigger`` (streaming; the rate limit chunks the
+    initial snapshot by file index and admits whole commits per batch —
+    not supported on the CDF stream)."""
 
     @classmethod
     def name(cls) -> str:

@@ -536,3 +536,75 @@ def test_streaming_cdf_prefers_in_commit_timestamps(
         for r in spark.read.parquet(str(tmp_path / "o")).collect()
     }
     assert got == {(0, icts[0]), (1, icts[1])}, got
+
+
+def test_streaming_max_files_per_trigger_rate_limits(registered, spark, tmp_path):
+    """r12: delta-spark's maxFilesPerTrigger on the jar-less source —
+    the owed initial snapshot serves in file-index CHUNKS (at 100 TB the
+    first batch is otherwise millions of files) and incremental progress
+    admits whole commits until the budget is spent (at least one commit
+    per batch). Offset walk pinned step by step, then end-to-end
+    completeness through a real stream."""
+    from dc43_spark.io.delta_source import DeltaLogStreamReader
+    from pyspark.sql import types as T
+
+    t = str(tmp_path / "t")
+    for i in range(4):  # 4 commits x 1 file -> a 4-file snapshot
+        delta_write(spark, _df(spark, 10 * i, 10 * i + 10), t,
+                    checkpoint_interval=None)
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("v", T.StringType())
+    ])
+    r = DeltaLogStreamReader(t, schema, {"maxfilespertrigger": "2"})
+    o0 = r.initialOffset()
+    assert o0 == {"version": 3, "snapshot": True, "index": 0}
+    o1 = r.latestOffset()
+    assert o1 == {"version": 3, "snapshot": True, "index": 2}
+    p1 = r.partitions(o0, o1)
+    assert len(p1) == 2
+    r.commit(o1)
+    o2 = r.latestOffset()  # drains the snapshot tail and CLOSES the phase
+    assert o2 == {"version": 3}
+    p2 = r.partitions(o1, o2)
+    assert len(p2) == 2
+    assert {p.path for p in p1}.isdisjoint({p.path for p in p2})
+    r.commit(o2)
+    assert r.latestOffset() == o2  # caught up: no new batch
+
+    # three new 1-file commits: budget 2 admits two commits per batch
+    for i in range(4, 7):
+        delta_write(spark, _df(spark, 10 * i, 10 * i + 10), t,
+                    checkpoint_interval=None)
+    o3 = r.latestOffset()
+    assert o3 == {"version": 5}
+    assert len(r.partitions(o2, o3)) == 2
+    r.commit(o3)
+    o4 = r.latestOffset()
+    assert o4 == {"version": 6}
+    r.commit(o4)
+    assert r.latestOffset() == o4
+
+    # a commit BIGGER than the budget still admits whole (>=1 per batch)
+    delta_write(spark, _df(spark, 70, 80).repartition(5), t,
+                checkpoint_interval=None)
+    o5 = r.latestOffset()
+    assert o5 == {"version": 7}
+    n7 = r._commit_add_count(7)
+    assert n7 > 2  # genuinely over budget
+    assert len(r.partitions(o4, o5)) == n7
+
+    # end to end: the rate-limited stream still delivers EVERY row
+    q = (
+        spark.readStream.format("deltalog")
+        .option("maxFilesPerTrigger", 2).load(t)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "o"))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    if q.exception():
+        raise RuntimeError(str(q.exception()))
+    got = {x.k for x in spark.read.parquet(str(tmp_path / "o")).collect()}
+    assert got == set(range(80))
