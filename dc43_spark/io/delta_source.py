@@ -167,13 +167,14 @@ class DeltaLogStreamReader(DataSourceStreamReader):
     """Commit-offset incremental reads of a Delta log (the source half
     of Delta's streaming contract).
 
-    ``maxFilesPerTrigger`` (delta-spark's rate-limit option) caps each
-    microbatch's ADMITTED files: the owed initial snapshot is served in
-    file-index chunks (offsets carry ``{"snapshot": true, "index": k}``
-    — at 100 TB the first batch would otherwise be millions of files),
-    and incremental progress admits whole commits until the budget is
-    spent (at least one commit per batch, delta-spark's own floor).
-    The cap needs a consumed base, which the reader learns from
+    ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` (delta-spark's
+    rate-limit options) cap each microbatch's ADMITTED files/bytes: the
+    owed initial snapshot is served in file-index chunks (offsets carry
+    ``{"snapshot": true, "index": k}`` — at 100 TB the first batch would
+    otherwise be millions of files), and incremental progress admits
+    whole commits until either budget is spent (at least one file /
+    one commit per batch, delta-spark's own floor). The cap needs a
+    consumed base, which the reader learns from
     ``initialOffset``/``partitions``/``commit``; the first trigger after
     a restart that replays no pending batch is served UNCAPPED (the
     no-arg ``latestOffset`` API has no start offset to cap from)."""
@@ -188,11 +189,14 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "")).lower() == "true"
         )
         self._max_files = int(options.get("maxfilespertrigger", 0) or 0)
-        if self._max_files < 0:
-            raise ValueError("maxFilesPerTrigger must be positive")
+        self._max_bytes = int(options.get("maxbytespertrigger", 0) or 0)
+        if self._max_files < 0 or self._max_bytes < 0:
+            raise ValueError(
+                "maxFilesPerTrigger/maxBytesPerTrigger must be positive"
+            )
         self._base: Optional[dict] = None  # last known consumed offset
-        self._n_snapshot_files: Optional[int] = None
-        self._commit_adds: dict = {}  # version -> data-add count (cache)
+        self._snap0_sizes: Optional[list] = None  # path-sorted file bytes
+        self._commit_adds: dict = {}  # version -> (n data adds, bytes)
         sv = options.get("startingversion")
         self._snapshot_start = False
         if sv is None:
@@ -223,46 +227,75 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self._base = {"version": self._starting - 1}
         return dict(self._base)
 
-    def _snapshot_file_count(self, version: int) -> int:
-        if self._n_snapshot_files is None:
-            self._n_snapshot_files = len(
-                list(self._table.snapshot(version).files)
-            )
-        return self._n_snapshot_files
+    def _snapshot_sizes(self, version: int) -> list:
+        if self._snap0_sizes is None:
+            self._snap0_sizes = [
+                f.size or 0
+                for f in sorted(
+                    self._table.snapshot(version).files,
+                    key=lambda f: f.path,
+                )
+            ]
+        return self._snap0_sizes
 
-    def _commit_add_count(self, v: int) -> int:
+    def _commit_add_stats(self, v: int) -> tuple:
         if v not in self._commit_adds:
-            self._commit_adds[v] = sum(
-                1
-                for a in self._table._commit_lines(v)
-                if "add" in a and a["add"].get("dataChange", True)
-            )
+            n = b = 0
+            for a in self._table._commit_lines(v):
+                if "add" in a and a["add"].get("dataChange", True):
+                    n += 1
+                    b += int(a["add"].get("size") or 0)
+            self._commit_adds[v] = (n, b)
         return self._commit_adds[v]
 
     def latestOffset(self) -> dict:
         head = self._table.version()
         full = {"version": -1 if head is None else head}
-        if not self._max_files or head is None or self._base is None:
+        if (
+            not (self._max_files or self._max_bytes)
+            or head is None
+            or self._base is None
+        ):
             return full
         base = self._base
-        budget = self._max_files
+        # inf sentinel keeps the dual-budget arithmetic uniform
+        files_left = self._max_files or float("inf")
+        bytes_left = self._max_bytes or float("inf")
         snapshot_pending = False
         if base.get("snapshot"):
-            n = self._snapshot_file_count(base["version"])
+            sizes = self._snapshot_sizes(base["version"])
+            n = len(sizes)
             i = base.get("index", 0)
             if i < n:
-                j = min(n, i + budget)
+                j = i
+                while j < n:
+                    # stop BEFORE exceeding either budget, but always
+                    # admit at least one file per batch
+                    if j > i and (files_left < 1 or bytes_left < sizes[j]):
+                        break
+                    files_left -= 1
+                    bytes_left -= sizes[j]
+                    j += 1
                 if j < n:
                     return {"version": base["version"], "snapshot": True,
                             "index": j}
-                budget -= j - i  # snapshot drains; leftover admits commits
-                snapshot_pending = True
+                snapshot_pending = True  # leftover budget admits commits
         start_v = base["version"]
         end_v = start_v
         v = start_v + 1
-        while v <= head and budget > 0:
-            end_v = v  # at least one commit per batch
-            budget -= max(self._commit_add_count(v), 1)
+        while v <= head:
+            nf, nb = self._commit_add_stats(v)
+            # whole commits only; stop before exceeding either budget.
+            # The at-least-one floor applies only when the batch is
+            # otherwise empty — a batch that just drained the snapshot
+            # tail already carries files
+            if (end_v != start_v or snapshot_pending) and (
+                files_left < max(nf, 1) or bytes_left < nb
+            ):
+                break
+            end_v = v
+            files_left -= max(nf, 1)
+            bytes_left -= nb
             v += 1
         if end_v == start_v:
             if snapshot_pending:
@@ -400,12 +433,14 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, schema: T.StructType, options: dict):
         self._table = DeltaLogTable(None, path)
         self._schema = schema
-        if options.get("maxfilespertrigger"):
+        if options.get("maxfilespertrigger") or options.get(
+            "maxbytespertrigger"
+        ):
             raise ValueError(
-                "maxFilesPerTrigger is not supported on the change-feed "
-                "stream (its per-commit change derivation is not "
-                "file-splittable); rate-limit the plain stream or read "
-                "CDF in batch version ranges"
+                "maxFilesPerTrigger/maxBytesPerTrigger are not supported "
+                "on the change-feed stream (its per-commit change "
+                "derivation is not file-splittable); rate-limit the plain "
+                "stream or read CDF in batch version ranges"
             )
         self._snapshot_start = False
         sv = options.get("startingversion")
@@ -587,9 +622,9 @@ class DeltaLogDataSource(DataSource):
     """``spark.dataSource.register(DeltaLogDataSource)`` then
     ``.format("deltalog")``. Options: ``versionAsOf`` / ``timestampAsOf``
     (batch), ``startingVersion`` / ``ignoreDeletes`` / ``ignoreChanges``
-    / ``maxFilesPerTrigger`` (streaming; the rate limit chunks the
-    initial snapshot by file index and admits whole commits per batch —
-    not supported on the CDF stream)."""
+    / ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` (streaming; the
+    rate limits chunk the initial snapshot by file index and admit whole
+    commits per batch — not supported on the CDF stream)."""
 
     @classmethod
     def name(cls) -> str:

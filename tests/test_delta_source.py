@@ -590,7 +590,7 @@ def test_streaming_max_files_per_trigger_rate_limits(registered, spark, tmp_path
                 checkpoint_interval=None)
     o5 = r.latestOffset()
     assert o5 == {"version": 7}
-    n7 = r._commit_add_count(7)
+    n7 = r._commit_add_stats(7)[0]
     assert n7 > 2  # genuinely over budget
     assert len(r.partitions(o4, o5)) == n7
 
@@ -608,3 +608,51 @@ def test_streaming_max_files_per_trigger_rate_limits(registered, spark, tmp_path
         raise RuntimeError(str(q.exception()))
     got = {x.k for x in spark.read.parquet(str(tmp_path / "o")).collect()}
     assert got == set(range(80))
+
+
+def test_streaming_max_bytes_per_trigger(registered, spark, tmp_path):
+    """maxBytesPerTrigger: snapshot chunks stop at the byte budget (at
+    least one file per batch), incremental commits admit whole until the
+    byte budget is spent; the CDF stream refuses both rate limits."""
+    from dc43_spark.io.delta_source import (
+        DeltaLogCDFStreamReader,
+        DeltaLogStreamReader,
+    )
+    from pyspark.sql import types as T
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        delta_write(spark, _df(spark, 10 * i, 10 * i + 10), t,
+                    checkpoint_interval=None)
+    schema = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("v", T.StringType())
+    ])
+    sizes = sorted(
+        f.size for f in DeltaLogTable(spark, t).snapshot().files
+    )
+    # budget of ~1.5 files: each snapshot batch admits exactly one file
+    r = DeltaLogStreamReader(
+        t, schema, {"maxbytespertrigger": str(int(sizes[0] * 1.5))}
+    )
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()
+    assert o1 == {"version": 2, "snapshot": True, "index": 1}
+    assert len(r.partitions(o0, o1)) == 1
+    r.commit(o1)
+    o2 = r.latestOffset()
+    assert o2 == {"version": 2, "snapshot": True, "index": 2}
+    r.commit(o2)
+    o3 = r.latestOffset()  # drains the last file, closes the snapshot
+    assert o3 == {"version": 2}
+    assert len(r.partitions(o2, o3)) == 1
+    r.commit(o3)
+    # one new commit per batch under the byte budget
+    delta_write(spark, _df(spark, 30, 40), t, checkpoint_interval=None)
+    delta_write(spark, _df(spark, 40, 50), t, checkpoint_interval=None)
+    o4 = r.latestOffset()
+    assert o4 == {"version": 3}
+    r.commit(o4)
+    assert r.latestOffset() == {"version": 4}
+
+    with pytest.raises(ValueError, match="not supported on the change-feed"):
+        DeltaLogCDFStreamReader(t, schema, {"maxbytespertrigger": "1"})
