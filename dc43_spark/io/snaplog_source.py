@@ -489,6 +489,13 @@ class SnaplogCdcBatchReader(DataSourceReader):
 
 
 class SnaplogStreamReader(DataSourceStreamReader):
+    """``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` rate-limit the
+    plain stream at COMMIT granularity (whole commits per batch, at
+    least one, stopping before either budget would be exceeded) — the
+    same admission shape as the deltalog source. The CDC stream is not
+    rate-limited (per-commit change derivation is not file-splittable);
+    the options refuse there."""
+
     def __init__(self, path: str, schema: T.StructType, options: dict):
         self._table = SnaplogTable(None, path)
         self._schema = schema
@@ -496,6 +503,20 @@ class SnaplogStreamReader(DataSourceStreamReader):
         self._ignore_changes = (
             str(options.get("ignorechanges", "")).lower() == "true"
         )
+        self._max_files = int(options.get("maxfilespertrigger", 0) or 0)
+        self._max_bytes = int(options.get("maxbytespertrigger", 0) or 0)
+        if self._max_files < 0 or self._max_bytes < 0:
+            raise ValueError(
+                "maxFilesPerTrigger/maxBytesPerTrigger must be positive"
+            )
+        if self._cdc and (self._max_files or self._max_bytes):
+            raise ValueError(
+                "maxFilesPerTrigger/maxBytesPerTrigger are not supported "
+                "on the change-feed stream; rate-limit the plain stream "
+                "or read changes in batch version ranges"
+            )
+        self._base: Optional[dict] = None  # last known consumed offset
+        self._commit_stats: dict = {}  # version -> (n adds, bytes)
         sv = options.get("startingversion")
         if sv is not None and str(sv).lower() == "latest":
             # Delta's "new data only": skip history (incl. any vacuumed
@@ -506,11 +527,46 @@ class SnaplogStreamReader(DataSourceStreamReader):
             self._starting = int(sv) if sv is not None else 0
 
     def initialOffset(self) -> dict:
-        return {"version": self._starting - 1}
+        self._base = {"version": self._starting - 1}
+        return dict(self._base)
+
+    def _commit_add_stats(self, v: int) -> tuple:
+        if v not in self._commit_stats:
+            rec = self._table._read_commit(v)
+            adds = rec.get("add", []) if rec.get("data_change") is not False \
+                else []
+            self._commit_stats[v] = (
+                len(adds), sum(int(e.get("bytes") or 0) for e in adds)
+            )
+        return self._commit_stats[v]
 
     def latestOffset(self) -> dict:
         head = self._table.version()
-        return {"version": -1 if head is None else head}
+        full = {"version": -1 if head is None else head}
+        if (
+            not (self._max_files or self._max_bytes)
+            or head is None
+            or self._base is None
+        ):
+            return full
+        files_left = self._max_files or float("inf")
+        bytes_left = self._max_bytes or float("inf")
+        start_v = self._base["version"]
+        end_v = start_v
+        v = start_v + 1
+        while v <= head:
+            nf, nb = self._commit_add_stats(v)
+            if end_v != start_v and (
+                files_left < max(nf, 1) or bytes_left < nb
+            ):
+                break  # stop before exceeding either budget
+            end_v = v  # at least one commit per batch
+            files_left -= max(nf, 1)
+            bytes_left -= nb
+            v += 1
+        if end_v == start_v:
+            return dict(self._base)  # caught up
+        return {"version": end_v}
 
     def partitions(self, start: dict, end: dict):
         parts: list[_FilePartition] = []
@@ -540,13 +596,16 @@ class SnaplogStreamReader(DataSourceStreamReader):
                         mapping=self._table.snapshot().column_mapping or None,
                     )
                 )
+        self._base = dict(end)
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
         yield from _arrow_batches(partition, self._schema)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the stream checkpoint; the log is immutable
+        # offsets live in the stream checkpoint (the log is immutable);
+        # the remembered offset is the rate limit's cap base
+        self._base = dict(end)
 
 
 class SnaplogDataSource(DataSource):

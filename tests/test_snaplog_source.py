@@ -320,3 +320,58 @@ def test_high_cardinality_dvs_decode_executor_side(
         for batch in ss._arrow_batches(p, r._schema):
             kernel_rows |= {x["k"] for x in batch.to_pylist()}
     assert kernel_rows == expect
+
+
+def test_stream_rate_limits_commits_per_trigger(registered, tmp_path):
+    """r12: maxFilesPerTrigger / maxBytesPerTrigger on the snaplog
+    stream — whole commits per batch, at least one, stopping before
+    either budget would be exceeded; the CDC stream refuses both."""
+    from dc43_spark.io.snaplog_source import SnaplogStreamReader
+
+    path = str(tmp_path / "t")
+    t = SnaplogTable(registered, path)
+    for i in range(5):  # 5 commits x 1 file
+        t.write(
+            registered.createDataFrame([(i, "x")], "k long, v string")
+            .coalesce(1),
+            mode="overwrite" if i == 0 else "append",
+        )
+    schema = t.read().schema
+
+    r = SnaplogStreamReader(path, schema, {"maxfilespertrigger": "2"})
+    o0 = r.initialOffset()
+    assert o0 == {"version": -1}
+    o1 = r.latestOffset()
+    assert o1 == {"version": 1}  # two 1-file commits fit the budget
+    assert len(r.partitions(o0, o1)) == 2
+    r.commit(o1)
+    o2 = r.latestOffset()
+    assert o2 == {"version": 3}
+    r.commit(o2)
+    o3 = r.latestOffset()
+    assert o3 == {"version": 4}
+    r.commit(o3)
+    assert r.latestOffset() == o3  # caught up
+
+    # end to end completeness under the limit
+    out = str(tmp_path / "o")
+    q = (
+        registered.readStream.format("snaplog")
+        .option("maxFilesPerTrigger", 2).load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    if q.exception():
+        raise RuntimeError(str(q.exception()))
+    assert {x.k for x in registered.read.parquet(out).collect()} == set(range(5))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not supported on the change-feed"):
+        SnaplogStreamReader(
+            path, schema,
+            {"readchangefeed": "true", "maxfilespertrigger": "1"},
+        )
