@@ -163,6 +163,7 @@ class DeltaLogBatchReader(DataSourceReader):
         yield from _arrow_batches(partition, self._snap.schema)
 
 
+
 class DeltaLogStreamReader(DataSourceStreamReader):
     """Commit-offset incremental reads of a Delta log (the source half
     of Delta's streaming contract).
@@ -174,10 +175,21 @@ class DeltaLogStreamReader(DataSourceStreamReader):
     otherwise be millions of files), and incremental progress admits
     whole commits until either budget is spent (at least one file /
     one commit per batch, delta-spark's own floor). The cap needs a
-    consumed base, which the reader learns from
-    ``initialOffset``/``partitions``/``commit``; the first trigger after
-    a restart that replays no pending batch is served UNCAPPED (the
-    no-arg ``latestOffset`` API has no start offset to cap from)."""
+    consumed base, which the reader learns exactly the way Spark's own
+    ``_SimpleStreamReaderWrapper`` does: lazily from ``initialOffset``
+    on a fresh stream (the engine calls ``latestOffset`` FIRST), and
+    from the ``partitions``/``commit`` callbacks afterwards — on
+    restart the engine replans the offset log's last batch through
+    ``partitions`` before asking for a new offset (the documented
+    contract the built-in wrapper relies on too), so the base is never
+    stale.
+
+    Engine caveat: under ``Trigger.AvailableNow`` the Python-source API
+    captures ONE capped target per run, so a rate-limited run processes
+    one batch's budget and terminates (repeated runs converge) — use a
+    processing-time trigger for rate-limited drains; delta-spark's
+    multi-batch availableNow needs admission-control hooks the Python
+    API doesn't expose."""
 
     def __init__(self, path: str, schema: T.StructType, options: dict):
         self._table = DeltaLogTable(None, path)
@@ -251,12 +263,14 @@ class DeltaLogStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         head = self._table.version()
         full = {"version": -1 if head is None else head}
-        if (
-            not (self._max_files or self._max_bytes)
-            or head is None
-            or self._base is None
-        ):
+        if not (self._max_files or self._max_bytes) or head is None:
             return full
+        if self._base is None:
+            # fresh stream: the engine asks for the latest offset BEFORE
+            # the initial one — seed the base the way Spark's own
+            # _SimpleStreamReaderWrapper does (on restart partitions()
+            # already re-seeded it from the offset log's last batch)
+            self.initialOffset()
         base = self._base
         # inf sentinel keeps the dual-budget arithmetic uniform
         files_left = self._max_files or float("inf")

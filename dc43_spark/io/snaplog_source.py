@@ -492,9 +492,12 @@ class SnaplogStreamReader(DataSourceStreamReader):
     """``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` rate-limit the
     plain stream at COMMIT granularity (whole commits per batch, at
     least one, stopping before either budget would be exceeded) — the
-    same admission shape as the deltalog source. The CDC stream is not
-    rate-limited (per-commit change derivation is not file-splittable);
-    the options refuse there."""
+    same admission shape as the deltalog source, with the same engine
+    caveat: under ``Trigger.AvailableNow`` the Python-source API
+    captures ONE capped target per run (repeated runs converge); use a
+    processing-time trigger for rate-limited drains. The CDC stream is
+    not rate-limited (per-commit change derivation is not
+    file-splittable); the options refuse there."""
 
     def __init__(self, path: str, schema: T.StructType, options: dict):
         self._table = SnaplogTable(None, path)
@@ -543,12 +546,13 @@ class SnaplogStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         head = self._table.version()
         full = {"version": -1 if head is None else head}
-        if (
-            not (self._max_files or self._max_bytes)
-            or head is None
-            or self._base is None
-        ):
+        if not (self._max_files or self._max_bytes) or head is None:
             return full
+        if self._base is None:
+            # fresh stream: the engine asks for the latest offset BEFORE
+            # the initial one (on restart partitions() already re-seeded
+            # the base from the offset log's last batch)
+            self.initialOffset()
         files_left = self._max_files or float("inf")
         bytes_left = self._max_bytes or float("inf")
         start_v = self._base["version"]
