@@ -127,6 +127,55 @@ def _file_partition(table: DeltaLogTable, snap, f, types: dict) -> _FilePartitio
     )
 
 
+def _parse_start_ts(raw: str) -> float:
+    """``startingTimestamp`` value -> unix seconds: numeric, or an ISO
+    8601 / ``YYYY-MM-DD`` string (delta-spark accepts both)."""
+    try:
+        return float(raw)
+    except ValueError:
+        pass
+    from datetime import datetime
+
+    try:
+        return datetime.fromisoformat(str(raw)).timestamp()
+    except ValueError:
+        raise ValueError(
+            f"unparseable startingTimestamp {raw!r}; pass unix seconds "
+            "or an ISO 8601 timestamp"
+        ) from None
+
+
+def _starting_position(table: DeltaLogTable, options: dict) -> tuple:
+    """Resolve ``startingVersion`` / ``startingTimestamp`` (mutually
+    exclusive) -> ``(starting_version, snapshot_start)`` — delta-spark's
+    stream-start semantics: no option = serve the CURRENT snapshot
+    first; ``latest`` = new data only; a timestamp starts at the first
+    retained commit at-or-after it (ICT-preferring, like every other
+    timestamp read), or new-data-only when it postdates the head."""
+    sv = options.get("startingversion")
+    st = options.get("startingtimestamp")
+    if sv is not None and st is not None:
+        raise ValueError(
+            "pass startingVersion OR startingTimestamp, not both"
+        )
+    if st is not None:
+        ts = _parse_start_ts(st)
+        for v in table._versions():
+            if table._commit_timestamp(v) >= ts:
+                return v, False
+        head = table.version()
+        return (0 if head is None else head + 1), False
+    if sv is None:
+        head = table.version()
+        if head is None:
+            return 0, False  # empty dir: nothing to snapshot yet
+        return head + 1, True
+    if str(sv).lower() == "latest":
+        head = table.version()
+        return (0 if head is None else head + 1), False
+    return int(sv), False
+
+
 class DeltaLogBatchReader(DataSourceReader):
     """Snapshot scan with stats/partition pruning via pushed filters."""
 
@@ -209,23 +258,14 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self._base: Optional[dict] = None  # last known consumed offset
         self._snap0_sizes: Optional[list] = None  # path-sorted file bytes
         self._commit_adds: dict = {}  # version -> (n data adds, bytes)
-        sv = options.get("startingversion")
-        self._snapshot_start = False
-        if sv is None:
-            # delta-spark's default: initialize from the LATEST snapshot
-            # (isStartingVersion) — the first batch is the snapshot's
-            # live files, not a replay of history that may be vacuumed
-            head = self._table.version()
-            if head is None:
-                self._starting = 0  # empty dir: nothing to snapshot yet
-            else:
-                self._starting = head + 1
-                self._snapshot_start = True
-        elif str(sv).lower() == "latest":
-            head = self._table.version()
-            self._starting = 0 if head is None else head + 1
-        else:
-            self._starting = int(sv)
+        # delta-spark's default (no option): initialize from the LATEST
+        # snapshot (isStartingVersion) — the first batch is the
+        # snapshot's live files, not a replay of history that may be
+        # vacuumed; startingVersion/startingTimestamp position the first
+        # batch explicitly (see _starting_position)
+        self._starting, self._snapshot_start = _starting_position(
+            self._table, options
+        )
 
     def initialOffset(self) -> dict:
         if self._snapshot_start:
@@ -456,20 +496,9 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
                 "derivation is not file-splittable); rate-limit the plain "
                 "stream or read CDF in batch version ranges"
             )
-        self._snapshot_start = False
-        sv = options.get("startingversion")
-        if sv is None:
-            head = self._table.version()
-            if head is None:
-                self._starting = 0
-            else:
-                self._starting = head + 1
-                self._snapshot_start = True
-        elif str(sv).lower() == "latest":
-            head = self._table.version()
-            self._starting = 0 if head is None else head + 1
-        else:
-            self._starting = int(sv)
+        self._starting, self._snapshot_start = _starting_position(
+            self._table, options
+        )
 
     def initialOffset(self) -> dict:
         if self._snapshot_start:

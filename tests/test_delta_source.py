@@ -671,3 +671,71 @@ def test_streaming_max_bytes_per_trigger(registered, spark, tmp_path):
 
     with pytest.raises(ValueError, match="not supported on the change-feed"):
         DeltaLogCDFStreamReader(t, schema, {"maxbytespertrigger": "1"})
+
+
+def test_streaming_starting_timestamp(registered, spark, tmp_path):
+    """r12: startingTimestamp (delta-spark's stream-start option) —
+    first retained commit at-or-after the timestamp (ICT-preferring),
+    new-data-only when it postdates the head, exclusive with
+    startingVersion, both batch and CDF streams."""
+    import json as _json
+
+    from dc43_spark.io.delta_source import (
+        DeltaLogCDFStreamReader,
+        DeltaLogStreamReader,
+        _starting_position,
+    )
+    from pyspark.sql import types as T
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        delta_write(spark, _df(spark, 10 * i, 10 * i + 10), t,
+                    checkpoint_interval=None,
+                    configuration={"delta.enableInCommitTimestamps": "true"}
+                    if i == 0 else None)
+    tbl = DeltaLogTable(spark, t)
+    ts1 = tbl._commit_timestamp(1)
+
+    # at-or-after: exactly v1's stamp starts at v1
+    assert _starting_position(tbl, {"startingtimestamp": str(ts1)}) == (1, False)
+    # a hair after v1 starts at v2
+    assert _starting_position(
+        tbl, {"startingtimestamp": str(ts1 + 0.0005)}
+    ) == (2, False)
+    # before everything: earliest retained commit
+    assert _starting_position(tbl, {"startingtimestamp": "0"}) == (0, False)
+    # after the head: new data only
+    assert _starting_position(
+        tbl, {"startingtimestamp": str(tbl._commit_timestamp(2) + 10)}
+    ) == (3, False)
+    with pytest.raises(ValueError, match="not both"):
+        _starting_position(
+            tbl, {"startingversion": "0", "startingtimestamp": "0"}
+        )
+    with pytest.raises(ValueError, match="unparseable startingTimestamp"):
+        _starting_position(tbl, {"startingtimestamp": "not-a-time"})
+
+    # ISO form parses; end to end the stream serves v1.. only
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(ts1, tz=timezone.utc).isoformat()
+    q = (
+        spark.readStream.format("deltalog")
+        .option("startingTimestamp", iso).load(t)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "o"))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    if q.exception():
+        raise RuntimeError(str(q.exception()))
+    got = {x.k for x in spark.read.parquet(str(tmp_path / "o")).collect()}
+    assert got == set(range(10, 30))
+
+    # CDF stream takes the same option
+    schema = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("v", T.StringType())
+    ])
+    r = DeltaLogCDFStreamReader(t, schema, {"startingtimestamp": str(ts1)})
+    assert r.initialOffset() == {"version": 0}
