@@ -176,8 +176,12 @@ def _starting_position(table: DeltaLogTable, options: dict) -> tuple:
     return int(sv), False
 
 
-class DeltaLogBatchReader(DataSourceReader):
-    """Snapshot scan with stats/partition pruning via pushed filters."""
+class DeltaLogPlainBatchReader(DataSourceReader):
+    """Snapshot scan, one partition per live file. Subclassed by the
+    pushdown variant; split in two because merely DEFINING pushFilters
+    trips Spark's [DATA_SOURCE_PUSHDOWN_DISABLED] guard when
+    ``spark.sql.python.filterPushdown.enabled`` is off (same split as
+    the snaplog source)."""
 
     def __init__(self, path: str, options: dict):
         self._table = DeltaLogTable(None, path)
@@ -188,12 +192,6 @@ class DeltaLogBatchReader(DataSourceReader):
             timestamp=float(ts) if ts is not None else None,
         )
         self._pushed: list = []
-
-    def pushFilters(self, filters):
-        supported = _filters_to_tuples(filters)
-        if supported:
-            self._pushed = [supported]  # one AND-group
-        return iter(filters)  # Spark re-applies everything: row-exact
 
     def partitions(self):
         snap = self._snap
@@ -210,6 +208,16 @@ class DeltaLogBatchReader(DataSourceReader):
 
     def read(self, partition: _FilePartition) -> Iterator:
         yield from _arrow_batches(partition, self._snap.schema)
+
+
+class DeltaLogBatchReader(DeltaLogPlainBatchReader):
+    """Pushdown variant: stats/partition pruning via pushed filters."""
+
+    def pushFilters(self, filters):
+        supported = _filters_to_tuples(filters)
+        if supported:
+            self._pushed = [supported]  # one AND-group
+        return iter(filters)  # Spark re-applies everything: row-exact
 
 
 
@@ -661,6 +669,46 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
         pass  # offsets live in the stream checkpoint; the log is immutable
 
 
+class DeltaLogCdfBatchReader(DataSourceReader):
+    """Batch CHANGE DATA FEED (delta-spark's
+    ``read.option("readChangeFeed", "true")`` with ``startingVersion`` /
+    ``endingVersion``): every change row in the version range, planned
+    by the SAME per-commit kernel the CDF stream uses (cdc actions
+    authoritative, derived adds/DV-growth/removes otherwise). Previously
+    this option silently fell through to the snapshot reader and failed
+    with a bare schema-mismatch error."""
+
+    def __init__(self, path: str, schema: T.StructType, options: dict):
+        self._table = DeltaLogTable(None, path)
+        versions = self._table._versions()
+        head = self._table.version()
+        if head is None:
+            raise FileNotFoundError(f"no Delta log at {path}")
+        sv = options.get("startingversion")
+        ev = options.get("endingversion")
+        self._start = int(sv) if sv is not None else (
+            versions[0] if versions else 0
+        )
+        self._end = int(ev) if ev is not None else head
+        if self._start < 0 or self._end > head or self._start > self._end:
+            raise ValueError(
+                f"change range [{self._start}, {self._end}] outside table "
+                f"versions [0, {head}]"
+            )
+        self._schema = schema
+        self._inner = DeltaLogCDFStreamReader(
+            path, schema, {"startingversion": str(self._start)}
+        )
+
+    def partitions(self):
+        return self._inner.partitions(
+            {"version": self._start - 1}, {"version": self._end}
+        )
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        yield from _arrow_batches(partition, self._schema)
+
+
 class DeltaLogDataSource(DataSource):
     """``spark.dataSource.register(DeltaLogDataSource)`` then
     ``.format("deltalog")``. Options: ``versionAsOf`` / ``timestampAsOf``
@@ -697,7 +745,22 @@ class DeltaLogDataSource(DataSource):
         return base
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
-        return DeltaLogBatchReader(self._path(), dict(self.options))
+        from pyspark.sql import SparkSession
+
+        if str(self.options.get("readchangefeed", "")).lower() == "true":
+            return DeltaLogCdfBatchReader(
+                self._path(), schema, dict(self.options)
+            )
+        session = SparkSession.getActiveSession()
+        enabled = (
+            session is not None
+            and session.conf.get(
+                "spark.sql.python.filterPushdown.enabled", "false"
+            ).lower()
+            == "true"
+        )
+        cls = DeltaLogBatchReader if enabled else DeltaLogPlainBatchReader
+        return cls(self._path(), dict(self.options))
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         if str(self.options.get("readchangefeed", "")).lower() == "true":

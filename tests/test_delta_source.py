@@ -739,3 +739,49 @@ def test_streaming_starting_timestamp(registered, spark, tmp_path):
     ])
     r = DeltaLogCDFStreamReader(t, schema, {"startingtimestamp": str(ts1)})
     assert r.initialOffset() == {"version": 0}
+
+
+def test_batch_read_change_feed_and_plain_session_reads(
+    registered, spark, tmp_path
+):
+    """r12 fixes two DataSource holes: (a) batch readChangeFeed
+    previously fell through to the snapshot reader and died on a bare
+    schema mismatch — it now serves the change rows via the CDF kernel
+    with startingVersion/endingVersion; (b) merely defining pushFilters
+    broke EVERY batch read on sessions without
+    spark.sql.python.filterPushdown.enabled — the reader now splits
+    like the snaplog source."""
+    from dc43_spark.io.delta_dml import delta_delete, delta_update
+    from dc43_spark.io.delta_source import (
+        DeltaLogCdfBatchReader,
+        DeltaLogPlainBatchReader,
+    )
+
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 4), t, checkpoint_interval=None,
+                configuration={"delta.enableChangeDataFeed": "true"})  # v0
+    delta_update(spark, t, {"v": "'V'"}, "k = 2", use_dvs=True)  # v1
+    delta_delete(spark, t, "k = 0", use_dvs=True)                # v2
+
+    df = spark.read.format("deltalog").option("readChangeFeed", "true") \
+        .option("startingVersion", 1).load(t)
+    got = {(r.k, r.v, r._change_type, r._commit_version)
+           for r in df.collect()}
+    assert got == {
+        (2, "x", "update_preimage", 1), (2, "V", "update_postimage", 1),
+        (0, "x", "delete", 2),
+    }
+    # full history includes v0 inserts
+    full = spark.read.format("deltalog").option("readChangeFeed", "true") \
+        .load(t)
+    assert full.count() == 4 + 3
+    with pytest.raises(Exception, match="outside table versions"):
+        DeltaLogCdfBatchReader(t, full.schema, {"endingversion": "9"})
+
+    # (b) the plain reader does NOT override pushFilters (overriding is
+    # what trips Spark's DATA_SOURCE_PUSHDOWN_DISABLED guard)
+    from pyspark.sql.datasource import DataSourceReader
+
+    assert (
+        DeltaLogPlainBatchReader.pushFilters is DataSourceReader.pushFilters
+    )
