@@ -9,7 +9,9 @@ Python data-source API) — batch AND streaming:
 Why a second batch path when ``DeltaLogTable.read`` exists: the data
 source serves the STREAMING half — commit-offset incremental reads of a
 real ``_delta_log`` (Delta's own streaming-source semantics:
-``startingVersion``, ``ignoreDeletes``, ``ignoreChanges``) — and gives
+``startingVersion`` / ``startingTimestamp``, ``ignoreDeletes``,
+``ignoreChanges``, ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``
+rate limits, batch + streaming ``readChangeFeed``) — and gives
 the batch path Catalyst filter pushdown (pushFilters -> stats +
 partition-value pruning BEFORE partition planning, so a selective scan
 of a large table plans only the surviving files). Deletion vectors are
