@@ -688,6 +688,27 @@ class DeltaLogCdfBatchReader(DataSourceReader):
             raise FileNotFoundError(f"no Delta log at {path}")
         sv = options.get("startingversion")
         ev = options.get("endingversion")
+        sts = options.get("startingtimestamp")
+        ets = options.get("endingtimestamp")
+        if (sv is not None and sts is not None) or (
+            ev is not None and ets is not None
+        ):
+            raise ValueError(
+                "pass version OR timestamp bounds for the change feed, "
+                "not both"
+            )
+        if sts is not None:
+            ts = _parse_start_ts(sts)
+            sv = next(
+                (v for v in versions if self._table._commit_timestamp(v) >= ts),
+                head + 1,
+            )
+        if ets is not None:
+            ts = _parse_start_ts(ets)
+            before = [
+                v for v in versions if self._table._commit_timestamp(v) <= ts
+            ]
+            ev = before[-1] if before else -1
         self._start = int(sv) if sv is not None else (
             versions[0] if versions else 0
         )

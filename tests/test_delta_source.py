@@ -785,3 +785,28 @@ def test_batch_read_change_feed_and_plain_session_reads(
     assert (
         DeltaLogPlainBatchReader.pushFilters is DataSourceReader.pushFilters
     )
+
+
+def test_batch_cdf_timestamp_bounds(registered, spark, tmp_path):
+    """Batch CDF accepts startingTimestamp/endingTimestamp bounds
+    (ICT-preferring at-or-after / at-or-before resolution), exclusive
+    per side with the version options."""
+    from dc43_spark.io.delta_dml import delta_delete
+
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 4), t, checkpoint_interval=None,
+                configuration={"delta.enableChangeDataFeed": "true"})  # v0
+    delta_delete(spark, t, "k = 0", use_dvs=True)                      # v1
+    delta_delete(spark, t, "k = 1", use_dvs=True)                      # v2
+    tbl = DeltaLogTable(spark, t)
+    ts1 = tbl._commit_timestamp(1)
+
+    got = spark.read.format("deltalog").option("readChangeFeed", "true") \
+        .option("startingTimestamp", str(ts1)) \
+        .option("endingTimestamp", str(ts1)).load(t)
+    assert {(r.k, r._change_type, r._commit_version)
+            for r in got.collect()} == {(0, "delete", 1)}
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("deltalog").option("readChangeFeed", "true") \
+            .option("startingVersion", 0) \
+            .option("startingTimestamp", "0").load(t).count()
