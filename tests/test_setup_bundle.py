@@ -64,7 +64,10 @@ def test_spark_bundle_executes_green(
             load_config(str(dest / "config.toml")).governance_store,
             spark=spark,
         )
-        matrix = g.status_matrix(f"data/{cfg.contract_id}")
+        # the dataset target anchors to the BUNDLE directory (Spark's
+        # JVM resolves relative paths against its own cwd, so a relative
+        # target would land wherever the JVM started — r12 fix)
+        matrix = g.status_matrix(str(dest / "data" / cfg.contract_id))
         assert matrix and matrix[-1]["status"] == "ok"
 
 
