@@ -84,6 +84,19 @@ class ServiceConfig:
     draft_on_block: bool = False
 
 
+def parse_config(data: Mapping[str, Any]) -> ServiceConfig:
+    """A parsed TOML mapping -> ServiceConfig (the document half of
+    ``load_config``, without file IO or env overrides — the /ui/config
+    validator reuses it on pasted text)."""
+    return ServiceConfig(
+        contract_store=StoreConfig.from_mapping(data.get("contract_store", {})),
+        governance_store=StoreConfig.from_mapping(data.get("governance_store", {})),
+        product_store=StoreConfig.from_mapping(data.get("product_store", {})),
+        auth=AuthConfig(token=(data.get("auth", {}) or {}).get("token")),
+        draft_on_block=bool((data.get("service", {}) or {}).get("draft_on_block", False)),
+    )
+
+
 def load_config(
     path: Optional[str] = None, *, env: Mapping[str, str] | None = None
 ) -> ServiceConfig:
@@ -95,13 +108,7 @@ def load_config(
     if path:
         with open(path, "rb") as fh:
             data = tomllib.load(fh)
-    cfg = ServiceConfig(
-        contract_store=StoreConfig.from_mapping(data.get("contract_store", {})),
-        governance_store=StoreConfig.from_mapping(data.get("governance_store", {})),
-        product_store=StoreConfig.from_mapping(data.get("product_store", {})),
-        auth=AuthConfig(token=(data.get("auth", {}) or {}).get("token")),
-        draft_on_block=bool((data.get("service", {}) or {}).get("draft_on_block", False)),
-    )
+    cfg = parse_config(data)
     for store, prefix in (
         (cfg.contract_store, "DC43_CONTRACT_STORE"),
         (cfg.governance_store, "DC43_GOVERNANCE_STORE"),

@@ -165,6 +165,14 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send_html(
                     200, webui.render_setup(parse_qs(url.query))
                 )
+            if seg == ["ui", "config"]:
+                return self._send_html(
+                    200,
+                    webui.render_config(
+                        self._contracts, self._gov, self._products,
+                        parse_qs(url.query),
+                    ),
+                )
             if seg == ["ui", "datasets"]:
                 return self._send_html(
                     200, webui.render_datasets_dashboard(self._gov)

@@ -117,7 +117,9 @@ def render_index(contract_store, governance_store, product_store=None) -> str:
         )
     body += (
         '<p><a href="/ui/author">author a new contract draft</a> · '
-        '<a href="/ui/author-product">author a data product</a></p>'
+        '<a href="/ui/author-product">author a data product</a> · '
+        '<a href="/ui/setup">setup bundle</a> · '
+        '<a href="/ui/config">service configuration</a></p>'
     )
     return _PAGE.format(title="dc43 governance", body=body)
 
@@ -655,3 +657,111 @@ def render_setup(params: dict[str, Any] | None = None) -> str:
             f"<pre>{escape(content)}</pre>"
         )
     return _PAGE.format(title="setup bundle", body=body)
+
+
+# -- service configuration (r12 — the reference app's config surface)
+
+_STORE_KINDS = {
+    # mirror of governance/bootstrap.py's builder dispatch (the builders
+    # stay authoritative at boot; this is the validator's vocabulary)
+    "contract_store": ("memory", "filesystem", "sql", "spark_table", "http"),
+    "governance_store": ("memory", "filesystem", "sql", "spark_table", "http"),
+    "product_store": ("memory", "filesystem", "sql", "spark_table", "collibra"),
+}
+
+
+def render_config(
+    contract_store, governance_store, product_store=None,
+    params: dict | None = None,
+) -> str:
+    """``/ui/config`` — the RUNNING service's store wiring (class names,
+    read-only, tokens never rendered) plus a TOML VALIDATOR: paste a
+    ``config.toml`` (the exact document governance/bootstrap.py loads)
+    and see what it would build, without applying anything — the
+    reference app's config-editor surface collapsed to its safe half
+    (applying config means restarting the service that serves this
+    page)."""
+    import tomllib
+
+    from dc43_spark.governance.bootstrap import parse_config
+
+    rows = [
+        [escape(kind), escape(type(store).__name__)]
+        for kind, store in (
+            ("contract store", contract_store),
+            ("governance store", governance_store),
+            ("product store", product_store),
+        )
+        if store is not None
+    ]
+    body = "<h2>Running stores</h2>" + _table(["role", "implementation"], rows)
+
+    raw = ""
+    if params:
+        v = params.get("toml", [""])
+        raw = v[0] if isinstance(v, list) else v
+    report = ""
+    if raw.strip():
+        try:
+            cfg = parse_config(tomllib.loads(raw))
+        except (tomllib.TOMLDecodeError, TypeError) as exc:
+            report = f'<p class="block">invalid TOML: {escape(str(exc))}</p>'
+        else:
+            out_rows, problems = [], []
+            for section, kinds in _STORE_KINDS.items():
+                sc = getattr(cfg, section)
+                ok = (sc.type or "memory").lower() in kinds
+                if not ok:
+                    problems.append(
+                        f"{section}.type {sc.type!r} is not one of {kinds}"
+                    )
+                detail = ", ".join(
+                    f"{f}={getattr(sc, f)!r}"
+                    for f in ("root", "dsn", "table", "base_url")
+                    if getattr(sc, f)
+                )
+                out_rows.append([
+                    escape(section),
+                    escape(sc.type or "memory"),
+                    escape(detail),
+                    '<span class="ok">ok</span>' if ok
+                    else '<span class="block">unknown type</span>',
+                ])
+            out_rows.append([
+                "auth", "bearer" if cfg.auth.token else "none",
+                "(token redacted)" if cfg.auth.token else "",
+                '<span class="ok">ok</span>',
+            ])
+            out_rows.append([
+                "service", "draft_on_block",
+                escape(str(cfg.draft_on_block)), '<span class="ok">ok</span>',
+            ])
+            verdict = (
+                '<p class="ok">config parses; these stores would build</p>'
+                if not problems
+                else '<p class="block">'
+                + "; ".join(escape(p) for p in problems)
+                + "</p>"
+            )
+            report = verdict + _table(
+                ["section", "type", "settings", "check"], out_rows
+            )
+    # the echoed textarea masks token values: the GET query lands in
+    # request logs already, but this page must never render a secret
+    import re as _re
+
+    echoed = _re.sub(
+        r'(?m)^(\s*token\s*=\s*).*$', r'\1"***"', raw
+    )
+    body += (
+        "<h2>Validate a config.toml</h2>"
+        '<form method="get" action="/ui/config">'
+        f'<p><textarea name="toml" rows="14" cols="90" '
+        f'placeholder="[contract_store]&#10;type = &quot;filesystem&quot;'
+        f'&#10;root = &quot;/srv/contracts&quot;">{escape(echoed)}</textarea>'
+        "</p><p><button type='submit'>validate</button></p></form>"
+        "<p>Validation only — the service loads its config at boot "
+        "(<code>DC43_SERVICE_CONFIG</code> / bootstrap TOML); nothing "
+        "is applied from this page.</p>"
+    ) + report
+    return _PAGE.format(title="service configuration", body=body)

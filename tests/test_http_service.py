@@ -309,3 +309,44 @@ def test_web_ui_edit_form_and_version_diff():
             raise AssertionError("expected 404")
         except urllib.error.HTTPError as exc:
             assert exc.code == 404
+
+
+def test_web_ui_config_page_and_validator():
+    """r12: /ui/config renders the running stores (read-only, token
+    never rendered) and validates a pasted config.toml without applying
+    anything — bad TOML and unknown store types report loudly."""
+    import urllib.parse
+    import urllib.request
+
+    from dc43_spark.contracts.store import MemoryContractStore
+    from dc43_spark.governance.stores import MemoryGovernanceStore
+
+    cs, gs = MemoryContractStore(), MemoryGovernanceStore()
+    with GovernanceServiceServer(cs, gs) as url:
+        def fetch(q=""):
+            with urllib.request.urlopen(url + "/ui/config" + q, timeout=5) as r:
+                return r.read().decode()
+
+        page = fetch()
+        assert "MemoryContractStore" in page
+        assert "MemoryGovernanceStore" in page
+        assert "Validate a config.toml" in page
+
+        good = (
+            '[contract_store]\ntype = "filesystem"\nroot = "/srv/c"\n'
+            '[governance_store]\ntype = "sql"\ndsn = "x.db"\n'
+            '[auth]\ntoken = "SECRET-TOKEN"\n'
+        )
+        page = fetch("?" + urllib.parse.urlencode({"toml": good}))
+        assert "these stores would build" in page
+        assert "/srv/c" in page and "x.db" in page
+        assert "SECRET-TOKEN" not in page          # never rendered
+        assert "(token redacted)" in page
+
+        page = fetch("?" + urllib.parse.urlencode(
+            {"toml": '[contract_store]\ntype = "iceberg"\n'}
+        ))
+        assert "unknown type" in page and "iceberg" in page
+
+        page = fetch("?" + urllib.parse.urlencode({"toml": "not [ toml"}))
+        assert "invalid TOML" in page
