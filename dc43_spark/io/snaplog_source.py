@@ -521,7 +521,24 @@ class SnaplogStreamReader(DataSourceStreamReader):
         self._base: Optional[dict] = None  # last known consumed offset
         self._commit_stats: dict = {}  # version -> (n adds, bytes)
         sv = options.get("startingversion")
-        if sv is not None and str(sv).lower() == "latest":
+        st = options.get("startingtimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "pass startingVersion OR startingTimestamp, not both"
+            )
+        if st is not None:
+            # first retained commit at-or-after the timestamp (numeric or
+            # ISO 8601); past the head = new data only
+            from dc43_spark.io.delta_source import _parse_start_ts
+
+            ts = _parse_start_ts(st)
+            head = self._table.version()
+            self._starting = (0 if head is None else head + 1)
+            for v in self._table._versions():
+                if self._table._read_commit(v).get("timestamp", 0) >= ts:
+                    self._starting = v
+                    break
+        elif sv is not None and str(sv).lower() == "latest":
             # Delta's "new data only": skip history (incl. any vacuumed
             # commits) and serve commits made after the stream started
             head = self._table.version()

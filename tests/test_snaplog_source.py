@@ -390,3 +390,49 @@ def test_stream_rate_limits_commits_per_trigger(registered, tmp_path):
             path, schema,
             {"readchangefeed": "true", "maxfilespertrigger": "1"},
         )
+
+
+def test_stream_starting_timestamp(registered, tmp_path):
+    """r12: startingTimestamp on the snaplog stream — first retained
+    commit at-or-after the stamp; past the head = new data only;
+    exclusive with startingVersion."""
+    from dc43_spark.io.snaplog_source import SnaplogStreamReader
+
+    path = str(tmp_path / "t")
+    t = SnaplogTable(registered, path)
+    for i in range(3):
+        t.write(
+            registered.createDataFrame([(i, "x")], "k long, v string")
+            .coalesce(1),
+            mode="overwrite" if i == 0 else "append",
+        )
+    schema = t.read().schema
+    ts1 = t._read_commit(1)["timestamp"]
+
+    r = SnaplogStreamReader(path, schema, {"startingtimestamp": str(ts1)})
+    assert r.initialOffset() == {"version": 0}  # first batch starts at v1
+    r = SnaplogStreamReader(
+        path, schema,
+        {"startingtimestamp": str(t._read_commit(2)["timestamp"] + 10)},
+    )
+    assert r.initialOffset() == {"version": 2}  # new data only
+    with pytest.raises(ValueError, match="not both"):
+        SnaplogStreamReader(
+            path, schema,
+            {"startingversion": "0", "startingtimestamp": "0"},
+        )
+
+    # end to end: only commits v1.. arrive
+    out = str(tmp_path / "o")
+    q = (
+        registered.readStream.format("snaplog")
+        .option("startingTimestamp", str(ts1)).load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    if q.exception():
+        raise RuntimeError(str(q.exception()))
+    assert {x.k for x in registered.read.parquet(out).collect()} == {1, 2}
