@@ -4248,17 +4248,23 @@ def _delta_table_changes(
       files refuses — row-level truth is not reconstructible there.
 
     Driver cost: one state reconstruction at ``starting_version - 1``
-    plus an O(actions) replay across the range; per-commit positional
-    filters ship as broadcast (anti-)joins on ``_metadata.row_index``,
-    bounded by the commit's own change volume."""
+    plus an O(actions) replay across the range. Deletion vectors never
+    touch the driver: the plan ships only O(1) descriptors; an executor
+    task decodes the bitmap(s) — and, for DV supersession, diffs the
+    two — into ``(file, pos)`` rows (``mapInPandas``), which
+    (semi/anti-)join the scan on ``_metadata``, broadcast below the
+    ``dvBroadcastMaxPositions`` gate and sort-merge above it
+    (``_dv_join_side``). A commit's derived files batch into ONE
+    multi-file scan + ONE positions join per (change-type, join-mode)
+    group — at most four plans per commit, so plan size grows with the
+    RANGE, never with a commit's file count (a 10k-file DV-growth
+    commit is one scan, not 10k unioned joins)."""
     head = t.version()
     if head is None:
         raise FileNotFoundError(f"no Delta log at {t.log_dir}")
     end = head if ending_version is None else ending_version
     if starting_version > end:
         raise ValueError(f"starting_version {starting_version} > end {end}")
-
-    from dc43_spark.io.dv import decode_dv_descriptor
 
     spark = t.spark
     end_snap = t.snapshot(end)
@@ -4291,57 +4297,173 @@ def _delta_table_changes(
             F.lit(ts).cast("double").alias("_commit_timestamp"),
         )
 
-    def _positions(add: Optional[dict]):
+    def _dv_desc(add: Optional[dict]) -> Optional[tuple]:
+        """The add/remove's DV as an O(1) descriptor tuple (None when
+        absent) — the only DV representation the driver ever holds."""
         dv = (add or {}).get("deletionVector")
         if not dv or dv.get("pathOrInlineDv") is None:
-            return frozenset()
-        return frozenset(
-            decode_dv_descriptor(t.path, {
-                "storageType": dv.get("storageType", "u"),
-                "pathOrInlineDv": dv["pathOrInlineDv"],
-                "offset": dv.get("offset") or 0,
-                "sizeInBytes": dv.get("sizeInBytes"),
-                "cardinality": dv.get("cardinality"),
-            }).tolist()
+            return None
+        return (
+            dv.get("storageType", "u"),
+            dv["pathOrInlineDv"],
+            int(dv.get("offset") or 0),
+            -1 if dv.get("sizeInBytes") is None else int(dv["sizeInBytes"]),
+            -1 if dv.get("cardinality") is None else int(dv["cardinality"]),
         )
+
+    table_path = t.path
 
     # files store the data columns only (physical names when mapped);
     # partition values attach from the add action as typed literals —
     # without this the derived paths crash on partitioned/mapped tables
     file_schema = t._physical_schema(end_snap, data_fields)
 
-    def _rows_at(rel_path: str, positions, mode: str, pvals) -> DataFrame:
-        """File rows KEPT at / DROPPED from ``positions`` via a broadcast
-        (anti-)join on the hidden row index — never an isin literal."""
+    def _ident_keys(rel: str) -> tuple:
+        """(basename, raw suffix, URL-quoted suffix) — the same
+        full-relative-path keying ``_dv_filter`` uses: basename equality
+        drives the hash join, the suffix residual disambiguates two live
+        files sharing a basename in different partition directories."""
+        return (
+            os.path.basename(rel),
+            "/" + rel.lstrip("/"),
+            "/" + urllib.parse.quote(rel.lstrip("/")),
+        )
+
+    def _rows_batch(specs, mode: str) -> DataFrame:
+        """Rows KEPT at (``mode='keep'``, semi) / DROPPED from
+        (``'drop'``, anti) the DV-denoted positions of EVERY spec in one
+        plan: one multi-file scan, one descriptor ``mapInPandas``
+        expansion (executor-side decode + setdiff for diff pairs), one
+        join keyed on (basename, row_index) with the path-suffix
+        residual. ``specs`` is ``[(rel_path, minuend|None,
+        subtrahend|None, partitionValues), ...]``; a drop-mode spec with
+        no DV contributes no build rows and survives the anti-join
+        whole. Partition values attach via a broadcast identity join
+        (the ``_file_identity_df`` pattern), never per-file literal
+        branches."""
         df = (
             spark.read.format("parquet")
             .schema(file_schema)
-            .load(os.path.join(t.path, rel_path))
+            .load([os.path.join(t.path, rel) for rel, *_ in specs])
+            .select(
+                "*",
+                F.col("_metadata.file_name").alias("_tc_fb"),
+                F.col("_metadata.file_path").alias("_tc_path"),
+                F.col("_metadata.row_index").alias("_tc_pos"),
+            )
         )
-        if positions:
-            pos_df = spark.createDataFrame(
-                [(int(p),) for p in sorted(positions)], "_pos long"
+        dv_specs = [(rel, m, s) for rel, m, s, _pv in specs if m is not None]
+        if dv_specs:
+            rows = [
+                _ident_keys(rel) + m + (s or (None, None, None, None, None))
+                for rel, m, s in dv_specs
+            ]
+            desc = spark.createDataFrame(
+                rows,
+                "fb string, sfx string, sfxq string, "
+                "storage string, spec string, off long, size long, "
+                "card long, b_storage string, b_spec string, b_off long, "
+                "b_size long, b_card long",
             )
-            keyed = df.select(
-                "*", F.col("_metadata.row_index").alias("_pos_k")
+
+            def _expand(batches):
+                import numpy as np
+                import pandas as pd
+
+                from dc43_spark.io.dv import decode_dv_descriptor
+
+                for pdf in batches:
+                    for r in pdf.itertuples(index=False):
+                        pos = decode_dv_descriptor(table_path, {
+                            "storageType": r.storage,
+                            "pathOrInlineDv": r.spec,
+                            "offset": r.off,
+                            "sizeInBytes": None if r.size < 0 else r.size,
+                            "cardinality": None if r.card < 0 else r.card,
+                        })
+                        if r.b_spec is not None:
+                            other = decode_dv_descriptor(table_path, {
+                                "storageType": r.b_storage,
+                                "pathOrInlineDv": r.b_spec,
+                                "offset": r.b_off,
+                                "sizeInBytes":
+                                    None if r.b_size < 0 else r.b_size,
+                                "cardinality":
+                                    None if r.b_card < 0 else r.b_card,
+                            })
+                            pos = np.setdiff1d(
+                                pos, other, assume_unique=True
+                            )
+                        yield pd.DataFrame({
+                            "fb": r.fb, "sfx": r.sfx, "sfxq": r.sfxq,
+                            "_pos": pos.astype("int64"),
+                        })
+
+            pos_df = desc.mapInPandas(
+                _expand, "fb string, sfx string, sfxq string, _pos long"
             )
-            df = keyed.join(
-                F.broadcast(pos_df), keyed["_pos_k"] == pos_df["_pos"],
+            card = (
+                -1
+                if any(m[4] < 0 for _rel, m, _s in dv_specs)
+                else sum(m[4] for _rel, m, _s in dv_specs)
+            )
+            df = df.join(
+                _dv_join_side(spark, pos_df, card),
+                (df["_tc_fb"] == pos_df["fb"])
+                & (df["_tc_pos"] == pos_df["_pos"])
+                & (
+                    df["_tc_path"].endswith(pos_df["sfx"])
+                    | df["_tc_path"].endswith(pos_df["sfxq"])
+                ),
                 "left_semi" if mode == "keep" else "left_anti",
-            ).drop("_pos_k")
+            )
         elif mode == "keep":
-            df = df.limit(0)
+            return df.limit(0)
         if end_snap.column_mapping:
             df = df.select(
                 *[
                     F.col(f"`{p.name}`").alias(l.name)
                     for p, l in zip(file_schema.fields, data_fields)
+                ],
+                "_tc_fb", "_tc_path",
+            )
+        if part_cols:
+            ident_schema = StructType(
+                [
+                    StructField("_id_fb", StringType()),
+                    StructField("_id_sfx", StringType()),
+                    StructField("_id_sfxq", StringType()),
+                ]
+                + [
+                    StructField(c, snap_schema[c].dataType)
+                    for c in part_cols
                 ]
             )
-        pv = {p2l.get(k, k): v for k, v in _as_map(pvals).items()}
-        for c in part_cols:
-            val = _parse_partition_value(types[c], pv.get(c))
-            df = df.withColumn(c, F.lit(val).cast(snap_schema[c].dataType))
+            ident_rows = []
+            for rel, _m, _s, pvals in specs:
+                pv = {
+                    p2l.get(k, k): val
+                    for k, val in _as_map(pvals).items()
+                }
+                ident_rows.append(
+                    _ident_keys(rel)
+                    + tuple(
+                        _parse_partition_value(types[c], pv.get(c))
+                        for c in part_cols
+                    )
+                )
+            ident = F.broadcast(
+                spark.createDataFrame(ident_rows, ident_schema)
+            )
+            df = df.join(
+                ident,
+                (df["_tc_fb"] == ident["_id_fb"])
+                & (
+                    df["_tc_path"].endswith(ident["_id_sfx"])
+                    | df["_tc_path"].endswith(ident["_id_sfxq"])
+                ),
+                "inner",
+            )
         return df
 
     for v in range(max(starting_version, 0), end + 1):
@@ -4428,44 +4550,51 @@ def _delta_table_changes(
                 out_parts.append(_tagged(df, None, v, ts))
         else:
             removed_paths = {_decode_path(r["path"]) for r in data_removes}
+            # accumulate (rel, minuend, subtrahend, pvals) specs per
+            # (change-type, join-mode) group; each non-empty group
+            # becomes ONE batched plan below
+            groups: dict = {
+                ("insert", "drop"): [],  # new-path adds under own DV
+                ("delete", "keep"): [],  # DV growth: new−old positions
+                ("insert", "keep"): [],  # RESTORE re-inserts: old−new
+                ("delete", "drop"): [],  # full removes under prior DV
+            }
             for a in data_adds:
                 p = _decode_path(a["path"])
                 prior = state.get(p)
+                new_d = _dv_desc(a)
                 if prior is None:
-                    out_parts.append(
-                        _tagged(_rows_at(p, _positions(a), "drop",
-                                          a.get("partitionValues")),
-                                "insert", v, ts)
+                    groups[("insert", "drop")].append(
+                        (p, new_d, None, a.get("partitionValues"))
                     )
                     continue
-                new_set, old_set = _positions(a), _positions(prior)
-                newly = new_set - old_set
-                restored = old_set - new_set
-                if newly:
-                    out_parts.append(
-                        _tagged(_rows_at(p, newly, "keep",
-                                          a.get("partitionValues")),
-                                "delete", v, ts)
+                # DV supersession: both diffs computed EXECUTOR-side
+                # from the two O(1) descriptors (an equal-set rewrite
+                # under different descriptors yields empty-diff
+                # zero-row batches, harmless)
+                old_d = _dv_desc(prior)
+                if new_d is not None and new_d != old_d:
+                    groups[("delete", "keep")].append(
+                        (p, new_d, old_d, a.get("partitionValues"))
                     )
-                if restored:
-                    # the new vector UNCOVERED rows (RESTORE to an
-                    # earlier DV state): they re-enter the table
-                    out_parts.append(
-                        _tagged(_rows_at(p, restored, "keep",
-                                          a.get("partitionValues")),
-                                "insert", v, ts)
+                if old_d is not None and old_d != new_d:
+                    groups[("insert", "keep")].append(
+                        (p, old_d, new_d, a.get("partitionValues"))
                     )
                 removed_paths.discard(p)
-                continue
             for p in sorted(removed_paths):
                 prior = state.get(p)
                 if prior is None:
                     continue  # tombstone for an already-absent path
-                out_parts.append(
-                    _tagged(_rows_at(p, _positions(prior), "drop",
-                                      prior.get("partitionValues")),
-                            "delete", v, ts)
+                groups[("delete", "drop")].append(
+                    (p, _dv_desc(prior), None,
+                     prior.get("partitionValues"))
                 )
+            for (change, mode), specs in groups.items():
+                if specs:
+                    out_parts.append(
+                        _tagged(_rows_batch(specs, mode), change, v, ts)
+                    )
         # advance the running state past this commit IN ACTION ORDER —
         # a remove+add of the SAME path (DV supersession) must leave the
         # add standing; applying all adds then all removes would drop it

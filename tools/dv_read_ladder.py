@@ -20,8 +20,17 @@ since r12 only the O(1) DV descriptor rides each pickled partition and
 positions decode executor-side (VERDICT r11 #1), so this rung grows
 with per-file decode work, never with driver memory.
 
+``--cdf`` adds rungs for the batch ``table_changes`` DERIVED path
+(VERDICT r12 #1): the table gets a v1 that re-adds every file with a
+GROWN deletion vector (v0 carries the first half of each file's
+positions, v1 the full set), so ``table_changes(1, 1)`` must diff the
+two vectors per file. Since r13 the driver ships only the two O(1)
+descriptors and an executor task decodes + ``setdiff1d``s them, so the
+rung is gated the same way as the snapshot read (broadcast below
+``dvBroadcastMaxPositions``, sort-merge above).
+
 Usage: python tools/dv_read_ladder.py [--scales 1000000,10000000,100000000]
-       [--files 64] [--rows 2000000] [--reps 2] [--source]
+       [--files 64] [--rows 2000000] [--reps 2] [--source] [--cdf]
 Prints a markdown table + one JSON line (SCALE.md material).
 """
 
@@ -48,11 +57,27 @@ from dc43_spark.io.delta_log import DeltaLogTable  # noqa: E402
 _GATE_KEY = "spark.dc43.delta.dvBroadcastMaxPositions"
 
 
-def _build(root: str, n_positions: int, n_files: int, n_rows: int) -> None:
+def _dv_for(root: str, positions: np.ndarray) -> dict:
+    blob = dvmod.serialize_dv_blob(positions)
+    u = uuid.uuid4()
+    (off,) = dvmod.write_dv_file(
+        os.path.join(root, f"deletion_vector_{u}.bin"), [blob]
+    )
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": dvmod.z85_encode(u.bytes),
+        "offset": off, "sizeInBytes": len(blob),
+        "cardinality": int(len(positions)),
+    }
+
+
+def _build(root: str, n_positions: int, n_files: int, n_rows: int,
+           cdf: bool = False) -> None:
     os.makedirs(os.path.join(root, "_delta_log"))
     rows_per_file = n_rows // n_files
     pos_per_file = n_positions // n_files
     adds = []
+    grown_adds = []
     data = pa.table({"k": pa.array(np.arange(rows_per_file), pa.int64())})
     rng = np.random.default_rng(11)
     for i in range(n_files):
@@ -64,24 +89,24 @@ def _build(root: str, n_positions: int, n_files: int, n_rows: int) -> None:
         positions = np.unique(
             rng.integers(0, 64_000_000, pos_per_file).astype(np.int64)
         )
-        blob = dvmod.serialize_dv_blob(positions)
-        u = uuid.uuid4()
-        (off,) = dvmod.write_dv_file(
-            os.path.join(root, f"deletion_vector_{u}.bin"), [blob]
-        )
-        adds.append({
+        add = {
             "add": {
                 "path": name, "partitionValues": {}, "size": 1,
                 "dataChange": True,
                 "stats": json.dumps({"numRecords": rows_per_file}),
-                "deletionVector": {
-                    "storageType": "u",
-                    "pathOrInlineDv": dvmod.z85_encode(u.bytes),
-                    "offset": off, "sizeInBytes": len(blob),
-                    "cardinality": int(len(positions)),
-                },
+                "deletionVector": _dv_for(
+                    root, positions[: len(positions) // 2] if cdf
+                    else positions
+                ),
             }
-        })
+        }
+        adds.append(add)
+        if cdf:
+            # v1 re-adds the file with the FULL vector: a DV-growth
+            # commit whose change rows are the second-half positions
+            grown = json.loads(json.dumps(add))
+            grown["add"]["deletionVector"] = _dv_for(root, positions)
+            grown_adds.append(grown)
     actions = [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                       "readerFeatures": ["deletionVectors"],
@@ -95,6 +120,10 @@ def _build(root: str, n_positions: int, n_files: int, n_rows: int) -> None:
     ] + adds
     with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
         fh.writelines(json.dumps(a) + "\n" for a in actions)
+    if cdf:
+        with open(os.path.join(root, "_delta_log", f"{1:020d}.json"),
+                  "w") as fh:
+            fh.writelines(json.dumps(a) + "\n" for a in grown_adds)
 
 
 def main() -> int:
@@ -105,6 +134,9 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--source", action="store_true",
                     help="also ladder the deltalog DataSource stream read")
+    ap.add_argument("--cdf", action="store_true",
+                    help="ladder the batch table_changes derived path "
+                         "over a DV-growth commit instead of the scan")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
@@ -123,17 +155,19 @@ def main() -> int:
     for n in scales:
         root = tempfile.mkdtemp(prefix="dv_read_ladder_")
         try:
-            _build(root, n, args.files, args.rows)
+            _build(root, n, args.files, args.rows, cdf=args.cdf)
             tbl = DeltaLogTable(spark, root)
+            measure = (
+                (lambda: tbl.table_changes(1, 1).count()) if args.cdf
+                else (lambda: tbl.read().count())
+            )
             for mode in ("broadcast", "shuffle"):
                 if mode == "broadcast" and n > 10_000_000:
                     continue  # the gate exists to forbid exactly this
                 spark.conf.set(_GATE_KEY, str(n + 1 if mode == "broadcast" else 0))
-                best = min(
-                    _timed(lambda: tbl.read().count())
-                    for _ in range(args.reps)
-                )
-                rows.append({"positions": n, "mode": mode,
+                best = min(_timed(measure) for _ in range(args.reps))
+                rows.append({"positions": n,
+                             "mode": ("cdf-" if args.cdf else "") + mode,
                              "count_sec": round(best, 2)})
             if args.source:
                 from dc43_spark.io.delta_source import DeltaLogDataSource
