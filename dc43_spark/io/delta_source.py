@@ -10,8 +10,9 @@ Why a second batch path when ``DeltaLogTable.read`` exists: the data
 source serves the STREAMING half — commit-offset incremental reads of a
 real ``_delta_log`` (Delta's own streaming-source semantics:
 ``startingVersion`` / ``startingTimestamp``, ``ignoreDeletes``,
-``ignoreChanges``, ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``
-rate limits, batch + streaming ``readChangeFeed``) — and gives
+``ignoreChanges``, ``skipChangeCommits``, ``maxFilesPerTrigger`` /
+``maxBytesPerTrigger`` rate limits, batch + streaming
+``readChangeFeed``) — and gives
 the batch path Catalyst filter pushdown (pushFilters -> stats +
 partition-value pruning BEFORE partition planning, so a selective scan
 of a large table plans only the surviving files). Deletion vectors are
@@ -31,6 +32,11 @@ Streaming semantics mirror delta-spark's source contract:
   deletion vector) refuse unless ``ignoreChanges=true``, which replays
   the rewritten file's LIVE rows — the same at-least-once caveat Delta
   documents;
+- ``skipChangeCommits=true`` (delta-spark ≥2.3, the documented
+  replacement for ``ignoreChanges``) instead SKIPS change commits
+  wholesale: no rows from a commit that deletes or rewrites data — not
+  even rows its adds appended — so the stream never duplicates;
+  mutually exclusive with ``ignoreChanges`` / ``ignoreDeletes``;
 - without ``startingVersion`` the FIRST batch serves the current
   snapshot (delta-spark's ``isStartingVersion`` initialization), then
   later batches are incremental — replaying from version 0 would fail
@@ -259,6 +265,18 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self._ignore_changes = (
             str(options.get("ignorechanges", "")).lower() == "true"
         )
+        self._skip_change_commits = (
+            str(options.get("skipchangecommits", "")).lower() == "true"
+        )
+        if self._skip_change_commits and (
+            self._ignore_changes or self._ignore_deletes
+        ):
+            raise ValueError(
+                "skipChangeCommits is mutually exclusive with "
+                "ignoreChanges/ignoreDeletes: skip drops change commits "
+                "wholesale, ignore* replays their rewritten rows — pick "
+                "one semantics"
+            )
         self._max_files = int(options.get("maxfilespertrigger", 0) or 0)
         self._max_bytes = int(options.get("maxbytespertrigger", 0) or 0)
         if self._max_files < 0 or self._max_bytes < 0:
@@ -436,6 +454,13 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 a for a in data_adds
                 if (a.get("deletionVector") or {}).get("pathOrInlineDv")
             ]
+            if self._skip_change_commits and (data_removes or dv_adds):
+                # delta-spark's skipChangeCommits: a commit that deletes
+                # or rewrites data contributes NOTHING — its adds are
+                # rewritten carriers of old rows, so emitting them would
+                # duplicate; appends folded into the same commit are
+                # dropped too (delta-spark's documented behavior)
+                continue
             if (rewrites or dv_adds) and not self._ignore_changes:
                 raise ValueError(
                     f"commit v{v} rewrites or deletion-vectors files; a "
@@ -736,9 +761,10 @@ class DeltaLogDataSource(DataSource):
     """``spark.dataSource.register(DeltaLogDataSource)`` then
     ``.format("deltalog")``. Options: ``versionAsOf`` / ``timestampAsOf``
     (batch), ``startingVersion`` / ``ignoreDeletes`` / ``ignoreChanges``
-    / ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` (streaming; the
-    rate limits chunk the initial snapshot by file index and admit whole
-    commits per batch — not supported on the CDF stream)."""
+    / ``skipChangeCommits`` / ``maxFilesPerTrigger`` /
+    ``maxBytesPerTrigger`` (streaming; the rate limits chunk the initial
+    snapshot by file index and admit whole commits per batch — not
+    supported on the CDF stream)."""
 
     @classmethod
     def name(cls) -> str:

@@ -24,8 +24,11 @@ offsets (``{"version": N}`` = commits <= N consumed). Each microbatch
 serves the files ADDED by the new commits, one partition per file;
 checkpointed offsets make restarts replay-free. Non-append commits
 (merge/delete/update/overwrite rewrite files) raise unless
-``ignoreChanges=true`` — the same contract as Delta's streaming source
-— and layout-only compaction commits (``data_change=false``) are
+``ignoreChanges=true`` (replay rewritten rows, at-least-once) or
+``skipChangeCommits=true`` (drop change commits wholesale, no
+duplicates — delta-spark's documented replacement; the two options are
+mutually exclusive) — the same contract as Delta's streaming source —
+and layout-only compaction commits (``data_change=false``) are
 always invisible. With ``readChangeFeed=true`` the stream emits
 row-level changes (``_change_type`` / ``_commit_version`` /
 ``_commit_timestamp``) instead of raw rows, turning any snaplog table
@@ -506,6 +509,21 @@ class SnaplogStreamReader(DataSourceStreamReader):
         self._ignore_changes = (
             str(options.get("ignorechanges", "")).lower() == "true"
         )
+        self._skip_change_commits = (
+            str(options.get("skipchangecommits", "")).lower() == "true"
+        )
+        if self._skip_change_commits and self._ignore_changes:
+            raise ValueError(
+                "skipChangeCommits is mutually exclusive with "
+                "ignoreChanges: skip drops change commits wholesale, "
+                "ignoreChanges replays their rewritten rows — pick one "
+                "semantics"
+            )
+        if self._cdc and self._skip_change_commits:
+            raise ValueError(
+                "skipChangeCommits does not apply to the change-feed "
+                "stream (the CDF already carries row-level changes)"
+            )
         self._max_files = int(options.get("maxfilespertrigger", 0) or 0)
         self._max_bytes = int(options.get("maxbytespertrigger", 0) or 0)
         if self._max_files < 0 or self._max_bytes < 0:
@@ -600,6 +618,13 @@ class SnaplogStreamReader(DataSourceStreamReader):
                 _require_files(commit_parts, v)
                 parts.extend(commit_parts)
                 continue
+            if self._skip_change_commits and (
+                rec.get("remove") or rec.get("dv_add")
+            ):
+                # delta-spark's skipChangeCommits: a change commit
+                # contributes NOTHING — its adds carry rewritten old
+                # rows, so emitting them would duplicate
+                continue
             if (rec.get("remove") or rec.get("dv_add")) and not self._ignore_changes:
                 raise ValueError(
                     f"commit v{v} ({rec.get('operation')}) rewrites or "
@@ -633,7 +658,7 @@ class SnaplogDataSource(DataSource):
     """``spark.dataSource.register(SnaplogDataSource)`` then
     ``.format("snaplog")``. Options: ``versionAsOf`` / ``timestampAsOf``
     (batch time travel), ``startingVersion`` / ``ignoreChanges`` /
-    ``readChangeFeed`` (streaming)."""
+    ``skipChangeCommits`` / ``readChangeFeed`` (streaming)."""
 
     @classmethod
     def name(cls) -> str:

@@ -159,6 +159,60 @@ def test_streaming_change_commits_follow_the_contract(registered, spark, tmp_pat
     assert got == set(range(6)) - {1}
 
 
+def test_streaming_skip_change_commits(registered, spark, tmp_path):
+    """skipChangeCommits (delta-spark >=2.3, the documented replacement
+    for ignoreChanges) drops change commits WHOLESALE: the replay set
+    (ignoreChanges) exceeds the skip set by exactly the rewritten file's
+    carried rows, appends before/after the change commit still stream,
+    and the option refuses to combine with ignoreChanges/ignoreDeletes."""
+    from collections import Counter
+
+    from dc43_spark.io.delta_dml import delta_delete
+
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 6), t)        # v0: append (one file)
+    delta_write(spark, _df(spark, 6, 8), t)        # v1: append
+    delta_delete(spark, t, "k = 1", use_dvs=False)  # v2: COW rewrite
+    delta_write(spark, _df(spark, 8, 10), t)       # v3: append
+
+    def run(opts, cp, out):
+        reader = spark.readStream.format("deltalog")
+        for key, val in opts.items():
+            reader = reader.option(key, val)
+        q = (
+            reader.load(t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception():
+            raise RuntimeError(str(q.exception()))
+        return [r.k for r in spark.read.parquet(out).collect()]
+
+    replay = run({"ignoreChanges": "true", "startingVersion": 0},
+                 str(tmp_path / "cp_r"), str(tmp_path / "o_r"))
+    skipped = run({"skipChangeCommits": "true", "startingVersion": 0},
+                  str(tmp_path / "cp_s"), str(tmp_path / "o_s"))
+    # skip never sees v2 at all: every append replays, k=1 included
+    assert sorted(skipped) == list(range(10))
+    # replay vs skip differ by EXACTLY the rewritten file's carried rows
+    # (v0's file minus the deleted k=1: {0, 2, 3, 4, 5})
+    assert Counter(replay) - Counter(skipped) == Counter([0, 2, 3, 4, 5])
+    assert Counter(skipped) - Counter(replay) == Counter()
+
+    # refusal matrix: mutually exclusive with ignore*
+    from dc43_spark.io.delta_source import DeltaLogStreamReader
+
+    for bad in ({"ignorechanges": "true"}, {"ignoredeletes": "true"}):
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            DeltaLogStreamReader(
+                t, None, {"skipchangecommits": "true", **bad}
+            )
+
+
 def test_snapshot_start_then_incremental(registered, spark, tmp_path):
     """Default (no startingVersion) = snapshot-first: the first batch is
     the live snapshot, and a LATER commit arrives incrementally through

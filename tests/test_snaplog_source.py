@@ -142,6 +142,49 @@ def test_stream_rejects_rewrites_unless_ignore_changes(registered, tmp_path):
     assert sorted(r.k for r in got.collect()) == [1, 2, 2]
 
 
+def test_stream_skip_change_commits(registered, tmp_path):
+    """skipChangeCommits drops change commits wholesale (no duplicates,
+    no rows from the rewrite); the ignoreChanges replay differs from the
+    skip result by exactly the rewritten file's carried rows. Mutually
+    exclusive with ignoreChanges and refused on the CDF stream."""
+    from collections import Counter
+
+    path = str(tmp_path / "t")
+    t = SnaplogTable(registered, path)
+    t.write(
+        registered.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, v string"
+        ).coalesce(1)
+    )
+    t.delete([("k", "=", 1)])  # v1: rewrite carrying just k=2
+    t.write(registered.createDataFrame([(3, "c")], "k long, v string"))
+
+    replay = _run_stream(
+        registered, path, str(tmp_path / "cp_r"), str(tmp_path / "o_r"),
+        ignoreChanges="true",
+    )
+    skipped = _run_stream(
+        registered, path, str(tmp_path / "cp_s"), str(tmp_path / "o_s"),
+        skipChangeCommits="true",
+    )
+    replay_ks = [r.k for r in replay.collect()]
+    skip_ks = [r.k for r in skipped.collect()]
+    assert sorted(skip_ks) == [1, 2, 3]  # v0 + v2 appends, v1 skipped
+    assert Counter(replay_ks) - Counter(skip_ks) == Counter([2])
+    assert Counter(skip_ks) - Counter(replay_ks) == Counter()
+
+    from dc43_spark.io.snaplog_source import SnaplogStreamReader
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        SnaplogStreamReader(path, None, {
+            "skipchangecommits": "true", "ignorechanges": "true",
+        })
+    with pytest.raises(ValueError, match="change-feed"):
+        SnaplogStreamReader(path, None, {
+            "skipchangecommits": "true", "readchangefeed": "true",
+        })
+
+
 def test_change_feed_stream(registered, tmp_path):
     path = str(tmp_path / "t")
     t = SnaplogTable(registered, path, change_feed=True)
