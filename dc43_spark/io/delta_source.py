@@ -251,10 +251,12 @@ class DeltaLogStreamReader(DataSourceStreamReader):
 
     Engine caveat: under ``Trigger.AvailableNow`` the Python-source API
     captures ONE capped target per run, so a rate-limited run processes
-    one batch's budget and terminates (repeated runs converge) — use a
-    processing-time trigger for rate-limited drains; delta-spark's
-    multi-batch availableNow needs admission-control hooks the Python
-    API doesn't expose."""
+    one batch's budget and terminates (repeated runs converge) —
+    delta-spark's multi-batch availableNow needs admission-control
+    hooks the Python API doesn't expose. For backfill drains use
+    ``dc43_spark.streaming.drain.drain(start_run)``, which loops capped
+    availableNow runs on one checkpoint until caught up (exactly-once
+    via the offset log), or a processing-time trigger."""
 
     def __init__(self, path: str, schema: T.StructType, options: dict):
         self._table = DeltaLogTable(None, path)

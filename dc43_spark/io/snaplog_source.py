@@ -497,8 +497,10 @@ class SnaplogStreamReader(DataSourceStreamReader):
     least one, stopping before either budget would be exceeded) — the
     same admission shape as the deltalog source, with the same engine
     caveat: under ``Trigger.AvailableNow`` the Python-source API
-    captures ONE capped target per run (repeated runs converge); use a
-    processing-time trigger for rate-limited drains. The CDC stream is
+    captures ONE capped target per run (repeated runs converge); for
+    backfill drains use ``dc43_spark.streaming.drain.drain`` (loops
+    capped availableNow runs on one checkpoint until caught up) or a
+    processing-time trigger. The CDC stream is
     not rate-limited (per-commit change derivation is not
     file-splittable); the options refuse there."""
 

@@ -1,4 +1,5 @@
 from dc43_spark.streaming.dedup import dedup_stream
+from dc43_spark.streaming.drain import drain
 from dc43_spark.streaming.observer import (
     BatchRecord,
     MetricsQueryListener,
@@ -17,4 +18,5 @@ __all__ = [
     "sessionize",
     "sessionize_stream",
     "dedup_stream",
+    "drain",
 ]

@@ -679,6 +679,50 @@ def test_streaming_max_files_per_trigger_rate_limits(registered, spark, tmp_path
     assert len(batches) >= 4  # genuinely chunked, not one mega-batch
 
 
+def test_drain_rate_limited_backlog(registered, spark, tmp_path):
+    """streaming.drain: availableNow under a rate cap captures ONE
+    batch per run (Python DataSource API limitation) — the drain helper
+    loops capped runs on the same checkpoint until caught up, riding the
+    offset log for exactly-once. A 6-file backlog under
+    maxFilesPerTrigger=2 needs N>1 runs and lands every row exactly
+    once; a second drain is a single empty verification run."""
+    from dc43_spark.streaming.drain import drain
+
+    t = str(tmp_path / "t")
+    for i in range(6):  # 6 commits x 1 file
+        delta_write(spark, _df(spark, 10 * i, 10 * i + 10), t,
+                    checkpoint_interval=None)
+
+    out, cp = str(tmp_path / "o"), str(tmp_path / "cp")
+
+    def start():
+        return (
+            spark.readStream.format("deltalog")
+            .option("maxFilesPerTrigger", 2).load(t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    stats = drain(start, run_timeout_sec=300)
+    # 6 snapshot files / cap 2 = 3 data runs + 1 empty verification run
+    assert stats["runs"] > 2
+    assert stats["rows"] == 60
+    ks = [r.k for r in spark.read.parquet(out).collect()]
+    assert sorted(ks) == list(range(60))  # no duplicates, no loss
+
+    # caught up: one empty run and out
+    again = drain(start, run_timeout_sec=300)
+    assert again == {"runs": 1, "rows": 0}
+
+    # budget refusal is loud
+    delta_write(spark, _df(spark, 60, 70), t, checkpoint_interval=None)
+    with pytest.raises(RuntimeError, match="max_runs"):
+        drain(start, max_runs=1, run_timeout_sec=300)
+
+
 def test_streaming_max_bytes_per_trigger(registered, spark, tmp_path):
     """maxBytesPerTrigger: snapshot chunks stop at the byte budget (at
     least one file per batch), incremental commits admit whole until the

@@ -185,6 +185,37 @@ def test_stream_skip_change_commits(registered, tmp_path):
         })
 
 
+def test_drain_rate_limited_backlog(registered, tmp_path):
+    """streaming.drain over the snaplog source: a 5-commit backlog under
+    maxFilesPerTrigger=1 (commit granularity) drains in N>1 availableNow
+    runs on one checkpoint, exactly once."""
+    from dc43_spark.streaming.drain import drain
+
+    path = str(tmp_path / "t")
+    t = SnaplogTable(registered, path)
+    for i in range(5):
+        t.write(registered.createDataFrame([(i, f"v{i}")], "k long, v string"))
+
+    out, cp = str(tmp_path / "o"), str(tmp_path / "cp")
+
+    def start():
+        return (
+            registered.readStream.format("snaplog")
+            .option("maxFilesPerTrigger", 1).load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    stats = drain(start, run_timeout_sec=300)
+    assert stats["runs"] > 2 and stats["rows"] == 5
+    assert sorted(r.k for r in registered.read.parquet(out).collect()) == [
+        0, 1, 2, 3, 4,
+    ]
+
+
 def test_change_feed_stream(registered, tmp_path):
     path = str(tmp_path / "t")
     t = SnaplogTable(registered, path, change_feed=True)
