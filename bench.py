@@ -263,16 +263,44 @@ def main() -> int:
     # kernel-time storms make raw totals move 1.3-2x between windows with
     # zero code change; see SCALE.md). Three reps each side, min taken, so
     # a single stall can't poison the calibration itself.
+    def _canary_once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .filter("l_quantity > 25").count()
+        )
+        return time.perf_counter() - t0
+
     def _canary() -> float:
-        reps = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            (
-                spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-                .filter("l_quantity > 25").count()
-            )
-            reps.append(time.perf_counter() - t0)
-        return round(min(reps), 4)
+        return round(min(_canary_once() for _ in range(3)), 4)
+
+    # r13 (VERDICT r12 #6): stabilize to steady state BEFORE timing —
+    # three consecutive rounds adjudicated the same early-window false
+    # regressions (canary_first 1.6-1.8x canary_last while every
+    # candidate microbenched back to r11 steady state). Run a shuffle +
+    # broadcast-join warm-up, then loop the canary plan untimed until
+    # two consecutive reps land within 20% of the best seen — bounded
+    # at 20 reps / 60s so a stormy host can't stall the bench itself.
+    li_w = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od_w = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    (
+        li_w.join(od_w, li_w["l_orderkey"] == od_w["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg({"l_quantity": "sum"})
+        .collect()
+    )
+    _prev = None
+    _streak = 0
+    _deadline = time.time() + 60
+    for _ in range(20):
+        _dt = _canary_once()
+        if _prev is not None and abs(_dt - _prev) <= 0.2 * min(_dt, _prev):
+            _streak += 1
+        else:
+            _streak = 0
+        _prev = _dt
+        if _streak >= 2 or time.time() > _deadline:
+            break
 
     canary_first = _canary()
     for name in HEADLINE:
