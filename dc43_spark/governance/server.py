@@ -28,6 +28,25 @@ Routes (mirror of the reference's service surface):
   GET  /products/{id}/{version}                     -> ODPS product JSON
   POST /products                                    <- {"document": ODPS} | form
   POST /products/{id}/ports                         <- {"port", "kind", "bump"}
+  POST /products/{id}/{version}/edit                <- {"changes", "bump"}
+
+REST API for programmatic consumers (ref contracts-app /api/* routes;
+payloads built in governance/api.py):
+
+  GET  /api/contracts                               -> [catalog rows]
+  GET  /api/contracts/{cid}/{ver}                   -> contract + datasets
+                                                       + expectations
+  POST /api/contracts/{cid}/{ver}/validate          -> {"status": ...}
+  GET  /api/datasets                                -> [dataset records]
+  GET  /api/datasets/{dataset_id}                   -> link + matrix +
+                                                       activity + contract
+  GET  /api/integration-helper/contracts            -> {"contracts": []}
+  GET  /api/integration-helper/data-products        -> {"data_products": []}
+  GET  /api/integration-helper/contracts/{cid}/{ver}
+  GET  /api/integration-helper/data-products/{pid}/{ver}
+  POST /api/integration-helper/stub                 <- {"inputs", "outputs",
+                                                       "format"} -> runnable
+                                                       Spark script
 
 Path segments are URL-quoted by clients (dataset ids contain ``:`` and
 ``/`` — the ``path:<p>`` convention).
@@ -138,6 +157,13 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send_html(200, webui.render_author_form())
             if seg == ["ui", "author-product"]:
                 return self._send_html(200, webui.render_product_author_form())
+            if len(seg) == 5 and seg[1] == "products" and seg[4] == "edit":
+                return self._send_html(
+                    200,
+                    webui.render_product_edit_form(
+                        self._products, seg[2], seg[3]
+                    ),
+                )
             if len(seg) == 3 and seg[1] == "products":
                 return self._send_html(
                     200, webui.render_product(self._products, seg[2])
@@ -181,6 +207,43 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send_html(
                     200, webui.render_dataset(self._gov, seg[2])
                 )
+            return self._send(404)
+        if seg and seg[0] == "api":
+            from dc43_spark.governance import api
+
+            if seg == ["api", "contracts"]:
+                return self._send(200, api.contract_catalog(self._contracts))
+            if len(seg) == 4 and seg[1] == "contracts":
+                detail = api.contract_detail(
+                    self._contracts, self._gov, seg[2], seg[3]
+                )
+                return self._send(404 if detail is None else 200, detail)
+            if seg == ["api", "datasets"]:
+                return self._send(200, api.dataset_catalog(self._gov))
+            if len(seg) == 3 and seg[1] == "datasets":
+                detail = api.dataset_detail(
+                    self._gov, self._contracts, seg[2]
+                )
+                return self._send(404 if detail is None else 200, detail)
+            if seg == ["api", "integration-helper", "contracts"]:
+                return self._send(
+                    200, {"contracts": api.contract_catalog(self._contracts)}
+                )
+            if seg == ["api", "integration-helper", "data-products"]:
+                return self._send(
+                    200,
+                    {"data_products": api.product_catalog(self._products)},
+                )
+            if len(seg) == 5 and seg[1:3] == ["integration-helper",
+                                              "contracts"]:
+                detail = api.contract_detail(
+                    self._contracts, self._gov, seg[3], seg[4]
+                )
+                return self._send(404 if detail is None else 200, detail)
+            if len(seg) == 5 and seg[1:3] == ["integration-helper",
+                                              "data-products"]:
+                detail = api.product_detail(self._products, seg[3], seg[4])
+                return self._send(404 if detail is None else 200, detail)
             return self._send(404)
         if seg == ["contracts"]:
             return self._send(200, {"ids": self._contracts.list_ids()})
@@ -236,6 +299,44 @@ class _Handler(BaseHTTPRequestHandler):
             return
         seg = _segments(urlparse(self.path).path)
         body = self._body()
+        if seg and seg[0] == "api":
+            from dc43_spark.governance import api
+
+            if (
+                len(seg) == 5
+                and seg[1] == "contracts"
+                and seg[4] == "validate"
+            ):
+                verdict = api.validate_contract(
+                    self._contracts, seg[2], seg[3]
+                )
+                return self._send(404 if verdict is None else 200, verdict)
+            if seg == ["api", "integration-helper", "stub"]:
+                payload = dict(body or {})
+                integration = str(
+                    payload.get("integration") or "spark"
+                ).lower()
+                if integration != "spark":
+                    return self._send(
+                        400,
+                        {"error": f"unsupported integration: {integration}"},
+                    )
+                try:
+                    result = api.integration_stub(
+                        self._contracts,
+                        payload.get("inputs") or [],
+                        payload.get("outputs") or [],
+                        fmt=str(payload.get("format") or "parquet"),
+                        project=str(
+                            payload.get("project") or "dc43-integration"
+                        ),
+                    )
+                except LookupError as exc:
+                    return self._send(404, {"error": str(exc)})
+                except ValueError as exc:
+                    return self._send(422, {"error": str(exc)})
+                return self._send(200, result)
+            return self._send(404)
         if seg == ["governance", "activity"] and body is not None:
             self._gov.record_activity(body)
             return self._send(204)
@@ -350,6 +451,41 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(
                 201, {"product_id": product.id, "version": product.version,
                       "status": product.status}
+            )
+        if (
+            len(seg) == 4
+            and seg[0] == "products"
+            and seg[3] == "edit"
+            and body is not None
+        ):
+            from dc43_spark.products.store import edit_product
+
+            changes = body.get("changes")
+            if isinstance(changes, str):
+                # the webui edit form posts the overlay urlencoded as a
+                # JSON string
+                try:
+                    changes = json.loads(changes)
+                except ValueError as exc:
+                    return self._send(
+                        400, {"error": f"invalid changes JSON: {exc}"}
+                    )
+            try:
+                edited = edit_product(
+                    self._products,
+                    self._contracts,
+                    seg[1],
+                    seg[2],
+                    dict(changes or {}),
+                    bump=str(body.get("bump", "minor")),
+                )
+            except LookupError as exc:
+                return self._send(404, {"error": str(exc)})
+            except (KeyError, TypeError, ValueError) as exc:
+                return self._send(400, {"error": str(exc)})
+            return self._send(
+                201, {"product_id": edited.id, "version": edited.version,
+                      "status": edited.status}
             )
         if (
             len(seg) == 3

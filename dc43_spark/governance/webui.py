@@ -567,6 +567,61 @@ def render_product_author_form(
     return _PAGE.format(title="author a data product", body=body)
 
 
+def render_product_edit_form(
+    product_store, product_id: str, version: str,
+    message: str | None = None, error: str | None = None,
+) -> str | None:
+    """``/ui/products/<id>/<v>/edit`` — the reference's data-product
+    edit page (ref contracts-app ``/data-products/{id}/{version}/edit``),
+    mirroring the r12 contract-edit flow: documents are immutable, so
+    the save POSTs the editable sections as a ``changes`` overlay to
+    ``/products/<id>/<v>/edit``, which lands a version-bumped NEW
+    document after port bindings revalidate."""
+    import json as _json
+
+    base = product_store.get(product_id, version)
+    if base is None:
+        return None
+    doc = base.to_dict()
+    editable = {
+        k: v for k, v in doc.items()
+        if k not in ("id", "version", "apiVersion", "kind")
+    }
+    flash = ""
+    if error:
+        flash = f'<p class="block">{escape(error)}</p>'
+    elif message:
+        flash = f'<p class="ok">{escape(message)}</p>'
+    pq = quote(product_id, safe="")
+    vq = quote(version, safe="")
+    body = flash + (
+        f"<p>editing product <code>{escape(product_id)}</code> : "
+        f"<code>{escape(version)}</code> — the save creates a NEW "
+        "version-bumped document (products are immutable per version); "
+        "every port binding revalidates against the contract store "
+        "before it lands.</p>"
+        f'<form method="post" action="/products/{pq}/{vq}/edit">'
+        "<p><label>editable document sections (JSON; id/version are "
+        "managed and cannot be overridden)<br>"
+        f'<textarea name="changes" rows="20" cols="100">'
+        f"{escape(_json.dumps(editable, indent=2, sort_keys=True))}"
+        "</textarea></label></p>"
+        '<p><label>bump <select name="bump">'
+        '<option value="minor">minor</option>'
+        '<option value="major">major</option>'
+        '<option value="patch">patch</option>'
+        "</select></label></p>"
+        '<p><button type="submit">Save as new version</button></p>'
+        "</form>"
+        f'<p><a href="/ui/products/{pq}">back to '
+        f"{escape(product_id)}</a></p>"
+    )
+    return _PAGE.format(
+        title=f"edit product {escape(product_id)} : {escape(version)}",
+        body=body,
+    )
+
+
 def render_product(product_store, product_id: str) -> str | None:
     """One product's versions + port bindings."""
     versions = product_store.versions(product_id)

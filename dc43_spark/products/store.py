@@ -231,6 +231,50 @@ def _bump(version: str, bump: str) -> str:
     return str(SemVer.parse(version).bump(bump))
 
 
+def edit_product(
+    store: ProductStore,
+    contract_store,
+    product_id: str,
+    base_version: str,
+    changes: dict,
+    *,
+    bump: str = "minor",
+) -> DataProduct:
+    """Edit = author a NEW version from an existing one with ``changes``
+    overlaid (ref contracts-app ``/data-products/{id}/{version}/edit``)
+    — products are immutable per version, like contracts, so editing
+    never touches the base. ``changes`` replaces top-level document
+    sections (``inputPorts`` / ``outputPorts`` / ``status``); id and
+    version are managed here and cannot be overridden. Port bindings
+    revalidate against the contract store before the new version lands
+    (the same gate authoring passes through)."""
+    base = store.get(product_id, base_version)
+    if base is None:
+        raise LookupError(f"product {product_id}:{base_version} not found")
+    doc = base.to_dict()
+    for key, value in changes.items():
+        if key in ("id", "version"):
+            raise ValueError(f"edit cannot override {key!r}")
+        doc[key] = value
+    # bump PAST every stored version so an edit of an older base can't
+    # collide with (or silently shadow) a newer document
+    newest = max(
+        (SemVer.parse(v) for v in store.versions(product_id)),
+        default=SemVer.parse(base_version),
+    )
+    doc["version"] = str(newest.bump(bump))
+    edited = DataProduct.from_dict(doc)
+    from dc43_spark.products.odps import ProductRegistry
+
+    try:
+        ProductRegistry(contract_store, store).register(edited)
+    except LookupError as exc:
+        # distinguish a bad BINDING (caller error -> 400) from the
+        # missing-base LookupError above (-> 404)
+        raise ValueError(str(exc)) from exc
+    return edited
+
+
 def register_port(
     store: ProductStore,
     product_id: str,
