@@ -352,7 +352,15 @@ def q_snaplog_stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 — so the cumulative sink equals the multiset union of the three
     appended slices (which overlap: e.g. key 6 is in both the even and
     %5==1 slices). A replayed or skipped commit changes the multiset and
-    breaks the hash."""
+    breaks the hash.
+
+    Why two passes (r13, VERDICT r12 #8 investigated): the second pass
+    is LOAD-BEARING, not a verification re-read — v2 is committed
+    between the passes, so pass 2 proves a restart on the same
+    checkpoint consumes exactly the delta (the exactly-once half of the
+    contract). Folding it away would leave replay-vs-skip untested.
+    The gate's ~5 s steady cost is two Structured Streaming query
+    lifecycles (fixed engine overhead), not data volume."""
     from dc43_spark.io.snaplog import SnaplogTable
     from dc43_spark.io.snaplog_source import SnaplogDataSource
 
