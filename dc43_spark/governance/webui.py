@@ -640,8 +640,12 @@ def render_product(product_store, product_id: str) -> str | None:
              escape(port.contract_version)]
             for port in p.input_ports
         ]
+        pq = quote(product_id, safe="")
+        vq = quote(v, safe="")
         sections.append(
-            f"<h2>{escape(v)} <small>({escape(p.status)})</small></h2>"
+            f"<h2>{escape(v)} <small>({escape(p.status)})</small> "
+            f'<small><a href="/ui/products/{pq}/{vq}/edit">edit</a>'
+            "</small></h2>"
             + _table(["kind", "port", "contract / source", "version"], rows)
         )
     return _PAGE.format(

@@ -4314,8 +4314,9 @@ def _delta_table_changes(
     table_path = t.path
 
     # files store the data columns only (physical names when mapped);
-    # partition values attach from the add action as typed literals —
-    # without this the derived paths crash on partitioned/mapped tables
+    # partition values attach from the add actions via the broadcast
+    # identity join in _rows_batch — without this the derived paths
+    # crash on partitioned/mapped tables
     file_schema = t._physical_schema(end_snap, data_fields)
 
     def _ident_keys(rel: str) -> tuple:

@@ -231,6 +231,10 @@ def test_product_edit_ui_and_route():
             with urllib.request.urlopen(url + path, timeout=5) as resp:
                 return resp.read().decode()
 
+        # the product page links each version to its edit form
+        page = fetch("/ui/products/demo.product")
+        assert "/ui/products/demo.product/0.1.0/edit" in page
+
         form = fetch("/ui/products/demo.product/0.1.0/edit")
         assert "outputPorts" in form and "demo.orders_gold" in form
         assert "/products/demo.product/0.1.0/edit" in form
