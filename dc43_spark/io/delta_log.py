@@ -4254,11 +4254,14 @@ def _delta_table_changes(
     two — into ``(file, pos)`` rows (``mapInPandas``), which
     (semi/anti-)join the scan on ``_metadata``, broadcast below the
     ``dvBroadcastMaxPositions`` gate and sort-merge above it
-    (``_dv_join_side``). A commit's derived files batch into ONE
-    multi-file scan + ONE positions join per (change-type, join-mode)
-    group — at most four plans per commit, so plan size grows with the
-    RANGE, never with a commit's file count (a 10k-file DV-growth
-    commit is one scan, not 10k unioned joins)."""
+    (``_dv_join_side``). A commit's derived DV-bearing files batch into
+    ONE multi-file scan + ONE positions join per (change-type,
+    join-mode) group — at most four plans per commit (a 10k-file
+    DV-growth commit is one scan, not 10k unioned joins) — and no-DV
+    adds/removes batch across the ENTIRE range into one plan per change
+    type with commit stamps riding the identity join, so an append-only
+    history of N commits contributes ONE plan, not N union branches.
+    Plan size therefore grows with DV-change commits only."""
     head = t.version()
     if head is None:
         raise FileNotFoundError(f"no Delta log at {t.log_dir}")
@@ -4429,43 +4432,98 @@ def _delta_table_changes(
                 "_tc_fb", "_tc_path",
             )
         if part_cols:
-            ident_schema = StructType(
-                [
-                    StructField("_id_fb", StringType()),
-                    StructField("_id_sfx", StringType()),
-                    StructField("_id_sfxq", StringType()),
-                ]
-                + [
-                    StructField(c, snap_schema[c].dataType)
-                    for c in part_cols
-                ]
-            )
-            ident_rows = []
-            for rel, _m, _s, pvals in specs:
-                pv = {
-                    p2l.get(k, k): val
-                    for k, val in _as_map(pvals).items()
-                }
-                ident_rows.append(
-                    _ident_keys(rel)
-                    + tuple(
-                        _parse_partition_value(types[c], pv.get(c))
-                        for c in part_cols
-                    )
-                )
-            ident = F.broadcast(
-                spark.createDataFrame(ident_rows, ident_schema)
-            )
-            df = df.join(
-                ident,
-                (df["_tc_fb"] == ident["_id_fb"])
-                & (
-                    df["_tc_path"].endswith(ident["_id_sfx"])
-                    | df["_tc_path"].endswith(ident["_id_sfxq"])
-                ),
-                "inner",
+            df = _ident_join(
+                df,
+                [(rel, pvals) for rel, _m, _s, pvals in specs],
+                [],
             )
         return df
+
+    def _typed_pvals(pvals) -> tuple:
+        pv = {p2l.get(k, k): val for k, val in _as_map(pvals).items()}
+        return tuple(
+            _parse_partition_value(types[c], pv.get(c)) for c in part_cols
+        )
+
+    def _ident_join(df: DataFrame, keyed_rows, extra_fields) -> DataFrame:
+        """Broadcast identity join (the ``_file_identity_df`` pattern):
+        ``keyed_rows`` is ``[(rel, pvals, *extras), ...]``; each row
+        contributes the file keys, TYPED partition values, and any
+        ``extra_fields`` (name, StructField) columns. An inner join on
+        (basename, path-suffix) tags every scanned row — and MULTIPLIES
+        rows when the same file appears under several key rows (a path
+        re-added in two commits of a range emits both versions' rows,
+        exactly the change feed's semantics)."""
+        ident_schema = StructType(
+            [
+                StructField("_id_fb", StringType()),
+                StructField("_id_sfx", StringType()),
+                StructField("_id_sfxq", StringType()),
+            ]
+            + [StructField(c, snap_schema[c].dataType) for c in part_cols]
+            + [f for _n, f in extra_fields]
+        )
+        ident_rows = [
+            _ident_keys(row[0]) + _typed_pvals(row[1]) + tuple(row[2:])
+            for row in keyed_rows
+        ]
+        ident = F.broadcast(spark.createDataFrame(ident_rows, ident_schema))
+        return df.join(
+            ident,
+            (df["_tc_fb"] == ident["_id_fb"])
+            & (
+                df["_tc_path"].endswith(ident["_id_sfx"])
+                | df["_tc_path"].endswith(ident["_id_sfxq"])
+            ),
+            "inner",
+        )
+
+    def _rows_range_plain(specs, change: str) -> DataFrame:
+        """Whole-file rows (no DV filter) for specs accumulated across
+        the ENTIRE range, in ONE scan + ONE identity join that carries
+        each spec's commit stamp — so an append-only (or plain-remove)
+        history of N commits contributes ONE plan, not N union branches
+        (driver plan build measured superlinear past ~64 branches).
+        ``specs`` is ``[(rel, pvals, version, ts), ...]``; duplicate
+        paths (re-adds after removes) scan once and fan out through the
+        join, one output row set per claiming commit."""
+        uniq = sorted({rel for rel, *_ in specs})
+        df = (
+            spark.read.format("parquet")
+            .schema(file_schema)
+            .load([os.path.join(t.path, rel) for rel in uniq])
+            .select(
+                "*",
+                F.col("_metadata.file_name").alias("_tc_fb"),
+                F.col("_metadata.file_path").alias("_tc_path"),
+            )
+        )
+        if end_snap.column_mapping:
+            df = df.select(
+                *[
+                    F.col(f"`{p.name}`").alias(l.name)
+                    for p, l in zip(file_schema.fields, data_fields)
+                ],
+                "_tc_fb", "_tc_path",
+            )
+        df = _ident_join(
+            df,
+            [(rel, pvals, int(v), float(ts))
+             for rel, pvals, v, ts in specs],
+            [("_id_v", StructField("_id_v", LongType())),
+             ("_id_ts", StructField("_id_ts", DoubleType()))],
+        )
+        return df.select(
+            *data_cols,
+            F.lit(change).alias("_change_type"),
+            F.col("_id_v").alias("_commit_version"),
+            F.col("_id_ts").alias("_commit_timestamp"),
+        )
+
+    # no-DV specs accumulate ACROSS commits into one plan per change
+    # type (append-only histories are the common deep range; per-commit
+    # plans there would union superlinearly in the driver)
+    range_plain: dict = {"insert": [], "delete": []}
 
     for v in range(max(starting_version, 0), end + 1):
         ts = t._commit_timestamp(v)
@@ -4565,9 +4623,14 @@ def _delta_table_changes(
                 prior = state.get(p)
                 new_d = _dv_desc(a)
                 if prior is None:
-                    groups[("insert", "drop")].append(
-                        (p, new_d, None, a.get("partitionValues"))
-                    )
+                    if new_d is None:
+                        range_plain["insert"].append(
+                            (p, a.get("partitionValues"), v, ts)
+                        )
+                    else:
+                        groups[("insert", "drop")].append(
+                            (p, new_d, None, a.get("partitionValues"))
+                        )
                     continue
                 # DV supersession: both diffs computed EXECUTOR-side
                 # from the two O(1) descriptors (an equal-set rewrite
@@ -4587,10 +4650,15 @@ def _delta_table_changes(
                 prior = state.get(p)
                 if prior is None:
                     continue  # tombstone for an already-absent path
-                groups[("delete", "drop")].append(
-                    (p, _dv_desc(prior), None,
-                     prior.get("partitionValues"))
-                )
+                prior_d = _dv_desc(prior)
+                if prior_d is None:
+                    range_plain["delete"].append(
+                        (p, prior.get("partitionValues"), v, ts)
+                    )
+                else:
+                    groups[("delete", "drop")].append(
+                        (p, prior_d, None, prior.get("partitionValues"))
+                    )
             for (change, mode), specs in groups.items():
                 if specs:
                     out_parts.append(
@@ -4605,6 +4673,10 @@ def _delta_table_changes(
                 state[_decode_path(act["path"])] = act
             else:
                 state.pop(_decode_path(act["path"]), None)
+
+    for change, specs in range_plain.items():
+        if specs:
+            out_parts.append(_rows_range_plain(specs, change))
 
     if not out_parts:
         empty = StructType(

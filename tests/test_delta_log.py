@@ -1101,6 +1101,40 @@ def test_table_changes_dv_diffs_executor_side_both_gate_modes(spark, tmp_path):
         spark.conf.unset(gate)
 
 
+def test_table_changes_deep_range_batches_plain_commits(spark, tmp_path):
+    """r13: no-DV adds/removes batch ACROSS the whole version range into
+    one plan per change type (range_plain) — an append-only history of N
+    commits no longer unions N branches (driver plan build measured
+    superlinear past ~64). 30 appends emit per-version rows correctly; a
+    path removed then RE-ADDED fans out through the identity join (one
+    scan, both claiming commits' rows); the final plan carries a bounded
+    number of parquet scans regardless of range depth."""
+    t = str(tmp_path / "t")
+    adds = []
+    for v in range(30):
+        a = _data_file(t, f"f{v:03d}.parquet", [(v, f"s{v}")])
+        _commit(t, v, ([_protocol(), _meta()] if v == 0 else []) + [a])
+        adds.append(a)
+    d = DeltaLogTable(spark, t)
+    got = {(r.k, r._change_type, r._commit_version)
+           for r in d.table_changes(0, 29).collect()}
+    assert got == {(v, "insert", v) for v in range(30)}
+
+    # remove f000 at v30, re-add the same path at v31: the range feed
+    # emits the original insert, the delete, AND the re-insert
+    _commit(t, 30, [{"remove": {"path": adds[0]["add"]["path"],
+                                "dataChange": True}}])
+    _commit(t, 31, [adds[0]])
+    allch = d.table_changes(0, 31)
+    k0 = {(r._change_type, r._commit_version)
+          for r in allch.filter("k = 0").collect()}
+    assert k0 == {("insert", 0), ("delete", 30), ("insert", 31)}
+    # plan-shape pin: scans grow with CHANGE TYPES (2 batched plans:
+    # range inserts + range deletes), never with the 32-commit depth
+    plan = allch._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 3, plan[:2000]
+
+
 def test_read_fallback_change_feed_option(spark, tmp_path):
     """Delta's batch-CDF option spelling routes through table_changes on
     the governed fallback."""
