@@ -3899,6 +3899,11 @@ class SnaplogTable:
         end_snap = self.snapshot(end)  # ONE mapping for every frame:
         # physical names are frozen, so the end-version logical names
         # apply uniformly across the whole range
+        # append-derived inserts batch ACROSS commits, grouped by the
+        # writing version's physical schema (one scan + one stamp join
+        # per schema generation): a deep append-only range otherwise
+        # unions O(commits) branches, superlinear in driver plan build
+        plain_adds: dict = {}
         for v in range(starting_version, end + 1):
             rec = self._read_commit(v)
             if rec.get("data_change") is False:
@@ -3959,11 +3964,17 @@ class SnaplogTable:
                     )
                 )
             if addedp:
-                frames.append(
-                    self._logical_alias(
-                        self._raw_scan(addedp, self.snapshot(v)), end_snap
-                    ).select("*", F.lit("insert").alias(CHANGE_TYPE_COL), *stamp)
+                snap_v = self.snapshot(v)
+                group = plain_adds.setdefault(
+                    snap_v.schema_json, (snap_v, [])
                 )
+                group[1].extend(
+                    (p, v, rec["timestamp"]) for p in addedp
+                )
+        for snap_v, items in plain_adds.values():
+            frames.append(
+                self._batched_insert_changes(snap_v, end_snap, items)
+            )
         if not frames:
             snap = self.snapshot(end)
             fields = (
@@ -3998,6 +4009,73 @@ class SnaplogTable:
         start = versions[0] if version is None else version + 1
         # start == head+1 (caller is current) yields the typed empty frame
         return self.table_changes(start, head), head
+
+    def _batched_insert_changes(
+        self, snap_v: "Snapshot", end_snap: "Snapshot", items
+    ) -> DataFrame:
+        """One change-feed insert frame for EVERY append of a schema
+        generation: a single ``_raw_scan`` over all the files plus a
+        broadcast stamp join on ``_metadata.file_path`` (basename
+        equality + raw/URL-quoted suffix residual, the ``_dv_filter``
+        keying) attaching each file's ``_commit_version`` /
+        ``_commit_timestamp`` — plan size stays O(schema generations)
+        over a deep append-only range instead of O(commits)."""
+        import urllib.parse as _up
+
+        df = self._raw_scan([p for p, _v, _ts in items], snap_v)
+        cols = df.columns
+        rows = []
+        for p, v, ts in items:
+            rel = os.path.relpath(p, self.path)
+            rows.append((
+                os.path.basename(rel),
+                "/" + rel.lstrip("/"),
+                "/" + _up.quote(rel.lstrip("/")),
+                int(v),
+                float(ts),
+            ))
+        stamps = F.broadcast(self.spark.createDataFrame(
+            rows,
+            "_cf_fb string, _cf_sfx string, _cf_sfxq string, "
+            "_cf_v long, _cf_ts double",
+        ))
+        keyed = df.select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("_cf_file"),
+            F.col("_metadata.file_path").alias("_cf_path"),
+        )
+        joined = keyed.join(
+            stamps,
+            (keyed["_cf_file"] == stamps["_cf_fb"])
+            & (
+                keyed["_cf_path"].endswith(stamps["_cf_sfx"])
+                | keyed["_cf_path"].endswith(stamps["_cf_sfxq"])
+            ),
+            "inner",
+        ).select(
+            *cols,
+            F.lit("insert").alias(CHANGE_TYPE_COL),
+            F.col("_cf_v").alias("_commit_version"),
+            F.col("_cf_ts").alias("_commit_timestamp"),
+        )
+        return self._logical_alias_changes(joined, end_snap)
+
+    @staticmethod
+    def _logical_alias_changes(df: DataFrame, snap: "Snapshot") -> DataFrame:
+        """``_logical_alias`` for frames that already carry the change
+        columns (which must not be remapped)."""
+        if not snap.column_mapping:
+            return df
+        rev = {p: l for l, p in snap.column_mapping.items()}
+        keep = {CHANGE_TYPE_COL, "_commit_version", "_commit_timestamp"}
+        return df.select(
+            *[
+                F.col(c) if c in keep else F.col(c).alias(rev.get(c, c))
+                for c in df.columns
+            ]
+        )
 
     def _raw_scan(self, paths: Sequence[str], snap: Optional[Snapshot]) -> DataFrame:
         """Plain multi-path read of table data files under a snapshot's

@@ -1131,7 +1131,9 @@ def test_table_changes_deep_range_batches_plain_commits(spark, tmp_path):
     assert k0 == {("insert", 0), ("delete", 30), ("insert", 31)}
     # plan-shape pin: scans grow with CHANGE TYPES (2 batched plans:
     # range inserts + range deletes), never with the 32-commit depth
-    plan = allch._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString prints Final AND Initial plans — count one section
+    plan = (allch._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
     assert plan.count("Scan parquet") <= 3, plan[:2000]
 
 

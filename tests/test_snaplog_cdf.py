@@ -245,3 +245,36 @@ def test_overwrite_with_active_dvs_does_not_double_delete(spark, tmp_path):
         elif typ in ("delete",):
             live.pop(k, None)
     assert live == {9: "z"}
+
+
+def test_deep_append_range_batches_insert_frames(spark, tmp_path):
+    """r13: append-derived inserts batch ACROSS commits into one scan
+    per schema generation (plan build was otherwise O(commits) union
+    branches, superlinear past ~64): 25 appends emit per-version rows
+    correctly through ONE parquet scan; a mid-range merge_schema append
+    opens a second generation (second scan) and the frames align by
+    name with the missing column NULL."""
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    for v in range(25):
+        t.write(_df(spark, [(v, f"s{v}")]),
+                mode="overwrite" if v == 0 else "append")
+    ch = t.table_changes(0, 24)
+    got = {(r.k, r._change_type, r._commit_version) for r in ch.collect()}
+    assert got == {(v, "insert", v) for v in range(25)}
+    # AQE's toString prints Final AND Initial plans — count one section
+    plan = (ch._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("Scan parquet") <= 1, plan[:2000]
+
+    # schema evolution mid-range: a second generation, second scan
+    t.write(
+        spark.createDataFrame([(100, "x", 7)], "k long, v string, extra long"),
+        mode="append", merge_schema=True,
+    )
+    allch = t.table_changes(0, 25)
+    rows = {(r.k, r._commit_version, r.extra) for r in allch.collect()}
+    assert (100, 25, 7) in rows
+    assert all(e is None for k, v, e in rows if v < 25)
+    plan2 = (allch._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert plan2.count("Scan parquet") <= 2, plan2[:2000]
