@@ -331,64 +331,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         return self._commit_adds[v]
 
     def latestOffset(self) -> dict:
-        head = self._table.version()
-        full = {"version": -1 if head is None else head}
-        if not (self._max_files or self._max_bytes) or head is None:
-            return full
-        if self._base is None:
-            # fresh stream: the engine asks for the latest offset BEFORE
-            # the initial one — seed the base the way Spark's own
-            # _SimpleStreamReaderWrapper does (on restart partitions()
-            # already re-seeded it from the offset log's last batch)
-            self.initialOffset()
-        base = self._base
-        # inf sentinel keeps the dual-budget arithmetic uniform
-        files_left = self._max_files or float("inf")
-        bytes_left = self._max_bytes or float("inf")
-        snapshot_pending = False
-        if base.get("snapshot"):
-            sizes = self._snapshot_sizes(base["version"])
-            n = len(sizes)
-            i = base.get("index", 0)
-            if i < n:
-                j = i
-                while j < n:
-                    # stop BEFORE exceeding either budget, but always
-                    # admit at least one file per batch
-                    if j > i and (files_left < 1 or bytes_left < sizes[j]):
-                        break
-                    files_left -= 1
-                    bytes_left -= sizes[j]
-                    j += 1
-                if j < n:
-                    return {"version": base["version"], "snapshot": True,
-                            "index": j}
-                snapshot_pending = True  # leftover budget admits commits
-        start_v = base["version"]
-        end_v = start_v
-        v = start_v + 1
-        while v <= head:
-            nf, nb = self._commit_add_stats(v)
-            # whole commits only; stop before exceeding either budget.
-            # The at-least-one floor applies only when the batch is
-            # otherwise empty — a batch that just drained the snapshot
-            # tail already carries files
-            if (end_v != start_v or snapshot_pending) and (
-                files_left < max(nf, 1) or bytes_left < nb
-            ):
-                break
-            end_v = v
-            files_left -= max(nf, 1)
-            bytes_left -= nb
-            v += 1
-        if end_v == start_v:
-            if snapshot_pending:
-                # the batch that drains the snapshot's tail also CLOSES
-                # the snapshot phase (plain-version offset), even when no
-                # commit fits the leftover budget
-                return {"version": start_v}
-            return dict(base)  # caught up: offset unchanged, no batch
-        return {"version": end_v}
+        return _capped_latest_offset(self)
 
     def partitions(self, start: dict, end: dict):
         snap = self._table.snapshot(max(end["version"], 0)) if end[
@@ -506,6 +449,74 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self._base = dict(end)
 
 
+def _capped_latest_offset(reader) -> dict:
+    """The rate-limited ``latestOffset`` walk shared by the plain and
+    CDF stream readers: chunk the still-owed initial snapshot by file
+    index, then admit WHOLE commits until either budget is spent (at
+    least one file / one commit per batch, delta-spark's floor). The
+    reader supplies ``_table``, ``_base``, ``_max_files`` /
+    ``_max_bytes``, ``_snapshot_sizes(version)`` and
+    ``_commit_add_stats(version) -> (files, bytes)``."""
+    head = reader._table.version()
+    full = {"version": -1 if head is None else head}
+    if not (reader._max_files or reader._max_bytes) or head is None:
+        return full
+    if reader._base is None:
+        # fresh stream: the engine asks for the latest offset BEFORE
+        # the initial one — seed the base the way Spark's own
+        # _SimpleStreamReaderWrapper does (on restart partitions()
+        # already re-seeded it from the offset log's last batch)
+        reader.initialOffset()
+    base = reader._base
+    # inf sentinel keeps the dual-budget arithmetic uniform
+    files_left = reader._max_files or float("inf")
+    bytes_left = reader._max_bytes or float("inf")
+    snapshot_pending = False
+    if base.get("snapshot"):
+        sizes = reader._snapshot_sizes(base["version"])
+        n = len(sizes)
+        i = base.get("index", 0)
+        if i < n:
+            j = i
+            while j < n:
+                # stop BEFORE exceeding either budget, but always
+                # admit at least one file per batch
+                if j > i and (files_left < 1 or bytes_left < sizes[j]):
+                    break
+                files_left -= 1
+                bytes_left -= sizes[j]
+                j += 1
+            if j < n:
+                return {"version": base["version"], "snapshot": True,
+                        "index": j}
+            snapshot_pending = True  # leftover budget admits commits
+    start_v = base["version"]
+    end_v = start_v
+    v = start_v + 1
+    while v <= head:
+        nf, nb = reader._commit_add_stats(v)
+        # whole commits only; stop before exceeding either budget.
+        # The at-least-one floor applies only when the batch is
+        # otherwise empty — a batch that just drained the snapshot
+        # tail already carries files
+        if (end_v != start_v or snapshot_pending) and (
+            files_left < max(nf, 1) or bytes_left < nb
+        ):
+            break
+        end_v = v
+        files_left -= max(nf, 1)
+        bytes_left -= nb
+        v += 1
+    if end_v == start_v:
+        if snapshot_pending:
+            # the batch that drains the snapshot's tail also CLOSES
+            # the snapshot phase (plain-version offset), even when no
+            # commit fits the leftover budget
+            return {"version": start_v}
+        return dict(base)  # caught up: offset unchanged, no batch
+    return {"version": end_v}
+
+
 class DeltaLogCDFStreamReader(DataSourceStreamReader):
     """Streaming CHANGE DATA FEED over a real Delta log (delta-spark's
     ``readChangeFeed`` stream) — row-level changes instead of raw rows,
@@ -519,32 +530,72 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
     AT those indexes are the pre-images), full-file removes derive
     deletes of the file's prior live rows, and any other rewrite refuses
     loudly. Without ``startingVersion`` the first batch is the current
-    snapshot's live rows as inserts (delta-spark's CDF stream start)."""
+    snapshot's live rows as inserts (delta-spark's CDF stream start).
+
+    ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` rate-limit the feed
+    exactly like the plain stream (r13 — delta-spark applies its rate
+    limits to CDF streams too): the owed initial snapshot chunks by
+    file index, then WHOLE commits admit per batch — a commit's change
+    rows are never split (its cdc files / derived add+remove files
+    count against the budget, at-least-one floor)."""
 
     def __init__(self, path: str, schema: T.StructType, options: dict):
         self._table = DeltaLogTable(None, path)
         self._schema = schema
-        if options.get("maxfilespertrigger") or options.get(
-            "maxbytespertrigger"
-        ):
+        self._max_files = int(options.get("maxfilespertrigger", 0) or 0)
+        self._max_bytes = int(options.get("maxbytespertrigger", 0) or 0)
+        if self._max_files < 0 or self._max_bytes < 0:
             raise ValueError(
-                "maxFilesPerTrigger/maxBytesPerTrigger are not supported "
-                "on the change-feed stream (its per-commit change "
-                "derivation is not file-splittable); rate-limit the plain "
-                "stream or read CDF in batch version ranges"
+                "maxFilesPerTrigger/maxBytesPerTrigger must be positive"
             )
+        self._base: Optional[dict] = None
+        self._snap0_sizes: Optional[list] = None
+        self._commit_adds: dict = {}  # version -> (change files, bytes)
         self._starting, self._snapshot_start = _starting_position(
             self._table, options
         )
 
     def initialOffset(self) -> dict:
         if self._snapshot_start:
-            return {"version": self._starting - 1, "snapshot": True}
-        return {"version": self._starting - 1}
+            self._base = {"version": self._starting - 1, "snapshot": True,
+                          "index": 0}
+        else:
+            self._base = {"version": self._starting - 1}
+        return dict(self._base)
+
+    def _snapshot_sizes(self, version: int) -> list:
+        if self._snap0_sizes is None:
+            self._snap0_sizes = [
+                f.size or 0
+                for f in sorted(
+                    self._table.snapshot(version).files,
+                    key=lambda f: f.path,
+                )
+            ]
+        return self._snap0_sizes
+
+    def _commit_add_stats(self, v: int) -> tuple:
+        """(files, bytes) a commit contributes to the FEED: its cdc
+        files when present (authoritative), else the derived change
+        carriers — dataChange adds plus removed files (each derived
+        delete re-reads the removed file)."""
+        if v not in self._commit_adds:
+            cdc_n = cdc_b = n = b = 0
+            for a in self._table._commit_lines(v):
+                if "cdc" in a:
+                    cdc_n += 1
+                    cdc_b += int(a["cdc"].get("size") or 0)
+                elif "add" in a and a["add"].get("dataChange", True):
+                    n += 1
+                    b += int(a["add"].get("size") or 0)
+                elif "remove" in a and a["remove"].get("dataChange", True):
+                    n += 1
+                    b += int(a["remove"].get("size") or 0)
+            self._commit_adds[v] = (cdc_n, cdc_b) if cdc_n else (n, b)
+        return self._commit_adds[v]
 
     def latestOffset(self) -> dict:
-        head = self._table.version()
-        return {"version": -1 if head is None else head}
+        return _capped_latest_offset(self)
 
     def _dv(self, dv) -> tuple | None:
         """``dv_descriptor`` partition field for a raw action DV map —
@@ -580,7 +631,18 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
             snap0 = t.snapshot(start["version"])
             ts0 = snap0.timestamp
             types0 = {f.name: f.dataType.typeName() for f in snap0.schema.fields}
-            for f in snap0.files:
+            # rate-limited streams serve the snapshot in file-index
+            # chunks (path-sorted for determinism, like the plain
+            # stream); an uncapped offset carries no index and the
+            # defaults span every file
+            files0 = sorted(snap0.files, key=lambda f: f.path)
+            i = start.get("index", 0)
+            j = (
+                end.get("index", len(files0))
+                if end.get("snapshot")
+                else len(files0)
+            )
+            for f in files0[i:j]:
                 parts.append(_FilePartition(
                     os.path.join(t.path, f.path),
                     {
@@ -595,6 +657,9 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
                     dv_descriptor=self._dv(f.dv),
                     mapping=mapping,
                 ))
+        self._base = dict(end)
+        if end.get("snapshot"):
+            return parts  # snapshot chunk only; commits come later
         if first_needed <= end["version"]:
             retained = t._versions()
             if not retained or first_needed < retained[0]:
@@ -695,7 +760,9 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
         yield from _arrow_batches(partition, self._schema)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the stream checkpoint; the log is immutable
+        # offsets live in the stream checkpoint (the log is immutable);
+        # the remembered offset is the rate limit's cap base
+        self._base = dict(end)
 
 
 class DeltaLogCdfBatchReader(DataSourceReader):
@@ -765,8 +832,8 @@ class DeltaLogDataSource(DataSource):
     (batch), ``startingVersion`` / ``ignoreDeletes`` / ``ignoreChanges``
     / ``skipChangeCommits`` / ``maxFilesPerTrigger`` /
     ``maxBytesPerTrigger`` (streaming; the rate limits chunk the initial
-    snapshot by file index and admit whole commits per batch — not
-    supported on the CDF stream)."""
+    snapshot by file index and admit whole commits per batch, on the
+    plain AND change-feed streams)."""
 
     @classmethod
     def name(cls) -> str:

@@ -492,17 +492,17 @@ class SnaplogCdcBatchReader(DataSourceReader):
 
 
 class SnaplogStreamReader(DataSourceStreamReader):
-    """``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` rate-limit the
-    plain stream at COMMIT granularity (whole commits per batch, at
-    least one, stopping before either budget would be exceeded) — the
-    same admission shape as the deltalog source, with the same engine
-    caveat: under ``Trigger.AvailableNow`` the Python-source API
-    captures ONE capped target per run (repeated runs converge); for
+    """``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` rate-limit BOTH
+    stream flavors at COMMIT granularity (whole commits per batch, at
+    least one, stopping before either budget would be exceeded; a CDC
+    commit's budget charge is its cdc files when present, else its
+    derived add/remove carriers — change rows of one commit are never
+    split) — the same admission shape as the deltalog source, with the
+    same engine caveat: under ``Trigger.AvailableNow`` the Python-source
+    API captures ONE capped target per run (repeated runs converge); for
     backfill drains use ``dc43_spark.streaming.drain.drain`` (loops
     capped availableNow runs on one checkpoint until caught up) or a
-    processing-time trigger. The CDC stream is
-    not rate-limited (per-commit change derivation is not
-    file-splittable); the options refuse there."""
+    processing-time trigger."""
 
     def __init__(self, path: str, schema: T.StructType, options: dict):
         self._table = SnaplogTable(None, path)
@@ -531,12 +531,6 @@ class SnaplogStreamReader(DataSourceStreamReader):
         if self._max_files < 0 or self._max_bytes < 0:
             raise ValueError(
                 "maxFilesPerTrigger/maxBytesPerTrigger must be positive"
-            )
-        if self._cdc and (self._max_files or self._max_bytes):
-            raise ValueError(
-                "maxFilesPerTrigger/maxBytesPerTrigger are not supported "
-                "on the change-feed stream; rate-limit the plain stream "
-                "or read changes in batch version ranges"
             )
         self._base: Optional[dict] = None  # last known consumed offset
         self._commit_stats: dict = {}  # version -> (n adds, bytes)
@@ -571,13 +565,26 @@ class SnaplogStreamReader(DataSourceStreamReader):
         return dict(self._base)
 
     def _commit_add_stats(self, v: int) -> tuple:
+        """(files, bytes) the commit contributes to THIS stream: plain
+        streams serve its adds; the CDC stream serves its cdc files when
+        present (merge/delete/update with the feed on), else its
+        derived add/remove carriers."""
         if v not in self._commit_stats:
             rec = self._table._read_commit(v)
-            adds = rec.get("add", []) if rec.get("data_change") is not False \
-                else []
-            self._commit_stats[v] = (
-                len(adds), sum(int(e.get("bytes") or 0) for e in adds)
-            )
+            if rec.get("data_change") is False:
+                self._commit_stats[v] = (0, 0)
+            elif self._cdc and rec.get("cdc"):
+                cdc = rec["cdc"]
+                self._commit_stats[v] = (
+                    len(cdc), sum(int(e.get("bytes") or 0) for e in cdc)
+                )
+            else:
+                adds = rec.get("add", [])
+                removes = rec.get("remove", []) if self._cdc else []
+                self._commit_stats[v] = (
+                    len(adds) + len(removes),
+                    sum(int(e.get("bytes") or 0) for e in adds),
+                )
         return self._commit_stats[v]
 
     def latestOffset(self) -> dict:

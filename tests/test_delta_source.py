@@ -767,8 +767,72 @@ def test_streaming_max_bytes_per_trigger(registered, spark, tmp_path):
     r.commit(o4)
     assert r.latestOffset() == {"version": 4}
 
-    with pytest.raises(ValueError, match="not supported on the change-feed"):
-        DeltaLogCDFStreamReader(t, schema, {"maxbytespertrigger": "1"})
+    # r13: the CDF stream rate-limits too (delta-spark applies its rate
+    # limits to readChangeFeed streams): the owed initial snapshot
+    # chunks by file index, then whole commits admit per batch
+    r2 = DeltaLogCDFStreamReader(t, schema, {"maxfilespertrigger": "2"})
+    c0 = r2.initialOffset()
+    assert c0 == {"version": 4, "snapshot": True, "index": 0}
+    c1 = r2.latestOffset()
+    assert c1 == {"version": 4, "snapshot": True, "index": 2}
+    parts = r2.partitions(c0, c1)
+    assert len(parts) == 2
+    r2.commit(c1)
+    c2 = r2.latestOffset()
+    assert c2 == {"version": 4, "snapshot": True, "index": 4}
+    r2.commit(c2)
+    c3 = r2.latestOffset()  # drains the tail, closes the snapshot phase
+    assert c3 == {"version": 4}
+    assert len(r2.partitions(c2, c3)) == 1
+    r2.commit(c3)
+    assert r2.latestOffset() == c3  # caught up
+    delta_write(spark, _df(spark, 50, 60), t, checkpoint_interval=None)
+    c4 = r2.latestOffset()
+    assert c4 == {"version": 5}
+    assert len(r2.partitions(c3, c4)) == 1
+
+
+def test_streaming_cdf_rate_limited_end_to_end(registered, spark, tmp_path):
+    """A capped readChangeFeed stream drains a backlog in multiple
+    batches (streaming.drain) and the cumulative change rows equal the
+    batch table_changes over the same range — no split commits, no
+    duplicates."""
+    from collections import Counter
+
+    from dc43_spark.streaming.drain import drain
+
+    t = str(tmp_path / "t")
+    for i in range(4):
+        delta_write(spark, _df(spark, 10 * i, 10 * i + 10), t,
+                    checkpoint_interval=None)
+    out, cp = str(tmp_path / "o"), str(tmp_path / "cp")
+
+    def start():
+        return (
+            spark.readStream.format("deltalog")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 0)
+            .option("maxFilesPerTrigger", 1).load(t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    stats = drain(start, run_timeout_sec=300)
+    assert stats["runs"] > 2 and stats["rows"] == 40
+    got = Counter(
+        (r.k, r._change_type, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    )
+    from dc43_spark.io.delta_log import DeltaLogTable
+
+    oracle = Counter(
+        (r.k, r._change_type, r._commit_version)
+        for r in DeltaLogTable(spark, t).table_changes(0, 3).collect()
+    )
+    assert got == oracle
 
 
 def test_streaming_starting_timestamp(registered, spark, tmp_path):

@@ -457,13 +457,44 @@ def test_stream_rate_limits_commits_per_trigger(registered, tmp_path):
     ]
     assert len(batches) >= 3  # 5 one-file commits / budget 2
 
-    import pytest as _pytest
+    # r13: the CDC stream rate-limits at commit granularity too — a
+    # capped change-feed stream drains the backlog in multiple batches
+    # and the cumulative change rows equal batch table_changes
+    from collections import Counter
 
-    with _pytest.raises(ValueError, match="not supported on the change-feed"):
-        SnaplogStreamReader(
-            path, schema,
-            {"readchangefeed": "true", "maxfilespertrigger": "1"},
+    from dc43_spark.streaming.drain import drain
+
+    cpath = str(tmp_path / "cdc_t")
+    ct = SnaplogTable(registered, cpath, change_feed=True)
+    for i in range(3):
+        ct.write(registered.createDataFrame([(i, "x")], "k long, v string"))
+    ct.merge(registered.createDataFrame([(1, "X"), (9, "n")],
+                                        "k long, v string"), ["k"])
+    cout, ccp = str(tmp_path / "cdc_o"), str(tmp_path / "cdc_cp")
+
+    def start():
+        return (
+            registered.readStream.format("snaplog")
+            .option("readChangeFeed", "true")
+            .option("maxFilesPerTrigger", 1).load(cpath)
+            .writeStream.format("parquet")
+            .option("path", cout)
+            .option("checkpointLocation", ccp)
+            .trigger(availableNow=True)
+            .start()
         )
+
+    stats = drain(start, run_timeout_sec=300)
+    assert stats["runs"] > 2
+    got = Counter(
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in registered.read.parquet(cout).collect()
+    )
+    oracle = Counter(
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in ct.table_changes(0).collect()
+    )
+    assert got == oracle
 
 
 def test_stream_starting_timestamp(registered, tmp_path):
