@@ -134,7 +134,10 @@ def _dv_positions(table: str, dv: dict) -> set[int]:
     if storage == "i":
         return _dv_blob_positions(_z85_decode(spec))
     if storage == "u":
-        prefix, _, enc = spec.rpartition("/")
+        # "[<random prefix>]<z85 uuid>": the uuid is ALWAYS the last 20
+        # characters (PROTOCOL.md) — z85 itself can contain '/', so a
+        # path split would cut inside the encoding
+        prefix, enc = spec[:-20].rstrip("/"), spec[-20:]
         uuid_bytes = _z85_decode(enc)
         import uuid as _uuid
 
