@@ -2588,7 +2588,19 @@ def delta_write(
                         conf_now["delta.columnMapping.maxColumnId"] = str(max_id)
                         new_meta["configuration"] = conf_now
                     else:
-                        evolved = StructType(list(snap.schema.fields) + new_cols)
+                        # evolved columns are ALWAYS nullable (delta-spark's
+                        # mergeSchema rule): files that predate the column
+                        # read it as NULL, so a non-nullable field copied
+                        # from the frame (e.g. a lit() column) would make
+                        # every older file unreadable
+                        evolved = StructType(
+                            list(snap.schema.fields)
+                            + [
+                                StructField(f0.name, f0.dataType, True,
+                                            metadata=f0.metadata)
+                                for f0 in new_cols
+                            ]
+                        )
                     new_meta["schemaString"] = evolved.json()
                     if ident_hwm:
                         new_meta = _apply_ident_hwm(new_meta)

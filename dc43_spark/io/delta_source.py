@@ -58,6 +58,7 @@ masks, constant partition columns) — one read path to keep correct.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Iterator
 
@@ -288,6 +289,11 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self._base: Optional[dict] = None  # last known consumed offset
         self._snap0_sizes: Optional[list] = None  # path-sorted file bytes
         self._commit_adds: dict = {}  # version -> (n data adds, bytes)
+        # schema-change detection: the stream's schema is the one in
+        # effect at construction head; newer metaData commits fail loudly
+        head = self._table.version()
+        self._schema_epoch = -1 if head is None else head
+        self._schema_fp: Optional[tuple] = None  # lazy baseline
         # delta-spark's default (no option): initialize from the LATEST
         # snapshot (isStartingVersion) — the first batch is the
         # snapshot's live files, not a replay of history that may be
@@ -390,6 +396,8 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                     adds.append(action["add"])
                 elif "remove" in action:
                     removes.append(action["remove"])
+                elif "metaData" in action:
+                    _check_schema_epoch(self, action, v)
             data_adds = [a for a in adds if a.get("dataChange", True)]
             data_removes = [r for r in removes if r.get("dataChange", True)]
             if not data_adds and not data_removes:
@@ -447,6 +455,50 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         # remembering the consumed offset lets maxFilesPerTrigger cap
         # the NEXT latestOffset from the right base
         self._base = dict(end)
+
+
+def _meta_fingerprint(meta: dict) -> tuple:
+    """Normalized (schemaString, partitionColumns) for schema-change
+    detection — config-only metaData commits (property toggles, feature
+    enables) share the fingerprint and never trip the check."""
+    return (
+        json.dumps(json.loads(meta.get("schemaString") or "null"),
+                   sort_keys=True),
+        tuple(meta.get("partitionColumns") or ()),
+    )
+
+
+def _check_schema_epoch(reader, action: dict, v: int) -> None:
+    """delta-spark's mid-stream schema-change contract: a metaData
+    commit NEWER than the schema the stream started with fails the query
+    loudly (the fixed source schema would silently drop new columns /
+    misread non-additive changes). Restarting re-resolves the schema at
+    the new head, where the change commit is at-or-below the epoch and
+    replays clean — no failure loop. Historical metaData actions inside
+    a startingVersion replay (v <= epoch) are the lineage of the current
+    schema and pass through."""
+    if v <= reader._schema_epoch:
+        return
+    fp = _meta_fingerprint(action["metaData"])
+    if reader._schema_fp is None:
+        if reader._schema_epoch < 0:
+            # stream started on an empty table: the CREATE's metaData IS
+            # the baseline
+            reader._schema_fp = fp
+            return
+        from dc43_spark.io.delta_log import _raw_protocol_meta
+
+        _p, base = _raw_protocol_meta(reader._table, reader._schema_epoch)
+        reader._schema_fp = _meta_fingerprint(base)
+        if reader._schema_fp == fp:
+            return
+    if fp != reader._schema_fp:
+        raise ValueError(
+            f"detected a schema change in commit v{v} of "
+            f"{reader._table.path}; the stream's source schema is fixed "
+            "at start — restart the streaming query to pick up the new "
+            "schema (delta-spark's contract)"
+        )
 
 
 def _capped_latest_offset(reader) -> dict:
@@ -551,6 +603,9 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
         self._base: Optional[dict] = None
         self._snap0_sizes: Optional[list] = None
         self._commit_adds: dict = {}  # version -> (change files, bytes)
+        head = self._table.version()
+        self._schema_epoch = -1 if head is None else head
+        self._schema_fp: Optional[tuple] = None  # lazy baseline
         self._starting, self._snapshot_start = _starting_position(
             self._table, options
         )
@@ -686,6 +741,8 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
                 elif "remove" in action:
                     removes.append(action["remove"])
                     ordered.append(("remove", action["remove"]))
+                elif "metaData" in action:
+                    _check_schema_epoch(self, action, v)
             data_adds = [a for a in adds if a.get("dataChange", True)]
             data_removes = [r for r in removes if r.get("dataChange", True)]
             if cdc_entries:

@@ -534,6 +534,11 @@ class SnaplogStreamReader(DataSourceStreamReader):
             )
         self._base: Optional[dict] = None  # last known consumed offset
         self._commit_stats: dict = {}  # version -> (n adds, bytes)
+        # schema-change detection: the stream's schema is fixed at the
+        # construction head; newer schema-bearing commits fail loudly
+        head = self._table.version()
+        self._schema_epoch = -1 if head is None else head
+        self._schema_norm: Optional[str] = None  # lazy baseline
         sv = options.get("startingversion")
         st = options.get("startingtimestamp")
         if sv is not None and st is not None:
@@ -616,10 +621,37 @@ class SnaplogStreamReader(DataSourceStreamReader):
             return dict(self._base)  # caught up
         return {"version": end_v}
 
+    def _check_schema_epoch(self, rec: dict, v: int) -> None:
+        """Mid-stream schema-change contract (delta-spark's): a commit
+        NEWER than the stream's construction head carrying a different
+        schema fails the query loudly — the fixed source schema would
+        silently drop new columns. Restarts re-resolve at the new head
+        (the change is then at-or-below the epoch), so no failure loop."""
+        raw = rec.get("schema_json")
+        if not raw or v <= self._schema_epoch:
+            return
+        fp = json.dumps(json.loads(raw), sort_keys=True)
+        if self._schema_norm is None:
+            if self._schema_epoch < 0:
+                self._schema_norm = fp  # CREATE commit is the baseline
+                return
+            base = self._table.snapshot(self._schema_epoch).schema_json
+            self._schema_norm = json.dumps(
+                json.loads(base), sort_keys=True
+            ) if base else fp
+        if fp != self._schema_norm:
+            raise ValueError(
+                f"detected a schema change in commit v{v} of "
+                f"{self._table.path}; the stream's source schema is "
+                "fixed at start — restart the streaming query to pick "
+                "up the new schema (Delta's contract)"
+            )
+
     def partitions(self, start: dict, end: dict):
         parts: list[_FilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             rec = self._table._read_commit(v)
+            self._check_schema_epoch(rec, v)
             if rec.get("data_change") is False:
                 continue  # compaction: layout-only, invisible to streams
             if self._cdc:

@@ -972,3 +972,55 @@ def test_batch_cdf_timestamp_bounds(registered, spark, tmp_path):
         spark.read.format("deltalog").option("readChangeFeed", "true") \
             .option("startingVersion", 0) \
             .option("startingTimestamp", "0").load(t).count()
+
+
+def test_streaming_fails_loudly_on_mid_stream_schema_change(
+    registered, spark, tmp_path
+):
+    """r13: a metaData commit NEWER than the stream's construction head
+    with a DIFFERENT schema fails the query loudly (delta-spark's
+    contract — the fixed source schema would silently drop the new
+    column); config-only metaData commits pass; a restart (fresh
+    reader at the new head) replays clean."""
+    from pyspark.sql import types as T
+
+    from dc43_spark.io.delta_source import DeltaLogStreamReader
+    from dc43_spark.io.delta_log import delta_set_properties
+
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 5), t, checkpoint_interval=None)
+    schema = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("v", T.StringType())
+    ])
+    r = DeltaLogStreamReader(t, schema, {})  # epoch = v0
+
+    # config-only metaData (property toggle) does NOT trip the check
+    delta_set_properties(spark, t, {"foo.bar": "1"})
+    assert len(r.partitions({"version": 0}, {"version": 1})) == 0
+
+    # additive evolution AFTER the epoch trips it
+    wide = spark.range(5, 8).select(
+        F.col("id").alias("k"), F.lit("b").alias("v"),
+        F.lit(7).alias("extra"),
+    ).coalesce(1)
+    delta_write(spark, wide, t, merge_schema=True, checkpoint_interval=None)
+    with pytest.raises(ValueError, match="schema change"):
+        r.partitions({"version": 1}, {"version": 2})
+
+    # a fresh stream (epoch = new head) replays everything clean under
+    # the evolved schema, old rows NULL-filled
+    out, cp = str(tmp_path / "o"), str(tmp_path / "cp")
+    q = (
+        spark.readStream.format("deltalog").load(t)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception():
+        raise RuntimeError(str(q.exception()))
+    rows = spark.read.parquet(out).collect()
+    assert {x.k for x in rows} == set(range(8))
+    assert {x.extra for x in rows} == {None, 7}

@@ -541,3 +541,45 @@ def test_stream_starting_timestamp(registered, tmp_path):
     if q.exception():
         raise RuntimeError(str(q.exception()))
     assert {x.k for x in registered.read.parquet(out).collect()} == {1, 2}
+
+
+def test_stream_fails_loudly_on_mid_stream_schema_change(registered, tmp_path):
+    """r13: a schema-bearing commit NEWER than the stream's construction
+    head fails the query loudly (Delta's contract — the fixed source
+    schema would otherwise silently drop the new column); a RESTART
+    (fresh reader, new head) replays the same commits clean."""
+    path = str(tmp_path / "t")
+    t = SnaplogTable(registered, path)
+    t.write(registered.createDataFrame([(1, "a")], "k long, v string"))
+    out, cp = str(tmp_path / "o"), str(tmp_path / "cp")
+    got = _run_stream(registered, path, cp, out)
+    assert sorted(r.k for r in got.collect()) == [1]
+
+    # evolve AFTER the stream consumed v0: the next capped run, whose
+    # reader was constructed at the old head, fails loudly... but here
+    # each _run_stream constructs a FRESH reader at the new head, so
+    # drive the reader directly to pin the mid-stream shape
+    from dc43_spark.io.snaplog_source import SnaplogStreamReader
+
+    r = SnaplogStreamReader(path, None, {})  # epoch = v0
+    t.write(
+        registered.createDataFrame([(2, "b", 7)],
+                                   "k long, v string, extra long"),
+        merge_schema=True,
+    )
+    with pytest.raises(ValueError, match="schema change"):
+        r.partitions({"version": 0}, {"version": t.version()})
+
+    # restart: a fresh reader (epoch = new head) replays clean and the
+    # sink gains only the new commit's rows
+    got2 = _run_stream(registered, path, cp, out)
+    ks = sorted(r2.k for r2 in got2.collect())
+    assert ks == [1, 2]
+
+    # config-only commits (no schema payload / identical schema) never
+    # trip the check
+    t.compact(target_file_mb=1)
+    t.write(registered.createDataFrame(
+        [(3, "c", 8)], "k long, v string, extra long"))
+    got3 = _run_stream(registered, path, cp, out)
+    assert sorted(r3.k for r3 in got3.collect()) == [1, 2, 3]
