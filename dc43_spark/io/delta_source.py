@@ -45,7 +45,18 @@ Streaming semantics mirror delta-spark's source contract:
 - ``startingVersion`` (number or ``latest``) positions the first batch
   explicitly; a number that predates the earliest retained JSON commit
   refuses with a clear error instead of a FileNotFoundError deep in
-  commit replay.
+  commit replay;
+- a schema-bearing metaData commit NEWER than the stream's construction
+  head fails the query loudly with a restart pointer (delta-spark's
+  contract); restarts resolve at the new head and replay clean.
+
+Known delta-spark source options NOT implemented (documented gaps):
+``withEventTimeOrder`` (event-time-ordered initial snapshot — the
+Python DataSource API cannot see the query's watermark column, which
+delta-spark reads from the plan to order and fail-fast) and
+``schemaTrackingLocation`` (streaming ACROSS non-additive schema
+changes by persisting a schema log — here the change fails the stream
+and a restart picks up the new schema, the pre-tracking behavior).
 
 Registered as ``deltalog`` so a cluster that HAS delta-spark keeps the
 ``delta`` name for the jar; io/read.py routes streaming format="delta"
