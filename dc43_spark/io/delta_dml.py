@@ -133,7 +133,9 @@ def _dvs_enabled(protocol: dict, meta: dict) -> bool:
     return "deletionVectors" in set(protocol.get("writerFeatures") or ())
 
 
-def _merge_candidate_files(src: DataFrame, snap, keys: Sequence[str]) -> list:
+def _merge_candidate_files(
+    src: DataFrame, snap, keys: Sequence[str], *, check_unique: bool = False
+) -> list:
     """Delta-spark's merge file pruning: ONE aggregate over the source
     computes each key's min/max (+ null presence), and only target files
     whose stats envelope intersects every key range can hold a match —
@@ -141,21 +143,18 @@ def _merge_candidate_files(src: DataFrame, snap, keys: Sequence[str]) -> list:
     pruned file provably contains no key in the source range, so no
     source row can match there. A key with source NULLs skips its
     conditions (NULL joins NULL under eqNullSafe and stats can't bound
-    it) — conservative, never wrong."""
-    row = src.agg(
-        *[F.min(F.col(k)).alias(f"_lo_{k}") for k in keys],
-        *[F.max(F.col(k)).alias(f"_hi_{k}") for k in keys],
-        *[
-            F.sum(F.when(F.col(k).isNull(), 1).otherwise(0)).alias(f"_n_{k}")
-            for k in keys
-        ],
-    ).first()
+    it) — conservative, never wrong. ``check_unique`` fuses the
+    duplicate-source-key probe into this same pass (one source scan
+    instead of two — merge.source_key_stats)."""
+    from dc43_spark.io.merge import source_key_stats
+
+    row = source_key_stats(src, list(keys), check_unique=check_unique)
     conds = []
-    for k in keys:
-        if row[f"_n_{k}"] or row[f"_lo_{k}"] is None:
+    for i, k in enumerate(keys):
+        if row[f"_null_{i}"] or row[f"_lo_{i}"] is None:
             continue  # NULL keys present (or empty source): unprunable key
-        conds.append((k, ">=", row[f"_lo_{k}"]))
-        conds.append((k, "<=", row[f"_hi_{k}"]))
+        conds.append((k, ">=", row[f"_lo_{i}"]))
+        conds.append((k, "<=", row[f"_hi_{i}"]))
     if not conds:
         return list(snap.files)
     from dc43_spark.io.snaplog import FileEntry, _file_may_match
@@ -968,8 +967,13 @@ def delta_merge(
         not_matched_by_source_clauses=not_matched_by_source_clauses,
     )
     keys = list(keys)
-    if check_source_keys:
+    if check_source_keys and bs_cls:
+        # a by-source clause skips file pruning, so there is no envelope
+        # probe to fuse the duplicate check into — run it standalone
         require_unique_merge_keys(source_df, keys)
+    # otherwise the check fuses into _merge_candidate_files' single
+    # source pass (first attempt only; retries reuse the verdict)
+    check_dups_in_probe = check_source_keys and not bs_cls
     dict_clauses = any(
         cl.assignments is not None for cl in (*m_cls, *nm_cls, *bs_cls)
     )
@@ -1190,7 +1194,10 @@ def delta_merge(
         # A by-source clause disables pruning: its rows are target rows
         # WITHOUT a source match, which any file can hold.
         if not bs_cls:
-            candidates = _merge_candidate_files(src, snap, keys)
+            candidates = _merge_candidate_files(
+                src, snap, keys, check_unique=check_dups_in_probe
+            )
+            check_dups_in_probe = False
         else:
             candidates = list(snap.files)
         rt_mat = _row_tracking_present(protocol) and _row_tracking_enabled(meta)

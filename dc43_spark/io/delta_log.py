@@ -4282,6 +4282,12 @@ def _delta_table_changes(
         raise ValueError(f"starting_version {starting_version} > end {end}")
 
     spark = t.spark
+    # file-count ceiling for the literal-stamped small-range fast path
+    # in _rows_range_plain (r14); above it the batched identity join
+    # keeps driver plan size flat over deep ranges
+    _small_range_max_files = int(
+        spark.conf.get("spark.dc43.delta.cdfSmallRangeMaxFiles", "32")
+    )
     end_snap = t.snapshot(end)
     snap_schema = end_snap.schema
     part_cols = list(end_snap.partition_columns)
@@ -4355,8 +4361,17 @@ def _delta_table_changes(
         subtrahend|None, partitionValues), ...]``; a drop-mode spec with
         no DV contributes no build rows and survives the anti-join
         whole. Partition values attach via a broadcast identity join
-        (the ``_file_identity_df`` pattern), never per-file literal
-        branches."""
+        (the ``_file_identity_df`` pattern) — except when every spec
+        shares ONE partition tuple (the common single-small-commit
+        read), where typed literals replace the join outright (r14).
+        Duplicate specs for one path (two adds of the same path in a
+        commit are legal under last-wins reconciliation) dedupe
+        last-wins here — scanning the file twice AND matching the
+        join per spec row would double the output."""
+        dedup: dict = {}
+        for spec in specs:
+            dedup[spec[0]] = spec
+        specs = list(dedup.values())
         df = (
             spark.read.format("parquet")
             .schema(file_schema)
@@ -4444,11 +4459,21 @@ def _delta_table_changes(
                 "_tc_fb", "_tc_path",
             )
         if part_cols:
-            df = _ident_join(
-                df,
-                [(rel, pvals) for rel, _m, _s, pvals in specs],
-                [],
-            )
+            pv_tuples = {_typed_pvals(pvals) for _rel, _m, _s, pvals in specs}
+            if len(pv_tuples) == 1:
+                # single-partition group (or one-file commit): typed
+                # literals beat a broadcast identity join — no
+                # createDataFrame, no broadcast, no join (r14 fast path)
+                for c, val in zip(part_cols, next(iter(pv_tuples))):
+                    df = df.withColumn(
+                        c, F.lit(val).cast(snap_schema[c].dataType)
+                    )
+            else:
+                df = _ident_join(
+                    df,
+                    [(rel, pvals) for rel, _m, _s, pvals in specs],
+                    [],
+                )
         return df
 
     def _typed_pvals(pvals) -> tuple:
@@ -4498,8 +4523,53 @@ def _delta_table_changes(
         (driver plan build measured superlinear past ~64 branches).
         ``specs`` is ``[(rel, pvals, version, ts), ...]``; duplicate
         paths (re-adds after removes) scan once and fan out through the
-        join, one output row set per claiming commit."""
+        join, one output row set per claiming commit.
+
+        Small-range fast path (r14): when the specs collapse to a
+        handful of (commit, partition-tuple) groups — the typical
+        ``table_changes(v, v)`` incremental read of one append commit —
+        each group scans with LITERAL stamps and partition values
+        instead of the identity join: no createDataFrame, no broadcast,
+        no join, no ``_metadata`` columns. The group-count guard keeps
+        deep ranges on the batched join (per-commit literal branches
+        are exactly the superlinear plan growth the join removed)."""
         uniq = sorted({rel for rel, *_ in specs})
+        by_group: dict = {}
+        for rel, pvals, v, ts in specs:
+            by_group.setdefault(
+                (int(v), float(ts), _typed_pvals(pvals)), []
+            ).append(rel)
+        if len(by_group) <= 4 and len(uniq) <= _small_range_max_files:
+            parts = []
+            for (v, ts, pv), rels in sorted(
+                by_group.items(), key=lambda kv: (kv[0][0], str(kv[0][2]))
+            ):
+                df = (
+                    spark.read.format("parquet")
+                    .schema(file_schema)
+                    .load(sorted(
+                        os.path.join(t.path, r) for r in set(rels)
+                    ))
+                )
+                if end_snap.column_mapping:
+                    df = df.select(*[
+                        F.col(f"`{p.name}`").alias(l.name)
+                        for p, l in zip(file_schema.fields, data_fields)
+                    ])
+                for c, val in zip(part_cols, pv):
+                    df = df.withColumn(
+                        c, F.lit(val).cast(snap_schema[c].dataType)
+                    )
+                parts.append(df.select(
+                    *data_cols,
+                    F.lit(change).alias("_change_type"),
+                    F.lit(v).cast("long").alias("_commit_version"),
+                    F.lit(ts).cast("double").alias("_commit_timestamp"),
+                ))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
         df = (
             spark.read.format("parquet")
             .schema(file_schema)
@@ -4554,7 +4624,13 @@ def _delta_table_changes(
             elif "remove" in action:
                 removes.append(action["remove"])
                 ordered.append(("remove", action["remove"]))
-        data_adds = [a for a in adds if a.get("dataChange", True)]
+        # two adds of one path in a commit are legal (last-wins action
+        # reconciliation) — keep only the final add per path, or the
+        # derived paths would scan the file twice and double its rows
+        data_adds = list({
+            _decode_path(a["path"]): a
+            for a in adds if a.get("dataChange", True)
+        }.values())
         data_removes = [r for r in removes if r.get("dataChange", True)]
         if cdc_entries:
             if part_cols:

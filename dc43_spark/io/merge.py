@@ -62,6 +62,41 @@ class MergeResult:
     target_table: Optional[str] = None
 
 
+def source_key_stats(source: DataFrame, keys: list[str], *, check_unique: bool = True):
+    """ONE pass over the merge source computing the per-key pruning
+    envelope (fields ``_lo_{i}`` / ``_hi_{i}`` / ``_null_{i}`` by key
+    position) and, when ``check_unique``, the duplicate-key probe fused
+    into the same job: the grouped per-key counts feed a second
+    aggregate instead of a separate scan+shuffle. At 100 TB the source
+    SCAN is the cost — the merge previously paid it twice (once for
+    ``require_unique_merge_keys``, once for the min/max envelope); this
+    keeps the probe exact while reading the source once. min/max are
+    duplicate-insensitive, so aggregating them over the grouped keys
+    equals aggregating over the raw source; a NULL key survives as a
+    NULL group, so the ``_null_{i}`` flags are exact too. On a
+    duplicate hit the standalone probe re-runs ONLY to name an example
+    key for the error (failure path, cost irrelevant)."""
+    aggs = (
+        [F.min(F.col(k)).alias(f"_lo_{i}") for i, k in enumerate(keys)]
+        + [F.max(F.col(k)).alias(f"_hi_{i}") for i, k in enumerate(keys)]
+        + [
+            F.max(F.col(k).isNull()).alias(f"_null_{i}")
+            for i, k in enumerate(keys)
+        ]
+    )
+    if not check_unique:
+        return source.select(*aggs).first()
+    grouped = source.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("_dc43_cnt")
+    )
+    row = grouped.select(
+        F.max("_dc43_cnt").alias("_dc43_maxcnt"), *aggs
+    ).first()
+    if row["_dc43_maxcnt"] is not None and row["_dc43_maxcnt"] > 1:
+        require_unique_merge_keys(source, keys)
+    return row
+
+
 def require_unique_merge_keys(source: DataFrame, keys: list[str]) -> None:
     """SQL MERGE rejects a source with duplicate keys: one target row
     matching several source rows is ambiguous (Delta raises

@@ -3366,8 +3366,9 @@ class SnaplogTable:
         progress marker commits atomically WITH the merge (the IVM
         refresh loop in io/ivm.py leans on this). ``check_source_keys=
         False`` skips the duplicate-source-key probe for callers that
-        already ran it (merge_with_contract) — it is a full source
-        scan+shuffle, not a free assertion. ``merge_schema=True`` is
+        already ran it (merge_with_contract); since r14 the default
+        probe FUSES into the pruning-envelope source pass (one scan,
+        not two — merge.source_key_stats). ``merge_schema=True`` is
         Delta's automatic evolution: source-only columns join the table
         schema (existing rows read them as NULL) and source rows missing
         table columns insert NULLs; without the flag both shapes raise
@@ -3413,6 +3414,7 @@ class SnaplogTable:
             insert_only_frame,
             normalize_merge_clauses,
             require_unique_merge_keys,
+            source_key_stats,
         )
 
         _check_isolation(isolation)
@@ -3434,10 +3436,10 @@ class SnaplogTable:
         all_forms = any(
             cl.action == "update" and cl.assignments is None for cl in m_cls
         ) or any(cl.assignments is None for cl in nm_cls)
-        if check_source_keys:
-            require_unique_merge_keys(source, keys)
         current = self.version()
         if current is None:
+            if check_source_keys:
+                require_unique_merge_keys(source, keys)
             if any(cl.assignments is not None for cl in nm_cls):
                 raise ValueError(
                     "column-level INSERT VALUES needs an existing table "
@@ -3550,15 +3552,13 @@ class SnaplogTable:
 
         # level 1: driver-side min/max intersection (footer stats, no IO);
         # also probe whether the source carries a NULL key — those match
-        # target NULLs outside any envelope
-        ranges_row = source.select(
-            *[F.min(k).alias(f"_lo_{i}") for i, k in enumerate(keys)],
-            *[F.max(k).alias(f"_hi_{i}") for i, k in enumerate(keys)],
-            *[
-                F.max(F.col(k).isNull()).alias(f"_null_{i}")
-                for i, k in enumerate(keys)
-            ],
-        ).first()
+        # target NULLs outside any envelope. The duplicate-source-key
+        # probe (check_source_keys) fuses into this same source pass —
+        # one scan, not two (source_key_stats docstring; the check runs
+        # on the key-CAST source, which is the join's actual key domain)
+        ranges_row = source_key_stats(
+            source, list(keys), check_unique=check_source_keys
+        )
         # stats envelopes are keyed by PHYSICAL names (identity unless a
         # column was renamed)
         key_ranges = {
@@ -4019,9 +4019,27 @@ class SnaplogTable:
         equality + raw/URL-quoted suffix residual, the ``_dv_filter``
         keying) attaching each file's ``_commit_version`` /
         ``_commit_timestamp`` — plan size stays O(schema generations)
-        over a deep append-only range instead of O(commits)."""
+        over a deep append-only range instead of O(commits). When every
+        item carries ONE (version, timestamp) — the typical
+        ``table_changes(v, v)`` incremental read — literal stamps
+        replace the join outright (r14)."""
         import urllib.parse as _up
 
+        stamps_set = {(int(v), float(ts)) for _p, v, ts in items}
+        if len(stamps_set) == 1:
+            v, ts = next(iter(stamps_set))
+            df = self._raw_scan(
+                sorted({p for p, _v, _ts in items}), snap_v
+            )
+            return self._logical_alias_changes(
+                df.select(
+                    "*",
+                    F.lit("insert").alias(CHANGE_TYPE_COL),
+                    F.lit(v).cast("long").alias("_commit_version"),
+                    F.lit(ts).cast("double").alias("_commit_timestamp"),
+                ),
+                end_snap,
+            )
         df = self._raw_scan([p for p, _v, _ts in items], snap_v)
         cols = df.columns
         rows = []
