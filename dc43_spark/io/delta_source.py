@@ -48,15 +48,19 @@ Streaming semantics mirror delta-spark's source contract:
   commit replay;
 - a schema-bearing metaData commit NEWER than the stream's construction
   head fails the query loudly with a restart pointer (delta-spark's
-  contract); restarts resolve at the new head and replay clean.
+  contract); restarts resolve at the new head and replay clean;
+- ``schemaTrackingLocation`` (r14): persist a schema log under the
+  checkpoint and stream ACROSS non-additive schema changes — a change
+  commit records the evolved schema to the log and fails ONCE; the
+  restart resolves its schema FROM the log, sets the schema epoch to
+  the change commit, and replays the pending range clean (one schema
+  generation per restart — delta-spark's evolution ladder; see
+  io/schema_track.py).
 
-Known delta-spark source options NOT implemented (documented gaps):
+Known delta-spark source option NOT implemented (documented gap):
 ``withEventTimeOrder`` (event-time-ordered initial snapshot — the
 Python DataSource API cannot see the query's watermark column, which
-delta-spark reads from the plan to order and fail-fast) and
-``schemaTrackingLocation`` (streaming ACROSS non-additive schema
-changes by persisting a schema log — here the change fails the stream
-and a restart picks up the new schema, the pre-tracking behavior).
+delta-spark reads from the plan to order and fail-fast).
 
 Registered as ``deltalog`` so a cluster that HAS delta-spark keeps the
 ``delta`` name for the jar; io/read.py routes streaming format="delta"
@@ -305,6 +309,9 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         head = self._table.version()
         self._schema_epoch = -1 if head is None else head
         self._schema_fp: Optional[tuple] = None  # lazy baseline
+        # schemaTrackingLocation (r14): epoch/fingerprint come from the
+        # tracking log instead, enabling restarts ACROSS schema changes
+        _apply_tracked_schema(self, options)
         # delta-spark's default (no option): initialize from the LATEST
         # snapshot (isStartingVersion) — the first batch is the
         # snapshot's live files, not a replay of history that may be
@@ -468,6 +475,60 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self._base = dict(end)
 
 
+def _schema_tracking(options: dict, table: DeltaLogTable):
+    """``(log, latest_entry)`` for delta-spark's
+    ``schemaTrackingLocation`` option — ``(None, None)`` when absent.
+    An empty log initializes with the table's construction-head schema
+    (entry 0, delta-spark's baseline), so the first entry always exists
+    before the stream serves a batch; ownership (table path + metaData
+    id) validates against reuse for a different table. See
+    io/schema_track.py for the evolution ladder."""
+    loc = options.get("schematrackinglocation")
+    if not loc:
+        return None, None
+    from dc43_spark.io.delta_log import _raw_protocol_meta
+    from dc43_spark.io.schema_track import SchemaTrackingLog
+
+    log = SchemaTrackingLog(loc)
+    head = table.version()
+    if head is None:
+        raise ValueError(
+            "schemaTrackingLocation needs an existing Delta table "
+            f"(no log at {table.path})"
+        )
+    _p, meta = _raw_protocol_meta(table, head)
+    log.validate_owner(table.path, meta.get("id"))
+    entry = log.latest()
+    if entry is None:
+        fp = _meta_fingerprint(meta)
+        entry = log.append({
+            "delta_commit_version": head,
+            "schema_json": fp[0],
+            "partition_columns": list(fp[1]),
+            "table_id": meta.get("id"),
+            "table_path": os.path.abspath(table.path),
+        })
+    return log, entry
+
+
+def _apply_tracked_schema(reader, options: dict) -> None:
+    """Wire a stream reader's schema epoch/fingerprint to the tracking
+    log when ``schemaTrackingLocation`` is set: the epoch becomes the
+    tracked entry's commit version (NOT the table head), so a restart
+    after a recorded evolution replays the change commit cleanly and
+    commits before it serve under the evolved schema through the same
+    executor kernel historical reads use (NULL-fill / physical-name
+    mapping / widening casts)."""
+    log, entry = _schema_tracking(options, reader._table)
+    reader._schema_log = log
+    if entry is not None:
+        reader._schema_epoch = entry["delta_commit_version"]
+        reader._schema_fp = (
+            entry["schema_json"],
+            tuple(entry.get("partition_columns") or ()),
+        )
+
+
 def _meta_fingerprint(meta: dict) -> tuple:
     """Normalized (schemaString, partitionColumns) for schema-change
     detection — config-only metaData commits (property toggles, feature
@@ -504,6 +565,23 @@ def _check_schema_epoch(reader, action: dict, v: int) -> None:
         if reader._schema_fp == fp:
             return
     if fp != reader._schema_fp:
+        log = getattr(reader, "_schema_log", None)
+        if log is not None:
+            meta = action["metaData"]
+            log.append({
+                "delta_commit_version": v,
+                "schema_json": fp[0],
+                "partition_columns": list(fp[1]),
+                "table_id": meta.get("id"),
+                "table_path": os.path.abspath(reader._table.path),
+            })
+            raise ValueError(
+                f"detected a schema change in commit v{v} of "
+                f"{reader._table.path}; the evolved schema was persisted "
+                "to the schema tracking log — restart the streaming "
+                "query to continue from this commit under the new schema "
+                "(delta-spark's schemaTrackingLocation contract)"
+            )
         raise ValueError(
             f"detected a schema change in commit v{v} of "
             f"{reader._table.path}; the stream's source schema is fixed "
@@ -617,6 +695,9 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
         head = self._table.version()
         self._schema_epoch = -1 if head is None else head
         self._schema_fp: Optional[tuple] = None  # lazy baseline
+        # schemaTrackingLocation (r14): epoch/fingerprint come from the
+        # tracking log instead, enabling restarts ACROSS schema changes
+        _apply_tracked_schema(self, options)
         self._starting, self._snapshot_start = _starting_position(
             self._table, options
         )
@@ -915,6 +996,20 @@ class DeltaLogDataSource(DataSource):
 
     def schema(self) -> T.StructType:
         t = DeltaLogTable(None, self._path())
+        if self.options.get("schematrackinglocation"):
+            # streaming schema tracking: the query's schema is the
+            # LOG's latest entry (the evolved schema after a recorded
+            # change), not the table head's
+            _log, entry = _schema_tracking(dict(self.options), t)
+            base = T.StructType.fromJson(json.loads(entry["schema_json"]))
+            if str(self.options.get("readchangefeed", "")).lower() == "true":
+                return T.StructType([
+                    *base.fields,
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                    T.StructField("_commit_timestamp", T.DoubleType()),
+                ])
+            return base
         v = self.options.get("versionasof")
         ts = self.options.get("timestampasof")
         base = t.snapshot(
@@ -933,6 +1028,12 @@ class DeltaLogDataSource(DataSource):
     def reader(self, schema: T.StructType) -> DataSourceReader:
         from pyspark.sql import SparkSession
 
+        if self.options.get("schematrackinglocation"):
+            raise ValueError(
+                "schemaTrackingLocation is a STREAMING-source option "
+                "(spark.readStream); batch reads always resolve the "
+                "snapshot's own schema"
+            )
         if str(self.options.get("readchangefeed", "")).lower() == "true":
             return DeltaLogCdfBatchReader(
                 self._path(), schema, dict(self.options)

@@ -491,6 +491,41 @@ class SnaplogCdcBatchReader(DataSourceReader):
         yield from _arrow_batches(partition, self._schema)
 
 
+def _snaplog_schema_tracking(options: dict, table: SnaplogTable):
+    """``(log, latest_entry)`` for ``schemaTrackingLocation`` on the
+    snaplog stream — ``(None, None)`` when absent. Mirrors the deltalog
+    source's helper (delta_source._schema_tracking): an empty log
+    initializes with the construction-head schema; ownership validates
+    by table path (snaplog has no metaData id)."""
+    loc = options.get("schematrackinglocation")
+    if not loc:
+        return None, None
+    from dc43_spark.io.schema_track import SchemaTrackingLog
+
+    log = SchemaTrackingLog(loc)
+    head = table.version()
+    if head is None:
+        raise ValueError(
+            "schemaTrackingLocation needs an existing snaplog table "
+            f"(no log at {table.path})"
+        )
+    log.validate_owner(table.path, None)
+    entry = log.latest()
+    if entry is None:
+        raw = table.snapshot(head).schema_json
+        if not raw:
+            raise ValueError(
+                f"snaplog table {table.path} has no recorded schema"
+            )
+        entry = log.append({
+            "snaplog_commit_version": head,
+            "schema_json": json.dumps(json.loads(raw), sort_keys=True),
+            "partition_columns": None,
+            "table_path": os.path.abspath(table.path),
+        })
+    return log, entry
+
+
 class SnaplogStreamReader(DataSourceStreamReader):
     """``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` rate-limit BOTH
     stream flavors at COMMIT granularity (whole commits per batch, at
@@ -539,6 +574,15 @@ class SnaplogStreamReader(DataSourceStreamReader):
         head = self._table.version()
         self._schema_epoch = -1 if head is None else head
         self._schema_norm: Optional[str] = None  # lazy baseline
+        # schemaTrackingLocation (r14): epoch/baseline come from the
+        # tracking log instead — restarts stream ACROSS schema changes
+        # (same evolution ladder as the deltalog source; schema_track.py)
+        self._schema_log, entry = _snaplog_schema_tracking(
+            options, self._table
+        )
+        if entry is not None:
+            self._schema_epoch = entry["snaplog_commit_version"]
+            self._schema_norm = entry["schema_json"]
         sv = options.get("startingversion")
         st = options.get("startingtimestamp")
         if sv is not None and st is not None:
@@ -586,10 +630,21 @@ class SnaplogStreamReader(DataSourceStreamReader):
             else:
                 adds = rec.get("add", [])
                 removes = rec.get("remove", []) if self._cdc else []
-                self._commit_stats[v] = (
-                    len(adds) + len(removes),
-                    sum(int(e.get("bytes") or 0) for e in adds),
-                )
+                nbytes = sum(int(e.get("bytes") or 0) for e in adds)
+                # the CDC stream's derived deletes RE-READ removed files,
+                # so their bytes charge the budget too (ADVICE r13 — the
+                # deltalog CDF reader already charges remove sizes);
+                # remove entries are bare paths, so size comes from the
+                # file itself (0 if already vacuumed — the read would
+                # fail loudly later anyway)
+                for p in removes:
+                    try:
+                        nbytes += os.path.getsize(
+                            os.path.join(self._table.path, p)
+                        )
+                    except OSError:
+                        pass
+                self._commit_stats[v] = (len(adds) + len(removes), nbytes)
         return self._commit_stats[v]
 
     def latestOffset(self) -> dict:
@@ -640,6 +695,20 @@ class SnaplogStreamReader(DataSourceStreamReader):
                 json.loads(base), sort_keys=True
             ) if base else fp
         if fp != self._schema_norm:
+            if self._schema_log is not None:
+                self._schema_log.append({
+                    "snaplog_commit_version": v,
+                    "schema_json": fp,
+                    "partition_columns": None,
+                    "table_path": os.path.abspath(self._table.path),
+                })
+                raise ValueError(
+                    f"detected a schema change in commit v{v} of "
+                    f"{self._table.path}; the evolved schema was "
+                    "persisted to the schema tracking log — restart the "
+                    "streaming query to continue from this commit under "
+                    "the new schema (schemaTrackingLocation contract)"
+                )
             raise ValueError(
                 f"detected a schema change in commit v{v} of "
                 f"{self._table.path}; the stream's source schema is "
@@ -713,6 +782,15 @@ class SnaplogDataSource(DataSource):
 
     def schema(self) -> T.StructType:
         t = SnaplogTable(None, self._path())
+        if self.options.get("schematrackinglocation"):
+            # streaming schema tracking: the query's schema is the
+            # LOG's latest entry (the evolved schema after a recorded
+            # change), not the table head's
+            _log, entry = _snaplog_schema_tracking(dict(self.options), t)
+            base = T.StructType.fromJson(json.loads(entry["schema_json"]))
+            if str(self.options.get("readchangefeed", "")).lower() == "true":
+                return T.StructType([*base.fields, *_CDC_FIELDS])
+            return base
         snap = t.snapshot()
         if not snap.schema_json:
             raise ValueError(f"snaplog table {t.path} has no recorded schema")
@@ -724,6 +802,12 @@ class SnaplogDataSource(DataSource):
     def reader(self, schema: T.StructType) -> DataSourceReader:
         from pyspark.sql import SparkSession
 
+        if self.options.get("schematrackinglocation"):
+            raise ValueError(
+                "schemaTrackingLocation is a STREAMING-source option "
+                "(spark.readStream); batch reads always resolve the "
+                "snapshot's own schema"
+            )
         if str(self.options.get("readchangefeed", "")).lower() == "true":
             # batch CDF (previously this silently served snapshot rows
             # with NULL change columns — worse than any error)
