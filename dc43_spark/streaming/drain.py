@@ -30,6 +30,27 @@ def _progress_rows(p) -> int:
     return int(getattr(p, "numInputRows", 0) or 0)
 
 
+def _progress_moved(p) -> bool:
+    """Did this batch ADVANCE any source offset? Termination keys on
+    this, not on row counts: a rate-limited batch can legitimately
+    admit a zero-row commit mid-backlog (a delete-only commit under
+    ignoreDeletes, a commit dropped by skipChangeCommits, zero-row
+    data files) — its offset moves while numInputRows stays 0, and
+    stopping there would strand the rest of the backlog (ADVICE r13)."""
+    if isinstance(p, dict):
+        sources = p.get("sources") or []
+        return any(
+            str(s.get("startOffset")) != str(s.get("endOffset"))
+            for s in sources
+        )
+    sources = getattr(p, "sources", None) or []
+    return any(
+        str(getattr(s, "startOffset", None))
+        != str(getattr(s, "endOffset", None))
+        for s in sources
+    )
+
+
 def drain(
     start_run: Callable,
     *,
@@ -38,10 +59,14 @@ def drain(
 ) -> dict:
     """Loop ``start_run()`` — a zero-arg callable that STARTS a
     ``Trigger.AvailableNow`` StreamingQuery on a fixed checkpoint — until
-    a run processes zero input rows, i.e. the rate-limited source
-    reports caught-up. Returns ``{"runs": N, "rows": total}`` where
-    ``runs`` counts started queries (including the final empty
-    verification run) and ``rows`` sums every batch's ``numInputRows``.
+    a run's source offsets stop ADVANCING, i.e. the rate-limited source
+    reports caught-up. (Not until a zero-ROW run: a capped batch can
+    legitimately admit a zero-row commit mid-backlog — skipChangeCommits,
+    delete-only commits under ignoreDeletes — whose offset moves with no
+    input rows; stopping there would strand the rest of the backlog.)
+    Returns ``{"runs": N, "rows": total}`` where ``runs`` counts started
+    queries (including the final no-advance verification run) and
+    ``rows`` sums every batch's ``numInputRows``.
 
     ``max_runs`` is the trigger budget: exceeding it raises
     ``RuntimeError`` (the backlog outgrew the budget — raise the cap or
@@ -80,9 +105,15 @@ def drain(
         exc = q.exception()
         if exc:
             raise exc
-        rows = sum(_progress_rows(p) for p in (q.recentProgress or []))
+        progress = q.recentProgress or []
+        rows = sum(_progress_rows(p) for p in progress)
         total += rows
-        if rows == 0:
+        # caught-up = this run's offsets did NOT advance (no batch ran,
+        # or every batch's endOffset equals its startOffset). Zero rows
+        # alone is NOT caught-up: a capped batch can admit a zero-row
+        # commit mid-backlog (skipChangeCommits, delete-only under
+        # ignoreDeletes) whose offset moves with no input rows.
+        if not any(_progress_moved(p) for p in progress):
             return {"runs": runs, "rows": total}
     raise RuntimeError(
         f"backlog not drained within max_runs={max_runs} "

@@ -723,6 +723,46 @@ def test_drain_rate_limited_backlog(registered, spark, tmp_path):
         drain(start, max_runs=1, run_timeout_sec=300)
 
 
+def test_drain_survives_zero_row_commit_mid_backlog(
+    registered, spark, tmp_path
+):
+    """ADVICE r13: a rate-limited batch can admit a ZERO-ROW commit
+    mid-backlog (here a delete-only commit under ignoreDeletes) — its
+    offset advances with numInputRows=0. drain() must key termination
+    on offset non-advancement, not on the zero-row run, or it returns
+    early claiming drained while commits remain."""
+    from dc43_spark.io.delta_dml import delta_delete
+    from dc43_spark.streaming.drain import drain
+
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 10), t, checkpoint_interval=None)  # v0
+    delta_delete(spark, t, None)               # v1: remove-only commit
+    delta_write(spark, _df(spark, 10, 20), t, checkpoint_interval=None)  # v2
+
+    out, cp = str(tmp_path / "o"), str(tmp_path / "cp")
+
+    def start():
+        return (
+            spark.readStream.format("deltalog")
+            .option("startingVersion", 0)
+            .option("ignoreDeletes", "true")
+            .option("maxFilesPerTrigger", 1).load(t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    stats = drain(start, run_timeout_sec=300)
+    # v0 run + zero-row v1 run + v2 run + no-advance verification run:
+    # the v1 run (0 rows, offset moved) must NOT terminate the loop
+    assert stats["runs"] >= 4
+    assert stats["rows"] == 20
+    ks = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert ks == list(range(20))  # nothing stranded past the zero-row run
+
+
 def test_streaming_max_bytes_per_trigger(registered, spark, tmp_path):
     """maxBytesPerTrigger: snapshot chunks stop at the byte budget (at
     least one file per batch), incremental commits admit whole until the
