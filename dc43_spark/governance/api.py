@@ -95,6 +95,67 @@ def contract_detail(
     }
 
 
+class PreviewUnavailable(RuntimeError):
+    """No SparkSession is wired into the service — the HTTP tier maps
+    this to 503 (the ref's "pyspark is required for data previews")."""
+
+
+def contract_preview(
+    contract_store,
+    governance_store,
+    spark,
+    cid: str,
+    ver: str,
+    *,
+    limit: int = 100,
+    dataset_version: Optional[str] = None,
+) -> Optional[dict[str, Any]]:
+    """Governed sample-row preview (ref contracts-app server.py:7673-7775
+    ``api_contract_preview``): rows come through ``read_with_contract``
+    under the contract's own server binding — the SAME read path a
+    pipeline uses, so the preview shows contract-aligned columns — with
+    enforcement off (a preview must render even for a violating
+    dataset) and metrics off (no observation pass for a 100-row peek).
+    ``limit`` clamps to the ref's 1..500; ``dataset_version`` pins a
+    folder/tag/time-travel version via ContractVersionLocator. Returns
+    None for an unknown contract (404); raises ``PreviewUnavailable``
+    when no SparkSession is wired (503)."""
+    contract = contract_store.get(cid, ver)
+    if contract is None:
+        return None
+    if spark is None:
+        raise PreviewUnavailable(
+            "no SparkSession is wired into this service; previews need "
+            "GovernanceServiceServer(spark_session=...)"
+        )
+    from dc43_spark.io.locators import ContractVersionLocator
+    from dc43_spark.io.read import read_with_contract
+
+    limit = max(1, min(int(limit), 500))
+    locator = (
+        ContractVersionLocator(dataset_version)
+        if dataset_version is not None
+        else None
+    )
+    df, result = read_with_contract(
+        spark, contract,
+        enforce=False, auto_cast=False, metrics=False, locator=locator,
+    )
+    rows = [r.asDict(recursive=True) for r in df.limit(limit).collect()]
+    dataset_id = contract.id or cid
+    selected = dataset_version or "latest"
+    status = governance_store.load_status(dataset_id, selected)
+    return {
+        "dataset_id": dataset_id,
+        "dataset_version": selected,
+        "rows": rows,
+        "columns": list(df.columns),
+        "limit": limit,
+        "status": status or {"status": "unknown"},
+        "validation": {"ok": result.ok, "errors": result.errors},
+    }
+
+
 def validate_contract(contract_store, cid: str, ver: str) -> Optional[dict]:
     """Ref ``api_validate_contract``: the stored document's status (the
     reference returns a static "active"; here the answer is real)."""

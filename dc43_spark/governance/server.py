@@ -37,6 +37,9 @@ payloads built in governance/api.py):
   GET  /api/contracts/{cid}/{ver}                   -> contract + datasets
                                                        + expectations
   POST /api/contracts/{cid}/{ver}/validate          -> {"status": ...}
+  GET  /api/contracts/{cid}/{ver}/preview           -> governed sample
+       ?limit=&dataset_version=                        rows (503 without
+                                                       a SparkSession)
   GET  /api/datasets                                -> [dataset records]
   GET  /api/datasets/{dataset_id}                   -> link + matrix +
                                                        activity + contract
@@ -213,6 +216,27 @@ class _Handler(BaseHTTPRequestHandler):
 
             if seg == ["api", "contracts"]:
                 return self._send(200, api.contract_catalog(self._contracts))
+            if len(seg) == 5 and seg[1] == "contracts" and seg[4] == "preview":
+                q = parse_qs(url.query)
+                try:
+                    limit = int((q.get("limit") or ["100"])[0])
+                except ValueError:
+                    return self._send(400, {"detail": "limit must be an int"})
+                try:
+                    detail = api.contract_preview(
+                        self._contracts,
+                        self._gov,
+                        getattr(self.server, "spark_session", None),
+                        seg[2],
+                        seg[3],
+                        limit=limit,
+                        dataset_version=(
+                            q.get("dataset_version") or [None]
+                        )[0],
+                    )
+                except api.PreviewUnavailable as exc:
+                    return self._send(503, {"detail": str(exc)})
+                return self._send(404 if detail is None else 200, detail)
             if len(seg) == 4 and seg[1] == "contracts":
                 detail = api.contract_detail(
                     self._contracts, self._gov, seg[2], seg[3]
@@ -538,6 +562,7 @@ class GovernanceServiceServer:
         host: str = "127.0.0.1",
         port: int = 0,
         auth_token: Optional[str] = None,
+        spark_session=None,
     ) -> None:
         from dc43_spark.products.store import MemoryProductStore
 
@@ -546,6 +571,9 @@ class GovernanceServiceServer:
         self._httpd.governance_store = governance_store or MemoryGovernanceStore()  # type: ignore[attr-defined]
         self._httpd.product_store = product_store or MemoryProductStore()  # type: ignore[attr-defined]
         self._httpd.auth_token = auth_token  # type: ignore[attr-defined]
+        # optional: enables /api/contracts/{cid}/{ver}/preview (governed
+        # sample rows need a live session; absent -> that route serves 503)
+        self._httpd.spark_session = spark_session  # type: ignore[attr-defined]
         self._thread: Optional[threading.Thread] = None
 
     @property

@@ -288,3 +288,63 @@ def test_product_edit_ui_and_route():
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(req, timeout=5)
         assert exc.value.code == 404
+
+
+def test_contract_preview_route(spark, tmp_path):
+    """/api/contracts/{cid}/{ver}/preview (r14 — VERDICT r13 #3, ref
+    contracts-app api_contract_preview): governed sample rows through
+    read_with_contract with limit honored; 404 on unknown contracts;
+    503 when the service has no SparkSession wired."""
+    from pyspark.sql import functions as F
+
+    from dc43_spark.contracts.model import Server
+
+    data_dir = str(tmp_path / "orders")
+    spark.range(50).select(
+        F.col("id").alias("order_id"), (F.col("id") * 2).alias("amount")
+    ).write.parquet(data_dir)
+    contract = Contract(
+        id="orders.preview",
+        version="1.0.0",
+        schema_objects=[SchemaObject(
+            name="orders",
+            properties=[
+                SchemaProperty("order_id", "bigint", required=True),
+                SchemaProperty("amount", "bigint"),
+            ],
+        )],
+        servers=[Server(format="parquet", path=data_dir)],
+    )
+    cs = MemoryContractStore()
+    cs.put(contract)
+    gs = MemoryGovernanceStore()
+    gs.save_status("orders.preview", "latest", {"status": "ok"})
+
+    with GovernanceServiceServer(cs, gs, spark_session=spark) as url:
+        got = _get(
+            url, f"/api/contracts/{contract.id}/{contract.version}/preview"
+            "?limit=7"
+        )
+        assert got["limit"] == 7 and len(got["rows"]) == 7
+        assert got["columns"] == ["order_id", "amount"]
+        assert {r["amount"] for r in got["rows"]} <= {2 * i for i in range(50)}
+        assert got["dataset_id"] == "orders.preview"
+        assert got["status"] == {"status": "ok"}
+        assert got["validation"]["ok"] is True
+
+        # the ref clamps limit to 1..500
+        got = _get(
+            url, f"/api/contracts/{contract.id}/{contract.version}/preview"
+            "?limit=100000"
+        )
+        assert got["limit"] == 500 and len(got["rows"]) == 50
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get(url, "/api/contracts/unknown/1.0.0/preview")
+        assert exc.value.code == 404
+
+    # no SparkSession wired -> 503, the ref's "pyspark is required" guard
+    with GovernanceServiceServer(cs, gs) as url:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get(url, f"/api/contracts/{contract.id}/{contract.version}/preview")
+        assert exc.value.code == 503
