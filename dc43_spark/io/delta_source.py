@@ -57,10 +57,16 @@ Streaming semantics mirror delta-spark's source contract:
   generation per restart — delta-spark's evolution ladder; see
   io/schema_track.py).
 
-Known delta-spark source option NOT implemented (documented gap):
-``withEventTimeOrder`` (event-time-ordered initial snapshot — the
-Python DataSource API cannot see the query's watermark column, which
-delta-spark reads from the plan to order and fail-fast).
+- ``withEventTimeOrder`` (r14, best-effort): admit the initial
+  snapshot in EVENT-TIME order so a rate-limited backfill feeds the
+  watermark oldest-first. delta-spark reads the watermark column from
+  the query plan; the Python DataSource API cannot see the plan, so
+  the column must be NAMED via ``eventTimeOrderColumn`` (refused
+  otherwise, with this citation). Ordering keys on file min-stats
+  (stats-missing files last); the admission-order marker rides the
+  snapshot offsets, so flipping the option mid-snapshot refuses
+  (delta-spark's rule). Commit-phase ordering is unchanged (commits
+  are already admitted in commit order, as delta-spark does).
 
 Registered as ``deltalog`` so a cluster that HAS delta-spark keeps the
 ``delta`` name for the jar; io/read.py routes streaming format="delta"
@@ -301,8 +307,30 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "maxFilesPerTrigger/maxBytesPerTrigger must be positive"
             )
+        # withEventTimeOrder (r14, best-effort variant of delta-spark's
+        # option): admit the initial snapshot in EVENT-TIME order (file
+        # min-stats of the named column) so a rate-limited backfill's
+        # watermark sees oldest events first. delta-spark reads the
+        # watermark column from the query plan; the Python DataSource
+        # API cannot (SPARK plan state is invisible here), so the column
+        # must be NAMED explicitly — refusing beats silently ignoring
+        self._etime_order = (
+            str(options.get("witheventtimeorder", "")).lower() == "true"
+        )
+        self._etime_col = options.get("eventtimeordercolumn")
+        if self._etime_order and not self._etime_col:
+            raise ValueError(
+                "withEventTimeOrder needs eventTimeOrderColumn=<column>: "
+                "the Python DataSource API cannot see the query's "
+                "watermark column (delta-spark reads it from the plan), "
+                "so the event-time column must be named explicitly"
+            )
+        if self._etime_col and not self._etime_order:
+            raise ValueError(
+                "eventTimeOrderColumn requires withEventTimeOrder=true"
+            )
         self._base: Optional[dict] = None  # last known consumed offset
-        self._snap0_sizes: Optional[list] = None  # path-sorted file bytes
+        self._snap0_sizes: Optional[list] = None  # admission-ordered bytes
         self._commit_adds: dict = {}  # version -> (n data adds, bytes)
         # schema-change detection: the stream's schema is the one in
         # effect at construction head; newer metaData commits fail loudly
@@ -326,20 +354,45 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             # "snapshot at version N still owed": the first planned batch
             # serves snapshot(N)'s files plus any commits N+1..end; once
             # the batch commits, the stored offset is a plain version and
-            # the stream is purely incremental
+            # the stream is purely incremental. The admission-order
+            # marker rides the offset so a restart that flips
+            # withEventTimeOrder mid-snapshot refuses instead of
+            # misaligning file-index chunks (delta-spark's rule)
             self._base = {"version": self._starting - 1, "snapshot": True,
                           "index": 0}
+            if self._etime_order:
+                self._base["order"] = f"etime:{self._etime_col}"
             return dict(self._base)
         self._base = {"version": self._starting - 1}
         return dict(self._base)
+
+    def _ordered_snapshot_files(self, snap) -> list:
+        """Initial-snapshot ADMISSION order — the contract between the
+        file-index offsets and the served chunks. Path-sorted by
+        default; under ``withEventTimeOrder`` ascending by each file's
+        min event-time stat (stats-missing files last, path tiebreak),
+        so a rate-limited backfill feeds the watermark oldest-first —
+        delta-spark's option, best-effort via footer stats (the same
+        stats the writer records for data skipping)."""
+        files = sorted(snap.files, key=lambda f: f.path)
+        if not self._etime_order:
+            return files
+        col = self._etime_col
+
+        def _min_stat(f):
+            return (f.stats.get(col) or {}).get("min")
+
+        with_stat = [f for f in files if _min_stat(f) is not None]
+        without = [f for f in files if _min_stat(f) is None]
+        with_stat.sort(key=lambda f: (_min_stat(f), f.path))
+        return with_stat + without
 
     def _snapshot_sizes(self, version: int) -> list:
         if self._snap0_sizes is None:
             self._snap0_sizes = [
                 f.size or 0
-                for f in sorted(
-                    self._table.snapshot(version).files,
-                    key=lambda f: f.path,
+                for f in self._ordered_snapshot_files(
+                    self._table.snapshot(version)
                 )
             ]
         return self._snap0_sizes
@@ -380,11 +433,24 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             # its own DV mask / typed partition constants), exactly what
             # delta-spark's isStartingVersion start serves. Under
             # maxFilesPerTrigger the offsets carry a FILE INDEX into the
-            # path-sorted live list and each batch serves one [i, j)
-            # chunk; without the option i=0 and j=every file.
+            # admission-ordered live list and each batch serves one
+            # [i, j) chunk; without the option i=0 and j=every file.
+            marker = (
+                f"etime:{self._etime_col}" if self._etime_order else None
+            )
+            if start.get("order") != marker:
+                raise ValueError(
+                    "withEventTimeOrder cannot change while the initial "
+                    "snapshot is pending: the checkpoint recorded "
+                    f"order={start.get('order')!r} but this reader is "
+                    f"configured {marker!r} — restart with the original "
+                    "setting or use a fresh checkpoint (delta-spark's "
+                    "rule; the file-index offsets are positions in the "
+                    "admission order)"
+                )
             snap0 = self._table.snapshot(start["version"])
             types0 = {f.name: f.dataType.typeName() for f in snap0.schema.fields}
-            files0 = sorted(snap0.files, key=lambda f: f.path)
+            files0 = self._ordered_snapshot_files(snap0)
             i = start.get("index", 0)
             j = (
                 end.get("index", len(files0))
@@ -628,8 +694,11 @@ def _capped_latest_offset(reader) -> dict:
                 bytes_left -= sizes[j]
                 j += 1
             if j < n:
-                return {"version": base["version"], "snapshot": True,
-                        "index": j}
+                out = {"version": base["version"], "snapshot": True,
+                       "index": j}
+                if "order" in base:  # withEventTimeOrder marker rides
+                    out["order"] = base["order"]
+                return out
             snapshot_pending = True  # leftover budget admits commits
     start_v = base["version"]
     end_v = start_v
@@ -683,6 +752,12 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, schema: T.StructType, options: dict):
         self._table = DeltaLogTable(None, path)
         self._schema = schema
+        if str(options.get("witheventtimeorder", "")).lower() == "true":
+            raise ValueError(
+                "withEventTimeOrder orders the PLAIN stream's initial "
+                "snapshot; the change-feed stream serves commit-ordered "
+                "change rows — drop the option"
+            )
         self._max_files = int(options.get("maxfilespertrigger", 0) or 0)
         self._max_bytes = int(options.get("maxbytespertrigger", 0) or 0)
         if self._max_files < 0 or self._max_bytes < 0:

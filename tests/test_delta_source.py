@@ -1064,3 +1064,79 @@ def test_streaming_fails_loudly_on_mid_stream_schema_change(
     rows = spark.read.parquet(out).collect()
     assert {x.k for x in rows} == set(range(8))
     assert {x.extra for x in rows} == {None, 7}
+
+
+def test_with_event_time_order_initial_snapshot(registered, spark, tmp_path):
+    """r14 (VERDICT r13 #6, best-effort withEventTimeOrder): the initial
+    snapshot admits files in EVENT-TIME order (min-stats of the named
+    column) under a rate cap, the admission-order marker rides the
+    snapshot offsets, and flipping the option mid-snapshot refuses.
+    The column must be named explicitly (the Python DataSource API
+    cannot see the query's watermark column)."""
+    from pyspark.sql import types as T
+
+    from dc43_spark.io.delta_source import DeltaLogStreamReader
+
+    t = str(tmp_path / "t")
+    # three files whose event-time ranges are disjoint; write order is
+    # irrelevant — admission must follow min(ts), whatever the paths
+    for lo in (200, 0, 100):
+        df = spark.range(lo, lo + 10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("ts")
+        ).coalesce(1)
+        delta_write(spark, df, t, checkpoint_interval=None)
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("ts", T.LongType())
+    ])
+    opts = {"witheventtimeorder": "true", "eventtimeordercolumn": "ts",
+            "maxfilespertrigger": "1"}
+    r = DeltaLogStreamReader(t, schema, opts)
+    off = r.initialOffset()
+    assert off["order"] == "etime:ts"
+    admitted = []
+    for _ in range(10):
+        nxt = r.latestOffset()
+        if nxt == off:
+            break
+        parts = r.partitions(off, nxt)
+        admitted.extend(p.path for p in parts)
+        r.commit(nxt)
+        off = nxt
+    # expected order = ascending min(ts) from the files' own stats
+    from dc43_spark.io.delta_log import DeltaLogTable
+    import os as _os
+
+    files = DeltaLogTable(spark, t).snapshot().files
+    expected = [
+        f.path for f in sorted(files, key=lambda f: f.stats["ts"]["min"])
+    ]
+    assert [_os.path.basename(p) for p in admitted] == [
+        _os.path.basename(p) for p in expected
+    ]
+    assert len(admitted) == 3  # one file per capped batch
+
+    # flipping the option mid-snapshot refuses (marker mismatch both ways)
+    plain = DeltaLogStreamReader(t, schema, {"maxfilespertrigger": "1"})
+    with pytest.raises(ValueError, match="cannot change"):
+        plain.partitions(
+            {"version": 2, "snapshot": True, "index": 1, "order": "etime:ts"},
+            {"version": 2, "snapshot": True, "index": 2},
+        )
+    ordered = DeltaLogStreamReader(t, schema, opts)
+    with pytest.raises(ValueError, match="cannot change"):
+        ordered.partitions(
+            {"version": 2, "snapshot": True, "index": 1},
+            {"version": 2, "snapshot": True, "index": 2},
+        )
+
+    # refusal matrix: the column must be named; flag required with it;
+    # the CDF stream refuses the option outright
+    with pytest.raises(ValueError, match="eventTimeOrderColumn"):
+        DeltaLogStreamReader(t, schema, {"witheventtimeorder": "true"})
+    with pytest.raises(ValueError, match="requires withEventTimeOrder"):
+        DeltaLogStreamReader(t, schema, {"eventtimeordercolumn": "ts"})
+    from dc43_spark.io.delta_source import DeltaLogCDFStreamReader
+
+    with pytest.raises(ValueError, match="change-feed"):
+        DeltaLogCDFStreamReader(t, schema, {"witheventtimeorder": "true"})
