@@ -46,6 +46,9 @@ payloads built in governance/api.py):
   GET  /api/integration-helper/contracts            -> {"contracts": []}
   GET  /api/integration-helper/data-products        -> {"data_products": []}
   GET  /api/integration-helper/contracts/{cid}/{ver}
+  GET  /setup/export?integration=&format=&...        -> setup bundle ZIP
+                                                        (400 on bad
+                                                        selections)
   GET  /api/integration-helper/data-products/{pid}/{ver}
   POST /api/integration-helper/stub                 <- {"inputs", "outputs",
                                                        "format"} -> runnable
@@ -131,6 +134,20 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(401, {"detail": "Invalid authentication credentials"})
         return False
 
+    def _send_bytes(
+        self, status: int, data: bytes, ctype: str,
+        filename: Optional[str] = None,
+    ) -> None:
+        self.send_response(status)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(data)))
+        if filename:
+            self.send_header(
+                "Content-Disposition", f'attachment; filename="{filename}"'
+            )
+        self.end_headers()
+        self.wfile.write(data)
+
     def _send_html(self, status: int, html: Optional[str]) -> None:
         if html is None:
             return self._send(404)
@@ -211,6 +228,22 @@ class _Handler(BaseHTTPRequestHandler):
                     200, webui.render_dataset(self._gov, seg[2])
                 )
             return self._send(404)
+        if seg == ["setup", "export"]:
+            # downloadable setup bundle from the running app (ref
+            # contracts-app /setup/export): same selections as /ui/setup
+            # via the shared parser, streamed as a ZIP attachment
+            from dc43_spark.governance.setup_bundle import (
+                bundle_config_from_params,
+                export_setup_zip,
+            )
+
+            try:
+                name, data = export_setup_zip(
+                    bundle_config_from_params(parse_qs(url.query))
+                )
+            except ValueError as exc:
+                return self._send(400, {"error": str(exc)})
+            return self._send_bytes(200, data, "application/zip", name)
         if seg and seg[0] == "api":
             from dc43_spark.governance import api
 

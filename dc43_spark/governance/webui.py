@@ -660,27 +660,17 @@ def render_setup(params: dict[str, Any] | None = None) -> str:
     file inline; the same selections drive
     ``governance.setup_bundle.write_setup_bundle`` programmatically."""
     from dc43_spark.governance.setup_bundle import (
-        BundleConfig,
+        bundle_config_from_params,
         render_setup_bundle,
     )
 
-    params = params or {}
-
-    def _pick(name: str, default: str) -> str:
-        raw = params.get(name, [default])
-        return (raw[0] if isinstance(raw, list) else raw) or default
-
-    cfg = BundleConfig(
-        project=_pick("project", "dc43-pipeline"),
-        integration=_pick("integration", "spark"),
-        table_format=_pick("format", "parquet"),
-        contract_store=_pick("contract_store", "filesystem"),
-        governance_store=_pick("governance_store", "filesystem"),
-    )
+    # the shared parser keeps this preview and /setup/export in lockstep
     try:
+        cfg = bundle_config_from_params(params or {})
         files = render_setup_bundle(cfg)
         error = None
     except ValueError as exc:
+        cfg = bundle_config_from_params({})
         files, error = {}, str(exc)
 
     def _select(name: str, options: tuple, current: str) -> str:

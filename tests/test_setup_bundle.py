@@ -99,3 +99,45 @@ def test_validation_matrix():
         BundleConfig(table_format="iceberg").validate()
     with pytest.raises(ValueError, match="contract_store"):
         BundleConfig(contract_store="collibra").validate()
+
+
+def test_setup_export_route_zip_executes(spark, tmp_path, monkeypatch):
+    """/setup/export (r14 — VERDICT r13 #7, ref contracts-app
+    /setup/export StreamingResponse): the running app streams the setup
+    bundle as a ZIP; unzipped, the bundle EXECUTES green exactly like a
+    write_setup_bundle one (same renderer, same roots). Bad selections
+    400 loudly; same selections produce byte-identical archives."""
+    import io
+    import urllib.error
+    import urllib.request
+    import zipfile
+
+    from dc43_spark.governance.server import GovernanceServiceServer
+
+    def fetch(url, path):
+        with urllib.request.urlopen(url + path, timeout=10) as resp:
+            return resp.headers, resp.read()
+
+    with GovernanceServiceServer() as url:
+        headers, data = fetch(
+            url, "/setup/export?project=zipdemo&format=snaplog&rows=40"
+        )
+        assert headers["Content-Type"] == "application/zip"
+        assert 'filename="dc43-setup-zipdemo-' in headers["Content-Disposition"]
+        # deterministic: same selections, byte-identical archive
+        _h2, data2 = fetch(
+            url, "/setup/export?project=zipdemo&format=snaplog&rows=40"
+        )
+        assert data2 == data
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            fetch(url, "/setup/export?format=orc")
+        assert exc.value.code == 400
+
+    dest = tmp_path / "unzipped"
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        names = set(z.namelist())
+        assert {"config.toml", "pipeline.py", "README.md"} <= names
+        assert "data/" in names  # empty roots ride as dir entries
+        z.extractall(dest)
+    assert _run_bundle(monkeypatch, dest) == "ok"
