@@ -211,7 +211,9 @@ def main() -> int:
     def _noop(batches):
         import numpy  # noqa: F401
 
+        import dc43_spark.functions.curation  # noqa: F401
         import dc43_spark.functions.multimodal  # noqa: F401
+        import dc43_spark.functions.text  # noqa: F401
 
         for b in batches:
             yield b
@@ -294,6 +296,49 @@ def main() -> int:
         .agg({"l_quantity": "sum"})
         .collect()
     )
+    # r14 (VERDICT r13 #4): r13's retried queries were ALL streaming /
+    # table-format gates — the shuffle+join pass above never exercises a
+    # Structured Streaming lifecycle (engine classes, offset/commit
+    # logs, the Python streaming-source runner fork) or the snaplog
+    # write/merge machinery, so their first TIMED run paid that cold
+    # start. Warm both untimed and tiny: a snaplog write + merge, one
+    # availableNow change-feed stream over it into a noop sink, and one
+    # Expand-shaped profile aggregate (the profile gate's plan family).
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from dc43_spark.contracts.profiling import profile_columns as _wu_prof
+    from dc43_spark.io.snaplog import SnaplogTable as _WuTable
+    from dc43_spark.io.snaplog_source import SnaplogDataSource as _WuSource
+
+    _wu_root = _tempfile.mkdtemp(prefix="bench_warmup_")
+    try:
+        spark.dataSource.register(_WuSource)
+        _wu = _WuTable(
+            spark, os.path.join(_wu_root, "t"), change_feed=True
+        )
+        _wu.write(
+            spark.range(256).selectExpr("id AS k", "id * 2 AS v"),
+            mode="overwrite",
+        )
+        _wu.merge(
+            spark.range(128).selectExpr("id AS k", "id * 3 AS v"), ["k"]
+        )
+        (
+            spark.readStream.format("snaplog")
+            .option("readChangeFeed", "true")
+            .load(os.path.join(_wu_root, "t"))
+            .writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(_wu_root, "cp"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        _wu_prof(spark.range(1024).selectExpr(
+            "id AS a", "id % 7 AS b", "CAST(id % 3 AS STRING) AS c"
+        ))
+    finally:
+        _shutil.rmtree(_wu_root, ignore_errors=True)
     _first = next((n for n in HEADLINE if n in queries), None)
     if _first is not None:
         run_once(_first, queries[_first])
