@@ -3596,7 +3596,10 @@ class SnaplogTable:
         touched_names: set[str] = set()
         if candidates:
             scan = self._scan(candidates, snap, keep_meta=True)
-            src_keys = source.select(*keys).dropDuplicates(list(keys))
+            # no dropDuplicates: semi/anti joins test EXISTENCE, so
+            # build-side duplicates cannot change either probe's answer
+            # — deduping first was a whole extra source shuffle (r14)
+            src_keys = source.select(*keys)
             if m_cls or nm_cls:
                 # files holding matched keys rewrite: matched clauses
                 # change their rows, and insert clauses need their rows
