@@ -3550,194 +3550,209 @@ class SnaplogTable:
                     if etypes[n] != f.dataType
                 }
 
-        # level 1: driver-side min/max intersection (footer stats, no IO);
-        # also probe whether the source carries a NULL key — those match
-        # target NULLs outside any envelope. The duplicate-source-key
-        # probe (check_source_keys) fuses into this same source pass —
-        # one scan, not two (source_key_stats docstring; the check runs
-        # on the key-CAST source, which is the join's actual key domain)
-        ranges_row = source_key_stats(
-            source, list(keys), check_unique=check_source_keys
-        )
-        # stats envelopes are keyed by PHYSICAL names (identity unless a
-        # column was renamed)
-        key_ranges = {
-            snap.physical(k): (
-                _json_safe(ranges_row[f"_lo_{i}"]),
-                _json_safe(ranges_row[f"_hi_{i}"]),
-                bool(ranges_row[f"_null_{i}"]),
+        # ONE materialization serves every remaining pass (the fused
+        # envelope probe, the exact file probe, the rewrite, and the
+        # change-feed frame): without it the merge scans the source
+        # 3-4 times, and a NON-DETERMINISTIC source (rand(), a
+        # re-shuffling view, a now()-filtered feed) could yield
+        # different rows per pass - probed files vs rewritten rows vs
+        # change rows silently disagreeing. delta-spark materializes
+        # merge sources for both reasons; MEMORY_AND_DISK is
+        # spillable and keeps lineage (executor churn recomputes),
+        # the same level io/delta_dml.py uses for its touch set (r14)
+        source = source.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # level 1: driver-side min/max intersection (footer stats, no IO);
+            # also probe whether the source carries a NULL key — those match
+            # target NULLs outside any envelope. The duplicate-source-key
+            # probe (check_source_keys) fuses into this same source pass —
+            # one scan, not two (source_key_stats docstring; the check runs
+            # on the key-CAST source, which is the join's actual key domain)
+            ranges_row = source_key_stats(
+                source, list(keys), check_unique=check_source_keys
             )
-            for i, k in enumerate(keys)
-        }
-        phys_keys = [snap.physical(k) for k in keys]
-        # hidden partitioning: a merge keyed on a transform's source gains
-        # the derived partition-value range (monotonic transforms only;
-        # NULL-carrying source ranges skip — the hidden envelope can't
-        # represent the null-safe match)
-        for pf in parse_partition_spec(snap.partition_by):
-            if pf.hidden and pf.monotonic and pf.source in keys:
-                lo, hi, has_null = key_ranges[snap.physical(pf.source)]
-                tlo, thi = transform_literal(pf, lo), transform_literal(pf, hi)
-                if tlo is not None and thi is not None and not has_null:
-                    key_ranges[pf.name] = (tlo, thi, False)
-                    phys_keys.append(pf.name)
-        candidates = snap.prune_ranges(phys_keys, key_ranges)
-        bs_active = bool(bs_cls)
-        if bs_active:
-            # by-source rows are defined by having NO source match — any
-            # file can hold them, so source-key pruning is unsound; the
-            # exact probe below still keeps the rewrite set minimal
-            candidates = list(snap.files)
-
-        # level 2: exact, distributed — which candidate files actually hold
-        # a matched key (hidden _metadata.file_path + null-safe semi join),
-        # plus, under a by-source clause, a row with NO match that passes
-        # the clause predicate (anti join) — only those files rewrite
-        touched_names: set[str] = set()
-        if candidates:
-            scan = self._scan(candidates, snap, keep_meta=True)
-            # no dropDuplicates: semi/anti joins test EXISTENCE, so
-            # build-side duplicates cannot change either probe's answer
-            # — deduping first was a whole extra source shuffle (r14)
-            src_keys = source.select(*keys)
-            if m_cls or nm_cls:
-                # files holding matched keys rewrite: matched clauses
-                # change their rows, and insert clauses need their rows
-                # present in the outer join (dropping them would
-                # duplicate-insert matched source keys). A pure by-source
-                # merge (both lists empty) skips the probe — matched
-                # rows are untouched by definition (r12).
-                tgt = scan.select(
-                    *[F.col(k) for k in keys],
-                    F.col("_metadata.file_path").alias("_fp"),
+            # stats envelopes are keyed by PHYSICAL names (identity unless a
+            # column was renamed)
+            key_ranges = {
+                snap.physical(k): (
+                    _json_safe(ranges_row[f"_lo_{i}"]),
+                    _json_safe(ranges_row[f"_hi_{i}"]),
+                    bool(ranges_row[f"_null_{i}"]),
                 )
-                cond = [tgt[k].eqNullSafe(src_keys[k]) for k in keys]
-                matched = (
-                    tgt.join(src_keys, cond, "leftsemi")
-                    .select("_fp")
-                    .distinct()
-                    .collect()  # bounded by file count — driver metadata
-                )
-                touched_names = {os.path.basename(r["_fp"]) for r in matched}
+                for i, k in enumerate(keys)
+            }
+            phys_keys = [snap.physical(k) for k in keys]
+            # hidden partitioning: a merge keyed on a transform's source gains
+            # the derived partition-value range (monotonic transforms only;
+            # NULL-carrying source ranges skip — the hidden envelope can't
+            # represent the null-safe match)
+            for pf in parse_partition_spec(snap.partition_by):
+                if pf.hidden and pf.monotonic and pf.source in keys:
+                    lo, hi, has_null = key_ranges[snap.physical(pf.source)]
+                    tlo, thi = transform_literal(pf, lo), transform_literal(pf, hi)
+                    if tlo is not None and thi is not None and not has_null:
+                        key_ranges[pf.name] = (tlo, thi, False)
+                        phys_keys.append(pf.name)
+            candidates = snap.prune_ranges(phys_keys, key_ranges)
+            bs_active = bool(bs_cls)
             if bs_active:
-                full = scan.select(
-                    "*", F.col("_metadata.file_path").alias("_fp")
-                )
-                bs_probe = full.join(
-                    src_keys,
-                    [full[k].eqNullSafe(src_keys[k]) for k in keys],
-                    "left_anti",
-                ).alias("t")
-                # a file rewrites iff ANY by-source clause fires on one of
-                # its unmatched rows (first-match-wins only picks WHICH
-                # clause; any hit means the row changes or deletes)
-                bs_probe = bs_probe.filter(any_clause_ok(bs_cls))
-                touched_names |= {
-                    os.path.basename(r["_fp"])
-                    for r in bs_probe.select("_fp").distinct().collect()
-                }
-        touched = [f for f in candidates if os.path.basename(f.path) in touched_names]
+                # by-source rows are defined by having NO source match — any
+                # file can hold them, so source-key pruning is unsound; the
+                # exact probe below still keeps the rewrite set minimal
+                candidates = list(snap.files)
 
-        tgt_rows = None
-        if touched:
-            tgt_rows = self._scan(touched, snap)
-            for c, dtype in tgt_casts.items():
-                tgt_rows = tgt_rows.withColumn(c, F.col(c).cast(dtype))
-            if all_forms:
-                # evolved source-only columns: existing rows carry NULL.
-                # *All forms only — map forms never evolve, and null-
-                # filling here would stage data files with columns the
-                # committed schema doesn't declare (map-form expressions
-                # read source columns from the s side of the join)
-                for c in [c for c in source.columns if c not in tgt_rows.columns]:
-                    tgt_rows = tgt_rows.withColumn(
-                        c, F.lit(None).cast(source.schema[c].dataType)
+            # level 2: exact, distributed — which candidate files actually hold
+            # a matched key (hidden _metadata.file_path + null-safe semi join),
+            # plus, under a by-source clause, a row with NO match that passes
+            # the clause predicate (anti join) — only those files rewrite
+            touched_names: set[str] = set()
+            if candidates:
+                scan = self._scan(candidates, snap, keep_meta=True)
+                # no dropDuplicates: semi/anti joins test EXISTENCE, so
+                # build-side duplicates cannot change either probe's answer
+                # — deduping first was a whole extra source shuffle (r14)
+                src_keys = source.select(*keys)
+                if m_cls or nm_cls:
+                    # files holding matched keys rewrite: matched clauses
+                    # change their rows, and insert clauses need their rows
+                    # present in the outer join (dropping them would
+                    # duplicate-insert matched source keys). A pure by-source
+                    # merge (both lists empty) skips the probe — matched
+                    # rows are untouched by definition (r12).
+                    tgt = scan.select(
+                        *[F.col(k) for k in keys],
+                        F.col("_metadata.file_path").alias("_fp"),
                     )
-            merged = _outer_join_merge(
-                tgt_rows,
-                source,
-                list(keys),
-                matched_clauses=list(m_cls),
-                not_matched_clauses=list(nm_cls),
-                not_matched_by_source_clauses=list(bs_cls),
-                keep_target_cols=keep_target_cols,
-            )
-            if snap.generated and dict_clauses:
-                # map-form rows mix target/source values: recompute
-                # generated columns from the final row
-                out_cols = merged.columns
-                merged = self._apply_generated(
-                    merged.drop(*snap.generated), snap.generated, "merge"
-                ).select(*out_cols)
-        elif nm_cls:
-            # nothing matched anywhere: pure insert (first-match-wins
-            # across the insert clauses)
-            tbl_schema = T.StructType.fromJson(json.loads(snap.schema_json))
-            merged = insert_only_frame(
-                source, nm_cls,
-                cols=[f.name for f in tbl_schema.fields],
-                types={f.name: f.dataType for f in tbl_schema.fields},
-            )
-            if snap.generated and any(
-                cl.assignments is not None for cl in nm_cls
-            ):
-                merged = self._apply_generated(
-                    merged.drop(*snap.generated), snap.generated, "merge"
-                ).select(*[f.name for f in tbl_schema.fields])
-        else:
-            return MergeStats(snap.num_files, len(candidates), 0, 0)
+                    cond = [tgt[k].eqNullSafe(src_keys[k]) for k in keys]
+                    matched = (
+                        tgt.join(src_keys, cond, "leftsemi")
+                        .select("_fp")
+                        .distinct()
+                        .collect()  # bounded by file count — driver metadata
+                    )
+                    touched_names = {os.path.basename(r["_fp"]) for r in matched}
+                if bs_active:
+                    full = scan.select(
+                        "*", F.col("_metadata.file_path").alias("_fp")
+                    )
+                    bs_probe = full.join(
+                        src_keys,
+                        [full[k].eqNullSafe(src_keys[k]) for k in keys],
+                        "left_anti",
+                    ).alias("t")
+                    # a file rewrites iff ANY by-source clause fires on one of
+                    # its unmatched rows (first-match-wins only picks WHICH
+                    # clause; any hit means the row changes or deletes)
+                    bs_probe = bs_probe.filter(any_clause_ok(bs_cls))
+                    touched_names |= {
+                        os.path.basename(r["_fp"])
+                        for r in bs_probe.select("_fp").distinct().collect()
+                    }
+            touched = [f for f in candidates if os.path.basename(f.path) in touched_names]
 
-        # CHECK constraints: the rewritten content is exactly the rows
-        # this merge writes; carried-over files already hold (invariant)
-        self._enforce_constraints(merged, snap.constraints, "merge")
+            tgt_rows = None
+            if touched:
+                tgt_rows = self._scan(touched, snap)
+                for c, dtype in tgt_casts.items():
+                    tgt_rows = tgt_rows.withColumn(c, F.col(c).cast(dtype))
+                if all_forms:
+                    # evolved source-only columns: existing rows carry NULL.
+                    # *All forms only — map forms never evolve, and null-
+                    # filling here would stage data files with columns the
+                    # committed schema doesn't declare (map-form expressions
+                    # read source columns from the s side of the join)
+                    for c in [c for c in source.columns if c not in tgt_rows.columns]:
+                        tgt_rows = tgt_rows.withColumn(
+                            c, F.lit(None).cast(source.schema[c].dataType)
+                        )
+                merged = _outer_join_merge(
+                    tgt_rows,
+                    source,
+                    list(keys),
+                    matched_clauses=list(m_cls),
+                    not_matched_clauses=list(nm_cls),
+                    not_matched_by_source_clauses=list(bs_cls),
+                    keep_target_cols=keep_target_cols,
+                )
+                if snap.generated and dict_clauses:
+                    # map-form rows mix target/source values: recompute
+                    # generated columns from the final row
+                    out_cols = merged.columns
+                    merged = self._apply_generated(
+                        merged.drop(*snap.generated), snap.generated, "merge"
+                    ).select(*out_cols)
+            elif nm_cls:
+                # nothing matched anywhere: pure insert (first-match-wins
+                # across the insert clauses)
+                tbl_schema = T.StructType.fromJson(json.loads(snap.schema_json))
+                merged = insert_only_frame(
+                    source, nm_cls,
+                    cols=[f.name for f in tbl_schema.fields],
+                    types={f.name: f.dataType for f in tbl_schema.fields},
+                )
+                if snap.generated and any(
+                    cl.assignments is not None for cl in nm_cls
+                ):
+                    merged = self._apply_generated(
+                        merged.drop(*snap.generated), snap.generated, "merge"
+                    ).select(*[f.name for f in tbl_schema.fields])
+            else:
+                return MergeStats(snap.num_files, len(candidates), 0, 0)
 
-        cdc = None
-        if self.change_feed:
-            cdc = self._stage_files(
-                self._to_physical_df(
-                    self._merge_changes(
-                        tgt_rows, source, list(keys),
-                        matched=m_cls,
-                        not_matched=nm_cls,
-                        by_source=bs_cls,
-                        keep_target_cols=keep_target_cols,
-                        generated=snap.generated or {},
-                        table_schema=(
-                            T.StructType.fromJson(json.loads(snap.schema_json))
-                            if snap.schema_json
-                            else None
+            # CHECK constraints: the rewritten content is exactly the rows
+            # this merge writes; carried-over files already hold (invariant)
+            self._enforce_constraints(merged, snap.constraints, "merge")
+
+            cdc = None
+            if self.change_feed:
+                cdc = self._stage_files(
+                    self._to_physical_df(
+                        self._merge_changes(
+                            tgt_rows, source, list(keys),
+                            matched=m_cls,
+                            not_matched=nm_cls,
+                            by_source=bs_cls,
+                            keep_target_cols=keep_target_cols,
+                            generated=snap.generated or {},
+                            table_schema=(
+                                T.StructType.fromJson(json.loads(snap.schema_json))
+                                if snap.schema_json
+                                else None
+                            ),
                         ),
+                        snap,
                     ),
-                    snap,
-                ),
-                dest_dir=self.cdc_dir,
+                    dest_dir=self.cdc_dir,
+                )
+            added = self._stage_files(
+                self._to_physical_df(merged, snap),
+                partition_by=snap.partition_by,
+                align_partitions=self.optimize_write,
             )
-        added = self._stage_files(
-            self._to_physical_df(merged, snap),
-            partition_by=snap.partition_by,
-            align_partitions=self.optimize_write,
-        )
-        self._commit(
-            "merge",
-            add=added,
-            remove=[f.path for f in touched],
-            schema_json=evolved_json,
-            expected_version=current,
-            cdc=cdc,
-            txn=txn,
-            read_info=ReadInfo(
-                paths=frozenset(f.path for f in candidates),
-                key_ranges=(tuple(phys_keys), key_ranges),
-                isolation=isolation,
-            ),
-        )
-        self._maybe_auto_compact(added)
-        return MergeStats(
-            files_total=snap.num_files,
-            candidates_after_stats=len(candidates),
-            files_rewritten=len(touched),
-            files_added=len(added),
-        )
+            self._commit(
+                "merge",
+                add=added,
+                remove=[f.path for f in touched],
+                schema_json=evolved_json,
+                expected_version=current,
+                cdc=cdc,
+                txn=txn,
+                read_info=ReadInfo(
+                    paths=frozenset(f.path for f in candidates),
+                    key_ranges=(tuple(phys_keys), key_ranges),
+                    isolation=isolation,
+                ),
+            )
+            self._maybe_auto_compact(added)
+            return MergeStats(
+                files_total=snap.num_files,
+                candidates_after_stats=len(candidates),
+                files_rewritten=len(touched),
+                files_added=len(added),
+            )
+        finally:
+            source.unpersist()
+
 
     def _merge_changes(
         self,
