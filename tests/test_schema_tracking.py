@@ -171,3 +171,66 @@ def test_tracking_refusals_and_idempotence(registered, spark, tmp_path):
     # a NEW fingerprint claims the next sequence
     e2 = log.append({**e0, "schema_json": '{"changed": true}'})
     assert e2["seq"] == e0["seq"] + 1
+
+
+def test_delta_cdf_stream_continues_across_schema_change(
+    registered, spark, tmp_path
+):
+    """The change-feed stream rides the same tracking log: an additive
+    metaData commit mid-backlog records the evolved schema, fails once,
+    and the restart serves the remaining change rows under it (change
+    columns appended after the tracked base schema)."""
+    t = str(tmp_path / "t")
+    cp, out = str(tmp_path / "cp"), str(tmp_path / "out")
+    loc = os.path.join(cp, "_schema_log")
+    delta_write(spark, _df(spark, 0, 4), t, checkpoint_interval=None)  # v0
+
+    def run():
+        q = (
+            spark.readStream.format("deltalog")
+            .option("readChangeFeed", "true")
+            .option("schemaTrackingLocation", loc)
+            .load(t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        except Exception:
+            pass
+        return q
+
+    q = run()
+    assert q.exception() is None
+    assert spark.read.parquet(out).count() == 4  # snapshot as inserts
+
+    wide = spark.range(4, 7).select(
+        F.col("id").alias("k"), F.lit("b").alias("v"),
+        F.lit(1).alias("extra"),
+    ).coalesce(1)
+    delta_write(spark, wide, t, merge_schema=True,
+                checkpoint_interval=None)                              # v1
+    delta_write(spark, _df(spark, 7, 9, "c").withColumn(
+        "extra", F.lit(2)), t, checkpoint_interval=None)               # v2
+
+    q = run()
+    err = q.exception()
+    assert err is not None and "schema tracking log" in str(err)
+    assert SchemaTrackingLog(loc).latest()["delta_commit_version"] == 1
+
+    q = run()
+    assert q.exception() is None
+    sink_schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("extra", T.IntegerType()),
+        T.StructField("_change_type", T.StringType()),
+        T.StructField("_commit_version", T.LongType()),
+    ])
+    rows = spark.read.schema(sink_schema).parquet(out).collect()
+    assert {r.k for r in rows} == set(range(9))
+    assert {r._change_type for r in rows} == {"insert"}
+    assert {r.k for r in rows if r._commit_version == 2} == {7, 8}
