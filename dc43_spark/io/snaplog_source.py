@@ -561,6 +561,14 @@ class SnaplogStreamReader(DataSourceStreamReader):
                 "skipChangeCommits does not apply to the change-feed "
                 "stream (the CDF already carries row-level changes)"
             )
+        if str(options.get("witheventtimeorder", "")).lower() == "true":
+            raise ValueError(
+                "withEventTimeOrder is a deltalog-source option for the "
+                "owed initial snapshot; the snaplog stream replays "
+                "commits in commit order and serves no snapshot phase — "
+                "drop the option (silently ignoring it would misread "
+                "intent)"
+            )
         self._max_files = int(options.get("maxfilespertrigger", 0) or 0)
         self._max_bytes = int(options.get("maxbytespertrigger", 0) or 0)
         if self._max_files < 0 or self._max_bytes < 0:

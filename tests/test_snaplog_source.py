@@ -583,3 +583,20 @@ def test_stream_fails_loudly_on_mid_stream_schema_change(registered, tmp_path):
         [(3, "c", 8)], "k long, v string, extra long"))
     got3 = _run_stream(registered, path, cp, out)
     assert sorted(r3.k for r3 in got3.collect()) == [1, 2, 3]
+
+
+def test_snaplog_stream_refuses_with_event_time_order(registered, tmp_path):
+    """withEventTimeOrder is a deltalog initial-snapshot option; the
+    snaplog stream has no snapshot phase — refuse loudly rather than
+    silently serving commit order under a flag the user thinks is on."""
+    from dc43_spark.io.snaplog import SnaplogTable
+    from dc43_spark.io.snaplog_source import SnaplogStreamReader
+
+    t = str(tmp_path / "t")
+    table = SnaplogTable(registered, t)
+    table.write(
+        registered.range(5).selectExpr("id AS k"), mode="overwrite"
+    )
+    with pytest.raises(ValueError, match="withEventTimeOrder"):
+        SnaplogStreamReader(t, table.read().schema,
+                            {"witheventtimeorder": "true"})
