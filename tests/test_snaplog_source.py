@@ -600,3 +600,37 @@ def test_snaplog_stream_refuses_with_event_time_order(registered, tmp_path):
     with pytest.raises(ValueError, match="withEventTimeOrder"):
         SnaplogStreamReader(t, table.read().schema,
                             {"witheventtimeorder": "true"})
+
+
+def test_cdc_stream_budget_charges_removed_bytes(registered, tmp_path):
+    """ADVICE r13: the CDC stream's derived deletes RE-READ removed
+    files, so a derived-change commit charges maxBytesPerTrigger with
+    the removed files' bytes too — the plain stream keeps charging adds
+    only."""
+    import os as _os
+
+    from dc43_spark.io.snaplog_source import SnaplogStreamReader
+
+    path = str(tmp_path / "t")
+    t = SnaplogTable(registered, path, change_feed=True)
+    t.write(registered.range(100).selectExpr("id AS k").coalesce(1),
+            mode="overwrite")
+    # v2: overwrite = remove + add, NO cdc files (derived change commit)
+    t.write(registered.range(50).selectExpr("id AS k").coalesce(1),
+            mode="overwrite")
+    v = t._versions()[-1]
+    rec = t._read_commit(v)
+    assert rec.get("remove") and not rec.get("cdc")
+    removed_bytes = sum(
+        _os.path.getsize(_os.path.join(path, p)) for p in rec["remove"]
+    )
+    add_bytes = sum(int(e.get("bytes") or 0) for e in rec.get("add", []))
+
+    schema = t.read().schema
+    plain = SnaplogStreamReader(path, schema, {})
+    cdc = SnaplogStreamReader(path, schema, {"readchangefeed": "true"})
+    nf_p, nb_p = plain._commit_add_stats(v)
+    nf_c, nb_c = cdc._commit_add_stats(v)
+    assert nb_p == add_bytes  # plain stream: adds only
+    assert nf_c == nf_p + len(rec["remove"])
+    assert nb_c == add_bytes + removed_bytes  # ADVICE fix: removes charge
