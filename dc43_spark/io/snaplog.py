@@ -3559,8 +3559,18 @@ class SnaplogTable:
         # change rows silently disagreeing. delta-spark materializes
         # merge sources for both reasons; MEMORY_AND_DISK is
         # spillable and keeps lineage (executor churn recomputes),
-        # the same level io/delta_dml.py uses for its touch set (r14)
-        source = source.persist(StorageLevel.MEMORY_AND_DISK)
+        # the same level io/delta_dml.py uses for its touch set (r14).
+        # spark.dc43.snaplog.mergeMaterializeSource=none opts out
+        # (delta-spark's merge.materializeSource escape hatch) for
+        # DETERMINISTIC full-table-sized sources where recompute beats
+        # spilling a copy to executor disks.
+        _materialize = (
+            self.spark.conf.get(
+                "spark.dc43.snaplog.mergeMaterializeSource", "auto"
+            ).lower() != "none"
+        )
+        if _materialize:
+            source = source.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             # level 1: driver-side min/max intersection (footer stats, no IO);
             # also probe whether the source carries a NULL key — those match
@@ -3751,7 +3761,8 @@ class SnaplogTable:
                 files_added=len(added),
             )
         finally:
-            source.unpersist()
+            if _materialize:
+                source.unpersist()
 
 
     def _merge_changes(

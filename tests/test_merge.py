@@ -196,3 +196,25 @@ def test_merge_with_contract_conditional_clauses_all_strategies(spark, tmp_path)
                               format="delta", **kw)
     assert res.strategy == "delta-log-dml"
     assert rows(DeltaLogTable(spark, dp).read()) == expect
+
+
+def test_merge_materialize_source_opt_out(spark, tmp_path):
+    """spark.dc43.snaplog.mergeMaterializeSource=none (r14 — the
+    delta-spark merge.materializeSource escape hatch): a deterministic
+    full-table-sized source can skip the spillable persist and
+    recompute per pass; results are identical either way."""
+    from dc43_spark.io.snaplog import SnaplogTable
+
+    t = SnaplogTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(200).selectExpr("id AS k", "id AS v"),
+            mode="overwrite")
+    spark.conf.set("spark.dc43.snaplog.mergeMaterializeSource", "none")
+    try:
+        st = t.merge(
+            spark.range(100).selectExpr("id AS k", "id * 5 AS v"), ["k"]
+        )
+    finally:
+        spark.conf.unset("spark.dc43.snaplog.mergeMaterializeSource")
+    assert st.files_rewritten >= 1
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[50] == 250 and got[150] == 150
