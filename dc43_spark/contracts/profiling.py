@@ -127,6 +127,19 @@ def profile_columns(
             f"got {distinct_strategy!r}"
         )
     approx = distinct_strategy == "approx"
+    # a small input (one parquet file at bench scale) plans the wide
+    # aggregate — the Expand stream in particular — on ONE task while
+    # the rest of the cluster idles; spread it when the scan has far
+    # fewer partitions than the session's parallelism (r14: the
+    # profile_orders gate's stats pass went 2.5-3.4 s single-task to
+    # 1.1-1.3 s spread at sf0.1). At real scale input partitions far
+    # exceed cores and this never fires — no shuffle added.
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() * 4 < par:
+            df = df.repartition(par)
+    except Exception:
+        pass  # Connect-style sessions without an RDD handle: skip
     fields = {f.name: f for f in df.schema.fields}
     if columns is None:
         columns = [
