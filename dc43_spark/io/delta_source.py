@@ -81,6 +81,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Iterator
 
 from pyspark.sql import types as T
@@ -329,6 +330,13 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "eventTimeOrderColumn requires withEventTimeOrder=true"
             )
+        # excludeRegex (delta-spark's streaming option): files whose
+        # RELATIVE path matches are invisible to the stream — snapshot
+        # admission, incremental adds, and both rate-limit budgets all
+        # skip them consistently. A bad pattern raises re.error at
+        # construction (loud), never mid-stream.
+        pat = options.get("excluderegex")
+        self._exclude = re.compile(pat) if pat else None
         self._base: Optional[dict] = None  # last known consumed offset
         self._snap0_sizes: Optional[list] = None  # admission-ordered bytes
         self._commit_adds: dict = {}  # version -> (n data adds, bytes)
@@ -375,6 +383,8 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         delta-spark's option, best-effort via footer stats (the same
         stats the writer records for data skipping)."""
         files = sorted(snap.files, key=lambda f: f.path)
+        if self._exclude is not None:
+            files = [f for f in files if not self._exclude.search(f.path)]
         if not self._etime_order:
             return files
         col = self._etime_col
@@ -402,6 +412,10 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             n = b = 0
             for a in self._table._commit_lines(v):
                 if "add" in a and a["add"].get("dataChange", True):
+                    if self._exclude is not None and self._exclude.search(
+                        _decode_path(a["add"]["path"])
+                    ):
+                        continue  # excluded files charge no budget either
                     n += 1
                     b += int(a["add"].get("size") or 0)
             self._commit_adds[v] = (n, b)
@@ -514,6 +528,8 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 )
             for a in data_adds:
                 f_path = _decode_path(a["path"])
+                if self._exclude is not None and self._exclude.search(f_path):
+                    continue  # excludeRegex: the file is invisible
                 dv = _norm_dv(a.get("deletionVector"))
                 raw_pv = {
                     c: (a.get("partitionValues") or {}).get(c)
@@ -757,6 +773,13 @@ class DeltaLogCDFStreamReader(DataSourceStreamReader):
                 "withEventTimeOrder orders the PLAIN stream's initial "
                 "snapshot; the change-feed stream serves commit-ordered "
                 "change rows — drop the option"
+            )
+        if options.get("excluderegex"):
+            raise ValueError(
+                "excludeRegex applies to the PLAIN stream's files; "
+                "silently dropping files from a CHANGE FEED would "
+                "corrupt its row-level change semantics — filter the "
+                "feed's rows downstream instead"
             )
         self._max_files = int(options.get("maxfilespertrigger", 0) or 0)
         self._max_bytes = int(options.get("maxbytespertrigger", 0) or 0)
@@ -1057,7 +1080,10 @@ class DeltaLogDataSource(DataSource):
     / ``skipChangeCommits`` / ``maxFilesPerTrigger`` /
     ``maxBytesPerTrigger`` (streaming; the rate limits chunk the initial
     snapshot by file index and admit whole commits per batch, on the
-    plain AND change-feed streams)."""
+    plain AND change-feed streams) / ``excludeRegex`` (plain-stream
+    file exclusion) / ``withEventTimeOrder`` + ``eventTimeOrderColumn``
+    (event-time-ordered initial snapshot) / ``schemaTrackingLocation``
+    (streaming schema evolution, r14)."""
 
     @classmethod
     def name(cls) -> str:

@@ -1140,3 +1140,54 @@ def test_with_event_time_order_initial_snapshot(registered, spark, tmp_path):
 
     with pytest.raises(ValueError, match="change-feed"):
         DeltaLogCDFStreamReader(t, schema, {"witheventtimeorder": "true"})
+
+
+def test_streaming_exclude_regex(registered, spark, tmp_path):
+    """excludeRegex (delta-spark streaming option): matching files are
+    invisible — skipped in the initial snapshot, in incremental adds,
+    and in both rate-limit budgets; the change-feed stream refuses the
+    option (dropping files would corrupt row-level change semantics)."""
+    from pyspark.sql import types as T
+
+    from dc43_spark.io.delta_source import (
+        DeltaLogCDFStreamReader,
+        DeltaLogStreamReader,
+    )
+
+    t = str(tmp_path / "t")
+    delta_write(spark, _df(spark, 0, 10, "a"), t, checkpoint_interval=None)
+    delta_write(spark, _df(spark, 10, 20, "b"), t, checkpoint_interval=None)
+    victim = sorted(
+        f.path for f in DeltaLogTable(spark, t).snapshot().files
+    )[0]
+    schema = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("v", T.StringType())
+    ])
+
+    out, cp = str(tmp_path / "o"), str(tmp_path / "cp")
+    q = (
+        spark.readStream.format("deltalog")
+        .option("excludeRegex", victim.replace(".", r"\."))
+        .load(t)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+    survivors = {r.k for r in spark.read.parquet(out).collect()}
+    assert len(survivors) == 10 and survivors in (
+        set(range(10)), set(range(10, 20))
+    )
+
+    # incremental adds skip too, and the budget does not charge them
+    delta_write(spark, _df(spark, 20, 30, "c"), t, checkpoint_interval=None)
+    r = DeltaLogStreamReader(
+        t, schema, {"excluderegex": r".*", "maxfilespertrigger": "1",
+                    "startingversion": "2"}
+    )
+    assert r._commit_add_stats(2) == (0, 0)
+    assert r.partitions({"version": 1}, {"version": 2}) == []
+
+    with pytest.raises(ValueError, match="excludeRegex"):
+        DeltaLogCDFStreamReader(t, schema, {"excluderegex": "x"})
