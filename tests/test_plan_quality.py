@@ -61,14 +61,14 @@ def test_metrics_single_pass(spark):
     from dc43_spark.showcase import q_metrics_orders
 
     plan = plan_string(q_metrics_orders(spark, SF_DIR), "simple")
-    assert plan.count(") Scan parquet") == 1  # detail header: one scan node
+    assert plan.count("Scan parquet") == 1
 
 
 def test_events_rollup_single_scan_with_expand(spark):
     from dc43_spark.showcase_scale import q_events_rollup
 
     plan = plan_string(q_events_rollup(spark, SF_DIR), "simple")
-    assert plan.count(") Scan parquet") == 1  # detail header: one scan node
+    assert plan.count("Scan parquet") == 1
     assert "Expand" in plan  # grouping sets, not a union of three aggs
 
 
@@ -93,7 +93,7 @@ def test_repetition_two_partial_aggregated_shuffles(spark):
     df = q_repetition_documents(spark, SF_DIR)
     plan = plan_string(df, "simple")
     assert shuffle_exchanges(df) == 2
-    assert plan.count(") Scan parquet") == 1  # detail header: one scan node
+    assert plan.count("Scan parquet") == 1
     assert plan.count("partial_") >= 2  # map-side combine on both aggregations
 
 
@@ -152,7 +152,7 @@ def test_corpus_filter_zero_shuffle_single_scan(spark):
     out = corpus_filter(df)
     assert shuffle_exchanges(out) == 0
     plan = plan_string(out, "simple")
-    assert plan.count(") Scan parquet") == 1  # detail header: one scan node
+    assert plan.count("Scan parquet") == 1
 
 
 def test_probe_media_zero_shuffle_and_pruned_payload_read(spark):
