@@ -1191,3 +1191,61 @@ def test_streaming_exclude_regex(registered, spark, tmp_path):
 
     with pytest.raises(ValueError, match="excludeRegex"):
         DeltaLogCDFStreamReader(t, schema, {"excluderegex": "x"})
+
+
+def test_with_event_time_order_engine_roundtrip(registered, spark, tmp_path):
+    """Engine-level withEventTimeOrder: the admission-order marker
+    survives the REAL offset log (JSON round-trip through the
+    checkpoint), capped batches drain the snapshot in event-time order,
+    and a mid-snapshot restart WITHOUT the option refuses against the
+    checkpointed marker."""
+    from dc43_spark.streaming.drain import drain
+
+    t = str(tmp_path / "t")
+    for lo in (100, 0, 200):  # write order != event-time order
+        df = spark.range(lo, lo + 10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("ts")
+        ).coalesce(1)
+        delta_write(spark, df, t, checkpoint_interval=None)
+
+    out, cp = str(tmp_path / "o"), str(tmp_path / "cp")
+
+    def start(with_order=True):
+        r = (
+            spark.readStream.format("deltalog")
+            .option("maxFilesPerTrigger", 1)
+        )
+        if with_order:
+            r = (r.option("withEventTimeOrder", "true")
+                 .option("eventTimeOrderColumn", "ts"))
+        return (
+            r.load(t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # one capped run = the FIRST (lowest event-time) file only
+    q = start()
+    q.awaitTermination(300)
+    assert q.exception() is None
+    first = {r.k for r in spark.read.parquet(out).collect()}
+    assert first == set(range(0, 10))  # min(ts) file, not write order
+
+    # mid-snapshot restart WITHOUT the option: the checkpointed offset
+    # carries the marker; the plain reader must refuse, not misalign
+    q = start(with_order=False)
+    try:
+        q.awaitTermination(300)
+    except Exception:
+        pass
+    err = q.exception()
+    assert err is not None and "cannot change" in str(err)
+
+    # with the option back, the drain completes in event-time order
+    stats = drain(lambda: start(), run_timeout_sec=300)
+    assert stats["rows"] == 20  # the two remaining files
+    ks = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert ks == sorted([*range(0, 10), *range(100, 110), *range(200, 210)])
