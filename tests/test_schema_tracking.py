@@ -234,3 +234,39 @@ def test_delta_cdf_stream_continues_across_schema_change(
     assert {r.k for r in rows} == set(range(9))
     assert {r._change_type for r in rows} == {"insert"}
     assert {r.k for r in rows if r._commit_version == 2} == {7, 8}
+
+
+def test_tracking_log_claim_race():
+    """Two writers racing distinct fingerprints onto one log: the
+    os.link claim means both land, on DISTINCT sequence numbers, and
+    the loser of a seq retries rather than overwriting (no Spark
+    needed — pure filesystem)."""
+    import tempfile
+    import threading
+
+    with tempfile.TemporaryDirectory() as d:
+        log = SchemaTrackingLog(d)
+        results = []
+
+        def claim(tag):
+            results.append(log.append({
+                "delta_commit_version": 1,
+                "schema_json": f'{{"tag": "{tag}"}}',
+                "partition_columns": [],
+            }))
+
+        threads = [
+            threading.Thread(target=claim, args=(f"w{i}",)) for i in range(8)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        seqs = sorted(r["seq"] for r in results)
+        # every writer landed; no two share a sequence number
+        assert len(seqs) == 8 and len(set(seqs)) == 8
+        # idempotent-append semantics still hold after the race: the
+        # latest fingerprint re-appends as a no-op
+        latest = log.latest()
+        again = log.append({k: v for k, v in latest.items() if k != "seq"})
+        assert again["seq"] == latest["seq"]
