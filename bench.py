@@ -180,6 +180,14 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r14: let AQE coalesce CACHED plan outputs too — the merge/DML
+        # gates persist bounded frames whose shuffle stages otherwise run
+        # at full shuffle.partitions width regardless of size (sql_merge
+        # tasks 620 -> 160 at sf0.1, identical results). Scale-neutral.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         # ~56 distinct plans generate hundreds of Janino classes; the JVM

@@ -1348,9 +1348,26 @@ def delta_merge(
 
         frames = [f for f in (touch, bs, inserts) if f is not None]
         try:
-            n_touch = touch.count()
-            n_bs = bs.count() if bs is not None else 0
-            n_ins = inserts.count() if inserts is not None else 0
+            # ONE counting job for all three persisted frames (a tagged
+            # union-count): each leg's scan materializes its cache, so
+            # this replaces three separate count() jobs — at local scale
+            # that is 3x job overhead, at cluster scale 3 job launches
+            # over the same cached bytes (guide §2.4: fewer actions)
+            legs = [touch.select(F.lit(0).alias("_dc43_leg"))]
+            if bs is not None:
+                legs.append(bs.select(F.lit(1).alias("_dc43_leg")))
+            if inserts is not None:
+                legs.append(inserts.select(F.lit(2).alias("_dc43_leg")))
+            union = legs[0]
+            for leg in legs[1:]:
+                union = union.unionAll(leg)
+            leg_counts = {
+                r["_dc43_leg"]: r["count"]
+                for r in union.groupBy("_dc43_leg").count().collect()
+            }
+            n_touch = leg_counts.get(0, 0)
+            n_bs = leg_counts.get(1, 0)
+            n_ins = leg_counts.get(2, 0)
             if n_touch == 0 and n_bs == 0 and n_ins == 0:
                 return None
 

@@ -36,6 +36,10 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
