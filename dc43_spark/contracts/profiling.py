@@ -104,6 +104,7 @@ def profile_columns(
     *,
     enum_max_card: int = 8,
     distinct_strategy: str = "exact",
+    sketches: bool = True,
 ) -> DatasetProfile:
     """Profile ``columns`` (default: all top-level non-complex columns).
 
@@ -120,7 +121,15 @@ def profile_columns(
     enum candidacy uses a 2x slack on the estimate with the exact
     bounded ``collect_set`` pass 2 as the arbiter — a column whose true
     cardinality exceeds ``enum_max_card`` gets its candidate status
-    revoked after the (still bounded) set collection."""
+    revoked after the (still bounded) set collection.
+
+    ``sketches=False`` skips the distribution-sketch pass entirely
+    (``quantiles``/``hash_hist`` stay None). The sketches exist solely
+    for ``profile_drift``'s PSI leg; a caller bootstrapping a contract
+    (null counts, cardinality, bounds, enums) pays a full second scan +
+    a percentile sketch per numeric column for fields it never reads —
+    at 100 TB that is an entire extra pass over the table. Callers that
+    persist profiles for drift monitoring keep the default."""
     if distinct_strategy not in ("exact", "approx"):
         raise ValueError(
             f"distinct_strategy must be 'exact' or 'approx', "
@@ -175,6 +184,8 @@ def profile_columns(
         c for c in columns if isinstance(fields[c].dataType, _ORDERABLE_NUMERIC)
     ]
     string_cols = [c for c in columns if isinstance(fields[c].dataType, T.StringType)]
+    if not sketches:
+        numeric_cols = string_cols = []
     if numeric_cols or string_cols:
         scan = df.select(
             *[F.col(c) for c in numeric_cols],
@@ -273,7 +284,9 @@ def suggest_contract(
     base = contract_from_dataframe(
         df, contract_id=contract_id, version=version, status=status
     )
-    profile = profile_columns(df, enum_max_card=enum_max_card)
+    # contract suggestion reads null counts / uniqueness / bounds / enums
+    # only — skip the drift-sketch pass (a full extra scan) it never uses
+    profile = profile_columns(df, enum_max_card=enum_max_card, sketches=False)
     for prop in base.schema_object.properties:
         cp = profile.columns.get(prop.name)
         if cp is None:

@@ -214,8 +214,9 @@ def refresh_views(source: SnaplogTable, specs: Sequence[ViewSpec]) -> list[Refre
     if all(o is not None and head <= o for o in offsets):
         return [RefreshStats(o, o, 0, "no-op") for o in offsets]
     # the ONE _change_data scan — everything downstream reads the
-    # checkpointed window, not the feed
-    changes = changes.localCheckpoint(eager=True)
+    # checkpointed window, not the feed (lazy: the first view's stats
+    # action materializes it, saving a dedicated checkpoint job)
+    changes = changes.localCheckpoint(eager=False)
     out = []
     for s, off in zip(specs, offsets):
         if off is not None and head <= off:
@@ -359,24 +360,33 @@ def _apply_window(
     cols.append(dirty.alias("_dirty"))
     combined = joined.select(*cols)
 
-    # eager checkpoint: the plan (CDC scan + signed-delta groupBy + view
-    # join) is consumed several times — counts, the dirty overlay, and
-    # the merge's own staging — and would otherwise re-execute each time
+    # lazy checkpoint: the plan (CDC scan + signed-delta groupBy + view
+    # join) is consumed several times — the fused count below, the dirty
+    # overlay, and the merge's own staging — and would otherwise
+    # re-execute each time; eager=False lets the count job double as the
+    # materialization pass instead of paying a separate checkpoint job
     merge_src = (
         combined.filter((F.col(count_col) > 0) | F.col("_in_view"))
         .drop("_in_view")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n = merge_src.count()
+    # one aggregate action yields both the applied-group count and the
+    # surviving-dirty-group count (a delete may have taken an extremum)
+    stats = merge_src.select(
+        F.count(F.lit(1)).alias("_n"),
+        F.count(
+            F.when(F.col("_dirty") & (F.col(count_col) > 0), F.lit(1))
+        ).alias("_ndirty"),
+    ).first()
+    n = stats["_n"]
     rescanned = 0
     if mins or maxs:
-        # surviving dirty groups: a delete may have taken the extremum —
-        # re-aggregate ONLY those groups from the base head (pruned
+        # re-aggregate ONLY the dirty groups from the base head (pruned
         # semi-join; the broadcast side is bounded by changed groups)
         dirty_keys = merge_src.filter(F.col("_dirty") & (F.col(count_col) > 0)).select(
             *keys
         )
-        rescanned = dirty_keys.count()
+        rescanned = stats["_ndirty"]
         if rescanned:
             base = source.read(version_as_of=head)
             on = [base[k].eqNullSafe(dirty_keys[k]) for k in keys]
@@ -413,7 +423,7 @@ def _apply_window(
             merge_src = (
                 mk.join(F.broadcast(re_agg), on2, "left_outer")
                 .select(*overlay)
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
     merge_src = merge_src.drop("_dirty")
 

@@ -154,7 +154,10 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents(F.col("o_totalprice")).alias("o_totalprice_cents"),
         "o_orderpriority",
     )
-    profile = profile_columns(df, enum_max_card=8)
+    # sketches=False: the gate emits null/distinct/unique/min/max/enum
+    # only — the drift sketches (quantiles + hash hists) never reach the
+    # output, and their pass was ~half the gate's steady cost (r14)
+    profile = profile_columns(df, enum_max_card=8, sketches=False)
     rows = []
     for name in sorted(profile.columns):
         cp = profile.columns[name]

@@ -234,3 +234,24 @@ def test_profile_approx_distinct_agrees_with_exact(spark):
 
     with pytest.raises(ValueError, match="distinct_strategy"):
         profile_columns(df, distinct_strategy="hll")
+
+
+def test_profile_sketches_off_matches_stats(sample):
+    # sketches=False must change ONLY the sketch fields: every stat the
+    # bootstrap path consumes is identical, quantiles/hash_hist are None
+    full = profile_columns(sample, enum_max_card=3)
+    lean = profile_columns(sample, enum_max_card=3, sketches=False)
+    assert lean.row_count == full.row_count
+    for name, cp in full.columns.items():
+        lp = lean.columns[name]
+        assert (
+            lp.n_nulls, lp.n_distinct, lp.is_unique,
+            lp.min_value, lp.max_value, lp.enum_values,
+        ) == (
+            cp.n_nulls, cp.n_distinct, cp.is_unique,
+            cp.min_value, cp.max_value, cp.enum_values,
+        )
+        assert lp.quantiles is None and lp.hash_hist is None
+    # the full profile still carries sketches for drift consumers
+    assert full.columns["amount"].quantiles is not None
+    assert full.columns["status"].hash_hist is not None
