@@ -967,13 +967,13 @@ def delta_merge(
         not_matched_by_source_clauses=not_matched_by_source_clauses,
     )
     keys = list(keys)
-    if check_source_keys and bs_cls:
-        # a by-source clause skips file pruning, so there is no envelope
-        # probe to fuse the duplicate check into — run it standalone
-        require_unique_merge_keys(source_df, keys)
-    # otherwise the check fuses into _merge_candidate_files' single
-    # source pass (first attempt only; retries reuse the verdict)
+    # the duplicate-source-key check fuses into _merge_candidate_files'
+    # single source pass (first attempt only; retries reuse the
+    # verdict). A by-source clause skips file pruning, so there is no
+    # envelope probe — the check rides the fate-count action instead
+    # (one extra union leg over the materialized source, not a scan).
     check_dups_in_probe = check_source_keys and not bs_cls
+    check_dups_in_count = check_source_keys and bool(bs_cls)
     dict_clauses = any(
         cl.assignments is not None for cl in (*m_cls, *nm_cls, *bs_cls)
     )
@@ -1187,167 +1187,186 @@ def delta_merge(
         if bad_keys:
             raise DeltaWriteError(f"merge keys not in schema: {bad_keys}")
 
-        # merge file pruning (delta-spark's shape): only files whose
-        # stats envelope intersects the source's key ranges can match —
-        # pruned files carry over untouched, and the insert anti-join
-        # over the pruned lineage stays exact (see helper docstring).
-        # A by-source clause disables pruning: its rows are target rows
-        # WITHOUT a source match, which any file can hold.
-        if not bs_cls:
-            candidates = _merge_candidate_files(
-                src, snap, keys, check_unique=check_dups_in_probe
-            )
-            check_dups_in_probe = False
-        else:
-            candidates = list(snap.files)
-        rt_mat = _row_tracking_present(protocol) and _row_tracking_enabled(meta)
-        mat_id, _mat_ver = (
-            _rt_mat_cols_checked(meta) if rt_mat else (None, None)
+        # ONE spillable materialization serves every remaining source
+        # pass — the pruning-envelope probe, the three fate joins, and
+        # the change-feed frame re-scan the source 3-5x otherwise, and a
+        # NON-DETERMINISTIC source (rand(), a re-shuffling view) could
+        # yield different rows per pass. delta-spark materializes merge
+        # sources for both reasons; MEMORY_AND_DISK keeps lineage so
+        # blocks lost to executor churn recompute.
+        # spark.dc43.delta.mergeMaterializeSource=none opts out for
+        # deterministic full-table-sized sources where recompute beats
+        # spilling a copy (delta-spark's merge.materializeSource).
+        _src_cached = (
+            spark.conf.get(
+                "spark.dc43.delta.mergeMaterializeSource", "auto"
+            ).lower() != "none"
         )
-        lineage = _live_lineage(t, snap, files=candidates, row_ids=rt_mat)
-        tl = lineage.alias("t")
-        sl = src.alias("s")
-        cond = [
-            F.col(f"t.`{k}`").eqNullSafe(F.col(f"s.`{k}`")) for k in keys
-        ]
-        cdf_on = _cdf_enabled(meta)
-        keep_t = set(missing) if merge_schema else set()
-        upd_form = any(cl.action == "update" for cl in m_cls)
-
-        matched = tl.join(sl, cond, "inner")
-        # the row's fate is its FIRST passing clause's action (user
-        # order) — rows matching no clause stay untouched
-        matched = (
-            matched.withColumn("_dc43_del", first_fate(m_cls, "delete"))
-            .withColumn("_dc43_upd", first_fate(m_cls, "update"))
-            .filter(F.col("_dc43_del") | F.col("_dc43_upd"))
-        )
-
-        def _t_side(c):
-            # evolved columns don't exist on the target side yet
-            if c in table_cols:
-                return F.col(f"t.`{c}`").alias(f"_t_{c}")
-            return F.lit(None).cast(types[c]).alias(f"_t_{c}")
-
-        def _n_side(c):
-            # the updated row's value for column c (post-image): the
-            # first-matching update clause's value, chained in clause
-            # order; evolved columns fall back to NULL (no target side)
-            fb = (
-                F.col(f"t.`{c}`")
-                if c in table_cols
-                else F.lit(None).cast(types[c])
+        if _src_cached:
+            src = src.persist(StorageLevel.MEMORY_AND_DISK)
+        frames: list = []
+        try:
+            # merge file pruning (delta-spark's shape): only files whose
+            # stats envelope intersects the source's key ranges can match —
+            # pruned files carry over untouched, and the insert anti-join
+            # over the pruned lineage stays exact (see helper docstring).
+            # A by-source clause disables pruning: its rows are target rows
+            # WITHOUT a source match, which any file can hold.
+            if not bs_cls:
+                candidates = _merge_candidate_files(
+                    src, snap, keys, check_unique=check_dups_in_probe
+                )
+                check_dups_in_probe = False
+            else:
+                candidates = list(snap.files)
+            rt_mat = _row_tracking_present(protocol) and _row_tracking_enabled(meta)
+            mat_id, _mat_ver = (
+                _rt_mat_cols_checked(meta) if rt_mat else (None, None)
             )
-            base = clause_value(
-                m_cls, "matched", c, types, keep_t=keep_t, otherwise=fb
-            )
-            return base.alias(f"_n_{c}")
+            lineage = _live_lineage(t, snap, files=candidates, row_ids=rt_mat)
+            tl = lineage.alias("t")
+            sl = src.alias("s")
+            cond = [
+                F.col(f"t.`{k}`").eqNullSafe(F.col(f"s.`{k}`")) for k in keys
+            ]
+            cdf_on = _cdf_enabled(meta)
+            keep_t = set(missing) if merge_schema else set()
+            upd_form = any(cl.action == "update" for cl in m_cls)
 
-        touch_cols = [
-            F.col(f"t.`{_REL}`").alias(_REL),
-            F.col(f"t.`{_POS}`").alias(_POS),
-            F.col("_dc43_del"),
-            F.col("_dc43_upd"),
-        ]
-        if mat_id and upd_form:
-            # the updated row's stable identity, preserved through the
-            # rewrite via the materialized column
-            touch_cols.append(F.col(f"t.`{_RTID}`").alias(_RTID))
-        if cdf_on:
-            touch_cols += [_t_side(c) for c in data_cols]
-        if upd_form:
-            touch_cols += [_n_side(c) for c in data_cols]
-        # persist, not localCheckpoint: spillable/evictable executor
-        # storage (MEMORY_AND_DISK) with lineage kept — blocks lost to
-        # executor churn recompute from the PINNED snapshot scan, and a
-        # full-table merge never hard-materializes 2x-width rows the way
-        # an eager localCheckpoint did (VERDICT r10 #4; _t_ pre-images
-        # ride only when CDF needs them)
-        touch = matched.select(*touch_cols).persist(StorageLevel.MEMORY_AND_DISK)
-
-        bs = None
-        bs_upd_form = any(cl.action == "update" for cl in bs_cls)
-        if bs_cls:
-            bs = tl.join(
-                sl.select(*[F.col(k) for k in keys]), cond, "left_anti"
-            ).alias("t")
-            # a row is touched iff ANY clause fires; its fate (delete vs
-            # update) is the FIRST passing clause's action
-            bs = (
-                bs.filter(any_clause_ok(bs_cls))
-                .withColumn("_dc43_bsdel", first_fate(bs_cls, "delete"))
-                .withColumn("_dc43_bsupd", first_fate(bs_cls, "update"))
+            matched = tl.join(sl, cond, "inner")
+            # the row's fate is its FIRST passing clause's action (user
+            # order) — rows matching no clause stay untouched
+            matched = (
+                matched.withColumn("_dc43_del", first_fate(m_cls, "delete"))
+                .withColumn("_dc43_upd", first_fate(m_cls, "update"))
+                .filter(F.col("_dc43_del") | F.col("_dc43_upd"))
             )
-            # width discipline (same as delete's): a by-source DELETE
-            # without CDF needs only the (rel, pos) coordinates — don't
-            # re-materialize the full table width in executor storage.
-            # Evolved (merge_schema) columns don't exist on the lineage
-            # side yet: typed NULLs, same as the matched path's _t_side.
-            bs_sel = [F.col(_REL), F.col(_POS),
-                      F.col("_dc43_bsdel"), F.col("_dc43_bsupd")]
-            if mat_id and bs_upd_form:
-                bs_sel.append(F.col(_RTID))
-            if cdf_on or bs_upd_form:
-                bs_sel += [
-                    (
-                        F.col(f"`{c}`")
-                        if c in table_cols
-                        else F.lit(None).cast(types[c])
-                    ).alias(c)
-                    for c in data_cols
-                ]
-            if bs_upd_form:
-                # by-source post-image values chain in clause order over
-                # t.<col>; computed HERE (the narrow select drops the t
-                # alias) — delete-fate rows' values are unused
-                bs_sel += [
-                    clause_value(
-                        bs_cls, "not_matched_by_source", c, types,
-                        otherwise=(
-                            F.col(f"t.`{c}`")
+
+            def _t_side(c):
+                # evolved columns don't exist on the target side yet
+                if c in table_cols:
+                    return F.col(f"t.`{c}`").alias(f"_t_{c}")
+                return F.lit(None).cast(types[c]).alias(f"_t_{c}")
+
+            def _n_side(c):
+                # the updated row's value for column c (post-image): the
+                # first-matching update clause's value, chained in clause
+                # order; evolved columns fall back to NULL (no target side)
+                fb = (
+                    F.col(f"t.`{c}`")
+                    if c in table_cols
+                    else F.lit(None).cast(types[c])
+                )
+                base = clause_value(
+                    m_cls, "matched", c, types, keep_t=keep_t, otherwise=fb
+                )
+                return base.alias(f"_n_{c}")
+
+            touch_cols = [
+                F.col(f"t.`{_REL}`").alias(_REL),
+                F.col(f"t.`{_POS}`").alias(_POS),
+                F.col("_dc43_del"),
+                F.col("_dc43_upd"),
+            ]
+            if mat_id and upd_form:
+                # the updated row's stable identity, preserved through the
+                # rewrite via the materialized column
+                touch_cols.append(F.col(f"t.`{_RTID}`").alias(_RTID))
+            if cdf_on:
+                touch_cols += [_t_side(c) for c in data_cols]
+            if upd_form:
+                touch_cols += [_n_side(c) for c in data_cols]
+            # persist, not localCheckpoint: spillable/evictable executor
+            # storage (MEMORY_AND_DISK) with lineage kept — blocks lost to
+            # executor churn recompute from the PINNED snapshot scan, and a
+            # full-table merge never hard-materializes 2x-width rows the way
+            # an eager localCheckpoint did (VERDICT r10 #4; _t_ pre-images
+            # ride only when CDF needs them)
+            touch = matched.select(*touch_cols).persist(StorageLevel.MEMORY_AND_DISK)
+
+            bs = None
+            bs_upd_form = any(cl.action == "update" for cl in bs_cls)
+            if bs_cls:
+                bs = tl.join(
+                    sl.select(*[F.col(k) for k in keys]), cond, "left_anti"
+                ).alias("t")
+                # a row is touched iff ANY clause fires; its fate (delete vs
+                # update) is the FIRST passing clause's action
+                bs = (
+                    bs.filter(any_clause_ok(bs_cls))
+                    .withColumn("_dc43_bsdel", first_fate(bs_cls, "delete"))
+                    .withColumn("_dc43_bsupd", first_fate(bs_cls, "update"))
+                )
+                # width discipline (same as delete's): a by-source DELETE
+                # without CDF needs only the (rel, pos) coordinates — don't
+                # re-materialize the full table width in executor storage.
+                # Evolved (merge_schema) columns don't exist on the lineage
+                # side yet: typed NULLs, same as the matched path's _t_side.
+                bs_sel = [F.col(_REL), F.col(_POS),
+                          F.col("_dc43_bsdel"), F.col("_dc43_bsupd")]
+                if mat_id and bs_upd_form:
+                    bs_sel.append(F.col(_RTID))
+                if cdf_on or bs_upd_form:
+                    bs_sel += [
+                        (
+                            F.col(f"`{c}`")
                             if c in table_cols
                             else F.lit(None).cast(types[c])
-                        ),
-                    ).alias(f"_bsn_{c}")
-                    for c in data_cols
-                ]
-            bs = bs.select(*bs_sel).persist(StorageLevel.MEMORY_AND_DISK)
+                        ).alias(c)
+                        for c in data_cols
+                    ]
+                if bs_upd_form:
+                    # by-source post-image values chain in clause order over
+                    # t.<col>; computed HERE (the narrow select drops the t
+                    # alias) — delete-fate rows' values are unused
+                    bs_sel += [
+                        clause_value(
+                            bs_cls, "not_matched_by_source", c, types,
+                            otherwise=(
+                                F.col(f"t.`{c}`")
+                                if c in table_cols
+                                else F.lit(None).cast(types[c])
+                            ),
+                        ).alias(f"_bsn_{c}")
+                        for c in data_cols
+                    ]
+                bs = bs.select(*bs_sel).persist(StorageLevel.MEMORY_AND_DISK)
 
-        inserts = None
-        if nm_cls:
-            anti = sl.join(tl.select(*keys).alias("t"), cond, "left_anti")
-            anti = anti.alias("s").filter(any_clause_ok(nm_cls))
-            inserts = anti.select(
-                *[
-                    clause_value(
-                        nm_cls, "not_matched", c, types,
-                        otherwise=F.lit(None).cast(types[c]),
-                    ).alias(c)
-                    for c in data_cols
-                ]
-            )
-            for n, sp in sorted(ident_alloc.items()):
-                # start + k*step strictly beyond the pinned high water
-                # mark (monotonically_increasing_id keeps allocation
-                # distributed; gaps are protocol-legal). A concurrent
-                # commit raises _DmlConflict at claim time and the retry
-                # reallocates under the new mark.
-                base = (
-                    sp["hwm"] + sp["step"]
-                    if sp["hwm"] is not None
-                    else sp["start"]
+            inserts = None
+            if nm_cls:
+                anti = sl.join(tl.select(*keys).alias("t"), cond, "left_anti")
+                anti = anti.alias("s").filter(any_clause_ok(nm_cls))
+                inserts = anti.select(
+                    *[
+                        clause_value(
+                            nm_cls, "not_matched", c, types,
+                            otherwise=F.lit(None).cast(types[c]),
+                        ).alias(c)
+                        for c in data_cols
+                    ]
                 )
-                inserts = inserts.withColumn(
-                    n,
-                    (
-                        F.lit(base)
-                        + F.lit(sp["step"]) * F.monotonically_increasing_id()
-                    ).cast(types[n]),
-                )
-            inserts = inserts.persist(StorageLevel.MEMORY_AND_DISK)
+                for n, sp in sorted(ident_alloc.items()):
+                    # start + k*step strictly beyond the pinned high water
+                    # mark (monotonically_increasing_id keeps allocation
+                    # distributed; gaps are protocol-legal). A concurrent
+                    # commit raises _DmlConflict at claim time and the retry
+                    # reallocates under the new mark.
+                    base = (
+                        sp["hwm"] + sp["step"]
+                        if sp["hwm"] is not None
+                        else sp["start"]
+                    )
+                    inserts = inserts.withColumn(
+                        n,
+                        (
+                            F.lit(base)
+                            + F.lit(sp["step"]) * F.monotonically_increasing_id()
+                        ).cast(types[n]),
+                    )
+                inserts = inserts.persist(StorageLevel.MEMORY_AND_DISK)
 
-        frames = [f for f in (touch, bs, inserts) if f is not None]
-        try:
+            frames = [f for f in (touch, bs, inserts) if f is not None]
+
             # ONE counting job for all three persisted frames (a tagged
             # union-count): each leg's scan materializes its cache, so
             # this replaces three separate count() jobs — at local scale
@@ -1358,6 +1377,17 @@ def delta_merge(
                 legs.append(bs.select(F.lit(1).alias("_dc43_leg")))
             if inserts is not None:
                 legs.append(inserts.select(F.lit(2).alias("_dc43_leg")))
+            if check_dups_in_count:
+                # by-source merges have no pruning-envelope probe to fuse
+                # the duplicate-source-key check into: ride this same
+                # counting job as one extra leg over the materialized
+                # source — one row per duplicated key group
+                legs.append(
+                    src.groupBy(*[F.col(k) for k in keys])
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .select(F.lit(3).alias("_dc43_leg"))
+                )
             union = legs[0]
             for leg in legs[1:]:
                 union = union.unionAll(leg)
@@ -1365,6 +1395,15 @@ def delta_merge(
                 r["_dc43_leg"]: r["count"]
                 for r in union.groupBy("_dc43_leg").count().collect()
             }
+            if leg_counts.get(3, 0):
+                # re-probe the (cached) source only on the failure path,
+                # to name an offending key in the error
+                require_unique_merge_keys(src, keys)
+                raise ValueError(  # pragma: no cover - probe raises first
+                    "merge source has duplicate keys; SQL MERGE is "
+                    "ambiguous under multiple source matches"
+                )
+            check_dups_in_count = False  # retries reuse the verdict
             n_touch = leg_counts.get(0, 0)
             n_bs = leg_counts.get(1, 0)
             n_ins = leg_counts.get(2, 0)
@@ -1520,7 +1559,10 @@ def delta_merge(
         finally:
             # release on EVERY exit — success, conflict retry, or a
             # non-conflict failure (constraint violation, protocol
-            # error): persisted touch sets must never outlive the op
+            # error): persisted touch sets and the materialized source
+            # must never outlive the op (or the retry iteration)
+            if _src_cached:
+                src.unpersist()
             for f in frames:
                 f.unpersist()
     raise DeltaProtocolError(

@@ -679,7 +679,11 @@ def merge_with_contract(
             validation,
         )
     aligned = apply_contract(source_df, contract, auto_cast=auto_cast)
-    require_unique_merge_keys(aligned, keys)
+    # NO standalone duplicate-source-key probe here: the snaplog and
+    # delta-log engines fuse the check into a source pass they already
+    # make (the pruning-envelope probe / the fate-count action), so the
+    # wrapper probing first would scan the source one extra time per
+    # merge. Backends without a fused check probe explicitly below.
 
     def _done(result: MergeResult) -> MergeResult:
         if interceptors:
@@ -700,13 +704,18 @@ def merge_with_contract(
         stats = t.merge(
             aligned, keys,
             **clause_kwargs,
-            check_source_keys=False,  # require_unique_merge_keys ran above
+            # check_source_keys stays True: the engine fuses the probe
+            # into its envelope pass (source_key_stats) — zero extra scans
         )
         return _done(MergeResult(validation, f"snaplog-{stats.strategy}", path, table))
 
     if fmt == "delta" and delta_available():  # pragma: no cover - env-gated
         from delta.tables import DeltaTable
 
+        # delta-spark only raises MULTIPLE_SOURCE_ROWS_MATCHED when a
+        # duplicate actually matches; keep this surface's stricter
+        # up-front rejection with an explicit probe
+        require_unique_merge_keys(aligned, keys)
         dt = (
             DeltaTable.forName(spark, table) if table else DeltaTable.forPath(spark, path)
         )
@@ -754,6 +763,9 @@ def merge_with_contract(
 
         t = DeltaLogTable(spark, path)
         if not t.exists():
+            # the engine never runs on this path, so its fused check
+            # can't fire — keep the initial write's up-front rejection
+            require_unique_merge_keys(aligned, keys)
             # initial write serves only the rows the insert clauses would
             # have inserted (insertAll forms; VALUES maps need an existing
             # table's schema for the unlisted-NULL columns -> no-op)
@@ -768,11 +780,15 @@ def merge_with_contract(
         delta_merge(
             spark, aligned, path, keys,
             **clause_kwargs,
-            check_source_keys=False,  # require_unique_merge_keys ran above
+            # check_source_keys stays True: the engine fuses the probe
+            # into the envelope pass (or the fate-count for by-source)
         )
         return _done(MergeResult(validation, "delta-log-dml", path, table))
 
     # -------- parquet fallback: outer-join rewrite + atomic dir swap
+    # the rewrite would silently DUPLICATE a target row under duplicate
+    # source keys (no engine-fused check here) — probe up front
+    require_unique_merge_keys(aligned, keys)
     target_exists = (path is not None and os.path.exists(path)) or (
         table is not None and spark.catalog.tableExists(table)
     )
