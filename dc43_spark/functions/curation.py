@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from dc43_spark.functions.dedup import token_shingles
 from dc43_spark.functions.similarity import cosine, hyperplanes, lsh_bucket_join
 from dc43_spark.functions.text import tokens
+from dc43_spark.localdf import local_df
 
 #: denominator for micro-unit ratios and sampling buckets (1e6 = ppm).
 MICRO = 1_000_000
@@ -822,8 +823,11 @@ def encode_tokens(
             *[F.col(c) for c in passthrough],
         )
     spark = df.sparkSession
-    vocab_ids = spark.createDataFrame(
-        [(t, i + 1) for i, t in enumerate(terms)], f"{term_col} string, _vid int"
+    vocab_ids = local_df(
+        spark,
+        [(t, i + 1) for i, t in enumerate(terms)],
+        f"{term_col} string, _vid int",
+        coalesce=1,
     )
     exploded = df.select(
         F.col(id_col), F.posexplode(toks).alias("_pos", term_col)
@@ -1417,4 +1421,4 @@ def quality_eval_report_rows(spark, metrics: dict) -> DataFrame:
             )
     for key in ("n_pos", "n_neg", "n_scored", "n_unscored"):
         rows.append((f"classifier_{key}", int(metrics.get(key, 0))))
-    return spark.createDataFrame(rows, "reason string, n_docs long")
+    return local_df(spark, rows, "reason string, n_docs long", coalesce=1)

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dc43_spark.functions.text import fingerprint, tokens
+from dc43_spark.localdf import local_df
 
 # hash family domain: h in [0, 2^28) from a 7-hex-digit md5 prefix, then
 # (a*h + b) mod MERSENNE31 — products stay < 2^59, no int64 overflow.
@@ -552,7 +553,7 @@ def connected_components(
                 T.StructField("root", node_type, True),
             ]
         )
-        return spark.createDataFrame(out, schema)
+        return local_df(spark, out, schema, coalesce=1)
 
     def _sig(e: DataFrame):
         row = e.agg(

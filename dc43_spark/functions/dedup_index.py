@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dc43_spark.localdf import local_df
 from dc43_spark.functions.dedup import (
     lsh_bands,
     minhash_signatures,
@@ -85,9 +86,11 @@ def minhash_index_write(
         token_shingles(text_col, shingle_size).alias("sh"),
     ).withColumn("n_sh", F.size("sh").cast("long"))
     shingles.write.mode("errorifexists").parquet(shingles_path)
-    meta = df.sparkSession.createDataFrame(
+    meta = local_df(
+        df.sparkSession,
         [(num_hashes, rows_per_band, shingle_size)],
         "num_hashes int, rows_per_band int, shingle_size int",
+        coalesce=1,
     )
     meta.coalesce(1).write.mode("errorifexists").json(meta_path)
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dc43_spark.localdf import local_df
 from dc43_spark.functions.similarity import (
     _as_double,
     bucket_id,
@@ -98,9 +99,12 @@ def embedding_index_write(
         _as_double(F.col(vec_col)).alias("vec"),
     ).withColumn("bucket", bucket_id(F.col("vec"), planes))
     vecs.write.mode("errorifexists").partitionBy("bucket").parquet(vectors_path)
-    df.sparkSession.createDataFrame(
-        [(n_planes, seed, dim)], "n_planes int, seed int, dim int"
-    ).coalesce(1).write.mode("errorifexists").json(meta_path)
+    local_df(
+        df.sparkSession,
+        [(n_planes, seed, dim)],
+        "n_planes int, seed int, dim int",
+        coalesce=1,
+    ).write.mode("errorifexists").json(meta_path)
 
 
 def _read_meta(spark: SparkSession, path: str) -> dict:
@@ -139,8 +143,8 @@ def embedding_index_probe(
         idx_id_t = (
             spark.read.parquet(vectors_path).schema["vec_id"].dataType.simpleString()
         )
-        return spark.createDataFrame(
-            [], f"vec_id {batch_id_t}, dup_of {idx_id_t}, cosine double"
+        return local_df(
+            spark, [], f"vec_id {batch_id_t}, dup_of {idx_id_t}, cosine double"
         )
 
     probe = new_df.select(

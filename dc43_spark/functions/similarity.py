@@ -33,6 +33,7 @@ from typing import Optional
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from dc43_spark.localdf import local_df
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -511,10 +512,12 @@ def ivf_write_index(
         .parquet(f"{path}/lists")
     )
     spark = corpus.sparkSession
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
         "centroid_id long, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        coalesce=1,
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
     return centroids
 
 
@@ -560,10 +563,12 @@ def ivf_write_index_quantized(
         .parquet(f"{path}/lists")
     )
     spark = corpus.sparkSession
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
         "centroid_id long, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        coalesce=1,
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
     return centroids
 
 

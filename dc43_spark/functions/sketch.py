@@ -35,6 +35,7 @@ import math
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
+from dc43_spark.localdf import local_df
 
 
 def _mg_summaries(capacity: int):
@@ -115,8 +116,8 @@ def heavy_hitters(
             F.sum("lb")
         ).first()[0] or 0
         if n_total == 0:
-            return df.sparkSession.createDataFrame(
-                [], "key string, n long, total long"
+            return local_df(
+                df.sparkSession, [], "key string, n long, total long"
             )
         slack = n_total / (capacity + 1)
         threshold = min_fraction * n_total

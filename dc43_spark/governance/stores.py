@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import re
 import threading
+from dc43_spark.localdf import local_df
 from pathlib import Path
 from typing import Any, Optional, Protocol
 
@@ -298,7 +299,8 @@ class SparkTableGovernanceStore:
             return
         t = self._metrics_table()
         seq = self._next_seq()
-        df = self.spark.createDataFrame(
+        df = local_df(
+            self.spark,
             [
                 (
                     r["dataset_id"], r["dataset_version"], r["contract_id"],

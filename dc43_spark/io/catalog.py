@@ -26,6 +26,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from dc43_spark.io.snaplog import SnaplogTable
+from dc43_spark.localdf import local_df
 
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
@@ -197,7 +198,7 @@ class SnaplogCatalog:
                 if if_not_exists:
                     return self._status(name, self.table(name).version())
                 raise ValueError(f"table {name!r} already exists")
-            empty = self.spark.createDataFrame([], cols)
+            empty = local_df(self.spark, [], cols)
             return self._status(name, self.table(name).write(empty, mode="overwrite"))
         m = _DDL_INSERT.match(query)
         if m:
@@ -307,9 +308,11 @@ class SnaplogCatalog:
                     dry_run=dry_run,
                 )
                 n = len(out) if isinstance(out, list) else int(out)
-            return self.spark.createDataFrame(
+            return local_df(
+                self.spark,
                 [(name, n, dry_run)],
                 "table string, files long, dry_run boolean",
+                coalesce=1,
             )
         m = _DDL_RESTORE.match(query)
         if m:
@@ -351,8 +354,11 @@ class SnaplogCatalog:
                     (int(c.version), float(c.timestamp), c.operation)
                     for c in self.table(name).history()
                 ]
-            return self.spark.createDataFrame(
-                rows, "version long, timestamp double, operation string"
+            return local_df(
+                self.spark,
+                rows,
+                "version long, timestamp double, operation string",
+                coalesce=1,
             )
         m = _DDL_ALTER.match(query)
         if m:
@@ -379,8 +385,11 @@ class SnaplogCatalog:
         return self.spark.sql(query)
 
     def _status(self, name: str, version) -> DataFrame:
-        return self.spark.createDataFrame(
-            [(name, version)], "table string, version long"
+        return local_df(
+            self.spark,
+            [(name, version)],
+            "table string, version long",
+            coalesce=1,
         )
 
     def _sql_alter(self, name: str, rest: str) -> DataFrame:

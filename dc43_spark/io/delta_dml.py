@@ -80,6 +80,7 @@ from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from dc43_spark.localdf import local_df
 from dc43_spark.io.delta_log import (
     _WRITER_VERSION_FEATURES,
     DeltaLogTable,
@@ -213,7 +214,7 @@ def _live_lineage(
         )
     scan_files = list(snap.files) if files is None else list(files)
     if not scan_files:
-        return spark.createDataFrame([], out_schema)
+        return local_df(spark, [], out_schema)
     data_fields = [
         f for f in snap.schema.fields if f.name not in snap.partition_columns
     ]
@@ -293,7 +294,8 @@ def _live_lineage(
     dv_files = [f for f in scan_files if f.dv]
     if dv_files:
         table_path = t.path
-        desc = spark.createDataFrame(
+        desc = local_df(
+            spark,
             [
                 (
                     f.path,
@@ -565,8 +567,11 @@ def _commit_dml(
                 # broadcast semi-join, not an isin literal: a wide table's
                 # touched-file list would otherwise bloat the plan string
                 touch_df = F.broadcast(
-                    t.spark.createDataFrame(
-                        [(p,) for p in sorted(touched)], "_touch_rel string"
+                    local_df(
+                        t.spark,
+                        [(p,) for p in sorted(touched)],
+                        "_touch_rel string",
+                        coalesce=1,
                     )
                 )
                 kept = lineage.join(

@@ -84,6 +84,7 @@ from dc43_spark.io.snaplog import (
     _filters_to_column,
     _normalize_filters,
 )
+from dc43_spark.localdf import local_df
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CP_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
@@ -280,7 +281,7 @@ def _file_identity_df(
         )
         for f in files
     ]
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema, coalesce=1)
 
 
 #: Broadcast ceiling for expanded deletion-vector positions (one row per
@@ -854,7 +855,8 @@ class DeltaLogTable:
             )
             for f in dv_files
         ]
-        desc = self.spark.createDataFrame(
+        desc = local_df(
+            self.spark,
             rows,
             "file string, rel string, relq string, storage string, "
             "spec string, off long, size long, card long",
@@ -951,7 +953,7 @@ class DeltaLogTable:
             data_schema = StructType(list(data_schema.fields) + extra)
 
         if not files:
-            df = self.spark.createDataFrame([], snap.schema)
+            df = local_df(self.spark, [], snap.schema)
             if with_row_ids:
                 df = df.select(
                     "*",
@@ -4389,7 +4391,8 @@ def _delta_table_changes(
                 _ident_keys(rel) + m + (s or (None, None, None, None, None))
                 for rel, m, s in dv_specs
             ]
-            desc = spark.createDataFrame(
+            desc = local_df(
+                spark,
                 rows,
                 "fb string, sfx string, sfxq string, "
                 "storage string, spec string, off long, size long, "
@@ -4504,7 +4507,7 @@ def _delta_table_changes(
             _ident_keys(row[0]) + _typed_pvals(row[1]) + tuple(row[2:])
             for row in keyed_rows
         ]
-        ident = F.broadcast(spark.createDataFrame(ident_rows, ident_schema))
+        ident = F.broadcast(local_df(spark, ident_rows, ident_schema, coalesce=1))
         return df.join(
             ident,
             (df["_tc_fb"] == ident["_id_fb"])
@@ -4775,7 +4778,7 @@ def _delta_table_changes(
                 StructField("_commit_timestamp", DoubleType()),
             ]
         )
-        return spark.createDataFrame([], empty)
+        return local_df(spark, [], empty)
     out = out_parts[0]
     for p in out_parts[1:]:
         out = out.unionByName(p)
@@ -4820,7 +4823,7 @@ def _delta_changes_since(self, version: Optional[int]) -> tuple:
                 StructField("_commit_timestamp", DoubleType()),
             ]
         )
-        return self.spark.createDataFrame([], schema), head
+        return local_df(self.spark, [], schema), head
     return self.table_changes(start, head), head
 
 

@@ -111,6 +111,7 @@ from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from . import bloom as _bloom
+from dc43_spark.localdf import local_df
 
 LOG_DIR = "_snaplog"
 DATA_DIR = "data"
@@ -2252,7 +2253,7 @@ class SnaplogTable:
         phys = self._physical_schema(snap)
         if not paths:
             if schema is not None:
-                return self.spark.createDataFrame([], schema)
+                return local_df(self.spark, [], schema)
             raise ValueError(f"empty snaplog snapshot v{snap.version} has no schema")
         reader = self.spark.read.format("parquet")
         if phys is not None:
@@ -4019,7 +4020,7 @@ class SnaplogTable:
                     T.StructField("_commit_timestamp", T.DoubleType()),
                 ]
             )
-            return self.spark.createDataFrame([], schema)
+            return local_df(self.spark, [], schema)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
@@ -4081,7 +4082,8 @@ class SnaplogTable:
                 int(v),
                 float(ts),
             ))
-        stamps = F.broadcast(self.spark.createDataFrame(
+        stamps = F.broadcast(local_df(
+            self.spark,
             rows,
             "_cf_fb string, _cf_sfx string, _cf_sfxq string, "
             "_cf_v long, _cf_ts double",

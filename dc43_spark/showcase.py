@@ -23,6 +23,7 @@ from dc43_spark.contracts.model import Contract, QualityRule, SchemaObject, Sche
 from dc43_spark.engine.metrics import compute_metrics, metrics_dataframe
 from dc43_spark.engine.validation import apply_contract
 from dc43_spark.expectations.compiler import expectation_specs, row_predicates
+from dc43_spark.localdf import local_df
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -362,7 +363,7 @@ def q_metrics_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = [int(m[k]) for k in cols]
     aliased = [c.replace("violations.", "v_") for c in cols]
     schema = ", ".join(f"`{c}` long" for c in aliased)
-    return spark.createDataFrame([tuple(row)], schema)
+    return local_df(spark, [tuple(row)], schema, coalesce=1)
 
 
 def q_metrics_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from dc43_spark.contracts.model import Contract, QualityRule, SchemaObject, SchemaProperty
 from dc43_spark.governance.orchestrator import GovernanceService
 from dc43_spark.showcase import ORDER_STATUS, ORDERS_PRED_SQL, load, orders_contract
+from dc43_spark.localdf import local_df
 
 STRICT_ENUM = ["F", "O"]  # 'P' rows violate
 STRICT_PRICE_FLOOR = 100000.0
@@ -127,12 +128,14 @@ def q_governance_verdict_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sum(1 for c in changes if c.kind == "added_column"),
             )
         )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "dataset_id string, operation string, contract_id string, status string, "
         "ok boolean, n_errors long, n_warnings long, blocking_violations long, "
         "row_count long, draft_created boolean, n_draft_changes long, "
         "n_added_columns long",
+        coalesce=1,
     )
 
 
@@ -175,11 +178,13 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",".join(cp.enum_values) if cp.enum_values is not None else None,
             )
         )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "col_name string, n_nulls long, n_distinct long, is_unique boolean, "
         "min_long long, max_long long, min_str string, max_str string, "
         "enum_csv string",
+        coalesce=1,
     )
 
 

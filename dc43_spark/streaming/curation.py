@@ -20,6 +20,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from dc43_spark.localdf import local_df
 
 #: report rows: (batch_id, reason, n_docs) — reasons are the corpus
 #: filter's individual drop reasons plus 'near_dup' and 'kept'
@@ -128,13 +129,15 @@ def curate_stream(
                 .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
                 .select(F.lit(batch_id).cast("long").alias("batch_id"), "reason", "n_docs")
             )
-            extra = spark.createDataFrame(
+            extra = local_df(
+                spark,
                 [
                     (batch_id, "intra_batch_dup", n_intra_dropped),
                     (batch_id, "near_dup", n_kept_docs - n_survivors),
                     (batch_id, "kept", n_survivors),
                 ],
                 REPORT_SCHEMA,
+                coalesce=1,
             )
             reasons.unionByName(extra).coalesce(1).write.mode("append").parquet(
                 report_path
