@@ -291,6 +291,29 @@ def lsh_bucketed_topk(
     )
 
 
+def train_sample(
+    corpus: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    train_limit: int = 4096,
+) -> np.ndarray:
+    """The deterministic k-means training sample both trainers share: the
+    first ``train_limit`` vectors by id (TakeOrdered — a top-k, not a
+    full sort, so it stays cheap at 100 TB), pulled once via Arrow and
+    L2-row-normalised. ``ivfpq_topk`` computes this once and hands it to
+    ``ivf_centroids`` AND ``train_pq`` — through r13 each trainer pulled
+    its own identical sample (two top-k jobs over the corpus)."""
+    pdf = (
+        corpus.select(F.col(corpus_id).alias("i"), _as_double(F.col(corpus_vec)).alias("v"))
+        .orderBy("i")
+        .limit(train_limit)
+        .toPandas()  # Arrow transfer; Row-object collect is ~5x slower here
+    )
+    x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
 def ivf_centroids(
     corpus: DataFrame,
     *,
@@ -300,25 +323,28 @@ def ivf_centroids(
     train_limit: int = 4096,
     iters: int = 8,
     seed: int = 42,
+    sample: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Train a spherical-k-means coarse quantizer on a deterministic sample.
 
-    The sample is the first ``train_limit`` vectors by id (TakeOrdered — a
-    top-k, not a full sort, so it stays cheap at 100 TB); Lloyd iterations
-    run in NumPy on the driver. Vectors and centroids are L2-normalised, so
-    nearest-centroid-by-dot == nearest-by-cosine. Deterministic given
-    (corpus, seed): seeded init, fixed iteration count, and empty clusters
-    re-seeded from a fixed cursor. Returns (n_centroids, dim) float64,
-    row-normalised.
+    The sample is the first ``train_limit`` vectors by id (see
+    ``train_sample``; pass ``sample=`` to reuse an already-pulled one);
+    Lloyd iterations run in NumPy on the driver. Vectors and centroids are
+    L2-normalised, so nearest-centroid-by-dot == nearest-by-cosine.
+    Deterministic given (corpus, seed): seeded init, fixed iteration
+    count, and empty clusters re-seeded from a fixed cursor. Returns
+    (n_centroids, dim) float64, row-normalised.
     """
-    pdf = (
-        corpus.select(F.col(corpus_id).alias("i"), _as_double(F.col(corpus_vec)).alias("v"))
-        .orderBy("i")
-        .limit(train_limit)
-        .toPandas()  # Arrow transfer; Row-object collect is ~5x slower here
+    x = (
+        sample
+        if sample is not None
+        else train_sample(
+            corpus,
+            corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+            train_limit=train_limit,
+        )
     )
-    x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
     n = x.shape[0]
     k = min(n_centroids, n)
     rng = np.random.default_rng(seed)
@@ -811,26 +837,28 @@ def train_pq(
     train_limit: int = 4096,
     iters: int = 10,
     seed: int = 42,
+    sample: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Train PQ codebooks: split the (L2-normalised) vector into ``m``
     subspaces and k-means each independently -> (m, n_codes, dim/m).
 
     Same scale contract as ``ivf_centroids``: the training sample is a
-    deterministic TakeOrdered slice pulled to the driver via Arrow, and
-    Lloyd runs in NumPy — the codebooks are tiny (m * n_codes * dim/m
+    deterministic TakeOrdered slice pulled to the driver via Arrow (see
+    ``train_sample``; pass ``sample=`` to reuse an already-pulled one),
+    and Lloyd runs in NumPy — the codebooks are tiny (m * n_codes * dim/m
     floats, ~128 KB at dim=64/m=8/256 codes) and broadcast everywhere
     they are used. Deterministic given (corpus, seed): seeded init,
     fixed iteration count, empty clusters re-seeded from a cursor."""
-    pdf = (
-        corpus.select(
-            F.col(corpus_id).alias("i"), _as_double(F.col(corpus_vec)).alias("v")
+    x = (
+        sample
+        if sample is not None
+        else train_sample(
+            corpus,
+            corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+            train_limit=train_limit,
         )
-        .orderBy("i")
-        .limit(train_limit)
-        .toPandas()
     )
-    x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
     n, dim = x.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -1119,6 +1147,14 @@ def ivfpq_topk(
     Full probe (nprobe == n_centroids) + rescoring reproduces exact KNN
     whenever k x factor candidates suffice — the oracle the tests pin;
     partial-probe recall is measured, not argued."""
+    # ONE training-sample pull feeds both trainers (identical slice —
+    # pulling it per-trainer was two top-k jobs over the corpus)
+    x = train_sample(
+        corpus,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        train_limit=train_limit,
+    )
     cent = ivf_centroids(
         corpus,
         n_centroids=n_centroids,
@@ -1126,6 +1162,7 @@ def ivfpq_topk(
         corpus_vec=corpus_vec,
         train_limit=train_limit,
         seed=seed,
+        sample=x,
     )
     books = train_pq(
         corpus,
@@ -1135,6 +1172,7 @@ def ivfpq_topk(
         corpus_vec=corpus_vec,
         train_limit=train_limit,
         seed=seed,
+        sample=x,
     )
     enc = _ivfpq_encode(
         corpus, cent, books, id_col=corpus_id, vec_col=corpus_vec
