@@ -300,13 +300,20 @@ def _encode_batch(pdf) -> list[bytes]:
     return payloads
 
 
-def _encoded_media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _encoded_media_frame(
+    spark: SparkSession, sf_dir: str, docs_filter=None
+) -> DataFrame:
     """(media_id, payload) frame of real container bytes (see
     _encode_batch) — the standalone encode stage for gates that feed the
-    payloads onward (pixel stats)."""
+    payloads onward (pixel stats). ``docs_filter`` prunes documents
+    BEFORE the encode kernel (media_id == doc_id, so an id filter
+    commutes with the encode; the optimizer cannot push it through the
+    opaque mapInPandas itself)."""
     import pandas as pd
 
     docs = load_spread(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    if docs_filter is not None:
+        docs = docs.filter(docs_filter)
 
     def encode(batches):
         for pdf in batches:
@@ -385,7 +392,14 @@ def q_image_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       scaling all shift the sum and fail the hash."""
     from dc43_spark.functions.multimodal import image_channel_stats
 
-    media = _encoded_media_frame(spark, sf_dir).filter(F.col("media_id") % 4 <= 1)
+    # media_id == doc_id 1:1, so the still-image filter applies BEFORE
+    # the encode kernel: mapInPandas is opaque to the optimizer, and
+    # filtering after it encoded (then discarded) the WAV/MP4 half of
+    # the corpus (guide §4 — push predicates below opaque operators by
+    # hand)
+    media = _encoded_media_frame(
+        spark, sf_dir, docs_filter=(F.col("doc_id") % 4 <= 1)
+    )
     return image_channel_stats(media)
 
 
