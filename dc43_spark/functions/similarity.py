@@ -871,16 +871,25 @@ def train_pq(
         cent = xj[rng.choice(n, size=k, replace=False)].copy()
         respawn = 0
         for _ in range(iters):
-            # plain L2 Lloyd per subspace (subvectors are NOT unit-norm)
-            d2 = ((xj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # plain L2 Lloyd per subspace (subvectors are NOT unit-norm);
+            # argmin ||x-c||^2 == argmin (||c||^2 - 2 x.c) — the same BLAS
+            # form the encode kernel uses, instead of materialising the
+            # (n, k, dsub) broadcast-difference cube per iteration
+            d2 = (cent**2).sum(axis=1)[None, :] - 2.0 * (xj @ cent.T)
             assign = np.argmin(d2, axis=1)
+            # group members once via a stable sort instead of k boolean
+            # masks over the sample; each cluster's mean sees the same
+            # members in the same ascending row order, so the update is
+            # arithmetic-identical to the masked form
+            order = np.argsort(assign, kind="stable")
+            bounds = np.searchsorted(assign[order], np.arange(k + 1))
             for c in range(k):
-                members = xj[assign == c]
-                if len(members) == 0:
+                lo, hi = bounds[c], bounds[c + 1]
+                if lo == hi:
                     cent[c] = xj[respawn % n]
                     respawn += 1
                 else:
-                    cent[c] = members.mean(axis=0)
+                    cent[c] = xj[order[lo:hi]].mean(axis=0)
         books[j] = cent
     return books
 

@@ -128,3 +128,45 @@ def test_codes_are_compact(codes):
     assert dict(codes.dtypes)["code"] == "array<smallint>"
     n = codes.count()
     assert codes.select("vec_id").distinct().count() == n
+
+
+def _ref_lloyd(x, *, m, n_codes, iters, seed):
+    """The pre-r14 masked-Lloyd trainer: O(n*k*dsub) broadcast-difference
+    distance cube + one boolean mask per cluster. train_pq replaced both
+    with the BLAS distance form and a stable-sort grouping; this reference
+    pins that the replacement is ARITHMETIC-IDENTICAL (same members in the
+    same order feed the same np.mean), not merely approximately equal."""
+    n, dim = x.shape
+    dsub = dim // m
+    k = min(n_codes, n)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        xj = x[:, j * dsub : (j + 1) * dsub]
+        cent = xj[rng.choice(n, size=k, replace=False)].copy()
+        respawn = 0
+        for _ in range(iters):
+            d2 = ((xj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = xj[assign == c]
+                if len(members) == 0:
+                    cent[c] = xj[respawn % n]
+                    respawn += 1
+                else:
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def test_train_pq_matches_masked_lloyd_reference(emb):
+    """Bitwise parity with the masked-Lloyd reference on real data — the
+    r14 BLAS/sort rewrite must not move a single float (empty-cluster
+    respawn order included: n_codes=512 > sample forces respawns)."""
+    sample = emb.orderBy("vec_id").limit(256).collect()
+    x = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    for m, n_codes in ((8, 64), (16, 256), (8, 512)):
+        got = train_pq(emb, m=m, n_codes=n_codes, train_limit=256, seed=42)
+        want = _ref_lloyd(x, m=m, n_codes=n_codes, iters=10, seed=42)
+        assert np.array_equal(got, want), (m, n_codes)
