@@ -28,6 +28,7 @@ the driver) and broadcast — no RNG state on executors.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import numpy as np
@@ -195,12 +196,25 @@ def hyperplanes(dim: int, n_planes: int, *, seed: int = 42) -> list[list[float]]
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _plane_literal(plane: list[float]) -> Column:
+    """The plane as ONE parsed array literal instead of dim ``F.lit``
+    column objects. Identical expression tree and identical doubles
+    (``repr`` round-trips exactly through the SQL parser, the same
+    route py4j itself uses), but built in one gateway call: the
+    per-element form cost ~2 py4j round-trips per coordinate, which at
+    8 planes x 64 dims made DataFrame CONSTRUCTION the dominant cost of
+    the LSH gates (~2 of ann_lsh's ~3.8 s warm build measured r14) —
+    driver-side, single-threaded, guide §5."""
+    if not all(math.isfinite(float(x)) for x in plane):
+        return F.array(*[F.lit(float(x)) for x in plane])  # exotic values
+    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in plane) + ")")
+
+
 def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket: b sign bits packed into a long."""
     out = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = (dot(vec, p) > 0).cast("long")
+        bit = (dot(vec, _plane_literal(plane)) > 0).cast("long")
         out = out + F.shiftleft(bit, i)
     return out
 

@@ -104,3 +104,50 @@ def test_cosine_topk_matmul_tie_safe_local_pruning(spark):
     out = sim.cosine_topk_matmul(queries, corpus, k=3, scale=None).collect()
     got = {(r.rank): r.n_id for r in out}
     assert got == {1: 1, 2: 2, 3: 3}  # q_id 0 excluded, then smallest ids win
+
+
+def test_plane_literal_bit_identical_to_per_element_lits(spark):
+    """The parsed array literal (`_plane_literal`, an r14 build-time
+    optimization) must carry EXACTLY the doubles the per-element
+    ``F.array(F.lit(x), ...)`` form carried — bucket ids are oracle-pinned,
+    so one flipped low bit in a plane coordinate flips sign bits near zero
+    and changes which pairs the LSH gates score. Pins the bucket column
+    end-to-end against an inline legacy construction, incl. exotic values
+    through the fallback path."""
+    import numpy as np
+
+    from dc43_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(20260817)
+    planes = (rng.standard_normal((6, 16)) * 10.0 ** rng.integers(
+        -8, 9, size=(6, 16)
+    )).tolist()
+
+    def legacy_bucket(vec, planes):
+        out = F.lit(0).cast("long")
+        for i, plane in enumerate(planes):
+            p = F.array(*[F.lit(float(x)) for x in plane])
+            bit = (sim.dot(vec, p) > 0).cast("long")
+            out = out + F.shiftleft(bit, i)
+        return out
+
+    df = spark.range(500).select(
+        F.col("id").alias("vid"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: F.sin(F.col("id") * 131 + i * 17),
+        ).alias("vec"),
+    )
+    got = df.select(
+        sim.bucket_id(F.col("vec"), planes).alias("new"),
+        legacy_bucket(F.col("vec"), planes).alias("old"),
+    ).filter(F.col("new") != F.col("old"))
+    assert got.count() == 0
+
+    # fallback: a non-finite coordinate routes through the per-element form
+    weird = [[float("inf"), 1.0], [0.5, -0.25]]
+    vals = df.limit(3).select(
+        sim.bucket_id(F.array(F.lit(1.0), F.lit(1.0)), weird).alias("new"),
+        legacy_bucket(F.array(F.lit(1.0), F.lit(1.0)), weird).alias("old"),
+    ).collect()
+    assert all(r["new"] == r["old"] for r in vals)
