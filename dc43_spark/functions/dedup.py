@@ -413,10 +413,16 @@ def simhash_components(df: DataFrame, text_col: str, id_col: str, *, bits: int =
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     tok = tok.select(id_col, h.alias("h"))
+    # each aggregate parsed in ONE gateway call: the Column-builder form
+    # (F.sum(F.when(...))) cost ~8 py4j round-trips per bit, putting
+    # ~1.4 s of pure driver-side plan CONSTRUCTION in front of a ~1 s
+    # execution at sf0.1 (r14; integer semantics identical, pinned by
+    # the oracle gate). Same trick on the signature chain below.
     sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS s{j}"
+        )
         for j in range(bits)
     ]
     return tok.groupBy(id_col).agg(*sums)
@@ -427,11 +433,13 @@ def simhash64(
 ) -> DataFrame:
     """60-bit SimHash per document (fits in a signed int64)."""
     comp = simhash_components(df, text_col, id_col, bits=bits)
-    sig = None
-    for j in range(bits):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        sig = term if sig is None else sig + term
+    sig = F.expr(
+        " + ".join(
+            f"shiftleft(CASE WHEN s{j} > 0 THEN CAST(1 AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END, {j})"
+            for j in range(bits)
+        )
+    )
     return comp.select(F.col(id_col), sig.alias("simhash"))
 
 
