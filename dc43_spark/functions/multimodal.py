@@ -793,6 +793,31 @@ IMAGE_STATS_SCHEMA = T.StructType(
 )
 
 
+def image_stats_rows(ids, payloads) -> pd.DataFrame:
+    """One IMAGE_STATS_SCHEMA-shaped pandas frame for parallel sequences
+    of media ids and payload bytes — the per-batch kernel shared by
+    ``image_channel_stats`` and fused encode->stats stages (fusing keeps
+    chained Python operators from paying two Arrow round-trips per row,
+    guide §4)."""
+    rows = []
+    for mid, payload in zip(ids, payloads):
+        px = _decode_image_pixels(payload)
+        if px is None:
+            rows.append((mid, None, None, None, None, None))
+            continue
+        h, w, c = px.shape
+        total = int(px.astype(np.int64).sum())
+        n = h * w * c
+        rows.append((mid, w, h, c, total, total * 1_000_000 // n))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "media_id", "width", "height", "channels",
+            "pixel_sum", "pixel_mean_micro",
+        ],
+    )
+
+
 def image_channel_stats(
     df: DataFrame, *, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
@@ -803,23 +828,7 @@ def image_channel_stats(
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                px = _decode_image_pixels(payload)
-                if px is None:
-                    rows.append((mid, None, None, None, None, None))
-                    continue
-                h, w, c = px.shape
-                total = int(px.astype(np.int64).sum())
-                n = h * w * c
-                rows.append((mid, w, h, c, total, total * 1_000_000 // n))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "width", "height", "channels",
-                    "pixel_sum", "pixel_mean_micro",
-                ],
-            )
+            yield image_stats_rows(pdf[id_col], pdf[payload_col])
 
     return df.mapInPandas(process, schema=IMAGE_STATS_SCHEMA)
 

@@ -390,17 +390,30 @@ def q_image_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       cross-MCU prediction chain. The oracle sums v*block-area in closed
       form — a wrong Huffman table, dequant step, DC predictor, or IDCT
       scaling all shift the sum and fail the hash."""
-    from dc43_spark.functions.multimodal import image_channel_stats
+    from dc43_spark.functions.multimodal import IMAGE_STATS_SCHEMA
 
     # media_id == doc_id 1:1, so the still-image filter applies BEFORE
     # the encode kernel: mapInPandas is opaque to the optimizer, and
     # filtering after it encoded (then discarded) the WAV/MP4 half of
     # the corpus (guide §4 — push predicates below opaque operators by
-    # hand)
-    media = _encoded_media_frame(
-        spark, sf_dir, docs_filter=(F.col("doc_id") % 4 <= 1)
+    # hand). encode->stats runs FUSED in one mapInPandas (r15, guide §4):
+    # two chained Python operators each pay their own Arrow round-trip
+    # AND their own Python worker per task — the chained shape needed a
+    # 2x worker pool that cold-forked mid-bench; the fused stage ships
+    # payload bytes to Python exactly once and never back.
+    docs = (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("doc_id") % 4 <= 1)
     )
-    return image_channel_stats(media)
+
+    def encode_stats(batches):
+        from dc43_spark.functions.multimodal import image_stats_rows
+
+        for pdf in batches:
+            yield image_stats_rows(pdf["doc_id"], _encode_batch(pdf))
+
+    return docs.mapInPandas(encode_stats, IMAGE_STATS_SCHEMA)
 
 
 def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
