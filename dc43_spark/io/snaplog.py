@@ -2385,6 +2385,24 @@ class SnaplogTable:
             shutil.rmtree(staging, ignore_errors=True)
         return entries
 
+    def _stage_files_pair(self, first: dict, second: dict) -> tuple:
+        """Run two independent ``_stage_files`` jobs CONCURRENTLY and
+        return their entry lists in call order. A DML op's CDC staging
+        and its rewrite/DV staging read the same pinned inputs (the
+        persisted merge source, the touched-file scan) but are otherwise
+        independent Spark actions — they ran back-to-back only because
+        the driver called them sequentially (guide §2.6: overlap
+        independent jobs so the second job's tasks back-fill the first's
+        tail). Each call's staging dir is its own UUID path, so the two
+        writes never collide; on failure the pool waits for both before
+        raising, and each call cleans its own staging dir."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(self._stage_files, **first)
+            fb = pool.submit(self._stage_files, **second)
+            return fa.result(), fb.result()
+
     def _try_commit(self, version: int, record: dict) -> bool:
         """Atomically claim ``_snaplog/<version>.json``; False if taken."""
         return self.claimer.claim(
@@ -3716,30 +3734,36 @@ class SnaplogTable:
 
             cdc = None
             if self.change_feed:
-                cdc = self._stage_files(
-                    self._to_physical_df(
-                        self._merge_changes(
-                            tgt_rows, source, list(keys),
-                            matched=m_cls,
-                            not_matched=nm_cls,
-                            by_source=bs_cls,
-                            keep_target_cols=keep_target_cols,
-                            generated=snap.generated or {},
-                            table_schema=(
-                                T.StructType.fromJson(json.loads(snap.schema_json))
-                                if snap.schema_json
-                                else None
-                            ),
+                cdc_df = self._to_physical_df(
+                    self._merge_changes(
+                        tgt_rows, source, list(keys),
+                        matched=m_cls,
+                        not_matched=nm_cls,
+                        by_source=bs_cls,
+                        keep_target_cols=keep_target_cols,
+                        generated=snap.generated or {},
+                        table_schema=(
+                            T.StructType.fromJson(json.loads(snap.schema_json))
+                            if snap.schema_json
+                            else None
                         ),
-                        snap,
                     ),
-                    dest_dir=self.cdc_dir,
+                    snap,
                 )
-            added = self._stage_files(
-                self._to_physical_df(merged, snap),
-                partition_by=snap.partition_by,
-                align_partitions=self.optimize_write,
-            )
+                cdc, added = self._stage_files_pair(
+                    dict(df=cdc_df, dest_dir=self.cdc_dir),
+                    dict(
+                        df=self._to_physical_df(merged, snap),
+                        partition_by=snap.partition_by,
+                        align_partitions=self.optimize_write,
+                    ),
+                )
+            else:
+                added = self._stage_files(
+                    self._to_physical_df(merged, snap),
+                    partition_by=snap.partition_by,
+                    align_partitions=self.optimize_write,
+                )
             self._commit(
                 "merge",
                 add=added,
@@ -4238,21 +4262,25 @@ class SnaplogTable:
             if n_del == 0:
                 return RewriteStats(snap.num_files, len(candidates), 0, 0, 0, 0)
             cdc = None
+            dv_df = hit.select(
+                F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
+            )
             if self.change_feed:
                 data_cols = [c for c in hit.columns if c not in ("_dv_file", "_dv_pos")]
-                cdc = self._stage_files(
-                    self._to_physical_df(
-                        hit.select(*data_cols, F.lit("delete").alias(CHANGE_TYPE_COL)),
-                        snap,
+                cdc, dv_added = self._stage_files_pair(
+                    dict(
+                        df=self._to_physical_df(
+                            hit.select(
+                                *data_cols, F.lit("delete").alias(CHANGE_TYPE_COL)
+                            ),
+                            snap,
+                        ),
+                        dest_dir=self.cdc_dir,
                     ),
-                    dest_dir=self.cdc_dir,
+                    dict(df=dv_df, dest_dir=self.dv_dir),
                 )
-            dv_added = self._stage_files(
-                hit.select(
-                    F.col("_dv_file").alias("file"), F.col("_dv_pos").alias("pos")
-                ),
-                dest_dir=self.dv_dir,
-            )
+            else:
+                dv_added = self._stage_files(dv_df, dest_dir=self.dv_dir)
             self._commit(
                 "delete",
                 schema_json=snap.schema_json,
@@ -4431,18 +4459,25 @@ class SnaplogTable:
         keep = df.filter(~pred | pred.isNull())  # NULL predicate rows are KEPT
         cdc = None
         if self.change_feed:
-            cdc = self._stage_files(
-                self._to_physical_df(
-                    df.filter(pred).select(
-                        "*", F.lit("delete").alias(CHANGE_TYPE_COL)
+            cdc, added = self._stage_files_pair(
+                dict(
+                    df=self._to_physical_df(
+                        df.filter(pred).select(
+                            "*", F.lit("delete").alias(CHANGE_TYPE_COL)
+                        ),
+                        snap,
                     ),
-                    snap,
+                    dest_dir=self.cdc_dir,
                 ),
-                dest_dir=self.cdc_dir,
+                dict(
+                    df=self._to_physical_df(keep, snap),
+                    partition_by=snap.partition_by,
+                ),
             )
-        added = self._stage_files(
-            self._to_physical_df(keep, snap), partition_by=snap.partition_by
-        )
+        else:
+            added = self._stage_files(
+                self._to_physical_df(keep, snap), partition_by=snap.partition_by
+            )
         self._commit(
             "delete",
             add=added,
@@ -4552,13 +4587,21 @@ class SnaplogTable:
             post = post.select(
                 "*", F.lit("update_postimage").alias(CHANGE_TYPE_COL)
             )
-            cdc = self._stage_files(
-                self._to_physical_df(pre.unionByName(post), snap),
-                dest_dir=self.cdc_dir,
+            cdc, added = self._stage_files_pair(
+                dict(
+                    df=self._to_physical_df(pre.unionByName(post), snap),
+                    dest_dir=self.cdc_dir,
+                ),
+                dict(
+                    df=self._to_physical_df(rewritten, snap),
+                    partition_by=snap.partition_by,
+                ),
             )
-        added = self._stage_files(
-            self._to_physical_df(rewritten, snap), partition_by=snap.partition_by
-        )
+        else:
+            added = self._stage_files(
+                self._to_physical_df(rewritten, snap),
+                partition_by=snap.partition_by,
+            )
         self._commit(
             "update",
             add=added,
