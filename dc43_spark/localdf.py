@@ -25,12 +25,24 @@ semantics.
 
 from __future__ import annotations
 
+import logging
 from typing import Iterable, Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 __all__ = ["local_df"]
+
+_log = logging.getLogger(__name__)
+
+#: count of silent legacy-path fallbacks since import (r15, VERDICT r14
+#: #9): the Arrow path is the whole point of this module — a type change
+#: that knocks a call site back to the pickled-RDD path would silently
+#: reintroduce 32-task metadata scans. The counter (plus a WARNING log
+#: per distinct schema) makes that regression observable; a test pins
+#: every shipped call-site schema to the Arrow path.
+_FALLBACKS = 0
+_WARNED_SCHEMAS: set = set()
 
 
 def _as_struct(spark: SparkSession, schema: Union[StructType, str]) -> StructType:
@@ -71,7 +83,18 @@ def local_df(
         ]
         table = pa.Table.from_arrays(arrays, schema=aschema)
         df = spark.createDataFrame(table, struct)
-    except Exception:
+    except Exception as exc:
+        global _FALLBACKS
+        _FALLBACKS += 1
+        key = struct.simpleString()
+        if key not in _WARNED_SCHEMAS:
+            _WARNED_SCHEMAS.add(key)
+            _log.warning(
+                "local_df fell back to the pickled-RDD path for schema %s "
+                "(%s: %s) — scans of this frame run one Python task per "
+                "core instead of JVM-only",
+                key, type(exc).__name__, exc,
+            )
         df = None
     if df is None:
         # legacy pickle path — semantics identical, just slower to scan
