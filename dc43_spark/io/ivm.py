@@ -63,6 +63,7 @@ from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 from dc43_spark.io.snaplog import CHANGE_TYPE_COL, SnaplogTable
 
@@ -370,24 +371,36 @@ def _apply_window(
         .drop("_in_view")
         .localCheckpoint(eager=False)
     )
-    # one aggregate action yields both the applied-group count and the
+    # one aggregate action yields the applied-group count, the
     # surviving-dirty-group count (a delete may have taken an extremum)
+    # AND the dirty keys themselves — both bounded by changed groups, so
+    # collecting them here is no more driver state than the broadcast
+    # they feed, and it saves the separate dirty-keys scan + broadcast
+    # materialization jobs the rescan used to launch (guide §1.4)
+    is_dirty = F.col("_dirty") & (F.col(count_col) > 0)
     stats = merge_src.select(
         F.count(F.lit(1)).alias("_n"),
-        F.count(
-            F.when(F.col("_dirty") & (F.col(count_col) > 0), F.lit(1))
-        ).alias("_ndirty"),
+        F.count(F.when(is_dirty, F.lit(1))).alias("_ndirty"),
+        F.collect_list(
+            F.when(is_dirty, F.struct(*[F.col(k) for k in keys]))
+        ).alias("_dkeys"),
     ).first()
     n = stats["_n"]
     rescanned = 0
     if mins or maxs:
         # re-aggregate ONLY the dirty groups from the base head (pruned
         # semi-join; the broadcast side is bounded by changed groups)
-        dirty_keys = merge_src.filter(F.col("_dirty") & (F.col(count_col) > 0)).select(
-            *keys
-        )
         rescanned = stats["_ndirty"]
         if rescanned:
+            from dc43_spark.localdf import local_df
+
+            key_fields = [merge_src.schema[k] for k in keys]
+            dirty_keys = local_df(
+                merge_src.sparkSession,
+                [tuple(r[k] for k in keys) for r in stats["_dkeys"]],
+                T.StructType(key_fields),
+                coalesce=1,
+            )
             base = source.read(version_as_of=head)
             on = [base[k].eqNullSafe(dirty_keys[k]) for k in keys]
             re_agg = (

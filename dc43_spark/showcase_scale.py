@@ -763,17 +763,37 @@ class _stream_partitions:
     planning were never the floor). These gates create a FRESH checkpoint
     per invocation, so scoping the conf around query start is safe and
     leaves batch queries untouched. At 100 TB you raise it per query —
-    state partitioning is a per-workload knob, not a session constant."""
+    state partitioning is a per-workload knob, not a session constant.
+
+    r15 (VERDICT r14 #6): also scope OFF the trailing NO-DATA microbatch.
+    The engine appends one empty batch after the data so event-time
+    timers/evictions observe the final watermark — but these gates make
+    it a no-op BY CONSTRUCTION (the dedup/session gates pin a 365-day
+    watermark delay precisely so no timer can fire during the replay,
+    and the hourly agg runs in complete mode, which re-emits everything
+    each data batch), while the empty batch still pays a full
+    state-store load + commit across every partition plus a WAL/offset
+    round-trip. Measured: 2 -> 1 microbatches per gate run. A production
+    stream that RELIES on timers must keep the default."""
 
     def __init__(self, spark: SparkSession, n: int = 8) -> None:
         self.spark, self.n = spark, n
 
     def __enter__(self) -> None:
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.prev_nodata = self.spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+        )
         self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        self.spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+        )
 
     def __exit__(self, *exc) -> None:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        self.spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", self.prev_nodata
+        )
 
 
 def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
