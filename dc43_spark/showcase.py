@@ -55,7 +55,14 @@ def _scan_splits(spark: SparkSession, df: DataFrame) -> int:
     return splits
 
 
-def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def load_spread(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    *,
+    columns=None,
+    pin: bool = False,
+) -> DataFrame:
     """Load + repartition to all cores IF the scan is under-partitioned.
 
     The driver's tables are single-row-group parquet files, which Spark can
@@ -71,11 +78,28 @@ def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     use plain ``load``: partial aggregation already runs inside the scan
     stage, so the full-table shuffle moves every row to save work that is
     smaller than the shuffle itself (measured at sf0.1: metrics_orders
-    2.4s plain vs 5.4s spread; pricing_summary 1.3s vs 5.8s)."""
+    2.4s plain vs 5.4s spread; pricing_summary 1.3s vs 5.8s).
+
+    ``pin=True`` (r15): the repartition alone does NOT guarantee the
+    parallelism — the optimizer pushes deterministic per-row projections,
+    generators and filters back BELOW the round-robin exchange (fewer
+    shuffled bytes, guide §2.3), which on a one-split scan moves the
+    expensive tokenize/regex/hash compute onto the single scan task
+    (measured: corpus_filter's whole signal pass ran serially, 1.08 s vs
+    0.32 s parallel). A lazy ``localCheckpoint`` after the spread
+    truncates lineage so nothing can sink below the exchange. Only
+    applied when the spread itself applies, so a properly-split dataset
+    never materializes anything; pass ``columns`` with it so the
+    checkpoint (which defeats scan column pruning) carries only what the
+    query reads."""
     df = load(spark, sf_dir, table)
+    if columns is not None:
+        df = df.select(*columns)
     par = spark.sparkContext.defaultParallelism
     if _scan_splits(spark, df) < par:
         df = df.repartition(par)
+        if pin:
+            df = df.localCheckpoint(eager=False)
     return df
 
 

@@ -30,7 +30,13 @@ EMB_DUP_THRESHOLD = 0.45
 def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics: duplicate-trigram and top-trigram
     fractions per document (boilerplate/template detector)."""
-    return cu.ngram_repetition(load_spread(spark, sf_dir, "documents"), n=3)
+    return cu.ngram_repetition(
+        load_spread(
+            spark, sf_dir, "documents",
+            columns=("doc_id", "text"), pin=True,
+        ),
+        n=3,
+    )
 
 
 def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,7 +55,13 @@ def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def q_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus vocabulary with corpus/document frequencies."""
-    return cu.vocab_top_terms(load_spread(spark, sf_dir, "documents"), top_n=100)
+    return cu.vocab_top_terms(
+        load_spread(
+            spark, sf_dir, "documents",
+            columns=("doc_id", "text"), pin=True,
+        ),
+        top_n=100,
+    )
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,7 +370,12 @@ def q_corpus_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     token bounds + quality floor + stopword natural-language floor +
     language allow-list, with ordered drop reasons. The oracle re-derives
     every signal AND the verdict algebra in SQL."""
-    return cu.corpus_filter(load_spread(spark, sf_dir, "documents"))
+    return cu.corpus_filter(
+        load_spread(
+            spark, sf_dir, "documents",
+            columns=("doc_id", "text"), pin=True,
+        )
+    )
 
 
 def _corpus_filter_sql() -> str:
@@ -463,7 +480,9 @@ def q_encode_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank, a missed token, or an ordering slip all fail the hash; the
     oracle recomputes ids positionally with list_position over the same
     rank-ordered vocabulary."""
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load_spread(
+        spark, sf_dir, "documents", columns=("doc_id", "text"), pin=True
+    )
     vocab = cu.vocab_top_terms(docs, top_n=100)
     enc = cu.encode_tokens(docs, vocab)
     return enc.select(
@@ -522,7 +541,9 @@ def _capstone_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dc43_spark.functions import dedup as dd
     from dc43_spark.functions import text as tx
 
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load_spread(
+        spark, sf_dir, "documents", columns=("doc_id", "text"), pin=True
+    )
     return (
         cu.corpus_filter(docs, passthrough=("text",))
         .filter("keep")
@@ -679,7 +700,12 @@ def q_filter_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the number a curation run reports to its operators ("34% dropped
     for low_stopword"); the oracle recomposes it from the filter SQL, so
     reason attribution (not just the final verdict) is hash-pinned."""
-    flt = cu.corpus_filter(load_spread(spark, sf_dir, "documents"))
+    flt = cu.corpus_filter(
+        load_spread(
+            spark, sf_dir, "documents",
+            columns=("doc_id", "text"), pin=True,
+        )
+    )
     reasons = flt.select(
         F.explode(
             F.when(F.col("keep"), F.array(F.lit("kept"))).otherwise(
@@ -793,7 +819,10 @@ def q_boilerplate_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     rule in one SQL query — drift in ANY of the four stages breaks it."""
     from dc43_spark.functions import dedup as dd
 
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load_spread(
+        spark, sf_dir, "documents",
+        columns=("doc_id", "text", "lang"), pin=True,
+    )
     kept = (
         cu.corpus_filter(docs, passthrough=("text", "lang"))
         .filter("keep")
@@ -895,7 +924,9 @@ def q_heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     float threshold computes identically on both engines."""
     from dc43_spark.functions.sketch import heavy_hitters
 
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = load_spread(
+        spark, sf_dir, "documents", columns=("text",), pin=True
+    )
     toks = docs.select(
         F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
