@@ -86,12 +86,16 @@ def load_spread(
     shuffled bytes, guide §2.3), which on a one-split scan moves the
     expensive tokenize/regex/hash compute onto the single scan task
     (measured: corpus_filter's whole signal pass ran serially, 1.08 s vs
-    0.32 s parallel). A lazy ``localCheckpoint`` after the spread
-    truncates lineage so nothing can sink below the exchange. Only
-    applied when the spread itself applies, so a properly-split dataset
-    never materializes anything; pass ``columns`` with it so the
-    checkpoint (which defeats scan column pruning) carries only what the
-    query reads."""
+    0.32 s parallel). A ``persist`` after the spread is the barrier:
+    the cached relation materializes from the scan+exchange subtree, so
+    downstream compute sits above it and runs on the spread partitions.
+    persist (not localCheckpoint) because ``clearCache``/unpersist can
+    free it — checkpointed RDDs accumulate in block storage for the
+    session's lifetime, which measurably degraded later queries in a
+    long multi-query run. Only applied when the spread itself applies,
+    so a properly-split dataset never materializes anything; pass
+    ``columns`` with it so the cache (which defeats scan column pruning)
+    carries only what the query reads."""
     df = load(spark, sf_dir, table)
     if columns is not None:
         df = df.select(*columns)
@@ -99,7 +103,9 @@ def load_spread(
     if _scan_splits(spark, df) < par:
         df = df.repartition(par)
         if pin:
-            df = df.localCheckpoint(eager=False)
+            from pyspark.storagelevel import StorageLevel
+
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
     return df
 
 

@@ -46,12 +46,7 @@ _CENTS = "CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one row per content hash, canonical id + dup count."""
-    return dd.exact_dedup(
-        load_spread(
-            spark, sf_dir, "documents",
-            columns=("doc_id", "text"), pin=True,
-        )
-    )
+    return dd.exact_dedup(load_spread(spark, sf_dir, "documents"))
 
 
 def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,12 +77,7 @@ def q_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (16 md5-derived permutations over 3-shingles),
     emitted as one md5 of the signature for a stable cross-engine hash."""
     sigs = dd.minhash_signatures(
-        load_spread(
-            spark, sf_dir, "documents",
-            columns=("doc_id", "text"), pin=True,
-        ),
-        num_hashes=NUM_HASHES,
-        shingle_size=SHINGLE,
+        load_spread(spark, sf_dir, "documents"), num_hashes=NUM_HASHES, shingle_size=SHINGLE
     )
     return sigs.select(
         "doc_id",
@@ -99,12 +89,7 @@ def q_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (single exploded pass + 60 agg sums)."""
-    return dd.simhash64(
-        load_spread(
-            spark, sf_dir, "documents",
-            columns=("doc_id", "text"), pin=True,
-        )
-    )
+    return dd.simhash64(load_spread(spark, sf_dir, "documents"))
 
 
 def q_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,9 +99,7 @@ def q_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inverted-index join is quadratic on hot shingles by nature — it
     exists as the exact baseline; ``minhash_near_dup_documents`` is the
     uncapped scale path over the full corpus."""
-    docs = load_spread(
-        spark, sf_dir, "documents", columns=("doc_id", "text"), pin=True
-    ).filter(F.col("doc_id") < 2000)
+    docs = load_spread(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     return dd.ngram_jaccard_pairs(docs, threshold=0.8)
 
 
@@ -146,9 +129,7 @@ def q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     its component plus the component size. Singletons cluster as
     themselves. The oracle rebuilds the same closure with a recursive CTE —
     any wrong merge or missed chain changes roots and fails the hash."""
-    docs = load_spread(
-        spark, sf_dir, "documents", columns=("doc_id", "text"), pin=True
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(docs, threshold=0.8, shingle_size=SHINGLE)
     return dd.dedup_clusters(docs.select("doc_id"), pairs).select(
         "doc_id", "cluster_id", "cluster_size"
@@ -1644,9 +1625,7 @@ def q_duplicated_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows whose window text repeats anywhere in the corpus. The oracle
     recomposes windows, corpus counts, and the gaps-and-islands run
     collapse in SQL, so the whole span algebra is hash-pinned."""
-    docs = load_spread(
-        spark, sf_dir, "documents", columns=("doc_id", "text"), pin=True
-    )
+    docs = load_spread(spark, sf_dir, "documents")
     return dd.duplicated_spans(docs, k=SHINGLE, min_occurrences=2)
 
 
