@@ -87,13 +87,16 @@ def test_stratified_sample_zero_shuffle_and_pruned_scan(spark):
 
 def test_repetition_two_partial_aggregated_shuffles(spark):
     """(doc, gram) then (doc): both stages partial-aggregate map-side, one
-    parquet scan feeds everything."""
+    pinned corpus relation feeds everything (r15: the spread pin is an
+    InMemoryRelation whose raw parquet scan materializes once; the scan
+    node's printed count inside the cached subtree varies with session
+    cache state, so assert the cache boundary instead)."""
     from dc43_spark.showcase_curation import q_repetition_documents
 
     df = q_repetition_documents(spark, SF_DIR)
     plan = plan_string(df, "simple")
     assert shuffle_exchanges(df) == 2
-    assert plan.count("Scan parquet") == 1
+    assert "InMemoryTableScan" in plan  # the pinned spread
     assert plan.count("partial_") >= 2  # map-side combine on both aggregations
 
 
